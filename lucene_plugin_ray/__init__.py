@@ -1,0 +1,35 @@
+"""lucene_plugin_ray — a Ray-Data-native inverted-index build + BM25 query engine.
+
+From-scratch re-expression of the query/data-processing capabilities of
+baratine/lucene-plugin (reference at /root/reference) as distributed batch
+pipelines of ``ray.data.Dataset`` transformations over zero-copy Arrow batches.
+
+Public API (SURVEY.md §2.11):
+
+    from lucene_plugin_ray import IndexConfig, build_index, SearchEngine
+
+    cfg = IndexConfig(index_root="/tmp/idx", num_partitions=8)
+    manifest = build_index(ds, cfg)               # ds: ray.data.Dataset of pages
+    eng = SearchEngine(cfg.index_root)
+    hits = eng.search("lamb", collection="default", limit=10)
+
+The engine is NOT a port: the reference is a single-node online Lucene service;
+this is a columnar batch engine.  See SURVEY.md for the full mapping.
+"""
+
+from lucene_plugin_ray.config import IndexConfig
+
+__all__ = ["IndexConfig", "build_index", "build_delta", "SearchEngine"]
+__version__ = "0.1.0"
+
+
+def __getattr__(name):  # lazy so `import lucene_plugin_ray` stays light
+    if name in ("build_index", "build_delta"):
+        from lucene_plugin_ray.pipelines import build
+
+        return getattr(build, name)
+    if name == "SearchEngine":
+        from lucene_plugin_ray.pipelines.query import SearchEngine
+
+        return SearchEngine
+    raise AttributeError(name)

@@ -1,0 +1,154 @@
+"""Brute-force oracle (SURVEY.md §5.2 layer 3 — the rank-identity referee).
+
+A deliberately simple, single-process, dictionary-based implementation of the
+full semantics: upsert (last-write-wins by warc_ts), deletes, collection
+isolation, analysis, and Okapi BM25 (k1=1.2, b=0.75, exact |D|) with
+(score desc, docid asc) tiebreaks.  It shares ONLY the pure specification
+functions with the engine (analyzer, BM25 formula, docid assignment, query
+grammar) — never the engine's execution code: no Arrow, no Ray, no codec, no
+segments.  Engine output must match this oracle exactly (urls + rank) and to
+1e-6 on scores.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+import pyarrow as pa
+
+from lucene_plugin_ray.config import IndexConfig
+from lucene_plugin_ray.functions.analysis import analyze, sanitize_collection
+from lucene_plugin_ray.functions.bm25 import idf
+from lucene_plugin_ray.functions.docid import assign_docids_reference
+from lucene_plugin_ray.functions.queryparse import (
+    MUST,
+    RangeClause,
+    TermClause,
+    parse_query,
+)
+
+
+class OracleIndex:
+    """In-memory inverted index built row-at-a-time from the raw corpus."""
+
+    def __init__(self, pages: pa.Table, cfg: IndexConfig, deletes: pa.Table | None = None):
+        self.cfg = cfg
+        rows = pages.to_pylist()
+        # ---- upsert: last write wins by warc_ts, tiebreak max sha256(text)
+        latest: dict[tuple[str, str], dict] = {}
+        for r in rows:
+            coll = sanitize_collection(str(r.get(cfg.collection_column) or "default"))
+            url = r[cfg.url_column]
+            key = (coll, url)
+            ts = r[cfg.ts_column]
+            tie = hashlib.sha256((r.get(cfg.text_column) or "").encode()).hexdigest()
+            cur = latest.get(key)
+            if cur is None or (ts, tie) > (cur["_ts"], cur["_tie"]):
+                r = dict(r)
+                r["_ts"], r["_tie"] = ts, tie
+                latest[key] = r
+        # ---- deletes (anti-join on (collection, url))
+        if deletes is not None:
+            for d in deletes.to_pylist():
+                latest.pop((sanitize_collection(d["collection"]), d["url"]), None)
+
+        # ---- deterministic docids (shared pure function)
+        self.docids = assign_docids_reference(list(latest.keys()), cfg.num_partitions)
+        self.url_of: dict[int, str] = {}
+        self.coll_of: dict[int, str] = {}
+        # postings[field][term] = {docid: tf}; doc_len[field][docid] = |D|
+        self.postings: dict[str, dict[str, dict[int, int]]] = defaultdict(
+            lambda: defaultdict(dict)
+        )
+        self.doc_len: dict[str, dict[int, int]] = defaultdict(dict)
+        self.n_docs: dict[str, int] = defaultdict(int)  # per collection
+
+        for (coll, url), r in latest.items():
+            docid = self.docids[(coll, url)]
+            self.url_of[docid] = url
+            self.coll_of[docid] = coll
+            self.n_docs[coll] += 1
+            for field in cfg.fields():
+                val = r.get(field)
+                toks = analyze(str(val)) if val is not None else []
+                self.doc_len[field][docid] = len(toks)
+                for t in toks:
+                    d = self.postings[field][t]
+                    d[docid] = d.get(docid, 0) + 1
+
+    # -- global stats -----------------------------------------------------
+    def _avgdl(self, field: str, coll: str) -> float:
+        lens = [l for d, l in self.doc_len[field].items() if self.coll_of[d] == coll]
+        return sum(lens) / len(lens) if lens else 0.0
+
+    def _df(self, field: str, term: str, coll: str) -> int:
+        return sum(1 for d in self.postings[field].get(term, {}) if self.coll_of[d] == coll)
+
+    # -- search -----------------------------------------------------------
+    def search(self, query: str, collection: str = "default", limit: int | None = None):
+        """Return [(url, score), ...] — top-k, (score desc, docid asc)."""
+        cfg = self.cfg
+        limit = limit if limit is not None else cfg.result_limit
+        coll = sanitize_collection(collection)
+        clauses = parse_query(query, default_field=cfg.text_column)
+        if not clauses:
+            return []
+        n = self.n_docs.get(coll, 0)
+        if n == 0:
+            return []
+
+        musts, shoulds = [], []
+        for c in clauses:
+            (musts if c.occur == MUST else shoulds).append(c)
+
+        def clause_docs(c) -> set[int]:
+            if isinstance(c, TermClause):
+                return {
+                    d for d in self.postings[c.field].get(c.term, {}) if self.coll_of[d] == coll
+                }
+            assert isinstance(c, RangeClause)
+            out: set[int] = set()
+            for t, posting in self.postings[c.field].items():
+                if c.lo <= t <= c.hi:
+                    out.update(d for d in posting if self.coll_of[d] == coll)
+            return out
+
+        if musts:
+            candidates: set[int] | None = None
+            for c in musts:
+                ds = clause_docs(c)
+                candidates = ds if candidates is None else (candidates & ds)
+                if not candidates:
+                    return []
+        else:
+            candidates = set()
+            for c in shoulds:
+                candidates |= clause_docs(c)
+        if not candidates:
+            return []
+
+        scores: dict[int, float] = defaultdict(float)
+        for c in musts + shoulds:
+            if isinstance(c, TermClause):
+                posting = self.postings[c.field].get(c.term, {})
+                df = self._df(c.field, c.term, coll)
+                if df == 0:
+                    continue
+                avgdl = self._avgdl(c.field, coll)
+                w = idf(df, n)
+                for d in candidates:
+                    tf = posting.get(d)
+                    if tf:
+                        dl = self.doc_len[c.field][d]
+                        denom = tf + cfg.k1 * (1 - cfg.b + cfg.b * dl / avgdl)
+                        scores[d] += w * (tf * (cfg.k1 + 1)) / denom
+            else:
+                hits = clause_docs(c)
+                for d in candidates:
+                    if d in hits:
+                        scores[d] += 1.0  # constant-score range (Lucene 5.x)
+
+        ranked = sorted(((d, s) for d, s in scores.items() if d in candidates),
+                        key=lambda x: (-x[1], x[0]))
+        return [(self.url_of[d], s) for d, s in ranked[:limit]]

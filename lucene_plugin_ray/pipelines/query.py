@@ -1,0 +1,532 @@
+"""Query engine (SURVEY.md §3.2 read path).
+
+Driver parses the query (grammar Q1–Q7, shared analyzer), prunes to the
+requested collection's segment directories (J1 — the reference's implicit
+``__collectionKey__`` MUST clause, LuceneIndexBean.java:385-393, becomes
+partition pruning), gathers global term stats across segments (phase 1), then
+scores each segment and merges per-segment top-k (K1 — per-partition bounded
+heap → driver merge, ≙ searcher.search(q, limit), LuceneIndexBean.java:398).
+
+Two execution strategies per segment:
+
+* ``taat`` (default) — vectorized term-at-a-time: decode each clause's full
+  posting list with one numpy varint pass, accumulate BM25 into a dense
+  per-segment float64 accumulator, argpartition top-k.  On modern hardware
+  this is the fastest strategy for batch/analytics workloads (memory-bandwidth
+  bound, no per-document branching).
+* ``bmw`` — document-at-a-time block-max WAND (north rule; J2): term cursors
+  ordered by current docid, pivot selection against the top-k threshold using
+  per-term score upper bounds, block-level refinement with the per-block
+  max-tf metadata written at build time, block skipping via searchsorted on
+  blk_maxdoc.  Wins when k << matches and posting lists are long (the
+  online-serving regime).
+
+Both are tested rank-identical to each other and to the brute-force oracle.
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections import OrderedDict
+
+import numpy as np
+import pyarrow as pa
+
+from lucene_plugin_ray.config import IndexConfig
+from lucene_plugin_ray.functions.analysis import sanitize_collection
+from lucene_plugin_ray.functions.bm25 import bm25_term_scores, idf
+from lucene_plugin_ray.functions.codec import decode_block_abs
+from lucene_plugin_ray.functions.queryparse import (
+    MUST,
+    Clause,
+    RangeClause,
+    TermClause,
+    parse_query,
+)
+from lucene_plugin_ray.state.manifest import load_manifest_chain, load_tombstones
+from lucene_plugin_ray.state.segment import SegmentReader
+
+RESULT_SCHEMA = pa.schema(
+    [("url", pa.string()), ("score", pa.float64()), ("docid", pa.int64())]
+)
+
+
+class _LiveSegment:
+    """A SegmentReader plus its alive-mask under newer tombstones/clears."""
+
+    def __init__(self, reader: SegmentReader, alive: np.ndarray):
+        self.reader = reader
+        self.alive = alive  # bool[n_docs] — False = superseded/deleted/cleared
+        self.n_alive = int(alive.sum())
+        self.sum_dl_alive = {
+            f: int(dl[alive].sum()) for f, dl in reader.doc_len.items()
+        }
+
+
+class SearchEngine:
+    """In-process query engine over an index root (one per generation pin).
+
+    ≙ T2 SearcherManager semantics: construction pins the latest (or given)
+    generation; a new build requires a new SearchEngine (searcher refresh).
+    Per-engine LRU caches mirror T3/T4 (LuceneIndexBean.java:104,792) and are
+    naturally invalidated by the generation pin.
+    """
+
+    def __init__(
+        self,
+        index_root: str,
+        generation: int | None = None,
+        cfg: IndexConfig | None = None,
+    ):
+        self.cfg = cfg or IndexConfig(index_root=index_root)
+        self.index_root = index_root
+        self.chain = load_manifest_chain(index_root, generation)
+        self.generation = self.chain[-1].generation
+        self._results_cache: OrderedDict = OrderedDict()
+
+        # ---- resolve live segments per collection under the chain ----
+        # tombstones at gen h kill (collection,url) keys in segments of gen<h;
+        # cleared collection at gen h kills its segments of gen<h (D2/D3).
+        self._segments: dict[str, list[_LiveSegment]] = {}
+        tomb_by_gen: list[tuple[int, set[tuple[str, str]]]] = []
+        cleared_at: dict[str, int] = {}
+        for m in self.chain:
+            t = load_tombstones(m.tombstone_path)
+            if t is not None and t.num_rows:
+                keys = set(
+                    zip(t["collection"].to_pylist(), t["url"].to_pylist())
+                )
+                tomb_by_gen.append((m.generation, keys))
+            for c in m.cleared_collections:
+                cleared_at[c] = m.generation
+
+        for m in self.chain:
+            for row in m.partitions:
+                coll, g = row["collection"], row["generation"]
+                if cleared_at.get(coll, -1) > g:
+                    continue
+                reader = SegmentReader(row["path"])
+                alive = np.ones(reader.n_docs, dtype=bool)
+                for h, keys in tomb_by_gen:
+                    if h <= g or not keys:
+                        continue
+                    dead_urls = {u for (c, u) in keys if c == coll}
+                    if dead_urls:
+                        alive &= ~np.isin(reader.urls, list(dead_urls))
+                self._segments.setdefault(coll, []).append(
+                    _LiveSegment(reader, alive)
+                )
+
+    # ------------------------------------------------------------------
+    def collections(self) -> list[str]:
+        return sorted(self._segments)
+
+    def _stats(self, coll: str) -> tuple[int, dict[str, float]]:
+        segs = self._segments.get(coll, [])
+        n = sum(s.n_alive for s in segs)
+        avgdl: dict[str, float] = {}
+        if n:
+            fields: set[str] = set()
+            for s in segs:
+                fields.update(s.sum_dl_alive)
+            for f in fields:
+                avgdl[f] = sum(s.sum_dl_alive.get(f, 0) for s in segs) / n
+        return n, avgdl
+
+    # ------------------------------------------------------------------
+    def search(
+        self,
+        query: str,
+        collection: str = "default",
+        limit: int | None = None,
+        method: str = "taat",
+    ) -> pa.Table:
+        """Top-k search → Arrow table (url, score, docid), (score desc, docid
+        asc).  ``limit`` defaults to the reference's effective 255 cap (K1,
+        LuceneReaderImpl.java:104)."""
+        limit = limit if limit is not None else self.cfg.result_limit
+        coll = sanitize_collection(collection)
+        cache_key = (coll, query, limit, method)
+        hit = self._results_cache.get(cache_key)
+        if hit is not None:
+            self._results_cache.move_to_end(cache_key)
+            return hit
+
+        clauses = parse_query(query, default_field=self.cfg.text_column)
+        table = self._execute(clauses, coll, limit, method)
+
+        self._results_cache[cache_key] = table
+        if len(self._results_cache) > self.cfg.results_cache_size:
+            self._results_cache.popitem(last=False)
+        return table
+
+    # ------------------------------------------------------------------
+    def _execute(
+        self, clauses: list[Clause], coll: str, limit: int, method: str
+    ) -> pa.Table:
+        segs = self._segments.get(coll, [])
+        empty = pa.table(
+            {"url": pa.array([], pa.string()), "score": pa.array([], pa.float64()),
+             "docid": pa.array([], pa.int64())}
+        )
+        if not clauses or not segs:
+            return empty
+        n_docs, avgdl = self._stats(coll)
+        if n_docs == 0:
+            return empty
+
+        # ---- phase 1: global df per TERM clause (sum over segments of
+        # alive-masked df); decoded postings cached for phase 2.
+        term_clauses = [c for c in clauses if isinstance(c, TermClause)]
+        cache: dict[tuple[int, str, str], tuple[np.ndarray, np.ndarray]] = {}
+        global_df: dict[tuple[str, str], int] = {}
+        for c in term_clauses:
+            key = (c.field, c.term)
+            if key in global_df:
+                continue
+            df = 0
+            for si, seg in enumerate(segs):
+                row = seg.reader.lookup(c.field, c.term)
+                if row < 0:
+                    continue
+                docids, tfs = seg.reader.postings(row)
+                local = seg.reader.local_ids(docids)
+                ok = seg.alive[local]
+                docids, tfs, local = docids[ok], tfs[ok], local[ok]
+                cache[(si, c.field, c.term)] = (local, tfs)
+                df += len(local)
+            global_df[key] = df
+
+        # ---- phase 2: per-segment scoring + top-k, then merge (K1)
+        use_bmw = (
+            method == "bmw"
+            and all(isinstance(c, TermClause) and c.occur != MUST for c in clauses)
+            and len(term_clauses) > 0
+        )
+        parts = []
+        for si, seg in enumerate(segs):
+            if use_bmw:
+                t = self._score_segment_bmw(
+                    si, seg, term_clauses, global_df, n_docs, avgdl, limit
+                )
+            else:
+                t = self._score_segment_taat(
+                    si, seg, clauses, cache, global_df, n_docs, avgdl, limit
+                )
+            if t.num_rows:
+                parts.append(t)
+        if not parts:
+            return empty
+        merged = pa.concat_tables(parts)
+        order = np.lexsort(
+            (merged["docid"].to_numpy(), -merged["score"].to_numpy())
+        )[:limit]
+        return merged.take(pa.array(order))
+
+    # ------------------------------------------------------------------
+    def _score_segment_taat(
+        self,
+        si: int,
+        seg: _LiveSegment,
+        clauses: list[Clause],
+        cache: dict,
+        global_df: dict,
+        n_docs: int,
+        avgdl: dict[str, float],
+        limit: int,
+    ) -> pa.Table:
+        r = seg.reader
+        n = r.n_docs
+        scores = np.zeros(n, dtype=np.float64)
+        musts = [c for c in clauses if c.occur == MUST]
+        must_cnt = np.zeros(n, dtype=np.int16) if musts else None
+
+        for c in clauses:
+            if isinstance(c, TermClause):
+                got = cache.get((si, c.field, c.term))
+                if got is None:
+                    continue
+                local, tfs = got
+                df = global_df[(c.field, c.term)]
+                if df == 0:
+                    continue
+                dl = r.doc_len.get(c.field)
+                if dl is None:
+                    continue
+                s = bm25_term_scores(
+                    tfs, dl[local], df, n_docs, avgdl.get(c.field, 1.0),
+                    k1=self.cfg.k1, b=self.cfg.b,
+                )
+                scores[local] += s
+                if must_cnt is not None and c.occur == MUST:
+                    must_cnt[local] += 1
+            else:
+                assert isinstance(c, RangeClause)
+                rows = r.term_range(c.field, c.lo, c.hi)
+                matched = np.zeros(n, dtype=bool)
+                for row in rows:
+                    docids, _ = r.postings(int(row))
+                    local = r.local_ids(docids)
+                    matched[local[seg.alive[local]]] = True
+                # constant-score 1.0 (Lucene 5.x CONSTANT_SCORE rewrite)
+                scores[matched] += 1.0
+                if must_cnt is not None and c.occur == MUST:
+                    must_cnt[matched] += 1
+
+        if must_cnt is not None:
+            cand = np.flatnonzero(must_cnt == len(musts))
+        else:
+            cand = np.flatnonzero(scores > 0.0)
+        if cand.size == 0:
+            return pa.table(
+                {"url": pa.array([], pa.string()),
+                 "score": pa.array([], pa.float64()),
+                 "docid": pa.array([], pa.int64())}
+            )
+        if cand.size > limit:
+            # bounded selection before the exact sort (per-partition heap K1)
+            top = np.argpartition(-scores[cand], limit - 1)[:limit]
+            cand = cand[top]
+        order = np.lexsort((cand, -scores[cand]))
+        cand = cand[order]
+        return pa.table(
+            {
+                "url": pa.array(r.urls[cand], type=pa.string()),
+                "score": pa.array(scores[cand], type=pa.float64()),
+                "docid": pa.array(r.doc_base + cand, type=pa.int64()),
+            }
+        )
+
+    # ------------------------------------------------------------------
+    def _score_segment_bmw(
+        self,
+        si: int,
+        seg: _LiveSegment,
+        clauses: list[TermClause],
+        global_df: dict,
+        n_docs: int,
+        avgdl: dict[str, float],
+        limit: int,
+    ) -> pa.Table:
+        """Block-max WAND over one segment (pure-OR term queries).
+
+        Classic two-level pruning (Broder et al. WAND; Ding & Suel BMW):
+        term-level upper bounds order cursor advancement; before scoring a
+        pivot candidate, the per-block max-tf bound refines the estimate and
+        whole blocks are skipped via searchsorted on blk_maxdoc.
+        """
+        r = seg.reader
+        cfg = self.cfg
+        k1, b = cfg.k1, cfg.b
+
+        class Cur:
+            __slots__ = (
+                "field", "doc", "i", "blk", "docids", "tfs", "bmeta", "df",
+                "w", "ub", "dl", "row", "nblocks",
+            )
+
+        cursors: list[Cur] = []
+        for c in clauses:
+            row = r.lookup(c.field, c.term)
+            if row < 0:
+                continue
+            df_g = global_df[(c.field, c.term)]
+            if df_g == 0:
+                continue
+            cur = Cur()
+            cur.field = c.field
+            cur.row = row
+            cur.df = r.df(row)
+            cur.w = idf(df_g, n_docs)
+            cur.bmeta = r.block_meta(row)
+            cur.nblocks = len(cur.bmeta["blk_maxdoc"])
+            cur.dl = r.doc_len[c.field]
+            # term-level upper bound: tf→max over blocks, dl→0 lower bound
+            mtf = float(cur.bmeta["blk_maxtf"].max())
+            cur.ub = cur.w * (mtf * (k1 + 1.0)) / (mtf + k1 * (1.0 - b))
+            cur.blk = -1
+            cur.docids = cur.tfs = None
+            cur.i = 0
+            cur.doc = -1
+            self._bmw_load_block(r, cur, 0)
+            cursors.append(cur)
+        if not cursors:
+            return pa.table(
+                {"url": pa.array([], pa.string()),
+                 "score": pa.array([], pa.float64()),
+                 "docid": pa.array([], pa.int64())}
+            )
+
+        heap: list[tuple[float, int]] = []  # (score, -local) min-heap on score
+        theta = 0.0
+
+        def score_doc(doc: int) -> float:
+            s = 0.0
+            for cur in cursors:
+                if cur.doc == doc:
+                    tf = float(cur.tfs[cur.i])
+                    dl = float(cur.dl[doc])
+                    f = cur.field
+                    s += cur.w * (tf * (k1 + 1.0)) / (
+                        tf + k1 * (1.0 - b + b * dl / avgdl.get(f, 1.0))
+                    )
+            return s
+
+        INF = 1 << 62
+        alive = seg.alive
+        while True:
+            cursors.sort(key=lambda c: c.doc if c.doc >= 0 else INF)
+            if cursors[0].doc < 0:
+                break
+            # pivot: first cursor where cumulative term UB beats the threshold
+            # (when the heap isn't full every doc is a candidate → pivot = 0)
+            pivot_idx = -1
+            if len(heap) < limit:
+                pivot_idx = 0
+            else:
+                acc = 0.0
+                for i, cur in enumerate(cursors):
+                    if cur.doc < 0:
+                        break
+                    acc += cur.ub
+                    if acc > theta:
+                        pivot_idx = i
+                        break
+            if pivot_idx < 0 or cursors[pivot_idx].doc < 0:
+                break
+            pivot_doc = cursors[pivot_idx].doc
+
+            if cursors[0].doc != pivot_doc:
+                # align leading cursors onto the pivot
+                for cur in cursors[: pivot_idx + 1]:
+                    if 0 <= cur.doc < pivot_doc:
+                        self._bmw_advance(r, cur, pivot_doc)
+                continue
+
+            # aligned at pivot — block-max refinement before scoring
+            if len(heap) >= limit:
+                block_acc = 0.0
+                for cur in cursors:
+                    if cur.doc != pivot_doc:
+                        break
+                    bidx = cur.blk  # aligned ⇒ current block contains pivot
+                    mtf = float(cur.bmeta["blk_maxtf"][bidx])
+                    block_acc += cur.w * (mtf * (k1 + 1.0)) / (
+                        mtf + k1 * (1.0 - b)
+                    )
+                if block_acc <= theta:
+                    for cur in cursors:
+                        if cur.doc == pivot_doc:
+                            self._bmw_advance(r, cur, pivot_doc + 1)
+                    continue
+
+            if alive[pivot_doc]:
+                s = score_doc(pivot_doc)
+                if len(heap) < limit:
+                    heapq.heappush(heap, (s, -pivot_doc))
+                elif (s, -pivot_doc) > heap[0]:
+                    heapq.heapreplace(heap, (s, -pivot_doc))
+                if len(heap) >= limit:
+                    theta = heap[0][0]
+            for cur in cursors:
+                if cur.doc == pivot_doc:
+                    self._bmw_advance(r, cur, pivot_doc + 1)
+
+        out = sorted(((s, -nd) for s, nd in heap), key=lambda x: (-x[0], x[1]))
+        locs = np.array([d for _, d in out], dtype=np.int64)
+        return pa.table(
+            {
+                "url": pa.array(r.urls[locs] if locs.size else [], type=pa.string()),
+                "score": pa.array([s for s, _ in out], type=pa.float64()),
+                "docid": pa.array(r.doc_base + locs, type=pa.int64()),
+            }
+        )
+
+    @staticmethod
+    def _bmw_load_block(r: SegmentReader, cur, bidx: int) -> None:
+        if bidx >= cur.nblocks:
+            cur.doc = -1
+            return
+        cur.blk = bidx
+        cur.docids, cur.tfs = decode_block_abs(
+            r.buf,
+            cur.bmeta["blk_doff"],
+            cur.bmeta["blk_toff"],
+            cur.bmeta["blk_maxdoc"],
+            bidx,
+            cur.df,
+            int(r._doff_end[cur.row]),
+            int(r._toff_end[cur.row]),
+        )
+        cur.docids = r.local_ids(cur.docids)
+        cur.i = 0
+        cur.doc = int(cur.docids[0])
+
+    def _bmw_advance(self, r: SegmentReader, cur, target: int) -> None:
+        """Advance cursor to the first docid >= target (block skip via
+        blk_maxdoc searchsorted, then in-block searchsorted)."""
+        if cur.doc < 0:
+            return
+        tgt_abs = target + r.doc_base
+        bidx = int(np.searchsorted(cur.bmeta["blk_maxdoc"], tgt_abs, side="left"))
+        if bidx >= cur.nblocks:
+            cur.doc = -1
+            return
+        if bidx != cur.blk:
+            self._bmw_load_block(r, cur, bidx)
+        i = int(np.searchsorted(cur.docids, target, side="left"))
+        if i >= len(cur.docids):
+            self._bmw_load_block(r, cur, cur.blk + 1)
+            return
+        cur.i = i
+        cur.doc = int(cur.docids[i])
+
+
+class QueryExecutor:
+    """Actor-pool batch query stage (SURVEY.md T2):
+
+        queries_ds.map_batches(QueryExecutor, fn_constructor_args=(root,),
+                               concurrency=N, batch_size=B,
+                               batch_format="pyarrow")
+
+    ``__init__`` loads the engine ONCE per actor (mmap of term dicts +
+    postings — the 'searcher lease'); ``__call__`` answers a batch of query
+    rows (qid, collection, query, k) → (qid, rank, url, score) rows.
+    """
+
+    def __init__(self, index_root: str, generation: int | None = None,
+                 cfg: IndexConfig | None = None, method: str = "taat"):
+        self.engine = SearchEngine(index_root, generation=generation, cfg=cfg)
+        self.method = method
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, urls, scores = [], [], [], []
+        colls = (
+            batch["collection"].to_pylist()
+            if "collection" in batch.column_names
+            else ["default"] * batch.num_rows
+        )
+        ks = (
+            batch["k"].to_pylist()
+            if "k" in batch.column_names
+            else [None] * batch.num_rows
+        )
+        for qid, coll, q, k in zip(
+            batch["qid"].to_pylist(), colls, batch["query"].to_pylist(), ks
+        ):
+            res = self.engine.search(q, collection=coll, limit=k, method=self.method)
+            for rank, (u, s) in enumerate(
+                zip(res["url"].to_pylist(), res["score"].to_pylist())
+            ):
+                qids.append(qid)
+                ranks.append(rank)
+                urls.append(u)
+                scores.append(s)
+        return pa.table(
+            {
+                "qid": pa.array(qids, type=pa.int64()),
+                "rank": pa.array(ranks, type=pa.int32()),
+                "url": pa.array(urls, type=pa.string()),
+                "score": pa.array(scores, type=pa.float64()),
+            }
+        )

@@ -1,0 +1,324 @@
+"""Per-partition segment build (SURVEY.md §3.1 steps D1→A4→S5).
+
+One call processes ONE document partition (all rows whose
+fnv1a(collection\\x00url) % P == p) entirely locally — dedup (upsert), delete
+anti-join, deterministic docid assignment, tokenization, posting-list
+construction and segment write — and emits one small manifest row per
+(collection) segment written.
+
+This fusion is the engine's key scale decision: the ONLY all-to-all exchange
+in the build is the hash repartition by document key (uniform — urls are
+~unique), after which everything is partition-local and fully vectorized.
+Term-keyed shuffles (Zipf-skewed) are avoided for posting construction; the
+term dimension never leaves the partition.  (≙ reference behavior: Lucene
+builds per-segment postings locally in IndexWriter's inversion buffer,
+LuceneIndexBean.java:664-691 — here a segment is a document partition.)
+
+Segment directory layout (atomic: written to .tmp, renamed):
+
+    <index_root>/<collection>/gen-<g>/part-<p>/
+        postings.bin    [all docid-delta varints][all tf varints]
+        terms.parquet   field, term, df, doff, doff_end, toff, toff_end,
+                        blk_doff, blk_toff, blk_maxdoc, blk_maxtf (lists)
+        docs.parquet    docid, url, text_sha256, dl_<field>...
+        meta.json       doc_base, n_docs, sum_dl per field, metrics, lineage
+
+Docids: docid = p * DOCID_STRIDE + rank, rank = position in the partition's
+(collection, url)-ascending order after dedup+delete.  A pure function of the
+key set — independent of arrival order, block order and cluster size
+(SURVEY.md §7.4 "Determinism end-to-end"); the oracle recomputes it
+independently (functions/docid.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from lucene_plugin_ray.config import IndexConfig
+from lucene_plugin_ray.functions.analysis import term_frequencies, tokenize_column
+from lucene_plugin_ray.functions.codec import encode_many_postings
+from lucene_plugin_ray.functions.docid import DOCID_STRIDE
+from lucene_plugin_ray.functions.hashing import fnv1a_bytes_column
+
+MANIFEST_ROW_SCHEMA = pa.schema(
+    [
+        ("collection", pa.string()),
+        ("partition", pa.int32()),
+        ("generation", pa.int64()),
+        ("path", pa.string()),
+        ("doc_base", pa.int64()),
+        ("n_docs", pa.int64()),
+        ("n_terms", pa.int64()),
+        ("n_postings", pa.int64()),
+        ("bytes_postings", pa.int64()),
+        ("sum_dl_json", pa.string()),
+        ("input_digest", pa.string()),
+        ("rows_in", pa.int64()),
+        ("rows_deduped", pa.int64()),
+        ("rows_deleted", pa.int64()),
+        ("wall_s", pa.float64()),
+        ("resumed", pa.bool_()),
+    ]
+)
+
+
+def _composite_key(colls: pa.Array, urls: pa.Array) -> pa.Array:
+    return pc.binary_join_element_wise(colls, urls, "\x00")
+
+
+def _partition_digest(keys: pa.Array, shas: pa.Array) -> str:
+    """Order-independent lineage digest of a partition's deduped content."""
+    h = fnv1a_bytes_column(pc.binary_join_element_wise(keys, shas, "\x00"))
+    return f"{int(h.sum(dtype=np.uint64)):016x}-{len(h)}"
+
+
+def dedup_latest(table: pa.Table, cfg: IndexConfig) -> pa.Table:
+    """D1 upsert: last write per (collection, url) wins — max warc_ts,
+    tiebreak max text_sha256 (deterministic, order-independent).
+    ≙ writer.updateDocument(pkTerm, doc) delete-then-add semantics
+    (LuceneIndexBean.java:256,343; TestSearchWithUpdate.java:32-42).
+
+    Input must carry ``collection`` (sanitized) and ``text_sha256`` columns.
+    Output is sorted by (collection, url) ascending — docid order.
+    """
+    table = table.sort_by(
+        [
+            ("collection", "ascending"),
+            (cfg.url_column, "ascending"),
+            (cfg.ts_column, "ascending"),
+            ("text_sha256", "ascending"),
+        ]
+    )
+    keys = _composite_key(
+        table["collection"].combine_chunks(), table[cfg.url_column].combine_chunks()
+    )
+    n = len(keys)
+    if n == 0:
+        return table
+    neq = pc.not_equal(keys.slice(0, n - 1), keys.slice(1, n)).to_numpy(
+        zero_copy_only=False
+    )
+    mask = np.ones(n, dtype=bool)
+    mask[:-1] = neq  # keep a row iff the next row has a different key → last wins
+    return table.filter(pa.array(mask))
+
+
+def apply_deletes(table: pa.Table, cfg: IndexConfig, delete_keys: pa.Array | None) -> tuple[pa.Table, int]:
+    """D2 delete-by-id as an anti-join against the broadcast delete-key set
+    ('collection\\x00url' strings).  ≙ writer.deleteDocuments(pkTerm)
+    (LuceneIndexBean.java:462-488)."""
+    if delete_keys is None or len(delete_keys) == 0:
+        return table, 0
+    keys = _composite_key(
+        table["collection"].combine_chunks(), table[cfg.url_column].combine_chunks()
+    )
+    dead = pc.is_in(keys, value_set=delete_keys)
+    n_dead = pc.sum(pc.cast(dead, pa.int64())).as_py() or 0
+    return table.filter(pc.invert(dead)), int(n_dead)
+
+
+def build_partition_segment(
+    part: pa.Table,
+    p: int,
+    cfg: IndexConfig,
+    generation: int,
+    delete_keys: pa.Array | None = None,
+) -> pa.Table:
+    """Build + persist all collection segments for document partition ``p``.
+
+    Returns MANIFEST_ROW_SCHEMA rows (one per collection present).  Idempotent
+    and resumable: if the final segment dir already holds a meta.json with the
+    same input_digest, the write is skipped and the recorded row returned
+    (lineage-based resume, SURVEY.md §4.2 "Checkpoint / resume").
+    """
+    t0 = time.monotonic()
+    rows_in = part.num_rows
+    part = dedup_latest(part, cfg)
+    rows_deduped = part.num_rows
+    part, rows_deleted = apply_deletes(part, cfg, delete_keys)
+
+    doc_base = p * DOCID_STRIDE
+    out_rows: list[dict] = []
+
+    colls = part["collection"].combine_chunks()
+    # contiguous runs per collection (table is collection-sorted)
+    coll_np = colls.to_numpy(zero_copy_only=False)
+    if part.num_rows == 0:
+        return pa.table({f.name: pa.array([], type=f.type) for f in MANIFEST_ROW_SCHEMA})
+    boundaries = np.flatnonzero(
+        np.concatenate(([True], coll_np[1:] != coll_np[:-1], [True]))
+    )
+    for s, e in zip(boundaries[:-1], boundaries[1:]):
+        coll = str(coll_np[s])
+        seg = part.slice(s, e - s)
+        row = _write_collection_segment(
+            seg, coll, p, int(doc_base + s), cfg, generation, t0,
+            rows_in=rows_in, rows_deduped=rows_deduped, rows_deleted=rows_deleted,
+        )
+        out_rows.append(row)
+    return pa.Table.from_pylist(out_rows, schema=MANIFEST_ROW_SCHEMA)
+
+
+def _write_collection_segment(
+    seg: pa.Table,
+    coll: str,
+    p: int,
+    doc_base: int,
+    cfg: IndexConfig,
+    generation: int,
+    t0: float,
+    **metrics: int,
+) -> dict:
+    n_docs = seg.num_rows
+    keys = _composite_key(seg["collection"].combine_chunks(), seg[cfg.url_column].combine_chunks())
+    digest = _partition_digest(keys, seg["text_sha256"].combine_chunks())
+
+    seg_dir = os.path.join(cfg.index_root, coll, f"gen-{generation}", f"part-{p}")
+    meta_path = os.path.join(seg_dir, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("input_digest") == digest:
+            row = dict(meta["manifest_row"])
+            row["resumed"] = True
+            row["wall_s"] = time.monotonic() - t0
+            return row
+        shutil.rmtree(seg_dir)  # stale partial/old content → rebuild
+
+    # ---- tokenize every analyzed field (A1 partial aggregate inside) ----
+    posting_parts: list[pa.Table] = []
+    dl_cols: dict[str, np.ndarray] = {}
+    sum_dl: dict[str, int] = {}
+    for field in cfg.fields():
+        if field not in seg.column_names:
+            dl_cols[f"dl_{field}"] = np.zeros(n_docs, np.int32)
+            sum_dl[field] = 0
+            continue
+        col = pc.cast(seg[field].combine_chunks(), pa.string())
+        parents, terms, doc_len = tokenize_column(col)
+        dl_cols[f"dl_{field}"] = doc_len
+        sum_dl[field] = int(doc_len.sum())
+        rows, t_terms, tfs = term_frequencies(parents, terms)
+        if len(rows):
+            posting_parts.append(
+                pa.table(
+                    {
+                        "field": pa.array([field] * len(rows), type=pa.string()),
+                        "term": t_terms,
+                        "docid": pa.array(doc_base + rows, type=pa.int64()),
+                        "tf": pa.array(tfs, type=pa.int32()),
+                    }
+                )
+            )
+
+    tmp_dir = os.path.join(
+        cfg.index_root, coll, f"gen-{generation}", f".tmp-part-{p}"
+    )
+    if os.path.exists(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    os.makedirs(tmp_dir)
+
+    # ---- posting construction: local sort by (field, term, docid) (A4) ----
+    n_terms = 0
+    n_postings = 0
+    buf = np.empty(0, np.uint8)
+    if posting_parts:
+        post = pa.concat_tables(posting_parts).sort_by(
+            [("field", "ascending"), ("term", "ascending"), ("docid", "ascending")]
+        )
+        n_postings = post.num_rows
+        fkey = _composite_key(post["field"].combine_chunks(), post["term"].combine_chunks())
+        neq = pc.not_equal(fkey.slice(0, n_postings - 1), fkey.slice(1, n_postings)).to_numpy(
+            zero_copy_only=False
+        ) if n_postings > 1 else np.empty(0, bool)
+        is_start = np.concatenate(([True], neq))
+        starts = np.concatenate(
+            [np.flatnonzero(is_start), [n_postings]]
+        ).astype(np.int64)
+        n_terms = starts.size - 1
+        docids = post["docid"].to_numpy(zero_copy_only=False)
+        tfs = post["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        buf, tmeta, blk_counts = encode_many_postings(
+            starts, docids, tfs, block_size=cfg.block_size
+        )
+        term_idx = starts[:-1]
+        boff = np.concatenate([[0], np.cumsum(blk_counts)]).astype(np.int32)
+
+        def _nest(flat: np.ndarray, typ) -> pa.ListArray:
+            return pa.ListArray.from_arrays(pa.array(boff, type=pa.int32()), pa.array(flat, type=typ))
+
+        terms_table = pa.table(
+            {
+                "field": post["field"].take(pa.array(term_idx)).combine_chunks(),
+                "term": post["term"].take(pa.array(term_idx)).combine_chunks(),
+                "df": pa.array(np.diff(starts), type=pa.int64()),
+                "doff": pa.array(tmeta["doff"], type=pa.int64()),
+                "doff_end": pa.array(tmeta["doff_end"], type=pa.int64()),
+                "toff": pa.array(tmeta["toff"], type=pa.int64()),
+                "toff_end": pa.array(tmeta["toff_end"], type=pa.int64()),
+                "blk_doff": _nest(tmeta["blk_doff"], pa.int64()),
+                "blk_toff": _nest(tmeta["blk_toff"], pa.int64()),
+                "blk_maxdoc": _nest(tmeta["blk_maxdoc"], pa.int64()),
+                "blk_maxtf": _nest(tmeta["blk_maxtf"], pa.int32()),
+            }
+        )
+    else:
+        terms_table = pa.table(
+            {
+                "field": pa.array([], type=pa.string()),
+                "term": pa.array([], type=pa.string()),
+                "df": pa.array([], type=pa.int64()),
+                "doff": pa.array([], type=pa.int64()),
+                "doff_end": pa.array([], type=pa.int64()),
+                "toff": pa.array([], type=pa.int64()),
+                "toff_end": pa.array([], type=pa.int64()),
+                "blk_doff": pa.array([], type=pa.list_(pa.int64())),
+                "blk_toff": pa.array([], type=pa.list_(pa.int64())),
+                "blk_maxdoc": pa.array([], type=pa.list_(pa.int64())),
+                "blk_maxtf": pa.array([], type=pa.list_(pa.int32())),
+            }
+        )
+
+    with open(os.path.join(tmp_dir, "postings.bin"), "wb") as f:
+        f.write(buf.tobytes())
+    pq.write_table(terms_table, os.path.join(tmp_dir, "terms.parquet"))
+
+    docs_cols = {
+        "docid": pa.array(doc_base + np.arange(n_docs, dtype=np.int64), type=pa.int64()),
+        "url": seg[cfg.url_column].combine_chunks(),
+        "text_sha256": seg["text_sha256"].combine_chunks(),
+    }
+    for name, arr in dl_cols.items():
+        docs_cols[name] = pa.array(arr, type=pa.int32())
+    pq.write_table(pa.table(docs_cols), os.path.join(tmp_dir, "docs.parquet"))
+
+    row = {
+        "collection": coll,
+        "partition": p,
+        "generation": generation,
+        "path": seg_dir,
+        "doc_base": doc_base,
+        "n_docs": int(n_docs),
+        "n_terms": int(n_terms),
+        "n_postings": int(n_postings),
+        "bytes_postings": int(buf.size),
+        "sum_dl_json": json.dumps(sum_dl, sort_keys=True),
+        "input_digest": digest,
+        "rows_in": int(metrics.get("rows_in", 0)),
+        "rows_deduped": int(metrics.get("rows_deduped", 0)),
+        "rows_deleted": int(metrics.get("rows_deleted", 0)),
+        "wall_s": time.monotonic() - t0,
+        "resumed": False,
+    }
+    with open(os.path.join(tmp_dir, "meta.json"), "w") as f:
+        json.dump({"input_digest": digest, "manifest_row": row}, f)
+    os.rename(tmp_dir, seg_dir)
+    return row

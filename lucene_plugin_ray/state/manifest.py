@@ -1,0 +1,137 @@
+"""Manifest — the atomic commit point of a build (SURVEY.md §2.10).
+
+≙ the reference's Lucene commit + searcher-generation machinery
+(LuceneIndexBean.java:490-509 commit; update sequence 106,603-606; soft-commit
+policy SearcherUpdateServiceImpl.java:101-127): a build (full or delta)
+publishes ``manifest-<g>.json`` atomically (tmp + rename); queries pin a
+generation.  The (16 docs ∨ 1 s) NRT visibility window becomes "one delta
+generation per incremental batch".
+
+The manifest carries per-partition lineage + metrics (north rule: "per-
+partition lineage + metrics are checkpointed so index builds resume
+mid-shuffle"): each row records the partition's input digest, output path,
+row counts, posting counts, bytes and wall time.  A re-run of the same build
+skips partitions whose digest matches (see stages/segment_write.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_MANIFEST_RE = re.compile(r"^manifest-(\d+)\.json$")
+
+
+@dataclass
+class Manifest:
+    generation: int
+    num_partitions: int
+    fields: list[str]
+    partitions: list[dict]                      # MANIFEST_ROW_SCHEMA rows
+    collections: dict[str, dict]                # coll → {n_docs, sum_dl:{field:int}}
+    tombstone_path: str | None = None           # parquet of (collection,url) killed AT this gen
+    cleared_collections: list[str] = field(default_factory=list)
+    parent_generation: int | None = None
+    extra: dict = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "generation": self.generation,
+            "num_partitions": self.num_partitions,
+            "fields": self.fields,
+            "partitions": self.partitions,
+            "collections": self.collections,
+            "tombstone_path": self.tombstone_path,
+            "cleared_collections": self.cleared_collections,
+            "parent_generation": self.parent_generation,
+            "extra": self.extra,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Manifest":
+        return Manifest(
+            generation=d["generation"],
+            num_partitions=d["num_partitions"],
+            fields=list(d["fields"]),
+            partitions=list(d["partitions"]),
+            collections=dict(d["collections"]),
+            tombstone_path=d.get("tombstone_path"),
+            cleared_collections=list(d.get("cleared_collections", [])),
+            parent_generation=d.get("parent_generation"),
+            extra=dict(d.get("extra", {})),
+        )
+
+
+def aggregate_collections(partitions: list[dict]) -> dict[str, dict]:
+    """Global per-(collection, field) stats = sum over partition segments.
+    Integer sums → exact, order-independent (A3 avgdl = sum_dl / n_docs)."""
+    out: dict[str, dict] = {}
+    for row in partitions:
+        coll = row["collection"]
+        stats = out.setdefault(coll, {"n_docs": 0, "sum_dl": {}})
+        stats["n_docs"] += int(row["n_docs"])
+        for f, s in json.loads(row["sum_dl_json"]).items():
+            stats["sum_dl"][f] = stats["sum_dl"].get(f, 0) + int(s)
+    return out
+
+
+def write_manifest(index_root: str, manifest: Manifest) -> str:
+    os.makedirs(index_root, exist_ok=True)
+    path = os.path.join(index_root, f"manifest-{manifest.generation}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest.to_json(), f, indent=1)
+    os.rename(tmp, path)  # atomic commit (≙ Lucene commit point)
+    return path
+
+
+def write_tombstones(index_root: str, generation: int, keys: pa.Table) -> str:
+    """Persist (collection, url) tombstones for generation ``generation``."""
+    d = os.path.join(index_root, "tombstones")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"gen-{generation}.parquet")
+    tmp = path + ".tmp"
+    pq.write_table(keys, tmp)
+    os.rename(tmp, path)
+    return path
+
+
+def load_tombstones(path: str | None) -> pa.Table | None:
+    if not path or not os.path.exists(path):
+        return None
+    return pq.read_table(path)
+
+
+def list_generations(index_root: str) -> list[int]:
+    if not os.path.isdir(index_root):
+        return []
+    gens = []
+    for name in os.listdir(index_root):
+        m = _MANIFEST_RE.match(name)
+        if m:
+            gens.append(int(m.group(1)))
+    return sorted(gens)
+
+
+def load_manifest(index_root: str, generation: int | None = None) -> Manifest:
+    gens = list_generations(index_root)
+    if not gens:
+        raise FileNotFoundError(f"no manifest under {index_root}")
+    g = generation if generation is not None else gens[-1]
+    with open(os.path.join(index_root, f"manifest-{g}.json")) as f:
+        return Manifest.from_json(json.load(f))
+
+
+def load_manifest_chain(index_root: str, generation: int | None = None) -> list[Manifest]:
+    """All manifests up to and including ``generation`` (ascending).  Queries
+    evaluate the chain: newer tombstones/clears mask older segments."""
+    gens = list_generations(index_root)
+    if not gens:
+        raise FileNotFoundError(f"no manifest under {index_root}")
+    g = generation if generation is not None else gens[-1]
+    return [load_manifest(index_root, x) for x in gens if x <= g]

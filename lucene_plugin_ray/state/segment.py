@@ -1,0 +1,120 @@
+"""Segment reader — the query-side state (SURVEY.md §2.3 T2/T5).
+
+≙ the reference's SearcherManager + leased IndexSearcher + docid→extId cache
+(LuceneIndexBean.java:620-637, 789-790; LuceneReaderImpl.java:90-98): a
+SegmentReader memory-maps one collection-partition segment once (per query
+actor) and serves term lookups / posting decodes from it.  docid→url is an
+O(1) array take against docs.parquet — the reference's 8192-entry LRU (T5) is
+unnecessary in columnar form.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from lucene_plugin_ray.functions.codec import decode_region
+
+
+class SegmentReader:
+    """Read-only view of one segment directory (immutable once renamed)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)["manifest_row"]
+        self.collection: str = meta["collection"]
+        self.partition: int = meta["partition"]
+        self.generation: int = meta["generation"]
+        self.doc_base: int = meta["doc_base"]
+        self.n_docs: int = meta["n_docs"]
+        self.sum_dl: dict[str, int] = json.loads(meta["sum_dl_json"])
+
+        t = pq.read_table(os.path.join(path, "terms.parquet"))
+        self._fields = t["field"].to_numpy(zero_copy_only=False)
+        self._terms = t["term"].to_numpy(zero_copy_only=False)
+        self._df = t["df"].to_numpy(zero_copy_only=False)
+        self._doff = t["doff"].to_numpy(zero_copy_only=False)
+        self._doff_end = t["doff_end"].to_numpy(zero_copy_only=False)
+        self._toff = t["toff"].to_numpy(zero_copy_only=False)
+        self._toff_end = t["toff_end"].to_numpy(zero_copy_only=False)
+        self._blk = {
+            name: t[name].combine_chunks() for name in
+            ("blk_doff", "blk_toff", "blk_maxdoc", "blk_maxtf")
+        }
+        # field → [start, end) row range in the term dictionary (sorted by
+        # (field, term); term order is UTF-8 byte order == codepoint order)
+        self._field_ranges: dict[str, tuple[int, int]] = {}
+        if len(self._fields):
+            change = np.flatnonzero(
+                np.concatenate(([True], self._fields[1:] != self._fields[:-1]))
+            )
+            bounds = np.concatenate([change, [len(self._fields)]])
+            for i, s in enumerate(change):
+                self._field_ranges[str(self._fields[s])] = (int(s), int(bounds[i + 1]))
+
+        d = pq.read_table(os.path.join(path, "docs.parquet"))
+        self.urls = d["url"].to_numpy(zero_copy_only=False)
+        self.text_sha256 = d["text_sha256"].to_numpy(zero_copy_only=False)
+        self.doc_len: dict[str, np.ndarray] = {}
+        for name in d.column_names:
+            if name.startswith("dl_"):
+                self.doc_len[name[3:]] = d[name].to_numpy(zero_copy_only=False)
+
+        pfile = os.path.join(path, "postings.bin")
+        size = os.path.getsize(pfile)
+        self.buf = (
+            np.memmap(pfile, dtype=np.uint8, mode="r") if size else np.empty(0, np.uint8)
+        )
+
+    # ---- term dictionary -------------------------------------------------
+    def lookup(self, field: str, term: str) -> int:
+        """Row index of (field, term) in the dictionary, or -1."""
+        rng = self._field_ranges.get(field)
+        if rng is None:
+            return -1
+        s, e = rng
+        i = s + int(np.searchsorted(self._terms[s:e], term))
+        if i < e and self._terms[i] == term:
+            return i
+        return -1
+
+    def term_range(self, field: str, lo: str, hi: str) -> np.ndarray:
+        """Dictionary rows with lo <= term <= hi (Q3 string range — a
+        term-sorted dictionary scan, SURVEY.md §7.4)."""
+        rng = self._field_ranges.get(field)
+        if rng is None:
+            return np.empty(0, np.int64)
+        s, e = rng
+        a = s + int(np.searchsorted(self._terms[s:e], lo, side="left"))
+        b = s + int(np.searchsorted(self._terms[s:e], hi, side="right"))
+        return np.arange(a, b, dtype=np.int64)
+
+    def df(self, row: int) -> int:
+        return int(self._df[row])
+
+    # ---- postings --------------------------------------------------------
+    def postings(self, row: int) -> tuple[np.ndarray, np.ndarray]:
+        """Decode the full posting list of dictionary row → (docids, tfs).
+        Docids are ABSOLUTE (doc_base + local)."""
+        return decode_region(
+            self.buf,
+            int(self._doff[row]),
+            int(self._doff_end[row]),
+            int(self._toff[row]),
+            int(self._toff_end[row]),
+            int(self._df[row]),
+        )
+
+    def block_meta(self, row: int) -> dict[str, np.ndarray]:
+        """Per-block arrays for block-max WAND (J2)."""
+        return {
+            name: self._blk[name][row].values.to_numpy(zero_copy_only=False)
+            for name in self._blk
+        }
+
+    def local_ids(self, docids: np.ndarray) -> np.ndarray:
+        return docids - self.doc_base
