@@ -1,0 +1,96 @@
+"""Property/metamorphic tests (SURVEY.md §5.2 layer 4): the determinism
+contract — engine output is a pure function of (corpus content, config)."""
+
+import os
+import shutil
+
+import pyarrow as pa
+import pytest
+
+from lucene_plugin_ray.config import IndexConfig
+from lucene_plugin_ray.pipelines.fixtures import make_pages
+
+
+QUERIES = ["w00000", "pagehit", "w00010 w00100", "dupmarker0", "Firstword1"]
+
+
+def _build(corpus, root, num_partitions=4):
+    from lucene_plugin_ray.pipelines.build import build_index
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+
+    cfg = IndexConfig(index_root=root, num_partitions=num_partitions)
+    build_index(corpus, cfg)
+    return SearchEngine(root, cfg=cfg)
+
+
+def _results(engine):
+    out = {}
+    for q in QUERIES:
+        t = engine.search(q, limit=50)
+        out[q] = list(zip(t["url"].to_pylist(), t["score"].to_pylist(), t["docid"].to_pylist()))
+    return out
+
+
+def test_input_order_independence(ray_session, tmp_path):
+    """engine(corpus) == engine(shuffled corpus) — docids, scores and all."""
+    corpus = make_pages(250, seed=47)
+    perm = pa.array(list(reversed(range(corpus.num_rows))))
+    shuffled = corpus.take(perm)
+    e1 = _build(corpus, str(tmp_path / "a"))
+    e2 = _build(shuffled, str(tmp_path / "b"))
+    assert _results(e1) == _results(e2)
+
+
+def test_segment_files_byte_identical_across_runs(ray_session, tmp_path):
+    """Two builds of the same corpus produce byte-identical segments
+    (idempotent, content-addressed outputs — SURVEY.md §4.2 retries)."""
+    corpus = make_pages(150, seed=48)
+    _build(corpus, str(tmp_path / "a"))
+    _build(corpus.take(pa.array(list(reversed(range(corpus.num_rows))))), str(tmp_path / "b"))
+    for dirpath, _, files in os.walk(tmp_path / "a"):
+        for f in files:
+            if not (f.endswith(".bin") or f.endswith(".parquet")):
+                continue
+            a = os.path.join(dirpath, f)
+            b = a.replace(str(tmp_path / "a"), str(tmp_path / "b"))
+            with open(a, "rb") as fa, open(b, "rb") as fb:
+                assert fa.read() == fb.read(), a
+
+
+def test_resume_after_partial_failure(ray_session, tmp_path):
+    """Kill-and-rerun: completed partitions are skipped via the lineage
+    digest; the rebuilt index is identical (north rule: resumable
+    mid-shuffle with per-partition lineage)."""
+    from lucene_plugin_ray.pipelines.build import build_index
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+
+    corpus = make_pages(200, seed=49)
+    root = str(tmp_path / "idx")
+    cfg = IndexConfig(index_root=root, num_partitions=4)
+    m1 = build_index(corpus, cfg)
+    baseline = _results(SearchEngine(root, cfg=cfg))
+
+    # simulate a crash after some partitions completed but before commit:
+    # remove the manifest and one partition's segment dir
+    os.remove(os.path.join(root, "manifest-0.json"))
+    victim = m1.partitions[0]["path"]
+    shutil.rmtree(victim)
+
+    m2 = build_index(corpus, cfg)  # rerun — no manifest, so not a "rebuild"
+    resumed = [r for r in m2.partitions if r["resumed"]]
+    rebuilt = [r for r in m2.partitions if not r["resumed"]]
+    assert len(rebuilt) >= 1 and len(resumed) >= 1
+    assert _results(SearchEngine(root, cfg=cfg)) == baseline
+
+
+def test_stats_exact_integer_aggregates(ray_session, tmp_path):
+    """avgdl/N from the manifest equal the oracle's exact values."""
+    from lucene_plugin_ray.pipelines.oracle import OracleIndex
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+
+    corpus = make_pages(150, seed=50)
+    engine = _build(corpus, str(tmp_path / "s"))
+    oracle = OracleIndex(corpus, IndexConfig(index_root="unused"))
+    n, avgdl = engine._stats("default")
+    assert n == oracle.n_docs["default"]
+    assert abs(avgdl["text"] - oracle._avgdl("text", "default")) < 1e-12
