@@ -36,6 +36,7 @@ from lucene_plugin_ray.state.manifest import (
     aggregate_collections,
     list_generations,
     load_manifest,
+    load_manifest_chain,
     write_manifest,
     write_tombstones,
 )
@@ -66,7 +67,13 @@ def _run_build(
     cfg: IndexConfig,
     generation: int,
     deletes: pa.Table | None,
+    prior_spec: dict | None = None,
 ) -> list[dict]:
+    """The build DAG.  ``prior_spec`` (delta builds only) maps partition →
+    list of existing live segment paths plus the tombstone chain; workers
+    resolve the live prior keys PARTITION-LOCALLY (state/segment.py
+    live_prior_table) for the cross-generation last-write-wins join — the
+    driver never materializes index keys."""
     ds = ds.map_batches(
         ValidateAndPartition(cfg),
         batch_format="pyarrow",
@@ -75,15 +82,56 @@ def _run_build(
     )
     delete_keys = _delete_key_array(deletes)
     delete_ref = ray.put(delete_keys) if delete_keys is not None else None
+    prior_ref = ray.put(prior_spec) if prior_spec is not None else None
 
     def _build_group(group: pa.Table) -> pa.Table:
+        from lucene_plugin_ray.state.segment import live_prior_table
+
         p = int(group["_p"][0].as_py())
         dk = ray.get(delete_ref) if delete_ref is not None else None
-        return build_partition_segment(group, p, cfg, generation, delete_keys=dk)
+        prior = None
+        if prior_ref is not None:
+            spec = ray.get(prior_ref)
+            paths = spec["groups"].get(p, [])
+            if paths:
+                tomb = [
+                    (g, {c: set(u) for c, u in d.items()})
+                    for g, d in spec["tombstones"]
+                ]
+                prior = live_prior_table(paths, tomb)
+        return build_partition_segment(
+            group, p, cfg, generation, delete_keys=dk, prior=prior
+        )
 
     rows_ds = ds.groupby("_p").map_groups(_build_group, batch_format="pyarrow")
     # P × #collections small manifest rows — safe to materialize on the driver
     return [r for r in rows_ds.take_all()]
+
+
+def _prior_spec_from_chain(chain) -> dict:
+    """Serializable description of the live index for delta workers:
+    partition → segment paths (cleared collections excluded) + delete
+    tombstone chain."""
+    from lucene_plugin_ray.state.manifest import load_tombstones
+
+    cleared_at: dict[str, int] = {}
+    tombstones: list[tuple[int, dict[str, list[str]]]] = []
+    for m in chain:
+        t = load_tombstones(m.tombstone_path)
+        if t is not None and t.num_rows:
+            by_coll: dict[str, list[str]] = {}
+            for c, u in zip(t["collection"].to_pylist(), t["url"].to_pylist()):
+                by_coll.setdefault(c, []).append(u)
+            tombstones.append((m.generation, by_coll))
+        for c in m.cleared_collections:
+            cleared_at[c] = m.generation
+    groups: dict[int, list[str]] = {}
+    for m in chain:
+        for row in m.partitions:
+            if cleared_at.get(row["collection"], -1) > row["generation"]:
+                continue
+            groups.setdefault(int(row["partition"]), []).append(row["path"])
+    return {"groups": groups, "tombstones": tombstones}
 
 
 def build_index(
@@ -119,36 +167,32 @@ def build_delta(
     cfg: IndexConfig,
     deletes: pa.Table | None = None,
 ) -> Manifest:
-    """Incremental build: new generation of delta segments + tombstones.
+    """Incremental build: a new generation of delta segments.
 
-    Tombstones = every (collection, url) key present in the delta (upsert:
-    the delta version supersedes all older generations) plus explicit
-    ``deletes``.  Explicit deletes also anti-join the delta itself.
+    Cross-generation upsert is implicit and exact: delta rows that are STALER
+    than the live indexed version (max (warc_ts, sha)) are dropped during the
+    partition-local segment build, so a key in a newer generation always
+    shadows older copies (query-side resolve_live_partition).  No upsert
+    tombstone files are needed; explicit ``deletes`` become a tombstone file
+    and also anti-join the delta itself.  (≙ the reference's soft-commit
+    window: one delta generation per incremental batch, SURVEY.md §2.10.)
     """
-    prev = load_manifest(cfg.index_root)
-    gen = prev.generation + 1
+    chain = load_manifest_chain(cfg.index_root)
+    gen = chain[-1].generation + 1
 
-    ds = _as_dataset(corpus)
-    rows = _run_build(ds, cfg, generation=gen, deletes=deletes)
-
-    # tombstone keys: distinct delta keys (+ explicit deletes)
-    norm = ds.map_batches(
-        ValidateAndPartition(cfg), batch_format="pyarrow", zero_copy_batch=True
+    prior_spec = _prior_spec_from_chain(chain)
+    rows = _run_build(
+        _as_dataset(corpus), cfg, generation=gen, deletes=deletes,
+        prior_spec=prior_spec,
     )
-    key_rows = norm.select_columns(["collection", cfg.url_column]).take_all()
-    seen = {(r["collection"], r[cfg.url_column]) for r in key_rows}
-    if deletes is not None:
+
+    tomb_path = None
+    if deletes is not None and deletes.num_rows:
         from lucene_plugin_ray.stages.validate import sanitize_collection_column
 
         coll = sanitize_collection_column(deletes["collection"].combine_chunks())
-        seen.update(zip(coll.to_pylist(), deletes["url"].to_pylist()))
-    tomb = pa.table(
-        {
-            "collection": pa.array([c for c, _ in sorted(seen)], type=pa.string()),
-            "url": pa.array([u for _, u in sorted(seen)], type=pa.string()),
-        }
-    )
-    tomb_path = write_tombstones(cfg.index_root, gen, tomb)
+        tomb = pa.table({"collection": coll, "url": deletes["url"].combine_chunks()})
+        tomb_path = write_tombstones(cfg.index_root, gen, tomb)
 
     manifest = Manifest(
         generation=gen,
@@ -157,7 +201,7 @@ def build_delta(
         partitions=rows,
         collections=aggregate_collections(rows),
         tombstone_path=tomb_path,
-        parent_generation=prev.generation,
+        parent_generation=chain[-1].generation,
     )
     write_manifest(cfg.index_root, manifest)
     return manifest
@@ -181,6 +225,84 @@ def delete_docs(cfg: IndexConfig, deletes: pa.Table) -> Manifest:
         collections={},
         tombstone_path=tomb_path,
         parent_generation=prev.generation,
+    )
+    write_manifest(cfg.index_root, manifest)
+    return manifest
+
+
+def compact_index(cfg: IndexConfig) -> Manifest:
+    """K3 generation compaction: merge every (collection, partition)'s
+    segments across the live chain into one segment of a new generation and
+    mark the manifest ``compacted`` (older generations become dead weight on
+    disk, ignored by readers — ≙ Lucene background merges,
+    LuceneIndexBean.java:671-686).
+
+    Runs as an actor-pool merge stage over a dataset of merge tasks; each
+    task is partition-local (SURVEY.md §7.2 "k-way merge — actor pool").
+    """
+    import numpy as np
+
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+    from lucene_plugin_ray.stages.merge import merge_segments_for_partition
+    from lucene_plugin_ray.stages.segment_write import MANIFEST_ROW_SCHEMA
+
+    chain = load_manifest_chain(cfg.index_root)
+    eng = SearchEngine(cfg.index_root, cfg=cfg)
+    gen = chain[-1].generation + 1
+
+    tasks = []
+    for coll, segs in eng._segments.items():
+        by_p: dict[int, list] = {}
+        for ls in segs:
+            by_p.setdefault(ls.reader.partition, []).append(ls)
+        for p, group in by_p.items():
+            group.sort(key=lambda ls: ls.reader.generation)
+            tasks.append(
+                {
+                    "collection": coll,
+                    "partition": p,
+                    "paths": [ls.reader.path for ls in group],
+                    "masks": [ls.alive.tolist() for ls in group],
+                }
+            )
+
+    class MergeWorker:
+        """Actor-pool merge stage (holds cfg; one merge task per batch row)."""
+
+        def __init__(self, cfg: IndexConfig, gen: int):
+            self.cfg, self.gen = cfg, gen
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = []
+            for row in batch.to_pylist():
+                masks = [np.array(m, dtype=bool) for m in row["masks"]]
+                out.append(
+                    merge_segments_for_partition(
+                        row["paths"], masks, row["collection"],
+                        int(row["partition"]), self.cfg, self.gen,
+                    )
+                )
+            return pa.Table.from_pylist(out, schema=MANIFEST_ROW_SCHEMA)
+
+    rows = (
+        ray.data.from_items(tasks)
+        .map_batches(
+            MergeWorker,
+            fn_constructor_args=(cfg, gen),
+            batch_size=1,
+            batch_format="pyarrow",
+            concurrency=min(len(tasks), cfg.merge_fanin),
+        )
+        .take_all()
+    )
+    manifest = Manifest(
+        generation=gen,
+        num_partitions=cfg.num_partitions,
+        fields=list(cfg.fields()),
+        partitions=rows,
+        collections=aggregate_collections(rows),
+        parent_generation=chain[-1].generation,
+        extra={"compacted": True, "merged_generations": [m.generation for m in chain]},
     )
     write_manifest(cfg.index_root, manifest)
     return manifest

@@ -85,37 +85,42 @@ class SearchEngine:
         self._results_cache: OrderedDict = OrderedDict()
 
         # ---- resolve live segments per collection under the chain ----
-        # tombstones at gen h kill (collection,url) keys in segments of gen<h;
-        # cleared collection at gen h kills its segments of gen<h (D2/D3).
+        # Three masking mechanisms (D1/D2/D3), all evaluated per
+        # (collection, partition) group — partitioning is stable across
+        # generations, so upsert shadowing is partition-local:
+        #  * upsert (D1): a key present in a NEWER generation's segment of the
+        #    same (collection, partition) kills older copies (delta builds
+        #    drop stale rows, so newer generation == newer warc_ts);
+        #  * explicit delete tombstones at gen h kill keys in segments of
+        #    gen < h (D2);
+        #  * a cleared collection at gen h kills its segments of gen < h (D3).
         self._segments: dict[str, list[_LiveSegment]] = {}
-        tomb_by_gen: list[tuple[int, set[tuple[str, str]]]] = []
+        tomb_by_gen: list[tuple[int, dict[str, set[str]]]] = []
         cleared_at: dict[str, int] = {}
         for m in self.chain:
             t = load_tombstones(m.tombstone_path)
             if t is not None and t.num_rows:
-                keys = set(
-                    zip(t["collection"].to_pylist(), t["url"].to_pylist())
-                )
-                tomb_by_gen.append((m.generation, keys))
+                by_coll: dict[str, set[str]] = {}
+                for c, u in zip(t["collection"].to_pylist(), t["url"].to_pylist()):
+                    by_coll.setdefault(c, set()).add(u)
+                tomb_by_gen.append((m.generation, by_coll))
             for c in m.cleared_collections:
                 cleared_at[c] = m.generation
 
+        groups: dict[tuple[str, int], list[SegmentReader]] = {}
         for m in self.chain:
             for row in m.partitions:
                 coll, g = row["collection"], row["generation"]
                 if cleared_at.get(coll, -1) > g:
                     continue
-                reader = SegmentReader(row["path"])
-                alive = np.ones(reader.n_docs, dtype=bool)
-                for h, keys in tomb_by_gen:
-                    if h <= g or not keys:
-                        continue
-                    dead_urls = {u for (c, u) in keys if c == coll}
-                    if dead_urls:
-                        alive &= ~np.isin(reader.urls, list(dead_urls))
-                self._segments.setdefault(coll, []).append(
-                    _LiveSegment(reader, alive)
+                groups.setdefault((coll, row["partition"]), []).append(
+                    SegmentReader(row["path"])
                 )
+        from lucene_plugin_ray.state.segment import resolve_live_partition
+
+        for (coll, p), readers in groups.items():
+            for r, alive in resolve_live_partition(readers, tomb_by_gen):
+                self._segments.setdefault(coll, []).append(_LiveSegment(r, alive))
 
     # ------------------------------------------------------------------
     def collections(self) -> list[str]:

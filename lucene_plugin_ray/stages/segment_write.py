@@ -125,12 +125,41 @@ def apply_deletes(table: pa.Table, cfg: IndexConfig, delete_keys: pa.Array | Non
     return table.filter(pc.invert(dead)), int(n_dead)
 
 
+def drop_stale_vs_prior(
+    part: pa.Table, cfg: IndexConfig, prior: "pa.Table | None"
+) -> pa.Table:
+    """Last-write-wins ACROSS generations: drop delta rows whose
+    (warc_ts, text_sha256) does not beat the live prior version of the same
+    (collection, url) key (SURVEY.md §2.10 "late rows with older warc_ts lose
+    the max-aggregate").  ``prior`` columns: key, warc_ts (int64 us),
+    text_sha256 — the live docs of THIS partition from older generations
+    (partition-local: partitioning is stable across generations, so no
+    shuffle is needed for this join)."""
+    if prior is None or prior.num_rows == 0 or part.num_rows == 0:
+        return part
+    import pandas as pd
+
+    keys = _composite_key(
+        part["collection"].combine_chunks(), part[cfg.url_column].combine_chunks()
+    ).to_pandas()
+    pr = prior.to_pandas().set_index("key")
+    m = keys.map(pr["warc_ts"])
+    ts = pc.cast(part[cfg.ts_column].combine_chunks(), pa.int64()).to_pandas()
+    sha = part["text_sha256"].to_pandas()
+    prior_sha = keys.map(pr["text_sha256"])
+    newer = m.isna() | (ts > m) | ((ts == m) & (sha > prior_sha))
+    if bool(newer.all()):
+        return part
+    return part.filter(pa.array(newer.to_numpy()))
+
+
 def build_partition_segment(
     part: pa.Table,
     p: int,
     cfg: IndexConfig,
     generation: int,
     delete_keys: pa.Array | None = None,
+    prior: "pa.Table | None" = None,
 ) -> pa.Table:
     """Build + persist all collection segments for document partition ``p``.
 
@@ -144,6 +173,7 @@ def build_partition_segment(
     part = dedup_latest(part, cfg)
     rows_deduped = part.num_rows
     part, rows_deleted = apply_deletes(part, cfg, delete_keys)
+    part = drop_stale_vs_prior(part, cfg, prior)
 
     doc_base = p * DOCID_STRIDE
     out_rows: list[dict] = []
@@ -167,19 +197,45 @@ def build_partition_segment(
     return pa.Table.from_pylist(out_rows, schema=MANIFEST_ROW_SCHEMA)
 
 
-def _write_collection_segment(
-    seg: pa.Table,
+def _empty_terms_table() -> pa.Table:
+    return pa.table(
+        {
+            "field": pa.array([], type=pa.string()),
+            "term": pa.array([], type=pa.string()),
+            "df": pa.array([], type=pa.int64()),
+            "doff": pa.array([], type=pa.int64()),
+            "doff_end": pa.array([], type=pa.int64()),
+            "toff": pa.array([], type=pa.int64()),
+            "toff_end": pa.array([], type=pa.int64()),
+            "blk_doff": pa.array([], type=pa.list_(pa.int64())),
+            "blk_toff": pa.array([], type=pa.list_(pa.int64())),
+            "blk_maxdoc": pa.array([], type=pa.list_(pa.int64())),
+            "blk_maxtf": pa.array([], type=pa.list_(pa.int32())),
+        }
+    )
+
+
+def encode_and_write_segment(
     coll: str,
     p: int,
     doc_base: int,
     cfg: IndexConfig,
     generation: int,
+    urls: pa.Array,
+    shas: pa.Array,
+    ts_us: pa.Array,
+    dl_arrays: dict[str, np.ndarray],
+    post_table: pa.Table | None,
     t0: float,
     **metrics: int,
 ) -> dict:
-    n_docs = seg.num_rows
-    keys = _composite_key(seg["collection"].combine_chunks(), seg[cfg.url_column].combine_chunks())
-    digest = _partition_digest(keys, seg["text_sha256"].combine_chunks())
+    """Shared segment-file writer: encode a (field, term, docid, tf) posting
+    table + doc arrays into an atomic, content-addressed segment directory.
+    Used by both the build path (tokenized input) and the merge path (K3,
+    remapped decoded postings)."""
+    n_docs = len(urls)
+    keys = _composite_key(pa.array([coll] * n_docs, type=pa.string()), urls)
+    digest = _partition_digest(keys, shas)
 
     seg_dir = os.path.join(cfg.index_root, coll, f"gen-{generation}", f"part-{p}")
     meta_path = os.path.join(seg_dir, "meta.json")
@@ -193,35 +249,7 @@ def _write_collection_segment(
             return row
         shutil.rmtree(seg_dir)  # stale partial/old content → rebuild
 
-    # ---- tokenize every analyzed field (A1 partial aggregate inside) ----
-    posting_parts: list[pa.Table] = []
-    dl_cols: dict[str, np.ndarray] = {}
-    sum_dl: dict[str, int] = {}
-    for field in cfg.fields():
-        if field not in seg.column_names:
-            dl_cols[f"dl_{field}"] = np.zeros(n_docs, np.int32)
-            sum_dl[field] = 0
-            continue
-        col = pc.cast(seg[field].combine_chunks(), pa.string())
-        parents, terms, doc_len = tokenize_column(col)
-        dl_cols[f"dl_{field}"] = doc_len
-        sum_dl[field] = int(doc_len.sum())
-        rows, t_terms, tfs = term_frequencies(parents, terms)
-        if len(rows):
-            posting_parts.append(
-                pa.table(
-                    {
-                        "field": pa.array([field] * len(rows), type=pa.string()),
-                        "term": t_terms,
-                        "docid": pa.array(doc_base + rows, type=pa.int64()),
-                        "tf": pa.array(tfs, type=pa.int32()),
-                    }
-                )
-            )
-
-    tmp_dir = os.path.join(
-        cfg.index_root, coll, f"gen-{generation}", f".tmp-part-{p}"
-    )
+    tmp_dir = os.path.join(cfg.index_root, coll, f"gen-{generation}", f".tmp-part-{p}")
     if os.path.exists(tmp_dir):
         shutil.rmtree(tmp_dir)
     os.makedirs(tmp_dir)
@@ -230,19 +258,21 @@ def _write_collection_segment(
     n_terms = 0
     n_postings = 0
     buf = np.empty(0, np.uint8)
-    if posting_parts:
-        post = pa.concat_tables(posting_parts).sort_by(
+    if post_table is not None and post_table.num_rows:
+        post = post_table.sort_by(
             [("field", "ascending"), ("term", "ascending"), ("docid", "ascending")]
         )
         n_postings = post.num_rows
         fkey = _composite_key(post["field"].combine_chunks(), post["term"].combine_chunks())
-        neq = pc.not_equal(fkey.slice(0, n_postings - 1), fkey.slice(1, n_postings)).to_numpy(
-            zero_copy_only=False
-        ) if n_postings > 1 else np.empty(0, bool)
+        neq = (
+            pc.not_equal(fkey.slice(0, n_postings - 1), fkey.slice(1, n_postings)).to_numpy(
+                zero_copy_only=False
+            )
+            if n_postings > 1
+            else np.empty(0, bool)
+        )
         is_start = np.concatenate(([True], neq))
-        starts = np.concatenate(
-            [np.flatnonzero(is_start), [n_postings]]
-        ).astype(np.int64)
+        starts = np.concatenate([np.flatnonzero(is_start), [n_postings]]).astype(np.int64)
         n_terms = starts.size - 1
         docids = post["docid"].to_numpy(zero_copy_only=False)
         tfs = post["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -253,7 +283,9 @@ def _write_collection_segment(
         boff = np.concatenate([[0], np.cumsum(blk_counts)]).astype(np.int32)
 
         def _nest(flat: np.ndarray, typ) -> pa.ListArray:
-            return pa.ListArray.from_arrays(pa.array(boff, type=pa.int32()), pa.array(flat, type=typ))
+            return pa.ListArray.from_arrays(
+                pa.array(boff, type=pa.int32()), pa.array(flat, type=typ)
+            )
 
         terms_table = pa.table(
             {
@@ -271,21 +303,7 @@ def _write_collection_segment(
             }
         )
     else:
-        terms_table = pa.table(
-            {
-                "field": pa.array([], type=pa.string()),
-                "term": pa.array([], type=pa.string()),
-                "df": pa.array([], type=pa.int64()),
-                "doff": pa.array([], type=pa.int64()),
-                "doff_end": pa.array([], type=pa.int64()),
-                "toff": pa.array([], type=pa.int64()),
-                "toff_end": pa.array([], type=pa.int64()),
-                "blk_doff": pa.array([], type=pa.list_(pa.int64())),
-                "blk_toff": pa.array([], type=pa.list_(pa.int64())),
-                "blk_maxdoc": pa.array([], type=pa.list_(pa.int64())),
-                "blk_maxtf": pa.array([], type=pa.list_(pa.int32())),
-            }
-        )
+        terms_table = _empty_terms_table()
 
     with open(os.path.join(tmp_dir, "postings.bin"), "wb") as f:
         f.write(buf.tobytes())
@@ -293,11 +311,14 @@ def _write_collection_segment(
 
     docs_cols = {
         "docid": pa.array(doc_base + np.arange(n_docs, dtype=np.int64), type=pa.int64()),
-        "url": seg[cfg.url_column].combine_chunks(),
-        "text_sha256": seg["text_sha256"].combine_chunks(),
+        "url": urls,
+        "text_sha256": shas,
+        "warc_ts": pc.cast(ts_us, pa.int64()),
     }
-    for name, arr in dl_cols.items():
-        docs_cols[name] = pa.array(arr, type=pa.int32())
+    sum_dl: dict[str, int] = {}
+    for name, arr in dl_arrays.items():
+        docs_cols[f"dl_{name}"] = pa.array(arr, type=pa.int32())
+        sum_dl[name] = int(arr.sum()) if len(arr) else 0
     pq.write_table(pa.table(docs_cols), os.path.join(tmp_dir, "docs.parquet"))
 
     row = {
@@ -312,8 +333,8 @@ def _write_collection_segment(
         "bytes_postings": int(buf.size),
         "sum_dl_json": json.dumps(sum_dl, sort_keys=True),
         "input_digest": digest,
-        "rows_in": int(metrics.get("rows_in", 0)),
-        "rows_deduped": int(metrics.get("rows_deduped", 0)),
+        "rows_in": int(metrics.get("rows_in", n_docs)),
+        "rows_deduped": int(metrics.get("rows_deduped", n_docs)),
         "rows_deleted": int(metrics.get("rows_deleted", 0)),
         "wall_s": time.monotonic() - t0,
         "resumed": False,
@@ -322,3 +343,54 @@ def _write_collection_segment(
         json.dump({"input_digest": digest, "manifest_row": row}, f)
     os.rename(tmp_dir, seg_dir)
     return row
+
+
+def _write_collection_segment(
+    seg: pa.Table,
+    coll: str,
+    p: int,
+    doc_base: int,
+    cfg: IndexConfig,
+    generation: int,
+    t0: float,
+    **metrics: int,
+) -> dict:
+    """Build path: tokenize every analyzed field of one collection run, then
+    hand the posting rows to the shared writer."""
+    n_docs = seg.num_rows
+    posting_parts: list[pa.Table] = []
+    dl_arrays: dict[str, np.ndarray] = {}
+    for field in cfg.fields():
+        if field not in seg.column_names:
+            dl_arrays[field] = np.zeros(n_docs, np.int32)
+            continue
+        col = pc.cast(seg[field].combine_chunks(), pa.string())
+        parents, terms, doc_len = tokenize_column(col)
+        dl_arrays[field] = doc_len
+        rows, t_terms, tfs = term_frequencies(parents, terms)
+        if len(rows):
+            posting_parts.append(
+                pa.table(
+                    {
+                        "field": pa.array([field] * len(rows), type=pa.string()),
+                        "term": t_terms,
+                        "docid": pa.array(doc_base + rows, type=pa.int64()),
+                        "tf": pa.array(tfs, type=pa.int32()),
+                    }
+                )
+            )
+    post_table = pa.concat_tables(posting_parts) if posting_parts else None
+    return encode_and_write_segment(
+        coll,
+        p,
+        doc_base,
+        cfg,
+        generation,
+        seg[cfg.url_column].combine_chunks(),
+        seg["text_sha256"].combine_chunks(),
+        pc.cast(seg[cfg.ts_column].combine_chunks(), pa.int64()),
+        dl_arrays,
+        post_table,
+        t0,
+        **metrics,
+    )

@@ -129,9 +129,15 @@ def load_manifest(index_root: str, generation: int | None = None) -> Manifest:
 
 def load_manifest_chain(index_root: str, generation: int | None = None) -> list[Manifest]:
     """All manifests up to and including ``generation`` (ascending).  Queries
-    evaluate the chain: newer tombstones/clears mask older segments."""
+    evaluate the chain: newer tombstones/clears mask older segments.  A
+    manifest marked ``compacted`` (written by compact_index, K3) subsumes all
+    older generations — the chain starts there."""
     gens = list_generations(index_root)
     if not gens:
         raise FileNotFoundError(f"no manifest under {index_root}")
     g = generation if generation is not None else gens[-1]
-    return [load_manifest(index_root, x) for x in gens if x <= g]
+    chain = [load_manifest(index_root, x) for x in gens if x <= g]
+    for i in range(len(chain) - 1, -1, -1):
+        if chain[i].extra.get("compacted"):
+            return chain[i:]
+    return chain

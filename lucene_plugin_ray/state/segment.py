@@ -59,6 +59,11 @@ class SegmentReader:
         d = pq.read_table(os.path.join(path, "docs.parquet"))
         self.urls = d["url"].to_numpy(zero_copy_only=False)
         self.text_sha256 = d["text_sha256"].to_numpy(zero_copy_only=False)
+        self.warc_ts = (
+            d["warc_ts"].to_numpy(zero_copy_only=False)
+            if "warc_ts" in d.column_names
+            else np.zeros(self.n_docs, np.int64)
+        )
         self.doc_len: dict[str, np.ndarray] = {}
         for name in d.column_names:
             if name.startswith("dl_"):
@@ -118,3 +123,70 @@ class SegmentReader:
 
     def local_ids(self, docids: np.ndarray) -> np.ndarray:
         return docids - self.doc_base
+
+
+def resolve_live_partition(
+    readers: list[SegmentReader],
+    tomb_by_gen: list[tuple[int, dict[str, set[str]]]],
+) -> list[tuple[SegmentReader, np.ndarray]]:
+    """Alive masks for one (collection, partition)'s segment stack.
+
+    Shared by the query engine, the delta build (stale-row filtering) and
+    compaction.  Rules (SURVEY.md §2.6): a key present in a NEWER generation
+    of the stack shadows older copies (upsert D1 — delta builds drop stale
+    rows, so newer generation ⇒ newer warc_ts); explicit delete tombstones at
+    gen h kill keys in segments of gen < h (D2).  Cleared collections (D3)
+    are filtered before this call (their segments never enter the stack).
+
+    Partition-local by construction: partitioning is stable across
+    generations, so the key sets involved are bounded by the partition size.
+    """
+    readers = sorted(readers, key=lambda r: r.generation, reverse=True)
+    out: list[tuple[SegmentReader, np.ndarray]] = []
+    newer_keys: set[str] = set()
+    for r in readers:
+        alive = np.ones(r.n_docs, dtype=bool)
+        if newer_keys:
+            alive &= ~np.isin(r.urls, list(newer_keys))
+        for h, by_coll in tomb_by_gen:
+            if h > r.generation and r.collection in by_coll:
+                alive &= ~np.isin(r.urls, list(by_coll[r.collection]))
+        newer_keys.update(r.urls)  # shadow ALL keys (even dead ones)
+        out.append((r, alive))
+    out.reverse()  # ascending generation order
+    return out
+
+
+def live_prior_table(
+    paths: list[str],
+    tomb_by_gen: list[tuple[int, dict[str, set[str]]]],
+) -> "pa.Table":
+    """Live (key='collection\\x00url', warc_ts, text_sha256) rows of one
+    partition's existing segment stack — the small side of the delta build's
+    partition-local last-write-wins join (stages/segment_write.py
+    drop_stale_vs_prior)."""
+    import pyarrow as pa
+
+    readers = [SegmentReader(p) for p in paths]
+    by_coll: dict[str, list[SegmentReader]] = {}
+    for r in readers:
+        by_coll.setdefault(r.collection, []).append(r)
+    keys, tss, shas = [], [], []
+    for coll, group in by_coll.items():
+        for r, alive in resolve_live_partition(group, tomb_by_gen):
+            idx = np.flatnonzero(alive)
+            for i in idx:
+                keys.append(coll + "\x00" + r.urls[i])
+            tss.append(r.warc_ts[idx])
+            shas.append(r.text_sha256[idx])
+    return pa.table(
+        {
+            "key": pa.array(keys, type=pa.string()),
+            "warc_ts": pa.array(
+                np.concatenate(tss) if tss else np.empty(0, np.int64), type=pa.int64()
+            ),
+            "text_sha256": pa.array(
+                np.concatenate(shas) if shas else np.empty(0, object), type=pa.string()
+            ),
+        }
+    )

@@ -211,3 +211,58 @@ def test_upsert_across_generations(ray_session, tmp_path_factory):
     assert eng.search("zebra").num_rows == 0          # old content gone
     assert eng.search("giraffe").num_rows == 1        # new content found
     assert eng.search("lamb").num_rows == 1           # untouched doc intact
+
+
+def test_late_data_loses(ray_session, tmp_path_factory):
+    """SURVEY.md §2.10: a delta row with OLDER warc_ts than the indexed
+    version must lose the max-aggregate (order-independent last-write-wins),
+    and a row-split incremental build equals the full rebuild."""
+    from lucene_plugin_ray.pipelines.build import build_delta, build_index
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+
+    base = pa.table(
+        {
+            "url": ["u://0"],
+            "warc_ts": pa.array([5_000_000], type=pa.timestamp("us")),
+            "text": ["current version gazelle"],
+        }
+    )
+    stale_delta = pa.table(
+        {
+            "url": ["u://0", "u://9"],
+            "warc_ts": pa.array([1_000_000, 1_000_000], type=pa.timestamp("us")),
+            "text": ["ancient version trilobite", "fresh doc quokka"],
+        }
+    )
+    root = str(tmp_path_factory.mktemp("idx_late"))
+    cfg = IndexConfig(index_root=root, num_partitions=2)
+    build_index(base, cfg)
+    build_delta(stale_delta, cfg)
+    eng = SearchEngine(root, cfg=cfg)
+    assert eng.search("gazelle").num_rows == 1    # newer version survives
+    assert eng.search("trilobite").num_rows == 0  # stale delta row dropped
+    assert eng.search("quokka").num_rows == 1     # genuinely-new row indexed
+
+
+def test_row_split_incremental_equals_full(ray_session, tmp_path_factory):
+    """Arbitrary ROW split (dup-url versions scattered across generations in
+    both directions) — incremental chain == full rebuild == oracle."""
+    from lucene_plugin_ray.pipelines.build import build_delta, build_index
+    from lucene_plugin_ray.pipelines.oracle import OracleIndex
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+
+    corpus = make_pages(250, seed=52)
+    root = str(tmp_path_factory.mktemp("idx_rowsplit"))
+    cfg = IndexConfig(index_root=root, num_partitions=4)
+    build_index(corpus.slice(0, 150), cfg)
+    build_delta(corpus.slice(150), cfg)
+    engine = SearchEngine(root, cfg=cfg)
+    oracle = OracleIndex(corpus, cfg)
+    for q in ["w00000", "pagehit", "dupmarker0", "oldmarker0", "dupmarker1",
+              "oldmarker1", "w00010 w00100"]:
+        got = engine.search(q, limit=100)
+        exp = oracle.search(q, limit=100)
+        g = sorted(zip(got["url"].to_pylist(),
+                       [round(s, 9) for s in got["score"].to_pylist()]))
+        e = sorted((u, round(s, 9)) for u, s in exp)
+        assert g == e, q
