@@ -1,44 +1,343 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``queries()`` exposes one entry per implemented operator/pipeline from
+SURVEY.md §2 plus the training-data operator family; ``oracle_sql()`` gives
+the DuckDB-equivalent SQL for every SQL-expressible one (identical column
+names; floats rounded identically on both sides).  Non-SQL-expressible ops
+(LSH/SimHash/IVF/lang-id heuristics) are exposed rows-only.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from lucene_plugin_ray.config import IndexConfig
+from lucene_plugin_ray.functions.analysis import STOP_WORDS, SQL_STOPWORD_LIST, analyze
+
+# DuckDB list literal of the stop set (for list_contains in lambdas)
+_SQL_STOP_LIST_LITERAL = "[" + ", ".join(f"'{w}'" for w in sorted(STOP_WORDS)) + "]"
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments — textually mirror the analyzer spec
+# (lucene_plugin_ray/functions/analysis.py) and the BM25 formula
+# (lucene_plugin_ray/functions/bm25.py)
+# ---------------------------------------------------------------------------
+
+_TOKS = (
+    "SELECT doc_id, unnest(string_split_regex(lower({col}), '[^a-z0-9]+')) AS term "
+    "FROM documents"
+)
+
+
+def _toks_cte(col: str = "text") -> str:
+    return (
+        f"WITH raw AS ({_TOKS.format(col=col)}), "
+        f"toks AS (SELECT doc_id, term FROM raw WHERE term <> '' "
+        f"AND length(term) <= 255 AND term NOT IN {SQL_STOPWORD_LIST})"
+    )
+
+
+def _bm25_sql(terms: list[str], col: str = "text", conjunctive: bool = False) -> str:
+    """Full-corpus BM25 (k1=1.2, b=0.75, ln(1+(N-df+.5)/(df+.5))) over the
+    documents table for the analyzed query ``terms`` — all matching docs
+    (no top-k boundary → no tie-ordering sensitivity), scores rounded to 4."""
+    values = ", ".join(f"('{t}')" for t in terms)
+    must = (
+        f"HAVING count(DISTINCT tf.term) = {len(set(terms))}" if conjunctive else ""
+    )
+    return f"""
+{_toks_cte(col)},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+docs AS (SELECT d.doc_id, coalesce(dl.dl, 0) AS dl
+         FROM documents d LEFT JOIN dl USING (doc_id)),
+stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM docs),
+qterms AS (SELECT * FROM (VALUES {values}) q(term)),
+df AS (SELECT term, count(*) AS df FROM tf
+       WHERE term IN (SELECT term FROM qterms) GROUP BY term)
+SELECT tf.doc_id AS doc_id,
+       round(sum(
+         ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+         * (tf.tf * (1.2 + 1.0))
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * docs.dl / s.avgdl))
+       ), 4) AS score
+FROM tf
+JOIN df USING (term)
+JOIN docs ON docs.doc_id = tf.doc_id
+CROSS JOIN stats s
+GROUP BY tf.doc_id
+{must}
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# index build over the documents table (cached per sf_dir per process)
+# ---------------------------------------------------------------------------
+
+_ENGINES: dict[str, Any] = {}
+
+
+def _engine_for(sf_dir: str):
+    eng = _ENGINES.get(sf_dir)
+    if eng is not None:
+        return eng
+    import hashlib
+    import shutil
+
+    from lucene_plugin_ray.pipelines.build import build_index
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+    from lucene_plugin_ray.sources.pages import documents_as_pages
+
+    root = os.path.join(
+        "/tmp/lucene_plugin_ray_entry",
+        hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    cfg = IndexConfig(
+        index_root=root, num_partitions=8, field_columns=("lang", "source")
+    )
+    build_index(documents_as_pages(sf_dir), cfg)
+    eng = (SearchEngine(root, cfg=cfg), cfg)
+    _ENGINES[sf_dir] = eng
+    return eng
+
+
+def _search_all(sf_dir: str, query: str) -> pa.Table:
+    """Engine search returning ALL hits as (doc_id, score-rounded-4)."""
+    from lucene_plugin_ray.sources.pages import url_to_doc_id
+
+    engine, cfg = _engine_for(sf_dir)
+    res = engine.search(query, limit=1_000_000_000)
+    return pa.table(
+        {
+            "doc_id": url_to_doc_id(res["url"].combine_chunks()),
+            "score": pc.round(res["score"].combine_chunks(), ndigits=4),
+        }
+    ).sort_by("doc_id")
+
+
+# deterministic query picks (exist in the seeded vocabulary of documents.text)
+_TERM_Q = "spark"
+_OR_Q = "spark window merge"
+_AND_Q = "+spark +merge"
+_FIELD_Q = "lang:de"
+_RANGE_LO, _RANGE_HI = "src1", "src3"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: build the inverted index over the
+    documents table and run a BM25 search; returns the hit table."""
+    return _search_all("/root/testdata/sf0.001", _OR_Q)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from lucene_plugin_ray.pipelines import training
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def search_term(sf_dir: str) -> pa.Table:
+        return _search_all(sf_dir, _TERM_Q)
+
+    def search_or(sf_dir: str) -> pa.Table:
+        return _search_all(sf_dir, _OR_Q)
+
+    def search_and(sf_dir: str) -> pa.Table:
+        return _search_all(sf_dir, _AND_Q)
+
+    def search_field(sf_dir: str) -> pa.Table:
+        from lucene_plugin_ray.sources.pages import url_to_doc_id
+
+        engine, cfg = _engine_for(sf_dir)
+        res = engine.search(_FIELD_Q, limit=1_000_000_000)
+        return pa.table(
+            {
+                "doc_id": url_to_doc_id(res["url"].combine_chunks()),
+                "score": pc.round(res["score"].combine_chunks(), ndigits=4),
+            }
+        ).sort_by("doc_id")
+
+    def search_range(sf_dir: str) -> pa.Table:
+        from lucene_plugin_ray.sources.pages import url_to_doc_id
+
+        engine, cfg = _engine_for(sf_dir)
+        res = engine.search(f"source:[{_RANGE_LO} TO {_RANGE_HI}]", limit=1_000_000_000)
+        return pa.table(
+            {
+                "doc_id": url_to_doc_id(res["url"].combine_chunks()),
+                "score": res["score"].combine_chunks(),
+            }
+        ).sort_by("doc_id")
+
+    def term_stats_q(sf_dir: str) -> pa.Table:
+        import ray.data
+
+        from lucene_plugin_ray.sources.pages import documents_as_pages
+        from lucene_plugin_ray.stages.term_stats import term_stats
+
+        cfg = IndexConfig(num_partitions=8)  # text field only
+        out = term_stats(documents_as_pages(sf_dir), cfg)
+        t = pa.concat_tables(
+            [b for b in out.iter_batches(batch_format="pyarrow")]
+        )
+        t = t.filter(pc.equal(t["field"], "text"))
+        return t.drop_columns(["field"]).sort_by("term")
+
+    def doc_stats(sf_dir: str) -> pa.Table:
+        return training.token_count(sf_dir)
+
+    return {
+        "search_term": search_term,
+        "search_or": search_or,
+        "search_and": search_and,
+        "search_field": search_field,
+        "search_range": search_range,
+        "term_stats": term_stats_q,
+        "token_count": doc_stats,
+        "quality_score": training.quality_score,
+        "fingerprint": training.fingerprint,
+        "dedup_exact": training.dedup_exact,
+        "dedup_minhash": training.dedup_minhash,
+        "simhash": training.simhash,
+        "embedding_dedup": training.embedding_dedup,
+        "ann_topk": training.ann_topk,
+        "ann_ivf": training.ann_ivf,
+        "multimodal_features": training.multimodal_features,
+        "events_latest": training.events_latest,
+        "lang_id": training.lang_id,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    term_terms = analyze(_TERM_Q)
+    or_terms = analyze(_OR_Q)
+    and_terms = analyze(_AND_Q.replace("+", " "))
+
+    sql: dict[str, str] = {}
+    sql["search_term"] = _bm25_sql(term_terms)
+    sql["search_or"] = _bm25_sql(or_terms)
+    sql["search_and"] = _bm25_sql(and_terms, conjunctive=True)
+
+    # field-scoped BM25 over the single-token lang column
+    sql["search_field"] = f"""
+WITH raw AS (SELECT doc_id, unnest(string_split_regex(lower(lang), '[^a-z0-9]+')) AS term FROM documents),
+toks AS (SELECT doc_id, term FROM raw WHERE term <> '' AND length(term) <= 255
+         AND term NOT IN {SQL_STOPWORD_LIST}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+docs AS (SELECT d.doc_id, coalesce(dl.dl, 0) AS dl FROM documents d LEFT JOIN dl USING (doc_id)),
+stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM docs),
+df AS (SELECT term, count(*) AS df FROM tf WHERE term = 'de' GROUP BY term)
+SELECT tf.doc_id AS doc_id,
+       round(ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * docs.dl / s.avgdl)), 4) AS score
+FROM tf JOIN df USING (term) JOIN docs ON docs.doc_id = tf.doc_id CROSS JOIN stats s
+WHERE tf.term = 'de'
+ORDER BY doc_id
+"""
+
+    # lexicographic term range on the source field — constant score 1.0
+    sql["search_range"] = f"""
+WITH raw AS (SELECT doc_id, unnest(string_split_regex(lower(source), '[^a-z0-9]+')) AS term FROM documents),
+toks AS (SELECT doc_id, term FROM raw WHERE term <> '' AND length(term) <= 255
+         AND term NOT IN {SQL_STOPWORD_LIST})
+SELECT DISTINCT doc_id, 1.0 AS score FROM toks
+WHERE term >= '{_RANGE_LO}' AND term <= '{_RANGE_HI}'
+ORDER BY doc_id
+"""
+
+    sql["term_stats"] = f"""
+{_toks_cte()},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term)
+SELECT term, count(*) AS df, sum(tf) AS total_tf FROM tf GROUP BY term ORDER BY term
+"""
+
+    sql["token_count"] = f"""
+{_toks_cte()},
+dl AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id)
+SELECT d.doc_id, coalesce(dl.n_tokens, 0) AS n_tokens
+FROM documents d LEFT JOIN dl USING (doc_id) ORDER BY doc_id
+"""
+
+    sql["quality_score"] = f"""
+WITH raw AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+ne AS (SELECT doc_id, term FROM raw WHERE term <> ''),
+agg AS (SELECT doc_id, count(*) AS n_tokens_all,
+               sum(CASE WHEN term IN {SQL_STOPWORD_LIST} THEN 1 ELSE 0 END) AS n_stop,
+               sum(length(term)) AS sum_len
+        FROM ne GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.n_tokens_all, 0) AS n_tokens_all,
+       coalesce(a.n_stop, 0) AS n_stop,
+       round(coalesce(a.n_stop, 0) * 1.0 / greatest(coalesce(a.n_tokens_all, 0), 1), 6) AS stop_ratio,
+       round(coalesce(a.sum_len, 0) * 1.0 / greatest(coalesce(a.n_tokens_all, 0), 1), 6) AS avg_token_len
+FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id
+"""
+
+    sql["fingerprint"] = f"""
+SELECT doc_id,
+       sha256(array_to_string(
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '' AND length(x) <= 255
+                          AND NOT list_contains({_SQL_STOP_LIST_LITERAL}, x)),
+         ' ')) AS fp_sha256
+FROM documents ORDER BY doc_id
+"""
+
+    sql["dedup_exact"] = """
+SELECT sha256(text) AS text_sha256, min(doc_id) AS keeper_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY sha256(text) ORDER BY text_sha256
+"""
+
+    # header = first 8 CODE UNITS hex-encoded (== first 8 bytes on the ASCII
+    # synthetic corpus; engine slices the payload's bytes)
+    sql["multimodal_features"] = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       lower(hex(encode(substring(text, 1, 8)))) AS header_hex
+FROM documents ORDER BY doc_id
+"""
+
+    sql["events_latest"] = """
+SELECT user_id, event_type, ts AS last_ts, event_id AS last_event_id,
+       value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+ORDER BY user_id, event_type
+"""
+
+    sql["ann_topk"] = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+sims AS (SELECT q.qid, e.vec_id,
+                list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(q.qv AS DOUBLE[])) AS cos
+         FROM embeddings e CROSS JOIN q),
+ranked AS (SELECT qid, vec_id, cos,
+                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
+           FROM sims)
+SELECT qid, vec_id, round(cos, 5) AS cos FROM ranked WHERE rn <= 10
+ORDER BY qid, rn
+"""
+
+    sql["embedding_dedup"] = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 5) AS cos
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.35
+ORDER BY vec_a, vec_b
+"""
+    # dedup_minhash, simhash, ann_ivf, lang_id: heuristic / approximate /
+    # LSH-based — not SQL-expressible; the driver records rows-only checks.
+    return sql

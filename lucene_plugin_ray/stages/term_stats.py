@@ -1,0 +1,99 @@
+"""A2 — global term statistics via a SALTED term-keyed aggregate.
+
+The build pipeline itself never shuffles by term (posting construction is
+partition-local, stages/segment_write.py), but global corpus statistics
+(df, total tf per term — Zipf-skewed keys) are a genuine term-keyed
+aggregate.  The skew treatment is the north rule's salted repartitioning
+(SURVEY.md §7.3, cf. FP-Hadoop VLDB'15 in PAPERS.md):
+
+1. per-batch PARTIAL aggregation inside map_batches (one row per distinct
+   term per batch — the combiner; head terms shrink from millions of rows to
+   #batches rows before any shuffle);
+2. first groupby on the SALTED key (field, term, salt) — a head term's
+   partials spread over ``salt_buckets`` reducers instead of one;
+3. second (tiny) groupby on (field, term) to fold the salt buckets.
+
+Salt is deterministic — a stable hash of the batch's content — so the result
+is a pure function of the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from lucene_plugin_ray.config import IndexConfig
+from lucene_plugin_ray.functions.analysis import term_frequencies, tokenize_column
+from lucene_plugin_ray.functions.hashing import fnv1a_str, mix64
+
+
+class _PartialTermStats:
+    """map_batches combiner: batch → (field, term, salt, df, total_tf)."""
+
+    def __init__(self, cfg: IndexConfig):
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        parts = []
+        for field in cfg.fields():
+            if field not in batch.column_names:
+                continue
+            col = pc.cast(batch[field].combine_chunks(), pa.string())
+            parents, terms, _ = tokenize_column(col)
+            if len(parents) == 0:
+                continue
+            rows, t_terms, tfs = term_frequencies(parents, terms)
+            t = pa.table({"term": t_terms, "tf": pa.array(tfs, type=pa.int64())})
+            agg = t.group_by(["term"]).aggregate([("tf", "sum"), ([], "count_all")])
+            # deterministic salt: stable hash of the batch's first url + size
+            anchor = batch[cfg.url_column][0].as_py() if batch.num_rows else ""
+            salt = mix64(fnv1a_str(f"{anchor}\x00{batch.num_rows}")) % cfg.salt_buckets
+            n = agg.num_rows
+            parts.append(
+                pa.table(
+                    {
+                        "field": pa.array([field] * n, type=pa.string()),
+                        "term": agg["term"].combine_chunks(),
+                        "salt": pa.array(np.full(n, salt, np.int32), type=pa.int32()),
+                        "df": pc.cast(agg["count_all"], pa.int64()),
+                        "total_tf": pc.cast(agg["tf_sum"], pa.int64()),
+                    }
+                )
+            )
+        if not parts:
+            return pa.table(
+                {
+                    "field": pa.array([], type=pa.string()),
+                    "term": pa.array([], type=pa.string()),
+                    "salt": pa.array([], type=pa.int32()),
+                    "df": pa.array([], type=pa.int64()),
+                    "total_tf": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.concat_tables(parts)
+
+
+def term_stats(
+    ds: "ray.data.Dataset", cfg: IndexConfig
+) -> "ray.data.Dataset":
+    """Corpus-global (field, term) → (df, total_tf).  Two-level salted
+    aggregation; result is small (vocabulary-sized) and term-sorted."""
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(
+        _PartialTermStats(cfg),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=cfg.tokenize_batch_size,
+    )
+    salted = partials.groupby(["field", "term", "salt"]).aggregate(
+        Sum("df", alias_name="df_s"), Sum("total_tf", alias_name="tf_s")
+    )
+    folded = salted.groupby(["field", "term"]).aggregate(
+        Sum("df_s", alias_name="df"), Sum("tf_s", alias_name="total_tf")
+    )
+    return folded.sort(["field", "term"])

@@ -1,0 +1,80 @@
+"""__ray_entry__ contract tests: queries() vs oracle_sql() via DuckDB at
+sf0.001 (the driver runs the same comparison at sf0.01)."""
+
+import os
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+# subset kept fast for CI; the full set is exercised by the driver harness
+CHECKED = [
+    "search_term", "search_or", "search_and", "search_field", "search_range",
+    "term_stats", "dedup_exact", "ann_topk", "events_latest", "fingerprint",
+]
+
+
+@pytest.fixture(scope="module")
+def harness(ray_session):
+    import __ray_entry__ as E
+
+    con = duckdb.connect()
+    for t in ["events", "documents", "embeddings"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return E, con
+
+
+def _norm(obj) -> pd.DataFrame:
+    df = obj.to_pandas() if not isinstance(obj, pd.DataFrame) else obj
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_queries_have_oracles(harness):
+    E, _ = harness
+    qs, sqls = E.queries(), E.oracle_sql()
+    assert set(sqls) <= set(qs)
+    assert len(sqls) >= 12  # SQL-verified coverage floor
+    for name in CHECKED:
+        assert name in qs
+
+
+@pytest.mark.parametrize("name", CHECKED)
+def test_query_matches_oracle(harness, name):
+    E, con = harness
+    got = _norm(E.queries()[name](SF))
+    exp = _norm(con.sql(E.oracle_sql()[name]).arrow())
+    assert list(got.columns) == list(exp.columns), name
+    assert got.shape == exp.shape, name
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, atol=1e-9, rtol=0)
+
+
+def test_entry_smoke(harness):
+    E, _ = harness
+    t = E.entry()
+    assert t.num_rows > 0
+    assert set(t.column_names) == {"doc_id", "score"}
+
+
+def test_rows_only_ops_run(harness):
+    E, _ = harness
+    qs = E.queries()
+    assert qs["simhash"](SF).num_rows == 500
+    assert qs["lang_id"](SF).num_rows == 500
+    mh = qs["dedup_minhash"](SF)
+    assert mh.num_rows > 0  # seeded corpus contains near-dups
+    ivf = qs["ann_ivf"](SF)
+    assert ivf.num_rows > 0
+    # IVF recall vs the exact baseline (approximate but not garbage)
+    exact = qs["ann_topk"](SF)
+    recall_hits = 0
+    total = 0
+    for qid in set(exact["qid"].to_pylist()):
+        e = {v for q, v in zip(exact["qid"].to_pylist(), exact["vec_id"].to_pylist()) if q == qid}
+        a = {v for q, v in zip(ivf["qid"].to_pylist(), ivf["vec_id"].to_pylist()) if q == qid}
+        recall_hits += len(e & a)
+        total += len(e)
+    assert recall_hits / total >= 0.5
