@@ -32,36 +32,42 @@ import numpy as np
 BLOCK_SIZE_DEFAULT = 128
 
 
-def varint_encode(values: np.ndarray) -> np.ndarray:
-    """Vectorized LEB128 encode of a uint64 array → uint8 byte array."""
+def _nbytes_of(v: np.ndarray) -> np.ndarray:
+    """Varint byte length per value — K bounded comparisons, no shift loop."""
+    maxv = int(v.max()) if v.size else 0
+    nb = np.ones(v.size, dtype=np.int64)
+    k = 1
+    while maxv >= (1 << (7 * k)) and k < 10:
+        nb += v >= np.uint64(1 << (7 * k))
+        k += 1
+    return nb
+
+
+def varint_encode(values: np.ndarray, nbytes: np.ndarray | None = None) -> np.ndarray:
+    """Vectorized LEB128 encode of a uint64 array → uint8 byte array.
+
+    Builds an (n, K) byte matrix (K = max varint width present, typically
+    2-3) and compacts it with one boolean gather — ~3 full-vector passes
+    total, no per-byte fancy indexing (the hot path of segment encoding).
+    ``nbytes`` (optional) skips recomputing per-value widths."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return np.empty(0, np.uint8)
-    # bytes needed per value: ceil(bitlen/7), min 1
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    while True:
-        nz = tmp > 0
-        if not nz.any():
-            break
-        nbits[nz] += 1
-        tmp >>= np.uint64(1)
-    nbytes = np.maximum((nbits + 6) // 7, 1)
-    total = int(nbytes.sum())
-    out = np.empty(total, dtype=np.uint8)
-    ends = np.cumsum(nbytes)
-    starts = ends - nbytes
-    # fill byte position k of every value that has >= k+1 bytes
-    max_b = int(nbytes.max())
-    for k in range(max_b):
-        sel = nbytes > k
-        idx = starts[sel] + k
-        chunk = (v[sel] >> np.uint64(7 * k)).astype(np.uint64) & np.uint64(0x7F)
-        is_last = nbytes[sel] == k + 1
-        byte = chunk.astype(np.uint8)
-        byte[~is_last] |= 0x80  # continuation bit on all but the final byte
-        out[idx] = byte
-    return out
+    if nbytes is None:
+        nbytes = _nbytes_of(v)
+    K = int(nbytes.max())
+    if K == 1:  # all single-byte (common for tf streams)
+        return v.astype(np.uint8)
+    bm = np.empty((v.size, K), dtype=np.uint8)
+    for k in range(K):
+        col = ((v >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        bm[:, k] = col
+    # continuation bit on every byte except each value's last
+    pos = np.arange(K, dtype=np.int64)
+    keep = pos[None, :] < nbytes[:, None]
+    cont = pos[None, :] < (nbytes - 1)[:, None]
+    bm[cont] |= 0x80
+    return bm[keep]
 
 
 def varint_decode(buf: np.ndarray, count: int | None = None) -> np.ndarray:
@@ -154,12 +160,7 @@ def decode_postings(buf: np.ndarray, df: int) -> tuple[np.ndarray, np.ndarray]:
 
 def _varint_lengths(vals: np.ndarray) -> np.ndarray:
     """Byte length of each value's varint encoding (vectorized)."""
-    nb = np.ones(vals.shape, dtype=np.int64)
-    tmp = vals >> np.uint64(7)
-    while (tmp > 0).any():
-        nb[tmp > 0] += 1
-        tmp >>= np.uint64(7)
-    return nb
+    return _nbytes_of(np.ascontiguousarray(vals, dtype=np.uint64))
 
 
 def encode_many_postings(
@@ -212,8 +213,8 @@ def encode_many_postings(
     tcum = np.concatenate([[0], np.cumsum(tlens)])
     dtotal = int(dcum[-1])
 
-    dbytes = varint_encode(deltas)
-    tbytes = varint_encode(tvals)
+    dbytes = varint_encode(deltas, nbytes=dlens)
+    tbytes = varint_encode(tvals, nbytes=tlens)
     buf = np.concatenate([dbytes, tbytes])
 
     dfs = np.diff(starts)

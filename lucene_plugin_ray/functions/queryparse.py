@@ -62,11 +62,21 @@ Clause = TermClause | RangeClause
 
 
 def parse_query(query: str, default_field: str = DEFAULT_FIELD) -> list[Clause]:
-    """Parse a query string into analyzed clauses.
+    """Parse a query string into analyzed clauses (LRU-cached — ≙ T3, the
+    reference's 1024-entry parsed-query cache, LuceneIndexBean.java:104,
+    380-396; safe because clauses are frozen dataclasses).
 
     Returns [] when every term analyzes away (pure stop-word query → 0 hits,
     FIXTURES.md §5 'stopword').
     """
+    return list(_parse_query_cached(query, default_field))
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1024)
+def _parse_query_cached(query: str, default_field: str) -> tuple[Clause, ...]:
     if query is None or not query.strip():
         raise QueryParseError("empty query")
     if _FORBIDDEN.search(query):
@@ -136,4 +146,4 @@ def parse_query(query: str, default_field: str = DEFAULT_FIELD) -> list[Clause]:
         terms = analyze(item)  # Q7: query-side analysis, same analyzer
         for term in terms:
             clauses.append(TermClause(occur, field, term))
-    return clauses
+    return tuple(clauses)

@@ -44,6 +44,9 @@ def merge_segments_for_partition(
     """Merge k input segments (ascending generation) of one (collection,
     partition) into a single segment of ``generation``.  Returns the manifest
     row.  Idempotent via the same lineage-digest skip as the build path."""
+    from lucene_plugin_ray.stages.segment_write import limit_intra_task_threads
+
+    limit_intra_task_threads()
     t0 = time.monotonic()
     readers = [SegmentReader(path) for path in seg_paths]
     fields = cfg.fields()

@@ -70,6 +70,22 @@ MANIFEST_ROW_SCHEMA = pa.schema(
 )
 
 
+def limit_intra_task_threads() -> None:
+    """Pin pyarrow's internal thread pool to 1 inside data-parallel tasks.
+
+    Ray schedules one task per CPU, but each task's pyarrow kernels (sort_by,
+    group_by, take) otherwise spawn a pool sized to ALL cores — 32 concurrent
+    tasks × 32-thread pools oversubscribes the node ~32× (measured: a 0.9 s
+    partition build ballooning to ~50 s).  Parallelism belongs to Ray's task
+    layer here, not inside the kernel."""
+    try:
+        if pa.cpu_count() != 1:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(1)
+    except Exception:
+        pass
+
+
 def _composite_key(colls: pa.Array, urls: pa.Array) -> pa.Array:
     return pc.binary_join_element_wise(colls, urls, "\x00")
 
@@ -168,6 +184,7 @@ def build_partition_segment(
     same input_digest, the write is skipped and the recorded row returned
     (lineage-based resume, SURVEY.md §4.2 "Checkpoint / resume").
     """
+    limit_intra_task_threads()
     t0 = time.monotonic()
     rows_in = part.num_rows
     part = dedup_latest(part, cfg)
@@ -227,12 +244,13 @@ def encode_and_write_segment(
     dl_arrays: dict[str, np.ndarray],
     post_table: pa.Table | None,
     t0: float,
+    prepared: "PreparedPostings | None" = None,
     **metrics: int,
 ) -> dict:
-    """Shared segment-file writer: encode a (field, term, docid, tf) posting
-    table + doc arrays into an atomic, content-addressed segment directory.
-    Used by both the build path (tokenized input) and the merge path (K3,
-    remapped decoded postings)."""
+    """Shared segment-file writer: encode posting runs + doc arrays into an
+    atomic, content-addressed segment directory.  Two input forms: a
+    ``PreparedPostings`` (numeric build path — already lex-ordered) or a
+    (field, term, docid, tf) ``post_table`` (merge path, K3 — sorted here)."""
     n_docs = len(urls)
     keys = _composite_key(pa.array([coll] * n_docs, type=pa.string()), urls)
     digest = _partition_digest(keys, shas)
@@ -254,11 +272,41 @@ def encode_and_write_segment(
         shutil.rmtree(tmp_dir)
     os.makedirs(tmp_dir)
 
-    # ---- posting construction: local sort by (field, term, docid) (A4) ----
+    # ---- posting construction (A4) ----
     n_terms = 0
     n_postings = 0
     buf = np.empty(0, np.uint8)
-    if post_table is not None and post_table.num_rows:
+    if prepared is not None and len(prepared.starts) > 1:
+        starts = prepared.starts
+        n_postings = int(starts[-1])
+        n_terms = starts.size - 1
+        buf, tmeta, blk_counts = encode_many_postings(
+            starts, prepared.docids, prepared.tfs, block_size=cfg.block_size
+        )
+        boff = np.concatenate([[0], np.cumsum(blk_counts)]).astype(np.int32)
+
+        def _nest(flat: np.ndarray, typ) -> pa.ListArray:
+            return pa.ListArray.from_arrays(
+                pa.array(boff, type=pa.int32()), pa.array(flat, type=typ)
+            )
+
+        field_name_arr = np.array(prepared.field_names, dtype=object)
+        terms_table = pa.table(
+            {
+                "field": pa.array(field_name_arr[prepared.term_fields], type=pa.string()),
+                "term": pa.array(prepared.terms, type=pa.string()),
+                "df": pa.array(np.diff(starts), type=pa.int64()),
+                "doff": pa.array(tmeta["doff"], type=pa.int64()),
+                "doff_end": pa.array(tmeta["doff_end"], type=pa.int64()),
+                "toff": pa.array(tmeta["toff"], type=pa.int64()),
+                "toff_end": pa.array(tmeta["toff_end"], type=pa.int64()),
+                "blk_doff": _nest(tmeta["blk_doff"], pa.int64()),
+                "blk_toff": _nest(tmeta["blk_toff"], pa.int64()),
+                "blk_maxdoc": _nest(tmeta["blk_maxdoc"], pa.int64()),
+                "blk_maxtf": _nest(tmeta["blk_maxtf"], pa.int32()),
+            }
+        )
+    elif post_table is not None and post_table.num_rows:
         post = post_table.sort_by(
             [("field", "ascending"), ("term", "ascending"), ("docid", "ascending")]
         )
@@ -345,6 +393,122 @@ def encode_and_write_segment(
     return row
 
 
+def _build_postings_numeric(
+    seg: pa.Table, cfg: IndexConfig, doc_base: int
+) -> tuple["PreparedPostings | None", dict[str, np.ndarray]]:
+    """Tokenize all fields and build sorted posting runs NUMERICALLY.
+
+    String-keyed group_by/sort over millions of token rows is memory-bandwidth
+    bound (the dominant cost under 32-way task concurrency).  Instead: hash
+    each token to u64 (mixed FNV-1a), lexsort the numeric (field_id, hash,
+    docid) triples, derive tf as run lengths, then order the ~|vocab| term
+    GROUPS lexicographically (a small string sort) and gather posting rows by
+    group — every per-token pass is numeric.
+
+    Hash collisions within a partition's per-field vocabulary would merge two
+    terms (probability |V|²/2⁶⁵ ≈ 1e-10 at 100k terms); at 10¹²-doc scale
+    move to a 128-bit hash or add a collision re-check.
+    """
+    from lucene_plugin_ray.functions.hashing import fnv1a_bytes_column, mix64_np
+
+    n_docs = seg.num_rows
+    dl_arrays: dict[str, np.ndarray] = {}
+    fid_parts, h_parts, did_parts, term_arrays = [], [], [], []
+    field_names: list[str] = []
+    for field in cfg.fields():
+        if field not in seg.column_names:
+            dl_arrays[field] = np.zeros(n_docs, np.int32)
+            continue
+        col = pc.cast(seg[field].combine_chunks(), pa.string())
+        parents, terms, doc_len = tokenize_column(col)
+        dl_arrays[field] = doc_len
+        if len(parents) == 0:
+            continue
+        fid = len(field_names)
+        field_names.append(field)
+        fid_parts.append(np.full(len(parents), fid, dtype=np.int16))
+        h_parts.append(mix64_np(fnv1a_bytes_column(terms)))
+        did_parts.append(doc_base + parents)
+        term_arrays.append(terms)
+    if not fid_parts:
+        return None, dl_arrays
+
+    fid = np.concatenate(fid_parts)
+    h = np.concatenate(h_parts)
+    did = np.concatenate(did_parts)
+    # token-index offsets so a flat index maps back into its field's terms
+    tok_offsets = np.concatenate([[0], np.cumsum([len(a) for a in term_arrays])])
+
+    order = np.lexsort((did, h, fid))
+    fid_s, h_s, did_s = fid[order], h[order], did[order]
+    # run boundaries over (field, hash, docid) → tf = run length
+    change = np.empty(fid_s.size, dtype=bool)
+    change[0] = True
+    np.not_equal(did_s[1:], did_s[:-1], out=change[1:])
+    change[1:] |= h_s[1:] != h_s[:-1]
+    change[1:] |= fid_s[1:] != fid_s[:-1]
+    run_starts = np.flatnonzero(change)
+    tf = np.diff(np.concatenate([run_starts, [fid_s.size]])).astype(np.int64)
+    p_fid = fid_s[run_starts]
+    p_h = h_s[run_starts]
+    p_did = did_s[run_starts]
+
+    # term groups over (field, hash) in the posting rows
+    tchange = np.empty(p_fid.size, dtype=bool)
+    tchange[0] = True
+    np.not_equal(p_h[1:], p_h[:-1], out=tchange[1:])
+    tchange[1:] |= p_fid[1:] != p_fid[:-1]
+    g_starts = np.flatnonzero(tchange)
+    g_ends = np.concatenate([g_starts[1:], [p_fid.size]])
+    # term string for each group: first token of the group's first run
+    first_tok = order[run_starts[g_starts]]
+    g_field_id = p_fid[g_starts]
+    # map flat token index → (field array, local index)
+    term_strs = np.empty(g_starts.size, dtype=object)
+    for a_i, arr in enumerate(term_arrays):
+        sel = (first_tok >= tok_offsets[a_i]) & (first_tok < tok_offsets[a_i + 1])
+        if sel.any():
+            local = first_tok[sel] - tok_offsets[a_i]
+            term_strs[sel] = arr.take(pa.array(local)).to_numpy(zero_copy_only=False)
+
+    # lexicographic (field, term) order over the small group set
+    g_order = np.lexsort((term_strs, g_field_id))
+    lens = g_ends - g_starts
+    lens_o = lens[g_order]
+    new_starts = np.concatenate([[0], np.cumsum(lens_o)]).astype(np.int64)
+    total = int(new_starts[-1])
+    g_of_out = np.repeat(np.arange(g_order.size, dtype=np.int64), lens_o)
+    within = np.arange(total, dtype=np.int64) - np.repeat(new_starts[:-1], lens_o)
+    row_idx = g_starts[g_order][g_of_out] + within
+
+    return (
+        PreparedPostings(
+            field_names=field_names,
+            term_fields=g_field_id[g_order],
+            terms=term_strs[g_order],
+            starts=new_starts,
+            docids=p_did[row_idx],
+            tfs=tf[row_idx],
+        ),
+        dl_arrays,
+    )
+
+
+class PreparedPostings:
+    """Sorted posting runs ready for encode_many_postings (term groups in
+    (field, term) lex order; docid-ascending within each term)."""
+
+    __slots__ = ("field_names", "term_fields", "terms", "starts", "docids", "tfs")
+
+    def __init__(self, field_names, term_fields, terms, starts, docids, tfs):
+        self.field_names = field_names
+        self.term_fields = term_fields
+        self.terms = terms
+        self.starts = starts
+        self.docids = docids
+        self.tfs = tfs
+
+
 def _write_collection_segment(
     seg: pa.Table,
     coll: str,
@@ -356,30 +520,8 @@ def _write_collection_segment(
     **metrics: int,
 ) -> dict:
     """Build path: tokenize every analyzed field of one collection run, then
-    hand the posting rows to the shared writer."""
-    n_docs = seg.num_rows
-    posting_parts: list[pa.Table] = []
-    dl_arrays: dict[str, np.ndarray] = {}
-    for field in cfg.fields():
-        if field not in seg.column_names:
-            dl_arrays[field] = np.zeros(n_docs, np.int32)
-            continue
-        col = pc.cast(seg[field].combine_chunks(), pa.string())
-        parents, terms, doc_len = tokenize_column(col)
-        dl_arrays[field] = doc_len
-        rows, t_terms, tfs = term_frequencies(parents, terms)
-        if len(rows):
-            posting_parts.append(
-                pa.table(
-                    {
-                        "field": pa.array([field] * len(rows), type=pa.string()),
-                        "term": t_terms,
-                        "docid": pa.array(doc_base + rows, type=pa.int64()),
-                        "tf": pa.array(tfs, type=pa.int32()),
-                    }
-                )
-            )
-    post_table = pa.concat_tables(posting_parts) if posting_parts else None
+    hand the prepared posting runs to the shared writer."""
+    prepared, dl_arrays = _build_postings_numeric(seg, cfg, doc_base)
     return encode_and_write_segment(
         coll,
         p,
@@ -390,7 +532,8 @@ def _write_collection_segment(
         seg["text_sha256"].combine_chunks(),
         pc.cast(seg[cfg.ts_column].combine_chunks(), pa.int64()),
         dl_arrays,
-        post_table,
+        None,
         t0,
+        prepared=prepared,
         **metrics,
     )

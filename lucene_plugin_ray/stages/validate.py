@@ -41,12 +41,21 @@ def sanitize_collection_column(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
 
 
 class ValidateAndPartition:
-    """Callable for ``ds.map_batches(..., batch_format="pyarrow")``."""
+    """Callable for ``ds.map_batches(..., batch_format="pyarrow")``.
 
-    def __init__(self, cfg: IndexConfig):
+    ``reject_dir`` (optional) routes invalid rows to a side-output Parquet
+    directory instead of silently dropping them — the batch analogue of the
+    reference throwing LuceneException on bad input (M6,
+    LuceneFacadeImpl.java:97-130)."""
+
+    def __init__(self, cfg: IndexConfig, reject_dir: str | None = None):
         self.cfg = cfg
+        self.reject_dir = reject_dir
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from lucene_plugin_ray.stages.segment_write import limit_intra_task_threads
+
+        limit_intra_task_threads()
         cfg = self.cfg
         n = batch.num_rows
         if cfg.collection_column in batch.column_names:
@@ -59,11 +68,30 @@ class ValidateAndPartition:
         batch = batch.append_column("collection", coll)
 
         url = batch[cfg.url_column]
-        valid = pc.and_(
-            pc.and_(url.is_valid(), pc.not_equal(pc.cast(url, pa.string()), "")),
-            batch[cfg.ts_column].is_valid(),
+        valid = pc.fill_null(
+            pc.and_kleene(
+                pc.and_kleene(
+                    url.is_valid(), pc.not_equal(pc.cast(url, pa.string()), "")
+                ),
+                batch[cfg.ts_column].is_valid(),
+            ),
+            False,
         )
         if pc.any(pc.invert(valid)).as_py():
+            if self.reject_dir:
+                import os
+                import uuid
+
+                import pyarrow.parquet as pq
+
+                os.makedirs(self.reject_dir, exist_ok=True)
+                rejects = batch.filter(pc.invert(valid))
+                if "html" in rejects.column_names:
+                    rejects = rejects.drop_columns(["html"])
+                pq.write_table(
+                    rejects,
+                    os.path.join(self.reject_dir, f"rejects-{uuid.uuid4().hex}.parquet"),
+                )
             batch = batch.filter(valid)
 
         text = batch[cfg.text_column].combine_chunks() if cfg.text_column in batch.column_names else pa.array([None] * batch.num_rows, type=pa.string())

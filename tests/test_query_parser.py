@@ -1,0 +1,109 @@
+"""Parser (Q1-Q7 grammar) + extractor + reject-routing unit tests."""
+
+import pyarrow as pa
+import pytest
+
+from lucene_plugin_ray.functions.queryparse import (
+    MUST,
+    SHOULD,
+    QueryParseError,
+    RangeClause,
+    TermClause,
+    parse_query,
+)
+
+
+def test_single_term_analyzed():
+    assert parse_query("Lorem") == [TermClause(SHOULD, "text", "lorem")]
+
+
+def test_field_scoped():
+    assert parse_query("data:Lamb") == [TermClause(SHOULD, "data", "lamb")]
+    assert parse_query("count:32") == [TermClause(SHOULD, "count", "32")]
+
+
+def test_range():
+    assert parse_query("age:[23 TO 23]") == [RangeClause(SHOULD, "age", "23", "23")]
+    assert parse_query("count:[33 TO 34]") == [RangeClause(SHOULD, "count", "33", "34")]
+
+
+def test_implicit_or():
+    cs = parse_query("mary lamb")
+    assert [c.occur for c in cs] == [SHOULD, SHOULD]
+
+
+def test_plus_and_AND():
+    assert [c.occur for c in parse_query("+a1 +b2")] == [MUST, MUST]
+    cs = parse_query("a1 AND b2 c3")
+    assert [c.occur for c in cs] == [MUST, MUST, SHOULD]
+
+
+def test_stopword_queries_empty():
+    assert parse_query("the") == []
+    assert parse_query("the a of") == []
+
+
+def test_or_keyword():
+    cs = parse_query("a1 OR b2")
+    assert [c.occur for c in cs] == [SHOULD, SHOULD]
+
+
+def test_rejects_unsupported():
+    for q in ['"phrase"', "wild*", "fuzzy~", "boost^2", "(group)", "-neg", "a -b"]:
+        with pytest.raises(QueryParseError):
+            parse_query(q)
+    with pytest.raises(QueryParseError):
+        parse_query("")
+    with pytest.raises(QueryParseError):
+        parse_query("a AND")
+
+
+def test_multiterm_expansion():
+    # a syntactic token that analyzes to several terms expands to clauses
+    assert parse_query("mary-lamb") == [
+        TermClause(SHOULD, "text", "mary"),
+        TermClause(SHOULD, "text", "lamb"),
+    ]
+
+
+def test_html_extract_stage():
+    from lucene_plugin_ray.stages.extract import HtmlExtract
+
+    ex = HtmlExtract()
+    batch = pa.table(
+        {
+            "url": ["u1", "u2"],
+            "html": pa.array(
+                [
+                    b"<html><head><script>var x=1;</script></head>"
+                    b"<body><p>Mary had a &amp; lamb</p></body></html>",
+                    None,
+                ],
+                type=pa.binary(),
+            ),
+        }
+    )
+    out = ex(batch)
+    assert out["text"].to_pylist() == ["Mary had a & lamb", None]
+
+
+def test_reject_routing(tmp_path):
+    import pyarrow.dataset as pads
+
+    from lucene_plugin_ray.config import IndexConfig
+    from lucene_plugin_ray.stages.validate import ValidateAndPartition
+
+    cfg = IndexConfig(num_partitions=4)
+    v = ValidateAndPartition(cfg, reject_dir=str(tmp_path / "rejects"))
+    batch = pa.table(
+        {
+            "url": ["ok://1", None, ""],
+            "warc_ts": pa.array([1, 2, 3], type=pa.timestamp("us")),
+            "text": ["good", "no url", "empty url"],
+        }
+    )
+    out = v(batch)
+    assert out.num_rows == 1
+    rej = pads.dataset(str(tmp_path / "rejects")).to_table()
+    assert rej.num_rows == 2
+    assert set(rej["text"].to_pylist()) == {"no url", "empty url"}
