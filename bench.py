@@ -206,7 +206,9 @@ def _run_child(ncpu: int, replicas: int) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    replicas = int(os.environ.get("GRAFT_BENCH_REPLICAS", "1"))
+    # 40× replication (~200k docs at sf0.1) keeps the default per-round bench
+    # meaningful (fixed costs amortized) yet under ~10 s of build
+    replicas = int(os.environ.get("GRAFT_BENCH_REPLICAS", "40"))
 
     if "--scaling" in sys.argv:
         # Same input, fresh processes, N and 4N parallelism (BASELINE.md §3).

@@ -1,0 +1,118 @@
+"""CLI — the `ray job submit` entry surface (SURVEY.md §2.11).
+
+    python -m lucene_plugin_ray build   --corpus pages/ --index /tmp/idx [--partitions 32] [--fields lang,source]
+    python -m lucene_plugin_ray delta   --corpus delta/ --index /tmp/idx
+    python -m lucene_plugin_ray search  --index /tmp/idx --query "mary lamb" [--collection default] [--limit 10] [--method taat|bmw]
+    python -m lucene_plugin_ray compact --index /tmp/idx
+    python -m lucene_plugin_ray delete  --index /tmp/idx --collection default --urls u1,u2
+    python -m lucene_plugin_ray clear   --index /tmp/idx --collection foo
+
+On a cluster: `ray job submit -- python -m lucene_plugin_ray build ...`
+(the script only calls ray.init when no session exists).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def _cfg(args) -> "IndexConfig":
+    from lucene_plugin_ray.config import IndexConfig
+
+    fields = tuple(f for f in (args.fields or "").split(",") if f)
+    return IndexConfig(
+        index_root=args.index,
+        num_partitions=args.partitions,
+        field_columns=fields,
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="lucene_plugin_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name in ("build", "delta"):
+        s = sub.add_parser(name)
+        s.add_argument("--corpus", required=True, help="parquet path/dir of pages")
+        s.add_argument("--index", required=True)
+        s.add_argument("--partitions", type=int, default=32)
+        s.add_argument("--fields", default="")
+    s = sub.add_parser("search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--collection", default="default")
+    s.add_argument("--limit", type=int, default=None)
+    s.add_argument("--method", default="taat", choices=["taat", "bmw"])
+    s.add_argument("--partitions", type=int, default=32)
+    s.add_argument("--fields", default="")
+    for name in ("compact", "clear", "delete"):
+        s = sub.add_parser(name)
+        s.add_argument("--index", required=True)
+        s.add_argument("--partitions", type=int, default=32)
+        s.add_argument("--fields", default="")
+        if name == "clear":
+            s.add_argument("--collection", required=True)
+        if name == "delete":
+            s.add_argument("--collection", default="default")
+            s.add_argument("--urls", required=True, help="comma-separated urls")
+    args = p.parse_args(argv)
+
+    cfg = _cfg(args)
+    if args.cmd == "build":
+        _ensure_ray()
+        from lucene_plugin_ray.pipelines.build import build_index
+
+        m = build_index(args.corpus, cfg)
+        print(json.dumps({"generation": m.generation,
+                          "docs": sum(r["n_docs"] for r in m.partitions)}))
+    elif args.cmd == "delta":
+        _ensure_ray()
+        from lucene_plugin_ray.pipelines.build import build_delta
+
+        m = build_delta(args.corpus, cfg)
+        print(json.dumps({"generation": m.generation,
+                          "docs": sum(r["n_docs"] for r in m.partitions)}))
+    elif args.cmd == "search":
+        from lucene_plugin_ray.pipelines.query import SearchEngine
+
+        eng = SearchEngine(args.index, cfg=cfg)
+        t = eng.search(args.query, collection=args.collection,
+                       limit=args.limit, method=args.method)
+        for url, score in zip(t["url"].to_pylist(), t["score"].to_pylist()):
+            print(json.dumps({"url": url, "score": round(score, 6)}))
+    elif args.cmd == "compact":
+        _ensure_ray()
+        from lucene_plugin_ray.pipelines.build import compact_index
+
+        m = compact_index(cfg)
+        print(json.dumps({"generation": m.generation, "compacted": True}))
+    elif args.cmd == "clear":
+        from lucene_plugin_ray.pipelines.build import clear_collection
+
+        m = clear_collection(cfg, args.collection)
+        print(json.dumps({"generation": m.generation, "cleared": args.collection}))
+    elif args.cmd == "delete":
+        import pyarrow as pa
+
+        from lucene_plugin_ray.pipelines.build import delete_docs
+
+        urls = args.urls.split(",")
+        m = delete_docs(cfg, pa.table({"collection": [args.collection] * len(urls),
+                                       "url": urls}))
+        print(json.dumps({"generation": m.generation, "deleted": len(urls)}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

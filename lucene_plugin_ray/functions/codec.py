@@ -78,6 +78,9 @@ def varint_decode(buf: np.ndarray, count: int | None = None) -> np.ndarray:
     b = np.ascontiguousarray(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, np.uint64)
+    if count is not None and count == b.size:
+        # all varints are single-byte (dense deltas / small tfs) → plain cast
+        return b.astype(np.uint64)
     is_end = b < 0x80
     ends = np.flatnonzero(is_end)
     starts = np.empty_like(ends)

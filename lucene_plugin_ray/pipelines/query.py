@@ -58,6 +58,7 @@ class _LiveSegment:
         self.reader = reader
         self.alive = alive  # bool[n_docs] — False = superseded/deleted/cleared
         self.n_alive = int(alive.sum())
+        self.all_alive = self.n_alive == reader.n_docs  # skip mask filtering
         self.sum_dl_alive = {
             f: int(dl[alive].sum()) for f, dl in reader.doc_len.items()
         }
@@ -196,8 +197,9 @@ class SearchEngine:
                     continue
                 docids, tfs = seg.reader.postings(row)
                 local = seg.reader.local_ids(docids)
-                ok = seg.alive[local]
-                docids, tfs, local = docids[ok], tfs[ok], local[ok]
+                if not seg.all_alive:
+                    ok = seg.alive[local]
+                    tfs, local = tfs[ok], local[ok]
                 cache[(si, c.field, c.term)] = (local, tfs)
                 df += len(local)
             global_df[key] = df
@@ -272,7 +274,9 @@ class SearchEngine:
                 for row in rows:
                     docids, _ = r.postings(int(row))
                     local = r.local_ids(docids)
-                    matched[local[seg.alive[local]]] = True
+                    if not seg.all_alive:
+                        local = local[seg.alive[local]]
+                    matched[local] = True
                 # constant-score 1.0 (Lucene 5.x CONSTANT_SCORE rewrite)
                 scores[matched] += 1.0
                 if must_cnt is not None and c.occur == MUST:
