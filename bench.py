@@ -122,6 +122,13 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     queries["index_build"] = round(build_s, 3)
     out["docs"] = n_docs
     out["postings"] = n_postings
+    # content digest of the whole index — equal across parallelism levels
+    # (determinism evidence: same corpus → byte-identical index at any
+    # cluster size, SURVEY.md §7.4)
+    digest_src = ",".join(
+        sorted(f"{r['collection']}:{r['partition']}:{r['input_digest']}" for r in manifest.partitions)
+    )
+    out["index_digest"] = __import__("hashlib").sha256(digest_src.encode()).hexdigest()[:16]
     out["build_docs_per_sec"] = round(n_docs / build_s, 1)
     out["build_postings_per_sec"] = round(n_postings / build_s, 1)
     # per-partition skew evidence (BASELINE.md: metric spread)
@@ -245,6 +252,8 @@ def main() -> None:
                 "query_p50_warm"
             ]
         result["value"] = round(max(effs), 3)  # best measured N→4N pair
+        digests = {runs[n].get("index_digest") for n in levels}
+        result["deterministic_across_parallelism"] = len(digests) == 1
         print(json.dumps(result))
         return
 

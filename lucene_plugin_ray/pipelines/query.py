@@ -84,6 +84,11 @@ class SearchEngine:
         self.chain = load_manifest_chain(index_root, generation)
         self.generation = self.chain[-1].generation
         self._results_cache: OrderedDict = OrderedDict()
+        # decoded-postings LRU across queries (≙ the role of Lucene's block
+        # cache / OS page cache on the reference's mmap'd index): hot terms
+        # skip the varint decode on repeat queries.
+        self._postings_cache: OrderedDict = OrderedDict()
+        self._postings_cache_size = 4096
 
         # ---- resolve live segments per collection under the chain ----
         # Three masking mechanisms (D1/D2/D3), all evaluated per
@@ -192,16 +197,29 @@ class SearchEngine:
                 continue
             df = 0
             for si, seg in enumerate(segs):
+                ck = (seg.reader.path, c.field, c.term)  # segment-unique key
+                hit = self._postings_cache.get(ck)
+                if hit is not None:
+                    self._postings_cache.move_to_end(ck)
+                    if hit[0] is not None:
+                        cache[(si, c.field, c.term)] = hit
+                        df += len(hit[0])
+                    continue
                 row = seg.reader.lookup(c.field, c.term)
                 if row < 0:
-                    continue
-                docids, tfs = seg.reader.postings(row)
-                local = seg.reader.local_ids(docids)
-                if not seg.all_alive:
-                    ok = seg.alive[local]
-                    tfs, local = tfs[ok], local[ok]
-                cache[(si, c.field, c.term)] = (local, tfs)
-                df += len(local)
+                    entry = (None, None)  # negative cache (miss)
+                else:
+                    docids, tfs = seg.reader.postings(row)
+                    local = seg.reader.local_ids(docids)
+                    if not seg.all_alive:
+                        ok = seg.alive[local]
+                        tfs, local = tfs[ok], local[ok]
+                    entry = (local, tfs)
+                    cache[(si, c.field, c.term)] = entry
+                    df += len(local)
+                self._postings_cache[ck] = entry
+                if len(self._postings_cache) > self._postings_cache_size:
+                    self._postings_cache.popitem(last=False)
             global_df[key] = df
 
         # ---- phase 2: per-segment scoring + top-k, then merge (K1)
@@ -293,10 +311,13 @@ class SearchEngine:
                  "docid": pa.array([], pa.int64())}
             )
         if cand.size > limit:
-            # bounded selection before the exact sort (per-partition heap K1)
-            top = np.argpartition(-scores[cand], limit - 1)[:limit]
-            cand = cand[top]
-        order = np.lexsort((cand, -scores[cand]))
+            # bounded selection before the exact sort (per-partition heap K1).
+            # argpartition alone would pick an ARBITRARY subset of docs tied
+            # at the k-th score — keep EVERY candidate at or above the k-th
+            # score so the (score desc, docid asc) tiebreak stays exact.
+            kth = np.partition(scores[cand], cand.size - limit)[cand.size - limit]
+            cand = cand[scores[cand] >= kth]
+        order = np.lexsort((cand, -scores[cand]))[:limit]
         cand = cand[order]
         return pa.table(
             {

@@ -94,3 +94,34 @@ def test_stats_exact_integer_aggregates(ray_session, tmp_path):
     n, avgdl = engine._stats("default")
     assert n == oracle.n_docs["default"]
     assert abs(avgdl["text"] - oracle._avgdl("text", "default")) < 1e-12
+
+
+def test_salted_term_stats_equals_naive(ray_session, tmp_path):
+    """SURVEY.md §5.2-4(e): salted head-term aggregation == unsalted naive
+    count (the salt is an execution detail, not a semantic one)."""
+    import ray.data
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from lucene_plugin_ray.functions.analysis import analyze
+    from lucene_plugin_ray.stages.term_stats import term_stats
+
+    corpus = make_pages(120, seed=53)
+    cfg = IndexConfig(num_partitions=4, salt_buckets=8)
+    out = term_stats(ray.data.from_arrow(corpus), cfg)
+    got = {}
+    for b in out.iter_batches(batch_format="pyarrow"):
+        for f, t, df, tf in zip(b["field"].to_pylist(), b["term"].to_pylist(),
+                                b["df"].to_pylist(), b["total_tf"].to_pylist()):
+            got[(f, t)] = (df, tf)
+    # naive oracle over raw rows (counts EVERY row — term_stats is a corpus
+    # aggregate, pre-dedup, like a WordCount)
+    df_c: Counter = Counter()
+    tf_c: Counter = Counter()
+    for r in corpus.to_pylist():
+        toks = analyze(r["text"] or "")
+        tf_c.update(("text", t) for t in toks)
+        df_c.update(set(("text", t) for t in toks))
+    expected = {k: (df_c[k], tf_c[k]) for k in df_c}
+    assert got == expected
