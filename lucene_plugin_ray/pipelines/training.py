@@ -324,8 +324,12 @@ def dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.5) -> pa.Table:
     def _pairs(group: pa.Table) -> pa.Table:
         ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
         if ids.size < 2 or ids.size > _MAX_BUCKET:
+            # oversized buckets (degenerate near-identical shingle sets) are
+            # dropped but COUNTED — no silent coverage caps
+            dropped = ids.size if ids.size > _MAX_BUCKET else 0
             return pa.table(
-                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+                {"doc_a": pa.array([-1], pa.int64()) if dropped else pa.array([], pa.int64()),
+                 "doc_b": pa.array([dropped], pa.int64()) if dropped else pa.array([], pa.int64())}
             )
         ai, bi = np.triu_indices(ids.size, k=1)
         return pa.table(
@@ -340,6 +344,16 @@ def dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.5) -> pa.Table:
         .map_groups(_pairs, batch_format="pyarrow")
     )
     cand_tbl = pa.concat_tables([b for b in cand.iter_batches(batch_format="pyarrow")])
+    dropped_mask = pc.equal(cand_tbl["doc_a"], -1)
+    n_over = pc.sum(pc.cast(dropped_mask, pa.int64())).as_py() or 0
+    if n_over:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "dedup_minhash: %d LSH buckets exceeded cap %d and were dropped "
+            "(raise _MAX_BUCKET or pre-shard degenerate content)", n_over, _MAX_BUCKET
+        )
+        cand_tbl = cand_tbl.filter(pc.invert(dropped_mask))
     if cand_tbl.num_rows == 0:
         return pa.table(
             {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),

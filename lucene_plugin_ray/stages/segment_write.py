@@ -409,35 +409,56 @@ def _build_postings_numeric(
     terms (probability |V|²/2⁶⁵ ≈ 1e-10 at 100k terms); at 10¹²-doc scale
     move to a 128-bit hash or add a collision re-check.
     """
+    from lucene_plugin_ray.functions.analysis import tokenize_column_hashed
     from lucene_plugin_ray.functions.hashing import fnv1a_bytes_column, mix64_np
 
     n_docs = seg.num_rows
     dl_arrays: dict[str, np.ndarray] = {}
-    fid_parts, h_parts, did_parts, term_arrays = [], [], [], []
+    fid_parts, h_parts, did_parts, materializers = [], [], [], []
     field_names: list[str] = []
     for field in cfg.fields():
         if field not in seg.column_names:
             dl_arrays[field] = np.zeros(n_docs, np.int32)
             continue
         col = pc.cast(seg[field].combine_chunks(), pa.string())
-        parents, terms, doc_len = tokenize_column(col)
-        dl_arrays[field] = doc_len
-        if len(parents) == 0:
-            continue
+        ht = tokenize_column_hashed(col)
+        if ht is not None:
+            # ASCII fast path: no per-token strings materialized
+            dl_arrays[field] = ht.doc_len
+            if len(ht.parents) == 0:
+                continue
+            parents, hashes = ht.parents, ht.hashes
+
+            def _mat(idxs, _ht=ht):
+                return np.array(
+                    [_ht.token_bytes(int(i)).decode() for i in idxs], dtype=object
+                )
+
+        else:
+            # exact Unicode path (same spec, same hash formula)
+            parents, terms, doc_len = tokenize_column(col)
+            dl_arrays[field] = doc_len
+            if len(parents) == 0:
+                continue
+            hashes = mix64_np(fnv1a_bytes_column(terms))
+
+            def _mat(idxs, _terms=terms):
+                return _terms.take(pa.array(idxs)).to_numpy(zero_copy_only=False)
+
         fid = len(field_names)
         field_names.append(field)
         fid_parts.append(np.full(len(parents), fid, dtype=np.int16))
-        h_parts.append(mix64_np(fnv1a_bytes_column(terms)))
+        h_parts.append(hashes)
         did_parts.append(doc_base + parents)
-        term_arrays.append(terms)
+        materializers.append(_mat)
     if not fid_parts:
         return None, dl_arrays
 
     fid = np.concatenate(fid_parts)
     h = np.concatenate(h_parts)
     did = np.concatenate(did_parts)
-    # token-index offsets so a flat index maps back into its field's terms
-    tok_offsets = np.concatenate([[0], np.cumsum([len(a) for a in term_arrays])])
+    # token-index offsets so a flat index maps back into its field's tokens
+    tok_offsets = np.concatenate([[0], np.cumsum([len(a) for a in fid_parts])])
 
     order = np.lexsort((did, h, fid))
     fid_s, h_s, did_s = fid[order], h[order], did[order]
@@ -463,13 +484,12 @@ def _build_postings_numeric(
     # term string for each group: first token of the group's first run
     first_tok = order[run_starts[g_starts]]
     g_field_id = p_fid[g_starts]
-    # map flat token index → (field array, local index)
+    # map flat token index → (field materializer, local index)
     term_strs = np.empty(g_starts.size, dtype=object)
-    for a_i, arr in enumerate(term_arrays):
+    for a_i, mat in enumerate(materializers):
         sel = (first_tok >= tok_offsets[a_i]) & (first_tok < tok_offsets[a_i + 1])
         if sel.any():
-            local = first_tok[sel] - tok_offsets[a_i]
-            term_strs[sel] = arr.take(pa.array(local)).to_numpy(zero_copy_only=False)
+            term_strs[sel] = mat(first_tok[sel] - tok_offsets[a_i])
 
     # lexicographic (field, term) order over the small group set
     g_order = np.lexsort((term_strs, g_field_id))

@@ -72,3 +72,54 @@ def test_sanitize_collection():
     # ≙ LuceneIndexBean.escape (LuceneIndexBean.java:553-586): strips specials
     assert sanitize_collection('a+b-c!d(e)f{g}h[i]j^k"l~m*n?o:p\\q') == "abcdefghijklmnopq"
     assert sanitize_collection("plain") == "plain"
+
+
+def test_hashed_fast_path_matches_exact():
+    from lucene_plugin_ray.functions.analysis import (
+        hash_token_bytes,
+        tokenize_column_hashed,
+    )
+
+    texts = [
+        "Mary had a little Lamb",
+        "",
+        None,
+        "the THE the",
+        "x" * 256 + " ok 123abc",
+        "edge",  # token flush at row boundary (next row starts with alnum)
+        "left right",
+    ]
+    arr = pa.array(texts, type=pa.string())
+    ht = tokenize_column_hashed(arr)
+    assert ht is not None
+    parents, terms, doc_len = tokenize_column(arr)
+    assert ht.doc_len.tolist() == doc_len.tolist()
+    assert ht.parents.tolist() == parents.tolist()
+    exp_hashes = [hash_token_bytes(t.encode()) for t in terms.to_pylist()]
+    assert ht.hashes.tolist() == exp_hashes
+    # token strings recoverable from the buffer
+    got_toks = [ht.token_bytes(i).decode() for i in range(len(ht.parents))]
+    assert got_toks == terms.to_pylist()
+
+
+def test_hashed_fast_path_rejects_non_ascii():
+    from lucene_plugin_ray.functions.analysis import tokenize_column_hashed
+
+    assert tokenize_column_hashed(pa.array(["KKelvin"])) is None  # KELVIN SIGN
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.text(alphabet=st.characters(min_codepoint=1, max_codepoint=127), max_size=40), max_size=8))
+def test_hashed_fast_path_property_ascii(texts):
+    from lucene_plugin_ray.functions.analysis import (
+        hash_token_bytes,
+        tokenize_column_hashed,
+    )
+
+    arr = pa.array(texts, type=pa.string())
+    ht = tokenize_column_hashed(arr)
+    assert ht is not None
+    parents, terms, doc_len = tokenize_column(arr)
+    assert ht.parents.tolist() == parents.tolist()
+    assert ht.doc_len.tolist() == doc_len.tolist()
+    assert ht.hashes.tolist() == [hash_token_bytes(t.encode()) for t in terms.to_pylist()]
