@@ -125,3 +125,65 @@ def test_salted_term_stats_equals_naive(ray_session, tmp_path):
         df_c.update(set(("text", t) for t in toks))
     expected = {k: (df_c[k], tf_c[k]) for k in df_c}
     assert got == expected
+
+
+def test_resume_mid_delta(ray_session, tmp_path):
+    """Crash between delta segment writes and manifest commit → rerun of
+    build_delta reuses completed partition segments (digest skip) and the
+    chain stays consistent."""
+    import os
+    import shutil
+
+    from lucene_plugin_ray.pipelines.build import build_delta, build_index
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+
+    corpus = make_pages(200, seed=54)
+    root = str(tmp_path / "idx")
+    cfg = IndexConfig(index_root=root, num_partitions=4)
+    build_index(corpus.slice(0, 120), cfg)
+    m1 = build_delta(corpus.slice(120), cfg)
+    baseline = _results(SearchEngine(root, cfg=cfg))
+
+    # crash simulation: drop the gen-1 manifest + one delta segment
+    os.remove(os.path.join(root, "manifest-1.json"))
+    shutil.rmtree(m1.partitions[0]["path"])
+
+    m2 = build_delta(corpus.slice(120), cfg)
+    assert m2.generation == 1
+    assert any(r["resumed"] for r in m2.partitions)
+    assert any(not r["resumed"] for r in m2.partitions)
+    assert _results(SearchEngine(root, cfg=cfg)) == baseline
+
+
+def test_randomized_conformance_sweep(ray_session, tmp_path):
+    """Randomized (seeded) corpora with dups + deletes: engine == oracle on
+    sampled term/AND/OR queries — beyond the planted fixtures."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_plugin_ray.pipelines.build import build_index
+    from lucene_plugin_ray.pipelines.fixtures import make_delete_set
+    from lucene_plugin_ray.pipelines.oracle import OracleIndex
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+
+    for seed in (101, 202):
+        rng = np.random.default_rng(seed)
+        corpus = make_pages(int(rng.integers(80, 200)), seed=seed)
+        deletes = make_delete_set(corpus, every=int(rng.integers(7, 20)))
+        root = str(tmp_path / f"idx{seed}")
+        cfg = IndexConfig(index_root=root, num_partitions=int(rng.integers(2, 7)))
+        build_index(corpus, cfg, deletes=deletes)
+        engine = SearchEngine(root, cfg=cfg)
+        oracle = OracleIndex(corpus, cfg, deletes=deletes)
+        vocab = [f"w{int(rng.integers(0, 3000)):05d}" for _ in range(12)]
+        queries = (
+            vocab[:4]
+            + [f"{a} {b}" for a, b in zip(vocab[4:7], vocab[7:10])]
+            + [f"+{a} +{b}" for a, b in zip(vocab[8:10], vocab[10:12])]
+        )
+        for q in queries:
+            got = engine.search(q, limit=50)
+            exp = oracle.search(q, limit=50)
+            assert got["url"].to_pylist() == [u for u, _ in exp], (seed, q)
+            for s, (_, es) in zip(got["score"].to_pylist(), exp):
+                assert abs(s - es) < 1e-6
