@@ -42,12 +42,27 @@ from lucene_plugin_ray.state.manifest import (
 )
 
 
-def _as_dataset(corpus) -> "ray.data.Dataset":
+def _as_dataset(corpus, cfg: IndexConfig | None = None) -> "ray.data.Dataset":
     if isinstance(corpus, ray.data.Dataset):
         return corpus
     if isinstance(corpus, pa.Table):
         return ray.data.from_arrow(corpus)
     if isinstance(corpus, str):
+        if cfg is not None:
+            # prune at the read (S4): only columns the build consumes leave
+            # storage — `html` and friends never enter the pipeline
+            import pyarrow.dataset as pads
+
+            avail = set(pads.dataset(corpus).schema.names)
+            want = [
+                c
+                for c in (
+                    cfg.url_column, cfg.ts_column, cfg.text_column,
+                    *cfg.field_columns, cfg.collection_column,
+                )
+                if c in avail
+            ]
+            return ray.data.read_parquet(corpus, columns=want)
         return ray.data.read_parquet(corpus)
     raise TypeError(f"unsupported corpus type {type(corpus)}")
 
@@ -150,7 +165,7 @@ def build_index(
             f"{cfg.index_root} already holds an index; use build_delta() or a "
             "fresh index_root"
         )
-    rows = _run_build(_as_dataset(corpus), cfg, generation=0, deletes=deletes)
+    rows = _run_build(_as_dataset(corpus, cfg), cfg, generation=0, deletes=deletes)
     manifest = Manifest(
         generation=0,
         num_partitions=cfg.num_partitions,
@@ -182,7 +197,7 @@ def build_delta(
 
     prior_spec = _prior_spec_from_chain(chain)
     rows = _run_build(
-        _as_dataset(corpus), cfg, generation=gen, deletes=deletes,
+        _as_dataset(corpus, cfg), cfg, generation=gen, deletes=deletes,
         prior_spec=prior_spec,
     )
 

@@ -105,4 +105,13 @@ class ValidateAndPartition:
         p = (mix64_np(fnv1a_bytes_column(key)) % np.uint64(cfg.num_partitions)).astype(
             np.int32
         )
-        return batch.append_column("_p", pa.array(p, type=pa.int32()))
+        batch = batch.append_column("_p", pa.array(p, type=pa.int32()))
+        # project away everything the shuffle doesn't need (notably the
+        # `html` binary payload — SURVEY.md §7.4 "Wide rows": the tokenize
+        # shuffle must never carry multi-MB blobs)
+        needed = {
+            cfg.url_column, cfg.ts_column, cfg.text_column, *cfg.field_columns,
+            "collection", "text_sha256", "_p",
+        }
+        drop = [c for c in batch.column_names if c not in needed]
+        return batch.drop_columns(drop) if drop else batch
