@@ -338,6 +338,25 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.35
 ORDER BY vec_a, vec_b
 """
-    # dedup_minhash, simhash, ann_ivf, lang_id: heuristic / approximate /
-    # LSH-based — not SQL-expressible; the driver records rows-only checks.
+    # language-ID heuristic: marker-hit voting, ties → lang asc, 0 hits → und
+    from lucene_plugin_ray.pipelines.training import _LANG_MARKERS
+
+    marker_values = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang in sorted(_LANG_MARKERS)
+        for w in sorted(_LANG_MARKERS[lang])
+    )
+    sql["lang_id"] = f"""
+WITH raw AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+m(lang, term) AS (SELECT * FROM (VALUES {marker_values})),
+hits AS (SELECT r.doc_id, m.lang, count(*) AS c FROM raw r JOIN m ON r.term = m.term GROUP BY r.doc_id, m.lang),
+best AS (SELECT doc_id, lang,
+                row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lang ASC) AS rn
+         FROM hits)
+SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang
+FROM documents d LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b USING (doc_id)
+ORDER BY doc_id
+"""
+    # dedup_minhash, simhash, ann_ivf: approximate / LSH-based — not
+    # SQL-expressible; the driver records rows-only checks.
     return sql

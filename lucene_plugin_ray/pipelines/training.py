@@ -135,7 +135,7 @@ class LangId:
             hit = pc.is_in(flat, value_set=arr).to_numpy(zero_copy_only=False)
             scores[:, j] = np.bincount(parents[hit], minlength=n)
         best = np.argmax(scores, axis=1)  # ties → first (sorted lang order)
-        langs = np.array([l for l, _ in self.markers])
+        langs = np.array([l for l, _ in self.markers], dtype=object)
         pred = langs[best]
         pred[scores.max(axis=1) == 0] = "und"
         return pa.table(
