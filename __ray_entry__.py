@@ -176,6 +176,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ).sort_by("doc_id")
 
+    def batch_search(sf_dir: str) -> pa.Table:
+        """Actor-pool batch query path (T2): a queries dataset through
+        map_batches(QueryExecutor) — engine mmapped once per actor."""
+        import ray.data
+
+        from lucene_plugin_ray.pipelines.query import QueryExecutor
+        from lucene_plugin_ray.sources.pages import url_to_doc_id
+
+        engine, cfg = _engine_for(sf_dir)  # ensure the index exists
+        qtable = pa.table(
+            {
+                "qid": pa.array([0, 1, 2], type=pa.int64()),
+                "collection": ["default"] * 3,
+                "query": [_TERM_Q, _AND_Q, _FIELD_Q],
+                "k": pa.array([1_000_000_000] * 3, type=pa.int32()),
+            }
+        )
+        out = (
+            ray.data.from_arrow(qtable)
+            .map_batches(
+                QueryExecutor,
+                fn_constructor_args=(cfg.index_root,),
+                fn_constructor_kwargs={"cfg": cfg},
+                batch_format="pyarrow",
+                batch_size=1,
+                concurrency=2,
+            )
+            .take_all()
+        )
+        t = pa.Table.from_pylist(out)
+        return pa.table(
+            {
+                "qid": t["qid"],
+                "doc_id": url_to_doc_id(t["url"].combine_chunks()),
+                "score": pc.round(t["score"].combine_chunks(), ndigits=4),
+            }
+        ).sort_by([("qid", "ascending"), ("doc_id", "ascending")])
+
     def term_stats_q(sf_dir: str) -> pa.Table:
         import ray.data
 
@@ -199,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_and": search_and,
         "search_field": search_field,
         "search_range": search_range,
+        "batch_search": batch_search,
         "term_stats": term_stats_q,
         "token_count": doc_stats,
         "quality_score": training.quality_score,
@@ -224,6 +263,32 @@ def oracle_sql() -> dict[str, str]:
     sql["search_term"] = _bm25_sql(term_terms)
     sql["search_or"] = _bm25_sql(or_terms)
     sql["search_and"] = _bm25_sql(and_terms, conjunctive=True)
+
+    def _with_qid(qid: int, inner: str) -> str:
+        return f"SELECT {qid} AS qid, doc_id, score FROM ({inner})"
+
+    sql["batch_search"] = (
+        _with_qid(0, _bm25_sql(term_terms))
+        + " UNION ALL "
+        + _with_qid(1, _bm25_sql(and_terms, conjunctive=True))
+        + " UNION ALL "
+        + _with_qid(2, """
+WITH raw AS (SELECT doc_id, unnest(string_split_regex(lower(lang), '[^a-z0-9]+')) AS term FROM documents),
+toks AS (SELECT doc_id, term FROM raw WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+docs AS (SELECT d.doc_id, coalesce(dl.dl, 0) AS dl FROM documents d LEFT JOIN dl USING (doc_id)),
+stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM docs),
+df AS (SELECT term, count(*) AS df FROM tf WHERE term = 'de' GROUP BY term)
+SELECT tf.doc_id AS doc_id,
+       round(ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * docs.dl / s.avgdl)), 4) AS score
+FROM tf JOIN df USING (term) JOIN docs ON docs.doc_id = tf.doc_id CROSS JOIN stats s
+WHERE tf.term = 'de'
+""")
+        + " ORDER BY qid, doc_id"
+    )
 
     # field-scoped BM25 over the single-token lang column
     sql["search_field"] = f"""
