@@ -266,3 +266,36 @@ def test_row_split_incremental_equals_full(ray_session, tmp_path_factory):
                        [round(s, 9) for s in got["score"].to_pylist()]))
         e = sorted((u, round(s, 9)) for u, s in exp)
         assert g == e, q
+
+
+def test_unicode_corpus_build(ray_session, tmp_path_factory):
+    """Non-ASCII text forces the exact Unicode tokenize path inside the
+    segment build (the ASCII fast path must decline) — engine == oracle."""
+    from lucene_plugin_ray.pipelines.build import build_index
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+
+    rows = [
+        ("u://0", 1, "Grüße aus München the straße café"),
+        ("u://1", 2, "café CRÈME brûlée and naïve résumé"),
+        ("u://2", 3, "日本語テキスト mixed with english words café"),
+        ("u://3", 4, "Kelvin sign \u212aelvin temperature"),  # K → 'k' folding
+        ("u://4", 5, "plain ascii only lamb"),
+    ]
+    corpus = pa.table(
+        {
+            "url": [r[0] for r in rows],
+            "warc_ts": pa.array([r[1] * 1_000_000 for r in rows], type=pa.timestamp("us")),
+            "text": [r[2] for r in rows],
+        }
+    )
+    root = str(tmp_path_factory.mktemp("idx_uni"))
+    cfg = IndexConfig(index_root=root, num_partitions=2)
+    build_index(corpus, cfg)
+    engine = SearchEngine(root, cfg=cfg)
+    oracle = OracleIndex(corpus, cfg)
+    for q in ["caf", "english", "lamb", "kelvin", "gr", "e"]:
+        got = engine.search(q, limit=10)
+        exp = oracle.search(q, limit=10)
+        assert got["url"].to_pylist() == [u for u, _ in exp], q
+        for s, (_, es) in zip(got["score"].to_pylist(), exp):
+            assert abs(s - es) < 1e-6

@@ -107,3 +107,19 @@ def test_reject_routing(tmp_path):
     rej = pads.dataset(str(tmp_path / "rejects")).to_table()
     assert rej.num_rows == 2
     assert set(rej["text"].to_pylist()) == {"no url", "empty url"}
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=60))
+def test_parser_never_crashes_unexpectedly(q):
+    """Any input either parses or raises QueryParseError — nothing else."""
+    try:
+        clauses = parse_query(q)
+    except QueryParseError:
+        return
+    for c in clauses:
+        assert c.occur in (MUST, SHOULD)
