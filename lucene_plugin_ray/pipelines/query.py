@@ -228,11 +228,20 @@ class SearchEngine:
             and all(isinstance(c, TermClause) and c.occur != MUST for c in clauses)
             and len(term_clauses) > 0
         )
+        pure_and = (
+            len(clauses) > 1
+            and all(isinstance(c, TermClause) and c.occur == MUST for c in clauses)
+            and method != "bmw"
+        )
         parts = []
         for si, seg in enumerate(segs):
             if use_bmw:
                 t = self._score_segment_bmw(
                     si, seg, term_clauses, global_df, n_docs, avgdl, limit
+                )
+            elif pure_and:
+                t = self._score_segment_and(
+                    si, seg, term_clauses, cache, global_df, n_docs, avgdl, limit
                 )
             else:
                 t = self._score_segment_taat(
@@ -323,6 +332,64 @@ class SearchEngine:
             {
                 "url": pa.array(r.urls[cand], type=pa.string()),
                 "score": pa.array(scores[cand], type=pa.float64()),
+                "docid": pa.array(r.doc_base + cand, type=pa.int64()),
+            }
+        )
+
+    # ------------------------------------------------------------------
+    def _score_segment_and(
+        self,
+        si: int,
+        seg: _LiveSegment,
+        clauses: list[TermClause],
+        cache: dict,
+        global_df: dict,
+        n_docs: int,
+        avgdl: dict[str, float],
+        limit: int,
+    ) -> pa.Table:
+        """Pure-AND path: sorted posting-list intersection (J2), rarest term
+        first, galloping via searchsorted — no dense accumulator.  Equivalent
+        to TAAT with all-MUST (tested), faster when the intersection is
+        selective."""
+        r = seg.reader
+        empty = pa.table(
+            {"url": pa.array([], pa.string()), "score": pa.array([], pa.float64()),
+             "docid": pa.array([], pa.int64())}
+        )
+        lists = []
+        for c in clauses:
+            got = cache.get((si, c.field, c.term))
+            if got is None or len(got[0]) == 0:
+                return empty  # a MUST term absent from this segment → no hits
+            lists.append((c, got[0], got[1]))
+        lists.sort(key=lambda x: len(x[1]))
+        cand = lists[0][1]
+        for _, local, _tf in lists[1:]:
+            pos = np.searchsorted(local, cand)
+            pos[pos >= local.size] = local.size - 1
+            cand = cand[local[pos] == cand]
+            if cand.size == 0:
+                return empty
+        scores = np.zeros(cand.size, dtype=np.float64)
+        for c, local, tfs in lists:
+            pos = np.searchsorted(local, cand)
+            df = global_df[(c.field, c.term)]
+            dl = r.doc_len[c.field]
+            scores += bm25_term_scores(
+                tfs[pos], dl[cand], df, n_docs, avgdl.get(c.field, 1.0),
+                k1=self.cfg.k1, b=self.cfg.b,
+            )
+        if cand.size > limit:
+            kth = np.partition(scores, cand.size - limit)[cand.size - limit]
+            keep = scores >= kth
+            cand, scores = cand[keep], scores[keep]
+        order = np.lexsort((cand, -scores))[:limit]
+        cand, scores = cand[order], scores[order]
+        return pa.table(
+            {
+                "url": pa.array(r.urls[cand], type=pa.string()),
+                "score": pa.array(scores, type=pa.float64()),
                 "docid": pa.array(r.doc_base + cand, type=pa.int64()),
             }
         )
