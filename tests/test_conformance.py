@@ -299,3 +299,36 @@ def test_unicode_corpus_build(ray_session, tmp_path_factory):
         assert got["url"].to_pylist() == [u for u, _ in exp], q
         for s, (_, es) in zip(got["score"].to_pylist(), exp):
             assert abs(s - es) < 1e-6
+
+
+def test_generation_pinning(ray_session, tmp_path_factory):
+    """≙ T2 searcher versioning: a SearchEngine pinned to an older
+    generation sees the pre-delta state (time travel)."""
+    from lucene_plugin_ray.pipelines.build import build_delta, build_index
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+
+    base = pa.table(
+        {
+            "url": ["u://0"],
+            "warc_ts": pa.array([1_000_000], type=pa.timestamp("us")),
+            "text": ["original aardwolf content"],
+        }
+    )
+    delta = pa.table(
+        {
+            "url": ["u://0"],
+            "warc_ts": pa.array([2_000_000], type=pa.timestamp("us")),
+            "text": ["replacement bandicoot content"],
+        }
+    )
+    root = str(tmp_path_factory.mktemp("idx_pin"))
+    cfg = IndexConfig(index_root=root, num_partitions=2)
+    build_index(base, cfg)
+    build_delta(delta, cfg)
+    latest = SearchEngine(root, cfg=cfg)
+    pinned = SearchEngine(root, generation=0, cfg=cfg)
+    assert latest.generation == 1 and pinned.generation == 0
+    assert latest.search("bandicoot").num_rows == 1
+    assert latest.search("aardwolf").num_rows == 0
+    assert pinned.search("aardwolf").num_rows == 1   # old generation intact
+    assert pinned.search("bandicoot").num_rows == 0
