@@ -201,7 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 fn_constructor_kwargs={"cfg": cfg},
                 batch_format="pyarrow",
                 batch_size=1,
-                concurrency=2,
+                concurrency=min(2, cfg.query_concurrency),
             )
             .take_all()
         )
@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": training.fingerprint,
         "dedup_exact": training.dedup_exact,
         "dedup_minhash": training.dedup_minhash,
+        "jaccard_adjacent": training.jaccard_adjacent,
         "simhash": training.simhash,
         "embedding_dedup": training.embedding_dedup,
         "ann_topk": training.ann_topk,
@@ -355,6 +356,20 @@ SELECT doc_id,
                           AND NOT list_contains({_SQL_STOP_LIST_LITERAL}, x)),
          ' ')) AS fp_sha256
 FROM documents ORDER BY doc_id
+"""
+
+    sql["jaccard_adjacent"] = f"""
+{_toks_cte()},
+s AS (SELECT DISTINCT doc_id, term FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+inter AS (SELECT x.doc_id AS doc_a, count(*) AS c
+          FROM s x JOIN s y ON y.doc_id = x.doc_id + 1 AND y.term = x.term
+          GROUP BY x.doc_id)
+SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+       round(coalesce(i.c, 0) * 1.0 / (sa.n + sb.n - coalesce(i.c, 0)), 6) AS jaccard
+FROM sizes sa JOIN sizes sb ON sb.doc_id = sa.doc_id + 1
+LEFT JOIN inter i ON i.doc_a = sa.doc_id
+ORDER BY doc_a
 """
 
     sql["dedup_exact"] = """

@@ -64,9 +64,10 @@ class IndexConfig:
     salt_buckets: int = 8
     salt_df_threshold: int = 100_000
 
-    # Actor-pool sizing (tuned by bench; see BASELINE.md).
+    # Actor-pool sizing defaults (callers pass these to map_batches
+    # ``concurrency=``; build tasks are sized by Ray's scheduler).
     build_concurrency: int | None = None   # None → Ray decides
-    query_concurrency: int = 4
+    query_concurrency: int = 4             # QueryExecutor pool default
     tokenize_batch_size: int = 2048
 
     # Query-side caches (≙ reference T3/T4 LRUs, LuceneIndexBean.java:104,792)

@@ -401,6 +401,90 @@ def dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.5) -> pa.Table:
     )
 
 
+def jaccard_adjacent(sf_dir: str) -> pa.Table:
+    """Exact token-set (1-gram) Jaccard between adjacent doc_id pairs —
+    the n-gram-Jaccard dedup primitive as a standalone, SQL-verifiable op.
+
+    Distributed shape: each doc's distinct token-hash set is emitted to its
+    two pair groups (pair d = docs {d, d+1}), then a pair-keyed groupby
+    computes |∩|/|∪| — no driver-side pairing loop.  Pairs where either side
+    has no tokens are dropped (matching the SQL inner join on set sizes).
+    """
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _emit(batch: pa.Table) -> pa.Table:
+        from lucene_plugin_ray.functions.hashing import fnv1a_bytes_column
+
+        parents, terms, _ = tokenize_column(
+            pc.cast(batch["text"].combine_chunks(), pa.string())
+        )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_pair, out_doc, out_hash = [], [], []
+        if len(parents):
+            th = mix64_np(fnv1a_bytes_column(terms))
+            # distinct (doc, hash)
+            order = np.lexsort((th, parents))
+            p_s, h_s = parents[order], th[order]
+            first = np.concatenate(
+                ([True], (p_s[1:] != p_s[:-1]) | (h_s[1:] != h_s[:-1]))
+            )
+            p_u, h_u = p_s[first], h_s[first]
+            d_u = ids[p_u]
+            for shift in (0, -1):  # doc d → pair d (left) and pair d-1 (right)
+                pair = d_u + shift
+                ok = pair >= 0
+                out_pair.append(pair[ok])
+                out_doc.append(d_u[ok])
+                out_hash.append(h_u[ok])
+        if not out_pair:
+            return pa.table(
+                {"pair": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64()),
+                 "h": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "pair": pa.array(np.concatenate(out_pair), type=pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_doc), type=pa.int64()),
+                "h": pa.array(np.concatenate(out_hash).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    def _jaccard(group: pa.Table) -> pa.Table:
+        pair = int(group["pair"][0].as_py())
+        docs = group["doc_id"].to_numpy(zero_copy_only=False)
+        hs = group["h"].to_numpy(zero_copy_only=False)
+        uniq = np.unique(docs)
+        if uniq.size != 2 or not (uniq == [pair, pair + 1]).all():
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                 "jaccard": pa.array([], pa.float64())}
+            )
+        a = hs[docs == pair]
+        b = hs[docs == pair + 1]
+        inter = np.intersect1d(a, b).size
+        jac = inter / (a.size + b.size - inter)
+        return pa.table(
+            {
+                "doc_a": pa.array([pair], type=pa.int64()),
+                "doc_b": pa.array([pair + 1], type=pa.int64()),
+                "jaccard": pa.array([round(jac, 6)], type=pa.float64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(_emit, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pair")
+        .map_groups(_jaccard, batch_format="pyarrow")
+    )
+    batches = [b for b in out.iter_batches(batch_format="pyarrow")]
+    if not batches:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+    return pa.concat_tables(batches).sort_by("doc_a")
+
+
 def simhash(sf_dir: str) -> pa.Table:
     """64-bit SimHash per document over analyzed tokens (tf-weighted)."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])

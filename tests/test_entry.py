@@ -12,7 +12,7 @@ SF = "/root/testdata/sf0.001"
 
 # subset kept fast for CI; the full set is exercised by the driver harness
 CHECKED = [
-    "lang_id",
+    "lang_id", "jaccard_adjacent",
     "search_term", "search_or", "search_and", "search_field", "search_range",
     "term_stats", "dedup_exact", "ann_topk", "events_latest", "fingerprint",
 ]
