@@ -123,3 +123,35 @@ def test_parser_never_crashes_unexpectedly(q):
         return
     for c in clauses:
         assert c.occur in (MUST, SHOULD)
+
+
+def test_binary_source(ray_session, tmp_path):
+    """S4: raw media files → (url, payload) dataset → multimodal stage."""
+    import pyarrow as pa
+
+    from lucene_plugin_ray.pipelines.training import MultimodalFeatures
+    from lucene_plugin_ray.sources.binary import read_binary_payloads
+
+    files = {}
+    for i in range(3):
+        p = tmp_path / f"img{i}.bin"
+        data = bytes([0x89, 0x50, 0x4E, 0x47]) + bytes(range(i + 5))
+        p.write_bytes(data)
+        files[str(p)] = data
+    ds = read_binary_payloads(str(tmp_path))
+
+    def _add_id(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "doc_id", pa.array(range(batch.num_rows), type=pa.int64())
+        )
+
+    out = (
+        ds.map_batches(_add_id, batch_format="pyarrow")
+        .map_batches(MultimodalFeatures, batch_format="pyarrow", batch_size=2,
+                     concurrency=1)
+        .take_all()
+    )
+    assert len(out) == 3
+    for r in out:
+        assert r["n_bytes"] >= 9
+        assert r["header_hex"].startswith("89504e47")  # PNG magic survives
