@@ -332,3 +332,21 @@ def test_generation_pinning(ray_session, tmp_path_factory):
     assert latest.search("aardwolf").num_rows == 0
     assert pinned.search("aardwolf").num_rows == 1   # old generation intact
     assert pinned.search("bandicoot").num_rows == 0
+
+
+def test_mixed_must_and_range(fields_built):
+    """Mixed clause kinds: required term + range + optional term — engine
+    must match the oracle's BooleanQuery semantics (all-MUST gate, every
+    matching clause contributes; range contributes constant 1.0)."""
+    corpus, cfg, engine, oracle = fields_built
+    for q in [
+        "+foo:lamb age:[23 TO 23]",          # MUST term + SHOULD range
+        "+age:[22 TO 24] foo:lamb",          # MUST range + SHOULD term
+        "+foo:lamb +age:[20 TO 29]",         # MUST term + MUST range
+        "foo:lamb age:[23 TO 23] w00001",    # all SHOULD, mixed kinds
+    ]:
+        got = engine.search(q, limit=255)
+        exp = oracle.search(q, limit=255)
+        assert got["url"].to_pylist() == [u for u, _ in exp], q
+        for s, (_, es) in zip(got["score"].to_pylist(), exp):
+            assert abs(s - es) < 1e-6, q
