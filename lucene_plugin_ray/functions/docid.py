@@ -15,8 +15,12 @@ orderings are identical either way: docid ascending == (partition,
 local_rank) lexicographic, so score tiebreaks don't depend on the choice.
 
 The brute-force oracle recomputes the same function independently
-(pipelines/oracle.py), so "tiebreak by ascending docid" is a well-defined,
-engine-independent order.
+(pipelines/oracle.py).  NOTE: docids are unique only WITHIN one generation —
+a delta generation reuses the same p·STRIDE bases — so the engine's GLOBAL
+score tiebreak is (score desc, URL asc), which is invariant under
+generations, partitioning and compaction; within a single segment the docid
+order coincides with url order (docids are url-ranks), so per-segment
+selection by docid remains consistent with the global url tiebreak.
 
 Why hash partitions instead of a global range sort: partitioning is one
 map_batches pass instead of a full distributed sample-sort of 10^12 rows;

@@ -149,6 +149,11 @@ class OracleIndex:
                     if d in hits:
                         scores[d] += 1.0  # constant-score range (Lucene 5.x)
 
+        # Tiebreak: score desc, then URL asc.  URL (not docid) because the
+        # url order is invariant under generations, partitioning and
+        # compaction — docid ranges are only unique within a generation, so
+        # a docid tiebreak would not survive incremental builds/merges.
+        # (Within one segment the two orders coincide: docids are url-ranks.)
         ranked = sorted(((d, s) for d, s in scores.items() if d in candidates),
-                        key=lambda x: (-x[1], x[0]))
+                        key=lambda x: (-x[1], self.url_of[x[0]]))
         return [(self.url_of[d], s) for d, s in ranked[:limit]]

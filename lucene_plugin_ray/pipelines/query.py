@@ -252,8 +252,16 @@ class SearchEngine:
         if not parts:
             return empty
         merged = pa.concat_tables(parts)
+        # global tiebreak: (score desc, url asc) — url order is invariant
+        # under generations/partitioning/compaction, unlike docids (whose
+        # ranges are per-generation).  Within a segment the per-segment
+        # docid tiebreak coincides with url order (docids are url-ranks),
+        # so segment-level truncation stays consistent with this merge.
         order = np.lexsort(
-            (merged["docid"].to_numpy(), -merged["score"].to_numpy())
+            (
+                merged["url"].to_numpy(zero_copy_only=False),
+                -merged["score"].to_numpy(),
+            )
         )[:limit]
         return merged.take(pa.array(order))
 

@@ -79,3 +79,47 @@ def test_compaction_preserves_results(ray_session, tmp_path):
     assert {q: [u for u, _ in rows] for q, rows in post.items()} == {
         q: [u for u, _ in rows] for q, rows in pre.items()
     }
+
+
+def test_compaction_with_collections_and_fields(ray_session, tmp_path):
+    """K3 over a multi-collection, multi-field index (+ a cleared collection
+    in the chain): compaction preserves every query result."""
+    import pyarrow.compute as pc
+
+    from lucene_plugin_ray.pipelines.build import (
+        build_delta,
+        build_index,
+        clear_collection,
+        compact_index,
+    )
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+
+    corpus = make_pages(250, seed=62, with_collections=True, with_fields=True)
+    root = str(tmp_path / "idx")
+    cfg = IndexConfig(index_root=root, num_partitions=4,
+                      field_columns=("lang", "foo", "age"))
+    build_index(corpus.slice(0, 150), cfg)
+    build_delta(corpus.slice(150), cfg)
+    eng0 = SearchEngine(root, cfg=cfg)
+    colls = eng0.collections()
+    victim = [c for c in colls if c != "default"][0]
+    clear_collection(cfg, victim)
+
+    def snap(engine):
+        out = {}
+        for coll in colls:
+            for q in ["w00000", "foo:lamb", "age:[23 TO 23]", "lang:en",
+                      "dupmarker0", "+w00001 +w00010"]:
+                t = engine.search(q, collection=coll, limit=100)
+                out[(coll, q)] = sorted(
+                    zip(t["url"].to_pylist(),
+                        [round(s, 9) for s in t["score"].to_pylist()])
+                )
+        return out
+
+    pre = snap(SearchEngine(root, cfg=cfg))
+    compact_index(cfg)
+    eng = SearchEngine(root, cfg=cfg)
+    assert len(eng.chain) == 1
+    assert snap(eng) == pre
+    assert eng.search("w00000", collection=victim, limit=10).num_rows == 0
