@@ -43,7 +43,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from lucene_plugin_ray.config import IndexConfig
-from lucene_plugin_ray.functions.analysis import term_frequencies, tokenize_column
+from lucene_plugin_ray.functions.analysis import tokenize_column
 from lucene_plugin_ray.functions.codec import encode_many_postings
 from lucene_plugin_ray.functions.docid import DOCID_STRIDE
 from lucene_plugin_ray.functions.hashing import fnv1a_bytes_column
