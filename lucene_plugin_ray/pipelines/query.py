@@ -187,9 +187,10 @@ class SearchEngine:
             return empty
 
         # ---- phase 1: global df per TERM clause (sum over segments of
-        # alive-masked df); decoded postings cached for phase 2.
+        # alive-masked df); postings decoded lazily by the scoring strategy.
         term_clauses = [c for c in clauses if isinstance(c, TermClause)]
         cache: dict[tuple[int, str, str], tuple[np.ndarray, np.ndarray]] = {}
+        rows: dict[tuple[int, str, str], int] = {}
         global_df: dict[tuple[str, str], int] = {}
         for c in term_clauses:
             key = (c.field, c.term)
@@ -197,29 +198,19 @@ class SearchEngine:
                 continue
             df = 0
             for si, seg in enumerate(segs):
-                ck = (seg.reader.path, c.field, c.term)  # segment-unique key
-                hit = self._postings_cache.get(ck)
-                if hit is not None:
-                    self._postings_cache.move_to_end(ck)
-                    if hit[0] is not None:
-                        cache[(si, c.field, c.term)] = hit
-                        df += len(hit[0])
-                    continue
                 row = seg.reader.lookup(c.field, c.term)
+                rows[(si, c.field, c.term)] = row
                 if row < 0:
-                    entry = (None, None)  # negative cache (miss)
-                else:
-                    docids, tfs = seg.reader.postings(row)
-                    local = seg.reader.local_ids(docids)
-                    if not seg.all_alive:
-                        ok = seg.alive[local]
-                        tfs, local = tfs[ok], local[ok]
-                    entry = (local, tfs)
-                    cache[(si, c.field, c.term)] = entry
-                    df += len(local)
-                self._postings_cache[ck] = entry
-                if len(self._postings_cache) > self._postings_cache_size:
-                    self._postings_cache.popitem(last=False)
+                    continue
+                if seg.all_alive:
+                    # df straight from the term dictionary — no decode;
+                    # scoring strategies decode lazily (block-max decodes
+                    # only surviving blocks)
+                    df += seg.reader.df(row)
+                    continue
+                local, tfs = self._decoded(si, seg, c.field, c.term, row)
+                cache[(si, c.field, c.term)] = (local, tfs)
+                df += len(local)
             global_df[key] = df
 
         # ---- phase 2: per-segment scoring + top-k, then merge (K1)
@@ -233,19 +224,28 @@ class SearchEngine:
             and all(isinstance(c, TermClause) and c.occur == MUST for c in clauses)
             and method != "bmw"
         )
+        use_bmax = (
+            method == "bmax"
+            and all(isinstance(c, TermClause) and c.occur != MUST for c in clauses)
+            and len(term_clauses) > 0
+        )
         parts = []
         for si, seg in enumerate(segs):
             if use_bmw:
                 t = self._score_segment_bmw(
                     si, seg, term_clauses, global_df, n_docs, avgdl, limit
                 )
+            elif use_bmax:
+                t = self._score_segment_bmax(
+                    si, seg, term_clauses, rows, global_df, n_docs, avgdl, limit
+                )
             elif pure_and:
                 t = self._score_segment_and(
-                    si, seg, term_clauses, cache, global_df, n_docs, avgdl, limit
+                    si, seg, term_clauses, cache, rows, global_df, n_docs, avgdl, limit
                 )
             else:
                 t = self._score_segment_taat(
-                    si, seg, clauses, cache, global_df, n_docs, avgdl, limit
+                    si, seg, clauses, cache, rows, global_df, n_docs, avgdl, limit
                 )
             if t.num_rows:
                 parts.append(t)
@@ -266,12 +266,48 @@ class SearchEngine:
         return merged.take(pa.array(order))
 
     # ------------------------------------------------------------------
+    def _decoded(
+        self, si: int, seg: _LiveSegment, field: str, term: str, row: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Alive-filtered decoded postings, via the cross-query LRU."""
+        ck = (seg.reader.path, field, term)
+        hit = self._postings_cache.get(ck)
+        if hit is not None:
+            self._postings_cache.move_to_end(ck)
+            return hit
+        docids, tfs = seg.reader.postings(row)
+        local = seg.reader.local_ids(docids)
+        if not seg.all_alive:
+            ok = seg.alive[local]
+            tfs, local = tfs[ok], local[ok]
+        self._postings_cache[ck] = (local, tfs)
+        if len(self._postings_cache) > self._postings_cache_size:
+            self._postings_cache.popitem(last=False)
+        return local, tfs
+
+    def _term_postings(
+        self, si: int, seg: _LiveSegment, c: TermClause, cache: dict, rows: dict
+    ):
+        got = cache.get((si, c.field, c.term))
+        if got is not None:
+            return got
+        row = rows.get((si, c.field, c.term), -2)
+        if row == -2:
+            row = seg.reader.lookup(c.field, c.term)
+        if row < 0:
+            return None
+        got = self._decoded(si, seg, c.field, c.term, row)
+        cache[(si, c.field, c.term)] = got
+        return got
+
+    # ------------------------------------------------------------------
     def _score_segment_taat(
         self,
         si: int,
         seg: _LiveSegment,
         clauses: list[Clause],
         cache: dict,
+        rows: dict,
         global_df: dict,
         n_docs: int,
         avgdl: dict[str, float],
@@ -285,7 +321,7 @@ class SearchEngine:
 
         for c in clauses:
             if isinstance(c, TermClause):
-                got = cache.get((si, c.field, c.term))
+                got = self._term_postings(si, seg, c, cache, rows)
                 if got is None:
                     continue
                 local, tfs = got
@@ -304,9 +340,9 @@ class SearchEngine:
                     must_cnt[local] += 1
             else:
                 assert isinstance(c, RangeClause)
-                rows = r.term_range(c.field, c.lo, c.hi)
+                range_rows = r.term_range(c.field, c.lo, c.hi)
                 matched = np.zeros(n, dtype=bool)
-                for row in rows:
+                for row in range_rows:
                     docids, _ = r.postings(int(row))
                     local = r.local_ids(docids)
                     if not seg.all_alive:
@@ -351,6 +387,7 @@ class SearchEngine:
         seg: _LiveSegment,
         clauses: list[TermClause],
         cache: dict,
+        rows: dict,
         global_df: dict,
         n_docs: int,
         avgdl: dict[str, float],
@@ -367,7 +404,7 @@ class SearchEngine:
         )
         lists = []
         for c in clauses:
-            got = cache.get((si, c.field, c.term))
+            got = self._term_postings(si, seg, c, cache, rows)
             if got is None or len(got[0]) == 0:
                 return empty  # a MUST term absent from this segment → no hits
             lists.append((c, got[0], got[1]))
@@ -399,6 +436,165 @@ class SearchEngine:
                 "url": pa.array(r.urls[cand], type=pa.string()),
                 "score": pa.array(scores, type=pa.float64()),
                 "docid": pa.array(r.doc_base + cand, type=pa.int64()),
+            }
+        )
+
+    # ------------------------------------------------------------------
+    def _score_segment_bmax(
+        self,
+        si: int,
+        seg: _LiveSegment,
+        clauses: list[TermClause],
+        rows: dict,
+        global_df: dict,
+        n_docs: int,
+        avgdl: dict[str, float],
+        limit: int,
+    ) -> pa.Table:
+        """Vectorized block-max best-first top-k (exact; pure-OR term
+        queries).  The docid space is cut into intervals at the union of the
+        query terms' posting-block boundaries; each interval's score upper
+        bound is the sum of the overlapping blocks' max-tf bounds.  Intervals
+        are processed in DESCENDING bound order, scoring each interval's
+        docs with one vectorized pass, and processing stops at the first
+        interval whose bound ≤ the running k-th score — every remaining
+        interval is bounded lower, so the cut is exact.  Only blocks of
+        surviving intervals are varint-decoded.
+
+        Same pruning principle as document-at-a-time block-max WAND
+        (``method='bmw'``), restructured for batch-vectorized execution.
+
+        Measured trade-off (1.2M docs): on this corpus's FLAT score
+        distribution (similar doc lengths/tfs) the dl→0 bounds rarely beat
+        the k-th score, so little prunes and the per-interval loop loses to
+        TAAT's single bulk pass (e.g. 1.5 s vs 0.1 s).  Block-max strategies
+        win when score mass is skewed and k ≪ matches — keep ``taat`` as the
+        default for analytics corpora and reach for ``bmax``/``bmw`` on
+        heavy-tailed serving workloads.
+        """
+        r = seg.reader
+        cfg = self.cfg
+        k1, b = cfg.k1, cfg.b
+        empty = pa.table(
+            {"url": pa.array([], pa.string()), "score": pa.array([], pa.float64()),
+             "docid": pa.array([], pa.int64())}
+        )
+        terms = []
+        for c in clauses:
+            row = rows.get((si, c.field, c.term), -2)
+            if row == -2:
+                row = r.lookup(c.field, c.term)
+            if row < 0:
+                continue
+            df_g = global_df[(c.field, c.term)]
+            if df_g == 0:
+                continue
+            bmeta = r.block_meta(row)
+            w = idf(df_g, n_docs)
+            # per-block upper bound (dl→0 lower bound in the denominator)
+            mtf = bmeta["blk_maxtf"].astype(np.float64)
+            ub = w * (mtf * (k1 + 1.0)) / (mtf + k1 * (1.0 - b))
+            terms.append(
+                {
+                    "c": c, "row": row, "w": w, "bmeta": bmeta, "ub": ub,
+                    "df": r.df(row), "dl": r.doc_len[c.field],
+                    "avg": avgdl.get(c.field, 1.0),
+                }
+            )
+        if not terms:
+            return empty
+
+        # interval grid: union of block-end docids (LOCAL ids)
+        ends = np.unique(
+            np.concatenate([t["bmeta"]["blk_maxdoc"] - r.doc_base for t in terms])
+        )
+        n_iv = ends.size
+        bounds = np.zeros(n_iv, dtype=np.float64)
+        blk_of = []
+        for t in terms:
+            bm = t["bmeta"]["blk_maxdoc"] - r.doc_base
+            idx = np.searchsorted(bm, ends, side="left")
+            valid = idx < bm.size
+            contrib = np.zeros(n_iv, dtype=np.float64)
+            contrib[valid] = t["ub"][idx[valid]]
+            bounds += contrib
+            blk_of.append((idx, valid))
+
+        order = np.argsort(-bounds, kind="stable")
+        top_local = np.empty(0, np.int64)
+        top_scores = np.empty(0, np.float64)
+        theta = -np.inf
+        decoded: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+        for iv in order:
+            if top_local.size >= limit and bounds[iv] <= theta:
+                break  # every remaining interval is bounded lower — exact cut
+            lo = ends[iv - 1] if iv > 0 else -1  # interval is (lo, ends[iv]]
+            hi = ends[iv]
+            cand_parts = []
+            for ti, t in enumerate(terms):
+                idx, valid = blk_of[ti]
+                if not valid[iv]:
+                    continue
+                bidx = int(idx[iv])
+                key = (ti, bidx)
+                got = decoded.get(key)
+                if got is None:
+                    d_abs, tfs_b = decode_block_abs(
+                        r.buf,
+                        t["bmeta"]["blk_doff"],
+                        t["bmeta"]["blk_toff"],
+                        t["bmeta"]["blk_maxdoc"],
+                        bidx,
+                        t["df"],
+                        int(r._doff_end[t["row"]]),
+                        int(r._toff_end[t["row"]]),
+                        block_size=cfg.block_size,
+                    )
+                    got = (d_abs - r.doc_base, tfs_b)
+                    decoded[key] = got
+                d_loc, tfs_b = got
+                s0 = np.searchsorted(d_loc, lo, side="right")
+                s1 = np.searchsorted(d_loc, hi, side="right")
+                if s0 == s1:
+                    continue
+                d_sel = d_loc[s0:s1]
+                tf_sel = tfs_b[s0:s1].astype(np.float64)
+                sc = t["w"] * (tf_sel * (k1 + 1.0)) / (
+                    tf_sel + k1 * (1.0 - b + b * t["dl"][d_sel] / t["avg"])
+                )
+                cand_parts.append((d_sel, sc))
+            if not cand_parts:
+                continue
+            docs = np.concatenate([d for d, _ in cand_parts])
+            scs = np.concatenate([s for _, s in cand_parts])
+            o = np.argsort(docs, kind="stable")
+            docs, scs = docs[o], scs[o]
+            starts = np.flatnonzero(np.concatenate(([True], docs[1:] != docs[:-1])))
+            u_docs = docs[starts]
+            u_scores = np.add.reduceat(scs, starts)
+            if not seg.all_alive:
+                ok = seg.alive[u_docs]
+                u_docs, u_scores = u_docs[ok], u_scores[ok]
+            # merge into running top-k
+            top_local = np.concatenate([top_local, u_docs])
+            top_scores = np.concatenate([top_scores, u_scores])
+            if top_local.size > limit:
+                kth = np.partition(top_scores, top_scores.size - limit)[
+                    top_scores.size - limit
+                ]
+                keep = top_scores >= kth
+                top_local, top_scores = top_local[keep], top_scores[keep]
+            if top_local.size >= limit:
+                theta = top_scores.min()
+        if top_local.size == 0:
+            return empty
+        order2 = np.lexsort((top_local, -top_scores))[:limit]
+        sel = top_local[order2]
+        return pa.table(
+            {
+                "url": pa.array(r.urls[sel], type=pa.string()),
+                "score": pa.array(top_scores[order2], type=pa.float64()),
+                "docid": pa.array(r.doc_base + sel, type=pa.int64()),
             }
         )
 

@@ -135,3 +135,11 @@ def test_result_limit_default_255(built):
     # K1 parity: facade limit ignored by reference reader → effective cap 255
     res = engine.search("w00000")  # head term, matches many docs
     assert res.num_rows <= 255
+
+
+def test_bmax_equals_taat(built):
+    cfg, manifest, engine, oracle = built
+    for q in ["pagehit", "scorecheck", "w00001 w00005 w00020", "w00034 w00100",
+              "Firstword2 w00050", "w00000", "zzmiss"]:
+        _assert_rank_identical(engine, oracle, q, limit=10, method="bmax")
+        _assert_rank_identical(engine, oracle, q, limit=255, method="bmax")
