@@ -152,9 +152,12 @@ class SearchEngine:
         limit: int | None = None,
         method: str = "taat",
     ) -> pa.Table:
-        """Top-k search → Arrow table (url, score, docid), (score desc, docid
-        asc).  ``limit`` defaults to the reference's effective 255 cap (K1,
-        LuceneReaderImpl.java:104)."""
+        """Top-k search → Arrow table (url, score, docid), ordered
+        (score desc, url asc).  ``limit`` defaults to the reference's
+        effective 255 cap (K1, LuceneReaderImpl.java:104).  ``method``:
+        'taat' (default, vectorized accumulator; pure-AND auto-switches to
+        galloping intersection), 'bmw' (doc-at-a-time block-max WAND),
+        'bmax' (vectorized block-max best-first)."""
         limit = limit if limit is not None else self.cfg.result_limit
         coll = sanitize_collection(collection)
         cache_key = (coll, query, limit, method)
