@@ -143,3 +143,28 @@ def test_bmax_equals_taat(built):
               "Firstword2 w00050", "w00000", "zzmiss"]:
         _assert_rank_identical(engine, oracle, q, limit=10, method="bmax")
         _assert_rank_identical(engine, oracle, q, limit=255, method="bmax")
+
+
+def test_bmax_with_deletes(ray_session, tmp_path_factory):
+    """bmax alive-filtering: deleted docs are excluded AFTER block scoring;
+    results match the oracle on a tombstoned chain."""
+    import pyarrow as pa
+
+    from lucene_plugin_ray.pipelines.build import build_index, delete_docs
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+
+    corpus = make_pages(200, seed=77)
+    root = str(tmp_path_factory.mktemp("idx_bmaxdel"))
+    cfg = IndexConfig(index_root=root, num_partitions=4)
+    build_index(corpus, cfg)
+    victims = sorted(set(corpus["url"].to_pylist()))[::9]
+    delete_docs(cfg, pa.table({"collection": ["default"] * len(victims),
+                               "url": victims}))
+    engine = SearchEngine(root, cfg=cfg)
+    oracle = OracleIndex(
+        corpus, cfg,
+        deletes=pa.table({"collection": ["default"] * len(victims), "url": victims}),
+    )
+    for q in ["w00000", "pagehit", "w00010 w00100", "w00001 w00005 w00020"]:
+        _assert_rank_identical(engine, oracle, q, limit=25, method="bmax")
+        _assert_rank_identical(engine, oracle, q, limit=25, method="bmw")
