@@ -265,16 +265,17 @@ def oracle_sql() -> dict[str, str]:
     sql["search_and"] = _bm25_sql(and_terms, conjunctive=True)
 
     def _with_qid(qid: int, inner: str) -> str:
-        return f"SELECT {qid} AS qid, doc_id, score FROM ({inner})"
+        return f"SELECT CAST({qid} AS BIGINT) AS qid, doc_id, score FROM ({inner})"
 
     sql["batch_search"] = (
         _with_qid(0, _bm25_sql(term_terms))
         + " UNION ALL "
         + _with_qid(1, _bm25_sql(and_terms, conjunctive=True))
         + " UNION ALL "
-        + _with_qid(2, """
+        + _with_qid(2, f"""
 WITH raw AS (SELECT doc_id, unnest(string_split_regex(lower(lang), '[^a-z0-9]+')) AS term FROM documents),
-toks AS (SELECT doc_id, term FROM raw WHERE term <> ''),
+toks AS (SELECT doc_id, term FROM raw WHERE term <> '' AND length(term) <= 255
+         AND term NOT IN {SQL_STOPWORD_LIST}),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
 docs AS (SELECT d.doc_id, coalesce(dl.dl, 0) AS dl FROM documents d LEFT JOIN dl USING (doc_id)),
@@ -322,7 +323,7 @@ ORDER BY doc_id
     sql["term_stats"] = f"""
 {_toks_cte()},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term)
-SELECT term, count(*) AS df, sum(tf) AS total_tf FROM tf GROUP BY term ORDER BY term
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf FROM tf GROUP BY term ORDER BY term
 """
 
     sql["token_count"] = f"""
@@ -341,7 +342,7 @@ agg AS (SELECT doc_id, count(*) AS n_tokens_all,
         FROM ne GROUP BY doc_id)
 SELECT d.doc_id,
        coalesce(a.n_tokens_all, 0) AS n_tokens_all,
-       coalesce(a.n_stop, 0) AS n_stop,
+       CAST(coalesce(a.n_stop, 0) AS BIGINT) AS n_stop,
        round(coalesce(a.n_stop, 0) * 1.0 / greatest(coalesce(a.n_tokens_all, 0), 1), 6) AS stop_ratio,
        round(coalesce(a.sum_len, 0) * 1.0 / greatest(coalesce(a.n_tokens_all, 0), 1), 6) AS avg_token_len
 FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id

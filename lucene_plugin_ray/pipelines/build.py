@@ -67,6 +67,33 @@ def _as_dataset(corpus, cfg: IndexConfig | None = None) -> "ray.data.Dataset":
     raise TypeError(f"unsupported corpus type {type(corpus)}")
 
 
+def _validate_cfg_against(cfg: IndexConfig, prev: Manifest) -> None:
+    """Reject a cfg that is incompatible with the stored index.
+
+    Partition stability is load-bearing: cross-generation upsert shadowing
+    (drop_stale_vs_prior, resolve_live_partition) is keyed per partition, so a
+    delta with a different ``num_partitions`` would silently leave duplicate
+    live copies of a url.  ``block_size`` governs posting decode; ``fields``
+    govern which columns are analyzed.  All three must match the manifest."""
+    if cfg.num_partitions != prev.num_partitions:
+        raise ValueError(
+            f"cfg.num_partitions={cfg.num_partitions} != index "
+            f"num_partitions={prev.num_partitions}; partitioning is an index "
+            "property and cannot change across generations"
+        )
+    if prev.block_size is not None and cfg.block_size != prev.block_size:
+        raise ValueError(
+            f"cfg.block_size={cfg.block_size} != index block_size="
+            f"{prev.block_size}; segments are encoded with the build-time "
+            "block size"
+        )
+    if list(cfg.fields()) != list(prev.fields):
+        raise ValueError(
+            f"cfg fields {list(cfg.fields())} != index fields "
+            f"{list(prev.fields)}"
+        )
+
+
 def _delete_key_array(deletes: pa.Table | None) -> pa.Array | None:
     """(collection, url) delete table → 'collection\\x00url' key array."""
     if deletes is None or deletes.num_rows == 0:
@@ -169,6 +196,7 @@ def build_index(
     manifest = Manifest(
         generation=0,
         num_partitions=cfg.num_partitions,
+        block_size=cfg.block_size,
         fields=list(cfg.fields()),
         partitions=rows,
         collections=aggregate_collections(rows),
@@ -193,6 +221,7 @@ def build_delta(
     window: one delta generation per incremental batch, SURVEY.md §2.10.)
     """
     chain = load_manifest_chain(cfg.index_root)
+    _validate_cfg_against(cfg, chain[-1])
     gen = chain[-1].generation + 1
 
     prior_spec = _prior_spec_from_chain(chain)
@@ -212,6 +241,7 @@ def build_delta(
     manifest = Manifest(
         generation=gen,
         num_partitions=cfg.num_partitions,
+        block_size=cfg.block_size,
         fields=list(cfg.fields()),
         partitions=rows,
         collections=aggregate_collections(rows),
@@ -226,6 +256,7 @@ def delete_docs(cfg: IndexConfig, deletes: pa.Table) -> Manifest:
     """D2 incremental delete: a tombstone-only generation (no segments).
     ≙ writer.deleteDocuments(pkTerm) (LuceneIndexBean.java:462-488)."""
     prev = load_manifest(cfg.index_root)
+    _validate_cfg_against(cfg, prev)
     gen = prev.generation + 1
     from lucene_plugin_ray.stages.validate import sanitize_collection_column
 
@@ -235,6 +266,7 @@ def delete_docs(cfg: IndexConfig, deletes: pa.Table) -> Manifest:
     manifest = Manifest(
         generation=gen,
         num_partitions=cfg.num_partitions,
+        block_size=cfg.block_size,
         fields=list(cfg.fields()),
         partitions=[],
         collections={},
@@ -262,6 +294,7 @@ def compact_index(cfg: IndexConfig) -> Manifest:
     from lucene_plugin_ray.stages.segment_write import MANIFEST_ROW_SCHEMA
 
     chain = load_manifest_chain(cfg.index_root)
+    _validate_cfg_against(cfg, chain[-1])
     eng = SearchEngine(cfg.index_root, cfg=cfg)
     gen = chain[-1].generation + 1
 
@@ -313,6 +346,7 @@ def compact_index(cfg: IndexConfig) -> Manifest:
     manifest = Manifest(
         generation=gen,
         num_partitions=cfg.num_partitions,
+        block_size=cfg.block_size,
         fields=list(cfg.fields()),
         partitions=rows,
         collections=aggregate_collections(rows),
@@ -330,10 +364,12 @@ def clear_collection(cfg: IndexConfig, collection: str) -> Manifest:
     from lucene_plugin_ray.functions.analysis import sanitize_collection
 
     prev = load_manifest(cfg.index_root)
+    _validate_cfg_against(cfg, prev)
     gen = prev.generation + 1
     manifest = Manifest(
         generation=gen,
         num_partitions=cfg.num_partitions,
+        block_size=cfg.block_size,
         fields=list(cfg.fields()),
         partitions=[],
         collections={},

@@ -83,6 +83,14 @@ class SearchEngine:
         self.index_root = index_root
         self.chain = load_manifest_chain(index_root, generation)
         self.generation = self.chain[-1].generation
+        # Decode parameters are BUILD-time properties: trust the manifest's
+        # persisted block_size over the query-time cfg (bmax/bmw decode with
+        # it; a mismatched cfg would mis-decode blocks).
+        stored_bs = self.chain[-1].block_size
+        if stored_bs is not None and stored_bs != self.cfg.block_size:
+            from dataclasses import replace
+
+            self.cfg = replace(self.cfg, block_size=stored_bs)
         self._results_cache: OrderedDict = OrderedDict()
         # decoded-postings LRU across queries (≙ the role of Lucene's block
         # cache / OS page cache on the reference's mmap'd index): hot terms
@@ -528,8 +536,16 @@ class SearchEngine:
         top_scores = np.empty(0, np.float64)
         theta = -np.inf
         decoded: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+        # Early-exit comparator: with b>0 the dl→0 block bound is STRICTLY
+        # unattainable, so `bound <= theta` cannot drop a doc tied at the
+        # k-th score.  With a user-configured b == 0 the bound IS attainable
+        # — use strict `<` so tied docs in boundary intervals still get
+        # scored (keep-all-ties parity with taat).
+        attainable = b == 0.0
         for iv in order:
-            if top_local.size >= limit and bounds[iv] <= theta:
+            if top_local.size >= limit and (
+                bounds[iv] < theta or (not attainable and bounds[iv] <= theta)
+            ):
                 break  # every remaining interval is bounded lower — exact cut
             lo = ends[iv - 1] if iv > 0 else -1  # interval is (lo, ends[iv]]
             hi = ends[iv]
@@ -746,8 +762,7 @@ class SearchEngine:
             }
         )
 
-    @staticmethod
-    def _bmw_load_block(r: SegmentReader, cur, bidx: int) -> None:
+    def _bmw_load_block(self, r: SegmentReader, cur, bidx: int) -> None:
         if bidx >= cur.nblocks:
             cur.doc = -1
             return
@@ -761,6 +776,7 @@ class SearchEngine:
             cur.df,
             int(r._doff_end[cur.row]),
             int(r._toff_end[cur.row]),
+            block_size=self.cfg.block_size,
         )
         cur.docids = r.local_ids(cur.docids)
         cur.i = 0

@@ -90,9 +90,16 @@ def _composite_key(colls: pa.Array, urls: pa.Array) -> pa.Array:
     return pc.binary_join_element_wise(colls, urls, "\x00")
 
 
-def _partition_digest(keys: pa.Array, shas: pa.Array) -> str:
-    """Order-independent lineage digest of a partition's deduped content."""
-    h = fnv1a_bytes_column(pc.binary_join_element_wise(keys, shas, "\x00"))
+def _partition_digest(keys: pa.Array, shas: pa.Array, ts_us: pa.Array) -> str:
+    """Order-independent lineage digest of a partition's deduped content.
+
+    Covers warc_ts too: the timestamp feeds the cross-generation
+    last-write-wins comparison (drop_stale_vs_prior), so a rebuild where only
+    warc_ts changed must NOT be skipped as 'resumed'."""
+    ts_str = pc.cast(ts_us, pa.string())
+    h = fnv1a_bytes_column(
+        pc.binary_join_element_wise(keys, shas, ts_str, "\x00")
+    )
     return f"{int(h.sum(dtype=np.uint64)):016x}-{len(h)}"
 
 
@@ -253,7 +260,7 @@ def encode_and_write_segment(
     (field, term, docid, tf) ``post_table`` (merge path, K3 — sorted here)."""
     n_docs = len(urls)
     keys = _composite_key(pa.array([coll] * n_docs, type=pa.string()), urls)
-    digest = _partition_digest(keys, shas)
+    digest = _partition_digest(keys, shas, ts_us)
 
     seg_dir = os.path.join(cfg.index_root, coll, f"gen-{generation}", f"part-{p}")
     meta_path = os.path.join(seg_dir, "meta.json")

@@ -38,11 +38,17 @@ class Manifest:
     cleared_collections: list[str] = field(default_factory=list)
     parent_generation: int | None = None
     extra: dict = field(default_factory=dict)
+    # Posting-block size the segments were encoded with.  Persisted so query
+    # engines decode with the BUILD-time block size (not the query-time cfg)
+    # and so delta builds can reject a mismatched cfg.  None only in
+    # pre-round-2 manifests (treated as DEFAULT_BLOCK_SIZE).
+    block_size: int | None = None
 
     def to_json(self) -> dict:
         return {
             "generation": self.generation,
             "num_partitions": self.num_partitions,
+            "block_size": self.block_size,
             "fields": self.fields,
             "partitions": self.partitions,
             "collections": self.collections,
@@ -57,6 +63,7 @@ class Manifest:
         return Manifest(
             generation=d["generation"],
             num_partitions=d["num_partitions"],
+            block_size=d.get("block_size"),
             fields=list(d["fields"]),
             partitions=list(d["partitions"]),
             collections=dict(d["collections"]),
