@@ -176,11 +176,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).sort_by("doc_id")
 
     def batch_search(sf_dir: str) -> pa.Table:
-        """Actor-pool batch query path (T2): a queries dataset through
-        map_batches(QueryExecutor) — engine mmapped once per actor."""
-        import ray.data
-
-        from lucene_plugin_ray.pipelines.query import QueryExecutor
+        """Partition-sharded batch query path (T2 at cluster scale): each
+        actor pins an assigned partition subset; two-phase df-then-score
+        keeps BM25 corpus-global (pipelines/sharded.py)."""
+        from lucene_plugin_ray.pipelines.sharded import sharded_search
         from lucene_plugin_ray.sources.pages import url_to_doc_id
 
         engine, cfg = _engine_for(sf_dir)  # ensure the index exists
@@ -192,19 +191,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "k": pa.array([1_000_000_000] * 3, type=pa.int32()),
             }
         )
-        out = (
-            ray.data.from_arrow(qtable)
-            .map_batches(
-                QueryExecutor,
-                fn_constructor_args=(cfg.index_root,),
-                fn_constructor_kwargs={"cfg": cfg},
-                batch_format="pyarrow",
-                batch_size=1,
-                concurrency=min(2, cfg.query_concurrency),
-            )
-            .take_all()
+        t = sharded_search(
+            cfg.index_root, qtable, cfg=cfg, num_shards=4, concurrency=2
         )
-        t = pa.Table.from_pylist(out)
         return pa.table(
             {
                 "qid": t["qid"],

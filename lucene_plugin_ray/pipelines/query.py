@@ -78,9 +78,18 @@ class SearchEngine:
         index_root: str,
         generation: int | None = None,
         cfg: IndexConfig | None = None,
+        partitions: "frozenset[int] | set[int] | None" = None,
     ):
+        """``partitions``: restrict the engine to a subset of the index's
+        document partitions (T2 at cluster scale — each query actor pins its
+        ASSIGNED partitions instead of the whole index; see
+        pipelines/sharded.py).  Safe because all masking (upsert/delete/clear)
+        is per (collection, partition).  A partition-restricted engine's
+        LOCAL stats are partial — sharded callers must inject global stats
+        via ``search_partial`` for exact BM25 scores."""
         self.cfg = cfg or IndexConfig(index_root=index_root)
         self.index_root = index_root
+        self.partitions = frozenset(partitions) if partitions is not None else None
         self.chain = load_manifest_chain(index_root, generation)
         self.generation = self.chain[-1].generation
         # Decode parameters are BUILD-time properties: trust the manifest's
@@ -126,6 +135,11 @@ class SearchEngine:
             for row in m.partitions:
                 coll, g = row["collection"], row["generation"]
                 if cleared_at.get(coll, -1) > g:
+                    continue
+                if (
+                    self.partitions is not None
+                    and int(row["partition"]) not in self.partitions
+                ):
                     continue
                 groups.setdefault((coll, row["partition"]), []).append(
                     SegmentReader(row["path"])
@@ -182,10 +196,89 @@ class SearchEngine:
             self._results_cache.popitem(last=False)
         return table
 
+    # ---- sharded-execution surface (pipelines/sharded.py) ------------
+    def local_collection_stats(self) -> dict[str, dict]:
+        """Alive-masked (n_docs, sum_dl per field) of THIS engine's loaded
+        partitions — one shard's contribution to the global BM25 stats.
+        Integer sums → exact, order-independent across shards."""
+        out: dict[str, dict] = {}
+        for coll, segs in self._segments.items():
+            n = sum(s.n_alive for s in segs)
+            sum_dl: dict[str, int] = {}
+            for s in segs:
+                for f, v in s.sum_dl_alive.items():
+                    sum_dl[f] = sum_dl.get(f, 0) + v
+            out[coll] = {"n_docs": n, "sum_dl": sum_dl}
+        return out
+
+    def local_term_dfs(
+        self, coll: str, terms: list[tuple[str, str]]
+    ) -> dict[tuple[str, str], int]:
+        """Alive-masked df of each (field, term) within this engine's loaded
+        partitions — one shard's contribution to the global df sum."""
+        segs = self._segments.get(coll, [])
+        out: dict[tuple[str, str], int] = {}
+        for field, term in terms:
+            key = (field, term)
+            if key in out:
+                continue
+            df = 0
+            for si, seg in enumerate(segs):
+                row = seg.reader.lookup(field, term)
+                if row < 0:
+                    continue
+                if seg.all_alive:
+                    df += seg.reader.df(row)
+                else:
+                    local, _ = self._decoded(si, seg, field, term, row)
+                    df += len(local)
+            out[key] = df
+        return out
+
+    def search_partial(
+        self,
+        query: str,
+        collection: str = "default",
+        limit: int | None = None,
+        method: str = "taat",
+        global_stats: dict[str, dict] | None = None,
+        global_df: dict[tuple[str, str], int] | None = None,
+    ) -> pa.Table:
+        """Shard-local top-k with INJECTED global statistics: scores are
+        exact corpus-global BM25 even though only this shard's partitions are
+        scanned.  ``global_stats``: {coll: {n_docs, sum_dl:{field:int}}}
+        (summed over every shard); ``global_df``: {(field, term): df}.
+        Results (score desc, url asc) truncated at ``limit`` merge exactly
+        across shards: the comparator is a total order, so every doc in the
+        global top-k is within its shard's top-k."""
+        limit = limit if limit is not None else self.cfg.result_limit
+        coll = sanitize_collection(collection)
+        clauses = parse_query(query, default_field=self.cfg.text_column)
+        stats_override = None
+        if global_stats is not None:
+            st = global_stats.get(coll, {"n_docs": 0, "sum_dl": {}})
+            n = int(st["n_docs"])
+            avgdl = {f: s / n for f, s in st["sum_dl"].items()} if n else {}
+            stats_override = (n, avgdl)
+        return self._execute(
+            clauses, coll, limit, method,
+            stats_override=stats_override, df_override=global_df,
+        )
+
     # ------------------------------------------------------------------
     def _execute(
-        self, clauses: list[Clause], coll: str, limit: int, method: str
+        self,
+        clauses: list[Clause],
+        coll: str,
+        limit: int,
+        method: str,
+        stats_override: tuple[int, dict[str, float]] | None = None,
+        df_override: dict[tuple[str, str], int] | None = None,
     ) -> pa.Table:
+        """``stats_override``/``df_override``: inject GLOBAL (n_docs, avgdl)
+        and per-(field, term) df computed across ALL partitions — used by the
+        sharded path (pipelines/sharded.py) where this engine holds only a
+        partition subset but must score with corpus-global BM25 statistics."""
         segs = self._segments.get(coll, [])
         empty = pa.table(
             {"url": pa.array([], pa.string()), "score": pa.array([], pa.float64()),
@@ -193,7 +286,9 @@ class SearchEngine:
         )
         if not clauses or not segs:
             return empty
-        n_docs, avgdl = self._stats(coll)
+        n_docs, avgdl = (
+            stats_override if stats_override is not None else self._stats(coll)
+        )
         if n_docs == 0:
             return empty
 
@@ -206,6 +301,15 @@ class SearchEngine:
         for c in term_clauses:
             key = (c.field, c.term)
             if key in global_df:
+                continue
+            if df_override is not None:
+                # df supplied globally; still record per-segment dictionary
+                # rows for the scoring strategies' lazy decodes
+                for si, seg in enumerate(segs):
+                    rows[(si, c.field, c.term)] = seg.reader.lookup(
+                        c.field, c.term
+                    )
+                global_df[key] = df_override.get(key, 0)
                 continue
             df = 0
             for si, seg in enumerate(segs):

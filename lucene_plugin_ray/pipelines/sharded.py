@@ -1,0 +1,310 @@
+"""Partition-sharded distributed query execution (SURVEY.md T2 at cluster
+scale).
+
+≙ the reference's SearcherManager lease per reader (LuceneReaderImpl.java:
+90-98) generalized to a fixed-size cluster: no single query actor can hold a
+100-TB index, so each actor pins an ASSIGNED subset of the index's document
+partitions and the driver merges per-shard top-k.  BM25 scores stay exactly
+corpus-global via a two-phase plan (the classic distributed-search
+df-then-score protocol):
+
+    shards_ds = from_items([{shard, partitions}, ...])     # S rows, tiny
+    PASS 1    = shards_ds.map_batches(_ShardStatsWorker)   # local df + stats
+              → driver sums the (collection, field, term) rows  (exact ints)
+    PASS 2    = shards_ds.map_batches(_ShardScoreWorker)   # score with
+              → per-shard top-k (score desc, url asc)        injected globals
+    merge     = driver lexsort over ≤ S·Q·k rows, rank < k per qid
+
+The shard merge is exact without tie closure: the (score desc, url asc)
+comparator is a TOTAL order (url is the primary key within a collection), so
+every document in the global top-k ranks within its own shard's top-k.
+
+Memory per actor is 1/num_shards of the index (term dictionaries + doc
+arrays of the assigned partitions; postings stay mmapped) — the property the
+whole-index QueryExecutor lacks.  Shard count is an execution knob, not an
+index property: any num_shards yields identical results (tested).
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from lucene_plugin_ray.config import IndexConfig
+from lucene_plugin_ray.functions.analysis import sanitize_collection
+from lucene_plugin_ray.functions.queryparse import TermClause, parse_query
+from lucene_plugin_ray.pipelines.query import SearchEngine
+from lucene_plugin_ray.state.manifest import load_manifest_chain
+
+_STATS_SCHEMA = pa.schema(
+    [
+        ("kind", pa.string()),        # 'df' | 'n_docs' | 'sum_dl'
+        ("collection", pa.string()),
+        ("field", pa.string()),
+        ("term", pa.string()),
+        ("value", pa.int64()),
+    ]
+)
+
+_HITS_SCHEMA = pa.schema(
+    [
+        ("qid", pa.int64()),
+        ("shard", pa.int32()),
+        ("url", pa.string()),
+        ("score", pa.float64()),
+        ("docid", pa.int64()),
+    ]
+)
+
+
+class _ShardEngineCache:
+    """Per-actor LRU of partition-restricted SearchEngines: an actor that
+    serves several shards over time holds at most ``max_engines`` of them."""
+
+    def __init__(self, index_root: str, generation: int, cfg: IndexConfig,
+                 max_engines: int = 4):
+        self.index_root = index_root
+        self.generation = generation
+        self.cfg = cfg
+        self.max_engines = max_engines
+        self._engines: OrderedDict[tuple[int, ...], SearchEngine] = OrderedDict()
+
+    def get(self, partitions: tuple[int, ...]) -> SearchEngine:
+        eng = self._engines.get(partitions)
+        if eng is not None:
+            self._engines.move_to_end(partitions)
+            return eng
+        eng = SearchEngine(
+            self.index_root, generation=self.generation, cfg=self.cfg,
+            partitions=set(partitions),
+        )
+        self._engines[partitions] = eng
+        if len(self._engines) > self.max_engines:
+            self._engines.popitem(last=False)
+        return eng
+
+
+class _ShardStatsWorker:
+    """PASS 1 actor: local (alive-masked) df per query term + collection
+    stats for the actor's assigned partitions.  Setup (engine mmap) once per
+    (actor, shard); work per batch."""
+
+    def __init__(self, index_root: str, generation: int, cfg: IndexConfig,
+                 terms_by_coll: dict[str, list[tuple[str, str]]]):
+        self.cache = _ShardEngineCache(index_root, generation, cfg)
+        self.terms_by_coll = terms_by_coll
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds, colls, fields, terms, values = [], [], [], [], []
+        for row in batch.to_pylist():
+            eng = self.cache.get(tuple(row["partitions"]))
+            for coll, st in eng.local_collection_stats().items():
+                kinds.append("n_docs"); colls.append(coll)
+                fields.append(""); terms.append("")
+                values.append(int(st["n_docs"]))
+                for f, s in st["sum_dl"].items():
+                    kinds.append("sum_dl"); colls.append(coll)
+                    fields.append(f); terms.append("")
+                    values.append(int(s))
+            for coll, term_list in self.terms_by_coll.items():
+                for (f, t), df in eng.local_term_dfs(
+                    coll, [tuple(x) for x in term_list]
+                ).items():
+                    kinds.append("df"); colls.append(coll)
+                    fields.append(f); terms.append(t)
+                    values.append(int(df))
+        return pa.table(
+            {"kind": kinds, "collection": colls, "field": fields,
+             "term": terms, "value": values},
+            schema=_STATS_SCHEMA,
+        )
+
+
+class _ShardScoreWorker:
+    """PASS 2 actor: score the query batch against the assigned partitions
+    with INJECTED global stats → per-shard top-k rows."""
+
+    def __init__(self, index_root: str, generation: int, cfg: IndexConfig,
+                 qlist: list[dict], method: str,
+                 global_stats: dict[str, dict],
+                 global_df_by_coll: dict[str, dict[tuple[str, str], int]]):
+        self.cache = _ShardEngineCache(index_root, generation, cfg)
+        self.qlist = qlist
+        self.method = method
+        self.global_stats = global_stats
+        self.global_df_by_coll = global_df_by_coll
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, shards, urls, scores, docids = [], [], [], [], []
+        for row in batch.to_pylist():
+            shard = int(row["shard"])
+            eng = self.cache.get(tuple(row["partitions"]))
+            for q in self.qlist:
+                coll = q["collection"]
+                res = eng.search_partial(
+                    q["query"], collection=coll, limit=q["limit"],
+                    method=self.method, global_stats=self.global_stats,
+                    global_df=self.global_df_by_coll.get(
+                        sanitize_collection(coll), {}
+                    ),
+                )
+                n = res.num_rows
+                if not n:
+                    continue
+                qids.extend([q["qid"]] * n)
+                shards.extend([shard] * n)
+                urls.extend(res["url"].to_pylist())
+                scores.extend(res["score"].to_pylist())
+                docids.extend(res["docid"].to_pylist())
+        return pa.table(
+            {"qid": qids, "shard": shards, "url": urls, "score": scores,
+             "docid": docids},
+            schema=_HITS_SCHEMA,
+        )
+
+
+def _reduce_stats(
+    rows: list[dict],
+) -> tuple[dict[str, dict], dict[str, dict[tuple[str, str], int]]]:
+    """Sum the PASS-1 contributions (exact integer sums, order-independent)."""
+    global_stats: dict[str, dict] = {}
+    global_df: dict[str, dict[tuple[str, str], int]] = {}
+    for r in rows:
+        coll = r["collection"]
+        if r["kind"] == "n_docs":
+            st = global_stats.setdefault(coll, {"n_docs": 0, "sum_dl": {}})
+            st["n_docs"] += r["value"]
+        elif r["kind"] == "sum_dl":
+            st = global_stats.setdefault(coll, {"n_docs": 0, "sum_dl": {}})
+            st["sum_dl"][r["field"]] = (
+                st["sum_dl"].get(r["field"], 0) + r["value"]
+            )
+        else:  # df
+            d = global_df.setdefault(coll, {})
+            key = (r["field"], r["term"])
+            d[key] = d.get(key, 0) + r["value"]
+    return global_stats, global_df
+
+
+def shard_assignment(num_partitions: int, num_shards: int) -> list[dict]:
+    """Round-robin partition→shard map.  Deterministic; any num_shards
+    yields identical query results (it only changes the execution cut)."""
+    return [
+        {
+            "shard": s,
+            "partitions": [p for p in range(num_partitions) if p % num_shards == s],
+        }
+        for s in range(num_shards)
+    ]
+
+
+def sharded_search(
+    index_root: str,
+    queries: pa.Table,
+    cfg: IndexConfig | None = None,
+    generation: int | None = None,
+    num_shards: int | None = None,
+    method: str = "taat",
+    concurrency: int | None = None,
+) -> pa.Table:
+    """Distributed batch search: ``queries`` (qid, query[, collection][, k])
+    → (qid, rank, url, score), rank ordered by (score desc, url asc) per qid.
+
+    Results are identical to a whole-index ``SearchEngine.search`` for every
+    query (tested across shard counts, deltas and tombstones).  At 100 TB,
+    keep per-query ``k`` bounded (the driver merge holds ≤ S·Q·k rows — with
+    unbounded k it degrades to collecting every hit)."""
+    cfg = cfg or IndexConfig(index_root=index_root)
+    chain = load_manifest_chain(index_root, generation)
+    gen = chain[-1].generation
+    P = chain[-1].num_partitions
+    num_shards = num_shards or min(P, 8)
+    num_shards = max(1, min(num_shards, P))
+    shards = shard_assignment(P, num_shards)
+    concurrency = concurrency or min(num_shards, cfg.query_concurrency)
+
+    # driver-side query parse (queries are small by nature): unique analyzed
+    # (field, term) per collection for the df gather
+    qlist = []
+    terms_by_coll: dict[str, set[tuple[str, str]]] = {}
+    for q in queries.to_pylist():
+        coll = q.get("collection") or "default"
+        limit = q.get("k")
+        qlist.append(
+            {
+                "qid": int(q["qid"]),
+                "collection": coll,
+                "query": q["query"],
+                "limit": int(limit) if limit is not None else cfg.result_limit,
+            }
+        )
+        sc = sanitize_collection(coll)
+        for c in parse_query(q["query"], default_field=cfg.text_column):
+            if isinstance(c, TermClause):
+                terms_by_coll.setdefault(sc, set()).add((c.field, c.term))
+    terms_sorted = {c: sorted(v) for c, v in terms_by_coll.items()}
+
+    # PASS 1 — per-shard local stats (tiny result: S × (#terms + #colls·F))
+    stats_rows = (
+        ray.data.from_items(shards)
+        .map_batches(
+            _ShardStatsWorker,
+            fn_constructor_args=(index_root, gen, cfg, terms_sorted),
+            batch_size=1,
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+        .take_all()
+    )
+    global_stats, global_df_by_coll = _reduce_stats(stats_rows)
+
+    # PASS 2 — per-shard scoring with injected globals
+    hits = (
+        ray.data.from_items(shards)
+        .map_batches(
+            _ShardScoreWorker,
+            fn_constructor_args=(
+                index_root, gen, cfg, qlist, method, global_stats,
+                global_df_by_coll,
+            ),
+            batch_size=1,
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+        .take_all()
+    )
+
+    # ---- driver merge: global (score desc, url asc) per qid, rank < k ----
+    if not hits:
+        return pa.table(
+            {"qid": pa.array([], pa.int64()), "rank": pa.array([], pa.int32()),
+             "url": pa.array([], pa.string()),
+             "score": pa.array([], pa.float64())}
+        )
+    t = pa.Table.from_pylist(hits, schema=_HITS_SCHEMA)
+    qid = t["qid"].to_numpy()
+    score = t["score"].to_numpy()
+    url = t["url"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((url, -score, qid))
+    qid_s = qid[order]
+    # rank within qid = position − first position of the qid run
+    starts = np.flatnonzero(np.concatenate(([True], qid_s[1:] != qid_s[:-1])))
+    run_id = np.cumsum(np.concatenate(([0], (qid_s[1:] != qid_s[:-1]).astype(np.int64))))
+    rank = np.arange(qid_s.size, dtype=np.int64) - starts[run_id]
+    limits = {q["qid"]: q["limit"] for q in qlist}
+    lim_arr = np.array([limits[int(x)] for x in qid_s], dtype=np.int64)
+    keep = rank < lim_arr
+    sel = order[keep]
+    return pa.table(
+        {
+            "qid": pa.array(qid[sel], type=pa.int64()),
+            "rank": pa.array(rank[keep].astype(np.int32), type=pa.int32()),
+            "url": pa.array(url[sel], type=pa.string()),
+            "score": pa.array(score[sel], type=pa.float64()),
+        }
+    )
