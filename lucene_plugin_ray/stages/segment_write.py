@@ -40,7 +40,6 @@ import time
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.parquet as pq
 
 from lucene_plugin_ray.config import IndexConfig
 from lucene_plugin_ray.functions.analysis import tokenize_column
@@ -262,22 +261,34 @@ def encode_and_write_segment(
     keys = _composite_key(pa.array([coll] * n_docs, type=pa.string()), urls)
     digest = _partition_digest(keys, shas, ts_us)
 
-    seg_dir = os.path.join(cfg.index_root, coll, f"gen-{generation}", f"part-{p}")
-    meta_path = os.path.join(seg_dir, "meta.json")
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
+    from lucene_plugin_ray.state import storage
+
+    seg_dir = storage.join(cfg.index_root, coll, f"gen-{generation}", f"part-{p}")
+    meta_path = storage.join(seg_dir, "meta.json")
+    if storage.exists(meta_path):
+        meta = storage.read_json(meta_path)
         if meta.get("input_digest") == digest:
             row = dict(meta["manifest_row"])
             row["resumed"] = True
             row["wall_s"] = time.monotonic() - t0
             return row
-        shutil.rmtree(seg_dir)  # stale partial/old content → rebuild
+        storage.rmtree(seg_dir)  # stale partial/old content → rebuild
 
-    tmp_dir = os.path.join(cfg.index_root, coll, f"gen-{generation}", f".tmp-part-{p}")
-    if os.path.exists(tmp_dir):
-        shutil.rmtree(tmp_dir)
-    os.makedirs(tmp_dir)
+    # Commit protocol (storage.py): local roots write into a tmp dir and
+    # publish with one atomic rename; URL roots (no atomic rename) write
+    # payload files under the FINAL name with meta.json LAST — a segment
+    # without meta.json is invisible (resume rebuilds it), and the index
+    # only becomes visible at the manifest PUT.
+    if storage.is_url(cfg.index_root):
+        tmp_dir = seg_dir
+        storage.makedirs(tmp_dir)
+    else:
+        tmp_dir = os.path.join(
+            cfg.index_root, coll, f"gen-{generation}", f".tmp-part-{p}"
+        )
+        if os.path.exists(tmp_dir):
+            shutil.rmtree(tmp_dir)
+        os.makedirs(tmp_dir)
 
     # ---- posting construction (A4) ----
     n_terms = 0
@@ -360,9 +371,8 @@ def encode_and_write_segment(
     else:
         terms_table = _empty_terms_table()
 
-    with open(os.path.join(tmp_dir, "postings.bin"), "wb") as f:
-        f.write(buf.tobytes())
-    pq.write_table(terms_table, os.path.join(tmp_dir, "terms.parquet"))
+    storage.write_bytes(storage.join(tmp_dir, "postings.bin"), buf.tobytes())
+    storage.write_parquet(terms_table, storage.join(tmp_dir, "terms.parquet"))
 
     docs_cols = {
         "docid": pa.array(doc_base + np.arange(n_docs, dtype=np.int64), type=pa.int64()),
@@ -374,7 +384,7 @@ def encode_and_write_segment(
     for name, arr in dl_arrays.items():
         docs_cols[f"dl_{name}"] = pa.array(arr, type=pa.int32())
         sum_dl[name] = int(arr.sum()) if len(arr) else 0
-    pq.write_table(pa.table(docs_cols), os.path.join(tmp_dir, "docs.parquet"))
+    storage.write_parquet(pa.table(docs_cols), storage.join(tmp_dir, "docs.parquet"))
 
     row = {
         "collection": coll,
@@ -394,9 +404,13 @@ def encode_and_write_segment(
         "wall_s": time.monotonic() - t0,
         "resumed": False,
     }
-    with open(os.path.join(tmp_dir, "meta.json"), "w") as f:
-        json.dump({"input_digest": digest, "manifest_row": row}, f)
-    os.rename(tmp_dir, seg_dir)
+    # meta.json LAST — the segment's commit record on both backends
+    storage.write_json(
+        storage.join(tmp_dir, "meta.json"),
+        {"input_digest": digest, "manifest_row": row},
+    )
+    if tmp_dir != seg_dir:
+        os.rename(tmp_dir, seg_dir)
     return row
 
 

@@ -17,12 +17,12 @@ skips partitions whose digest matches (see stages/segment_write.py).
 from __future__ import annotations
 
 import json
-import os
 import re
 from dataclasses import dataclass, field
 
 import pyarrow as pa
-import pyarrow.parquet as pq
+
+from lucene_plugin_ray.state import storage
 
 _MANIFEST_RE = re.compile(r"^manifest-(\d+)\.json$")
 
@@ -88,37 +88,42 @@ def aggregate_collections(partitions: list[dict]) -> dict[str, dict]:
 
 
 def write_manifest(index_root: str, manifest: Manifest) -> str:
-    os.makedirs(index_root, exist_ok=True)
-    path = os.path.join(index_root, f"manifest-{manifest.generation}.json")
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest.to_json(), f, indent=1)
-    os.rename(tmp, path)  # atomic commit (≙ Lucene commit point)
+    storage.makedirs(index_root)
+    path = storage.join(index_root, f"manifest-{manifest.generation}.json")
+    # atomic commit (≙ Lucene commit point): tmp+rename locally, a single
+    # atomic object PUT on URL roots (storage.py commit protocol)
+    storage.write_json(path, manifest.to_json(), atomic=True, indent=1)
     return path
 
 
 def write_tombstones(index_root: str, generation: int, keys: pa.Table) -> str:
     """Persist (collection, url) tombstones for generation ``generation``."""
-    d = os.path.join(index_root, "tombstones")
-    os.makedirs(d, exist_ok=True)
-    path = os.path.join(d, f"gen-{generation}.parquet")
-    tmp = path + ".tmp"
-    pq.write_table(keys, tmp)
-    os.rename(tmp, path)
+    d = storage.join(index_root, "tombstones")
+    storage.makedirs(d)
+    path = storage.join(d, f"gen-{generation}.parquet")
+    if storage.is_url(path):
+        # referenced only by a LATER manifest write → final-name write is safe
+        storage.write_parquet(keys, path)
+    else:
+        import os
+
+        import pyarrow.parquet as pq
+
+        tmp = path + ".tmp"
+        pq.write_table(keys, tmp)
+        os.rename(tmp, path)
     return path
 
 
 def load_tombstones(path: str | None) -> pa.Table | None:
-    if not path or not os.path.exists(path):
+    if not path or not storage.exists(path):
         return None
-    return pq.read_table(path)
+    return storage.read_parquet(path)
 
 
 def list_generations(index_root: str) -> list[int]:
-    if not os.path.isdir(index_root):
-        return []
     gens = []
-    for name in os.listdir(index_root):
+    for name in storage.listdir_names(index_root):
         m = _MANIFEST_RE.match(name)
         if m:
             gens.append(int(m.group(1)))
@@ -130,8 +135,9 @@ def load_manifest(index_root: str, generation: int | None = None) -> Manifest:
     if not gens:
         raise FileNotFoundError(f"no manifest under {index_root}")
     g = generation if generation is not None else gens[-1]
-    with open(os.path.join(index_root, f"manifest-{g}.json")) as f:
-        return Manifest.from_json(json.load(f))
+    return Manifest.from_json(
+        storage.read_json(storage.join(index_root, f"manifest-{g}.json"))
+    )
 
 
 def load_manifest_chain(index_root: str, generation: int | None = None) -> list[Manifest]:

@@ -14,7 +14,6 @@ import json
 import os
 
 import numpy as np
-import pyarrow.parquet as pq
 
 from lucene_plugin_ray.functions.codec import decode_region
 
@@ -23,9 +22,10 @@ class SegmentReader:
     """Read-only view of one segment directory (immutable once renamed)."""
 
     def __init__(self, path: str):
+        from lucene_plugin_ray.state import storage
+
         self.path = path
-        with open(os.path.join(path, "meta.json")) as f:
-            meta = json.load(f)["manifest_row"]
+        meta = storage.read_json(storage.join(path, "meta.json"))["manifest_row"]
         self.collection: str = meta["collection"]
         self.partition: int = meta["partition"]
         self.generation: int = meta["generation"]
@@ -33,7 +33,7 @@ class SegmentReader:
         self.n_docs: int = meta["n_docs"]
         self.sum_dl: dict[str, int] = json.loads(meta["sum_dl_json"])
 
-        t = pq.read_table(os.path.join(path, "terms.parquet"))
+        t = storage.read_parquet(storage.join(path, "terms.parquet"))
         self._fields = t["field"].to_numpy(zero_copy_only=False)
         self._terms = t["term"].to_numpy(zero_copy_only=False)
         self._df = t["df"].to_numpy(zero_copy_only=False)
@@ -56,7 +56,7 @@ class SegmentReader:
             for i, s in enumerate(change):
                 self._field_ranges[str(self._fields[s])] = (int(s), int(bounds[i + 1]))
 
-        d = pq.read_table(os.path.join(path, "docs.parquet"))
+        d = storage.read_parquet(storage.join(path, "docs.parquet"))
         self.urls = d["url"].to_numpy(zero_copy_only=False)
         self.text_sha256 = d["text_sha256"].to_numpy(zero_copy_only=False)
         self.warc_ts = (
@@ -69,11 +69,22 @@ class SegmentReader:
             if name.startswith("dl_"):
                 self.doc_len[name[3:]] = d[name].to_numpy(zero_copy_only=False)
 
-        pfile = os.path.join(path, "postings.bin")
-        size = os.path.getsize(pfile)
-        self.buf = (
-            np.memmap(pfile, dtype=np.uint8, mode="r") if size else np.empty(0, np.uint8)
-        )
+        if storage.is_url(path):
+            # remote root: fetch postings bytes once (≙ BfsDirectory reads);
+            # a page-granular lazy fetch is the next step for cold remote
+            # indexes — postings dominate segment size
+            raw = storage.read_bytes(storage.join(path, "postings.bin"))
+            self.buf = (
+                np.frombuffer(raw, dtype=np.uint8) if raw else np.empty(0, np.uint8)
+            )
+        else:
+            pfile = os.path.join(path, "postings.bin")
+            size = os.path.getsize(pfile)
+            self.buf = (
+                np.memmap(pfile, dtype=np.uint8, mode="r")
+                if size
+                else np.empty(0, np.uint8)
+            )
 
     # ---- term dictionary -------------------------------------------------
     def lookup(self, field: str, term: str) -> int:
