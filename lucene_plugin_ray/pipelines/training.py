@@ -20,7 +20,6 @@ before any shuffle, and broadcasts small sides instead of shuffle-joining.
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -233,32 +232,47 @@ def _minhash_params() -> tuple[np.ndarray, np.ndarray]:
 
 
 def _shingle_hashes(parents: np.ndarray, terms: pa.Array, n_rows: int, k: int = 3):
-    """Per-doc sets of hashed token k-shingles → (doc_local_idx, uint64 hash)."""
-    term_np = terms.to_numpy(zero_copy_only=False)
+    """Per-doc DISTINCT hashed token k-shingles → (doc_local_idx, u64 hash).
+
+    Fully vectorized (no per-shingle Python loop): per-token fnv1a→mix64
+    hashes, then a position-dependent mix64 fold over all k-length windows at
+    once (sequence-sensitive — 'a b c' ≠ 'c b a'); windows spanning a doc
+    boundary are masked out.  Docs with 1..k-1 tokens contribute ONE shingle
+    folding all their tokens (the whole-doc fallback)."""
+    if len(terms) == 0 or parents.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    from lucene_plugin_ray.functions.hashing import fnv1a_bytes_column
+
+    tok_h = mix64_np(fnv1a_bytes_column(terms))
+    n = tok_h.size
     out_doc, out_h = [], []
-    # doc boundaries in the flat token stream
+    if n >= k:
+        nw = n - k + 1
+        acc = np.zeros(nw, dtype=np.uint64)
+        for i in range(k):  # k iterations (k≈3), each fully vectorized
+            acc = mix64_np(acc ^ tok_h[i : i + nw])
+        valid = parents[:nw] == parents[k - 1 : k - 1 + nw]
+        out_doc.append(parents[:nw][valid].astype(np.int64))
+        out_h.append(acc[valid])
+    # short docs (< k tokens): one whole-doc shingle each (rare)
     bounds = np.flatnonzero(np.concatenate(([True], parents[1:] != parents[:-1])))
-    ends = np.concatenate([bounds[1:], [parents.size]])
-    for s, e in zip(bounds, ends):
-        doc = parents[s]
-        toks = term_np[s:e]
-        if toks.size < k:
-            joined = [" ".join(toks)] if toks.size else []
-        else:
-            joined = [" ".join(toks[i : i + k]) for i in range(toks.size - k + 1)]
-        if not joined:
-            continue
-        hs = np.fromiter(
-            (int(hashlib.blake2b(j.encode(), digest_size=8).hexdigest(), 16) for j in joined),
-            dtype=np.uint64,
-            count=len(joined),
-        )
-        hs = np.unique(hs)
-        out_doc.append(np.full(hs.size, doc, dtype=np.int64))
-        out_h.append(hs)
+    ends = np.concatenate([bounds[1:], [n]])
+    for si in np.flatnonzero((ends - bounds) < k):
+        s, e = int(bounds[si]), int(ends[si])
+        acc = np.zeros(1, dtype=np.uint64)
+        for i in range(s, e):
+            acc = mix64_np(acc ^ tok_h[i : i + 1])
+        out_doc.append(parents[s : s + 1].astype(np.int64))
+        out_h.append(acc)
     if not out_doc:
         return np.empty(0, np.int64), np.empty(0, np.uint64)
-    return np.concatenate(out_doc), np.concatenate(out_h)
+    doc = np.concatenate(out_doc)
+    hs = np.concatenate(out_h)
+    # distinct (doc, hash)
+    order = np.lexsort((hs, doc))
+    d_s, h_s = doc[order], hs[order]
+    first = np.concatenate(([True], (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])))
+    return d_s[first], h_s[first]
 
 
 class MinHashSignatures:
@@ -359,46 +373,97 @@ def dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.5) -> pa.Table:
             {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
              "jaccard": pa.array([], pa.float64())}
         )
-    pairs = {
-        (a, b)
-        for a, b in zip(cand_tbl["doc_a"].to_pylist(), cand_tbl["doc_b"].to_pylist())
-    }
-    # exact verification: fetch candidate docs' shingle sets (small side —
-    # candidates only), broadcast-free driver-side verify at test scale; at
-    # 100 TB this becomes a map_batches over candidate doc ids per partition.
-    need = sorted({d for p in pairs for d in p})
-    need_set = pa.array(need, type=pa.int64())
+    # ---- DISTRIBUTED exact verification (same pair-grouped shape as
+    # jaccard_adjacent): candidate docs' shingles are emitted into per-pair
+    # groups inside map_batches; a pair-keyed groupby computes |∩|/|∪|.  The
+    # driver holds only the (doc → pair) membership arrays — bounded by LSH
+    # selectivity, broadcast once via ray.put — never shingle sets or a pair
+    # loop.
+    cand_tbl = cand_tbl.group_by(["doc_a", "doc_b"]).aggregate([])  # distinct
+    a_np = cand_tbl["doc_a"].to_numpy()
+    b_np = cand_tbl["doc_b"].to_numpy()
+    pair_ids = np.arange(a_np.size, dtype=np.int64)
+    mem_doc = np.concatenate([a_np, b_np])
+    mem_pair = np.concatenate([pair_ids, pair_ids])
+    order = np.argsort(mem_doc, kind="stable")
+    mem_doc, mem_pair = mem_doc[order], mem_pair[order]
+    membership_ref = ray.put((mem_doc, mem_pair))
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    def _filter(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.is_in(batch["doc_id"].combine_chunks(), value_set=need_set))
+    def _emit_candidate_shingles(batch: pa.Table) -> pa.Table:
+        md, mp = ray.get(membership_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(md, ids, side="left")
+        hi = np.searchsorted(md, ids, side="right")
+        part = hi > lo  # rows participating in ≥1 candidate pair
+        empty = pa.table(
+            {"pair": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64()),
+             "h": pa.array([], pa.int64())}
+        )
+        if not part.any():
+            return empty
+        sub = batch.filter(pa.array(part))
+        ids_f, lo_f, hi_f = ids[part], lo[part], hi[part]
+        parents, terms, _ = tokenize_column(
+            pc.cast(sub["text"].combine_chunks(), pa.string())
+        )
+        docs_idx, hs = _shingle_hashes(parents, terms, sub.num_rows)
+        if docs_idx.size == 0:
+            return empty
+        # replicate each shingle row to every pair its doc belongs to
+        counts = (hi_f - lo_f)[docs_idx]
+        starts = lo_f[docs_idx]
+        total = int(counts.sum())
+        within = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+        rep_pair = mp[np.repeat(starts, counts) + within]
+        return pa.table(
+            {
+                "pair": pa.array(rep_pair, type=pa.int64()),
+                "doc_id": pa.array(np.repeat(ids_f[docs_idx], counts), type=pa.int64()),
+                "h": pa.array(np.repeat(hs, counts).astype(np.int64), type=pa.int64()),
+            }
+        )
 
-    sub = pa.concat_tables(
-        [b for b in docs.map_batches(_filter, batch_format="pyarrow").iter_batches(batch_format="pyarrow")]
+    def _verify(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        hs = group["h"].to_numpy(zero_copy_only=False)
+        uniq = np.unique(d)
+        if uniq.size != 2:  # a side with zero shingles → pair skipped
+            return empty
+        a_h = hs[d == uniq[0]]
+        b_h = hs[d == uniq[1]]
+        inter = np.intersect1d(a_h, b_h).size
+        j = inter / (a_h.size + b_h.size - inter)
+        if j < jaccard_threshold:
+            return empty
+        return pa.table(
+            {
+                "doc_a": pa.array([int(uniq[0])], type=pa.int64()),
+                "doc_b": pa.array([int(uniq[1])], type=pa.int64()),
+                "jaccard": pa.array([round(j, 6)], type=pa.float64()),
+            }
+        )
+
+    out = (
+        docs.map_batches(
+            _emit_candidate_shingles, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("pair")
+        .map_groups(_verify, batch_format="pyarrow")
     )
-    shingles: dict[int, set[int]] = {}
-    parents, terms, _ = tokenize_column(pc.cast(sub["text"].combine_chunks(), pa.string()))
-    dids = sub["doc_id"].to_numpy(zero_copy_only=False)
-    docs_idx, hs = _shingle_hashes(parents, terms, sub.num_rows)
-    for li, h in zip(docs_idx, hs):
-        shingles.setdefault(int(dids[li]), set()).add(int(h))
-    out_a, out_b, out_j = [], [], []
-    for a, b in sorted(pairs):
-        sa, sb = shingles.get(a, set()), shingles.get(b, set())
-        if not sa or not sb:
-            continue
-        j = len(sa & sb) / len(sa | sb)
-        if j >= jaccard_threshold:
-            out_a.append(a)
-            out_b.append(b)
-            out_j.append(round(j, 6))
-    return pa.table(
-        {
-            "doc_a": pa.array(out_a, type=pa.int64()),
-            "doc_b": pa.array(out_b, type=pa.int64()),
-            "jaccard": pa.array(out_j, type=pa.float64()),
-        }
+    verified = pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]
     )
+    if verified.num_rows == 0:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+    return verified.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 
 
 def jaccard_adjacent(sf_dir: str) -> pa.Table:
@@ -521,6 +586,27 @@ def simhash(sf_dir: str) -> pa.Table:
     ).sort_by("doc_id")
 
 
+def _embedding_matrix(col) -> np.ndarray:
+    """Embedding column (fixed_size_list/list<float>) → (n, d) float64
+    matrix WITHOUT a per-row Python loop: a zero-copy reshape of the child
+    values buffer (FixedSizeList), honoring array offset; list<> falls back
+    to one flatten + reshape."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    if pa.types.is_fixed_size_list(col.type):
+        d = col.type.list_size
+        vals = col.values.to_numpy(zero_copy_only=False)
+        vals = vals[col.offset * d : (col.offset + n) * d]
+        return vals.reshape(n, d).astype(np.float64, copy=False)
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    d = int(lens[0])
+    return flat.reshape(n, d).astype(np.float64, copy=False)
+
+
 def embedding_dedup(sf_dir: str, threshold: float = 0.35) -> pa.Table:
     """Embedding-cosine near-duplicate pairs WITHIN each label bucket
     (the label plays the role of an LSH/IVF bucket: candidate generation is
@@ -530,9 +616,7 @@ def embedding_dedup(sf_dir: str, threshold: float = 0.35) -> pa.Table:
 
     def _pairs(group: pa.Table) -> pa.Table:
         ids = group["vec_id"].to_numpy(zero_copy_only=False)
-        mat = np.vstack(
-            [np.asarray(v, dtype=np.float64) for v in group["embedding"].to_pylist()]
-        )
+        mat = _embedding_matrix(group["embedding"])
         norm = np.linalg.norm(mat, axis=1, keepdims=True)
         norm[norm == 0] = 1.0
         mat = mat / norm
@@ -576,7 +660,7 @@ def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     t = pq.read_table(f"{sf_dir}/embeddings.parquet")
     t = t.filter(pc.less(t["vec_id"], _N_QUERY_VECS))
     ids = t["vec_id"].to_numpy(zero_copy_only=False)
-    mat = np.vstack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    mat = _embedding_matrix(t["embedding"])
     order = np.argsort(ids)
     return ids[order], mat[order]
 
@@ -592,9 +676,7 @@ def ann_topk(sf_dir: str, k: int = 10) -> pa.Table:
     def _score(batch: pa.Table) -> pa.Table:
         q = ray.get(q_ref)
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        mat = np.vstack(
-            [np.asarray(v, dtype=np.float64) for v in batch["embedding"].to_pylist()]
-        )
+        mat = _embedding_matrix(batch["embedding"])
         norm = np.linalg.norm(mat, axis=1, keepdims=True)
         norm[norm == 0] = 1.0
         sims = (mat / norm) @ q.T  # (n, Q)
@@ -642,17 +724,24 @@ def ann_topk(sf_dir: str, k: int = 10) -> pa.Table:
     return pa.concat_tables(out)
 
 
+_IVF_SAMPLE_MAX = 65_536  # centroid-fit sample cap (driver memory bound)
+
+
 def ann_ivf(sf_dir: str, k: int = 10, n_cells: int = 8, nprobe: int = 3) -> pa.Table:
     """IVF-bucketed approximate variant (the scale path): deterministic
-    centroids from a seeded k-means on a driver-side sample, cell assignment
-    per batch, probes limited to the nprobe nearest cells per query.
-    Approximate — oracle is rows-only (recall measured in tests)."""
-    import pyarrow.parquet as pq
+    centroids from a seeded k-means on a BOUNDED sample (≤ _IVF_SAMPLE_MAX
+    rows), cell assignment per batch, probes limited to the nprobe nearest
+    cells per query.  Approximate — oracle is rows-only (recall measured in
+    tests)."""
 
-    sample = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    mat = np.vstack(
-        [np.asarray(v, dtype=np.float64) for v in sample["embedding"].to_pylist()]
+    # centroid fit on a BOUNDED deterministic sample (first _IVF_SAMPLE_MAX
+    # rows in file order) — the driver never materializes the whole table
+    sample = pa.concat_tables(
+        b for b in ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        .limit(_IVF_SAMPLE_MAX)
+        .iter_batches(batch_format="pyarrow")
     )
+    mat = _embedding_matrix(sample["embedding"])
     norm = np.linalg.norm(mat, axis=1, keepdims=True)
     norm[norm == 0] = 1.0
     matn = mat / norm
@@ -679,9 +768,7 @@ def ann_ivf(sf_dir: str, k: int = 10, n_cells: int = 8, nprobe: int = 3) -> pa.T
         probes = ray.get(probes_ref)
         q = ray.get(q_ref)
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        m = np.vstack(
-            [np.asarray(v, dtype=np.float64) for v in batch["embedding"].to_pylist()]
-        )
+        m = _embedding_matrix(batch["embedding"])
         nrm = np.linalg.norm(m, axis=1, keepdims=True)
         nrm[nrm == 0] = 1.0
         mn = m / nrm

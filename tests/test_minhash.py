@@ -1,0 +1,102 @@
+"""MinHash+LSH near-dup dedup: the distributed verify (pair-grouped groupby,
+no driver-side pair loop or shingle rebuild) must agree with the exact
+per-pair shingle Jaccard, and planted near-dups must be found."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+
+def _seeded_corpus(n=200, seed=13):
+    """Docs of ~40 random words; every 10th doc is a near-copy of its
+    predecessor with one word changed (known near-dup pairs)."""
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i:04d}" for i in range(400)]
+    texts, expected_pairs = [], []
+    for d in range(n):
+        if d % 10 == 9 and d > 0:
+            words = texts[d - 1].split()
+            words[rng.integers(0, len(words))] = vocab[rng.integers(0, len(vocab))]
+            texts.append(" ".join(words))
+            expected_pairs.append((d - 1, d))
+        else:
+            texts.append(
+                " ".join(vocab[i] for i in rng.integers(0, len(vocab), size=40))
+            )
+    return (
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                "text": pa.array(texts),
+            }
+        ),
+        expected_pairs,
+    )
+
+
+def _exact_jaccard(table: pa.Table, a: int, b: int) -> float:
+    """Independent exact shingle Jaccard for one pair (test-side oracle)."""
+    from lucene_plugin_ray.functions.analysis import tokenize_column
+    from lucene_plugin_ray.pipelines.training import _shingle_hashes
+
+    sub = table.filter(pc.is_in(table["doc_id"], value_set=pa.array([a, b])))
+    parents, terms, _ = tokenize_column(pc.cast(sub["text"], pa.string()))
+    docs_idx, hs = _shingle_hashes(parents, terms, sub.num_rows)
+    ids = sub["doc_id"].to_numpy()
+    sa = set(hs[ids[docs_idx] == a].tolist())
+    sb = set(hs[ids[docs_idx] == b].tolist())
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_shingle_hashes_vectorized_semantics():
+    """Sequence sensitivity, doc-boundary masking, short-doc fallback,
+    per-doc distinctness."""
+    from lucene_plugin_ray.functions.analysis import tokenize_column
+    from lucene_plugin_ray.pipelines.training import _shingle_hashes
+
+    col = pa.array(
+        [
+            "alpha beta gamma delta",   # 2 shingles (k=3)
+            "gamma beta alpha",         # reversed — must differ from doc 0's
+            "one two",                  # short doc → 1 whole-doc shingle
+            "",                         # empty → none
+            "alpha beta gamma alpha beta gamma",  # repeated shingle → distinct
+        ]
+    )
+    parents, terms, _ = tokenize_column(col)
+    docs, hs = _shingle_hashes(parents, terms, 5)
+    per_doc = {d: hs[docs == d] for d in np.unique(docs)}
+    assert len(per_doc[0]) == 2
+    assert len(per_doc[1]) == 1
+    assert per_doc[1][0] not in per_doc[0]  # order-sensitive
+    assert len(per_doc[2]) == 1
+    assert 3 not in per_doc
+    # doc 4: windows = [abg, bga, gab, abg] → 3 DISTINCT
+    assert len(per_doc[4]) == 3
+    # no cross-boundary shingles: doc 0's trailing window must not mix doc 1
+    docs2, hs2 = _shingle_hashes(parents[: parents.size], terms, 5)
+    assert np.array_equal(docs2, docs) and np.array_equal(hs2, hs)
+
+
+def test_minhash_pairs_match_exact_jaccard(ray_session, tmp_path):
+    from lucene_plugin_ray.pipelines import training
+
+    table, expected = _seeded_corpus()
+    d = tmp_path / "mh"
+    d.mkdir()
+    pq.write_table(table, str(d / "documents.parquet"))
+    out = training.dedup_minhash(str(d), jaccard_threshold=0.5)
+    got_pairs = list(zip(out["doc_a"].to_pylist(), out["doc_b"].to_pylist()))
+    # every reported jaccard equals the independently computed exact value
+    for (a, b), j in zip(got_pairs, out["jaccard"].to_pylist()):
+        assert abs(j - round(_exact_jaccard(table, a, b), 6)) < 1e-9
+        assert j >= 0.5
+    # the planted one-word-edit near-dups have jaccard ≈ (37-k)/(37+k) ≫ 0.5
+    # and survive 16×4 LSH banding with overwhelming probability
+    found = set(got_pairs)
+    missing = [p for p in expected if p not in found]
+    assert len(missing) <= max(1, len(expected) // 10), missing
