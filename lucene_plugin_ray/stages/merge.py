@@ -87,31 +87,79 @@ def merge_segments_for_partition(
 
     doc_base = p * DOCID_STRIDE
 
-    # ---- gather + remap postings from every input's term dictionary ----
-    f_parts, t_parts, d_parts, tf_parts = [], [], [], []
+    # ---- postings: ONE bulk varint decode per input, numeric remap, and a
+    # run-length term index — no per-term Python loop, no per-posting object
+    # arrays (same trick as the build side's _build_postings_numeric).  Each
+    # input's regions are contiguous ([all docid varints][all tf varints],
+    # encode_many_postings layout), so the whole segment decodes in one pass.
+    vocab_f_parts, vocab_t_parts = [], []          # per-input term dicts
+    post_vid_parts, post_did_parts, post_tf_parts = [], [], []
+    vocab_offset = 0
     for si, r in enumerate(readers):
-        for row in range(len(r._terms)):
-            docids, tfs = r.postings(row)
-            nid = remap[si][r.local_ids(docids)]
-            ok = nid >= 0
-            if not ok.any():
-                continue
-            nid, tfs = nid[ok], tfs[ok]
-            f_parts.append(np.full(nid.size, r._fields[row], dtype=object))
-            t_parts.append(np.full(nid.size, r._terms[row], dtype=object))
-            d_parts.append(doc_base + nid)
-            tf_parts.append(tfs.astype(np.int32))
-
-    post_table = None
-    if d_parts:
-        post_table = pa.table(
-            {
-                "field": pa.array(np.concatenate(f_parts), type=pa.string()),
-                "term": pa.array(np.concatenate(t_parts), type=pa.string()),
-                "docid": pa.array(np.concatenate(d_parts), type=pa.int64()),
-                "tf": pa.array(np.concatenate(tf_parts), type=pa.int32()),
-            }
+        nt = len(r._terms)
+        if nt == 0:
+            continue
+        df = r._df.astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(df)])
+        total = int(starts[-1])
+        deltas, tfs_all = _bulk_decode_postings(r, df, total)
+        # per-term cumsum reset: docid = cumsum(deltas) − cum@term_start − 1
+        cum = np.cumsum(deltas.astype(np.int64))
+        term_base = (
+            np.concatenate(([0], cum[starts[1:-1] - 1]))
+            if nt > 1
+            else np.zeros(1, np.int64)
         )
+        docids_abs = cum - np.repeat(term_base, df) - 1
+        nid = remap[si][docids_abs - r.doc_base]
+        ok = nid >= 0
+        term_row = np.repeat(np.arange(nt, dtype=np.int64) + vocab_offset, df)
+        post_vid_parts.append(term_row[ok])
+        post_did_parts.append(doc_base + nid[ok])
+        post_tf_parts.append(tfs_all[ok])
+        vocab_f_parts.append(r._fields)
+        vocab_t_parts.append(r._terms)
+        vocab_offset += nt
+
+    prepared = None
+    if post_vid_parts:
+        import pyarrow.compute as pc
+
+        from lucene_plugin_ray.stages.segment_write import PreparedPostings
+
+        # global vocab: unique (field, term) across inputs, key-lex order —
+        # a VOCAB-sized string operation, never per posting
+        vf = np.concatenate(vocab_f_parts)
+        vt = np.concatenate(vocab_t_parts)
+        keys = pc.binary_join_element_wise(
+            pa.array(vf, type=pa.string()), pa.array(vt, type=pa.string()), "\x00"
+        ).to_numpy(zero_copy_only=False)
+        _, uidx, inv = np.unique(keys, return_index=True, return_inverse=True)
+        g_terms = vt[uidx]
+        g_field_str = vf[uidx]
+        field_names = sorted(set(g_field_str.tolist()))
+        fmap = {f: i for i, f in enumerate(field_names)}
+        g_field_id = np.array([fmap[f] for f in g_field_str], dtype=np.int16)
+
+        gvid = inv[np.concatenate(post_vid_parts)]
+        did = np.concatenate(post_did_parts)
+        tf = np.concatenate(post_tf_parts).astype(np.int64)
+        if did.size:  # (all-tombstoned → prepared stays None)
+            order2 = np.lexsort((did, gvid))
+            gvid, did, tf = gvid[order2], did[order2], tf[order2]
+            run_start = np.flatnonzero(
+                np.concatenate(([True], gvid[1:] != gvid[:-1]))
+            )
+            new_starts = np.concatenate([run_start, [gvid.size]]).astype(np.int64)
+            live_v = gvid[run_start]  # vocab ids with live postings
+            prepared = PreparedPostings(
+                field_names=field_names,
+                term_fields=g_field_id[live_v],
+                terms=g_terms[live_v],
+                starts=new_starts,
+                docids=did,
+                tfs=tf,
+            )
     return encode_and_write_segment(
         coll,
         p,
@@ -122,6 +170,40 @@ def merge_segments_for_partition(
         pa.array(shas, type=pa.string()),
         pa.array(tss, type=pa.int64()),
         dl_arrays,
-        post_table,
+        None,
         t0,
+        prepared=prepared,
     )
+
+
+def _bulk_decode_postings(r: SegmentReader, df: np.ndarray, total: int):
+    """Decode ALL terms' (deltas, tfs) of one segment.  Fast path: one
+    varint_decode over each contiguous region; falls back to per-term
+    decode_region if regions are not contiguous (never true for segments
+    written by encode_many_postings — defensive only)."""
+    from lucene_plugin_ray.functions.codec import varint_decode
+
+    contiguous = (
+        len(r._doff) > 0
+        and (r._doff[1:] == r._doff_end[:-1]).all()
+        and (r._toff[1:] == r._toff_end[:-1]).all()
+    )
+    if contiguous:
+        d0, d1 = int(r._doff[0]), int(r._doff_end[-1])
+        t0_, t1 = int(r._toff[0]), int(r._toff_end[-1])
+        deltas = varint_decode(np.ascontiguousarray(r.buf[d0:d1]), count=total)
+        tfs = varint_decode(np.ascontiguousarray(r.buf[t0_:t1]), count=total)
+        return deltas, tfs.astype(np.int32)
+    deltas = np.empty(total, np.uint64)
+    tfs = np.empty(total, np.int32)
+    pos = 0
+    for row in range(len(df)):
+        docids, t = r.postings(row)
+        n = docids.size
+        d = np.empty(n, np.int64)
+        d[0] = docids[0] + 1
+        d[1:] = np.diff(docids)
+        deltas[pos : pos + n] = d.astype(np.uint64)
+        tfs[pos : pos + n] = t
+        pos += n
+    return deltas, tfs
