@@ -1,0 +1,128 @@
+"""Multi-format extraction (M1/S2) — mirrors the reference's
+TestSearchByFirstWord.java:29-70: the same Lorem text uploaded as
+txt/xml/json/pdf/docx must be searchable by its first word ("Lorem"); we
+additionally check the last word ("versions") to pin full-text extraction."""
+
+import io
+import os
+import zipfile
+import zlib
+
+import pyarrow as pa
+import pytest
+
+from lucene_plugin_ray.stages.extract import AutoExtract, sniff_format
+
+LOREM = (
+    "Lorem Ipsum is simply dummy text of the printing and typesetting "
+    "industry. It was popularised in the 1960s with the release of Letraset "
+    "sheets containing Lorem Ipsum passages, and more recently with desktop "
+    "publishing software like Aldus PageMaker including versions"
+)
+
+
+def _make_docx(text: str) -> bytes:
+    buf = io.BytesIO()
+    body = "".join(
+        f"<w:p><w:r><w:t>{line}</w:t></w:r></w:p>" for line in text.split(". ")
+    )
+    doc = (
+        '<?xml version="1.0"?><w:document xmlns:w="http://schemas.openxml'
+        f'formats.org/wordprocessingml/2006/main"><w:body>{body}</w:body>'
+        "</w:document>"
+    )
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("word/document.xml", doc)
+    return buf.getvalue()
+
+
+def _make_pdf(text: str, compress: bool) -> bytes:
+    # one content stream of (word) Tj ops — the common text-PDF shape
+    ops = " ".join(f"({w}) Tj" for w in text.split())
+    content = f"BT /F1 12 Tf {ops} ET".encode()
+    filt = b""
+    if compress:
+        content = zlib.compress(content)
+        filt = b"/Filter /FlateDecode "
+    return (
+        b"%PDF-1.3\n1 0 obj\n<< " + filt + b"/Length "
+        + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\ntrailer\n<<>>\n%%EOF"
+    )
+
+
+FIXTURES = {
+    "txt": LOREM.encode(),
+    "xml": (
+        "<xml>" + "".join(f"<line>{l}</line>" for l in LOREM.split(". ")) + "</xml>"
+    ).encode(),
+    "json": ('{"data": "' + LOREM + '"}').encode(),
+    "docx": _make_docx(LOREM),
+    "pdf": _make_pdf(LOREM, compress=True),
+    "pdf_raw": _make_pdf(LOREM, compress=False),
+}
+
+
+def test_sniff_format():
+    assert sniff_format(FIXTURES["txt"]) == "txt"
+    assert sniff_format(FIXTURES["xml"]) == "xml"
+    assert sniff_format(FIXTURES["json"]) == "json"
+    assert sniff_format(FIXTURES["docx"]) == "docx"
+    assert sniff_format(FIXTURES["pdf"]) == "pdf"
+    assert sniff_format(b"<html><body>x</body></html>") == "html"
+
+
+@pytest.mark.parametrize("fmt", list(FIXTURES))
+def test_first_and_last_word_every_format(fmt):
+    ex = AutoExtract()
+    text, detected = ex.extract_one(FIXTURES[fmt])
+    assert text.split()[0] == "Lorem", (fmt, text[:80])
+    assert "versions" in text.split(), (fmt, text[-80:])
+
+
+def test_extract_search_pipeline(ray_session, tmp_path):
+    """Raw 5-format payloads → AutoExtract map_batches → index build →
+    first-word search finds exactly one hit per format (the reference test's
+    assertion shape)."""
+    import ray.data
+
+    from lucene_plugin_ray.config import IndexConfig
+    from lucene_plugin_ray.pipelines.build import build_index
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+
+    names = ["txt", "xml", "json", "docx", "pdf"]
+    corpus = pa.table(
+        {
+            "url": [f"bfs:///tmp/test-00.{n}" for n in names],
+            "warc_ts": pa.array([1] * len(names), type=pa.int64()),
+            "raw": pa.array([FIXTURES[n] for n in names], type=pa.binary()),
+        }
+    )
+    ds = ray.data.from_arrow(corpus).map_batches(
+        AutoExtract, batch_format="pyarrow", batch_size=2, concurrency=1
+    )
+    root = str(tmp_path / "idx")
+    cfg = IndexConfig(index_root=root, num_partitions=2)
+    build_index(ds, cfg)
+    eng = SearchEngine(root, cfg=cfg)
+    hits = eng.search("lorem")
+    assert hits.num_rows == len(names)  # every format indexed the text
+    hits2 = eng.search("+lorem +versions")
+    assert hits2.num_rows == len(names)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/service/src/test/resources"),
+    reason="reference fixtures unavailable",
+)
+@pytest.mark.parametrize("name", ["test-00.txt", "test-00.xml", "test-00.json",
+                                  "test-00.pdf", "test-00.docx"])
+def test_reference_fixture_parity(name):
+    """The reference's own five upload fixtures: first word must be Lorem and
+    the final token 'versions' must be extracted (TestSearchByFirstWord)."""
+    with open(f"/root/reference/service/src/test/resources/{name}", "rb") as f:
+        raw = f.read()
+    text, fmt = AutoExtract().extract_one(raw)
+    assert text.split()[0] == "Lorem", (name, fmt, text[:80])
+    assert "versions" in text, (name, fmt, text[-120:])
