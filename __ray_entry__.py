@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": training.ann_topk,
         "ann_ivf": training.ann_ivf,
         "multimodal_features": training.multimodal_features,
+        "media_decode": training.media_decode,
         "events_latest": training.events_latest,
         "lang_id": training.lang_id,
     }
@@ -372,6 +373,20 @@ FROM documents GROUP BY sha256(text) ORDER BY text_sha256
     sql["multimodal_features"] = """
 SELECT doc_id, octet_length(encode(text)) AS n_bytes,
        lower(hex(encode(substring(text, 1, 8)))) AS header_hex
+FROM documents ORDER BY doc_id
+"""
+
+    # media_decode wraps doc_id into REAL BMP/WAV containers whose header
+    # fields are pure functions of doc_id (training.py _bmp_payload /
+    # _wav_payload) — the oracle recomputes those functions arithmetically,
+    # verifying the byte-level decode exactly.
+    sql["media_decode"] = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS kind,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(1 + doc_id % 64 AS BIGINT) END AS width,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(1 + (doc_id // 64) % 64 AS BIGINT) END AS height,
+       CASE WHEN doc_id % 2 = 1 THEN CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) END AS sample_rate,
+       CASE WHEN doc_id % 2 = 1 THEN CAST(2 * (1 + doc_id % 100) AS BIGINT) END AS data_bytes
 FROM documents ORDER BY doc_id
 """
 

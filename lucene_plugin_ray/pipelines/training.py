@@ -829,23 +829,71 @@ def ann_ivf(sf_dir: str, k: int = 10, n_cells: int = 8, nprobe: int = 3) -> pa.T
 # ---------------------------------------------------------------------------
 
 
+def decode_media_header(payload: bytes) -> dict:
+    """Dependency-free media metadata decode (stdlib struct only): container
+    sniff + header parse for PNG / GIF / BMP / JPEG (SOF dims) / WAV (PCM
+    fmt chunk).  Full pixel/sample decode still needs real codec libs — this
+    covers the metadata a routing/filtering pipeline stage needs.  Raises
+    ValueError on unknown containers (honest failure, no garbage)."""
+    import struct
+
+    if payload.startswith(b"\x89PNG\r\n\x1a\n") and len(payload) >= 24:
+        w, h = struct.unpack(">II", payload[16:24])
+        return {"kind": "png", "width": w, "height": h}
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        w, h = struct.unpack("<HH", payload[6:10])
+        return {"kind": "gif", "width": w, "height": h}
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        w, h = struct.unpack("<ii", payload[18:26])
+        return {"kind": "bmp", "width": w, "height": abs(h)}
+    if payload[:3] == b"\xff\xd8\xff":  # JPEG: scan segments for SOFn
+        i = 2
+        while i + 9 < len(payload):
+            if payload[i] != 0xFF:
+                break
+            marker = payload[i + 1]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return {"kind": "jpeg", "width": w, "height": h}
+            seglen = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            i += 2 + seglen
+        raise ValueError("jpeg: no SOF marker")
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        i = 12
+        out = {"kind": "wav"}
+        while i + 8 <= len(payload):
+            cid = payload[i : i + 4]
+            clen = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+            if cid == b"fmt " and i + 24 <= len(payload):
+                import struct as _s
+
+                _, ch, sr = _s.unpack("<HHI", payload[i + 8 : i + 16])
+                out["channels"] = ch
+                out["sample_rate"] = sr
+            elif cid == b"data":
+                out["data_bytes"] = clen
+            i += 8 + clen + (clen & 1)
+        if "sample_rate" in out:
+            return out
+        raise ValueError("wav: no fmt chunk")
+    raise ValueError(f"unknown media container (header {payload[:8].hex()})")
+
+
 class MultimodalFeatures:
     """Actor-pool stage over an opaque binary payload column.
 
     The REAL parts: Arrow binary schema in/out, small batch size suitable for
-    large payloads, per-actor init, deterministic metadata features.  The
-    decode step is STUBBED: ``decode()`` raises NotImplementedError — in a
-    container with PIL/ffmpeg it would be the only thing to replace.
+    large payloads, per-actor init, deterministic metadata features.
+    ``decode`` does header-level metadata decode with the stdlib
+    (decode_media_header); FULL pixel/sample decode would plug PIL/ffmpeg in
+    here — those libs are absent from this container.
     """
 
     def __init__(self):
-        self.decoder_ready = False  # would load codec libs here, once per actor
+        self.decoder_ready = True  # codec libs would load here, once per actor
 
-    def decode(self, payload: bytes):
-        raise NotImplementedError(
-            "media decode stub: image/audio libraries are not available in "
-            "this environment; plug a real decoder here"
-        )
+    def decode(self, payload: bytes) -> dict:
+        return decode_media_header(payload)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payload = batch["payload"].combine_chunks()
@@ -886,6 +934,107 @@ def multimodal_features(sf_dir: str) -> pa.Table:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=256,  # small batches: payloads may be MBs each at scale
+        concurrency=2,
+    )
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]
+    ).sort_by("doc_id")
+
+
+def _bmp_payload(doc_id: int) -> bytes:
+    """Deterministic minimal 24-bpp BMP whose dimensions are a pure function
+    of doc_id (width=1+doc_id%64, height=1+(doc_id//64)%64) — real, parseable
+    image bytes the oracle can predict arithmetically."""
+    import struct
+
+    w = 1 + doc_id % 64
+    h = 1 + (doc_id // 64) % 64
+    row = (w * 3 + 3) & ~3  # 4-byte row padding
+    data_size = row * h
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54 + data_size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0)
+        + bytes(data_size)
+    )
+
+
+def _wav_payload(doc_id: int) -> bytes:
+    """Deterministic minimal PCM16 mono WAV: sample_rate=8000+(doc_id%8)*1000,
+    n_samples=1+doc_id%100."""
+    import struct
+
+    sr = 8000 + (doc_id % 8) * 1000
+    n = 1 + doc_id % 100
+    data = bytes(2 * n)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+class MediaDecode:
+    """Actor-pool media-metadata decode stage (the real multimodal shape:
+    per-item opaque-blob decode inside ``map_batches(Cls, concurrency=N,
+    batch_size=small)``)."""
+
+    def __init__(self):
+        self.features = MultimodalFeatures()  # decoder init once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        kinds, widths, heights, srs, nbytes = [], [], [], [], []
+        for v in batch["payload"].combine_chunks():
+            meta = self.features.decode(v.as_py())
+            kinds.append(meta["kind"])
+            widths.append(meta.get("width"))
+            heights.append(meta.get("height"))
+            srs.append(meta.get("sample_rate"))
+            nbytes.append(meta.get("data_bytes"))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "kind": pa.array(kinds, type=pa.string()),
+                "width": pa.array(widths, type=pa.int64()),
+                "height": pa.array(heights, type=pa.int64()),
+                "sample_rate": pa.array(srs, type=pa.int64()),
+                "data_bytes": pa.array(nbytes, type=pa.int64()),
+            }
+        )
+
+
+def media_decode(sf_dir: str) -> pa.Table:
+    """Multimodal decode E2E over the documents table: each doc_id is wrapped
+    into a REAL media container (even → BMP image, odd → WAV audio) whose
+    header fields are pure functions of doc_id, then decoded back by the
+    actor-pool stage.  Because the fields are arithmetically predictable, the
+    SQL oracle verifies the decode exactly — the plumbing (binary schema,
+    small batches, per-actor decoder init) is the 100-TB shape."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def _encode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = [
+            _bmp_payload(int(d)) if d % 2 == 0 else _wav_payload(int(d))
+            for d in ids
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    out = ds.map_batches(_encode, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+        MediaDecode,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=256,
         concurrency=2,
     )
     return pa.concat_tables(

@@ -1,0 +1,67 @@
+"""Multimodal header decode (stdlib-only): container sniffing + metadata
+parse for png/gif/bmp/jpeg/wav, and the media_decode E2E actor-pool stage."""
+
+import struct
+
+import pytest
+
+from lucene_plugin_ray.pipelines.training import (
+    _bmp_payload,
+    _wav_payload,
+    decode_media_header,
+)
+
+
+def test_png():
+    payload = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+        + struct.pack(">II", 640, 480) + b"\x08\x06\x00\x00\x00"
+    )
+    assert decode_media_header(payload) == {"kind": "png", "width": 640, "height": 480}
+
+
+def test_gif():
+    payload = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert decode_media_header(payload) == {"kind": "gif", "width": 320, "height": 200}
+
+
+def test_jpeg_sof():
+    # SOI + APP0 (minimal) + SOF0 with dims 100x50
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 50, 100) + b"\x03"
+    payload = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    assert decode_media_header(payload) == {"kind": "jpeg", "width": 100, "height": 50}
+
+
+def test_bmp_wav_roundtrip():
+    for d in (0, 1, 63, 64, 65, 1000, 4095):
+        bmp = decode_media_header(_bmp_payload(d))
+        assert bmp["kind"] == "bmp"
+        assert bmp["width"] == 1 + d % 64
+        assert bmp["height"] == 1 + (d // 64) % 64
+        wav = decode_media_header(_wav_payload(d))
+        assert wav["kind"] == "wav"
+        assert wav["sample_rate"] == 8000 + (d % 8) * 1000
+        assert wav["data_bytes"] == 2 * (1 + d % 100)
+        assert wav["channels"] == 1
+
+
+def test_unknown_container_rejected():
+    with pytest.raises(ValueError):
+        decode_media_header(b"\x00\x01\x02\x03garbage")
+
+
+def test_media_decode_pipeline(ray_session):
+    from lucene_plugin_ray.pipelines import training
+
+    out = training.media_decode("/root/testdata/sf0.001")
+    assert out.num_rows == 500
+    rows = out.to_pylist()
+    for r in rows[:50]:
+        d = r["doc_id"]
+        if d % 2 == 0:
+            assert r["kind"] == "bmp" and r["width"] == 1 + d % 64
+            assert r["sample_rate"] is None
+        else:
+            assert r["kind"] == "wav" and r["sample_rate"] == 8000 + (d % 8) * 1000
+            assert r["width"] is None
