@@ -19,8 +19,11 @@ this is a columnar batch engine.  See SURVEY.md for the full mapping.
 
 from lucene_plugin_ray.config import IndexConfig
 
-__all__ = ["IndexConfig", "build_index", "build_delta", "SearchEngine"]
-__version__ = "0.1.0"
+__all__ = [
+    "IndexConfig", "build_index", "build_delta", "SearchEngine",
+    "sharded_search", "AutoExtract",
+]
+__version__ = "0.2.0"
 
 
 def __getattr__(name):  # lazy so `import lucene_plugin_ray` stays light
@@ -32,4 +35,12 @@ def __getattr__(name):  # lazy so `import lucene_plugin_ray` stays light
         from lucene_plugin_ray.pipelines.query import SearchEngine
 
         return SearchEngine
+    if name == "sharded_search":
+        from lucene_plugin_ray.pipelines.sharded import sharded_search
+
+        return sharded_search
+    if name == "AutoExtract":
+        from lucene_plugin_ray.stages.extract import AutoExtract
+
+        return AutoExtract
     raise AttributeError(name)

@@ -35,8 +35,8 @@ def read_pages(path: str, cfg: IndexConfig, with_html: bool = False) -> "ray.dat
 
 
 def _doc_urls(doc_ids: pa.Array) -> pa.Array:
-    ids = doc_ids.to_numpy(zero_copy_only=False)
-    return pa.array([f"doc://{i:010d}" for i in ids], type=pa.string())
+    padded = pc.utf8_lpad(pc.cast(doc_ids, pa.string()), 10, "0")
+    return pc.binary_join_element_wise("doc://", padded, "")
 
 
 def documents_to_pages_batch(batch: pa.Table) -> pa.Table:
