@@ -919,8 +919,14 @@ class QueryExecutor:
     """
 
     def __init__(self, index_root: str, generation: int | None = None,
-                 cfg: IndexConfig | None = None, method: str = "taat"):
-        self.engine = SearchEngine(index_root, generation=generation, cfg=cfg)
+                 cfg: IndexConfig | None = None, method: str = "taat",
+                 partitions: "set[int] | None" = None):
+        """``partitions``: pin this actor to a partition subset (requires the
+        caller to merge per-shard results and inject global stats — prefer
+        pipelines/sharded.py::sharded_search, which does both)."""
+        self.engine = SearchEngine(
+            index_root, generation=generation, cfg=cfg, partitions=partitions
+        )
         self.method = method
 
     def __call__(self, batch: pa.Table) -> pa.Table:

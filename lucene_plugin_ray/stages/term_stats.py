@@ -26,8 +26,32 @@ import pyarrow.compute as pc
 import ray.data
 
 from lucene_plugin_ray.config import IndexConfig
-from lucene_plugin_ray.functions.analysis import term_frequencies, tokenize_column
+from lucene_plugin_ray.functions.analysis import (
+    term_frequencies,
+    tokenize_column,
+    tokenize_column_hashed,
+)
 from lucene_plugin_ray.functions.hashing import fnv1a_str, mix64
+
+
+def _vocab_stats_hashed(ht) -> tuple[list[str], np.ndarray, np.ndarray]:
+    """(vocab terms, df, total_tf) from hashed tokens — string
+    materialization only at VOCAB level (per distinct term per batch), every
+    per-token pass numeric."""
+    h, par = ht.hashes, ht.parents
+    order = np.lexsort((par, h))
+    h_s, p_s = h[order], par[order]
+    new_pair = (h_s[1:] != h_s[:-1]) | (p_s[1:] != p_s[:-1])
+    pair_start = np.flatnonzero(np.concatenate(([True], new_pair)))
+    pair_h = h_s[pair_start]
+    new_h = np.concatenate(([True], pair_h[1:] != pair_h[:-1]))
+    h_start = np.flatnonzero(new_h)
+    df = np.diff(np.concatenate([h_start, [pair_h.size]]))          # docs/term
+    tok_h_start = pair_start[h_start]
+    total_tf = np.diff(np.concatenate([tok_h_start, [h_s.size]]))   # tokens/term
+    uniq_idx = order[tok_h_start]
+    terms = [ht.token_bytes(int(i)).decode() for i in uniq_idx]
+    return terms, df.astype(np.int64), total_tf.astype(np.int64)
 
 
 class _PartialTermStats:
@@ -43,24 +67,38 @@ class _PartialTermStats:
             if field not in batch.column_names:
                 continue
             col = pc.cast(batch[field].combine_chunks(), pa.string())
-            parents, terms, _ = tokenize_column(col)
-            if len(parents) == 0:
-                continue
-            rows, t_terms, tfs = term_frequencies(parents, terms)
-            t = pa.table({"term": t_terms, "tf": pa.array(tfs, type=pa.int64())})
-            agg = t.group_by(["term"]).aggregate([("tf", "sum"), ([], "count_all")])
+            ht = tokenize_column_hashed(col)
+            if ht is not None:
+                # ASCII fast path: numeric (hash, parent) grouping, vocab-
+                # level strings only (same trick as the segment build)
+                if len(ht.hashes) == 0:
+                    continue
+                v_terms, v_df, v_tf = _vocab_stats_hashed(ht)
+                term_arr = pa.array(v_terms, type=pa.string())
+                df_arr = pa.array(v_df, type=pa.int64())
+                tf_arr = pa.array(v_tf, type=pa.int64())
+            else:
+                parents, terms, _ = tokenize_column(col)
+                if len(parents) == 0:
+                    continue
+                rows, t_terms, tfs = term_frequencies(parents, terms)
+                t = pa.table({"term": t_terms, "tf": pa.array(tfs, type=pa.int64())})
+                agg = t.group_by(["term"]).aggregate([("tf", "sum"), ([], "count_all")])
+                term_arr = agg["term"].combine_chunks()
+                df_arr = pc.cast(agg["count_all"], pa.int64())
+                tf_arr = pc.cast(agg["tf_sum"], pa.int64())
             # deterministic salt: stable hash of the batch's first url + size
             anchor = batch[cfg.url_column][0].as_py() if batch.num_rows else ""
             salt = mix64(fnv1a_str(f"{anchor}\x00{batch.num_rows}")) % cfg.salt_buckets
-            n = agg.num_rows
+            n = len(term_arr)
             parts.append(
                 pa.table(
                     {
                         "field": pa.array([field] * n, type=pa.string()),
-                        "term": agg["term"].combine_chunks(),
+                        "term": term_arr,
                         "salt": pa.array(np.full(n, salt, np.int32), type=pa.int32()),
-                        "df": pc.cast(agg["count_all"], pa.int64()),
-                        "total_tf": pc.cast(agg["tf_sum"], pa.int64()),
+                        "df": df_arr,
+                        "total_tf": tf_arr,
                     }
                 )
             )
