@@ -240,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": training.multimodal_features,
         "media_decode": training.media_decode,
         "events_latest": training.events_latest,
+        "events_window": training.events_window,
         "lang_id": training.lang_id,
     }
 
@@ -397,6 +398,14 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
                                    ORDER BY ts DESC, event_id DESC) AS rn
       FROM events) WHERE rn = 1
 ORDER BY user_id, event_type
+"""
+
+    sql["events_window"] = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+       CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
     sql["ann_topk"] = """

@@ -10,9 +10,11 @@ Ray-Data-first over the driver testdata tables (TESTDATA.md):
 * similarity search — brute-force cosine top-k (baseline) and an
   IVF-bucketed approximate variant (embeddings table);
 * multimodal plumbing — opaque binary payloads through an actor-pool
-  feature stage with the decode step STUBBED (no image/audio libs in this
-  container; the Ray-side schema/batching/actor wiring is real);
-* streaming-style upsert — latest event per key over the events table.
+  stage; stdlib header decode (png/gif/bmp/jpeg/wav) + an E2E media_decode
+  op with an exact arithmetic SQL oracle (full pixel/sample decode would
+  plug codec libs into MultimodalFeatures.decode);
+* streaming-style ops over the events table — latest-per-key upsert and a
+  tumbling-window aggregate (combiner → keyed fold, exact integer sums).
 
 Every op is vectorized per batch (numpy / pyarrow.compute), pre-aggregates
 before any shuffle, and broadcasts small sides instead of shuffle-joining.
@@ -1097,3 +1099,71 @@ def events_latest(sf_dir: str) -> pa.Table:
     return pa.concat_tables(
         [b for b in out.iter_batches(batch_format="pyarrow")]
     ).sort_by([("user_id", "ascending"), ("event_type", "ascending")])
+
+
+_WINDOW_US = 3_600_000_000  # tumbling 1-hour windows
+
+
+def events_window(sf_dir: str) -> pa.Table:
+    """Tumbling-window aggregate: per (1-hour window, event_type) →
+    (n_events, sum_value_cents, max_event_id).
+
+    The windowed-aggregate family for streaming-style data: window assignment
+    is a pure row function (ts floored to the hour), so the whole op is a
+    per-batch COMBINER (one partial row per (window, type) per batch) followed
+    by a small keyed fold — the shuffle moves |windows × types| rows, not
+    |events|.  Money-valued doubles are summed as integer cents, making the
+    fold exact and order-independent (same principle as the index's integer
+    doc_len sums)."""
+    from ray.data.aggregate import Max, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type", "value"]
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(batch["ts"].combine_chunks(), pa.int64())
+        win = pc.multiply(
+            pc.divide(ts_us, _WINDOW_US), _WINDOW_US  # integer floor to hour
+        )
+        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
+        t = pa.table(
+            {
+                "window_us": win,
+                "event_type": batch["event_type"].combine_chunks(),
+                "cents": cents,
+                "event_id": batch["event_id"].combine_chunks(),
+            }
+        )
+        agg = t.group_by(["window_us", "event_type"]).aggregate(
+            [("cents", "sum"), ("event_id", "max"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "window_us": agg["window_us"].combine_chunks(),
+                "event_type": agg["event_type"].combine_chunks(),
+                "n_events": pc.cast(agg["count_all"], pa.int64()),
+                "sum_value_cents": pc.cast(agg["cents_sum"], pa.int64()),
+                "max_event_id": pc.cast(agg["event_id_max"], pa.int64()),
+            }
+        )
+
+    folded = (
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["window_us", "event_type"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events_f"),
+            Sum("sum_value_cents", alias_name="cents_f"),
+            Max("max_event_id", alias_name="max_id_f"),
+        )
+    )
+    t = pa.concat_tables([b for b in folded.iter_batches(batch_format="pyarrow")])
+    return pa.table(
+        {
+            "window_start": pc.cast(t["window_us"], pa.timestamp("us")),
+            "event_type": t["event_type"],
+            "n_events": pc.cast(t["n_events_f"], pa.int64()),
+            "sum_value_cents": pc.cast(t["cents_f"], pa.int64()),
+            "max_event_id": pc.cast(t["max_id_f"], pa.int64()),
+        }
+    ).sort_by([("window_start", "ascending"), ("event_type", "ascending")])
