@@ -241,6 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": training.media_decode,
         "events_latest": training.events_latest,
         "events_window": training.events_window,
+        "events_asof": training.events_asof,
         "lang_id": training.lang_id,
     }
 
@@ -406,6 +407,20 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
        CAST(max(event_id) AS BIGINT) AS max_event_id
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+    # as-of join: window-function formulation (explicit ts-desc, event_id-desc
+    # tiebreak — deterministic, unlike bare ASOF JOIN on tied timestamps)
+    sql["events_asof"] = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+s AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+j AS (SELECT p.event_id, p.user_id, p.ts,
+             s.event_id AS s_id, s.ts AS s_ts,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY s.ts DESC, s.event_id DESC) AS rn
+      FROM p LEFT JOIN s ON s.user_id = p.user_id AND s.ts <= p.ts)
+SELECT event_id, user_id, ts, s_id AS signup_event_id, s_ts AS signup_ts
+FROM j WHERE rn = 1 ORDER BY event_id
 """
 
     sql["ann_topk"] = """

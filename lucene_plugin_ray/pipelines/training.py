@@ -13,8 +13,9 @@ Ray-Data-first over the driver testdata tables (TESTDATA.md):
   stage; stdlib header decode (png/gif/bmp/jpeg/wav) + an E2E media_decode
   op with an exact arithmetic SQL oracle (full pixel/sample decode would
   plug codec libs into MultimodalFeatures.decode);
-* streaming-style ops over the events table — latest-per-key upsert and a
-  tumbling-window aggregate (combiner → keyed fold, exact integer sums).
+* streaming-style ops over the events table — latest-per-key upsert, a
+  tumbling-window aggregate (combiner → keyed fold, exact integer sums),
+  and an as-of join (user-keyed shuffle → per-group sorted searchsorted).
 
 Every op is vectorized per batch (numpy / pyarrow.compute), pre-aggregates
 before any shuffle, and broadcasts small sides instead of shuffle-joining.
@@ -1167,3 +1168,83 @@ def events_window(sf_dir: str) -> pa.Table:
             "max_event_id": pc.cast(t["max_id_f"], pa.int64()),
         }
     ).sort_by([("window_start", "ascending"), ("event_type", "ascending")])
+
+
+def events_asof(sf_dir: str) -> pa.Table:
+    """As-of join: each 'purchase' event joined to the SAME user's most
+    recent 'signup' at-or-before its timestamp (ties broken by max
+    event_id); null when no prior signup exists.
+
+    Distributed shape: ONE hash shuffle on the join key (user_id) co-locates
+    both sides, then each group does a vectorized sorted searchsorted — the
+    classic as-of pattern.  The partitioning assumption: a single user's
+    events fit one group (true for user-keyed event streams; a whale user
+    would need ts-range sub-splitting with boundary exchange)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def _prefilter(batch: pa.Table) -> pa.Table:
+        # only the two joined types travel through the shuffle
+        keep = pc.is_in(
+            batch["event_type"],
+            value_set=pa.array(["purchase", "signup"], type=pa.string()),
+        )
+        return batch.filter(keep)
+
+    def _asof(group: pa.Table) -> pa.Table:
+        et = group["event_type"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(group["ts"].combine_chunks(), pa.int64()).to_numpy()
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        is_p = et == "purchase"
+        is_s = et == "signup"
+        p_idx = np.flatnonzero(is_p)
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "signup_event_id": pa.array([], pa.int64()),
+                "signup_ts": pa.array([], pa.timestamp("us")),
+            }
+        )
+        if p_idx.size == 0:
+            return empty
+        s_idx = np.flatnonzero(is_s)
+        # sort signups by (ts, event_id): searchsorted 'right' − 1 lands on
+        # the max-ts-then-max-event_id match — the as-of pick
+        s_order = np.lexsort((eid[s_idx], ts[s_idx]))
+        s_ts = ts[s_idx][s_order]
+        s_eid = eid[s_idx][s_order]
+        pos = np.searchsorted(s_ts, ts[p_idx], side="right") - 1
+        ok = pos >= 0
+        sid = np.where(ok, s_eid[np.maximum(pos, 0)], -1)
+        sts = np.where(ok, s_ts[np.maximum(pos, 0)], 0)
+        return pa.table(
+            {
+                "event_id": pa.array(eid[p_idx], type=pa.int64()),
+                "user_id": pa.array(uid[p_idx], type=pa.int64()),
+                "ts": pc.cast(pa.array(ts[p_idx], type=pa.int64()), pa.timestamp("us")),
+                "signup_event_id": pa.array(
+                    [int(x) if o else None for x, o in zip(sid, ok)], type=pa.int64()
+                ),
+                "signup_ts": pc.cast(
+                    pa.array(
+                        [int(x) if o else None for x, o in zip(sts, ok)],
+                        type=pa.int64(),
+                    ),
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(_prefilter, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(_asof, batch_format="pyarrow")
+    )
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]
+    ).sort_by("event_id")
