@@ -242,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest": training.events_latest,
         "events_window": training.events_window,
         "events_asof": training.events_asof,
+        "events_band_join": training.events_band_join,
         "lang_id": training.lang_id,
     }
 
@@ -421,6 +422,18 @@ j AS (SELECT p.event_id, p.user_id, p.ts,
       FROM p LEFT JOIN s ON s.user_id = p.user_id AND s.ts <= p.ts)
 SELECT event_id, user_id, ts, s_id AS signup_event_id, s_ts AS signup_ts
 FROM j WHERE rn = 1 ORDER BY event_id
+"""
+
+    sql["events_band_join"] = """
+SELECT s.user_id,
+       s.event_id AS signup_event_id,
+       p.event_id AS purchase_event_id,
+       CAST((epoch_us(p.ts) - epoch_us(s.ts)) // 1000000 AS BIGINT) AS lag_s
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s
+JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = s.user_id
+ AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+ORDER BY signup_event_id, purchase_event_id
 """
 
     sql["ann_topk"] = """

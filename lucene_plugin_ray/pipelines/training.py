@@ -1248,3 +1248,80 @@ def events_asof(sf_dir: str) -> pa.Table:
     return pa.concat_tables(
         [b for b in out.iter_batches(batch_format="pyarrow")]
     ).sort_by("event_id")
+
+
+_BAND_US = 3_600_000_000  # 1-hour band
+
+
+def events_band_join(sf_dir: str) -> pa.Table:
+    """Range (band) join: all (signup, purchase) pairs of the SAME user with
+    the purchase inside (signup_ts, signup_ts + 1h].  Same one-shuffle
+    user-keyed shape as the as-of join; within a group the band is two
+    searchsorted bounds per signup, pairs emitted via vectorized repeat
+    (no per-pair Python loop)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def _prefilter(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            batch["event_type"],
+            value_set=pa.array(["purchase", "signup"], type=pa.string()),
+        )
+        return batch.filter(keep)
+
+    def _band(group: pa.Table) -> pa.Table:
+        et = group["event_type"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(group["ts"].combine_chunks(), pa.int64()).to_numpy()
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        s_idx = np.flatnonzero(et == "signup")
+        p_idx = np.flatnonzero(et == "purchase")
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "signup_event_id": pa.array([], pa.int64()),
+                "purchase_event_id": pa.array([], pa.int64()),
+                "lag_s": pa.array([], pa.int64()),
+            }
+        )
+        if s_idx.size == 0 or p_idx.size == 0:
+            return empty
+        p_order = np.lexsort((eid[p_idx], ts[p_idx]))
+        p_ts = ts[p_idx][p_order]
+        p_eid = eid[p_idx][p_order]
+        s_ts = ts[s_idx]
+        s_eid = eid[s_idx]
+        lo = np.searchsorted(p_ts, s_ts, side="right")          # ts > signup
+        hi = np.searchsorted(p_ts, s_ts + _BAND_US, side="right")  # ≤ +1h
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        within = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+        p_sel = np.repeat(lo, counts) + within
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    np.full(total, uid[0], dtype=np.int64), type=pa.int64()
+                ),
+                "signup_event_id": pa.array(np.repeat(s_eid, counts), type=pa.int64()),
+                "purchase_event_id": pa.array(p_eid[p_sel], type=pa.int64()),
+                "lag_s": pa.array(
+                    (p_ts[p_sel] - np.repeat(s_ts, counts)) // 1_000_000,
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(_prefilter, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(_band, batch_format="pyarrow")
+    )
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]
+    ).sort_by(
+        [("signup_event_id", "ascending"), ("purchase_event_id", "ascending")]
+    )

@@ -15,7 +15,7 @@ CHECKED = [
     "lang_id", "jaccard_adjacent",
     "search_term", "search_or", "search_and", "search_field", "search_range",
     "term_stats", "dedup_exact", "ann_topk", "events_latest", "fingerprint",
-    "media_decode", "events_window", "events_asof",
+    "media_decode", "events_window", "events_asof", "events_band_join",
 ]
 
 
