@@ -188,6 +188,38 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     queries["query_p50_warm"] = round(_pct(lat_warm, 0.5), 4)
     queries["query_p99_warm"] = round(_pct(lat_warm, 0.99), 4)
 
+    # ---- sharded batch-search throughput (the cluster-scale read path:
+    # each actor pins a partition subset, two-phase df-then-score) ----
+    from lucene_plugin_ray.pipelines.sharded import sharded_search
+
+    batch_q = pa.table(
+        {
+            "qid": pa.array(range(4 * len(qset)), type=pa.int64()),
+            "collection": ["default"] * (4 * len(qset)),
+            "query": [q for q in qset for _ in range(4)],
+            "k": pa.array([10] * (4 * len(qset)), type=pa.int32()),
+        }
+    )
+    t1 = time.monotonic()
+    shard_out = sharded_search(root, batch_q, cfg=cfg, num_shards=8)
+    shard_s = time.monotonic() - t1
+    queries["sharded_batch_search"] = round(shard_s, 3)
+    out["sharded_qps"] = round(batch_q.num_rows / shard_s, 1)
+    out["sharded_hits"] = shard_out.num_rows
+
+    # serving mode: persistent shard-actor fleet; measure a WARM batch
+    # (the steady-state latency a query service sees)
+    from lucene_plugin_ray.pipelines.sharded import ShardedSearcherService
+
+    svc = ShardedSearcherService(root, cfg=cfg, num_shards=8)
+    svc.search_batch(batch_q)  # warm the fleet
+    t1 = time.monotonic()
+    svc.search_batch(batch_q)
+    warm_s = time.monotonic() - t1
+    svc.shutdown()
+    queries["sharded_service_warm_batch"] = round(warm_s, 3)
+    out["sharded_service_warm_qps"] = round(batch_q.num_rows / warm_s, 1)
+
     # ---- secondary pipelines ----
     from lucene_plugin_ray.pipelines import training
     from lucene_plugin_ray.stages.term_stats import term_stats

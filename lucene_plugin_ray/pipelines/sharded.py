@@ -308,3 +308,147 @@ def sharded_search(
             "score": pa.array(score[sel], type=pa.float64()),
         }
     )
+
+
+@ray.remote
+class _ShardActor:
+    """Long-lived shard searcher: pins its partition subset ONCE (the
+    'searcher lease', LuceneReaderImpl.java:90-98) and answers df-gather and
+    score calls for its shard.  Used by ShardedSearcherService — the serving
+    mode, where per-call actor-pool spin-up would dominate latency."""
+
+    def __init__(self, index_root: str, generation: int | None,
+                 cfg: IndexConfig, partitions: list[int]):
+        self.engine = SearchEngine(
+            index_root, generation=generation, cfg=cfg,
+            partitions=set(partitions),
+        )
+
+    def stats_and_dfs(
+        self, terms_by_coll: dict[str, list[tuple[str, str]]]
+    ) -> tuple[dict, dict]:
+        stats = self.engine.local_collection_stats()
+        dfs = {
+            coll: self.engine.local_term_dfs(coll, [tuple(t) for t in ts])
+            for coll, ts in terms_by_coll.items()
+        }
+        return stats, dfs
+
+    def score(self, qlist: list[dict], method: str, global_stats: dict,
+              global_df_by_coll: dict) -> list[dict]:
+        rows = []
+        for q in qlist:
+            res = self.engine.search_partial(
+                q["query"], collection=q["collection"], limit=q["limit"],
+                method=method, global_stats=global_stats,
+                global_df=global_df_by_coll.get(
+                    sanitize_collection(q["collection"]), {}
+                ),
+            )
+            for u, s in zip(res["url"].to_pylist(), res["score"].to_pylist()):
+                rows.append({"qid": q["qid"], "url": u, "score": s})
+        return rows
+
+
+class ShardedSearcherService:
+    """Persistent distributed searcher: ``num_shards`` long-lived actors,
+    each holding 1/num_shards of the index; ``search_batch`` runs the
+    two-phase df-then-score protocol against all of them and merges exactly.
+
+    This is the one place the engine drops below the Dataset API: a serving
+    fleet with pinned in-memory state and sub-second per-batch latency is
+    exactly what ``@ray.remote`` actors exist for.  Batch/ETL callers should
+    use :func:`sharded_search` (Ray Data pipeline) instead.
+    """
+
+    def __init__(self, index_root: str, cfg: IndexConfig | None = None,
+                 generation: int | None = None, num_shards: int | None = None):
+        self.cfg = cfg or IndexConfig(index_root=index_root)
+        chain = load_manifest_chain(index_root, generation)
+        self.generation = chain[-1].generation
+        P = chain[-1].num_partitions
+        num_shards = max(1, min(num_shards or min(P, 8), P))
+        self.actors = [
+            _ShardActor.remote(
+                index_root, self.generation, self.cfg, spec["partitions"]
+            )
+            for spec in shard_assignment(P, num_shards)
+        ]
+
+    def search_batch(self, queries: pa.Table, method: str = "taat") -> pa.Table:
+        """(qid, query[, collection][, k]) → (qid, rank, url, score)."""
+        qlist = []
+        terms_by_coll: dict[str, set[tuple[str, str]]] = {}
+        for q in queries.to_pylist():
+            coll = q.get("collection") or "default"
+            limit = q.get("k")
+            qlist.append(
+                {"qid": int(q["qid"]), "collection": coll, "query": q["query"],
+                 "limit": int(limit) if limit is not None
+                 else self.cfg.result_limit}
+            )
+            sc = sanitize_collection(coll)
+            for c in parse_query(q["query"], default_field=self.cfg.text_column):
+                if isinstance(c, TermClause):
+                    terms_by_coll.setdefault(sc, set()).add((c.field, c.term))
+        terms_sorted = {c: sorted(v) for c, v in terms_by_coll.items()}
+
+        # phase 1: parallel df/stats gather across the fleet
+        parts = ray.get(
+            [a.stats_and_dfs.remote(terms_sorted) for a in self.actors]
+        )
+        global_stats: dict[str, dict] = {}
+        global_df: dict[str, dict] = {}
+        for stats, dfs in parts:
+            for coll, st in stats.items():
+                g = global_stats.setdefault(coll, {"n_docs": 0, "sum_dl": {}})
+                g["n_docs"] += st["n_docs"]
+                for f, s in st["sum_dl"].items():
+                    g["sum_dl"][f] = g["sum_dl"].get(f, 0) + s
+            for coll, d in dfs.items():
+                g = global_df.setdefault(coll, {})
+                for k, v in d.items():
+                    g[k] = g.get(k, 0) + v
+
+        # phase 2: parallel scoring; exact driver merge (total-order tiebreak)
+        hit_lists = ray.get(
+            [a.score.remote(qlist, method, global_stats, global_df)
+             for a in self.actors]
+        )
+        rows = [r for lst in hit_lists for r in lst]
+        if not rows:
+            return pa.table(
+                {"qid": pa.array([], pa.int64()),
+                 "rank": pa.array([], pa.int32()),
+                 "url": pa.array([], pa.string()),
+                 "score": pa.array([], pa.float64())}
+            )
+        qid = np.array([r["qid"] for r in rows], dtype=np.int64)
+        score = np.array([r["score"] for r in rows], dtype=np.float64)
+        url = np.array([r["url"] for r in rows], dtype=object)
+        order = np.lexsort((url, -score, qid))
+        qid_s = qid[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], qid_s[1:] != qid_s[:-1]))
+        )
+        run_id = np.cumsum(
+            np.concatenate(([0], (qid_s[1:] != qid_s[:-1]).astype(np.int64)))
+        )
+        rank = np.arange(qid_s.size, dtype=np.int64) - starts[run_id]
+        limits = {q["qid"]: q["limit"] for q in qlist}
+        lim = np.array([limits[int(x)] for x in qid_s], dtype=np.int64)
+        keep = rank < lim
+        sel = order[keep]
+        return pa.table(
+            {
+                "qid": pa.array(qid[sel], type=pa.int64()),
+                "rank": pa.array(rank[keep].astype(np.int32), type=pa.int32()),
+                "url": pa.array(url[sel], type=pa.string()),
+                "score": pa.array(score[sel], type=pa.float64()),
+            }
+        )
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

@@ -156,3 +156,26 @@ def test_sharded_range_and_field_queries(built):
     out = sharded_search(root, q, cfg=cfg, num_shards=3, concurrency=2)
     exp = engine.search("text:[pagehit TO pagehit]", limit=100)
     assert sorted(out["url"].to_pylist()) == sorted(exp["url"].to_pylist())
+
+
+def test_sharded_searcher_service(built):
+    """Persistent serving mode (long-lived shard actors): identical results
+    to the whole-index engine, across two batches on the same fleet."""
+    from lucene_plugin_ray.pipelines.sharded import ShardedSearcherService
+
+    root, cfg, engine = built
+    svc = ShardedSearcherService(root, cfg=cfg, num_shards=4)
+    try:
+        for _ in range(2):  # repeated batches reuse the warm fleet
+            out = svc.search_batch(_query_table())
+            by_qid: dict[int, list] = {}
+            for r in out.to_pylist():
+                by_qid.setdefault(r["qid"], []).append(
+                    (r["rank"], r["url"], r["score"])
+                )
+            for qid, q, k in QUERIES:
+                exp = engine.search(q, limit=k)
+                got = sorted(by_qid.get(qid, []))
+                assert [u for _, u, _ in got] == exp["url"].to_pylist(), q
+    finally:
+        svc.shutdown()
