@@ -243,6 +243,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": training.events_window,
         "events_asof": training.events_asof,
         "events_band_join": training.events_band_join,
+        "events_sessionize": training.events_sessionize,
+        "ann_lsh": training.ann_lsh,
+        "corpus_curation": training.corpus_curation,
         "lang_id": training.lang_id,
     }
 
@@ -478,6 +481,66 @@ SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang
 FROM documents d LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b USING (doc_id)
 ORDER BY doc_id
 """
-    # dedup_minhash, simhash, ann_ivf: approximate / LSH-based — not
+    # gap-based sessionization: lag-window new-session flag → running sum →
+    # per-(user, session) fold; exact integer-cents sums
+    sql["events_sessionize"] = """
+WITH o AS (SELECT user_id, event_id, ts, value,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                       THEN 1 ELSE 0 END AS is_new
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sess
+      FROM o)
+SELECT user_id,
+       CAST(min(event_id) AS BIGINT) AS first_event_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM s GROUP BY user_id, sess
+ORDER BY user_id, session_start
+"""
+
+    # composed curation chain: quality + language filter + normalized-stream
+    # exact dedup (keep min doc_id per fingerprint) — mirrors
+    # training.corpus_curation thresholds exactly (unrounded ratio compare)
+    sql["corpus_curation"] = f"""
+WITH raw AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+ne AS (SELECT doc_id, term FROM raw WHERE term <> ''),
+agg AS (SELECT doc_id, count(*) AS n_all,
+               sum(CASE WHEN term IN {SQL_STOPWORD_LIST} THEN 1 ELSE 0 END) AS n_stop
+        FROM ne GROUP BY doc_id),
+m(lang, term) AS (SELECT * FROM (VALUES {marker_values})),
+hits AS (SELECT r.doc_id, m.lang, count(*) AS c FROM ne r JOIN m ON r.term = m.term GROUP BY r.doc_id, m.lang),
+best AS (SELECT doc_id, lang,
+                row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lang ASC) AS rn
+         FROM hits),
+fp AS (SELECT doc_id,
+              sha256(array_to_string(
+                list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '' AND length(x) <= 255
+                                 AND NOT list_contains({_SQL_STOP_LIST_LITERAL}, x)),
+                ' ')) AS fp_sha256
+       FROM documents),
+feat AS (SELECT a.doc_id,
+                coalesce(b.lang, 'und') AS pred_lang,
+                CAST(a.n_all AS BIGINT) AS n_tokens_all,
+                round(a.n_stop * 1.0 / greatest(a.n_all, 1), 6) AS stop_ratio,
+                a.n_stop * 1.0 / greatest(a.n_all, 1) AS stop_ratio_raw,
+                fp.fp_sha256
+         FROM agg a
+         LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b USING (doc_id)
+         JOIN fp USING (doc_id)),
+kept AS (SELECT * FROM feat
+         WHERE n_tokens_all >= 15 AND stop_ratio_raw <= 0.15 AND pred_lang <> 'und'),
+dedup AS (SELECT *, row_number() OVER (PARTITION BY fp_sha256 ORDER BY doc_id) AS rn2
+          FROM kept)
+SELECT doc_id, pred_lang, n_tokens_all, stop_ratio, fp_sha256
+FROM dedup WHERE rn2 = 1 ORDER BY doc_id
+"""
+
+    # dedup_minhash, simhash, ann_ivf, ann_lsh: approximate / LSH-based — not
     # SQL-expressible; the driver records rows-only checks.
     return sql

@@ -15,7 +15,11 @@ Ray-Data-first over the driver testdata tables (TESTDATA.md):
   plug codec libs into MultimodalFeatures.decode);
 * streaming-style ops over the events table — latest-per-key upsert, a
   tumbling-window aggregate (combiner → keyed fold, exact integer sums),
-  and an as-of join (user-keyed shuffle → per-group sorted searchsorted).
+  as-of + range/band joins and gap-based sessionization (all on ONE shared
+  user-keyed shuffle shape → per-group vectorized kernels);
+* the composed corpus-curation chain (quality + language filter + exact
+  normalized dedup in one streaming DAG with a map-side filter before the
+  only shuffle).
 
 Every op is vectorized per batch (numpy / pyarrow.compute), pre-aggregates
 before any shuffle, and broadcasts small sides instead of shuffle-joining.
@@ -1325,3 +1329,273 @@ def events_band_join(sf_dir: str) -> pa.Table:
     ).sort_by(
         [("signup_event_id", "ascending"), ("purchase_event_id", "ascending")]
     )
+
+
+_SESSION_GAP_US = 1_800_000_000  # 30-minute inactivity gap
+
+
+def events_sessionize(sf_dir: str) -> pa.Table:
+    """Gap-based sessionization: a user's events sorted by (ts, event_id)
+    are split into sessions wherever the inter-event gap exceeds 30 minutes.
+    Per session: (user_id, first_event_id=min event_id, session_start,
+    session_end, n_events, sum_value_cents).
+
+    Distributed shape: ONE user-keyed hash shuffle (same partitioning key as
+    the as-of/band joins — SURVEY.md §7.3 'pick ONE partitioning key and
+    reuse it'), then each group is a vectorized diff → cumsum → reduceat:
+    no per-event Python loop.  Money sums are exact integer cents so the op
+    is order- and partitioning-independent."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def _sessionize(group: pa.Table) -> pa.Table:
+        ts = pc.cast(group["ts"].combine_chunks(), pa.int64()).to_numpy()
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        cents = (
+            pc.cast(pc.round(pc.multiply(group["value"], 100.0)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        order = np.lexsort((eid, ts))
+        ts, eid, cents = ts[order], eid[order], cents[order]
+        n = ts.size
+        new = np.ones(n, dtype=bool)
+        new[1:] = (ts[1:] - ts[:-1]) > _SESSION_GAP_US
+        starts = np.flatnonzero(new)                      # session boundaries
+        n_events = np.diff(np.append(starts, n))
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    np.full(starts.size, group["user_id"][0].as_py(), np.int64),
+                    type=pa.int64(),
+                ),
+                "first_event_id": pa.array(
+                    np.minimum.reduceat(eid, starts), type=pa.int64()
+                ),
+                "session_start": pc.cast(
+                    pa.array(ts[starts], type=pa.int64()), pa.timestamp("us")
+                ),
+                "session_end": pc.cast(
+                    pa.array(ts[np.append(starts[1:], n) - 1], type=pa.int64()),
+                    pa.timestamp("us"),
+                ),
+                "n_events": pa.array(n_events, type=pa.int64()),
+                "sum_value_cents": pa.array(
+                    np.add.reduceat(cents, starts), type=pa.int64()
+                ),
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(_sessionize, batch_format="pyarrow")
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]
+    ).sort_by([("user_id", "ascending"), ("session_start", "ascending")])
+
+
+# LSH-ANN parameters: 24 hyperplane bits = 8 bands x 3 rows (measured on the
+# seeded corpus: recall 0.90 vs brute force at candidate fraction ~0.66; more
+# rows/band prunes harder but drops recall below the 0.5 test floor)
+_LSH_BITS = 24
+_LSH_BANDS = 8
+_LSH_ROWS = 3
+
+
+def ann_lsh(sf_dir: str, k: int = 10) -> pa.Table:
+    """Random-hyperplane (SimHash-style) LSH ANN: the bucketed scale path.
+
+    Seeded hyperplanes give every vector a 24-bit signature split into 8
+    bands of 3 bits; a base vector is a candidate for a query iff at least
+    one band code matches (classic banded LSH).  Hyperplanes + query band
+    codes are broadcast once (ray.put); each batch computes signatures with
+    one matmul, masks candidates, and emits per-batch top-k partials —
+    exactly ann_topk's merge shape, but each batch scores only the
+    candidate subset.  Approximate: oracle is rows-only; recall vs the
+    brute-force baseline is pinned in tests/test_ann_lsh.py."""
+    qids, qmat = _query_matrix(sf_dir)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    d = qn.shape[1]
+    rng = np.random.default_rng(20260817)
+    planes = rng.standard_normal((d, _LSH_BITS))
+
+    def _band_codes(mat: np.ndarray) -> np.ndarray:
+        bits = (mat @ planes) > 0.0                       # (n, BITS)
+        codes = bits.reshape(-1, _LSH_BANDS, _LSH_ROWS)
+        weights = 1 << np.arange(_LSH_ROWS)
+        return (codes * weights).sum(axis=2).astype(np.uint8)  # (n, BANDS)
+
+    q_codes = _band_codes(qn)
+    planes_ref = ray.put(planes)
+    q_ref = ray.put(qn)
+    qcodes_ref = ray.put(q_codes)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        q = ray.get(q_ref)
+        qc = ray.get(qcodes_ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        m = _embedding_matrix(batch["embedding"])
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        mn = m / nrm
+        bits = (mn @ pl) > 0.0
+        codes = (
+            bits.reshape(-1, _LSH_BANDS, _LSH_ROWS)
+            * (1 << np.arange(_LSH_ROWS))
+        ).sum(axis=2).astype(np.uint8)                    # (n, BANDS)
+        # candidate iff any band code matches: (n, Q)
+        cand = (codes[:, None, :] == qc[None, :, :]).any(axis=2)
+        out_q, out_v, out_s = [], [], []
+        for j in range(q.shape[0]):
+            sel = cand[:, j]
+            if not sel.any():
+                continue
+            s = mn[sel] @ q[j]
+            v = ids[sel]
+            top = np.argsort(-s, kind="stable")[:k]
+            out_q.append(np.full(top.size, qids[j], np.int64))
+            out_v.append(v[top])
+            out_s.append(s[top])
+        if not out_q:
+            return pa.table(
+                {"qid": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                 "cos": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+                "cos": pa.array(np.concatenate(out_s), type=pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    parts = pa.concat_tables(
+        [
+            b
+            for b in ds.map_batches(
+                _score, batch_format="pyarrow", zero_copy_batch=True
+            ).iter_batches(batch_format="pyarrow")
+        ]
+    )
+    out = []
+    for qid in sorted(set(qids.tolist())):
+        sub = parts.filter(pc.equal(parts["qid"], qid))
+        s = sub["cos"].to_numpy(zero_copy_only=False)
+        v = sub["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, -s))[:k]
+        out.append(
+            pa.table(
+                {
+                    "qid": pa.array(np.full(order.size, qid, np.int64), type=pa.int64()),
+                    "vec_id": pa.array(v[order], type=pa.int64()),
+                    "cos": pa.array(np.round(s[order], 5), type=pa.float64()),
+                }
+            )
+        )
+    return pa.concat_tables(out)
+
+
+# corpus-curation thresholds (the composed training-data filter)
+_CURATE_MIN_TOKENS = 15
+_CURATE_MAX_STOP_RATIO = 0.15
+
+
+class CurationStage:
+    """Fused per-batch curation: ONE pass over the text computes raw token
+    stats, stop ratio, marker-vote language-ID and the normalized-stream
+    fingerprint — four analysis passes fused into one map stage so the text
+    column is read (and the split computed) once.  Actor pool: marker/stop
+    arrays built once per actor."""
+
+    def __init__(self):
+        self.stop_arr = pa.array(sorted(STOP_WORDS), type=pa.string())
+        self.markers = [
+            (lang, pa.array(sorted(words), type=pa.string()))
+            for lang, words in sorted(_LANG_MARKERS.items())
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch["text"].combine_chunks(), pa.string())
+        n = len(text)
+        split = pc.split_pattern_regex(pc.utf8_lower(text), pattern="[^a-z0-9]+")
+        lengths = np.nan_to_num(
+            pc.list_value_length(split).to_numpy(zero_copy_only=False), nan=0
+        ).astype(np.int64)
+        parents = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        flat = pc.list_flatten(split)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        is_stop = pc.is_in(flat, value_set=self.stop_arr).to_numpy(
+            zero_copy_only=False
+        )
+        n_all = np.bincount(parents[nonempty], minlength=n)
+        n_stop = np.bincount(parents[nonempty & is_stop], minlength=n)
+        # marker-vote language id (same rule as LangId: argmax, ties → first
+        # in sorted lang order, zero hits → 'und')
+        scores = np.zeros((n, len(self.markers)), dtype=np.int64)
+        for j, (_, arr) in enumerate(self.markers):
+            hit = pc.is_in(flat, value_set=arr).to_numpy(zero_copy_only=False)
+            scores[:, j] = np.bincount(parents[hit], minlength=n)
+        langs = np.array([l for l, _ in self.markers], dtype=object)
+        pred = langs[np.argmax(scores, axis=1)]
+        pred[scores.max(axis=1) == 0] = "und"
+        # normalized-stream fingerprint (analyzed tokens: drop stop + >255)
+        ok = (
+            nonempty
+            & ~is_stop
+            & (pc.utf8_length(flat).to_numpy(zero_copy_only=False) <= 255)
+        )
+        keep_idx = np.flatnonzero(ok)
+        kept_terms = flat.take(pa.array(keep_idx, type=pa.int64()))
+        kept_lens = np.bincount(parents[keep_idx], minlength=n).astype(np.int32)
+        offsets = np.concatenate([[0], np.cumsum(kept_lens)]).astype(np.int32)
+        lst = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), kept_terms)
+        fp = sha256_column(pc.binary_join(lst, " "))
+        denom = np.maximum(n_all, 1)
+        t = pa.table(
+            {
+                "doc_id": batch["doc_id"].combine_chunks(),
+                "pred_lang": pa.array(pred, type=pa.string()),
+                "n_tokens_all": pa.array(n_all.astype(np.int64), type=pa.int64()),
+                "stop_ratio": pa.array(np.round(n_stop / denom, 6), type=pa.float64()),
+                "fp_sha256": fp,
+            }
+        )
+        # curation filter applied map-side: only survivors enter the dedup
+        # shuffle (prune-before-shuffle)
+        keep = (
+            (n_all >= _CURATE_MIN_TOKENS)
+            & (n_stop / denom <= _CURATE_MAX_STOP_RATIO)
+            & (pred != "und")
+        )
+        return t.filter(pa.array(keep))
+
+
+def corpus_curation(sf_dir: str) -> pa.Table:
+    """The composed training-data curation pipeline (the headline chain a
+    100-TB corpus run would use): quality filter + language filter + exact
+    near-normalized dedup in one streaming DAG —
+
+        read → CurationStage (fused stats/lang/fingerprint + map-side
+        filter) → groupby(fingerprint) keep min-doc_id
+
+    Only documents passing the filter travel through the dedup shuffle, and
+    the shuffle key (sha256 of the analyzed token stream) is uniform.
+    Output: one row per kept distinct normalized document."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def _keep_first(group: pa.Table) -> pa.Table:
+        t = group.sort_by("doc_id")
+        return t.slice(0, 1)
+
+    out = (
+        ds.map_batches(
+            CurationStage, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+        )
+        .groupby("fp_sha256")
+        .map_groups(_keep_first, batch_format="pyarrow")
+    )
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]
+    ).sort_by("doc_id")

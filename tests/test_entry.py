@@ -16,6 +16,7 @@ CHECKED = [
     "search_term", "search_or", "search_and", "search_field", "search_range",
     "term_stats", "dedup_exact", "ann_topk", "events_latest", "fingerprint",
     "media_decode", "events_window", "events_asof", "events_band_join",
+    "events_sessionize", "corpus_curation",
 ]
 
 
@@ -80,3 +81,58 @@ def test_rows_only_ops_run(harness):
         recall_hits += len(e & a)
         total += len(e)
     assert recall_hits / total >= 0.5
+
+
+def test_ann_lsh_recall(harness):
+    """Banded random-hyperplane LSH: candidates restricted to matching
+    band buckets must still recover most of the exact top-k, and every
+    reported similarity must equal the exact cosine (it scores real
+    vectors, only the candidate set is approximate)."""
+    E, _ = harness
+    qs = E.queries()
+    lsh = qs["ann_lsh"](SF)
+    exact = qs["ann_topk"](SF)
+    assert lsh.num_rows > 0
+    exact_sims = {
+        (q, v): c
+        for q, v, c in zip(
+            exact["qid"].to_pylist(), exact["vec_id"].to_pylist(),
+            exact["cos"].to_pylist(),
+        )
+    }
+    recall_hits, total = 0, 0
+    for qid in set(exact["qid"].to_pylist()):
+        e = {v for q, v in zip(exact["qid"].to_pylist(), exact["vec_id"].to_pylist()) if q == qid}
+        a = {v for q, v in zip(lsh["qid"].to_pylist(), lsh["vec_id"].to_pylist()) if q == qid}
+        recall_hits += len(e & a)
+        total += len(e)
+    assert recall_hits / total >= 0.5
+    for q, v, c in zip(
+        lsh["qid"].to_pylist(), lsh["vec_id"].to_pylist(), lsh["cos"].to_pylist()
+    ):
+        if (q, v) in exact_sims:
+            assert abs(c - exact_sims[(q, v)]) < 1e-9
+
+
+def test_corpus_curation_composition(harness):
+    """The composed curation chain equals re-composing its published parts:
+    every kept doc passes the thresholds per quality_score/lang_id outputs,
+    and keepers are minimal doc_ids per fingerprint among the kept set."""
+    E, _ = harness
+    qs = E.queries()
+    cur = qs["corpus_curation"](SF).to_pandas().set_index("doc_id")
+    quality = qs["quality_score"](SF).to_pandas().set_index("doc_id")
+    langs = qs["lang_id"](SF).to_pandas().set_index("doc_id")
+    fps = qs["fingerprint"](SF).to_pandas().set_index("doc_id")
+    ratio_raw = quality["n_stop"] / quality["n_tokens_all"].clip(lower=1)
+    kept_expected = quality[
+        (quality["n_tokens_all"] >= 15) & (ratio_raw <= 0.15)
+    ].index.intersection(langs[langs["pred_lang"] != "und"].index)
+    # min doc_id per fingerprint within the kept set
+    kept_fps = fps.loc[kept_expected]
+    keepers = set(kept_fps.groupby("fp_sha256").apply(lambda g: g.index.min()))
+    assert set(cur.index) == keepers
+    for doc_id, row in cur.iterrows():
+        assert row["pred_lang"] == langs.loc[doc_id, "pred_lang"]
+        assert row["n_tokens_all"] == quality.loc[doc_id, "n_tokens_all"]
+        assert row["fp_sha256"] == fps.loc[doc_id, "fp_sha256"]
