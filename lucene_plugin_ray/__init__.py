@@ -22,6 +22,7 @@ from lucene_plugin_ray.config import IndexConfig
 __all__ = [
     "IndexConfig", "build_index", "build_delta", "SearchEngine",
     "sharded_search", "AutoExtract",
+    "LuceneFacade", "AsyncLuceneFacade", "LuceneEntry", "LuceneException",
 ]
 __version__ = "0.2.0"
 
@@ -43,4 +44,8 @@ def __getattr__(name):  # lazy so `import lucene_plugin_ray` stays light
         from lucene_plugin_ray.stages.extract import AutoExtract
 
         return AutoExtract
+    if name in ("LuceneFacade", "AsyncLuceneFacade", "LuceneEntry", "LuceneException"):
+        from lucene_plugin_ray import facade
+
+        return getattr(facade, name)
     raise AttributeError(name)

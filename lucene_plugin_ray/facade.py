@@ -1,0 +1,327 @@
+"""Reference-parity service facade over the batch engine (VERDICT Missing #3).
+
+The reference exposes an online row-at-a-time API — ``LuceneFacade``
+(client/src/main/java/com/caucho/lucene/LuceneFacade.java:8-82, async
+``Result<T>`` callbacks), ``LuceneFacadeSync.java:7-26`` (blocking) and
+``LuceneFacadeImpl.java:21-152`` (validation + routing to the writer/reader
+services).  This module re-expresses that surface over the batch engine:
+
+* ``LuceneFacade`` — blocking facade (≙ ``LuceneFacadeSync``):
+  ``index_text`` / ``index_map`` / ``index_file`` buffer one-document writes
+  and flush them as **delta generations**; the reference's soft-commit policy
+  (commit + searcher refresh after ≥16 buffered updates,
+  ``LuceneIndexBean.java:78``, ``SearcherUpdateServiceImpl.java:101-115``)
+  becomes "auto-flush every ``soft_commit_max_docs`` buffered docs".
+* ``search`` leases a generation-pinned ``SearchEngine`` and re-acquires it
+  when the manifest generation advances — the batch analogue of
+  ``SearcherManager.maybeRefresh`` + the per-batch searcher lease
+  (``LuceneReaderImpl.java:90-98``).
+* ``delete`` / ``clear`` flush pending writes first (preserving the
+  actor-inbox total order of the reference writer,
+  ``LuceneWriterImpl.java:53-103``) and then publish a tombstone / clear
+  generation.
+* ``AsyncLuceneFacade`` — the async variant (≙ the callback-based
+  ``LuceneFacade`` API): every method returns an awaitable.
+
+Write ordering → data: each buffered document gets a strictly increasing
+synthetic ``warc_ts``, so "last message wins" (``updateDocument``,
+``LuceneIndexBean.java:256,343``) becomes last-write-wins by timestamp —
+deterministic and order-independent once flushed (SURVEY.md §2.10).
+
+One honest divergence, documented: the reference is schema-less (any
+``indexMap`` key becomes a field, ``LuceneIndexBean.java:338-341``); a batch
+index has a fixed analyzed-field set per index (``IndexConfig.fields()``,
+validated across generations).  ``index_map`` therefore rejects keys outside
+the configured fields with ``LuceneException`` instead of silently widening
+the schema.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyarrow as pa
+
+from lucene_plugin_ray.config import IndexConfig
+
+# ≙ reference soft-commit doc threshold (LuceneIndexBean.java:78)
+SOFT_COMMIT_MAX_DOCS = 16
+
+
+class LuceneException(Exception):
+    """≙ client LuceneException.java:33-36 — invalid input / engine error."""
+
+
+@dataclass(frozen=True)
+class LuceneEntry:
+    """Search hit record (≙ client LuceneEntry.java:3-71)."""
+
+    id: int            # engine docid (reference: Lucene docid)
+    score: float       # BM25 score
+    external_id: str   # ≙ __extKey__ (our url column)
+
+
+def _require(cond: bool, msg: str) -> None:
+    if not cond:
+        raise LuceneException(msg)
+
+
+def _valid_str(v) -> bool:
+    return isinstance(v, str) and len(v) > 0
+
+
+class LuceneFacade:
+    """Blocking row-at-a-time facade over the batch engine.
+
+    Validation mirrors ``LuceneFacadeImpl.java:97-130``: null/empty
+    collection, id or query raise ``LuceneException``; a null text/map does
+    too; an EMPTY map is a successful no-op (M7,
+    ``LuceneIndexBean.java:312-316``).
+    """
+
+    def __init__(
+        self,
+        cfg: IndexConfig,
+        soft_commit_max_docs: int = SOFT_COMMIT_MAX_DOCS,
+    ):
+        self.cfg = cfg
+        self.soft_commit_max_docs = soft_commit_max_docs
+        self._pending: list[dict] = []
+        self._engine = None
+        self._engine_gen: int | None = None
+        # Synthetic warc_ts sequence: strictly increasing across the facade's
+        # lifetime AND across reopened facades on the same index — the base
+        # advances with the manifest generation, so any row written by a later
+        # facade outranks (last-write-wins) rows of earlier generations.
+        self._seq = (self._current_generation() + 1) * 1_000_000_000
+
+    # ------------------------------------------------------------------
+    def _current_generation(self) -> int:
+        from lucene_plugin_ray.state.manifest import list_generations
+
+        gens = list_generations(self.cfg.index_root)
+        return max(gens) if gens else -1
+
+    def _next_ts(self) -> int:
+        self._seq += 1
+        return self._seq
+
+    def _buffer(self, collection: str, ext_id: str, text: str, fields: dict) -> bool:
+        row = {
+            "collection": collection,
+            self.cfg.url_column: ext_id,
+            self.cfg.ts_column: self._next_ts(),
+            self.cfg.text_column: text,
+        }
+        for f in self.cfg.field_columns:
+            row[f] = fields.get(f, "")
+        self._pending.append(row)
+        if len(self._pending) >= self.soft_commit_max_docs:
+            self.commit()
+        return True
+
+    # ---- write path ---------------------------------------------------
+    def index_text(self, collection: str, ext_id: str, text: str) -> bool:
+        """≙ LuceneFacade.indexText (LuceneIndexBean.java:279-306)."""
+        _require(_valid_str(collection), "collection must be a non-empty string")
+        _require(_valid_str(ext_id), "id must be a non-empty string")
+        _require(isinstance(text, str), "text must be a string")
+        return self._buffer(collection, ext_id, text, {})
+
+    def index_map(self, collection: str, ext_id: str, mapping: dict) -> bool:
+        """≙ LuceneFacade.indexMap (LuceneIndexBean.java:308-356).
+
+        Reference quirks preserved: an empty map is a no-op returning True
+        (M7); only the FIRST value of a multi-valued entry is indexed
+        (``LuceneIndexBean.java:737-750``); every value is stringified
+        (``String.valueOf``).  Keys must be configured fields (see module
+        docstring divergence note)."""
+        _require(_valid_str(collection), "collection must be a non-empty string")
+        _require(_valid_str(ext_id), "id must be a non-empty string")
+        _require(isinstance(mapping, dict), "map must be a dict")
+        if not mapping:
+            return True  # M7 empty-map short-circuit
+        fields: dict[str, str] = {}
+        for k, v in mapping.items():
+            if isinstance(v, (list, tuple)):
+                v = v[0] if v else ""  # first value only
+            sv = str(v)
+            if k == self.cfg.text_column:
+                fields[k] = sv
+                continue
+            _require(
+                k in self.cfg.field_columns,
+                f"field '{k}' is not a configured field {self.cfg.fields()}; "
+                "batch indexes have a fixed analyzed-field set per index",
+            )
+            fields[k] = sv
+        text = fields.pop(self.cfg.text_column, "")
+        return self._buffer(collection, ext_id, text, fields)
+
+    def index_file(self, collection: str, path: str) -> bool:
+        """≙ LuceneFacade.indexFile (LuceneIndexBean.java:200-228): read the
+        file, auto-detect its format and extract text (M1 — AutoExtract's
+        magic-byte sniffing over txt/xml/json/html/pdf/docx), index under the
+        path as external id (the reference uses the BFS path, :210)."""
+        _require(_valid_str(collection), "collection must be a non-empty string")
+        _require(_valid_str(path), "path must be a non-empty string")
+        from lucene_plugin_ray.stages.extract import AutoExtract
+
+        try:
+            with open(path, "rb") as f:
+                raw = f.read()
+        except OSError as e:
+            raise LuceneException(f"cannot read {path}: {e}") from e
+        text, _kind = AutoExtract().extract_one(raw)
+        _require(text is not None, f"no text extractable from {path}")
+        return self._buffer(collection, path, text, {})
+
+    # ---- commit / visibility ------------------------------------------
+    def commit(self) -> int:
+        """Flush buffered writes as one delta generation (≙ soft commit:
+        writer.commit() + searcher refresh, LuceneIndexBean.java:490-509).
+        Returns the new generation (or the current one if nothing pending)."""
+        if not self._pending:
+            return self._current_generation()
+        from lucene_plugin_ray.pipelines.build import build_delta, build_index
+
+        cols: dict[str, list] = {}
+        for name in (
+            "collection", self.cfg.url_column, self.cfg.ts_column,
+            self.cfg.text_column, *self.cfg.field_columns,
+        ):
+            cols[name] = [r[name] for r in self._pending]
+        table = pa.table(
+            {
+                **{
+                    k: pa.array(v, type=pa.string())
+                    for k, v in cols.items()
+                    if k != self.cfg.ts_column
+                },
+                self.cfg.ts_column: pa.array(
+                    cols[self.cfg.ts_column], type=pa.timestamp("us")
+                ),
+            }
+        )
+        self._pending.clear()
+        if self._current_generation() < 0:
+            m = build_index(table, self.cfg)
+        else:
+            m = build_delta(table, self.cfg)
+        return m.generation
+
+    def _lease_engine(self):
+        """Generation-pinned searcher lease: reopen only when the manifest
+        advanced (≙ searcher.version < searcherSequence re-acquire,
+        LuceneReaderImpl.java:90-98)."""
+        gen = self._current_generation()
+        if gen < 0:
+            return None
+        if self._engine is None or self._engine_gen != gen:
+            from lucene_plugin_ray.pipelines.query import SearchEngine
+
+            self._engine = SearchEngine(self.cfg.index_root, cfg=self.cfg)
+            self._engine_gen = gen
+        return self._engine
+
+    # ---- read path -----------------------------------------------------
+    def search(
+        self, collection: str, query: str, limit: int | None = None
+    ) -> list[LuceneEntry]:
+        """≙ LuceneFacade.search → List<LuceneEntry>.  NOTE the reference
+        reader ignores the caller's limit and caps at 255
+        (LuceneReaderImpl.java:100-104); we honor ``limit`` but default to
+        the same 255 cap (IndexConfig.result_limit)."""
+        _require(_valid_str(collection), "collection must be a non-empty string")
+        _require(_valid_str(query), "query must be a non-empty string")
+        eng = self._lease_engine()
+        if eng is None:
+            return []
+        t = eng.search(query, collection=collection, limit=limit)
+        return [
+            LuceneEntry(id=int(d), score=float(s), external_id=u)
+            for d, s, u in zip(
+                t["docid"].to_pylist(), t["score"].to_pylist(), t["url"].to_pylist()
+            )
+        ]
+
+    # ---- mutations ------------------------------------------------------
+    def delete(self, collection: str, ext_id: str) -> bool:
+        """≙ LuceneFacade.delete → tombstone generation (D2).  Pending
+        writes flush first, preserving the writer-inbox order."""
+        _require(_valid_str(collection), "collection must be a non-empty string")
+        _require(_valid_str(ext_id), "id must be a non-empty string")
+        self.commit()
+        if self._current_generation() < 0:
+            return True  # nothing indexed yet — reference delete is a no-op
+        from lucene_plugin_ray.pipelines.build import delete_docs
+
+        delete_docs(
+            self.cfg,
+            pa.table(
+                {
+                    "collection": pa.array([collection], type=pa.string()),
+                    "url": pa.array([ext_id], type=pa.string()),
+                }
+            ),
+        )
+        return True
+
+    def clear(self, collection: str) -> bool:
+        """≙ LuceneFacade.clear — delete-by-collection (D3,
+        LuceneIndexBean.java:511-540)."""
+        _require(_valid_str(collection), "collection must be a non-empty string")
+        self.commit()
+        if self._current_generation() < 0:
+            return True
+        from lucene_plugin_ray.pipelines.build import clear_collection
+
+        clear_collection(self.cfg, collection)
+        return True
+
+
+class AsyncLuceneFacade:
+    """Async variant (≙ the reference's callback-based ``LuceneFacade``
+    API, LuceneFacade.java:8-82 — every method takes a ``Result<T>``).
+    Methods mirror ``LuceneFacade`` and return awaitables; the blocking
+    engine call runs in a worker thread."""
+
+    def __init__(self, cfg: IndexConfig, **kw):
+        self._sync = LuceneFacade(cfg, **kw)
+
+    async def index_text(self, collection: str, ext_id: str, text: str) -> bool:
+        import asyncio
+
+        return await asyncio.to_thread(self._sync.index_text, collection, ext_id, text)
+
+    async def index_map(self, collection: str, ext_id: str, mapping: dict) -> bool:
+        import asyncio
+
+        return await asyncio.to_thread(self._sync.index_map, collection, ext_id, mapping)
+
+    async def index_file(self, collection: str, path: str) -> bool:
+        import asyncio
+
+        return await asyncio.to_thread(self._sync.index_file, collection, path)
+
+    async def commit(self) -> int:
+        import asyncio
+
+        return await asyncio.to_thread(self._sync.commit)
+
+    async def search(
+        self, collection: str, query: str, limit: int | None = None
+    ) -> list[LuceneEntry]:
+        import asyncio
+
+        return await asyncio.to_thread(self._sync.search, collection, query, limit)
+
+    async def delete(self, collection: str, ext_id: str) -> bool:
+        import asyncio
+
+        return await asyncio.to_thread(self._sync.delete, collection, ext_id)
+
+    async def clear(self, collection: str) -> bool:
+        import asyncio
+
+        return await asyncio.to_thread(self._sync.clear, collection)
