@@ -120,3 +120,49 @@ def sha256_column(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
             raw = v.as_buffer()
             out.append(hashlib.sha256(raw).hexdigest())
     return pa.array(out, type=pa.string())
+
+
+_HEX_CHARS = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+
+
+def hex_encode_column(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Vectorized lowercase hex of a binary column → string column.
+
+    One pass over the flat data buffer (two numpy gathers through a 16-entry
+    nibble table) plus a doubled offsets vector — no per-row Python loop.
+    Null rows stay null."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return pa.array([], type=pa.string())
+    if pa.types.is_large_binary(arr.type) or pa.types.is_large_string(arr.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    filled = arr.fill_null(b"") if arr.null_count else arr
+    raw_offsets = np.frombuffer(filled.buffers()[1], dtype=off_dtype)
+    offsets = raw_offsets[filled.offset : filled.offset + n + 1].astype(np.int64)
+    data_buf = filled.buffers()[2]
+    data = (
+        np.frombuffer(data_buf, dtype=np.uint8)
+        if data_buf is not None
+        else np.empty(0, np.uint8)
+    )
+    seg = data[offsets[0] : offsets[-1]]
+    out = np.empty(seg.size * 2, dtype=np.uint8)
+    out[0::2] = _HEX_CHARS[seg >> 4]
+    out[1::2] = _HEX_CHARS[seg & 0x0F]
+    new_offsets = ((offsets - offsets[0]) * 2).astype(np.int32)
+    hexarr = pa.StringArray.from_buffers(
+        n,
+        pa.py_buffer(new_offsets.tobytes()),
+        pa.py_buffer(out.tobytes()),
+        None,
+        0,
+    )
+    if arr.null_count:
+        # re-apply nulls via the compute kernel — avoids hand-slicing the
+        # (bit-packed, offset-carrying) validity buffer
+        hexarr = pc.if_else(arr.is_valid(), hexarr, pa.scalar(None, pa.string()))
+    return hexarr

@@ -903,14 +903,12 @@ class MultimodalFeatures:
         return decode_media_header(payload)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from lucene_plugin_ray.functions.hashing import hex_encode_column
+
         payload = batch["payload"].combine_chunks()
         n_bytes = pc.binary_length(payload)
         # header = first 8 bytes, hex — the 'magic number' a real decoder sniffs
-        header = pc.binary_slice(payload, 0, 8)
-        header_hex = pa.array(
-            [v.as_py().hex() if v.is_valid else None for v in header],
-            type=pa.string(),
-        )
+        header_hex = hex_encode_column(pc.binary_slice(payload, 0, 8))
         return pa.table(
             {
                 "doc_id": batch["doc_id"].combine_chunks(),
