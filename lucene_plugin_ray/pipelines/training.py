@@ -1568,7 +1568,7 @@ class CurationStage:
         return t.filter(pa.array(keep))
 
 
-def corpus_curation(sf_dir: str) -> pa.Table:
+def corpus_curation(sf_dir: str, output_path: str | None = None) -> pa.Table | None:
     """The composed training-data curation pipeline (the headline chain a
     100-TB corpus run would use): quality filter + language filter + exact
     near-normalized dedup in one streaming DAG —
@@ -1578,7 +1578,13 @@ def corpus_curation(sf_dir: str) -> pa.Table:
 
     Only documents passing the filter travel through the dedup shuffle, and
     the shuffle key (sha256 of the analyzed token stream) is uniform.
-    Output: one row per kept distinct normalized document."""
+    Output: one row per kept distinct normalized document.
+
+    At corpus scale the result is itself corpus-sized — pass ``output_path``
+    to stream it straight to partitioned Parquet (one file per output block,
+    no driver materialization; a failed run reruns only unfinished blocks via
+    Ray lineage) and return None.  The default table return is for the
+    small-scale driver/oracle harness."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
@@ -1594,6 +1600,9 @@ def corpus_curation(sf_dir: str) -> pa.Table:
         .groupby("fp_sha256")
         .map_groups(_keep_first, batch_format="pyarrow")
     )
+    if output_path is not None:
+        out.write_parquet(output_path)
+        return None
     return pa.concat_tables(
         [b for b in out.iter_batches(batch_format="pyarrow")]
     ).sort_by("doc_id")

@@ -136,3 +136,17 @@ def test_corpus_curation_composition(harness):
         assert row["pred_lang"] == langs.loc[doc_id, "pred_lang"]
         assert row["n_tokens_all"] == quality.loc[doc_id, "n_tokens_all"]
         assert row["fp_sha256"] == fps.loc[doc_id, "fp_sha256"]
+
+
+def test_corpus_curation_streaming_sink(harness, tmp_path):
+    """output_path streams the curation result to partitioned Parquet
+    without driver materialization; re-reading it equals the table path."""
+    import pyarrow.dataset as pads
+
+    from lucene_plugin_ray.pipelines.training import corpus_curation
+
+    out_dir = str(tmp_path / "curated")
+    assert corpus_curation(SF, output_path=out_dir) is None
+    written = pads.dataset(out_dir).to_table()
+    direct = corpus_curation(SF)
+    pd.testing.assert_frame_equal(_norm(written), _norm(direct))
