@@ -9,7 +9,8 @@ Headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1):
     steady-state scale;
   * query_* — BM25 search latency over the built index (term / AND / OR
     mixes), cold (first run) and warm (results cache cleared, postings hot);
-  * term_stats / dedup_exact / ann_topk — secondary pipeline timings.
+  * term_stats / dedup_exact / ann_topk / corpus_curation / events_sessionize —
+    secondary pipeline timings.
 
 Prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
@@ -236,6 +237,14 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     t1 = time.monotonic()
     training.ann_topk(sf_dir)
     queries["ann_topk"] = round(time.monotonic() - t1, 3)
+
+    t1 = time.monotonic()
+    training.corpus_curation(sf_dir)
+    queries["corpus_curation"] = round(time.monotonic() - t1, 3)
+
+    t1 = time.monotonic()
+    training.events_sessionize(sf_dir)
+    queries["events_sessionize"] = round(time.monotonic() - t1, 3)
 
     out["metric"] = "index_build_sec_plus_query_latency"
     out["value"] = round(build_s, 3)
