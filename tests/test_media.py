@@ -65,3 +65,28 @@ def test_media_decode_pipeline(ray_session):
         else:
             assert r["kind"] == "wav" and r["sample_rate"] == 8000 + (d % 8) * 1000
             assert r["width"] is None
+
+
+def test_hex_encode_column_edges():
+    """Vectorized hex encode: nulls, empties, slices, chunked and large
+    binary all round-trip against bytes.hex()."""
+    import pyarrow as pa
+
+    from lucene_plugin_ray.functions.hashing import hex_encode_column
+
+    a = pa.array([b"\x00\xff\x10", b"", None, b"abc"], type=pa.binary())
+    assert hex_encode_column(a).to_pylist() == ["00ff10", "", None, "616263"]
+    assert hex_encode_column(a.slice(1, 3)).to_pylist() == ["", None, "616263"]
+    ca = pa.chunked_array([a, pa.array([b"\xde\xad"], type=pa.binary())])
+    assert hex_encode_column(ca).to_pylist() == [
+        "00ff10", "", None, "616263", "dead",
+    ]
+    assert hex_encode_column(pa.array([], type=pa.binary())).to_pylist() == []
+    lb = pa.array([b"\x01", b"\x02\x03"], type=pa.large_binary())
+    assert hex_encode_column(lb).to_pylist() == ["01", "0203"]
+    import os
+
+    blobs = [os.urandom(i % 37) for i in range(200)]
+    assert hex_encode_column(pa.array(blobs, type=pa.binary())).to_pylist() == [
+        b.hex() for b in blobs
+    ]
