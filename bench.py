@@ -221,7 +221,17 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     queries["sharded_service_warm_batch"] = round(warm_s, 3)
     out["sharded_service_warm_qps"] = round(batch_q.num_rows / warm_s, 1)
 
-    # ---- secondary pipelines ----
+    # ---- secondary pipelines (skipped in --scaling children: the scaling
+    # criterion measures the index build; 5 extra pipelines per rep would
+    # triple each child's wall) ----
+    if os.environ.get("GRAFT_BENCH_SECONDARY", "1") == "0":
+        out["metric"] = "index_build_sec_plus_query_latency"
+        out["value"] = round(build_s, 3)
+        out["unit"] = "sec"
+        out["queries"] = queries
+        ray.shutdown()
+        return out
+
     from lucene_plugin_ray.pipelines import training
     from lucene_plugin_ray.stages.term_stats import term_stats
 
@@ -263,6 +273,7 @@ def _run_child(ncpu: int, replicas: int, reps: int = 1) -> dict:
         os.environ,
         RAY_GRAFT_CPUS=str(ncpu),
         GRAFT_BENCH_REPLICAS=str(replicas),
+        GRAFT_BENCH_SECONDARY="0",
     )
     best = None
     for _ in range(max(1, reps)):

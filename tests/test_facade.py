@@ -147,3 +147,30 @@ def test_async_facade(ray_session, tmp_path):
         assert await f.search("coll", "lamb") == []
 
     asyncio.run(scenario())
+
+
+def test_incremental_growth(ray_session, tmp_path):
+    """≙ TestIndexFile.java:32-59: after indexing i docs one at a time,
+    the query returns exactly i hits with the expected ids."""
+    f = LuceneFacade(_cfg(tmp_path))
+    expected = []
+    for i in range(4):
+        doc = tmp_path / f"file-{i}.txt"
+        doc.write_text(f"common marker plus unique token u{i}")
+        f.index_file("coll", str(doc))
+        f.commit()
+        expected.append(str(doc))
+        assert _ids(f.search("coll", "marker")) == sorted(expected)
+        assert _ids(f.search("coll", f"u{i}")) == [str(doc)]
+
+
+def test_paging_limit(ray_session, tmp_path):
+    """≙ TestPaging.java:31-60: 11 docs, 10 contain 'hit' — the query
+    matches exactly those 10; limit truncates."""
+    f = LuceneFacade(_cfg(tmp_path), soft_commit_max_docs=100)
+    for i in range(10):
+        f.index_text("coll", f"h{i}", f"document {i} with hit inside")
+    f.index_text("coll", "miss", "document without the token")
+    f.commit()
+    assert len(f.search("coll", "hit")) == 10
+    assert len(f.search("coll", "hit", limit=3)) == 3
