@@ -187,3 +187,95 @@ def test_randomized_conformance_sweep(ray_session, tmp_path):
             assert got["url"].to_pylist() == [u for u, _ in exp], (seed, q)
             for s, (_, es) in zip(got["score"].to_pylist(), exp):
                 assert abs(s - es) < 1e-6
+
+
+def test_sessionize_matches_python_oracle(ray_session, tmp_path):
+    """events_sessionize == a straightforward per-user Python fold on a
+    seeded random event stream (including exact-gap boundaries and tied
+    timestamps)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from lucene_plugin_ray.pipelines.training import (
+        _SESSION_GAP_US,
+        events_sessionize,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    users = rng.integers(0, 25, size=n)
+    # gaps cluster around the session threshold; some ties (gap 0) and some
+    # exactly-at-gap deltas (must NOT split: rule is strict '>')
+    gaps = rng.choice(
+        [0, 1, 60_000_000, _SESSION_GAP_US, _SESSION_GAP_US + 1, 7_200_000_000],
+        size=n,
+        p=[0.05, 0.2, 0.4, 0.1, 0.15, 0.1],
+    )
+    base = 1_700_000_000_000_000
+    ts = np.empty(n, dtype=np.int64)
+    cursors: dict = {}
+    for i in range(n):
+        u = int(users[i])
+        cursors[u] = cursors.get(u, base) + int(gaps[i])
+        ts[i] = cursors[u]
+    value = np.round(rng.uniform(0, 100, size=n), 2)
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), type=pa.int64()),
+            "ts": pa.array(ts, type=pa.int64()).cast(pa.timestamp("us")),
+            "user_id": pa.array(users, type=pa.int64()),
+            "event_type": pa.array(["x"] * n, type=pa.string()),
+            "value": pa.array(value, type=pa.float64()),
+            "props": pa.array(["{}"] * n, type=pa.string()),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, sf / "events.parquet")
+
+    got_t = events_sessionize(str(sf))
+    import pyarrow.compute as pc
+
+    got_t = got_t.set_column(
+        got_t.schema.get_field_index("session_start"), "session_start",
+        pc.cast(got_t["session_start"], pa.int64()),
+    ).set_column(
+        got_t.schema.get_field_index("session_end"), "session_end",
+        pc.cast(got_t["session_end"], pa.int64()),
+    )
+    got = got_t.to_pylist()
+
+    # independent oracle: plain per-user loop
+    per_user: dict = {}
+    for i in range(n):
+        per_user.setdefault(int(users[i]), []).append(
+            (int(ts[i]), int(i), round(float(value[i]) * 100))
+        )
+    expected = []
+    for u in sorted(per_user):
+        evs = sorted(per_user[u])
+        sessions = []
+        for e in evs:
+            if not sessions or e[0] - sessions[-1][-1][0] > _SESSION_GAP_US:
+                sessions.append([e])
+            else:
+                sessions[-1].append(e)
+        for s in sessions:
+            expected.append(
+                {
+                    "user_id": u,
+                    "first_event_id": min(e[1] for e in s),
+                    "session_start": s[0][0],
+                    "session_end": s[-1][0],
+                    "n_events": len(s),
+                    "sum_value_cents": sum(e[2] for e in s),
+                }
+            )
+    assert len(got) == len(expected)
+    for g, e in zip(got, expected):
+        assert g["user_id"] == e["user_id"]
+        assert g["first_event_id"] == e["first_event_id"]
+        assert g["session_start"] == e["session_start"]
+        assert g["session_end"] == e["session_end"]
+        assert g["n_events"] == e["n_events"]
+        assert g["sum_value_cents"] == e["sum_value_cents"]
