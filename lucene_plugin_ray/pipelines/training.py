@@ -1549,12 +1549,27 @@ class CurationStage:
         lst = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), kept_terms)
         fp = sha256_column(pc.binary_join(lst, " "))
         denom = np.maximum(n_all, 1)
+        # Pack each metadata value under a doc_id-dominant key so the dedup
+        # reduce can be a builtin vectorized Min aggregate: min(packed) picks
+        # the min-doc_id row's value — no per-group Python call, no join-back
+        # of keeper metadata.  Bounds (asserted): doc_id < 2^42 (the 10^12-doc
+        # design scale), n_tokens < 2^21, stop_ratio quantized to 1e-6 < 2^20.
+        doc_id = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        if doc_id.size and int(doc_id.max()) >= (1 << 42):
+            raise ValueError("doc_id exceeds the 2^42 packing bound")
+        if int(n_all.max(initial=0)) >= (1 << 21):
+            raise ValueError("n_tokens_all exceeds the 2^21 packing bound")
+        lang_order = {l: i for i, l in enumerate(langs)}
+        lang_idx = np.array([lang_order.get(p, 7) for p in pred], dtype=np.int64)
+        ratio_q = np.rint(np.round(n_stop / denom, 6) * 1e6).astype(np.int64)
         t = pa.table(
             {
-                "doc_id": batch["doc_id"].combine_chunks(),
-                "pred_lang": pa.array(pred, type=pa.string()),
-                "n_tokens_all": pa.array(n_all.astype(np.int64), type=pa.int64()),
-                "stop_ratio": pa.array(np.round(n_stop / denom, 6), type=pa.float64()),
+                "doc_id": pa.array(doc_id, type=pa.int64()),
+                "packed_lang": pa.array(doc_id * 8 + lang_idx, type=pa.int64()),
+                "packed_ntok": pa.array(
+                    (doc_id << 21) + n_all.astype(np.int64), type=pa.int64()
+                ),
+                "packed_stop": pa.array((doc_id << 20) + ratio_q, type=pa.int64()),
                 "fp_sha256": fp,
             }
         )
@@ -1580,6 +1595,13 @@ def corpus_curation(sf_dir: str, output_path: str | None = None) -> pa.Table | N
     the shuffle key (sha256 of the analyzed token stream) is uniform.
     Output: one row per kept distinct normalized document.
 
+    The dedup reduce is builtin vectorized ``Min`` aggregates over
+    doc_id-dominant packed values (see CurationStage) — min(doc_id<<k | v)
+    IS the keeper's v — so keeper selection costs zero per-group Python
+    calls and no metadata re-join.  At 10^12 docs a map_groups fold here
+    would mean one Python call per distinct document; the packed-aggregate
+    shape keeps the reduce fully columnar.
+
     At corpus scale the result is itself corpus-sized — pass ``output_path``
     to stream it straight to partitioned Parquet (one file per output block,
     no driver materialization; a failed run reruns only unfinished blocks via
@@ -1589,16 +1611,37 @@ def corpus_curation(sf_dir: str, output_path: str | None = None) -> pa.Table | N
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
-    def _keep_first(group: pa.Table) -> pa.Table:
-        t = group.sort_by("doc_id")
-        return t.slice(0, 1)
+    from ray.data.aggregate import Min
+
+    _CUR_LANGS = np.array(sorted(_LANG_MARKERS), dtype=object)
+
+    def _unpack(batch: pa.Table) -> pa.Table:
+        keeper = batch["min_doc"].to_numpy(zero_copy_only=False)
+        lang_idx = batch["min_lang"].to_numpy(zero_copy_only=False) - keeper * 8
+        ntok = batch["min_ntok"].to_numpy(zero_copy_only=False) - (keeper << 21)
+        ratio_q = batch["min_stop"].to_numpy(zero_copy_only=False) - (keeper << 20)
+        return pa.table(
+            {
+                "doc_id": pa.array(keeper, type=pa.int64()),
+                "pred_lang": pa.array(_CUR_LANGS[lang_idx], type=pa.string()),
+                "n_tokens_all": pa.array(ntok, type=pa.int64()),
+                "stop_ratio": pa.array(ratio_q / 1e6, type=pa.float64()),
+                "fp_sha256": batch["fp_sha256"].combine_chunks(),
+            }
+        )
 
     out = (
         ds.map_batches(
             CurationStage, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
         )
         .groupby("fp_sha256")
-        .map_groups(_keep_first, batch_format="pyarrow")
+        .aggregate(
+            Min("doc_id", alias_name="min_doc"),
+            Min("packed_lang", alias_name="min_lang"),
+            Min("packed_ntok", alias_name="min_ntok"),
+            Min("packed_stop", alias_name="min_stop"),
+        )
+        .map_batches(_unpack, batch_format="pyarrow", zero_copy_batch=True)
     )
     if output_path is not None:
         out.write_parquet(output_path)
