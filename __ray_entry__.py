@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": training.events_sessionize,
         "ann_lsh": training.ann_lsh,
         "corpus_curation": training.corpus_curation,
+        "dedup_ngram_spans": training.dedup_ngram_spans,
         "lang_id": training.lang_id,
     }
 
@@ -539,6 +540,22 @@ dedup AS (SELECT *, row_number() OVER (PARTITION BY fp_sha256 ORDER BY doc_id) A
           FROM kept)
 SELECT doc_id, pred_lang, n_tokens_all, stop_ratio, fp_sha256
 FROM dedup WHERE rn2 = 1 ORDER BY doc_id
+"""
+
+    # exact substring-level duplication: every 8-token window of the analyzed
+    # stream occurring in >1 document (span-level dedup)
+    sql["dedup_ngram_spans"] = f"""
+WITH toks AS (SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '' AND length(x) <= 255
+                     AND NOT list_contains({_SQL_STOP_LIST_LITERAL}, x)) AS ts
+  FROM documents),
+w AS (SELECT doc_id, array_to_string(list_slice(ts, i, i + 7), ' ') AS ngram
+      FROM toks CROSS JOIN UNNEST(range(1, greatest(len(ts) - 6, 1))) AS t(i)),
+d AS (SELECT DISTINCT ngram, doc_id FROM w)
+SELECT ngram, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS first_doc_id
+FROM d GROUP BY ngram HAVING count(*) > 1 ORDER BY ngram
 """
 
     # dedup_minhash, simhash, ann_ivf, ann_lsh: approximate / LSH-based — not

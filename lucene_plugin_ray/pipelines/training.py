@@ -1649,3 +1649,118 @@ def corpus_curation(sf_dir: str, output_path: str | None = None) -> pa.Table | N
     return pa.concat_tables(
         [b for b in out.iter_batches(batch_format="pyarrow")]
     ).sort_by("doc_id")
+
+
+_NGRAM_SPAN_K = 8  # tokens per span window
+
+
+def dedup_ngram_spans(sf_dir: str, k: int = _NGRAM_SPAN_K) -> pa.Table:
+    """Exact substring-level duplication detection: every k-token window of
+    the analyzed token stream that occurs in MORE THAN ONE document, with
+    its document count and first (min doc_id) occurrence.  The span-level
+    companion to document-level dedup (cf. 'Deduplicating Training Data
+    Makes Language Models Better', Lee et al. 2022 — exact substring
+    duplication): spans shared across documents are boilerplate/template
+    candidates a curation pass would strip.
+
+    Distributed shape: per batch, window strings are built VECTORIZED (one
+    byte-gather over the space-joined normalized text per doc — no per-window
+    Python) and pre-deduplicated per (window, doc); the only shuffle is a
+    groupby on the window string itself — exact (no hash-collision caveat)
+    and uniform (windows are near-unique keys).  The reduce is builtin Count
+    + Min aggregates: rows are globally distinct (window, doc) pairs, so
+    Count == n_docs.  Output: (ngram, n_docs, first_doc_id), n_docs >= 2."""
+    from ray.data.aggregate import Count, Min
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _windows(batch: pa.Table) -> pa.Table:
+        parents, terms, _ = tokenize_column(
+            pc.cast(batch["text"].combine_chunks(), pa.string())
+        )
+        n = batch.num_rows
+        doc_ids = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "ngram": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+            }
+        )
+        if len(terms) == 0:
+            return empty
+        # normalized text = tokens joined by ' ' per doc (fingerprint form);
+        # every k-token window is a substring between token boundaries.  All
+        # offsets are BYTE offsets (UTF-8-safe: token boundaries are always
+        # valid split points), so the window gather works on any script.
+        tok_lens = (
+            pc.binary_length(pc.cast(terms, pa.binary()))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        doc_tok_counts = np.bincount(parents, minlength=n)
+        # char end offset of each token within its doc's normalized text
+        # (tokens joined by single spaces): cumsum within doc
+        cum = np.cumsum(tok_lens + 1)  # +1 for the joining space
+        doc_first_tok = np.concatenate([[0], np.cumsum(doc_tok_counts)])[:-1]
+        doc_base = np.where(
+            doc_tok_counts > 0, cum[doc_first_tok] - tok_lens[doc_first_tok] - 1, 0
+        )
+        starts_char = cum - tok_lens[np.arange(tok_lens.size)] - 1 - doc_base[parents]
+        ends_char = cum - 1 - doc_base[parents]
+        # windows: token index i starts a window iff i+k-1 is in the same doc
+        m = tok_lens.size
+        if m < k:
+            return empty
+        ok = parents[: m - k + 1] == parents[k - 1 :]
+        w_start_tok = np.flatnonzero(ok)
+        if w_start_tok.size == 0:
+            return empty
+        w_doc = parents[w_start_tok]
+        w_char_lo = starts_char[w_start_tok]
+        w_char_hi = ends_char[w_start_tok + k - 1]
+        lengths32 = doc_tok_counts.astype(np.int32)
+        offsets32 = np.concatenate([[0], np.cumsum(lengths32)]).astype(np.int32)
+        lst = pa.ListArray.from_arrays(pa.array(offsets32, type=pa.int32()), terms)
+        norm = pc.binary_join(lst, " ")
+        norm_bytes_arr = pc.cast(norm, pa.binary())
+        if isinstance(norm_bytes_arr, pa.ChunkedArray):
+            norm_bytes_arr = norm_bytes_arr.combine_chunks()
+        buf_off = np.frombuffer(norm_bytes_arr.buffers()[1], dtype=np.int32)
+        buf_off = buf_off[norm_bytes_arr.offset : norm_bytes_arr.offset + n + 1].astype(
+            np.int64
+        )
+        data = np.frombuffer(norm_bytes_arr.buffers()[2], dtype=np.uint8)
+        w_lo = buf_off[w_doc] + w_char_lo
+        w_len = (w_char_hi - w_char_lo).astype(np.int64)
+        total = int(w_len.sum())
+        # one vectorized byte gather for ALL windows
+        within = np.arange(total) - np.repeat(np.cumsum(w_len) - w_len, w_len)
+        gathered = data[np.repeat(w_lo, w_len) + within]
+        out_off = np.concatenate([[0], np.cumsum(w_len)]).astype(np.int32)
+        ngrams = pa.StringArray.from_buffers(
+            w_len.size, pa.py_buffer(out_off.tobytes()), pa.py_buffer(gathered.tobytes())
+        )
+        t = pa.table(
+            {
+                "ngram": ngrams,
+                "doc_id": pa.array(doc_ids[w_doc], type=pa.int64()),
+            }
+        )
+        # per-batch distinct (window, doc): the combiner — repeated spans
+        # within a doc collapse before the shuffle
+        return t.group_by(["ngram", "doc_id"]).aggregate([])
+
+    agg = (
+        ds.map_batches(_windows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ngram")
+        .aggregate(Count(alias_name="n_docs"), Min("doc_id", alias_name="first_doc_id"))
+    )
+    t = pa.concat_tables([b for b in agg.iter_batches(batch_format="pyarrow")])
+    t = t.filter(pc.greater(t["n_docs"], 1))
+    return pa.table(
+        {
+            "ngram": t["ngram"],
+            "n_docs": pc.cast(t["n_docs"], pa.int64()),
+            "first_doc_id": pc.cast(t["first_doc_id"], pa.int64()),
+        }
+    ).sort_by("ngram")

@@ -16,7 +16,7 @@ CHECKED = [
     "search_term", "search_or", "search_and", "search_field", "search_range",
     "term_stats", "dedup_exact", "ann_topk", "events_latest", "fingerprint",
     "media_decode", "events_window", "events_asof", "events_band_join",
-    "events_sessionize", "corpus_curation",
+    "events_sessionize", "corpus_curation", "dedup_ngram_spans",
 ]
 
 
