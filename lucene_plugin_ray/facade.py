@@ -83,9 +83,13 @@ class LuceneFacade:
         self,
         cfg: IndexConfig,
         soft_commit_max_docs: int = SOFT_COMMIT_MAX_DOCS,
+        auto_compact: bool = True,
     ):
         self.cfg = cfg
         self.soft_commit_max_docs = soft_commit_max_docs
+        # ≙ TieredMergePolicy + ConcurrentMergeScheduler: commits trigger a
+        # tiered compaction check (pipelines.build.maybe_compact)
+        self.auto_compact = auto_compact
         self._pending: list[dict] = []
         self._engine = None
         self._engine_gen: int | None = None
@@ -208,6 +212,12 @@ class LuceneFacade:
             m = build_index(table, self.cfg)
         else:
             m = build_delta(table, self.cfg)
+        if self.auto_compact:
+            from lucene_plugin_ray.pipelines.build import maybe_compact
+
+            compacted = maybe_compact(self.cfg)
+            if compacted is not None:
+                m = compacted
         return m.generation
 
     def _lease_engine(self):

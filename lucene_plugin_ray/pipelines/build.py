@@ -357,6 +357,21 @@ def compact_index(cfg: IndexConfig) -> Manifest:
     return manifest
 
 
+def maybe_compact(cfg: IndexConfig, segments_per_tier: int | None = None) -> Manifest | None:
+    """Tiered auto-compaction policy: compact when the live manifest chain
+    holds >= ``segments_per_tier`` generations (default: cfg.merge_fanin,
+    mirroring the reference's TieredMergePolicy segmentsPerTier=10 /
+    maxMergeAtOnce=10, LuceneIndexBean.java:97-98,683-684), else no-op.
+    The policy-check is one manifest read; the merge itself is the K3
+    actor-pool stage (compact_index) — the batch stand-in for Lucene's
+    background ConcurrentMergeScheduler."""
+    tier = segments_per_tier if segments_per_tier is not None else cfg.merge_fanin
+    chain = load_manifest_chain(cfg.index_root)
+    if len(chain) < tier:
+        return None
+    return compact_index(cfg)
+
+
 def clear_collection(cfg: IndexConfig, collection: str) -> Manifest:
     """D3 clear: marker generation — all older segments of the collection
     become invisible (≙ delete-by-query __collectionKey__:<c>,

@@ -174,3 +174,21 @@ def test_paging_limit(ray_session, tmp_path):
     f.commit()
     assert len(f.search("coll", "hit")) == 10
     assert len(f.search("coll", "hit", limit=3)) == 3
+
+
+def test_auto_compaction_tier(ray_session, tmp_path):
+    """≙ TieredMergePolicy segmentsPerTier (LuceneIndexBean.java:97-98):
+    once the live chain reaches the tier size, a commit triggers compaction
+    — the chain collapses to one compacted generation and search results
+    are unchanged."""
+    from lucene_plugin_ray.state.manifest import load_manifest_chain
+
+    cfg = _cfg(tmp_path, merge_fanin=4)  # small tier for the test
+    f = LuceneFacade(cfg, soft_commit_max_docs=1)  # every write = a commit
+    for i in range(6):
+        f.index_text("coll", f"d{i}", f"shared lamb token plus unique u{i}")
+    chain = load_manifest_chain(cfg.index_root)
+    assert len(chain) < 4  # tier bound holds (compaction collapsed the chain)
+    assert any(m.extra.get("compacted") for m in chain)
+    assert len(f.search("coll", "lamb")) == 6  # results survive compaction
+    assert _ids(f.search("coll", "u3")) == ["d3"]
