@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": training.ann_lsh,
         "corpus_curation": training.corpus_curation,
         "dedup_ngram_spans": training.dedup_ngram_spans,
+        "doc_dup_stats": training.doc_dup_stats,
         "lang_id": training.lang_id,
     }
 
@@ -556,6 +557,26 @@ d AS (SELECT DISTINCT ngram, doc_id FROM w)
 SELECT ngram, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(min(doc_id) AS BIGINT) AS first_doc_id
 FROM d GROUP BY ngram HAVING count(*) > 1 ORDER BY ngram
+"""
+
+    # per-document span-duplication fraction (windows shared with >=1 other
+    # document / total distinct windows)
+    sql["doc_dup_stats"] = f"""
+WITH toks AS (SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '' AND length(x) <= 255
+                     AND NOT list_contains({_SQL_STOP_LIST_LITERAL}, x)) AS ts
+  FROM documents),
+w AS (SELECT DISTINCT doc_id, array_to_string(list_slice(ts, i, i + 7), ' ') AS ngram
+      FROM toks CROSS JOIN UNNEST(range(1, greatest(len(ts) - 6, 1))) AS t(i)),
+cnt AS (SELECT ngram, count(*) AS n_docs FROM w GROUP BY ngram),
+per AS (SELECT w.doc_id, count(*) AS n_windows,
+               sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS n_dup
+        FROM w JOIN cnt c USING (ngram) GROUP BY w.doc_id)
+SELECT doc_id, CAST(n_windows AS BIGINT) AS n_windows,
+       CAST(n_dup AS BIGINT) AS n_dup_windows,
+       round(n_dup * 1.0 / n_windows, 6) AS dup_fraction
+FROM per ORDER BY doc_id
 """
 
     # dedup_minhash, simhash, ann_ivf, ann_lsh: approximate / LSH-based — not

@@ -1675,80 +1675,7 @@ def dedup_ngram_spans(sf_dir: str, k: int = _NGRAM_SPAN_K) -> pa.Table:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def _windows(batch: pa.Table) -> pa.Table:
-        parents, terms, _ = tokenize_column(
-            pc.cast(batch["text"].combine_chunks(), pa.string())
-        )
-        n = batch.num_rows
-        doc_ids = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
-        empty = pa.table(
-            {
-                "ngram": pa.array([], pa.string()),
-                "doc_id": pa.array([], pa.int64()),
-            }
-        )
-        if len(terms) == 0:
-            return empty
-        # normalized text = tokens joined by ' ' per doc (fingerprint form);
-        # every k-token window is a substring between token boundaries.  All
-        # offsets are BYTE offsets (UTF-8-safe: token boundaries are always
-        # valid split points), so the window gather works on any script.
-        tok_lens = (
-            pc.binary_length(pc.cast(terms, pa.binary()))
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        doc_tok_counts = np.bincount(parents, minlength=n)
-        # char end offset of each token within its doc's normalized text
-        # (tokens joined by single spaces): cumsum within doc
-        cum = np.cumsum(tok_lens + 1)  # +1 for the joining space
-        doc_first_tok = np.concatenate([[0], np.cumsum(doc_tok_counts)])[:-1]
-        doc_base = np.where(
-            doc_tok_counts > 0, cum[doc_first_tok] - tok_lens[doc_first_tok] - 1, 0
-        )
-        starts_char = cum - tok_lens[np.arange(tok_lens.size)] - 1 - doc_base[parents]
-        ends_char = cum - 1 - doc_base[parents]
-        # windows: token index i starts a window iff i+k-1 is in the same doc
-        m = tok_lens.size
-        if m < k:
-            return empty
-        ok = parents[: m - k + 1] == parents[k - 1 :]
-        w_start_tok = np.flatnonzero(ok)
-        if w_start_tok.size == 0:
-            return empty
-        w_doc = parents[w_start_tok]
-        w_char_lo = starts_char[w_start_tok]
-        w_char_hi = ends_char[w_start_tok + k - 1]
-        lengths32 = doc_tok_counts.astype(np.int32)
-        offsets32 = np.concatenate([[0], np.cumsum(lengths32)]).astype(np.int32)
-        lst = pa.ListArray.from_arrays(pa.array(offsets32, type=pa.int32()), terms)
-        norm = pc.binary_join(lst, " ")
-        norm_bytes_arr = pc.cast(norm, pa.binary())
-        if isinstance(norm_bytes_arr, pa.ChunkedArray):
-            norm_bytes_arr = norm_bytes_arr.combine_chunks()
-        buf_off = np.frombuffer(norm_bytes_arr.buffers()[1], dtype=np.int32)
-        buf_off = buf_off[norm_bytes_arr.offset : norm_bytes_arr.offset + n + 1].astype(
-            np.int64
-        )
-        data = np.frombuffer(norm_bytes_arr.buffers()[2], dtype=np.uint8)
-        w_lo = buf_off[w_doc] + w_char_lo
-        w_len = (w_char_hi - w_char_lo).astype(np.int64)
-        total = int(w_len.sum())
-        # one vectorized byte gather for ALL windows
-        within = np.arange(total) - np.repeat(np.cumsum(w_len) - w_len, w_len)
-        gathered = data[np.repeat(w_lo, w_len) + within]
-        out_off = np.concatenate([[0], np.cumsum(w_len)]).astype(np.int32)
-        ngrams = pa.StringArray.from_buffers(
-            w_len.size, pa.py_buffer(out_off.tobytes()), pa.py_buffer(gathered.tobytes())
-        )
-        t = pa.table(
-            {
-                "ngram": ngrams,
-                "doc_id": pa.array(doc_ids[w_doc], type=pa.int64()),
-            }
-        )
-        # per-batch distinct (window, doc): the combiner — repeated spans
-        # within a doc collapse before the shuffle
-        return t.group_by(["ngram", "doc_id"]).aggregate([])
+        return span_windows_batch(batch, k)
 
     agg = (
         ds.map_batches(_windows, batch_format="pyarrow", zero_copy_batch=True)
@@ -1764,3 +1691,157 @@ def dedup_ngram_spans(sf_dir: str, k: int = _NGRAM_SPAN_K) -> pa.Table:
             "first_doc_id": pc.cast(t["first_doc_id"], pa.int64()),
         }
     ).sort_by("ngram")
+
+
+def span_windows_batch(batch: pa.Table, k: int = _NGRAM_SPAN_K) -> pa.Table:
+    """Distinct (k-token window string, doc_id) pairs of a documents batch —
+    the vectorized span builder shared by dedup_ngram_spans and
+    doc_dup_stats.  One byte-gather builds ALL window strings; repeated
+    spans within a doc collapse here (the map-side combiner)."""
+    parents, terms, _ = tokenize_column(
+        pc.cast(batch["text"].combine_chunks(), pa.string())
+    )
+    n = batch.num_rows
+    doc_ids = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    empty = pa.table(
+        {
+            "ngram": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+        }
+    )
+    if len(terms) == 0:
+        return empty
+    # normalized text = tokens joined by ' ' per doc (fingerprint form);
+    # every k-token window is a substring between token boundaries.  All
+    # offsets are BYTE offsets (UTF-8-safe: token boundaries are always
+    # valid split points), so the window gather works on any script.
+    tok_lens = (
+        pc.binary_length(pc.cast(terms, pa.binary()))
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    doc_tok_counts = np.bincount(parents, minlength=n)
+    # char end offset of each token within its doc's normalized text
+    # (tokens joined by single spaces): cumsum within doc
+    cum = np.cumsum(tok_lens + 1)  # +1 for the joining space
+    doc_first_tok = np.concatenate([[0], np.cumsum(doc_tok_counts)])[:-1]
+    doc_base = np.where(
+        doc_tok_counts > 0, cum[doc_first_tok] - tok_lens[doc_first_tok] - 1, 0
+    )
+    starts_char = cum - tok_lens[np.arange(tok_lens.size)] - 1 - doc_base[parents]
+    ends_char = cum - 1 - doc_base[parents]
+    # windows: token index i starts a window iff i+k-1 is in the same doc
+    m = tok_lens.size
+    if m < k:
+        return empty
+    ok = parents[: m - k + 1] == parents[k - 1 :]
+    w_start_tok = np.flatnonzero(ok)
+    if w_start_tok.size == 0:
+        return empty
+    w_doc = parents[w_start_tok]
+    w_char_lo = starts_char[w_start_tok]
+    w_char_hi = ends_char[w_start_tok + k - 1]
+    lengths32 = doc_tok_counts.astype(np.int32)
+    offsets32 = np.concatenate([[0], np.cumsum(lengths32)]).astype(np.int32)
+    lst = pa.ListArray.from_arrays(pa.array(offsets32, type=pa.int32()), terms)
+    norm = pc.binary_join(lst, " ")
+    norm_bytes_arr = pc.cast(norm, pa.binary())
+    if isinstance(norm_bytes_arr, pa.ChunkedArray):
+        norm_bytes_arr = norm_bytes_arr.combine_chunks()
+    buf_off = np.frombuffer(norm_bytes_arr.buffers()[1], dtype=np.int32)
+    buf_off = buf_off[norm_bytes_arr.offset : norm_bytes_arr.offset + n + 1].astype(
+        np.int64
+    )
+    data = np.frombuffer(norm_bytes_arr.buffers()[2], dtype=np.uint8)
+    w_lo = buf_off[w_doc] + w_char_lo
+    w_len = (w_char_hi - w_char_lo).astype(np.int64)
+    total = int(w_len.sum())
+    # one vectorized byte gather for ALL windows
+    within = np.arange(total) - np.repeat(np.cumsum(w_len) - w_len, w_len)
+    gathered = data[np.repeat(w_lo, w_len) + within]
+    out_off = np.concatenate([[0], np.cumsum(w_len)]).astype(np.int32)
+    ngrams = pa.StringArray.from_buffers(
+        w_len.size, pa.py_buffer(out_off.tobytes()), pa.py_buffer(gathered.tobytes())
+    )
+    t = pa.table(
+        {
+            "ngram": ngrams,
+            "doc_id": pa.array(doc_ids[w_doc], type=pa.int64()),
+        }
+    )
+    # per-batch distinct (window, doc): the combiner — repeated spans
+    # within a doc collapse before the shuffle
+    return t.group_by(["ngram", "doc_id"]).aggregate([])
+
+
+def doc_dup_stats(sf_dir: str, k: int = _NGRAM_SPAN_K) -> pa.Table:
+    """Per-document span-duplication fraction: of a document's distinct
+    k-token windows, how many also occur in at least one OTHER document
+    (the per-doc boilerplate/contamination signal derived from
+    dedup_ngram_spans' span table).
+
+    Distributed shape — two aggregates and one hash join, all columnar:
+
+        W = distinct (ngram, doc_id)                 [span_windows_batch]
+        dup = W.groupby(ngram).count() filtered >1   [builtin Count]
+        D = W ⋈ dup on ngram  →  groupby(doc_id).count = n_dup_windows
+        N = W.groupby(doc_id).count = n_windows
+        N ⟕ D  →  (doc_id, n_windows, n_dup_windows, dup_fraction)
+
+    The joins are Ray Data hash joins (Dataset.join) partitioned on the
+    uniform keys (ngram string / doc_id).  Documents with fewer than k
+    tokens have no windows and are absent from the output (matches the SQL
+    oracle)."""
+    from ray.data.aggregate import Count
+
+    nparts = 8
+
+    def _w(sf: str):
+        ds = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return ds.map_batches(
+            lambda b: span_windows_batch(b, k),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    w = _w(sf_dir)
+    dup = (
+        w.groupby("ngram")
+        .aggregate(Count(alias_name="n_docs"))
+        .filter(expr="n_docs > 1")
+        .drop_columns(["n_docs"])
+    )
+    per_doc_dup = (
+        _w(sf_dir)
+        .join(dup, join_type="inner", num_partitions=nparts, on=("ngram",))
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n_dup_windows"))
+    )
+    per_doc_total = (
+        _w(sf_dir).groupby("doc_id").aggregate(Count(alias_name="n_windows"))
+    )
+    joined = per_doc_total.join(
+        per_doc_dup, join_type="left_outer", num_partitions=nparts, on=("doc_id",)
+    )
+
+    def _finalize(batch: pa.Table) -> pa.Table:
+        nw = pc.cast(batch["n_windows"], pa.int64()).to_numpy(zero_copy_only=False)
+        nd = (
+            pc.fill_null(pc.cast(batch["n_dup_windows"], pa.int64()), 0)
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_windows": pa.array(nw, type=pa.int64()),
+                "n_dup_windows": pa.array(nd, type=pa.int64()),
+                "dup_fraction": pa.array(
+                    np.round(nd / np.maximum(nw, 1), 6), type=pa.float64()
+                ),
+            }
+        )
+
+    out = joined.map_batches(_finalize, batch_format="pyarrow")
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]
+    ).sort_by("doc_id")
