@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_curation": training.corpus_curation,
         "dedup_ngram_spans": training.dedup_ngram_spans,
         "doc_dup_stats": training.doc_dup_stats,
+        "token_count_bpe": training.token_count_bpe,
         "lang_id": training.lang_id,
     }
 
@@ -577,6 +578,16 @@ SELECT doc_id, CAST(n_windows AS BIGINT) AS n_windows,
        CAST(n_dup AS BIGINT) AS n_dup_windows,
        round(n_dup * 1.0 / n_windows, 6) AS dup_fraction
 FROM per ORDER BY doc_id
+"""
+
+    # BPE-ish pre-tokenizer count — IDENTICAL RE2 pattern on both sides
+    from lucene_plugin_ray.pipelines.training import BPE_TOKEN_PATTERN
+
+    bpe_pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    sql["token_count_bpe"] = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{bpe_pat}')) AS BIGINT) AS n_bpe_tokens
+FROM documents ORDER BY doc_id
 """
 
     # dedup_minhash, simhash, ann_ivf, ann_lsh: approximate / LSH-based — not

@@ -1845,3 +1845,33 @@ def doc_dup_stats(sf_dir: str, k: int = _NGRAM_SPAN_K) -> pa.Table:
     return pa.concat_tables(
         [b for b in out.iter_batches(batch_format="pyarrow")]
     ).sort_by("doc_id")
+
+
+# BPE-ish pre-tokenizer regex (RE2-safe — no lookahead — so the SAME pattern
+# runs in Arrow's count_substring_regex and DuckDB's regexp_extract_all):
+# contraction suffixes | space-prefixed letter runs | digit runs | symbol
+# runs | single whitespace.  A GPT-2-style pre-tokenization count — the
+# "token budget" estimator a training pipeline runs over raw text.
+BPE_TOKEN_PATTERN = r"'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s"
+
+
+def token_count_bpe(sf_dir: str) -> pa.Table:
+    """Per-document BPE-ish pre-tokenizer token count — one vectorized RE2
+    pass per batch (pyarrow.compute.count_substring_regex; no Python over
+    rows, no materialized token lists)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _count(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch["text"].combine_chunks(), pa.string())
+        n = pc.count_substring_regex(text, pattern=BPE_TOKEN_PATTERN)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].combine_chunks(),
+                "n_bpe_tokens": pc.cast(n, pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(_count, batch_format="pyarrow", zero_copy_batch=True)
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]
+    ).sort_by("doc_id")
