@@ -3,12 +3,15 @@
 The operations a large-scale training-data pipeline needs at 100 TB, built
 Ray-Data-first over the driver testdata tables (TESTDATA.md):
 
-* text analysis — token counting, quality scoring, language-ID heuristic,
-  document fingerprinting (documents table);
+* text analysis — analyzed + BPE-ish-regex token counting, quality
+  scoring, language-ID heuristic, document fingerprinting (documents
+  table);
 * deduplication — exact (content hash), MinHash+LSH near-dup, SimHash,
-  n-gram-Jaccard verification, embedding-cosine near-dup;
-* similarity search — brute-force cosine top-k (baseline) and an
-  IVF-bucketed approximate variant (embeddings table);
+  n-gram-Jaccard verification, embedding-cosine near-dup, exact
+  n-gram-span (substring-level) duplication + per-doc dup fractions;
+* similarity search — brute-force cosine top-k (baseline), an
+  IVF-bucketed and a banded random-hyperplane-LSH approximate variant
+  (embeddings table);
 * multimodal plumbing — opaque binary payloads through an actor-pool
   stage; stdlib header decode (png/gif/bmp/jpeg/wav) + an E2E media_decode
   op with an exact arithmetic SQL oracle (full pixel/sample decode would

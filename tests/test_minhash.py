@@ -100,3 +100,33 @@ def test_minhash_pairs_match_exact_jaccard(ray_session, tmp_path):
     found = set(got_pairs)
     missing = [p for p in expected if p not in found]
     assert len(missing) <= max(1, len(expected) // 10), missing
+
+
+def test_span_windows_unicode_safe(ray_session):
+    """span_windows_batch gathers windows by BYTE offsets — multi-byte
+    UTF-8 tokens must round-trip exactly (token boundaries are always valid
+    split points)."""
+    import pyarrow as pa
+
+    from lucene_plugin_ray.functions.analysis import analyze
+    from lucene_plugin_ray.pipelines.training import span_windows_batch
+
+    texts = [
+        "naïve café résumé über straße garçon fjörd œuvre piñata smörgås",
+        "日本語 テスト один два три четыре пять шесть семь восемь девять десять",
+        "mixed ascii und häßlich ümlauts every ωord ÿes ñot done yet",
+    ]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    got = span_windows_batch(batch, k=3)
+    got_pairs = set(zip(got["ngram"].to_pylist(), got["doc_id"].to_pylist()))
+    exp_pairs = set()
+    for did, t in enumerate(texts):
+        toks = analyze(t)
+        for i in range(len(toks) - 2):
+            exp_pairs.add((" ".join(toks[i : i + 3]), did))
+    assert got_pairs == exp_pairs
