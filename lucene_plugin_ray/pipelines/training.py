@@ -1777,27 +1777,31 @@ def span_windows_batch(batch: pa.Table, k: int = _NGRAM_SPAN_K) -> pa.Table:
     return t.group_by(["ngram", "doc_id"]).aggregate([])
 
 
-def doc_dup_stats(sf_dir: str, k: int = _NGRAM_SPAN_K) -> pa.Table:
+def doc_dup_stats(
+    sf_dir: str, k: int = _NGRAM_SPAN_K, strategy: str = "broadcast"
+) -> pa.Table:
     """Per-document span-duplication fraction: of a document's distinct
     k-token windows, how many also occur in at least one OTHER document
     (the per-doc boilerplate/contamination signal derived from
     dedup_ngram_spans' span table).
 
-    Distributed shape — two aggregates and one hash join, all columnar:
+    ``strategy='broadcast'`` (default) — one aggregate + one broadcast:
 
-        W = distinct (ngram, doc_id)                 [span_windows_batch]
-        dup = W.groupby(ngram).count() filtered >1   [builtin Count]
-        D = W ⋈ dup on ngram  →  groupby(doc_id).count = n_dup_windows
-        N = W.groupby(doc_id).count = n_windows
-        N ⟕ D  →  (doc_id, n_windows, n_dup_windows, dup_fraction)
+        dup = W.groupby(ngram).count() filtered >1    [builtin Count]
+        ray.put(dup ngram strings) → second map pass over the documents:
+        per-doc n_windows AND n_dup computed IN-BATCH (documents are rows,
+        never split across batches, so both counts are map-side-exact with
+        one pc.is_in against the broadcast set).
 
-    The joins are Ray Data hash joins (Dataset.join) partitioned on the
-    uniform keys (ngram string / doc_id).  Documents with fewer than k
-    tokens have no windows and are absent from the output (matches the SQL
-    oracle)."""
+    ``strategy='join'`` — the all-shuffle variant for corpora whose dup-span
+    table exceeds worker memory (boilerplate-heavy web crawls): W ⋈ dup on
+    ngram via Dataset.join, then a doc_id-keyed count.  Measured: the two
+    hash-join pools cost ~60 s of fixed actor setup at bench scale, so
+    broadcast is the default until the dup table itself is the bottleneck.
+
+    Documents with fewer than k tokens have no windows and are absent from
+    the output (matches the SQL oracle)."""
     from ray.data.aggregate import Count
-
-    nparts = 8
 
     def _w(sf: str):
         ds = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
@@ -1807,44 +1811,81 @@ def doc_dup_stats(sf_dir: str, k: int = _NGRAM_SPAN_K) -> pa.Table:
             zero_copy_batch=True,
         )
 
-    w = _w(sf_dir)
     dup = (
-        w.groupby("ngram")
+        _w(sf_dir)
+        .groupby("ngram")
         .aggregate(Count(alias_name="n_docs"))
         .filter(expr="n_docs > 1")
         .drop_columns(["n_docs"])
     )
-    per_doc_dup = (
-        _w(sf_dir)
-        .join(dup, join_type="inner", num_partitions=nparts, on=("ngram",))
-        .groupby("doc_id")
-        .aggregate(Count(alias_name="n_dup_windows"))
-    )
-    per_doc_total = (
-        _w(sf_dir).groupby("doc_id").aggregate(Count(alias_name="n_windows"))
-    )
-    joined = per_doc_total.join(
-        per_doc_dup, join_type="left_outer", num_partitions=nparts, on=("doc_id",)
-    )
 
-    def _finalize(batch: pa.Table) -> pa.Table:
-        nw = pc.cast(batch["n_windows"], pa.int64()).to_numpy(zero_copy_only=False)
-        nd = (
-            pc.fill_null(pc.cast(batch["n_dup_windows"], pa.int64()), 0)
-            .to_numpy(zero_copy_only=False)
+    if strategy == "join":
+        nparts = 8
+        per_doc_dup = (
+            _w(sf_dir)
+            .join(dup, join_type="inner", num_partitions=nparts, on=("ngram",))
+            .groupby("doc_id")
+            .aggregate(Count(alias_name="n_dup_windows"))
         )
+        per_doc_total = (
+            _w(sf_dir).groupby("doc_id").aggregate(Count(alias_name="n_windows"))
+        )
+        joined = per_doc_total.join(
+            per_doc_dup, join_type="left_outer", num_partitions=nparts, on=("doc_id",)
+        )
+
+        def _finalize(batch: pa.Table) -> pa.Table:
+            nw = pc.cast(batch["n_windows"], pa.int64()).to_numpy(zero_copy_only=False)
+            nd = (
+                pc.fill_null(pc.cast(batch["n_dup_windows"], pa.int64()), 0)
+                .to_numpy(zero_copy_only=False)
+            )
+            return pa.table(
+                {
+                    "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                    "n_windows": pa.array(nw, type=pa.int64()),
+                    "n_dup_windows": pa.array(nd, type=pa.int64()),
+                    "dup_fraction": pa.array(
+                        np.round(nd / np.maximum(nw, 1), 6), type=pa.float64()
+                    ),
+                }
+            )
+
+        out = joined.map_batches(_finalize, batch_format="pyarrow")
+        return pa.concat_tables(
+            [b for b in out.iter_batches(batch_format="pyarrow")]
+        ).sort_by("doc_id")
+
+    # broadcast strategy: collect dup ngrams (the op's OUTPUT-sized small
+    # side) once, ship via object store, roll up per doc in one map pass
+    dup_tbl = pa.concat_tables(
+        [b for b in dup.iter_batches(batch_format="pyarrow")]
+    )
+    dup_ref = ray.put(dup_tbl["ngram"].combine_chunks())
+
+    def _per_doc(batch: pa.Table) -> pa.Table:
+        dup_arr = ray.get(dup_ref)
+        w = span_windows_batch(batch, k)
+        parents = w["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dup = pc.is_in(w["ngram"].combine_chunks(), value_set=dup_arr).to_numpy(
+            zero_copy_only=False
+        )
+        ids, inv = np.unique(parents, return_inverse=True)
+        nw = np.bincount(inv)
+        nd = np.bincount(inv[is_dup], minlength=ids.size)
         return pa.table(
             {
-                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
-                "n_windows": pa.array(nw, type=pa.int64()),
-                "n_dup_windows": pa.array(nd, type=pa.int64()),
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_windows": pa.array(nw.astype(np.int64), type=pa.int64()),
+                "n_dup_windows": pa.array(nd.astype(np.int64), type=pa.int64()),
                 "dup_fraction": pa.array(
                     np.round(nd / np.maximum(nw, 1), 6), type=pa.float64()
                 ),
             }
         )
 
-    out = joined.map_batches(_finalize, batch_format="pyarrow")
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(_per_doc, batch_format="pyarrow", zero_copy_batch=True)
     return pa.concat_tables(
         [b for b in out.iter_batches(batch_format="pyarrow")]
     ).sort_by("doc_id")
