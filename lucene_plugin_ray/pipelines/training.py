@@ -1672,7 +1672,14 @@ def dedup_ngram_spans(sf_dir: str, k: int = _NGRAM_SPAN_K) -> pa.Table:
     groupby on the window string itself — exact (no hash-collision caveat)
     and uniform (windows are near-unique keys).  The reduce is builtin Count
     + Min aggregates: rows are globally distinct (window, doc) pairs, so
-    Count == n_docs.  Output: (ngram, n_docs, first_doc_id), n_docs >= 2."""
+    Count == n_docs.  Output: (ngram, n_docs, first_doc_id), n_docs >= 2.
+
+    Scale note: shuffling the window STRINGS moves ~k× the corpus bytes.
+    At 100 TB the standard mitigation is a first pass keyed on a 64-bit
+    window hash (8 bytes/window) with in-bucket exact string verify for
+    colliding hashes — the same two-phase shape as dedup_minhash's
+    candidate/verify split; the string-keyed path here is the exact
+    reference implementation both phases are checked against."""
     from ray.data.aggregate import Count, Min
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
