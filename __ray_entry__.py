@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": training.dedup_minhash,
         "jaccard_adjacent": training.jaccard_adjacent,
         "simhash": training.simhash,
+        "simhash_pairs": training.simhash_pairs,
         "embedding_dedup": training.embedding_dedup,
         "ann_topk": training.ann_topk,
         "ann_ivf": training.ann_ivf,

@@ -264,7 +264,7 @@ class LuceneFacade:
         self.commit()
         if self._current_generation() < 0:
             return True  # nothing indexed yet — reference delete is a no-op
-        from lucene_plugin_ray.pipelines.build import delete_docs
+        from lucene_plugin_ray.pipelines.build import delete_docs, maybe_compact
 
         delete_docs(
             self.cfg,
@@ -275,6 +275,10 @@ class LuceneFacade:
                 }
             ),
         )
+        if self.auto_compact:
+            # compaction also PURGES tombstoned docs from segments (≙ Lucene
+            # merges reclaiming deletes)
+            maybe_compact(self.cfg)
         return True
 
     def clear(self, collection: str) -> bool:

@@ -560,29 +560,35 @@ def jaccard_adjacent(sf_dir: str) -> pa.Table:
     return pa.concat_tables(batches).sort_by("doc_a")
 
 
+def _simhash_batch(batch: pa.Table) -> np.ndarray:
+    """64-bit tf-weighted SimHash per document of a batch → uint64 array."""
+    from lucene_plugin_ray.functions.hashing import fnv1a_bytes_column
+
+    parents, terms, _ = tokenize_column(
+        pc.cast(batch["text"].combine_chunks(), pa.string())
+    )
+    n = batch.num_rows
+    acc = np.zeros((n, 64), dtype=np.int64)
+    if len(parents):
+        th = mix64_np(fnv1a_bytes_column(terms))
+        bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+            np.int64
+        )
+        contrib = bits * 2 - 1  # ±1 per bit
+        np.add.at(acc, parents, contrib)
+    sig = (acc > 0).astype(np.uint64)
+    val = np.zeros(n, dtype=np.uint64)
+    for b in range(64):
+        val |= sig[:, b] << np.uint64(b)
+    return val
+
+
 def simhash(sf_dir: str) -> pa.Table:
     """64-bit SimHash per document over analyzed tokens (tf-weighted)."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def _sim(batch: pa.Table) -> pa.Table:
-        from lucene_plugin_ray.functions.hashing import fnv1a_bytes_column
-
-        parents, terms, _ = tokenize_column(
-            pc.cast(batch["text"].combine_chunks(), pa.string())
-        )
-        n = batch.num_rows
-        acc = np.zeros((n, 64), dtype=np.int64)
-        if len(parents):
-            th = mix64_np(fnv1a_bytes_column(terms))
-            bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-                np.int64
-            )
-            contrib = bits * 2 - 1  # ±1 per bit
-            np.add.at(acc, parents, contrib)
-        sig = (acc > 0).astype(np.uint64)
-        val = np.zeros(n, dtype=np.uint64)
-        for b in range(64):
-            val |= sig[:, b] << np.uint64(b)
+        val = _simhash_batch(batch)
         return pa.table(
             {
                 "doc_id": batch["doc_id"].combine_chunks(),
@@ -1926,3 +1932,103 @@ def token_count_bpe(sf_dir: str) -> pa.Table:
     return pa.concat_tables(
         [b for b in out.iter_batches(batch_format="pyarrow")]
     ).sort_by("doc_id")
+
+
+_SIMHASH_BANDS = 4          # 4 bands x 16 bits
+_SIMHASH_MAX_HAMMING = 3    # pairs at distance <= bands-1 are found EXACTLY
+_SIMHASH_BUCKET_CAP = 512   # oversized-bucket guard (logged, like minhash)
+
+
+def simhash_pairs(sf_dir: str, max_hamming: int = _SIMHASH_MAX_HAMMING) -> pa.Table:
+    """SimHash near-duplicate PAIRS: documents whose 64-bit signatures are
+    within ``max_hamming`` bits.  Completes SimHash into an actual dedup
+    (the `simhash` op emits signatures only).
+
+    EXACT for max_hamming <= 3: signatures are banded into 4×16 bits, and by
+    pigeonhole two signatures differing in <=3 bits must agree on >=1 whole
+    band — so the band-bucket groupby (the only shuffle, 4 rows per doc)
+    generates every qualifying pair as a candidate, and the in-bucket
+    vectorized hamming verify removes false positives.  Buckets larger than
+    _SIMHASH_BUCKET_CAP are truncated deterministically (doc_id order) — at
+    web scale a hot bucket means a degenerate band value (e.g. all-zero
+    signatures), the same head-key hazard the minhash LSH handles by
+    capping.
+    Output: (doc_a, doc_b, hamming), doc_a < doc_b, pair-deduplicated."""
+    from ray.data.aggregate import Min
+
+    if max_hamming >= _SIMHASH_BANDS:
+        raise ValueError(
+            f"banded search is exact only for max_hamming < {_SIMHASH_BANDS}"
+        )
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _bands(batch: pa.Table) -> pa.Table:
+        val = _simhash_batch(batch)
+        doc = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = val.size
+        outs = []
+        for b in range(_SIMHASH_BANDS):
+            band_val = (val >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            outs.append(
+                pa.table(
+                    {
+                        "band_key": pa.array(
+                            band_val.astype(np.int64) * _SIMHASH_BANDS + b,
+                            type=pa.int64(),
+                        ),
+                        "doc_id": pa.array(doc, type=pa.int64()),
+                        "sig": pa.array(val.astype(np.int64), type=pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    def _bucket_pairs(group: pa.Table) -> pa.Table:
+        t = group.sort_by("doc_id")
+        if t.num_rows > _SIMHASH_BUCKET_CAP:
+            t = t.slice(0, _SIMHASH_BUCKET_CAP)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        sig = t["sig"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        m = doc.size
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+        if m < 2:
+            return empty
+        bits = ((sig[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+            np.int8
+        )
+        ham = np.abs(bits[:, None, :] - bits[None, :, :]).sum(axis=2)
+        ai, bi = np.triu_indices(m, k=1)
+        keep = ham[ai, bi] <= max_hamming
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                "doc_a": pa.array(doc[ai[keep]], type=pa.int64()),
+                "doc_b": pa.array(doc[bi[keep]], type=pa.int64()),
+                "hamming": pa.array(ham[ai, bi][keep].astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    # band-bucket groupby → in-bucket verify → pair dedup (a pair can match
+    # in up to 4 bands; Min(hamming) is constant per pair so Min == distinct)
+    pairs = (
+        ds.map_batches(_bands, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("band_key")
+        .map_groups(_bucket_pairs, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+    )
+    t = pa.concat_tables([b for b in pairs.iter_batches(batch_format="pyarrow")])
+    return pa.table(
+        {
+            "doc_a": pc.cast(t["doc_a"], pa.int64()),
+            "doc_b": pc.cast(t["doc_b"], pa.int64()),
+            "hamming": pc.cast(t["hamming"], pa.int64()),
+        }
+    ).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])

@@ -130,3 +130,30 @@ def test_span_windows_unicode_safe(ray_session):
         for i in range(len(toks) - 2):
             exp_pairs.add((" ".join(toks[i : i + 3]), did))
     assert got_pairs == exp_pairs
+
+
+def test_simhash_pairs_exact_vs_bruteforce(ray_session):
+    """Banded simhash pair search is EXACT for hamming <= 3 (pigeonhole
+    over 4 bands): equals brute force over all signature pairs."""
+    from lucene_plugin_ray.pipelines.training import simhash, simhash_pairs
+
+    SF = "/root/testdata/sf0.001"
+    pairs = simhash_pairs(SF)
+    sigs = simhash(SF)
+    ids = sigs["doc_id"].to_pylist()
+    vals = [int(s, 16) for s in sigs["simhash"].to_pylist()]
+    exp = sorted(
+        (ids[i], ids[j], (vals[i] ^ vals[j]).bit_count())
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if (vals[i] ^ vals[j]).bit_count() <= 3
+    )
+    got = sorted(
+        zip(
+            pairs["doc_a"].to_pylist(),
+            pairs["doc_b"].to_pylist(),
+            pairs["hamming"].to_pylist(),
+        )
+    )
+    assert got == exp
+    assert len(got) > 0  # the seeded corpus contains simhash near-dups
