@@ -315,7 +315,7 @@ ORDER BY doc_id
 WITH raw AS (SELECT doc_id, unnest(string_split_regex(lower(source), '[^a-z0-9]+')) AS term FROM documents),
 toks AS (SELECT doc_id, term FROM raw WHERE term <> '' AND length(term) <= 255
          AND term NOT IN {SQL_STOPWORD_LIST})
-SELECT DISTINCT doc_id, 1.0 AS score FROM toks
+SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM toks
 WHERE term >= '{_RANGE_LO}' AND term <= '{_RANGE_HI}'
 ORDER BY doc_id
 """
