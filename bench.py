@@ -65,6 +65,7 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     from lucene_plugin_ray.pipelines.build import build_index
     from lucene_plugin_ray.pipelines.query import SearchEngine
     from lucene_plugin_ray.sources.pages import documents_to_pages_batch
+    from lucene_plugin_ray.sources.reader import read_parquet_clean
 
     out: dict = {"sf": sf_dir, "num_cpus": num_cpus, "replicas": replicas}
     queries: dict[str, float] = {}
@@ -75,13 +76,13 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     # read itself.  (A materialize-to-parquet variant measured SLOWER on this
     # host — parquet decode is allocation-heavy and this microVM's memory
     # path penalizes that; see BASELINE.md §5.)
-    base_ds = ray.data.read_parquet(
+    base_ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
     )
     n_docs_base = base_ds.count()
 
     def _load_corpus():
-        ds = ray.data.read_parquet(
+        ds = read_parquet_clean(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
         )
         if replicas > 1:

@@ -29,6 +29,7 @@ import ray
 import ray.data
 
 from lucene_plugin_ray.config import IndexConfig
+from lucene_plugin_ray.sources.reader import read_parquet_clean
 from lucene_plugin_ray.stages.segment_write import build_partition_segment
 from lucene_plugin_ray.stages.validate import ValidateAndPartition
 from lucene_plugin_ray.state.manifest import (
@@ -62,8 +63,8 @@ def _as_dataset(corpus, cfg: IndexConfig | None = None) -> "ray.data.Dataset":
                 )
                 if c in avail
             ]
-            return ray.data.read_parquet(corpus, columns=want)
-        return ray.data.read_parquet(corpus)
+            return read_parquet_clean(corpus, columns=want)
+        return read_parquet_clean(corpus)
     raise TypeError(f"unsupported corpus type {type(corpus)}")
 
 

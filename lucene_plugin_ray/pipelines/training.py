@@ -43,6 +43,7 @@ from lucene_plugin_ray.functions.analysis import (
     tokenize_column,
 )
 from lucene_plugin_ray.functions.hashing import mix64_np, sha256_column
+from lucene_plugin_ray.sources.reader import read_parquet_clean
 
 # ---------------------------------------------------------------------------
 # text analysis
@@ -51,7 +52,7 @@ from lucene_plugin_ray.functions.hashing import mix64_np, sha256_column
 
 def token_count(sf_dir: str) -> pa.Table:
     """Per-document analyzed-token count.  Oracle: SQL tokenization spec."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def _count(batch: pa.Table) -> pa.Table:
         _, _, dl = tokenize_column(pc.cast(batch["text"].combine_chunks(), pa.string()))
@@ -72,7 +73,7 @@ def quality_score(sf_dir: str) -> pa.Table:
     """Per-document quality signals: raw token count, stop-word count/ratio,
     mean token length.  (Ratios are the classic web-text quality features —
     length/stopword heuristics.)  All-SQL-expressible."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     stop_arr = pa.array(sorted(STOP_WORDS), type=pa.string())
 
     def _score(batch: pa.Table) -> pa.Table:
@@ -156,7 +157,7 @@ class LangId:
 
 
 def lang_id(sf_dir: str) -> pa.Table:
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(
         LangId, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
     )
@@ -169,7 +170,7 @@ def fingerprint(sf_dir: str) -> pa.Table:
     """Document fingerprint: sha256 of the analyzed-token stream joined by a
     single space (canonical normalized form; whitespace/punctuation/casing
     insensitive)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def _fp(batch: pa.Table) -> pa.Table:
         parents, terms, _ = tokenize_column(
@@ -204,7 +205,7 @@ def dedup_exact(sf_dir: str) -> pa.Table:
     key is the uniform sha256 — no skew."""
     from ray.data.aggregate import Count, Min
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def _hash(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -337,7 +338,7 @@ def dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.5) -> pa.Table:
     exact shingle-Jaccard verification (n-gram Jaccard on the candidate set).
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, sorted.
     """
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     bands = ds.map_batches(
         MinHashSignatures,
         batch_format="pyarrow",
@@ -398,7 +399,7 @@ def dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.5) -> pa.Table:
     order = np.argsort(mem_doc, kind="stable")
     mem_doc, mem_pair = mem_doc[order], mem_pair[order]
     membership_ref = ray.put((mem_doc, mem_pair))
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def _emit_candidate_shingles(batch: pa.Table) -> pa.Table:
         md, mp = ray.get(membership_ref)
@@ -485,7 +486,7 @@ def jaccard_adjacent(sf_dir: str) -> pa.Table:
     computes |∩|/|∪| — no driver-side pairing loop.  Pairs where either side
     has no tokens are dropped (matching the SQL inner join on set sizes).
     """
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def _emit(batch: pa.Table) -> pa.Table:
         from lucene_plugin_ray.functions.hashing import fnv1a_bytes_column
@@ -585,7 +586,7 @@ def _simhash_batch(batch: pa.Table) -> np.ndarray:
 
 def simhash(sf_dir: str) -> pa.Table:
     """64-bit SimHash per document over analyzed tokens (tf-weighted)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def _sim(batch: pa.Table) -> pa.Table:
         val = _simhash_batch(batch)
@@ -628,7 +629,7 @@ def embedding_dedup(sf_dir: str, threshold: float = 0.35) -> pa.Table:
     (the label plays the role of an LSH/IVF bucket: candidate generation is
     bucket-local, no all-pairs across the corpus).  Returns
     (vec_a, vec_b, cos) with cos >= threshold, float64, rounded to 5."""
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet")
 
     def _pairs(group: pa.Table) -> pa.Table:
         ids = group["vec_id"].to_numpy(zero_copy_only=False)
@@ -712,7 +713,7 @@ def ann_topk(sf_dir: str, k: int = 10) -> pa.Table:
             }
         )
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet")
     parts = pa.concat_tables(
         [
             b
@@ -753,7 +754,7 @@ def ann_ivf(sf_dir: str, k: int = 10, n_cells: int = 8, nprobe: int = 3) -> pa.T
     # centroid fit on a BOUNDED deterministic sample (first _IVF_SAMPLE_MAX
     # rows in file order) — the driver never materializes the whole table
     sample = pa.concat_tables(
-        b for b in ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        b for b in read_parquet_clean(f"{sf_dir}/embeddings.parquet")
         .limit(_IVF_SAMPLE_MAX)
         .iter_batches(batch_format="pyarrow")
     )
@@ -813,7 +814,7 @@ def ann_ivf(sf_dir: str, k: int = 10, n_cells: int = 8, nprobe: int = 3) -> pa.T
             }
         )
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet")
     parts = pa.concat_tables(
         [
             b
@@ -931,7 +932,7 @@ def multimodal_features(sf_dir: str) -> pa.Table:
     """Treat documents.text's UTF-8 bytes as an opaque payload column and run
     the (stubbed-decode) actor-pool feature stage — exercising the real
     multimodal plumbing: binary schema, actor pool, small batches."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def _to_payload(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -1029,7 +1030,7 @@ def media_decode(sf_dir: str) -> pa.Table:
     actor-pool stage.  Because the fields are arithmetically predictable, the
     SQL oracle verifies the decode exactly — the plumbing (binary schema,
     small batches, per-actor decoder init) is the 100-TB shape."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def _encode(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -1066,7 +1067,7 @@ def events_latest(sf_dir: str) -> pa.Table:
     The same last-write-wins combinator as the index upsert (D1), expressed
     as partial per-batch argmax + a grouped fold (no raw-row shuffle)."""
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type", "value"],
     )
@@ -1129,7 +1130,7 @@ def events_window(sf_dir: str) -> pa.Table:
     doc_len sums)."""
     from ray.data.aggregate import Max, Sum
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type", "value"]
     )
 
@@ -1191,7 +1192,7 @@ def events_asof(sf_dir: str) -> pa.Table:
     classic as-of pattern.  The partitioning assumption: a single user's
     events fit one group (true for user-keyed event streams; a whale user
     would need ts-range sub-splitting with boundary exchange)."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type"],
     )
@@ -1270,7 +1271,7 @@ def events_band_join(sf_dir: str) -> pa.Table:
     user-keyed shape as the as-of join; within a group the band is two
     searchsorted bounds per signup, pairs emitted via vectorized repeat
     (no per-pair Python loop)."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type"],
     )
@@ -1352,7 +1353,7 @@ def events_sessionize(sf_dir: str) -> pa.Table:
     reuse it'), then each group is a vectorized diff → cumsum → reduceat:
     no per-event Python loop.  Money sums are exact integer cents so the op
     is order- and partitioning-independent."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
     )
 
@@ -1475,7 +1476,7 @@ def ann_lsh(sf_dir: str, k: int = 10) -> pa.Table:
             }
         )
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet")
     parts = pa.concat_tables(
         [
             b
@@ -1616,7 +1617,7 @@ def corpus_curation(sf_dir: str, output_path: str | None = None) -> pa.Table | N
     no driver materialization; a failed run reruns only unfinished blocks via
     Ray lineage) and return None.  The default table return is for the
     small-scale driver/oracle harness."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
@@ -1688,7 +1689,7 @@ def dedup_ngram_spans(sf_dir: str, k: int = _NGRAM_SPAN_K) -> pa.Table:
     reference implementation both phases are checked against."""
     from ray.data.aggregate import Count, Min
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def _windows(batch: pa.Table) -> pa.Table:
         return span_windows_batch(batch, k)
@@ -1817,7 +1818,7 @@ def doc_dup_stats(
     from ray.data.aggregate import Count
 
     def _w(sf: str):
-        ds = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        ds = read_parquet_clean(f"{sf}/documents.parquet", columns=["doc_id", "text"])
         return ds.map_batches(
             lambda b: span_windows_batch(b, k),
             batch_format="pyarrow",
@@ -1897,7 +1898,7 @@ def doc_dup_stats(
             }
         )
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(_per_doc, batch_format="pyarrow", zero_copy_batch=True)
     return pa.concat_tables(
         [b for b in out.iter_batches(batch_format="pyarrow")]
@@ -1916,7 +1917,7 @@ def token_count_bpe(sf_dir: str) -> pa.Table:
     """Per-document BPE-ish pre-tokenizer token count — one vectorized RE2
     pass per batch (pyarrow.compute.count_substring_regex; no Python over
     rows, no materialized token lists)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def _count(batch: pa.Table) -> pa.Table:
         text = pc.cast(batch["text"].combine_chunks(), pa.string())
@@ -1960,7 +1961,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = _SIMHASH_MAX_HAMMING) -> pa.Ta
         raise ValueError(
             f"banded search is exact only for max_hamming < {_SIMHASH_BANDS}"
         )
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def _bands(batch: pa.Table) -> pa.Table:
         val = _simhash_batch(batch)

@@ -22,6 +22,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from lucene_plugin_ray.config import IndexConfig
+from lucene_plugin_ray.sources.reader import read_parquet_clean
 
 _EPOCH_US = 1_600_000_000_000_000
 
@@ -31,7 +32,7 @@ def read_pages(path: str, cfg: IndexConfig, with_html: bool = False) -> "ray.dat
     cols = [cfg.url_column, cfg.ts_column, cfg.text_column, *cfg.field_columns]
     if with_html:
         cols.append("html")
-    return ray.data.read_parquet(path, columns=cols)
+    return read_parquet_clean(path, columns=cols)
 
 
 def _doc_urls(doc_ids: pa.Array) -> pa.Array:
@@ -57,7 +58,7 @@ def documents_to_pages_batch(batch: pa.Table) -> pa.Table:
 
 def documents_as_pages(sf_dir: str) -> "ray.data.Dataset":
     """Driver testdata documents table in pages shape."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
     )
     return ds.map_batches(documents_to_pages_batch, batch_format="pyarrow", zero_copy_batch=True)
