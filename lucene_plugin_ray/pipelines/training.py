@@ -674,8 +674,13 @@ def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic query set: the first _N_QUERY_VECS embeddings."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    t = t.filter(pc.less(t["vec_id"], _N_QUERY_VECS))
+    # predicate + column pushdown: only matching row groups reach the driver
+    # (an unfiltered read of a 100-TB embeddings table here would OOM)
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", _N_QUERY_VECS)],
+    )
     ids = t["vec_id"].to_numpy(zero_copy_only=False)
     mat = _embedding_matrix(t["embedding"])
     order = np.argsort(ids)
