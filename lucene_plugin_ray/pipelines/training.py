@@ -42,7 +42,11 @@ from lucene_plugin_ray.functions.analysis import (
     STOP_WORDS,
     tokenize_column,
 )
-from lucene_plugin_ray.functions.hashing import mix64_np, sha256_column
+from lucene_plugin_ray.functions.hashing import (
+    fnv1a_bytes_column,
+    mix64_np,
+    sha256_column,
+)
 from lucene_plugin_ray.sources.reader import read_parquet_clean
 
 # ---------------------------------------------------------------------------
@@ -1669,7 +1673,12 @@ def corpus_curation(sf_dir: str, output_path: str | None = None) -> pa.Table | N
 _NGRAM_SPAN_K = 8  # tokens per span window
 
 
-def dedup_ngram_spans(sf_dir: str, k: int = _NGRAM_SPAN_K) -> pa.Table:
+def dedup_ngram_spans(
+    sf_dir: str,
+    k: int = _NGRAM_SPAN_K,
+    strategy: str = "hash",
+    _hash_mask: int | None = None,
+) -> pa.Table:
     """Exact substring-level duplication detection: every k-token window of
     the analyzed token stream that occurs in MORE THAN ONE document, with
     its document count and first (min doc_id) occurrence.  The span-level
@@ -1678,41 +1687,137 @@ def dedup_ngram_spans(sf_dir: str, k: int = _NGRAM_SPAN_K) -> pa.Table:
     duplication): spans shared across documents are boilerplate/template
     candidates a curation pass would strip.
 
-    Distributed shape: per batch, window strings are built VECTORIZED (one
-    byte-gather over the space-joined normalized text per doc — no per-window
-    Python) and pre-deduplicated per (window, doc); the only shuffle is a
-    groupby on the window string itself — exact (no hash-collision caveat)
-    and uniform (windows are near-unique keys).  The reduce is builtin Count
-    + Min aggregates: rows are globally distinct (window, doc) pairs, so
-    Count == n_docs.  Output: (ngram, n_docs, first_doc_id), n_docs >= 2.
+    ``strategy='hash'`` (default) — the scale path, two-phase
+    candidate/verify (same shape as dedup_minhash): phase 1 shuffles only an
+    8-byte mixed-FNV window hash per distinct (window, doc) pair and counts
+    docs per hash; hashes seen in >= 2 docs become the candidate set
+    (output-sized — the duplicated spans), broadcast once via ray.put.
+    Phase 2 re-derives windows per batch, keeps only candidate-hash windows,
+    and runs the exact string-keyed Count/Min reduce on THAT subset — so a
+    hash collision between two single-doc windows is filtered out by the
+    exact verify (n_docs computed per STRING), never reported.  The shuffle
+    volume drops from ~k× corpus bytes to 8 bytes/window + the duplicated
+    spans themselves.
 
-    Scale note: shuffling the window STRINGS moves ~k× the corpus bytes.
-    At 100 TB the standard mitigation is a first pass keyed on a 64-bit
-    window hash (8 bytes/window) with in-bucket exact string verify for
-    colliding hashes — the same two-phase shape as dedup_minhash's
-    candidate/verify split; the string-keyed path here is the exact
-    reference implementation both phases are checked against."""
+    ``strategy='string'`` — the exact single-phase reference: groupby on the
+    window string itself.  Moves ~k× the corpus bytes through the shuffle;
+    kept as the test oracle the hash path is equated against (including
+    under ``_hash_mask`` collision forcing; tests/test_properties.py).
+
+    ``_hash_mask`` (tests only) truncates the 64-bit window hash to force
+    collisions and exercise the verify phase.
+
+    Output for both strategies: (ngram, n_docs, first_doc_id), n_docs >= 2,
+    sorted by ngram."""
     from ray.data.aggregate import Count, Min
+
+    def _exact_reduce(ds) -> pa.Table:
+        agg = ds.groupby("ngram").aggregate(
+            Count(alias_name="n_docs"), Min("doc_id", alias_name="first_doc_id")
+        )
+        t = pa.concat_tables([b for b in agg.iter_batches(batch_format="pyarrow")])
+        t = t.filter(pc.greater(t["n_docs"], 1))
+        return pa.table(
+            {
+                "ngram": t["ngram"],
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                "first_doc_id": pc.cast(t["first_doc_id"], pa.int64()),
+            }
+        ).sort_by("ngram")
 
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    def _windows(batch: pa.Table) -> pa.Table:
-        return span_windows_batch(batch, k)
+    if strategy == "string":
+        return _exact_reduce(
+            ds.map_batches(
+                lambda b: span_windows_batch(b, k),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        )
+    if strategy != "hash":
+        raise ValueError(f"unknown dedup_ngram_spans strategy: {strategy!r}")
+
+    # ---- phase 1: candidate hashes (8 bytes/window through the shuffle)
+    cand_hashes = _candidate_span_hashes(ds, k, _hash_mask)
+    if cand_hashes.size == 0:
+        return pa.table(
+            {
+                "ngram": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "first_doc_id": pa.array([], pa.int64()),
+            }
+        )
+    cand_ref = ray.put(np.sort(cand_hashes))  # sorted for searchsorted membership
+
+    # ---- phase 2: exact string verify over the candidate subset only
+    def _candidate_windows(batch: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        w = span_windows_batch(batch, k)
+        if w.num_rows == 0:
+            return w
+        h = _window_hash(w["ngram"].combine_chunks(), _hash_mask)
+        pos = np.searchsorted(cand, h)
+        keep = (pos < cand.size) & (cand[np.minimum(pos, cand.size - 1)] == h)
+        return w.filter(pa.array(keep))
+
+    ds2 = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _exact_reduce(
+        ds2.map_batches(
+            _candidate_windows, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+
+def _window_hash(ngrams: pa.Array, hash_mask: int | None = None) -> np.ndarray:
+    """uint64 mixed-FNV hash of window strings (the phase-1 shuffle key).
+    ``hash_mask`` truncates to force collisions in tests."""
+    h = mix64_np(fnv1a_bytes_column(ngrams))
+    if hash_mask is not None:
+        h = h & np.uint64(hash_mask)
+    return h
+
+
+def _candidate_span_hashes(ds, k: int, hash_mask: int | None) -> np.ndarray:
+    """Phase-1 of hash-keyed span dedup: distinct (window_hash, doc) pairs
+    per batch (docs never split across batches, so pairs are globally
+    distinct), hash-keyed Count reduce, return hashes with >= 2 docs.
+
+    The hash column ships as int64 (uint64 bit-pattern view — Arrow groupby
+    keys); the candidate array returned is uint64 again.  Driver holds only
+    the candidate set — sized by the DUPLICATED spans, not the corpus."""
+    from ray.data.aggregate import Count
+
+    def _hashes(batch: pa.Table) -> pa.Table:
+        w = span_windows_batch(batch, k)
+        if w.num_rows == 0:
+            return pa.table(
+                {"h": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())}
+            )
+        h = _window_hash(w["ngram"].combine_chunks(), hash_mask)
+        docs = w["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        # distinct (h, doc) — span_windows_batch already deduped per
+        # (string, doc); collapse string-collisions within a doc too
+        order = np.lexsort((h, docs))
+        d_s, h_s = docs[order], h[order]
+        first = np.concatenate(
+            ([True], (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1]))
+        )
+        return pa.table(
+            {
+                "h": pa.array(h_s[first].view(np.int64), type=pa.int64()),
+                "doc_id": pa.array(d_s[first], type=pa.int64()),
+            }
+        )
 
     agg = (
-        ds.map_batches(_windows, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("ngram")
-        .aggregate(Count(alias_name="n_docs"), Min("doc_id", alias_name="first_doc_id"))
+        ds.map_batches(_hashes, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .aggregate(Count(alias_name="n_docs"))
+        .filter(expr="n_docs > 1")
     )
     t = pa.concat_tables([b for b in agg.iter_batches(batch_format="pyarrow")])
-    t = t.filter(pc.greater(t["n_docs"], 1))
-    return pa.table(
-        {
-            "ngram": t["ngram"],
-            "n_docs": pc.cast(t["n_docs"], pa.int64()),
-            "first_doc_id": pc.cast(t["first_doc_id"], pa.int64()),
-        }
-    ).sort_by("ngram")
+    return t["h"].combine_chunks().to_numpy(zero_copy_only=False).view(np.uint64)
 
 
 def span_windows_batch(batch: pa.Table, k: int = _NGRAM_SPAN_K) -> pa.Table:
@@ -1747,9 +1852,11 @@ def span_windows_batch(batch: pa.Table, k: int = _NGRAM_SPAN_K) -> pa.Table:
     # (tokens joined by single spaces): cumsum within doc
     cum = np.cumsum(tok_lens + 1)  # +1 for the joining space
     doc_first_tok = np.concatenate([[0], np.cumsum(doc_tok_counts)])[:-1]
-    doc_base = np.where(
-        doc_tok_counts > 0, cum[doc_first_tok] - tok_lens[doc_first_tok] - 1, 0
-    )
+    # char offset where each doc's normalized text starts == cum[f-1] (0 when
+    # f == 0).  Prepending 0 keeps the lookup in-bounds when a TRAILING doc
+    # has zero surviving tokens (its doc_first_tok == m, which would overflow
+    # cum itself — np.where evaluates both branches).
+    doc_base = np.concatenate([[0], cum])[doc_first_tok]
     starts_char = cum - tok_lens[np.arange(tok_lens.size)] - 1 - doc_base[parents]
     ends_char = cum - 1 - doc_base[parents]
     # windows: token index i starts a window iff i+k-1 is in the same doc
@@ -1818,6 +1925,11 @@ def doc_dup_stats(
     hash-join pools cost ~60 s of fixed actor setup at bench scale, so
     broadcast is the default until the dup table itself is the bottleneck.
 
+    The broadcast dup-span set comes from the hash-keyed two-phase
+    dedup_ngram_spans (8-byte window hashes through the shuffle, exact
+    string verify on candidates) — no string-keyed corpus shuffle on the
+    default path.
+
     Documents with fewer than k tokens have no windows and are absent from
     the output (matches the SQL oracle)."""
     from ray.data.aggregate import Count
@@ -1830,15 +1942,14 @@ def doc_dup_stats(
             zero_copy_batch=True,
         )
 
-    dup = (
-        _w(sf_dir)
-        .groupby("ngram")
-        .aggregate(Count(alias_name="n_docs"))
-        .filter(expr="n_docs > 1")
-        .drop_columns(["n_docs"])
-    )
-
     if strategy == "join":
+        dup = (
+            _w(sf_dir)
+            .groupby("ngram")
+            .aggregate(Count(alias_name="n_docs"))
+            .filter(expr="n_docs > 1")
+            .drop_columns(["n_docs"])
+        )
         nparts = 8
         per_doc_dup = (
             _w(sf_dir)
@@ -1875,11 +1986,10 @@ def doc_dup_stats(
             [b for b in out.iter_batches(batch_format="pyarrow")]
         ).sort_by("doc_id")
 
-    # broadcast strategy: collect dup ngrams (the op's OUTPUT-sized small
-    # side) once, ship via object store, roll up per doc in one map pass
-    dup_tbl = pa.concat_tables(
-        [b for b in dup.iter_batches(batch_format="pyarrow")]
-    )
+    # broadcast strategy: dup ngrams (the op's OUTPUT-sized small side) via
+    # the hash-keyed two-phase span dedup, ship once via object store, roll
+    # up per doc in one map pass
+    dup_tbl = dedup_ngram_spans(sf_dir, k, strategy="hash")
     dup_ref = ray.put(dup_tbl["ngram"].combine_chunks())
 
     def _per_doc(batch: pa.Table) -> pa.Table:

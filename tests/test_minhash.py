@@ -157,3 +157,52 @@ def test_simhash_pairs_exact_vs_bruteforce(ray_session):
     )
     assert got == exp
     assert len(got) > 0  # the seeded corpus contains simhash near-dups
+
+
+def test_span_windows_trailing_empty_doc(ray_session):
+    """Regression (ADVICE r2, high): a batch whose LAST document has zero
+    surviving tokens (empty / all-stopword / non-[a-z0-9] script) made
+    doc_first_tok == total token count and indexed cum out of bounds."""
+    import pyarrow as pa
+
+    from lucene_plugin_ray.pipelines.training import span_windows_batch
+
+    for tail in ["", "the and of to", "…—!!"]:
+        batch = pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": pa.array(
+                    ["alpha beta gamma delta epsilon zeta", tail], type=pa.string()
+                ),
+            }
+        )
+        got = span_windows_batch(batch, k=5)
+        assert got["doc_id"].to_pylist() == [1, 1]
+    # empty doc in the middle + at the end
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                ["one two three four five six", "", "the of"], type=pa.string()
+            ),
+        }
+    )
+    got = span_windows_batch(batch, k=5)
+    assert sorted(got["ngram"].to_pylist()) == [
+        "one two three four five",
+        "two three four five six",
+    ]
+
+
+def test_dedup_ngram_spans_hash_equals_string(ray_session):
+    """The hash-keyed two-phase span dedup (8-byte shuffle keys + exact
+    in-candidate string verify) must equal the string-keyed exact oracle —
+    including under a truncated 8-bit hash that FORCES collisions, which
+    exercises the verify phase's collision filtering."""
+    from lucene_plugin_ray.pipelines.training import dedup_ngram_spans
+
+    SF = "/root/testdata/sf0.001"
+    exact = dedup_ngram_spans(SF, strategy="string")
+    assert exact.num_rows > 0  # the seeded corpus contains shared spans
+    assert exact.equals(dedup_ngram_spans(SF, strategy="hash"))
+    assert exact.equals(dedup_ngram_spans(SF, strategy="hash", _hash_mask=0xFF))
