@@ -93,11 +93,6 @@ class LuceneFacade:
         self._pending: list[dict] = []
         self._engine = None
         self._engine_gen: int | None = None
-        # Synthetic warc_ts sequence: strictly increasing across the facade's
-        # lifetime AND across reopened facades on the same index — the base
-        # advances with the manifest generation, so any row written by a later
-        # facade outranks (last-write-wins) rows of earlier generations.
-        self._seq = (self._current_generation() + 1) * 1_000_000_000
 
     # ------------------------------------------------------------------
     def _current_generation(self) -> int:
@@ -106,15 +101,16 @@ class LuceneFacade:
         gens = list_generations(self.cfg.index_root)
         return max(gens) if gens else -1
 
-    def _next_ts(self) -> int:
-        self._seq += 1
-        return self._seq
-
     def _buffer(self, collection: str, ext_id: str, text: str, fields: dict) -> bool:
+        # Buffered rows carry an ORDINAL; the real synthetic warc_ts is
+        # stamped at commit time from the manifest generation read THEN, so
+        # 'last message wins' holds even when an older facade stays open
+        # while a newer one commits (ADVICE r2): whoever commits later reads
+        # the higher generation and outranks earlier commits.
         row = {
             "collection": collection,
             self.cfg.url_column: ext_id,
-            self.cfg.ts_column: self._next_ts(),
+            self.cfg.ts_column: len(self._pending),
             self.cfg.text_column: text,
         }
         for f in self.cfg.field_columns:
@@ -195,6 +191,12 @@ class LuceneFacade:
             self.cfg.text_column, *self.cfg.field_columns,
         ):
             cols[name] = [r[name] for r in self._pending]
+        gen_now = self._current_generation()
+        # stamp ordinals → warc_ts from the generation read at COMMIT time
+        # (strictly increasing across commits AND across concurrently open
+        # facades: each build advances the manifest generation)
+        base = (gen_now + 1) * 1_000_000_000
+        ts_vals = [base + o + 1 for o in cols[self.cfg.ts_column]]
         table = pa.table(
             {
                 **{
@@ -202,16 +204,16 @@ class LuceneFacade:
                     for k, v in cols.items()
                     if k != self.cfg.ts_column
                 },
-                self.cfg.ts_column: pa.array(
-                    cols[self.cfg.ts_column], type=pa.timestamp("us")
-                ),
+                self.cfg.ts_column: pa.array(ts_vals, type=pa.timestamp("us")),
             }
         )
-        self._pending.clear()
-        if self._current_generation() < 0:
+        # buffer is cleared only AFTER the build succeeds: a failed commit
+        # keeps the documents and can simply be retried (ADVICE r2)
+        if gen_now < 0:
             m = build_index(table, self.cfg)
         else:
             m = build_delta(table, self.cfg)
+        self._pending.clear()
         if self.auto_compact:
             from lucene_plugin_ray.pipelines.build import maybe_compact
 

@@ -123,10 +123,14 @@ def sha256_column(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
 
 
 _HEX_CHARS = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+# hex outputs larger than this need int64 offsets (large_string); module
+# constant so tests can exercise the branch without a 2 GiB allocation
+_HEX_SMALL_MAX = np.iinfo(np.int32).max
 
 
 def hex_encode_column(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
-    """Vectorized lowercase hex of a binary column → string column.
+    """Vectorized lowercase hex of a binary column → string column
+    (large_string when the hex output exceeds 2^31 bytes).
 
     One pass over the flat data buffer (two numpy gathers through a 16-entry
     nibble table) plus a doubled offsets vector — no per-row Python loop.
@@ -153,16 +157,27 @@ def hex_encode_column(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
     out = np.empty(seg.size * 2, dtype=np.uint8)
     out[0::2] = _HEX_CHARS[seg >> 4]
     out[1::2] = _HEX_CHARS[seg & 0x0F]
-    new_offsets = ((offsets - offsets[0]) * 2).astype(np.int32)
-    hexarr = pa.StringArray.from_buffers(
-        n,
-        pa.py_buffer(new_offsets.tobytes()),
-        pa.py_buffer(out.tobytes()),
-        None,
-        0,
-    )
+    doubled = (offsets - offsets[0]) * 2  # int64
+    if int(doubled[-1]) > _HEX_SMALL_MAX:
+        # hex output exceeds a 32-bit offset buffer → emit large_string
+        # (int64 offsets) instead of silently overflowing the cast
+        hexarr = pa.LargeStringArray.from_buffers(
+            n,
+            pa.py_buffer(doubled.tobytes()),
+            pa.py_buffer(out.tobytes()),
+            None,
+            0,
+        )
+    else:
+        hexarr = pa.StringArray.from_buffers(
+            n,
+            pa.py_buffer(doubled.astype(np.int32).tobytes()),
+            pa.py_buffer(out.tobytes()),
+            None,
+            0,
+        )
     if arr.null_count:
         # re-apply nulls via the compute kernel — avoids hand-slicing the
         # (bit-packed, offset-carrying) validity buffer
-        hexarr = pc.if_else(arr.is_valid(), hexarr, pa.scalar(None, pa.string()))
+        hexarr = pc.if_else(arr.is_valid(), hexarr, pa.scalar(None, hexarr.type))
     return hexarr

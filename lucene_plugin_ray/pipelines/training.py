@@ -2101,7 +2101,22 @@ def simhash_pairs(sf_dir: str, max_hamming: int = _SIMHASH_MAX_HAMMING) -> pa.Ta
 
     def _bucket_pairs(group: pa.Table) -> pa.Table:
         t = group.sort_by("doc_id")
+        trunc = None
         if t.num_rows > _SIMHASH_BUCKET_CAP:
+            # deterministic truncation, COUNTED via a sentinel row the driver
+            # logs and strips (no silent coverage caps — same contract as
+            # dedup_minhash's bucket drop)
+            trunc = pa.table(
+                {
+                    "doc_a": pa.array([-1], pa.int64()),
+                    "doc_b": pa.array(
+                        [group["band_key"][0].as_py()], pa.int64()
+                    ),
+                    "hamming": pa.array(
+                        [t.num_rows - _SIMHASH_BUCKET_CAP], pa.int64()
+                    ),
+                }
+            )
             t = t.slice(0, _SIMHASH_BUCKET_CAP)
         doc = t["doc_id"].to_numpy(zero_copy_only=False)
         sig = t["sig"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -2114,7 +2129,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = _SIMHASH_MAX_HAMMING) -> pa.Ta
             }
         )
         if m < 2:
-            return empty
+            return empty if trunc is None else trunc
         bits = ((sig[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
             np.int8
         )
@@ -2122,14 +2137,15 @@ def simhash_pairs(sf_dir: str, max_hamming: int = _SIMHASH_MAX_HAMMING) -> pa.Ta
         ai, bi = np.triu_indices(m, k=1)
         keep = ham[ai, bi] <= max_hamming
         if not keep.any():
-            return empty
-        return pa.table(
+            return empty if trunc is None else trunc
+        out = pa.table(
             {
                 "doc_a": pa.array(doc[ai[keep]], type=pa.int64()),
                 "doc_b": pa.array(doc[bi[keep]], type=pa.int64()),
                 "hamming": pa.array(ham[ai, bi][keep].astype(np.int64), type=pa.int64()),
             }
         )
+        return out if trunc is None else pa.concat_tables([out, trunc])
 
     # band-bucket groupby → in-bucket verify → pair dedup (a pair can match
     # in up to 4 bands; Min(hamming) is constant per pair so Min == distinct)
@@ -2141,6 +2157,21 @@ def simhash_pairs(sf_dir: str, max_hamming: int = _SIMHASH_MAX_HAMMING) -> pa.Ta
         .aggregate(Min("hamming", alias_name="hamming"))
     )
     t = pa.concat_tables([b for b in pairs.iter_batches(batch_format="pyarrow")])
+    sentinel = pc.equal(t["doc_a"], -1)
+    n_trunc = pc.sum(pc.cast(sentinel, pa.int64())).as_py() or 0
+    if n_trunc:
+        import logging
+
+        dropped = pc.sum(
+            pc.cast(t.filter(sentinel)["hamming"], pa.int64())
+        ).as_py()
+        logging.getLogger(__name__).warning(
+            "simhash_pairs: %d band buckets exceeded cap %d; %d signatures "
+            "truncated (deterministic doc_id order — raise _SIMHASH_BUCKET_CAP "
+            "or pre-shard degenerate content)",
+            n_trunc, _SIMHASH_BUCKET_CAP, dropped,
+        )
+        t = t.filter(pc.invert(sentinel))
     return pa.table(
         {
             "doc_a": pc.cast(t["doc_a"], pa.int64()),

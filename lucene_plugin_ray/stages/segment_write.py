@@ -159,20 +159,30 @@ def drop_stale_vs_prior(
     shuffle is needed for this join)."""
     if prior is None or prior.num_rows == 0 or part.num_rows == 0:
         return part
-    import pandas as pd
-
     keys = _composite_key(
         part["collection"].combine_chunks(), part[cfg.url_column].combine_chunks()
-    ).to_pandas()
-    pr = prior.to_pandas().set_index("key")
-    m = keys.map(pr["warc_ts"])
-    ts = pc.cast(part[cfg.ts_column].combine_chunks(), pa.int64()).to_pandas()
-    sha = part["text_sha256"].to_pandas()
-    prior_sha = keys.map(pr["text_sha256"])
-    newer = m.isna() | (ts > m) | ((ts == m) & (sha > prior_sha))
-    if bool(newer.all()):
+    )
+    # Arrow-native lookup join: prior keys are unique (live docs per key), so
+    # index_in gives each delta row its prior position (null = no prior) and
+    # take fetches the prior's (warc_ts, sha) — no pandas conversion.
+    pos = pc.index_in(keys, value_set=prior["key"].combine_chunks())
+    prior_ts = pc.take(prior["warc_ts"].combine_chunks(), pos)
+    prior_sha = pc.take(prior["text_sha256"].combine_chunks(), pos)
+    ts = pc.cast(part[cfg.ts_column].combine_chunks(), pa.int64())
+    sha = part["text_sha256"].combine_chunks()
+    # Kleene logic keeps the pandas path's semantics exactly: no prior → keep;
+    # with a prior, a null delta ts compares null → row dropped by filter's
+    # default null_selection_behavior='drop' (same as NaN comparisons before).
+    newer = pc.or_kleene(
+        pc.is_null(pos),
+        pc.or_kleene(
+            pc.greater(ts, prior_ts),
+            pc.and_kleene(pc.equal(ts, prior_ts), pc.greater(sha, prior_sha)),
+        ),
+    )
+    if (pc.sum(pc.cast(pc.fill_null(newer, False), pa.int64())).as_py() or 0) == part.num_rows:
         return part
-    return part.filter(pa.array(newer.to_numpy()))
+    return part.filter(newer)
 
 
 def build_partition_segment(

@@ -192,3 +192,48 @@ def test_auto_compaction_tier(ray_session, tmp_path):
     assert any(m.extra.get("compacted") for m in chain)
     assert len(f.search("coll", "lamb")) == 6  # results survive compaction
     assert _ids(f.search("coll", "u3")) == ["d3"]
+
+
+def test_commit_failure_keeps_buffer(ray_session, tmp_path, monkeypatch):
+    """ADVICE r2: a failed commit must NOT lose buffered documents — the
+    buffer is cleared only after the build succeeds, so a retry commits
+    them."""
+    from lucene_plugin_ray.pipelines import build as build_mod
+
+    f = LuceneFacade(_cfg(tmp_path), soft_commit_max_docs=100)
+    f.index_text("default", "d1", "alpha beta gamma")
+    f.index_text("default", "d2", "delta epsilon zeta")
+
+    def _boom(*a, **k):
+        raise RuntimeError("injected build failure")
+
+    real = build_mod.build_index
+    monkeypatch.setattr(build_mod, "build_index", _boom)
+    with pytest.raises(RuntimeError):
+        f.commit()
+    assert len(f._pending) == 2  # nothing lost
+    monkeypatch.setattr(build_mod, "build_index", real)
+    f.commit()
+    assert _ids(f.search("default", "alpha")) == ["d1"]
+    assert _ids(f.search("default", "zeta")) == ["d2"]
+
+
+def test_concurrent_facades_last_commit_wins(ray_session, tmp_path):
+    """ADVICE r2: warc_ts is stamped from the generation read at COMMIT
+    time, so an OLDER facade that stays open and commits later still
+    outranks a newer facade's earlier commit (last message wins by commit
+    order, not facade-open order)."""
+    cfg = _cfg(tmp_path)
+    old = LuceneFacade(cfg, soft_commit_max_docs=100)
+    old.index_text("default", "seed", "seedword")
+    old.commit()  # gen 0 exists; `old` was opened before `new`
+
+    new = LuceneFacade(cfg, soft_commit_max_docs=100)
+    new.index_text("default", "doc", "newfacade version")
+    new.commit()
+
+    # the older facade commits AFTER the newer one: its write must win
+    old.index_text("default", "doc", "oldfacade version")
+    old.commit()
+    assert _ids(old.search("default", "oldfacade")) == ["doc"]
+    assert _ids(old.search("default", "newfacade")) == []

@@ -90,3 +90,18 @@ def test_hex_encode_column_edges():
     assert hex_encode_column(pa.array(blobs, type=pa.binary())).to_pylist() == [
         b.hex() for b in blobs
     ]
+
+
+def test_hex_encode_column_large_offsets(monkeypatch):
+    """When the hex output would overflow int32 offsets the function must
+    emit large_string (int64 offsets), not corrupt strings (ADVICE r2).
+    Exercised by shrinking the threshold — same code path, tiny data."""
+    import pyarrow as pa
+
+    from lucene_plugin_ray.functions import hashing
+
+    monkeypatch.setattr(hashing, "_HEX_SMALL_MAX", 8)
+    a = pa.array([b"\x00\xff\x10", b"", None, b"abcd"], type=pa.binary())
+    out = hashing.hex_encode_column(a)
+    assert pa.types.is_large_string(out.type)
+    assert out.to_pylist() == ["00ff10", "", None, "61626364"]
