@@ -49,12 +49,27 @@ from lucene_plugin_ray.functions.hashing import (
 )
 from lucene_plugin_ray.sources.reader import read_parquet_clean
 
+def _sink_or_table(out, output_path: str | None, sort_by) -> pa.Table | None:
+    """Terminal step shared by the corpus-sized training ops: with
+    ``output_path`` the result streams straight to partitioned Parquet (one
+    file per output block — no driver materialization; a failed run re-runs
+    only unfinished blocks via Ray lineage) and returns None.  Without it,
+    collect + sort: the small-scale driver/oracle harness path, whose
+    result tables are compared row-for-row against DuckDB."""
+    if output_path is not None:
+        out.write_parquet(output_path)
+        return None
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]
+    ).sort_by(sort_by)
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
 
 
-def token_count(sf_dir: str) -> pa.Table:
+def token_count(sf_dir: str, output_path: str | None = None) -> pa.Table | None:
     """Per-document analyzed-token count.  Oracle: SQL tokenization spec."""
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
@@ -68,12 +83,10 @@ def token_count(sf_dir: str) -> pa.Table:
         )
 
     out = ds.map_batches(_count, batch_format="pyarrow", zero_copy_batch=True)
-    return pa.concat_tables(
-        [b for b in out.iter_batches(batch_format="pyarrow")]
-    ).sort_by("doc_id")
+    return _sink_or_table(out, output_path, "doc_id")
 
 
-def quality_score(sf_dir: str) -> pa.Table:
+def quality_score(sf_dir: str, output_path: str | None = None) -> pa.Table | None:
     """Per-document quality signals: raw token count, stop-word count/ratio,
     mean token length.  (Ratios are the classic web-text quality features —
     length/stopword heuristics.)  All-SQL-expressible."""
@@ -110,9 +123,7 @@ def quality_score(sf_dir: str) -> pa.Table:
         )
 
     out = ds.map_batches(_score, batch_format="pyarrow", zero_copy_batch=True)
-    return pa.concat_tables(
-        [b for b in out.iter_batches(batch_format="pyarrow")]
-    ).sort_by("doc_id")
+    return _sink_or_table(out, output_path, "doc_id")
 
 
 # function-word profiles for the language-ID heuristic (tiny n-gram-free
@@ -160,17 +171,15 @@ class LangId:
         )
 
 
-def lang_id(sf_dir: str) -> pa.Table:
+def lang_id(sf_dir: str, output_path: str | None = None) -> pa.Table | None:
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(
         LangId, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
     )
-    return pa.concat_tables(
-        [b for b in out.iter_batches(batch_format="pyarrow")]
-    ).sort_by("doc_id")
+    return _sink_or_table(out, output_path, "doc_id")
 
 
-def fingerprint(sf_dir: str) -> pa.Table:
+def fingerprint(sf_dir: str, output_path: str | None = None) -> pa.Table | None:
     """Document fingerprint: sha256 of the analyzed-token stream joined by a
     single space (canonical normalized form; whitespace/punctuation/casing
     insensitive)."""
@@ -193,9 +202,7 @@ def fingerprint(sf_dir: str) -> pa.Table:
         )
 
     out = ds.map_batches(_fp, batch_format="pyarrow", zero_copy_batch=True)
-    return pa.concat_tables(
-        [b for b in out.iter_batches(batch_format="pyarrow")]
-    ).sort_by("doc_id")
+    return _sink_or_table(out, output_path, "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -203,7 +210,7 @@ def fingerprint(sf_dir: str) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 
-def dedup_exact(sf_dir: str) -> pa.Table:
+def dedup_exact(sf_dir: str, output_path: str | None = None) -> pa.Table | None:
     """Exact dedup by content hash: hash per batch (map_batches), then a
     hash-keyed groupby keeping min doc_id (first) + copy count.  The groupby
     key is the uniform sha256 — no skew."""
@@ -226,8 +233,7 @@ def dedup_exact(sf_dir: str) -> pa.Table:
         .groupby("text_sha256")
         .aggregate(Min("doc_id", alias_name="keeper_doc_id"), Count(alias_name="n_copies"))
     )
-    out = pa.concat_tables([b for b in agg.iter_batches(batch_format="pyarrow")])
-    return out.sort_by("text_sha256")
+    return _sink_or_table(agg, output_path, "text_sha256")
 
 
 # MinHash parameters (deterministic; 64 hashes = 16 bands × 4 rows)
@@ -481,7 +487,7 @@ def dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.5) -> pa.Table:
     return verified.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 
 
-def jaccard_adjacent(sf_dir: str) -> pa.Table:
+def jaccard_adjacent(sf_dir: str, output_path: str | None = None) -> pa.Table | None:
     """Exact token-set (1-gram) Jaccard between adjacent doc_id pairs —
     the n-gram-Jaccard dedup primitive as a standalone, SQL-verifiable op.
 
@@ -556,6 +562,8 @@ def jaccard_adjacent(sf_dir: str) -> pa.Table:
         .groupby("pair")
         .map_groups(_jaccard, batch_format="pyarrow")
     )
+    if output_path is not None:
+        return _sink_or_table(out, output_path, "doc_a")
     batches = [b for b in out.iter_batches(batch_format="pyarrow")]
     if not batches:
         return pa.table(
@@ -588,7 +596,7 @@ def _simhash_batch(batch: pa.Table) -> np.ndarray:
     return val
 
 
-def simhash(sf_dir: str) -> pa.Table:
+def simhash(sf_dir: str, output_path: str | None = None) -> pa.Table | None:
     """64-bit SimHash per document over analyzed tokens (tf-weighted)."""
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
@@ -602,9 +610,7 @@ def simhash(sf_dir: str) -> pa.Table:
         )
 
     out = ds.map_batches(_sim, batch_format="pyarrow", zero_copy_batch=True)
-    return pa.concat_tables(
-        [b for b in out.iter_batches(batch_format="pyarrow")]
-    ).sort_by("doc_id")
+    return _sink_or_table(out, output_path, "doc_id")
 
 
 def _embedding_matrix(col) -> np.ndarray:
@@ -937,7 +943,7 @@ class MultimodalFeatures:
         )
 
 
-def multimodal_features(sf_dir: str) -> pa.Table:
+def multimodal_features(sf_dir: str, output_path: str | None = None) -> pa.Table | None:
     """Treat documents.text's UTF-8 bytes as an opaque payload column and run
     the (stubbed-decode) actor-pool feature stage — exercising the real
     multimodal plumbing: binary schema, actor pool, small batches."""
@@ -960,9 +966,7 @@ def multimodal_features(sf_dir: str) -> pa.Table:
         batch_size=256,  # small batches: payloads may be MBs each at scale
         concurrency=2,
     )
-    return pa.concat_tables(
-        [b for b in out.iter_batches(batch_format="pyarrow")]
-    ).sort_by("doc_id")
+    return _sink_or_table(out, output_path, "doc_id")
 
 
 def _bmp_payload(doc_id: int) -> bytes:
@@ -1032,7 +1036,7 @@ class MediaDecode:
         )
 
 
-def media_decode(sf_dir: str) -> pa.Table:
+def media_decode(sf_dir: str, output_path: str | None = None) -> pa.Table | None:
     """Multimodal decode E2E over the documents table: each doc_id is wrapped
     into a REAL media container (even → BMP image, odd → WAV audio) whose
     header fields are pure functions of doc_id, then decoded back by the
@@ -1061,9 +1065,7 @@ def media_decode(sf_dir: str) -> pa.Table:
         batch_size=256,
         concurrency=2,
     )
-    return pa.concat_tables(
-        [b for b in out.iter_batches(batch_format="pyarrow")]
-    ).sort_by("doc_id")
+    return _sink_or_table(out, output_path, "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1071,7 +1073,7 @@ def media_decode(sf_dir: str) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 
-def events_latest(sf_dir: str) -> pa.Table:
+def events_latest(sf_dir: str, output_path: str | None = None) -> pa.Table | None:
     """Latest event per (user_id, event_type) — keep-max((ts, event_id)).
     The same last-write-wins combinator as the index upsert (D1), expressed
     as partial per-batch argmax + a grouped fold (no raw-row shuffle)."""
@@ -1118,15 +1120,15 @@ def events_latest(sf_dir: str) -> pa.Table:
         .groupby(["user_id", "event_type"])
         .map_groups(_fold, batch_format="pyarrow")
     )
-    return pa.concat_tables(
-        [b for b in out.iter_batches(batch_format="pyarrow")]
-    ).sort_by([("user_id", "ascending"), ("event_type", "ascending")])
+    return _sink_or_table(
+        out, output_path, [("user_id", "ascending"), ("event_type", "ascending")]
+    )
 
 
 _WINDOW_US = 3_600_000_000  # tumbling 1-hour windows
 
 
-def events_window(sf_dir: str) -> pa.Table:
+def events_window(sf_dir: str, output_path: str | None = None) -> pa.Table | None:
     """Tumbling-window aggregate: per (1-hour window, event_type) →
     (n_events, sum_value_cents, max_event_id).
 
@@ -1170,6 +1172,17 @@ def events_window(sf_dir: str) -> pa.Table:
             }
         )
 
+    def _present(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": pc.cast(t["window_us"], pa.timestamp("us")),
+                "event_type": t["event_type"],
+                "n_events": pc.cast(t["n_events_f"], pa.int64()),
+                "sum_value_cents": pc.cast(t["cents_f"], pa.int64()),
+                "max_event_id": pc.cast(t["max_id_f"], pa.int64()),
+            }
+        )
+
     folded = (
         ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["window_us", "event_type"])
@@ -1178,20 +1191,15 @@ def events_window(sf_dir: str) -> pa.Table:
             Sum("sum_value_cents", alias_name="cents_f"),
             Max("max_event_id", alias_name="max_id_f"),
         )
+        .map_batches(_present, batch_format="pyarrow", zero_copy_batch=True)
     )
-    t = pa.concat_tables([b for b in folded.iter_batches(batch_format="pyarrow")])
-    return pa.table(
-        {
-            "window_start": pc.cast(t["window_us"], pa.timestamp("us")),
-            "event_type": t["event_type"],
-            "n_events": pc.cast(t["n_events_f"], pa.int64()),
-            "sum_value_cents": pc.cast(t["cents_f"], pa.int64()),
-            "max_event_id": pc.cast(t["max_id_f"], pa.int64()),
-        }
-    ).sort_by([("window_start", "ascending"), ("event_type", "ascending")])
+    return _sink_or_table(
+        folded, output_path,
+        [("window_start", "ascending"), ("event_type", "ascending")],
+    )
 
 
-def events_asof(sf_dir: str) -> pa.Table:
+def events_asof(sf_dir: str, output_path: str | None = None) -> pa.Table | None:
     """As-of join: each 'purchase' event joined to the SAME user's most
     recent 'signup' at-or-before its timestamp (ties broken by max
     event_id); null when no prior signup exists.
@@ -1266,15 +1274,13 @@ def events_asof(sf_dir: str) -> pa.Table:
         .groupby("user_id")
         .map_groups(_asof, batch_format="pyarrow")
     )
-    return pa.concat_tables(
-        [b for b in out.iter_batches(batch_format="pyarrow")]
-    ).sort_by("event_id")
+    return _sink_or_table(out, output_path, "event_id")
 
 
 _BAND_US = 3_600_000_000  # 1-hour band
 
 
-def events_band_join(sf_dir: str) -> pa.Table:
+def events_band_join(sf_dir: str, output_path: str | None = None) -> pa.Table | None:
     """Range (band) join: all (signup, purchase) pairs of the SAME user with
     the purchase inside (signup_ts, signup_ts + 1h].  Same one-shuffle
     user-keyed shape as the as-of join; within a group the band is two
@@ -1341,17 +1347,16 @@ def events_band_join(sf_dir: str) -> pa.Table:
         .groupby("user_id")
         .map_groups(_band, batch_format="pyarrow")
     )
-    return pa.concat_tables(
-        [b for b in out.iter_batches(batch_format="pyarrow")]
-    ).sort_by(
-        [("signup_event_id", "ascending"), ("purchase_event_id", "ascending")]
+    return _sink_or_table(
+        out, output_path,
+        [("signup_event_id", "ascending"), ("purchase_event_id", "ascending")],
     )
 
 
 _SESSION_GAP_US = 1_800_000_000  # 30-minute inactivity gap
 
 
-def events_sessionize(sf_dir: str) -> pa.Table:
+def events_sessionize(sf_dir: str, output_path: str | None = None) -> pa.Table | None:
     """Gap-based sessionization: a user's events sorted by (ts, event_id)
     are split into sessions wherever the inter-event gap exceeds 30 minutes.
     Per session: (user_id, first_event_id=min event_id, session_start,
@@ -1404,9 +1409,9 @@ def events_sessionize(sf_dir: str) -> pa.Table:
         )
 
     out = ds.groupby("user_id").map_groups(_sessionize, batch_format="pyarrow")
-    return pa.concat_tables(
-        [b for b in out.iter_batches(batch_format="pyarrow")]
-    ).sort_by([("user_id", "ascending"), ("session_start", "ascending")])
+    return _sink_or_table(
+        out, output_path, [("user_id", "ascending"), ("session_start", "ascending")]
+    )
 
 
 # LSH-ANN parameters: 24 hyperplane bits = 8 bands x 3 rows (measured on the
@@ -1662,12 +1667,7 @@ def corpus_curation(sf_dir: str, output_path: str | None = None) -> pa.Table | N
         )
         .map_batches(_unpack, batch_format="pyarrow", zero_copy_batch=True)
     )
-    if output_path is not None:
-        out.write_parquet(output_path)
-        return None
-    return pa.concat_tables(
-        [b for b in out.iter_batches(batch_format="pyarrow")]
-    ).sort_by("doc_id")
+    return _sink_or_table(out, output_path, "doc_id")
 
 
 _NGRAM_SPAN_K = 8  # tokens per span window
@@ -1904,8 +1904,11 @@ def span_windows_batch(batch: pa.Table, k: int = _NGRAM_SPAN_K) -> pa.Table:
 
 
 def doc_dup_stats(
-    sf_dir: str, k: int = _NGRAM_SPAN_K, strategy: str = "broadcast"
-) -> pa.Table:
+    sf_dir: str,
+    k: int = _NGRAM_SPAN_K,
+    strategy: str = "broadcast",
+    output_path: str | None = None,
+) -> pa.Table | None:
     """Per-document span-duplication fraction: of a document's distinct
     k-token windows, how many also occur in at least one OTHER document
     (the per-doc boilerplate/contamination signal derived from
@@ -1982,9 +1985,7 @@ def doc_dup_stats(
             )
 
         out = joined.map_batches(_finalize, batch_format="pyarrow")
-        return pa.concat_tables(
-            [b for b in out.iter_batches(batch_format="pyarrow")]
-        ).sort_by("doc_id")
+        return _sink_or_table(out, output_path, "doc_id")
 
     # broadcast strategy: dup ngrams (the op's OUTPUT-sized small side) via
     # the hash-keyed two-phase span dedup, ship once via object store, roll
@@ -2015,9 +2016,7 @@ def doc_dup_stats(
 
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(_per_doc, batch_format="pyarrow", zero_copy_batch=True)
-    return pa.concat_tables(
-        [b for b in out.iter_batches(batch_format="pyarrow")]
-    ).sort_by("doc_id")
+    return _sink_or_table(out, output_path, "doc_id")
 
 
 # BPE-ish pre-tokenizer regex (RE2-safe — no lookahead — so the SAME pattern
@@ -2028,7 +2027,7 @@ def doc_dup_stats(
 BPE_TOKEN_PATTERN = r"'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s"
 
 
-def token_count_bpe(sf_dir: str) -> pa.Table:
+def token_count_bpe(sf_dir: str, output_path: str | None = None) -> pa.Table | None:
     """Per-document BPE-ish pre-tokenizer token count — one vectorized RE2
     pass per batch (pyarrow.compute.count_substring_regex; no Python over
     rows, no materialized token lists)."""
@@ -2045,9 +2044,7 @@ def token_count_bpe(sf_dir: str) -> pa.Table:
         )
 
     out = ds.map_batches(_count, batch_format="pyarrow", zero_copy_batch=True)
-    return pa.concat_tables(
-        [b for b in out.iter_batches(batch_format="pyarrow")]
-    ).sort_by("doc_id")
+    return _sink_or_table(out, output_path, "doc_id")
 
 
 _SIMHASH_BANDS = 4          # 4 bands x 16 bits

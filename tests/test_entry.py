@@ -151,3 +151,39 @@ def test_corpus_curation_streaming_sink(harness, tmp_path):
     written = pads.dataset(out_dir).to_table()
     direct = corpus_curation(SF)
     pd.testing.assert_frame_equal(_norm(written), _norm(direct))
+
+
+def test_output_path_streaming_sinks(ray_session, tmp_path):
+    """VERDICT r2 #2: corpus-sized per-doc ops can stream to partitioned
+    Parquet (output_path) with no driver materialization; the written rows
+    equal the table-return path exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_plugin_ray.pipelines import training
+
+    SF = "/root/testdata/sf0.001"
+    ops = {
+        "token_count": (training.token_count, "doc_id"),
+        "quality_score": (training.quality_score, "doc_id"),
+        "fingerprint": (training.fingerprint, "doc_id"),
+        "lang_id": (training.lang_id, "doc_id"),
+        "simhash": (training.simhash, "doc_id"),
+        "doc_dup_stats": (training.doc_dup_stats, "doc_id"),
+        "events_latest": (training.events_latest, None),
+        "events_sessionize": (training.events_sessionize, None),
+    }
+    for name, (fn, sort_key) in ops.items():
+        out_dir = tmp_path / name
+        assert fn(SF, output_path=str(out_dir)) is None
+        files = list(out_dir.glob("*.parquet"))
+        assert files, name
+        written = pq.read_table(str(out_dir))
+        expected = fn(SF)
+        written = written.select(expected.column_names).sort_by(
+            [(c, "ascending") for c in expected.column_names]
+        )
+        expected = expected.sort_by(
+            [(c, "ascending") for c in expected.column_names]
+        )
+        assert written.equals(expected), name
