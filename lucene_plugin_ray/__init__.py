@@ -23,8 +23,9 @@ __all__ = [
     "IndexConfig", "build_index", "build_delta", "SearchEngine",
     "sharded_search", "AutoExtract",
     "LuceneFacade", "AsyncLuceneFacade", "LuceneEntry", "LuceneException",
+    "LuceneHttpService", "LuceneHttpClient",
 ]
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 
 def __getattr__(name):  # lazy so `import lucene_plugin_ray` stays light
@@ -48,4 +49,8 @@ def __getattr__(name):  # lazy so `import lucene_plugin_ray` stays light
         from lucene_plugin_ray import facade
 
         return getattr(facade, name)
+    if name in ("LuceneHttpService", "LuceneHttpClient"):
+        from lucene_plugin_ray import server
+
+        return getattr(server, name)
     raise AttributeError(name)

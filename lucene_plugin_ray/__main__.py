@@ -6,6 +6,7 @@
     python -m lucene_plugin_ray compact --index /tmp/idx
     python -m lucene_plugin_ray delete  --index /tmp/idx --collection default --urls u1,u2
     python -m lucene_plugin_ray clear   --index /tmp/idx --collection foo
+    python -m lucene_plugin_ray serve   --index /tmp/idx [--host 127.0.0.1] [--port 8080]
 
 On a cluster: `ray job submit -- python -m lucene_plugin_ray build ...`
 (the script only calls ray.init when no session exists).
@@ -66,6 +67,12 @@ def main(argv: list[str] | None = None) -> int:
         if name == "delete":
             s.add_argument("--collection", default="default")
             s.add_argument("--urls", required=True, help="comma-separated urls")
+    s = sub.add_parser("serve")
+    s.add_argument("--index", required=True)
+    s.add_argument("--partitions", type=int, default=32)
+    s.add_argument("--fields", default="")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8080)
     args = p.parse_args(argv)
 
     cfg = _cfg(args)
@@ -111,6 +118,16 @@ def main(argv: list[str] | None = None) -> int:
         m = delete_docs(cfg, pa.table({"collection": [args.collection] * len(urls),
                                        "url": urls}))
         print(json.dumps({"generation": m.generation, "deleted": len(urls)}))
+    elif args.cmd == "serve":
+        _ensure_ray()
+        from lucene_plugin_ray.server import LuceneHttpService
+
+        service = LuceneHttpService(cfg, host=args.host, port=args.port)
+        print(json.dumps({"serving": service.url}), flush=True)
+        try:
+            service._httpd.serve_forever()
+        except KeyboardInterrupt:
+            service.shutdown()
     return 0
 
 

@@ -1,0 +1,234 @@
+"""HTTP serving surface over :class:`LuceneFacade` (SURVEY.md §2.11; the
+last reference artifact: ``LuceneFacadeImpl.java:29-151`` ``@Path("/lucene")``
++ ``web/src/main/resources/public/lucene-client.js:24-125``).
+
+Wire protocol (identical shapes to the reference):
+
+* ``POST <base>/index-text`` — form body ``collection``, ``id``, ``text``
+  → ``true``                                  (LuceneFacadeImpl.java:56-67)
+* ``POST <base>/index-map``  — form body ``collection``, ``id`` + one pair
+  per field → ``true``                        (LuceneFacadeImpl.java:70-81)
+* ``POST <base>/index-file`` — form body ``collection``, ``path`` → ``true``
+                                              (LuceneFacadeImpl.java:43-53)
+* ``GET  <base>/search?collection=&query=&limit=`` → JSON array of
+  ``{"_id", "_score", "_externalId"}`` — the Java field names
+  ``lucene-client.js:104-106`` reads        (LuceneFacadeImpl.java:84-95)
+* ``POST <base>/delete`` — form body ``collection``, ``id`` → ``true``
+                                              (LuceneFacadeImpl.java:133-140)
+* ``POST <base>/clear``  — form body ``collection`` → ``null``
+                                              (LuceneFacadeImpl.java:143-151)
+
+Validation failures (``LuceneException``) map to HTTP 400 with
+``{"error": message}`` — the reference surfaces them as request errors too.
+
+This is a SERVING adapter, not a data-plane component: one process, stdlib
+``ThreadingHTTPServer``, a lock serializing facade access (the facade owns
+a single writer buffer — the reference's writer inbox is equally serial per
+index).  Searches flush pending writes first (read-your-writes), matching
+the reference E2E tests' visible-after-index expectation.  A cluster-scale
+deployment would run one such server per index root in front of the
+persistent ``ShardedSearcherService`` fleet; the data plane stays Ray.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qsl, urlsplit
+
+from lucene_plugin_ray.config import IndexConfig
+from lucene_plugin_ray.facade import LuceneException, LuceneFacade
+from lucene_plugin_ray.functions.queryparse import QueryParseError
+
+
+class LuceneHttpService:
+    """Serve a :class:`LuceneFacade` over HTTP on ``host:port``
+    (``port=0`` → ephemeral).  ``start()`` runs the server on a daemon
+    thread; ``shutdown()`` stops it and flushes pending writes."""
+
+    def __init__(
+        self,
+        cfg: IndexConfig,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        base_path: str = "/lucene",
+        **facade_kw,
+    ):
+        self.facade = LuceneFacade(cfg, **facade_kw)
+        self._lock = threading.Lock()
+        self.base_path = base_path.rstrip("/")
+        service = self
+
+        class _Handler(BaseHTTPRequestHandler):
+            # quiet: request logging off the test/driver stdout
+            def log_message(self, fmt, *args):  # noqa: N802
+                pass
+
+            def _respond(self, code: int, payload) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _form(self) -> dict[str, str]:
+                n = int(self.headers.get("Content-Length") or 0)
+                raw = self.rfile.read(n).decode() if n else ""
+                return dict(parse_qsl(raw, keep_blank_values=True))
+
+            def _route(self, verb: str) -> None:
+                url = urlsplit(self.path)
+                if not url.path.startswith(service.base_path + "/"):
+                    self._respond(404, {"error": f"unknown path {url.path}"})
+                    return
+                op = url.path[len(service.base_path) + 1 :]
+                try:
+                    if verb == "GET" and op == "search":
+                        q = dict(parse_qsl(url.query, keep_blank_values=True))
+                        self._respond(200, service._search(q))
+                    elif verb == "POST" and op in service._POSTS:
+                        self._respond(200, service._POSTS[op](service, self._form()))
+                    else:
+                        self._respond(404, {"error": f"unknown op {verb} {op}"})
+                except (LuceneException, QueryParseError) as e:
+                    # validation AND query-grammar failures are client errors
+                    self._respond(400, {"error": str(e)})
+                except Exception as e:  # pragma: no cover - defensive 500
+                    self._respond(500, {"error": f"{type(e).__name__}: {e}"})
+
+            def do_GET(self):  # noqa: N802
+                self._route("GET")
+
+            def do_POST(self):  # noqa: N802
+                self._route("POST")
+
+        self._httpd = ThreadingHTTPServer((host, port), _Handler)
+        self.host, self.port = self._httpd.server_address[:2]
+        self._thread: threading.Thread | None = None
+
+    # ---- endpoint bodies (called with the parsed form/query dict) -------
+    def _index_text(self, form: dict) -> bool:
+        with self._lock:
+            return self.facade.index_text(
+                form.get("collection", ""), form.get("id", ""), form.get("text")
+            )
+
+    def _index_map(self, form: dict) -> bool:
+        mapping = {
+            k: v for k, v in form.items() if k not in ("collection", "id")
+        }
+        with self._lock:
+            return self.facade.index_map(
+                form.get("collection", ""), form.get("id", ""), mapping
+            )
+
+    def _index_file(self, form: dict) -> bool:
+        with self._lock:
+            return self.facade.index_file(
+                form.get("collection", ""), form.get("path", "")
+            )
+
+    def _delete(self, form: dict) -> bool:
+        with self._lock:
+            return self.facade.delete(form.get("collection", ""), form.get("id", ""))
+
+    def _clear(self, form: dict):
+        with self._lock:
+            self.facade.clear(form.get("collection", ""))
+        return None  # reference clear() completes with null
+
+    def _search(self, q: dict) -> list[dict]:
+        limit = int(q["limit"]) if q.get("limit") else None
+        with self._lock:
+            if self.facade._pending:  # read-your-writes (see module doc)
+                self.facade.commit()
+            entries = self.facade.search(
+                q.get("collection", ""), q.get("query", ""), limit=limit
+            )
+        return [
+            {"_id": e.id, "_score": e.score, "_externalId": e.external_id}
+            for e in entries
+        ]
+
+    _POSTS = {
+        "index-text": _index_text,
+        "index-map": _index_map,
+        "index-file": _index_file,
+        "delete": _delete,
+        "clear": _clear,
+    }
+
+    # ---- lifecycle -------------------------------------------------------
+    @property
+    def url(self) -> str:
+        return f"http://{self.host}:{self.port}{self.base_path}"
+
+    def start(self) -> "LuceneHttpService":
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def shutdown(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+            self._thread = None
+        with self._lock:
+            self.facade.commit()
+
+
+class LuceneHttpClient:
+    """Python twin of ``lucene-client.js`` (same five calls, same wire
+    shapes) so the round-trip is testable without a browser."""
+
+    def __init__(self, url: str):
+        self.url = url.rstrip("/")
+
+    def _post(self, op: str, data: dict):
+        import urllib.parse
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"{self.url}/{op}",
+            data=urllib.parse.urlencode(data).encode(),
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            return json.loads(resp.read().decode())
+
+    def index_text(self, collection: str, ext_id: str, text: str):
+        # ≙ lucene-client.js:24-36
+        return self._post(
+            "index-text", {"collection": collection, "id": ext_id, "text": text}
+        )
+
+    def index_map(self, collection: str, ext_id: str, mapping: dict):
+        # ≙ lucene-client.js:54-69
+        return self._post(
+            "index-map", {"collection": collection, "id": ext_id, **mapping}
+        )
+
+    def search(self, collection: str, query: str, limit: int = 255) -> list[str]:
+        # ≙ lucene-client.js:85-115 — returns the _externalId list
+        import urllib.parse
+        import urllib.request
+
+        qs = urllib.parse.urlencode(
+            {"collection": collection, "query": query, "limit": limit}
+        )
+        with urllib.request.urlopen(f"{self.url}/search?{qs}") as resp:
+            results = json.loads(resp.read().decode())
+        return [r["_externalId"] for r in results]
+
+    def delete(self, collection: str, ext_id: str):
+        return self._post("delete", {"collection": collection, "id": ext_id})
+
+    def clear(self, collection: str):
+        # ≙ lucene-client.js:122-125
+        return self._post("clear", {"collection": collection})

@@ -1,0 +1,76 @@
+"""HTTP serving surface round-trip (≙ the reference's @Path("/lucene")
+endpoints, LuceneFacadeImpl.java:29-151, driven through the Python twin of
+lucene-client.js)."""
+
+import urllib.error
+
+import pytest
+
+from lucene_plugin_ray import IndexConfig
+from lucene_plugin_ray.server import LuceneHttpClient, LuceneHttpService
+
+
+@pytest.fixture()
+def svc(ray_session, tmp_path):
+    service = LuceneHttpService(
+        IndexConfig(index_root=str(tmp_path / "idx"), num_partitions=2),
+        soft_commit_max_docs=100,
+    ).start()
+    yield service
+    service.shutdown()
+
+
+def test_http_index_search_delete_clear(svc, tmp_path):
+    """index-text / index-map / search / delete / clear over the wire,
+    mirroring lucene-client.js call shapes (ids read from _externalId)."""
+    c = LuceneHttpClient(svc.url)
+    assert c.index_text("my-collection", "my-id", "mary had a little lamb") is True
+    assert c.index_text("my-collection", "other", "grey wolves howl") is True
+    # the js-client README example: search('my-collection','mary') → {'my-id'}
+    assert c.search("my-collection", "mary") == ["my-id"]
+    assert c.search("my-collection", "wolves") == ["other"]
+    assert c.search("my-collection", "absent") == []
+
+    # index-map: field-scoped search (search_field shape)
+    assert c.index_map("my-collection", "mapped", {"text": "quantum entangled"}) is True
+    assert c.search("my-collection", "quantum") == ["mapped"]
+
+    # upsert over the wire: same id, new content — old term gone
+    c.index_text("my-collection", "my-id", "replaced entirely now")
+    assert c.search("my-collection", "mary") == []
+    assert c.search("my-collection", "replaced") == ["my-id"]
+
+    # delete one id
+    assert c.delete("my-collection", "other") is True
+    assert c.search("my-collection", "wolves") == []
+
+    # clear the collection
+    assert c.clear("my-collection") is None
+    assert c.search("my-collection", "replaced") == []
+
+
+def test_http_index_file(svc, tmp_path):
+    p = tmp_path / "doc.txt"
+    p.write_text("zebra crossing stripes")
+    c = LuceneHttpClient(svc.url)
+    assert c._post("index-file", {"collection": "files", "path": str(p)}) is True
+    assert c.search("files", "zebra") == [str(p)]
+
+
+def test_http_validation_errors(svc):
+    """LuceneException → HTTP 400 with {'error': ...}; unknown routes → 404
+    (the probe-error-paths contract)."""
+    c = LuceneHttpClient(svc.url)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        c.index_text("", "id1", "text")
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        c.search("coll", "")  # empty query
+    assert e.value.code == 400
+    c.index_text("coll", "seed", "seeded so the searcher lease exists")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        c.search("coll", "wild*card")  # unsupported grammar → parse error 400
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        c._post("no-such-op", {})
+    assert e.value.code == 404
