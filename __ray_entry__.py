@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": training.dedup_exact,
         "dedup_minhash": training.dedup_minhash,
         "jaccard_adjacent": training.jaccard_adjacent,
+        "dedup_clusters": training.dedup_clusters,
         "simhash": training.simhash,
         "simhash_pairs": training.simhash_pairs,
         "embedding_dedup": training.embedding_dedup,
@@ -370,6 +371,32 @@ SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
 FROM sizes sa JOIN sizes sb ON sb.doc_id = sa.doc_id + 1
 LEFT JOIN inter i ON i.doc_a = sa.doc_id
 ORDER BY doc_a
+"""
+
+    # connected components over the adjacent-jaccard >= 0.5 pair graph:
+    # recursive-CTE transitive closure, cluster_id = min reachable doc_id
+    sql["dedup_clusters"] = f"""
+{_toks_cte().replace("WITH ", "WITH RECURSIVE ", 1)},
+s AS (SELECT DISTINCT doc_id, term FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+inter AS (SELECT x.doc_id AS doc_a, count(*) AS c
+          FROM s x JOIN s y ON y.doc_id = x.doc_id + 1 AND y.term = x.term
+          GROUP BY x.doc_id),
+jac AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+        FROM sizes sa JOIN sizes sb ON sb.doc_id = sa.doc_id + 1
+        LEFT JOIN inter i ON i.doc_a = sa.doc_id
+        WHERE round(coalesce(i.c, 0) * 1.0
+                    / (sa.n + sb.n - coalesce(i.c, 0)), 6) >= 0.5),
+e AS (SELECT doc_a AS a, doc_b AS b FROM jac
+      UNION ALL SELECT doc_b, doc_a FROM jac),
+nodes AS (SELECT DISTINCT a AS v FROM e),
+reach AS (SELECT v, v AS r FROM nodes
+          UNION
+          SELECT e.b AS v, reach.r FROM reach JOIN e ON e.a = reach.v),
+lab AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+sz AS (SELECT cluster_id, count(*) AS n FROM lab GROUP BY cluster_id)
+SELECT lab.doc_id, lab.cluster_id, CAST(sz.n AS BIGINT) AS cluster_size
+FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id
 """
 
     sql["dedup_exact"] = """

@@ -573,6 +573,74 @@ def jaccard_adjacent(sf_dir: str, output_path: str | None = None) -> pa.Table | 
     return pa.concat_tables(batches).sort_by("doc_a")
 
 
+def dedup_clusters(sf_dir: str, threshold: float = 0.5) -> pa.Table:
+    """Duplicate-CLUSTER construction: connected components over the
+    near-duplicate pair graph, assigning every clustered document a
+    ``cluster_id`` (= min doc_id reachable — the keeper a curation pass
+    retains) and the cluster size.  Pair-finding tells you WHO matches;
+    clustering is the step that decides what to drop when duplicates chain
+    (A~B, B~C ⇒ {A,B,C} even though A≁C directly).
+
+    Edges are the SQL-verifiable pair primitive — adjacent-pair token-set
+    Jaccard >= ``threshold`` (:func:`jaccard_adjacent`) — so the whole op
+    has an exact DuckDB oracle (recursive-CTE transitive closure).
+
+    Distributed shape: edge construction is the fully distributed
+    jaccard_adjacent pipeline (the corpus-sized pass).  Component labeling
+    then runs over the EDGE LIST, which is output-sized (only duplicated
+    docs appear), with vectorized hash-min + pointer-jumping label chasing
+    (np.minimum.at / label[label]; O(log V) outer rounds, no per-edge
+    Python) — the same driver-holds-only-output-sized-state contract as
+    dedup_minhash's pair membership.  If the dup-pair list itself outgrew
+    driver memory, the identical hash-min iteration runs as alternating
+    label⋈edge Dataset joins (O(diameter) rounds); not needed at any
+    tested scale.
+
+    Output: (doc_id, cluster_id, cluster_size), one row per doc in >= 1
+    pair, sorted by doc_id."""
+    pairs = jaccard_adjacent(sf_dir)
+    pairs = pairs.filter(pc.greater_equal(pairs["jaccard"], threshold))
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "cluster_id": pa.array([], pa.int64()),
+            "cluster_size": pa.array([], pa.int64()),
+        }
+    )
+    if pairs.num_rows == 0:
+        return empty
+    a = pairs["doc_a"].to_numpy()
+    b = pairs["doc_b"].to_numpy()
+    nodes = np.unique(np.concatenate([a, b]))
+    ia = np.searchsorted(nodes, a)
+    ib = np.searchsorted(nodes, b)
+    label = np.arange(nodes.size, dtype=np.int64)
+    while True:
+        # hash-min: every node takes the min label across itself + neighbors
+        new = label.copy()
+        np.minimum.at(new, ia, label[ib])
+        np.minimum.at(new, ib, label[ia])
+        converged = np.array_equal(new, label)
+        label = new
+        # pointer jumping: chase labels to their roots (halves chain depth
+        # per step, so the outer loop is O(log V) even on path graphs)
+        while True:
+            nxt = label[label]
+            if np.array_equal(nxt, label):
+                break
+            label = nxt
+        if converged:
+            break
+    sizes = np.bincount(label, minlength=nodes.size)
+    return pa.table(
+        {
+            "doc_id": pa.array(nodes, type=pa.int64()),
+            "cluster_id": pa.array(nodes[label], type=pa.int64()),
+            "cluster_size": pa.array(sizes[label], type=pa.int64()),
+        }
+    ).sort_by("doc_id")
+
+
 def _simhash_batch(batch: pa.Table) -> np.ndarray:
     """64-bit tf-weighted SimHash per document of a batch → uint64 array."""
     from lucene_plugin_ray.functions.hashing import fnv1a_bytes_column

@@ -17,7 +17,7 @@ CHECKED = [
     "term_stats", "dedup_exact", "ann_topk", "events_latest", "fingerprint",
     "media_decode", "events_window", "events_asof", "events_band_join",
     "events_sessionize", "corpus_curation", "dedup_ngram_spans",
-    "doc_dup_stats", "token_count_bpe",
+    "doc_dup_stats", "token_count_bpe", "dedup_clusters",
 ]
 
 

@@ -238,3 +238,39 @@ def test_simhash_pairs_truncation_logged(ray_session, tmp_path, monkeypatch, cap
     # the surviving head of each bucket (docs 0,1,2) still pairs exactly
     got = set(zip(out["doc_a"].to_pylist(), out["doc_b"].to_pylist()))
     assert got == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_dedup_clusters_transitive_chain(ray_session, tmp_path):
+    """Connected components over the near-dup pair graph: a chain A~B~C~D
+    collapses into ONE cluster keyed by the min doc_id even though A and D
+    share almost nothing directly; isolated docs are absent."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_plugin_ray.pipelines.training import dedup_clusters
+
+    # adjacent docs overlap heavily (jaccard >= 0.5); doc 4 breaks the chain
+    base = ["alpha beta gamma delta epsilon zeta eta theta".split(),
+            ["iota", "kappa"]]
+    texts = []
+    toks = list(base[0])
+    for i in range(4):                 # docs 0..3: rolling one-word edits
+        texts.append(" ".join(toks))
+        toks = toks[1:] + [f"w{i}"]
+    texts.append("completely different vocabulary here entirely")  # doc 4
+    texts.append("another unrelated document talks about ships")   # doc 5
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    out = dedup_clusters(str(d), threshold=0.5)
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in out.to_pylist()
+    }
+    assert got == {0: (0, 4), 1: (0, 4), 2: (0, 4), 3: (0, 4)}
