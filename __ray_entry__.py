@@ -252,6 +252,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_stats": training.doc_dup_stats,
         "token_count_bpe": training.token_count_bpe,
         "lang_id": training.lang_id,
+        "repetition_stats": training.repetition_stats,
+        "chunk_text": training.chunk_text,
     }
 
 
@@ -616,6 +618,55 @@ FROM per ORDER BY doc_id
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{bpe_pat}')) AS BIGINT) AS n_bpe_tokens
 FROM documents ORDER BY doc_id
+"""
+
+    # Gopher-style word-repetition signals: words = text split on single
+    # spaces, empties dropped; bigrams = adjacent surviving words per doc.
+    sql["repetition_stats"] = """
+WITH pos AS (
+  SELECT doc_id, word, pos FROM (
+    SELECT doc_id,
+           unnest(words) AS word,
+           unnest(range(1, len(words) + 1)) AS pos
+    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents))
+  WHERE word <> ''
+),
+wc AS (SELECT doc_id, word, count(*) AS c FROM pos GROUP BY doc_id, word),
+agg AS (SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_words,
+               CAST(count(*) AS BIGINT) AS distinct_words,
+               CAST(max(c) AS BIGINT) AS top_word_count
+        FROM wc GROUP BY doc_id),
+b AS (SELECT doc_id,
+             word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+      FROM pos),
+bc AS (SELECT doc_id, bg, count(*) AS c FROM b WHERE bg IS NOT NULL GROUP BY doc_id, bg),
+btop AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_count FROM bc GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(a.distinct_words, 0) AS BIGINT) AS distinct_words,
+       round((coalesce(a.n_words, 0) - coalesce(a.distinct_words, 0))
+             / CAST(greatest(coalesce(a.n_words, 0), 1) AS DOUBLE), 6) AS dup_word_fraction,
+       CAST(coalesce(a.top_word_count, 0) AS BIGINT) AS top_word_count,
+       CAST(coalesce(bt.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+       round(coalesce(bt.top_bigram_count, 0)
+             / CAST(greatest(coalesce(a.n_words, 0) - 1, 1) AS DOUBLE), 6) AS top_bigram_fraction
+FROM documents d
+LEFT JOIN agg a USING (doc_id)
+LEFT JOIN btop bt USING (doc_id)
+ORDER BY doc_id
+"""
+
+    # overlapping fixed-window chunking: chunk i covers chars
+    # [i*stride, i*stride + window), emitted while i*stride < length(text)
+    sql["chunk_text"] = """
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       substr(text, CAST(chunk_idx * 120 + 1 AS BIGINT), 160) AS chunk_text
+FROM (SELECT doc_id, text,
+             unnest(range((length(text) + 119) // 120)) AS chunk_idx
+      FROM documents)
+ORDER BY doc_id, chunk_idx
 """
 
     # dedup_minhash, simhash, ann_ivf, ann_lsh: approximate / LSH-based — not

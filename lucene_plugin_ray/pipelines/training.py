@@ -2244,3 +2244,207 @@ def simhash_pairs(sf_dir: str, max_hamming: int = _SIMHASH_MAX_HAMMING) -> pa.Ta
             "hamming": pc.cast(t["hamming"], pa.int64()),
         }
     ).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+
+
+# ---------------------------------------------------------------------------
+# repetition / chunking (Gopher-style quality rules; context-window prep)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(sf_dir: str, output_path: str | None = None) -> pa.Table | None:
+    """Per-document word-repetition signals — the Gopher repetition rules
+    (Rae et al. 2021, "Scaling Language Models", §A.1.1) adapted to
+    word-granularity: duplicate-word fraction, most-frequent-word count and
+    most-frequent-bigram count/occurrence-fraction.  High values flag
+    boilerplate / degenerate generations that near-dup passes miss (a doc
+    can be unique corpus-wide yet internally repetitive).
+
+    Spec (shared with the SQL oracle): words are the text split on single
+    spaces with empties dropped (NOT the analyzer — repetition rules look at
+    raw surface words, stop words included); bigrams pair ADJACENT surviving
+    words within a doc.
+
+    Fully map-side: every row's stats depend only on its own text, so the
+    op is one zero-copy `map_batches` pass — no shuffle at any scale.  The
+    per-batch kernel is exact (Arrow dictionary-encode for word identity —
+    no hash-collision risk) and vectorized: one np.unique over composite
+    (row, code) keys + maximum.reduceat per doc.
+
+    Output: (doc_id, n_words, distinct_words, dup_word_fraction,
+    top_word_count, top_bigram_count, top_bigram_fraction), sorted by
+    doc_id."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _top_per_doc(keys: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+        """(distinct count, max multiplicity) per doc from composite
+        (row << 32 | code) keys; vectorized group-max via reduceat."""
+        distinct = np.zeros(n, np.int64)
+        top = np.zeros(n, np.int64)
+        if keys.size:
+            uk, cnt = np.unique(keys, return_counts=True)
+            udoc = (uk >> 32).astype(np.int64)
+            distinct = np.bincount(udoc, minlength=n).astype(np.int64)
+            starts = np.flatnonzero(np.r_[True, udoc[1:] != udoc[:-1]])
+            top[udoc[starts]] = np.maximum.reduceat(cnt, starts)
+        return distinct, top
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch["text"].combine_chunks(), pa.string())
+        n = len(text)
+        split = pc.split_pattern(text, pattern=" ")
+        lengths = np.nan_to_num(
+            pc.list_value_length(split).to_numpy(zero_copy_only=False), nan=0
+        ).astype(np.int64)
+        parents = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        flat = pc.list_flatten(split)
+        nonempty = pc.not_equal(flat, "")
+        nonempty_np = nonempty.to_numpy(zero_copy_only=False)
+        parents = parents[nonempty_np]
+        flat = flat.filter(nonempty)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n_words = np.bincount(parents, minlength=n).astype(np.int64)
+        # exact word identity: Arrow C++ dictionary encode (int32 codes)
+        codes = (
+            flat.dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        distinct, top_word = _top_per_doc((parents << 32) | codes, n)
+        # adjacent-pair bigrams within each doc
+        top_bigram = np.zeros(n, np.int64)
+        if len(flat) > 1:
+            adj = parents[1:] == parents[:-1]
+            if adj.any():
+                bg = pc.binary_join_element_wise(
+                    flat.slice(0, len(flat) - 1), flat.slice(1), " "
+                ).filter(pa.array(adj))
+                if isinstance(bg, pa.ChunkedArray):
+                    bg = bg.combine_chunks()
+                bcodes = (
+                    bg.dictionary_encode()
+                    .indices.to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                _, top_bigram = _top_per_doc(
+                    (parents[:-1][adj] << 32) | bcodes, n
+                )
+        denom = np.maximum(n_words, 1).astype(np.float64)
+        bdenom = np.maximum(n_words - 1, 1).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].combine_chunks(),
+                "n_words": pa.array(n_words, type=pa.int64()),
+                "distinct_words": pa.array(distinct, type=pa.int64()),
+                "dup_word_fraction": pa.array(
+                    np.round((n_words - distinct) / denom, 6), type=pa.float64()
+                ),
+                "top_word_count": pa.array(top_word, type=pa.int64()),
+                "top_bigram_count": pa.array(top_bigram, type=pa.int64()),
+                "top_bigram_fraction": pa.array(
+                    np.round(top_bigram / bdenom, 6), type=pa.float64()
+                ),
+            }
+        )
+
+    out = ds.map_batches(_stats, batch_format="pyarrow", zero_copy_batch=True)
+    return _sink_or_table(out, output_path, "doc_id")
+
+
+def chunk_text(
+    sf_dir: str,
+    window: int = 160,
+    stride: int = 120,
+    output_path: str | None = None,
+) -> pa.Table | None:
+    """Overlapping fixed-window document chunking — the context-window prep
+    step of a training pipeline (long doc → model-sized pieces with overlap
+    so no span is ever split without a copy that contains it whole).
+
+    Chunk i of a doc covers characters [i*stride, i*stride + window); chunks
+    are emitted while i*stride < n_chars, so a non-empty doc shorter than
+    ``window`` yields exactly one (whole-doc) chunk and an empty doc yields
+    none.  1→N row expansion, fully map-side (each row's chunks derive from
+    that row alone): no shuffle at any scale, and output blocks stream
+    straight to the sink.
+
+    The kernel is one vectorized byte gather (same shape as
+    :func:`span_windows_batch`): ragged-arange indices into the batch's
+    UTF-8 data buffer build every chunk in a single fancy-index.  Byte
+    slicing equals character slicing only for ASCII, so batches containing
+    any non-ASCII byte take a per-row Python slice fallback (exact
+    codepoint semantics, matching SQL ``substr``).
+
+    Output: (doc_id, chunk_idx, chunk_text) sorted by (doc_id, chunk_idx)."""
+    if window <= 0 or stride <= 0:
+        raise ValueError("window and stride must be positive")
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _chunks(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch["text"].combine_chunks(), pa.string())
+        if isinstance(text, pa.ChunkedArray):  # buffer access needs one Array
+            text = text.combine_chunks()
+        n = len(text)
+        doc_ids = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        char_len = np.nan_to_num(
+            pc.utf8_length(text).to_numpy(zero_copy_only=False), nan=0
+        ).astype(np.int64)
+        k = (char_len + stride - 1) // stride  # chunks per doc (0 if empty)
+        parents = np.repeat(np.arange(n, dtype=np.int64), k)
+        total = int(k.sum())
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "chunk_idx": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+            }
+        )
+        if total == 0:
+            return empty
+        firsts = np.concatenate([[0], np.cumsum(k)[:-1]])
+        chunk_idx = np.arange(total, dtype=np.int64) - np.repeat(firsts, k)
+        starts = chunk_idx * stride
+        lens = np.minimum(window, char_len[parents] - starts)
+        byte_len = np.nan_to_num(
+            pc.binary_length(pc.cast(text, pa.binary())).to_numpy(
+                zero_copy_only=False
+            ),
+            nan=0,
+        ).astype(np.int64)
+        if np.array_equal(byte_len, char_len):  # pure-ASCII fast path
+            offs = np.frombuffer(text.buffers()[1], dtype=np.int32)[
+                text.offset : text.offset + n + 1
+            ].astype(np.int64)
+            data = np.frombuffer(text.buffers()[2], dtype=np.uint8)
+            abs_start = offs[:-1][parents] + starts
+            within = np.arange(int(lens.sum())) - np.repeat(
+                np.cumsum(lens) - lens, lens
+            )
+            gathered = data[np.repeat(abs_start, lens) + within]
+            out_off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+            chunks = pa.StringArray.from_buffers(
+                total,
+                pa.py_buffer(out_off.tobytes()),
+                pa.py_buffer(gathered.tobytes()),
+            )
+        else:  # exact codepoint slicing for non-ASCII batches
+            py = text.to_pylist()
+            chunks = pa.array(
+                [
+                    (py[p] or "")[s : s + window]
+                    for p, s in zip(parents.tolist(), starts.tolist())
+                ],
+                type=pa.string(),
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[parents], type=pa.int64()),
+                "chunk_idx": pa.array(chunk_idx, type=pa.int64()),
+                "chunk_text": chunks,
+            }
+        )
+
+    out = ds.map_batches(_chunks, batch_format="pyarrow", zero_copy_batch=True)
+    return _sink_or_table(
+        out, output_path, [("doc_id", "ascending"), ("chunk_idx", "ascending")]
+    )
