@@ -194,7 +194,15 @@ class LuceneFacade:
         gen_now = self._current_generation()
         # stamp ordinals → warc_ts from the generation read at COMMIT time
         # (strictly increasing across commits AND across concurrently open
-        # facades: each build advances the manifest generation)
+        # facades: each build advances the manifest generation).
+        # CONTRACT: commits against one index root must not INTERLEAVE
+        # (read-gen → build is not atomic; two facades reading the same
+        # generation before either builds would tie their ts bases and LWW
+        # for a shared key degrades to the deterministic sha256 tiebreak).
+        # Sequential commits from any number of facades are safe.  This is
+        # reference parity: the Java writer inbox is serial per index
+        # (LuceneIndexBean processes one update queue); a multi-writer
+        # deployment needs an external commit lock on the index root.
         base = (gen_now + 1) * 1_000_000_000
         ts_vals = [base + o + 1 for o in cols[self.cfg.ts_column]]
         table = pa.table(

@@ -105,14 +105,18 @@ class _ShardEngineCache:
 # arguments in the object store + max_restarts' actor-restart hazard
 # (github.com/ray-project/ray/issues/53727): a task killed mid-batch is
 # simply retried on another worker.
-_PROC_ENGINES: "OrderedDict[tuple[str, int], _ShardEngineCache]" = OrderedDict()
+_PROC_ENGINES: "OrderedDict[tuple[str, int, str], _ShardEngineCache]" = OrderedDict()
 _PROC_ENGINES_MAX = 2
 
 
 def _process_engine_cache(
     index_root: str, generation: int, cfg: IndexConfig
 ) -> _ShardEngineCache:
-    key = (index_root, int(generation))
+    # cfg is part of the key: a warm worker process must NOT serve a call
+    # that passes a different IndexConfig (k1/b, field_columns, …) with
+    # engines built under the previous one.  Dataclass repr is a stable
+    # fingerprint of every knob.
+    key = (index_root, int(generation), repr(cfg))
     c = _PROC_ENGINES.get(key)
     if c is None:
         c = _ShardEngineCache(index_root, generation, cfg)

@@ -262,8 +262,6 @@ def _shingle_hashes(parents: np.ndarray, terms: pa.Array, n_rows: int, k: int = 
     folding all their tokens (the whole-doc fallback)."""
     if len(terms) == 0 or parents.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.uint64)
-    from lucene_plugin_ray.functions.hashing import fnv1a_bytes_column
-
     tok_h = mix64_np(fnv1a_bytes_column(terms))
     n = tok_h.size
     out_doc, out_h = [], []
@@ -487,7 +485,11 @@ def dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.5) -> pa.Table:
     return verified.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 
 
-def jaccard_adjacent(sf_dir: str, output_path: str | None = None) -> pa.Table | None:
+def jaccard_adjacent(
+    sf_dir: str,
+    output_path: str | None = None,
+    min_jaccard: float | None = None,
+) -> pa.Table | None:
     """Exact token-set (1-gram) Jaccard between adjacent doc_id pairs —
     the n-gram-Jaccard dedup primitive as a standalone, SQL-verifiable op.
 
@@ -495,12 +497,15 @@ def jaccard_adjacent(sf_dir: str, output_path: str | None = None) -> pa.Table | 
     two pair groups (pair d = docs {d, d+1}), then a pair-keyed groupby
     computes |∩|/|∪| — no driver-side pairing loop.  Pairs where either side
     has no tokens are dropped (matching the SQL inner join on set sizes).
+
+    ``min_jaccard`` applies the threshold INSIDE the pipeline (map-side,
+    before any collection) so consumers that only want the near-dup edges
+    (:func:`dedup_clusters`) pull output-sized data to the driver, not one
+    row per document.
     """
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def _emit(batch: pa.Table) -> pa.Table:
-        from lucene_plugin_ray.functions.hashing import fnv1a_bytes_column
-
         parents, terms, _ = tokenize_column(
             pc.cast(batch["text"].combine_chunks(), pa.string())
         )
@@ -562,6 +567,13 @@ def jaccard_adjacent(sf_dir: str, output_path: str | None = None) -> pa.Table | 
         .groupby("pair")
         .map_groups(_jaccard, batch_format="pyarrow")
     )
+    if min_jaccard is not None:
+        thr = float(min_jaccard)
+        out = out.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["jaccard"], thr)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     if output_path is not None:
         return _sink_or_table(out, output_path, "doc_a")
     batches = [b for b in out.iter_batches(batch_format="pyarrow")]
@@ -598,8 +610,10 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5) -> pa.Table:
 
     Output: (doc_id, cluster_id, cluster_size), one row per doc in >= 1
     pair, sorted by doc_id."""
-    pairs = jaccard_adjacent(sf_dir)
-    pairs = pairs.filter(pc.greater_equal(pairs["jaccard"], threshold))
+    # threshold applied INSIDE the distributed pipeline (map-side, before
+    # collection): the driver receives only the near-dup EDGES, never the
+    # one-row-per-document pair table
+    pairs = jaccard_adjacent(sf_dir, min_jaccard=threshold)
     empty = pa.table(
         {
             "doc_id": pa.array([], pa.int64()),
@@ -643,8 +657,6 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5) -> pa.Table:
 
 def _simhash_batch(batch: pa.Table) -> np.ndarray:
     """64-bit tf-weighted SimHash per document of a batch → uint64 array."""
-    from lucene_plugin_ray.functions.hashing import fnv1a_bytes_column
-
     parents, terms, _ = tokenize_column(
         pc.cast(batch["text"].combine_chunks(), pa.string())
     )
@@ -1740,6 +1752,12 @@ def corpus_curation(sf_dir: str, output_path: str | None = None) -> pa.Table | N
 
 _NGRAM_SPAN_K = 8  # tokens per span window
 
+# One pyarrow StringArray (int32 offsets) caps at 2^31 bytes; kernels that
+# EXPAND text (window strings ~k x, chunking ~window/stride x) halve any
+# batch whose projected output exceeds this, keeping the output type
+# `string` (schema-stable) instead of silently wrapping offsets.
+_STRING_GATHER_BYTES_CAP = 1 << 30
+
 
 def dedup_ngram_spans(
     sf_dir: str,
@@ -1893,6 +1911,23 @@ def span_windows_batch(batch: pa.Table, k: int = _NGRAM_SPAN_K) -> pa.Table:
     the vectorized span builder shared by dedup_ngram_spans and
     doc_dup_stats.  One byte-gather builds ALL window strings; repeated
     spans within a doc collapse here (the map-side combiner)."""
+    # int32 StringArray offsets cap one output array at 2^31 bytes; window
+    # strings expand input ~k×, so halve oversized batches (docs never
+    # split, so per-doc distinctness of the halves is globally distinct).
+    approx_out = (
+        pc.sum(
+            pc.binary_length(pc.cast(batch["text"].combine_chunks(), pa.binary()))
+        ).as_py()
+        or 0
+    ) * k
+    if approx_out > _STRING_GATHER_BYTES_CAP and batch.num_rows > 1:
+        mid = batch.num_rows // 2
+        return pa.concat_tables(
+            [
+                span_windows_batch(batch.slice(0, mid), k),
+                span_windows_batch(batch.slice(mid), k),
+            ]
+        )
     parents, terms, _ = tokenize_column(
         pc.cast(batch["text"].combine_chunks(), pa.string())
     )
@@ -2356,6 +2391,7 @@ def chunk_text(
     window: int = 160,
     stride: int = 120,
     output_path: str | None = None,
+    _bytes_cap: int = _STRING_GATHER_BYTES_CAP,
 ) -> pa.Table | None:
     """Overlapping fixed-window document chunking — the context-window prep
     step of a training pipeline (long doc → model-sized pieces with overlap
@@ -2385,6 +2421,18 @@ def chunk_text(
         if isinstance(text, pa.ChunkedArray):  # buffer access needs one Array
             text = text.combine_chunks()
         n = len(text)
+        # int32 StringArray offsets cap a single output array at 2^31 bytes;
+        # chunking expands input by ~window/stride, so a huge block could
+        # overflow them silently.  Halve the batch (docs never split) and
+        # concat — output type stays `string`, schema-stable across blocks.
+        approx_out = (
+            pc.sum(pc.binary_length(pc.cast(text, pa.binary()))).as_py() or 0
+        ) * (window + stride) // stride
+        if approx_out > _bytes_cap and n > 1:
+            mid = batch.num_rows // 2
+            return pa.concat_tables(
+                [_chunks(batch.slice(0, mid)), _chunks(batch.slice(mid))]
+            )
         doc_ids = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
         char_len = np.nan_to_num(
             pc.utf8_length(text).to_numpy(zero_copy_only=False), nan=0

@@ -33,6 +33,7 @@ persistent ``ShardedSearcherService`` fleet; the data plane stays Ray.
 from __future__ import annotations
 
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qsl, urlsplit
@@ -53,11 +54,19 @@ class LuceneHttpService:
         host: str = "127.0.0.1",
         port: int = 0,
         base_path: str = "/lucene",
+        file_root: str | None = None,
         **facade_kw,
     ):
         self.facade = LuceneFacade(cfg, **facade_kw)
         self._lock = threading.Lock()
         self.base_path = base_path.rstrip("/")
+        # index-file reads server-side paths (reference parity,
+        # LuceneFacadeImpl.java:43-53 — the Java facade trusts callers the
+        # same way).  ``file_root`` confines them: any path resolving
+        # outside it is rejected 400.  None (default) preserves the
+        # reference's trust-the-caller behavior — bind non-loopback hosts
+        # only with a file_root.
+        self.file_root = os.path.realpath(file_root) if file_root else None
         service = self
 
         class _Handler(BaseHTTPRequestHandler):
@@ -104,7 +113,14 @@ class LuceneHttpService:
             def do_POST(self):  # noqa: N802
                 self._route("POST")
 
-        self._httpd = ThreadingHTTPServer((host, port), _Handler)
+        class _Server(ThreadingHTTPServer):
+            # non-daemon handler threads + block_on_close: server_close()
+            # JOINS in-flight handlers, so a request acknowledged 200
+            # cannot buffer a doc after shutdown()'s final commit (which
+            # would silently lose an acknowledged write on process exit)
+            daemon_threads = False
+
+        self._httpd = _Server((host, port), _Handler)
         self.host, self.port = self._httpd.server_address[:2]
         self._thread: threading.Thread | None = None
 
@@ -125,10 +141,16 @@ class LuceneHttpService:
             )
 
     def _index_file(self, form: dict) -> bool:
+        path = form.get("path", "")
+        if self.file_root is not None:
+            real = os.path.realpath(path)
+            if not (real + os.sep).startswith(self.file_root + os.sep):
+                raise LuceneException(
+                    f"path outside the served file root: {path!r}"
+                )
+            path = real
         with self._lock:
-            return self.facade.index_file(
-                form.get("collection", ""), form.get("path", "")
-            )
+            return self.facade.index_file(form.get("collection", ""), path)
 
     def _delete(self, form: dict) -> bool:
         with self._lock:
@@ -140,7 +162,11 @@ class LuceneHttpService:
         return None  # reference clear() completes with null
 
     def _search(self, q: dict) -> list[dict]:
-        limit = int(q["limit"]) if q.get("limit") else None
+        try:
+            limit = int(q["limit"]) if q.get("limit") else None
+        except ValueError:
+            # malformed client input is a 400, not a defensive 500
+            raise LuceneException(f"limit must be an integer: {q['limit']!r}")
         with self._lock:
             if self.facade._pending:  # read-your-writes (see module doc)
                 self.facade.commit()

@@ -74,3 +74,50 @@ def test_http_validation_errors(svc):
     with pytest.raises(urllib.error.HTTPError) as e:
         c._post("no-such-op", {})
     assert e.value.code == 404
+
+
+def test_http_bad_limit_is_400(svc):
+    """Malformed limit query param is client error, not a defensive 500."""
+    import json
+    import urllib.parse
+    import urllib.request
+
+    c = LuceneHttpClient(svc.url)
+    c.index_text("coll2", "d1", "findable content")
+    qs = urllib.parse.urlencode(
+        {"collection": "coll2", "query": "findable", "limit": "abc"}
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(f"{svc.url}/search?{qs}")
+    assert e.value.code == 400
+    assert "limit" in json.loads(e.value.read().decode())["error"]
+
+
+def test_http_file_root_confinement(ray_session, tmp_path):
+    """With file_root set, index-file rejects paths resolving outside it
+    (incl. symlink escapes); paths inside it still index."""
+    root = tmp_path / "served"
+    root.mkdir()
+    (root / "ok.txt").write_text("permitted zebra content")
+    outside = tmp_path / "secret.txt"
+    outside.write_text("forbidden llama content")
+    (root / "sneaky.txt").symlink_to(outside)
+    service = LuceneHttpService(
+        IndexConfig(index_root=str(tmp_path / "idx2"), num_partitions=2),
+        file_root=str(root),
+        soft_commit_max_docs=100,
+    ).start()
+    try:
+        c = LuceneHttpClient(service.url)
+        assert c._post(
+            "index-file", {"collection": "f", "path": str(root / "ok.txt")}
+        ) is True
+        for bad in (str(outside), str(root / "../secret.txt"),
+                    str(root / "sneaky.txt")):
+            with pytest.raises(urllib.error.HTTPError) as e:
+                c._post("index-file", {"collection": "f", "path": bad})
+            assert e.value.code == 400
+        assert c.search("f", "zebra") != []
+        assert c.search("f", "llama") == []
+    finally:
+        service.shutdown()

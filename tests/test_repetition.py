@@ -96,3 +96,42 @@ def test_chunk_text_rejects_bad_params(hostile_dir):
         training.chunk_text(hostile_dir, window=0)
     with pytest.raises(ValueError):
         training.chunk_text(hostile_dir, stride=-1)
+
+
+def test_chunk_text_overflow_halving_equivalent(ray_session, hostile_dir):
+    """The int32-offset overflow guard (batch halving) must not change
+    results: force it with a tiny bytes cap and equate with the normal path."""
+    normal = training.chunk_text(hostile_dir, window=4, stride=3).to_pandas()
+    halved = training.chunk_text(
+        hostile_dir, window=4, stride=3, _bytes_cap=8
+    ).to_pandas()
+    pd.testing.assert_frame_equal(normal, halved)
+
+
+def test_span_windows_overflow_halving_equivalent(monkeypatch):
+    """span_windows_batch halves oversized batches; distinct (ngram, doc)
+    output must be identical (docs never split across halves)."""
+    batch = pa.table(
+        {
+            "doc_id": pa.array(list(range(6)), pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+                    "one two three four five six seven eight nine ten eleven",
+                    "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+                    "red orange yellow green blue indigo violet ultraviolet xray gamma",
+                    "",  # zero-token doc inside the batch
+                    "solo words here not enough for a window maybe yes indeed",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    normal = training.span_windows_batch(batch).to_pandas()
+    monkeypatch.setattr(training, "_STRING_GATHER_BYTES_CAP", 4)
+    halved = training.span_windows_batch(batch).to_pandas()
+    key = ["ngram", "doc_id"]
+    pd.testing.assert_frame_equal(
+        normal.sort_values(key).reset_index(drop=True),
+        halved.sort_values(key).reset_index(drop=True),
+    )

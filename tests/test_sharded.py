@@ -106,7 +106,7 @@ def test_shard_workers_touch_only_assigned_partitions(built):
     stats_ctx = (root, gen, cfg, terms)
     batch = pa.Table.from_pylist(shards[:1])
     rows = _shard_stats_batch(batch, stats_ctx).to_pylist()
-    cache = sharded._PROC_ENGINES[(root, gen)]
+    cache = sharded._PROC_ENGINES[(root, gen, repr(cfg))]
     for parts, eng in cache._engines.items():
         owned = {
             ls.reader.partition for segs in eng._segments.values() for ls in segs
@@ -209,3 +209,24 @@ def test_sharded_search_survives_actor_death(built, tmp_path):
         exp = engine.search(q, limit=k)
         got = sorted(by_qid.get(qid, []))
         assert [u for _, u, _ in got] == exp["url"].to_pylist(), q
+
+
+def test_process_engine_cache_keys_on_cfg(built):
+    """A warm worker process must not serve a call with a DIFFERENT
+    IndexConfig from engines cached under the previous one: same root +
+    generation, different BM25 b → different scores (cache keyed on cfg)."""
+    from lucene_plugin_ray.pipelines.sharded import sharded_search
+
+    root, cfg, _ = built
+    qt = _query_table()
+    a = sharded_search(root, qt, cfg=cfg, num_shards=2)
+    import dataclasses
+
+    cfg_b = dataclasses.replace(cfg, b=0.0)  # length norm off
+    b = sharded_search(root, qt, cfg=cfg_b, num_shards=2)
+    assert a.num_rows > 0 and b.num_rows > 0
+    sa = {(q, u): s for q, u, s in zip(a["qid"].to_pylist(), a["url"].to_pylist(), a["score"].to_pylist())}
+    sb = {(q, u): s for q, u, s in zip(b["qid"].to_pylist(), b["url"].to_pylist(), b["score"].to_pylist())}
+    shared = set(sa) & set(sb)
+    assert shared
+    assert any(abs(sa[k] - sb[k]) > 1e-9 for k in shared)
