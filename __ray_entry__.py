@@ -254,6 +254,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": training.lang_id,
         "repetition_stats": training.repetition_stats,
         "chunk_text": training.chunk_text,
+        "text_clean": training.text_clean,
+        "dataset_split": training.dataset_split,
+        "decontaminate": training.decontaminate,
     }
 
 
@@ -353,11 +356,11 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id
 
     sql["fingerprint"] = f"""
 SELECT doc_id,
-       sha256(array_to_string(
+       sha256(coalesce(array_to_string(
          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                      x -> x <> '' AND length(x) <= 255
                           AND NOT list_contains({_SQL_STOP_LIST_LITERAL}, x)),
-         ' ')) AS fp_sha256
+         ' '), '')) AS fp_sha256
 FROM documents ORDER BY doc_id
 """
 
@@ -551,11 +554,11 @@ best AS (SELECT doc_id, lang,
                 row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lang ASC) AS rn
          FROM hits),
 fp AS (SELECT doc_id,
-              sha256(array_to_string(
+              sha256(coalesce(array_to_string(
                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                             x -> x <> '' AND length(x) <= 255
                                  AND NOT list_contains({_SQL_STOP_LIST_LITERAL}, x)),
-                ' ')) AS fp_sha256
+                ' '), '')) AS fp_sha256
        FROM documents),
 feat AS (SELECT a.doc_id,
                 coalesce(b.lang, 'und') AS pred_lang,
@@ -667,6 +670,71 @@ FROM (SELECT doc_id, text,
              unnest(range((length(text) + 119) // 120)) AS chunk_idx
       FROM documents)
 ORDER BY doc_id, chunk_idx
+"""
+
+    # text cleaning — the SAME RE2 patterns run verbatim on both sides
+    # (Arrow and DuckDB are both RE2, so replacement semantics are
+    # bit-identical by construction)
+    from lucene_plugin_ray.pipelines.training import (
+        TEXT_CLEAN_EMAIL_PATTERN,
+        TEXT_CLEAN_URL_PATTERN,
+        TEXT_CLEAN_WS_PATTERN,
+    )
+
+    url_p, email_p, ws_p = (
+        TEXT_CLEAN_URL_PATTERN,
+        TEXT_CLEAN_EMAIL_PATTERN,
+        TEXT_CLEAN_WS_PATTERN,
+    )
+    sql["text_clean"] = f"""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(regexp_replace(text,
+            '{url_p}', '<url>', 'g'),
+            '{email_p}', '<email>', 'g'),
+            '{ws_p}', ' ', 'g'), ' ') AS clean_text,
+       CAST(len(regexp_extract_all(text, '{url_p}')) AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(
+            regexp_replace(text, '{url_p}', '<url>', 'g'),
+            '{email_p}')) AS BIGINT) AS n_emails
+FROM documents ORDER BY doc_id
+"""
+
+    # content-hash train/val split on the fingerprint's first byte
+    sql["dataset_split"] = f"""
+WITH fp AS (SELECT doc_id,
+       sha256(coalesce(array_to_string(
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '' AND length(x) <= 255
+                          AND NOT list_contains({_SQL_STOP_LIST_LITERAL}, x)),
+         ' '), '')) AS fp_sha256
+  FROM documents)
+SELECT doc_id, fp_sha256,
+       CASE WHEN substr(fp_sha256, 1, 2) < 'f3' THEN 'train' ELSE 'val' END AS split
+FROM fp ORDER BY doc_id
+"""
+
+    # decontamination: distinct 8-token windows vs the stand-in eval set
+    # (windows of every doc_id % 97 == 0 document)
+    sql["decontaminate"] = f"""
+WITH toks AS (SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '' AND length(x) <= 255
+                     AND NOT list_contains({_SQL_STOP_LIST_LITERAL}, x)) AS ts
+  FROM documents),
+w AS (SELECT doc_id, array_to_string(list_slice(ts, i, i + 7), ' ') AS ngram
+      FROM toks CROSS JOIN UNNEST(range(1, greatest(len(ts) - 6, 1))) AS t(i)),
+d AS (SELECT DISTINCT ngram, doc_id FROM w),
+ev AS (SELECT DISTINCT ngram FROM d WHERE doc_id % 97 = 0),
+per AS (SELECT d.doc_id, count(*) AS n_windows,
+               sum(CASE WHEN ev.ngram IS NOT NULL THEN 1 ELSE 0 END) AS n_cont
+        FROM d LEFT JOIN ev USING (ngram) GROUP BY d.doc_id)
+SELECT dd.doc_id,
+       CAST(coalesce(per.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(per.n_cont, 0) AS BIGINT) AS n_contaminated,
+       round(coalesce(per.n_cont, 0)
+             / CAST(greatest(coalesce(per.n_windows, 0), 1) AS DOUBLE), 6)
+         AS contaminated_fraction
+FROM documents dd LEFT JOIN per USING (doc_id) ORDER BY dd.doc_id
 """
 
     # dedup_minhash, simhash, ann_ivf, ann_lsh: approximate / LSH-based — not

@@ -2496,3 +2496,183 @@ def chunk_text(
     return _sink_or_table(
         out, output_path, [("doc_id", "ascending"), ("chunk_idx", "ascending")]
     )
+
+
+# ---------------------------------------------------------------------------
+# cleaning / splitting / decontamination (the remaining standard passes of a
+# training-data pipeline: normalize text, carve held-out splits, strip
+# benchmark leakage)
+# ---------------------------------------------------------------------------
+
+# RE2 patterns shared VERBATIM with the DuckDB oracle (both engines are RE2,
+# so replacement semantics are bit-identical by construction)
+TEXT_CLEAN_URL_PATTERN = r"https?://[^ \t\r\n]+"
+TEXT_CLEAN_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+TEXT_CLEAN_WS_PATTERN = r"[ \t\r\n]+"
+
+
+def text_clean(sf_dir: str, output_path: str | None = None) -> pa.Table | None:
+    """Text normalization pass: mask URLs → ``<url>``, emails → ``<email>``,
+    collapse whitespace runs to single spaces, trim — the standard PII-lite /
+    formatting scrub that precedes tokenization in a web-text pipeline.
+
+    Fully map-side (one zero-copy pass, three RE2 kernels per batch — no
+    Python per row, no shuffle).  Counts of masked spans are emitted so a
+    downstream quality filter can threshold on link/contact density.
+
+    Output: (doc_id, clean_text, n_urls, n_emails), sorted by doc_id."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _clean(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch["text"].combine_chunks(), pa.string())
+        n_urls = pc.count_substring_regex(text, TEXT_CLEAN_URL_PATTERN)
+        out = pc.replace_substring_regex(
+            text, pattern=TEXT_CLEAN_URL_PATTERN, replacement="<url>"
+        )
+        # count emails AFTER url masking (an email inside a URL has been
+        # consumed by the url mask; the oracle applies the same order)
+        n_emails = pc.count_substring_regex(out, TEXT_CLEAN_EMAIL_PATTERN)
+        out = pc.replace_substring_regex(
+            out, pattern=TEXT_CLEAN_EMAIL_PATTERN, replacement="<email>"
+        )
+        out = pc.replace_substring_regex(
+            out, pattern=TEXT_CLEAN_WS_PATTERN, replacement=" "
+        )
+        out = pc.utf8_trim(out, " ")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].combine_chunks(),
+                "clean_text": out,
+                "n_urls": pc.cast(n_urls, pa.int64()),
+                "n_emails": pc.cast(n_emails, pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(_clean, batch_format="pyarrow", zero_copy_batch=True)
+    return _sink_or_table(out, output_path, "doc_id")
+
+
+# 0xf3/0x100 = 94.9% train — the split threshold as a 2-hex-char string so
+# both sides compare lexicographically on the fingerprint prefix
+DATASET_SPLIT_TRAIN_HEX = "f3"
+
+
+def dataset_split(
+    sf_dir: str,
+    train_hex: str = DATASET_SPLIT_TRAIN_HEX,
+    output_path: str | None = None,
+) -> pa.Table | None:
+    """Deterministic content-hash train/val split: a document lands in
+    'train' iff the first byte of its content fingerprint (sha256 of the
+    analyzed-token stream — :func:`fingerprint`) is below ``train_hex``.
+
+    Content-keyed (not doc_id-keyed) so the split is stable under corpus
+    renumbering/resharding AND puts exact duplicates in the SAME split —
+    no train/val leakage through copies.  Fully map-side; the expected
+    train fraction is int(train_hex, 16)/256 (default 0xf3 → 94.9%).
+
+    Output: (doc_id, fp_sha256, split), sorted by doc_id."""
+    if len(train_hex) != 2 or any(c not in "0123456789abcdef" for c in train_hex):
+        raise ValueError("train_hex must be two lowercase hex chars")
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _split(batch: pa.Table) -> pa.Table:
+        parents, terms, _ = tokenize_column(
+            pc.cast(batch["text"].combine_chunks(), pa.string())
+        )
+        n = batch.num_rows
+        lengths = np.bincount(parents, minlength=n).astype(np.int32)
+        offsets = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int32)
+        lst = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), terms)
+        fp = sha256_column(pc.binary_join(lst, " "))
+        is_train = pc.less(pc.utf8_slice_codeunits(fp, 0, 2), train_hex)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].combine_chunks(),
+                "fp_sha256": fp,
+                "split": pc.if_else(is_train, "train", "val"),
+            }
+        )
+
+    out = ds.map_batches(_split, batch_format="pyarrow", zero_copy_batch=True)
+    return _sink_or_table(out, output_path, "doc_id")
+
+
+def decontaminate(
+    sf_dir: str,
+    k: int = _NGRAM_SPAN_K,
+    eval_mod: int = 97,
+    eval_windows: "pa.Array | None" = None,
+    output_path: str | None = None,
+) -> pa.Table | None:
+    """Benchmark decontamination: per-document count/fraction of distinct
+    k-token windows that also occur in an EVAL SET (the
+    train-on-test-leakage check every training pipeline runs before a
+    model sees the corpus; window-overlap is the standard criterion).
+
+    ``eval_windows`` is the eval set as an array of normalized k-token
+    window strings.  Default (None) derives a deterministic stand-in from
+    the corpus itself — the windows of every ``doc_id % eval_mod == 0``
+    document (those docs self-match at fraction 1.0, exactly what a leaked
+    benchmark looks like); pass the real benchmark's windows in production.
+
+    Distributed shape: the eval window set is SMALL (benchmarks are MBs,
+    corpora are TBs) — built once, ``ray.put`` broadcast, then ONE map pass
+    over the corpus: per batch the shared :func:`span_windows_batch`
+    builder emits distinct (window, doc) pairs and a vectorized
+    ``pc.is_in`` against the broadcast set counts hits.  Exact string
+    membership (no hash-collision risk), no shuffle at any scale.
+
+    Output: (doc_id, n_windows, n_contaminated, contaminated_fraction),
+    one row per document, sorted by doc_id."""
+    import ray
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    if eval_windows is None:
+        mod = int(eval_mod)
+
+        def _pick_eval(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % mod == 0))
+
+        # distributed filter; only the (small) eval docs reach the driver
+        eval_docs = pa.concat_tables(
+            ds.map_batches(
+                _pick_eval, batch_format="pyarrow", zero_copy_batch=True
+            ).iter_batches(batch_format="pyarrow")
+        )
+        eval_windows = (
+            span_windows_batch(eval_docs, k)["ngram"].combine_chunks().unique()
+        )
+    eval_ref = ray.put(eval_windows)
+
+    def _contam(batch: pa.Table) -> pa.Table:
+        ev = ray.get(eval_ref)
+        n = batch.num_rows
+        ids = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        spans = span_windows_batch(batch, k)
+        n_windows = np.zeros(n, np.int64)
+        n_cont = np.zeros(n, np.int64)
+        if spans.num_rows:
+            sdoc = spans["doc_id"].to_numpy(zero_copy_only=False)
+            order = np.argsort(ids, kind="stable")
+            idx = order[np.searchsorted(ids[order], sdoc)]
+            n_windows = np.bincount(idx, minlength=n).astype(np.int64)
+            hit = pc.is_in(
+                spans["ngram"].combine_chunks(), value_set=ev
+            ).to_numpy(zero_copy_only=False)
+            n_cont = np.bincount(idx[hit], minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].combine_chunks(),
+                "n_windows": pa.array(n_windows, type=pa.int64()),
+                "n_contaminated": pa.array(n_cont, type=pa.int64()),
+                "contaminated_fraction": pa.array(
+                    np.round(n_cont / np.maximum(n_windows, 1), 6),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    out = ds.map_batches(_contam, batch_format="pyarrow", zero_copy_batch=True)
+    return _sink_or_table(out, output_path, "doc_id")

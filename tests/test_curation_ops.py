@@ -1,0 +1,115 @@
+"""text_clean / dataset_split / decontaminate edge cases beyond the sf
+tables (which contain no URLs/emails and no eval overlap by construction)."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_plugin_ray.pipelines import training
+
+DOCS = [
+    (0, "visit https://example.com/x?q=1 for info"),
+    (1, "mail me at alice.smith+spam@example.co.uk   today"),
+    (2, "  leading and trailing   spaces\tand\ttabs\nand newlines  "),
+    (3, "url with email https://u:pw@host/path then bob@x.io after"),
+    (4, ""),
+    (5, "plain words nothing to mask here at all"),
+    # 97 and 194: eval stand-ins for decontaminate (doc_id % 97 == 0); 97
+    # shares its text with 99 (contaminated) but not with 100
+    (97, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"),
+    (99, "PREFIX alpha beta gamma delta epsilon zeta eta theta iota kappa lambda SUFFIX"),
+    (100, "totally different content with no overlap whatsoever in any window of eight tokens"),
+    (194, "one two three four five six seven"),  # 7 tokens < k=8 → 0 windows
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("curation")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in DOCS], pa.int64()),
+                "text": pa.array([t for _, t in DOCS], pa.string()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    return str(d)
+
+
+def _oracle(sql_key: str, sf_dir: str) -> pd.DataFrame:
+    import __ray_entry__ as E
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    return con.sql(E.oracle_sql()[sql_key]).df()
+
+
+def test_text_clean_masks_and_normalizes(ray_session, corpus_dir):
+    got = training.text_clean(corpus_dir).to_pandas()
+    exp = _oracle("text_clean", corpus_dir)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    r = got.set_index("doc_id")
+    assert r.loc[0, "clean_text"] == "visit <url> for info"
+    assert r.loc[0, "n_urls"] == 1 and r.loc[0, "n_emails"] == 0
+    assert r.loc[1, "clean_text"] == "mail me at <email> today"
+    assert r.loc[2, "clean_text"] == "leading and trailing spaces and tabs and newlines"
+    # the email inside the URL is consumed by the url mask; only the
+    # standalone one is counted/masked
+    assert r.loc[3, "clean_text"] == "url with email <url> then <email> after"
+    assert r.loc[3, "n_urls"] == 1 and r.loc[3, "n_emails"] == 1
+    assert r.loc[4, "clean_text"] == ""
+    assert r.loc[5, "clean_text"] == DOCS[5][1]
+
+
+def test_dataset_split_content_keyed(ray_session, corpus_dir, tmp_path):
+    got = training.dataset_split(corpus_dir).to_pandas()
+    exp = _oracle("dataset_split", corpus_dir)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert set(got["split"]) <= {"train", "val"}
+    # duplicate CONTENT ⇒ same split regardless of doc_id (no leakage
+    # through copies): re-write doc 5's text under a new id
+    dup = tmp_path / "dup"
+    dup.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([5, 123456], pa.int64()),
+                "text": pa.array([DOCS[5][1], DOCS[5][1]], pa.string()),
+            }
+        ),
+        dup / "documents.parquet",
+    )
+    two = training.dataset_split(str(dup)).to_pandas()
+    assert two["split"].nunique() == 1 and two["fp_sha256"].nunique() == 1
+    with pytest.raises(ValueError):
+        training.dataset_split(corpus_dir, train_hex="GG")
+
+
+def test_decontaminate_flags_eval_overlap(ray_session, corpus_dir):
+    got = training.decontaminate(corpus_dir).to_pandas()
+    exp = _oracle("decontaminate", corpus_dir)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, atol=1e-9, rtol=0)
+    r = got.set_index("doc_id")
+    assert r.loc[97, "contaminated_fraction"] == 1.0  # eval doc self-match
+    assert r.loc[99, "n_contaminated"] > 0  # contains eval doc's windows
+    assert r.loc[100, "n_contaminated"] == 0
+    assert r.loc[194, "n_windows"] == 0  # 7 tokens < k → no windows
+    assert r.loc[194, "contaminated_fraction"] == 0.0
+
+
+def test_decontaminate_explicit_eval_windows(ray_session, corpus_dir):
+    """Production path: caller passes the benchmark's window strings."""
+    ev = pa.array(
+        ["alpha beta gamma delta epsilon zeta eta theta"], pa.string()
+    )
+    got = training.decontaminate(corpus_dir, eval_windows=ev).to_pandas()
+    r = got.set_index("doc_id")
+    assert r.loc[97, "n_contaminated"] == 1
+    assert r.loc[99, "n_contaminated"] == 1
+    assert r.loc[100, "n_contaminated"] == 0

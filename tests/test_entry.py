@@ -18,7 +18,8 @@ CHECKED = [
     "media_decode", "events_window", "events_asof", "events_band_join",
     "events_sessionize", "corpus_curation", "dedup_ngram_spans",
     "doc_dup_stats", "token_count_bpe", "dedup_clusters",
-    "repetition_stats", "chunk_text",
+    "repetition_stats", "chunk_text", "text_clean", "dataset_split",
+    "decontaminate",
 ]
 
 
