@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_clean": training.text_clean,
         "dataset_split": training.dataset_split,
         "decontaminate": training.decontaminate,
+        "events_props_extract": training.events_props_extract,
     }
 
 
@@ -735,6 +736,13 @@ SELECT dd.doc_id,
              / CAST(greatest(coalesce(per.n_windows, 0), 1) AS DOUBLE), 6)
          AS contaminated_fraction
 FROM documents dd LEFT JOIN per USING (doc_id) ORDER BY dd.doc_id
+"""
+
+    # flat-JSON property extraction from events.props (absent key → NULL on
+    # both sides)
+    sql["events_props_extract"] = """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_value
+FROM events ORDER BY event_id
 """
 
     # dedup_minhash, simhash, ann_ivf, ann_lsh: approximate / LSH-based — not

@@ -257,6 +257,10 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     training.events_sessionize(sf_dir)
     queries["events_sessionize"] = round(time.monotonic() - t1, 3)
 
+    t1 = time.monotonic()
+    training.decontaminate(sf_dir)
+    queries["decontaminate"] = round(time.monotonic() - t1, 3)
+
     out["metric"] = "index_build_sec_plus_query_latency"
     out["value"] = round(build_s, 3)
     out["unit"] = "sec"

@@ -2676,3 +2676,40 @@ def decontaminate(
 
     out = ds.map_batches(_contam, batch_format="pyarrow", zero_copy_batch=True)
     return _sink_or_table(out, output_path, "doc_id")
+
+
+# named-group RE2 for the flat numeric "k" key of events.props
+PROPS_K_PATTERN = r'"k"\s*:\s*(?P<v>-?[0-9]+)'
+
+
+def events_props_extract(
+    sf_dir: str, output_path: str | None = None
+) -> pa.Table | None:
+    """Semi-structured metadata extraction: pull the numeric ``k`` field out
+    of the events table's JSON ``props`` column — the flat-JSON pull (WARC
+    headers, crawl metadata sidecars) every web-scale events pipeline needs
+    before it can filter or join on a property.
+
+    One vectorized ``pc.extract_regex`` per batch (RE2 named group — no
+    Python per row, no JSON object materialization); absent keys become
+    NULL, matching the SQL ``json_extract`` oracle.  Deeply nested/escaped
+    JSON needs a real parser stage (actor pool + a JSON lib); the flat
+    numeric case covers the shipped schema and fixes the op's shape.
+
+    Output: (event_id, k_value int64 nullable), sorted by event_id."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "props"]
+    )
+
+    def _extract(batch: pa.Table) -> pa.Table:
+        props = pc.cast(batch["props"].combine_chunks(), pa.string())
+        m = pc.extract_regex(props, pattern=PROPS_K_PATTERN)
+        return pa.table(
+            {
+                "event_id": batch["event_id"].combine_chunks(),
+                "k_value": pc.cast(pc.struct_field(m, "v"), pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(_extract, batch_format="pyarrow", zero_copy_batch=True)
+    return _sink_or_table(out, output_path, "event_id")

@@ -113,3 +113,33 @@ def test_decontaminate_explicit_eval_windows(ray_session, corpus_dir):
     assert r.loc[97, "n_contaminated"] == 1
     assert r.loc[99, "n_contaminated"] == 1
     assert r.loc[100, "n_contaminated"] == 0
+
+
+def test_events_props_extract_hostile(ray_session, tmp_path):
+    """Absent keys, whitespace variants and negative values vs the
+    json_extract oracle."""
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "props": pa.array(
+                    ['{"k": 7}', '{"k":-3}', '{ "k" : 42 }', '{"other": 1}', "{}"],
+                    pa.string(),
+                ),
+            }
+        ),
+        d / "events.parquet",
+    )
+    got = training.events_props_extract(str(d)).to_pandas()
+    import __ray_entry__ as E
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    exp = con.sql(E.oracle_sql()["events_props_extract"]).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert got.set_index("event_id")["k_value"].tolist()[:3] == [7, -3, 42]
+    assert got["k_value"].isna().sum() == 2
