@@ -258,6 +258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": training.dataset_split,
         "decontaminate": training.decontaminate,
         "events_props_extract": training.events_props_extract,
+        "pack_sequences": training.pack_sequences,
     }
 
 
@@ -736,6 +737,24 @@ SELECT dd.doc_id,
              / CAST(greatest(coalesce(per.n_windows, 0), 1) AS DOUBLE), 6)
          AS contaminated_fraction
 FROM documents dd LEFT JOIN per USING (doc_id) ORDER BY dd.doc_id
+"""
+
+    # sequence packing by global token-prefix offset (budget 2048): the
+    # window sum mirrors the engine's distributed two-pass prefix scan
+    sql["pack_sequences"] = f"""
+{_toks_cte()},
+dl AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id),
+c AS (SELECT d.doc_id, coalesce(dl.n_tokens, 0) AS n_tokens
+      FROM documents d LEFT JOIN dl USING (doc_id)),
+p AS (SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS tokens_before
+      FROM c)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(tokens_before AS BIGINT) AS tokens_before,
+       CAST(tokens_before // 2048 AS BIGINT) AS pack_id
+FROM p ORDER BY doc_id
 """
 
     # flat-JSON property extraction from events.props (absent key → NULL on

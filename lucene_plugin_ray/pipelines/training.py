@@ -2713,3 +2713,90 @@ def events_props_extract(
 
     out = ds.map_batches(_extract, batch_format="pyarrow", zero_copy_batch=True)
     return _sink_or_table(out, output_path, "event_id")
+
+
+def pack_sequences(
+    sf_dir: str,
+    budget: int = 2048,
+    bucket: int = 4096,
+    output_path: str | None = None,
+) -> pa.Table | None:
+    """Sequence packing by token offset: assign every document the training
+    pack whose token-budget window its FIRST token lands in —
+    ``pack_id = tokens_before_doc // budget`` where ``tokens_before_doc`` is
+    the total analyzed-token count of all documents with a smaller doc_id.
+    The offset-based rule (vs. greedy bin-closing) is what makes packing
+    shardable: pack assignment is a pure function of the global token
+    prefix sum, so any worker can compute it locally once prefix offsets
+    are known.
+
+    Distributed prefix scan (the two-pass pattern):
+
+    1. one map pass emits per-doc ``(doc_id, n_tokens, bucket = doc_id //
+       bucket_size)``;
+    2. per-BUCKET totals (a tiny aggregate — |buckets| = max_doc_id/G rows)
+       come to the driver, cumsum → broadcast bucket base offsets;
+    3. a bucket-keyed ``groupby.map_groups`` sorts each bucket by doc_id and
+       cumsums locally; local prefix + broadcast base = exact global prefix.
+
+    Driver state is |buckets| int64s (bounded, ~doc_count/G), the shuffle
+    key is uniform (dense doc_ids), and no stage is sequential.
+
+    Output: (doc_id, n_tokens, tokens_before, pack_id), sorted by doc_id."""
+    if budget <= 0 or bucket <= 0:
+        raise ValueError("budget and bucket must be positive")
+    import ray
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        _, _, dl = tokenize_column(pc.cast(batch["text"].combine_chunks(), pa.string()))
+        ids = batch["doc_id"].combine_chunks()
+        return pa.table(
+            {
+                "doc_id": ids,
+                "n_tokens": pa.array(dl.astype(np.int64), type=pa.int64()),
+                "bucket": pc.cast(
+                    pc.floor(pc.divide(pc.cast(ids, pa.float64()), bucket)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    counts = ds.map_batches(_counts, batch_format="pyarrow", zero_copy_batch=True)
+    # pass 1: per-bucket totals (tiny — |buckets| rows on the driver)
+    from ray.data.aggregate import Sum
+
+    totals = pa.concat_tables(
+        counts.groupby("bucket")
+        .aggregate(Sum("n_tokens", alias_name="total"))
+        .iter_batches(batch_format="pyarrow")
+    ).sort_by("bucket")
+    bids = totals["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tsum = totals["total"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # base offset of bucket b = sum of totals of all buckets before it
+    # (bucket ids may be sparse; searchsorted handles gaps)
+    bases = np.concatenate([[0], np.cumsum(tsum)[:-1]])
+    base_ref = ray.put((bids, bases))
+
+    def _assign(group: pa.Table) -> pa.Table:
+        bid_arr, base_arr = ray.get(base_ref)
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        toks = group["n_tokens"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        local_before = np.zeros(len(ids), np.int64)
+        local_before[order] = np.concatenate([[0], np.cumsum(toks[order])[:-1]])
+        b = int(group["bucket"][0].as_py())
+        base = int(base_arr[np.searchsorted(bid_arr, b)])
+        before = base + local_before
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_tokens": pa.array(toks, type=pa.int64()),
+                "tokens_before": pa.array(before, type=pa.int64()),
+                "pack_id": pa.array(before // budget, type=pa.int64()),
+            }
+        )
+
+    out = counts.groupby("bucket").map_groups(_assign, batch_format="pyarrow")
+    return _sink_or_table(out, output_path, "doc_id")

@@ -143,3 +143,20 @@ def test_events_props_extract_hostile(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert got.set_index("event_id")["k_value"].tolist()[:3] == [7, -3, 42]
     assert got["k_value"].isna().sum() == 2
+
+
+def test_pack_sequences_prefix_scan(ray_session, corpus_dir):
+    """Distributed two-pass prefix scan == single-threaded cumsum, across
+    bucket boundaries (tiny bucket forces many groups) and vs the oracle."""
+    got = training.pack_sequences(corpus_dir, budget=10, bucket=2).to_pandas()
+    # independent python oracle
+    tk = training.token_count(corpus_dir).to_pandas().sort_values("doc_id")
+    before = tk["n_tokens"].cumsum().shift(fill_value=0).to_numpy()
+    assert (got.sort_values("doc_id")["tokens_before"].to_numpy() == before).all()
+    assert (got["pack_id"] == got["tokens_before"] // 10).all()
+    # entry oracle (default budget) at the corpus dir
+    got_def = training.pack_sequences(corpus_dir).to_pandas()
+    exp = _oracle("pack_sequences", corpus_dir)
+    pd.testing.assert_frame_equal(got_def, exp, check_dtype=False)
+    with pytest.raises(ValueError):
+        training.pack_sequences(corpus_dir, budget=0)

@@ -19,7 +19,7 @@ CHECKED = [
     "events_sessionize", "corpus_curation", "dedup_ngram_spans",
     "doc_dup_stats", "token_count_bpe", "dedup_clusters",
     "repetition_stats", "chunk_text", "text_clean", "dataset_split",
-    "decontaminate", "events_props_extract",
+    "decontaminate", "events_props_extract", "pack_sequences",
 ]
 
 
