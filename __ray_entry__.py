@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": training.decontaminate,
         "events_props_extract": training.events_props_extract,
         "pack_sequences": training.pack_sequences,
+        "ngram_counts": training.ngram_counts,
     }
 
 
@@ -762,6 +763,25 @@ FROM p ORDER BY doc_id
     sql["events_props_extract"] = """
 SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_value
 FROM events ORDER BY event_id
+"""
+
+    # corpus bigram count table (words = single-space split, empties
+    # dropped — the repetition_stats word spec; bigrams pair ADJACENT
+    # surviving words, so lead() runs after the empty filter)
+    sql["ngram_counts"] = """
+WITH pos AS (
+  SELECT doc_id, word, pos FROM (
+    SELECT doc_id, unnest(words) AS word, unnest(range(1, len(words) + 1)) AS pos
+    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents))
+  WHERE word <> ''
+),
+b AS (SELECT doc_id,
+             word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS ngram
+      FROM pos)
+SELECT ngram,
+       CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM b WHERE ngram IS NOT NULL GROUP BY ngram ORDER BY ngram
 """
 
     # dedup_minhash, simhash, ann_ivf, ann_lsh: approximate / LSH-based — not

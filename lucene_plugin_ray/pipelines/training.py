@@ -2800,3 +2800,104 @@ def pack_sequences(
 
     out = counts.groupby("bucket").map_groups(_assign, batch_format="pyarrow")
     return _sink_or_table(out, output_path, "doc_id")
+
+
+def ngram_counts(
+    sf_dir: str,
+    output_path: str | None = None,
+    salt_buckets: int = 16,
+) -> pa.Table | None:
+    """Corpus-global bigram statistics: for every adjacent word pair, its
+    total occurrence count and document frequency — the count table behind
+    n-gram language models, boilerplate mining (high-df bigrams), and
+    collocation scoring (PMI needs exactly (n_occ, n_docs) plus unigram
+    counts, which :func:`repetition_stats`'s word spec + term_stats already
+    provide).
+
+    Spec (shared with the SQL oracle and :func:`repetition_stats`): words
+    are the text split on single spaces with empties dropped (raw surface
+    words — repetition/boilerplate signals look at the un-analyzed stream);
+    bigrams pair ADJACENT surviving words within a doc, joined with one
+    space.
+
+    Shape at 100 TB: per-batch PARTIAL aggregation (one row per distinct
+    bigram per batch — docs never straddle batches, so per-batch distinct-doc
+    counts sum exactly), then the same salted two-level fold as
+    stages/term_stats.py: first groupby on (ngram, salt) spreads Zipf-head
+    bigrams over ``salt_buckets`` reducers, a second tiny groupby folds the
+    salt.  Only (ngram, 3×int64) rows ever enter the shuffle.
+
+    Output: (ngram, n_occ, n_docs) sorted by ngram."""
+    from lucene_plugin_ray.functions.hashing import fnv1a_str, mix64
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "ngram": pa.array([], type=pa.string()),
+                "salt": pa.array([], type=pa.int32()),
+                "occ": pa.array([], type=pa.int64()),
+                "docs": pa.array([], type=pa.int64()),
+            }
+        )
+        text = pc.cast(batch["text"].combine_chunks(), pa.string())
+        n = len(text)
+        split = pc.split_pattern(text, pattern=" ")
+        lengths = np.nan_to_num(
+            pc.list_value_length(split).to_numpy(zero_copy_only=False), nan=0
+        ).astype(np.int64)
+        parents = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        flat = pc.list_flatten(split)
+        nonempty = pc.not_equal(flat, "")
+        parents = parents[nonempty.to_numpy(zero_copy_only=False)]
+        flat = flat.filter(nonempty)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if len(flat) < 2:
+            return empty
+        adj = parents[1:] == parents[:-1]
+        if not adj.any():
+            return empty
+        bg = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1), flat.slice(1), " "
+        ).filter(pa.array(adj))
+        if isinstance(bg, pa.ChunkedArray):
+            bg = bg.combine_chunks()
+        bgpar = parents[:-1][adj]
+        # exact bigram identity via Arrow dictionary encode (int32 codes)
+        enc = bg.dictionary_encode()
+        vocab = enc.dictionary
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = len(vocab)
+        occ = np.bincount(codes, minlength=v).astype(np.int64)
+        # distinct docs per bigram: unique (doc, code) composite keys
+        upairs = np.unique((bgpar << 32) | codes)
+        docs = np.bincount(upairs & 0xFFFFFFFF, minlength=v).astype(np.int64)
+        # deterministic salt (pure function of batch content)
+        anchor = int(batch["doc_id"][0].as_py()) if batch.num_rows else 0
+        salt = mix64(fnv1a_str(f"{anchor}\x00{batch.num_rows}")) % salt_buckets
+        return pa.table(
+            {
+                "ngram": vocab,
+                "salt": pa.array(np.full(v, salt, np.int32), type=pa.int32()),
+                "occ": pa.array(occ, type=pa.int64()),
+                "docs": pa.array(docs, type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(_partials, batch_format="pyarrow", zero_copy_batch=True)
+    salted = partials.groupby(["ngram", "salt"]).aggregate(
+        Sum("occ", alias_name="occ_s"), Sum("docs", alias_name="docs_s")
+    )
+    folded = salted.groupby("ngram").aggregate(
+        Sum("occ_s", alias_name="n_occ"), Sum("docs_s", alias_name="n_docs")
+    )
+    out = folded.map_batches(
+        lambda t: t.select(["ngram", "n_occ", "n_docs"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return _sink_or_table(out, output_path, "ngram")

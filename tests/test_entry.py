@@ -20,6 +20,7 @@ CHECKED = [
     "doc_dup_stats", "token_count_bpe", "dedup_clusters",
     "repetition_stats", "chunk_text", "text_clean", "dataset_split",
     "decontaminate", "events_props_extract", "pack_sequences",
+    "ngram_counts",
 ]
 
 
@@ -174,6 +175,7 @@ def test_output_path_streaming_sinks(ray_session, tmp_path):
         "doc_dup_stats": (training.doc_dup_stats, "doc_id"),
         "events_latest": (training.events_latest, None),
         "events_sessionize": (training.events_sessionize, None),
+        "ngram_counts": (training.ngram_counts, "ngram"),
     }
     for name, (fn, sort_key) in ops.items():
         out_dir = tmp_path / name

@@ -135,3 +135,23 @@ def test_span_windows_overflow_halving_equivalent(monkeypatch):
         normal.sort_values(key).reset_index(drop=True),
         halved.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_ngram_counts_hostile_vs_oracle(ray_session, hostile_dir):
+    got = training.ngram_counts(hostile_dir).to_pandas()
+    exp = _oracle("ngram_counts", hostile_dir)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    r = got.set_index("ngram")
+    assert r.loc["a a", "n_occ"] == 4 and r.loc["a a", "n_docs"] == 1
+    assert r.loc["a b", "n_occ"] == 3 and r.loc["b a", "n_occ"] == 2
+    # double spaces drop empty tokens → "the quick" is adjacent
+    assert r.loc["the quick", "n_occ"] == 1
+    # empty / single-word docs contribute no bigrams
+    assert not any(r.index.str.startswith("x "))
+
+
+def test_ngram_counts_salt_invariance(ray_session, hostile_dir):
+    """Salt bucket count must not change results (it only spreads reducers)."""
+    a = training.ngram_counts(hostile_dir, salt_buckets=1).to_pandas()
+    b = training.ngram_counts(hostile_dir, salt_buckets=64).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
