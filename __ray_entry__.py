@@ -760,8 +760,14 @@ FROM p ORDER BY doc_id
 
     # flat-JSON property extraction from events.props (absent key → NULL on
     # both sides)
+    # strict-integer k (bare or quoted digits); the regex guard matters:
+    # a plain CAST would ROUND a float k (7.5 -> 8) where the engine's
+    # delimiter-anchored RE2 yields NULL
     sql["events_props_extract"] = """
-SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_value
+SELECT event_id,
+       CASE WHEN regexp_matches(coalesce(json_extract_string(props, '$.k'), ''),
+                                '^-?[0-9]+$')
+            THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k_value
 FROM events ORDER BY event_id
 """
 

@@ -64,6 +64,41 @@ def _sink_or_table(out, output_path: str | None, sort_by) -> pa.Table | None:
     ).sort_by(sort_by)
 
 
+def _normalized_text(batch: pa.Table) -> pa.Array:
+    """Canonical content form: analyzed tokens joined by single spaces.
+    THE content key — :func:`fingerprint` hashes it and :func:`dataset_split`
+    derives the split from that hash; one definition so the "duplicates land
+    in the same split" guarantee cannot silently diverge."""
+    parents, terms, _ = tokenize_column(
+        pc.cast(batch["text"].combine_chunks(), pa.string())
+    )
+    n = batch.num_rows
+    lengths = np.bincount(parents, minlength=n).astype(np.int32)
+    offsets = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int32)
+    lst = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), terms)
+    return pc.binary_join(lst, " ")
+
+
+def _surface_words(text: pa.Array) -> tuple[np.ndarray, pa.Array]:
+    """Surface-word stream of a string column: split on single spaces, drop
+    empty tokens (runs of spaces).  Returns (parents, flat) — each surviving
+    word's doc row index and the flat word array.  The shared word spec of
+    :func:`repetition_stats` and :func:`ngram_counts` (and their oracles)."""
+    n = len(text)
+    split = pc.split_pattern(text, pattern=" ")
+    lengths = np.nan_to_num(
+        pc.list_value_length(split).to_numpy(zero_copy_only=False), nan=0
+    ).astype(np.int64)
+    parents = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    flat = pc.list_flatten(split)
+    nonempty = pc.not_equal(flat, "")
+    parents = parents[nonempty.to_numpy(zero_copy_only=False)]
+    flat = flat.filter(nonempty)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    return parents, flat
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -186,14 +221,7 @@ def fingerprint(sf_dir: str, output_path: str | None = None) -> pa.Table | None:
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def _fp(batch: pa.Table) -> pa.Table:
-        parents, terms, _ = tokenize_column(
-            pc.cast(batch["text"].combine_chunks(), pa.string())
-        )
-        n = batch.num_rows
-        lengths = np.bincount(parents, minlength=n).astype(np.int32)
-        offsets = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int32)
-        lst = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), terms)
-        norm = pc.binary_join(lst, " ")
+        norm = _normalized_text(batch)
         return pa.table(
             {
                 "doc_id": batch["doc_id"].combine_chunks(),
@@ -2326,18 +2354,7 @@ def repetition_stats(sf_dir: str, output_path: str | None = None) -> pa.Table | 
     def _stats(batch: pa.Table) -> pa.Table:
         text = pc.cast(batch["text"].combine_chunks(), pa.string())
         n = len(text)
-        split = pc.split_pattern(text, pattern=" ")
-        lengths = np.nan_to_num(
-            pc.list_value_length(split).to_numpy(zero_copy_only=False), nan=0
-        ).astype(np.int64)
-        parents = np.repeat(np.arange(n, dtype=np.int64), lengths)
-        flat = pc.list_flatten(split)
-        nonempty = pc.not_equal(flat, "")
-        nonempty_np = nonempty.to_numpy(zero_copy_only=False)
-        parents = parents[nonempty_np]
-        flat = flat.filter(nonempty)
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
+        parents, flat = _surface_words(text)
         n_words = np.bincount(parents, minlength=n).astype(np.int64)
         # exact word identity: Arrow C++ dictionary encode (int32 codes)
         codes = (
@@ -2577,14 +2594,7 @@ def dataset_split(
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def _split(batch: pa.Table) -> pa.Table:
-        parents, terms, _ = tokenize_column(
-            pc.cast(batch["text"].combine_chunks(), pa.string())
-        )
-        n = batch.num_rows
-        lengths = np.bincount(parents, minlength=n).astype(np.int32)
-        offsets = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int32)
-        lst = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), terms)
-        fp = sha256_column(pc.binary_join(lst, " "))
+        fp = sha256_column(_normalized_text(batch))
         is_train = pc.less(pc.utf8_slice_codeunits(fp, 0, 2), train_hex)
         return pa.table(
             {
@@ -2625,6 +2635,10 @@ def decontaminate(
 
     Output: (doc_id, n_windows, n_contaminated, contaminated_fraction),
     one row per document, sorted by doc_id."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if eval_windows is None and int(eval_mod) <= 0:
+        raise ValueError("eval_mod must be positive (mod-0 would mark every doc eval)")
     import ray
 
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -2678,8 +2692,12 @@ def decontaminate(
     return _sink_or_table(out, output_path, "doc_id")
 
 
-# named-group RE2 for the flat numeric "k" key of events.props
-PROPS_K_PATTERN = r'"k"\s*:\s*(?P<v>-?[0-9]+)'
+# named-group RE2 patterns for the flat "k" key of events.props: a bare
+# integer value, or a quoted all-digits string.  Anything else (floats,
+# booleans, non-numeric strings) is NULL — the delimiter anchor [,}] is what
+# keeps 7.5 from matching as 7.
+PROPS_K_BARE = r'"k"\s*:\s*(?P<v>-?[0-9]+)\s*[,}]'
+PROPS_K_QUOTED = r'"k"\s*:\s*"(?P<v>-?[0-9]+)"\s*[,}]'
 
 
 def events_props_extract(
@@ -2690,11 +2708,15 @@ def events_props_extract(
     headers, crawl metadata sidecars) every web-scale events pipeline needs
     before it can filter or join on a property.
 
-    One vectorized ``pc.extract_regex`` per batch (RE2 named group — no
-    Python per row, no JSON object materialization); absent keys become
-    NULL, matching the SQL ``json_extract`` oracle.  Deeply nested/escaped
-    JSON needs a real parser stage (actor pool + a JSON lib); the flat
-    numeric case covers the shipped schema and fixes the op's shape.
+    Two vectorized ``pc.extract_regex`` passes per batch (RE2 named groups
+    — no Python per row, no JSON object materialization): a bare-integer
+    pattern and a quoted-digits pattern, coalesced.  The spec is STRICT
+    integer k: absent keys, floats (7.5), booleans, and non-numeric strings
+    all become NULL — exactly the oracle's regex-guarded
+    ``json_extract_string`` (a plain ``CAST ... AS BIGINT`` would ROUND
+    7.5 to 8 in DuckDB, so the guard pins both sides to one spec).  Deeply
+    nested/escaped JSON needs a real parser stage (actor pool + a JSON
+    lib); the flat case covers the shipped schema and fixes the op's shape.
 
     Output: (event_id, k_value int64 nullable), sorted by event_id."""
     ds = read_parquet_clean(
@@ -2703,11 +2725,15 @@ def events_props_extract(
 
     def _extract(batch: pa.Table) -> pa.Table:
         props = pc.cast(batch["props"].combine_chunks(), pa.string())
-        m = pc.extract_regex(props, pattern=PROPS_K_PATTERN)
+        bare = pc.extract_regex(props, pattern=PROPS_K_BARE)
+        quoted = pc.extract_regex(props, pattern=PROPS_K_QUOTED)
         return pa.table(
             {
                 "event_id": batch["event_id"].combine_chunks(),
-                "k_value": pc.cast(pc.struct_field(m, "v"), pa.int64()),
+                "k_value": pc.coalesce(
+                    pc.cast(pc.struct_field(bare, "v"), pa.int64()),
+                    pc.cast(pc.struct_field(quoted, "v"), pa.int64()),
+                ),
             }
         )
 
@@ -2763,7 +2789,13 @@ def pack_sequences(
             }
         )
 
-    counts = ds.map_batches(_counts, batch_format="pyarrow", zero_copy_batch=True)
+    # counts is consumed TWICE (bucket totals, then the map_groups pass);
+    # materialize so the corpus isn't read + tokenized twice on re-execution.
+    # It is tiny — 3 int64s per doc — so this holds in the object store even
+    # when the corpus itself would not.
+    counts = ds.map_batches(
+        _counts, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
     # pass 1: per-bucket totals (tiny — |buckets| rows on the driver)
     from ray.data.aggregate import Sum
 
@@ -2842,18 +2874,7 @@ def ngram_counts(
             }
         )
         text = pc.cast(batch["text"].combine_chunks(), pa.string())
-        n = len(text)
-        split = pc.split_pattern(text, pattern=" ")
-        lengths = np.nan_to_num(
-            pc.list_value_length(split).to_numpy(zero_copy_only=False), nan=0
-        ).astype(np.int64)
-        parents = np.repeat(np.arange(n, dtype=np.int64), lengths)
-        flat = pc.list_flatten(split)
-        nonempty = pc.not_equal(flat, "")
-        parents = parents[nonempty.to_numpy(zero_copy_only=False)]
-        flat = flat.filter(nonempty)
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
+        parents, flat = _surface_words(text)
         if len(flat) < 2:
             return empty
         adj = parents[1:] == parents[:-1]

@@ -116,18 +116,28 @@ def test_decontaminate_explicit_eval_windows(ray_session, corpus_dir):
 
 
 def test_events_props_extract_hostile(ray_session, tmp_path):
-    """Absent keys, whitespace variants and negative values vs the
-    json_extract oracle."""
+    """Absent keys, whitespace variants, negative values, and the strict
+    integer-only spec (floats/booleans/non-numeric strings -> NULL; quoted
+    digits -> value) vs the regex-guarded json_extract_string oracle."""
     d = tmp_path / "ev"
     d.mkdir()
+    props = [
+        '{"k": 7}',          # bare int
+        '{"k":-3}',          # negative, no spaces
+        '{ "k" : 42 }',      # whitespace
+        '{"other": 1}',      # key absent
+        "{}",                # empty object
+        '{"k": 7.5}',        # float -> NULL (CAST would round to 8)
+        '{"k": "7"}',        # quoted digits -> 7
+        '{"k": true}',       # boolean -> NULL
+        '{"k": "7a"}',       # non-numeric string -> NULL
+        '{"k": 9, "j": 1}',  # comma-delimited
+    ]
     pq.write_table(
         pa.table(
             {
-                "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
-                "props": pa.array(
-                    ['{"k": 7}', '{"k":-3}', '{ "k" : 42 }', '{"other": 1}', "{}"],
-                    pa.string(),
-                ),
+                "event_id": pa.array(list(range(1, len(props) + 1)), pa.int64()),
+                "props": pa.array(props, pa.string()),
             }
         ),
         d / "events.parquet",
@@ -141,8 +151,17 @@ def test_events_props_extract_hostile(ray_session, tmp_path):
     )
     exp = con.sql(E.oracle_sql()["events_props_extract"]).df()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
-    assert got.set_index("event_id")["k_value"].tolist()[:3] == [7, -3, 42]
-    assert got["k_value"].isna().sum() == 2
+    vals = got.set_index("event_id")["k_value"]
+    assert vals.loc[[1, 2, 3]].tolist() == [7, -3, 42]
+    assert vals.loc[7] == 7 and vals.loc[10] == 9
+    assert vals.isna().sum() == 5  # absent, {}, 7.5, true, "7a"
+
+
+def test_decontaminate_rejects_degenerate_params(ray_session, corpus_dir):
+    with pytest.raises(ValueError):
+        training.decontaminate(corpus_dir, eval_mod=0)
+    with pytest.raises(ValueError):
+        training.decontaminate(corpus_dir, k=0)
 
 
 def test_pack_sequences_prefix_scan(ray_session, corpus_dir):
