@@ -260,6 +260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_extract": training.events_props_extract,
         "pack_sequences": training.pack_sequences,
         "ngram_counts": training.ngram_counts,
+        "source_stats": training.source_stats,
+        "tfidf_topk": training.tfidf_topk,
     }
 
 
@@ -769,6 +771,32 @@ SELECT event_id,
                                 '^-?[0-9]+$')
             THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k_value
 FROM events ORDER BY event_id
+"""
+
+    # per-(source, lang) corpus profile
+    sql["source_stats"] = """
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(sum(n_chars) * 1.0 / count(*), 6) AS avg_chars
+FROM documents GROUP BY source, lang ORDER BY source, lang
+"""
+
+    # per-doc top-k TF-IDF terms; rank on the ROUNDED score (ties -> term
+    # asc) so both sides pick identical boundary rows
+    sql["tfidf_topk"] = f"""
+{_toks_cte()},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (SELECT tf.doc_id, tf.term, tf.tf,
+                  round((ln((1.0 + n.n) / (1.0 + df.df)) + 1.0) * tf.tf, 6) AS score
+           FROM tf JOIN df USING (term) CROSS JOIN n),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, term ASC) AS r
+           FROM scored)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score
+FROM ranked WHERE r <= 5 ORDER BY doc_id, term
 """
 
     # corpus bigram count table (words = single-space split, empties

@@ -2922,3 +2922,173 @@ def ngram_counts(
         zero_copy_batch=True,
     )
     return _sink_or_table(out, output_path, "ngram")
+
+
+def source_stats(sf_dir: str, output_path: str | None = None) -> pa.Table | None:
+    """Per-(source, lang) corpus profile: document count, total and mean
+    characters — the domain-level statistics pass of webtext curation
+    (decide per SOURCE whether to keep, downsample, or drop an entire
+    domain before any per-document work runs).
+
+    Shape at 100 TB: the read is pruned to three metadata columns (never
+    touches text), a per-batch Acero ``Table.group_by`` combiner collapses
+    each batch to |sources×langs| rows, and the final groupby moves only
+    those partials — source cardinality is web-domain-sized (millions),
+    not corpus-sized, so no salting is needed.
+
+    Output: (source, lang, n_docs, total_chars, avg_chars), sorted by
+    (source, lang)."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "lang", "n_chars"]
+    )
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["source", "lang", "n_chars"])
+            .group_by(["source", "lang"])
+            .aggregate([("n_chars", "count"), ("n_chars", "sum")])
+        )
+        return pa.table(
+            {
+                "source": g["source"],
+                "lang": g["lang"],
+                "docs": pc.cast(g["n_chars_count"], pa.int64()),
+                "chars": pc.cast(g["n_chars_sum"], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    folded = (
+        ds.map_batches(_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "lang"])
+        .aggregate(Sum("docs", alias_name="n_docs"), Sum("chars", alias_name="total_chars"))
+    )
+
+    def _finish(t: pa.Table) -> pa.Table:
+        docs = t["n_docs"].combine_chunks().to_numpy(zero_copy_only=False)
+        chars = t["total_chars"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": t["source"].combine_chunks(),
+                "lang": t["lang"].combine_chunks(),
+                "n_docs": pa.array(docs.astype(np.int64), type=pa.int64()),
+                "total_chars": pa.array(chars.astype(np.int64), type=pa.int64()),
+                "avg_chars": pa.array(
+                    np.round(chars / np.maximum(docs, 1), 6), type=pa.float64()
+                ),
+            }
+        )
+
+    out = folded.map_batches(_finish, batch_format="pyarrow", zero_copy_batch=True)
+    return _sink_or_table(out, output_path, [("source", "ascending"), ("lang", "ascending")])
+
+
+def tfidf_topk(
+    sf_dir: str,
+    k: int = 5,
+    output_path: str | None = None,
+) -> pa.Table | None:
+    """Per-document top-k salient terms by TF-IDF — keyword extraction /
+    topic labeling over the analyzed-token stream, reusing the engine's
+    own corpus statistics machinery (stages/term_stats.py) for the IDF
+    side.
+
+    Score: ``round(tf * (ln((1 + N) / (1 + df)) + 1), 6)`` (the smoothed
+    sklearn-style idf).  Ranking sorts on the ROUNDED score with ties
+    broken by term ascending, so engine and oracle pick identical rows
+    even when two terms score equally.
+
+    Two corpus passes (inherent to tf-idf): (1) the salted two-level df
+    fold of :func:`lucene_plugin_ray.stages.term_stats.term_stats` — only
+    (term, 2×int64) partials enter its shuffle; (2) one map pass that
+    scores each document locally against the BROADCAST vocabulary
+    (``ray.put`` once: term array + precomputed idf; batch terms resolve
+    via one vectorized ``pc.index_in`` at vocab level, never per token).
+    The broadcast is vocabulary-sized — webtext vocabularies are GBs, not
+    corpus-sized; for a vocabulary beyond worker memory the df side would
+    switch to the doc_dup_stats ``strategy='join'`` shape (term-keyed
+    shuffle join), documented there.
+
+    Output: (doc_id, term, tf, score), ≤k rows per document, sorted by
+    (doc_id, term)."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from lucene_plugin_ray.config import IndexConfig
+    from lucene_plugin_ray.stages.term_stats import term_stats
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_docs = ds.count()  # parquet metadata count — no data read
+
+    def _as_pages(b: pa.Table) -> pa.Table:
+        # minimal pages shape: term_stats' combiner salts on the url column
+        url = pc.binary_join_element_wise(
+            "doc://", pc.cast(b["doc_id"].combine_chunks(), pa.string()), ""
+        )
+        return pa.table({"url": url, "text": b["text"].combine_chunks()})
+
+    # global (term, df), term-sorted: the vocab position doubles as the
+    # tie-break rank below
+    stats = pa.concat_tables(
+        term_stats(
+            ds.map_batches(_as_pages, batch_format="pyarrow", zero_copy_batch=True),
+            IndexConfig(num_partitions=8),
+        ).iter_batches(batch_format="pyarrow")
+    )
+    gvocab = stats["term"].combine_chunks()
+    gdf = stats["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    gidf = np.log((1.0 + n_docs) / (1.0 + gdf)) + 1.0
+    vocab_ref = ray.put((gvocab, gidf))
+
+    def _topk(batch: pa.Table) -> pa.Table:
+        vocab, idf = ray.get(vocab_ref)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "term": pa.array([], type=pa.string()),
+                "tf": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
+        ids = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        parents, terms, _ = tokenize_column(
+            pc.cast(batch["text"].combine_chunks(), pa.string())
+        )
+        if len(terms) == 0:
+            return empty
+        enc = terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms
+        enc = enc.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # per-(doc, term) tf from composite keys
+        uk, tf = np.unique((parents.astype(np.int64) << 32) | codes, return_counts=True)
+        udoc = (uk >> 32).astype(np.int64)
+        ucode = (uk & 0xFFFFFFFF).astype(np.int64)
+        # one vectorized lookup at BATCH-VOCAB level: batch term → global
+        # vocab position (always found — same tokenizer built the vocab)
+        pos_arr = pc.index_in(enc.dictionary, value_set=vocab)
+        if pos_arr.null_count:
+            raise RuntimeError("tfidf_topk: batch term missing from global vocab")
+        pos = pos_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        gpos = pos[ucode]
+        score = np.round(tf * idf[gpos], 6)
+        # top-k per doc on (score desc, term asc); vocab is term-sorted so
+        # the global position IS the lexicographic rank
+        order = np.lexsort((gpos, -score, udoc))
+        d = udoc[order]
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        sizes = np.diff(np.r_[starts, d.size])
+        ranks = np.arange(d.size) - np.repeat(starts, sizes)
+        keep = order[ranks < k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[udoc[keep]], type=pa.int64()),
+                "term": vocab.take(pa.array(gpos[keep], type=pa.int64())),
+                "tf": pa.array(tf[keep].astype(np.int64), type=pa.int64()),
+                "score": pa.array(score[keep], type=pa.float64()),
+            }
+        )
+
+    out = ds.map_batches(_topk, batch_format="pyarrow", zero_copy_batch=True)
+    return _sink_or_table(
+        out, output_path, [("doc_id", "ascending"), ("term", "ascending")]
+    )

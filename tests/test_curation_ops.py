@@ -179,3 +179,39 @@ def test_pack_sequences_prefix_scan(ray_session, corpus_dir):
     pd.testing.assert_frame_equal(got_def, exp, check_dtype=False)
     with pytest.raises(ValueError):
         training.pack_sequences(corpus_dir, budget=0)
+
+
+def test_tfidf_topk_ties_and_bounds(ray_session, tmp_path):
+    """Tie-break on equal rounded scores (term asc), k > per-doc vocab,
+    empty docs, and exact oracle equivalence."""
+    d = tmp_path / "tfidf"
+    d.mkdir()
+    docs = [
+        (0, "zeta yankee xray whiskey victor uniform"),  # 6 terms; zeta df=2
+        (1, "apple apple apple banana banana cherry"),
+        (2, ""),                                         # no tokens -> no rows
+        (3, "solo"),                                     # 1 term < k
+        (4, "zeta cherry banana"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    got = training.tfidf_topk(str(d), k=5).to_pandas()
+    exp = _oracle("tfidf_topk", str(d))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    by_doc = got.groupby("doc_id")["term"].apply(list)
+    # doc 0: five ties at df=1 beat zeta (df=2, lower idf); the five kept
+    # are the equal-scored set, each ranked above zeta
+    assert len(by_doc.loc[0]) == 5 and "zeta" not in by_doc.loc[0]
+    assert 2 not in by_doc.index          # empty doc emits nothing
+    assert by_doc.loc[3] == ["solo"]      # k larger than doc vocab
+    r1 = got[got.doc_id == 1].sort_values("score", ascending=False)
+    assert r1.iloc[0]["term"] == "apple" and r1.iloc[0]["tf"] == 3
+    with pytest.raises(ValueError):
+        training.tfidf_topk(str(d), k=0)
