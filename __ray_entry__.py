@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": training.pack_sequences,
         "ngram_counts": training.ngram_counts,
         "source_stats": training.source_stats,
+        "source_sample": training.source_sample,
         "tfidf_topk": training.tfidf_topk,
     }
 
@@ -780,6 +781,16 @@ SELECT source, lang,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
        round(sum(n_chars) * 1.0 / count(*), 6) AS avg_chars
 FROM documents GROUP BY source, lang ORDER BY source, lang
+"""
+
+    # per-source quota sample: content-hash-ranked top-N per source
+    sql["source_sample"] = """
+WITH h AS (SELECT doc_id, source, sha256(coalesce(text, '')) AS content_sha
+           FROM documents),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY source
+                                        ORDER BY content_sha, doc_id) AS r
+           FROM h)
+SELECT doc_id, source, content_sha FROM ranked WHERE r <= 3 ORDER BY doc_id
 """
 
     # per-doc top-k TF-IDF terms; rank on the ROUNDED score (ties -> term

@@ -3092,3 +3092,94 @@ def tfidf_topk(
     return _sink_or_table(
         out, output_path, [("doc_id", "ascending"), ("term", "ascending")]
     )
+
+
+def source_sample(
+    sf_dir: str,
+    n_per_source: int = 3,
+    output_path: str | None = None,
+) -> pa.Table | None:
+    """Per-source quota sampling: keep at most ``n_per_source`` documents
+    from every source, chosen deterministically by content hash — the
+    domain-cap pass of webtext curation (no single domain may dominate the
+    training mix), and a content-keyed choice so the sample is stable under
+    corpus renumbering/resharding.
+
+    Selection rule (shared with the SQL oracle): rank each source's docs by
+    ``(sha256(text), doc_id)`` ascending and keep ranks 1..N — a uniform
+    pseudo-random-but-deterministic draw, since the hash is uncorrelated
+    with position or quality.
+
+    Distributed top-N-per-group, two phases:
+
+    1. map-side combiner: each batch keeps its own ≤N smallest
+       (sha, doc_id) per source present in the batch — candidates shrink
+       from corpus-sized to ≤ N × |batches containing the source|;
+    2. a source-keyed ``groupby.map_groups`` re-ranks only the candidates
+       and takes the final N.
+
+    The shuffle moves candidates, not the corpus.  For a whale source at
+    extreme batch counts the candidate set is still ∝ #batches; the
+    threshold-refinement variant (sample an approximate N-th hash, filter,
+    re-rank survivors) is the next escape hatch and shares phase 2.
+
+    Output: (doc_id, source, content_sha) of kept docs, sorted by doc_id."""
+    if n_per_source <= 0:
+        raise ValueError("n_per_source must be positive")
+    n = int(n_per_source)
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+
+    def _rank_keep(
+        src_codes: np.ndarray, sha: np.ndarray, ids: np.ndarray
+    ) -> np.ndarray:
+        """Row indices of the ≤N smallest (sha, id) per source code."""
+        order = np.lexsort((ids, sha, src_codes))
+        s = src_codes[order]
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        sizes = np.diff(np.r_[starts, s.size])
+        ranks = np.arange(s.size) - np.repeat(starts, sizes)
+        return order[ranks < n]
+
+    def _candidates(batch: pa.Table) -> pa.Table:
+        src = batch["source"].combine_chunks()
+        sha = sha256_column(
+            pc.coalesce(pc.cast(batch["text"].combine_chunks(), pa.string()), "")
+        )
+        codes = src.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        keep = _rank_keep(
+            codes.astype(np.int64),
+            sha.to_numpy(zero_copy_only=False).astype("U64"),
+            batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False),
+        )
+        idx = pa.array(np.sort(keep), type=pa.int64())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].combine_chunks().take(idx),
+                "source": src.take(idx),
+                "content_sha": sha.take(idx),
+            }
+        )
+
+    def _final(group: pa.Table) -> pa.Table:
+        keep = _rank_keep(
+            np.zeros(group.num_rows, np.int64),  # one source per group
+            group["content_sha"].to_numpy(zero_copy_only=False).astype("U64"),
+            group["doc_id"].to_numpy(zero_copy_only=False),
+        )
+        idx = pa.array(np.sort(keep), type=pa.int64())
+        return pa.table(
+            {
+                "doc_id": group["doc_id"].take(idx),
+                "source": group["source"].take(idx),
+                "content_sha": group["content_sha"].take(idx),
+            }
+        )
+
+    out = (
+        ds.map_batches(_candidates, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .map_groups(_final, batch_format="pyarrow")
+    )
+    return _sink_or_table(out, output_path, "doc_id")

@@ -215,3 +215,46 @@ def test_tfidf_topk_ties_and_bounds(ray_session, tmp_path):
     assert r1.iloc[0]["term"] == "apple" and r1.iloc[0]["tf"] == 3
     with pytest.raises(ValueError):
         training.tfidf_topk(str(d), k=0)
+
+
+def test_source_sample_quota_and_determinism(ray_session, tmp_path):
+    """Quota enforced per source, content-hash-ranked (renumbering-stable),
+    exact oracle equivalence."""
+    d = tmp_path / "ssample"
+    d.mkdir()
+    docs = [(i, f"doc number {i} about topic {i % 3}", f"src{i % 2}") for i in range(20)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t, _ in docs], pa.string()),
+                "source": pa.array([s for _, _, s in docs], pa.string()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    got = training.source_sample(str(d), n_per_source=4).to_pandas()
+    assert got.groupby("source").size().max() <= 4
+    assert got.groupby("source").size().min() == 4  # both sources have >4 docs
+    # default-N path vs oracle
+    got3 = training.source_sample(str(d)).to_pandas()
+    exp = _oracle("source_sample", str(d))
+    pd.testing.assert_frame_equal(got3, exp, check_dtype=False)
+    # renumbering-stable: shifting doc_ids keeps the same CONTENT set when
+    # hashes are distinct (ranking key is the content hash, id only ties)
+    d2 = tmp_path / "ssample2"
+    d2.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([i + 1000 for i, _, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t, _ in docs], pa.string()),
+                "source": pa.array([s for _, _, s in docs], pa.string()),
+            }
+        ),
+        d2 / "documents.parquet",
+    )
+    got3b = training.source_sample(str(d2)).to_pandas()
+    assert set(got3b["content_sha"]) == set(got3["content_sha"])
+    with pytest.raises(ValueError):
+        training.source_sample(str(d), n_per_source=0)

@@ -20,7 +20,7 @@ CHECKED = [
     "doc_dup_stats", "token_count_bpe", "dedup_clusters",
     "repetition_stats", "chunk_text", "text_clean", "dataset_split",
     "decontaminate", "events_props_extract", "pack_sequences",
-    "ngram_counts", "source_stats", "tfidf_topk",
+    "ngram_counts", "source_stats", "tfidf_topk", "source_sample",
 ]
 
 
@@ -177,6 +177,7 @@ def test_output_path_streaming_sinks(ray_session, tmp_path):
         "events_sessionize": (training.events_sessionize, None),
         "ngram_counts": (training.ngram_counts, "ngram"),
         "source_stats": (training.source_stats, "source"),
+        "source_sample": (training.source_sample, "doc_id"),
         "tfidf_topk": (training.tfidf_topk, "doc_id"),
     }
     for name, (fn, sort_key) in ops.items():
