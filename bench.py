@@ -261,6 +261,14 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     training.decontaminate(sf_dir)
     queries["decontaminate"] = round(time.monotonic() - t1, 3)
 
+    t1 = time.monotonic()
+    training.ngram_counts(sf_dir)
+    queries["ngram_counts"] = round(time.monotonic() - t1, 3)
+
+    t1 = time.monotonic()
+    training.tfidf_topk(sf_dir)
+    queries["tfidf_topk"] = round(time.monotonic() - t1, 3)
+
     out["metric"] = "index_build_sec_plus_query_latency"
     out["value"] = round(build_s, 3)
     out["unit"] = "sec"
