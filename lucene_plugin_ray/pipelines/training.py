@@ -59,9 +59,12 @@ def _sink_or_table(out, output_path: str | None, sort_by) -> pa.Table | None:
     if output_path is not None:
         out.write_parquet(output_path)
         return None
-    return pa.concat_tables(
-        [b for b in out.iter_batches(batch_format="pyarrow")]
-    ).sort_by(sort_by)
+    tables = [b for b in out.iter_batches(batch_format="pyarrow")]
+    if not tables:
+        # an all-empty result yields ZERO batches (not one empty batch);
+        # return the schema'd empty table the oracle side produces
+        tables = [out.schema().base_schema.empty_table()]
+    return pa.concat_tables(tables).sort_by(sort_by)
 
 
 def _normalized_text(batch: pa.Table) -> pa.Array:
@@ -97,6 +100,21 @@ def _surface_words(text: pa.Array) -> tuple[np.ndarray, pa.Array]:
     if isinstance(flat, pa.ChunkedArray):
         flat = flat.combine_chunks()
     return parents, flat
+
+
+def _run_starts(keys: np.ndarray) -> np.ndarray:
+    """Start index of each run of equal values in a sorted/grouped array."""
+    return np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+
+
+def _run_ranks(keys: np.ndarray) -> np.ndarray:
+    """Rank (0, 1, 2, …) of each element within its run of equal values —
+    the grouped top-N kernel shared by :func:`repetition_stats`,
+    :func:`tfidf_topk` and :func:`source_sample` (keys must be grouped,
+    i.e. already sorted by the group key)."""
+    starts = _run_starts(keys)
+    sizes = np.diff(np.r_[starts, keys.size])
+    return np.arange(keys.size) - np.repeat(starts, sizes)
 
 
 # ---------------------------------------------------------------------------
@@ -2347,7 +2365,7 @@ def repetition_stats(sf_dir: str, output_path: str | None = None) -> pa.Table | 
             uk, cnt = np.unique(keys, return_counts=True)
             udoc = (uk >> 32).astype(np.int64)
             distinct = np.bincount(udoc, minlength=n).astype(np.int64)
-            starts = np.flatnonzero(np.r_[True, udoc[1:] != udoc[:-1]])
+            starts = _run_starts(udoc)
             top[udoc[starts]] = np.maximum.reduceat(cnt, starts)
         return distinct, top
 
@@ -2939,20 +2957,20 @@ def source_stats(sf_dir: str, output_path: str | None = None) -> pa.Table | None
     Output: (source, lang, n_docs, total_chars, avg_chars), sorted by
     (source, lang)."""
     ds = read_parquet_clean(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "lang", "n_chars"]
+        f"{sf_dir}/documents.parquet", columns=["source", "lang", "n_chars"]
     )
 
     def _partials(batch: pa.Table) -> pa.Table:
-        g = (
-            batch.select(["source", "lang", "n_chars"])
-            .group_by(["source", "lang"])
-            .aggregate([("n_chars", "count"), ("n_chars", "sum")])
+        # count_all (not valid-only "count") so a null n_chars row still
+        # counts as a document, matching the oracle's count(*)
+        g = batch.group_by(["source", "lang"]).aggregate(
+            [([], "count_all"), ("n_chars", "sum")]
         )
         return pa.table(
             {
                 "source": g["source"],
                 "lang": g["lang"],
-                "docs": pc.cast(g["n_chars_count"], pa.int64()),
+                "docs": pc.cast(g["count_all"], pa.int64()),
                 "chars": pc.cast(g["n_chars_sum"], pa.int64()),
             }
         )
@@ -3028,12 +3046,26 @@ def tfidf_topk(
         return pa.table({"url": url, "text": b["text"].combine_chunks()})
 
     # global (term, df), term-sorted: the vocab position doubles as the
-    # tie-break rank below
+    # tie-break rank below.  The schema'd empty seed keeps a zero-token
+    # corpus (all empty/stopword-only docs) on the oracle's empty-result
+    # path instead of crashing concat_tables.
+    _empty_stats = pa.table(
+        {
+            "field": pa.array([], type=pa.string()),
+            "term": pa.array([], type=pa.string()),
+            "df": pa.array([], type=pa.int64()),
+            "total_tf": pa.array([], type=pa.int64()),
+        }
+    )
     stats = pa.concat_tables(
-        term_stats(
-            ds.map_batches(_as_pages, batch_format="pyarrow", zero_copy_batch=True),
-            IndexConfig(num_partitions=8),
-        ).iter_batches(batch_format="pyarrow")
+        [_empty_stats]
+        + [
+            b.select(_empty_stats.column_names)
+            for b in term_stats(
+                ds.map_batches(_as_pages, batch_format="pyarrow", zero_copy_batch=True),
+                IndexConfig(num_partitions=8),
+            ).iter_batches(batch_format="pyarrow")
+        ]
     )
     gvocab = stats["term"].combine_chunks()
     gdf = stats["df"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -3074,11 +3106,7 @@ def tfidf_topk(
         # top-k per doc on (score desc, term asc); vocab is term-sorted so
         # the global position IS the lexicographic rank
         order = np.lexsort((gpos, -score, udoc))
-        d = udoc[order]
-        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
-        sizes = np.diff(np.r_[starts, d.size])
-        ranks = np.arange(d.size) - np.repeat(starts, sizes)
-        keep = order[ranks < k]
+        keep = order[_run_ranks(udoc[order]) < k]
         return pa.table(
             {
                 "doc_id": pa.array(ids[udoc[keep]], type=pa.int64()),
@@ -3136,11 +3164,7 @@ def source_sample(
     ) -> np.ndarray:
         """Row indices of the ≤N smallest (sha, id) per source code."""
         order = np.lexsort((ids, sha, src_codes))
-        s = src_codes[order]
-        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
-        sizes = np.diff(np.r_[starts, s.size])
-        ranks = np.arange(s.size) - np.repeat(starts, sizes)
-        return order[ranks < n]
+        return order[_run_ranks(src_codes[order]) < n]
 
     def _candidates(batch: pa.Table) -> pa.Table:
         src = batch["source"].combine_chunks()

@@ -258,3 +258,45 @@ def test_source_sample_quota_and_determinism(ray_session, tmp_path):
     assert set(got3b["content_sha"]) == set(got3["content_sha"])
     with pytest.raises(ValueError):
         training.source_sample(str(d), n_per_source=0)
+
+
+def test_tfidf_topk_zero_token_corpus(ray_session, tmp_path):
+    """A corpus of empty/null/stopword-only docs yields the oracle's empty
+    result (typed schema), not a concat crash."""
+    d = tmp_path / "zt"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(["", None, "the and of"], pa.string()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    t = training.tfidf_topk(str(d))
+    assert t.num_rows == 0
+    assert t.schema.names == ["doc_id", "term", "tf", "score"]
+    exp = _oracle("tfidf_topk", str(d))
+    assert len(exp) == 0
+
+
+def test_source_stats_null_n_chars(ray_session, tmp_path):
+    """Null n_chars rows still count as documents (count(*) semantics)."""
+    d = tmp_path / "nullchars"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "source": pa.array(["a", "a", "b"], pa.string()),
+                "lang": pa.array(["en", "en", "en"], pa.string()),
+                "n_chars": pa.array([10, None, 5], pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    got = training.source_stats(str(d)).to_pandas()
+    exp = _oracle("source_stats", str(d))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    r = got.set_index("source")
+    assert r.loc["a", "n_docs"] == 2 and r.loc["a", "total_chars"] == 10
