@@ -264,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_sample": training.source_sample,
         "tfidf_topk": training.tfidf_topk,
         "embedding_cluster": training.embedding_cluster,
+        "semantic_dedup": training.semantic_dedup,
     }
 
 
@@ -832,6 +833,7 @@ FROM b WHERE ngram IS NOT NULL GROUP BY ngram ORDER BY ngram
 
     # dedup_minhash, simhash, ann_ivf, ann_lsh: approximate / LSH-based — not
     # SQL-expressible; the driver records rows-only checks.
-    # embedding_cluster: iterative (distributed Lloyd k-means) — rows-only;
-    # pinned by determinism/assignment property tests (tests/test_kmeans.py).
+    # embedding_cluster / semantic_dedup: iterative (distributed Lloyd
+    # k-means; SemDeDup keep-per-component) — rows-only; pinned by
+    # determinism/assignment property tests (tests/test_kmeans.py).
     return sql

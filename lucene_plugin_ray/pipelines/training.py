@@ -3208,46 +3208,27 @@ def source_sample(
     )
     return _sink_or_table(out, output_path, "doc_id")
 
+def _batch_normalized(batch: pa.Table) -> np.ndarray:
+    """Unit-normalized (n, d) matrix of a batch's embedding column."""
+    m = _embedding_matrix(batch["embedding"])
+    nrm = np.linalg.norm(m, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    return m / nrm
 
-def embedding_cluster(
-    sf_dir: str,
-    n_clusters: int = 8,
-    n_iter: int = 5,
-    output_path: str | None = None,
-) -> pa.Table | None:
-    """Distributed spherical k-means over the embeddings table — the
-    clustering that semantic dedup (SemDeDup-style), clustered data
-    selection, and diversity-balanced mixing all start from.
 
-    Unlike :func:`ann_ivf` (whose centroids fit on a bounded DRIVER
-    sample — good enough for routing), every Lloyd iteration here scans
-    the FULL table distributed:
-
-    * centroids broadcast once per iteration (``ray.put`` — K×d floats);
-    * one map pass per iteration emits per-batch PARTIAL sums: for each
-      cluster present in the batch, (count, Σ normalized vectors) — K
-      rows per batch, the combiner that keeps the shuffle tiny;
-    * a cluster-keyed ``groupby.map_groups`` folds partials (each group
-      sorted by batch anchor before summation, so floating-point order —
-      and therefore the result — is independent of task scheduling);
-    * the driver updates K centroids (K×d floats of driver state).
-
-    The corpus is re-read per iteration — at 100 TB that is the correct
-    streaming trade (n_iter bounded small); below cluster memory a caller
-    can materialize upstream.  Deterministic: seeded evenly-spaced init on
-    the same bounded sample IVF uses, order-independent folds.
-
-    Output: (vec_id, cluster, cos) — each vector's cluster and its cosine
-    to the final centroid — sorted by vec_id.  No SQL oracle (iterative);
-    pinned by determinism/optimality property tests."""
-    if n_clusters <= 0 or n_iter <= 0:
-        raise ValueError("n_clusters and n_iter must be positive")
+def _kmeans_centroids(ds, n_clusters: int, n_iter: int) -> np.ndarray:
+    """Distributed spherical Lloyd over a (vec_id, embedding) Dataset →
+    final (K, d) unit centroids.  Per iteration: centroids broadcast via
+    ``ray.put``; one map pass emits per-batch PARTIAL (cluster, count,
+    Σvec) rows — the combiner that keeps the shuffle at K rows per batch;
+    a cluster-keyed ``groupby.map_groups`` folds partials in anchor-sorted
+    order (floating-point sums independent of task scheduling); the driver
+    updates K×d floats.  Deterministic: seeded evenly-spaced init on the
+    same bounded head sample ann_ivf uses, order-independent folds.  The
+    corpus is re-read per iteration — the correct streaming trade at
+    100 TB (n_iter bounded small); below cluster memory a caller can
+    materialize upstream."""
     K = int(n_clusters)
-
-    ds = read_parquet_clean(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    # deterministic init: evenly spaced rows of the bounded head sample
     sample = pa.concat_tables(
         b for b in ds.limit(_IVF_SAMPLE_MAX).iter_batches(batch_format="pyarrow")
     )
@@ -3258,18 +3239,12 @@ def embedding_cluster(
     cents = matn[np.linspace(0, matn.shape[0] - 1, K).astype(np.int64)].copy()
     d_dim = cents.shape[1]
 
-    def _normalized(batch: pa.Table) -> np.ndarray:
-        m = _embedding_matrix(batch["embedding"])
-        nrm = np.linalg.norm(m, axis=1, keepdims=True)
-        nrm[nrm == 0] = 1.0
-        return m / nrm
-
     for _ in range(n_iter):
         cref = ray.put(cents)
 
         def _partial(batch: pa.Table, _cref=cref) -> pa.Table:
             c = ray.get(_cref)
-            mn = _normalized(batch)
+            mn = _batch_normalized(batch)
             if mn.shape[0] == 0:
                 return pa.table(
                     {
@@ -3297,14 +3272,20 @@ def embedding_cluster(
         def _fold(group: pa.Table) -> pa.Table:
             # anchor-sorted summation: float adds happen in a fixed order
             # regardless of which worker finished first
-            order = np.argsort(group["anchor"].to_numpy(zero_copy_only=False), kind="stable")
+            order = np.argsort(
+                group["anchor"].to_numpy(zero_copy_only=False), kind="stable"
+            )
             cnt = int(group["count"].to_numpy(zero_copy_only=False).sum())
             vs = group["vsum"].combine_chunks()
-            flat = pc.list_flatten(vs).to_numpy(zero_copy_only=False).reshape(-1, d_dim)
+            flat = pc.list_flatten(vs).to_numpy(zero_copy_only=False).reshape(
+                -1, d_dim
+            )
             total = flat[order].cumsum(axis=0)[-1]
             return pa.table(
                 {
-                    "cluster": pa.array([int(group["cluster"][0].as_py())], pa.int64()),
+                    "cluster": pa.array(
+                        [int(group["cluster"][0].as_py())], pa.int64()
+                    ),
                     "count": pa.array([cnt], pa.int64()),
                     "vsum": pa.array([total], pa.list_(pa.float64())),
                 }
@@ -3312,7 +3293,9 @@ def embedding_cluster(
 
         folded = pa.concat_tables(
             b
-            for b in ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+            for b in ds.map_batches(
+                _partial, batch_format="pyarrow", zero_copy_batch=True
+            )
             .groupby("cluster")
             .map_groups(_fold, batch_format="pyarrow")
             .iter_batches(batch_format="pyarrow")
@@ -3328,13 +3311,36 @@ def embedding_cluster(
                 v = vv[i] / cn[i]
                 new[c] = v / max(np.linalg.norm(v), 1e-12)
         cents = new
+    return cents
 
-    # final assignment pass
+
+def embedding_cluster(
+    sf_dir: str,
+    n_clusters: int = 8,
+    n_iter: int = 5,
+    output_path: str | None = None,
+) -> pa.Table | None:
+    """Distributed spherical k-means over the embeddings table — the
+    clustering that semantic dedup (:func:`semantic_dedup`), clustered
+    data selection, and diversity-balanced mixing all start from.  Unlike
+    :func:`ann_ivf` (whose centroids fit on a bounded DRIVER sample —
+    good enough for routing), every Lloyd iteration scans the full table
+    distributed; see :func:`_kmeans_centroids` for the iteration shape.
+
+    Output: (vec_id, cluster, cos) — each vector's cluster and its cosine
+    to the final centroid — sorted by vec_id.  No SQL oracle (iterative);
+    pinned by determinism/optimality property tests."""
+    if n_clusters <= 0 or n_iter <= 0:
+        raise ValueError("n_clusters and n_iter must be positive")
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cents = _kmeans_centroids(ds, n_clusters, n_iter)
     cref = ray.put(cents)
 
     def _assign(batch: pa.Table, _cref=cref) -> pa.Table:
         c = ray.get(_cref)
-        mn = _normalized(batch)
+        mn = _batch_normalized(batch)
         sims = mn @ c.T
         a = np.argmax(sims, axis=1)
         return pa.table(
@@ -3348,4 +3354,108 @@ def embedding_cluster(
         )
 
     out = ds.map_batches(_assign, batch_format="pyarrow", zero_copy_batch=True)
+    return _sink_or_table(out, output_path, "vec_id")
+
+
+_SEMANTIC_MAX_CLUSTER = 8192  # per-cluster pair matrix bound; larger logged, passed through
+
+
+def semantic_dedup(
+    sf_dir: str,
+    n_clusters: int = 8,
+    n_iter: int = 3,
+    threshold: float = 0.97,
+    output_path: str | None = None,
+) -> pa.Table | None:
+    """SemDeDup-style semantic deduplication: k-means the embedding space
+    (:func:`_kmeans_centroids`), then WITHIN each cluster connect vectors
+    whose cosine exceeds ``threshold`` and keep one representative (the
+    minimum vec_id) per connected component.  Cross-cluster near-dups are
+    not examined — the standard SemDeDup trade; raise ``n_clusters`` for
+    tighter clusters, lower it for higher recall.
+
+    Distributed shape: after the centroid fit, ONE pipeline — a map pass
+    tags each batch with its cluster (broadcast centroids; the corpus
+    never lands on the driver), then the cluster assignment IS the
+    partitioning key for a single ``groupby.map_groups``: in-group
+    vectorized pair matrix + min-label propagation connected components
+    (no Python loop over rows).  Per-group memory is O(n_c²) bits for the
+    adjacency — size ``n_clusters`` ≈ N/1000 in production; groups beyond
+    ``_SEMANTIC_MAX_CLUSTER`` are passed through UNDEDUPED and counted
+    loudly (no silent coverage caps).
+
+    Output: (vec_id, cluster, keep_id, kept) for every vector, sorted by
+    vec_id — ``keep_id`` is its component representative; filter
+    ``kept == true`` for the surviving corpus.  Iterative + approximate
+    (cluster-local), so rows-only; pinned by property tests."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cents = _kmeans_centroids(ds, n_clusters, n_iter)
+    cref = ray.put(cents)
+
+    def _tag(batch: pa.Table, _cref=cref) -> pa.Table:
+        c = ray.get(_cref)
+        mn = _batch_normalized(batch)
+        a = np.argmax(mn @ c.T, axis=1)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].combine_chunks(),
+                "cluster": pa.array(a.astype(np.int64), pa.int64()),
+                "embedding": batch["embedding"].combine_chunks(),
+            }
+        )
+
+    def _dedup_group(group: pa.Table) -> pa.Table:
+        ids = group["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        n = ids.size
+        cluster = int(group["cluster"][0].as_py())
+        if n > _SEMANTIC_MAX_CLUSTER:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "semantic_dedup: cluster %d has %d members (> cap %d); "
+                "passed through undeduped — raise n_clusters",
+                cluster, n, _SEMANTIC_MAX_CLUSTER,
+            )
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "cluster": pa.array(np.full(n, cluster), pa.int64()),
+                    "keep_id": pa.array(ids, pa.int64()),
+                    "kept": pa.array(np.ones(n, bool)),
+                }
+            )
+        mn = _batch_normalized(group)[order]
+        adj = (mn @ mn.T) > threshold
+        np.fill_diagonal(adj, True)
+        # connected components by min-label propagation: each round every
+        # node takes the min label among its neighbors; converges within
+        # the component diameter (near-dup components are small and dense)
+        labels = np.arange(n, dtype=np.int64)
+        while True:
+            neigh_min = np.where(adj, labels[None, :], n).min(axis=1)
+            new = np.minimum(labels, neigh_min)
+            if (new == labels).all():
+                break
+            labels = new
+        keep_id = ids[labels]  # min vec_id per component (ids sorted asc)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(np.full(n, cluster), pa.int64()),
+                "keep_id": pa.array(keep_id, pa.int64()),
+                "kept": pa.array(keep_id == ids),
+            }
+        )
+
+    out = (
+        ds.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cluster")
+        .map_groups(_dedup_group, batch_format="pyarrow")
+    )
     return _sink_or_table(out, output_path, "vec_id")
