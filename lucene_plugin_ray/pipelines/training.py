@@ -3227,16 +3227,27 @@ def _kmeans_centroids(ds, n_clusters: int, n_iter: int) -> np.ndarray:
     same bounded head sample ann_ivf uses, order-independent folds.  The
     corpus is re-read per iteration — the correct streaming trade at
     100 TB (n_iter bounded small); below cluster memory a caller can
-    materialize upstream."""
+    materialize upstream.
+
+    Fewer sample rows than ``n_clusters`` yields fewer (unique) centroids
+    rather than duplicates; an empty table raises."""
+    if n_clusters <= 0 or n_iter <= 0:
+        raise ValueError("n_clusters and n_iter must be positive")
     K = int(n_clusters)
-    sample = pa.concat_tables(
+    tables = [
         b for b in ds.limit(_IVF_SAMPLE_MAX).iter_batches(batch_format="pyarrow")
-    )
-    mat = _embedding_matrix(sample["embedding"])
-    norm = np.linalg.norm(mat, axis=1, keepdims=True)
-    norm[norm == 0] = 1.0
-    matn = mat / norm
-    cents = matn[np.linspace(0, matn.shape[0] - 1, K).astype(np.int64)].copy()
+    ]
+    if not tables:
+        raise ValueError("embeddings table is empty — nothing to cluster")
+    sample = pa.concat_tables(tables)
+    if sample.num_rows == 0:
+        raise ValueError("embeddings table is empty — nothing to cluster")
+    matn = _batch_normalized(sample)
+    init_idx = np.unique(
+        np.linspace(0, matn.shape[0] - 1, K).astype(np.int64)
+    )  # n < K collapses to n distinct centroids, never duplicates
+    cents = matn[init_idx].copy()
+    K = cents.shape[0]
     d_dim = cents.shape[1]
 
     for _ in range(n_iter):
@@ -3341,6 +3352,14 @@ def embedding_cluster(
     def _assign(batch: pa.Table, _cref=cref) -> pa.Table:
         c = ray.get(_cref)
         mn = _batch_normalized(batch)
+        if mn.shape[0] == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "cos": pa.array([], pa.float64()),
+                }
+            )
         sims = mn @ c.T
         a = np.argmax(sims, axis=1)
         return pa.table(
@@ -3348,7 +3367,9 @@ def embedding_cluster(
                 "vec_id": batch["vec_id"].combine_chunks(),
                 "cluster": pa.array(a.astype(np.int64), pa.int64()),
                 "cos": pa.array(
-                    np.round(sims[np.arange(a.size), a], 6), pa.float64()
+                    # 5 decimals: the embedding-op precision convention
+                    # (embedding_dedup, ann_topk)
+                    np.round(sims[np.arange(a.size), a], 5), pa.float64()
                 ),
             }
         )
@@ -3369,7 +3390,8 @@ def semantic_dedup(
 ) -> pa.Table | None:
     """SemDeDup-style semantic deduplication: k-means the embedding space
     (:func:`_kmeans_centroids`), then WITHIN each cluster connect vectors
-    whose cosine exceeds ``threshold`` and keep one representative (the
+    whose cosine is ≥ ``threshold`` (inclusive, so ``threshold=1.0`` means
+    "exact-duplicate directions only") and keep one representative (the
     minimum vec_id) per connected component.  Cross-cluster near-dups are
     not examined — the standard SemDeDup trade; raise ``n_clusters`` for
     tighter clusters, lower it for higher recall.
@@ -3379,10 +3401,12 @@ def semantic_dedup(
     never lands on the driver), then the cluster assignment IS the
     partitioning key for a single ``groupby.map_groups``: in-group
     vectorized pair matrix + min-label propagation connected components
-    (no Python loop over rows).  Per-group memory is O(n_c²) bits for the
-    adjacency — size ``n_clusters`` ≈ N/1000 in production; groups beyond
-    ``_SEMANTIC_MAX_CLUSTER`` are passed through UNDEDUPED and counted
-    loudly (no silent coverage caps).
+    (no Python loop over rows).  Per-group memory is O(n_c²) — dominated
+    by the float64 pair matrix (~512 MB at the 8192-row cap, transient)
+    and one reusable int32 propagation buffer (~256 MB); size
+    ``n_clusters`` ≈ N/1000 in production so groups stay far below the
+    cap, and groups beyond ``_SEMANTIC_MAX_CLUSTER`` are passed through
+    UNDEDUPED and counted loudly (no silent coverage caps).
 
     Output: (vec_id, cluster, keep_id, kept) for every vector, sorted by
     vec_id — ``keep_id`` is its component representative; filter
@@ -3390,6 +3414,8 @@ def semantic_dedup(
     (cluster-local), so rows-only; pinned by property tests."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError("threshold must be in (0, 1]")
+    if n_clusters <= 0 or n_iter <= 0:
+        raise ValueError("n_clusters and n_iter must be positive")
     ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
@@ -3399,6 +3425,14 @@ def semantic_dedup(
     def _tag(batch: pa.Table, _cref=cref) -> pa.Table:
         c = ray.get(_cref)
         mn = _batch_normalized(batch)
+        if mn.shape[0] == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "embedding": batch["embedding"].combine_chunks(),
+                }
+            )
         a = np.argmax(mn @ c.T, axis=1)
         return pa.table(
             {
@@ -3431,15 +3465,23 @@ def semantic_dedup(
                 }
             )
         mn = _batch_normalized(group)[order]
-        adj = (mn @ mn.T) > threshold
+        sims = mn @ mn.T
+        adj = sims >= threshold  # inclusive: 1.0 connects exact duplicates
+        del sims  # only the boolean adjacency is needed past this point
         np.fill_diagonal(adj, True)
         # connected components by min-label propagation: each round every
         # node takes the min label among its neighbors; converges within
-        # the component diameter (near-dup components are small and dense)
-        labels = np.arange(n, dtype=np.int64)
+        # the component diameter (near-dup components are small and dense).
+        # One reusable int32 buffer — no fresh n×n temp per round:
+        # buf = labels[j] + n where not adjacent, labels[j] where adjacent,
+        # so non-neighbors (≥ n) never win the row min.
+        notadj = ~adj
+        buf = np.empty((n, n), np.int32)
+        labels = np.arange(n, dtype=np.int32)
         while True:
-            neigh_min = np.where(adj, labels[None, :], n).min(axis=1)
-            new = np.minimum(labels, neigh_min)
+            np.multiply(notadj, np.int32(n), out=buf)
+            buf += labels[None, :]
+            new = np.minimum(labels, buf.min(axis=1))
             if (new == labels).all():
                 break
             labels = new

@@ -1,6 +1,6 @@
-"""embedding_cluster (distributed Lloyd k-means) property tests — the op is
-iterative (no SQL oracle): determinism, full assignment, and that the final
-assignment is argmax-optimal against centroids recovered from the output."""
+"""embedding_cluster / semantic_dedup property tests — iterative ops (no
+SQL oracle): determinism, full assignment, argmax-optimality against the
+op's own recomputed centroids, and SemDeDup keeper/threshold invariants."""
 
 import numpy as np
 import pyarrow as pa
@@ -34,17 +34,25 @@ def test_embedding_cluster_properties(ray_session):
     assert (g["vec_id"].to_numpy(zero_copy_only=False) == ids).all()
     cl = g["cluster"].to_numpy(zero_copy_only=False)
     assert set(np.unique(cl)) <= set(range(4))
-    # recover centroids as the spherical mean of each cluster's members:
-    # ONE MORE Lloyd half-step — every vector must already be nearest its
-    # own cluster's centroid direction more often than chance, and the
-    # reported cos must equal the true cosine to the recovered... the op's
-    # own centroids aren't exposed, so check cos is a real cosine bound
     cos = g["cos"].to_numpy(zero_copy_only=False)
     assert (cos <= 1.0 + 1e-9).all() and (cos >= -1.0 - 1e-9).all()
-    # clustering beats random: mean cos-to-own-centroid exceeds the mean
-    # pairwise cosine of the corpus (a weak but real separation bound)
-    overall = float((mn @ mn.mean(axis=0)).mean())
-    assert cos.mean() > overall - 1e-9
+    # argmax-optimality: recompute the deterministic centroids with the
+    # op's own fit and check every vector is assigned its NEAREST centroid
+    # and the reported cos is the true cosine (to 5-decimal rounding)
+    from lucene_plugin_ray.pipelines.training import _kmeans_centroids
+
+    cents = _kmeans_centroids(
+        read_parquet_clean(
+            f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ),
+        n_clusters=4,
+        n_iter=3,
+    )
+    sims = mn @ cents.T
+    assert (sims.argmax(axis=1) == cl).all()
+    np.testing.assert_allclose(
+        cos, np.round(sims[np.arange(ids.size), cl], 5), atol=1e-9
+    )
 
 
 def test_embedding_cluster_deterministic(ray_session):
