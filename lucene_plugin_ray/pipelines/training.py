@@ -20,6 +20,13 @@ Ray-Data-first over the driver testdata tables (TESTDATA.md):
   tumbling-window aggregate (combiner → keyed fold, exact integer sums),
   as-of + range/band joins and gap-based sessionization (all on ONE shared
   user-keyed shuffle shape → per-group vectorized kernels);
+* corpus statistics + sampling — corpus bigram count tables
+  (ngram_counts), per-source profiles and quota sampling (source_stats,
+  source_sample), per-doc TF-IDF keyword extraction against a broadcast
+  vocabulary (tfidf_topk);
+* embedding-space curation — distributed spherical k-means
+  (embedding_cluster) and SemDeDup-style within-cluster semantic dedup
+  (semantic_dedup);
 * the composed corpus-curation chain (quality + language filter + exact
   normalized dedup in one streaming DAG with a map-side filter before the
   only shuffle).
