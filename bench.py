@@ -269,6 +269,10 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     training.tfidf_topk(sf_dir)
     queries["tfidf_topk"] = round(time.monotonic() - t1, 3)
 
+    t1 = time.monotonic()
+    training.semantic_dedup(sf_dir, n_clusters=8, n_iter=3)
+    queries["semantic_dedup"] = round(time.monotonic() - t1, 3)
+
     out["metric"] = "index_build_sec_plus_query_latency"
     out["value"] = round(build_s, 3)
     out["unit"] = "sec"

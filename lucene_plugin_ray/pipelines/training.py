@@ -56,7 +56,12 @@ from lucene_plugin_ray.functions.hashing import (
 )
 from lucene_plugin_ray.sources.reader import read_parquet_clean
 
-def _sink_or_table(out, output_path: str | None, sort_by) -> pa.Table | None:
+def _sink_or_table(
+    out,
+    output_path: str | None,
+    sort_by,
+    empty_schema: "pa.Schema | None" = None,
+) -> pa.Table | None:
     """Terminal step shared by the corpus-sized training ops: with
     ``output_path`` the result streams straight to partitioned Parquet (one
     file per output block — no driver materialization; a failed run re-runs
@@ -69,8 +74,15 @@ def _sink_or_table(out, output_path: str | None, sort_by) -> pa.Table | None:
     tables = [b for b in out.iter_batches(batch_format="pyarrow")]
     if not tables:
         # an all-empty result yields ZERO batches (not one empty batch);
-        # return the schema'd empty table the oracle side produces
-        tables = [out.schema().base_schema.empty_table()]
+        # return the schema'd empty table the oracle side produces.  After
+        # an aggregate, Ray may not know the schema at all (schema() is
+        # None) — callers whose pipeline ends in a groupby pass the
+        # expected schema explicitly.
+        sch = out.schema()
+        arrow_sch = empty_schema if sch is None else sch.base_schema
+        if arrow_sch is None:
+            raise ValueError("empty result with underivable schema")
+        tables = [arrow_sch.empty_table()]
     return pa.concat_tables(tables).sort_by(sort_by)
 
 
@@ -2946,7 +2958,14 @@ def ngram_counts(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    return _sink_or_table(out, output_path, "ngram")
+    return _sink_or_table(
+        out,
+        output_path,
+        "ngram",
+        empty_schema=pa.schema(
+            [("ngram", pa.string()), ("n_occ", pa.int64()), ("n_docs", pa.int64())]
+        ),
+    )
 
 
 def source_stats(sf_dir: str, output_path: str | None = None) -> pa.Table | None:

@@ -155,3 +155,46 @@ def test_ngram_counts_salt_invariance(ray_session, hostile_dir):
     a = training.ngram_counts(hostile_dir, salt_buckets=1).to_pandas()
     b = training.ngram_counts(hostile_dir, salt_buckets=64).to_pandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_ngram_counts_hypothesis_vs_python(ray_session, tmp_path):
+    """Randomized corpora (small alphabet to force shared bigrams across
+    docs) equated against an independent pure-python counter."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["a", "b", "ab", "ba", ""])
+    doc = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+    case = [0]
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=8))
+    def run(texts):
+        case[0] += 1
+        d = tmp_path / f"hyp{case[0]}"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            ),
+            d / "documents.parquet",
+        )
+        got = training.ngram_counts(str(d))
+        occ, docs = Counter(), Counter()
+        for i, t in enumerate(texts):
+            words = [w for w in t.split(" ") if w != ""]
+            bgs = [f"{a} {b}" for a, b in zip(words, words[1:])]
+            occ.update(bgs)
+            docs.update(set(bgs))
+        exp = sorted(occ)
+        assert got["ngram"].to_pylist() == exp
+        assert got["n_occ"].to_pylist() == [occ[g] for g in exp]
+        assert got["n_docs"].to_pylist() == [docs[g] for g in exp]
+
+    run()
