@@ -300,3 +300,66 @@ def test_source_stats_null_n_chars(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     r = got.set_index("source")
     assert r.loc["a", "n_docs"] == 2 and r.loc["a", "total_chars"] == 10
+
+
+def _write_sharded(d, table, n_shards=4):
+    """Write a table as a DIRECTORY of parquet shards — forces Ray to read
+    multiple blocks, exercising the per-batch combiner phases that a
+    single small file (one block) never hits."""
+    sub = d / "documents.parquet"
+    sub.mkdir()
+    n = table.num_rows
+    step = (n + n_shards - 1) // n_shards
+    for i in range(n_shards):
+        piece = table.slice(i * step, step)
+        if piece.num_rows:
+            pq.write_table(piece, sub / f"part-{i}.parquet")
+
+
+def test_source_sample_multiblock_combiner(ray_session, tmp_path):
+    """Two-phase top-N: quota exact even when each source's docs are
+    spread over many input files (per-batch partial top-N → final
+    re-rank), identical to the single-file result."""
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(40)), pa.int64()),
+            "text": pa.array([f"shard doc {i} words {i * 7 % 13}" for i in range(40)], pa.string()),
+            "source": pa.array([f"s{i % 3}" for i in range(40)], pa.string()),
+        }
+    )
+    single = tmp_path / "single"
+    single.mkdir()
+    pq.write_table(docs, single / "documents.parquet")
+    sharded = tmp_path / "sharded"
+    sharded.mkdir()
+    _write_sharded(sharded, docs)
+    a = training.source_sample(str(single), n_per_source=4).to_pandas()
+    b = training.source_sample(str(sharded), n_per_source=4).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert b.groupby("source").size().tolist() == [4, 4, 4]
+
+
+def test_ngram_counts_multiblock(ray_session, tmp_path):
+    """n_docs/n_occ exact across blocks (per-batch partials sum because
+    docs never straddle batches): sharded == single-file == oracle."""
+    texts = ["x y x y", "x y", "y x", "x x x", "", "y y x y"] * 3
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    single = tmp_path / "single"
+    single.mkdir()
+    pq.write_table(docs, single / "documents.parquet")
+    sharded = tmp_path / "sharded"
+    sharded.mkdir()
+    _write_sharded(sharded, docs, n_shards=6)
+    a = training.ngram_counts(str(single)).to_pandas()
+    b = training.ngram_counts(str(sharded)).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    exp = _oracle("ngram_counts", str(single))
+    pd.testing.assert_frame_equal(a, exp, check_dtype=False)
+    # spot: "x y" occurs 2+1+0+0+0+1 = 4 per cycle x3; in 3 docs per cycle
+    r = a.set_index("ngram")
+    assert r.loc["x y", "n_occ"] == 12 and r.loc["x y", "n_docs"] == 9
