@@ -140,7 +140,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from lucene_plugin_ray.pipelines import training
+    from lucene_plugin_ray.pipelines import relational, training
 
     def search_term(sf_dir: str) -> pa.Table:
         return _search_all(sf_dir, _TERM_Q)
@@ -265,6 +265,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": training.tfidf_topk,
         "embedding_cluster": training.embedding_cluster,
         "semantic_dedup": training.semantic_dedup,
+        "paragraph_dedup": training.paragraph_dedup,
+        "length_quantiles": training.length_quantiles,
+        "events_rolling": training.events_rolling,
+        "ann_pq": training.ann_pq,
+        "revenue_by_nation": relational.revenue_by_nation,
     }
 
 
@@ -831,8 +836,94 @@ SELECT ngram,
 FROM b WHERE ngram IS NOT NULL GROUP BY ngram ORDER BY ngram
 """
 
-    # dedup_minhash, simhash, ann_ivf, ann_lsh: approximate / LSH-based — not
-    # SQL-expressible; the driver records rows-only checks.
+    # block-level exact dedup with rewrite: blocks are runs of 16 surviving
+    # surface words (ngram_counts word spec); corpus-first (min packed
+    # (doc_id, block_idx), 20-bit idx) wins; documents re-join survivors.
+    sql["paragraph_dedup"] = """
+WITH w AS (
+  SELECT doc_id, word,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS seq
+  FROM (
+    SELECT doc_id, unnest(words) AS word, unnest(range(1, len(words) + 1)) AS pos
+    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents))
+  WHERE word <> ''
+),
+blk AS (SELECT doc_id, seq // 16 AS bidx,
+               string_agg(word, ' ' ORDER BY seq) AS btext
+        FROM w GROUP BY doc_id, seq // 16),
+win AS (SELECT btext, min(doc_id * 1048576 + bidx) AS winner, count(*) AS n_occ
+        FROM blk GROUP BY btext),
+keep AS (SELECT b.doc_id, b.bidx, b.btext,
+                (v.n_occ = 1 OR b.doc_id * 1048576 + b.bidx = v.winner) AS kept
+         FROM blk b JOIN win v USING (btext)),
+per_doc AS (SELECT doc_id,
+                   count(*) AS n_blocks,
+                   sum(CASE WHEN kept THEN 0 ELSE 1 END) AS n_dup_blocks,
+                   string_agg(CASE WHEN kept THEN btext END, ' '
+                              ORDER BY bidx) AS clean_text
+            FROM keep GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_blocks, 0) AS BIGINT) AS n_blocks,
+       CAST(coalesce(p.n_dup_blocks, 0) AS BIGINT) AS n_dup_blocks,
+       coalesce(p.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+    # exact per-source token-length quantiles: smallest length with
+    # cum·100 ≥ total·p (identical integer threshold on both sides)
+    sql["length_quantiles"] = f"""
+{_toks_cte()},
+dl AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+docs AS (SELECT d.source, coalesce(dl.n, 0) AS n_tokens
+         FROM documents d LEFT JOIN dl USING (doc_id)),
+hist AS (SELECT source, n_tokens, count(*) AS c FROM docs
+         GROUP BY source, n_tokens),
+cum AS (SELECT source, n_tokens, c,
+               sum(c) OVER (PARTITION BY source ORDER BY n_tokens) AS cm,
+               sum(c) OVER (PARTITION BY source) AS total
+        FROM hist),
+q AS (SELECT source,
+             min(CASE WHEN cm * 100 >= total * 10 THEN n_tokens END) AS p10,
+             min(CASE WHEN cm * 100 >= total * 50 THEN n_tokens END) AS p50,
+             min(CASE WHEN cm * 100 >= total * 90 THEN n_tokens END) AS p90,
+             min(CASE WHEN cm * 100 >= total * 99 THEN n_tokens END) AS p99
+      FROM cum GROUP BY source),
+tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        FROM docs GROUP BY source)
+SELECT t.source, t.n_docs, t.sum_tokens,
+       CAST(q.p10 AS BIGINT) AS p10, CAST(q.p50 AS BIGINT) AS p50,
+       CAST(q.p90 AS BIGINT) AS p90, CAST(q.p99 AS BIGINT) AS p99
+FROM tot t JOIN q USING (source) ORDER BY t.source
+"""
+
+    # trailing 1-hour RANGE frame (peers at the anchor ts included)
+    sql["events_rolling"] = """
+SELECT event_id, user_id, ts,
+       CAST(count(*) OVER w AS BIGINT) AS n_win,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+         AS win_sum_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+    sql["revenue_by_nation"] = """
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name ORDER BY n.n_name
+"""
+
+    # dedup_minhash, simhash, ann_ivf, ann_lsh, ann_pq: approximate /
+    # LSH/PQ-based — not SQL-expressible; the driver records rows-only
+    # checks (ann_pq recall vs exact ann_topk pinned in tests).
     # embedding_cluster / semantic_dedup: iterative (distributed Lloyd
     # k-means; SemDeDup keep-per-component) — rows-only; pinned by
     # determinism/assignment property tests (tests/test_kmeans.py).

@@ -233,7 +233,7 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
         ray.shutdown()
         return out
 
-    from lucene_plugin_ray.pipelines import training
+    from lucene_plugin_ray.pipelines import relational, training
     from lucene_plugin_ray.stages.term_stats import term_stats
 
     t1 = time.monotonic()
@@ -272,6 +272,18 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     t1 = time.monotonic()
     training.semantic_dedup(sf_dir, n_clusters=8, n_iter=3)
     queries["semantic_dedup"] = round(time.monotonic() - t1, 3)
+
+    t1 = time.monotonic()
+    training.paragraph_dedup(sf_dir)
+    queries["paragraph_dedup"] = round(time.monotonic() - t1, 3)
+
+    t1 = time.monotonic()
+    training.events_rolling(sf_dir)
+    queries["events_rolling"] = round(time.monotonic() - t1, 3)
+
+    t1 = time.monotonic()
+    relational.revenue_by_nation(sf_dir)
+    queries["revenue_by_nation"] = round(time.monotonic() - t1, 3)
 
     out["metric"] = "index_build_sec_plus_query_latency"
     out["value"] = round(build_s, 3)

@@ -3527,3 +3527,480 @@ def semantic_dedup(
         .map_groups(_dedup_group, batch_format="pyarrow")
     )
     return _sink_or_table(out, output_path, "vec_id")
+
+
+# ---------------------------------------------------------------------------
+# block-level (paragraph) exact dedup
+# ---------------------------------------------------------------------------
+
+_PARA_BLOCK_WORDS = 16  # words per non-overlapping block
+_PARA_IDX_BITS = 20     # block index packed into the low bits of doc_id<<20
+
+
+def _word_blocks(batch: pa.Table, w: int):
+    """Non-overlapping ``w``-word blocks of each document (surface-word spec
+    — :func:`_surface_words`; the last block may be shorter).  Returns
+    ``(block_row, block_idx, block_text, word_row, flat_words, block_sizes)``
+    where ``block_row``/``word_row`` index into the batch's rows.  Blocks of
+    one document never straddle batches (documents are rows)."""
+    text = pc.cast(batch["text"].combine_chunks(), pa.string())
+    parents, flat = _surface_words(text)
+    if parents.size == 0:
+        empty = pa.array([], pa.string())
+        z = np.empty(0, np.int64)
+        return z, z, empty, parents, flat, z
+    seq = _run_ranks(parents)
+    bidx = (seq // w).astype(np.int64)
+    # consecutive runs of (doc row, block idx) — parents ascend, bidx
+    # ascends within each parent, so the combined key is sorted
+    key = (parents << _PARA_IDX_BITS) | bidx
+    starts = _run_starts(key)
+    offsets = np.concatenate([starts, [key.size]]).astype(np.int32)
+    lst = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()), flat.combine_chunks()
+        if isinstance(flat, pa.ChunkedArray) else flat
+    )
+    btext = pc.binary_join(lst, " ")
+    sizes = np.diff(offsets).astype(np.int64)
+    return parents[starts], bidx[starts], btext, parents, flat, sizes
+
+
+def _packed_block_key(doc_ids: np.ndarray, bidx: np.ndarray) -> np.ndarray:
+    """(doc_id, block_idx) packed into one int64 so "first occurrence" is a
+    single builtin Min aggregate (the corpus_curation packed-Min pattern)."""
+    if doc_ids.size and int(doc_ids.max()) >= (1 << (63 - _PARA_IDX_BITS)):
+        raise ValueError("doc_id exceeds the 43-bit packing bound")
+    if bidx.size and int(bidx.max()) >= (1 << _PARA_IDX_BITS):
+        raise ValueError(
+            f"document has more than 2^{_PARA_IDX_BITS} blocks"
+        )
+    return (doc_ids << _PARA_IDX_BITS) | bidx
+
+
+def paragraph_dedup(
+    sf_dir: str,
+    block_words: int = _PARA_BLOCK_WORDS,
+    output_path: str | None = None,
+) -> pa.Table | None:
+    """Block-level exact dedup with document REWRITE (the CCNet/RefinedWeb
+    "drop duplicated paragraphs" pass): documents are cut into consecutive
+    non-overlapping ``block_words``-word blocks; a block whose exact text
+    occurred earlier in corpus order (min (doc_id, block_idx) wins) is
+    removed, and each document is re-assembled from its surviving blocks.
+
+    Distributed shape (two map passes + ONE small shuffle, no strings
+    through the exchange):
+
+    1. map: blocks per batch → (sha256(block), packed (doc_id, idx)) —
+       32-byte uniform keys, no skew;
+    2. ``groupby(sha).aggregate(Min(packed), Count)`` → groups with
+       count > 1 are the duplicate-block table (output-sized: one row per
+       DISTINCT duplicated block);
+    3. the dup table (sha → winner) broadcasts once via ``ray.put`` and a
+       second map pass recomputes blocks, drops losers, and re-joins each
+       document's surviving words IN-BATCH — no doc-keyed shuffle, because a
+       document's blocks never leave their batch.
+
+    The broadcast side is the distinct-duplicate table, same bound as
+    :func:`doc_dup_stats`; for boilerplate-heavy corpora whose dup table
+    exceeds worker memory, step 3 becomes the documented ``Dataset.join``
+    fallback (doc_dup_stats ``strategy='join'`` shows the exact shape).
+
+    Output: (doc_id, n_blocks, n_dup_blocks, clean_text), sorted by doc_id.
+    """
+    from ray.data.aggregate import Count, Min
+
+    if block_words <= 0:
+        raise ValueError("block_words must be positive")
+
+    def _block_rows(batch: pa.Table) -> pa.Table:
+        brow, bidx, btext, _, _, _ = _word_blocks(batch, block_words)
+        doc_ids = (
+            batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)[brow]
+            if brow.size
+            else np.empty(0, np.int64)
+        )
+        return pa.table(
+            {
+                "block_sha": sha256_column(btext),
+                "packed": pa.array(
+                    _packed_block_key(doc_ids.astype(np.int64), bidx),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    dup = (
+        ds.map_batches(_block_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("block_sha")
+        .aggregate(
+            Min("packed", alias_name="min_packed"), Count(alias_name="n_occ")
+        )
+        .filter(expr="n_occ > 1")
+    )
+    dup_tables = [b for b in dup.iter_batches(batch_format="pyarrow")]
+    if dup_tables:
+        dup_tbl = pa.concat_tables(dup_tables)
+    else:
+        dup_tbl = pa.table(
+            {
+                "block_sha": pa.array([], pa.string()),
+                "min_packed": pa.array([], pa.int64()),
+                "n_occ": pa.array([], pa.int64()),
+            }
+        )
+    dup_sha_ref = ray.put(dup_tbl["block_sha"].combine_chunks())
+    dup_win_ref = ray.put(
+        dup_tbl["min_packed"].combine_chunks().to_numpy(zero_copy_only=False)
+    )
+
+    def _apply(batch: pa.Table) -> pa.Table:
+        dup_sha = ray.get(dup_sha_ref)
+        dup_win = ray.get(dup_win_ref)
+        n = batch.num_rows
+        doc_col = batch["doc_id"].combine_chunks()
+        brow, bidx, btext, wrow, flat, sizes = _word_blocks(batch, block_words)
+        doc_ids = doc_col.to_numpy(zero_copy_only=False)
+        packed = _packed_block_key(doc_ids[brow].astype(np.int64), bidx)
+        pos = pc.index_in(sha256_column(btext), value_set=dup_sha)
+        in_dup = pos.is_valid().to_numpy(zero_copy_only=False)
+        idx = pc.fill_null(pos, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep_block = (
+            ~in_dup | (packed == dup_win[idx]) if dup_win.size else ~in_dup
+        )
+        # expand block verdicts to words, re-join survivors per document
+        keep_word = np.repeat(keep_block, sizes)
+        kept_parents = wrow[keep_word]
+        kept_flat = flat.filter(pa.array(keep_word)) if len(flat) else flat
+        lengths = np.bincount(kept_parents, minlength=n).astype(np.int64)
+        offsets = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int32)
+        lst = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            kept_flat.combine_chunks()
+            if isinstance(kept_flat, pa.ChunkedArray)
+            else kept_flat,
+        )
+        clean = pc.binary_join(lst, " ")
+        n_blocks = np.bincount(brow, minlength=n).astype(np.int64)
+        n_dup = np.bincount(brow[~keep_block], minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": doc_col,
+                "n_blocks": pa.array(n_blocks, type=pa.int64()),
+                "n_dup_blocks": pa.array(n_dup, type=pa.int64()),
+                "clean_text": clean,
+            }
+        )
+
+    out = ds.map_batches(_apply, batch_format="pyarrow", zero_copy_batch=True)
+    return _sink_or_table(out, output_path, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# corpus length distribution (exact quantiles from a bounded histogram)
+# ---------------------------------------------------------------------------
+
+_LQ_PERCENTS = (10, 50, 90, 99)
+
+
+def length_quantiles(
+    sf_dir: str, percents: tuple[int, ...] = _LQ_PERCENTS
+) -> pa.Table:
+    """Per-source EXACT token-length quantiles — the length-filter calibration
+    stat every curation pipeline computes before choosing min/max-length
+    cutoffs.
+
+    Exact at any scale without a sort: per-batch histogram combiner (one
+    (source, n_tokens, count) row per distinct length per batch), a tiny
+    ``groupby(source, n_tokens)`` fold, then quantiles read off the merged
+    histogram on the driver.  The shuffle and the driver table are bounded
+    by |sources| × |distinct lengths| (≤ a few thousand rows even at 100 TB
+    — document length is bounded), never by the corpus.  All thresholds are
+    integer arithmetic (``cum·100 ≥ total·p``) so both engine and oracle
+    pick the identical order statistic: the smallest length with at least
+    ⌈p%⌉ of documents at or below it.
+
+    Output: (source, n_docs, sum_tokens, p10, p50, p90, p99), by source."""
+    from ray.data.aggregate import Sum
+
+    if not percents or any(not (0 < p <= 100) for p in percents):
+        raise ValueError("percents must be in (0, 100]")
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        _, _, dl = tokenize_column(
+            pc.cast(batch["text"].combine_chunks(), pa.string())
+        )
+        t = pa.table(
+            {
+                "source": batch["source"].combine_chunks(),
+                "n_tokens": pa.array(dl.astype(np.int64), type=pa.int64()),
+            }
+        )
+        agg = t.group_by(["source", "n_tokens"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "source": agg["source"].combine_chunks(),
+                "n_tokens": agg["n_tokens"].combine_chunks(),
+                "c": pc.cast(agg["count_all"], pa.int64()),
+            }
+        )
+
+    hist_ds = (
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "n_tokens"])
+        .aggregate(Sum("c", alias_name="n"))
+    )
+    tables = [b for b in hist_ds.iter_batches(batch_format="pyarrow")]
+    empty_cols = {
+        "source": pa.array([], pa.string()),
+        "n_docs": pa.array([], pa.int64()),
+        "sum_tokens": pa.array([], pa.int64()),
+        **{f"p{p}": pa.array([], pa.int64()) for p in percents},
+    }
+    if not tables:
+        return pa.table(empty_cols)
+    hist = pa.concat_tables(tables).sort_by(
+        [("source", "ascending"), ("n_tokens", "ascending")]
+    )
+    src = hist["source"].to_numpy(zero_copy_only=False)
+    lens = hist["n_tokens"].to_numpy(zero_copy_only=False)
+    cnt = pc.cast(hist["n"], pa.int64()).to_numpy(zero_copy_only=False)
+    starts = _run_starts(src)
+    bounds = np.concatenate([starts, [src.size]])
+    rows: dict[str, list] = {k: [] for k in empty_cols}
+    for i in range(starts.size):
+        lo, hi = bounds[i], bounds[i + 1]
+        c = cnt[lo:hi]
+        v = lens[lo:hi]  # ascending within the source group
+        cum = np.cumsum(c)
+        total = int(cum[-1])
+        rows["source"].append(str(src[lo]))
+        rows["n_docs"].append(total)
+        rows["sum_tokens"].append(int((v * c).sum()))
+        for p in percents:
+            j = int(np.searchsorted(cum * 100, total * p, side="left"))
+            rows[f"p{p}"].append(int(v[min(j, v.size - 1)]))
+    return pa.table(
+        {
+            "source": pa.array(rows["source"], pa.string()),
+            "n_docs": pa.array(rows["n_docs"], pa.int64()),
+            "sum_tokens": pa.array(rows["sum_tokens"], pa.int64()),
+            **{
+                f"p{p}": pa.array(rows[f"p{p}"], pa.int64()) for p in percents
+            },
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# rolling (RANGE) window aggregate over the events stream
+# ---------------------------------------------------------------------------
+
+_ROLLING_US = 3_600_000_000  # 1-hour trailing window
+
+
+def events_rolling(sf_dir: str, output_path: str | None = None) -> pa.Table | None:
+    """Per-event trailing-window aggregate: for every event, the count and
+    exact integer-cents value sum of the SAME user's events with
+    ``ts ∈ [event.ts − 1 h, event.ts]`` — SQL RANGE-frame semantics, so ALL
+    events sharing the anchor timestamp are peers and included regardless of
+    row order (deterministic under shuffle nondeterminism).
+
+    Same one-shuffle shape as the rest of the events family: hash-partition
+    by user_id, then a per-group vectorized kernel — sort by ts once, two
+    ``searchsorted`` calls give every window's bounds, and a prefix sum
+    turns them into sums (no per-event rescans: O(n log n) per user, not
+    O(n·w)).  Money doubles fold as integer cents (events_window's exactness
+    rule).  Whale-user caveat as events_asof: one user's events must fit a
+    group.
+
+    Output: (event_id, user_id, ts, n_win, win_sum_cents), by event_id."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def _roll(group: pa.Table) -> pa.Table:
+        ts = pc.cast(group["ts"].combine_chunks(), pa.int64()).to_numpy()
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        cents = (
+            pc.cast(pc.round(pc.multiply(group["value"], 100.0)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        order = np.argsort(ts, kind="stable")
+        ts_s, cents_s = ts[order], cents[order]
+        lo = np.searchsorted(ts_s, ts_s - _ROLLING_US, side="left")
+        hi = np.searchsorted(ts_s, ts_s, side="right")  # peers included
+        csum = np.concatenate([[0], np.cumsum(cents_s)])
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order], type=pa.int64()),
+                "user_id": pa.array(uid[order], type=pa.int64()),
+                "ts": pc.cast(
+                    pa.array(ts_s, type=pa.int64()), pa.timestamp("us")
+                ),
+                "n_win": pa.array((hi - lo).astype(np.int64), type=pa.int64()),
+                "win_sum_cents": pa.array(
+                    csum[hi] - csum[lo], type=pa.int64()
+                ),
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(_roll, batch_format="pyarrow")
+    return _sink_or_table(out, output_path, "event_id")
+
+
+# ---------------------------------------------------------------------------
+# product-quantization ANN (ADC + in-batch exact re-rank)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8        # subspaces
+_PQ_CODES = 16   # centroids per subspace (4-bit codes)
+_PQ_ITERS = 8    # codebook k-means iterations (bounded sample, driver-side)
+_PQ_RERANK = 4   # exact re-rank pool = _PQ_RERANK × k ADC candidates / batch
+
+
+def _pq_codebooks(matn: np.ndarray, m: int, ncodes: int) -> np.ndarray:
+    """Per-subspace plain-L2 k-means codebooks over a normalized sample —
+    deterministic (evenly-spaced seed rows, fixed iteration count, empty
+    clusters keep their previous centroid).  Returns (m, ncodes, d/m)."""
+    n, d = matn.shape
+    if d % m:
+        raise ValueError(f"embedding dim {d} not divisible by m={m}")
+    sub_d = d // m
+    ncodes = min(ncodes, n)
+    books = np.empty((m, ncodes, sub_d), np.float64)
+    seed = np.linspace(0, n - 1, ncodes).astype(np.int64)
+    for mm in range(m):
+        sub = matn[:, mm * sub_d : (mm + 1) * sub_d]
+        cents = sub[seed].copy()
+        for _ in range(_PQ_ITERS):
+            d2 = (
+                -2.0 * (sub @ cents.T)
+                + (cents * cents).sum(axis=1)[None, :]
+            )  # ‖x‖² constant per row — argmin unaffected
+            assign = np.argmin(d2, axis=1)
+            for c in range(ncodes):
+                sel = assign == c
+                if sel.any():
+                    cents[c] = sub[sel].mean(axis=0)
+        books[mm] = cents
+    return books
+
+
+def _pq_encode(mn: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) → (n, m) uint8 PQ codes (nearest codeword per subspace)."""
+    n = mn.shape[0]
+    m, ncodes, sub_d = books.shape
+    codes = np.empty((n, m), np.uint8)
+    for mm in range(m):
+        sub = mn[:, mm * sub_d : (mm + 1) * sub_d]
+        d2 = -2.0 * (sub @ books[mm].T) + (books[mm] * books[mm]).sum(axis=1)[None, :]
+        codes[:, mm] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codes
+
+
+def ann_pq(
+    sf_dir: str, k: int = 10, m: int = _PQ_M, ncodes: int = _PQ_CODES
+) -> pa.Table:
+    """Product-quantization ANN: vectors compress to ``m`` uint8 codes
+    (64-dim float32 = 256 B → 8 B, 32×), queries score candidates by
+    asymmetric distance (per-subspace lookup tables, one add-chain per
+    subspace — no full-dimension dot products), and each batch exact-re-ranks
+    its own top ``_PQ_RERANK·k`` ADC candidates against the raw vectors it
+    already holds before the tiny per-batch top-k merge on the driver.
+
+    The 100-TB shape: codebooks fit from the SAME bounded head sample as
+    ann_ivf (≤ ``_IVF_SAMPLE_MAX`` rows, driver-side, deterministic); the
+    8-byte-per-vector code table is what a memory-resident candidate tier
+    would hold cluster-wide, while raw vectors stream once per query batch.
+    Approximate → rows-only oracle; recall vs the exact ann_topk is pinned
+    in tests."""
+    tables = [
+        b
+        for b in read_parquet_clean(f"{sf_dir}/embeddings.parquet")
+        .limit(_IVF_SAMPLE_MAX)
+        .iter_batches(batch_format="pyarrow")
+    ]
+    if not tables:
+        raise ValueError("embeddings table is empty")
+    sample = pa.concat_tables(tables)
+    books = _pq_codebooks(_batch_normalized(sample), m, ncodes)
+
+    qids, qmat = _query_matrix(sf_dir)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    nq, d = qn.shape
+    sub_d = d // m
+    # ADC lookup tables: lut[j, mm, c] = q_j[sub mm] · codeword c
+    lut = np.einsum("jms,mcs->jmc", qn.reshape(nq, m, sub_d), books)
+    books_ref = ray.put(books)
+    lut_ref = ray.put(lut)
+    q_ref = ray.put(qn)
+    pool = _PQ_RERANK * k
+
+    def _score(batch: pa.Table) -> pa.Table:
+        b = ray.get(books_ref)
+        l = ray.get(lut_ref)
+        q = ray.get(q_ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        mn = _batch_normalized(batch)
+        if mn.shape[0] == 0:
+            return pa.table(
+                {
+                    "qid": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cos": pa.array([], pa.float64()),
+                }
+            )
+        codes = _pq_encode(mn, b)
+        # adc[j, i] = Σ_mm lut[j, mm, codes[i, mm]]
+        adc = np.zeros((q.shape[0], mn.shape[0]), np.float64)
+        for mm in range(b.shape[0]):
+            adc += l[:, mm, codes[:, mm]]
+        out_q, out_v, out_s = [], [], []
+        for j in range(q.shape[0]):
+            c = min(pool, mn.shape[0])
+            cand = np.argpartition(-adc[j], c - 1)[:c]
+            exact = mn[cand] @ q[j]
+            top = cand[np.argsort(-exact, kind="stable")[:k]]
+            out_q.append(np.full(min(k, top.size), qids[j], np.int64))
+            out_v.append(ids[top])
+            out_s.append(mn[top] @ q[j])
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+                "cos": pa.array(np.concatenate(out_s), type=pa.float64()),
+            }
+        )
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet")
+    parts = pa.concat_tables(
+        b
+        for b in ds.map_batches(
+            _score, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow")
+    )
+    out = []
+    for qid in sorted(set(qids.tolist())):
+        sub = parts.filter(pc.equal(parts["qid"], qid))
+        s = sub["cos"].to_numpy(zero_copy_only=False)
+        v = sub["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, -s))[:k]
+        out.append(
+            pa.table(
+                {
+                    "qid": pa.array(
+                        np.full(order.size, qid, np.int64), type=pa.int64()
+                    ),
+                    "vec_id": pa.array(v[order], type=pa.int64()),
+                    "cos": pa.array(np.round(s[order], 5), type=pa.float64()),
+                }
+            )
+        )
+    return pa.concat_tables(out)

@@ -21,6 +21,8 @@ CHECKED = [
     "repetition_stats", "chunk_text", "text_clean", "dataset_split",
     "decontaminate", "events_props_extract", "pack_sequences",
     "ngram_counts", "source_stats", "tfidf_topk", "source_sample",
+    "paragraph_dedup", "length_quantiles", "events_rolling",
+    "revenue_by_nation",
 ]
 
 
@@ -29,7 +31,7 @@ def harness(ray_session):
     import __ray_entry__ as E
 
     con = duckdb.connect()
-    for t in ["events", "documents", "embeddings"]:
+    for t in ["events", "documents", "embeddings", "orders", "customer", "nation"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     return E, con
 
@@ -113,6 +115,38 @@ def test_ann_lsh_recall(harness):
     assert recall_hits / total >= 0.5
     for q, v, c in zip(
         lsh["qid"].to_pylist(), lsh["vec_id"].to_pylist(), lsh["cos"].to_pylist()
+    ):
+        if (q, v) in exact_sims:
+            assert abs(c - exact_sims[(q, v)]) < 1e-9
+
+
+def test_ann_pq_recall(harness):
+    """PQ-ADC candidates + in-batch exact re-rank: reported similarity must
+    equal the exact cosine for any (qid, vec_id) the exact engine also
+    reports (PQ approximates only the CANDIDATE set — final scores come
+    from raw vectors), and recall vs exact top-k stays usable."""
+    E, _ = harness
+    qs = E.queries()
+    pq_res = qs["ann_pq"](SF)
+    exact = qs["ann_topk"](SF)
+    assert pq_res.num_rows > 0
+    exact_sims = {
+        (q, v): c
+        for q, v, c in zip(
+            exact["qid"].to_pylist(), exact["vec_id"].to_pylist(),
+            exact["cos"].to_pylist(),
+        )
+    }
+    recall_hits, total = 0, 0
+    for qid in set(exact["qid"].to_pylist()):
+        e = {v for q, v in zip(exact["qid"].to_pylist(), exact["vec_id"].to_pylist()) if q == qid}
+        a = {v for q, v in zip(pq_res["qid"].to_pylist(), pq_res["vec_id"].to_pylist()) if q == qid}
+        recall_hits += len(e & a)
+        total += len(e)
+    assert recall_hits / total >= 0.5
+    for q, v, c in zip(
+        pq_res["qid"].to_pylist(), pq_res["vec_id"].to_pylist(),
+        pq_res["cos"].to_pylist(),
     ):
         if (q, v) in exact_sims:
             assert abs(c - exact_sims[(q, v)]) < 1e-9
