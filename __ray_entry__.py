@@ -270,6 +270,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": training.events_rolling,
         "ann_pq": training.ann_pq,
         "revenue_by_nation": relational.revenue_by_nation,
+        "pricing_summary": relational.pricing_summary,
+        "top_suppliers": relational.top_suppliers,
     }
 
 
@@ -908,6 +910,40 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
 ORDER BY event_id
+"""
+
+    # Q1-shaped pricing summary — each FIELD rounds to integer units once
+    # (cents / percent), all derived measures are pure-int products, so the
+    # engine's int64 folds and DuckDB's HUGEINT sums agree exactly
+    sql["pricing_summary"] = """
+WITH u AS (SELECT l_returnflag, l_linestatus,
+                  CAST(round(l_quantity * 100) AS BIGINT) AS qty,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS base,
+                  CAST(round(l_discount * 100) AS BIGINT) AS d,
+                  CAST(round(l_tax * 100) AS BIGINT) AS t
+           FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02')
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(qty) AS BIGINT) AS sum_qty_x100,
+       CAST(sum(base) AS BIGINT) AS sum_base_cents,
+       CAST(sum(base * (100 - d)) AS BIGINT) AS sum_disc_units,
+       CAST(sum(base * (100 - d) * (100 + t)) AS BIGINT) AS sum_charge_units
+FROM u GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+    sql["top_suppliers"] = """
+WITH rev AS (SELECT l_suppkey AS s_suppkey,
+                    CAST(count(*) AS BIGINT) AS n_items,
+                    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                             * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                         AS BIGINT) AS revenue_units
+             FROM lineitem GROUP BY l_suppkey)
+SELECT r.s_suppkey, s.s_name, n.n_name, r.n_items, r.revenue_units
+FROM rev r
+JOIN supplier s USING (s_suppkey)
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+ORDER BY r.revenue_units DESC, r.s_suppkey LIMIT 10
 """
 
     sql["revenue_by_nation"] = """

@@ -31,7 +31,242 @@ import ray
 
 from lucene_plugin_ray.sources.reader import read_parquet_clean
 
-__all__ = ["revenue_by_nation"]
+__all__ = ["revenue_by_nation", "pricing_summary", "top_suppliers"]
+
+_SHIPDATE_CUTOFF_US = 904_694_400_000_000  # 1998-09-02 (Q1's delta anchor)
+
+
+def _lineitem_units(batch: pa.Table) -> dict[str, "np.ndarray"]:
+    """Exact integer measure units shared by the lineitem ops: cents for the
+    base price, integer PERCENT for discount/tax (TPC-H stores both as
+    two-decimal fractions), so the derived measures stay pure-integer —
+    disc_units = cents·(100−d%) [cents×10²], charge_units =
+    disc_units·(100+t%) [cents×10⁴].  No float accumulates; both engine and
+    oracle round each FIELD once, then multiply in int64.  Scale caveat: the
+    cents×10⁴ unit costs ~13 extra bits per row; a 100-TB sum belongs in a
+    decimal128 fold (the int64 Sum here overflows past ~10¹⁸ units)."""
+    base = pc.cast(
+        pc.round(pc.multiply(batch["l_extendedprice"], 100.0)), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+    disc = pc.cast(
+        pc.round(pc.multiply(batch["l_discount"], 100.0)), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+    tax = pc.cast(
+        pc.round(pc.multiply(batch["l_tax"], 100.0)), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+    disc_units = base * (100 - disc)
+    return {
+        "base_cents": base,
+        "disc_units": disc_units,
+        "charge_units": disc_units * (100 + tax),
+    }
+
+
+def pricing_summary(sf_dir: str) -> pa.Table:
+    """TPC-H Q1-shaped pricing summary: per (l_returnflag, l_linestatus)
+    over lineitems shipped on or before 1998-09-02 — exact integer sums of
+    quantity (×100), base price (cents), discounted price (cents×10²) and
+    charge (cents×10⁴), plus the row count.
+
+    The canonical map-side-combiner showcase: the shipdate predicate pushes
+    into the Parquet read (row-group pruning — rows past the cutoff never
+    leave storage), each batch collapses to ≤ 6 rows (3 flags × 2 statuses)
+    via one Acero group_by, and the only exchange is that 6-row-per-batch
+    stream into a tiny groupby.  Nothing here scales with the corpus.
+
+    Output: (l_returnflag, l_linestatus, n_rows, sum_qty_x100,
+    sum_base_cents, sum_disc_units, sum_charge_units), sorted by the two
+    group keys."""
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Sum
+
+    cutoff = pa.scalar(_SHIPDATE_CUTOFF_US, pa.timestamp("us"))
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_shipdate",
+        ],
+        filter=pads.field("l_shipdate") <= cutoff,
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
+        units = _lineitem_units(batch)
+        qty = pc.cast(
+            pc.round(pc.multiply(batch["l_quantity"], 100.0)), pa.int64()
+        )
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"].combine_chunks(),
+                "l_linestatus": batch["l_linestatus"].combine_chunks(),
+                "qty": qty,
+                "base": pa.array(units["base_cents"], pa.int64()),
+                "disc": pa.array(units["disc_units"], pa.int64()),
+                "charge": pa.array(units["charge_units"], pa.int64()),
+            }
+        )
+        agg = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("base", "sum"), ("disc", "sum"),
+             ("charge", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "l_returnflag": agg["l_returnflag"].combine_chunks(),
+                "l_linestatus": agg["l_linestatus"].combine_chunks(),
+                "n_rows": pc.cast(agg["count_all"], pa.int64()),
+                "sum_qty_x100": pc.cast(agg["qty_sum"], pa.int64()),
+                "sum_base_cents": pc.cast(agg["base_sum"], pa.int64()),
+                "sum_disc_units": pc.cast(agg["disc_sum"], pa.int64()),
+                "sum_charge_units": pc.cast(agg["charge_sum"], pa.int64()),
+            }
+        )
+
+    folded = (
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows_f"),
+            Sum("sum_qty_x100", alias_name="qty_f"),
+            Sum("sum_base_cents", alias_name="base_f"),
+            Sum("sum_disc_units", alias_name="disc_f"),
+            Sum("sum_charge_units", alias_name="charge_f"),
+        )
+    )
+    tables = [b for b in folded.iter_batches(batch_format="pyarrow")]
+    if not tables:
+        return pa.table(
+            {
+                "l_returnflag": pa.array([], pa.string()),
+                "l_linestatus": pa.array([], pa.string()),
+                "n_rows": pa.array([], pa.int64()),
+                "sum_qty_x100": pa.array([], pa.int64()),
+                "sum_base_cents": pa.array([], pa.int64()),
+                "sum_disc_units": pa.array([], pa.int64()),
+                "sum_charge_units": pa.array([], pa.int64()),
+            }
+        )
+    t = pa.concat_tables(tables)
+    return pa.table(
+        {
+            "l_returnflag": t["l_returnflag"].combine_chunks(),
+            "l_linestatus": t["l_linestatus"].combine_chunks(),
+            "n_rows": pc.cast(t["n_rows_f"], pa.int64()),
+            "sum_qty_x100": pc.cast(t["qty_f"], pa.int64()),
+            "sum_base_cents": pc.cast(t["base_f"], pa.int64()),
+            "sum_disc_units": pc.cast(t["disc_f"], pa.int64()),
+            "sum_charge_units": pc.cast(t["charge_f"], pa.int64()),
+        }
+    ).sort_by([("l_returnflag", "ascending"), ("l_linestatus", "ascending")])
+
+
+def top_suppliers(sf_dir: str, k: int = 10) -> pa.Table:
+    """Top-``k`` suppliers by discounted lineitem revenue, with their name
+    and nation resolved for the k winners.
+
+    Shape: per-batch combiner collapses lineitems to ≤ |suppliers| rows
+    (supplier is a bounded dimension — TPC-H 10k·SF, never corpus-scaled),
+    ONE suppkey groupby folds the partials; the driver sees |suppliers|
+    rows, takes the top k with a deterministic (revenue desc, suppkey asc)
+    order, and resolves the two dimension lookups for just those k rows —
+    no join stage anywhere.
+
+    Output: (s_suppkey, s_name, n_name, n_items, revenue_units) — revenue
+    in cents×10² (the disc_units scale of :func:`pricing_summary`)."""
+    from ray.data.aggregate import Sum
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        base = pc.cast(
+            pc.round(pc.multiply(batch["l_extendedprice"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        disc = pc.cast(
+            pc.round(pc.multiply(batch["l_discount"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "s_suppkey": batch["l_suppkey"].combine_chunks(),
+                "rev": pa.array(base * (100 - disc), pa.int64()),
+            }
+        )
+        agg = t.group_by("s_suppkey").aggregate(
+            [("rev", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "s_suppkey": pc.cast(agg["s_suppkey"], pa.int64()),
+                "rev": pc.cast(agg["rev_sum"], pa.int64()),
+                "n_items": pc.cast(agg["count_all"], pa.int64()),
+            }
+        )
+
+    folded = (
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("s_suppkey")
+        .aggregate(
+            Sum("rev", alias_name="rev_f"), Sum("n_items", alias_name="items_f")
+        )
+    )
+    tables = [b for b in folded.iter_batches(batch_format="pyarrow")]
+    empty = pa.table(
+        {
+            "s_suppkey": pa.array([], pa.int64()),
+            "s_name": pa.array([], pa.string()),
+            "n_name": pa.array([], pa.string()),
+            "n_items": pa.array([], pa.int64()),
+            "revenue_units": pa.array([], pa.int64()),
+        }
+    )
+    if not tables:
+        return empty
+    t = pa.concat_tables(tables)
+    rev = pc.cast(t["rev_f"], pa.int64()).to_numpy(zero_copy_only=False)
+    supp = pc.cast(t["s_suppkey"], pa.int64()).to_numpy(zero_copy_only=False)
+    items = pc.cast(t["items_f"], pa.int64()).to_numpy(zero_copy_only=False)
+    order = np.lexsort((supp, -rev))[:k]
+
+    supplier = pa.concat_tables(
+        b
+        for b in read_parquet_clean(
+            f"{sf_dir}/supplier.parquet",
+            columns=["s_suppkey", "s_name", "s_nationkey"],
+        ).iter_batches(batch_format="pyarrow")
+    ).sort_by("s_suppkey")
+    nation = pa.concat_tables(
+        b
+        for b in read_parquet_clean(
+            f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+        ).iter_batches(batch_format="pyarrow")
+    ).sort_by("n_nationkey")
+    skeys = supplier["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nkeys = nation["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    spos = np.searchsorted(skeys, supp[order])
+    if spos.size and not (
+        (spos < skeys.size).all()
+        and (skeys[np.minimum(spos, skeys.size - 1)] == supp[order]).all()
+    ):
+        raise ValueError("lineitem references a suppkey absent from supplier")
+    snat = (
+        pc.cast(supplier["s_nationkey"], pa.int64())
+        .to_numpy(zero_copy_only=False)[spos]
+    )
+    npos = np.searchsorted(nkeys, snat)
+    return pa.table(
+        {
+            "s_suppkey": pa.array(supp[order], pa.int64()),
+            "s_name": supplier["s_name"].take(pa.array(spos, pa.int64())),
+            "n_name": nation["n_name"].take(pa.array(npos, pa.int64())),
+            "n_items": pa.array(items[order], pa.int64()),
+            "revenue_units": pa.array(rev[order], pa.int64()),
+        }
+    )
 
 
 def revenue_by_nation(sf_dir: str) -> pa.Table:

@@ -22,7 +22,7 @@ CHECKED = [
     "decontaminate", "events_props_extract", "pack_sequences",
     "ngram_counts", "source_stats", "tfidf_topk", "source_sample",
     "paragraph_dedup", "length_quantiles", "events_rolling",
-    "revenue_by_nation",
+    "revenue_by_nation", "pricing_summary", "top_suppliers",
 ]
 
 
@@ -31,7 +31,8 @@ def harness(ray_session):
     import __ray_entry__ as E
 
     con = duckdb.connect()
-    for t in ["events", "documents", "embeddings", "orders", "customer", "nation"]:
+    for t in ["events", "documents", "embeddings", "orders", "customer",
+              "nation", "lineitem", "supplier"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     return E, con
 

@@ -150,3 +150,88 @@ def test_length_quantiles_validation(ray_session, corpus_dir):
         training.length_quantiles(corpus_dir, percents=(0,))
     with pytest.raises(ValueError):
         training.length_quantiles(corpus_dir, percents=())
+
+
+@pytest.fixture(scope="module")
+def tpch_dir(tmp_path_factory):
+    """Tiny hand-built lineitem/supplier/nation: a revenue TIE between
+    suppliers 1 and 2, one row past the Q1 shipdate cutoff."""
+    d = tmp_path_factory.mktemp("r3tpch")
+    ship_ok = dt.datetime(1997, 1, 1)
+    ship_late = dt.datetime(1999, 1, 1)  # excluded from pricing_summary
+    rows = [
+        # (suppkey, qty, extprice, disc, tax, flag, status, shipdate)
+        (1, 10.0, 100.00, 0.10, 0.05, "A", "F", ship_ok),
+        (2, 20.0, 90.00, 0.00, 0.00, "A", "F", ship_ok),   # 9000*100 = tie
+        (1, 1.0, 500.00, 0.05, 0.08, "R", "O", ship_late),
+        (3, 5.0, 90.00, 0.00, 0.01, "N", "O", ship_ok),
+    ]
+    # revenues: supplier 1 = 900000 + 4750000 (late row), suppliers 2 and 3
+    # TIE at 9000*100 = 900000 → suppkey asc must break the tie
+    pq.write_table(
+        pa.table(
+            {
+                "l_suppkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_quantity": pa.array([r[1] for r in rows], pa.float64()),
+                "l_extendedprice": pa.array([r[2] for r in rows], pa.float64()),
+                "l_discount": pa.array([r[3] for r in rows], pa.float64()),
+                "l_tax": pa.array([r[4] for r in rows], pa.float64()),
+                "l_returnflag": pa.array([r[5] for r in rows], pa.string()),
+                "l_linestatus": pa.array([r[6] for r in rows], pa.string()),
+                "l_shipdate": pa.array([r[7] for r in rows], pa.timestamp("us")),
+            }
+        ),
+        d / "lineitem.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+                "s_name": pa.array(["s-one", "s-two", "s-three"], pa.string()),
+                "s_nationkey": pa.array([0, 1, 0], pa.int32()),
+            }
+        ),
+        d / "supplier.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([0, 1], pa.int32()),
+                "n_name": pa.array(["ALPHA", "BETA"], pa.string()),
+            }
+        ),
+        d / "nation.parquet",
+    )
+    return str(d)
+
+
+def test_pricing_summary_cutoff_and_exact_units(ray_session, tpch_dir):
+    from lucene_plugin_ray.pipelines import relational
+
+    got = relational.pricing_summary(tpch_dir).to_pandas()
+    # the 1999 row is excluded → only (A,F) and (N,O) groups remain
+    assert set(zip(got["l_returnflag"], got["l_linestatus"])) == {
+        ("A", "F"), ("N", "O"),
+    }
+    af = got.set_index(["l_returnflag", "l_linestatus"]).loc[("A", "F")]
+    assert af["n_rows"] == 2
+    assert af["sum_qty_x100"] == 3000
+    assert af["sum_base_cents"] == 10000 + 9000
+    assert af["sum_disc_units"] == 10000 * 90 + 9000 * 100
+    assert af["sum_charge_units"] == 10000 * 90 * 105 + 9000 * 100 * 100
+
+
+def test_top_suppliers_tie_breaks_on_suppkey(ray_session, tpch_dir):
+    from lucene_plugin_ray.pipelines import relational
+
+    got = relational.top_suppliers(tpch_dir, k=2).to_pandas()
+    # supplier 1 leads on the late row's revenue; suppliers 2 and 3 tie at
+    # 900000 — the k=2 boundary must pick the LOWER suppkey (2, not 3)
+    assert list(got["s_suppkey"]) == [1, 2]
+    assert got.iloc[0]["revenue_units"] == 900000 + 50000 * 95
+    assert got.iloc[1]["revenue_units"] == 900000
+    assert list(got["n_name"]) == ["ALPHA", "BETA"]
+    top3 = relational.top_suppliers(tpch_dir, k=3).to_pandas()
+    assert list(top3["s_suppkey"]) == [1, 2, 3]
+    with pytest.raises(ValueError):
+        relational.top_suppliers(tpch_dir, k=0)
