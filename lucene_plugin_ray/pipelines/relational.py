@@ -36,6 +36,22 @@ __all__ = ["revenue_by_nation", "pricing_summary", "top_suppliers"]
 _SHIPDATE_CUTOFF_US = 904_694_400_000_000  # 1998-09-02 (Q1's delta anchor)
 
 
+def _lookup_positions(
+    keys: "pa.ChunkedArray | pa.Array", probe: np.ndarray, missing_msg: str
+) -> np.ndarray:
+    """Positions of ``probe`` values in the SORTED key column; raises
+    ``ValueError(missing_msg)`` on any miss (dangling foreign key) instead
+    of returning a silently-wrong neighbor position."""
+    sorted_keys = pc.cast(keys, pa.int64()).to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(sorted_keys, probe)
+    if probe.size and not (
+        (pos < sorted_keys.size).all()
+        and (sorted_keys[np.minimum(pos, sorted_keys.size - 1)] == probe).all()
+    ):
+        raise ValueError(missing_msg)
+    return pos
+
+
 def _lineitem_units(batch: pa.Table) -> dict[str, "np.ndarray"]:
     """Exact integer measure units shared by the lineitem ops: cents for the
     base price, integer PERCENT for discount/tax (TPC-H stores both as
@@ -231,36 +247,36 @@ def top_suppliers(sf_dir: str, k: int = 10) -> pa.Table:
     supp = pc.cast(t["s_suppkey"], pa.int64()).to_numpy(zero_copy_only=False)
     items = pc.cast(t["items_f"], pa.int64()).to_numpy(zero_copy_only=False)
     order = np.lexsort((supp, -rev))[:k]
+    winners = supp[order]
 
-    supplier = pa.concat_tables(
-        b
-        for b in read_parquet_clean(
-            f"{sf_dir}/supplier.parquet",
-            columns=["s_suppkey", "s_name", "s_nationkey"],
-        ).iter_batches(batch_format="pyarrow")
+    # predicate + column pushdown: only the k winners' rows reach the
+    # driver (_query_matrix pattern — a full supplier read would haul the
+    # whole dimension here just to resolve k keys)
+    import pyarrow.parquet as pq
+
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+        filters=[("s_suppkey", "in", winners.tolist())],
     ).sort_by("s_suppkey")
-    nation = pa.concat_tables(
-        b
-        for b in read_parquet_clean(
-            f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
-        ).iter_batches(batch_format="pyarrow")
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     ).sort_by("n_nationkey")
-    skeys = supplier["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-    nkeys = nation["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-    spos = np.searchsorted(skeys, supp[order])
-    if spos.size and not (
-        (spos < skeys.size).all()
-        and (skeys[np.minimum(spos, skeys.size - 1)] == supp[order]).all()
-    ):
-        raise ValueError("lineitem references a suppkey absent from supplier")
+    spos = _lookup_positions(
+        supplier["s_suppkey"], winners,
+        "lineitem references a suppkey absent from supplier",
+    )
     snat = (
         pc.cast(supplier["s_nationkey"], pa.int64())
         .to_numpy(zero_copy_only=False)[spos]
     )
-    npos = np.searchsorted(nkeys, snat)
+    npos = _lookup_positions(
+        nation["n_nationkey"], snat,
+        "supplier references a nationkey absent from nation",
+    )
     return pa.table(
         {
-            "s_suppkey": pa.array(supp[order], pa.int64()),
+            "s_suppkey": pa.array(winners, pa.int64()),
             "s_name": supplier["s_name"].take(pa.array(spos, pa.int64())),
             "n_name": nation["n_name"].take(pa.array(npos, pa.int64())),
             "n_items": pa.array(items[order], pa.int64()),
@@ -346,9 +362,12 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
         )
         pos = np.searchsorted(keys, nkv)
         if nkv.size and not (
-            (pos < keys.size).all() and (keys[np.minimum(pos, keys.size - 1)] == nkv).all()
+            (pos < keys.size).all()
+            and (keys[np.minimum(pos, keys.size - 1)] == nkv).all()
         ):
-            raise ValueError("customer references a nationkey absent from nation")
+            raise ValueError(
+                "customer references a nationkey absent from nation"
+            )
         t = pa.table(
             {
                 "n_name": names.take(pa.array(pos, type=pa.int64())),

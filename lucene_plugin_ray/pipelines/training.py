@@ -842,6 +842,31 @@ def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     return ids[order], mat[order]
 
 
+def _merge_topk(parts: pa.Table, qids: np.ndarray, k: int) -> pa.Table:
+    """THE driver-side top-k merge shared by every ANN variant (exact, IVF,
+    LSH, PQ): per qid, (cos desc, vec_id asc) over the per-batch partials,
+    scores rounded to 5 — one definition so the approximate ops' score
+    exactness vs :func:`ann_topk` cannot drift."""
+    out = []
+    for qid in sorted(set(qids.tolist())):
+        sub = parts.filter(pc.equal(parts["qid"], qid))
+        s = sub["cos"].to_numpy(zero_copy_only=False)
+        v = sub["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, -s))[:k]
+        out.append(
+            pa.table(
+                {
+                    "qid": pa.array(
+                        np.full(order.size, qid, np.int64), type=pa.int64()
+                    ),
+                    "vec_id": pa.array(v[order], type=pa.int64()),
+                    "cos": pa.array(np.round(s[order], 5), type=pa.float64()),
+                }
+            )
+        )
+    return pa.concat_tables(out)
+
+
 def ann_topk(sf_dir: str, k: int = 10) -> pa.Table:
     """Brute-force cosine top-k: the exact ANN baseline.  Query matrix is
     broadcast once (ray.put); each batch does one float64 matmul; per-batch
@@ -882,23 +907,7 @@ def ann_topk(sf_dir: str, k: int = 10) -> pa.Table:
             ).iter_batches(batch_format="pyarrow")
         ]
     )
-    # driver merge of per-batch top-k
-    out = []
-    for qid in sorted(set(qids.tolist())):
-        sub = parts.filter(pc.equal(parts["qid"], qid))
-        s = sub["cos"].to_numpy(zero_copy_only=False)
-        v = sub["vec_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((v, -s))[:k]
-        out.append(
-            pa.table(
-                {
-                    "qid": pa.array(np.full(order.size, qid, np.int64), type=pa.int64()),
-                    "vec_id": pa.array(v[order], type=pa.int64()),
-                    "cos": pa.array(np.round(s[order], 5), type=pa.float64()),
-                }
-            )
-        )
-    return pa.concat_tables(out)
+    return _merge_topk(parts, qids, k)
 
 
 _IVF_SAMPLE_MAX = 65_536  # centroid-fit sample cap (driver memory bound)
@@ -983,22 +992,7 @@ def ann_ivf(sf_dir: str, k: int = 10, n_cells: int = 8, nprobe: int = 3) -> pa.T
             ).iter_batches(batch_format="pyarrow")
         ]
     )
-    out = []
-    for qid in sorted(set(qids.tolist())):
-        sub = parts.filter(pc.equal(parts["qid"], qid))
-        s = sub["cos"].to_numpy(zero_copy_only=False)
-        v = sub["vec_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((v, -s))[:k]
-        out.append(
-            pa.table(
-                {
-                    "qid": pa.array(np.full(order.size, qid, np.int64), type=pa.int64()),
-                    "vec_id": pa.array(v[order], type=pa.int64()),
-                    "cos": pa.array(np.round(s[order], 5), type=pa.float64()),
-                }
-            )
-        )
-    return pa.concat_tables(out)
+    return _merge_topk(parts, qids, k)
 
 
 # ---------------------------------------------------------------------------
@@ -1644,22 +1638,7 @@ def ann_lsh(sf_dir: str, k: int = 10) -> pa.Table:
             ).iter_batches(batch_format="pyarrow")
         ]
     )
-    out = []
-    for qid in sorted(set(qids.tolist())):
-        sub = parts.filter(pc.equal(parts["qid"], qid))
-        s = sub["cos"].to_numpy(zero_copy_only=False)
-        v = sub["vec_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((v, -s))[:k]
-        out.append(
-            pa.table(
-                {
-                    "qid": pa.array(np.full(order.size, qid, np.int64), type=pa.int64()),
-                    "vec_id": pa.array(v[order], type=pa.int64()),
-                    "cos": pa.array(np.round(s[order], 5), type=pa.float64()),
-                }
-            )
-        )
-    return pa.concat_tables(out)
+    return _merge_topk(parts, qids, k)
 
 
 # corpus-curation thresholds (the composed training-data filter)
@@ -3967,10 +3946,11 @@ def ann_pq(
             c = min(pool, mn.shape[0])
             cand = np.argpartition(-adc[j], c - 1)[:c]
             exact = mn[cand] @ q[j]
-            top = cand[np.argsort(-exact, kind="stable")[:k]]
+            order = np.argsort(-exact, kind="stable")[:k]
+            top = cand[order]
             out_q.append(np.full(min(k, top.size), qids[j], np.int64))
             out_v.append(ids[top])
-            out_s.append(mn[top] @ q[j])
+            out_s.append(exact[order])
         return pa.table(
             {
                 "qid": pa.array(np.concatenate(out_q), type=pa.int64()),
@@ -3986,21 +3966,4 @@ def ann_pq(
             _score, batch_format="pyarrow", zero_copy_batch=True
         ).iter_batches(batch_format="pyarrow")
     )
-    out = []
-    for qid in sorted(set(qids.tolist())):
-        sub = parts.filter(pc.equal(parts["qid"], qid))
-        s = sub["cos"].to_numpy(zero_copy_only=False)
-        v = sub["vec_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((v, -s))[:k]
-        out.append(
-            pa.table(
-                {
-                    "qid": pa.array(
-                        np.full(order.size, qid, np.int64), type=pa.int64()
-                    ),
-                    "vec_id": pa.array(v[order], type=pa.int64()),
-                    "cos": pa.array(np.round(s[order], 5), type=pa.float64()),
-                }
-            )
-        )
-    return pa.concat_tables(out)
+    return _merge_topk(parts, qids, k)

@@ -235,3 +235,35 @@ def test_top_suppliers_tie_breaks_on_suppkey(ray_session, tpch_dir):
     assert list(top3["s_suppkey"]) == [1, 2, 3]
     with pytest.raises(ValueError):
         relational.top_suppliers(tpch_dir, k=0)
+
+
+def test_top_suppliers_dangling_suppkey_raises(ray_session, tmp_path, tpch_dir):
+    """A lineitem suppkey missing from supplier must raise loudly, not
+    resolve to a neighboring supplier's name."""
+    import shutil
+
+    from lucene_plugin_ray.pipelines import relational
+
+    d = tmp_path / "dangling"
+    d.mkdir()
+    for f in ("supplier.parquet", "nation.parquet"):
+        shutil.copy(f"{tpch_dir}/{f}", d / f)
+    pq.write_table(
+        pa.table(
+            {
+                "l_suppkey": pa.array([99], pa.int64()),
+                "l_quantity": pa.array([1.0], pa.float64()),
+                "l_extendedprice": pa.array([10.0], pa.float64()),
+                "l_discount": pa.array([0.0], pa.float64()),
+                "l_tax": pa.array([0.0], pa.float64()),
+                "l_returnflag": pa.array(["A"], pa.string()),
+                "l_linestatus": pa.array(["F"], pa.string()),
+                "l_shipdate": pa.array(
+                    [dt.datetime(1997, 1, 1)], pa.timestamp("us")
+                ),
+            }
+        ),
+        d / "lineitem.parquet",
+    )
+    with pytest.raises(ValueError, match="suppkey absent"):
+        relational.top_suppliers(str(d), k=1)
