@@ -272,6 +272,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": relational.revenue_by_nation,
         "pricing_summary": relational.pricing_summary,
         "top_suppliers": relational.top_suppliers,
+        "order_line_rollup": relational.order_line_rollup,
+        "distinct_users": relational.distinct_users_by_type,
     }
 
 
@@ -944,6 +946,32 @@ FROM rev r
 JOIN supplier s USING (s_suppkey)
 JOIN nation n ON n.n_nationkey = s.s_nationkey
 ORDER BY r.revenue_units DESC, r.s_suppkey LIMIT 10
+"""
+
+    # big⨝big co-partitioned join rolled to order status; LEFT join so
+    # orders without lineitems count with zero lines
+    sql["order_line_rollup"] = """
+WITH lv AS (SELECT l_orderkey,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS rev
+            FROM lineitem GROUP BY l_orderkey)
+SELECT o.o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN lv.l_orderkey IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_orders_with_lines,
+       CAST(coalesce(sum(lv.n_lines), 0) AS BIGINT) AS n_lines,
+       CAST(coalesce(sum(lv.rev), 0) AS BIGINT) AS revenue_units
+FROM orders o LEFT JOIN lv ON lv.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+"""
+
+    sql["distinct_users"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
 """
 
     sql["revenue_by_nation"] = """

@@ -31,7 +31,13 @@ import ray
 
 from lucene_plugin_ray.sources.reader import read_parquet_clean
 
-__all__ = ["revenue_by_nation", "pricing_summary", "top_suppliers"]
+__all__ = [
+    "revenue_by_nation",
+    "pricing_summary",
+    "top_suppliers",
+    "order_line_rollup",
+    "distinct_users_by_type",
+]
 
 _SHIPDATE_CUTOFF_US = 904_694_400_000_000  # 1998-09-02 (Q1's delta anchor)
 
@@ -412,3 +418,232 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
             "revenue_cents": pc.cast(t["revenue_f"], pa.int64()),
         }
     ).sort_by("n_name")
+
+
+def order_line_rollup(sf_dir: str) -> pa.Table:
+    """Big ⨝ big co-partitioned join, rolled up to order status: lineitem
+    revenue joined to its order's status, then folded to one row per
+    status — the join shape where NEITHER side broadcasts.
+
+    Distributed shape: both fact tables pre-aggregate map-side to orderkey
+    granularity (lineitem → (orderkey, Σrev, n_lines); orders are already
+    unique per orderkey, TPC-H PK), then ONE orderkey-hash groupby
+    co-locates the pair — the tagged-union aggregate of
+    :func:`revenue_by_nation`, but with both union legs corpus-sized.  The
+    orderkey is uniform (no skew: ≤ 7 lineitems per order), and the
+    post-join rollup to |statuses| rows happens inside the SAME map pass
+    that resolves the join, so the second exchange moves ≤ 3 rows per
+    batch.
+
+    Output: (o_orderstatus, n_orders, n_orders_with_lines, n_lines,
+    revenue_units) — revenue in cents×10² (discounted units), orders
+    without lineitems counted but contributing zero lines."""
+    from ray.data.aggregate import Max, Sum
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    )
+    lineitem = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def _line_partial(batch: pa.Table) -> pa.Table:
+        base = pc.cast(
+            pc.round(pc.multiply(batch["l_extendedprice"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        disc = pc.cast(
+            pc.round(pc.multiply(batch["l_discount"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "orderkey": batch["l_orderkey"].combine_chunks(),
+                "rev": pa.array(base * (100 - disc), pa.int64()),
+            }
+        )
+        agg = t.group_by("orderkey").aggregate(
+            [("rev", "sum"), ([], "count_all")]
+        )
+        n = agg.num_rows
+        return pa.table(
+            {
+                "orderkey": pc.cast(agg["orderkey"], pa.int64()),
+                "status": pa.nulls(n, pa.string()),
+                "rev": pc.cast(agg["rev_sum"], pa.int64()),
+                "n_lines": pc.cast(agg["count_all"], pa.int64()),
+            }
+        )
+
+    def _order_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
+                "status": batch["o_orderstatus"].combine_chunks(),
+                "rev": pa.nulls(n, pa.int64()),
+                "n_lines": pa.nulls(n, pa.int64()),
+            }
+        )
+
+    tagged = lineitem.map_batches(
+        _line_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        orders.map_batches(_order_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    per_order = tagged.groupby("orderkey").aggregate(
+        Max("status", alias_name="status"),
+        Sum("rev", alias_name="rev"),
+        Sum("n_lines", alias_name="n_lines"),
+    )
+
+    def _rollup(batch: pa.Table) -> pa.Table:
+        # inner-join semantics on the order side: a lineitem whose order is
+        # missing (status null) is a dangling FK — fail loudly
+        if batch["status"].null_count:
+            raise ValueError("lineitem references an orderkey absent from orders")
+        has_lines = batch["n_lines"].is_valid()
+        t = pa.table(
+            {
+                "o_orderstatus": batch["status"].combine_chunks(),
+                "one": pa.array(np.ones(batch.num_rows, np.int64)),
+                "with_lines": pc.cast(has_lines, pa.int64()),
+                "n_lines": pc.fill_null(batch["n_lines"], 0),
+                "rev": pc.fill_null(batch["rev"], 0),
+            }
+        )
+        agg = t.group_by("o_orderstatus").aggregate(
+            [("one", "sum"), ("with_lines", "sum"), ("n_lines", "sum"),
+             ("rev", "sum")]
+        )
+        return pa.table(
+            {
+                "o_orderstatus": agg["o_orderstatus"].combine_chunks(),
+                "n_orders": pc.cast(agg["one_sum"], pa.int64()),
+                "n_orders_with_lines": pc.cast(agg["with_lines_sum"], pa.int64()),
+                "n_lines": pc.cast(agg["n_lines_sum"], pa.int64()),
+                "revenue_units": pc.cast(agg["rev_sum"], pa.int64()),
+            }
+        )
+
+    folded = (
+        per_order.map_batches(_rollup, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .aggregate(
+            Sum("n_orders", alias_name="orders_f"),
+            Sum("n_orders_with_lines", alias_name="with_f"),
+            Sum("n_lines", alias_name="lines_f"),
+            Sum("revenue_units", alias_name="rev_f"),
+        )
+    )
+    tables = [b for b in folded.iter_batches(batch_format="pyarrow")]
+    if not tables:
+        return pa.table(
+            {
+                "o_orderstatus": pa.array([], pa.string()),
+                "n_orders": pa.array([], pa.int64()),
+                "n_orders_with_lines": pa.array([], pa.int64()),
+                "n_lines": pa.array([], pa.int64()),
+                "revenue_units": pa.array([], pa.int64()),
+            }
+        )
+    t = pa.concat_tables(tables)
+    return pa.table(
+        {
+            "o_orderstatus": t["o_orderstatus"].combine_chunks(),
+            "n_orders": pc.cast(t["orders_f"], pa.int64()),
+            "n_orders_with_lines": pc.cast(t["with_f"], pa.int64()),
+            "n_lines": pc.cast(t["lines_f"], pa.int64()),
+            "revenue_units": pc.cast(t["rev_f"], pa.int64()),
+        }
+    ).sort_by("o_orderstatus")
+
+
+def distinct_users_by_type(sf_dir: str) -> pa.Table:
+    """Exact distinct-count at scale: per event_type, the event count and
+    the number of DISTINCT users — the two-level exchange that replaces a
+    corpus-sized ``count(distinct)``.
+
+    Level 1 dedups (event_type, user_id) pairs: a per-batch Acero
+    group_by collapses each batch to its distinct pairs (carrying a
+    partial event count), and a pair-keyed groupby folds them — the
+    exchange moves distinct pairs, not events.  Level 2 is the tiny
+    |event_types| fold.  user_id hashes uniformly, so the wide first
+    groupby has no skew; a hot TYPE is irrelevant because the key is the
+    pair, not the type.
+
+    Output: (event_type, n_events, n_users), sorted by event_type."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def _pair_partial(batch: pa.Table) -> pa.Table:
+        agg = (
+            pa.table(
+                {
+                    "event_type": batch["event_type"].combine_chunks(),
+                    "user_id": batch["user_id"].combine_chunks(),
+                }
+            )
+            .group_by(["event_type", "user_id"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "event_type": agg["event_type"].combine_chunks(),
+                "user_id": agg["user_id"].combine_chunks(),
+                "c": pc.cast(agg["count_all"], pa.int64()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(_pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("c", alias_name="n"))
+    )
+
+    def _type_partial(batch: pa.Table) -> pa.Table:
+        agg = (
+            pa.table(
+                {
+                    "event_type": batch["event_type"].combine_chunks(),
+                    "n": pc.cast(batch["n"], pa.int64()),
+                }
+            )
+            .group_by("event_type")
+            .aggregate([("n", "sum"), ([], "count_all")])
+        )
+        return pa.table(
+            {
+                "event_type": agg["event_type"].combine_chunks(),
+                "n_events": pc.cast(agg["n_sum"], pa.int64()),
+                "n_users": pc.cast(agg["count_all"], pa.int64()),
+            }
+        )
+
+    folded = (
+        pairs.map_batches(_type_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_events", alias_name="events_f"),
+            Sum("n_users", alias_name="users_f"),
+        )
+    )
+    tables = [b for b in folded.iter_batches(batch_format="pyarrow")]
+    if not tables:
+        return pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "n_events": pa.array([], pa.int64()),
+                "n_users": pa.array([], pa.int64()),
+            }
+        )
+    t = pa.concat_tables(tables)
+    return pa.table(
+        {
+            "event_type": t["event_type"].combine_chunks(),
+            "n_events": pc.cast(t["events_f"], pa.int64()),
+            "n_users": pc.cast(t["users_f"], pa.int64()),
+        }
+    ).sort_by("event_type")
