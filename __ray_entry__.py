@@ -274,6 +274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_suppliers": relational.top_suppliers,
         "order_line_rollup": relational.order_line_rollup,
         "distinct_users": relational.distinct_users_by_type,
+        "charlm_logprob": training.charlm_logprob,
     }
 
 
@@ -965,6 +966,24 @@ SELECT o.o_orderstatus,
        CAST(coalesce(sum(lv.rev), 0) AS BIGINT) AS revenue_units
 FROM orders o LEFT JOIN lv ON lv.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+"""
+
+    # char-bigram LM fit on the corpus itself; per-bigram cost quantized to
+    # integer centibits so document scores are exact integer sums
+    sql["charlm_logprob"] = """
+WITH pos AS (
+  SELECT doc_id, substr(text, CAST(i AS INTEGER), 2) AS bg FROM (
+    SELECT doc_id, text, unnest(range(1, length(text))) AS i FROM documents)),
+cnt AS (SELECT bg, CAST(count(*) AS BIGINT) AS c FROM pos GROUP BY bg),
+pre AS (SELECT substr(bg, 1, 1) AS a, sum(c) AS pcnt FROM cnt GROUP BY 1),
+cost AS (SELECT bg, CAST(round(100 * log2(c * 1.0 / pcnt)) AS BIGINT) AS q
+         FROM cnt JOIN pre ON substr(cnt.bg, 1, 1) = pre.a),
+sc AS (SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              CAST(sum(cost.q) AS BIGINT) AS logprob_q
+       FROM pos p JOIN cost USING (bg) GROUP BY p.doc_id)
+SELECT d.doc_id, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(sc.logprob_q, 0) AS BIGINT) AS logprob_q
+FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id
 """
 
     sql["distinct_users"] = """

@@ -1,7 +1,17 @@
 """Relational reference pipelines over the TPC-H-ish driver tables.
 
-The engine's join-strategy family on a classic fact ⨝ dimension ⨝ tiny-dim
-chain (orders ⨝ customer ⨝ nation), written the way it must run at 100 TB:
+The engine's join/aggregate strategy family, each op one canonical
+distributed shape written the way it must run at 100 TB:
+
+* :func:`revenue_by_nation` — fact ⨝ dimension ⨝ tiny-dim rollup;
+* :func:`pricing_summary` — filtered scan + map-side combiner (TPC-H Q1);
+* :func:`top_suppliers` — bounded-dimension top-k, k-row driver resolve;
+* :func:`order_line_rollup` — big ⨝ big co-partitioned join (neither side
+  broadcasts);
+* :func:`distinct_users_by_type` — exact distinct count via the two-level
+  pair exchange.
+
+The shared join technique on the first and fourth:
 
 * **pre-aggregate the fact side to key granularity map-side** — a per-batch
   combiner collapses orders to one (custkey, Σcents, n) row per key per

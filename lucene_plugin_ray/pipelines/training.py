@@ -3967,3 +3967,166 @@ def ann_pq(
         ).iter_batches(batch_format="pyarrow")
     )
     return _merge_topk(parts, qids, k)
+
+
+# ---------------------------------------------------------------------------
+# character-bigram LM log-prob (CCNet-style perplexity quality signal)
+# ---------------------------------------------------------------------------
+
+_CHARLM_BASE = 1 << 21   # codepoint packing base (unicode max 0x10FFFF < 2^21)
+_CHARLM_Q = 100          # log2 quantization: centibits → exact integer sums
+
+
+def _char_bigram_ids(text: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Per-batch CODEPOINT-bigram ids and per-row bigram counts.  Bigram id
+    packs the two codepoints as ``a·2²¹ + b``; bigrams never straddle rows.
+    Pure-ASCII batches read the UTF-8 data buffer directly (one fancy-index,
+    no per-row work); any non-ASCII batch falls back to per-row UTF-32
+    views — exact codepoint semantics, matching SQL ``substr`` (the
+    chunk_text dual-path pattern)."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n = len(text)
+    char_len = np.nan_to_num(
+        pc.utf8_length(text).to_numpy(zero_copy_only=False), nan=0
+    ).astype(np.int64)
+    byte_len = np.nan_to_num(
+        pc.binary_length(pc.cast(text, pa.binary())).to_numpy(
+            zero_copy_only=False
+        ),
+        nan=0,
+    ).astype(np.int64)
+    counts = np.maximum(char_len - 1, 0)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64), counts
+    if np.array_equal(byte_len, char_len):  # pure-ASCII fast path
+        offs = np.frombuffer(text.buffers()[1], dtype=np.int32)[
+            text.offset : text.offset + n + 1
+        ].astype(np.int64)
+        data = np.frombuffer(text.buffers()[2], dtype=np.uint8).astype(np.int64)
+        firsts = np.repeat(offs[:-1], counts) + (
+            np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+        )
+        ids = data[firsts] * _CHARLM_BASE + data[firsts + 1]
+    else:
+        parts = []
+        for s in text.to_pylist():
+            s = s or ""
+            if len(s) < 2:
+                continue
+            cp = np.frombuffer(s.encode("utf-32-le"), np.uint32).astype(
+                np.int64
+            )
+            parts.append(cp[:-1] * _CHARLM_BASE + cp[1:])
+        ids = np.concatenate(parts) if parts else np.empty(0, np.int64)
+    return ids, counts
+
+
+def charlm_logprob(
+    sf_dir: str, output_path: str | None = None
+) -> pa.Table | None:
+    """CCNet-style language-model quality signal: fit a character-bigram LM
+    on the corpus itself, then score every document's total log-probability
+    under it (low bits-per-char ≈ fluent/repetitive text; high ≈ noise/
+    gibberish — THE perplexity-filter axis of web curation, with the
+    char-bigram model standing in for KenLM, which this container lacks).
+
+    Exactness: per-bigram cost quantizes to integer centibits
+    (``round(100·log2(count(ab)/count(a·)))``), so document scores are
+    pure-integer SUMS — no float accumulation-order dependence between the
+    engine's reduction tree and the SQL oracle's.
+
+    Distributed shape (two map passes + one bounded shuffle, the
+    paragraph_dedup/model-broadcast template):
+
+    1. fit: per-batch ``np.unique`` combiner → ``groupby(bigram_id)`` fold —
+       the exchange and the driver model are bounded by |alphabet|² distinct
+       bigrams (≤ a few thousand for web text), never corpus-sized;
+    2. the (sorted ids, centibit costs) arrays broadcast once via
+       ``ray.put``;
+    3. score: each batch recomputes its bigram ids, one ``searchsorted``
+       lookup + cumsum-difference per-row fold.  A bigram absent from the
+       model (scoring a different corpus than the fit) raises loudly.
+
+    Output: (doc_id, n_bigrams, logprob_q) — logprob_q in centibits (≤ 0),
+    sorted by doc_id; docs with < 2 chars score (0, 0)."""
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        ids, _ = _char_bigram_ids(
+            pc.cast(batch["text"].combine_chunks(), pa.string())
+        )
+        if ids.size == 0:
+            return pa.table(
+                {
+                    "bigram_id": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        uniq, cnt = np.unique(ids, return_counts=True)
+        return pa.table(
+            {
+                "bigram_id": pa.array(uniq, pa.int64()),
+                "c": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    model_ds = (
+        ds.map_batches(_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bigram_id")
+        .aggregate(Sum("c", alias_name="n"))
+    )
+    tables = [b for b in model_ds.iter_batches(batch_format="pyarrow")]
+    if not tables:
+        model_ids = np.empty(0, np.int64)
+        cost = np.empty(0, np.int64)
+    else:
+        model = pa.concat_tables(tables).sort_by("bigram_id")
+        model_ids = model["bigram_id"].to_numpy(zero_copy_only=False)
+        c = pc.cast(model["n"], pa.int64()).to_numpy(zero_copy_only=False)
+        lead = model_ids // _CHARLM_BASE  # grouped: ids are sorted
+        starts = _run_starts(lead)
+        group_tot = np.add.reduceat(c, starts)
+        prefix = np.repeat(group_tot, np.diff(np.r_[starts, lead.size]))
+        cost = np.round(
+            _CHARLM_Q * np.log2(c / prefix.astype(np.float64))
+        ).astype(np.int64)
+    model_ref = ray.put((model_ids, cost))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        bid, q = ray.get(model_ref)
+        doc_col = batch["doc_id"].combine_chunks()
+        ids, counts = _char_bigram_ids(
+            pc.cast(batch["text"].combine_chunks(), pa.string())
+        )
+        if ids.size:
+            pos = np.searchsorted(bid, ids)
+            if not (
+                (pos < bid.size).all()
+                and (bid[np.minimum(pos, bid.size - 1)] == ids).all()
+            ):
+                raise ValueError(
+                    "bigram absent from model (scored corpus differs from "
+                    "the fit corpus)"
+                )
+            per = q[pos]
+        else:
+            per = np.empty(0, np.int64)
+        csum = np.concatenate([[0], np.cumsum(per)])
+        ends = np.cumsum(counts)
+        sums = csum[ends] - csum[ends - counts]
+        return pa.table(
+            {
+                "doc_id": doc_col,
+                "n_bigrams": pa.array(counts, pa.int64()),
+                "logprob_q": pa.array(sums, pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(_score, batch_format="pyarrow", zero_copy_batch=True)
+    return _sink_or_table(out, output_path, "doc_id")

@@ -23,7 +23,7 @@ CHECKED = [
     "ngram_counts", "source_stats", "tfidf_topk", "source_sample",
     "paragraph_dedup", "length_quantiles", "events_rolling",
     "revenue_by_nation", "pricing_summary", "top_suppliers",
-    "order_line_rollup", "distinct_users",
+    "order_line_rollup", "distinct_users", "charlm_logprob",
 ]
 
 
@@ -215,6 +215,8 @@ def test_output_path_streaming_sinks(ray_session, tmp_path):
         "source_stats": (training.source_stats, "source"),
         "source_sample": (training.source_sample, "doc_id"),
         "tfidf_topk": (training.tfidf_topk, "doc_id"),
+        "paragraph_dedup": (training.paragraph_dedup, "doc_id"),
+        "events_rolling": (training.events_rolling, None),
     }
     for name, (fn, sort_key) in ops.items():
         out_dir = tmp_path / name

@@ -77,10 +77,13 @@ def _oracle(sql_key: str, sf_dir: str) -> pd.DataFrame:
     import __ray_entry__ as E
 
     con = duckdb.connect()
+    import os
+
     for t in ("documents", "events"):
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
     return con.sql(E.oracle_sql()[sql_key]).df()
 
 
@@ -150,6 +153,63 @@ def test_length_quantiles_validation(ray_session, corpus_dir):
         training.length_quantiles(corpus_dir, percents=(0,))
     with pytest.raises(ValueError):
         training.length_quantiles(corpus_dir, percents=())
+
+
+CHARLM_DOCS = [
+    (0, "abab"),                  # 3 bigrams: ab, ba, ab
+    (1, ""),                      # no bigrams
+    (2, "x"),                     # 1 char → no bigrams
+    (3, "ünïcödé ünïcödé"),       # non-ASCII → codepoint fallback path
+    (4, "abababab"),              # same distribution as doc 0
+]
+
+
+@pytest.fixture(scope="module")
+def charlm_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("charlm")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in CHARLM_DOCS], pa.int64()),
+                "text": pa.array([t for _, t in CHARLM_DOCS], pa.string()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    return str(d)
+
+
+def test_charlm_logprob_matches_oracle_incl_non_ascii(ray_session, charlm_dir):
+    got = training.charlm_logprob(charlm_dir).to_pandas()
+    exp = _oracle("charlm_logprob", charlm_dir)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    r = got.set_index("doc_id")
+    assert r.loc[0, "n_bigrams"] == 3
+    assert r.loc[1, "n_bigrams"] == 0 and r.loc[1, "logprob_q"] == 0
+    assert r.loc[2, "n_bigrams"] == 0 and r.loc[2, "logprob_q"] == 0
+    assert r.loc[3, "n_bigrams"] == 14  # 15 CODEPOINTS (23 bytes)
+    # log-probs are never positive; repetitive docs score proportionally
+    assert (got["logprob_q"] <= 0).all()
+
+
+def test_charlm_logprob_python_reference(ray_session, charlm_dir):
+    """Independent pure-python oracle (no SQL): fit on codepoint bigrams,
+    centibit quantization, integer sums."""
+    import math
+    from collections import Counter
+
+    cnt = Counter()
+    for _, t in CHARLM_DOCS:
+        for a, b in zip(t, t[1:]):
+            cnt[(a, b)] += 1
+    pre = Counter()
+    for (a, _), c in cnt.items():
+        pre[a] += c
+    q = {k: round(100 * math.log2(c / pre[k[0]])) for k, c in cnt.items()}
+    got = training.charlm_logprob(charlm_dir).to_pandas().set_index("doc_id")
+    for i, t in CHARLM_DOCS:
+        expected = sum(q[(a, b)] for a, b in zip(t, t[1:]))
+        assert got.loc[i, "logprob_q"] == expected, i
 
 
 @pytest.fixture(scope="module")
