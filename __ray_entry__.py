@@ -275,6 +275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_line_rollup": relational.order_line_rollup,
         "distinct_users": relational.distinct_users_by_type,
         "charlm_logprob": training.charlm_logprob,
+        "length_rank": training.length_rank,
     }
 
 
@@ -966,6 +967,13 @@ SELECT o.o_orderstatus,
        CAST(coalesce(sum(lv.rev), 0) AS BIGINT) AS revenue_units
 FROM orders o LEFT JOIN lv ON lv.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+"""
+
+    sql["length_rank"] = """
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(rank() OVER (ORDER BY n_chars DESC) AS BIGINT) AS rank,
+       CAST(dense_rank() OVER (ORDER BY n_chars DESC) AS BIGINT) AS dense_rank
+FROM documents ORDER BY doc_id
 """
 
     # char-bigram LM fit on the corpus itself; per-bigram cost quantized to

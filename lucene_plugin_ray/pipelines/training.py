@@ -4130,3 +4130,93 @@ def charlm_logprob(
 
     out = ds.map_batches(_score, batch_format="pyarrow", zero_copy_batch=True)
     return _sink_or_table(out, output_path, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# global order statistics from a bounded histogram (rank without a sort)
+# ---------------------------------------------------------------------------
+
+
+def length_rank(
+    sf_dir: str, output_path: str | None = None
+) -> pa.Table | None:
+    """Global RANK of every document by size (``n_chars`` desc) — the
+    order-statistics primitive behind percentile filters ("keep the longest
+    X%"), computed WITHOUT a corpus-wide sort.
+
+    SQL ``rank()``/``dense_rank()`` semantics: ties share a rank;
+    ``rank`` counts all strictly-longer docs + 1, ``dense_rank`` counts
+    distinct longer lengths + 1.
+
+    Why no ``Dataset.sort``: a total sort is an all-to-all range exchange
+    of the CORPUS; ranks over a bounded-cardinality key need only its
+    histogram.  Per-batch value-counts combiner → |distinct lengths|-row
+    groupby fold (document length is bounded — a few thousand rows at any
+    corpus size, the length_quantiles shape), driver turns the histogram
+    into two rank tables, broadcasts them via ``ray.put``, and a second map
+    pass resolves every doc with one ``searchsorted``.  Two metadata
+    columns read; text never leaves storage.
+
+    Output: (doc_id, n_chars, rank, dense_rank), sorted by doc_id."""
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        vals = pc.cast(batch["n_chars"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        uniq, cnt = np.unique(vals, return_counts=True)
+        return pa.table(
+            {
+                "n_chars": pa.array(uniq, pa.int64()),
+                "c": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist_ds = (
+        ds.map_batches(_hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_chars")
+        .aggregate(Sum("c", alias_name="n"))
+    )
+    tables = [b for b in hist_ds.iter_batches(batch_format="pyarrow")]
+    if not tables:
+        lengths = np.empty(0, np.int64)
+        rank_of = np.empty(0, np.int64)
+        dense_of = np.empty(0, np.int64)
+    else:
+        hist = pa.concat_tables(tables).sort_by("n_chars")  # ascending
+        lengths = hist["n_chars"].to_numpy(zero_copy_only=False)
+        counts = pc.cast(hist["n"], pa.int64()).to_numpy(zero_copy_only=False)
+        # docs strictly longer than lengths[i] = suffix sum above i
+        longer = np.concatenate(
+            [np.cumsum(counts[::-1])[::-1][1:], [0]]
+        )
+        rank_of = longer + 1
+        dense_of = np.arange(lengths.size, 0, -1, dtype=np.int64)
+    model_ref = ray.put((lengths, rank_of, dense_of))
+
+    def _resolve(batch: pa.Table) -> pa.Table:
+        ls, rk, dk = ray.get(model_ref)
+        vals = pc.cast(batch["n_chars"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        pos = np.searchsorted(ls, vals)
+        if vals.size and not (
+            (pos < ls.size).all()
+            and (ls[np.minimum(pos, ls.size - 1)] == vals).all()
+        ):
+            raise ValueError("n_chars value absent from the fitted histogram")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].combine_chunks(),
+                "n_chars": pa.array(vals, pa.int64()),
+                "rank": pa.array(rk[pos], pa.int64()),
+                "dense_rank": pa.array(dk[pos], pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(_resolve, batch_format="pyarrow", zero_copy_batch=True)
+    return _sink_or_table(out, output_path, "doc_id")

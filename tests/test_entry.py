@@ -23,7 +23,7 @@ CHECKED = [
     "ngram_counts", "source_stats", "tfidf_topk", "source_sample",
     "paragraph_dedup", "length_quantiles", "events_rolling",
     "revenue_by_nation", "pricing_summary", "top_suppliers",
-    "order_line_rollup", "distinct_users", "charlm_logprob",
+    "order_line_rollup", "distinct_users", "charlm_logprob", "length_rank",
 ]
 
 
