@@ -276,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": relational.distinct_users_by_type,
         "charlm_logprob": training.charlm_logprob,
         "length_rank": training.length_rank,
+        "revenue_by_part_type": relational.revenue_by_part_type,
     }
 
 
@@ -967,6 +968,16 @@ SELECT o.o_orderstatus,
        CAST(coalesce(sum(lv.rev), 0) AS BIGINT) AS revenue_units
 FROM orders o LEFT JOIN lv ON lv.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+"""
+
+    sql["revenue_by_part_type"] = """
+SELECT p.p_type,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_units
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY p.p_type ORDER BY p.p_type
 """
 
     sql["length_rank"] = """

@@ -47,6 +47,7 @@ __all__ = [
     "top_suppliers",
     "order_line_rollup",
     "distinct_users_by_type",
+    "revenue_by_part_type",
 ]
 
 _SHIPDATE_CUTOFF_US = 904_694_400_000_000  # 1998-09-02 (Q1's delta anchor)
@@ -657,3 +658,103 @@ def distinct_users_by_type(sf_dir: str) -> pa.Table:
             "n_users": pc.cast(t["users_f"], pa.int64()),
         }
     ).sort_by("event_type")
+
+
+def revenue_by_part_type(sf_dir: str) -> pa.Table:
+    """Lineitem revenue rolled up to the part's type — the pure BROADCAST
+    join shape: the fact side never shuffles at fact granularity.
+
+    The part dimension's (p_partkey → p_type) mapping ships ONCE via
+    ``ray.put`` (dictionary-encoded: sorted keys + uint32 type codes +
+    the ≤ a-few-hundred-entry type list); every lineitem batch resolves
+    its partkeys with one ``searchsorted`` and folds to ≤ |types| rows
+    via ``np.bincount`` before anything is exchanged.  The only shuffle
+    is the |types|-row final fold.
+
+    Scale threshold (documented): part is 200k·SF rows — the broadcast
+    costs ~12 B/part, so up to ~10⁸ parts it fits comfortably in every
+    worker; past that the op belongs in the tagged-union groupby shape of
+    :func:`order_line_rollup` (co-partition on partkey).  Dangling
+    partkeys raise loudly.
+
+    Output: (p_type, n_items, revenue_units) — revenue in cents×10²,
+    sorted by p_type."""
+    from ray.data.aggregate import Sum
+
+    part = pa.concat_tables(
+        b
+        for b in read_parquet_clean(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+        ).iter_batches(batch_format="pyarrow")
+    ).sort_by("p_partkey")
+    pkeys = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dict_arr = pc.dictionary_encode(part["p_type"].combine_chunks())
+    if isinstance(dict_arr, pa.ChunkedArray):
+        dict_arr = dict_arr.combine_chunks()
+    type_codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    type_names = dict_arr.dictionary.to_pylist()
+    dim_ref = ray.put((pkeys, type_codes, type_names))
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keys, codes, names = ray.get(dim_ref)
+        lp = pc.cast(batch["l_partkey"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        pos = np.searchsorted(keys, lp)
+        if lp.size and not (
+            (pos < keys.size).all()
+            and (keys[np.minimum(pos, keys.size - 1)] == lp).all()
+        ):
+            raise ValueError("lineitem references a partkey absent from part")
+        base = pc.cast(
+            pc.round(pc.multiply(batch["l_extendedprice"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        disc = pc.cast(
+            pc.round(pc.multiply(batch["l_discount"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        rev = base * (100 - disc)
+        code = codes[pos]
+        nt = len(names)
+        n_by_type = np.bincount(code, minlength=nt)
+        nz = np.flatnonzero(n_by_type)
+        rev_exact = np.zeros(nt, np.int64)  # exact int64 fold per type
+        np.add.at(rev_exact, code, rev)
+        return pa.table(
+            {
+                "p_type": pa.array([names[i] for i in nz], pa.string()),
+                "rev": pa.array(rev_exact[nz], pa.int64()),
+                "n_items": pa.array(n_by_type[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    folded = (
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("p_type")
+        .aggregate(
+            Sum("rev", alias_name="rev_f"), Sum("n_items", alias_name="items_f")
+        )
+    )
+    tables = [b for b in folded.iter_batches(batch_format="pyarrow")]
+    if not tables:
+        return pa.table(
+            {
+                "p_type": pa.array([], pa.string()),
+                "n_items": pa.array([], pa.int64()),
+                "revenue_units": pa.array([], pa.int64()),
+            }
+        )
+    t = pa.concat_tables(tables)
+    return pa.table(
+        {
+            "p_type": t["p_type"].combine_chunks(),
+            "n_items": pc.cast(t["items_f"], pa.int64()),
+            "revenue_units": pc.cast(t["rev_f"], pa.int64()),
+        }
+    ).sort_by("p_type")
