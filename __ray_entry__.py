@@ -277,6 +277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "charlm_logprob": training.charlm_logprob,
         "length_rank": training.length_rank,
         "revenue_by_part_type": relational.revenue_by_part_type,
+        "revenue_by_region": relational.revenue_by_region,
     }
 
 
@@ -968,6 +969,18 @@ SELECT o.o_orderstatus,
        CAST(coalesce(sum(lv.rev), 0) AS BIGINT) AS revenue_units
 FROM orders o LEFT JOIN lv ON lv.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+"""
+
+    sql["revenue_by_region"] = """
+SELECT r.r_name,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY r.r_name ORDER BY r.r_name
 """
 
     sql["revenue_by_part_type"] = """

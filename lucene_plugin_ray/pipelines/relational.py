@@ -48,6 +48,7 @@ __all__ = [
     "order_line_rollup",
     "distinct_users_by_type",
     "revenue_by_part_type",
+    "revenue_by_region",
 ]
 
 _SHIPDATE_CUTOFF_US = 904_694_400_000_000  # 1998-09-02 (Q1's delta anchor)
@@ -758,3 +759,64 @@ def revenue_by_part_type(sf_dir: str) -> pa.Table:
             "revenue_units": pc.cast(t["rev_f"], pa.int64()),
         }
     ).sort_by("p_type")
+
+
+def revenue_by_region(sf_dir: str) -> pa.Table:
+    """Order revenue rolled up one dimension level higher than
+    :func:`revenue_by_nation`: nation → region.
+
+    All the distributed work IS revenue_by_nation (one tagged-union
+    groupby); the region hop happens on its 25-row OUTPUT — dimension
+    rollups above a bounded level are driver-side joins by construction,
+    not new exchanges.  Dangling nation→region keys raise loudly.
+
+    Output: (r_name, n_orders, revenue_cents), sorted by r_name."""
+    per_nation = revenue_by_nation(sf_dir)
+
+    nation = pa.concat_tables(
+        b
+        for b in read_parquet_clean(
+            f"{sf_dir}/nation.parquet", columns=["n_name", "n_regionkey"]
+        ).iter_batches(batch_format="pyarrow")
+    ).sort_by("n_name")
+    region = pa.concat_tables(
+        b
+        for b in read_parquet_clean(
+            f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+        ).iter_batches(batch_format="pyarrow")
+    ).sort_by("r_regionkey")
+
+    nnames = nation["n_name"].to_pylist()
+    order = {n: i for i, n in enumerate(nnames)}
+    got_names = per_nation["n_name"].to_pylist()
+    try:
+        npos = np.array([order[n] for n in got_names], np.int64)
+    except KeyError as e:
+        raise ValueError(f"nation {e} absent from the nation table") from None
+    rkeys = (
+        pc.cast(nation["n_regionkey"], pa.int64())
+        .to_numpy(zero_copy_only=False)[npos]
+        if got_names
+        else np.empty(0, np.int64)
+    )
+    rpos = _lookup_positions(
+        region["r_regionkey"], rkeys,
+        "nation references a regionkey absent from region",
+    )
+    t = pa.table(
+        {
+            "r_name": region["r_name"].take(pa.array(rpos, pa.int64())),
+            "n_orders": per_nation["n_orders"],
+            "revenue_cents": per_nation["revenue_cents"],
+        }
+    )
+    agg = t.group_by("r_name").aggregate(
+        [("n_orders", "sum"), ("revenue_cents", "sum")]
+    )
+    return pa.table(
+        {
+            "r_name": agg["r_name"].combine_chunks(),
+            "n_orders": pc.cast(agg["n_orders_sum"], pa.int64()),
+            "revenue_cents": pc.cast(agg["revenue_cents_sum"], pa.int64()),
+        }
+    ).sort_by("r_name")

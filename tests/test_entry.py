@@ -24,7 +24,7 @@ CHECKED = [
     "paragraph_dedup", "length_quantiles", "events_rolling",
     "revenue_by_nation", "pricing_summary", "top_suppliers",
     "order_line_rollup", "distinct_users", "charlm_logprob", "length_rank",
-    "revenue_by_part_type",
+    "revenue_by_part_type", "revenue_by_region",
 ]
 
 
@@ -34,7 +34,7 @@ def harness(ray_session):
 
     con = duckdb.connect()
     for t in ["events", "documents", "embeddings", "orders", "customer",
-              "nation", "lineitem", "supplier", "part"]:
+              "nation", "lineitem", "supplier", "part", "region"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     return E, con
 
