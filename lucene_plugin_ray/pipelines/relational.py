@@ -39,6 +39,7 @@ import pyarrow.compute as pc
 
 import ray
 
+from lucene_plugin_ray.functions.lookup import lookup_positions
 from lucene_plugin_ray.sources.reader import read_parquet_clean
 
 __all__ = [
@@ -57,17 +58,33 @@ _SHIPDATE_CUTOFF_US = 904_694_400_000_000  # 1998-09-02 (Q1's delta anchor)
 def _lookup_positions(
     keys: "pa.ChunkedArray | pa.Array", probe: np.ndarray, missing_msg: str
 ) -> np.ndarray:
-    """Positions of ``probe`` values in the SORTED key column; raises
-    ``ValueError(missing_msg)`` on any miss (dangling foreign key) instead
-    of returning a silently-wrong neighbor position."""
-    sorted_keys = pc.cast(keys, pa.int64()).to_numpy(zero_copy_only=False)
-    pos = np.searchsorted(sorted_keys, probe)
-    if probe.size and not (
-        (pos < sorted_keys.size).all()
-        and (sorted_keys[np.minimum(pos, sorted_keys.size - 1)] == probe).all()
-    ):
-        raise ValueError(missing_msg)
-    return pos
+    """Arrow-column wrapper over :func:`functions.lookup.lookup_positions`
+    (validated sorted-key resolve; raises on dangling foreign keys)."""
+    return lookup_positions(
+        pc.cast(keys, pa.int64()).to_numpy(zero_copy_only=False),
+        probe,
+        missing_msg,
+    )
+
+
+def _collect_sorted(
+    folded, columns: "dict[str, tuple[str, pa.DataType]]", sort_by
+) -> pa.Table:
+    """Terminal step shared by the relational ops: collect the tiny folded
+    aggregate (output-sized — |groups| rows, never the fact table), restore
+    the published column names/dtypes from the fold aliases, and sort.
+    ``columns`` maps OUTPUT name → (folded column name, dtype); the empty
+    result keeps the same schema, so names cannot drift between the empty
+    and non-empty paths."""
+    tables = [b for b in folded.iter_batches(batch_format="pyarrow")]
+    if not tables:
+        return pa.table(
+            {k: pa.array([], dt) for k, (_, dt) in columns.items()}
+        )
+    t = pa.concat_tables(tables)
+    return pa.table(
+        {k: pc.cast(t[src], dt) for k, (src, dt) in columns.items()}
+    ).sort_by(sort_by)
 
 
 def _lineitem_units(batch: pa.Table) -> dict[str, "np.ndarray"]:
@@ -167,31 +184,19 @@ def pricing_summary(sf_dir: str) -> pa.Table:
             Sum("sum_charge_units", alias_name="charge_f"),
         )
     )
-    tables = [b for b in folded.iter_batches(batch_format="pyarrow")]
-    if not tables:
-        return pa.table(
-            {
-                "l_returnflag": pa.array([], pa.string()),
-                "l_linestatus": pa.array([], pa.string()),
-                "n_rows": pa.array([], pa.int64()),
-                "sum_qty_x100": pa.array([], pa.int64()),
-                "sum_base_cents": pa.array([], pa.int64()),
-                "sum_disc_units": pa.array([], pa.int64()),
-                "sum_charge_units": pa.array([], pa.int64()),
-            }
-        )
-    t = pa.concat_tables(tables)
-    return pa.table(
+    return _collect_sorted(
+        folded,
         {
-            "l_returnflag": t["l_returnflag"].combine_chunks(),
-            "l_linestatus": t["l_linestatus"].combine_chunks(),
-            "n_rows": pc.cast(t["n_rows_f"], pa.int64()),
-            "sum_qty_x100": pc.cast(t["qty_f"], pa.int64()),
-            "sum_base_cents": pc.cast(t["base_f"], pa.int64()),
-            "sum_disc_units": pc.cast(t["disc_f"], pa.int64()),
-            "sum_charge_units": pc.cast(t["charge_f"], pa.int64()),
-        }
-    ).sort_by([("l_returnflag", "ascending"), ("l_linestatus", "ascending")])
+            "l_returnflag": ("l_returnflag", pa.string()),
+            "l_linestatus": ("l_linestatus", pa.string()),
+            "n_rows": ("n_rows_f", pa.int64()),
+            "sum_qty_x100": ("qty_f", pa.int64()),
+            "sum_base_cents": ("base_f", pa.int64()),
+            "sum_disc_units": ("disc_f", pa.int64()),
+            "sum_charge_units": ("charge_f", pa.int64()),
+        },
+        [("l_returnflag", "ascending"), ("l_linestatus", "ascending")],
+    )
 
 
 def top_suppliers(sf_dir: str, k: int = 10) -> pa.Table:
@@ -547,27 +552,17 @@ def order_line_rollup(sf_dir: str) -> pa.Table:
             Sum("revenue_units", alias_name="rev_f"),
         )
     )
-    tables = [b for b in folded.iter_batches(batch_format="pyarrow")]
-    if not tables:
-        return pa.table(
-            {
-                "o_orderstatus": pa.array([], pa.string()),
-                "n_orders": pa.array([], pa.int64()),
-                "n_orders_with_lines": pa.array([], pa.int64()),
-                "n_lines": pa.array([], pa.int64()),
-                "revenue_units": pa.array([], pa.int64()),
-            }
-        )
-    t = pa.concat_tables(tables)
-    return pa.table(
+    return _collect_sorted(
+        folded,
         {
-            "o_orderstatus": t["o_orderstatus"].combine_chunks(),
-            "n_orders": pc.cast(t["orders_f"], pa.int64()),
-            "n_orders_with_lines": pc.cast(t["with_f"], pa.int64()),
-            "n_lines": pc.cast(t["lines_f"], pa.int64()),
-            "revenue_units": pc.cast(t["rev_f"], pa.int64()),
-        }
-    ).sort_by("o_orderstatus")
+            "o_orderstatus": ("o_orderstatus", pa.string()),
+            "n_orders": ("orders_f", pa.int64()),
+            "n_orders_with_lines": ("with_f", pa.int64()),
+            "n_lines": ("lines_f", pa.int64()),
+            "revenue_units": ("rev_f", pa.int64()),
+        },
+        "o_orderstatus",
+    )
 
 
 def distinct_users_by_type(sf_dir: str) -> pa.Table:
@@ -583,8 +578,12 @@ def distinct_users_by_type(sf_dir: str) -> pa.Table:
     groupby has no skew; a hot TYPE is irrelevant because the key is the
     pair, not the type.
 
+    NULL semantics match SQL ``count(distinct)``: a null user_id's events
+    count in ``n_events`` but contribute no user (the null-keyed pair rides
+    the same exchange and is excluded from the user count at the fold).
+
     Output: (event_type, n_events, n_users), sorted by event_type."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
@@ -621,16 +620,19 @@ def distinct_users_by_type(sf_dir: str) -> pa.Table:
                 {
                     "event_type": batch["event_type"].combine_chunks(),
                     "n": pc.cast(batch["n"], pa.int64()),
+                    # count(DISTINCT user_id) semantics: null user rows keep
+                    # their event counts but add zero users
+                    "u": pc.cast(pc.is_valid(batch["user_id"]), pa.int64()),
                 }
             )
             .group_by("event_type")
-            .aggregate([("n", "sum"), ([], "count_all")])
+            .aggregate([("n", "sum"), ("u", "sum")])
         )
         return pa.table(
             {
                 "event_type": agg["event_type"].combine_chunks(),
                 "n_events": pc.cast(agg["n_sum"], pa.int64()),
-                "n_users": pc.cast(agg["count_all"], pa.int64()),
+                "n_users": pc.cast(agg["u_sum"], pa.int64()),
             }
         )
 
@@ -642,23 +644,15 @@ def distinct_users_by_type(sf_dir: str) -> pa.Table:
             Sum("n_users", alias_name="users_f"),
         )
     )
-    tables = [b for b in folded.iter_batches(batch_format="pyarrow")]
-    if not tables:
-        return pa.table(
-            {
-                "event_type": pa.array([], pa.string()),
-                "n_events": pa.array([], pa.int64()),
-                "n_users": pa.array([], pa.int64()),
-            }
-        )
-    t = pa.concat_tables(tables)
-    return pa.table(
+    return _collect_sorted(
+        folded,
         {
-            "event_type": t["event_type"].combine_chunks(),
-            "n_events": pc.cast(t["events_f"], pa.int64()),
-            "n_users": pc.cast(t["users_f"], pa.int64()),
-        }
-    ).sort_by("event_type")
+            "event_type": ("event_type", pa.string()),
+            "n_events": ("events_f", pa.int64()),
+            "n_users": ("users_f", pa.int64()),
+        },
+        "event_type",
+    )
 
 
 def revenue_by_part_type(sf_dir: str) -> pa.Table:
@@ -708,12 +702,9 @@ def revenue_by_part_type(sf_dir: str) -> pa.Table:
         lp = pc.cast(batch["l_partkey"], pa.int64()).to_numpy(
             zero_copy_only=False
         )
-        pos = np.searchsorted(keys, lp)
-        if lp.size and not (
-            (pos < keys.size).all()
-            and (keys[np.minimum(pos, keys.size - 1)] == lp).all()
-        ):
-            raise ValueError("lineitem references a partkey absent from part")
+        pos = lookup_positions(
+            keys, lp, "lineitem references a partkey absent from part"
+        )
         base = pc.cast(
             pc.round(pc.multiply(batch["l_extendedprice"], 100.0)), pa.int64()
         ).to_numpy(zero_copy_only=False)
@@ -725,8 +716,14 @@ def revenue_by_part_type(sf_dir: str) -> pa.Table:
         nt = len(names)
         n_by_type = np.bincount(code, minlength=nt)
         nz = np.flatnonzero(n_by_type)
-        rev_exact = np.zeros(nt, np.int64)  # exact int64 fold per type
-        np.add.at(rev_exact, code, rev)
+        # exact int64 per-type fold without np.add.at's scalar-dispatch
+        # loop: one stable sort of the tiny code array + run reduceat
+        order = np.argsort(code, kind="stable")
+        code_s = code[order]
+        starts = np.flatnonzero(np.r_[True, code_s[1:] != code_s[:-1]])
+        rev_exact = np.zeros(nt, np.int64)
+        if code_s.size:
+            rev_exact[code_s[starts]] = np.add.reduceat(rev[order], starts)
         return pa.table(
             {
                 "p_type": pa.array([names[i] for i in nz], pa.string()),
@@ -742,23 +739,15 @@ def revenue_by_part_type(sf_dir: str) -> pa.Table:
             Sum("rev", alias_name="rev_f"), Sum("n_items", alias_name="items_f")
         )
     )
-    tables = [b for b in folded.iter_batches(batch_format="pyarrow")]
-    if not tables:
-        return pa.table(
-            {
-                "p_type": pa.array([], pa.string()),
-                "n_items": pa.array([], pa.int64()),
-                "revenue_units": pa.array([], pa.int64()),
-            }
-        )
-    t = pa.concat_tables(tables)
-    return pa.table(
+    return _collect_sorted(
+        folded,
         {
-            "p_type": t["p_type"].combine_chunks(),
-            "n_items": pc.cast(t["items_f"], pa.int64()),
-            "revenue_units": pc.cast(t["rev_f"], pa.int64()),
-        }
-    ).sort_by("p_type")
+            "p_type": ("p_type", pa.string()),
+            "n_items": ("items_f", pa.int64()),
+            "revenue_units": ("rev_f", pa.int64()),
+        },
+        "p_type",
+    )
 
 
 def revenue_by_region(sf_dir: str) -> pa.Table:

@@ -49,6 +49,7 @@ from lucene_plugin_ray.functions.analysis import (
     STOP_WORDS,
     tokenize_column,
 )
+from lucene_plugin_ray.functions.lookup import lookup_positions
 from lucene_plugin_ray.functions.hashing import (
     fnv1a_bytes_column,
     mix64_np,
@@ -4105,15 +4106,11 @@ def charlm_logprob(
             pc.cast(batch["text"].combine_chunks(), pa.string())
         )
         if ids.size:
-            pos = np.searchsorted(bid, ids)
-            if not (
-                (pos < bid.size).all()
-                and (bid[np.minimum(pos, bid.size - 1)] == ids).all()
-            ):
-                raise ValueError(
-                    "bigram absent from model (scored corpus differs from "
-                    "the fit corpus)"
-                )
+            pos = lookup_positions(
+                bid, ids,
+                "bigram absent from model (scored corpus differs from "
+                "the fit corpus)",
+            )
             per = q[pos]
         else:
             per = np.empty(0, np.int64)
@@ -4157,6 +4154,9 @@ def length_rank(
     pass resolves every doc with one ``searchsorted``.  Two metadata
     columns read; text never leaves storage.
 
+    Input contract: ``n_chars`` must be non-null (raises a descriptive
+    ValueError otherwise — null sizes have no defined rank).
+
     Output: (doc_id, n_chars, rank, dense_rank), sorted by doc_id."""
     from ray.data.aggregate import Sum
 
@@ -4165,9 +4165,12 @@ def length_rank(
     )
 
     def _hist(batch: pa.Table) -> pa.Table:
-        vals = pc.cast(batch["n_chars"], pa.int64()).to_numpy(
-            zero_copy_only=False
-        )
+        col = batch["n_chars"]
+        if col.null_count:
+            # loud input contract (not a cryptic float-NaN cast failure):
+            # rank over a null size is undefined — clean n_chars upstream
+            raise ValueError("length_rank: n_chars contains nulls")
+        vals = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
         uniq, cnt = np.unique(vals, return_counts=True)
         return pa.table(
             {
@@ -4203,12 +4206,9 @@ def length_rank(
         vals = pc.cast(batch["n_chars"], pa.int64()).to_numpy(
             zero_copy_only=False
         )
-        pos = np.searchsorted(ls, vals)
-        if vals.size and not (
-            (pos < ls.size).all()
-            and (ls[np.minimum(pos, ls.size - 1)] == vals).all()
-        ):
-            raise ValueError("n_chars value absent from the fitted histogram")
+        pos = lookup_positions(
+            ls, vals, "n_chars value absent from the fitted histogram"
+        )
         return pa.table(
             {
                 "doc_id": batch["doc_id"].combine_chunks(),

@@ -218,6 +218,8 @@ def test_output_path_streaming_sinks(ray_session, tmp_path):
         "tfidf_topk": (training.tfidf_topk, "doc_id"),
         "paragraph_dedup": (training.paragraph_dedup, "doc_id"),
         "events_rolling": (training.events_rolling, None),
+        "charlm_logprob": (training.charlm_logprob, "doc_id"),
+        "length_rank": (training.length_rank, "doc_id"),
     }
     for name, (fn, sort_key) in ops.items():
         out_dir = tmp_path / name

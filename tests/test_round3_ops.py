@@ -220,17 +220,18 @@ def tpch_dir(tmp_path_factory):
     ship_ok = dt.datetime(1997, 1, 1)
     ship_late = dt.datetime(1999, 1, 1)  # excluded from pricing_summary
     rows = [
-        # (suppkey, qty, extprice, disc, tax, flag, status, shipdate)
-        (1, 10.0, 100.00, 0.10, 0.05, "A", "F", ship_ok),
-        (2, 20.0, 90.00, 0.00, 0.00, "A", "F", ship_ok),   # 9000*100 = tie
-        (1, 1.0, 500.00, 0.05, 0.08, "R", "O", ship_late),
-        (3, 5.0, 90.00, 0.00, 0.01, "N", "O", ship_ok),
+        # (suppkey, qty, extprice, disc, tax, flag, status, shipdate, okey)
+        (1, 10.0, 100.00, 0.10, 0.05, "A", "F", ship_ok, 1),
+        (2, 20.0, 90.00, 0.00, 0.00, "A", "F", ship_ok, 1),  # 9000*100 = tie
+        (1, 1.0, 500.00, 0.05, 0.08, "R", "O", ship_late, 2),
+        (3, 5.0, 90.00, 0.00, 0.01, "N", "O", ship_ok, 3),
     ]
     # revenues: supplier 1 = 900000 + 4750000 (late row), suppliers 2 and 3
     # TIE at 9000*100 = 900000 → suppkey asc must break the tie
     pq.write_table(
         pa.table(
             {
+                "l_orderkey": pa.array([r[8] for r in rows], pa.int64()),
                 "l_suppkey": pa.array([r[0] for r in rows], pa.int64()),
                 "l_quantity": pa.array([r[1] for r in rows], pa.float64()),
                 "l_extendedprice": pa.array([r[2] for r in rows], pa.float64()),
@@ -261,6 +262,16 @@ def tpch_dir(tmp_path_factory):
             }
         ),
         d / "nation.parquet",
+    )
+    # order 4 has NO lineitems — the LEFT-join branch of order_line_rollup
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+                "o_orderstatus": pa.array(["F", "O", "F", "P"], pa.string()),
+            }
+        ),
+        d / "orders.parquet",
     )
     return str(d)
 
@@ -295,6 +306,66 @@ def test_top_suppliers_tie_breaks_on_suppkey(ray_session, tpch_dir):
     assert list(top3["s_suppkey"]) == [1, 2, 3]
     with pytest.raises(ValueError):
         relational.top_suppliers(tpch_dir, k=0)
+
+
+def test_order_line_rollup_lineless_orders(ray_session, tpch_dir):
+    """The LEFT-join branch the TPC-H driver data never exercises (every
+    driver order has lines): an order with NO lineitems counts in n_orders
+    with zero lines/revenue — this also pins Ray's all-null-group Sum
+    finalizing to null (the alpha-API behavior the op's fill_null relies
+    on); a Ray upgrade that changed it to 0 would fail here."""
+    from lucene_plugin_ray.pipelines import relational
+
+    got = relational.order_line_rollup(tpch_dir).to_pandas()
+    r = got.set_index("o_orderstatus")
+    assert r.loc["F", "n_orders"] == 2
+    assert r.loc["F", "n_orders_with_lines"] == 2
+    assert r.loc["F", "n_lines"] == 3
+    assert r.loc["F", "revenue_units"] == 900000 + 900000 + 900000
+    assert r.loc["O", "n_orders"] == 1 and r.loc["O", "n_lines"] == 1
+    assert r.loc["O", "revenue_units"] == 50000 * 95
+    # the lineless order: counted, zero lines, zero revenue
+    assert r.loc["P", "n_orders"] == 1
+    assert r.loc["P", "n_orders_with_lines"] == 0
+    assert r.loc["P", "n_lines"] == 0 and r.loc["P", "revenue_units"] == 0
+    # oracle agreement on the same fixture
+    import duckdb
+
+    import __ray_entry__ as E
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tpch_dir}/{t}.parquet')"
+        )
+    exp = con.sql(E.oracle_sql()["order_line_rollup"]).df()
+    pd.testing.assert_frame_equal(
+        got.sort_values("o_orderstatus").reset_index(drop=True),
+        exp.sort_values("o_orderstatus").reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_distinct_users_null_user_semantics(ray_session, tmp_path):
+    """count(DISTINCT user_id) parity: null-user events count in n_events
+    but contribute no user."""
+    from lucene_plugin_ray.pipelines import relational
+
+    d = tmp_path / "nullusers"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_type": pa.array(["a", "a", "a", "b"], pa.string()),
+                "user_id": pa.array([1, None, 1, None], pa.int64()),
+            }
+        ),
+        d / "events.parquet",
+    )
+    got = relational.distinct_users_by_type(str(d)).to_pandas()
+    r = got.set_index("event_type")
+    assert r.loc["a", "n_events"] == 3 and r.loc["a", "n_users"] == 1
+    assert r.loc["b", "n_events"] == 1 and r.loc["b", "n_users"] == 0
 
 
 def test_top_suppliers_dangling_suppkey_raises(ray_session, tmp_path, tpch_dir):
