@@ -285,6 +285,14 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     relational.revenue_by_nation(sf_dir)
     queries["revenue_by_nation"] = round(time.monotonic() - t1, 3)
 
+    t1 = time.monotonic()
+    training.charlm_logprob(sf_dir)
+    queries["charlm_logprob"] = round(time.monotonic() - t1, 3)
+
+    t1 = time.monotonic()
+    relational.order_line_rollup(sf_dir)
+    queries["order_line_rollup"] = round(time.monotonic() - t1, 3)
+
     out["metric"] = "index_build_sec_plus_query_latency"
     out["value"] = round(build_s, 3)
     out["unit"] = "sec"

@@ -122,6 +122,22 @@ def sha256_column(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
     return pa.array(out, type=pa.string())
 
 
+def sha256_binary_column(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Per-row sha256 as 32 RAW bytes (``binary`` column) — for INTERNAL
+    exchange keys that never reach an output: 36 B/row through a shuffle
+    instead of the hexdigest's 68 (sha256_column stays the public,
+    oracle-comparable form)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    out = []
+    for v in arr:
+        if not v.is_valid:
+            out.append(None)
+        else:
+            out.append(hashlib.sha256(v.as_buffer()).digest())
+    return pa.array(out, type=pa.binary())
+
+
 _HEX_CHARS = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
 # hex outputs larger than this need int64 offsets (large_string); module
 # constant so tests can exercise the branch without a 2 GiB allocation

@@ -53,6 +53,7 @@ from lucene_plugin_ray.functions.lookup import lookup_positions
 from lucene_plugin_ray.functions.hashing import (
     fnv1a_bytes_column,
     mix64_np,
+    sha256_binary_column,
     sha256_column,
 )
 from lucene_plugin_ray.sources.reader import read_parquet_clean
@@ -3571,8 +3572,8 @@ def paragraph_dedup(
     Distributed shape (two map passes + ONE small shuffle, no strings
     through the exchange):
 
-    1. map: blocks per batch → (sha256(block), packed (doc_id, idx)) —
-       32-byte uniform keys, no skew;
+    1. map: blocks per batch → (sha256(block) as 32 RAW bytes, packed
+       (doc_id, idx)) — uniform keys, no skew, no hex doubling;
     2. ``groupby(sha).aggregate(Min(packed), Count)`` → groups with
        count > 1 are the duplicate-block table (output-sized: one row per
        DISTINCT duplicated block);
@@ -3602,7 +3603,7 @@ def paragraph_dedup(
         )
         return pa.table(
             {
-                "block_sha": sha256_column(btext),
+                "block_sha": sha256_binary_column(btext),
                 "packed": pa.array(
                     _packed_block_key(doc_ids.astype(np.int64), bidx),
                     type=pa.int64(),
@@ -3643,7 +3644,7 @@ def paragraph_dedup(
         brow, bidx, btext, wrow, flat, sizes = _word_blocks(batch, block_words)
         doc_ids = doc_col.to_numpy(zero_copy_only=False)
         packed = _packed_block_key(doc_ids[brow].astype(np.int64), bidx)
-        pos = pc.index_in(sha256_column(btext), value_set=dup_sha)
+        pos = pc.index_in(sha256_binary_column(btext), value_set=dup_sha)
         in_dup = pos.is_valid().to_numpy(zero_copy_only=False)
         idx = pc.fill_null(pos, 0).to_numpy(zero_copy_only=False).astype(np.int64)
         keep_block = (
