@@ -278,6 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_rank": training.length_rank,
         "revenue_by_part_type": relational.revenue_by_part_type,
         "revenue_by_region": relational.revenue_by_region,
+        "minhash_clusters": training.minhash_clusters,
     }
 
 
@@ -1036,9 +1037,10 @@ JOIN nation n ON n.n_nationkey = c.c_nationkey
 GROUP BY n.n_name ORDER BY n.n_name
 """
 
-    # dedup_minhash, simhash, ann_ivf, ann_lsh, ann_pq: approximate /
-    # LSH/PQ-based — not SQL-expressible; the driver records rows-only
-    # checks (ann_pq recall vs exact ann_topk pinned in tests).
+    # dedup_minhash, minhash_clusters, simhash, ann_ivf, ann_lsh, ann_pq:
+    # approximate / LSH/PQ-based — not SQL-expressible; the driver records
+    # rows-only checks (ann_pq recall vs exact ann_topk and
+    # minhash_clusters pair-consistency pinned in tests).
     # embedding_cluster / semantic_dedup: iterative (distributed Lloyd
     # k-means; SemDeDup keep-per-component) — rows-only; pinned by
     # determinism/assignment property tests (tests/test_kmeans.py).

@@ -690,8 +690,18 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5) -> pa.Table:
     )
     if pairs.num_rows == 0:
         return empty
-    a = pairs["doc_a"].to_numpy()
-    b = pairs["doc_b"].to_numpy()
+    return _cluster_table(
+        pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()
+    )
+
+
+def _cluster_table(a: np.ndarray, b: np.ndarray) -> pa.Table:
+    """Connected components over an output-sized edge list → the
+    (doc_id, cluster_id = min reachable doc_id, cluster_size) table.
+    Vectorized hash-min + pointer-jumping label chasing (np.minimum.at /
+    label[label]; O(log V) outer rounds, no per-edge Python) — shared by
+    :func:`dedup_clusters` (exact adjacent-jaccard edges) and
+    :func:`minhash_clusters` (LSH-candidate verified edges)."""
     nodes = np.unique(np.concatenate([a, b]))
     ia = np.searchsorted(nodes, a)
     ib = np.searchsorted(nodes, b)
@@ -720,6 +730,38 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5) -> pa.Table:
             "cluster_size": pa.array(sizes[label], type=pa.int64()),
         }
     ).sort_by("doc_id")
+
+
+def minhash_clusters(
+    sf_dir: str, jaccard_threshold: float = 0.5
+) -> pa.Table:
+    """THE production near-dup ending: MinHash+LSH candidate pairs
+    (exact-verified, :func:`dedup_minhash`) closed into duplicate CLUSTERS
+    — what a curation pass actually consumes (keep ``cluster_id``, drop
+    the rest), since duplicates chain (A~B, B~C ⇒ one cluster even though
+    A≁C directly).
+
+    Distributed shape: all corpus-sized work is dedup_minhash's pipeline
+    (shingle → minhash actor pool → band groupby → in-bucket verify); the
+    component labeling runs over the VERIFIED PAIR list, which is
+    output-sized, via the shared :func:`_cluster_table` kernel.
+    Approximate by construction (LSH recall < 1) → rows-only driver check;
+    pinned by the pair-consistency property tests.
+
+    Output: (doc_id, cluster_id, cluster_size), one row per doc in ≥ 1
+    verified pair, sorted by doc_id."""
+    pairs = dedup_minhash(sf_dir, jaccard_threshold=jaccard_threshold)
+    if pairs.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "cluster_id": pa.array([], pa.int64()),
+                "cluster_size": pa.array([], pa.int64()),
+            }
+        )
+    return _cluster_table(
+        pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()
+    )
 
 
 def _simhash_batch(batch: pa.Table) -> np.ndarray:

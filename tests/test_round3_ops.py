@@ -212,6 +212,36 @@ def test_charlm_logprob_python_reference(ray_session, charlm_dir):
         assert got.loc[i, "logprob_q"] == expected, i
 
 
+def test_minhash_clusters_consistent_with_pairs(ray_session):
+    """Cluster labeling must equal a union-find oracle over the SAME verified
+    pair list: same membership, cluster_id = min member, sizes exact."""
+    SF = "/root/testdata/sf0.001"
+    pairs = training.dedup_minhash(SF)
+    clusters = training.minhash_clusters(SF).to_pandas().set_index("doc_id")
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    from collections import defaultdict
+
+    comps = defaultdict(set)
+    for x in list(parent):
+        comps[find(x)].add(x)
+    assert set(clusters.index) == set(parent)
+    for root, members in comps.items():
+        for m in members:
+            assert clusters.loc[m, "cluster_id"] == min(members)
+            assert clusters.loc[m, "cluster_size"] == len(members)
+
+
 @pytest.fixture(scope="module")
 def tpch_dir(tmp_path_factory):
     """Tiny hand-built lineitem/supplier/nation: a revenue TIE between
