@@ -279,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_part_type": relational.revenue_by_part_type,
         "revenue_by_region": relational.revenue_by_region,
         "minhash_clusters": training.minhash_clusters,
+        "deterministic_shuffle": training.deterministic_shuffle,
     }
 
 
@@ -970,6 +971,22 @@ SELECT o.o_orderstatus,
        CAST(coalesce(sum(lv.rev), 0) AS BIGINT) AS revenue_units
 FROM orders o LEFT JOIN lv ON lv.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+"""
+
+    # seeded shuffle: shard = first two hex nibbles of sha256("0:<doc_id>"),
+    # pos = rank within shard by (key, doc_id)
+    sql["deterministic_shuffle"] = """
+WITH k AS (SELECT doc_id, sha256('0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+           FROM documents),
+s AS (SELECT doc_id, shuffle_key,
+             (instr('0123456789abcdef', substr(shuffle_key, 1, 1)) - 1) * 16
+             + instr('0123456789abcdef', substr(shuffle_key, 2, 1)) - 1 AS shard
+      FROM k)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS pos,
+       shuffle_key
+FROM s ORDER BY shard, pos
 """
 
     sql["revenue_by_region"] = """

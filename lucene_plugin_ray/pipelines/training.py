@@ -4263,3 +4263,76 @@ def length_rank(
 
     out = ds.map_batches(_resolve, batch_format="pyarrow", zero_copy_batch=True)
     return _sink_or_table(out, output_path, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# deterministic training-order shuffle (seeded shard + within-shard order)
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_SHARDS = 256  # two hex nibbles of the key; 65536 (4 nibbles) at 100 TB
+
+
+def deterministic_shuffle(
+    sf_dir: str, seed: int = 0, output_path: str | None = None
+) -> pa.Table | None:
+    """Seeded DETERMINISTIC corpus shuffle — the training-order stage: every
+    document gets a content-independent pseudo-random key
+    ``sha256(f"{seed}:{doc_id}")``, a shard (the key's first two hex
+    nibbles) and its exact position within the shard.  Re-running with the
+    same seed reproduces the identical order on any cluster size (unlike
+    ``Dataset.random_shuffle``, which is neither seeded-stable across block
+    layouts nor cheap); changing the seed is a fresh epoch permutation.
+
+    Distributed shape: the key/shard map pass is embarrassingly parallel;
+    within-shard positions come from ONE shard-keyed
+    ``groupby().map_groups`` (each group sorts its own rows — a shard is
+    corpus/256 here, corpus/65536 via ``_SHUFFLE_SHARDS`` at 100 TB so a
+    group always fits a worker).  No global sort, no driver state.
+
+    Output: (doc_id, shard, pos, shuffle_key), sorted by (shard, pos)."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    nib = "0123456789abcdef"
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].combine_chunks()
+        prefixed = pc.binary_join_element_wise(
+            pa.array([str(seed)] * len(ids), pa.string()),
+            pc.cast(ids, pa.string()),
+            ":",
+        )
+        sha = sha256_column(prefixed)
+        s0 = pc.utf8_slice_codeunits(sha, 0, 1).to_pylist()
+        s1 = pc.utf8_slice_codeunits(sha, 1, 2).to_pylist()
+        shard = np.array(
+            [nib.index(a) * 16 + nib.index(b) for a, b in zip(s0, s1)],
+            np.int64,
+        )
+        return pa.table(
+            {
+                "doc_id": ids,
+                "shard": pa.array(shard, pa.int64()),
+                "shuffle_key": sha,
+            }
+        )
+
+    def _rank(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group,
+            sort_keys=[("shuffle_key", "ascending"), ("doc_id", "ascending")],
+        )
+        g = group.take(order)
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "shard": g["shard"],
+                "pos": pa.array(np.arange(g.num_rows, dtype=np.int64)),
+                "shuffle_key": g["shuffle_key"],
+            }
+        )
+
+    out = (
+        ds.map_batches(_assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(_rank, batch_format="pyarrow")
+    )
+    return _sink_or_table(out, output_path, [("shard", "ascending"), ("pos", "ascending")])
