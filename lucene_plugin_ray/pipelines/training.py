@@ -681,15 +681,6 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5) -> pa.Table:
     # collection): the driver receives only the near-dup EDGES, never the
     # one-row-per-document pair table
     pairs = jaccard_adjacent(sf_dir, min_jaccard=threshold)
-    empty = pa.table(
-        {
-            "doc_id": pa.array([], pa.int64()),
-            "cluster_id": pa.array([], pa.int64()),
-            "cluster_size": pa.array([], pa.int64()),
-        }
-    )
-    if pairs.num_rows == 0:
-        return empty
     return _cluster_table(
         pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()
     )
@@ -701,7 +692,16 @@ def _cluster_table(a: np.ndarray, b: np.ndarray) -> pa.Table:
     Vectorized hash-min + pointer-jumping label chasing (np.minimum.at /
     label[label]; O(log V) outer rounds, no per-edge Python) — shared by
     :func:`dedup_clusters` (exact adjacent-jaccard edges) and
-    :func:`minhash_clusters` (LSH-candidate verified edges)."""
+    :func:`minhash_clusters` (LSH-candidate verified edges).  Owns the
+    zero-edge case (schema'd empty table)."""
+    if a.size == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "cluster_id": pa.array([], pa.int64()),
+                "cluster_size": pa.array([], pa.int64()),
+            }
+        )
     nodes = np.unique(np.concatenate([a, b]))
     ia = np.searchsorted(nodes, a)
     ib = np.searchsorted(nodes, b)
@@ -751,14 +751,6 @@ def minhash_clusters(
     Output: (doc_id, cluster_id, cluster_size), one row per doc in ≥ 1
     verified pair, sorted by doc_id."""
     pairs = dedup_minhash(sf_dir, jaccard_threshold=jaccard_threshold)
-    if pairs.num_rows == 0:
-        return pa.table(
-            {
-                "doc_id": pa.array([], pa.int64()),
-                "cluster_id": pa.array([], pa.int64()),
-                "cluster_size": pa.array([], pa.int64()),
-            }
-        )
     return _cluster_table(
         pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()
     )
@@ -3668,7 +3660,7 @@ def paragraph_dedup(
     else:
         dup_tbl = pa.table(
             {
-                "block_sha": pa.array([], pa.string()),
+                "block_sha": pa.array([], pa.binary()),
                 "min_packed": pa.array([], pa.int64()),
                 "n_occ": pa.array([], pa.int64()),
             }
@@ -4269,49 +4261,61 @@ def length_rank(
 # deterministic training-order shuffle (seeded shard + within-shard order)
 # ---------------------------------------------------------------------------
 
-_SHUFFLE_SHARDS = 256  # two hex nibbles of the key; 65536 (4 nibbles) at 100 TB
+_SHUFFLE_SHARDS = 256  # default: 2 hex nibbles; pass n_shards=65536 at 100 TB
 
 
 def deterministic_shuffle(
-    sf_dir: str, seed: int = 0, output_path: str | None = None
+    sf_dir: str,
+    seed: int = 0,
+    n_shards: int = _SHUFFLE_SHARDS,
+    output_path: str | None = None,
 ) -> pa.Table | None:
     """Seeded DETERMINISTIC corpus shuffle — the training-order stage: every
     document gets a content-independent pseudo-random key
-    ``sha256(f"{seed}:{doc_id}")``, a shard (the key's first two hex
-    nibbles) and its exact position within the shard.  Re-running with the
-    same seed reproduces the identical order on any cluster size (unlike
-    ``Dataset.random_shuffle``, which is neither seeded-stable across block
-    layouts nor cheap); changing the seed is a fresh epoch permutation.
+    ``sha256(f"{seed}:{doc_id}")``, a shard (the key's first hex nibbles —
+    ``n_shards`` must be a power of 16, up to 65536) and its exact position
+    within the shard.  Re-running with the same seed reproduces the
+    identical order on any cluster size (unlike ``Dataset.random_shuffle``,
+    which is neither seeded-stable across block layouts nor cheap);
+    changing the seed is a fresh epoch permutation.
 
-    Distributed shape: the key/shard map pass is embarrassingly parallel;
-    within-shard positions come from ONE shard-keyed
-    ``groupby().map_groups`` (each group sorts its own rows — a shard is
-    corpus/256 here, corpus/65536 via ``_SHUFFLE_SHARDS`` at 100 TB so a
-    group always fits a worker).  No global sort, no driver state.
+    Distributed shape: the key/shard map pass is embarrassingly parallel
+    (per-row hashing is the only per-row work — sha256 via hashlib over
+    buffer views; shard extraction is one numpy reshape over the fixed
+    32-byte digests); within-shard positions come from ONE shard-keyed
+    ``groupby().map_groups`` (each group sorts its own rows — corpus/256 at
+    the default, corpus/65536 with ``n_shards=65536`` so a group always
+    fits a worker).  No global sort, no driver state.
 
     Output: (doc_id, shard, pos, shuffle_key), sorted by (shard, pos)."""
+    from lucene_plugin_ray.functions.hashing import (
+        hex_encode_column,
+        sha256_binary_column,
+    )
+
+    k = {16: 1, 256: 2, 4096: 3, 65536: 4}.get(n_shards)
+    if k is None:
+        raise ValueError("n_shards must be one of 16, 256, 4096, 65536")
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    nib = "0123456789abcdef"
 
     def _assign(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].combine_chunks()
         prefixed = pc.binary_join_element_wise(
-            pa.array([str(seed)] * len(ids), pa.string()),
-            pc.cast(ids, pa.string()),
-            ":",
+            pa.scalar(str(seed)), pc.cast(ids, pa.string()), ":"
         )
-        sha = sha256_column(prefixed)
-        s0 = pc.utf8_slice_codeunits(sha, 0, 1).to_pylist()
-        s1 = pc.utf8_slice_codeunits(sha, 1, 2).to_pylist()
-        shard = np.array(
-            [nib.index(a) * 16 + nib.index(b) for a, b in zip(s0, s1)],
-            np.int64,
-        )
+        raw = sha256_binary_column(prefixed)
+        if len(raw):
+            data = np.frombuffer(raw.buffers()[2], np.uint8)
+            digests = data[: 32 * len(raw)].reshape(-1, 32)
+            v4 = digests[:, 0].astype(np.int64) * 256 + digests[:, 1]
+            shard = v4 >> (4 * (4 - k))  # first k hex nibbles
+        else:
+            shard = np.empty(0, np.int64)
         return pa.table(
             {
                 "doc_id": ids,
                 "shard": pa.array(shard, pa.int64()),
-                "shuffle_key": sha,
+                "shuffle_key": hex_encode_column(raw),
             }
         )
 
@@ -4335,4 +4339,16 @@ def deterministic_shuffle(
         .groupby("shard")
         .map_groups(_rank, batch_format="pyarrow")
     )
-    return _sink_or_table(out, output_path, [("shard", "ascending"), ("pos", "ascending")])
+    return _sink_or_table(
+        out,
+        output_path,
+        [("shard", "ascending"), ("pos", "ascending")],
+        empty_schema=pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("shard", pa.int64()),
+                ("pos", pa.int64()),
+                ("shuffle_key", pa.string()),
+            ]
+        ),
+    )

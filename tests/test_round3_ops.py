@@ -212,6 +212,27 @@ def test_charlm_logprob_python_reference(ray_session, charlm_dir):
         assert got.loc[i, "logprob_q"] == expected, i
 
 
+def test_deterministic_shuffle_seed_semantics(ray_session):
+    """Same seed → byte-identical order; different seed → a different
+    permutation; n_shards actually changes the shard domain."""
+    SF = "/root/testdata/sf0.001"
+    a1 = training.deterministic_shuffle(SF, seed=0)
+    a2 = training.deterministic_shuffle(SF, seed=0)
+    assert a1.equals(a2)
+    b = training.deterministic_shuffle(SF, seed=1)
+    assert not a1.equals(b)  # fresh epoch permutation
+    assert set(a1["doc_id"].to_pylist()) == set(b["doc_id"].to_pylist())
+    assert a1["shard"].to_pandas().max() < 256
+    small = training.deterministic_shuffle(SF, n_shards=16)
+    assert small["shard"].to_pandas().max() < 16
+    # seed participates in the KEY, not just the shard: per-doc keys differ
+    k0 = dict(zip(a1["doc_id"].to_pylist(), a1["shuffle_key"].to_pylist()))
+    k1 = dict(zip(b["doc_id"].to_pylist(), b["shuffle_key"].to_pylist()))
+    assert all(k0[d] != k1[d] for d in list(k0)[:20])
+    with pytest.raises(ValueError):
+        training.deterministic_shuffle(SF, n_shards=100)
+
+
 def test_minhash_clusters_consistent_with_pairs(ray_session):
     """Cluster labeling must equal a union-find oracle over the SAME verified
     pair list: same membership, cluster_id = min member, sizes exact."""
