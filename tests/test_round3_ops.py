@@ -212,6 +212,45 @@ def test_charlm_logprob_python_reference(ray_session, charlm_dir):
         assert got.loc[i, "logprob_q"] == expected, i
 
 
+def test_char_bigram_ids_ascii_fast_path_equals_codepoint_fallback():
+    """Property: the ASCII buffer fast path and the UTF-32 fallback compute
+    the SAME bigram ids — forcing the fallback by appending a non-ASCII row
+    must not change the ids of the ASCII rows (no Ray needed)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lucene_plugin_ray.pipelines.training import (
+        _CHARLM_BASE,
+        _char_bigram_ids,
+    )
+
+    ascii_text = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=40,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(ascii_text, min_size=1, max_size=8))
+    def run(rows):
+        fast_ids, fast_counts = _char_bigram_ids(pa.array(rows, pa.string()))
+        # appending a non-ASCII row forces the per-row codepoint fallback
+        slow_ids, slow_counts = _char_bigram_ids(
+            pa.array(rows + ["ü"], pa.string())
+        )
+        assert list(fast_counts) == list(slow_counts[:-1])
+        assert slow_counts[-1] == 0  # single-codepoint row → no bigrams
+        assert fast_ids.tolist() == slow_ids.tolist()
+        # python reference
+        expect = [
+            ord(a) * _CHARLM_BASE + ord(b)
+            for r in rows
+            for a, b in zip(r, r[1:])
+        ]
+        assert fast_ids.tolist() == expect
+
+    run()
+
+
 def test_deterministic_shuffle_seed_semantics(ray_session):
     """Same seed → byte-identical order; different seed → a different
     permutation; n_shards actually changes the shard domain."""
