@@ -280,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_region": relational.revenue_by_region,
         "minhash_clusters": training.minhash_clusters,
         "deterministic_shuffle": training.deterministic_shuffle,
+        "events_hopping": training.events_hopping,
     }
 
 
@@ -971,6 +972,24 @@ SELECT o.o_orderstatus,
        CAST(coalesce(sum(lv.rev), 0) AS BIGINT) AS revenue_units
 FROM orders o LEFT JOIN lv ON lv.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+"""
+
+    # hopping windows: 1 h window, 15 min hop — every event in exactly 4
+    # window starts (floor(ts/hop)·hop − k·hop, k < 4, start > ts − window)
+    sql["events_hopping"] = """
+WITH p AS (SELECT epoch_us(ts) AS tus, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+w AS (SELECT make_timestamp((tus // 900000000) * 900000000
+                            - k.k * 900000000) AS window_start,
+             event_type, cents
+      FROM p, (SELECT unnest(range(4)) AS k) k
+      WHERE (tus // 900000000) * 900000000 - k.k * 900000000
+            > tus - 3600000000)
+SELECT window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_value_cents
+FROM w GROUP BY window_start, event_type
+ORDER BY window_start, event_type
 """
 
     # seeded shuffle: shard = first two hex nibbles of sha256("0:<doc_id>"),

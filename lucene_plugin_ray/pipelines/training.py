@@ -4352,3 +4352,103 @@ def deterministic_shuffle(
             ]
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# hopping (sliding) window aggregate over the events stream
+# ---------------------------------------------------------------------------
+
+_HOP_US = 900_000_000       # 15-minute hop
+_HOP_WINDOW_US = 3_600_000_000  # 1-hour windows ⇒ each event in 4 windows
+
+
+def events_hopping(sf_dir: str) -> pa.Table:
+    """Hopping (sliding) window aggregate — the third member of the window
+    family (tumbling :func:`events_window`, trailing-RANGE
+    :func:`events_rolling`): 1-hour windows advancing every 15 minutes, so
+    each event lands in exactly window/hop = 4 overlapping windows.
+
+    Same combiner-first shape as events_window, with a bounded 4× in-batch
+    expansion BEFORE the combiner: window starts are a pure row function
+    (floor(ts/hop)·hop − k·hop for k < 4), each batch collapses to one
+    partial row per (window_start, event_type), and the shuffle moves
+    |windows × types| rows, never |events| (let alone 4×|events|).
+    Integer-cents exactness as everywhere in the family.
+
+    Output: (window_start, event_type, n_events, sum_value_cents), sorted
+    by (window_start, event_type)."""
+    from ray.data.aggregate import Sum
+
+    k_windows = _HOP_WINDOW_US // _HOP_US
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        tus = pc.cast(batch["ts"].combine_chunks(), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        cents = (
+            pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        types = batch["event_type"].combine_chunks()
+        base = (tus // _HOP_US) * _HOP_US
+        n = tus.size
+        starts = np.repeat(base, k_windows) - np.tile(
+            np.arange(k_windows, dtype=np.int64) * _HOP_US, n
+        )
+        keep = starts > np.repeat(tus, k_windows) - _HOP_WINDOW_US
+        rows = np.repeat(np.arange(n, dtype=np.int64), k_windows)[keep]
+        t = pa.table(
+            {
+                "window_start": pa.array(starts[keep], pa.int64()),
+                "event_type": types.take(pa.array(rows, pa.int64())),
+                "cents": pa.array(cents[rows], pa.int64()),
+            }
+        )
+        agg = t.group_by(["window_start", "event_type"]).aggregate(
+            [("cents", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "window_start": pc.cast(agg["window_start"], pa.int64()),
+                "event_type": agg["event_type"].combine_chunks(),
+                "n_events": pc.cast(agg["count_all"], pa.int64()),
+                "sum_value_cents": pc.cast(agg["cents_sum"], pa.int64()),
+            }
+        )
+
+    folded = (
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["window_start", "event_type"])
+        .aggregate(
+            Sum("n_events", alias_name="events_f"),
+            Sum("sum_value_cents", alias_name="cents_f"),
+        )
+    )
+    tables = [b for b in folded.iter_batches(batch_format="pyarrow")]
+    if not tables:
+        out = pa.table(
+            {
+                "window_start": pa.array([], pa.timestamp("us")),
+                "event_type": pa.array([], pa.string()),
+                "n_events": pa.array([], pa.int64()),
+                "sum_value_cents": pa.array([], pa.int64()),
+            }
+        )
+    else:
+        t = pa.concat_tables(tables)
+        out = pa.table(
+            {
+                "window_start": pc.cast(
+                    pc.cast(t["window_start"], pa.int64()), pa.timestamp("us")
+                ),
+                "event_type": t["event_type"].combine_chunks(),
+                "n_events": pc.cast(t["events_f"], pa.int64()),
+                "sum_value_cents": pc.cast(t["cents_f"], pa.int64()),
+            }
+        )
+    return out.sort_by(
+        [("window_start", "ascending"), ("event_type", "ascending")]
+    )
