@@ -281,6 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters": training.minhash_clusters,
         "deterministic_shuffle": training.deterministic_shuffle,
         "events_hopping": training.events_hopping,
+        "user_funnel": relational.user_funnel,
     }
 
 
@@ -972,6 +973,29 @@ SELECT o.o_orderstatus,
        CAST(coalesce(sum(lv.rev), 0) AS BIGINT) AS revenue_units
 FROM orders o LEFT JOIN lv ON lv.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+"""
+
+    # funnel with embedded anti-join: conversion_us NULL = never purchased
+    # at or after the first signup
+    sql["user_funnel"] = """
+WITH s AS (SELECT user_id, min(ts) AS first_signup FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT e.user_id,
+             min(epoch_us(e.ts) - epoch_us(s.first_signup)) AS conv_us
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= s.first_signup
+      GROUP BY e.user_id),
+c AS (SELECT user_id,
+             count(*) FILTER (event_type = 'signup') AS n_signups,
+             count(*) FILTER (event_type = 'purchase') AS n_purchases
+      FROM events GROUP BY user_id)
+SELECT s.user_id,
+       CAST(c.n_signups AS BIGINT) AS n_signups,
+       CAST(c.n_purchases AS BIGINT) AS n_purchases,
+       s.first_signup AS first_signup_ts,
+       CAST(p.conv_us AS BIGINT) AS conversion_us
+FROM s JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+ORDER BY s.user_id
 """
 
     # hopping windows: 1 h window, 15 min hop — every event in exactly 4

@@ -50,6 +50,7 @@ __all__ = [
     "distinct_users_by_type",
     "revenue_by_part_type",
     "revenue_by_region",
+    "user_funnel",
 ]
 
 _SHIPDATE_CUTOFF_US = 904_694_400_000_000  # 1998-09-02 (Q1's delta anchor)
@@ -809,3 +810,72 @@ def revenue_by_region(sf_dir: str) -> pa.Table:
             "revenue_cents": pc.cast(agg["revenue_cents_sum"], pa.int64()),
         }
     ).sort_by("r_name")
+
+
+def user_funnel(sf_dir: str) -> pa.Table:
+    """Funnel / conversion analysis with the ANTI-join embedded: for every
+    user with at least one signup — total signups and purchases, the first
+    signup time, and the exact time-to-conversion (first purchase AT or
+    after the first signup), NULL when the user never converted (the
+    `NOT EXISTS` subset, non-empty or not).
+
+    Distributed shape: the events-family single user-keyed shuffle
+    (events_asof's whale-user caveat applies), then one vectorized kernel
+    per group — no joins: signup/purchase masks, one min each, one masked
+    subtraction.  Output is user-granularity (bounded by |users|).
+
+    Output: (user_id, n_signups, n_purchases, first_signup_ts,
+    conversion_us), sorted by user_id."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+
+    def _funnel(group: pa.Table) -> pa.Table:
+        types = group["event_type"]
+        is_s = pc.equal(types, "signup").to_numpy(zero_copy_only=False)
+        n_s = int(is_s.sum())
+        if n_s == 0:  # funnel starts at signup
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_signups": pa.array([], pa.int64()),
+                    "n_purchases": pa.array([], pa.int64()),
+                    "first_signup_ts": pa.array([], pa.timestamp("us")),
+                    "conversion_us": pa.array([], pa.int64()),
+                }
+            )
+        ts = pc.cast(group["ts"].combine_chunks(), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        is_p = pc.equal(types, "purchase").to_numpy(zero_copy_only=False)
+        first_signup = int(ts[is_s].min())
+        conv_mask = is_p & (ts >= first_signup)
+        conv = (
+            int(ts[conv_mask].min()) - first_signup if conv_mask.any() else None
+        )
+        uid = int(group["user_id"][0].as_py())
+        return pa.table(
+            {
+                "user_id": pa.array([uid], pa.int64()),
+                "n_signups": pa.array([n_s], pa.int64()),
+                "n_purchases": pa.array([int(is_p.sum())], pa.int64()),
+                "first_signup_ts": pc.cast(
+                    pa.array([first_signup], pa.int64()), pa.timestamp("us")
+                ),
+                "conversion_us": pa.array([conv], pa.int64()),
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(_funnel, batch_format="pyarrow")
+    tables = [b for b in out.iter_batches(batch_format="pyarrow")]
+    if not tables:
+        return pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_signups": pa.array([], pa.int64()),
+                "n_purchases": pa.array([], pa.int64()),
+                "first_signup_ts": pa.array([], pa.timestamp("us")),
+                "conversion_us": pa.array([], pa.int64()),
+            }
+        )
+    return pa.concat_tables(tables).sort_by("user_id")

@@ -25,7 +25,7 @@ CHECKED = [
     "revenue_by_nation", "pricing_summary", "top_suppliers",
     "order_line_rollup", "distinct_users", "charlm_logprob", "length_rank",
     "revenue_by_part_type", "revenue_by_region", "deterministic_shuffle",
-    "events_hopping",
+    "events_hopping", "user_funnel",
 ]
 
 
