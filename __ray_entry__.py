@@ -282,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deterministic_shuffle": training.deterministic_shuffle,
         "events_hopping": training.events_hopping,
         "user_funnel": relational.user_funnel,
+        "distinct_users_hll": relational.distinct_users_hll,
     }
 
 
@@ -1097,10 +1098,11 @@ JOIN nation n ON n.n_nationkey = c.c_nationkey
 GROUP BY n.n_name ORDER BY n.n_name
 """
 
-    # dedup_minhash, minhash_clusters, simhash, ann_ivf, ann_lsh, ann_pq:
-    # approximate / LSH/PQ-based — not SQL-expressible; the driver records
-    # rows-only checks (ann_pq recall vs exact ann_topk and
-    # minhash_clusters pair-consistency pinned in tests).
+    # dedup_minhash, minhash_clusters, simhash, ann_ivf, ann_lsh, ann_pq,
+    # distinct_users_hll: approximate / LSH/PQ/sketch-based — not
+    # SQL-expressible; the driver records rows-only checks (ann_pq recall
+    # vs exact ann_topk, minhash_clusters pair-consistency, and the HLL
+    # error bound vs exact distinct pinned in tests).
     # embedding_cluster / semantic_dedup: iterative (distributed Lloyd
     # k-means; SemDeDup keep-per-component) — rows-only; pinned by
     # determinism/assignment property tests (tests/test_kmeans.py).

@@ -51,6 +51,7 @@ __all__ = [
     "revenue_by_part_type",
     "revenue_by_region",
     "user_funnel",
+    "distinct_users_hll",
 ]
 
 _SHIPDATE_CUTOFF_US = 904_694_400_000_000  # 1998-09-02 (Q1's delta anchor)
@@ -879,3 +880,106 @@ def user_funnel(sf_dir: str) -> pa.Table:
             }
         )
     return pa.concat_tables(tables).sort_by("user_id")
+
+
+_HLL_P = 12                      # 2^12 = 4096 registers (~1.6 % std error)
+_HLL_M = 1 << _HLL_P
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)  # standard bias constant, m ≥ 128
+
+
+def distinct_users_hll(sf_dir: str) -> pa.Table:
+    """APPROXIMATE distinct count via a mergeable HyperLogLog sketch — the
+    sketch-shaped twin of :func:`distinct_users_by_type`: instead of moving
+    distinct (type, user) pairs, every batch emits at most
+    |types|·4096 non-zero (type, register, rank) rows and the exchange
+    folds them with a builtin ``Max`` — register-wise max IS the sketch
+    merge, so the shuffle cost is constant in the corpus (the pair exchange
+    grows with distinct users).  The trade: ~1.6 % standard error at
+    4096 registers vs exactness.
+
+    HLL spec (fixed so results are deterministic): h = mix64(fnv1a(user_id
+    bytes)) — register = top 12 bits, rank = leading-zero count of the
+    remaining 52 bits + 1 (capped 53); linear counting below 2.5·m.
+
+    Output: (event_type, n_users_est), sorted by event_type."""
+    from ray.data.aggregate import Max
+
+    from lucene_plugin_ray.functions.hashing import mix64_np
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def _registers(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch["user_id"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        h = mix64_np(uid.astype(np.uint64))
+        reg = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+        rest = (h << np.uint64(_HLL_P)) | np.uint64((1 << _HLL_P) - 1)
+        # leading zeros of the top 52 remaining bits, +1; the OR above
+        # guarantees a set bit so the loop below terminates uniformly
+        rank = np.ones(uid.size, np.int64)
+        probe = np.uint64(1) << np.uint64(63)
+        cur = rest.copy()
+        # vectorized CLZ: shift until the top bit is set (≤ 53 iterations,
+        # data-independent; cheap next to the hash)
+        remaining = (cur & probe) == 0
+        while remaining.any():
+            rank[remaining] += 1
+            cur[remaining] = cur[remaining] << np.uint64(1)
+            remaining = (cur & probe) == 0
+        t = pa.table(
+            {
+                "event_type": batch["event_type"].combine_chunks(),
+                "reg": pa.array(reg, pa.int64()),
+                "rank": pa.array(rank, pa.int64()),
+            }
+        )
+        agg = t.group_by(["event_type", "reg"]).aggregate([("rank", "max")])
+        return pa.table(
+            {
+                "event_type": agg["event_type"].combine_chunks(),
+                "reg": pc.cast(agg["reg"], pa.int64()),
+                "rank": pc.cast(agg["rank_max"], pa.int64()),
+            }
+        )
+
+    folded = (
+        ds.map_batches(_registers, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "reg"])
+        .aggregate(Max("rank", alias_name="rank_f"))
+    )
+    tables = [b for b in folded.iter_batches(batch_format="pyarrow")]
+    if not tables:
+        return pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "n_users_est": pa.array([], pa.int64()),
+            }
+        )
+    t = pa.concat_tables(tables).sort_by(
+        [("event_type", "ascending"), ("reg", "ascending")]
+    )
+    types = t["event_type"].to_numpy(zero_copy_only=False)
+    regs = t["reg"].to_numpy(zero_copy_only=False)
+    ranks = pc.cast(t["rank_f"], pa.int64()).to_numpy(zero_copy_only=False)
+    out_t, out_n = [], []
+    starts = np.flatnonzero(np.r_[True, types[1:] != types[:-1]])
+    bounds = np.r_[starts, types.size]
+    for i in range(starts.size):
+        lo, hi = bounds[i], bounds[i + 1]
+        m_full = np.zeros(_HLL_M, np.int64)
+        m_full[regs[lo:hi]] = ranks[lo:hi]
+        est = _HLL_ALPHA * _HLL_M * _HLL_M / np.power(2.0, -m_full).sum()
+        zeros = int((m_full == 0).sum())
+        if est <= 2.5 * _HLL_M and zeros:  # linear-counting small range
+            est = _HLL_M * np.log(_HLL_M / zeros)
+        out_t.append(str(types[lo]))
+        out_n.append(int(round(est)))
+    return pa.table(
+        {
+            "event_type": pa.array(out_t, pa.string()),
+            "n_users_est": pa.array(out_n, pa.int64()),
+        }
+    )

@@ -79,6 +79,8 @@ def test_rows_only_ops_run(harness):
     assert qs["lang_id"](SF).num_rows == 500
     mh = qs["dedup_minhash"](SF)
     assert mh.num_rows > 0  # seeded corpus contains near-dups
+    hll = qs["distinct_users_hll"](SF)
+    assert hll.num_rows == 5  # five event types
     ivf = qs["ann_ivf"](SF)
     assert ivf.num_rows > 0
     # IVF recall vs the exact baseline (approximate but not garbage)

@@ -458,6 +458,27 @@ def test_distinct_users_null_user_semantics(ray_session, tmp_path):
     assert r.loc["b", "n_events"] == 1 and r.loc["b", "n_users"] == 0
 
 
+def test_distinct_users_hll_error_bound(ray_session):
+    """HLL estimate per type stays within 5 % of the exact distinct count
+    (4096 registers → ~1.6 % std error; 5 % ≈ 3σ), and the sketch merge is
+    deterministic (fixed hash spec)."""
+    SF = "/root/testdata/sf0.01"
+    from lucene_plugin_ray.pipelines import relational
+
+    exact = (
+        relational.distinct_users_by_type(SF)
+        .to_pandas()
+        .set_index("event_type")["n_users"]
+    )
+    est1 = relational.distinct_users_hll(SF).to_pandas().set_index("event_type")
+    est2 = relational.distinct_users_hll(SF).to_pandas().set_index("event_type")
+    pd.testing.assert_frame_equal(est1, est2)  # deterministic
+    assert set(est1.index) == set(exact.index)
+    for t_ in exact.index:
+        rel = abs(est1.loc[t_, "n_users_est"] - exact[t_]) / max(exact[t_], 1)
+        assert rel <= 0.05, (t_, rel)
+
+
 def test_top_suppliers_dangling_suppkey_raises(ray_session, tmp_path, tpch_dir):
     """A lineitem suppkey missing from supplier must raise loudly, not
     resolve to a neighboring supplier's name."""
