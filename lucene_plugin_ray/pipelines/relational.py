@@ -835,7 +835,10 @@ def user_funnel(sf_dir: str) -> pa.Table:
         types = group["event_type"]
         is_s = pc.equal(types, "signup").to_numpy(zero_copy_only=False)
         n_s = int(is_s.sum())
-        if n_s == 0:  # funnel starts at signup
+        # null-user groups are skipped — SQL join semantics (NULL != NULL)
+        # drop them from the funnel, matching the oracle
+        null_user = group.num_rows > 0 and not group["user_id"][0].is_valid
+        if n_s == 0 or null_user:  # funnel starts at signup
             return pa.table(
                 {
                     "user_id": pa.array([], pa.int64()),
@@ -868,18 +871,17 @@ def user_funnel(sf_dir: str) -> pa.Table:
         )
 
     out = ds.groupby("user_id").map_groups(_funnel, batch_format="pyarrow")
-    tables = [b for b in out.iter_batches(batch_format="pyarrow")]
-    if not tables:
-        return pa.table(
-            {
-                "user_id": pa.array([], pa.int64()),
-                "n_signups": pa.array([], pa.int64()),
-                "n_purchases": pa.array([], pa.int64()),
-                "first_signup_ts": pa.array([], pa.timestamp("us")),
-                "conversion_us": pa.array([], pa.int64()),
-            }
-        )
-    return pa.concat_tables(tables).sort_by("user_id")
+    return _collect_sorted(
+        out,
+        {
+            "user_id": ("user_id", pa.int64()),
+            "n_signups": ("n_signups", pa.int64()),
+            "n_purchases": ("n_purchases", pa.int64()),
+            "first_signup_ts": ("first_signup_ts", pa.timestamp("us")),
+            "conversion_us": ("conversion_us", pa.int64()),
+        },
+        "user_id",
+    )
 
 
 _HLL_P = 12                      # 2^12 = 4096 registers (~1.6 % std error)
@@ -897,9 +899,11 @@ def distinct_users_hll(sf_dir: str) -> pa.Table:
     grows with distinct users).  The trade: ~1.6 % standard error at
     4096 registers vs exactness.
 
-    HLL spec (fixed so results are deterministic): h = mix64(fnv1a(user_id
-    bytes)) — register = top 12 bits, rank = leading-zero count of the
+    HLL spec (fixed so results are deterministic): h = mix64(uint64(
+    user_id)) — register = top 12 bits, rank = leading-zero count of the
     remaining 52 bits + 1 (capped 53); linear counting below 2.5·m.
+    NULL user_id rows are dropped (count(distinct) semantics, matching
+    :func:`distinct_users_by_type`).
 
     Output: (event_type, n_users_est), sorted by event_type."""
     from ray.data.aggregate import Max
@@ -911,6 +915,7 @@ def distinct_users_hll(sf_dir: str) -> pa.Table:
     )
 
     def _registers(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["user_id"]))
         uid = pc.cast(batch["user_id"], pa.int64()).to_numpy(
             zero_copy_only=False
         )

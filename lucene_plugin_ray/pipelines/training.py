@@ -4398,6 +4398,9 @@ def events_hopping(sf_dir: str) -> pa.Table:
         starts = np.repeat(base, k_windows) - np.tile(
             np.arange(k_windows, dtype=np.int64) * _HOP_US, n
         )
+        # when window % hop == 0 (the default) every event is in exactly
+        # k_windows windows and this mask is all-True; it is kept (and
+        # cheap) so non-divisible window/hop configurations stay correct
         keep = starts > np.repeat(tus, k_windows) - _HOP_WINDOW_US
         rows = np.repeat(np.arange(n, dtype=np.int64), k_windows)[keep]
         t = pa.table(

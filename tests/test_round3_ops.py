@@ -479,6 +479,82 @@ def test_distinct_users_hll_error_bound(ray_session):
         assert rel <= 0.05, (t_, rel)
 
 
+def test_distinct_users_hll_high_cardinality_branch(ray_session, tmp_path):
+    """Above 2.5·m (= 10240) the HYPERLOGLOG estimator (alpha + rank
+    harmonic mean) takes over from linear counting — pin its error bound
+    at 30k distinct users so a rank/alpha regression cannot hide."""
+    import numpy as np
+
+    from lucene_plugin_ray.pipelines import relational
+
+    d = tmp_path / "hll_big"
+    d.mkdir()
+    n = 30_000
+    pq.write_table(
+        pa.table(
+            {
+                "event_type": pa.array(["click"] * n, pa.string()),
+                "user_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            }
+        ),
+        d / "events.parquet",
+    )
+    est = relational.distinct_users_hll(str(d)).to_pandas()
+    assert list(est["event_type"]) == ["click"]
+    rel = abs(int(est["n_users_est"][0]) - n) / n
+    assert rel <= 0.05, rel
+
+
+def test_user_funnel_null_conversion_and_null_users(ray_session, tmp_path):
+    """The NOT-EXISTS subset and edge semantics: purchase BEFORE the first
+    signup does not count as conversion; users with no signup are absent;
+    null-user rows are dropped (SQL join semantics) — all vs the oracle."""
+    import duckdb
+
+    import __ray_entry__ as E
+    from lucene_plugin_ray.pipelines import relational
+
+    d = tmp_path / "funnel"
+    d.mkdir()
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ts(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        (1, "purchase", ts(5)),   # BEFORE user 1's signup → not a conversion
+        (1, "signup", ts(10)),
+        (2, "signup", ts(0)),
+        (2, "purchase", ts(100)),  # converts after 100 s
+        (3, "purchase", ts(50)),   # never signed up → absent
+        (None, "signup", ts(1)),   # null user → dropped
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[1] for r in rows], pa.string()),
+                "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            }
+        ),
+        d / "events.parquet",
+    )
+    got = relational.user_funnel(str(d)).to_pandas()
+    r = got.set_index("user_id")
+    assert set(r.index) == {1, 2}
+    assert pd.isna(r.loc[1, "conversion_us"])  # the NOT-EXISTS subset
+    assert r.loc[1, "n_purchases"] == 1  # counted, just not a conversion
+    assert r.loc[2, "conversion_us"] == 100_000_000
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    exp = con.sql(E.oracle_sql()["user_funnel"]).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+
 def test_top_suppliers_dangling_suppkey_raises(ray_session, tmp_path, tpch_dir):
     """A lineitem suppkey missing from supplier must raise loudly, not
     resolve to a neighboring supplier's name."""
