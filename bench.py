@@ -293,6 +293,14 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     relational.order_line_rollup(sf_dir)
     queries["order_line_rollup"] = round(time.monotonic() - t1, 3)
 
+    t1 = time.monotonic()
+    training.events_hopping(sf_dir)
+    queries["events_hopping"] = round(time.monotonic() - t1, 3)
+
+    t1 = time.monotonic()
+    relational.distinct_users_hll(sf_dir)
+    queries["distinct_users_hll"] = round(time.monotonic() - t1, 3)
+
     out["metric"] = "index_build_sec_plus_query_latency"
     out["value"] = round(build_s, 3)
     out["unit"] = "sec"
