@@ -46,6 +46,13 @@ class IndexConfig:
     k1: float = 1.2
     b: float = 0.75
 
+    # Index token positions (positions.bin region) — required for phrase
+    # queries.  On by default, mirroring Lucene TextField's
+    # DOCS_AND_FREQS_AND_POSITIONS (LuceneContentHandler.java:21-26); costs
+    # ~1 varint per token occurrence at rest and nothing at query time for
+    # non-phrase queries (separate region, never decoded).
+    index_positions: bool = True
+
     # Columns of the input table (input_hint shape).  ``text_column`` is the
     # default search field ("text", mirroring the reference's default field,
     # LuceneContentHandler.java:13).  ``field_columns`` are extra analyzed

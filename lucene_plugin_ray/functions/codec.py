@@ -311,3 +311,68 @@ def decode_block(
     docids = np.cumsum(deltas.astype(np.int64)) + prev
     tfs = varint_decode(buf[t0:t1], count=n).astype(np.int32)
     return docids, tfs
+
+
+# ---------------------------------------------------------------------------
+# positional postings (phrase-query support)
+# ---------------------------------------------------------------------------
+# Layout: one contiguous varint stream per SEGMENT in positions.bin.  Term t's
+# region is [poff[t], poff_end[t]); inside it, positions are grouped per
+# posting (same (term, doc) order as the docid/tf streams) and delta-encoded
+# WITHIN each doc with implicit previous position -1 (so every delta >= 1 and
+# a doc's sub-stream is self-contained — merge can re-interleave docs without
+# re-deriving absolute positions).  ≙ Lucene's .prx/positions data written by
+# TextField's default IndexOptions DOCS_AND_FREQS_AND_POSITIONS
+# (reference: LuceneContentHandler.java:21-26 uses TextField, whose postings
+# always carry positions in Lucene 5.2.1) — re-designed for bulk columnar
+# encode/decode, not copied.
+
+
+def positions_to_deltas(pos: np.ndarray, doc_starts: np.ndarray) -> np.ndarray:
+    """Absolute positions (strictly increasing within each doc sub-stream
+    starting at ``doc_starts``) → per-doc delta stream (uint64)."""
+    pos = np.ascontiguousarray(pos, dtype=np.int64)
+    if pos.size == 0:
+        return np.empty(0, np.uint64)
+    deltas = np.empty(pos.size, np.int64)
+    deltas[0] = pos[0] + 1
+    deltas[1:] = np.diff(pos)
+    deltas[doc_starts] = pos[doc_starts] + 1
+    if (deltas <= 0).any():
+        raise ValueError("positions must be strictly increasing within a doc")
+    return deltas.astype(np.uint64)
+
+
+def encode_many_positions(
+    term_tok_starts: np.ndarray, deltas: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Bulk-encode every term's position deltas in one vectorized pass.
+
+    ``term_tok_starts``: int64[T+1] — term t's deltas are
+    ``deltas[term_tok_starts[t]:term_tok_starts[t+1]]``.
+
+    Returns ``(buf, poff, poff_end)`` with absolute byte offsets into buf.
+    """
+    deltas = np.ascontiguousarray(deltas, dtype=np.uint64)
+    starts = np.ascontiguousarray(term_tok_starts, dtype=np.int64)
+    lens = _varint_lengths(deltas) if deltas.size else np.empty(0, np.int64)
+    cum = np.concatenate([[0], np.cumsum(lens)])
+    buf = varint_encode(deltas, nbytes=lens) if deltas.size else np.empty(0, np.uint8)
+    return buf, cum[starts[:-1]], cum[starts[1:]]
+
+
+def decode_positions_region(
+    buf: np.ndarray, poff: int, poff_end: int, tfs: np.ndarray
+) -> np.ndarray:
+    """Decode one term's position region → flat ABSOLUTE positions aligned
+    with ``np.repeat(docids, tfs)`` (per-doc sub-stream boundaries are the
+    cumsum of ``tfs``)."""
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    total = int(tfs.sum())
+    deltas = varint_decode(buf[poff:poff_end], count=total)
+    if total == 0:
+        return np.empty(0, np.int64)
+    cum = np.cumsum(deltas.astype(np.int64))
+    starts = np.concatenate([[0], np.cumsum(tfs)])[:-1]
+    base = cum[starts] - deltas[starts].astype(np.int64)
+    return cum - np.repeat(base, tfs) - 1

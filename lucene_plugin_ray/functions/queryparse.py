@@ -10,14 +10,35 @@ Supported (the forms exercised by the reference's own tests/clients):
   Q5  explicit AND / required terms    ``a AND b``, ``+a +b``
   Q7  query-side analysis              same analyzer as index side
 
-Unsupported QueryParser syntax (phrase, wildcard, fuzzy, boost, proximity,
-NOT/-, parentheses) is rejected loudly (SURVEY.md §2.8 "out of conformance
-scope ... reject the rest loudly").
+Extended QueryParser forms the reference ALSO accepts (it hands the raw
+string to Lucene's classic QueryParser, LuceneIndexBean.java:727-735, so
+every classic-grammar query works against the reference even though no
+reference test exercises these):
+  Q8  phrase                 ``"mary lamb"``, ``text:"quick fox"`` — exact
+      adjacency over the analyzed token stream (slop 0); scored BM25 with
+      phrase frequency and summed per-term idf (Lucene PhraseQuery under
+      BM25Similarity)
+  Q9  prefix / wildcard      ``te*``, ``t?st*`` — term-expanded over the
+      dictionary; constant-score 1.0 (Lucene 5.2.1 MultiTermQuery
+      CONSTANT_SCORE rewrite).  Leading wildcards rejected
+      (allowLeadingWildcard=false default — parity)
+  Q10 fuzzy                  ``term~``, ``term~1`` — Damerau-Levenshtein
+      distance <= maxEdits (default 2, >2 rejected like FuzzyQuery);
+      constant-score 1.0.  Two documented deviations from Lucene 5.2.1:
+      FuzzyQuery's TopTermsBlendedFreqScoringRewrite blends scores (we use
+      the constant-score rewrite, same as our range queries), and the
+      distance is TRUE Damerau-Levenshtein (matching DuckDB's
+      damerau_levenshtein, the conformance oracle) not Lucene's
+      transposition automaton.
+
+Still unsupported and rejected loudly (SURVEY.md §2.8): boost (^), proximity
+slop ("a b"~2), NOT/-, parentheses, leading wildcards.
 
 Scoring semantics encoded in the AST (shared by engine and oracle):
-* TERM clauses score BM25;
-* RANGE clauses are constant-score 1.0 (Lucene 5.2.1 MultiTermQuery
-  CONSTANT_SCORE rewrite — range hits score the boost, not BM25);
+* TERM clauses score BM25; PHRASE clauses score BM25 on phrase frequency;
+* RANGE / PREFIX / WILDCARD / FUZZY clauses are constant-score 1.0 (Lucene
+  5.2.1 MultiTermQuery CONSTANT_SCORE rewrite — hits score the boost, not
+  BM25);
 * a document matches iff it matches ALL MUST clauses, or (when there are no
   MUST clauses) at least one SHOULD clause; every matching clause contributes
   to the score (Lucene BooleanQuery semantics).
@@ -35,8 +56,12 @@ DEFAULT_FIELD = "text"
 MUST = "MUST"
 SHOULD = "SHOULD"
 
-_FORBIDDEN = re.compile(r'["*?~^()]|(?:^|\s)-')
+_FORBIDDEN = re.compile(r"[\"^()]|(?:^|\s)-")
 _FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.*)$", re.S)
+_QUOTED_RE = re.compile(r'"([^"]*)"')
+_FUZZY_RE = re.compile(r"^(.+?)~(\d+(?:\.\d+)?)?$", re.S)
+_PLACEHOLDER = "\x00ph%d\x00"
+_PLACEHOLDER_RE = re.compile(r"^\x00ph(\d+)\x00$")
 
 
 class QueryParseError(ValueError):
@@ -58,7 +83,46 @@ class RangeClause:
     hi: str
 
 
-Clause = TermClause | RangeClause
+@dataclass(frozen=True)
+class PhraseClause:
+    """Q8 — exact-adjacency phrase over the analyzed stream (slop 0)."""
+
+    occur: str
+    field: str
+    terms: tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class MultiTermClause:
+    """Q9/Q10 — dictionary-expanded constant-score clause.
+
+    ``kind``: 'prefix' (pattern = literal prefix), 'wildcard' (pattern with
+    * / ? intact, lowercased) or 'fuzzy' (pattern = base term, ``max_edits``
+    the Damerau-Levenshtein bound)."""
+
+    occur: str
+    field: str
+    kind: str
+    pattern: str
+    max_edits: int = 0
+
+
+Clause = TermClause | RangeClause | PhraseClause | MultiTermClause
+
+
+def scored_term_keys(clauses) -> list[tuple[str, str]]:
+    """(field, term) pairs that need GLOBAL df for BM25 scoring: TERM
+    clauses plus each phrase's constituent terms (PhraseQuery idf is the sum
+    of per-term idfs).  Constant-score clauses (range/prefix/wildcard/fuzzy)
+    contribute none — shared by the local engine's phase 1 and the sharded
+    path's df gather (pipelines/sharded.py)."""
+    keys: list[tuple[str, str]] = []
+    for c in clauses:
+        if isinstance(c, TermClause):
+            keys.append((c.field, c.term))
+        elif isinstance(c, PhraseClause):
+            keys.extend((c.field, t) for t in c.terms)
+    return keys
 
 
 def parse_query(query: str, default_field: str = DEFAULT_FIELD) -> list[Clause]:
@@ -79,6 +143,18 @@ from functools import lru_cache
 def _parse_query_cached(query: str, default_field: str) -> tuple[Clause, ...]:
     if query is None or not query.strip():
         raise QueryParseError("empty query")
+    if query.count('"') % 2:
+        raise QueryParseError(f"unbalanced quotes in {query!r}")
+    # lift quoted phrases out before whitespace handling (Q8)
+    phrases: list[str] = []
+
+    def _stash(m: re.Match) -> str:
+        phrases.append(m.group(1))
+        return _PLACEHOLDER % (len(phrases) - 1)
+
+    query = _QUOTED_RE.sub(_stash, query)
+    if re.search(r"\x00ph\d+\x00~", query):
+        raise QueryParseError("proximity (phrase slop) is not supported")
     if _FORBIDDEN.search(query):
         raise QueryParseError(f"unsupported query syntax: {query!r}")
 
@@ -138,11 +214,59 @@ def _parse_query_cached(query: str, default_field: str) -> tuple[Clause, ...]:
             field, item = m.group(1), m.group(2)
             if not item:
                 raise QueryParseError(f"empty term for field {field!r}")
+        pm = _PLACEHOLDER_RE.match(item)
+        if pm:
+            # Q8 phrase: analyzed like the index side; fully-stopworded
+            # phrase drops the clause (Lucene: analyzer yields no tokens →
+            # null query); single survivor degenerates to TermQuery
+            pterms = analyze(phrases[int(pm.group(1))])
+            if len(pterms) == 1:
+                clauses.append(TermClause(occur, field, pterms[0]))
+            elif pterms:
+                clauses.append(PhraseClause(occur, field, tuple(pterms)))
+            continue
+        if "\x00" in item:
+            raise QueryParseError(f"phrase must be a whole clause: {item!r}")
         rm = re.match(r"^\[(.+)\s+TO\s+(.+)\]$", item)
         if rm:
             lo, hi = rm.group(1).lower(), rm.group(2).lower()
             clauses.append(RangeClause(occur, field, lo, hi))
             continue
+        if "*" in item or "?" in item:
+            # Q9 prefix/wildcard: lowercased, NOT analyzed
+            # (lowercaseExpandedTerms=true default)
+            pat = item.lower()
+            if pat[0] in "*?":
+                raise QueryParseError(
+                    f"leading wildcard not allowed: {item!r}"
+                )  # allowLeadingWildcard=false parity
+            if pat.endswith("*") and not re.search(r"[*?]", pat[:-1]):
+                clauses.append(MultiTermClause(occur, field, "prefix", pat[:-1]))
+            else:
+                clauses.append(MultiTermClause(occur, field, "wildcard", pat))
+            continue
+        fm = _FUZZY_RE.match(item) if "~" in item else None
+        if fm:
+            # Q10 fuzzy: lowercased base term, maxEdits in {0, 1, 2}
+            base = fm.group(1).lower()
+            if "~" in base:
+                raise QueryParseError(f"unsupported query syntax: {item!r}")
+            raw = fm.group(2)
+            edits = 2 if raw is None else (int(raw) if raw.isdigit() else -1)
+            if not 0 <= edits <= 2:
+                raise QueryParseError(
+                    f"fuzzy maxEdits must be 0..2: {item!r}"
+                )  # FuzzyQuery maxEdits<=2 parity
+            if edits == 0:
+                for term in analyze(base):
+                    clauses.append(TermClause(occur, field, term))
+            else:
+                clauses.append(
+                    MultiTermClause(occur, field, "fuzzy", base, max_edits=edits)
+                )
+            continue
+        if "~" in item:
+            raise QueryParseError(f"unsupported query syntax: {item!r}")
         terms = analyze(item)  # Q7: query-side analysis, same analyzer
         for term in terms:
             clauses.append(TermClause(occur, field, term))

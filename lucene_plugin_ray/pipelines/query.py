@@ -39,9 +39,12 @@ from lucene_plugin_ray.functions.codec import decode_block_abs
 from lucene_plugin_ray.functions.queryparse import (
     MUST,
     Clause,
+    MultiTermClause,
+    PhraseClause,
     RangeClause,
     TermClause,
     parse_query,
+    scored_term_keys,
 )
 from lucene_plugin_ray.state.manifest import load_manifest_chain, load_tombstones
 from lucene_plugin_ray.state.segment import SegmentReader
@@ -49,6 +52,16 @@ from lucene_plugin_ray.state.segment import SegmentReader
 RESULT_SCHEMA = pa.schema(
     [("url", pa.string()), ("score", pa.float64()), ("docid", pa.int64())]
 )
+
+
+def _in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
+    """bool mask: values ∈ sorted_arr (both int64; sorted_arr ascending)."""
+    if sorted_arr.size == 0:
+        return np.zeros(values.size, bool)
+    idx = np.minimum(
+        np.searchsorted(sorted_arr, values), sorted_arr.size - 1
+    )
+    return sorted_arr[idx] == values
 
 
 class _LiveSegment:
@@ -292,29 +305,28 @@ class SearchEngine:
         if n_docs == 0:
             return empty
 
-        # ---- phase 1: global df per TERM clause (sum over segments of
-        # alive-masked df); postings decoded lazily by the scoring strategy.
+        # ---- phase 1: global df per BM25-scored term (TERM clauses + each
+        # phrase's constituent terms — PhraseQuery idf sums per-term idfs);
+        # postings decoded lazily by the scoring strategy.
         term_clauses = [c for c in clauses if isinstance(c, TermClause)]
         cache: dict[tuple[int, str, str], tuple[np.ndarray, np.ndarray]] = {}
         rows: dict[tuple[int, str, str], int] = {}
         global_df: dict[tuple[str, str], int] = {}
-        for c in term_clauses:
-            key = (c.field, c.term)
+        for field, term in scored_term_keys(clauses):
+            key = (field, term)
             if key in global_df:
                 continue
             if df_override is not None:
                 # df supplied globally; still record per-segment dictionary
                 # rows for the scoring strategies' lazy decodes
                 for si, seg in enumerate(segs):
-                    rows[(si, c.field, c.term)] = seg.reader.lookup(
-                        c.field, c.term
-                    )
+                    rows[(si, field, term)] = seg.reader.lookup(field, term)
                 global_df[key] = df_override.get(key, 0)
                 continue
             df = 0
             for si, seg in enumerate(segs):
-                row = seg.reader.lookup(c.field, c.term)
-                rows[(si, c.field, c.term)] = row
+                row = seg.reader.lookup(field, term)
+                rows[(si, field, term)] = row
                 if row < 0:
                     continue
                 if seg.all_alive:
@@ -323,8 +335,8 @@ class SearchEngine:
                     # only surviving blocks)
                     df += seg.reader.df(row)
                     continue
-                local, tfs = self._decoded(si, seg, c.field, c.term, row)
-                cache[(si, c.field, c.term)] = (local, tfs)
+                local, tfs = self._decoded(si, seg, field, term, row)
+                cache[(si, field, term)] = (local, tfs)
                 df += len(local)
             global_df[key] = df
 
@@ -415,6 +427,107 @@ class SearchEngine:
         cache[(si, c.field, c.term)] = got
         return got
 
+    # ---- phrase + multi-term machinery (Q8/Q9/Q10) --------------------
+    def _phrase_postings(
+        self, seg: _LiveSegment, c: PhraseClause
+    ) -> tuple[np.ndarray, np.ndarray] | None:
+        """Exact-adjacency phrase match over one segment → (local docids,
+        phrase freqs), alive-filtered; None when no doc matches.
+
+        Fully vectorized: each term's occurrences become sorted composite
+        keys ``docid << 32 | position``; a phrase start survives iff
+        ``key + i`` exists in term i's key set for every i — K-1 sorted
+        membership passes (searchsorted), then a run-length count per doc
+        gives the phrase frequency (Lucene sloppyFreq at slop 0).
+        """
+        r = seg.reader
+        ck = (r.path, c.field, c.terms)
+        sentinel = object()
+        hit = self._postings_cache.get(ck, sentinel)
+        if hit is not sentinel:
+            self._postings_cache.move_to_end(ck)
+            return hit
+        key_arrays: list[np.ndarray] = []
+        result: tuple[np.ndarray, np.ndarray] | None = None
+        for t in c.terms:
+            row = r.lookup(c.field, t)
+            if row < 0:
+                break
+            docids, tfs = r.postings(row)
+            local = r.local_ids(docids)
+            pos = r.positions(row, tfs)  # aligned with repeat(docids, tfs)
+            key_arrays.append(
+                (np.repeat(local, tfs.astype(np.int64)) << 32) | pos
+            )
+        else:
+            surv = key_arrays[0]
+            for i in range(1, len(key_arrays)):
+                surv = surv[_in_sorted(surv + i, key_arrays[i])]
+                if surv.size == 0:
+                    break
+            if surv.size:
+                docs = surv >> 32
+                starts = np.flatnonzero(
+                    np.concatenate(([True], docs[1:] != docs[:-1]))
+                )
+                u_docs = docs[starts]
+                pf = np.diff(np.concatenate([starts, [docs.size]])).astype(
+                    np.int64
+                )
+                if not seg.all_alive:
+                    ok = seg.alive[u_docs]
+                    u_docs, pf = u_docs[ok], pf[ok]
+                if u_docs.size:
+                    result = (u_docs, pf)
+        self._postings_cache[ck] = result
+        if len(self._postings_cache) > self._postings_cache_size:
+            self._postings_cache.popitem(last=False)
+        return result
+
+    def _expand_rows(self, seg: _LiveSegment, c: MultiTermClause) -> np.ndarray:
+        """Dictionary rows matched by a prefix/wildcard/fuzzy clause within
+        one segment (Q9/Q10 term expansion over the sorted vocabulary;
+        ≙ Lucene MultiTermQuery term enumeration).  Cached per (segment,
+        clause) in the postings LRU — expansion cost is per-segment
+        vocabulary-bound, not corpus-bound."""
+        r = seg.reader
+        ck = (r.path, c.field, c.kind, c.pattern, c.max_edits)
+        hit = self._postings_cache.get(ck)
+        if hit is not None:
+            self._postings_cache.move_to_end(ck)
+            return hit
+        if c.kind == "prefix":
+            rows = r.prefix_rows(c.field, c.pattern)
+        elif c.kind == "wildcard":
+            import re as _re
+
+            lit = _re.split(r"[*?]", c.pattern, maxsplit=1)[0]
+            rows = r.prefix_rows(c.field, lit)
+            if rows.size:
+                rx = _re.compile(
+                    "".join(
+                        ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+                        for ch in c.pattern
+                    ),
+                    _re.DOTALL,
+                )
+                keep = np.fromiter(
+                    (rx.fullmatch(t) is not None for t in r._terms[rows]),
+                    bool,
+                    rows.size,
+                )
+                rows = rows[keep]
+        else:  # fuzzy
+            from lucene_plugin_ray.functions.fuzzy import fuzzy_match_mask
+
+            s, vocab = r.field_vocab(c.field)
+            mask = fuzzy_match_mask(c.pattern, vocab, c.max_edits)
+            rows = s + np.flatnonzero(mask)
+        self._postings_cache[ck] = rows
+        if len(self._postings_cache) > self._postings_cache_size:
+            self._postings_cache.popitem(last=False)
+        return rows
+
     # ------------------------------------------------------------------
     def _score_segment_taat(
         self,
@@ -453,9 +566,41 @@ class SearchEngine:
                 scores[local] += s
                 if must_cnt is not None and c.occur == MUST:
                     must_cnt[local] += 1
+            elif isinstance(c, PhraseClause):
+                # Q8: BM25 over the phrase frequency, idf = sum of the
+                # constituent terms' idfs (Lucene PhraseQuery under
+                # BM25Similarity), GLOBAL dfs so sharded scores are exact
+                got = self._phrase_postings(seg, c)
+                if got is None:
+                    continue
+                dl = r.doc_len.get(c.field)
+                if dl is None:
+                    continue
+                w = 0.0
+                for t in c.terms:
+                    dfv = global_df.get((c.field, t), 0)
+                    if dfv > 0:
+                        w += idf(dfv, n_docs)
+                u_docs, pf = got
+                k1, b = self.cfg.k1, self.cfg.b
+                tf = pf.astype(np.float64)
+                dlv = dl[u_docs].astype(np.float64)
+                s = (
+                    w
+                    * (tf * (k1 + 1.0))
+                    / (tf + k1 * (1.0 - b + b * dlv / avgdl.get(c.field, 1.0)))
+                )
+                scores[u_docs] += s
+                if must_cnt is not None and c.occur == MUST:
+                    must_cnt[u_docs] += 1
             else:
-                assert isinstance(c, RangeClause)
-                range_rows = r.term_range(c.field, c.lo, c.hi)
+                # constant-score expansion clauses: Q3 range over the sorted
+                # dictionary, Q9/Q10 prefix/wildcard/fuzzy expansion
+                if isinstance(c, RangeClause):
+                    range_rows = r.term_range(c.field, c.lo, c.hi)
+                else:
+                    assert isinstance(c, MultiTermClause)
+                    range_rows = self._expand_rows(seg, c)
                 matched = np.zeros(n, dtype=bool)
                 for row in range_rows:
                     docids, _ = r.postings(int(row))

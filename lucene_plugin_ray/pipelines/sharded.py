@@ -45,7 +45,7 @@ import ray.data
 
 from lucene_plugin_ray.config import IndexConfig
 from lucene_plugin_ray.functions.analysis import sanitize_collection
-from lucene_plugin_ray.functions.queryparse import TermClause, parse_query
+from lucene_plugin_ray.functions.queryparse import parse_query, scored_term_keys
 from lucene_plugin_ray.pipelines.query import SearchEngine
 from lucene_plugin_ray.state.manifest import load_manifest_chain
 
@@ -280,9 +280,8 @@ def sharded_search(
             }
         )
         sc = sanitize_collection(coll)
-        for c in parse_query(q["query"], default_field=cfg.text_column):
-            if isinstance(c, TermClause):
-                terms_by_coll.setdefault(sc, set()).add((c.field, c.term))
+        clauses = parse_query(q["query"], default_field=cfg.text_column)
+        terms_by_coll.setdefault(sc, set()).update(scored_term_keys(clauses))
     terms_sorted = {c: sorted(v) for c, v in terms_by_coll.items()}
 
     from functools import partial
@@ -433,9 +432,10 @@ class ShardedSearcherService:
                  else self.cfg.result_limit}
             )
             sc = sanitize_collection(coll)
-            for c in parse_query(q["query"], default_field=self.cfg.text_column):
-                if isinstance(c, TermClause):
-                    terms_by_coll.setdefault(sc, set()).add((c.field, c.term))
+            clauses = parse_query(
+                q["query"], default_field=self.cfg.text_column
+            )
+            terms_by_coll.setdefault(sc, set()).update(scored_term_keys(clauses))
         terms_sorted = {c: sorted(v) for c, v in terms_by_coll.items()}
 
         # phase 1: parallel df/stats gather across the fleet

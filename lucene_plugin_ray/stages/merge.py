@@ -94,6 +94,10 @@ def merge_segments_for_partition(
     # encode_many_postings layout), so the whole segment decodes in one pass.
     vocab_f_parts, vocab_t_parts = [], []          # per-input term dicts
     post_vid_parts, post_did_parts, post_tf_parts = [], [], []
+    pd_parts: list[np.ndarray] = []                # per-posting position deltas
+    # positions survive a merge iff every input carries them (doc-local delta
+    # sub-streams re-interleave without re-deriving absolute positions)
+    have_pos = all(r.has_positions for r in readers)
     vocab_offset = 0
     for si, r in enumerate(readers):
         nt = len(r._terms)
@@ -117,6 +121,11 @@ def merge_segments_for_partition(
         post_vid_parts.append(term_row[ok])
         post_did_parts.append(doc_base + nid[ok])
         post_tf_parts.append(tfs_all[ok])
+        if have_pos:
+            pd_parts.append(_gather_pos_substreams(
+                _bulk_decode_positions(r, int(tfs_all.sum())),
+                tfs_all.astype(np.int64), ok,
+            ))
         vocab_f_parts.append(r._fields)
         vocab_t_parts.append(r._terms)
         vocab_offset += nt
@@ -146,6 +155,11 @@ def merge_segments_for_partition(
         tf = np.concatenate(post_tf_parts).astype(np.int64)
         if did.size:  # (all-tombstoned → prepared stays None)
             order2 = np.lexsort((did, gvid))
+            pos_deltas = None
+            if have_pos:
+                # reorder each posting's position sub-stream with order2
+                pd_flat = np.concatenate(pd_parts)
+                pos_deltas = _gather_pos_substreams(pd_flat, tf, order=order2)
             gvid, did, tf = gvid[order2], did[order2], tf[order2]
             run_start = np.flatnonzero(
                 np.concatenate(([True], gvid[1:] != gvid[:-1]))
@@ -159,6 +173,7 @@ def merge_segments_for_partition(
                 starts=new_starts,
                 docids=did,
                 tfs=tf,
+                pos_deltas=pos_deltas,
             )
     return encode_and_write_segment(
         coll,
@@ -174,6 +189,45 @@ def merge_segments_for_partition(
         t0,
         prepared=prepared,
     )
+
+
+def _gather_pos_substreams(
+    pd: np.ndarray,
+    widths: np.ndarray,
+    keep: np.ndarray | None = None,
+    order: np.ndarray | None = None,
+) -> np.ndarray:
+    """Gather per-posting position-delta sub-streams (widths[i] deltas per
+    posting) — either the ``keep``-masked subset in place, or the full set
+    re-ordered by ``order``.  Doc-local delta encoding makes sub-streams
+    relocatable without decode."""
+    starts = np.concatenate([[0], np.cumsum(widths)])[:-1]
+    if keep is not None:
+        widths, starts = widths[keep], starts[keep]
+    if order is not None:
+        widths, starts = widths[order], starts[order]
+    tot = int(widths.sum())
+    prefix = np.concatenate([[0], np.cumsum(widths)])[:-1]
+    return pd[np.repeat(starts - prefix, widths) + np.arange(tot, dtype=np.int64)]
+
+
+def _bulk_decode_positions(r: SegmentReader, total_tok: int) -> np.ndarray:
+    """Decode ALL terms' position deltas of one segment (raw delta VALUES,
+    not absolute positions — relocation-safe).  Fast path mirrors
+    _bulk_decode_postings: one varint pass over the contiguous region."""
+    from lucene_plugin_ray.functions.codec import varint_decode
+
+    if len(r._poff) == 0 or total_tok == 0:
+        return np.empty(0, np.uint64)
+    contiguous = (r._poff[1:] == r._poff_end[:-1]).all()
+    if contiguous:
+        p0, p1 = int(r._poff[0]), int(r._poff_end[-1])
+        return varint_decode(np.ascontiguousarray(r.pbuf[p0:p1]), count=total_tok)
+    parts = [
+        varint_decode(np.ascontiguousarray(r.pbuf[int(a):int(b)]))
+        for a, b in zip(r._poff, r._poff_end)
+    ]
+    return np.concatenate(parts) if parts else np.empty(0, np.uint64)
 
 
 def _bulk_decode_postings(r: SegmentReader, df: np.ndarray, total: int):

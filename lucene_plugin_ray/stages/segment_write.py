@@ -43,7 +43,11 @@ import pyarrow.compute as pc
 
 from lucene_plugin_ray.config import IndexConfig
 from lucene_plugin_ray.functions.analysis import tokenize_column
-from lucene_plugin_ray.functions.codec import encode_many_postings
+from lucene_plugin_ray.functions.codec import (
+    encode_many_positions,
+    encode_many_postings,
+    positions_to_deltas,
+)
 from lucene_plugin_ray.functions.docid import DOCID_STRIDE
 from lucene_plugin_ray.functions.hashing import fnv1a_bytes_column
 
@@ -304,6 +308,7 @@ def encode_and_write_segment(
     n_terms = 0
     n_postings = 0
     buf = np.empty(0, np.uint8)
+    pos_buf: np.ndarray | None = None
     if prepared is not None and len(prepared.starts) > 1:
         starts = prepared.starts
         n_postings = int(starts[-1])
@@ -319,8 +324,7 @@ def encode_and_write_segment(
             )
 
         field_name_arr = np.array(prepared.field_names, dtype=object)
-        terms_table = pa.table(
-            {
+        terms_cols = {
                 "field": pa.array(field_name_arr[prepared.term_fields], type=pa.string()),
                 "term": pa.array(prepared.terms, type=pa.string()),
                 "df": pa.array(np.diff(starts), type=pa.int64()),
@@ -332,8 +336,17 @@ def encode_and_write_segment(
                 "blk_toff": _nest(tmeta["blk_toff"], pa.int64()),
                 "blk_maxdoc": _nest(tmeta["blk_maxdoc"], pa.int64()),
                 "blk_maxtf": _nest(tmeta["blk_maxtf"], pa.int32()),
-            }
-        )
+        }
+        if prepared.pos_deltas is not None:
+            # positional region (phrase queries): term t's deltas span the
+            # cumulative-tf range of its postings
+            tok_cum = np.concatenate([[0], np.cumsum(prepared.tfs)]).astype(np.int64)
+            pos_buf, poff, poff_end = encode_many_positions(
+                tok_cum[starts], prepared.pos_deltas
+            )
+            terms_cols["poff"] = pa.array(poff, type=pa.int64())
+            terms_cols["poff_end"] = pa.array(poff_end, type=pa.int64())
+        terms_table = pa.table(terms_cols)
     elif post_table is not None and post_table.num_rows:
         post = post_table.sort_by(
             [("field", "ascending"), ("term", "ascending"), ("docid", "ascending")]
@@ -382,6 +395,8 @@ def encode_and_write_segment(
         terms_table = _empty_terms_table()
 
     storage.write_bytes(storage.join(tmp_dir, "postings.bin"), buf.tobytes())
+    if pos_buf is not None:
+        storage.write_bytes(storage.join(tmp_dir, "positions.bin"), pos_buf.tobytes())
     storage.write_parquet(terms_table, storage.join(tmp_dir, "terms.parquet"))
 
     docs_cols = {
@@ -445,8 +460,18 @@ def _build_postings_numeric(
 
     n_docs = seg.num_rows
     dl_arrays: dict[str, np.ndarray] = {}
-    fid_parts, h_parts, did_parts, materializers = [], [], [], []
+    fid_parts, h_parts, did_parts, pos_parts, materializers = [], [], [], [], []
     field_names: list[str] = []
+
+    def _token_positions(parents: np.ndarray) -> np.ndarray:
+        """Position of each token within its doc's ANALYZED stream (parents
+        are non-decreasing, tokens in document order post-filter)."""
+        rs = np.flatnonzero(
+            np.concatenate(([True], parents[1:] != parents[:-1]))
+        )
+        counts = np.diff(np.concatenate([rs, [parents.size]]))
+        return np.arange(parents.size, dtype=np.int64) - np.repeat(rs, counts)
+
     for field in cfg.fields():
         if field not in seg.column_names:
             dl_arrays[field] = np.zeros(n_docs, np.int32)
@@ -481,6 +506,7 @@ def _build_postings_numeric(
         fid_parts.append(np.full(len(parents), fid, dtype=np.int16))
         h_parts.append(hashes)
         did_parts.append(doc_base + parents)
+        pos_parts.append(_token_positions(parents))
         materializers.append(_mat)
     if not fid_parts:
         return None, dl_arrays
@@ -488,6 +514,7 @@ def _build_postings_numeric(
     fid = np.concatenate(fid_parts)
     h = np.concatenate(h_parts)
     did = np.concatenate(did_parts)
+    posflat = np.concatenate(pos_parts)
     # token-index offsets so a flat index maps back into its field's tokens
     tok_offsets = np.concatenate([[0], np.cumsum([len(a) for a in fid_parts])])
 
@@ -532,6 +559,21 @@ def _build_postings_numeric(
     within = np.arange(total, dtype=np.int64) - np.repeat(new_starts[:-1], lens_o)
     row_idx = g_starts[g_order][g_of_out] + within
 
+    out_tf = tf[row_idx]
+    pos_deltas = None
+    if cfg.index_positions:
+        # token positions in final (term, doc) posting order: lexsort is
+        # stable, so each (field, hash, doc) run keeps original token order
+        # (ascending positions); gather each output posting's sub-stream
+        pos_sorted = posflat[order]
+        tot_tok = int(out_tf.sum())
+        out_prefix = np.concatenate([[0], np.cumsum(out_tf)]).astype(np.int64)
+        gather = (
+            np.repeat(run_starts[row_idx] - out_prefix[:-1], out_tf)
+            + np.arange(tot_tok, dtype=np.int64)
+        )
+        pos_deltas = positions_to_deltas(pos_sorted[gather], out_prefix[:-1])
+
     return (
         PreparedPostings(
             field_names=field_names,
@@ -539,7 +581,8 @@ def _build_postings_numeric(
             terms=term_strs[g_order],
             starts=new_starts,
             docids=p_did[row_idx],
-            tfs=tf[row_idx],
+            tfs=out_tf,
+            pos_deltas=pos_deltas,
         ),
         dl_arrays,
     )
@@ -547,17 +590,29 @@ def _build_postings_numeric(
 
 class PreparedPostings:
     """Sorted posting runs ready for encode_many_postings (term groups in
-    (field, term) lex order; docid-ascending within each term)."""
+    (field, term) lex order; docid-ascending within each term).
 
-    __slots__ = ("field_names", "term_fields", "terms", "starts", "docids", "tfs")
+    ``pos_deltas`` (optional): uint64 flat per-token position deltas grouped
+    per posting in the same order (doc-local delta encoding, see
+    functions/codec.py positional section) — None ⇒ the segment is written
+    without a positions region (phrase queries unavailable on it)."""
 
-    def __init__(self, field_names, term_fields, terms, starts, docids, tfs):
+    __slots__ = (
+        "field_names", "term_fields", "terms", "starts", "docids", "tfs",
+        "pos_deltas",
+    )
+
+    def __init__(
+        self, field_names, term_fields, terms, starts, docids, tfs,
+        pos_deltas=None,
+    ):
         self.field_names = field_names
         self.term_fields = term_fields
         self.terms = terms
         self.starts = starts
         self.docids = docids
         self.tfs = tfs
+        self.pos_deltas = pos_deltas
 
 
 def _write_collection_segment(

@@ -45,6 +45,15 @@ class SegmentReader:
             name: t[name].combine_chunks() for name in
             ("blk_doff", "blk_toff", "blk_maxdoc", "blk_maxtf")
         }
+        # positional region (phrase queries): present iff the segment was
+        # written with index_positions (empty segments are vacuously capable)
+        self.has_positions = "poff" in t.column_names or len(self._terms) == 0
+        if "poff" in t.column_names:
+            self._poff = t["poff"].to_numpy(zero_copy_only=False)
+            self._poff_end = t["poff_end"].to_numpy(zero_copy_only=False)
+        else:
+            self._poff = np.empty(0, np.int64)
+            self._poff_end = np.empty(0, np.int64)
         # field → [start, end) row range in the term dictionary (sorted by
         # (field, term); term order is UTF-8 byte order == codepoint order)
         self._field_ranges: dict[str, tuple[int, int]] = {}
@@ -69,22 +78,35 @@ class SegmentReader:
             if name.startswith("dl_"):
                 self.doc_len[name[3:]] = d[name].to_numpy(zero_copy_only=False)
 
+        self.buf = self._map_region(path, "postings.bin", required=True)
+        self.pbuf = (
+            self._map_region(path, "positions.bin", required=False)
+            if self._poff.size
+            else np.empty(0, np.uint8)
+        )
+
+    @staticmethod
+    def _map_region(path: str, name: str, required: bool) -> np.ndarray:
+        from lucene_plugin_ray.state import storage
+
         if storage.is_url(path):
-            # remote root: fetch postings bytes once (≙ BfsDirectory reads);
-            # a page-granular lazy fetch is the next step for cold remote
+            # remote root: fetch bytes once (≙ BfsDirectory reads); a
+            # page-granular lazy fetch is the next step for cold remote
             # indexes — postings dominate segment size
-            raw = storage.read_bytes(storage.join(path, "postings.bin"))
-            self.buf = (
-                np.frombuffer(raw, dtype=np.uint8) if raw else np.empty(0, np.uint8)
-            )
-        else:
-            pfile = os.path.join(path, "postings.bin")
-            size = os.path.getsize(pfile)
-            self.buf = (
-                np.memmap(pfile, dtype=np.uint8, mode="r")
-                if size
-                else np.empty(0, np.uint8)
-            )
+            url = storage.join(path, name)
+            if not required and not storage.exists(url):
+                return np.empty(0, np.uint8)
+            raw = storage.read_bytes(url)
+            return np.frombuffer(raw, dtype=np.uint8) if raw else np.empty(0, np.uint8)
+        pfile = os.path.join(path, name)
+        if not required and not os.path.exists(pfile):
+            return np.empty(0, np.uint8)
+        size = os.path.getsize(pfile)
+        return (
+            np.memmap(pfile, dtype=np.uint8, mode="r")
+            if size
+            else np.empty(0, np.uint8)
+        )
 
     # ---- term dictionary -------------------------------------------------
     def lookup(self, field: str, term: str) -> int:
@@ -109,6 +131,36 @@ class SegmentReader:
         b = s + int(np.searchsorted(self._terms[s:e], hi, side="right"))
         return np.arange(a, b, dtype=np.int64)
 
+    def prefix_rows(self, field: str, prefix: str) -> np.ndarray:
+        """Dictionary rows whose term starts with ``prefix`` (Q9 expansion)
+        — a contiguous range in the term-sorted dictionary, found with two
+        binary searches (no scan)."""
+        rng = self._field_ranges.get(field)
+        if rng is None:
+            return np.empty(0, np.int64)
+        s, e = rng
+        a = s + int(np.searchsorted(self._terms[s:e], prefix, side="left"))
+        # exclusive upper bound: bump the last bumpable codepoint — every
+        # prefix-extension sorts strictly below it
+        p = prefix
+        while p and ord(p[-1]) >= 0x10FFFF:
+            p = p[:-1]
+        if p:
+            hi = p[:-1] + chr(ord(p[-1]) + 1)
+            b = s + int(np.searchsorted(self._terms[s:e], hi, side="left"))
+        else:
+            b = e
+        return np.arange(a, b, dtype=np.int64)
+
+    def field_vocab(self, field: str) -> tuple[int, np.ndarray]:
+        """(start_row, object-dtype term slice) of one field's dictionary —
+        the expansion domain for wildcard/fuzzy clauses."""
+        rng = self._field_ranges.get(field)
+        if rng is None:
+            return 0, np.empty(0, object)
+        s, e = rng
+        return s, self._terms[s:e]
+
     def df(self, row: int) -> int:
         return int(self._df[row])
 
@@ -123,6 +175,22 @@ class SegmentReader:
             int(self._toff[row]),
             int(self._toff_end[row]),
             int(self._df[row]),
+        )
+
+    def positions(self, row: int, tfs: np.ndarray) -> np.ndarray:
+        """Decode dictionary row's token positions → flat int64 positions
+        aligned with ``np.repeat(docids, tfs)`` (``tfs`` must be the term's
+        UNFILTERED tf array from :meth:`postings`)."""
+        if not self.has_positions:
+            raise ValueError(
+                f"segment {self.path} was written without positions "
+                "(IndexConfig.index_positions=False) — phrase queries need "
+                "a rebuild with positions on"
+            )
+        from lucene_plugin_ray.functions.codec import decode_positions_region
+
+        return decode_positions_region(
+            self.pbuf, int(self._poff[row]), int(self._poff_end[row]), tfs
         )
 
     def block_meta(self, row: int) -> dict[str, np.ndarray]:

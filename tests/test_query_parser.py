@@ -6,6 +6,8 @@ import pytest
 from lucene_plugin_ray.functions.queryparse import (
     MUST,
     SHOULD,
+    MultiTermClause,
+    PhraseClause,
     QueryParseError,
     RangeClause,
     TermClause,
@@ -49,13 +51,62 @@ def test_or_keyword():
 
 
 def test_rejects_unsupported():
-    for q in ['"phrase"', "wild*", "fuzzy~", "boost^2", "(group)", "-neg", "a -b"]:
+    for q in [
+        "boost^2", "(group)", "-neg", "a -b",       # boost / grouping / NOT
+        '"a b"~2',                                   # proximity slop
+        "*lead", "?lead",                            # leading wildcard
+        "term~3", "term~9",                          # fuzzy maxEdits > 2
+        'un"balanced',                               # unbalanced quotes
+        'mid"dle phrase"x',                          # phrase glued to a term
+        "a~b~c",                                     # malformed fuzzy
+    ]:
         with pytest.raises(QueryParseError):
             parse_query(q)
     with pytest.raises(QueryParseError):
         parse_query("")
     with pytest.raises(QueryParseError):
         parse_query("a AND")
+
+
+def test_phrase_clause():
+    # Q8: analyzed like the index side, field-scoped or default
+    assert parse_query('"Mary Lamb"') == [
+        PhraseClause(SHOULD, "text", ("mary", "lamb"))
+    ]
+    assert parse_query('body:"quick brown Fox"') == [
+        PhraseClause(SHOULD, "body", ("quick", "brown", "fox"))
+    ]
+    assert parse_query('+"mary lamb" +wool') == [
+        PhraseClause(MUST, "text", ("mary", "lamb")),
+        TermClause(MUST, "text", "wool"),
+    ]
+    # single surviving token degenerates to a TermQuery (Lucene parity)
+    assert parse_query('"Lamb"') == [TermClause(SHOULD, "text", "lamb")]
+    assert parse_query('"the lamb"') == [TermClause(SHOULD, "text", "lamb")]
+    # fully-stopworded phrase drops the clause (analyzer yields no tokens)
+    assert parse_query('"the of" lamb') == [TermClause(SHOULD, "text", "lamb")]
+
+
+def test_prefix_wildcard_clause():
+    assert parse_query("Te*") == [MultiTermClause(SHOULD, "text", "prefix", "te")]
+    assert parse_query("lang:D*") == [
+        MultiTermClause(SHOULD, "lang", "prefix", "d")
+    ]
+    assert parse_query("t?st*") == [
+        MultiTermClause(SHOULD, "text", "wildcard", "t?st*")
+    ]
+    assert parse_query("+spa*") == [MultiTermClause(MUST, "text", "prefix", "spa")]
+
+
+def test_fuzzy_clause():
+    assert parse_query("Spark~") == [
+        MultiTermClause(SHOULD, "text", "fuzzy", "spark", max_edits=2)
+    ]
+    assert parse_query("spark~1") == [
+        MultiTermClause(SHOULD, "text", "fuzzy", "spark", max_edits=1)
+    ]
+    # ~0 is an exact term query (FuzzyQuery maxEdits=0 parity)
+    assert parse_query("Spark~0") == [TermClause(SHOULD, "text", "spark")]
 
 
 def test_multiterm_expansion():
