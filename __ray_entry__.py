@@ -131,6 +131,45 @@ _OR_Q = "spark window merge"
 _AND_Q = "+spark +merge"
 _FIELD_Q = "lang:de"
 _RANGE_LO, _RANGE_HI = "src1", "src3"
+# extended grammar (Q8-Q10): adjacent in the seeded corpus / typo of 'spark'
+_PHRASE_Q = '"spark merge"'
+_PREFIX_Q = "s*"          # expands to 6 vocabulary terms
+_WILD_Q = "s?a*"          # expands to scan / small / spark
+_FUZZY_Q = "spakr~1"      # transposition — true-Damerau distance 1 to spark
+
+
+def _phrase_bm25_sql(terms: list[str]) -> str:
+    """Phrase BM25 (Q8): tf = slop-0 phrase frequency over the FILTERED
+    token stream (positions are post-stopword ranks, matching the index),
+    idf = sum of the constituent terms' idfs — mirrors
+    pipelines/query.py::_score_segment_taat's PhraseClause branch."""
+    k = len(terms)
+    adj = " AND ".join(
+        f"toks[i + {j}] = '{t}'" for j, t in enumerate(terms)
+    )
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+            t -> t <> '' AND length(t) <= 255
+            AND NOT list_contains({_SQL_STOP_LIST_LITERAL}, t)) AS toks
+            FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tl),
+alldl AS (SELECT d.doc_id, coalesce(dl.dl, 0) AS dl
+          FROM documents d LEFT JOIN dl USING (doc_id)),
+stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM alldl),
+toks AS (SELECT doc_id, unnest(toks) AS term FROM tl),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term IN ({inlist}) GROUP BY term),
+w AS (SELECT sum(ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))) AS w
+      FROM df CROSS JOIN stats s),
+pf AS (SELECT doc_id, len(list_filter(range(1, len(toks) - {k} + 2),
+       i -> {adj})) AS pf FROM tl WHERE len(toks) >= {k})
+SELECT pf.doc_id AS doc_id,
+       round(w.w * (pf.pf * (1.2 + 1.0))
+             / (pf.pf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)), 4) AS score
+FROM pf JOIN dl USING (doc_id) CROSS JOIN stats s CROSS JOIN w
+WHERE pf.pf > 0 ORDER BY doc_id
+"""
 
 
 def entry() -> Any:
@@ -174,6 +213,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "score": res["score"].combine_chunks(),
             }
         ).sort_by("doc_id")
+
+    def search_phrase(sf_dir: str) -> pa.Table:
+        return _search_all(sf_dir, _PHRASE_Q)
+
+    def search_prefix(sf_dir: str) -> pa.Table:
+        return _search_all(sf_dir, _PREFIX_Q)
+
+    def search_wildcard(sf_dir: str) -> pa.Table:
+        return _search_all(sf_dir, _WILD_Q)
+
+    def search_fuzzy(sf_dir: str) -> pa.Table:
+        return _search_all(sf_dir, _FUZZY_Q)
 
     def batch_search(sf_dir: str) -> pa.Table:
         """Partition-sharded batch query path (T2 at cluster scale): each
@@ -225,6 +276,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_and": search_and,
         "search_field": search_field,
         "search_range": search_range,
+        "search_phrase": search_phrase,
+        "search_prefix": search_prefix,
+        "search_wildcard": search_wildcard,
+        "search_fuzzy": search_fuzzy,
         "batch_search": batch_search,
         "term_stats": term_stats_q,
         "token_count": doc_stats,
@@ -340,6 +395,28 @@ SELECT tf.doc_id AS doc_id,
 FROM tf JOIN df USING (term) JOIN docs ON docs.doc_id = tf.doc_id CROSS JOIN stats s
 WHERE tf.term = 'de'
 ORDER BY doc_id
+"""
+
+    # Q8 phrase: BM25 on slop-0 phrase frequency, summed per-term idf
+    sql["search_phrase"] = _phrase_bm25_sql(["spark", "merge"])
+
+    # Q9/Q10 dictionary-expanded constant-score clauses: a doc matches iff
+    # ANY analyzed token matches the pattern — score 1.0 (Lucene 5.x
+    # MultiTermQuery CONSTANT_SCORE rewrite)
+    sql["search_prefix"] = f"""
+{_toks_cte()}
+SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM toks
+WHERE term LIKE 's%' ORDER BY doc_id
+"""
+    sql["search_wildcard"] = f"""
+{_toks_cte()}
+SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM toks
+WHERE term LIKE 's_a%' ORDER BY doc_id
+"""
+    sql["search_fuzzy"] = f"""
+{_toks_cte()}
+SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM toks
+WHERE damerau_levenshtein(term, 'spakr') <= 1 ORDER BY doc_id
 """
 
     # lexicographic term range on the source field — constant score 1.0

@@ -23,6 +23,8 @@ from lucene_plugin_ray.functions.bm25 import idf
 from lucene_plugin_ray.functions.docid import assign_docids_reference
 from lucene_plugin_ray.functions.queryparse import (
     MUST,
+    MultiTermClause,
+    PhraseClause,
     RangeClause,
     TermClause,
     parse_query,
@@ -63,6 +65,8 @@ class OracleIndex:
         )
         self.doc_len: dict[str, dict[int, int]] = defaultdict(dict)
         self.n_docs: dict[str, int] = defaultdict(int)  # per collection
+        # full analyzed streams for phrase adjacency (Q8)
+        self.toks: dict[str, dict[int, list[str]]] = defaultdict(dict)
 
         for (coll, url), r in latest.items():
             docid = self.docids[(coll, url)]
@@ -73,6 +77,7 @@ class OracleIndex:
                 val = r.get(field)
                 toks = analyze(str(val)) if val is not None else []
                 self.doc_len[field][docid] = len(toks)
+                self.toks[field][docid] = toks
                 for t in toks:
                     d = self.postings[field][t]
                     d[docid] = d.get(docid, 0) + 1
@@ -84,6 +89,39 @@ class OracleIndex:
 
     def _df(self, field: str, term: str, coll: str) -> int:
         return sum(1 for d in self.postings[field].get(term, {}) if self.coll_of[d] == coll)
+
+    def _phrase_freq(self, c: PhraseClause, docid: int) -> int:
+        """Slop-0 phrase frequency over the analyzed stream (overlapping
+        occurrences counted, Lucene exact-phrase matching)."""
+        toks = self.toks[c.field].get(docid, [])
+        k = len(c.terms)
+        return sum(
+            1
+            for i in range(len(toks) - k + 1)
+            if tuple(toks[i : i + k]) == c.terms
+        )
+
+    def _expanded_terms(self, c: MultiTermClause) -> list[str]:
+        """Vocabulary terms matched by a prefix/wildcard/fuzzy clause."""
+        import re
+
+        from lucene_plugin_ray.functions.fuzzy import damerau_levenshtein
+
+        vocab = self.postings[c.field].keys()
+        if c.kind == "prefix":
+            return [t for t in vocab if t.startswith(c.pattern)]
+        if c.kind == "wildcard":
+            rx = re.compile(
+                "".join(
+                    ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+                    for ch in c.pattern
+                ),
+                re.DOTALL,
+            )
+            return [t for t in vocab if rx.fullmatch(t)]
+        return [
+            t for t in vocab if damerau_levenshtein(c.pattern, t) <= c.max_edits
+        ]
 
     # -- search -----------------------------------------------------------
     def search(self, query: str, collection: str = "default", limit: int | None = None):
@@ -107,8 +145,29 @@ class OracleIndex:
                 return {
                     d for d in self.postings[c.field].get(c.term, {}) if self.coll_of[d] == coll
                 }
+            if isinstance(c, PhraseClause):
+                cand: set[int] | None = None
+                for t in c.terms:
+                    ds = {
+                        d
+                        for d in self.postings[c.field].get(t, {})
+                        if self.coll_of[d] == coll
+                    }
+                    cand = ds if cand is None else (cand & ds)
+                    if not cand:
+                        return set()
+                return {d for d in cand if self._phrase_freq(c, d) > 0}
+            if isinstance(c, MultiTermClause):
+                out: set[int] = set()
+                for t in self._expanded_terms(c):
+                    out.update(
+                        d
+                        for d in self.postings[c.field][t]
+                        if self.coll_of[d] == coll
+                    )
+                return out
             assert isinstance(c, RangeClause)
-            out: set[int] = set()
+            out = set()
             for t, posting in self.postings[c.field].items():
                 if c.lo <= t <= c.hi:
                     out.update(d for d in posting if self.coll_of[d] == coll)
@@ -143,11 +202,28 @@ class OracleIndex:
                         dl = self.doc_len[c.field][d]
                         denom = tf + cfg.k1 * (1 - cfg.b + cfg.b * dl / avgdl)
                         scores[d] += w * (tf * (cfg.k1 + 1)) / denom
+            elif isinstance(c, PhraseClause):
+                # BM25 on phrase frequency, idf = sum of per-term idfs
+                # (Lucene PhraseQuery under BM25Similarity)
+                w = sum(
+                    idf(df, n)
+                    for df in (self._df(c.field, t, coll) for t in c.terms)
+                    if df > 0
+                )
+                avgdl = self._avgdl(c.field, coll)
+                for d in candidates:
+                    pf = self._phrase_freq(c, d)
+                    if pf:
+                        dl = self.doc_len[c.field][d]
+                        denom = pf + cfg.k1 * (1 - cfg.b + cfg.b * dl / avgdl)
+                        scores[d] += w * (pf * (cfg.k1 + 1)) / denom
             else:
                 hits = clause_docs(c)
                 for d in candidates:
                     if d in hits:
-                        scores[d] += 1.0  # constant-score range (Lucene 5.x)
+                        # constant-score 1.0: range + multi-term (Lucene 5.x
+                        # CONSTANT_SCORE rewrite)
+                        scores[d] += 1.0
 
         # Tiebreak: score desc, then URL asc.  URL (not docid) because the
         # url order is invariant under generations, partitioning and
