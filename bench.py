@@ -190,6 +190,26 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     queries["query_p50_warm"] = round(_pct(lat_warm, 0.5), 4)
     queries["query_p99_warm"] = round(_pct(lat_warm, 0.99), 4)
 
+    # extended grammar (Q8-Q10, round 3): separate bucket so the headline
+    # p50/p99 stay comparable across rounds.  Phrase decodes the positional
+    # region; prefix/wildcard/fuzzy expand the per-segment dictionary.
+    ext_qset = [
+        '"spark merge"', '"merge group"', '"spark merge group"',
+        "spar*", "s?a*", "spakr~1", "stream~2",
+    ]
+    for q in ext_qset:  # cold pass (positions decode + expansion caches)
+        eng._results_cache.clear()
+        eng.search(q, limit=10)
+    lat_ext: list[float] = []
+    for _ in range(3):
+        for q in ext_qset:
+            eng._results_cache.clear()
+            t1 = time.monotonic()
+            eng.search(q, limit=10)
+            lat_ext.append(time.monotonic() - t1)
+    queries["query_ext_p50_warm"] = round(_pct(lat_ext, 0.5), 4)
+    queries["query_ext_p99_warm"] = round(_pct(lat_ext, 0.99), 4)
+
     # ---- sharded batch-search throughput (the cluster-scale read path:
     # each actor pins a partition subset, two-phase df-then-score) ----
     from lucene_plugin_ray.pipelines.sharded import sharded_search
