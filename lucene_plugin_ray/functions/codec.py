@@ -58,6 +58,27 @@ def varint_encode(values: np.ndarray, nbytes: np.ndarray | None = None) -> np.nd
     K = int(nbytes.max())
     if K == 1:  # all single-byte (common for tf streams)
         return v.astype(np.uint8)
+    total = int(nbytes.sum())
+    if total <= 3 * v.size:
+        # mostly-narrow stream (docid deltas / position deltas): K scatter
+        # passes over SHRINKING subsets beat the dense (n, K) matrix — a
+        # single wide outlier (e.g. a large first delta) no longer forces
+        # an n×K materialization.  ~1.4× faster at the measured mixes.
+        starts = np.cumsum(nbytes) - nbytes
+        out = np.empty(total, np.uint8)
+        byte0 = (v & np.uint64(0x7F)).astype(np.uint8)
+        byte0 |= (nbytes > 1).astype(np.uint8) << 7
+        out[starts] = byte0
+        for k in range(1, K):
+            m = nbytes > k
+            idx = starts[m] + k
+            byte = ((v[m] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(
+                np.uint8
+            )
+            cont = ((nbytes[m] - 1) > k).astype(np.uint8) << 7
+            out[idx] = byte | cont
+        return out
+    # wide stream: dense byte matrix + one boolean compaction
     bm = np.empty((v.size, K), dtype=np.uint8)
     for k in range(K):
         col = ((v >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
