@@ -338,6 +338,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": training.events_hopping,
         "user_funnel": relational.user_funnel,
         "distinct_users_hll": relational.distinct_users_hll,
+        "heavy_hitters": lambda sf: training.heavy_hitters(sf, k=28),
+        "decontaminate_bloom": training.decontaminate_bloom,
     }
 
 
@@ -818,6 +820,18 @@ FROM fp ORDER BY doc_id
 
     # decontamination: distinct 8-token windows vs the stand-in eval set
     # (windows of every doc_id % 97 == 0 document)
+    # heavy hitters: terms with count > N/28 — the Ray op discovers them
+    # with a bounded Misra-Gries sketch then exact-confirms, so the output
+    # is exact and hash-comparable (decontaminate_bloom stays rows-only:
+    # approximate by design, property-tested against the exact twin)
+    sql["heavy_hitters"] = f"""
+{_toks_cte()},
+tc AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM tc)
+SELECT term, CAST(cnt AS BIGINT) AS cnt, n AS n_total
+FROM tc CROSS JOIN tot WHERE cnt * 28 > n ORDER BY term
+"""
+
     sql["decontaminate"] = f"""
 WITH toks AS (SELECT doc_id,
     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),

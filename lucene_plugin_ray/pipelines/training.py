@@ -4455,3 +4455,291 @@ def events_hopping(sf_dir: str) -> pa.Table:
     return out.sort_by(
         [("window_start", "ascending"), ("event_type", "ascending")]
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (approximate twin of `decontaminate`)
+# ---------------------------------------------------------------------------
+_BLOOM_BITS_PER_KEY = 16
+_BLOOM_HASHES = 8
+
+
+def _bloom_probes(windows: "pa.Array | pa.ChunkedArray", m_bits: int):
+    """Kirsch-Mitzenmacher double-hash probe generator: probe_i =
+    (h1 + i*h2) mod m, h1 = fnv1a64(window), h2 = mix64(h1)|1 (odd stride
+    → full-period over the power-of-two table)."""
+    h1 = fnv1a_bytes_column(windows)
+    h2 = mix64_np(h1) | np.uint64(1)
+    mask = np.uint64(m_bits - 1)
+    for i in range(_BLOOM_HASHES):
+        yield ((h1 + np.uint64(i) * h2) & mask).astype(np.int64)
+
+
+def bloom_build(windows: "pa.Array | pa.ChunkedArray") -> tuple[np.ndarray, int]:
+    """Bloom bitmap over a window-string set → (uint8 bitmap, m_bits).
+    16 bits/key, 8 probes → FP ≈ 6e-4; size is 2 bytes/key regardless of
+    window string length."""
+    n = len(windows)
+    m_bits = 1 << max(10, int(np.ceil(np.log2(max(n, 1) * _BLOOM_BITS_PER_KEY))))
+    bitmap = np.zeros(m_bits >> 3, np.uint8)
+    if n:
+        for idx in _bloom_probes(windows, m_bits):
+            np.bitwise_or.at(
+                bitmap, idx >> 3, (np.uint8(1) << (idx & 7).astype(np.uint8))
+            )
+    return bitmap, m_bits
+
+
+def bloom_test(
+    bitmap: np.ndarray, m_bits: int, windows: "pa.Array | pa.ChunkedArray"
+) -> np.ndarray:
+    """bool[len(windows)] — Bloom membership (no false negatives; FP rate
+    set by bloom_build's sizing)."""
+    if len(windows) == 0:
+        return np.empty(0, bool)
+    hit = np.ones(len(windows), bool)
+    for idx in _bloom_probes(windows, m_bits):
+        hit &= (bitmap[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1 > 0
+        if not hit.any():
+            break
+    return hit
+
+
+def decontaminate_bloom(
+    sf_dir: str,
+    k: int = _NGRAM_SPAN_K,
+    eval_mod: int = 97,
+    eval_windows: "pa.Array | None" = None,
+    output_path: str | None = None,
+) -> pa.Table | None:
+    """Approximate benchmark decontamination — the SCALE-PATH twin of
+    :func:`decontaminate`.
+
+    Same contract (per-doc count/fraction of distinct k-token windows that
+    occur in the eval set) but membership goes through a Bloom filter built
+    once over the eval windows: the broadcast is a constant 2 bytes/key
+    bitmap instead of the full window strings (k=8 windows average ~50
+    bytes → ~25× smaller object-store footprint; a 100M-window eval suite
+    broadcasts as 200 MB instead of 5 GB), and the per-window test is 8
+    hashed bit probes instead of a string hash-set lookup.
+
+    Guarantees (tests/test_curation_ops.py): NO false negatives — every
+    window the exact op flags is flagged here, so the contaminated set is a
+    superset and filtering on it is always safe; false positives ≈ 6e-4 per
+    window (16 bits/key, 8 probes).  Output is deterministic (the bitmap
+    and probes are pure functions of the eval set).  No SQL oracle —
+    approximate by design; the exact `decontaminate` is the oracle-checked
+    twin.  Output schema matches the exact op: (doc_id, n_windows,
+    n_contaminated, contaminated_fraction), sorted by doc_id."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if eval_windows is None and int(eval_mod) <= 0:
+        raise ValueError("eval_mod must be positive")
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    if eval_windows is None:
+        mod = int(eval_mod)
+
+        def _pick_eval(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % mod == 0))
+
+        eval_docs = pa.concat_tables(
+            ds.map_batches(
+                _pick_eval, batch_format="pyarrow", zero_copy_batch=True
+            ).iter_batches(batch_format="pyarrow")
+        )
+        eval_windows = (
+            span_windows_batch(eval_docs, k)["ngram"].combine_chunks().unique()
+        )
+    bitmap, m_bits = bloom_build(eval_windows)
+    bitmap_ref = ray.put(bitmap)
+
+    def _contam(batch: pa.Table) -> pa.Table:
+        bm = ray.get(bitmap_ref)
+        n = batch.num_rows
+        ids = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        spans = span_windows_batch(batch, k)
+        n_windows = np.zeros(n, np.int64)
+        n_cont = np.zeros(n, np.int64)
+        if spans.num_rows:
+            sdoc = spans["doc_id"].to_numpy(zero_copy_only=False)
+            order = np.argsort(ids, kind="stable")
+            idx = order[np.searchsorted(ids[order], sdoc)]
+            n_windows = np.bincount(idx, minlength=n).astype(np.int64)
+            hit = bloom_test(bm, m_bits, spans["ngram"].combine_chunks())
+            n_cont = np.bincount(idx[hit], minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].combine_chunks(),
+                "n_windows": pa.array(n_windows, type=pa.int64()),
+                "n_contaminated": pa.array(n_cont, type=pa.int64()),
+                "contaminated_fraction": pa.array(
+                    np.round(n_cont / np.maximum(n_windows, 1), 6),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    out = ds.map_batches(_contam, batch_format="pyarrow", zero_copy_batch=True)
+    return _sink_or_table(out, output_path, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters: Misra-Gries candidate sketch + exact confirm pass
+# ---------------------------------------------------------------------------
+_HH_ERR_TERM = "\x00mg_err"
+_HH_TOT_TERM = "\x00mg_tot"
+
+
+def _mg_summarize(batch: pa.Table, k: int) -> pa.Table:
+    """One batch → ≤ k Misra-Gries counters + two sentinel rows.
+
+    Counts the batch's analyzed tokens exactly, then applies the MG
+    decrement: subtract the (k+1)-th largest count c* from every counter and
+    keep the positive ones (≤ k survive; (k+1)·c* ≤ N_batch so
+    c* ≤ N_batch/(k+1)).  Sentinels carry Σc* (the merged error bound) and
+    N_batch (the exact corpus token total) through the SAME groupby — one
+    shuffle of ≤ (k+2)·batches rows total, independent of corpus size."""
+    _, terms, _ = tokenize_column(pc.cast(batch["text"].combine_chunks(), pa.string()))
+    n_batch = len(terms)
+    if n_batch == 0:
+        return pa.table(
+            {"term": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+        )
+    vc = pc.value_counts(terms)
+    vals, counts = vc.field("values"), vc.field("counts").to_numpy(zero_copy_only=False)
+    if len(vals) > k:
+        cstar = int(np.partition(counts, len(counts) - (k + 1))[len(counts) - (k + 1)])
+    else:
+        cstar = 0
+    keep = counts > cstar
+    out_terms = [vals.filter(pa.array(keep))]
+    out_counts = [pa.array(counts[keep] - cstar, type=pa.int64())]
+    out_terms.append(pa.array([_HH_ERR_TERM, _HH_TOT_TERM], type=pa.string()))
+    out_counts.append(pa.array([cstar, n_batch], type=pa.int64()))
+    return pa.table(
+        {
+            "term": pa.concat_arrays([a.cast(pa.string()) for a in out_terms]),
+            "cnt": pa.concat_arrays(out_counts),
+        }
+    )
+
+
+def heavy_hitters(sf_dir: str, k: int = 64) -> pa.Table:
+    """Exact frequent-terms-above-N/k via a two-pass sketch+confirm plan —
+    the bounded-memory way to find heavy hitters in a corpus whose
+    vocabulary does not fit anywhere.
+
+    Pass 1 (candidates): per-batch Misra-Gries summaries of ≤ k counters
+    (see :func:`_mg_summarize`) groupby-summed.  Merged estimate obeys
+    est(t) ∈ [true(t) − D, true(t)] with D = Σ_b c*_b ≤ N/(k+1), so every
+    true heavy hitter (count > N/k) has est > N/k − D — the candidate
+    filter keeps exactly that set (NO false negatives, proven in tests).
+
+    Pass 2 (confirm): the candidate list is broadcast (ray.put — it is
+    ≤ batches·k terms, in practice ~k) and ONE more map pass counts ONLY
+    candidate terms exactly, map-side combined then groupby-summed —
+    shuffle rows ≤ candidates·batches.  Final filter count·k > N makes the
+    output EXACT and batching-independent (deterministic regardless of how
+    Ray splits blocks), so the op carries a full DuckDB hash oracle even
+    though the discovery machinery is approximate.
+
+    Output: (term, cnt, n_total) for terms with cnt·k > n_total, sorted by
+    term."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from functools import partial
+
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
+    merged_parts = list(
+        ds.map_batches(
+            partial(_mg_summarize, k=k),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("term")
+        .aggregate(Sum("cnt", alias_name="est"))
+        .iter_batches(batch_format="pyarrow")
+    )
+    merged = (
+        pa.concat_tables(merged_parts)
+        if merged_parts
+        else pa.table({"term": pa.array([], pa.string()), "est": pa.array([], pa.int64())})
+    )
+    if merged.num_rows == 0:
+        return pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+                "n_total": pa.array([], pa.int64()),
+            }
+        )
+    terms_np = merged["term"].to_numpy(zero_copy_only=False)
+    est = merged["est"].to_numpy(zero_copy_only=False).astype(np.int64)
+    err = int(est[terms_np == _HH_ERR_TERM].sum())
+    n_total = int(est[terms_np == _HH_TOT_TERM].sum())
+    real = ~np.isin(terms_np, [_HH_ERR_TERM, _HH_TOT_TERM])
+    # candidate filter: true > N/k ⇒ est ≥ true − D > N/k − D
+    cand_mask = real & (est * k > n_total - err * k)
+    candidates = pa.array(terms_np[cand_mask], type=pa.string())
+    if len(candidates) == 0:
+        return pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+                "n_total": pa.array([], pa.int64()),
+            }
+        )
+    cand_ref = ray.put(candidates)
+
+    def _confirm(batch: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        _, terms, _ = tokenize_column(
+            pc.cast(batch["text"].combine_chunks(), pa.string())
+        )
+        if len(terms) == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        sel = terms.filter(pc.is_in(terms, value_set=cand))
+        vc = pc.value_counts(sel)
+        return pa.table(
+            {
+                "term": vc.field("values").cast(pa.string()),
+                "cnt": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    exact_parts = list(
+        ds.map_batches(_confirm, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("cnt", alias_name="cnt_f"))
+        .iter_batches(batch_format="pyarrow")
+    )
+    exact = (
+        pa.concat_tables(exact_parts)
+        if exact_parts
+        else pa.table(
+            {"term": pa.array([], pa.string()), "cnt_f": pa.array([], pa.int64())}
+        )
+    )
+    if exact.num_rows == 0:
+        return pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+                "n_total": pa.array([], pa.int64()),
+            }
+        )
+    cnt = exact["cnt_f"].to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = cnt * k > n_total
+    out = pa.table(
+        {
+            "term": exact["term"].combine_chunks().filter(pa.array(keep)),
+            "cnt": pa.array(cnt[keep], type=pa.int64()),
+            "n_total": pa.array(np.full(int(keep.sum()), n_total), type=pa.int64()),
+        }
+    )
+    return out.sort_by("term")

@@ -363,3 +363,110 @@ def test_ngram_counts_multiblock(ray_session, tmp_path):
     # spot: "x y" occurs 2+1+0+0+0+1 = 4 per cycle x3; in 3 docs per cycle
     r = a.set_index("ngram")
     assert r.loc["x y", "n_occ"] == 12 and r.loc["x y", "n_docs"] == 9
+
+
+# ---------------------------------------------------------------------------
+# decontaminate_bloom (approximate twin) + heavy_hitters (sketch+confirm)
+# ---------------------------------------------------------------------------
+def test_bloom_membership_no_false_negatives():
+    """Every inserted key tests positive (Bloom structural guarantee)."""
+    import numpy as np
+
+    from lucene_plugin_ray.pipelines.training import bloom_build, bloom_test
+
+    keys = pa.array([f"window {i} text" for i in range(5000)], pa.string())
+    bm, m = bloom_build(keys)
+    assert bloom_test(bm, m, keys).all()
+    # disjoint probe set: FP rate well under 1% at 16 bits/key
+    probe = pa.array([f"absent {i} probe" for i in range(20000)], pa.string())
+    fp = bloom_test(bm, m, probe).mean()
+    assert fp < 0.01, fp
+
+
+def test_decontaminate_bloom_superset_of_exact(ray_session, corpus_dir):
+    """No false negatives vs the exact op; identical schema/doc order;
+    deterministic across runs."""
+    import numpy as np
+
+    exact = training.decontaminate(corpus_dir).to_pandas()
+    bloom = training.decontaminate_bloom(corpus_dir).to_pandas()
+    assert list(bloom.columns) == list(exact.columns)
+    assert (bloom["doc_id"] == exact["doc_id"]).all()
+    assert (bloom["n_windows"] == exact["n_windows"]).all()
+    assert (bloom["n_contaminated"] >= exact["n_contaminated"]).all()
+    # eval docs self-match fully in both
+    full = exact[exact["doc_id"] % 97 == 0]
+    full = full[full["n_windows"] > 0]
+    b_full = bloom[bloom["doc_id"].isin(full["doc_id"])]
+    assert (b_full["contaminated_fraction"] == 1.0).all()
+    again = training.decontaminate_bloom(corpus_dir).to_pandas()
+    pd.testing.assert_frame_equal(bloom, again)
+
+
+def test_decontaminate_bloom_explicit_eval_windows(ray_session, corpus_dir):
+    ev = pa.array(
+        ["alpha beta gamma delta epsilon zeta eta theta"], pa.string()
+    )
+    got = training.decontaminate_bloom(corpus_dir, eval_windows=ev).to_pandas()
+    r = got.set_index("doc_id")
+    assert r.loc[97, "n_contaminated"] == 1  # window present verbatim
+    assert r.loc[99, "n_contaminated"] == 1  # embedded with prefix/suffix
+    assert r.loc[100, "n_contaminated"] == 0
+    with pytest.raises(ValueError):
+        training.decontaminate_bloom(corpus_dir, k=0)
+
+
+def test_heavy_hitters_exact_on_skewed_corpus(ray_session, tmp_path):
+    """Two-pass sketch+confirm returns EXACTLY the terms with count > N/k
+    (python Counter oracle) on a Zipf corpus whose vocabulary (~several
+    thousand terms) far exceeds the k counters — the MG prune actually
+    fires — and is batch-independent (same result at different k)."""
+    from collections import Counter
+
+    from lucene_plugin_ray.functions.analysis import analyze
+    from lucene_plugin_ray.pipelines.fixtures import make_pages
+
+    corpus = make_pages(400, seed=71)
+    d = tmp_path / "hh"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(corpus.num_rows), pa.int64()),
+                "text": corpus["text"],
+            }
+        ),
+        d / "documents.parquet",
+    )
+    counts = Counter()
+    for t in corpus["text"].to_pylist():
+        counts.update(analyze(t))
+    n_total = sum(counts.values())
+    assert len(counts) > 1000  # vocab >> k: the sketch prune is exercised
+    for k in (8, 32, 100):
+        got = training.heavy_hitters(str(d), k=k)
+        want = sorted(
+            (t, c) for t, c in counts.items() if c * k > n_total
+        )
+        assert got["term"].to_pylist() == [t for t, _ in want], k
+        assert got["cnt"].to_pylist() == [c for _, c in want], k
+        assert all(v == n_total for v in got["n_total"].to_pylist())
+    with pytest.raises(ValueError):
+        training.heavy_hitters(str(d), k=0)
+
+
+def test_heavy_hitters_empty_and_uniform(ray_session, tmp_path):
+    d = tmp_path / "hh0"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["", "the of a"], pa.string()),  # no tokens
+            }
+        ),
+        d / "documents.parquet",
+    )
+    got = training.heavy_hitters(str(d), k=4)
+    assert got.num_rows == 0
+    assert got.column_names == ["term", "cnt", "n_total"]
