@@ -321,6 +321,14 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     relational.distinct_users_hll(sf_dir)
     queries["distinct_users_hll"] = round(time.monotonic() - t1, 3)
 
+    t1 = time.monotonic()
+    training.heavy_hitters(sf_dir, k=28)
+    queries["heavy_hitters"] = round(time.monotonic() - t1, 3)
+
+    t1 = time.monotonic()
+    training.decontaminate_bloom(sf_dir)
+    queries["decontaminate_bloom"] = round(time.monotonic() - t1, 3)
+
     out["metric"] = "index_build_sec_plus_query_latency"
     out["value"] = round(build_s, 3)
     out["unit"] = "sec"
