@@ -131,6 +131,7 @@ _OR_Q = "spark window merge"
 _AND_Q = "+spark +merge"
 _FIELD_Q = "lang:de"
 _RANGE_LO, _RANGE_HI = "src1", "src3"
+_MLT_DOC = 7  # more_like_this probe document
 # extended grammar (Q8-Q10): adjacent in the seeded corpus / typo of 'spark'
 _PHRASE_Q = '"spark merge"'
 _PREFIX_Q = "s*"          # expands to 6 vocabulary terms
@@ -253,6 +254,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ).sort_by([("qid", "ascending"), ("doc_id", "ascending")])
 
+    def search_facets(sf_dir: str) -> pa.Table:
+        """Field faceting (Lucene SortedSetDocValues-facets style): lang
+        counts over ALL docs matching the OR query, straight off the term
+        dictionary (pipelines/query.py::SearchEngine.facets; the sharded
+        twin is ShardedSearcherService.facets — equality pinned in
+        tests/test_facets_mlt.py)."""
+        engine, cfg = _engine_for(sf_dir)
+        return engine.facets(_OR_Q, "lang")
+
+    def more_like_this_q(sf_dir: str) -> pa.Table:
+        """MoreLikeThis (like-text form): doc 7's text → top-10 tf·idf
+        terms → SHOULD query, source doc excluded; all hits as
+        (doc_id, score)."""
+        import pyarrow.parquet as pq
+
+        from lucene_plugin_ray.sources.pages import url_to_doc_id
+
+        engine, cfg = _engine_for(sf_dir)
+        t = pq.read_table(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text"],
+            filters=[("doc_id", "==", _MLT_DOC)],
+        )
+        res = engine.more_like_this(
+            t["text"][0].as_py(),
+            max_query_terms=10,
+            limit=1_000_000_000,
+            exclude_url=f"doc://{_MLT_DOC:010d}",
+        )
+        return pa.table(
+            {
+                "doc_id": url_to_doc_id(res["url"].combine_chunks()),
+                "score": pc.round(res["score"].combine_chunks(), ndigits=4),
+            }
+        ).sort_by("doc_id")
+
     def term_stats_q(sf_dir: str) -> pa.Table:
         import ray.data
 
@@ -280,6 +317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_prefix": search_prefix,
         "search_wildcard": search_wildcard,
         "search_fuzzy": search_fuzzy,
+        "search_facets": search_facets,
+        "more_like_this": more_like_this_q,
         "batch_search": batch_search,
         "term_stats": term_stats_q,
         "token_count": doc_stats,
@@ -419,6 +458,56 @@ WHERE term LIKE 's_a%' ORDER BY doc_id
 {_toks_cte()}
 SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM toks
 WHERE damerau_levenshtein(term, 'spakr') <= 1 ORDER BY doc_id
+"""
+
+    # faceting: lang-token counts over the OR query's match set.  The facet
+    # value stream mirrors the index's ANALYZED lang field (lowercase split
+    # + stopword drop), and count(DISTINCT doc_id) mirrors postings
+    # membership (a doc counts once per distinct facet value).
+    or_inlist = ", ".join(f"'{t}'" for t in or_terms)
+    sql["search_facets"] = f"""
+{_toks_cte()},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({or_inlist})),
+lraw AS (SELECT doc_id, unnest(string_split_regex(lower(lang), '[^a-z0-9]+')) AS term FROM documents),
+ltoks AS (SELECT doc_id, term FROM lraw WHERE term <> '' AND length(term) <= 255
+          AND term NOT IN {SQL_STOPWORD_LIST})
+SELECT lt.term AS value, count(DISTINCT lt.doc_id) AS "count"
+FROM ltoks lt JOIN m USING (doc_id)
+GROUP BY lt.term ORDER BY "count" DESC, value ASC
+"""
+
+    # MoreLikeThis: doc _MLT_DOC's terms weighted tf·idf (the engine's BM25
+    # idf), top 10 (w desc, term asc — equal weights only arise from equal
+    # (tf, df), so the tiebreak is engine-identical), then full-corpus BM25
+    # over those terms with the source doc excluded.
+    sql["more_like_this"] = f"""
+{_toks_cte()},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+docs AS (SELECT d.doc_id, coalesce(dl.dl, 0) AS dl
+         FROM documents d LEFT JOIN dl USING (doc_id)),
+stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM docs),
+src AS (SELECT term, tf FROM tf WHERE doc_id = {_MLT_DOC}),
+dfw AS (SELECT term, count(*) AS df FROM tf
+        WHERE term IN (SELECT term FROM src) GROUP BY term),
+w AS (SELECT s.term, s.tf * ln(1.0 + (st.n - dfw.df + 0.5) / (dfw.df + 0.5)) AS w
+      FROM src s JOIN dfw USING (term) CROSS JOIN stats st),
+qterms AS (SELECT term FROM w ORDER BY w DESC, term ASC LIMIT 10),
+df AS (SELECT term, count(*) AS df FROM tf
+       WHERE term IN (SELECT term FROM qterms) GROUP BY term)
+SELECT tf.doc_id AS doc_id,
+       round(sum(
+         ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+         * (tf.tf * (1.2 + 1.0))
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * docs.dl / s.avgdl))
+       ), 4) AS score
+FROM tf
+JOIN df USING (term)
+JOIN docs ON docs.doc_id = tf.doc_id
+CROSS JOIN stats s
+WHERE tf.doc_id <> {_MLT_DOC}
+GROUP BY tf.doc_id
+ORDER BY doc_id
 """
 
     # lexicographic term range on the source field — constant score 1.0

@@ -209,6 +209,166 @@ class SearchEngine:
             self._results_cache.popitem(last=False)
         return table
 
+    def facets(
+        self, query: str, facet_field: str, collection: str = "default"
+    ) -> pa.Table:
+        """Facet counts over ALL matching documents — field faceting in the
+        style of Lucene's SortedSetDocValues facets, driven straight off the
+        term dictionary (no taxonomy sidecar): for every value of
+        ``facet_field`` in each segment's vocabulary, count how many of the
+        query's matching docs carry it.
+
+        Matching uses the search path's boolean semantics (all MUSTs, else
+        any SHOULD) via :meth:`_match_segment`; counting is one sorted-
+        membership pass per (segment, facet value), so total work is bounded
+        by |facet vocab| × segment decode — facet fields are low-cardinality
+        metadata (lang, source), never corpus text.  Returns
+        (value, count), ordered (count desc, value asc).  On the sharded
+        path each shard returns its partial and the driver sums — counts
+        are per-doc-disjoint across partitions."""
+        coll = sanitize_collection(collection)
+        clauses = parse_query(query, default_field=self.cfg.text_column)
+        segs = self._segments.get(coll, [])
+        counts: dict[str, int] = {}
+        for si, seg in enumerate(segs):
+            matched = self._match_segment(si, seg, clauses, {}, {})
+            if matched.size == 0:
+                continue
+            r = seg.reader
+            start, vocab = r.field_vocab(facet_field)
+            for j in range(len(vocab)):
+                term = str(vocab[j])
+                local, _ = self._decoded(
+                    si, seg, facet_field, term, int(start + j)
+                )
+                c = int(_in_sorted(matched, local).sum())
+                if c:
+                    counts[term] = counts.get(term, 0) + c
+        if not counts:
+            return pa.table(
+                {"value": pa.array([], pa.string()),
+                 "count": pa.array([], pa.int64())}
+            )
+        items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        return pa.table(
+            {
+                "value": pa.array([k for k, _ in items], pa.string()),
+                "count": pa.array([v for _, v in items], pa.int64()),
+            }
+        )
+
+    def more_like_this(
+        self,
+        text: str,
+        collection: str = "default",
+        max_query_terms: int = 25,
+        limit: int | None = None,
+        exclude_url: str | None = None,
+        method: str = "taat",
+    ) -> pa.Table:
+        """Find documents similar to ``text`` — Lucene MoreLikeThis's
+        like(content) form (org.apache.lucene.queries.mlt.MoreLikeThis):
+        analyze the text with the index analyzer, weight each distinct term
+        by tf(text) · idf(corpus) using the engine's BM25 idf and the
+        collection's live df/n_docs, keep the ``max_query_terms`` heaviest
+        (weight desc, term asc — deterministic: equal weights only arise
+        from identical (tf, df) pairs), and run them as one SHOULD query
+        through the normal scoring path.  ``exclude_url`` drops the source
+        document from the results (the usual MLT setup where the probe text
+        IS an indexed doc).  Result shape/order matches :meth:`search`."""
+        from lucene_plugin_ray.functions.analysis import analyze
+
+        limit = limit if limit is not None else self.cfg.result_limit
+        coll = sanitize_collection(collection)
+        empty = pa.table(
+            {"url": pa.array([], pa.string()),
+             "score": pa.array([], pa.float64()),
+             "docid": pa.array([], pa.int64())}
+        )
+        toks = analyze(text)
+        if not toks:
+            return empty
+        n_docs, _avgdl = self._stats(coll)
+        if n_docs == 0:
+            return empty
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        field = self.cfg.text_column
+        dfs = self.local_term_dfs(coll, [(field, t) for t in tf])
+        weighted = [
+            (tf[t] * idf(df, n_docs), t)
+            for (_f, t), df in dfs.items()
+            if df > 0
+        ]
+        weighted.sort(key=lambda wt: (-wt[0], wt[1]))
+        top = weighted[:max_query_terms]
+        if not top:
+            return empty
+        clauses: list[Clause] = [
+            TermClause(occur="SHOULD", field=field, term=t) for _, t in top
+        ]
+        fetch = limit + 1 if exclude_url is not None else limit
+        res = self._execute(clauses, coll, fetch, method)
+        if exclude_url is not None and res.num_rows:
+            import pyarrow.compute as pc
+
+            res = res.filter(
+                pc.not_equal(res["url"], pa.scalar(exclude_url))
+            ).slice(0, limit)
+        return res
+
+    def _match_segment(
+        self, si: int, seg: _LiveSegment, clauses: list[Clause],
+        cache: dict, rows: dict,
+    ) -> np.ndarray:
+        """Sorted local docids matching the boolean semantics of the scoring
+        path (all MUST clauses; else at least one SHOULD) — the score-free
+        twin of :meth:`_score_segment_taat`, used by faceting where EVERY
+        matching doc is needed, not a top-k.  Mirrors the scoring path's
+        clause handling exactly (including the doc_len guard on term
+        clauses) so facet totals always agree with search hit counts."""
+        r = seg.reader
+        n = r.n_docs
+        musts = [c for c in clauses if c.occur == MUST]
+        must_cnt = np.zeros(n, dtype=np.int16) if musts else None
+        any_hit = np.zeros(n, dtype=bool)
+        for c in clauses:
+            if isinstance(c, TermClause):
+                if r.doc_len.get(c.field) is None:
+                    continue
+                got = self._term_postings(si, seg, c, cache, rows)
+                if got is None:
+                    continue
+                local = got[0]
+            elif isinstance(c, PhraseClause):
+                if r.doc_len.get(c.field) is None:
+                    continue
+                got = self._phrase_postings(seg, c)
+                if got is None:
+                    continue
+                local = got[0]
+            else:
+                if isinstance(c, RangeClause):
+                    range_rows = r.term_range(c.field, c.lo, c.hi)
+                else:
+                    assert isinstance(c, MultiTermClause)
+                    range_rows = self._expand_rows(seg, c)
+                m = np.zeros(n, dtype=bool)
+                for row in range_rows:
+                    docids, _ = r.postings(int(row))
+                    loc = r.local_ids(docids)
+                    if not seg.all_alive:
+                        loc = loc[seg.alive[loc]]
+                    m[loc] = True
+                local = np.flatnonzero(m)
+            any_hit[local] = True
+            if must_cnt is not None and c.occur == MUST:
+                must_cnt[local] += 1
+        if must_cnt is not None:
+            return np.flatnonzero(must_cnt == len(musts))
+        return np.flatnonzero(any_hit)
+
     # ---- sharded-execution surface (pipelines/sharded.py) ------------
     def local_collection_stats(self) -> dict[str, dict]:
         """Alive-masked (n_docs, sum_dl per field) of THIS engine's loaded

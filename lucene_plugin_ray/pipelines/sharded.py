@@ -378,6 +378,15 @@ class _ShardActor:
         }
         return stats, dfs
 
+    def facet_partial(
+        self, query: str, facet_field: str, collection: str
+    ) -> list[tuple[str, int]]:
+        """This shard's facet counts — boolean matching is partition-local
+        (no global stats needed) and docs are partition-disjoint, so the
+        driver-side merge is a plain per-value sum."""
+        t = self.engine.facets(query, facet_field, collection=collection)
+        return list(zip(t["value"].to_pylist(), t["count"].to_pylist()))
+
     def score(self, qlist: list[dict], method: str, global_stats: dict,
               global_df_by_coll: dict) -> list[dict]:
         rows = []
@@ -418,6 +427,30 @@ class ShardedSearcherService:
             )
             for spec in shard_assignment(P, num_shards)
         ]
+
+    def facets(
+        self, query: str, facet_field: str, collection: str = "default"
+    ) -> pa.Table:
+        """Cluster-wide facet counts: one parallel round to the fleet, each
+        shard counting over its pinned partitions, then an exact per-value
+        sum on the driver (docs never overlap across shards).  Same output
+        contract as SearchEngine.facets: (value, count), (count desc,
+        value asc)."""
+        parts = ray.get(
+            [a.facet_partial.remote(query, facet_field, collection)
+             for a in self.actors]
+        )
+        counts: dict[str, int] = {}
+        for rows in parts:
+            for v, c in rows:
+                counts[v] = counts.get(v, 0) + c
+        items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        return pa.table(
+            {
+                "value": pa.array([k for k, _ in items], pa.string()),
+                "count": pa.array([v for _, v in items], pa.int64()),
+            }
+        )
 
     def search_batch(self, queries: pa.Table, method: str = "taat") -> pa.Table:
         """(qid, query[, collection][, k]) → (qid, rank, url, score)."""

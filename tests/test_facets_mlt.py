@@ -1,0 +1,184 @@
+"""Field faceting (SearchEngine.facets / ShardedSearcherService.facets) and
+MoreLikeThis (SearchEngine.more_like_this).
+
+Facet counts are defined over ALL matching docs (boolean semantics of the
+scoring path) and must agree with (a) a brute-force Python oracle on a fresh
+index, (b) the engine's own conjunctive field queries after deltas/deletes,
+and (c) the sharded service's per-shard-sum merge.  MLT must equal the
+equivalent hand-built SHOULD query."""
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_plugin_ray.config import IndexConfig
+from lucene_plugin_ray.functions.analysis import analyze
+from lucene_plugin_ray.pipelines.fixtures import make_delete_set, make_pages
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    from lucene_plugin_ray.pipelines.build import build_index
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+
+    corpus = make_pages(300, seed=17, with_fields=True)
+    root = str(tmp_path_factory.mktemp("idx_facet"))
+    cfg = IndexConfig(
+        index_root=root, num_partitions=6, field_columns=("lang", "foo")
+    )
+    build_index(corpus, cfg)
+    return corpus, root, cfg, SearchEngine(root, cfg=cfg)
+
+
+def _python_facets(corpus: pa.Table, query_terms: set[str], field: str):
+    """Brute-force facet oracle: docs whose analyzed text hits ANY query
+    term, counted once per analyzed facet-field value."""
+    want: collections.Counter = collections.Counter()
+    for text, fval in zip(
+        corpus["text"].to_pylist(), corpus[field].to_pylist()
+    ):
+        if query_terms & set(analyze(text)):
+            for v in set(analyze(fval)):
+                want[v] += 1
+    return dict(want)
+
+
+def test_facets_match_python_oracle(built):
+    corpus, _root, _cfg, eng = built
+    got = eng.facets("pagehit", "lang")
+    want = _python_facets(corpus, {"pagehit"}, "lang")
+    assert dict(zip(got["value"].to_pylist(), got["count"].to_pylist())) == want
+    # ordering contract: (count desc, value asc)
+    rows = list(zip(got["count"].to_pylist(), got["value"].to_pylist()))
+    assert rows == sorted(rows, key=lambda cv: (-cv[0], cv[1]))
+    # totals agree with the search hit count (single-value facet field)
+    assert sum(got["count"].to_pylist()) == eng.search(
+        "pagehit", limit=10**9
+    ).num_rows
+
+
+def test_facets_or_query_and_multitoken_field(built):
+    """The foo field analyzes to MULTIPLE tokens for some docs ('lamb
+    little') — a doc must count once under EACH of its distinct values."""
+    corpus, _root, _cfg, eng = built
+    q = "pagehit w00001 w00002"
+    got = eng.facets(q, "foo")
+    want = _python_facets(corpus, set(analyze(q)), "foo")
+    assert dict(zip(got["value"].to_pylist(), got["count"].to_pylist())) == want
+    assert "lamb" in want and "little" in want  # multi-token values present
+
+
+def test_facets_must_query(built):
+    corpus, _root, _cfg, eng = built
+    got = eng.facets("+pagehit +lorem", "lang")
+    want: collections.Counter = collections.Counter()
+    for text, lang in zip(corpus["text"].to_pylist(), corpus["lang"].to_pylist()):
+        toks = set(analyze(text))
+        if "pagehit" in toks and "lorem" in toks:
+            for v in set(analyze(lang)):
+                want[v] += 1
+    assert dict(zip(got["value"].to_pylist(), got["count"].to_pylist())) == dict(
+        want
+    )
+
+
+def test_facets_no_match_and_unknown_field(built):
+    _corpus, _root, _cfg, eng = built
+    empty = eng.facets("zzznope", "lang")
+    assert empty.num_rows == 0
+    assert empty.column_names == ["value", "count"]
+    assert eng.facets("pagehit", "no_such_field").num_rows == 0
+
+
+def test_facets_consistent_after_delta_and_deletes(ray_session, tmp_path):
+    """Across generations + tombstones, every facet count equals the hit
+    count of the equivalent conjunctive field query — faceting and search
+    share one notion of 'matching live doc'."""
+    from lucene_plugin_ray.pipelines.build import (
+        build_delta,
+        build_index,
+        delete_docs,
+    )
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+
+    corpus = make_pages(240, seed=18)
+    cfg = IndexConfig(
+        index_root=str(tmp_path / "idx"),
+        num_partitions=5,
+        field_columns=("lang",),
+    )
+    build_index(corpus, cfg)
+    build_delta(make_pages(50, seed=19), cfg)
+    delete_docs(cfg, make_delete_set(corpus, every=30))
+    eng = SearchEngine(cfg.index_root, cfg=cfg)
+    got = eng.facets("pagehit", "lang")
+    assert got.num_rows > 0
+    total = 0
+    for v, c in zip(got["value"].to_pylist(), got["count"].to_pylist()):
+        assert (
+            eng.search(f"+pagehit +lang:{v}", limit=10**9).num_rows == c
+        ), v
+        total += c
+    assert total == eng.search("pagehit", limit=10**9).num_rows
+
+
+def test_sharded_facets_equal_single_engine(built):
+    from lucene_plugin_ray.pipelines.sharded import ShardedSearcherService
+
+    _corpus, root, cfg, eng = built
+    svc = ShardedSearcherService(root, cfg=cfg, num_shards=3)
+    for q, field in [
+        ("pagehit", "lang"),
+        ("pagehit w00001 w00002", "foo"),
+        ("zzznope", "lang"),
+    ]:
+        assert svc.facets(q, field).equals(eng.facets(q, field)), (q, field)
+
+
+# ---------------------------------------------------------------------------
+# MoreLikeThis
+# ---------------------------------------------------------------------------
+def test_mlt_self_retrieval_and_exclusion(built):
+    corpus, _root, _cfg, eng = built
+    url = corpus["url"][5].as_py()
+    text = corpus["text"][5].as_py()
+    with_self = eng.more_like_this(text, limit=10)
+    assert with_self["url"][0].as_py() == url  # the source doc ranks first
+    excluded = eng.more_like_this(text, limit=10, exclude_url=url)
+    assert url not in excluded["url"].to_pylist()
+    assert excluded.num_rows == 10
+    # exclusion only removes the source doc; the rest keep their order
+    assert (
+        with_self.filter(
+            pa.compute.not_equal(with_self["url"], pa.scalar(url))
+        )["url"].to_pylist()[:9]
+        == excluded["url"].to_pylist()[:9]
+    )
+
+
+def test_mlt_equals_manual_should_query(built):
+    """more_like_this == search() over the hand-derived top tf·idf terms —
+    the term-selection stage is the ONLY thing MLT adds to the query path."""
+    from lucene_plugin_ray.functions.bm25 import idf
+
+    corpus, _root, cfg, eng = built
+    text = corpus["text"][42].as_py()
+    tf = collections.Counter(analyze(text))
+    n_docs, _ = eng._stats("default")
+    dfs = eng.local_term_dfs("default", [("text", t) for t in tf])
+    weighted = sorted(
+        ((tf[t] * idf(df, n_docs), t) for (_f, t), df in dfs.items() if df),
+        key=lambda wt: (-wt[0], wt[1]),
+    )
+    for m in (5, 12):
+        manual = eng.search(" ".join(t for _, t in weighted[:m]), limit=30)
+        mlt = eng.more_like_this(text, max_query_terms=m, limit=30)
+        assert mlt.equals(manual), m
+
+
+def test_mlt_empty_and_stopword_text(built):
+    _corpus, _root, _cfg, eng = built
+    assert eng.more_like_this("").num_rows == 0
+    assert eng.more_like_this("the and of to").num_rows == 0
