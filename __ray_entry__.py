@@ -290,6 +290,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ).sort_by("doc_id")
 
+    def search_count(sf_dir: str) -> pa.Table:
+        """Count-only query (Lucene IndexSearcher.count): boolean match
+        total, no scoring, no top-k."""
+        engine, cfg = _engine_for(sf_dir)
+        return pa.table(
+            {"n_hits": pa.array([engine.count(_OR_Q)], pa.int64())}
+        )
+
+    def search_sorted(sf_dir: str) -> pa.Table:
+        """Sort-by-field search (Lucene Sort(SortField('warc_ts', LONG,
+        reverse))): all OR-query hits ordered by recency; rank is the
+        global (warc_ts desc, doc_id asc) position."""
+        from lucene_plugin_ray.sources.pages import url_to_doc_id
+
+        engine, cfg = _engine_for(sf_dir)
+        res = engine.search_sorted(_OR_Q, limit=1_000_000_000)
+        n = res.num_rows
+        return pa.table(
+            {
+                "doc_id": url_to_doc_id(res["url"].combine_chunks()),
+                "ts_us": res["warc_ts"].combine_chunks(),
+                "rank": pa.array(range(1, n + 1), pa.int64()),
+            }
+        ).sort_by("doc_id")
+
     def term_stats_q(sf_dir: str) -> pa.Table:
         import ray.data
 
@@ -318,6 +343,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_wildcard": search_wildcard,
         "search_fuzzy": search_fuzzy,
         "search_facets": search_facets,
+        "search_count": search_count,
+        "search_sorted": search_sorted,
         "more_like_this": more_like_this_q,
         "batch_search": batch_search,
         "term_stats": term_stats_q,
@@ -474,6 +501,24 @@ ltoks AS (SELECT doc_id, term FROM lraw WHERE term <> '' AND length(term) <= 255
 SELECT lt.term AS value, count(DISTINCT lt.doc_id) AS "count"
 FROM ltoks lt JOIN m USING (doc_id)
 GROUP BY lt.term ORDER BY "count" DESC, value ASC
+"""
+
+    # count-only query: boolean OR match total (no scoring)
+    sql["search_count"] = f"""
+{_toks_cte()}
+SELECT count(DISTINCT doc_id) AS n_hits FROM toks WHERE term IN ({or_inlist})
+"""
+
+    # sort-by-field: OR match set ordered by warc_ts desc (the pages adapter
+    # synthesizes warc_ts = 1_600_000_000_000_000 µs + doc_id,
+    # sources/pages.py:27,46), doc_id-asc tiebreak
+    sql["search_sorted"] = f"""
+{_toks_cte()},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({or_inlist})),
+s AS (SELECT doc_id, CAST(1600000000000000 + doc_id AS BIGINT) AS ts_us FROM m)
+SELECT doc_id, ts_us,
+       CAST(row_number() OVER (ORDER BY ts_us DESC, doc_id ASC) AS BIGINT) AS rank
+FROM s ORDER BY doc_id
 """
 
     # MoreLikeThis: doc _MLT_DOC's terms weighted tf·idf (the engine's BM25

@@ -257,6 +257,84 @@ class SearchEngine:
             }
         )
 
+    def count(self, query: str, collection: str = "default") -> int:
+        """Total number of live documents matching the query — Lucene
+        IndexSearcher.count(Query): boolean matching only, no scores, no
+        top-k heap.  Uses the score-free :meth:`_match_segment` per segment
+        and sums (segments are doc-disjoint), so the cost is posting decode
+        with zero per-doc scoring work."""
+        coll = sanitize_collection(collection)
+        clauses = parse_query(query, default_field=self.cfg.text_column)
+        segs = self._segments.get(coll, [])
+        return sum(
+            int(self._match_segment(si, seg, clauses, {}, {}).size)
+            for si, seg in enumerate(segs)
+        )
+
+    def search_sorted(
+        self,
+        query: str,
+        collection: str = "default",
+        sort_field: str = "warc_ts",
+        limit: int | None = None,
+        descending: bool = True,
+    ) -> pa.Table:
+        """Sort-by-field search — Lucene IndexSearcher.search(q, n,
+        Sort(SortField("warc_ts", LONG, reverse))): matching is boolean
+        (Lucene reports NaN scores under field sort; we omit the column),
+        results ordered by the stored per-doc value with url-asc tiebreak
+        (total order ⇒ per-segment truncation at ``limit`` merges exactly,
+        same argument as the BM25 path).  ``warc_ts`` is the engine's one
+        stored sortable doc value (the recency sort a web index actually
+        serves); other fields raise loudly.  Returns (url, warc_ts, docid),
+        warc_ts as int64 epoch-µs."""
+        if sort_field != "warc_ts":
+            raise ValueError(
+                f"unsupported sort field {sort_field!r}: 'warc_ts' is the "
+                "only stored sortable doc value"
+            )
+        limit = limit if limit is not None else self.cfg.result_limit
+        coll = sanitize_collection(collection)
+        clauses = parse_query(query, default_field=self.cfg.text_column)
+        segs = self._segments.get(coll, [])
+        empty = pa.table(
+            {"url": pa.array([], pa.string()),
+             "warc_ts": pa.array([], pa.int64()),
+             "docid": pa.array([], pa.int64())}
+        )
+        parts = []
+        for si, seg in enumerate(segs):
+            matched = self._match_segment(si, seg, clauses, {}, {})
+            if matched.size == 0:
+                continue
+            r = seg.reader
+            ts = r.warc_ts[matched].astype(np.int64, copy=False)
+            urls = r.urls[matched]
+            order = np.lexsort((urls, -ts if descending else ts))
+            order = order[: min(limit, order.size)]
+            parts.append(
+                pa.table(
+                    {
+                        "url": pa.array(urls[order], type=pa.string()),
+                        "warc_ts": pa.array(ts[order], type=pa.int64()),
+                        "docid": pa.array(
+                            r.doc_base + matched[order], type=pa.int64()
+                        ),
+                    }
+                )
+            )
+        if not parts:
+            return empty
+        merged = pa.concat_tables(parts)
+        ts = merged["warc_ts"].to_numpy()
+        order = np.lexsort(
+            (
+                merged["url"].to_numpy(zero_copy_only=False),
+                -ts if descending else ts,
+            )
+        )[:limit]
+        return merged.take(pa.array(order))
+
     def more_like_this(
         self,
         text: str,

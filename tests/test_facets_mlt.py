@@ -182,3 +182,65 @@ def test_mlt_empty_and_stopword_text(built):
     _corpus, _root, _cfg, eng = built
     assert eng.more_like_this("").num_rows == 0
     assert eng.more_like_this("the and of to").num_rows == 0
+
+
+# ---------------------------------------------------------------------------
+# count-only and sort-by-field search
+# ---------------------------------------------------------------------------
+def test_count_matches_search(built):
+    _corpus, _root, _cfg, eng = built
+    for q in ["pagehit", "pagehit w00001 w00002", "+pagehit +lorem", "zzznope"]:
+        assert eng.count(q) == eng.search(q, limit=10**9).num_rows, q
+
+
+def test_count_after_deletes(ray_session, tmp_path):
+    from lucene_plugin_ray.pipelines.build import build_index, delete_docs
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+
+    corpus = make_pages(120, seed=23)
+    cfg = IndexConfig(index_root=str(tmp_path / "idx"), num_partitions=3)
+    build_index(corpus, cfg)
+    pre = SearchEngine(cfg.index_root, cfg=cfg).count("pagehit")
+    delete_docs(cfg, make_delete_set(corpus, every=10))
+    eng = SearchEngine(cfg.index_root, cfg=cfg)
+    post = eng.count("pagehit")
+    assert post == eng.search("pagehit", limit=10**9).num_rows <= pre
+
+
+def test_search_sorted_order_and_truncation(built):
+    corpus, _root, _cfg, eng = built
+    full = eng.search_sorted("pagehit", limit=10**9)
+    assert full.num_rows == eng.count("pagehit")
+    ts = full["warc_ts"].to_numpy()
+    urls = full["url"].to_pylist()
+    rows = list(zip([-t for t in ts], urls))
+    assert rows == sorted(rows)  # (ts desc, url asc) total order
+    # per-segment truncation merges exactly: top-k == full[:k]
+    k = max(1, full.num_rows // 2)
+    assert eng.search_sorted("pagehit", limit=k).equals(full.slice(0, k))
+    # ascending variant reverses the ts ordering
+    asc = eng.search_sorted("pagehit", limit=10**9, descending=False)
+    assert asc["warc_ts"].to_pylist() == sorted(ts.tolist())
+    with pytest.raises(ValueError):
+        eng.search_sorted("pagehit", sort_field="lang")
+
+
+def test_search_sorted_tie_breaks_by_url(ray_session, tmp_path):
+    """All docs share one warc_ts — ordering must fall to url asc."""
+    from lucene_plugin_ray.pipelines.build import build_index
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+
+    n = 40
+    pages = pa.table(
+        {
+            "url": pa.array([f"doc://{i:04d}" for i in range(n)], pa.string()),
+            "warc_ts": pa.array([1_600_000_000_000_000] * n, pa.timestamp("us")),
+            "text": pa.array([f"tiebreak filler w{i}" for i in range(n)], pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+        }
+    )
+    cfg = IndexConfig(index_root=str(tmp_path / "idx"), num_partitions=4)
+    build_index(pages, cfg)
+    eng = SearchEngine(cfg.index_root, cfg=cfg)
+    got = eng.search_sorted("tiebreak", limit=10)
+    assert got["url"].to_pylist() == [f"doc://{i:04d}" for i in range(10)]
