@@ -265,6 +265,87 @@ class LuceneFacade:
             )
         ]
 
+    def count(self, collection: str, query: str) -> int:
+        """Total matching live docs (IndexSearcher.count analogue) — the
+        boolean-match twin of :meth:`search` with no scoring work."""
+        _require(_valid_str(collection), "collection must be a non-empty string")
+        _require(_valid_str(query), "query must be a non-empty string")
+        eng = self._lease_engine()
+        return 0 if eng is None else eng.count(query, collection=collection)
+
+    def facets(
+        self, collection: str, query: str, facet_field: str
+    ) -> list[dict]:
+        """Facet counts over ALL matching docs → [{value, count}], ordered
+        (count desc, value asc).  See SearchEngine.facets."""
+        _require(_valid_str(collection), "collection must be a non-empty string")
+        _require(_valid_str(query), "query must be a non-empty string")
+        _require(_valid_str(facet_field), "facet_field must be a non-empty string")
+        eng = self._lease_engine()
+        if eng is None:
+            return []
+        t = eng.facets(query, facet_field, collection=collection)
+        return [
+            {"value": v, "count": int(c)}
+            for v, c in zip(t["value"].to_pylist(), t["count"].to_pylist())
+        ]
+
+    def more_like_this(
+        self,
+        collection: str,
+        text: str,
+        max_query_terms: int = 25,
+        limit: int | None = None,
+        exclude_id: str | None = None,
+    ) -> list[LuceneEntry]:
+        """Documents similar to ``text`` (Lucene MoreLikeThis like-text
+        form); ``exclude_id`` drops the source document.  Result shape
+        matches :meth:`search`."""
+        _require(_valid_str(collection), "collection must be a non-empty string")
+        _require(isinstance(text, str), "text must be a string")
+        eng = self._lease_engine()
+        if eng is None:
+            return []
+        t = eng.more_like_this(
+            text,
+            collection=collection,
+            max_query_terms=max_query_terms,
+            limit=limit,
+            exclude_url=exclude_id,
+        )
+        return [
+            LuceneEntry(id=int(d), score=float(s), external_id=u)
+            for d, s, u in zip(
+                t["docid"].to_pylist(), t["score"].to_pylist(), t["url"].to_pylist()
+            )
+        ]
+
+    def search_sorted(
+        self,
+        collection: str,
+        query: str,
+        limit: int | None = None,
+        descending: bool = True,
+    ) -> list[dict]:
+        """Sort-by-field search (warc_ts recency order) → [{id,
+        external_id, ts_us}]; see SearchEngine.search_sorted."""
+        _require(_valid_str(collection), "collection must be a non-empty string")
+        _require(_valid_str(query), "query must be a non-empty string")
+        eng = self._lease_engine()
+        if eng is None:
+            return []
+        t = eng.search_sorted(
+            query, collection=collection, limit=limit, descending=descending
+        )
+        return [
+            {"id": int(d), "external_id": u, "ts_us": int(ts)}
+            for d, u, ts in zip(
+                t["docid"].to_pylist(),
+                t["url"].to_pylist(),
+                t["warc_ts"].to_pylist(),
+            )
+        ]
+
     # ---- mutations ------------------------------------------------------
     def delete(self, collection: str, ext_id: str) -> bool:
         """≙ LuceneFacade.delete → tombstone generation (D2).  Pending
@@ -339,6 +420,48 @@ class AsyncLuceneFacade:
         import asyncio
 
         return await asyncio.to_thread(self._sync.search, collection, query, limit)
+
+    async def count(self, collection: str, query: str) -> int:
+        import asyncio
+
+        return await asyncio.to_thread(self._sync.count, collection, query)
+
+    async def facets(
+        self, collection: str, query: str, facet_field: str
+    ) -> list[dict]:
+        import asyncio
+
+        return await asyncio.to_thread(
+            self._sync.facets, collection, query, facet_field
+        )
+
+    async def more_like_this(
+        self,
+        collection: str,
+        text: str,
+        max_query_terms: int = 25,
+        limit: int | None = None,
+        exclude_id: str | None = None,
+    ) -> list[LuceneEntry]:
+        import asyncio
+
+        return await asyncio.to_thread(
+            self._sync.more_like_this,
+            collection, text, max_query_terms, limit, exclude_id,
+        )
+
+    async def search_sorted(
+        self,
+        collection: str,
+        query: str,
+        limit: int | None = None,
+        descending: bool = True,
+    ) -> list[dict]:
+        import asyncio
+
+        return await asyncio.to_thread(
+            self._sync.search_sorted, collection, query, limit, descending
+        )
 
     async def delete(self, collection: str, ext_id: str) -> bool:
         import asyncio

@@ -94,9 +94,9 @@ class LuceneHttpService:
                     return
                 op = url.path[len(service.base_path) + 1 :]
                 try:
-                    if verb == "GET" and op == "search":
+                    if verb == "GET" and op in service._GETS:
                         q = dict(parse_qsl(url.query, keep_blank_values=True))
-                        self._respond(200, service._search(q))
+                        self._respond(200, service._GETS[op](service, q))
                     elif verb == "POST" and op in service._POSTS:
                         self._respond(200, service._POSTS[op](service, self._form()))
                     else:
@@ -178,12 +178,75 @@ class LuceneHttpService:
             for e in entries
         ]
 
+    def _limit_of(self, q: dict) -> int | None:
+        try:
+            return int(q["limit"]) if q.get("limit") else None
+        except ValueError:
+            raise LuceneException(f"limit must be an integer: {q['limit']!r}")
+
+    def _read_your_writes(self) -> None:
+        if self.facade._pending:  # read-your-writes (see module doc)
+            self.facade.commit()
+
+    def _count(self, q: dict) -> dict:
+        with self._lock:
+            self._read_your_writes()
+            n = self.facade.count(q.get("collection", ""), q.get("query", ""))
+        return {"count": n}
+
+    def _facets(self, q: dict) -> list[dict]:
+        with self._lock:
+            self._read_your_writes()
+            return self.facade.facets(
+                q.get("collection", ""), q.get("query", ""), q.get("field", "")
+            )
+
+    def _search_sorted(self, q: dict) -> list[dict]:
+        limit = self._limit_of(q)
+        with self._lock:
+            self._read_your_writes()
+            return self.facade.search_sorted(
+                q.get("collection", ""),
+                q.get("query", ""),
+                limit=limit,
+                descending=q.get("order", "desc") != "asc",
+            )
+
+    def _more_like_this(self, q: dict) -> list[dict]:
+        limit = self._limit_of(q)
+        try:
+            m = int(q.get("max_query_terms") or 25)
+        except ValueError:
+            raise LuceneException(
+                f"max_query_terms must be an integer: {q['max_query_terms']!r}"
+            )
+        with self._lock:
+            self._read_your_writes()
+            entries = self.facade.more_like_this(
+                q.get("collection", ""),
+                q.get("text", ""),
+                max_query_terms=m,
+                limit=limit,
+                exclude_id=q.get("exclude_id") or None,
+            )
+        return [
+            {"_id": e.id, "_score": e.score, "_externalId": e.external_id}
+            for e in entries
+        ]
+
     _POSTS = {
         "index-text": _index_text,
         "index-map": _index_map,
         "index-file": _index_file,
         "delete": _delete,
         "clear": _clear,
+    }
+    _GETS = {
+        "search": _search,
+        "count": _count,
+        "facets": _facets,
+        "search-sorted": _search_sorted,
+        "more-like-this": _more_like_this,
     }
 
     # ---- lifecycle -------------------------------------------------------
@@ -250,6 +313,45 @@ class LuceneHttpClient:
         )
         with urllib.request.urlopen(f"{self.url}/search?{qs}") as resp:
             results = json.loads(resp.read().decode())
+        return [r["_externalId"] for r in results]
+
+    def _get(self, op: str, params: dict):
+        import urllib.parse
+        import urllib.request
+
+        qs = urllib.parse.urlencode(params)
+        with urllib.request.urlopen(f"{self.url}/{op}?{qs}") as resp:
+            return json.loads(resp.read().decode())
+
+    def count(self, collection: str, query: str) -> int:
+        return self._get("count", {"collection": collection, "query": query})[
+            "count"
+        ]
+
+    def facets(self, collection: str, query: str, field: str) -> list[dict]:
+        return self._get(
+            "facets", {"collection": collection, "query": query, "field": field}
+        )
+
+    def search_sorted(
+        self, collection: str, query: str, limit: int = 255, order: str = "desc"
+    ) -> list[dict]:
+        return self._get(
+            "search-sorted",
+            {"collection": collection, "query": query, "limit": limit,
+             "order": order},
+        )
+
+    def more_like_this(
+        self, collection: str, text: str, max_query_terms: int = 25,
+        limit: int = 255, exclude_id: str = "",
+    ) -> list[str]:
+        results = self._get(
+            "more-like-this",
+            {"collection": collection, "text": text,
+             "max_query_terms": max_query_terms, "limit": limit,
+             "exclude_id": exclude_id},
+        )
         return [r["_externalId"] for r in results]
 
     def delete(self, collection: str, ext_id: str):

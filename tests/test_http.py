@@ -123,3 +123,51 @@ def test_http_file_root_confinement(ray_session, tmp_path):
         assert c.search("f", "llama") == []
     finally:
         service.shutdown()
+
+
+def test_http_count_facets_sorted_mlt(ray_session, tmp_path):
+    """The round-3 read extensions over the wire: count, facets,
+    search-sorted (recency order), more-like-this — all with
+    read-your-writes (a pending buffered doc is committed before the
+    read)."""
+    service = LuceneHttpService(
+        IndexConfig(
+            index_root=str(tmp_path / "idx3"),
+            num_partitions=2,
+            field_columns=("tag",),
+        ),
+        soft_commit_max_docs=100,
+    ).start()
+    try:
+        c = LuceneHttpClient(service.url)
+        c.index_map("col", "a", {"text": "shared words here", "tag": "red"})
+        c.index_map("col", "b", {"text": "shared words there", "tag": "red"})
+        c.index_map("col", "d", {"text": "shared something else", "tag": "blue"})
+        c.index_map("col", "e", {"text": "unrelated entirely", "tag": "blue"})
+
+        assert c.count("col", "shared") == 3  # read-your-writes commit
+        assert c.facets("col", "shared", "tag") == [
+            {"value": "red", "count": 2},
+            {"value": "blue", "count": 1},
+        ]
+
+        rows = c.search_sorted("col", "shared")
+        # facade warc_ts is the ingest sequence: recency = reverse insert
+        assert [r["external_id"] for r in rows] == ["d", "b", "a"]
+        asc = c.search_sorted("col", "shared", order="asc")
+        assert [r["external_id"] for r in asc] == ["a", "b", "d"]
+
+        like = c.more_like_this("col", "shared words", exclude_id="a")
+        assert like and "a" not in like and like[0] in ("b", "d")
+
+        # malformed input is a 400, not a 500
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            c.search_sorted("col", "shared", limit="nope")
+        assert ei.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            c.count("col", "")
+        assert ei.value.code == 400
+    finally:
+        service.shutdown()
