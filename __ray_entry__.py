@@ -132,6 +132,10 @@ _AND_Q = "+spark +merge"
 _FIELD_Q = "lang:de"
 _RANGE_LO, _RANGE_HI = "src1", "src3"
 _MLT_DOC = 7  # more_like_this probe document
+# dataset_mix driver config: src0's raw quota (42) exceeds its count so the
+# LEAST(count, ·) cap binds; the others bind on the weight share
+_MIX_WEIGHTS = {"src0": 8.0, "src1": 4.0, "src2": 2.0, "src3": 1.0}
+_MIX_TOTAL = 80
 # extended grammar (Q8-Q10): adjacent in the seeded corpus / typo of 'spark'
 _PHRASE_Q = '"spark merge"'
 _PREFIX_Q = "s*"          # expands to 6 vocabulary terms
@@ -406,6 +410,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hll": relational.distinct_users_hll,
         "heavy_hitters": lambda sf: training.heavy_hitters(sf, k=28),
         "decontaminate_bloom": training.decontaminate_bloom,
+        "dataset_mix": lambda sf: training.dataset_mix(
+            sf, weights=_MIX_WEIGHTS, total=_MIX_TOTAL
+        ),
     }
 
 
@@ -501,6 +508,25 @@ ltoks AS (SELECT doc_id, term FROM lraw WHERE term <> '' AND length(term) <= 255
 SELECT lt.term AS value, count(DISTINCT lt.doc_id) AS "count"
 FROM ltoks lt JOIN m USING (doc_id)
 GROUP BY lt.term ORDER BY "count" DESC, value ASC
+"""
+
+    # dataset mixing: quotas from exact per-source counts (LEAST caps at the
+    # count), selection = per-source smallest (sha256(text), doc_id)
+    mix_values = ", ".join(f"('{s}', {w})" for s, w in _MIX_WEIGHTS.items())
+    sql["dataset_mix"] = f"""
+WITH w(source, w) AS (VALUES {mix_values}),
+tot AS (SELECT sum(w) AS sw FROM w),
+counts AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+quota AS (SELECT c.source, LEAST(c.c, CAST(floor({_MIX_TOTAL} * w.w / t.sw) AS BIGINT)) AS q
+          FROM counts c JOIN w USING (source) CROSS JOIN tot t),
+ranked AS (SELECT doc_id, source, sha256(coalesce(text, '')) AS content_sha,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY sha256(coalesce(text, '')), doc_id) AS rn
+           FROM documents)
+SELECT r.doc_id AS doc_id, r.source AS source, r.content_sha AS content_sha
+FROM ranked r JOIN quota qt ON qt.source = r.source
+WHERE r.rn <= qt.q
+ORDER BY doc_id
 """
 
     # count-only query: boolean OR match total (no scoring)

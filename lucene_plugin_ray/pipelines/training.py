@@ -4743,3 +4743,118 @@ def heavy_hitters(sf_dir: str, k: int = 64) -> pa.Table:
         }
     )
     return out.sort_by("term")
+
+
+# ---------------------------------------------------------------------------
+# dataset mixing: per-source mixture-weight sampling
+# ---------------------------------------------------------------------------
+def dataset_mix(
+    sf_dir: str,
+    weights: dict[str, float],
+    total: int,
+    output_path: str | None = None,
+) -> pa.Table | None:
+    """Deterministic mixture sampling — the data-MIXING pass of a training
+    pipeline (choose ~``total`` docs with per-source proportions ``weights``),
+    the weighted generalization of :func:`source_sample`'s flat domain cap.
+
+    Quotas are exact and batching-independent:
+    ``quota_s = min(count_s, floor(total · w_s / Σw))`` with count_s the
+    exact per-source doc count (one column-pruned counting pass whose
+    per-batch partials fold to |sources| rows on the driver).  Within a
+    source the kept docs are the quota_s smallest ``(sha256(text), doc_id)``
+    — the same renumbering-stable pseudo-random draw as source_sample, so
+    the mix reproduces exactly on any cluster shape / block split.  Sources
+    absent from ``weights`` are dropped (weight 0).
+
+    Distributed shape (shared with source_sample): map-side per-batch
+    top-quota_s combiner → ONE source-keyed ``groupby.map_groups`` re-rank
+    of candidates.  The exchange moves (doc_id, source, sha) triples —
+    ~100 B/row — bounded by Σ quota_s × batches, never document text; when
+    quotas approach corpus size the sample IS corpus-sized and no plan
+    moves less.
+
+    Output: (doc_id, source, content_sha), sorted by doc_id."""
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be a non-empty {source: positive} map")
+    if int(total) <= 0:
+        raise ValueError("total must be positive")
+    sw = float(sum(weights.values()))
+
+    # pass 1: exact per-source counts (source column only leaves storage)
+    def _counts(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch["source"].combine_chunks())
+        return pa.table(
+            {
+                "source": vc.field("values").cast(pa.string()),
+                "c": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    counts: dict[str, int] = {}
+    for b in (
+        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["source"])
+        .map_batches(_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for s, c in zip(b["source"].to_pylist(), b["c"].to_pylist()):
+            counts[s] = counts.get(s, 0) + c
+    quota = {
+        s: min(counts.get(s, 0), int(int(total) * w // sw))
+        for s, w in weights.items()
+    }
+    quota = {s: q for s, q in quota.items() if q > 0}
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+
+    def _keep_quota(
+        src_codes: np.ndarray, code_quota: np.ndarray,
+        sha: np.ndarray, ids: np.ndarray,
+    ) -> np.ndarray:
+        """Row indices of the ≤quota(code) smallest (sha, id) per code."""
+        order = np.lexsort((ids, sha, src_codes))
+        grouped = src_codes[order]
+        return order[_run_ranks(grouped) < code_quota[grouped]]
+
+    def _candidates(batch: pa.Table) -> pa.Table:
+        src = batch["source"].combine_chunks()
+        enc = src.dictionary_encode()
+        dict_vals = enc.dictionary.to_pylist()
+        code_quota = np.array([quota.get(v, 0) for v in dict_vals], np.int64)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        sha = sha256_column(
+            pc.coalesce(pc.cast(batch["text"].combine_chunks(), pa.string()), "")
+        )
+        keep = _keep_quota(
+            codes, code_quota,
+            sha.to_numpy(zero_copy_only=False).astype("U64"),
+            batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False),
+        )
+        idx = pa.array(np.sort(keep), type=pa.int64())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].combine_chunks().take(idx),
+                "source": src.take(idx),
+                "content_sha": sha.take(idx),
+            }
+        )
+
+    def _final(group: pa.Table) -> pa.Table:
+        q = quota.get(group["source"][0].as_py(), 0) if group.num_rows else 0
+        keep = _keep_quota(
+            np.zeros(group.num_rows, np.int64),
+            np.array([q], np.int64),
+            group["content_sha"].to_numpy(zero_copy_only=False).astype("U64"),
+            group["doc_id"].to_numpy(zero_copy_only=False),
+        )
+        idx = pa.array(np.sort(keep), type=pa.int64())
+        return group.take(idx)
+
+    out = (
+        ds.map_batches(_candidates, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .map_groups(_final, batch_format="pyarrow")
+    )
+    return _sink_or_table(out, output_path, "doc_id")

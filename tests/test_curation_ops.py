@@ -2,6 +2,7 @@
 tables (which contain no URLs/emails and no eval overlap by construction)."""
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -470,3 +471,102 @@ def test_heavy_hitters_empty_and_uniform(ray_session, tmp_path):
     got = training.heavy_hitters(str(d), k=4)
     assert got.num_rows == 0
     assert got.column_names == ["term", "cnt", "n_total"]
+
+
+# ---------------------------------------------------------------------------
+# dataset_mix (per-source mixture-weight sampling)
+# ---------------------------------------------------------------------------
+def _mix_corpus(tmp_path, split: int | None = None):
+    """120 docs over 4 sources (40/40/30/10); optionally split into two
+    parquet files to prove batching-independence."""
+    import hashlib
+
+    rows = []
+    src_sizes = [("a", 40), ("b", 40), ("c", 30), ("d", 10)]
+    i = 0
+    for s, n in src_sizes:
+        for j in range(n):
+            rows.append((i, s, f"document {s} number {j} content {i}"))
+            i += 1
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "source": pa.array([r[1] for r in rows], pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    d = tmp_path / "mix"
+    d.mkdir(parents=True, exist_ok=True)
+    if split:
+        pq.write_table(t.slice(0, split), d / "documents.parquet")
+        # same table as one file vs a two-file directory isn't possible for
+        # a single path op; instead reuse row-group splitting
+        pq.write_table(t, d / "documents.parquet", row_group_size=split)
+    else:
+        pq.write_table(t, d / "documents.parquet")
+
+    def py_oracle(weights, total):
+        sw = sum(weights.values())
+        by_src: dict = {}
+        for doc_id, s, text in rows:
+            by_src.setdefault(s, []).append(
+                (hashlib.sha256(text.encode()).hexdigest(), doc_id, s)
+            )
+        keep = []
+        for s, w in weights.items():
+            docs = sorted(by_src.get(s, []))
+            q = min(len(docs), int(total * w // sw))
+            keep.extend(docs[:q])
+        return sorted((d_, s_, h) for h, d_, s_ in keep)
+
+    return str(d), py_oracle
+
+
+def test_dataset_mix_matches_python_oracle(ray_session, tmp_path):
+    d, py_oracle = _mix_corpus(tmp_path)
+    weights = {"a": 3.0, "c": 2.0, "d": 5.0}  # b dropped (weight 0)
+    got = training.dataset_mix(d, weights=weights, total=50)
+    want = py_oracle(weights, 50)
+    assert (
+        list(zip(got["doc_id"].to_pylist(), got["source"].to_pylist(),
+                 got["content_sha"].to_pylist())) == want
+    )
+    # d's raw share (25) exceeds its count (10): the count cap bound
+    per_src = dict(zip(*np.unique(got["source"].to_pylist(), return_counts=True)))
+    assert per_src["d"] == 10 and "b" not in per_src
+    assert per_src["a"] == int(50 * 3.0 // 10.0) and per_src["c"] == int(50 * 2.0 // 10.0)
+
+
+def test_dataset_mix_batching_independent(ray_session, tmp_path):
+    d1, _ = _mix_corpus(tmp_path / "one")
+    d2, _ = _mix_corpus(tmp_path / "two", split=17)  # many small row groups
+    weights = {"a": 1.0, "b": 1.0, "c": 1.0, "d": 1.0}
+    g1 = training.dataset_mix(d1, weights=weights, total=60)
+    g2 = training.dataset_mix(d2, weights=weights, total=60)
+    assert g1.equals(g2)
+
+
+def test_dataset_mix_validation(ray_session, tmp_path):
+    d, _ = _mix_corpus(tmp_path)
+    with pytest.raises(ValueError):
+        training.dataset_mix(d, weights={}, total=10)
+    with pytest.raises(ValueError):
+        training.dataset_mix(d, weights={"a": -1.0}, total=10)
+    with pytest.raises(ValueError):
+        training.dataset_mix(d, weights={"a": 1.0}, total=0)
+
+
+def test_dataset_mix_streaming_sink(ray_session, tmp_path):
+    d, _ = _mix_corpus(tmp_path)
+    out = tmp_path / "mix_out"
+    got = training.dataset_mix(d, weights={"a": 1.0, "b": 2.0}, total=30)
+    assert (
+        training.dataset_mix(
+            d, weights={"a": 1.0, "b": 2.0}, total=30, output_path=str(out)
+        )
+        is None
+    )
+    import pyarrow.dataset as pads
+
+    written = pads.dataset(str(out)).to_table().sort_by("doc_id")
+    assert written.select(got.column_names).equals(got)
