@@ -320,6 +320,20 @@ class LuceneFacade:
             )
         ]
 
+    def explain(self, collection: str, query: str, ext_id: str) -> dict:
+        """Per-clause score breakdown for one (query, doc) —
+        IndexSearcher.explain analogue; see SearchEngine.explain."""
+        _require(_valid_str(collection), "collection must be a non-empty string")
+        _require(_valid_str(query), "query must be a non-empty string")
+        _require(_valid_str(ext_id), "id must be a non-empty string")
+        eng = self._lease_engine()
+        if eng is None:
+            raise LuceneException(f"no index yet: nothing matches {ext_id!r}")
+        try:
+            return eng.explain(query, ext_id, collection=collection)
+        except KeyError as e:
+            raise LuceneException(str(e)) from e
+
     def search_sorted(
         self,
         collection: str,

@@ -396,6 +396,140 @@ class SearchEngine:
             ).slice(0, limit)
         return res
 
+    def explain(
+        self, query: str, url: str, collection: str = "default"
+    ) -> dict:
+        """Score breakdown for one (query, document) pair — Lucene
+        IndexSearcher.explain(Query, doc): per-clause df / tf / idf /
+        contribution using exactly the scoring path's arithmetic, so
+        ``sum(clause weights) == search() score`` bit-for-bit when the doc
+        matches.  ``matched`` is False when the doc fails a MUST clause (or
+        hits nothing); the per-clause rows still show what each clause saw.
+        Raises KeyError for a url not live in the collection."""
+        coll = sanitize_collection(collection)
+        clauses = parse_query(query, default_field=self.cfg.text_column)
+        segs = self._segments.get(coll, [])
+        hit = None
+        for si, seg in enumerate(segs):
+            r = seg.reader
+            i = int(np.searchsorted(r.urls, url))
+            if i < r.n_docs and r.urls[i] == url and (
+                seg.all_alive or seg.alive[i]
+            ):
+                hit = (si, seg, i)
+                break
+        if hit is None:
+            raise KeyError(f"url {url!r} not live in collection {collection!r}")
+        si, seg, local_doc = hit
+        r = seg.reader
+        n_docs, avgdl = self._stats(coll)
+        k1, b = self.cfg.k1, self.cfg.b
+
+        # global df, same walk as _execute phase 1
+        global_df: dict[tuple[str, str], int] = {}
+        for field, term in scored_term_keys(clauses):
+            if (field, term) in global_df:
+                continue
+            df = 0
+            for sj, sg in enumerate(segs):
+                row = sg.reader.lookup(field, term)
+                if row < 0:
+                    continue
+                if sg.all_alive:
+                    df += sg.reader.df(row)
+                else:
+                    df += len(self._decoded(sj, sg, field, term, row)[0])
+            global_df[(field, term)] = df
+
+        def _tf_of(local: np.ndarray, tfs: np.ndarray) -> int:
+            j = int(np.searchsorted(local, local_doc))
+            return int(tfs[j]) if j < local.size and local[j] == local_doc else 0
+
+        def _bm25(w: float, tf: int, field: str) -> float:
+            if tf == 0 or w == 0.0:
+                return 0.0
+            dl = float(r.doc_len[field][local_doc])
+            return float(
+                w * (tf * (k1 + 1.0))
+                / (tf + k1 * (1.0 - b + b * dl / avgdl.get(field, 1.0)))
+            )
+
+        rows: list[dict] = []
+        must_ok = True
+        score = 0.0
+        for c in clauses:
+            if isinstance(c, TermClause):
+                df = global_df[(c.field, c.term)]
+                got = (
+                    self._term_postings(si, seg, c, {}, {})
+                    if df and r.doc_len.get(c.field) is not None
+                    else None
+                )
+                tf = _tf_of(*got) if got is not None else 0
+                w = idf(df, n_docs) if df else 0.0
+                weight = _bm25(w, tf, c.field)
+                rows.append(
+                    {"kind": "term", "occur": c.occur, "field": c.field,
+                     "detail": c.term, "df": df, "tf": tf,
+                     "idf": w, "weight": weight}
+                )
+                matched = tf > 0
+            elif isinstance(c, PhraseClause):
+                got = (
+                    self._phrase_postings(seg, c)
+                    if r.doc_len.get(c.field) is not None
+                    else None
+                )
+                pf = _tf_of(got[0], got[1]) if got is not None else 0
+                w = sum(
+                    idf(global_df.get((c.field, t), 0), n_docs)
+                    for t in c.terms
+                    if global_df.get((c.field, t), 0) > 0
+                )
+                weight = _bm25(w, pf, c.field)
+                rows.append(
+                    {"kind": "phrase", "occur": c.occur, "field": c.field,
+                     "detail": " ".join(c.terms), "df": None, "tf": pf,
+                     "idf": w, "weight": weight}
+                )
+                matched = pf > 0
+            else:
+                if isinstance(c, RangeClause):
+                    erows = r.term_range(c.field, c.lo, c.hi)
+                    kind, detail = "range", f"[{c.lo} TO {c.hi}]"
+                else:
+                    assert isinstance(c, MultiTermClause)
+                    erows = self._expand_rows(seg, c)
+                    kind, detail = c.kind, c.pattern
+                matched = False
+                for row in erows:
+                    docids, _ = r.postings(int(row))
+                    local = r.local_ids(docids)
+                    j = int(np.searchsorted(local, local_doc))
+                    if j < local.size and local[j] == local_doc:
+                        matched = True
+                        break
+                weight = 1.0 if matched else 0.0
+                rows.append(
+                    {"kind": kind, "occur": c.occur, "field": c.field,
+                     "detail": detail, "df": None, "tf": int(matched),
+                     "idf": None, "weight": weight}
+                )
+            score += weight
+            if c.occur == MUST and not matched:
+                must_ok = False
+        has_must = any(c.occur == MUST for c in clauses)
+        overall = must_ok if has_must else score > 0.0
+        return {
+            "url": url,
+            "docid": int(r.doc_base + local_doc),
+            "collection": collection,
+            "matched": bool(overall),
+            "score": score if overall else 0.0,
+            "n_docs": int(n_docs),
+            "clauses": rows,
+        }
+
     def _match_segment(
         self, si: int, seg: _LiveSegment, clauses: list[Clause],
         cache: dict, rows: dict,

@@ -244,3 +244,57 @@ def test_search_sorted_tie_breaks_by_url(ray_session, tmp_path):
     eng = SearchEngine(cfg.index_root, cfg=cfg)
     got = eng.search_sorted("tiebreak", limit=10)
     assert got["url"].to_pylist() == [f"doc://{i:04d}" for i in range(10)]
+
+
+# ---------------------------------------------------------------------------
+# explain (per-clause score breakdown)
+# ---------------------------------------------------------------------------
+def test_explain_sums_to_search_score_exactly(built):
+    """For every hit of every query shape, sum(clause weights) equals the
+    search() score bit-for-bit (the breakdown uses the scoring path's own
+    arithmetic order)."""
+    _corpus, _root, _cfg, eng = built
+    for q in [
+        "pagehit",
+        "pagehit w00001 w00002",
+        "+pagehit +lorem",
+        "+w00000 +w00001",  # Zipf-head words: the MUST path always hits
+        "lang:en",
+        "pagehi*",
+        "pagehot~1",
+    ]:
+        res = eng.search(q, limit=5)
+        if res.num_rows == 0:
+            continue  # e.g. the AND pair may not co-occur in this fixture
+        for url, score in zip(res["url"].to_pylist(), res["score"].to_pylist()):
+            ex = eng.explain(q, url)
+            assert ex["matched"] is True
+            assert ex["score"] == score, (q, url)
+            assert sum(c["weight"] for c in ex["clauses"]) == score
+
+
+def test_explain_non_matching_and_must_failure(built):
+    corpus, _root, _cfg, eng = built
+    # a doc that matches 'pagehit' but (almost surely) not some rare term:
+    hit_url = eng.search("pagehit", limit=1)["url"][0].as_py()
+    ex = eng.explain("+pagehit +zzznope", hit_url)
+    assert ex["matched"] is False and ex["score"] == 0.0
+    kinds = [(c["kind"], c["tf"]) for c in ex["clauses"]]
+    assert kinds[0][1] > 0 and kinds[1][1] == 0  # first MUST hit, second missed
+    # non-matching OR: matched False
+    ex2 = eng.explain("zzznope", hit_url)
+    assert ex2["matched"] is False and ex2["score"] == 0.0
+    with pytest.raises(KeyError):
+        eng.explain("pagehit", "https://no-such-doc.example/")
+
+
+def test_explain_phrase_clause(built):
+    _corpus, _root, _cfg, eng = built
+    res = eng.search('"pagehit marker"', limit=3)
+    if res.num_rows == 0:
+        pytest.skip("fixture lacks the adjacent pair")
+    url, score = res["url"][0].as_py(), res["score"][0].as_py()
+    ex = eng.explain('"pagehit marker"', url)
+    assert ex["score"] == score
+    (cl,) = ex["clauses"]
+    assert cl["kind"] == "phrase" and cl["tf"] >= 1 and cl["idf"] > 0
