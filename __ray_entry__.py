@@ -319,6 +319,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ).sort_by("doc_id")
 
+    def spell_suggest(sf_dir: str) -> pa.Table:
+        """DirectSpellChecker analogue: live-vocab candidates within
+        DL<=2 of the typo 'spakr', ranked (distance, df desc, term)."""
+        engine, cfg = _engine_for(sf_dir)
+        return engine.suggest("spakr", max_edits=2, k=5)
+
+    def date_histogram(sf_dir: str) -> pa.Table:
+        """Time-bucketed hit counts over the OR query's match set
+        (date_histogram aggregation; warc_ts = epoch + doc_id µs)."""
+        engine, cfg = _engine_for(sf_dir)
+        return engine.date_histogram(_OR_Q, interval_us=100)
+
     def term_stats_q(sf_dir: str) -> pa.Table:
         import ray.data
 
@@ -349,6 +361,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_facets": search_facets,
         "search_count": search_count,
         "search_sorted": search_sorted,
+        "spell_suggest": spell_suggest,
+        "date_histogram": date_histogram,
         "more_like_this": more_like_this_q,
         "batch_search": batch_search,
         "term_stats": term_stats_q,
@@ -545,6 +559,27 @@ s AS (SELECT doc_id, CAST(1600000000000000 + doc_id AS BIGINT) AS ts_us FROM m)
 SELECT doc_id, ts_us,
        CAST(row_number() OVER (ORDER BY ts_us DESC, doc_id ASC) AS BIGINT) AS rank
 FROM s ORDER BY doc_id
+"""
+
+    # spell suggestion: vocab terms within DL<=2 of the probe, df-ranked
+    sql["spell_suggest"] = f"""
+{_toks_cte()},
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+SELECT term,
+       CAST(damerau_levenshtein(term, 'spakr') AS BIGINT) AS distance,
+       CAST(df AS BIGINT) AS df
+FROM dfs WHERE damerau_levenshtein(term, 'spakr') <= 2
+ORDER BY distance ASC, df DESC, term ASC LIMIT 5
+"""
+
+    # date histogram over the OR match set (warc_ts = epoch + doc_id µs)
+    sql["date_histogram"] = f"""
+{_toks_cte()},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({or_inlist})),
+b AS (SELECT CAST((1600000000000000 + doc_id) // 100 * 100 AS BIGINT)
+      AS bucket_start_us FROM m)
+SELECT bucket_start_us, count(*) AS "count"
+FROM b GROUP BY bucket_start_us ORDER BY bucket_start_us
 """
 
     # MoreLikeThis: doc _MLT_DOC's terms weighted tf·idf (the engine's BM25

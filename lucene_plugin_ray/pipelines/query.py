@@ -396,6 +396,100 @@ class SearchEngine:
             ).slice(0, limit)
         return res
 
+    def suggest(
+        self,
+        term: str,
+        collection: str = "default",
+        field: str | None = None,
+        max_edits: int = 2,
+        k: int = 5,
+    ) -> pa.Table:
+        """Spell-correction candidates — Lucene DirectSpellChecker
+        analogue: live-vocabulary terms within Damerau-Levenshtein
+        ``max_edits`` of ``term``, ranked (distance asc, df desc, term asc),
+        top ``k``.  df is alive-masked and summed across segments exactly
+        like the search path, so suggestions track deletes/upserts.  The
+        probe itself appears at distance 0 when indexed — callers usually
+        skip suggesting in that case.  Cost is vocabulary-bound per segment
+        (the same banded OSA screen fuzzy queries use), never corpus-bound.
+        Returns (term, distance, df)."""
+        from lucene_plugin_ray.functions.fuzzy import fuzzy_match_mask
+
+        if k <= 0:
+            raise ValueError("k must be positive")
+        probe = term.lower()
+        coll = sanitize_collection(collection)
+        field = field or self.cfg.text_column
+        segs = self._segments.get(coll, [])
+        dfs: dict[str, int] = {}
+        dists: dict[str, int] = {}
+        for si, seg in enumerate(segs):
+            r = seg.reader
+            start, vocab = r.field_vocab(field)
+            if len(vocab) == 0:
+                continue
+            mask = fuzzy_match_mask(probe, vocab, max(1, min(2, max_edits)))
+            if max_edits >= 1:
+                m1 = fuzzy_match_mask(probe, vocab, 1)
+            for j in np.flatnonzero(mask):
+                t = str(vocab[j])
+                if t not in dists:
+                    dists[t] = (
+                        0 if t == probe else (1 if m1[j] else 2)
+                    )
+                if seg.all_alive:
+                    df = r.df(int(start + j))
+                else:
+                    df = len(self._decoded(si, seg, field, t, int(start + j))[0])
+                if df:
+                    dfs[t] = dfs.get(t, 0) + df
+        items = sorted(
+            ((t, dists[t], df) for t, df in dfs.items()),
+            key=lambda x: (x[1], -x[2], x[0]),
+        )[:k]
+        return pa.table(
+            {
+                "term": pa.array([t for t, _, _ in items], pa.string()),
+                "distance": pa.array([d for _, d, _ in items], pa.int64()),
+                "df": pa.array([f for _, _, f in items], pa.int64()),
+            }
+        )
+
+    def date_histogram(
+        self,
+        query: str,
+        collection: str = "default",
+        interval_us: int = 3_600_000_000,
+    ) -> pa.Table:
+        """Time-bucketed hit counts over ALL matching docs (the
+        date_histogram aggregation of search UIs): bucket =
+        floor(warc_ts / interval) · interval, counts summed across
+        doc-disjoint segments.  Matching reuses the score-free
+        :meth:`_match_segment`; bucketing is one integer divide + bincount
+        per segment.  Returns (bucket_start_us, count) sorted by bucket."""
+        if interval_us <= 0:
+            raise ValueError("interval_us must be positive")
+        coll = sanitize_collection(collection)
+        clauses = parse_query(query, default_field=self.cfg.text_column)
+        segs = self._segments.get(coll, [])
+        counts: dict[int, int] = {}
+        for si, seg in enumerate(segs):
+            matched = self._match_segment(si, seg, clauses, {}, {})
+            if matched.size == 0:
+                continue
+            ts = seg.reader.warc_ts[matched].astype(np.int64, copy=False)
+            buckets = ts // interval_us * interval_us
+            u, c = np.unique(buckets, return_counts=True)
+            for b, n in zip(u.tolist(), c.tolist()):
+                counts[int(b)] = counts.get(int(b), 0) + int(n)
+        items = sorted(counts.items())
+        return pa.table(
+            {
+                "bucket_start_us": pa.array([b for b, _ in items], pa.int64()),
+                "count": pa.array([n for _, n in items], pa.int64()),
+            }
+        )
+
     def explain(
         self, query: str, url: str, collection: str = "default"
     ) -> dict:

@@ -298,3 +298,64 @@ def test_explain_phrase_clause(built):
     assert ex["score"] == score
     (cl,) = ex["clauses"]
     assert cl["kind"] == "phrase" and cl["tf"] >= 1 and cl["idf"] > 0
+
+
+# ---------------------------------------------------------------------------
+# suggest (spell correction) and date_histogram
+# ---------------------------------------------------------------------------
+def test_suggest_ranking_and_liveness(ray_session, tmp_path):
+    """Candidates ranked (distance asc, df desc, term asc); df tracks the
+    LIVE corpus after deletes."""
+    from lucene_plugin_ray.pipelines.build import build_index, delete_docs
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+
+    texts = (
+        ["spark engine"] * 6 + ["spork utensil"] * 3 + ["stark contrast"] * 3
+        + ["spars rigging"] * 2 + ["unrelated filler"] * 4
+    )
+    n = len(texts)
+    pages = pa.table(
+        {
+            "url": pa.array([f"doc://{i:04d}" for i in range(n)], pa.string()),
+            "warc_ts": pa.array([1_600_000_000_000_000 + i] * 1 if False else
+                                [1_600_000_000_000_000 + i for i in range(n)],
+                                pa.timestamp("us")),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+        }
+    )
+    cfg = IndexConfig(index_root=str(tmp_path / "idx"), num_partitions=3)
+    build_index(pages, cfg)
+    eng = SearchEngine(cfg.index_root, cfg=cfg)
+    got = eng.suggest("spakr", max_edits=2, k=10)
+    rows = list(zip(got["term"].to_pylist(), got["distance"].to_pylist(),
+                    got["df"].to_pylist()))
+    # DL('spakr','spark')=1 (transposition); spars/spork/stark are 2
+    assert rows[0] == ("spark", 1, 6)
+    assert [r[0] for r in rows[1:]] == ["spork", "stark", "spars"]
+    assert [r[1] for r in rows[1:]] == [2, 2, 2]
+    assert [r[2] for r in rows[1:]] == [3, 3, 2]  # df desc within distance
+    # probe present in the index → distance 0 first
+    assert eng.suggest("spark")["distance"][0].as_py() == 0
+    # deletes change df
+    delete_docs(cfg, pa.table({
+        "collection": pa.array(["default"] * 4, pa.string()),
+        "url": pa.array([f"doc://{i:04d}" for i in range(4)], pa.string()),
+    }))
+    eng2 = SearchEngine(cfg.index_root, cfg=cfg)
+    got2 = eng2.suggest("spakr", max_edits=2, k=10)
+    assert got2["term"][0].as_py() == "spark" and got2["df"][0].as_py() == 2
+    with pytest.raises(ValueError):
+        eng.suggest("spakr", k=0)
+
+
+def test_date_histogram_counts(built):
+    _corpus, _root, _cfg, eng = built
+    h = eng.date_histogram("pagehit", interval_us=60_000_000)
+    assert sum(h["count"].to_pylist()) == eng.count("pagehit")
+    starts = h["bucket_start_us"].to_pylist()
+    assert starts == sorted(starts)
+    assert all(s % 60_000_000 == 0 for s in starts)
+    assert eng.date_histogram("zzznope").num_rows == 0
+    with pytest.raises(ValueError):
+        eng.date_histogram("pagehit", interval_us=0)
