@@ -7,6 +7,9 @@
     python -m lucene_plugin_ray delete  --index /tmp/idx --collection default --urls u1,u2
     python -m lucene_plugin_ray clear   --index /tmp/idx --collection foo
     python -m lucene_plugin_ray serve   --index /tmp/idx [--host 127.0.0.1] [--port 8080]
+    python -m lucene_plugin_ray count   --index /tmp/idx --query "mary lamb"
+    python -m lucene_plugin_ray facets  --index /tmp/idx --query "mary" --field lang
+    python -m lucene_plugin_ray suggest --index /tmp/idx --term mray [--k 5]
 
 On a cluster: `ray job submit -- python -m lucene_plugin_ray build ...`
 (the script only calls ray.init when no session exists).
@@ -67,6 +70,19 @@ def main(argv: list[str] | None = None) -> int:
         if name == "delete":
             s.add_argument("--collection", default="default")
             s.add_argument("--urls", required=True, help="comma-separated urls")
+    for name in ("count", "facets", "suggest"):
+        s = sub.add_parser(name)
+        s.add_argument("--index", required=True)
+        s.add_argument("--collection", default="default")
+        s.add_argument("--partitions", type=int, default=32)
+        s.add_argument("--fields", default="")
+        if name == "suggest":
+            s.add_argument("--term", required=True)
+            s.add_argument("--k", type=int, default=5)
+        else:
+            s.add_argument("--query", required=True)
+        if name == "facets":
+            s.add_argument("--field", required=True)
     s = sub.add_parser("serve")
     s.add_argument("--index", required=True)
     s.add_argument("--partitions", type=int, default=32)
@@ -118,6 +134,27 @@ def main(argv: list[str] | None = None) -> int:
         m = delete_docs(cfg, pa.table({"collection": [args.collection] * len(urls),
                                        "url": urls}))
         print(json.dumps({"generation": m.generation, "deleted": len(urls)}))
+    elif args.cmd == "count":
+        from lucene_plugin_ray.pipelines.query import SearchEngine
+
+        eng = SearchEngine(args.index, cfg=cfg)
+        print(json.dumps(
+            {"count": eng.count(args.query, collection=args.collection)}
+        ))
+    elif args.cmd == "facets":
+        from lucene_plugin_ray.pipelines.query import SearchEngine
+
+        eng = SearchEngine(args.index, cfg=cfg)
+        t = eng.facets(args.query, args.field, collection=args.collection)
+        for v, c in zip(t["value"].to_pylist(), t["count"].to_pylist()):
+            print(json.dumps({"value": v, "count": c}))
+    elif args.cmd == "suggest":
+        from lucene_plugin_ray.pipelines.query import SearchEngine
+
+        eng = SearchEngine(args.index, cfg=cfg)
+        t = eng.suggest(args.term, collection=args.collection, k=args.k)
+        for row in t.to_pylist():
+            print(json.dumps(row))
     elif args.cmd == "serve":
         _ensure_ray()
         from lucene_plugin_ray.server import LuceneHttpService
