@@ -427,6 +427,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_mix": lambda sf: training.dataset_mix(
             sf, weights=_MIX_WEIGHTS, total=_MIX_TOTAL
         ),
+        "winnow_fingerprints": lambda sf: training.winnow_fingerprints(
+            sf, k=5, w=4
+        ),
     }
 
 
@@ -541,6 +544,29 @@ SELECT r.doc_id AS doc_id, r.source AS source, r.content_sha AS content_sha
 FROM ranked r JOIN quota qt ON qt.source = r.source
 WHERE r.rn <= qt.q
 ORDER BY doc_id
+"""
+
+    # winnowing (MOSS): k-token window hashes (16-hex sha256 prefix —
+    # string comparison == numeric comparison at fixed width), rightmost
+    # minimal hash per w-window; short docs (< w windows) get one
+    # whole-stream window
+    sql["winnow_fingerprints"] = f"""
+WITH tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+            t -> t <> '' AND length(t) <= 255
+            AND NOT list_contains({_SQL_STOP_LIST_LITERAL}, t)) AS toks
+            FROM documents),
+grams AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+          substr(sha256(array_to_string(list_slice(toks, i + 1, i + 5), ' ')), 1, 16) AS h
+          FROM tl, unnest(range(0, len(toks) - 5 + 1)) AS t(i)
+          WHERE len(toks) >= 5),
+ng AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+starts AS (SELECT doc_id, CAST(unnest(range(0, greatest(n - 4 + 1, 1))) AS BIGINT) AS s FROM ng),
+win AS (SELECT s.doc_id, s.s, g.i, g.h,
+        row_number() OVER (PARTITION BY s.doc_id, s.s ORDER BY g.h ASC, g.i DESC) AS rk
+        FROM starts s JOIN grams g ON g.doc_id = s.doc_id
+             AND g.i >= s.s AND g.i < s.s + 4)
+SELECT DISTINCT doc_id, i AS pos, h AS fp FROM win WHERE rk = 1
+ORDER BY doc_id, pos
 """
 
     # count-only query: boolean OR match total (no scoring)

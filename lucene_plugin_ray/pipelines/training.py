@@ -1986,21 +1986,25 @@ def _candidate_span_hashes(ds, k: int, hash_mask: int | None) -> np.ndarray:
     return t["h"].combine_chunks().to_numpy(zero_copy_only=False).view(np.uint64)
 
 
-def span_windows_batch(batch: pa.Table, k: int = _NGRAM_SPAN_K) -> pa.Table:
-    """Distinct (k-token window string, doc_id) pairs of a documents batch —
-    the vectorized span builder shared by dedup_ngram_spans and
-    doc_dup_stats.  One byte-gather builds ALL window strings; repeated
-    spans within a doc collapse here (the map-side combiner)."""
-    # int32 StringArray offsets cap one output array at 2^31 bytes; window
-    # strings expand input ~k×, so halve oversized batches (docs never
-    # split, so per-doc distinctness of the halves is globally distinct).
+def _needs_halving(batch: pa.Table, k: int) -> bool:
+    """int32 StringArray offsets cap one output array at 2^31 bytes; window
+    strings expand input ~k×, so oversized batches are halved (docs never
+    split, so per-doc distinctness of the halves is globally distinct)."""
     approx_out = (
         pc.sum(
             pc.binary_length(pc.cast(batch["text"].combine_chunks(), pa.binary()))
         ).as_py()
         or 0
     ) * k
-    if approx_out > _STRING_GATHER_BYTES_CAP and batch.num_rows > 1:
+    return approx_out > _STRING_GATHER_BYTES_CAP and batch.num_rows > 1
+
+
+def span_windows_batch(batch: pa.Table, k: int = _NGRAM_SPAN_K) -> pa.Table:
+    """Distinct (k-token window string, doc_id) pairs of a documents batch —
+    the vectorized span builder shared by dedup_ngram_spans and
+    doc_dup_stats.  One byte-gather builds ALL window strings; repeated
+    spans within a doc collapse here (the map-side combiner)."""
+    if _needs_halving(batch, k):
         mid = batch.num_rows // 2
         return pa.concat_tables(
             [
@@ -2008,19 +2012,43 @@ def span_windows_batch(batch: pa.Table, k: int = _NGRAM_SPAN_K) -> pa.Table:
                 span_windows_batch(batch.slice(mid), k),
             ]
         )
-    parents, terms, _ = tokenize_column(
-        pc.cast(batch["text"].combine_chunks(), pa.string())
-    )
-    n = batch.num_rows
-    doc_ids = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    raw = _span_windows_raw(batch, k)
     empty = pa.table(
         {
             "ngram": pa.array([], pa.string()),
             "doc_id": pa.array([], pa.int64()),
         }
     )
-    if len(terms) == 0:
+    if raw is None:
         return empty
+    ngrams, w_doc, _pos, doc_ids = raw
+    t = pa.table(
+        {
+            "ngram": ngrams,
+            "doc_id": pa.array(doc_ids[w_doc], type=pa.int64()),
+        }
+    )
+    # per-batch distinct (window, doc): the combiner — repeated spans
+    # within a doc collapse before the shuffle
+    return t.group_by(["ngram", "doc_id"]).aggregate([])
+
+
+def _span_windows_raw(
+    batch: pa.Table, k: int
+) -> tuple[pa.StringArray, np.ndarray, np.ndarray, np.ndarray] | None:
+    """ALL k-token windows of a batch in document/token order →
+    (window strings, per-window batch-row index, 0-based per-doc window
+    position, batch doc_ids) — or None when no full window exists.
+    Callers own the int32-offset halving (see :func:`_needs_halving`);
+    :func:`span_windows_batch` adds the distinct-(window, doc) combiner,
+    :func:`winnow_fingerprints` consumes the ordered stream directly."""
+    parents, terms, _ = tokenize_column(
+        pc.cast(batch["text"].combine_chunks(), pa.string())
+    )
+    n = batch.num_rows
+    doc_ids = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    if len(terms) == 0:
+        return None
     # normalized text = tokens joined by ' ' per doc (fingerprint form);
     # every k-token window is a substring between token boundaries.  All
     # offsets are BYTE offsets (UTF-8-safe: token boundaries are always
@@ -2045,11 +2073,11 @@ def span_windows_batch(batch: pa.Table, k: int = _NGRAM_SPAN_K) -> pa.Table:
     # windows: token index i starts a window iff i+k-1 is in the same doc
     m = tok_lens.size
     if m < k:
-        return empty
+        return None
     ok = parents[: m - k + 1] == parents[k - 1 :]
     w_start_tok = np.flatnonzero(ok)
     if w_start_tok.size == 0:
-        return empty
+        return None
     w_doc = parents[w_start_tok]
     w_char_lo = starts_char[w_start_tok]
     w_char_hi = ends_char[w_start_tok + k - 1]
@@ -2075,15 +2103,8 @@ def span_windows_batch(batch: pa.Table, k: int = _NGRAM_SPAN_K) -> pa.Table:
     ngrams = pa.StringArray.from_buffers(
         w_len.size, pa.py_buffer(out_off.tobytes()), pa.py_buffer(gathered.tobytes())
     )
-    t = pa.table(
-        {
-            "ngram": ngrams,
-            "doc_id": pa.array(doc_ids[w_doc], type=pa.int64()),
-        }
-    )
-    # per-batch distinct (window, doc): the combiner — repeated spans
-    # within a doc collapse before the shuffle
-    return t.group_by(["ngram", "doc_id"]).aggregate([])
+    pos_in_doc = w_start_tok - doc_first_tok[w_doc]
+    return ngrams, w_doc, pos_in_doc.astype(np.int64), doc_ids
 
 
 def doc_dup_stats(
@@ -4858,3 +4879,133 @@ def dataset_mix(
         .map_groups(_final, batch_format="pyarrow")
     )
     return _sink_or_table(out, output_path, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (MOSS local document sketches)
+# ---------------------------------------------------------------------------
+def _hex16_to_u64(hex16: pa.Array) -> np.ndarray:
+    """Vectorized parse of fixed-width 16-char lowercase-hex strings →
+    uint64 (no per-row Python int(x, 16))."""
+    n = len(hex16)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    cp = (
+        np.frombuffer(
+            hex16.to_numpy(zero_copy_only=False).astype("U16").tobytes(),
+            dtype=np.uint32,
+        )
+        .reshape(n, 16)
+        .astype(np.uint64)
+    )
+    # '0'-'9' → 0-9, 'a'-'f' → 10-15 (all-uint64 arithmetic: mixing a
+    # python int or bool would promote to float64)
+    nib = cp - np.uint64(48) - np.uint64(39) * (cp >= 97).astype(np.uint64)
+    out = np.zeros(n, np.uint64)
+    for j in range(16):
+        out = (out << np.uint64(4)) | nib[:, j]
+    return out
+
+
+def winnow_fingerprints(
+    sf_dir: str,
+    k: int = 5,
+    w: int = 4,
+    output_path: str | None = None,
+) -> pa.Table | None:
+    """Winnowing document sketches — the MOSS local fingerprinting scheme
+    (Schleimer, Wilkerson & Aiken, SIGMOD 2003): hash every k-token window
+    (16-hex sha256 prefix, string-comparable on both engine and oracle),
+    slide a w-hash window over the hash stream and keep the RIGHTMOST
+    minimal hash of each window; the doc's sketch is its distinct selected
+    (pos, fp) set.  Winnowing guarantee: any token run of length
+    ≥ k + w - 1 shared by two documents shares at least one fingerprint —
+    the local (position-robust) dedup/plagiarism signal that plain
+    fingerprinting (whole-doc sha) and fixed-stride sampling both miss.
+
+    Fully map-side — zero shuffle: a doc's sketch is a pure function of its
+    own text, so the op scales with read bandwidth.  The window hash stream
+    reuses the shared span builder's single byte-gather
+    (:func:`_span_windows_raw`); selection is one sliding_window_view argmin
+    per batch (reversed for the rightmost-tie rule).  Output:
+    (doc_id, pos, fp) with pos the 0-based token index of the selected
+    window, sorted (doc_id, pos)."""
+    if k <= 0 or w <= 0:
+        raise ValueError("k and w must be positive")
+
+    def _sketch(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "fp": pa.array([], pa.string()),
+            }
+        )
+        if _needs_halving(batch, k) and batch.num_rows > 1:
+            mid = batch.num_rows // 2
+            return pa.concat_tables(
+                [_sketch(batch.slice(0, mid)), _sketch(batch.slice(mid))]
+            )
+        raw = _span_windows_raw(batch, k)
+        if raw is None:
+            return empty
+        ngrams, w_doc, pos, doc_ids = raw
+        hex16 = pc.utf8_slice_codeunits(sha256_column(ngrams), 0, 16)
+        h = _hex16_to_u64(hex16)
+        if h.size < w:
+            # short docs (< w windows): a single window over all hashes
+            # per doc — rightmost argmin of each doc's full stream
+            starts = np.flatnonzero(
+                np.concatenate(([True], w_doc[1:] != w_doc[:-1]))
+            )
+            sel = []
+            for si, s in enumerate(starts):
+                e = starts[si + 1] if si + 1 < starts.size else h.size
+                seg = h[s:e][::-1]
+                sel.append(e - 1 - int(np.argmin(seg)))
+            sel = np.array(sorted(set(sel)), np.int64)
+        else:
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            M = sliding_window_view(h, w)
+            valid = w_doc[: h.size - w + 1] == w_doc[w - 1 :]
+            starts = np.flatnonzero(valid)
+            if starts.size:
+                picks = (
+                    starts
+                    + (w - 1)
+                    - np.argmin(M[starts, ::-1], axis=1).astype(np.int64)
+                )
+            else:
+                picks = np.empty(0, np.int64)
+            # docs with fewer than w windows get one whole-stream window
+            run_starts = np.flatnonzero(
+                np.concatenate(([True], w_doc[1:] != w_doc[:-1]))
+            )
+            run_ends = np.concatenate([run_starts[1:], [h.size]])
+            short = np.flatnonzero(run_ends - run_starts < w)
+            extra = [
+                int(
+                    run_ends[i]
+                    - 1
+                    - np.argmin(h[run_starts[i] : run_ends[i]][::-1])
+                )
+                for i in short
+            ]
+            sel = np.unique(np.concatenate([picks, np.array(extra, np.int64)]))
+        idx = pa.array(sel, type=pa.int64())
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[w_doc[sel]], type=pa.int64()),
+                "pos": pa.array(pos[sel], type=pa.int64()),
+                "fp": hex16.take(idx),
+            }
+        )
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = ds.map_batches(_sketch, batch_format="pyarrow", zero_copy_batch=True)
+    return _sink_or_table(
+        out, output_path, [("doc_id", "ascending"), ("pos", "ascending")]
+    )

@@ -570,3 +570,96 @@ def test_dataset_mix_streaming_sink(ray_session, tmp_path):
 
     written = pads.dataset(str(out)).to_table().sort_by("doc_id")
     assert written.select(got.column_names).equals(got)
+
+
+# ---------------------------------------------------------------------------
+# winnow_fingerprints (MOSS winnowing)
+# ---------------------------------------------------------------------------
+def _py_winnow(texts, k, w):
+    """Brute-force winnowing oracle (rightmost-min per window; short docs
+    get one whole-stream window)."""
+    import hashlib
+
+    from lucene_plugin_ray.functions.analysis import analyze
+
+    out = []
+    for doc_id, text in enumerate(texts):
+        toks = analyze(text)
+        grams = [
+            hashlib.sha256(" ".join(toks[i:i + k]).encode()).hexdigest()[:16]
+            for i in range(len(toks) - k + 1)
+        ]
+        if not grams:
+            continue
+        sel = set()
+        n = len(grams)
+        starts = range(n - w + 1) if n >= w else [0]
+        width = w if n >= w else n
+        for s in starts:
+            win = grams[s:s + width]
+            m = min(win)
+            pos = s + max(i for i, h in enumerate(win) if h == m)
+            sel.add((pos, grams[pos]))
+        out.extend((doc_id, p, h) for p, h in sorted(sel))
+    return out
+
+
+def _winnow_dir(tmp_path, texts, row_group_size=None):
+    d = tmp_path / "winnow"
+    d.mkdir(parents=True, exist_ok=True)
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    kw = {"row_group_size": row_group_size} if row_group_size else {}
+    pq.write_table(t, d / "documents.parquet", **kw)
+    return str(d)
+
+
+def test_winnow_matches_python_oracle(ray_session, tmp_path):
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three",                      # < k tokens → no grams
+        "aa bb cc dd ee ff",                  # exactly 2 grams (< w) at k=5
+        "rep rep rep rep rep rep rep rep",    # identical grams → tie path
+        "the and of to",                      # stopword-only → empty
+        "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj",
+    ]
+    d = _winnow_dir(tmp_path, texts)
+    got = training.winnow_fingerprints(d, k=5, w=4)
+    rows = list(zip(got["doc_id"].to_pylist(), got["pos"].to_pylist(),
+                    got["fp"].to_pylist()))
+    assert rows == _py_winnow(texts, 5, 4)
+    # the tie doc: all grams equal → rightmost of each window; selections
+    # are the rightmost positions only
+    tie_rows = [r for r in rows if r[0] == 3]
+    assert [r[1] for r in tie_rows] == [3]  # single fp: pos w-1 ... see note
+    with pytest.raises(ValueError):
+        training.winnow_fingerprints(d, k=0)
+
+
+def test_winnow_guarantee_shared_run(ray_session, tmp_path):
+    """Winnowing guarantee: a shared token run of length >= k + w - 1
+    yields at least one shared fingerprint."""
+    shared = "q1 q2 q3 q4 q5 q6 q7 q8"  # 8 tokens = k + w - 1 at (5, 4)
+    texts = [
+        f"leadin tokens here {shared} trailing words",
+        f"completely different prefix {shared} other suffix tokens",
+    ]
+    d = _winnow_dir(tmp_path, texts)
+    got = training.winnow_fingerprints(d, k=5, w=4)
+    fps = {}
+    for doc, fp in zip(got["doc_id"].to_pylist(), got["fp"].to_pylist()):
+        fps.setdefault(doc, set()).add(fp)
+    assert fps[0] & fps[1], "shared run must share a fingerprint"
+
+
+def test_winnow_batching_independent(ray_session, tmp_path):
+    texts = [f"w{i} w{i+1} w{i+2} common run of tokens number {i}" for i in range(40)]
+    g1 = training.winnow_fingerprints(_winnow_dir(tmp_path / "a", texts), k=3, w=3)
+    g2 = training.winnow_fingerprints(
+        _winnow_dir(tmp_path / "b", texts, row_group_size=7), k=3, w=3
+    )
+    assert g1.equals(g2)
