@@ -210,6 +210,29 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     queries["query_ext_p50_warm"] = round(_pct(lat_ext, 0.5), 4)
     queries["query_ext_p99_warm"] = round(_pct(lat_ext, 0.99), 4)
 
+    # ---- auxiliary read surface: facets / count / recency sort / MLT /
+    # suggest / date histogram (full-match-set ops — no top-k truncation) --
+    mlt_probe = "spark merge window group stream batch query table row data"
+    aux_ops = [
+        lambda: eng.facets("spark merge", "lang"),
+        lambda: eng.count("spark merge window"),
+        lambda: eng.search_sorted("spark merge", limit=10),
+        lambda: eng.more_like_this(mlt_probe, max_query_terms=8, limit=10),
+        lambda: eng.suggest("spakr", k=5),
+        lambda: eng.date_histogram("spark", interval_us=3_600_000_000),
+    ]
+    for op in aux_ops:  # warm the postings/dictionary caches
+        op()
+    lat_aux: list[float] = []
+    for _ in range(3):
+        for op in aux_ops:
+            eng._results_cache.clear()
+            t1 = time.monotonic()
+            op()
+            lat_aux.append(time.monotonic() - t1)
+    queries["query_aux_p50_warm"] = round(_pct(lat_aux, 0.5), 4)
+    queries["query_aux_p99_warm"] = round(_pct(lat_aux, 0.99), 4)
+
     # ---- sharded batch-search throughput (the cluster-scale read path:
     # each actor pins a partition subset, two-phase df-then-score) ----
     from lucene_plugin_ray.pipelines.sharded import sharded_search
