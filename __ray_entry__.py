@@ -430,6 +430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": lambda sf: training.winnow_fingerprints(
             sf, k=5, w=4
         ),
+        "dsir_weights": training.dsir_weights,
     }
 
 
@@ -567,6 +568,33 @@ win AS (SELECT s.doc_id, s.s, g.i, g.h,
              AND g.i >= s.s AND g.i < s.s + 4)
 SELECT DISTINCT doc_id, i AS pos, h AS fp FROM win WHERE rk = 1
 ORDER BY doc_id, pos
+"""
+
+    # DSIR importance weights: hashed-bigram (4-hex sha256 bucket) log
+    # likelihood ratio of target (doc_id % 97 == 0) vs raw, add-1 smoothed
+    # over 65536 possible buckets, micro-nat-quantized integer sums
+    sql["dsir_weights"] = f"""
+WITH tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+            t -> t <> '' AND length(t) <= 255
+            AND NOT list_contains({_SQL_STOP_LIST_LITERAL}, t)) AS toks
+            FROM documents),
+big AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+        FROM tl, unnest(range(1, len(toks))) AS t(i) WHERE len(toks) >= 2),
+bb AS (SELECT doc_id, substr(sha256(g), 1, 4) AS b FROM big),
+rawc AS (SELECT b, count(*) AS c FROM bb GROUP BY b),
+rtot AS (SELECT count(*) AS n FROM bb),
+tgtc AS (SELECT b, count(*) AS c FROM bb WHERE doc_id % 97 = 0 GROUP BY b),
+ttot AS (SELECT count(*) AS n FROM bb WHERE doc_id % 97 = 0),
+w AS (SELECT rawc.b,
+      CAST(round((ln((coalesce(tgtc.c, 0) + 1.0) / (ttot.n + 65536.0))
+                - ln((rawc.c + 1.0) / (rtot.n + 65536.0))) * 1e6) AS BIGINT) AS wq
+      FROM rawc LEFT JOIN tgtc USING (b) CROSS JOIN rtot CROSS JOIN ttot),
+per AS (SELECT bb.doc_id, count(*) AS nb, CAST(sum(w.wq) AS BIGINT) AS s
+        FROM bb JOIN w USING (b) GROUP BY bb.doc_id)
+SELECT d.doc_id AS doc_id,
+       CAST(coalesce(per.nb, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(per.s, 0) AS BIGINT) AS logweight_micro
+FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id
 """
 
     # count-only query: boolean OR match total (no scoring)

@@ -38,6 +38,8 @@ before any shuffle, and broadcasts small sides instead of shuffle-joining.
 from __future__ import annotations
 
 
+import math
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -5009,3 +5011,139 @@ def winnow_fingerprints(
     return _sink_or_table(
         out, output_path, [("doc_id", "ascending"), ("pos", "ascending")]
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (hashed-bigram importance resampling)
+# ---------------------------------------------------------------------------
+_DSIR_BUCKETS = 65536  # 4 hex chars of sha256 — SQL-reproducible bucketing
+
+
+def _dsir_buckets_of(batch: pa.Table) -> tuple | None:
+    """(bucket4 per distinct bigram, dict indices per occurrence, w_doc,
+    doc_ids) — analyzed-token bigrams hashed to 4-hex-char buckets.  sha256
+    runs once per DISTINCT bigram in the batch (dictionary-encode first),
+    never per occurrence."""
+    raw = _span_windows_raw(batch, 2)
+    if raw is None:
+        return None
+    ngrams, w_doc, _pos, doc_ids = raw
+    enc = ngrams.dictionary_encode()
+    bucket4 = pc.utf8_slice_codeunits(sha256_column(enc.dictionary), 0, 4)
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return bucket4, idx, w_doc, doc_ids
+
+
+def dsir_weights(
+    sf_dir: str,
+    eval_mod: int = 97,
+    output_path: str | None = None,
+) -> pa.Table | None:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    how much more likely its hashed-n-gram features are under the TARGET
+    distribution (here the eval stand-in subset, doc_id % eval_mod == 0 —
+    production passes its own target corpus) than under the RAW corpus
+    distribution.  High scores = documents that look like the target —
+    THE published data-selection signal for pretraining mixes.
+
+    Features: analyzed-token bigrams hashed to 65536 buckets via the first
+    4 hex chars of sha256 (string bucket keys, so the DuckDB oracle
+    reproduces them exactly).  Both distributions use add-1 smoothing over
+    the 65536 possible buckets; the per-bucket log-ratio
+    ln p̂_target(b) − ln p̂_raw(b) is quantized to integer MICRO-nats so
+    per-doc sums are integers — order-independent and hash-exact vs SQL
+    (the charlm_logprob trick).
+
+    Distributed shape: pass 1 fits BOTH distributions in one scan
+    (per-batch bucket value_counts → ≤65536-row partials folded on the
+    driver — constant in corpus size); the 65536-entry weight table
+    broadcasts via ray.put; pass 2 scores each doc map-side (dictionary-
+    encode bigrams, sha256 per distinct gram, searchsorted weight lookup,
+    one bincount per batch).  Zero shuffles.
+
+    Output: (doc_id, n_bigrams, logweight_micro) for EVERY doc (0-bigram
+    docs score 0), sorted by doc_id."""
+    if int(eval_mod) <= 0:
+        raise ValueError("eval_mod must be positive")
+    mod = int(eval_mod)
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def _fit(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "b": pa.array([], pa.string()),
+                "raw_c": pa.array([], pa.int64()),
+                "tgt_c": pa.array([], pa.int64()),
+            }
+        )
+        got = _dsir_buckets_of(batch)
+        if got is None:
+            return empty
+        bucket4, idx, w_doc, doc_ids = got
+        nd = len(bucket4)
+        raw_c = np.bincount(idx, minlength=nd)
+        is_eval = (doc_ids[w_doc] % mod) == 0
+        tgt_c = np.bincount(idx[is_eval], minlength=nd)
+        return pa.table(
+            {
+                "b": bucket4,
+                "raw_c": pa.array(raw_c, pa.int64()),
+                "tgt_c": pa.array(tgt_c, pa.int64()),
+            }
+        )
+
+    raw_counts: dict[str, int] = {}
+    tgt_counts: dict[str, int] = {}
+    for part in ds.map_batches(
+        _fit, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        for b, rc, tc in zip(
+            part["b"].to_pylist(), part["raw_c"].to_pylist(),
+            part["tgt_c"].to_pylist(),
+        ):
+            raw_counts[b] = raw_counts.get(b, 0) + rc
+            tgt_counts[b] = tgt_counts.get(b, 0) + tc
+    rtot = sum(raw_counts.values())
+    ttot = sum(tgt_counts.values())
+    buckets = np.array(sorted(raw_counts), dtype="U4")
+    B = float(_DSIR_BUCKETS)
+    wq = np.array(
+        [
+            int(round(
+                (math.log((tgt_counts.get(b, 0) + 1.0) / (ttot + B))
+                 - math.log((raw_counts[b] + 1.0) / (rtot + B))) * 1e6
+            ))
+            for b in buckets
+        ],
+        np.int64,
+    )
+    table_ref = ray.put((buckets, wq))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        bks, w = ray.get(table_ref)
+        n = batch.num_rows
+        ids = batch["doc_id"].combine_chunks()
+        got = _dsir_buckets_of(batch)
+        nb = np.zeros(n, np.int64)
+        s = np.zeros(n, np.int64)
+        if got is not None:
+            bucket4, idx, w_doc, _doc_ids = got
+            dict_b = bucket4.to_numpy(zero_copy_only=False).astype("U4")
+            pos = np.searchsorted(bks, dict_b)
+            # every bucket here appeared in the fit scan (same corpus)
+            occ_w = w[pos][idx]
+            nb = np.bincount(w_doc, minlength=n).astype(np.int64)
+            s = np.bincount(w_doc, weights=occ_w, minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": ids,
+                "n_bigrams": pa.array(nb, pa.int64()),
+                "logweight_micro": pa.array(s, pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(_score, batch_format="pyarrow", zero_copy_batch=True)
+    return _sink_or_table(out, output_path, "doc_id")

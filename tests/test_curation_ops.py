@@ -663,3 +663,58 @@ def test_winnow_batching_independent(ray_session, tmp_path):
         _winnow_dir(tmp_path / "b", texts, row_group_size=7), k=3, w=3
     )
     assert g1.equals(g2)
+
+
+# ---------------------------------------------------------------------------
+# dsir_weights (hashed-bigram importance resampling)
+# ---------------------------------------------------------------------------
+def test_dsir_weights_target_affinity(ray_session, tmp_path):
+    """Docs resembling the target subset score strictly higher than docs
+    from a disjoint vocabulary; 0/1-token docs score 0; exact SQL parity
+    on this hostile corpus."""
+    target_like = "alpha beta gamma delta alpha beta gamma delta"
+    other = "zig zag zorro zulu zephyr zigzag zodiac zone"
+    texts = {
+        0: target_like,                 # 0 % 5 == 0 → the eval doc
+        1: target_like + " extra",      # near-copy of the target
+        2: other,                       # disjoint vocabulary
+        3: "single",                    # no bigrams
+        4: "",                          # empty
+        5: target_like,                 # another eval doc (5 % 5 == 0)
+    }
+    d = tmp_path / "dsir"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array([texts[i] for i in sorted(texts)], pa.string()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    got = training.dsir_weights(str(d), eval_mod=5).to_pandas().set_index("doc_id")
+    assert got.loc[1, "logweight_micro"] > got.loc[2, "logweight_micro"]
+    assert got.loc[3, "logweight_micro"] == 0 and got.loc[3, "n_bigrams"] == 0
+    assert got.loc[4, "logweight_micro"] == 0
+    # SQL parity with the custom mod (rewrite the oracle's 97)
+    import __ray_entry__ as E
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')")
+    exp = con.sql(E.oracle_sql()["dsir_weights"].replace("% 97", "% 5")).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(), exp, check_dtype=False
+    )
+    with pytest.raises(ValueError):
+        training.dsir_weights(str(d), eval_mod=0)
+
+
+def test_dsir_weights_streaming_sink(ray_session, corpus_dir, tmp_path):
+    out = tmp_path / "dsir_out"
+    table = training.dsir_weights(corpus_dir)
+    assert training.dsir_weights(corpus_dir, output_path=str(out)) is None
+    import pyarrow.dataset as pads
+
+    written = pads.dataset(str(out)).to_table().sort_by("doc_id")
+    assert written.select(table.column_names).equals(table)
