@@ -431,6 +431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, k=5, w=4
         ),
         "dsir_weights": training.dsir_weights,
+        "collocations": lambda sf: training.collocations(sf, min_count=5),
     }
 
 
@@ -1187,6 +1188,36 @@ SELECT ngram,
        CAST(count(*) AS BIGINT) AS n_occ,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
 FROM b WHERE ngram IS NOT NULL GROUP BY ngram ORDER BY ngram
+"""
+
+    # collocation PMI over the ngram_counts bigram table (same word spec);
+    # micro-nat integer quantization, formula text mirrored in training.py
+    sql["collocations"] = """
+WITH pos AS (
+  SELECT doc_id, word, pos FROM (
+    SELECT doc_id, unnest(words) AS word, unnest(range(1, len(words) + 1)) AS pos
+    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents))
+  WHERE word <> ''
+),
+uni AS (SELECT word, count(*) AS c FROM pos GROUP BY word),
+tu AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM uni),
+b AS (SELECT doc_id,
+             word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS ngram
+      FROM pos),
+bg AS (SELECT ngram, count(*) AS n_occ FROM b WHERE ngram IS NOT NULL GROUP BY ngram),
+tb AS (SELECT CAST(sum(n_occ) AS BIGINT) AS t FROM bg),
+sel AS (SELECT ngram, n_occ,
+               string_split(ngram, ' ')[1] AS w1,
+               string_split(ngram, ' ')[2] AS w2
+        FROM bg WHERE n_occ >= 5)
+SELECT sel.ngram AS ngram, CAST(sel.n_occ AS BIGINT) AS n_occ,
+       CAST(round(ln((sel.n_occ * 1.0 * tu.t * tu.t)
+                     / (tb.t * 1.0 * u1.c * u2.c)) * 1e6) AS BIGINT) AS pmi_micro
+FROM sel
+JOIN uni u1 ON u1.word = sel.w1
+JOIN uni u2 ON u2.word = sel.w2
+CROSS JOIN tu CROSS JOIN tb
+ORDER BY ngram
 """
 
     # block-level exact dedup with rewrite: blocks are runs of 16 surviving

@@ -2935,6 +2935,21 @@ def ngram_counts(
     salt.  Only (ngram, 3×int64) rows ever enter the shuffle.
 
     Output: (ngram, n_occ, n_docs) sorted by ngram."""
+    out = _bigram_counts_ds(sf_dir, salt_buckets)
+    return _sink_or_table(
+        out,
+        output_path,
+        "ngram",
+        empty_schema=pa.schema(
+            [("ngram", pa.string()), ("n_occ", pa.int64()), ("n_docs", pa.int64())]
+        ),
+    )
+
+
+def _bigram_counts_ds(sf_dir: str, salt_buckets: int) -> "ray.data.Dataset":
+    """The folded (ngram, n_occ, n_docs) Dataset behind :func:`ngram_counts`
+    — exposed so :func:`collocations` can consume the stream without a
+    driver materialization."""
     from lucene_plugin_ray.functions.hashing import fnv1a_str, mix64
 
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -2991,18 +3006,10 @@ def ngram_counts(
     folded = salted.groupby("ngram").aggregate(
         Sum("occ_s", alias_name="n_occ"), Sum("docs_s", alias_name="n_docs")
     )
-    out = folded.map_batches(
+    return folded.map_batches(
         lambda t: t.select(["ngram", "n_occ", "n_docs"]),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    )
-    return _sink_or_table(
-        out,
-        output_path,
-        "ngram",
-        empty_schema=pa.schema(
-            [("ngram", pa.string()), ("n_occ", pa.int64()), ("n_docs", pa.int64())]
-        ),
     )
 
 
@@ -5147,3 +5154,151 @@ def dsir_weights(
 
     out = ds.map_batches(_score, batch_format="pyarrow", zero_copy_batch=True)
     return _sink_or_table(out, output_path, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# collocations: PMI scoring over the corpus bigram table
+# ---------------------------------------------------------------------------
+_COLLOC_TOTAL_WORD = "\x00colloc_total_bigrams"
+
+
+def collocations(
+    sf_dir: str,
+    min_count: int = 5,
+    salt_buckets: int = 16,
+    output_path: str | None = None,
+) -> pa.Table | None:
+    """Collocation scoring — pointwise mutual information over adjacent
+    surface-word pairs, the consumer :func:`ngram_counts`' docstring
+    promises: pmi(w1 w2) = ln(p̂(w1,w2) / (p̂(w1)·p̂(w2))) with exact counts
+    (bigram events over total bigrams; unigram events over total words),
+    quantized to integer micro-nats (order-independent, hash-exact vs the
+    SQL oracle).  High-PMI pairs are multiword expressions; low/negative
+    PMI at high count is boilerplate glue.
+
+    Distributed shape: the bigram side streams through ngram_counts'
+    salted two-level fold (never materializes on the driver).  The unigram
+    side is a per-batch value_counts partial → salted fold → driver
+    collect + ray.put broadcast — the unigram VOCABULARY is the broadcast
+    bound (web-scale English ≈ 1e7-1e8 distinct words, single-digit GB;
+    past that the documented fallback is a word-keyed tagged-union join,
+    the revenue_by_nation shape, at the price of two extra shuffles).  The
+    corpus bigram total rides the same fold as a sentinel row.
+
+    Output: (ngram, n_occ, pmi_micro) for bigrams with
+    n_occ >= min_count, sorted by ngram."""
+    if min_count <= 0:
+        raise ValueError("min_count must be positive")
+    from ray.data.aggregate import Sum
+
+    from lucene_plugin_ray.functions.hashing import fnv1a_str, mix64
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _uni_partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "word": pa.array([], pa.string()),
+                "salt": pa.array([], pa.int32()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+        parents, flat = _surface_words(
+            pc.cast(batch["text"].combine_chunks(), pa.string())
+        )
+        if len(flat) == 0:
+            return empty
+        vc = pc.value_counts(flat)
+        words = [vc.field("values").cast(pa.string())]
+        counts = [vc.field("counts").cast(pa.int64())]
+        # the batch's adjacent-pair total rides along as a sentinel row
+        n_adj = int((parents[1:] == parents[:-1]).sum())
+        words.append(pa.array([_COLLOC_TOTAL_WORD], pa.string()))
+        counts.append(pa.array([n_adj], pa.int64()))
+        anchor = int(batch["doc_id"][0].as_py()) if batch.num_rows else 0
+        v = sum(len(a) for a in words)
+        salt = mix64(fnv1a_str(f"{anchor}\x00{batch.num_rows}")) % salt_buckets
+        return pa.table(
+            {
+                "word": pa.concat_arrays(words),
+                "salt": pa.array(np.full(v, salt, np.int32), pa.int32()),
+                "c": pa.concat_arrays(counts),
+            }
+        )
+
+    uni_folded = (
+        ds.map_batches(_uni_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["word", "salt"])
+        .aggregate(Sum("c", alias_name="c_s"))
+        .groupby("word")
+        .aggregate(Sum("c_s", alias_name="c"))
+    )
+    uni_parts = list(uni_folded.iter_batches(batch_format="pyarrow"))
+    if not uni_parts:
+        return pa.table(
+            {
+                "ngram": pa.array([], pa.string()),
+                "n_occ": pa.array([], pa.int64()),
+                "pmi_micro": pa.array([], pa.int64()),
+            }
+        )
+    uni = pa.concat_tables(uni_parts)
+    words_np = uni["word"].to_numpy(zero_copy_only=False)
+    counts_np = uni["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+    is_sentinel = words_np == _COLLOC_TOTAL_WORD
+    tb = int(counts_np[is_sentinel].sum())
+    vocab = uni["word"].combine_chunks().filter(pa.array(~is_sentinel))
+    vcounts = counts_np[~is_sentinel]
+    tu = int(vcounts.sum())
+    if tb == 0:
+        return pa.table(
+            {
+                "ngram": pa.array([], pa.string()),
+                "n_occ": pa.array([], pa.int64()),
+                "pmi_micro": pa.array([], pa.int64()),
+            }
+        )
+    uni_ref = ray.put((vocab, vcounts))
+
+    def _pmi(batch: pa.Table) -> pa.Table:
+        voc, vc_np = ray.get(uni_ref)
+        keep = pc.greater_equal(batch["n_occ"], pa.scalar(min_count))
+        b = batch.filter(keep)
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "ngram": pa.array([], pa.string()),
+                    "n_occ": pa.array([], pa.int64()),
+                    "pmi_micro": pa.array([], pa.int64()),
+                }
+            )
+        split = pc.split_pattern(b["ngram"].combine_chunks(), pattern=" ")
+        w1 = pc.list_element(split, 0)
+        w2 = pc.list_element(split, 1)
+        c1 = vc_np[pc.index_in(w1, value_set=voc).to_numpy(zero_copy_only=False)]
+        c2 = vc_np[pc.index_in(w2, value_set=voc).to_numpy(zero_copy_only=False)]
+        occ = b["n_occ"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # formula text mirrored in the SQL oracle (same fp evaluation order)
+        pmi = np.log((occ * 1.0 * tu * tu) / (tb * 1.0 * c1 * c2))
+        return pa.table(
+            {
+                "ngram": b["ngram"].combine_chunks(),
+                "n_occ": pc.cast(b["n_occ"], pa.int64()),
+                "pmi_micro": pa.array(
+                    np.round(pmi * 1e6).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    out = _bigram_counts_ds(sf_dir, salt_buckets).map_batches(
+        _pmi, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _sink_or_table(
+        out,
+        output_path,
+        "ngram",
+        empty_schema=pa.schema(
+            [("ngram", pa.string()), ("n_occ", pa.int64()),
+             ("pmi_micro", pa.int64())]
+        ),
+    )

@@ -718,3 +718,53 @@ def test_dsir_weights_streaming_sink(ray_session, corpus_dir, tmp_path):
 
     written = pads.dataset(str(out)).to_table().sort_by("doc_id")
     assert written.select(table.column_names).equals(table)
+
+
+# ---------------------------------------------------------------------------
+# collocations (PMI)
+# ---------------------------------------------------------------------------
+def test_collocations_pmi_ordering(ray_session, tmp_path):
+    """A fixed multiword expression gets higher PMI than a pair of
+    independently common words; python-oracle exactness on a hand corpus."""
+    import math
+    from collections import Counter
+
+    texts = (
+        ["new york city tour"] * 6
+        + ["the new deal and the york shilling"] * 6
+        + ["filler words here the and"] * 4
+    )
+    d = tmp_path / "colloc"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    got = training.collocations(str(d), min_count=3).to_pandas().set_index("ngram")
+    # python oracle
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for t in texts:
+        ws = [w for w in t.split(" ") if w]
+        uni.update(ws)
+        big.update(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+    tu, tb = sum(uni.values()), sum(big.values())
+    for g, occ in big.items():
+        if occ < 3:
+            assert g not in got.index
+            continue
+        w1, w2 = g.split(" ")
+        pmi = round(
+            math.log((occ * 1.0 * tu * tu) / (tb * 1.0 * uni[w1] * uni[w2])) * 1e6
+        )
+        assert got.loc[g, "pmi_micro"] == pmi, g
+    # 'new york' always co-occurs → higher PMI than the frequent-but-
+    # independent 'the and' style pairs
+    assert got.loc["new york", "pmi_micro"] > got.loc["and the", "pmi_micro"]
+    with pytest.raises(ValueError):
+        training.collocations(str(d), min_count=0)
