@@ -417,6 +417,9 @@ class SearchEngine:
 
         if k <= 0:
             raise ValueError("k must be positive")
+        if max_edits not in (1, 2):
+            # DirectSpellChecker's own bound (LevenshteinAutomata limit)
+            raise ValueError("max_edits must be 1 or 2")
         probe = term.lower()
         coll = sanitize_collection(collection)
         field = field or self.cfg.text_column
@@ -428,9 +431,10 @@ class SearchEngine:
             start, vocab = r.field_vocab(field)
             if len(vocab) == 0:
                 continue
-            mask = fuzzy_match_mask(probe, vocab, max(1, min(2, max_edits)))
-            if max_edits >= 1:
-                m1 = fuzzy_match_mask(probe, vocab, 1)
+            mask = fuzzy_match_mask(probe, vocab, max_edits)
+            m1 = (
+                fuzzy_match_mask(probe, vocab, 1) if max_edits == 2 else mask
+            )
             for j in np.flatnonzero(mask):
                 t = str(vocab[j])
                 if t not in dists:

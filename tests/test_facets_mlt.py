@@ -347,6 +347,8 @@ def test_suggest_ranking_and_liveness(ray_session, tmp_path):
     assert got2["term"][0].as_py() == "spark" and got2["df"][0].as_py() == 2
     with pytest.raises(ValueError):
         eng.suggest("spakr", k=0)
+    with pytest.raises(ValueError):
+        eng.suggest("spakr", max_edits=3)  # DirectSpellChecker bound
 
 
 def test_date_histogram_counts(built):
