@@ -432,14 +432,20 @@ class SearchEngine:
             if len(vocab) == 0:
                 continue
             mask = fuzzy_match_mask(probe, vocab, max_edits)
-            m1 = (
-                fuzzy_match_mask(probe, vocab, 1) if max_edits == 2 else mask
-            )
-            for j in np.flatnonzero(mask):
+            matched = np.flatnonzero(mask)
+            if matched.size == 0:
+                continue
+            # distance classification costs one MORE pass only over the
+            # (tiny) matched subset, not a second full-vocabulary DP
+            if max_edits == 2:
+                m1 = fuzzy_match_mask(probe, vocab[matched], 1)
+            else:
+                m1 = np.ones(matched.size, bool)
+            for jj, j in enumerate(matched):
                 t = str(vocab[j])
                 if t not in dists:
                     dists[t] = (
-                        0 if t == probe else (1 if m1[j] else 2)
+                        0 if t == probe else (1 if m1[jj] else 2)
                     )
                 if seg.all_alive:
                     df = r.df(int(start + j))
@@ -523,21 +529,10 @@ class SearchEngine:
         n_docs, avgdl = self._stats(coll)
         k1, b = self.cfg.k1, self.cfg.b
 
-        # global df, same walk as _execute phase 1
-        global_df: dict[tuple[str, str], int] = {}
-        for field, term in scored_term_keys(clauses):
-            if (field, term) in global_df:
-                continue
-            df = 0
-            for sj, sg in enumerate(segs):
-                row = sg.reader.lookup(field, term)
-                if row < 0:
-                    continue
-                if sg.all_alive:
-                    df += sg.reader.df(row)
-                else:
-                    df += len(self._decoded(sj, sg, field, term, row)[0])
-            global_df[(field, term)] = df
+        # global df: the alive-masked cross-segment walk local_term_dfs
+        # already implements (one definition — explain cannot drift from
+        # search scores)
+        global_df = self.local_term_dfs(coll, scored_term_keys(clauses))
 
         def _tf_of(local: np.ndarray, tfs: np.ndarray) -> int:
             j = int(np.searchsorted(local, local_doc))

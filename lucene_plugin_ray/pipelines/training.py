@@ -4950,7 +4950,7 @@ def winnow_fingerprints(
                 "fp": pa.array([], pa.string()),
             }
         )
-        if _needs_halving(batch, k) and batch.num_rows > 1:
+        if _needs_halving(batch, k):
             mid = batch.num_rows // 2
             return pa.concat_tables(
                 [_sketch(batch.slice(0, mid)), _sketch(batch.slice(mid))]
@@ -5026,19 +5026,29 @@ def winnow_fingerprints(
 _DSIR_BUCKETS = 65536  # 4 hex chars of sha256 — SQL-reproducible bucketing
 
 
-def _dsir_buckets_of(batch: pa.Table) -> tuple | None:
-    """(bucket4 per distinct bigram, dict indices per occurrence, w_doc,
-    doc_ids) — analyzed-token bigrams hashed to 4-hex-char buckets.  sha256
-    runs once per DISTINCT bigram in the batch (dictionary-encode first),
-    never per occurrence."""
+def _dsir_buckets_of(batch: pa.Table) -> list[tuple]:
+    """Per sub-batch (bucket4 per distinct bigram, dict indices per
+    occurrence, w_doc, doc_ids, row_offset) tuples — analyzed-token bigrams
+    hashed to 4-hex-char buckets.  sha256 runs once per DISTINCT bigram
+    (dictionary-encode first), never per occurrence.  Owns the
+    int32-offset halving `_span_windows_raw` requires of its callers
+    (oversized batches split; row_offset maps sub-batch rows back to the
+    caller's batch)."""
+    if _needs_halving(batch, 2):
+        mid = batch.num_rows // 2
+        lo = _dsir_buckets_of(batch.slice(0, mid))
+        hi = _dsir_buckets_of(batch.slice(mid))
+        return lo + [
+            (b4, idx, w_doc, doc_ids, off + mid) for b4, idx, w_doc, doc_ids, off in hi
+        ]
     raw = _span_windows_raw(batch, 2)
     if raw is None:
-        return None
+        return []
     ngrams, w_doc, _pos, doc_ids = raw
     enc = ngrams.dictionary_encode()
     bucket4 = pc.utf8_slice_codeunits(sha256_column(enc.dictionary), 0, 4)
     idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    return bucket4, idx, w_doc, doc_ids
+    return [(bucket4, idx, w_doc, doc_ids, 0)]
 
 
 def dsir_weights(
@@ -5086,21 +5096,22 @@ def dsir_weights(
                 "tgt_c": pa.array([], pa.int64()),
             }
         )
-        got = _dsir_buckets_of(batch)
-        if got is None:
-            return empty
-        bucket4, idx, w_doc, doc_ids = got
-        nd = len(bucket4)
-        raw_c = np.bincount(idx, minlength=nd)
-        is_eval = (doc_ids[w_doc] % mod) == 0
-        tgt_c = np.bincount(idx[is_eval], minlength=nd)
-        return pa.table(
-            {
-                "b": bucket4,
-                "raw_c": pa.array(raw_c, pa.int64()),
-                "tgt_c": pa.array(tgt_c, pa.int64()),
-            }
-        )
+        parts = []
+        for bucket4, idx, w_doc, doc_ids, _off in _dsir_buckets_of(batch):
+            nd = len(bucket4)
+            raw_c = np.bincount(idx, minlength=nd)
+            is_eval = (doc_ids[w_doc] % mod) == 0
+            tgt_c = np.bincount(idx[is_eval], minlength=nd)
+            parts.append(
+                pa.table(
+                    {
+                        "b": bucket4,
+                        "raw_c": pa.array(raw_c, pa.int64()),
+                        "tgt_c": pa.array(tgt_c, pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts) if parts else empty
 
     raw_counts: dict[str, int] = {}
     tgt_counts: dict[str, int] = {}
@@ -5133,17 +5144,16 @@ def dsir_weights(
         bks, w = ray.get(table_ref)
         n = batch.num_rows
         ids = batch["doc_id"].combine_chunks()
-        got = _dsir_buckets_of(batch)
         nb = np.zeros(n, np.int64)
         s = np.zeros(n, np.int64)
-        if got is not None:
-            bucket4, idx, w_doc, _doc_ids = got
+        for bucket4, idx, w_doc, _doc_ids, off in _dsir_buckets_of(batch):
             dict_b = bucket4.to_numpy(zero_copy_only=False).astype("U4")
             pos = np.searchsorted(bks, dict_b)
             # every bucket here appeared in the fit scan (same corpus)
             occ_w = w[pos][idx]
-            nb = np.bincount(w_doc, minlength=n).astype(np.int64)
-            s = np.bincount(w_doc, weights=occ_w, minlength=n).astype(np.int64)
+            rows = w_doc + off
+            nb += np.bincount(rows, minlength=n).astype(np.int64)
+            s += np.bincount(rows, weights=occ_w, minlength=n).astype(np.int64)
         return pa.table(
             {
                 "doc_id": ids,
@@ -5233,15 +5243,22 @@ def collocations(
         .groupby("word")
         .aggregate(Sum("c_s", alias_name="c"))
     )
+    colloc_schema = pa.schema(
+        [("ngram", pa.string()), ("n_occ", pa.int64()), ("pmi_micro", pa.int64())]
+    )
+
+    def _empty_result() -> pa.Table | None:
+        # honor the sink contract even for a wordless corpus
+        if output_path is not None:
+            import ray.data as rd
+
+            rd.from_arrow(colloc_schema.empty_table()).write_parquet(output_path)
+            return None
+        return colloc_schema.empty_table()
+
     uni_parts = list(uni_folded.iter_batches(batch_format="pyarrow"))
     if not uni_parts:
-        return pa.table(
-            {
-                "ngram": pa.array([], pa.string()),
-                "n_occ": pa.array([], pa.int64()),
-                "pmi_micro": pa.array([], pa.int64()),
-            }
-        )
+        return _empty_result()
     uni = pa.concat_tables(uni_parts)
     words_np = uni["word"].to_numpy(zero_copy_only=False)
     counts_np = uni["c"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -5251,13 +5268,7 @@ def collocations(
     vcounts = counts_np[~is_sentinel]
     tu = int(vcounts.sum())
     if tb == 0:
-        return pa.table(
-            {
-                "ngram": pa.array([], pa.string()),
-                "n_occ": pa.array([], pa.int64()),
-                "pmi_micro": pa.array([], pa.int64()),
-            }
-        )
+        return _empty_result()
     uni_ref = ray.put((vocab, vcounts))
 
     def _pmi(batch: pa.Table) -> pa.Table:

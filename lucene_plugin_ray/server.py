@@ -162,14 +162,9 @@ class LuceneHttpService:
         return None  # reference clear() completes with null
 
     def _search(self, q: dict) -> list[dict]:
-        try:
-            limit = int(q["limit"]) if q.get("limit") else None
-        except ValueError:
-            # malformed client input is a 400, not a defensive 500
-            raise LuceneException(f"limit must be an integer: {q['limit']!r}")
+        limit = self._limit_of(q)
         with self._lock:
-            if self.facade._pending:  # read-your-writes (see module doc)
-                self.facade.commit()
+            self._read_your_writes()
             entries = self.facade.search(
                 q.get("collection", ""), q.get("query", ""), limit=limit
             )

@@ -498,9 +498,7 @@ def _mix_corpus(tmp_path, split: int | None = None):
     d = tmp_path / "mix"
     d.mkdir(parents=True, exist_ok=True)
     if split:
-        pq.write_table(t.slice(0, split), d / "documents.parquet")
-        # same table as one file vs a two-file directory isn't possible for
-        # a single path op; instead reuse row-group splitting
+        # same corpus, many small row groups — exercises block splits
         pq.write_table(t, d / "documents.parquet", row_group_size=split)
     else:
         pq.write_table(t, d / "documents.parquet")

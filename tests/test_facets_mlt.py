@@ -317,9 +317,10 @@ def test_suggest_ranking_and_liveness(ray_session, tmp_path):
     pages = pa.table(
         {
             "url": pa.array([f"doc://{i:04d}" for i in range(n)], pa.string()),
-            "warc_ts": pa.array([1_600_000_000_000_000 + i] * 1 if False else
-                                [1_600_000_000_000_000 + i for i in range(n)],
-                                pa.timestamp("us")),
+            "warc_ts": pa.array(
+                [1_600_000_000_000_000 + i for i in range(n)],
+                pa.timestamp("us"),
+            ),
             "text": pa.array(texts, pa.string()),
             "lang": pa.array(["en"] * n, pa.string()),
         }
