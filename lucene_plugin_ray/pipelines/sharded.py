@@ -387,6 +387,38 @@ class _ShardActor:
         t = self.engine.facets(query, facet_field, collection=collection)
         return list(zip(t["value"].to_pylist(), t["count"].to_pylist()))
 
+    def count_partial(self, query: str, collection: str) -> int:
+        return self.engine.count(query, collection=collection)
+
+    def sorted_partial(
+        self, query: str, collection: str, limit: int, descending: bool
+    ) -> list[tuple[str, int, int]]:
+        """This shard's (url, warc_ts, docid) top-``limit`` under the
+        recency total order — per-shard truncation merges exactly on the
+        driver (same argument as the BM25 top-k merge)."""
+        t = self.engine.search_sorted(
+            query, collection=collection, limit=limit, descending=descending
+        )
+        return list(zip(t["url"].to_pylist(), t["warc_ts"].to_pylist(),
+                        t["docid"].to_pylist()))
+
+    def suggest_partial(
+        self, term: str, collection: str, field: str | None,
+        max_edits: int, k: int,
+    ) -> list[tuple[str, int, int]]:
+        """This shard's candidate (term, distance, df) rows.  df is the
+        shard-local partial — the driver sums per term (shards are
+        doc-disjoint) before the global (distance, df desc, term) rank, so
+        per-shard k-truncation must NOT apply: a term's global df rank can
+        exceed its rank on any one shard.  Candidate sets are vocabulary-
+        bounded (edit-distance ball), so 'all candidates' is tiny."""
+        t = self.engine.suggest(
+            term, collection=collection, field=field,
+            max_edits=max_edits, k=2**31 - 1,
+        )
+        return list(zip(t["term"].to_pylist(), t["distance"].to_pylist(),
+                        t["df"].to_pylist()))
+
     def score(self, qlist: list[dict], method: str, global_stats: dict,
               global_df_by_coll: dict) -> list[dict]:
         rows = []
@@ -449,6 +481,74 @@ class ShardedSearcherService:
             {
                 "value": pa.array([k for k, _ in items], pa.string()),
                 "count": pa.array([v for _, v in items], pa.int64()),
+            }
+        )
+
+    def count(self, query: str, collection: str = "default") -> int:
+        """Cluster-wide match count: per-shard boolean counts summed on the
+        driver (shards are doc-disjoint)."""
+        return sum(
+            ray.get([a.count_partial.remote(query, collection)
+                     for a in self.actors])
+        )
+
+    def search_sorted(
+        self,
+        query: str,
+        collection: str = "default",
+        limit: int | None = None,
+        descending: bool = True,
+    ) -> pa.Table:
+        """Cluster-wide recency-sorted search: per-shard top-``limit``
+        under the (warc_ts, url) total order, exact driver merge — same
+        contract as SearchEngine.search_sorted."""
+        limit = limit if limit is not None else self.cfg.result_limit
+        parts = ray.get(
+            [a.sorted_partial.remote(query, collection, limit, descending)
+             for a in self.actors]
+        )
+        rows = [r for p in parts for r in p]
+        rows.sort(key=lambda r: ((-r[1] if descending else r[1]), r[0]))
+        rows = rows[:limit]
+        return pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "warc_ts": pa.array([r[1] for r in rows], pa.int64()),
+                "docid": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+
+    def suggest(
+        self,
+        term: str,
+        collection: str = "default",
+        field: str | None = None,
+        max_edits: int = 2,
+        k: int = 5,
+    ) -> pa.Table:
+        """Cluster-wide spell suggestion: per-shard candidate (term,
+        distance, df-partial) rows, driver sums df per term (doc-disjoint
+        shards) then applies the global (distance asc, df desc, term asc)
+        rank — identical to SearchEngine.suggest on the whole index."""
+        parts = ray.get(
+            [a.suggest_partial.remote(term, collection, field, max_edits, k)
+             for a in self.actors]
+        )
+        dfs: dict[str, int] = {}
+        dists: dict[str, int] = {}
+        for p in parts:
+            for t, d, df in p:
+                dfs[t] = dfs.get(t, 0) + df
+                dists[t] = d
+        items = sorted(
+            ((t, dists[t], df) for t, df in dfs.items()),
+            key=lambda x: (x[1], -x[2], x[0]),
+        )[:k]
+        return pa.table(
+            {
+                "term": pa.array([t for t, _, _ in items], pa.string()),
+                "distance": pa.array([d for _, d, _ in items], pa.int64()),
+                "df": pa.array([f for _, _, f in items], pa.int64()),
             }
         )
 

@@ -362,3 +362,20 @@ def test_date_histogram_counts(built):
     assert eng.date_histogram("zzznope").num_rows == 0
     with pytest.raises(ValueError):
         eng.date_histogram("pagehit", interval_us=0)
+
+
+def test_sharded_count_sorted_suggest_equal_single_engine(built):
+    """The round-3 read surface through the sharded service equals the
+    single whole-index engine exactly."""
+    from lucene_plugin_ray.pipelines.sharded import ShardedSearcherService
+
+    _corpus, root, cfg, eng = built
+    svc = ShardedSearcherService(root, cfg=cfg, num_shards=3)
+    for q in ["pagehit", "pagehit w00001 w00002", "zzznope"]:
+        assert svc.count(q) == eng.count(q), q
+        for desc in (True, False):
+            a = svc.search_sorted(q, limit=7, descending=desc)
+            b = eng.search_sorted(q, limit=7, descending=desc)
+            assert a.equals(b), (q, desc)
+    assert svc.suggest("pagehti", k=5).equals(eng.suggest("pagehti", k=5))
+    assert svc.suggest("zzzzzz", k=5).num_rows == eng.suggest("zzzzzz", k=5).num_rows
