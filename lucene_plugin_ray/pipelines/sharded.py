@@ -552,6 +552,95 @@ class ShardedSearcherService:
             }
         )
 
+    def _gather_global(
+        self, terms_by_coll: dict[str, list[tuple[str, str]]]
+    ) -> tuple[dict, dict]:
+        """Phase-1 df/stats gather: one parallel round to the fleet, summed
+        on the driver (shards are doc-disjoint) → (global_stats,
+        global_df) — the corpus-global BM25 statistics every scoring call
+        injects."""
+        parts = ray.get(
+            [a.stats_and_dfs.remote(terms_by_coll) for a in self.actors]
+        )
+        global_stats: dict[str, dict] = {}
+        global_df: dict[str, dict] = {}
+        for stats, dfs in parts:
+            for coll, st in stats.items():
+                g = global_stats.setdefault(coll, {"n_docs": 0, "sum_dl": {}})
+                g["n_docs"] += st["n_docs"]
+                for f, s in st["sum_dl"].items():
+                    g["sum_dl"][f] = g["sum_dl"].get(f, 0) + s
+            for coll, d in dfs.items():
+                g = global_df.setdefault(coll, {})
+                for k, v in d.items():
+                    g[k] = g.get(k, 0) + v
+        return global_stats, global_df
+
+    def more_like_this(
+        self,
+        text: str,
+        collection: str = "default",
+        max_query_terms: int = 25,
+        limit: int | None = None,
+        exclude_url: str | None = None,
+        method: str = "taat",
+    ) -> pa.Table:
+        """Cluster-wide MoreLikeThis: term selection uses the fleet's
+        corpus-global df/n_docs (one phase-1 gather), then the derived
+        SHOULD query runs through :meth:`search_batch`'s exact two-phase
+        scoring — identical output to SearchEngine.more_like_this on the
+        whole index."""
+        from lucene_plugin_ray.functions.analysis import analyze
+        from lucene_plugin_ray.functions.bm25 import idf
+
+        limit = limit if limit is not None else self.cfg.result_limit
+        coll = sanitize_collection(collection)
+        empty = pa.table(
+            {"url": pa.array([], pa.string()),
+             "score": pa.array([], pa.float64())}
+        )
+        toks = analyze(text)
+        if not toks:
+            return empty
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        field = self.cfg.text_column
+        stats, dfs = self._gather_global(
+            {coll: sorted((field, t) for t in tf)}
+        )
+        n_docs = stats.get(coll, {}).get("n_docs", 0)
+        if n_docs == 0:
+            return empty
+        weighted = [
+            (tf[t] * idf(df, n_docs), t)
+            for (_f, t), df in dfs.get(coll, {}).items()
+            if df > 0
+        ]
+        weighted.sort(key=lambda wt: (-wt[0], wt[1]))
+        top = weighted[:max_query_terms]
+        if not top:
+            return empty
+        fetch = limit + 1 if exclude_url is not None else limit
+        res = self.search_batch(
+            pa.table(
+                {
+                    "qid": pa.array([0], pa.int64()),
+                    "collection": [collection],
+                    "query": [" ".join(t for _, t in top)],
+                    "k": pa.array([fetch], pa.int32()),
+                }
+            ),
+            method=method,
+        ).select(["url", "score"])
+        if exclude_url is not None and res.num_rows:
+            import pyarrow.compute as pc
+
+            res = res.filter(
+                pc.not_equal(res["url"], pa.scalar(exclude_url))
+            ).slice(0, limit)
+        return res
+
     def search_batch(self, queries: pa.Table, method: str = "taat") -> pa.Table:
         """(qid, query[, collection][, k]) → (qid, rank, url, score)."""
         qlist = []
@@ -570,23 +659,7 @@ class ShardedSearcherService:
             )
             terms_by_coll.setdefault(sc, set()).update(scored_term_keys(clauses))
         terms_sorted = {c: sorted(v) for c, v in terms_by_coll.items()}
-
-        # phase 1: parallel df/stats gather across the fleet
-        parts = ray.get(
-            [a.stats_and_dfs.remote(terms_sorted) for a in self.actors]
-        )
-        global_stats: dict[str, dict] = {}
-        global_df: dict[str, dict] = {}
-        for stats, dfs in parts:
-            for coll, st in stats.items():
-                g = global_stats.setdefault(coll, {"n_docs": 0, "sum_dl": {}})
-                g["n_docs"] += st["n_docs"]
-                for f, s in st["sum_dl"].items():
-                    g["sum_dl"][f] = g["sum_dl"].get(f, 0) + s
-            for coll, d in dfs.items():
-                g = global_df.setdefault(coll, {})
-                for k, v in d.items():
-                    g[k] = g.get(k, 0) + v
+        global_stats, global_df = self._gather_global(terms_sorted)
 
         # phase 2: parallel scoring; exact driver merge (total-order tiebreak)
         hit_lists = ray.get(

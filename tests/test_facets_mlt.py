@@ -379,3 +379,21 @@ def test_sharded_count_sorted_suggest_equal_single_engine(built):
             assert a.equals(b), (q, desc)
     assert svc.suggest("pagehti", k=5).equals(eng.suggest("pagehti", k=5))
     assert svc.suggest("zzzzzz", k=5).num_rows == eng.suggest("zzzzzz", k=5).num_rows
+
+
+def test_sharded_mlt_equals_single_engine(built):
+    from lucene_plugin_ray.pipelines.sharded import ShardedSearcherService
+
+    corpus, root, cfg, eng = built
+    svc = ShardedSearcherService(root, cfg=cfg, num_shards=3)
+    text = corpus["text"][42].as_py()
+    url = corpus["url"][42].as_py()
+    for m, lim, excl in [(8, 12, None), (5, 6, url)]:
+        a = svc.more_like_this(
+            text, max_query_terms=m, limit=lim, exclude_url=excl
+        )
+        b = eng.more_like_this(
+            text, max_query_terms=m, limit=lim, exclude_url=excl
+        ).select(["url", "score"])
+        assert a.equals(b), (m, lim, excl)
+    assert svc.more_like_this("").num_rows == 0
