@@ -230,3 +230,25 @@ def test_process_engine_cache_keys_on_cfg(built):
     shared = set(sa) & set(sb)
     assert shared
     assert any(abs(sa[k] - sb[k]) > 1e-9 for k in shared)
+
+
+def test_service_survives_shard_actor_kill(built):
+    """Persistent-fleet fault tolerance: killing a shard actor between
+    batches must not poison the service — the actor restarts (its
+    constructor args are small by-value, the round-2 restart hazard fix)
+    and re-pins its partition subset; results stay exact."""
+    import ray as _ray
+
+    from lucene_plugin_ray.pipelines.sharded import ShardedSearcherService
+
+    root, cfg, engine = built
+    svc = ShardedSearcherService(root, cfg=cfg, num_shards=3)
+    try:
+        before = svc.search_batch(_query_table())
+        _ray.kill(svc.actors[1], no_restart=False)
+        after = svc.search_batch(_query_table())
+        assert after.equals(before)
+        # the whole read surface still answers after the restart
+        assert svc.count("pagehit") == engine.count("pagehit")
+    finally:
+        svc.shutdown()
