@@ -222,6 +222,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def search_phrase(sf_dir: str) -> pa.Table:
         return _search_all(sf_dir, _PHRASE_Q)
 
+    def search_not(sf_dir: str) -> pa.Table:
+        """MUST_NOT (Q11): BM25 on 'spark' over docs NOT containing
+        'merge' — prohibited clauses exclude, never score."""
+        return _search_all(sf_dir, "spark -merge")
+
     def search_prefix(sf_dir: str) -> pa.Table:
         return _search_all(sf_dir, _PREFIX_Q)
 
@@ -358,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_prefix": search_prefix,
         "search_wildcard": search_wildcard,
         "search_fuzzy": search_fuzzy,
+        "search_not": search_not,
         "search_facets": search_facets,
         "search_count": search_count,
         "search_sorted": search_sorted,
@@ -493,6 +499,15 @@ ORDER BY doc_id
 
     # Q8 phrase: BM25 on slop-0 phrase frequency, summed per-term idf
     sql["search_phrase"] = _phrase_bm25_sql(["spark", "merge"])
+
+    # Q11 MUST_NOT: BM25 on the positive term, prohibited docs excluded
+    sql["search_not"] = f"""
+SELECT doc_id, score FROM ({_bm25_sql(['spark'])})
+WHERE doc_id NOT IN (
+  {_toks_cte()}
+  SELECT DISTINCT doc_id FROM toks WHERE term = 'merge')
+ORDER BY doc_id
+"""
 
     # Q9/Q10 dictionary-expanded constant-score clauses: a doc matches iff
     # ANY analyzed token matches the pattern — score 1.0 (Lucene 5.x

@@ -32,7 +32,7 @@ reference test exercises these):
       transposition automaton.
 
 Still unsupported and rejected loudly (SURVEY.md §2.8): boost (^), proximity
-slop ("a b"~2), NOT/-, parentheses, leading wildcards.
+slop ("a b"~2), parentheses, leading wildcards.
 
 Scoring semantics encoded in the AST (shared by engine and oracle):
 * TERM clauses score BM25; PHRASE clauses score BM25 on phrase frequency;
@@ -41,7 +41,10 @@ Scoring semantics encoded in the AST (shared by engine and oracle):
   BM25);
 * a document matches iff it matches ALL MUST clauses, or (when there are no
   MUST clauses) at least one SHOULD clause; every matching clause contributes
-  to the score (Lucene BooleanQuery semantics).
+  to the score (Lucene BooleanQuery semantics);
+* MUST_NOT clauses (``-term`` / ``NOT term`` / ``a AND NOT b``) EXCLUDE their
+  matches and never contribute score; a query with only prohibited clauses
+  matches nothing (Lucene BooleanQuery with no positive clause).
 """
 
 from __future__ import annotations
@@ -55,8 +58,9 @@ DEFAULT_FIELD = "text"
 
 MUST = "MUST"
 SHOULD = "SHOULD"
+MUST_NOT = "MUST_NOT"
 
-_FORBIDDEN = re.compile(r"[\"^()]|(?:^|\s)-")
+_FORBIDDEN = re.compile(r"[\"^()]")
 _FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.*)$", re.S)
 _QUOTED_RE = re.compile(r'"([^"]*)"')
 _FUZZY_RE = re.compile(r"^(.+?)~(\d+(?:\.\d+)?)?$", re.S)
@@ -191,6 +195,13 @@ def _parse_query_cached(query: str, default_field: str) -> tuple[Clause, ...]:
             if not items:
                 raise QueryParseError("OR with no left operand")
             occurs.append(None)
+        elif t == "NOT":
+            # "NOT b" / "a AND NOT b" / "a OR NOT b" all prohibit b
+            # (classic QueryParser: NOT overrides the connective occur)
+            if len(occurs) == len(items):
+                occurs.append(MUST_NOT)
+            else:
+                occurs[-1] = MUST_NOT
         else:
             if len(occurs) == len(items):
                 occurs.append(None)
@@ -201,13 +212,20 @@ def _parse_query_cached(query: str, default_field: str) -> tuple[Clause, ...]:
     clauses: list[Clause] = []
     for occ_override, item in zip(occurs, items):
         occur = SHOULD
-        if item.startswith("+"):
+        if item.startswith("-"):
+            occur = MUST_NOT
+            item = item[1:]
+            if not item or item[0] in "+-":
+                raise QueryParseError(f"bare or doubled prohibit: {item!r}")
+        elif item.startswith("+"):
             occur = MUST
             item = item[1:]
-            if not item:
-                raise QueryParseError("bare '+'")
-        if occ_override == MUST:
+            if not item or item[0] in "+-":
+                raise QueryParseError(f"bare or doubled operator: {item!r}")
+        if occ_override == MUST and occur != MUST_NOT:
             occur = MUST
+        elif occ_override == MUST_NOT:
+            occur = MUST_NOT
         field = default_field
         m = _FIELD_RE.match(item)
         if m:

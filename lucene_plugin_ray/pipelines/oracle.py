@@ -136,9 +136,14 @@ class OracleIndex:
         if n == 0:
             return []
 
-        musts, shoulds = [], []
+        musts, shoulds, nots = [], [], []
         for c in clauses:
-            (musts if c.occur == MUST else shoulds).append(c)
+            if c.occur == MUST:
+                musts.append(c)
+            elif c.occur == "MUST_NOT":
+                nots.append(c)
+            else:
+                shoulds.append(c)
 
         def clause_docs(c) -> set[int]:
             if isinstance(c, TermClause):
@@ -184,6 +189,8 @@ class OracleIndex:
             candidates = set()
             for c in shoulds:
                 candidates |= clause_docs(c)
+        for c in nots:
+            candidates -= clause_docs(c)
         if not candidates:
             return []
 

@@ -38,6 +38,8 @@ from lucene_plugin_ray.functions.bm25 import bm25_term_scores, idf
 from lucene_plugin_ray.functions.codec import decode_block_abs
 from lucene_plugin_ray.functions.queryparse import (
     MUST,
+    MUST_NOT,
+    SHOULD,
     Clause,
     MultiTermClause,
     PhraseClause,
@@ -549,6 +551,7 @@ class SearchEngine:
 
         rows: list[dict] = []
         must_ok = True
+        prohibited_hit = False
         score = 0.0
         for c in clauses:
             if isinstance(c, TermClause):
@@ -608,11 +611,18 @@ class SearchEngine:
                      "detail": detail, "df": None, "tf": int(matched),
                      "idf": None, "weight": weight}
                 )
+            if c.occur == MUST_NOT:
+                # prohibited: reported as seen, but contributes no score
+                rows[-1]["weight"] = 0.0
+                if matched:
+                    prohibited_hit = True
+                continue
             score += weight
             if c.occur == MUST and not matched:
                 must_ok = False
         has_must = any(c.occur == MUST for c in clauses)
-        overall = must_ok if has_must else score > 0.0
+        positive = must_ok if has_must else score > 0.0
+        overall = positive and not prohibited_hit
         return {
             "url": url,
             "docid": int(r.doc_base + local_doc),
@@ -623,56 +633,69 @@ class SearchEngine:
             "clauses": rows,
         }
 
+    def _clause_match_local(
+        self, si: int, seg: _LiveSegment, c: Clause, cache: dict, rows: dict
+    ) -> np.ndarray:
+        """Sorted local docids ONE clause matches in one segment —
+        alive-masked, with the scoring path's doc_len guard.  The shared
+        boolean kernel of :meth:`_match_segment` and the MUST_NOT handling
+        in :meth:`_score_segment_taat`."""
+        r = seg.reader
+        if isinstance(c, TermClause):
+            if r.doc_len.get(c.field) is None:
+                return np.empty(0, np.int64)
+            got = self._term_postings(si, seg, c, cache, rows)
+            return got[0] if got is not None else np.empty(0, np.int64)
+        if isinstance(c, PhraseClause):
+            if r.doc_len.get(c.field) is None:
+                return np.empty(0, np.int64)
+            got = self._phrase_postings(seg, c)
+            return got[0] if got is not None else np.empty(0, np.int64)
+        if isinstance(c, RangeClause):
+            range_rows = r.term_range(c.field, c.lo, c.hi)
+        else:
+            assert isinstance(c, MultiTermClause)
+            range_rows = self._expand_rows(seg, c)
+        m = np.zeros(r.n_docs, dtype=bool)
+        for row in range_rows:
+            docids, _ = r.postings(int(row))
+            loc = r.local_ids(docids)
+            if not seg.all_alive:
+                loc = loc[seg.alive[loc]]
+            m[loc] = True
+        return np.flatnonzero(m)
+
     def _match_segment(
         self, si: int, seg: _LiveSegment, clauses: list[Clause],
         cache: dict, rows: dict,
     ) -> np.ndarray:
         """Sorted local docids matching the boolean semantics of the scoring
-        path (all MUST clauses; else at least one SHOULD) — the score-free
-        twin of :meth:`_score_segment_taat`, used by faceting where EVERY
-        matching doc is needed, not a top-k.  Mirrors the scoring path's
-        clause handling exactly (including the doc_len guard on term
-        clauses) so facet totals always agree with search hit counts."""
-        r = seg.reader
-        n = r.n_docs
+        path (all MUST clauses; else at least one SHOULD; never a MUST_NOT
+        match) — the score-free twin of :meth:`_score_segment_taat`, used by
+        faceting/count where EVERY matching doc is needed, not a top-k."""
+        n = seg.reader.n_docs
         musts = [c for c in clauses if c.occur == MUST]
         must_cnt = np.zeros(n, dtype=np.int16) if musts else None
         any_hit = np.zeros(n, dtype=bool)
+        prohibited: np.ndarray | None = None
         for c in clauses:
-            if isinstance(c, TermClause):
-                if r.doc_len.get(c.field) is None:
-                    continue
-                got = self._term_postings(si, seg, c, cache, rows)
-                if got is None:
-                    continue
-                local = got[0]
-            elif isinstance(c, PhraseClause):
-                if r.doc_len.get(c.field) is None:
-                    continue
-                got = self._phrase_postings(seg, c)
-                if got is None:
-                    continue
-                local = got[0]
-            else:
-                if isinstance(c, RangeClause):
-                    range_rows = r.term_range(c.field, c.lo, c.hi)
-                else:
-                    assert isinstance(c, MultiTermClause)
-                    range_rows = self._expand_rows(seg, c)
-                m = np.zeros(n, dtype=bool)
-                for row in range_rows:
-                    docids, _ = r.postings(int(row))
-                    loc = r.local_ids(docids)
-                    if not seg.all_alive:
-                        loc = loc[seg.alive[loc]]
-                    m[loc] = True
-                local = np.flatnonzero(m)
+            local = self._clause_match_local(si, seg, c, cache, rows)
+            if c.occur == MUST_NOT:
+                if local.size:
+                    if prohibited is None:
+                        prohibited = np.zeros(n, dtype=bool)
+                    prohibited[local] = True
+                continue
             any_hit[local] = True
             if must_cnt is not None and c.occur == MUST:
                 must_cnt[local] += 1
         if must_cnt is not None:
-            return np.flatnonzero(must_cnt == len(musts))
-        return np.flatnonzero(any_hit)
+            cand = np.flatnonzero(must_cnt == len(musts))
+        else:
+            cand = np.flatnonzero(any_hit)
+        if prohibited is not None and cand.size:
+            cand = cand[~prohibited[cand]]
+        return cand
 
     # ---- sharded-execution surface (pipelines/sharded.py) ------------
     def local_collection_stats(self) -> dict[str, dict]:
@@ -806,9 +829,12 @@ class SearchEngine:
             global_df[key] = df
 
         # ---- phase 2: per-segment scoring + top-k, then merge (K1)
+        # block-max strategies handle pure-SHOULD term queries only;
+        # anything with MUST or MUST_NOT falls back to TAAT (which owns the
+        # boolean bookkeeping)
         use_bmw = (
             method == "bmw"
-            and all(isinstance(c, TermClause) and c.occur != MUST for c in clauses)
+            and all(isinstance(c, TermClause) and c.occur == SHOULD for c in clauses)
             and len(term_clauses) > 0
         )
         pure_and = (
@@ -818,7 +844,7 @@ class SearchEngine:
         )
         use_bmax = (
             method == "bmax"
-            and all(isinstance(c, TermClause) and c.occur != MUST for c in clauses)
+            and all(isinstance(c, TermClause) and c.occur == SHOULD for c in clauses)
             and len(term_clauses) > 0
         )
         parts = []
@@ -1011,8 +1037,18 @@ class SearchEngine:
         scores = np.zeros(n, dtype=np.float64)
         musts = [c for c in clauses if c.occur == MUST]
         must_cnt = np.zeros(n, dtype=np.int16) if musts else None
+        prohibited: np.ndarray | None = None
 
         for c in clauses:
+            if c.occur == MUST_NOT:
+                # prohibited clauses exclude their matches and contribute
+                # NO score (Lucene BooleanQuery MUST_NOT)
+                local = self._clause_match_local(si, seg, c, cache, rows)
+                if local.size:
+                    if prohibited is None:
+                        prohibited = np.zeros(n, dtype=bool)
+                    prohibited[local] = True
+                continue
             if isinstance(c, TermClause):
                 got = self._term_postings(si, seg, c, cache, rows)
                 if got is None:
@@ -1082,6 +1118,8 @@ class SearchEngine:
             cand = np.flatnonzero(must_cnt == len(musts))
         else:
             cand = np.flatnonzero(scores > 0.0)
+        if prohibited is not None and cand.size:
+            cand = cand[~prohibited[cand]]
         if cand.size == 0:
             return pa.table(
                 {"url": pa.array([], pa.string()),

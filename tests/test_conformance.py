@@ -350,3 +350,29 @@ def test_mixed_must_and_range(fields_built):
         assert got["url"].to_pylist() == [u for u, _ in exp], q
         for s, (_, es) in zip(got["score"].to_pylist(), exp):
             assert abs(s - es) < 1e-6, q
+
+
+def test_must_not_rank_identity(fields_built):
+    """MUST_NOT (-term / NOT): prohibited clauses exclude their matches and
+    never score — engine vs brute-force oracle across clause kinds, incl.
+    prohibited phrase / range / prefix clauses and the no-positive-clause
+    degenerate (matches nothing, Lucene BooleanQuery)."""
+    corpus, cfg, engine, oracle = fields_built
+    for q in [
+        "pagehit -w00000",
+        "pagehit NOT w00000",
+        "+w00000 AND NOT w00001",
+        "w00000 w00001 -w00002",
+        "+foo:lamb -age:[23 TO 23]",
+        "pagehit -w0000*",
+        'w00000 -"w00001 w00002"',
+        "pagehit -zzznope",            # prohibited term absent: no-op
+        "-pagehit",                    # no positive clause: empty
+    ]:
+        got = engine.search(q, limit=255)
+        exp = oracle.search(q, limit=255)
+        assert got["url"].to_pylist() == [u for u, _ in exp], q
+        for s, (_, es) in zip(got["score"].to_pylist(), exp):
+            assert abs(s - es) < 1e-6, q
+        # count/facet twin agrees with the full match set
+        assert engine.count(q) == len(oracle.search(q, limit=10**9)), q

@@ -52,7 +52,7 @@ def test_or_keyword():
 
 def test_rejects_unsupported():
     for q in [
-        "boost^2", "(group)", "-neg", "a -b",       # boost / grouping / NOT
+        "boost^2", "(group)",                        # boost / grouping
         '"a b"~2',                                   # proximity slop
         "*lead", "?lead",                            # leading wildcard
         "term~3", "term~9",                          # fuzzy maxEdits > 2
@@ -66,6 +66,22 @@ def test_rejects_unsupported():
         parse_query("")
     with pytest.raises(QueryParseError):
         parse_query("a AND")
+    with pytest.raises(QueryParseError):
+        parse_query("a --b")  # doubled prohibit
+    with pytest.raises(QueryParseError):
+        parse_query("a +-b")
+
+
+def test_must_not_clauses():
+    from lucene_plugin_ray.functions.queryparse import MUST_NOT
+
+    assert [c.occur for c in parse_query("a1 -b2")] == [SHOULD, MUST_NOT]
+    assert [c.occur for c in parse_query("a1 NOT b2")] == [SHOULD, MUST_NOT]
+    assert [c.occur for c in parse_query("+a1 AND NOT b2")] == [MUST, MUST_NOT]
+    assert [c.occur for c in parse_query("-b2")] == [MUST_NOT]
+    # prohibited phrase / prefix / field clauses parse too
+    cs = parse_query('a1 -"x1 y2" -lang:de -pre*')
+    assert [c.occur for c in cs] == [SHOULD, MUST_NOT, MUST_NOT, MUST_NOT]
 
 
 def test_phrase_clause():
@@ -173,7 +189,7 @@ def test_parser_never_crashes_unexpectedly(q):
     except QueryParseError:
         return
     for c in clauses:
-        assert c.occur in (MUST, SHOULD)
+        assert c.occur in (MUST, SHOULD, "MUST_NOT")
 
 
 def test_binary_source(ray_session, tmp_path):
