@@ -227,6 +227,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'merge' — prohibited clauses exclude, never score."""
         return _search_all(sf_dir, "spark -merge")
 
+    def search_synonyms(sf_dir: str) -> pa.Table:
+        """Lucene SynonymQuery: group (spark, merge) scored as one
+        pseudo-term — tf summed over members, idf from the max member df."""
+        from lucene_plugin_ray.sources.pages import url_to_doc_id
+
+        engine, cfg = _engine_for(sf_dir)
+        res = engine.search(
+            "spark", limit=1_000_000_000, synonyms={"spark": ["merge"]}
+        )
+        return pa.table(
+            {
+                "doc_id": url_to_doc_id(res["url"].combine_chunks()),
+                "score": pc.round(res["score"].combine_chunks(), ndigits=4),
+            }
+        ).sort_by("doc_id")
+
     def search_prefix(sf_dir: str) -> pa.Table:
         return _search_all(sf_dir, _PREFIX_Q)
 
@@ -364,6 +380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_wildcard": search_wildcard,
         "search_fuzzy": search_fuzzy,
         "search_not": search_not,
+        "search_synonyms": search_synonyms,
         "search_facets": search_facets,
         "search_count": search_count,
         "search_sorted": search_sorted,
@@ -499,6 +516,28 @@ ORDER BY doc_id
 
     # Q8 phrase: BM25 on slop-0 phrase frequency, summed per-term idf
     sql["search_phrase"] = _phrase_bm25_sql(["spark", "merge"])
+
+    # SynonymQuery: (spark, merge) as one pseudo-term — tf summed over
+    # members, idf from the MAX member df
+    sql["search_synonyms"] = f"""
+{_toks_cte()},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+docs AS (SELECT d.doc_id, coalesce(dl.dl, 0) AS dl
+         FROM documents d LEFT JOIN dl USING (doc_id)),
+stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM docs),
+gdf AS (SELECT max(df) AS df FROM
+        (SELECT term, count(*) AS df FROM tf
+         WHERE term IN ('spark', 'merge') GROUP BY term)),
+gtf AS (SELECT doc_id, sum(tf) AS tf FROM tf
+        WHERE term IN ('spark', 'merge') GROUP BY doc_id)
+SELECT gtf.doc_id AS doc_id,
+       round(ln(1.0 + (s.n - g.df + 0.5) / (g.df + 0.5))
+             * (gtf.tf * (1.2 + 1.0))
+             / (gtf.tf + 1.2 * (1.0 - 0.75 + 0.75 * docs.dl / s.avgdl)), 4) AS score
+FROM gtf JOIN docs USING (doc_id) CROSS JOIN stats s CROSS JOIN gdf g
+ORDER BY doc_id
+"""
 
     # Q11 MUST_NOT: BM25 on the positive term, prohibited docs excluded
     sql["search_not"] = f"""

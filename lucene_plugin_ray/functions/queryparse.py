@@ -111,7 +111,20 @@ class MultiTermClause:
     max_edits: int = 0
 
 
-Clause = TermClause | RangeClause | PhraseClause | MultiTermClause
+@dataclass(frozen=True)
+class SynonymClause:
+    """Lucene SynonymQuery: a group of terms scored as ONE pseudo-term —
+    per-doc tf is the SUM of member tfs, idf uses the MAX member df
+    (org.apache.lucene.search.SynonymQuery under BM25Similarity).  Built
+    programmatically from a synonym map (Lucene wires it from the analyzer
+    graph, not query text): see SearchEngine.search(synonyms=...)."""
+
+    occur: str
+    field: str
+    terms: tuple[str, ...]
+
+
+Clause = TermClause | RangeClause | PhraseClause | MultiTermClause | SynonymClause
 
 
 def scored_term_keys(clauses) -> list[tuple[str, str]]:
@@ -124,7 +137,7 @@ def scored_term_keys(clauses) -> list[tuple[str, str]]:
     for c in clauses:
         if isinstance(c, TermClause):
             keys.append((c.field, c.term))
-        elif isinstance(c, PhraseClause):
+        elif isinstance(c, (PhraseClause, SynonymClause)):
             keys.extend((c.field, t) for t in c.terms)
     return keys
 
@@ -289,3 +302,25 @@ def _parse_query_cached(query: str, default_field: str) -> tuple[Clause, ...]:
         for term in terms:
             clauses.append(TermClause(occur, field, term))
     return tuple(clauses)
+
+
+def apply_synonyms(
+    clauses: tuple, synonyms: dict[str, list[str]]
+) -> tuple:
+    """Rewrite TERM clauses whose term has synonyms into SynonymClause
+    groups (the analyzed member set, probe term first, duplicates dropped,
+    order-stable).  Non-term clauses and MUST_NOT terms rewrite too —
+    prohibiting a synonym group prohibits any member match."""
+    out = []
+    for c in clauses:
+        if isinstance(c, TermClause) and c.term in synonyms:
+            members = [c.term]
+            for s in synonyms[c.term]:
+                for t in analyze(s):
+                    if t not in members:
+                        members.append(t)
+            if len(members) > 1:
+                out.append(SynonymClause(c.occur, c.field, tuple(members)))
+                continue
+        out.append(c)
+    return tuple(out)

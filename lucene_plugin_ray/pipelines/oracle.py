@@ -22,6 +22,7 @@ from lucene_plugin_ray.functions.analysis import analyze, sanitize_collection
 from lucene_plugin_ray.functions.bm25 import idf
 from lucene_plugin_ray.functions.docid import assign_docids_reference
 from lucene_plugin_ray.functions.queryparse import (
+    SynonymClause,
     MUST,
     MultiTermClause,
     PhraseClause,
@@ -124,12 +125,18 @@ class OracleIndex:
         ]
 
     # -- search -----------------------------------------------------------
-    def search(self, query: str, collection: str = "default", limit: int | None = None):
+    def search(self, query: str, collection: str = "default",
+               limit: int | None = None,
+               synonyms: dict[str, list[str]] | None = None):
         """Return [(url, score), ...] — top-k, (score desc, docid asc)."""
+        from lucene_plugin_ray.functions.queryparse import apply_synonyms
+
         cfg = self.cfg
         limit = limit if limit is not None else cfg.result_limit
         coll = sanitize_collection(collection)
         clauses = parse_query(query, default_field=cfg.text_column)
+        if synonyms:
+            clauses = list(apply_synonyms(tuple(clauses), synonyms))
         if not clauses:
             return []
         n = self.n_docs.get(coll, 0)
@@ -162,6 +169,15 @@ class OracleIndex:
                     if not cand:
                         return set()
                 return {d for d in cand if self._phrase_freq(c, d) > 0}
+            if isinstance(c, SynonymClause):
+                out: set[int] = set()
+                for t in c.terms:
+                    out.update(
+                        d
+                        for d in self.postings[c.field].get(t, {})
+                        if self.coll_of[d] == coll
+                    )
+                return out
             if isinstance(c, MultiTermClause):
                 out: set[int] = set()
                 for t in self._expanded_terms(c):
@@ -205,6 +221,25 @@ class OracleIndex:
                 w = idf(df, n)
                 for d in candidates:
                     tf = posting.get(d)
+                    if tf:
+                        dl = self.doc_len[c.field][d]
+                        denom = tf + cfg.k1 * (1 - cfg.b + cfg.b * dl / avgdl)
+                        scores[d] += w * (tf * (cfg.k1 + 1)) / denom
+            elif isinstance(c, SynonymClause):
+                # Lucene SynonymQuery: tf summed over members, idf from the
+                # MAX member df
+                df = max(
+                    (self._df(c.field, t, coll) for t in c.terms), default=0
+                )
+                if df == 0:
+                    continue
+                w = idf(df, n)
+                avgdl = self._avgdl(c.field, coll)
+                for d in candidates:
+                    tf = sum(
+                        self.postings[c.field].get(t, {}).get(d, 0)
+                        for t in c.terms
+                    )
                     if tf:
                         dl = self.doc_len[c.field][d]
                         denom = tf + cfg.k1 * (1 - cfg.b + cfg.b * dl / avgdl)

@@ -44,7 +44,9 @@ from lucene_plugin_ray.functions.queryparse import (
     MultiTermClause,
     PhraseClause,
     RangeClause,
+    SynonymClause,
     TermClause,
+    apply_synonyms,
     parse_query,
     scored_term_keys,
 )
@@ -188,22 +190,33 @@ class SearchEngine:
         collection: str = "default",
         limit: int | None = None,
         method: str = "taat",
+        synonyms: dict[str, list[str]] | None = None,
     ) -> pa.Table:
         """Top-k search → Arrow table (url, score, docid), ordered
         (score desc, url asc).  ``limit`` defaults to the reference's
         effective 255 cap (K1, LuceneReaderImpl.java:104).  ``method``:
         'taat' (default, vectorized accumulator; pure-AND auto-switches to
         galloping intersection), 'bmw' (doc-at-a-time block-max WAND),
-        'bmax' (vectorized block-max best-first)."""
+        'bmax' (vectorized block-max best-first).  ``synonyms``
+        ({term: [synonym, ...]}) rewrites matching TERM clauses into
+        Lucene-SynonymQuery groups — tf summed over members, idf from the
+        max member df (scored on the TAAT path)."""
         limit = limit if limit is not None else self.cfg.result_limit
         coll = sanitize_collection(collection)
-        cache_key = (coll, query, limit, method)
+        syn_key = (
+            tuple(sorted((k, tuple(v)) for k, v in synonyms.items()))
+            if synonyms
+            else None
+        )
+        cache_key = (coll, query, limit, method, syn_key)
         hit = self._results_cache.get(cache_key)
         if hit is not None:
             self._results_cache.move_to_end(cache_key)
             return hit
 
         clauses = parse_query(query, default_field=self.cfg.text_column)
+        if synonyms:
+            clauses = list(apply_synonyms(tuple(clauses), synonyms))
         table = self._execute(clauses, coll, limit, method)
 
         self._results_cache[cache_key] = table
@@ -259,7 +272,12 @@ class SearchEngine:
             }
         )
 
-    def count(self, query: str, collection: str = "default") -> int:
+    def count(
+        self,
+        query: str,
+        collection: str = "default",
+        synonyms: dict[str, list[str]] | None = None,
+    ) -> int:
         """Total number of live documents matching the query — Lucene
         IndexSearcher.count(Query): boolean matching only, no scores, no
         top-k heap.  Uses the score-free :meth:`_match_segment` per segment
@@ -267,6 +285,8 @@ class SearchEngine:
         with zero per-doc scoring work."""
         coll = sanitize_collection(collection)
         clauses = parse_query(query, default_field=self.cfg.text_column)
+        if synonyms:
+            clauses = list(apply_synonyms(tuple(clauses), synonyms))
         segs = self._segments.get(coll, [])
         return sum(
             int(self._match_segment(si, seg, clauses, {}, {}).size)
@@ -651,6 +671,17 @@ class SearchEngine:
                 return np.empty(0, np.int64)
             got = self._phrase_postings(seg, c)
             return got[0] if got is not None else np.empty(0, np.int64)
+        if isinstance(c, SynonymClause):
+            if r.doc_len.get(c.field) is None:
+                return np.empty(0, np.int64)
+            m = np.zeros(r.n_docs, dtype=bool)
+            for t in c.terms:
+                got = self._term_postings(
+                    si, seg, TermClause(c.occur, c.field, t), cache, rows
+                )
+                if got is not None:
+                    m[got[0]] = True
+            return np.flatnonzero(m)
         if isinstance(c, RangeClause):
             range_rows = r.term_range(c.field, c.lo, c.hi)
         else:
@@ -1067,6 +1098,44 @@ class SearchEngine:
                 scores[local] += s
                 if must_cnt is not None and c.occur == MUST:
                     must_cnt[local] += 1
+            elif isinstance(c, SynonymClause):
+                # Lucene SynonymQuery: the group scores as ONE pseudo-term —
+                # per-doc tf = Σ member tfs, idf from the MAX member df
+                dl = r.doc_len.get(c.field)
+                if dl is None:
+                    continue
+                max_df = max(
+                    (global_df.get((c.field, t), 0) for t in c.terms),
+                    default=0,
+                )
+                if max_df == 0:
+                    continue
+                agg = np.zeros(n, dtype=np.float64)
+                seen = np.zeros(n, dtype=bool)
+                for t in c.terms:
+                    got = self._term_postings(
+                        si, seg, TermClause(c.occur, c.field, t), cache, rows
+                    )
+                    if got is None:
+                        continue
+                    local, tfs = got
+                    agg[local] += tfs
+                    seen[local] = True
+                docs = np.flatnonzero(seen)
+                if docs.size == 0:
+                    continue
+                tf = agg[docs]
+                w = idf(max_df, n_docs)
+                k1, b = self.cfg.k1, self.cfg.b
+                dlv = dl[docs].astype(np.float64)
+                s = (
+                    w
+                    * (tf * (k1 + 1.0))
+                    / (tf + k1 * (1.0 - b + b * dlv / avgdl.get(c.field, 1.0)))
+                )
+                scores[docs] += s
+                if must_cnt is not None and c.occur == MUST:
+                    must_cnt[docs] += 1
             elif isinstance(c, PhraseClause):
                 # Q8: BM25 over the phrase frequency, idf = sum of the
                 # constituent terms' idfs (Lucene PhraseQuery under

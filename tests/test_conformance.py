@@ -376,3 +376,37 @@ def test_must_not_rank_identity(fields_built):
             assert abs(s - es) < 1e-6, q
         # count/facet twin agrees with the full match set
         assert engine.count(q) == len(oracle.search(q, limit=10**9)), q
+
+
+def test_synonym_query_rank_identity(fields_built):
+    """SynonymQuery semantics (Lucene org.apache.lucene.search.SynonymQuery
+    under BM25): the group scores as ONE pseudo-term — per-doc tf is the
+    SUM of member tfs, idf uses the MAX member df.  Engine vs brute-force
+    oracle, incl. MUST / MUST_NOT synonym groups and absent members."""
+    corpus, cfg, engine, oracle = fields_built
+    cases = [
+        ("w00000", {"w00000": ["w00001"]}),
+        ("w00000 w00005", {"w00000": ["w00001", "w00002"]}),
+        ("+w00000 +w00003", {"w00000": ["w00001"]}),
+        ("pagehit -w00000", {"w00000": ["w00001"]}),     # prohibited group
+        ("w00000", {"w00000": ["zzznope"]}),             # absent member
+        ("w00000", {"other": ["w00001"]}),               # map misses: plain
+    ]
+    for q, syn in cases:
+        got = engine.search(q, limit=255, synonyms=syn)
+        exp = oracle.search(q, limit=255, synonyms=syn)
+        assert got["url"].to_pylist() == [u for u, _ in exp], (q, syn)
+        for s, (_, es) in zip(got["score"].to_pylist(), exp):
+            assert abs(s - es) < 1e-6, (q, syn)
+        assert engine.count(q, synonyms=syn) == len(
+            oracle.search(q, limit=10**9, synonyms=syn)
+        ), (q, syn)
+    # a synonym group strictly widens the match set
+    plain = engine.count("w00000")
+    grouped = engine.count("w00000", synonyms={"w00000": ["w00001"]})
+    assert grouped >= plain
+    # no synonyms arg == plain query (cache keys must not collide)
+    a = engine.search("w00000", limit=10)
+    b = engine.search("w00000", limit=10, synonyms={"w00000": ["w00001"]})
+    c = engine.search("w00000", limit=10)
+    assert a.equals(c) and not a.equals(b)
