@@ -196,6 +196,7 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     ext_qset = [
         '"spark merge"', '"merge group"', '"spark merge group"',
         "spar*", "s?a*", "spakr~1", "stream~2",
+        "spark -merge", "spark NOT window",  # Q11 MUST_NOT
     ]
     for q in ext_qset:  # cold pass (positions decode + expansion caches)
         eng._results_cache.clear()
@@ -214,6 +215,7 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     # suggest / date histogram (full-match-set ops — no top-k truncation) --
     mlt_probe = "spark merge window group stream batch query table row data"
     aux_ops = [
+        lambda: eng.search("spark", limit=10, synonyms={"spark": ["stream"]}),
         lambda: eng.facets("spark merge", "lang"),
         lambda: eng.count("spark merge window"),
         lambda: eng.search_sorted("spark merge", limit=10),
