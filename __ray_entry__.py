@@ -227,6 +227,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'merge' — prohibited clauses exclude, never score."""
         return _search_all(sf_dir, "spark -merge")
 
+    def search_boost(sf_dir: str) -> pa.Table:
+        """Boost (Q12): 'spark^2 merge' — spark's BM25 doubled."""
+        return _search_all(sf_dir, "spark^2 merge")
+
     def search_synonyms(sf_dir: str) -> pa.Table:
         """Lucene SynonymQuery: group (spark, merge) scored as one
         pseudo-term — tf summed over members, idf from the max member df."""
@@ -380,6 +384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_wildcard": search_wildcard,
         "search_fuzzy": search_fuzzy,
         "search_not": search_not,
+        "search_boost": search_boost,
         "search_synonyms": search_synonyms,
         "search_facets": search_facets,
         "search_count": search_count,
@@ -516,6 +521,32 @@ ORDER BY doc_id
 
     # Q8 phrase: BM25 on slop-0 phrase frequency, summed per-term idf
     sql["search_phrase"] = _phrase_bm25_sql(["spark", "merge"])
+
+    # Q12 boost: per-clause score multiplier (^n) — spark doubled
+    sql["search_boost"] = f"""
+{_toks_cte()},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+docs AS (SELECT d.doc_id, coalesce(dl.dl, 0) AS dl
+         FROM documents d LEFT JOIN dl USING (doc_id)),
+stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM docs),
+qt(term, boost) AS (VALUES ('spark', 2.0), ('merge', 1.0)),
+df AS (SELECT term, count(*) AS df FROM tf
+       WHERE term IN (SELECT term FROM qt) GROUP BY term)
+SELECT tf.doc_id AS doc_id,
+       round(sum(
+         (ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+          * (tf.tf * (1.2 + 1.0))
+          / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * docs.dl / s.avgdl))) * qt.boost
+       ), 4) AS score
+FROM tf
+JOIN df USING (term)
+JOIN qt USING (term)
+JOIN docs ON docs.doc_id = tf.doc_id
+CROSS JOIN stats s
+GROUP BY tf.doc_id
+ORDER BY doc_id
+"""
 
     # SynonymQuery: (spark, merge) as one pseudo-term — tf summed over
     # members, idf from the MAX member df

@@ -31,8 +31,13 @@ reference test exercises these):
       damerau_levenshtein, the conformance oracle) not Lucene's
       transposition automaton.
 
-Still unsupported and rejected loudly (SURVEY.md §2.8): boost (^), proximity
-slop ("a b"~2), parentheses, leading wildcards.
+Still unsupported and rejected loudly (SURVEY.md §2.8): proximity slop
+("a b"~2), parentheses, leading wildcards.  Boost (Q12, ``term^2`` /
+``"a b"^1.5`` / ``field:[x TO y]^3``) multiplies the clause's score
+(constant-score clauses contribute the boost itself — Lucene semantics);
+boost must be > 0 (a 0-boost SHOULD clause would match with score 0, which
+the score-driven SHOULD candidate set cannot represent — rejected loudly
+instead of silently diverging).
 
 Scoring semantics encoded in the AST (shared by engine and oracle):
 * TERM clauses score BM25; PHRASE clauses score BM25 on phrase frequency;
@@ -60,7 +65,7 @@ MUST = "MUST"
 SHOULD = "SHOULD"
 MUST_NOT = "MUST_NOT"
 
-_FORBIDDEN = re.compile(r"[\"^()]")
+_FORBIDDEN = re.compile(r"[\"()]")
 _FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.*)$", re.S)
 _QUOTED_RE = re.compile(r'"([^"]*)"')
 _FUZZY_RE = re.compile(r"^(.+?)~(\d+(?:\.\d+)?)?$", re.S)
@@ -77,6 +82,7 @@ class TermClause:
     occur: str
     field: str
     term: str
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -85,6 +91,7 @@ class RangeClause:
     field: str
     lo: str
     hi: str
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -94,6 +101,7 @@ class PhraseClause:
     occur: str
     field: str
     terms: tuple[str, ...]
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -109,6 +117,7 @@ class MultiTermClause:
     kind: str
     pattern: str
     max_edits: int = 0
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -122,6 +131,7 @@ class SynonymClause:
     occur: str
     field: str
     terms: tuple[str, ...]
+    boost: float = 1.0
 
 
 Clause = TermClause | RangeClause | PhraseClause | MultiTermClause | SynonymClause
@@ -245,6 +255,18 @@ def _parse_query_cached(query: str, default_field: str) -> tuple[Clause, ...]:
             field, item = m.group(1), m.group(2)
             if not item:
                 raise QueryParseError(f"empty term for field {field!r}")
+        # Q12 boost: trailing ^number multiplies the clause score
+        boost = 1.0
+        bmatch = re.search(r"\^(\d+(?:\.\d+)?)$", item)
+        if bmatch:
+            boost = float(bmatch.group(1))
+            item = item[: bmatch.start()]
+            if boost <= 0:
+                raise QueryParseError("boost must be > 0")
+            if not item:
+                raise QueryParseError("bare boost")
+        if "^" in item:
+            raise QueryParseError(f"malformed boost in {item!r}")
         pm = _PLACEHOLDER_RE.match(item)
         if pm:
             # Q8 phrase: analyzed like the index side; fully-stopworded
@@ -252,16 +274,16 @@ def _parse_query_cached(query: str, default_field: str) -> tuple[Clause, ...]:
             # null query); single survivor degenerates to TermQuery
             pterms = analyze(phrases[int(pm.group(1))])
             if len(pterms) == 1:
-                clauses.append(TermClause(occur, field, pterms[0]))
+                clauses.append(TermClause(occur, field, pterms[0], boost))
             elif pterms:
-                clauses.append(PhraseClause(occur, field, tuple(pterms)))
+                clauses.append(PhraseClause(occur, field, tuple(pterms), boost))
             continue
         if "\x00" in item:
             raise QueryParseError(f"phrase must be a whole clause: {item!r}")
         rm = re.match(r"^\[(.+)\s+TO\s+(.+)\]$", item)
         if rm:
             lo, hi = rm.group(1).lower(), rm.group(2).lower()
-            clauses.append(RangeClause(occur, field, lo, hi))
+            clauses.append(RangeClause(occur, field, lo, hi, boost))
             continue
         if "*" in item or "?" in item:
             # Q9 prefix/wildcard: lowercased, NOT analyzed
@@ -272,9 +294,13 @@ def _parse_query_cached(query: str, default_field: str) -> tuple[Clause, ...]:
                     f"leading wildcard not allowed: {item!r}"
                 )  # allowLeadingWildcard=false parity
             if pat.endswith("*") and not re.search(r"[*?]", pat[:-1]):
-                clauses.append(MultiTermClause(occur, field, "prefix", pat[:-1]))
+                clauses.append(
+                    MultiTermClause(occur, field, "prefix", pat[:-1], boost=boost)
+                )
             else:
-                clauses.append(MultiTermClause(occur, field, "wildcard", pat))
+                clauses.append(
+                    MultiTermClause(occur, field, "wildcard", pat, boost=boost)
+                )
             continue
         fm = _FUZZY_RE.match(item) if "~" in item else None
         if fm:
@@ -290,17 +316,19 @@ def _parse_query_cached(query: str, default_field: str) -> tuple[Clause, ...]:
                 )  # FuzzyQuery maxEdits<=2 parity
             if edits == 0:
                 for term in analyze(base):
-                    clauses.append(TermClause(occur, field, term))
+                    clauses.append(TermClause(occur, field, term, boost))
             else:
                 clauses.append(
-                    MultiTermClause(occur, field, "fuzzy", base, max_edits=edits)
+                    MultiTermClause(
+                        occur, field, "fuzzy", base, max_edits=edits, boost=boost
+                    )
                 )
             continue
         if "~" in item:
             raise QueryParseError(f"unsupported query syntax: {item!r}")
         terms = analyze(item)  # Q7: query-side analysis, same analyzer
         for term in terms:
-            clauses.append(TermClause(occur, field, term))
+            clauses.append(TermClause(occur, field, term, boost))
     return tuple(clauses)
 
 

@@ -224,7 +224,7 @@ class OracleIndex:
                     if tf:
                         dl = self.doc_len[c.field][d]
                         denom = tf + cfg.k1 * (1 - cfg.b + cfg.b * dl / avgdl)
-                        scores[d] += w * (tf * (cfg.k1 + 1)) / denom
+                        scores[d] += (w * (tf * (cfg.k1 + 1)) / denom) * c.boost
             elif isinstance(c, SynonymClause):
                 # Lucene SynonymQuery: tf summed over members, idf from the
                 # MAX member df
@@ -243,7 +243,7 @@ class OracleIndex:
                     if tf:
                         dl = self.doc_len[c.field][d]
                         denom = tf + cfg.k1 * (1 - cfg.b + cfg.b * dl / avgdl)
-                        scores[d] += w * (tf * (cfg.k1 + 1)) / denom
+                        scores[d] += (w * (tf * (cfg.k1 + 1)) / denom) * c.boost
             elif isinstance(c, PhraseClause):
                 # BM25 on phrase frequency, idf = sum of per-term idfs
                 # (Lucene PhraseQuery under BM25Similarity)
@@ -258,14 +258,14 @@ class OracleIndex:
                     if pf:
                         dl = self.doc_len[c.field][d]
                         denom = pf + cfg.k1 * (1 - cfg.b + cfg.b * dl / avgdl)
-                        scores[d] += w * (pf * (cfg.k1 + 1)) / denom
+                        scores[d] += (w * (pf * (cfg.k1 + 1)) / denom) * c.boost
             else:
                 hits = clause_docs(c)
                 for d in candidates:
                     if d in hits:
-                        # constant-score 1.0: range + multi-term (Lucene 5.x
-                        # CONSTANT_SCORE rewrite)
-                        scores[d] += 1.0
+                        # constant-score: range + multi-term contribute the
+                        # boost (Lucene 5.x CONSTANT_SCORE rewrite)
+                        scores[d] += c.boost
 
         # Tiebreak: score desc, then URL asc.  URL (not docid) because the
         # url order is invariant under generations, partitioning and

@@ -584,10 +584,12 @@ class SearchEngine:
                 tf = _tf_of(*got) if got is not None else 0
                 w = idf(df, n_docs) if df else 0.0
                 weight = _bm25(w, tf, c.field)
+                if c.boost != 1.0:
+                    weight = weight * c.boost
                 rows.append(
                     {"kind": "term", "occur": c.occur, "field": c.field,
                      "detail": c.term, "df": df, "tf": tf,
-                     "idf": w, "weight": weight}
+                     "idf": w, "boost": c.boost, "weight": weight}
                 )
                 matched = tf > 0
             elif isinstance(c, PhraseClause):
@@ -603,10 +605,12 @@ class SearchEngine:
                     if global_df.get((c.field, t), 0) > 0
                 )
                 weight = _bm25(w, pf, c.field)
+                if c.boost != 1.0:
+                    weight = weight * c.boost
                 rows.append(
                     {"kind": "phrase", "occur": c.occur, "field": c.field,
                      "detail": " ".join(c.terms), "df": None, "tf": pf,
-                     "idf": w, "weight": weight}
+                     "idf": w, "boost": c.boost, "weight": weight}
                 )
                 matched = pf > 0
             else:
@@ -625,11 +629,11 @@ class SearchEngine:
                     if j < local.size and local[j] == local_doc:
                         matched = True
                         break
-                weight = 1.0 if matched else 0.0
+                weight = c.boost if matched else 0.0
                 rows.append(
                     {"kind": kind, "occur": c.occur, "field": c.field,
                      "detail": detail, "df": None, "tf": int(matched),
-                     "idf": None, "weight": weight}
+                     "idf": None, "boost": c.boost, "weight": weight}
                 )
             if c.occur == MUST_NOT:
                 # prohibited: reported as seen, but contributes no score
@@ -863,18 +867,22 @@ class SearchEngine:
         # block-max strategies handle pure-SHOULD term queries only;
         # anything with MUST or MUST_NOT falls back to TAAT (which owns the
         # boolean bookkeeping)
+        unboosted = all(getattr(c, "boost", 1.0) == 1.0 for c in clauses)
         use_bmw = (
             method == "bmw"
+            and unboosted
             and all(isinstance(c, TermClause) and c.occur == SHOULD for c in clauses)
             and len(term_clauses) > 0
         )
         pure_and = (
             len(clauses) > 1
+            and unboosted
             and all(isinstance(c, TermClause) and c.occur == MUST for c in clauses)
             and method != "bmw"
         )
         use_bmax = (
             method == "bmax"
+            and unboosted
             and all(isinstance(c, TermClause) and c.occur == SHOULD for c in clauses)
             and len(term_clauses) > 0
         )
@@ -1095,6 +1103,8 @@ class SearchEngine:
                     tfs, dl[local], df, n_docs, avgdl.get(c.field, 1.0),
                     k1=self.cfg.k1, b=self.cfg.b,
                 )
+                if c.boost != 1.0:
+                    s = s * c.boost
                 scores[local] += s
                 if must_cnt is not None and c.occur == MUST:
                     must_cnt[local] += 1
@@ -1133,6 +1143,8 @@ class SearchEngine:
                     * (tf * (k1 + 1.0))
                     / (tf + k1 * (1.0 - b + b * dlv / avgdl.get(c.field, 1.0)))
                 )
+                if c.boost != 1.0:
+                    s = s * c.boost
                 scores[docs] += s
                 if must_cnt is not None and c.occur == MUST:
                     must_cnt[docs] += 1
@@ -1160,6 +1172,8 @@ class SearchEngine:
                     * (tf * (k1 + 1.0))
                     / (tf + k1 * (1.0 - b + b * dlv / avgdl.get(c.field, 1.0)))
                 )
+                if c.boost != 1.0:
+                    s = s * c.boost
                 scores[u_docs] += s
                 if must_cnt is not None and c.occur == MUST:
                     must_cnt[u_docs] += 1
@@ -1178,8 +1192,9 @@ class SearchEngine:
                     if not seg.all_alive:
                         local = local[seg.alive[local]]
                     matched[local] = True
-                # constant-score 1.0 (Lucene 5.x CONSTANT_SCORE rewrite)
-                scores[matched] += 1.0
+                # constant-score (Lucene 5.x CONSTANT_SCORE rewrite): the
+                # contribution IS the boost (1.0 unboosted)
+                scores[matched] += c.boost
                 if must_cnt is not None and c.occur == MUST:
                     must_cnt[matched] += 1
 

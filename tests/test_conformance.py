@@ -410,3 +410,38 @@ def test_synonym_query_rank_identity(fields_built):
     b = engine.search("w00000", limit=10, synonyms={"w00000": ["w00001"]})
     c = engine.search("w00000", limit=10)
     assert a.equals(c) and not a.equals(b)
+
+
+def test_boost_rank_identity(fields_built):
+    """Boost (Q12): ^n multiplies the clause score; constant-score clauses
+    contribute the boost itself.  Engine vs brute-force oracle across
+    clause kinds, plus a direct doubling check."""
+    corpus, cfg, engine, oracle = fields_built
+    for q in [
+        "w00000^2 w00001",
+        "w00000^0.5 w00001^3",
+        "+w00000^2 +w00001",
+        '"w00000 w00001"^2 w00002',
+        "+foo:lamb age:[23 TO 23]^5",
+        "w0000*^2 w00005",
+        "pagehit -w00000^9",          # boost on a prohibited clause: inert
+    ]:
+        got = engine.search(q, limit=255)
+        exp = oracle.search(q, limit=255)
+        assert got["url"].to_pylist() == [u for u, _ in exp], q
+        for s, (_, es) in zip(got["score"].to_pylist(), exp):
+            assert abs(s - es) < 1e-6, q
+    # ^2 exactly doubles a single-term query's scores
+    base = engine.search("w00000", limit=20)
+    twice = engine.search("w00000^2", limit=20)
+    assert base["url"].to_pylist() == twice["url"].to_pylist()
+    for a, b in zip(base["score"].to_pylist(), twice["score"].to_pylist()):
+        assert abs(b - 2.0 * a) < 1e-9
+    # explain still sums bit-for-bit under boosts
+    url = base["url"][0].as_py()
+    ex = engine.explain("w00000^2 w00001^0.5", url)
+    assert ex["score"] == engine.search(
+        "w00000^2 w00001^0.5", limit=255
+    ).filter(pa.compute.equal(
+        engine.search("w00000^2 w00001^0.5", limit=255)["url"], url
+    ))["score"][0].as_py()

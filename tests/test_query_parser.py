@@ -52,7 +52,7 @@ def test_or_keyword():
 
 def test_rejects_unsupported():
     for q in [
-        "boost^2", "(group)",                        # boost / grouping
+        "(group)",                                   # grouping
         '"a b"~2',                                   # proximity slop
         "*lead", "?lead",                            # leading wildcard
         "term~3", "term~9",                          # fuzzy maxEdits > 2
@@ -70,6 +70,22 @@ def test_rejects_unsupported():
         parse_query("a --b")  # doubled prohibit
     with pytest.raises(QueryParseError):
         parse_query("a +-b")
+    for q in ["a^b", "a^", "^2", "a^0"]:  # malformed / degenerate boosts
+        with pytest.raises(QueryParseError):
+            parse_query(q)
+
+
+def test_boost_clauses():
+    (c,) = parse_query("a1^2")
+    assert c.boost == 2.0 and c.term == "a1"
+    (c,) = parse_query('"a1 b2"^1.5')
+    assert c.boost == 1.5
+    (c,) = parse_query("age:[20 TO 29]^3")
+    assert c.boost == 3.0
+    (c,) = parse_query("pre*^2")
+    assert c.boost == 2.0 and c.kind == "prefix"
+    (c,) = parse_query("-a1^2")
+    assert c.boost == 2.0 and c.occur == "MUST_NOT"
 
 
 def test_must_not_clauses():
