@@ -212,7 +212,8 @@ def _parse_query_cached(query: str, default_field: str) -> tuple[Clause, ...]:
         if t == "AND":
             if not items:
                 raise QueryParseError("AND with no left operand")
-            occurs[-1] = MUST
+            if occurs[-1] != MUST_NOT:  # AND never un-prohibits (NOT wins)
+                occurs[-1] = MUST
             occurs.append(MUST)  # placeholder for the next item
         elif t == "OR":
             if not items:
@@ -337,18 +338,27 @@ def apply_synonyms(
 ) -> tuple:
     """Rewrite TERM clauses whose term has synonyms into SynonymClause
     groups (the analyzed member set, probe term first, duplicates dropped,
-    order-stable).  Non-term clauses and MUST_NOT terms rewrite too —
-    prohibiting a synonym group prohibits any member match."""
+    order-stable; clause boost carried over).  Map KEYS are analyzed like
+    query terms (a key that analyzes to several tokens is skipped — single-
+    token keys only, like Lucene's SynonymMap entries).  MUST_NOT terms
+    rewrite too — prohibiting a synonym group prohibits any member match."""
+    by_term: dict[str, list[str]] = {}
+    for k, v in synonyms.items():
+        ktoks = analyze(k)
+        if len(ktoks) == 1:
+            by_term[ktoks[0]] = v
     out = []
     for c in clauses:
-        if isinstance(c, TermClause) and c.term in synonyms:
+        if isinstance(c, TermClause) and c.term in by_term:
             members = [c.term]
-            for s in synonyms[c.term]:
+            for s in by_term[c.term]:
                 for t in analyze(s):
                     if t not in members:
                         members.append(t)
             if len(members) > 1:
-                out.append(SynonymClause(c.occur, c.field, tuple(members)))
+                out.append(
+                    SynonymClause(c.occur, c.field, tuple(members), c.boost)
+                )
                 continue
         out.append(c)
     return tuple(out)

@@ -1134,14 +1134,9 @@ class SearchEngine:
                 docs = np.flatnonzero(seen)
                 if docs.size == 0:
                     continue
-                tf = agg[docs]
-                w = idf(max_df, n_docs)
-                k1, b = self.cfg.k1, self.cfg.b
-                dlv = dl[docs].astype(np.float64)
-                s = (
-                    w
-                    * (tf * (k1 + 1.0))
-                    / (tf + k1 * (1.0 - b + b * dlv / avgdl.get(c.field, 1.0)))
+                s = bm25_term_scores(
+                    agg[docs], dl[docs], max_df, n_docs,
+                    avgdl.get(c.field, 1.0), k1=self.cfg.k1, b=self.cfg.b,
                 )
                 if c.boost != 1.0:
                     s = s * c.boost

@@ -403,8 +403,7 @@ class _ShardActor:
                         t["docid"].to_pylist()))
 
     def suggest_partial(
-        self, term: str, collection: str, field: str | None,
-        max_edits: int, k: int,
+        self, term: str, collection: str, field: str | None, max_edits: int
     ) -> list[tuple[str, int, int]]:
         """This shard's candidate (term, distance, df) rows.  df is the
         shard-local partial — the driver sums per term (shards are
@@ -531,7 +530,7 @@ class ShardedSearcherService:
         shards) then applies the global (distance asc, df desc, term asc)
         rank — identical to SearchEngine.suggest on the whole index."""
         parts = ray.get(
-            [a.suggest_partial.remote(term, collection, field, max_edits, k)
+            [a.suggest_partial.remote(term, collection, field, max_edits)
              for a in self.actors]
         )
         dfs: dict[str, int] = {}

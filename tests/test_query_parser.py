@@ -238,3 +238,25 @@ def test_binary_source(ray_session, tmp_path):
     for r in out:
         assert r["n_bytes"] >= 9
         assert r["header_hex"].startswith("89504e47")  # PNG magic survives
+
+
+def test_not_survives_and_chains():
+    """AND promotion must never clobber a pending MUST_NOT (review r3):
+    'NOT a AND b' prohibits a; 'a AND NOT b AND c' prohibits b."""
+    from lucene_plugin_ray.functions.queryparse import MUST_NOT
+
+    assert [c.occur for c in parse_query("NOT a1 AND b2")] == [MUST_NOT, MUST]
+    assert [c.occur for c in parse_query("a1 AND NOT b2 AND c3")] == [
+        MUST, MUST_NOT, MUST,
+    ]
+    assert [c.occur for c in parse_query("NOT a1 OR b2")] == [MUST_NOT, SHOULD]
+
+
+def test_apply_synonyms_boost_and_key_analysis():
+    from lucene_plugin_ray.functions.queryparse import apply_synonyms
+
+    (c,) = apply_synonyms(tuple(parse_query("a1^2")), {"A1": ["b2"]})
+    assert c.boost == 2.0 and c.terms == ("a1", "b2")
+    # multi-token / stopword keys are skipped, not misapplied
+    cs = apply_synonyms(tuple(parse_query("a1")), {"x y": ["b2"], "the": ["b2"]})
+    assert [type(x).__name__ for x in cs] == ["TermClause"]
