@@ -227,6 +227,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'merge' — prohibited clauses exclude, never score."""
         return _search_all(sf_dir, "spark -merge")
 
+    def search_group(sf_dir: str) -> pa.Table:
+        """Groups (Q13): '(spark merge) AND window' — the group is a
+        nested BooleanQuery; matching docs contain window AND at least one
+        of {spark, merge}; the score sums every matching clause."""
+        return _search_all(sf_dir, "(spark merge) AND window")
+
     def search_boost(sf_dir: str) -> pa.Table:
         """Boost (Q12): 'spark^2 merge' — spark's BM25 doubled."""
         return _search_all(sf_dir, "spark^2 merge")
@@ -384,6 +390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_wildcard": search_wildcard,
         "search_fuzzy": search_fuzzy,
         "search_not": search_not,
+        "search_group": search_group,
         "search_boost": search_boost,
         "search_synonyms": search_synonyms,
         "search_facets": search_facets,
@@ -521,6 +528,36 @@ ORDER BY doc_id
 
     # Q8 phrase: BM25 on slop-0 phrase frequency, summed per-term idf
     sql["search_phrase"] = _phrase_bm25_sql(["spark", "merge"])
+
+    # Q13 groups: (spark merge) AND window — match = window ∧ (spark ∨
+    # merge); score = Σ bm25 over every matching clause
+    sql["search_group"] = f"""
+{_toks_cte()},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+docs AS (SELECT d.doc_id, coalesce(dl.dl, 0) AS dl
+         FROM documents d LEFT JOIN dl USING (doc_id)),
+stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM docs),
+df AS (SELECT term, count(*) AS df FROM tf
+       WHERE term IN ('spark', 'merge', 'window') GROUP BY term),
+m AS (SELECT doc_id FROM toks WHERE term = 'window'
+      INTERSECT
+      SELECT doc_id FROM toks WHERE term IN ('spark', 'merge'))
+SELECT tf.doc_id AS doc_id,
+       round(sum(
+         ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+         * (tf.tf * (1.2 + 1.0))
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * docs.dl / s.avgdl))
+       ), 4) AS score
+FROM tf
+JOIN df USING (term)
+JOIN docs ON docs.doc_id = tf.doc_id
+CROSS JOIN stats s
+WHERE tf.doc_id IN (SELECT doc_id FROM m)
+  AND tf.term IN ('spark', 'merge', 'window')
+GROUP BY tf.doc_id
+ORDER BY doc_id
+"""
 
     # Q12 boost: per-clause score multiplier (^n) — spark doubled
     sql["search_boost"] = f"""

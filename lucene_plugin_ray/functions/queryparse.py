@@ -32,7 +32,10 @@ reference test exercises these):
       transposition automaton.
 
 Still unsupported and rejected loudly (SURVEY.md §2.8): proximity slop
-("a b"~2), parentheses, leading wildcards.  Boost (Q12, ``term^2`` /
+("a b"~2), leading wildcards.  Parenthesized groups (Q13,
+``(a b) AND c`` / ``-(x y)`` / ``field:(a b)`` / ``(a b)^2``) are nested
+BooleanQueries: a group matches per its inner semantics and contributes
+the sum of its matching inner clauses, times its boost.  Boost (Q12, ``term^2`` /
 ``"a b"^1.5`` / ``field:[x TO y]^3``) multiplies the clause's score
 (constant-score clauses contribute the boost itself — Lucene semantics);
 boost must be > 0 (a 0-boost SHOULD clause would match with score 0, which
@@ -65,12 +68,14 @@ MUST = "MUST"
 SHOULD = "SHOULD"
 MUST_NOT = "MUST_NOT"
 
-_FORBIDDEN = re.compile(r"[\"()]")
+_FORBIDDEN = re.compile(r"[\"]")
 _FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.*)$", re.S)
 _QUOTED_RE = re.compile(r'"([^"]*)"')
 _FUZZY_RE = re.compile(r"^(.+?)~(\d+(?:\.\d+)?)?$", re.S)
 _PLACEHOLDER = "\x00ph%d\x00"
 _PLACEHOLDER_RE = re.compile(r"^\x00ph(\d+)\x00$")
+_GROUP_PLACEHOLDER = "\x00gr%d\x00"
+_GROUP_RE = re.compile(r"^\x00gr(\d+)\x00$")
 
 
 class QueryParseError(ValueError):
@@ -134,7 +139,24 @@ class SynonymClause:
     boost: float = 1.0
 
 
-Clause = TermClause | RangeClause | PhraseClause | MultiTermClause | SynonymClause
+@dataclass(frozen=True)
+class GroupClause:
+    """Parenthesized boolean group — a nested BooleanQuery (classic
+    QueryParser grouping): ``(a b) AND c``, ``-(x y)``, ``(a b)^2``,
+    ``field:(a b)`` (field distributes to the inner clauses).  The group
+    matches per its inner semantics (all inner MUSTs, else any inner
+    SHOULD, never an inner MUST_NOT); a matching group contributes the sum
+    of its matching inner clauses' scores, times ``boost``."""
+
+    occur: str
+    clauses: tuple
+    boost: float = 1.0
+
+
+Clause = (
+    TermClause | RangeClause | PhraseClause | MultiTermClause
+    | SynonymClause | GroupClause
+)
 
 
 def scored_term_keys(clauses) -> list[tuple[str, str]]:
@@ -149,6 +171,8 @@ def scored_term_keys(clauses) -> list[tuple[str, str]]:
             keys.append((c.field, c.term))
         elif isinstance(c, (PhraseClause, SynonymClause)):
             keys.extend((c.field, t) for t in c.terms)
+        elif isinstance(c, GroupClause):
+            keys.extend(scored_term_keys(c.clauses))
     return keys
 
 
@@ -184,6 +208,40 @@ def _parse_query_cached(query: str, default_field: str) -> tuple[Clause, ...]:
         raise QueryParseError("proximity (phrase slop) is not supported")
     if _FORBIDDEN.search(query):
         raise QueryParseError(f"unsupported query syntax: {query!r}")
+    return _parse_level(query, default_field, phrases)
+
+
+def _parse_level(
+    query: str, default_field: str, phrases: list[str]
+) -> tuple[Clause, ...]:
+    """One boolean level: stash this level's top-level parenthesized groups
+    (Q13), tokenize, resolve connectives, build clauses; group placeholders
+    recurse (phrase placeholders are stashed ONCE at the top, so the shared
+    ``phrases`` list threads through every level)."""
+    if not query.strip():
+        raise QueryParseError("empty group '()'")
+    groups: list[str] = []
+    if "(" in query or ")" in query:
+        out_chars: list[str] = []
+        depth = 0
+        start = 0
+        for i, ch in enumerate(query):
+            if ch == "(":
+                if depth == 0:
+                    start = i
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    raise QueryParseError(f"unbalanced ')' in {query!r}")
+                if depth == 0:
+                    groups.append(query[start + 1 : i])
+                    out_chars.append(_GROUP_PLACEHOLDER % (len(groups) - 1))
+            elif depth == 0:
+                out_chars.append(ch)
+        if depth != 0:
+            raise QueryParseError(f"unbalanced '(' in {query!r}")
+        query = "".join(out_chars)
 
     # re-join bracketed ranges that whitespace-splitting broke apart
     raw = query.split()
@@ -268,6 +326,15 @@ def _parse_query_cached(query: str, default_field: str) -> tuple[Clause, ...]:
                 raise QueryParseError("bare boost")
         if "^" in item:
             raise QueryParseError(f"malformed boost in {item!r}")
+        gm = _GROUP_RE.match(item)
+        if gm:
+            # Q13 group: recurse on the inner string (field distributes as
+            # the inner level's default field); an all-stopword group drops
+            # the clause (Lucene null query)
+            inner = _parse_level(groups[int(gm.group(1))], field, phrases)
+            if inner:
+                clauses.append(GroupClause(occur, tuple(inner), boost))
+            continue
         pm = _PLACEHOLDER_RE.match(item)
         if pm:
             # Q8 phrase: analyzed like the index side; fully-stopworded
@@ -280,7 +347,9 @@ def _parse_query_cached(query: str, default_field: str) -> tuple[Clause, ...]:
                 clauses.append(PhraseClause(occur, field, tuple(pterms), boost))
             continue
         if "\x00" in item:
-            raise QueryParseError(f"phrase must be a whole clause: {item!r}")
+            raise QueryParseError(
+                f"phrase/group must be a whole clause: {item!r}"
+            )
         rm = re.match(r"^\[(.+)\s+TO\s+(.+)\]$", item)
         if rm:
             lo, hi = rm.group(1).lower(), rm.group(2).lower()

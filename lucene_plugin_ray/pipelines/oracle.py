@@ -22,6 +22,7 @@ from lucene_plugin_ray.functions.analysis import analyze, sanitize_collection
 from lucene_plugin_ray.functions.bm25 import idf
 from lucene_plugin_ray.functions.docid import assign_docids_reference
 from lucene_plugin_ray.functions.queryparse import (
+    GroupClause,
     SynonymClause,
     MUST,
     MultiTermClause,
@@ -142,7 +143,19 @@ class OracleIndex:
         n = self.n_docs.get(coll, 0)
         if n == 0:
             return []
+        scores, matched = self._eval_clauses(tuple(clauses), coll, n)
+        ranked = sorted(
+            ((d, scores.get(d, 0.0)) for d in matched),
+            key=lambda x: (-x[1], self.url_of[x[0]]),
+        )
+        return [(self.url_of[d], s) for d, s in ranked[:limit]]
 
+    def _eval_clauses(
+        self, clauses: tuple, coll: str, n: int
+    ) -> tuple[dict, set]:
+        """(scores by doc, matched doc set) for one boolean level — the
+        recursive twin of the engine's _eval_boolean (GroupClause nests)."""
+        cfg = self.cfg
         musts, shoulds, nots = [], [], []
         for c in clauses:
             if c.occur == MUST:
@@ -169,6 +182,8 @@ class OracleIndex:
                     if not cand:
                         return set()
                 return {d for d in cand if self._phrase_freq(c, d) > 0}
+            if isinstance(c, GroupClause):
+                return self._eval_clauses(c.clauses, coll, n)[1]
             if isinstance(c, SynonymClause):
                 out: set[int] = set()
                 for t in c.terms:
@@ -200,7 +215,7 @@ class OracleIndex:
                 ds = clause_docs(c)
                 candidates = ds if candidates is None else (candidates & ds)
                 if not candidates:
-                    return []
+                    return {}, set()
         else:
             candidates = set()
             for c in shoulds:
@@ -208,7 +223,7 @@ class OracleIndex:
         for c in nots:
             candidates -= clause_docs(c)
         if not candidates:
-            return []
+            return {}, set()
 
         scores: dict[int, float] = defaultdict(float)
         for c in musts + shoulds:
@@ -259,6 +274,11 @@ class OracleIndex:
                         dl = self.doc_len[c.field][d]
                         denom = pf + cfg.k1 * (1 - cfg.b + cfg.b * dl / avgdl)
                         scores[d] += (w * (pf * (cfg.k1 + 1)) / denom) * c.boost
+            elif isinstance(c, GroupClause):
+                g_scores, g_match = self._eval_clauses(c.clauses, coll, n)
+                for d in candidates:
+                    if d in g_match:
+                        scores[d] += g_scores.get(d, 0.0) * c.boost
             else:
                 hits = clause_docs(c)
                 for d in candidates:
@@ -267,11 +287,6 @@ class OracleIndex:
                         # boost (Lucene 5.x CONSTANT_SCORE rewrite)
                         scores[d] += c.boost
 
-        # Tiebreak: score desc, then URL asc.  URL (not docid) because the
-        # url order is invariant under generations, partitioning and
-        # compaction — docid ranges are only unique within a generation, so
-        # a docid tiebreak would not survive incremental builds/merges.
-        # (Within one segment the two orders coincide: docids are url-ranks.)
-        ranked = sorted(((d, s) for d, s in scores.items() if d in candidates),
-                        key=lambda x: (-x[1], self.url_of[x[0]]))
-        return [(self.url_of[d], s) for d, s in ranked[:limit]]
+        # NOTE the caller (search) applies the (score desc, url asc)
+        # tiebreak + top-k; this level just reports scores + matches.
+        return dict(scores), candidates

@@ -43,6 +43,7 @@ from lucene_plugin_ray.functions.queryparse import (
     Clause,
     MultiTermClause,
     PhraseClause,
+    GroupClause,
     RangeClause,
     SynonymClause,
     TermClause,
@@ -613,6 +614,21 @@ class SearchEngine:
                      "idf": w, "boost": c.boost, "weight": weight}
                 )
                 matched = pf > 0
+            elif isinstance(c, GroupClause):
+                g_scores, g_match = self._eval_boolean(
+                    si, seg, list(c.clauses), {}, {}, global_df,
+                    n_docs, avgdl,
+                )
+                matched = bool(g_match[local_doc])
+                weight = (
+                    float(g_scores[local_doc] * c.boost) if matched else 0.0
+                )
+                rows.append(
+                    {"kind": "group", "occur": c.occur, "field": None,
+                     "detail": f"({len(c.clauses)} clauses)", "df": None,
+                     "tf": int(matched), "idf": None, "boost": c.boost,
+                     "weight": weight}
+                )
             else:
                 if isinstance(c, RangeClause):
                     erows = r.term_range(c.field, c.lo, c.hi)
@@ -686,6 +702,9 @@ class SearchEngine:
                 if got is not None:
                     m[got[0]] = True
             return np.flatnonzero(m)
+        if isinstance(c, GroupClause):
+            # a group matches per its inner boolean semantics (recursion)
+            return self._match_segment(si, seg, list(c.clauses), cache, rows)
         if isinstance(c, RangeClause):
             range_rows = r.term_range(c.field, c.lo, c.hi)
         else:
@@ -1072,6 +1091,50 @@ class SearchEngine:
         limit: int,
     ) -> pa.Table:
         r = seg.reader
+        scores, matched = self._eval_boolean(
+            si, seg, clauses, cache, rows, global_df, n_docs, avgdl
+        )
+        cand = np.flatnonzero(matched)
+        if cand.size == 0:
+            return pa.table(
+                {"url": pa.array([], pa.string()),
+                 "score": pa.array([], pa.float64()),
+                 "docid": pa.array([], pa.int64())}
+            )
+        if cand.size > limit:
+            # bounded selection before the exact sort (per-partition heap K1).
+            # argpartition alone would pick an ARBITRARY subset of docs tied
+            # at the k-th score — keep EVERY candidate at or above the k-th
+            # score so the (score desc, docid asc) tiebreak stays exact.
+            kth = np.partition(scores[cand], cand.size - limit)[cand.size - limit]
+            cand = cand[scores[cand] >= kth]
+        order = np.lexsort((cand, -scores[cand]))[:limit]
+        cand = cand[order]
+        return pa.table(
+            {
+                "url": pa.array(r.urls[cand], type=pa.string()),
+                "score": pa.array(scores[cand], type=pa.float64()),
+                "docid": pa.array(r.doc_base + cand, type=pa.int64()),
+            }
+        )
+
+    def _eval_boolean(
+        self,
+        si: int,
+        seg: _LiveSegment,
+        clauses: list[Clause],
+        cache: dict,
+        rows: dict,
+        global_df: dict,
+        n_docs: int,
+        avgdl: dict[str, float],
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """One boolean level → (dense scores float64[n], matched bool[n])
+        under Lucene BooleanQuery semantics — the recursive heart of the
+        TAAT path; :class:`GroupClause` nests by calling back in (a matching
+        group contributes its inner sum × boost, a non-matching group
+        contributes nothing)."""
+        r = seg.reader
         n = r.n_docs
         scores = np.zeros(n, dtype=np.float64)
         musts = [c for c in clauses if c.occur == MUST]
@@ -1087,6 +1150,17 @@ class SearchEngine:
                     if prohibited is None:
                         prohibited = np.zeros(n, dtype=bool)
                     prohibited[local] = True
+                continue
+            if isinstance(c, GroupClause):
+                g_scores, g_match = self._eval_boolean(
+                    si, seg, list(c.clauses), cache, rows, global_df,
+                    n_docs, avgdl,
+                )
+                if c.boost != 1.0:
+                    g_scores = g_scores * c.boost
+                scores += np.where(g_match, g_scores, 0.0)
+                if must_cnt is not None and c.occur == MUST:
+                    must_cnt[g_match] += 1
                 continue
             if isinstance(c, TermClause):
                 got = self._term_postings(si, seg, c, cache, rows)
@@ -1194,33 +1268,12 @@ class SearchEngine:
                     must_cnt[matched] += 1
 
         if must_cnt is not None:
-            cand = np.flatnonzero(must_cnt == len(musts))
+            matched = must_cnt == len(musts)
         else:
-            cand = np.flatnonzero(scores > 0.0)
-        if prohibited is not None and cand.size:
-            cand = cand[~prohibited[cand]]
-        if cand.size == 0:
-            return pa.table(
-                {"url": pa.array([], pa.string()),
-                 "score": pa.array([], pa.float64()),
-                 "docid": pa.array([], pa.int64())}
-            )
-        if cand.size > limit:
-            # bounded selection before the exact sort (per-partition heap K1).
-            # argpartition alone would pick an ARBITRARY subset of docs tied
-            # at the k-th score — keep EVERY candidate at or above the k-th
-            # score so the (score desc, docid asc) tiebreak stays exact.
-            kth = np.partition(scores[cand], cand.size - limit)[cand.size - limit]
-            cand = cand[scores[cand] >= kth]
-        order = np.lexsort((cand, -scores[cand]))[:limit]
-        cand = cand[order]
-        return pa.table(
-            {
-                "url": pa.array(r.urls[cand], type=pa.string()),
-                "score": pa.array(scores[cand], type=pa.float64()),
-                "docid": pa.array(r.doc_base + cand, type=pa.int64()),
-            }
-        )
+            matched = scores > 0.0
+        if prohibited is not None:
+            matched &= ~prohibited
+        return scores, matched
 
     # ------------------------------------------------------------------
     def _score_segment_and(

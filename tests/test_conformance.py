@@ -445,3 +445,28 @@ def test_boost_rank_identity(fields_built):
     ).filter(pa.compute.equal(
         engine.search("w00000^2 w00001^0.5", limit=255)["url"], url
     ))["score"][0].as_py()
+
+
+def test_group_rank_identity(fields_built):
+    """Parenthesized groups (Q13, nested BooleanQuery): a group matches per
+    its inner semantics and contributes its inner sum x boost.  Engine vs
+    brute-force oracle over nested / boosted / prohibited / field-scoped
+    groups and mixed kinds."""
+    corpus, cfg, engine, oracle = fields_built
+    for q in [
+        "(w00000 w00001) AND w00002",
+        "(w00000 w00001)^2 w00002",
+        "-(w00000 w00001) pagehit",
+        "((w00000 AND w00001) w00002) w00003",
+        "(+w00000 +w00001) OR (w00002 w00003)",
+        "foo:(lamb little) w00000",
+        '(pagehit "w00000 w00001") -(lorem)',
+        "(age:[23 TO 23] foo:lamb) AND w00000",
+        "(w0000* w00005)^3",
+    ]:
+        got = engine.search(q, limit=255)
+        exp = oracle.search(q, limit=255)
+        assert got["url"].to_pylist() == [u for u, _ in exp], q
+        for s, (_, es) in zip(got["score"].to_pylist(), exp):
+            assert abs(s - es) < 1e-6, q
+        assert engine.count(q) == len(oracle.search(q, limit=10**9)), q

@@ -69,7 +69,7 @@ def test_http_validation_errors(svc):
     assert e.value.code == 400
     c.index_text("coll", "seed", "seeded so the searcher lease exists")
     with pytest.raises(urllib.error.HTTPError) as e:
-        c.search("coll", "boost^2")  # unsupported grammar → parse error 400
+        c.search("coll", "boost^bad")  # malformed boost → parse error 400
     assert e.value.code == 400
     # wildcard is VALID grammar now (Q9) — serves 200 through HTTP
     assert c.search("coll", "seed*") == ["seed"]

@@ -52,7 +52,7 @@ def test_or_keyword():
 
 def test_rejects_unsupported():
     for q in [
-        "(group)",                                   # grouping
+        "a)b", "(", "(a", "a)", "()", "( )",        # malformed grouping
         '"a b"~2',                                   # proximity slop
         "*lead", "?lead",                            # leading wildcard
         "term~3", "term~9",                          # fuzzy maxEdits > 2
@@ -260,3 +260,24 @@ def test_apply_synonyms_boost_and_key_analysis():
     # multi-token / stopword keys are skipped, not misapplied
     cs = apply_synonyms(tuple(parse_query("a1")), {"x y": ["b2"], "the": ["b2"]})
     assert [type(x).__name__ for x in cs] == ["TermClause"]
+
+
+def test_group_clauses():
+    from lucene_plugin_ray.functions.queryparse import GroupClause, MUST_NOT
+
+    g, c = parse_query("(a1 b2) AND c3")
+    assert isinstance(g, GroupClause) and g.occur == MUST and c.occur == MUST
+    assert [x.term for x in g.clauses] == ["a1", "b2"]
+    (neg,) = parse_query("-(a1 b2)")
+    assert neg.occur == MUST_NOT
+    (fg,) = parse_query("foo:(a1 b2)^2")
+    assert fg.boost == 2.0 and all(x.field == "foo" for x in fg.clauses)
+    (outer,) = parse_query("((a1 AND b2) c3)")
+    inner = outer.clauses[0]
+    assert isinstance(inner, GroupClause)
+    assert [x.occur for x in inner.clauses] == [MUST, MUST]
+    # phrases survive inside groups (shared stash across levels)
+    (pg,) = parse_query('("a1 b2" c3)')
+    assert type(pg.clauses[0]).__name__ == "PhraseClause"
+    # an all-stopword group drops (null query)
+    assert parse_query("(the of) a1") == parse_query("a1")
