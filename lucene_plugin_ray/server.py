@@ -236,12 +236,42 @@ class LuceneHttpService:
         "delete": _delete,
         "clear": _clear,
     }
+    def _explain(self, q: dict) -> dict:
+        with self._lock:
+            self._read_your_writes()
+            return self.facade.explain(
+                q.get("collection", ""), q.get("query", ""), q.get("id", "")
+            )
+
+    def _suggest(self, q: dict) -> list[dict]:
+        try:
+            k = int(q.get("k") or 5)
+            max_edits = int(q.get("max_edits") or 2)
+        except ValueError:
+            raise LuceneException("k / max_edits must be integers")
+        with self._lock:
+            self._read_your_writes()
+            eng = self.facade._lease_engine()
+            if eng is None:
+                return []
+            try:
+                t = eng.suggest(
+                    q.get("term", ""),
+                    collection=q.get("collection", "default"),
+                    max_edits=max_edits, k=k,
+                )
+            except ValueError as e:
+                raise LuceneException(str(e))
+        return t.to_pylist()
+
     _GETS = {
         "search": _search,
         "count": _count,
         "facets": _facets,
         "search-sorted": _search_sorted,
         "more-like-this": _more_like_this,
+        "explain": _explain,
+        "suggest": _suggest,
     }
 
     # ---- lifecycle -------------------------------------------------------
@@ -335,6 +365,20 @@ class LuceneHttpClient:
             "search-sorted",
             {"collection": collection, "query": query, "limit": limit,
              "order": order},
+        )
+
+    def explain(self, collection: str, query: str, ext_id: str) -> dict:
+        return self._get(
+            "explain", {"collection": collection, "query": query, "id": ext_id}
+        )
+
+    def suggest(
+        self, collection: str, term: str, k: int = 5, max_edits: int = 2
+    ) -> list[dict]:
+        return self._get(
+            "suggest",
+            {"collection": collection, "term": term, "k": k,
+             "max_edits": max_edits},
         )
 
     def more_like_this(

@@ -171,3 +171,29 @@ def test_http_count_facets_sorted_mlt(ray_session, tmp_path):
         assert ei.value.code == 400
     finally:
         service.shutdown()
+
+
+def test_http_explain_and_suggest(ray_session, tmp_path):
+    service = LuceneHttpService(
+        IndexConfig(index_root=str(tmp_path / "idxes"), num_partitions=2),
+        soft_commit_max_docs=100,
+    ).start()
+    try:
+        c = LuceneHttpClient(service.url)
+        c.index_text("col", "d1", "quantum entangled photons")
+        c.index_text("col", "d2", "classical optics experiment")
+        ex = c.explain("col", "quantum", "d1")
+        assert ex["matched"] is True and ex["score"] > 0
+        assert ex["clauses"][0]["kind"] == "term"
+        ex2 = c.explain("col", "quantum", "d2")
+        assert ex2["matched"] is False and ex2["score"] == 0.0
+        with pytest.raises(urllib.error.HTTPError) as e:
+            c.explain("col", "quantum", "no-such-doc")
+        assert e.value.code == 400
+        sug = c.suggest("col", "quantun")
+        assert sug[0]["term"] == "quantum" and sug[0]["distance"] == 1
+        with pytest.raises(urllib.error.HTTPError) as e:
+            c.suggest("col", "quantun", max_edits=7)
+        assert e.value.code == 400
+    finally:
+        service.shutdown()
