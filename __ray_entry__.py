@@ -138,6 +138,7 @@ _MIX_WEIGHTS = {"src0": 8.0, "src1": 4.0, "src2": 2.0, "src3": 1.0}
 _MIX_TOTAL = 80
 # extended grammar (Q8-Q10): adjacent in the seeded corpus / typo of 'spark'
 _PHRASE_Q = '"spark merge"'
+_SLOPPY_Q = '"spark merge"~2'  # Q14: exact hits weigh 1, near hits 1/(1+d)
 _PREFIX_Q = "s*"          # expands to 6 vocabulary terms
 _WILD_Q = "s?a*"          # expands to scan / small / spark
 _FUZZY_Q = "spakr~1"      # transposition — true-Damerau distance 1 to spark
@@ -169,6 +170,44 @@ w AS (SELECT sum(ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))) AS w
       FROM df CROSS JOIN stats s),
 pf AS (SELECT doc_id, len(list_filter(range(1, len(toks) - {k} + 2),
        i -> {adj})) AS pf FROM tl WHERE len(toks) >= {k})
+SELECT pf.doc_id AS doc_id,
+       round(w.w * (pf.pf * (1.2 + 1.0))
+             / (pf.pf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)), 4) AS score
+FROM pf JOIN dl USING (doc_id) CROSS JOIN stats s CROSS JOIN w
+WHERE pf.pf > 0 ORDER BY doc_id
+"""
+
+
+def _sloppy_bm25_sql(t0: str, t1: str, slop: int) -> str:
+    """Sloppy-phrase BM25 (Q14, two distinct terms): per anchor position of
+    ``t0`` the move distance is min over ``t1`` positions of |p₁−1−p₀| (the
+    shifted-position range of the Q14 contract specialized to k=2), anchors
+    with d ≤ slop weigh 1/(1+d); tf = the per-doc weight sum, idf = summed
+    per-term idf — mirrors pipelines/query.py::_sloppy_phrase_weights."""
+    md = (
+        f"list_min(list_transform("
+        f"list_filter(range(1, len(toks)+1), j -> toks[j] = '{t1}'),"
+        f" pb -> abs(pb - 1 - pa)))"
+    )
+    return f"""
+WITH tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+            t -> t <> '' AND length(t) <= 255
+            AND NOT list_contains({_SQL_STOP_LIST_LITERAL}, t)) AS toks
+            FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tl),
+alldl AS (SELECT d.doc_id, coalesce(dl.dl, 0) AS dl
+          FROM documents d LEFT JOIN dl USING (doc_id)),
+stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM alldl),
+toks AS (SELECT doc_id, unnest(toks) AS term FROM tl),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term IN ('{t0}', '{t1}') GROUP BY term),
+w AS (SELECT sum(ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))) AS w
+      FROM df CROSS JOIN stats s),
+pf AS (SELECT doc_id, coalesce(list_sum(list_transform(
+         list_filter(range(1, len(toks)+1), i -> toks[i] = '{t0}'),
+         pa -> CASE WHEN {md} <= {slop}
+               THEN 1.0 / (1.0 + {md}) ELSE 0.0 END)), 0.0) AS pf
+       FROM tl)
 SELECT pf.doc_id AS doc_id,
        round(w.w * (pf.pf * (1.2 + 1.0))
              / (pf.pf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)), 4) AS score
@@ -221,6 +260,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def search_phrase(sf_dir: str) -> pa.Table:
         return _search_all(sf_dir, _PHRASE_Q)
+
+    def search_sloppy(sf_dir: str) -> pa.Table:
+        """Proximity phrase (Q14): '"spark merge"~2' — adjacent pairs weigh
+        1, near pairs 1/(1+d) up to 2 moves; BM25 on the weight sum."""
+        return _search_all(sf_dir, _SLOPPY_Q)
 
     def search_not(sf_dir: str) -> pa.Table:
         """MUST_NOT (Q11): BM25 on 'spark' over docs NOT containing
@@ -386,6 +430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_field": search_field,
         "search_range": search_range,
         "search_phrase": search_phrase,
+        "search_sloppy": search_sloppy,
         "search_prefix": search_prefix,
         "search_wildcard": search_wildcard,
         "search_fuzzy": search_fuzzy,
@@ -528,6 +573,9 @@ ORDER BY doc_id
 
     # Q8 phrase: BM25 on slop-0 phrase frequency, summed per-term idf
     sql["search_phrase"] = _phrase_bm25_sql(["spark", "merge"])
+
+    # Q14 proximity: min-move distance per first-term anchor, Σ 1/(1+d)
+    sql["search_sloppy"] = _sloppy_bm25_sql("spark", "merge", 2)
 
     # Q13 groups: (spark merge) AND window — match = window ∧ (spark ∨
     # merge); score = Σ bm25 over every matching clause

@@ -195,6 +195,7 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     # region; prefix/wildcard/fuzzy expand the per-segment dictionary.
     ext_qset = [
         '"spark merge"', '"merge group"', '"spark merge group"',
+        '"spark merge"~2', '"spark group"~3',  # Q14 proximity
         "spar*", "s?a*", "spakr~1", "stream~2",
         "spark -merge", "spark NOT window",  # Q11 MUST_NOT
     ]

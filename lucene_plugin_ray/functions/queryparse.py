@@ -18,6 +18,18 @@ reference test exercises these):
       adjacency over the analyzed token stream (slop 0); scored BM25 with
       phrase frequency and summed per-term idf (Lucene PhraseQuery under
       BM25Similarity)
+  Q14 proximity (slop)       ``"mary lamb"~2`` — sloppy phrase: terms may be
+      up to ``slop`` total moves out of adjacent order (a transposition
+      costs 2, Lucene SloppyPhraseQuery's move metric).  CONTRACT (the
+      documented deviation from Lucene's greedy match enumeration): for
+      each occurrence p₀ of the FIRST term, d(p₀) is the MINIMAL range
+      max(pᵢ−i)−min(pᵢ−i) over choices of one occurrence per remaining
+      term (actual positions pairwise distinct); the doc's sloppy phrase
+      frequency is Σ over anchors with d ≤ slop of 1/(1+d) (Lucene's
+      sloppyFreq weight), scored BM25 with summed per-term idf exactly
+      like Q8.  At slop 0 this reduces bit-for-bit to the Q8 semantics.
+      ``"a b"~`` (no number) parses as slop 0 and ``~2.5`` floors to 2 —
+      classic-QueryParser parity.
   Q9  prefix / wildcard      ``te*``, ``t?st*`` — term-expanded over the
       dictionary; constant-score 1.0 (Lucene 5.2.1 MultiTermQuery
       CONSTANT_SCORE rewrite).  Leading wildcards rejected
@@ -31,8 +43,8 @@ reference test exercises these):
       damerau_levenshtein, the conformance oracle) not Lucene's
       transposition automaton.
 
-Still unsupported and rejected loudly (SURVEY.md §2.8): proximity slop
-("a b"~2), leading wildcards.  Parenthesized groups (Q13,
+Still unsupported and rejected loudly (SURVEY.md §2.8): leading wildcards
+(allowLeadingWildcard=false parity).  Parenthesized groups (Q13,
 ``(a b) AND c`` / ``-(x y)`` / ``field:(a b)`` / ``(a b)^2``) are nested
 BooleanQueries: a group matches per its inner semantics and contributes
 the sum of its matching inner clauses, times its boost.  Boost (Q12, ``term^2`` /
@@ -73,7 +85,9 @@ _FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.*)$", re.S)
 _QUOTED_RE = re.compile(r'"([^"]*)"')
 _FUZZY_RE = re.compile(r"^(.+?)~(\d+(?:\.\d+)?)?$", re.S)
 _PLACEHOLDER = "\x00ph%d\x00"
-_PLACEHOLDER_RE = re.compile(r"^\x00ph(\d+)\x00$")
+# optional trailing ~slop (Q14): bare ~ = slop 0, fractional slops floor —
+# classic QueryParser parity (QueryParserBase#getFieldQuery(field, text, slop))
+_PLACEHOLDER_RE = re.compile(r"^\x00ph(\d+)\x00(?:~(\d+(?:\.\d+)?)?)?$")
 _GROUP_PLACEHOLDER = "\x00gr%d\x00"
 _GROUP_RE = re.compile(r"^\x00gr(\d+)\x00$")
 
@@ -101,12 +115,16 @@ class RangeClause:
 
 @dataclass(frozen=True)
 class PhraseClause:
-    """Q8 — exact-adjacency phrase over the analyzed stream (slop 0)."""
+    """Q8/Q14 — phrase over the analyzed stream.  ``slop`` 0 is exact
+    adjacency; ``slop`` > 0 is the proximity contract in the module
+    docstring (min-move distance per first-term anchor, sloppy freq
+    Σ 1/(1+d))."""
 
     occur: str
     field: str
     terms: tuple[str, ...]
     boost: float = 1.0
+    slop: int = 0
 
 
 @dataclass(frozen=True)
@@ -204,8 +222,6 @@ def _parse_query_cached(query: str, default_field: str) -> tuple[Clause, ...]:
         return _PLACEHOLDER % (len(phrases) - 1)
 
     query = _QUOTED_RE.sub(_stash, query)
-    if re.search(r"\x00ph\d+\x00~", query):
-        raise QueryParseError("proximity (phrase slop) is not supported")
     if _FORBIDDEN.search(query):
         raise QueryParseError(f"unsupported query syntax: {query!r}")
     return _parse_level(query, default_field, phrases)
@@ -337,14 +353,18 @@ def _parse_level(
             continue
         pm = _PLACEHOLDER_RE.match(item)
         if pm:
-            # Q8 phrase: analyzed like the index side; fully-stopworded
+            # Q8/Q14 phrase: analyzed like the index side; fully-stopworded
             # phrase drops the clause (Lucene: analyzer yields no tokens →
-            # null query); single survivor degenerates to TermQuery
+            # null query); single survivor degenerates to TermQuery (slop
+            # is meaningless for one term — classic QP does the same)
+            slop = int(float(pm.group(2))) if pm.group(2) else 0
             pterms = analyze(phrases[int(pm.group(1))])
             if len(pterms) == 1:
                 clauses.append(TermClause(occur, field, pterms[0], boost))
             elif pterms:
-                clauses.append(PhraseClause(occur, field, tuple(pterms), boost))
+                clauses.append(
+                    PhraseClause(occur, field, tuple(pterms), boost, slop)
+                )
             continue
         if "\x00" in item:
             raise QueryParseError(

@@ -92,16 +92,53 @@ class OracleIndex:
     def _df(self, field: str, term: str, coll: str) -> int:
         return sum(1 for d in self.postings[field].get(term, {}) if self.coll_of[d] == coll)
 
-    def _phrase_freq(self, c: PhraseClause, docid: int) -> int:
-        """Slop-0 phrase frequency over the analyzed stream (overlapping
-        occurrences counted, Lucene exact-phrase matching)."""
+    def _phrase_freq(self, c: PhraseClause, docid: int) -> float:
+        """Phrase frequency over the analyzed stream.  Slop 0: overlapping
+        exact occurrences counted (Lucene exact-phrase matching).  Slop > 0
+        (Q14): the min-move-distance-per-anchor contract (queryparse module
+        docstring) brute-forced independently of the engine — for every
+        occurrence p₀ of the first term, enumerate ALL combinations of one
+        occurrence per remaining term (distinct actual positions), take the
+        minimal max(pᵢ−i)−min(pᵢ−i), and sum 1/(1+d) over anchors with
+        d ≤ slop."""
         toks = self.toks[c.field].get(docid, [])
         k = len(c.terms)
-        return sum(
-            1
-            for i in range(len(toks) - k + 1)
-            if tuple(toks[i : i + k]) == c.terms
-        )
+        if c.slop == 0:
+            return sum(
+                1
+                for i in range(len(toks) - k + 1)
+                if tuple(toks[i : i + k]) == c.terms
+            )
+        from itertools import product
+
+        pos: dict[str, list[int]] = {}
+        for t in set(c.terms):
+            pos[t] = [i for i, x in enumerate(toks) if x == t]
+        if any(not pos[t] for t in c.terms):
+            return 0.0
+        freq = 0.0
+        rest = [
+            [(p - i, p) for p in pos[c.terms[i]]] for i in range(1, k)
+        ]
+        for p0 in pos[c.terms[0]]:
+            best: int | None = None
+            for combo in product(*rest):
+                actual = {p0}
+                valid = True
+                for _, p in combo:
+                    if p in actual:
+                        valid = False
+                        break
+                    actual.add(p)
+                if not valid:
+                    continue
+                vals = [p0] + [s for s, _ in combo]
+                d = max(vals) - min(vals)
+                if best is None or d < best:
+                    best = d
+            if best is not None and best <= c.slop:
+                freq += 1.0 / (1.0 + best)
+        return freq
 
     def _expanded_terms(self, c: MultiTermClause) -> list[str]:
         """Vocabulary terms matched by a prefix/wildcard/fuzzy clause."""

@@ -69,6 +69,104 @@ def _in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
     return sorted_arr[idx] == values
 
 
+_SLOPPY_BIG = np.int64(1) << 61  # ±sentinel; BIG−(−BIG)=2^62 stays in int64
+
+
+def _sloppy_phrase_weights(
+    key_arrays: list[np.ndarray], slop: int, terms: tuple[str, ...]
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Q14 sloppy-phrase frequencies over one segment's composite position
+    keys → (local docids asc, float64 sloppy freqs); None when no match.
+
+    ``key_arrays[i]`` holds term i's sorted composite keys
+    ``docid << 32 | position``.  Contract (queryparse module docstring):
+    per occurrence p₀ of term 0 (the ANCHOR), d = minimal
+    ``max(pᵢ−i) − min(pᵢ−i)`` over one occurrence per remaining term with
+    pairwise-distinct actual positions; anchors with d ≤ slop contribute
+    ``1/(1+d)`` (Lucene's sloppyFreq weight) to their doc's frequency.
+
+    Vectorized exactly for distinct-term phrases: with the range forced to
+    contain the anchor, each list's optimum is its floor-or-ceil neighbour
+    of the anchor (any farther element only widens the range), so K−1
+    searchsorted passes + a 2^(K−1) min/max sweep solve every anchor at
+    once.  Cross-doc neighbours fail ``d ≤ slop`` automatically (the docid
+    band is 2³² > any slop), and negative shifted positions (pᵢ < i, e.g. a
+    transposed pair at doc start) stay correct because the composite is
+    plain int64 arithmetic, not a masked bit-field.
+
+    Phrases with REPEATED terms additionally need pairwise-distinct actual
+    positions, which the floor/ceil screen ignores — it stays a LOWER
+    bound, so anchors passing the screen are re-solved exactly over the
+    ±slop windows (tiny: ≤ 2·slop+1 candidates per list) with the
+    distinctness check; per-anchor Python, bounded by the screen's
+    survivors."""
+    a = key_arrays[0]
+    k = len(key_arrays)
+    shifted = [key_arrays[i] - i for i in range(k)]
+    floors: list[np.ndarray] = []
+    ceils: list[np.ndarray] = []
+    for i in range(1, k):
+        ai = shifted[i]
+        idx = np.searchsorted(ai, a)
+        ceils.append(
+            np.where(idx < ai.size, ai[np.minimum(idx, ai.size - 1)], _SLOPPY_BIG)
+        )
+        floors.append(
+            np.where(idx > 0, ai[np.maximum(idx - 1, 0)], -_SLOPPY_BIG)
+        )
+    best = np.full(a.size, _SLOPPY_BIG, dtype=np.int64)
+    for mask in range(1 << (k - 1)):
+        lo = a.copy()
+        hi = a.copy()
+        for i in range(k - 1):
+            ch = ceils[i] if (mask >> i) & 1 else floors[i]
+            np.minimum(lo, ch, out=lo)
+            np.maximum(hi, ch, out=hi)
+        np.minimum(best, hi - lo, out=best)
+    if len(set(terms)) < k:
+        # repeated terms: exact re-solve of screen survivors with the
+        # distinct-actual-positions constraint
+        from itertools import product
+
+        cand = np.flatnonzero(best <= slop)
+        best = np.full(a.size, _SLOPPY_BIG, dtype=np.int64)
+        for j in cand:
+            aj = int(a[j])
+            wins: list[list[tuple[int, int]]] = []
+            for i in range(1, k):
+                ai = shifted[i]
+                lo_i = int(np.searchsorted(ai, aj - slop, side="left"))
+                hi_i = int(np.searchsorted(ai, aj + slop, side="right"))
+                wins.append([(int(v), i) for v in ai[lo_i:hi_i]])
+            bd = int(_SLOPPY_BIG)
+            for combo in product(*wins):
+                actual = {aj}  # anchor's actual composite == its key
+                valid = True
+                for v, i in combo:
+                    av = v + i
+                    if av in actual:
+                        valid = False
+                        break
+                    actual.add(av)
+                if not valid:
+                    continue
+                vals = [aj] + [v for v, _ in combo]
+                d = max(vals) - min(vals)
+                if d < bd:
+                    bd = d
+            best[j] = bd
+    okm = best <= slop
+    if not okm.any():
+        return None
+    keys_ok = a[okm]
+    docs = keys_ok >> 32
+    w = 1.0 / (1.0 + best[okm].astype(np.float64))
+    starts = np.flatnonzero(np.concatenate(([True], docs[1:] != docs[:-1])))
+    u_docs = docs[starts]
+    pf = np.add.reduceat(w, starts)
+    return u_docs, pf
+
+
 class _LiveSegment:
     """A SegmentReader plus its alive-mask under newer tombstones/clears."""
 
@@ -557,11 +655,12 @@ class SearchEngine:
         # search scores)
         global_df = self.local_term_dfs(coll, scored_term_keys(clauses))
 
-        def _tf_of(local: np.ndarray, tfs: np.ndarray) -> int:
+        def _tf_of(local: np.ndarray, tfs: np.ndarray) -> float:
+            # float: sloppy-phrase freqs (Q14) are Σ 1/(1+d) weights
             j = int(np.searchsorted(local, local_doc))
-            return int(tfs[j]) if j < local.size and local[j] == local_doc else 0
+            return float(tfs[j]) if j < local.size and local[j] == local_doc else 0.0
 
-        def _bm25(w: float, tf: int, field: str) -> float:
+        def _bm25(w: float, tf: float, field: str) -> float:
             if tf == 0 or w == 0.0:
                 return 0.0
             dl = float(r.doc_len[field][local_doc])
@@ -582,7 +681,7 @@ class SearchEngine:
                     if df and r.doc_len.get(c.field) is not None
                     else None
                 )
-                tf = _tf_of(*got) if got is not None else 0
+                tf = int(_tf_of(*got)) if got is not None else 0
                 w = idf(df, n_docs) if df else 0.0
                 weight = _bm25(w, tf, c.field)
                 if c.boost != 1.0:
@@ -599,7 +698,7 @@ class SearchEngine:
                     if r.doc_len.get(c.field) is not None
                     else None
                 )
-                pf = _tf_of(got[0], got[1]) if got is not None else 0
+                pf = _tf_of(got[0], got[1]) if got is not None else 0.0
                 w = sum(
                     idf(global_df.get((c.field, t), 0), n_docs)
                     for t in c.terms
@@ -608,9 +707,11 @@ class SearchEngine:
                 weight = _bm25(w, pf, c.field)
                 if c.boost != 1.0:
                     weight = weight * c.boost
+                detail = " ".join(c.terms) + (f"~{c.slop}" if c.slop else "")
                 rows.append(
                     {"kind": "phrase", "occur": c.occur, "field": c.field,
-                     "detail": " ".join(c.terms), "df": None, "tf": pf,
+                     "detail": detail, "df": None,
+                     "tf": pf if c.slop else int(pf),
                      "idf": w, "boost": c.boost, "weight": weight}
                 )
                 matched = pf > 0
@@ -976,21 +1077,26 @@ class SearchEngine:
         cache[(si, c.field, c.term)] = got
         return got
 
-    # ---- phrase + multi-term machinery (Q8/Q9/Q10) --------------------
+    # ---- phrase + multi-term machinery (Q8/Q9/Q10/Q14) -----------------
     def _phrase_postings(
         self, seg: _LiveSegment, c: PhraseClause
     ) -> tuple[np.ndarray, np.ndarray] | None:
-        """Exact-adjacency phrase match over one segment → (local docids,
-        phrase freqs), alive-filtered; None when no doc matches.
+        """Phrase match over one segment → (local docids, phrase freqs),
+        alive-filtered; None when no doc matches.
 
-        Fully vectorized: each term's occurrences become sorted composite
-        keys ``docid << 32 | position``; a phrase start survives iff
-        ``key + i`` exists in term i's key set for every i — K-1 sorted
-        membership passes (searchsorted), then a run-length count per doc
-        gives the phrase frequency (Lucene sloppyFreq at slop 0).
+        Slop 0 (Q8), fully vectorized: each term's occurrences become
+        sorted composite keys ``docid << 32 | position``; a phrase start
+        survives iff ``key + i`` exists in term i's key set for every i —
+        K-1 sorted membership passes (searchsorted), then a run-length
+        count per doc gives the phrase frequency (Lucene sloppyFreq at
+        slop 0, where every match weighs 1).
+
+        Slop > 0 (Q14) delegates to :func:`_sloppy_phrase_weights` — the
+        min-move-distance-per-anchor contract (queryparse module
+        docstring); freqs are then float64 sums of 1/(1+d).
         """
         r = seg.reader
-        ck = (r.path, c.field, c.terms)
+        ck = (r.path, c.field, c.terms, c.slop)
         sentinel = object()
         hit = self._postings_cache.get(ck, sentinel)
         if hit is not sentinel:
@@ -1009,6 +1115,19 @@ class SearchEngine:
                 (np.repeat(local, tfs.astype(np.int64)) << 32) | pos
             )
         else:
+            if c.slop > 0:
+                got = _sloppy_phrase_weights(key_arrays, c.slop, c.terms)
+                if got is not None:
+                    u_docs, pf = got
+                    if not seg.all_alive:
+                        ok = seg.alive[u_docs]
+                        u_docs, pf = u_docs[ok], pf[ok]
+                    if u_docs.size:
+                        result = (u_docs, pf)
+                self._postings_cache[ck] = result
+                if len(self._postings_cache) > self._postings_cache_size:
+                    self._postings_cache.popitem(last=False)
+                return result
             surv = key_arrays[0]
             for i in range(1, len(key_arrays)):
                 surv = surv[_in_sorted(surv + i, key_arrays[i])]

@@ -31,6 +31,12 @@ GRAMMAR_QUERIES = [
     '"w00002 w00000 w00001"',   # 3-term phrase
     '+"w00000 w00001" +w00002',  # phrase as MUST with a term
     '"w00000 w00001" w00005',    # phrase OR term
+    '"w00000 w00001"~2',         # Q14 sloppy pair (includes transpositions)
+    '"w00001 w00000"~1',         # reversed order needs 2 moves — d=1 misses
+    '"w00002 w00000 w00001"~3',  # 3-term sloppy
+    '"w00000 w00000"~2',         # repeated-term sloppy (distinctness path)
+    '"w00000 w00001"~2^2',       # slop + boost
+    '+"w00000 w00001"~1 +w00002',  # sloppy phrase as MUST
     "w0000*",
     "firstword*",
     "w0000?",
@@ -143,6 +149,73 @@ def test_phrase_survives_compaction(grammar_built, tmp_path):
     assert len(eng2.chain) == 1
     for q in GRAMMAR_QUERIES:
         assert snap(eng2, q) == before[q], q
+
+
+def test_sloppy_phrase_hand_computed(ray_session, tmp_path):
+    """Q14 contract pinned by hand: per first-term anchor, d = minimal
+    max(pᵢ−i)−min(pᵢ−i); anchors with d ≤ slop weigh 1/(1+d); pf is the
+    weight sum.  Verified through the full BM25 score (idf and norms hand
+    computable on a 1-doc-per-case corpus would be noisy — instead we pin
+    the pf ORDERING and the exact weight ratios via explain())."""
+    import ray.data
+
+    from lucene_plugin_ray.pipelines.build import build_index
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+
+    rows = [
+        {"url": "u1", "warc_ts": 1, "collection": "default",
+         "text": "alpha beta"},            # d=0 → weight 1
+        {"url": "u2", "warc_ts": 1, "collection": "default",
+         "text": "alpha xx beta"},         # d=1 → 1/2
+        {"url": "u3", "warc_ts": 1, "collection": "default",
+         "text": "beta alpha"},            # transposed: d=2 → 1/3
+        {"url": "u4", "warc_ts": 1, "collection": "default",
+         "text": "alpha xx yy beta"},      # d=2 → 1/3
+        {"url": "u5", "warc_ts": 1, "collection": "default",
+         "text": "alpha yy zz qq beta"},   # d=3 → outside slop 2
+    ]
+    root = str(tmp_path / "idx")
+    cfg = IndexConfig(index_root=root, num_partitions=2)
+    build_index(ray.data.from_items(rows), cfg)
+    eng = SearchEngine(root, cfg=cfg)
+    got = eng.search('"alpha beta"~2', limit=10)
+    assert set(got["url"].to_pylist()) == {"u1", "u2", "u3", "u4"}
+    pf = {}
+    for u in ("u1", "u2", "u3", "u4", "u5"):
+        ex = eng.explain('"alpha beta"~2', u)
+        (cl,) = ex["clauses"]
+        assert cl["kind"] == "phrase" and cl["detail"] == "alpha beta~2"
+        pf[u] = cl["tf"]
+    assert pf == {
+        "u1": 1.0, "u2": 0.5, "u3": pytest.approx(1 / 3),
+        "u4": pytest.approx(1 / 3), "u5": 0.0,
+    }
+    # slop 1 excludes the d=2 docs; slop 0 equals the plain phrase
+    assert set(eng.search('"alpha beta"~1')["url"].to_pylist()) == {"u1", "u2"}
+    a = eng.search('"alpha beta"', limit=10)
+    b = eng.search('"alpha beta"~0', limit=10)
+    assert a.to_pydict() == b.to_pydict()
+
+
+def test_sloppy_repeated_terms_distinct_positions(ray_session, tmp_path):
+    """Repeated terms must occupy DISTINCT actual positions: 'alpha alpha'
+    cannot match a doc with a single alpha, however large the slop."""
+    import ray.data
+
+    from lucene_plugin_ray.pipelines.build import build_index
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+
+    rows = [
+        {"url": "one", "warc_ts": 1, "collection": "default",
+         "text": "alpha beta gamma"},            # single alpha — no match
+        {"url": "two", "warc_ts": 1, "collection": "default",
+         "text": "alpha beta alpha"},            # d=1 (gap one token)
+    ]
+    root = str(tmp_path / "idx")
+    cfg = IndexConfig(index_root=root, num_partitions=1)
+    build_index(ray.data.from_items(rows), cfg)
+    eng = SearchEngine(root, cfg=cfg)
+    assert eng.search('"alpha alpha"~9')["url"].to_pylist() == ["two"]
 
 
 def test_phrase_respects_upsert_and_collections(ray_session, tmp_path):

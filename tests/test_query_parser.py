@@ -53,7 +53,7 @@ def test_or_keyword():
 def test_rejects_unsupported():
     for q in [
         "a)b", "(", "(a", "a)", "()", "( )",        # malformed grouping
-        '"a b"~2',                                   # proximity slop
+        '"a b"~-1', '"a b"~x',                       # malformed slop
         "*lead", "?lead",                            # leading wildcard
         "term~3", "term~9",                          # fuzzy maxEdits > 2
         'un"balanced',                               # unbalanced quotes
@@ -73,6 +73,25 @@ def test_rejects_unsupported():
     for q in ["a^b", "a^", "^2", "a^0"]:  # malformed / degenerate boosts
         with pytest.raises(QueryParseError):
             parse_query(q)
+
+
+def test_sloppy_phrase_clauses():
+    """Q14: ~slop on phrases — bare ~ is slop 0 and fractional slop floors
+    (classic QueryParser parses the image as float and casts to int)."""
+    from lucene_plugin_ray.functions.queryparse import PhraseClause
+
+    (c,) = parse_query('"a1 b2"~2')
+    assert isinstance(c, PhraseClause) and c.slop == 2 and c.boost == 1.0
+    (c,) = parse_query('"a1 b2"~')
+    assert c.slop == 0
+    (c,) = parse_query('"a1 b2"~2.7')
+    assert c.slop == 2
+    (c,) = parse_query('f1:"a1 b2"~3^2')
+    assert c.field == "f1" and c.slop == 3 and c.boost == 2.0
+    (c,) = parse_query('"a1"~5')  # single survivor degenerates to TermQuery
+    assert type(c).__name__ == "TermClause"
+    (c,) = parse_query('"a1 the b2"~1')  # stopwords drop before slop applies
+    assert isinstance(c, PhraseClause) and c.terms == ("a1", "b2")
 
 
 def test_boost_clauses():
