@@ -266,6 +266,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         1, near pairs 1/(1+d) up to 2 moves; BM25 on the weight sum."""
         return _search_all(sf_dir, _SLOPPY_Q)
 
+    def search_range_excl(sf_dir: str) -> pa.Table:
+        """Exclusive range brackets: source:{src1 TO src3} — strict
+        inequalities (classic QueryParser '{a TO b}' grammar)."""
+        return _search_all(
+            sf_dir, f"source:{{{_RANGE_LO} TO {_RANGE_HI}}}"
+        )
+
+    def search_range_open(sf_dir: str) -> pa.Table:
+        """Open upper bound: source:[src3 TO *] (classic QueryParser '*'
+        endpoint)."""
+        return _search_all(sf_dir, f"source:[{_RANGE_HI} TO *]")
+
     def search_not(sf_dir: str) -> pa.Table:
         """MUST_NOT (Q11): BM25 on 'spark' over docs NOT containing
         'merge' — prohibited clauses exclude, never score."""
@@ -431,6 +443,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_range": search_range,
         "search_phrase": search_phrase,
         "search_sloppy": search_sloppy,
+        "search_range_excl": search_range_excl,
+        "search_range_open": search_range_open,
         "search_prefix": search_prefix,
         "search_wildcard": search_wildcard,
         "search_fuzzy": search_fuzzy,
@@ -848,6 +862,26 @@ toks AS (SELECT doc_id, term FROM raw WHERE term <> '' AND length(term) <= 255
          AND term NOT IN {SQL_STOPWORD_LIST})
 SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM toks
 WHERE term >= '{_RANGE_LO}' AND term <= '{_RANGE_HI}'
+ORDER BY doc_id
+"""
+
+    # exclusive brackets {{a TO b}} (strict inequalities — QP grammar parity)
+    sql["search_range_excl"] = f"""
+WITH raw AS (SELECT doc_id, unnest(string_split_regex(lower(source), '[^a-z0-9]+')) AS term FROM documents),
+toks AS (SELECT doc_id, term FROM raw WHERE term <> '' AND length(term) <= 255
+         AND term NOT IN {SQL_STOPWORD_LIST})
+SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM toks
+WHERE term > '{_RANGE_LO}' AND term < '{_RANGE_HI}'
+ORDER BY doc_id
+"""
+
+    # open upper bound [a TO *] (no upper endpoint)
+    sql["search_range_open"] = f"""
+WITH raw AS (SELECT doc_id, unnest(string_split_regex(lower(source), '[^a-z0-9]+')) AS term FROM documents),
+toks AS (SELECT doc_id, term FROM raw WHERE term <> '' AND length(term) <= 255
+         AND term NOT IN {SQL_STOPWORD_LIST})
+SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM toks
+WHERE term >= '{_RANGE_HI}'
 ORDER BY doc_id
 """
 

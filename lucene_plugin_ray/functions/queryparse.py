@@ -106,11 +106,18 @@ class TermClause:
 
 @dataclass(frozen=True)
 class RangeClause:
+    """Q3 — string-lexicographic term range.  ``lo``/``hi`` of ``None`` are
+    open endpoints (classic QP ``[* TO b]`` / ``[a TO *]``); ``lo_inc`` /
+    ``hi_inc`` distinguish inclusive ``[``/``]`` from exclusive ``{``/``}``
+    brackets (mixed forms like ``[a TO b}`` allowed — QP grammar parity)."""
+
     occur: str
     field: str
-    lo: str
-    hi: str
+    lo: str | None
+    hi: str | None
     boost: float = 1.0
+    lo_inc: bool = True
+    hi_inc: bool = True
 
 
 @dataclass(frozen=True)
@@ -260,15 +267,16 @@ def _parse_level(
         query = "".join(out_chars)
 
     # re-join bracketed ranges that whitespace-splitting broke apart
+    # (inclusive [a TO b] and exclusive {a TO b} brackets both count)
     raw = query.split()
     toks: list[str] = []
     i = 0
     while i < len(raw):
         t = raw[i]
-        if "[" in t and "]" not in t:
+        if ("[" in t or "{" in t) and not ("]" in t or "}" in t):
             j = i
             merged = t
-            while "]" not in merged:
+            while not ("]" in merged or "}" in merged):
                 j += 1
                 if j >= len(raw):
                     raise QueryParseError(f"unterminated range in {query!r}")
@@ -370,10 +378,18 @@ def _parse_level(
             raise QueryParseError(
                 f"phrase/group must be a whole clause: {item!r}"
             )
-        rm = re.match(r"^\[(.+)\s+TO\s+(.+)\]$", item)
+        rm = re.match(r"^([\[{])(.+)\s+TO\s+(.+)([\]}])$", item)
         if rm:
-            lo, hi = rm.group(1).lower(), rm.group(2).lower()
-            clauses.append(RangeClause(occur, field, lo, hi, boost))
+            # lowercaseExpandedTerms parity; '*' endpoints are open bounds
+            lo_s, hi_s = rm.group(2).lower(), rm.group(3).lower()
+            lo = None if lo_s == "*" else lo_s
+            hi = None if hi_s == "*" else hi_s
+            clauses.append(
+                RangeClause(
+                    occur, field, lo, hi, boost,
+                    lo_inc=rm.group(1) == "[", hi_inc=rm.group(4) == "]",
+                )
+            )
             continue
         if "*" in item or "?" in item:
             # Q9 prefix/wildcard: lowercased, NOT analyzed

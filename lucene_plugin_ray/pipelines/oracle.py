@@ -242,7 +242,13 @@ class OracleIndex:
             assert isinstance(c, RangeClause)
             out = set()
             for t, posting in self.postings[c.field].items():
-                if c.lo <= t <= c.hi:
+                lo_ok = (
+                    c.lo is None or (t >= c.lo if c.lo_inc else t > c.lo)
+                )
+                hi_ok = (
+                    c.hi is None or (t <= c.hi if c.hi_inc else t < c.hi)
+                )
+                if lo_ok and hi_ok:
                     out.update(d for d in posting if self.coll_of[d] == coll)
             return out
 

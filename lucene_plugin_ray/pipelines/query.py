@@ -732,8 +732,16 @@ class SearchEngine:
                 )
             else:
                 if isinstance(c, RangeClause):
-                    erows = r.term_range(c.field, c.lo, c.hi)
-                    kind, detail = "range", f"[{c.lo} TO {c.hi}]"
+                    erows = r.term_range(
+                        c.field, c.lo, c.hi, c.lo_inc, c.hi_inc
+                    )
+                    kind = "range"
+                    detail = (
+                        ("[" if c.lo_inc else "{")
+                        + f"{c.lo if c.lo is not None else '*'} TO "
+                        + f"{c.hi if c.hi is not None else '*'}"
+                        + ("]" if c.hi_inc else "}")
+                    )
                 else:
                     assert isinstance(c, MultiTermClause)
                     erows = self._expand_rows(seg, c)
@@ -807,7 +815,7 @@ class SearchEngine:
             # a group matches per its inner boolean semantics (recursion)
             return self._match_segment(si, seg, list(c.clauses), cache, rows)
         if isinstance(c, RangeClause):
-            range_rows = r.term_range(c.field, c.lo, c.hi)
+            range_rows = r.term_range(c.field, c.lo, c.hi, c.lo_inc, c.hi_inc)
         else:
             assert isinstance(c, MultiTermClause)
             range_rows = self._expand_rows(seg, c)
@@ -1369,7 +1377,9 @@ class SearchEngine:
                 # constant-score expansion clauses: Q3 range over the sorted
                 # dictionary, Q9/Q10 prefix/wildcard/fuzzy expansion
                 if isinstance(c, RangeClause):
-                    range_rows = r.term_range(c.field, c.lo, c.hi)
+                    range_rows = r.term_range(
+                        c.field, c.lo, c.hi, c.lo_inc, c.hi_inc
+                    )
                 else:
                     assert isinstance(c, MultiTermClause)
                     range_rows = self._expand_rows(seg, c)

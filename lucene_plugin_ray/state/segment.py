@@ -120,15 +120,42 @@ class SegmentReader:
             return i
         return -1
 
-    def term_range(self, field: str, lo: str, hi: str) -> np.ndarray:
-        """Dictionary rows with lo <= term <= hi (Q3 string range — a
-        term-sorted dictionary scan, SURVEY.md §7.4)."""
+    def term_range(
+        self,
+        field: str,
+        lo: str | None,
+        hi: str | None,
+        lo_inc: bool = True,
+        hi_inc: bool = True,
+    ) -> np.ndarray:
+        """Dictionary rows within the term range (Q3 string range — a
+        term-sorted dictionary scan, SURVEY.md §7.4).  ``None`` bounds are
+        open (classic QueryParser ``[* TO b]``); ``lo_inc``/``hi_inc``
+        select inclusive ``[``/``]`` vs exclusive ``{``/``}`` endpoints."""
         rng = self._field_ranges.get(field)
         if rng is None:
             return np.empty(0, np.int64)
         s, e = rng
-        a = s + int(np.searchsorted(self._terms[s:e], lo, side="left"))
-        b = s + int(np.searchsorted(self._terms[s:e], hi, side="right"))
+        a = (
+            s
+            + int(
+                np.searchsorted(
+                    self._terms[s:e], lo, side="left" if lo_inc else "right"
+                )
+            )
+            if lo is not None
+            else s
+        )
+        b = (
+            s
+            + int(
+                np.searchsorted(
+                    self._terms[s:e], hi, side="right" if hi_inc else "left"
+                )
+            )
+            if hi is not None
+            else e
+        )
         return np.arange(a, b, dtype=np.int64)
 
     def prefix_rows(self, field: str, prefix: str) -> np.ndarray:

@@ -43,6 +43,10 @@ GRAMMAR_QUERIES = [
     "w00?00",
     "w00000~1",
     "w00000~",                   # ~ defaults to maxEdits 2
+    "{w00001 TO w00004}",        # exclusive range brackets
+    "[w00001 TO w00004}",        # mixed inclusivity
+    "[w0009 TO *]",              # open upper bound
+    "[* TO w00001]",             # open lower bound
     "pagehit~1",
     "+w0000* +w00001",           # multiterm as MUST
 ]

@@ -27,6 +27,19 @@ def test_field_scoped():
 def test_range():
     assert parse_query("age:[23 TO 23]") == [RangeClause(SHOULD, "age", "23", "23")]
     assert parse_query("count:[33 TO 34]") == [RangeClause(SHOULD, "count", "33", "34")]
+    # exclusive / mixed brackets and open '*' endpoints (classic QP parity)
+    assert parse_query("age:{23 TO 26}") == [
+        RangeClause(SHOULD, "age", "23", "26", lo_inc=False, hi_inc=False)
+    ]
+    assert parse_query("age:[23 TO 26}") == [
+        RangeClause(SHOULD, "age", "23", "26", lo_inc=True, hi_inc=False)
+    ]
+    assert parse_query("age:[* TO 26]") == [
+        RangeClause(SHOULD, "age", None, "26")
+    ]
+    assert parse_query("age:{23 TO *]") == [
+        RangeClause(SHOULD, "age", "23", None, lo_inc=False, hi_inc=True)
+    ]
 
 
 def test_implicit_or():
