@@ -142,6 +142,8 @@ _SLOPPY_Q = '"spark merge"~2'  # Q14: exact hits weigh 1, near hits 1/(1+d)
 _PREFIX_Q = "s*"          # expands to 6 vocabulary terms
 _WILD_Q = "s?a*"          # expands to scan / small / spark
 _FUZZY_Q = "spakr~1"      # transposition — true-Damerau distance 1 to spark
+_REGEXP_Q = "/s[pt].[ra]+.*/"  # Q15 — matches spark/stream/... in the vocab
+_REGEXP_RE2 = "s[pt].[ra]+.*"  # the same body for DuckDB regexp_full_match
 
 
 def _phrase_bm25_sql(terms: list[str]) -> str:
@@ -265,6 +267,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Proximity phrase (Q14): '"spark merge"~2' — adjacent pairs weigh
         1, near pairs 1/(1+d) up to 2 moves; BM25 on the weight sum."""
         return _search_all(sf_dir, _SLOPPY_Q)
+
+    def search_regexp(sf_dir: str) -> pa.Table:
+        """Regexp query (Q15): dictionary-expanded constant-score, anchored
+        full-term match (Lucene RegexpQuery under CONSTANT_SCORE)."""
+        return _search_all(sf_dir, _REGEXP_Q)
 
     def search_range_excl(sf_dir: str) -> pa.Table:
         """Exclusive range brackets: source:{src1 TO src3} — strict
@@ -445,6 +452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_sloppy": search_sloppy,
         "search_range_excl": search_range_excl,
         "search_range_open": search_range_open,
+        "search_regexp": search_regexp,
         "search_prefix": search_prefix,
         "search_wildcard": search_wildcard,
         "search_fuzzy": search_fuzzy,
@@ -695,6 +703,11 @@ WHERE term LIKE 's_a%' ORDER BY doc_id
 {_toks_cte()}
 SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM toks
 WHERE damerau_levenshtein(term, 'spakr') <= 1 ORDER BY doc_id
+"""
+    sql["search_regexp"] = f"""
+{_toks_cte()}
+SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM toks
+WHERE regexp_full_match(term, '{_REGEXP_RE2}') ORDER BY doc_id
 """
 
     # faceting: lang-token counts over the OR query's match set.  The facet

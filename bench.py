@@ -196,7 +196,7 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     ext_qset = [
         '"spark merge"', '"merge group"', '"spark merge group"',
         '"spark merge"~2', '"spark group"~3',  # Q14 proximity
-        "spar*", "s?a*", "spakr~1", "stream~2",
+        "spar*", "s?a*", "spakr~1", "stream~2", "/s[pt].[ra]+.*/",
         "spark -merge", "spark NOT window",  # Q11 MUST_NOT
     ]
     for q in ext_qset:  # cold pass (positions decode + expansion caches)

@@ -30,6 +30,16 @@ reference test exercises these):
       like Q8.  At slop 0 this reduces bit-for-bit to the Q8 semantics.
       ``"a b"~`` (no number) parses as slop 0 and ``~2.5`` floors to 2 —
       classic-QueryParser parity.
+  Q15 regexp                 ``/s[pt].*k/``, ``field:/ab+c/`` — dictionary-
+      expanded constant-score like Q9 (Lucene RegexpQuery under the
+      CONSTANT_SCORE rewrite); the whole term must match (RegexpQuery is
+      always anchored).  Pattern lowercased (lowercaseExpandedTerms
+      parity) and evaluated with Python ``re.fullmatch`` — the shared
+      operator subset (literals, ``.``, ``[...]``, ``?*+``, ``{n,m}``,
+      ``|``, ``()``, ``\\`` escapes) behaves identically to Lucene's
+      RegExp; Lucene's automaton-only operators (``~`` complement, ``&``
+      intersection, ``@`` any-string, ``#`` empty, ``<n-m>`` intervals)
+      are REJECTED loudly rather than silently diverging.
   Q9  prefix / wildcard      ``te*``, ``t?st*`` — term-expanded over the
       dictionary; constant-score 1.0 (Lucene 5.2.1 MultiTermQuery
       CONSTANT_SCORE rewrite).  Leading wildcards rejected
@@ -139,8 +149,9 @@ class MultiTermClause:
     """Q9/Q10 — dictionary-expanded constant-score clause.
 
     ``kind``: 'prefix' (pattern = literal prefix), 'wildcard' (pattern with
-    * / ? intact, lowercased) or 'fuzzy' (pattern = base term, ``max_edits``
-    the Damerau-Levenshtein bound)."""
+    * / ? intact, lowercased), 'fuzzy' (pattern = base term, ``max_edits``
+    the Damerau-Levenshtein bound) or 'regexp' (pattern = anchored regex
+    body without the slashes, lowercased — Q15)."""
 
     occur: str
     field: str
@@ -389,6 +400,28 @@ def _parse_level(
                     occur, field, lo, hi, boost,
                     lo_inc=rm.group(1) == "[", hi_inc=rm.group(4) == "]",
                 )
+            )
+            continue
+        if len(item) >= 2 and item[0] == "/" and item[-1] == "/":
+            # Q15 regexp: anchored term regex, lowercased
+            # (lowercaseExpandedTerms parity), constant-score expansion
+            pat = item[1:-1].lower()
+            if not pat:
+                raise QueryParseError("empty regexp '//'")
+            # Lucene-RegExp automaton operators we do not implement: loud
+            # rejection beats silently diverging semantics
+            if re.search(r"(?<!\\)[~&@#<>]", pat):
+                raise QueryParseError(
+                    f"unsupported Lucene-RegExp operator in {item!r}: only "
+                    "literals, '.', '[...]', '?*+', '{n,m}', '|', '()' and "
+                    "backslash escapes are supported"
+                )
+            try:
+                re.compile(pat)
+            except re.error as e:
+                raise QueryParseError(f"invalid regexp {item!r}: {e}") from e
+            clauses.append(
+                MultiTermClause(occur, field, "regexp", pat, boost=boost)
             )
             continue
         if "*" in item or "?" in item:

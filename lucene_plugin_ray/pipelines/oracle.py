@@ -158,6 +158,9 @@ class OracleIndex:
                 re.DOTALL,
             )
             return [t for t in vocab if rx.fullmatch(t)]
+        if c.kind == "regexp":
+            rx = re.compile(c.pattern, re.DOTALL)
+            return [t for t in vocab if rx.fullmatch(t)]
         return [
             t for t in vocab if damerau_levenshtein(c.pattern, t) <= c.max_edits
         ]

@@ -1193,6 +1193,27 @@ class SearchEngine:
                     rows.size,
                 )
                 rows = rows[keep]
+        elif c.kind == "regexp":
+            import re as _re
+
+            # narrow the scan with the pattern's literal prefix (chars up
+            # to the first metacharacter) — a leading-literal regexp is a
+            # two-binary-search range like Q9; a metachar-first pattern
+            # scans the per-segment vocabulary (bounded, cached) like fuzzy
+            lit_chars: list[str] = []
+            for ch in c.pattern:
+                if ch in r"\.[]()*+?{}|^$":
+                    break
+                lit_chars.append(ch)
+            rows = r.prefix_rows(c.field, "".join(lit_chars))
+            if rows.size:
+                rx = _re.compile(c.pattern, _re.DOTALL)
+                keep = np.fromiter(
+                    (rx.fullmatch(t) is not None for t in r._terms[rows]),
+                    bool,
+                    rows.size,
+                )
+                rows = rows[keep]
         else:  # fuzzy
             from lucene_plugin_ray.functions.fuzzy import fuzzy_match_mask
 

@@ -43,6 +43,9 @@ GRAMMAR_QUERIES = [
     "w00?00",
     "w00000~1",
     "w00000~",                   # ~ defaults to maxEdits 2
+    "/w0000[0-3]/",              # Q15 regexp (literal-prefix narrowed)
+    "/.*hit/",                   # regexp with no literal prefix (full scan)
+    "+/w0000./ +w00002",         # regexp as MUST
     "{w00001 TO w00004}",        # exclusive range brackets
     "[w00001 TO w00004}",        # mixed inclusivity
     "[w0009 TO *]",              # open upper bound

@@ -88,6 +88,26 @@ def test_rejects_unsupported():
             parse_query(q)
 
 
+def test_regexp_clauses():
+    """Q15: /re/ — dictionary-expanded constant-score, lowercased pattern;
+    Lucene-RegExp automaton operators and invalid patterns rejected."""
+    from lucene_plugin_ray.functions.queryparse import MultiTermClause
+
+    (c,) = parse_query("/s[pt].*k/")
+    assert isinstance(c, MultiTermClause)
+    assert c.kind == "regexp" and c.pattern == "s[pt].*k"
+    (c,) = parse_query("f1:/AB+c/^2")
+    assert c.field == "f1" and c.pattern == "ab+c" and c.boost == 2.0
+    (c,) = parse_query("-/ab/")
+    assert c.occur == "MUST_NOT" and c.kind == "regexp"
+    for bad in ["//", "/a~b/", "/a&b/", "/a@/", "/<1-3>/", "/a(/", "/a[/"]:
+        with pytest.raises(QueryParseError):
+            parse_query(bad)
+    # escaped operator chars are literals, not rejections
+    (c,) = parse_query(r"/a\~b/")
+    assert c.pattern == r"a\~b"
+
+
 def test_sloppy_phrase_clauses():
     """Q14: ~slop on phrases — bare ~ is slop 0 and fractional slop floors
     (classic QueryParser parses the image as float and casts to int)."""
