@@ -496,6 +496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": training.repetition_stats,
         "chunk_text": training.chunk_text,
         "text_clean": training.text_clean,
+        "pii_redact": lambda sf: training.pii_redact(sf, inject=True),
         "dataset_split": training.dataset_split,
         "decontaminate": training.decontaminate,
         "events_props_extract": training.events_props_extract,
@@ -1268,6 +1269,33 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(
             regexp_replace(text, '{url_p}', '<url>', 'g'),
             '{email_p}')) AS BIGINT) AS n_emails
+FROM documents ORDER BY doc_id
+"""
+
+    # PII redaction on deterministically injected contact strings (the
+    # corpus carries no PII — the injection keeps the oracle non-vacuous;
+    # pipelines/training.py::pii_redact performs the identical append)
+    from lucene_plugin_ray.pipelines.training import (
+        PII_EMAIL_PATTERN as _pe,
+        PII_IP_PATTERN as _pi,
+        PII_PHONE_PATTERN as _pp,
+    )
+
+    _pii_src = (
+        "text || ' contact user' || doc_id || '@mail' || (doc_id % 7) || "
+        "'.com tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' host 10.' || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256)"
+    )
+    _pii_after_email = f"regexp_replace({_pii_src}, '{_pe}', '<EMAIL>', 'g')"
+    _pii_after_phone = (
+        f"regexp_replace({_pii_after_email}, '{_pp}', '<PHONE>', 'g')"
+    )
+    sql["pii_redact"] = f"""
+SELECT doc_id,
+       regexp_replace({_pii_after_phone}, '{_pi}', '<IP>', 'g') AS text_redacted,
+       CAST(len(regexp_extract_all({_pii_src}, '{_pe}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all({_pii_after_email}, '{_pp}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all({_pii_after_phone}, '{_pi}')) AS BIGINT) AS n_ips
 FROM documents ORDER BY doc_id
 """
 

@@ -308,6 +308,10 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     queries["decontaminate"] = round(time.monotonic() - t1, 3)
 
     t1 = time.monotonic()
+    training.pii_redact(sf_dir, inject=True)
+    queries["pii_redact"] = round(time.monotonic() - t1, 3)
+
+    t1 = time.monotonic()
     training.ngram_counts(sf_dir)
     queries["ngram_counts"] = round(time.monotonic() - t1, 3)
 

@@ -2644,6 +2644,86 @@ def text_clean(sf_dir: str, output_path: str | None = None) -> pa.Table | None:
     return _sink_or_table(out, output_path, "doc_id")
 
 
+# PII redaction patterns — RE2 syntax only, so the pyarrow.compute kernels
+# (RE2) and the DuckDB oracle (also RE2) match byte-for-byte.  Application
+# order is fixed (email → phone → ip) and part of the contract: each pass
+# counts on the PREVIOUS pass's output, like text_clean's url-then-email.
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_PATTERN = r"\+[0-9]{1,3}-[0-9]{3,4}-[0-9]{4}"
+PII_IP_PATTERN = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def pii_redact(
+    sf_dir: str, output_path: str | None = None, inject: bool = False
+) -> pa.Table | None:
+    """PII redaction pass: mask emails → ``<EMAIL>``, international phone
+    numbers → ``<PHONE>`` and IPv4 addresses → ``<IP>``, with per-category
+    counts — the privacy scrub every public-web training corpus needs
+    before release (complements text_clean, which handles URLs/formatting).
+
+    Fully map-side (zero-copy batches, six RE2 kernels, no shuffle); at
+    100 TB the redacted corpus streams to ``output_path`` partitioned
+    Parquet and the count columns feed a per-source PII-density report.
+
+    ``inject=True`` first appends a deterministic PII suffix derived from
+    ``doc_id`` (email, phone, ip) to every document.  The shipped synthetic
+    corpus carries no PII, so the driver entry uses this to keep the DuckDB
+    oracle comparison non-vacuous: the oracle performs the identical
+    injection in SQL and the redaction must strip every planted span (the
+    count columns then prove ≥1 hit per category per row).
+
+    Output: (doc_id, text_redacted, n_emails, n_phones, n_ips) by doc_id."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _redact(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch["text"].combine_chunks(), pa.string())
+        if inject:
+            did = (
+                batch["doc_id"]
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            text = pc.binary_join_element_wise(
+                text,
+                " contact user",
+                pa.array(did.astype(str)),
+                "@mail",
+                pa.array((did % 7).astype(str)),
+                ".com tel +1-555-",
+                pa.array(np.char.zfill((did % 10000).astype(str), 4)),
+                " host 10.",
+                pa.array((did % 256).astype(str)),
+                ".0.",
+                pa.array(((did * 7) % 256).astype(str)),
+                "",
+            )
+        n_emails = pc.count_substring_regex(text, PII_EMAIL_PATTERN)
+        text = pc.replace_substring_regex(
+            text, pattern=PII_EMAIL_PATTERN, replacement="<EMAIL>"
+        )
+        n_phones = pc.count_substring_regex(text, PII_PHONE_PATTERN)
+        text = pc.replace_substring_regex(
+            text, pattern=PII_PHONE_PATTERN, replacement="<PHONE>"
+        )
+        n_ips = pc.count_substring_regex(text, PII_IP_PATTERN)
+        text = pc.replace_substring_regex(
+            text, pattern=PII_IP_PATTERN, replacement="<IP>"
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].combine_chunks(),
+                "text_redacted": text,
+                "n_emails": pc.cast(n_emails, pa.int64()),
+                "n_phones": pc.cast(n_phones, pa.int64()),
+                "n_ips": pc.cast(n_ips, pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(_redact, batch_format="pyarrow", zero_copy_batch=True)
+    return _sink_or_table(out, output_path, "doc_id")
+
+
 # 0xf3/0x100 = 94.9% train — the split threshold as a 2-hex-char string so
 # both sides compare lexicographically on the fingerprint prefix
 DATASET_SPLIT_TRAIN_HEX = "f3"

@@ -68,6 +68,56 @@ def test_text_clean_masks_and_normalizes(ray_session, corpus_dir):
     assert r.loc[5, "clean_text"] == DOCS[5][1]
 
 
+def test_pii_redact_masks_and_counts(ray_session, tmp_path):
+    """Emails/phones/IPv4 masked with per-category counts; clean text passes
+    through byte-identical; the injected-PII driver path matches its SQL
+    oracle on the same corpus."""
+    rows = [
+        (0, "reach bob.smith+x@ex-ample.co.uk or +1-555-0173 ip 10.2.0.14"),
+        (1, "no pii at all in this row"),
+        (2, "a@b.co. then 999.999.999.999 and a short +44-20-12345 tail"),
+        (3, "two a@b.cc c@d.ee +1-555-0001 +2-666-0002 1.2.3.4 5.6.7.8"),
+        (4, ""),
+    ]
+    d = tmp_path / "pii"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in rows], pa.int64()),
+                "text": pa.array([t for _, t in rows], pa.string()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    got = training.pii_redact(str(d)).to_pandas().set_index("doc_id")
+    assert got.loc[0, "text_redacted"] == "reach <EMAIL> or <PHONE> ip <IP>"
+    assert (
+        got.loc[0, ["n_emails", "n_phones", "n_ips"]].tolist() == [1, 1, 1]
+    )
+    assert got.loc[1, "text_redacted"] == rows[1][1]  # pass-through
+    assert got.loc[1, ["n_emails", "n_phones", "n_ips"]].tolist() == [0, 0, 0]
+    # malformed lookalikes stay: 999.999... IS matched per-octet-pattern?
+    # no — \d{1,3} matches 999, so it redacts; the short phone does not
+    assert got.loc[2, "text_redacted"] == "<EMAIL>. then <IP> and a short +44-20-12345 tail"
+    assert got.loc[3, ["n_emails", "n_phones", "n_ips"]].tolist() == [2, 2, 2]
+    assert got.loc[4, "text_redacted"] == ""
+    # driver path (deterministic injection) equals the SQL oracle here too
+    inj = training.pii_redact(str(d), inject=True).to_pandas()
+    exp = _oracle("pii_redact", str(d))
+    pd.testing.assert_frame_equal(inj, exp, check_dtype=False)
+    assert (inj[["n_emails", "n_phones", "n_ips"]].min() >= 1).all()
+    # streaming sink parity
+    out = tmp_path / "sunk"
+    assert training.pii_redact(str(d), output_path=str(out)) is None
+    import pyarrow.dataset as pads
+
+    sunk = pads.dataset(str(out)).to_table().sort_by("doc_id").to_pandas()
+    pd.testing.assert_frame_equal(
+        sunk, training.pii_redact(str(d)).to_pandas(), check_dtype=False
+    )
+
+
 def test_dataset_split_content_keyed(ray_session, corpus_dir, tmp_path):
     got = training.dataset_split(corpus_dir).to_pandas()
     exp = _oracle("dataset_split", corpus_dir)
