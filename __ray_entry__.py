@@ -497,6 +497,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_text": training.chunk_text,
         "text_clean": training.text_clean,
         "pii_redact": lambda sf: training.pii_redact(sf, inject=True),
+        # iterative/stateful (tokenizer training) — no SQL oracle; referee
+        # is the brute-force reference in tests/test_curation_ops.py
+        "bpe_fit": lambda sf: training.bpe_fit(sf, n_merges=50),
         "dataset_split": training.dataset_split,
         "decontaminate": training.decontaminate,
         "events_props_extract": training.events_props_extract,

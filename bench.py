@@ -312,6 +312,10 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     queries["pii_redact"] = round(time.monotonic() - t1, 3)
 
     t1 = time.monotonic()
+    training.bpe_fit(sf_dir, n_merges=200)
+    queries["bpe_fit"] = round(time.monotonic() - t1, 3)
+
+    t1 = time.monotonic()
     training.ngram_counts(sf_dir)
     queries["ngram_counts"] = round(time.monotonic() - t1, 3)
 

@@ -2989,6 +2989,170 @@ def pack_sequences(
     return _sink_or_table(out, output_path, "doc_id")
 
 
+BPE_END = "</w>"  # Sennrich end-of-word marker: its own terminal symbol
+
+
+def bpe_fit(
+    sf_dir: str,
+    n_merges: int = 200,
+    top_words: int = 65536,
+    output_path: str | None = None,
+) -> pa.Table | None:
+    """Fit a BPE (byte-pair-encoding) merge table over the corpus — the
+    tokenizer-training step of an LLM data pipeline (Sennrich et al. 2016,
+    the sentencepiece/GPT-2 trainer shape).
+
+    Two phases, mirroring how production BPE trainers scale:
+
+    1. **Distributed word histogram** (the only corpus-sized work): surface
+       words (the shared :func:`_surface_words` spec) fold per batch to
+       (word, count) partials — each batch emits at most one row per
+       distinct word, so the groupby exchanges vocabulary-sized integer
+       rows, never corpus-sized ones — then a global sum and a count-desc
+       top-``top_words`` truncation (deterministic tiebreak: word asc).
+       At 100 TB the histogram is the ONLY pass over the data; everything
+       after is vocabulary-bounded.
+    2. **Merge loop on the bounded histogram** (driver-side, like every
+       real BPE trainer once counts are in hand): words become symbol
+       sequences (chars + terminal ``</w>``); each of ``n_merges``
+       iterations merges the most frequent adjacent symbol pair
+       (count desc, then (left, right) asc — fully deterministic), with a
+       pair→words inverted index so each merge touches only the words
+       containing the pair.
+
+    The ``top_words`` cap is the standard trainer memory bound (frequency
+    truncation barely moves merge ranks — the head dominates pair counts);
+    it is a documented knob, not a silent cap.
+
+    Iterative and stateful, so no SQL oracle (driver records rows-only);
+    the referee is an independent brute-force reference implementation in
+    tests/test_curation_ops.py plus determinism/cap/tie property tests.
+
+    Output: (rank, left, right, merged, pair_count) — rank is merge order."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if top_words < 1:
+        raise ValueError(f"top_words must be >= 1, got {top_words}")
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch["text"].combine_chunks(), pa.string())
+        _, flat = _surface_words(text)
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "word": pa.array([], type=pa.string()),
+                    "cnt": pa.array([], type=pa.int64()),
+                }
+            )
+        t = pa.table({"word": flat}).group_by("word").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "word": t["word"],
+                "cnt": pc.cast(t["count_all"], pa.int64()),
+            }
+        )
+
+    folded = (
+        ds.map_batches(_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("word")
+        .sum("cnt")
+    )
+    # distributed top-k: the driver only ever receives top_words rows
+    batches = list(
+        folded.sort(["sum(cnt)", "word"], descending=[True, False])
+        .limit(top_words)
+        .iter_batches(batch_format="pyarrow")
+    )
+    schema = pa.schema(
+        [
+            ("rank", pa.int64()),
+            ("left", pa.string()),
+            ("right", pa.string()),
+            ("merged", pa.string()),
+            ("pair_count", pa.int64()),
+        ]
+    )
+    hist = pa.concat_tables(batches) if batches else None
+    if hist is None or hist.num_rows == 0:
+        out = pa.table({f.name: pa.array([], type=f.type) for f in schema})
+        return _sink_or_table(
+            ray.data.from_arrow(out), output_path, "rank", empty_schema=schema
+        )
+    words = hist["word"].to_pylist()
+    counts = hist["sum(cnt)"].to_pylist()
+    merges = _bpe_merge_loop(words, counts, n_merges)
+    out = pa.table(
+        {
+            "rank": pa.array([m[0] for m in merges], type=pa.int64()),
+            "left": pa.array([m[1] for m in merges], type=pa.string()),
+            "right": pa.array([m[2] for m in merges], type=pa.string()),
+            "merged": pa.array([m[3] for m in merges], type=pa.string()),
+            "pair_count": pa.array([m[4] for m in merges], type=pa.int64()),
+        }
+    )
+    return _sink_or_table(
+        ray.data.from_arrow(out), output_path, "rank", empty_schema=schema
+    )
+
+
+def _bpe_merge_loop(
+    words: list[str], counts: list[int], n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """The classical histogram-space BPE loop: symbol sequences = chars +
+    ``</w>``; per iteration merge the (count desc, pair asc) best adjacent
+    pair, updating only words that contain it (pair→word inverted index).
+    Stops early when no pair remains.  Pure function — the unit under test
+    against the brute-force reference."""
+    seqs: list[list[str]] = [list(w) + [BPE_END] for w in words]
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wi, seq in enumerate(seqs):
+        c = counts[wi]
+        for a, b in zip(seq, seq[1:]):
+            pair_counts[(a, b)] = pair_counts.get((a, b), 0) + c
+            pair_words.setdefault((a, b), set()).add(wi)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        best: tuple[str, str] | None = None
+        best_c = 0
+        for p, c in pair_counts.items():
+            if c > best_c or (c == best_c and best is not None and p < best):
+                best, best_c = p, c
+        if best is None or best_c <= 0:
+            break
+        la, rb = best
+        merged = la + rb
+        merges.append((rank, la, rb, merged, best_c))
+        for wi in sorted(pair_words.get(best, ())):
+            seq = seqs[wi]
+            c = counts[wi]
+            # remove this word's old pair contributions, rebuild after merge
+            for a, b in zip(seq, seq[1:]):
+                pair_counts[(a, b)] -= c
+                if pair_counts[(a, b)] <= 0:
+                    del pair_counts[(a, b)]
+                ws = pair_words.get((a, b))
+                if ws is not None:
+                    ws.discard(wi)
+                    if not ws:
+                        del pair_words[(a, b)]
+            new: list[str] = []
+            i = 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == la and seq[i + 1] == rb:
+                    new.append(merged)
+                    i += 2
+                else:
+                    new.append(seq[i])
+                    i += 1
+            seqs[wi] = new
+            for a, b in zip(new, new[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + c
+                pair_words.setdefault((a, b), set()).add(wi)
+    return merges
+
+
 def ngram_counts(
     sf_dir: str,
     output_path: str | None = None,

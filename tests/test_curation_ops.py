@@ -118,6 +118,111 @@ def test_pii_redact_masks_and_counts(ray_session, tmp_path):
     )
 
 
+def _bpe_reference(texts, n_merges, top_words=65536):
+    """From-scratch BPE reference: full pair recount every iteration (no
+    incremental index — deliberately nothing shared with the engine's
+    _bpe_merge_loop beyond the word spec)."""
+    from collections import Counter
+
+    wc = Counter(w for t in texts for w in t.split(" ") if w != "")
+    hist = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:top_words]
+    seqs = {w: tuple(list(w) + ["</w>"]) for w, _ in hist}
+    merges = []
+    for rank in range(n_merges):
+        pc_ = Counter()
+        for w, c in hist:
+            s = seqs[w]
+            for a, b in zip(s, s[1:]):
+                pc_[(a, b)] += c
+        if not pc_:
+            break
+        best = min(pc_.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        cnt = pc_[best]
+        merges.append((rank, best[0], best[1], best[0] + best[1], cnt))
+        for w, _ in hist:
+            s = seqs[w]
+            new, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == best:
+                    new.append(best[0] + best[1])
+                    i += 2
+                else:
+                    new.append(s[i])
+                    i += 1
+            seqs[w] = tuple(new)
+    return merges
+
+
+def test_bpe_fit_matches_reference(ray_session, tmp_path):
+    """Engine merge table == from-scratch reference, incl. tie cases and
+    the top_words truncation; empty corpus and validation edges."""
+    rng = np.random.default_rng(17)
+    vocab = ["spark", "sparse", "spars", "merge", "merges", "aaa", "aa",
+             "banana", "bandana", "anna", "naan"]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(3, 12))))
+        for _ in range(60)
+    ] + ["", "   ", "aaa aaa aaa"]
+    d = tmp_path / "bpe"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    got = training.bpe_fit(str(d), n_merges=40).to_pylist()
+    exp = _bpe_reference(texts, 40)
+    assert [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in got
+    ] == exp
+    # top_words truncation changes the histogram the same way in both
+    got_cap = training.bpe_fit(str(d), n_merges=15, top_words=4).to_pylist()
+    exp_cap = _bpe_reference(texts, 15, top_words=4)
+    assert [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in got_cap
+    ] == exp_cap
+    # early stop: a single one-char word runs out of pairs after one merge
+    e = tmp_path / "tiny"
+    e.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "text": pa.array(["a"], pa.string()),
+            }
+        ),
+        e / "documents.parquet",
+    )
+    tiny = training.bpe_fit(str(e), n_merges=5).to_pylist()
+    assert [(r["left"], r["right"]) for r in tiny] == [("a", "</w>")]
+    # empty corpus → schema'd empty table
+    z = tmp_path / "zero"
+    z.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+            }
+        ),
+        z / "documents.parquet",
+    )
+    empty = training.bpe_fit(str(z), n_merges=5)
+    assert empty.num_rows == 0 and empty.column_names == [
+        "rank", "left", "right", "merged", "pair_count",
+    ]
+    with pytest.raises(ValueError):
+        training.bpe_fit(str(d), n_merges=0)
+    with pytest.raises(ValueError):
+        training.bpe_fit(str(d), top_words=0)
+
+
 def test_dataset_split_content_keyed(ray_session, corpus_dir, tmp_path):
     got = training.dataset_split(corpus_dir).to_pandas()
     exp = _oracle("dataset_split", corpus_dir)

@@ -25,7 +25,8 @@ CHECKED = [
     "revenue_by_nation", "pricing_summary", "top_suppliers",
     "order_line_rollup", "distinct_users", "charlm_logprob", "length_rank",
     "revenue_by_part_type", "revenue_by_region", "deterministic_shuffle",
-    "events_hopping", "user_funnel",
+    "events_hopping", "user_funnel", "search_sloppy", "search_regexp",
+    "search_range_excl", "search_range_open", "pii_redact",
 ]
 
 
@@ -83,6 +84,9 @@ def test_rows_only_ops_run(harness):
     assert hll.num_rows == 5  # five event types
     ivf = qs["ann_ivf"](SF)
     assert ivf.num_rows > 0
+    bpe = qs["bpe_fit"](SF)
+    assert bpe.num_rows == 50  # the corpus vocabulary sustains 50 merges
+    assert bpe.column_names == ["rank", "left", "right", "merged", "pair_count"]
     # IVF recall vs the exact baseline (approximate but not garbage)
     exact = qs["ann_topk"](SF)
     recall_hits = 0
