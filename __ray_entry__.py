@@ -273,6 +273,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         full-term match (Lucene RegexpQuery under CONSTANT_SCORE)."""
         return _search_all(sf_dir, _REGEXP_Q)
 
+    def search_snippets(sf_dir: str) -> pa.Table:
+        """Highlighting: every '"spark window merge"-OR' hit with its best
+        8-token window snippet (distinct-scored-term maximizing, earliest
+        tiebreak, 1-based start) — hit texts fetched with predicate
+        pushdown, never the whole corpus."""
+        import pyarrow.dataset as pads
+
+        from lucene_plugin_ray.sources.pages import _doc_urls, url_to_doc_id
+
+        engine, cfg = _engine_for(sf_dir)
+        hits = engine.search(_OR_Q, limit=1_000_000_000)
+        ids = url_to_doc_id(hits["url"].combine_chunks())
+        fetched = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+            columns=["doc_id", "text"],
+            filter=pads.field("doc_id").isin(ids),
+        )
+        texts = pa.table(
+            {
+                "url": _doc_urls(fetched["doc_id"].combine_chunks()),
+                "text": fetched["text"],
+            }
+        )
+        res = engine.snippets(_OR_Q, texts, k=1_000_000_000, window=8)
+        return pa.table(
+            {
+                "doc_id": url_to_doc_id(res["url"].combine_chunks()),
+                "score": pc.round(res["score"].combine_chunks(), ndigits=4),
+                "start": res["start"],
+                "n_terms": res["n_terms"],
+                "snippet": res["snippet"],
+            }
+        ).sort_by("doc_id")
+
     def search_range_excl(sf_dir: str) -> pa.Table:
         """Exclusive range brackets: source:{src1 TO src3} — strict
         inequalities (classic QueryParser '{a TO b}' grammar)."""
@@ -453,6 +486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_range_excl": search_range_excl,
         "search_range_open": search_range_open,
         "search_regexp": search_regexp,
+        "search_snippets": search_snippets,
         "search_prefix": search_prefix,
         "search_wildcard": search_wildcard,
         "search_fuzzy": search_fuzzy,
@@ -602,6 +636,31 @@ ORDER BY doc_id
 
     # Q14 proximity: min-move distance per first-term anchor, Σ 1/(1+d)
     sql["search_sloppy"] = _sloppy_bm25_sql("spark", "merge", 2)
+
+    # highlighting: best 8-token window per OR hit (distinct scored terms
+    # maximized, earliest tiebreak, 1-based start, analyzed-token snippet)
+    _snip_terms = ", ".join(f"'{t}'" for t in analyze(_OR_Q))
+    sql["search_snippets"] = f"""
+WITH tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+            t -> t <> '' AND length(t) <= 255
+            AND NOT list_contains({_SQL_STOP_LIST_LITERAL}, t)) AS toks
+            FROM documents),
+sc AS (SELECT * FROM ({_bm25_sql(analyze(_OR_Q))})),
+win AS (SELECT tl.doc_id, least(8, len(toks)) AS w, toks
+        FROM tl WHERE tl.doc_id IN (SELECT doc_id FROM sc)),
+best AS (SELECT doc_id, w, toks,
+  list_transform(range(1, len(toks) - w + 2), i ->
+    len(list_distinct(list_filter(list_slice(toks, i, i + w - 1),
+        t -> t IN ({_snip_terms}))))) AS cnts
+  FROM win)
+SELECT b.doc_id AS doc_id, sc.score AS score,
+       CAST(list_position(b.cnts, list_max(b.cnts)) AS BIGINT) AS start,
+       CAST(list_max(b.cnts) AS BIGINT) AS n_terms,
+       array_to_string(list_slice(b.toks,
+           list_position(b.cnts, list_max(b.cnts)),
+           list_position(b.cnts, list_max(b.cnts)) + b.w - 1), ' ') AS snippet
+FROM best b JOIN sc USING (doc_id) ORDER BY doc_id
+"""
 
     # Q13 groups: (spark merge) AND window — match = window ∧ (spark ∨
     # merge); score = Σ bm25 over every matching clause

@@ -621,6 +621,109 @@ class SearchEngine:
             }
         )
 
+    SNIPPET_SCHEMA = pa.schema(
+        [
+            ("url", pa.string()),
+            ("score", pa.float64()),
+            ("start", pa.int64()),
+            ("n_terms", pa.int64()),
+            ("snippet", pa.string()),
+        ]
+    )
+
+    def snippets(
+        self,
+        query: str,
+        texts: pa.Table,
+        k: int = 10,
+        window: int = 8,
+        collection: str = "default",
+    ) -> pa.Table:
+        """Search-result highlighting: the top-k hits, each with its best
+        ``window``-token snippet — the Lucene highlighter analogue adapted
+        to an index that (like the reference: the text field is not stored,
+        LuceneIndexBean.java) cannot read bodies back.  The caller supplies
+        the hit documents' raw text (``texts``: url + text columns, fetched
+        with predicate pushdown on the hit keys — k rows, never the corpus).
+
+        Window selection runs over the ANALYZED stream (the shared tokenizer
+        spec): the best start maximizes the count of DISTINCT scored query
+        terms inside the window (BM25-scored terms: TERM clauses plus
+        phrase/synonym constituents on the default field — the
+        :func:`scored_term_keys` set); ties break on the earliest start.
+        The snippet is the window's analyzed tokens joined by single spaces
+        (the normalized form fingerprint/dedup already use), and ``start``
+        is 1-based — both choices make the op exactly SQL-expressible.
+
+        Output: (url, score, start, n_terms, snippet) in search rank order
+        (score desc, url asc)."""
+        if window < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
+        hits = self.search(query, limit=k, collection=collection)
+        if hits.num_rows == 0:
+            return pa.table(
+                {f.name: pa.array([], type=f.type) for f in self.SNIPPET_SCHEMA}
+            )
+        clauses = parse_query(query, default_field=self.cfg.text_column)
+        qterms = sorted(
+            {
+                t
+                for f, t in scored_term_keys(clauses)
+                if f == self.cfg.text_column
+            }
+        )
+        from lucene_plugin_ray.functions.analysis import analyze
+
+        text_of = dict(
+            zip(texts["url"].to_pylist(), texts[self.cfg.text_column].to_pylist())
+        )
+        urls = hits["url"].to_pylist()
+        missing = [u for u in urls if u not in text_of]
+        if missing:
+            raise ValueError(
+                f"texts table is missing {len(missing)} hit url(s), e.g. "
+                f"{missing[:3]} — fetch the hit documents before calling"
+            )
+        starts: list[int] = []
+        n_terms: list[int] = []
+        snips: list[str] = []
+        for u in urls:
+            toks = analyze(text_of[u] or "")
+            n = len(toks)
+            if n == 0:
+                starts.append(1)
+                n_terms.append(0)
+                snips.append("")
+                continue
+            w = min(window, n)
+            n_starts = n - w + 1
+            counts = np.zeros(n_starts, dtype=np.int64)
+            tarr = np.asarray(toks, dtype=object)
+            for t in qterms:
+                pos = np.flatnonzero(tarr == t)
+                if pos.size == 0:
+                    continue
+                # window starts s covering position p: s in [p-w+1, p]
+                lo = np.maximum(pos - w + 1, 0)
+                hi = np.minimum(pos, n_starts - 1)
+                d = np.zeros(n_starts + 1, dtype=np.int64)
+                np.add.at(d, lo, 1)
+                np.add.at(d, hi + 1, -1)
+                counts += np.cumsum(d[:-1]) > 0
+            best = int(np.argmax(counts))  # earliest max — the tiebreak
+            starts.append(best + 1)
+            n_terms.append(int(counts[best]))
+            snips.append(" ".join(toks[best : best + w]))
+        return pa.table(
+            {
+                "url": hits["url"],
+                "score": hits["score"],
+                "start": pa.array(starts, pa.int64()),
+                "n_terms": pa.array(n_terms, pa.int64()),
+                "snippet": pa.array(snips, pa.string()),
+            }
+        )
+
     def explain(
         self, query: str, url: str, collection: str = "default"
     ) -> dict:

@@ -27,6 +27,7 @@ CHECKED = [
     "revenue_by_part_type", "revenue_by_region", "deterministic_shuffle",
     "events_hopping", "user_funnel", "search_sloppy", "search_regexp",
     "search_range_excl", "search_range_open", "pii_redact",
+    "search_snippets",
 ]
 
 

@@ -397,3 +397,69 @@ def test_sharded_mlt_equals_single_engine(built):
         ).select(["url", "score"])
         assert a.equals(b), (m, lim, excl)
     assert svc.more_like_this("").num_rows == 0
+
+
+# ---------------------------------------------------------------------------
+# snippets (highlighting)
+# ---------------------------------------------------------------------------
+def test_snippets_hand_picked(ray_session, tmp_path):
+    """Window selection pinned by hand: best window maximizes distinct
+    scored query terms, ties break earliest, start is 1-based, snippet is
+    the analyzed window joined by spaces."""
+    import ray.data
+
+    from lucene_plugin_ray.pipelines.build import build_index
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+
+    rows = [
+        # alpha at tok 1; [beta gamma] at toks 7-8 → the best window of 3
+        # contains both; starts 6 ([x5 beta gamma]) and 7 tie at 2 distinct
+        # terms, so the EARLIEST (6) wins — not the alpha prefix
+        {"url": "u1", "warc_ts": 1, "collection": "default",
+         "text": "alpha x1 x2 x3 x4 x5 beta gamma x6"},
+        # all three terms adjacent at the tail
+        {"url": "u2", "warc_ts": 1, "collection": "default",
+         "text": "y1 y2 alpha beta gamma"},
+        # only alpha, twice — n_terms counts DISTINCT terms (1), earliest
+        # covering window wins (start 1)
+        {"url": "u3", "warc_ts": 1, "collection": "default",
+         "text": "alpha z1 alpha z2 z3"},
+        {"url": "u4", "warc_ts": 1, "collection": "default",
+         "text": "nothing relevant here"},
+    ]
+    root = str(tmp_path / "idx")
+    cfg = IndexConfig(index_root=root, num_partitions=2)
+    build_index(ray.data.from_items(rows), cfg)
+    eng = SearchEngine(root, cfg=cfg)
+    texts = pa.table(
+        {
+            "url": [r["url"] for r in rows],
+            "text": [r["text"] for r in rows],
+        }
+    )
+    t = eng.snippets("alpha beta gamma", texts, k=10, window=3)
+    by = {u: i for i, u in enumerate(t["url"].to_pylist())}
+    assert set(by) == {"u1", "u2", "u3"}  # u4 matches nothing
+    assert t["start"][by["u1"]].as_py() == 6
+    assert t["n_terms"][by["u1"]].as_py() == 2
+    assert t["snippet"][by["u1"]].as_py() == "x5 beta gamma"
+    assert t["n_terms"][by["u2"]].as_py() == 3
+    assert t["snippet"][by["u2"]].as_py() == "alpha beta gamma"
+    assert t["start"][by["u3"]].as_py() == 1
+    assert t["n_terms"][by["u3"]].as_py() == 1
+    # rank order preserved (score desc, url asc): u2 has all three terms
+    assert t["url"][0].as_py() == "u2"
+    # window larger than the doc clamps to the whole doc
+    t2 = eng.snippets("alpha", texts, k=10, window=50)
+    u3row = {u: i for i, u in enumerate(t2["url"].to_pylist())}["u3"]
+    assert t2["snippet"][u3row].as_py() == "alpha z1 alpha z2 z3"
+    # k truncation
+    assert eng.snippets("alpha beta gamma", texts, k=1, window=3).num_rows == 1
+    # missing text for a hit → loud
+    with pytest.raises(ValueError, match="missing"):
+        eng.snippets("alpha", texts.slice(1), k=10, window=3)
+    with pytest.raises(ValueError, match="window"):
+        eng.snippets("alpha", texts, window=0)
+    # no hits → schema'd empty table
+    empty = eng.snippets("absentterm", texts)
+    assert empty.num_rows == 0 and "snippet" in empty.column_names
