@@ -295,7 +295,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "text": fetched["text"],
             }
         )
-        res = engine.snippets(_OR_Q, texts, k=1_000_000_000, window=8)
+        res = engine.snippets(
+            _OR_Q, texts, k=1_000_000_000, window=8, hits=hits
+        )
         return pa.table(
             {
                 "doc_id": url_to_doc_id(res["url"].combine_chunks()),

@@ -100,6 +100,13 @@ _PLACEHOLDER = "\x00ph%d\x00"
 _PLACEHOLDER_RE = re.compile(r"^\x00ph(\d+)\x00(?:~(\d+(?:\.\d+)?)?)?$")
 _GROUP_PLACEHOLDER = "\x00gr%d\x00"
 _GROUP_RE = re.compile(r"^\x00gr(\d+)\x00$")
+_REGEXP_PLACEHOLDER = "\x00rx%d\x00"
+_REGEXP_RE = re.compile(r"^\x00rx(\d+)\x00$")
+# a /.../ regexp literal is ONE lexer token (Lucene QueryParserTokenManager
+# does the same), so its body may contain (), |, ^, whitespace … without
+# fighting the boolean-group/boost/tokenize passes
+_REGEXP_LIT_RE = re.compile(r"/(?:\\.|[^/\\])*/")
+_SLOP_MAX = (1 << 31) - 1  # < the 2^32 docid band; larger slop is vacuous
 
 
 class QueryParseError(ValueError):
@@ -240,13 +247,23 @@ def _parse_query_cached(query: str, default_field: str) -> tuple[Clause, ...]:
         return _PLACEHOLDER % (len(phrases) - 1)
 
     query = _QUOTED_RE.sub(_stash, query)
+    # lift /regexp/ literals out too (Q15) — they are single lexer tokens
+    # whose bodies may contain parens/pipes/carets
+    regexps: list[str] = []
+
+    def _stash_rx(m: re.Match) -> str:
+        regexps.append(m.group(0))
+        return _REGEXP_PLACEHOLDER % (len(regexps) - 1)
+
+    query = _REGEXP_LIT_RE.sub(_stash_rx, query)
     if _FORBIDDEN.search(query):
         raise QueryParseError(f"unsupported query syntax: {query!r}")
-    return _parse_level(query, default_field, phrases)
+    return _parse_level(query, default_field, phrases, regexps)
 
 
 def _parse_level(
-    query: str, default_field: str, phrases: list[str]
+    query: str, default_field: str, phrases: list[str],
+    regexps: list[str],
 ) -> tuple[Clause, ...]:
     """One boolean level: stash this level's top-level parenthesized groups
     (Q13), tokenize, resolve connectives, build clauses; group placeholders
@@ -366,7 +383,9 @@ def _parse_level(
             # Q13 group: recurse on the inner string (field distributes as
             # the inner level's default field); an all-stopword group drops
             # the clause (Lucene null query)
-            inner = _parse_level(groups[int(gm.group(1))], field, phrases)
+            inner = _parse_level(
+                groups[int(gm.group(1))], field, phrases, regexps
+            )
             if inner:
                 clauses.append(GroupClause(occur, tuple(inner), boost))
             continue
@@ -377,6 +396,11 @@ def _parse_level(
             # null query); single survivor degenerates to TermQuery (slop
             # is meaningless for one term — classic QP does the same)
             slop = int(float(pm.group(2))) if pm.group(2) else 0
+            # clamp: no document has 2^31 positions, so this is a semantic
+            # no-op — and it preserves the evaluator's invariant that the
+            # composite-key docid band (2^32) exceeds any slop, which is
+            # what makes cross-document floor/ceil neighbours fail d ≤ slop
+            slop = min(slop, _SLOP_MAX)
             pterms = analyze(phrases[int(pm.group(1))])
             if len(pterms) == 1:
                 clauses.append(TermClause(occur, field, pterms[0], boost))
@@ -385,6 +409,9 @@ def _parse_level(
                     PhraseClause(occur, field, tuple(pterms), boost, slop)
                 )
             continue
+        xm = _REGEXP_RE.match(item)
+        if xm:
+            item = regexps[int(xm.group(1))]  # → the '/.../' branch below
         if "\x00" in item:
             raise QueryParseError(
                 f"phrase/group must be a whole clause: {item!r}"
@@ -405,17 +432,36 @@ def _parse_level(
         if len(item) >= 2 and item[0] == "/" and item[-1] == "/":
             # Q15 regexp: anchored term regex, lowercased
             # (lowercaseExpandedTerms parity), constant-score expansion
-            pat = item[1:-1].lower()
-            if not pat:
+            raw_pat = item[1:-1]
+            if not raw_pat:
                 raise QueryParseError("empty regexp '//'")
             # Lucene-RegExp automaton operators we do not implement: loud
             # rejection beats silently diverging semantics
-            if re.search(r"(?<!\\)[~&@#<>]", pat):
+            if re.search(r"(?<!\\)[~&@#<>]", raw_pat):
                 raise QueryParseError(
                     f"unsupported Lucene-RegExp operator in {item!r}: only "
                     "literals, '.', '[...]', '?*+', '{n,m}', '|', '()' and "
-                    "backslash escapes are supported"
+                    "backslash escapes of punctuation are supported"
                 )
+            # '\<alnum>' diverges between the dialects (Python/RE2 Perl
+            # classes \d \D \w … and backrefs \1 vs Lucene RegExp, where a
+            # backslash makes the next char LITERAL) — and naive
+            # lowercasing would silently invert \D→\d.  Reject loudly;
+            # bare letters/digits never need escaping.
+            if re.search(r"\\[A-Za-z0-9]", raw_pat):
+                raise QueryParseError(
+                    f"unsupported escape in {item!r}: backslash may only "
+                    "escape punctuation (Perl classes like \\d/\\D diverge "
+                    "from Lucene RegExp semantics)"
+                )
+            # lowercase OUTSIDE escape sequences only (the escaped chars
+            # are punctuation, but keep the fold escape-aware on principle)
+            pat = re.sub(
+                r"\\.|[^\\]",
+                lambda m: m.group(0) if m.group(0).startswith("\\")
+                else m.group(0).lower(),
+                raw_pat,
+            )
             try:
                 re.compile(pat)
             except re.error as e:

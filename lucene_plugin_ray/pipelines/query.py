@@ -69,7 +69,53 @@ def _in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
     return sorted_arr[idx] == values
 
 
+def _regexp_literal_prefix(pattern: str) -> str:
+    """Longest prefix every fullmatch of ``pattern`` is guaranteed to start
+    with — the Q15 dictionary-range narrowing key.  Must be SOUND (never
+    exclude a matching term), so:
+
+    - a top-level alternation (unescaped ``|`` outside classes/groups)
+      invalidates any prefix (``ab|cd``: the ``cd`` branch shares nothing)
+      → empty prefix, full-vocabulary scan;
+    - the literal run stops at the first metacharacter, and when that
+      metacharacter is a quantifier that can repeat ZERO times
+      (``*``, ``?``, ``{`` — ``{0,n}`` is conservative for all braces) the
+      character it governs is dropped from the prefix (``ab*`` matches
+      ``a``); ``+`` keeps its char (one-or-more)."""
+    in_class = False
+    depth = 0
+    i = 0
+    n = len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+        elif ch == "[":
+            in_class = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "|" and depth == 0:
+            return ""
+        i += 1
+    lit: list[str] = []
+    for ch in pattern:
+        if ch in r"\.[]()*+?{}|^$":
+            if ch in "*?{" and lit:
+                lit.pop()
+            break
+        lit.append(ch)
+    return "".join(lit)
+
+
 _SLOPPY_BIG = np.int64(1) << 61  # ±sentinel; BIG−(−BIG)=2^62 stays in int64
+_SLOPPY_MASK_MAX = 12  # ≤4096 vectorized sweeps; longer phrases go polynomial
+_SLOPPY_REPEAT_COMBO_MAX = 1_000_000  # per-anchor exact-solve enumeration cap
 
 
 def _sloppy_phrase_weights(
@@ -89,7 +135,9 @@ def _sloppy_phrase_weights(
     contain the anchor, each list's optimum is its floor-or-ceil neighbour
     of the anchor (any farther element only widens the range), so K−1
     searchsorted passes + a 2^(K−1) min/max sweep solve every anchor at
-    once.  Cross-doc neighbours fail ``d ≤ slop`` automatically (the docid
+    once (K−1 ≤ ``_SLOPPY_MASK_MAX``; longer phrases switch to an exact
+    polynomial left-edge enumeration so no query is exponential in its
+    own length).  Cross-doc neighbours fail ``d ≤ slop`` automatically (the docid
     band is 2³² > any slop), and negative shifted positions (pᵢ < i, e.g. a
     transposed pair at doc start) stay correct because the composite is
     plain int64 arithmetic, not a masked bit-field.
@@ -114,15 +162,44 @@ def _sloppy_phrase_weights(
         floors.append(
             np.where(idx > 0, ai[np.maximum(idx - 1, 0)], -_SLOPPY_BIG)
         )
-    best = np.full(a.size, _SLOPPY_BIG, dtype=np.int64)
-    for mask in range(1 << (k - 1)):
-        lo = a.copy()
-        hi = a.copy()
+    if k - 1 <= _SLOPPY_MASK_MAX:
+        best = np.full(a.size, _SLOPPY_BIG, dtype=np.int64)
+        for mask in range(1 << (k - 1)):
+            lo = a.copy()
+            hi = a.copy()
+            for i in range(k - 1):
+                ch = ceils[i] if (mask >> i) & 1 else floors[i]
+                np.minimum(lo, ch, out=lo)
+                np.maximum(hi, ch, out=hi)
+            np.minimum(best, hi - lo, out=best)
+    else:
+        # long phrases: the 2^(K−1) sweep would be exponential in phrase
+        # length (a user query could hang the engine), so switch to a
+        # polynomial exact solve.  Vectorized screen first: any window
+        # containing the anchor needs width ≥ min(ceilᵢ−a, a−floorᵢ) for
+        # every list — a sound lower bound — then each surviving anchor is
+        # solved exactly in O(K²) by enumerating the window's left edge L
+        # (optimal L is the anchor or one chosen floor; lists with
+        # floor < L are forced to their ceil, everything else floors).
+        lb = np.zeros(a.size, dtype=np.int64)
         for i in range(k - 1):
-            ch = ceils[i] if (mask >> i) & 1 else floors[i]
-            np.minimum(lo, ch, out=lo)
-            np.maximum(hi, ch, out=hi)
-        np.minimum(best, hi - lo, out=best)
+            np.maximum(lb, np.minimum(ceils[i] - a, a - floors[i]), out=lb)
+        best = np.full(a.size, _SLOPPY_BIG, dtype=np.int64)
+        big = int(_SLOPPY_BIG)
+        for j in np.flatnonzero(lb <= slop):
+            aj = int(a[j])
+            fj = [int(floors[i][j]) for i in range(k - 1)]
+            cj = [int(ceils[i][j]) for i in range(k - 1)]
+            bd = big
+            for L in {aj, *fj}:
+                if L > aj or L < aj - slop:
+                    continue  # width would exceed slop; can't improve ≤-slop set
+                hi_v = aj
+                for f, c in zip(fj, cj):
+                    if f < L:
+                        hi_v = max(hi_v, c)
+                bd = min(bd, hi_v - L)
+            best[j] = bd
     if len(set(terms)) < k:
         # repeated terms: exact re-solve of screen survivors with the
         # distinct-actual-positions constraint
@@ -133,11 +210,23 @@ def _sloppy_phrase_weights(
         for j in cand:
             aj = int(a[j])
             wins: list[list[tuple[int, int]]] = []
+            n_combos = 1
             for i in range(1, k):
                 ai = shifted[i]
                 lo_i = int(np.searchsorted(ai, aj - slop, side="left"))
                 hi_i = int(np.searchsorted(ai, aj + slop, side="right"))
                 wins.append([(int(v), i) for v in ai[lo_i:hi_i]])
+                n_combos *= max(hi_i - lo_i, 1)
+            if n_combos > _SLOPPY_REPEAT_COMBO_MAX:
+                # repeated-term phrases need the pairwise-distinct exact
+                # solve, which enumerates the candidate product — refuse
+                # loudly instead of hanging on a pathological query
+                raise ValueError(
+                    "sloppy phrase too complex: repeated terms with "
+                    f"{n_combos} candidate combinations at one anchor "
+                    f"(cap {_SLOPPY_REPEAT_COMBO_MAX}); reduce the slop or "
+                    "the phrase length"
+                )
             bd = int(_SLOPPY_BIG)
             for combo in product(*wins):
                 actual = {aj}  # anchor's actual composite == its key
@@ -638,6 +727,7 @@ class SearchEngine:
         k: int = 10,
         window: int = 8,
         collection: str = "default",
+        hits: pa.Table | None = None,
     ) -> pa.Table:
         """Search-result highlighting: the top-k hits, each with its best
         ``window``-token snippet — the Lucene highlighter analogue adapted
@@ -656,10 +746,16 @@ class SearchEngine:
         is 1-based — both choices make the op exactly SQL-expressible.
 
         Output: (url, score, start, n_terms, snippet) in search rank order
-        (score desc, url asc)."""
+        (score desc, url asc).
+
+        ``hits``: optionally the result of ``search(query, limit=k,
+        collection=…)`` when the caller already ran it (to fetch the hit
+        bodies with predicate pushdown) — passing it back avoids paying the
+        BM25 evaluation a second time."""
         if window < 1:
             raise ValueError(f"window must be >= 1, got {window}")
-        hits = self.search(query, limit=k, collection=collection)
+        if hits is None:
+            hits = self.search(query, limit=k, collection=collection)
         if hits.num_rows == 0:
             return pa.table(
                 {f.name: pa.array([], type=f.type) for f in self.SNIPPET_SCHEMA}
@@ -1281,42 +1377,19 @@ class SearchEngine:
             import re as _re
 
             lit = _re.split(r"[*?]", c.pattern, maxsplit=1)[0]
-            rows = r.prefix_rows(c.field, lit)
-            if rows.size:
-                rx = _re.compile(
-                    "".join(
-                        ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
-                        for ch in c.pattern
-                    ),
-                    _re.DOTALL,
-                )
-                keep = np.fromiter(
-                    (rx.fullmatch(t) is not None for t in r._terms[rows]),
-                    bool,
-                    rows.size,
-                )
-                rows = rows[keep]
+            rx_src = "".join(
+                ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+                for ch in c.pattern
+            )
+            rows = self._refine_prefix_rows(r, c.field, lit, rx_src)
         elif c.kind == "regexp":
-            import re as _re
-
-            # narrow the scan with the pattern's literal prefix (chars up
-            # to the first metacharacter) — a leading-literal regexp is a
-            # two-binary-search range like Q9; a metachar-first pattern
+            # narrow the scan with the pattern's SAFE literal prefix —
+            # a leading-literal regexp is a two-binary-search range like
+            # Q9; a metachar-first (or top-level-alternation) pattern
             # scans the per-segment vocabulary (bounded, cached) like fuzzy
-            lit_chars: list[str] = []
-            for ch in c.pattern:
-                if ch in r"\.[]()*+?{}|^$":
-                    break
-                lit_chars.append(ch)
-            rows = r.prefix_rows(c.field, "".join(lit_chars))
-            if rows.size:
-                rx = _re.compile(c.pattern, _re.DOTALL)
-                keep = np.fromiter(
-                    (rx.fullmatch(t) is not None for t in r._terms[rows]),
-                    bool,
-                    rows.size,
-                )
-                rows = rows[keep]
+            rows = self._refine_prefix_rows(
+                r, c.field, _regexp_literal_prefix(c.pattern), c.pattern
+            )
         else:  # fuzzy
             from lucene_plugin_ray.functions.fuzzy import fuzzy_match_mask
 
@@ -1326,6 +1399,27 @@ class SearchEngine:
         self._postings_cache[ck] = rows
         if len(self._postings_cache) > self._postings_cache_size:
             self._postings_cache.popitem(last=False)
+        return rows
+
+    @staticmethod
+    def _refine_prefix_rows(
+        r: SegmentReader, field: str, prefix: str, rx_src: str
+    ) -> np.ndarray:
+        """Shared wildcard/regexp term enumeration: binary-search the sorted
+        vocabulary down to ``prefix``, then keep the rows whose term
+        fullmatches ``rx_src`` (anchored, DOTALL — Lucene RegexpQuery
+        matches the WHOLE term)."""
+        import re as _re
+
+        rows = r.prefix_rows(field, prefix)
+        if rows.size:
+            rx = _re.compile(rx_src, _re.DOTALL)
+            keep = np.fromiter(
+                (rx.fullmatch(t) is not None for t in r._terms[rows]),
+                bool,
+                rows.size,
+            )
+            rows = rows[keep]
         return rows
 
     # ------------------------------------------------------------------

@@ -46,6 +46,10 @@ GRAMMAR_QUERIES = [
     "/w0000[0-3]/",              # Q15 regexp (literal-prefix narrowed)
     "/.*hit/",                   # regexp with no literal prefix (full scan)
     "+/w0000./ +w00002",         # regexp as MUST
+    "/pagehits?/",               # trailing-? — the governed char must NOT
+                                 # narrow the prefix ('pagehit' matches)
+    "/pagehit|pagemiss/",        # top-level alternation voids any prefix
+    "/page(hit|miss)/",          # parenthesized alternation keeps 'page'
     "{w00001 TO w00004}",        # exclusive range brackets
     "[w00001 TO w00004}",        # mixed inclusivity
     "[w0009 TO *]",              # open upper bound
@@ -334,3 +338,122 @@ def test_fuzzy_mask_equals_duckdb():
                 ]
             )
             assert (mask == want).all(), (base, e)
+
+
+# ---------------------------------------------------------------------------
+# round-3 review regressions: regexp prefix soundness, sloppy robustness
+# ---------------------------------------------------------------------------
+def test_regexp_literal_prefix_soundness():
+    """The Q15 dictionary-range key must never exclude a matching term:
+    quantifiers make their governed char optional, top-level alternation
+    voids any prefix (review finding — /pagehits?/ used to drop 'pagehit',
+    /ab|cd/ the whole cd branch)."""
+    import re
+
+    from lucene_plugin_ray.pipelines.query import _regexp_literal_prefix as lp
+
+    assert lp("pagehit") == "pagehit"
+    assert lp("pagehits?") == "pagehit"   # '?' makes 's' optional
+    assert lp("ab*") == "a"
+    assert lp("ab{0,2}c") == "a"          # braces conservative
+    assert lp("ab+") == "ab"              # '+' keeps its char
+    assert lp("ab|cd") == ""              # top-level alternation
+    assert lp("ab(c)|d") == ""
+    assert lp("ab(c|d)e") == "ab"         # nested alternation keeps prefix
+    assert lp("a[bc]d") == "a"
+    assert lp(r"a\.b") == "a"             # escape breaks the literal run
+    assert lp(".*hit") == ""
+    # soundness property: every fullmatching string starts with the prefix
+    pats = ["pagehits?", "ab*", "ab{0,2}c", "ab+", "ab|cd", "ab(c)|d",
+            "ab(c|d)e", "a[bc]d", "x(y|z)*", "foo(bar)?baz"]
+    terms = ["a", "ab", "abc", "abb", "abcc", "cd", "abd", "abce", "abde",
+             "x", "xy", "xz", "xyz", "foobaz", "foobarbaz", "pagehit",
+             "pagehits", "acd", "d", "abc", "ac"]
+    for p in pats:
+        pre = lp(p)
+        rx = re.compile(p, re.DOTALL)
+        for t in terms:
+            if rx.fullmatch(t):
+                assert t.startswith(pre), (p, t, pre)
+
+
+def test_sloppy_polynomial_path_equals_sweep(monkeypatch):
+    """The long-phrase polynomial solver (left-edge enumeration) must agree
+    exactly with the 2^(K−1) floor/ceil sweep — both exact for
+    distinct-term phrases (review finding: the sweep alone is exponential
+    in phrase length)."""
+    import lucene_plugin_ray.pipelines.query as qmod
+
+    rng = np.random.default_rng(5)
+    checked = 0
+    for _trial in range(40):
+        k = int(rng.integers(2, 7))
+        key_arrays = []
+        for _i in range(k):
+            n = int(rng.integers(1, 30))
+            docs = rng.integers(0, 4, size=n).astype(np.int64)
+            pos = rng.integers(0, 60, size=n).astype(np.int64)
+            key_arrays.append(np.unique((docs << 32) | pos))
+        terms = tuple(f"t{i}" for i in range(k))  # distinct
+        slop = int(rng.integers(0, 12))
+        ref = qmod._sloppy_phrase_weights(key_arrays, slop, terms)
+        monkeypatch.setattr(qmod, "_SLOPPY_MASK_MAX", 0)
+        got = qmod._sloppy_phrase_weights(key_arrays, slop, terms)
+        monkeypatch.setattr(qmod, "_SLOPPY_MASK_MAX", 12)
+        if ref is None:
+            assert got is None
+        else:
+            assert got is not None
+            assert (got[0] == ref[0]).all()
+            np.testing.assert_allclose(got[1], ref[1])
+            checked += 1
+    assert checked >= 10  # non-vacuous
+
+
+def test_huge_slop_does_not_cross_documents(ray_session, tmp_path):
+    """Slop is clamped below the 2^32 composite docid band: a phrase term
+    that only exists in a NEIGHBOURING document must never satisfy the
+    phrase (review finding: unclamped slop ≥ 2^32 defeated the guard)."""
+    import ray.data
+
+    from lucene_plugin_ray.pipelines.build import build_index
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+
+    rows = [
+        {"url": "a-only", "warc_ts": 1, "collection": "default",
+         "text": "alpha gamma"},
+        {"url": "b-only", "warc_ts": 1, "collection": "default",
+         "text": "beta gamma"},
+        {"url": "both", "warc_ts": 1, "collection": "default",
+         "text": "alpha xx beta"},
+    ]
+    root = str(tmp_path / "idx")
+    cfg = IndexConfig(index_root=root, num_partitions=1)
+    build_index(ray.data.from_items(rows), cfg)
+    eng = SearchEngine(root, cfg=cfg)
+    got = eng.search('"alpha beta"~99999999999', limit=10)
+    assert got["url"].to_pylist() == ["both"]
+
+
+def test_sloppy_repeated_combo_cap(ray_session, tmp_path):
+    """A pathological repeated-term phrase (huge slop × dense occurrences)
+    is rejected loudly instead of enumerating an exponential candidate
+    product."""
+    import ray.data
+
+    from lucene_plugin_ray.pipelines.build import build_index
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+
+    rows = [
+        {"url": "dense", "warc_ts": 1, "collection": "default",
+         "text": " ".join(["alpha"] * 25)},
+    ]
+    root = str(tmp_path / "idx")
+    cfg = IndexConfig(index_root=root, num_partitions=1)
+    build_index(ray.data.from_items(rows), cfg)
+    eng = SearchEngine(root, cfg=cfg)
+    q = '"' + " ".join(["alpha"] * 7) + '"~1000000000'
+    with pytest.raises(ValueError, match="too complex"):
+        eng.search(q, limit=10)
+    # the same phrase over a sparse doc stays fine
+    assert eng.search('"alpha alpha"~1000000000', limit=10).num_rows == 1

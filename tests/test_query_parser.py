@@ -333,3 +333,22 @@ def test_group_clauses():
     assert type(pg.clauses[0]).__name__ == "PhraseClause"
     # an all-stopword group drops (null query)
     assert parse_query("(the of) a1") == parse_query("a1")
+
+
+def test_regexp_escape_rejection_and_case_fold():
+    """'\\<alnum>' diverges between Python/RE2 (Perl classes, backrefs) and
+    Lucene RegExp (backslash = literal next char) — rejected loudly; naive
+    whole-pattern lowercasing used to invert \\D into \\d silently."""
+    for q in (r"/x\d+/", r"/x\D+/", r"/a\w/", r"/a\1/", r"/a\n/"):
+        with pytest.raises(QueryParseError):
+            parse_query(q)
+    # lowercasing is escape-aware; punctuation escapes survive verbatim
+    (c,) = parse_query(r"/PAGE\.HIT/")
+    assert c.kind == "regexp" and c.pattern == r"page\.hit"
+
+
+def test_sloppy_slop_clamped():
+    from lucene_plugin_ray.functions.queryparse import _SLOP_MAX
+
+    (c,) = parse_query('"alpha beta"~99999999999')
+    assert c.slop == _SLOP_MAX
