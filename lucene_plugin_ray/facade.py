@@ -334,6 +334,60 @@ class LuceneFacade:
         except KeyError as e:
             raise LuceneException(str(e)) from e
 
+    def snippets(
+        self,
+        collection: str,
+        query: str,
+        texts: dict[str, str],
+        k: int = 10,
+        window: int = 8,
+    ) -> list[dict]:
+        """Top-k hits each with its best ``window``-token snippet →
+        [{external_id, score, start, n_terms, snippet}]; see
+        SearchEngine.snippets.  The index does not store bodies (reference
+        parity: the text field is indexed, not stored), so ``texts`` maps
+        external_id → raw text for at least the hit documents — the usual
+        flow is search() first, fetch those k bodies, then snippets()."""
+        _require(_valid_str(collection), "collection must be a non-empty string")
+        _require(_valid_str(query), "query must be a non-empty string")
+        _require(isinstance(texts, dict), "texts must map external_id -> text")
+        _require(int(k) >= 1, "k must be >= 1")
+        _require(int(window) >= 1, "window must be >= 1")
+        eng = self._lease_engine()
+        if eng is None:
+            return []
+        tt = pa.table(
+            {
+                "url": pa.array([str(u) for u in texts], pa.string()),
+                self.cfg.text_column: pa.array(
+                    ["" if v is None else str(v) for v in texts.values()],
+                    pa.string(),
+                ),
+            }
+        )
+        try:
+            t = eng.snippets(
+                query, tt, k=int(k), window=int(window), collection=collection
+            )
+        except ValueError as e:  # missing hit text → client error
+            raise LuceneException(str(e)) from e
+        return [
+            {
+                "external_id": u,
+                "score": float(s),
+                "start": int(st),
+                "n_terms": int(nt),
+                "snippet": sn,
+            }
+            for u, s, st, nt, sn in zip(
+                t["url"].to_pylist(),
+                t["score"].to_pylist(),
+                t["start"].to_pylist(),
+                t["n_terms"].to_pylist(),
+                t["snippet"].to_pylist(),
+            )
+        ]
+
     def search_sorted(
         self,
         collection: str,
@@ -475,6 +529,20 @@ class AsyncLuceneFacade:
 
         return await asyncio.to_thread(
             self._sync.search_sorted, collection, query, limit, descending
+        )
+
+    async def snippets(
+        self,
+        collection: str,
+        query: str,
+        texts: dict[str, str],
+        k: int = 10,
+        window: int = 8,
+    ) -> list[dict]:
+        import asyncio
+
+        return await asyncio.to_thread(
+            self._sync.snippets, collection, query, texts, k, window
         )
 
     async def delete(self, collection: str, ext_id: str) -> bool:

@@ -113,6 +113,64 @@ def _regexp_literal_prefix(pattern: str) -> str:
     return "".join(lit)
 
 
+def best_snippet_windows(
+    urls: list[str],
+    text_of: dict[str, str],
+    qterms: list[str],
+    window: int,
+) -> tuple[list[int], list[int], list[str]]:
+    """Best ``window``-token span per hit document — the index-free core of
+    snippet highlighting, shared by :meth:`SearchEngine.snippets` and the
+    sharded service (window selection needs only the raw text and the
+    scored query terms, never the postings).
+
+    Per url: analyze the text, pick the start maximizing the count of
+    DISTINCT ``qterms`` inside the window (interval-cover sweep; earliest
+    start wins ties).  Returns (1-based starts, distinct-term counts,
+    normalized-token snippets)."""
+    from lucene_plugin_ray.functions.analysis import analyze
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    missing = [u for u in urls if u not in text_of]
+    if missing:
+        raise ValueError(
+            f"texts table is missing {len(missing)} hit url(s), e.g. "
+            f"{missing[:3]} — fetch the hit documents before calling"
+        )
+    starts: list[int] = []
+    n_terms: list[int] = []
+    snips: list[str] = []
+    for u in urls:
+        toks = analyze(text_of[u] or "")
+        n = len(toks)
+        if n == 0:
+            starts.append(1)
+            n_terms.append(0)
+            snips.append("")
+            continue
+        w = min(window, n)
+        n_starts = n - w + 1
+        counts = np.zeros(n_starts, dtype=np.int64)
+        tarr = np.asarray(toks, dtype=object)
+        for t in qterms:
+            pos = np.flatnonzero(tarr == t)
+            if pos.size == 0:
+                continue
+            # window starts s covering position p: s in [p-w+1, p]
+            lo = np.maximum(pos - w + 1, 0)
+            hi = np.minimum(pos, n_starts - 1)
+            d = np.zeros(n_starts + 1, dtype=np.int64)
+            np.add.at(d, lo, 1)
+            np.add.at(d, hi + 1, -1)
+            counts += np.cumsum(d[:-1]) > 0
+        best = int(np.argmax(counts))  # earliest max — the tiebreak
+        starts.append(best + 1)
+        n_terms.append(int(counts[best]))
+        snips.append(" ".join(toks[best : best + w]))
+    return starts, n_terms, snips
+
+
 _SLOPPY_BIG = np.int64(1) << 61  # ±sentinel; BIG−(−BIG)=2^62 stays in int64
 _SLOPPY_MASK_MAX = 12  # ≤4096 vectorized sweeps; longer phrases go polynomial
 _SLOPPY_REPEAT_COMBO_MAX = 1_000_000  # per-anchor exact-solve enumeration cap
@@ -768,48 +826,13 @@ class SearchEngine:
                 if f == self.cfg.text_column
             }
         )
-        from lucene_plugin_ray.functions.analysis import analyze
-
         text_of = dict(
             zip(texts["url"].to_pylist(), texts[self.cfg.text_column].to_pylist())
         )
         urls = hits["url"].to_pylist()
-        missing = [u for u in urls if u not in text_of]
-        if missing:
-            raise ValueError(
-                f"texts table is missing {len(missing)} hit url(s), e.g. "
-                f"{missing[:3]} — fetch the hit documents before calling"
-            )
-        starts: list[int] = []
-        n_terms: list[int] = []
-        snips: list[str] = []
-        for u in urls:
-            toks = analyze(text_of[u] or "")
-            n = len(toks)
-            if n == 0:
-                starts.append(1)
-                n_terms.append(0)
-                snips.append("")
-                continue
-            w = min(window, n)
-            n_starts = n - w + 1
-            counts = np.zeros(n_starts, dtype=np.int64)
-            tarr = np.asarray(toks, dtype=object)
-            for t in qterms:
-                pos = np.flatnonzero(tarr == t)
-                if pos.size == 0:
-                    continue
-                # window starts s covering position p: s in [p-w+1, p]
-                lo = np.maximum(pos - w + 1, 0)
-                hi = np.minimum(pos, n_starts - 1)
-                d = np.zeros(n_starts + 1, dtype=np.int64)
-                np.add.at(d, lo, 1)
-                np.add.at(d, hi + 1, -1)
-                counts += np.cumsum(d[:-1]) > 0
-            best = int(np.argmax(counts))  # earliest max — the tiebreak
-            starts.append(best + 1)
-            n_terms.append(int(counts[best]))
-            snips.append(" ".join(toks[best : best + w]))
+        starts, n_terms, snips = best_snippet_windows(
+            urls, text_of, qterms, window
+        )
         return pa.table(
             {
                 "url": hits["url"],

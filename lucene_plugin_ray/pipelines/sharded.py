@@ -698,6 +698,69 @@ class ShardedSearcherService:
             }
         )
 
+    def snippets(
+        self,
+        query: str,
+        texts: "pa.Table",
+        k: int = 10,
+        window: int = 8,
+        collection: str = "default",
+    ) -> "pa.Table":
+        """Fleet-global snippet highlighting — exact parity with
+        :meth:`SearchEngine.snippets`: the top-k hits come from the
+        two-phase sharded search (corpus-global BM25, total-order merge),
+        and window selection runs on the driver over the k supplied hit
+        texts only (it is index-free: just the analyzed text and the
+        scored query terms — ``best_snippet_windows``)."""
+        from lucene_plugin_ray.pipelines.query import best_snippet_windows
+
+        if window < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
+        hits = self.search_batch(
+            pa.table(
+                {
+                    "qid": pa.array([0], pa.int64()),
+                    "query": pa.array([query], pa.string()),
+                    "collection": pa.array([collection], pa.string()),
+                    "k": pa.array([k], pa.int64()),
+                }
+            )
+        )
+        if hits.num_rows == 0:
+            return pa.table(
+                {
+                    f.name: pa.array([], type=f.type)
+                    for f in SearchEngine.SNIPPET_SCHEMA
+                }
+            )
+        clauses = parse_query(query, default_field=self.cfg.text_column)
+        qterms = sorted(
+            {
+                t
+                for f, t in scored_term_keys(clauses)
+                if f == self.cfg.text_column
+            }
+        )
+        text_of = dict(
+            zip(
+                texts["url"].to_pylist(),
+                texts[self.cfg.text_column].to_pylist(),
+            )
+        )
+        urls = hits["url"].to_pylist()
+        starts, n_terms, snips = best_snippet_windows(
+            urls, text_of, qterms, window
+        )
+        return pa.table(
+            {
+                "url": hits["url"],
+                "score": hits["score"],
+                "start": pa.array(starts, pa.int64()),
+                "n_terms": pa.array(n_terms, pa.int64()),
+                "snippet": pa.array(snips, pa.string()),
+            }
+        )
+
     def shutdown(self) -> None:
         for a in self.actors:
             ray.kill(a)

@@ -229,12 +229,34 @@ class LuceneHttpService:
             for e in entries
         ]
 
+    def _snippets(self, form: dict) -> list[dict]:
+        # POST (not GET): the hit bodies travel in the request.  ``texts``
+        # is a JSON object {external_id: raw_text, ...}.
+        try:
+            texts = json.loads(form.get("texts") or "{}")
+        except json.JSONDecodeError as e:
+            raise LuceneException(f"texts must be a JSON object: {e}")
+        if not isinstance(texts, dict):
+            raise LuceneException("texts must be a JSON object")
+        try:
+            k = int(form.get("k") or 10)
+            window = int(form.get("window") or 8)
+        except ValueError:
+            raise LuceneException("k / window must be integers")
+        with self._lock:
+            self._read_your_writes()
+            return self.facade.snippets(
+                form.get("collection", ""), form.get("query", ""),
+                texts, k=k, window=window,
+            )
+
     _POSTS = {
         "index-text": _index_text,
         "index-map": _index_map,
         "index-file": _index_file,
         "delete": _delete,
         "clear": _clear,
+        "snippets": _snippets,
     }
     def _explain(self, q: dict) -> dict:
         with self._lock:
@@ -392,6 +414,16 @@ class LuceneHttpClient:
              "exclude_id": exclude_id},
         )
         return [r["_externalId"] for r in results]
+
+    def snippets(
+        self, collection: str, query: str, texts: dict, k: int = 10,
+        window: int = 8,
+    ) -> list[dict]:
+        return self._post(
+            "snippets",
+            {"collection": collection, "query": query,
+             "texts": json.dumps(texts), "k": k, "window": window},
+        )
 
     def delete(self, collection: str, ext_id: str):
         return self._post("delete", {"collection": collection, "id": ext_id})

@@ -237,3 +237,39 @@ def test_concurrent_facades_last_commit_wins(ray_session, tmp_path):
     old.commit()
     assert _ids(old.search("default", "oldfacade")) == ["doc"]
     assert _ids(old.search("default", "newfacade")) == []
+
+
+def test_facade_snippets(ray_session, tmp_path):
+    """snippets(): caller supplies hit bodies (the index stores no text —
+    reference parity), gets back per-hit best-window spans; missing hit
+    text and bad args are LuceneException (client errors)."""
+    f = LuceneFacade(_cfg(tmp_path))
+    f.index_text("coll", "a", "zebra stripes and zebra crossings everywhere")
+    f.index_text("coll", "b", "one zebra walked past the fence")
+    f.index_text("coll", "c", "no relevant animals in this text")
+    f.commit()
+    texts = {
+        "a": "zebra stripes and zebra crossings everywhere",
+        "b": "one zebra walked past the fence",
+    }
+    out = f.snippets("coll", "zebra", texts, k=5, window=3)
+    assert [r["external_id"] for r in out] == ["a", "b"]  # rank order
+    for r in out:
+        assert r["n_terms"] == 1 and "zebra" in r["snippet"]
+        assert r["start"] >= 1 and r["score"] > 0
+    # a hit whose text was not supplied → client error, not a silent skip
+    with pytest.raises(LuceneException, match="missing"):
+        f.snippets("coll", "zebra", {"a": texts["a"]})
+    with pytest.raises(LuceneException):
+        f.snippets("coll", "zebra", texts, window=0)
+    with pytest.raises(LuceneException):
+        f.snippets("", "zebra", texts)
+    # async twin
+    async def _run():
+        af = AsyncLuceneFacade(_cfg(tmp_path / "async"))
+        await af.index_text("coll", "x", "zebra here")
+        await af.commit()
+        return await af.snippets("coll", "zebra", {"x": "zebra here"}, window=2)
+
+    res = asyncio.run(_run())
+    assert [r["external_id"] for r in res] == ["x"]

@@ -197,3 +197,34 @@ def test_http_explain_and_suggest(ray_session, tmp_path):
         assert e.value.code == 400
     finally:
         service.shutdown()
+
+
+def test_http_snippets(ray_session, tmp_path):
+    """POST /snippets: hit bodies travel as a JSON object in the form; the
+    response carries the best-window spans in rank order; malformed texts
+    and a missing hit body are 400s."""
+    service = LuceneHttpService(
+        IndexConfig(index_root=str(tmp_path / "idxsn"), num_partitions=2),
+        soft_commit_max_docs=100,
+    ).start()
+    try:
+        c = LuceneHttpClient(service.url)
+        c.index_text("col", "d1", "falcon dives at the falcon nest")
+        c.index_text("col", "d2", "a falcon above the valley")
+        c.index_text("col", "d3", "nothing to see here")
+        texts = {
+            "d1": "falcon dives at the falcon nest",
+            "d2": "a falcon above the valley",
+        }
+        out = c.snippets("col", "falcon", texts, k=5, window=2)
+        assert [r["external_id"] for r in out] == ["d1", "d2"]
+        assert all(r["n_terms"] == 1 and "falcon" in r["snippet"] for r in out)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            c.snippets("col", "falcon", {"d1": texts["d1"]})  # d2 body missing
+        assert e.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as e:
+            c._post("snippets", {"collection": "col", "query": "falcon",
+                                 "texts": "not-json"})
+        assert e.value.code == 400
+    finally:
+        service.shutdown()

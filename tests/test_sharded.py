@@ -252,3 +252,34 @@ def test_service_survives_shard_actor_kill(built):
         assert svc.count("pagehit") == engine.count("pagehit")
     finally:
         svc.shutdown()
+
+
+def test_sharded_snippets_match_local(built):
+    """Snippet parity through the persistent service: identical (url, score,
+    start, n_terms, snippet) rows to SearchEngine.snippets given the same
+    texts table — the hits come from the exact two-phase sharded search,
+    the window selection is index-free."""
+    from lucene_plugin_ray.pipelines.sharded import ShardedSearcherService
+
+    root, cfg, engine = built
+    # same deterministic corpora the fixture indexed; last write wins the
+    # map, but IDENTITY only needs both paths to see the SAME texts
+    text_of: dict[str, str] = {}
+    for t in (make_pages(300, seed=70), make_pages(60, seed=71)):
+        text_of.update(zip(t["url"].to_pylist(), t["text"].to_pylist()))
+    texts = pa.table(
+        {"url": list(text_of.keys()), "text": list(text_of.values())}
+    )
+    svc = ShardedSearcherService(root, cfg=cfg, num_shards=4)
+    try:
+        for q, k in [("w00000 w00001 pagehit", 12), ("pagemiss", 3)]:
+            exp = engine.snippets(q, texts, k=k, window=8)
+            got = svc.snippets(q, texts, k=k, window=8)
+            assert got.to_pydict() == exp.to_pydict(), q
+        # no hits → empty table with the snippet schema
+        empty = svc.snippets("zzznope", texts, k=5)
+        assert empty.num_rows == 0 and "snippet" in empty.column_names
+        with pytest.raises(ValueError):
+            svc.snippets("pagehit", texts, window=0)
+    finally:
+        svc.shutdown()
