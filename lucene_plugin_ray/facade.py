@@ -303,6 +303,7 @@ class LuceneFacade:
         matches :meth:`search`."""
         _require(_valid_str(collection), "collection must be a non-empty string")
         _require(isinstance(text, str), "text must be a string")
+        _require(int(max_query_terms) >= 1, "max_query_terms must be >= 1")
         eng = self._lease_engine()
         if eng is None:
             return []
@@ -319,6 +320,25 @@ class LuceneFacade:
                 t["docid"].to_pylist(), t["score"].to_pylist(), t["url"].to_pylist()
             )
         ]
+
+    def suggest(
+        self, collection: str, term: str, k: int = 5, max_edits: int = 2
+    ) -> list[dict]:
+        """Spell-correction candidates (DirectSpellChecker analogue) →
+        [{term, distance, df}], ranked (distance asc, df desc, term asc);
+        see SearchEngine.suggest.  An empty probe term is a client error
+        (it would 'match' every short vocabulary term at distance
+        len(term))."""
+        _require(_valid_str(collection), "collection must be a non-empty string")
+        _require(_valid_str(term), "term must be a non-empty string")
+        eng = self._lease_engine()
+        if eng is None:
+            return []
+        try:
+            t = eng.suggest(term, collection=collection, max_edits=max_edits, k=k)
+        except ValueError as e:
+            raise LuceneException(str(e)) from e
+        return t.to_pylist()
 
     def explain(self, collection: str, query: str, ext_id: str) -> dict:
         """Per-clause score breakdown for one (query, doc) —
@@ -543,6 +563,15 @@ class AsyncLuceneFacade:
 
         return await asyncio.to_thread(
             self._sync.snippets, collection, query, texts, k, window
+        )
+
+    async def suggest(
+        self, collection: str, term: str, k: int = 5, max_edits: int = 2
+    ) -> list[dict]:
+        import asyncio
+
+        return await asyncio.to_thread(
+            self._sync.suggest, collection, term, k, max_edits
         )
 
     async def delete(self, collection: str, ext_id: str) -> bool:

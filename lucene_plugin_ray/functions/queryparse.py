@@ -525,12 +525,19 @@ def apply_synonyms(
     order-stable; clause boost carried over).  Map KEYS are analyzed like
     query terms (a key that analyzes to several tokens is skipped — single-
     token keys only, like Lucene's SynonymMap entries).  MUST_NOT terms
-    rewrite too — prohibiting a synonym group prohibits any member match."""
+    rewrite too — prohibiting a synonym group prohibits any member match.
+    GroupClauses rewrite recursively: '(spark) window' expands exactly like
+    'spark window' (Lucene applies the synonym graph per analyzed term, not
+    per boolean nesting level)."""
     by_term: dict[str, list[str]] = {}
     for k, v in synonyms.items():
         ktoks = analyze(k)
         if len(ktoks) == 1:
             by_term[ktoks[0]] = v
+    return _apply_synonyms_level(clauses, by_term)
+
+
+def _apply_synonyms_level(clauses: tuple, by_term: dict[str, list[str]]) -> tuple:
     out = []
     for c in clauses:
         if isinstance(c, TermClause) and c.term in by_term:
@@ -543,6 +550,11 @@ def apply_synonyms(
                 out.append(
                     SynonymClause(c.occur, c.field, tuple(members), c.boost)
                 )
+                continue
+        elif isinstance(c, GroupClause):
+            inner = _apply_synonyms_level(c.clauses, by_term)
+            if inner != c.clauses:
+                out.append(GroupClause(c.occur, inner, c.boost))
                 continue
         out.append(c)
     return tuple(out)

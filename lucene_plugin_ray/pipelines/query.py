@@ -624,6 +624,12 @@ class SearchEngine:
         IS an indexed doc).  Result shape/order matches :meth:`search`."""
         from lucene_plugin_ray.functions.analysis import analyze
 
+        if max_query_terms <= 0:
+            # a negative value would Python-slice away the LIGHTEST terms —
+            # silently a different query; reject loudly instead
+            raise ValueError(
+                f"max_query_terms must be >= 1, got {max_query_terms}"
+            )
         limit = limit if limit is not None else self.cfg.result_limit
         coll = sanitize_collection(collection)
         empty = pa.table(
@@ -1123,7 +1129,7 @@ class SearchEngine:
 
     def search_partial(
         self,
-        query: str,
+        query: "str | tuple",
         collection: str = "default",
         limit: int | None = None,
         method: str = "taat",
@@ -1136,10 +1142,20 @@ class SearchEngine:
         (summed over every shard); ``global_df``: {(field, term): df}.
         Results (score desc, url asc) truncated at ``limit`` merge exactly
         across shards: the comparator is a total order, so every doc in the
-        global top-k is within its shard's top-k."""
+        global top-k is within its shard's top-k.
+
+        ``query`` may be a pre-built clause tuple instead of a string —
+        used by derived queries (sharded MoreLikeThis) whose terms are
+        ALREADY analyzed index terms: re-parsing their whitespace join
+        would be correct only while analyze() is idempotent on its own
+        output, so the clauses travel structured instead."""
         limit = limit if limit is not None else self.cfg.result_limit
         coll = sanitize_collection(collection)
-        clauses = parse_query(query, default_field=self.cfg.text_column)
+        clauses = (
+            query
+            if isinstance(query, tuple)
+            else parse_query(query, default_field=self.cfg.text_column)
+        )
         stats_override = None
         if global_stats is not None:
             st = global_stats.get(coll, {"n_docs": 0, "sum_dl": {}})

@@ -429,8 +429,13 @@ class _ShardActor:
                     sanitize_collection(q["collection"]), {}
                 ),
             )
-            for u, s in zip(res["url"].to_pylist(), res["score"].to_pylist()):
-                rows.append({"qid": q["qid"], "url": u, "score": s})
+            for u, s, d in zip(
+                res["url"].to_pylist(),
+                res["score"].to_pylist(),
+                res["docid"].to_pylist(),
+            ):
+                rows.append({"qid": q["qid"], "url": u, "score": s,
+                             "docid": d})
         return rows
 
 
@@ -586,17 +591,28 @@ class ShardedSearcherService:
     ) -> pa.Table:
         """Cluster-wide MoreLikeThis: term selection uses the fleet's
         corpus-global df/n_docs (one phase-1 gather), then the derived
-        SHOULD query runs through :meth:`search_batch`'s exact two-phase
-        scoring — identical output to SearchEngine.more_like_this on the
-        whole index."""
+        SHOULD clauses run through the same exact phase-2 merge as
+        search_batch — identical (url, score, docid) output to
+        SearchEngine.more_like_this on the whole index.  The selected
+        terms are ALREADY analyzed index terms, so they travel to the
+        shard actors as structured TermClauses (re-parsing a whitespace
+        join would silently diverge if analyze() ever stopped being
+        idempotent on its own output), and the phase-1 gather for term
+        selection doubles as the scoring gather — one round-trip total."""
         from lucene_plugin_ray.functions.analysis import analyze
         from lucene_plugin_ray.functions.bm25 import idf
+        from lucene_plugin_ray.functions.queryparse import TermClause
 
+        if max_query_terms <= 0:
+            raise ValueError(
+                f"max_query_terms must be >= 1, got {max_query_terms}"
+            )
         limit = limit if limit is not None else self.cfg.result_limit
         coll = sanitize_collection(collection)
         empty = pa.table(
             {"url": pa.array([], pa.string()),
-             "score": pa.array([], pa.float64())}
+             "score": pa.array([], pa.float64()),
+             "docid": pa.array([], pa.int64())}
         )
         toks = analyze(text)
         if not toks:
@@ -621,17 +637,14 @@ class ShardedSearcherService:
         if not top:
             return empty
         fetch = limit + 1 if exclude_url is not None else limit
-        res = self.search_batch(
-            pa.table(
-                {
-                    "qid": pa.array([0], pa.int64()),
-                    "collection": [collection],
-                    "query": [" ".join(t for _, t in top)],
-                    "k": pa.array([fetch], pa.int32()),
-                }
-            ),
-            method=method,
-        ).select(["url", "score"])
+        clauses = tuple(
+            TermClause(occur="SHOULD", field=field, term=t) for _, t in top
+        )
+        res = self._phase2_merge(
+            [{"qid": 0, "collection": collection, "query": clauses,
+              "limit": fetch}],
+            method, stats, dfs,
+        ).select(["url", "score", "docid"])
         if exclude_url is not None and res.num_rows:
             import pyarrow.compute as pc
 
@@ -659,8 +672,18 @@ class ShardedSearcherService:
             terms_by_coll.setdefault(sc, set()).update(scored_term_keys(clauses))
         terms_sorted = {c: sorted(v) for c, v in terms_by_coll.items()}
         global_stats, global_df = self._gather_global(terms_sorted)
+        return self._phase2_merge(
+            qlist, method, global_stats, global_df
+        ).select(["qid", "rank", "url", "score"])
 
-        # phase 2: parallel scoring; exact driver merge (total-order tiebreak)
+    def _phase2_merge(
+        self, qlist: list[dict], method: str, global_stats: dict,
+        global_df: dict,
+    ) -> pa.Table:
+        """Phase 2: parallel shard scoring + the exact driver merge
+        (total-order (score desc, url asc) tiebreak, per-query limit
+        truncation) → (qid, rank, url, score, docid).  Shared by
+        search_batch (public wire drops docid) and more_like_this."""
         hit_lists = ray.get(
             [a.score.remote(qlist, method, global_stats, global_df)
              for a in self.actors]
@@ -671,11 +694,13 @@ class ShardedSearcherService:
                 {"qid": pa.array([], pa.int64()),
                  "rank": pa.array([], pa.int32()),
                  "url": pa.array([], pa.string()),
-                 "score": pa.array([], pa.float64())}
+                 "score": pa.array([], pa.float64()),
+                 "docid": pa.array([], pa.int64())}
             )
         qid = np.array([r["qid"] for r in rows], dtype=np.int64)
         score = np.array([r["score"] for r in rows], dtype=np.float64)
         url = np.array([r["url"] for r in rows], dtype=object)
+        docid = np.array([r["docid"] for r in rows], dtype=np.int64)
         order = np.lexsort((url, -score, qid))
         qid_s = qid[order]
         starts = np.flatnonzero(
@@ -695,6 +720,7 @@ class ShardedSearcherService:
                 "rank": pa.array(rank[keep].astype(np.int32), type=pa.int32()),
                 "url": pa.array(url[sel], type=pa.string()),
                 "score": pa.array(score[sel], type=pa.float64()),
+                "docid": pa.array(docid[sel], type=pa.int64()),
             }
         )
 

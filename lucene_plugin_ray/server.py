@@ -198,13 +198,17 @@ class LuceneHttpService:
 
     def _search_sorted(self, q: dict) -> list[dict]:
         limit = self._limit_of(q)
+        order = q.get("order", "desc")
+        if order not in ("asc", "desc"):
+            # a typo must not silently invert the requested sort
+            raise LuceneException(f"order must be 'asc' or 'desc': {order!r}")
         with self._lock:
             self._read_your_writes()
             return self.facade.search_sorted(
                 q.get("collection", ""),
                 q.get("query", ""),
                 limit=limit,
-                descending=q.get("order", "desc") != "asc",
+                descending=order != "asc",
             )
 
     def _more_like_this(self, q: dict) -> list[dict]:
@@ -273,18 +277,12 @@ class LuceneHttpService:
             raise LuceneException("k / max_edits must be integers")
         with self._lock:
             self._read_your_writes()
-            eng = self.facade._lease_engine()
-            if eng is None:
-                return []
-            try:
-                t = eng.suggest(
-                    q.get("term", ""),
-                    collection=q.get("collection", "default"),
-                    max_edits=max_edits, k=k,
-                )
-            except ValueError as e:
-                raise LuceneException(str(e))
-        return t.to_pylist()
+            # through the facade like every other endpoint: empty
+            # collection/term are 400s, not silently-defaulted junk scans
+            return self.facade.suggest(
+                q.get("collection", ""), q.get("term", ""),
+                k=k, max_edits=max_edits,
+            )
 
     _GETS = {
         "search": _search,

@@ -391,6 +391,7 @@ def test_synonym_query_rank_identity(fields_built):
         ("pagehit -w00000", {"w00000": ["w00001"]}),     # prohibited group
         ("w00000", {"w00000": ["zzznope"]}),             # absent member
         ("w00000", {"other": ["w00001"]}),               # map misses: plain
+        ("(w00000) w00005", {"w00000": ["w00001", "w00002"]}),  # in a group
     ]
     for q, syn in cases:
         got = engine.search(q, limit=255, synonyms=syn)
@@ -410,6 +411,16 @@ def test_synonym_query_rank_identity(fields_built):
     b = engine.search("w00000", limit=10, synonyms={"w00000": ["w00001"]})
     c = engine.search("w00000", limit=10)
     assert a.equals(c) and not a.equals(b)
+    # synonym rewrite recurses into parenthesized groups: '(a) b' expands
+    # exactly like 'a b' (a 1-term group contributes the same score), and
+    # prohibiting a grouped synonym term prohibits every member
+    syn = {"w00000": ["w00001", "w00002"]}
+    assert engine.search("(w00000) w00005", limit=255, synonyms=syn).equals(
+        engine.search("w00000 w00005", limit=255, synonyms=syn)
+    )
+    assert engine.count("pagehit -(w00000)", synonyms=syn) == engine.count(
+        "pagehit -w00000", synonyms=syn
+    )
 
 
 def test_boost_rank_identity(fields_built):

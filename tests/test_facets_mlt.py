@@ -392,11 +392,17 @@ def test_sharded_mlt_equals_single_engine(built):
         a = svc.more_like_this(
             text, max_query_terms=m, limit=lim, exclude_url=excl
         )
+        # full-schema identity incl. docid (the terms travel as structured
+        # TermClauses — no re-parse of a whitespace join on the actor side)
         b = eng.more_like_this(
             text, max_query_terms=m, limit=lim, exclude_url=excl
-        ).select(["url", "score"])
+        ).select(["url", "score", "docid"])
         assert a.equals(b), (m, lim, excl)
     assert svc.more_like_this("").num_rows == 0
+    with pytest.raises(ValueError, match="max_query_terms"):
+        svc.more_like_this(text, max_query_terms=0)
+    with pytest.raises(ValueError, match="max_query_terms"):
+        eng.more_like_this(text, max_query_terms=-3)
 
 
 # ---------------------------------------------------------------------------

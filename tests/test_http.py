@@ -169,6 +169,14 @@ def test_http_count_facets_sorted_mlt(ray_session, tmp_path):
         with pytest.raises(urllib.error.HTTPError) as ei:
             c.count("col", "")
         assert ei.value.code == 400
+        # a typo'd order must not silently mean descending
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            c.search_sorted("col", "shared", order="ASC")
+        assert ei.value.code == 400
+        # max_query_terms <= 0 would silently slice a DIFFERENT query
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            c.more_like_this("col", "shared words", max_query_terms=0)
+        assert ei.value.code == 400
     finally:
         service.shutdown()
 
@@ -194,6 +202,14 @@ def test_http_explain_and_suggest(ray_session, tmp_path):
         assert sug[0]["term"] == "quantum" and sug[0]["distance"] == 1
         with pytest.raises(urllib.error.HTTPError) as e:
             c.suggest("col", "quantun", max_edits=7)
+        assert e.value.code == 400
+        # suggest goes through the facade like every endpoint: an empty
+        # probe term is a 400, not a junk distance-len(term) scan
+        with pytest.raises(urllib.error.HTTPError) as e:
+            c.suggest("col", "")
+        assert e.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as e:
+            c.suggest("", "quantun")
         assert e.value.code == 400
     finally:
         service.shutdown()
