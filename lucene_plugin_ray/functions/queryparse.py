@@ -46,7 +46,11 @@ reference test exercises these):
       (allowLeadingWildcard=false default — parity)
   Q10 fuzzy                  ``term~``, ``term~1`` — Damerau-Levenshtein
       distance <= maxEdits (default 2, >2 rejected like FuzzyQuery);
-      constant-score 1.0.  Two documented deviations from Lucene 5.2.1:
+      the classic-QP float-similarity form ``term~0.8`` converts via
+      FuzzyQuery.floatToEdits ((int) min((1−sim)·|term|, 2)), and a
+      fractional value >= 1 is rejected ("Fractional edit distances are
+      not allowed", QueryParserBase 5.2.1); constant-score 1.0.  Two
+      documented deviations from Lucene 5.2.1:
       FuzzyQuery's TopTermsBlendedFreqScoringRewrite blends scores (we use
       the constant-score rewrite, same as our range queries), and the
       distance is TRUE Damerau-Levenshtein (matching DuckDB's
@@ -494,7 +498,27 @@ def _parse_level(
             if "~" in base:
                 raise QueryParseError(f"unsupported query syntax: {item!r}")
             raw = fm.group(2)
-            edits = 2 if raw is None else (int(raw) if raw.isdigit() else -1)
+            if raw is None:
+                edits = 2
+            else:
+                f = float(raw)
+                if f >= 1.0:
+                    # classic QP: a value >= 1 IS the edit distance, and a
+                    # fractional one is rejected (QueryParserBase 5.2.1:
+                    # "Fractional edit distances are not allowed!")
+                    if f != int(f):
+                        raise QueryParseError(
+                            f"fractional edit distances are not allowed: "
+                            f"{item!r}"
+                        )
+                    edits = int(f)
+                elif f == 0.0:
+                    # floatToEdits: "0 means exact, not infinite # of edits"
+                    edits = 0
+                else:
+                    # float similarity in (0, 1): FuzzyQuery.floatToEdits
+                    # (int) min((1 - sim) · |term|, 2) — term~0.8 parity
+                    edits = int(min((1.0 - f) * len(base), 2.0))
             if not 0 <= edits <= 2:
                 raise QueryParseError(
                     f"fuzzy maxEdits must be 0..2: {item!r}"

@@ -393,14 +393,9 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
             pc.cast(batch["nationkey"], pa.int64())
             .to_numpy(zero_copy_only=False)
         )
-        pos = np.searchsorted(keys, nkv)
-        if nkv.size and not (
-            (pos < keys.size).all()
-            and (keys[np.minimum(pos, keys.size - 1)] == nkv).all()
-        ):
-            raise ValueError(
-                "customer references a nationkey absent from nation"
-            )
+        pos = lookup_positions(
+            keys, nkv, "customer references a nationkey absent from nation"
+        )
         t = pa.table(
             {
                 "n_name": names.take(pa.array(pos, type=pa.int64())),

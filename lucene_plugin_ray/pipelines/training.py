@@ -90,6 +90,17 @@ def _sink_or_table(
     return pa.concat_tables(tables).sort_by(sort_by)
 
 
+def _collect(out, empty_schema: pa.Schema) -> pa.Table:
+    """Collect an output-sized Ray dataset to one Arrow table — the
+    unsorted twin of :func:`_sink_or_table`'s table path.  An all-empty
+    result yields ZERO batches (not one empty batch) and a post-groupby
+    schema may be underivable, so the expected schema is supplied
+    explicitly: a corpus with no candidates returns an empty table
+    instead of crashing ``pa.concat_tables([])``."""
+    tables = [b for b in out.iter_batches(batch_format="pyarrow")]
+    return pa.concat_tables(tables) if tables else empty_schema.empty_table()
+
+
 def _normalized_text(batch: pa.Table) -> pa.Array:
     """Canonical content form: analyzed tokens joined by single spaces.
     THE content key — :func:`fingerprint` hashes it and :func:`dataset_split`
@@ -445,7 +456,10 @@ def dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.5) -> pa.Table:
         bands.groupby(["band", "band_hash"])
         .map_groups(_pairs, batch_format="pyarrow")
     )
-    cand_tbl = pa.concat_tables([b for b in cand.iter_batches(batch_format="pyarrow")])
+    cand_tbl = _collect(
+        cand,
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
+    )
     dropped_mask = pc.equal(cand_tbl["doc_a"], -1)
     n_over = pc.sum(pc.cast(dropped_mask, pa.int64())).as_py() or 0
     if n_over:
@@ -1883,7 +1897,11 @@ def dedup_ngram_spans(
         agg = ds.groupby("ngram").aggregate(
             Count(alias_name="n_docs"), Min("doc_id", alias_name="first_doc_id")
         )
-        t = pa.concat_tables([b for b in agg.iter_batches(batch_format="pyarrow")])
+        t = _collect(
+            agg,
+            pa.schema([("ngram", pa.string()), ("n_docs", pa.int64()),
+                       ("first_doc_id", pa.int64())]),
+        )
         t = t.filter(pc.greater(t["n_docs"], 1))
         return pa.table(
             {
@@ -1984,7 +2002,9 @@ def _candidate_span_hashes(ds, k: int, hash_mask: int | None) -> np.ndarray:
         .aggregate(Count(alias_name="n_docs"))
         .filter(expr="n_docs > 1")
     )
-    t = pa.concat_tables([b for b in agg.iter_batches(batch_format="pyarrow")])
+    t = _collect(
+        agg, pa.schema([("h", pa.int64()), ("n_docs", pa.int64())])
+    )
     return t["h"].combine_chunks().to_numpy(zero_copy_only=False).view(np.uint64)
 
 
@@ -2359,7 +2379,11 @@ def simhash_pairs(sf_dir: str, max_hamming: int = _SIMHASH_MAX_HAMMING) -> pa.Ta
         .groupby(["doc_a", "doc_b"])
         .aggregate(Min("hamming", alias_name="hamming"))
     )
-    t = pa.concat_tables([b for b in pairs.iter_batches(batch_format="pyarrow")])
+    t = _collect(
+        pairs,
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                   ("hamming", pa.int64())]),
+    )
     sentinel = pc.equal(t["doc_a"], -1)
     n_trunc = pc.sum(pc.cast(sentinel, pa.int64())).as_py() or 0
     if n_trunc:
@@ -2790,12 +2814,45 @@ def decontaminate(
 
     Output: (doc_id, n_windows, n_contaminated, contaminated_fraction),
     one row per document, sorted by doc_id."""
+
+    def _exact_membership(windows):
+        import ray
+
+        ref = ray.put(windows)
+
+        def _test(ngrams: pa.ChunkedArray) -> np.ndarray:
+            import ray
+
+            return pc.is_in(ngrams, value_set=ray.get(ref)).to_numpy(
+                zero_copy_only=False
+            )
+
+        return _test
+
+    return _decontaminate_core(
+        sf_dir, k, eval_mod, eval_windows, output_path, _exact_membership
+    )
+
+
+def _decontaminate_core(
+    sf_dir: str,
+    k: int,
+    eval_mod: int,
+    eval_windows: "pa.Array | None",
+    output_path: str | None,
+    make_membership,
+) -> pa.Table | None:
+    """Shared body of :func:`decontaminate` / :func:`decontaminate_bloom`:
+    validation, the deterministic eval-window stand-in derivation, and the
+    single map pass counting per-doc window hits.  ``make_membership``
+    turns the eval-window array into a per-batch test callable (exact
+    ``pc.is_in`` vs Bloom bit probes) — the ONLY thing the exact and
+    approximate twins differ in, so the window derivation, doc-index
+    mapping and fraction spec cannot drift between them."""
     if k <= 0:
         raise ValueError("k must be positive")
     if eval_windows is None and int(eval_mod) <= 0:
         raise ValueError("eval_mod must be positive (mod-0 would mark every doc eval)")
-    import ray
-
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     if eval_windows is None:
         mod = int(eval_mod)
@@ -2813,10 +2870,9 @@ def decontaminate(
         eval_windows = (
             span_windows_batch(eval_docs, k)["ngram"].combine_chunks().unique()
         )
-    eval_ref = ray.put(eval_windows)
+    membership = make_membership(eval_windows)
 
     def _contam(batch: pa.Table) -> pa.Table:
-        ev = ray.get(eval_ref)
         n = batch.num_rows
         ids = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
         spans = span_windows_batch(batch, k)
@@ -2827,9 +2883,7 @@ def decontaminate(
             order = np.argsort(ids, kind="stable")
             idx = order[np.searchsorted(ids[order], sdoc)]
             n_windows = np.bincount(idx, minlength=n).astype(np.int64)
-            hit = pc.is_in(
-                spans["ngram"].combine_chunks(), value_set=ev
-            ).to_numpy(zero_copy_only=False)
+            hit = membership(spans["ngram"].combine_chunks())
             n_cont = np.bincount(idx[hit], minlength=n).astype(np.int64)
         return pa.table(
             {
@@ -4805,57 +4859,19 @@ def decontaminate_bloom(
     approximate by design; the exact `decontaminate` is the oracle-checked
     twin.  Output schema matches the exact op: (doc_id, n_windows,
     n_contaminated, contaminated_fraction), sorted by doc_id."""
-    if k <= 0:
-        raise ValueError("k must be positive")
-    if eval_windows is None and int(eval_mod) <= 0:
-        raise ValueError("eval_mod must be positive")
-    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    if eval_windows is None:
-        mod = int(eval_mod)
 
-        def _pick_eval(b: pa.Table) -> pa.Table:
-            ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
-            return b.filter(pa.array(ids % mod == 0))
+    def _bloom_membership(windows):
+        bitmap, m_bits = bloom_build(windows)
+        ref = ray.put(bitmap)
 
-        eval_docs = pa.concat_tables(
-            ds.map_batches(
-                _pick_eval, batch_format="pyarrow", zero_copy_batch=True
-            ).iter_batches(batch_format="pyarrow")
-        )
-        eval_windows = (
-            span_windows_batch(eval_docs, k)["ngram"].combine_chunks().unique()
-        )
-    bitmap, m_bits = bloom_build(eval_windows)
-    bitmap_ref = ray.put(bitmap)
+        def _test(ngrams: pa.ChunkedArray) -> np.ndarray:
+            return bloom_test(ray.get(ref), m_bits, ngrams)
 
-    def _contam(batch: pa.Table) -> pa.Table:
-        bm = ray.get(bitmap_ref)
-        n = batch.num_rows
-        ids = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
-        spans = span_windows_batch(batch, k)
-        n_windows = np.zeros(n, np.int64)
-        n_cont = np.zeros(n, np.int64)
-        if spans.num_rows:
-            sdoc = spans["doc_id"].to_numpy(zero_copy_only=False)
-            order = np.argsort(ids, kind="stable")
-            idx = order[np.searchsorted(ids[order], sdoc)]
-            n_windows = np.bincount(idx, minlength=n).astype(np.int64)
-            hit = bloom_test(bm, m_bits, spans["ngram"].combine_chunks())
-            n_cont = np.bincount(idx[hit], minlength=n).astype(np.int64)
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"].combine_chunks(),
-                "n_windows": pa.array(n_windows, type=pa.int64()),
-                "n_contaminated": pa.array(n_cont, type=pa.int64()),
-                "contaminated_fraction": pa.array(
-                    np.round(n_cont / np.maximum(n_windows, 1), 6),
-                    type=pa.float64(),
-                ),
-            }
-        )
+        return _test
 
-    out = ds.map_batches(_contam, batch_format="pyarrow", zero_copy_batch=True)
-    return _sink_or_table(out, output_path, "doc_id")
+    return _decontaminate_core(
+        sf_dir, k, eval_mod, eval_windows, output_path, _bloom_membership
+    )
 
 
 # ---------------------------------------------------------------------------

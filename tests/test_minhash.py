@@ -274,3 +274,59 @@ def test_dedup_clusters_transitive_chain(ray_session, tmp_path):
         for r in out.to_pylist()
     }
     assert got == {0: (0, 4), 1: (0, 4), 2: (0, 4), 3: (0, 4)}
+
+
+def test_span_dedup_empty_candidate_paths(ray_session, tmp_path):
+    """A corpus with NO shared k-token window (or too-short docs with no
+    windows at all) must return schema'd empty results — the zero-batch
+    collect used to crash pa.concat_tables([]) on every hash-strategy /
+    candidate-pair path (review finding)."""
+    import pyarrow.parquet as pq
+
+    from lucene_plugin_ray.pipelines.training import (
+        _NGRAM_SPAN_K,
+        dedup_minhash,
+        dedup_ngram_spans,
+        doc_dup_stats,
+        simhash_pairs,
+    )
+
+    k = _NGRAM_SPAN_K
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(
+                [
+                    " ".join(f"alphaword{i}" for i in range(k + 3)),
+                    " ".join(f"betaword{i}" for i in range(k + 3)),
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    d = tmp_path / "nodup"
+    d.mkdir()
+    pq.write_table(docs, d / "documents.parquet")
+    for strat in ("hash", "string"):
+        out = dedup_ngram_spans(str(d), strategy=strat)
+        assert out.num_rows == 0, strat
+        assert out.column_names == ["ngram", "n_docs", "first_doc_id"]
+    stats = doc_dup_stats(str(d))  # broadcast default → hash phase-1
+    assert stats["doc_id"].to_pylist() == [0, 1]
+    assert stats["n_dup_windows"].to_pylist() == [0, 0]
+    # the other candidate-pair collects survive a pairless corpus too
+    assert dedup_minhash(str(d)).num_rows == 0
+    assert simhash_pairs(str(d)).num_rows == 0
+    # docs shorter than k: zero windows anywhere
+    tiny = pa.table(
+        {
+            "doc_id": pa.array([7], pa.int64()),
+            "text": pa.array(["only three words"], pa.string()),
+        }
+    )
+    d2 = tmp_path / "tiny"
+    d2.mkdir()
+    pq.write_table(tiny, d2 / "documents.parquet")
+    for strat in ("hash", "string"):
+        assert dedup_ngram_spans(str(d2), strategy=strat).num_rows == 0
+    assert doc_dup_stats(str(d2)).num_rows == 0

@@ -352,3 +352,25 @@ def test_sloppy_slop_clamped():
 
     (c,) = parse_query('"alpha beta"~99999999999')
     assert c.slop == _SLOP_MAX
+
+
+def test_fuzzy_float_similarity():
+    """Classic-QP float similarity term~0.8 converts via
+    FuzzyQuery.floatToEdits ((int) min((1-sim)*|term|, 2)); fractional
+    values >= 1 are rejected like QueryParserBase 5.2.1 ("Fractional edit
+    distances are not allowed") — previously ALL float forms were
+    rejected although the reference accepts them."""
+    (c,) = parse_query("sparkle~0.8")  # (1-0.8)*7 = 1.4 → 1 edit
+    assert c.kind == "fuzzy" and c.max_edits == 1
+    (c,) = parse_query("sparkle~0.5")  # min((int)3.5, 2) → 2 edits
+    assert c.kind == "fuzzy" and c.max_edits == 2
+    (c,) = parse_query("sparkle~0.99")  # 0.07 → 0 edits → exact term
+    assert isinstance(c, TermClause)
+    (c,) = parse_query("sparkle~0.0")  # "0 means exact" → exact term
+    assert isinstance(c, TermClause)
+    (c,) = parse_query("sparkle~1.0")  # integral ≥1 IS the edit distance
+    assert c.kind == "fuzzy" and c.max_edits == 1
+    with pytest.raises(QueryParseError):
+        parse_query("sparkle~2.5")  # fractional edit distance
+    with pytest.raises(QueryParseError):
+        parse_query("sparkle~3")
