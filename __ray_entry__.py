@@ -138,6 +138,10 @@ _MIX_WEIGHTS = {"src0": 8.0, "src1": 4.0, "src2": 2.0, "src3": 1.0}
 _MIX_TOTAL = 80
 # extended grammar (Q8-Q10): adjacent in the seeded corpus / typo of 'spark'
 _PHRASE_Q = '"spark merge"'
+# stop word INSIDE the phrase → surviving terms (spark, merge) at query
+# positions (0, 2): matches docs with exactly one position-consuming token
+# between them (StopFilter enablePositionIncrements parity)
+_PHRASE_GAP_Q = '"spark the merge"'
 _SLOPPY_Q = '"spark merge"~2'  # Q14: exact hits weigh 1, near hits 1/(1+d)
 _PREFIX_Q = "s*"          # expands to 6 vocabulary terms
 _WILD_Q = "s?a*"          # expands to scan / small / spark
@@ -146,22 +150,35 @@ _REGEXP_Q = "/s[pt].[ra]+.*/"  # Q15 — matches spark/stream/... in the vocab
 _REGEXP_RE2 = "s[pt].[ra]+.*"  # the same body for DuckDB regexp_full_match
 
 
-def _phrase_bm25_sql(terms: list[str]) -> str:
-    """Phrase BM25 (Q8): tf = slop-0 phrase frequency over the FILTERED
-    token stream (positions are post-stopword ranks, matching the index),
-    idf = sum of the constituent terms' idfs — mirrors
-    pipelines/query.py::_score_segment_taat's PhraseClause branch."""
-    k = len(terms)
+# positioned token list: every NON-EMPTY token of the split keeps its slot
+# (position = list index); stop words and over-long tokens become NULL so
+# they consume a position but never match a term — the SQL twin of the
+# engine's PRE-stop-filter positions (Lucene StopFilter posIncrement parity,
+# functions/analysis.py::analyze_with_positions)
+_SQL_POSITIONED_TOKS = (
+    "list_transform("
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''),"
+    " t -> CASE WHEN length(t) <= 255"
+    " AND NOT list_contains({stop}, t) THEN t ELSE NULL END)"
+)
+
+
+def _phrase_bm25_sql(terms: list[str], offsets: list[int]) -> str:
+    """Phrase BM25 (Q8): tf = slop-0 phrase frequency over the POSITIONED
+    token stream (pre-stop-filter positions; removed tokens hold a NULL
+    slot), term i must sit at start + offsets[i] (offsets[0] = 0; gaps
+    where the query phrase carried stop words), idf = sum of the
+    constituent terms' idfs — mirrors pipelines/query.py::
+    _score_segment_taat's PhraseClause branch."""
+    toks_expr = _SQL_POSITIONED_TOKS.format(stop=_SQL_STOP_LIST_LITERAL)
+    max_off = offsets[-1]
     adj = " AND ".join(
-        f"toks[i + {j}] = '{t}'" for j, t in enumerate(terms)
+        f"toks[i + {off}] = '{t}'" for off, t in zip(offsets, terms)
     )
     inlist = ", ".join(f"'{t}'" for t in terms)
     return f"""
-WITH tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-            t -> t <> '' AND length(t) <= 255
-            AND NOT list_contains({_SQL_STOP_LIST_LITERAL}, t)) AS toks
-            FROM documents),
-dl AS (SELECT doc_id, len(toks) AS dl FROM tl),
+WITH tl AS (SELECT doc_id, {toks_expr} AS toks FROM documents),
+dl AS (SELECT doc_id, len(list_filter(toks, t -> t IS NOT NULL)) AS dl FROM tl),
 alldl AS (SELECT d.doc_id, coalesce(dl.dl, 0) AS dl
           FROM documents d LEFT JOIN dl USING (doc_id)),
 stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM alldl),
@@ -170,8 +187,8 @@ df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
        WHERE term IN ({inlist}) GROUP BY term),
 w AS (SELECT sum(ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))) AS w
       FROM df CROSS JOIN stats s),
-pf AS (SELECT doc_id, len(list_filter(range(1, len(toks) - {k} + 2),
-       i -> {adj})) AS pf FROM tl WHERE len(toks) >= {k})
+pf AS (SELECT doc_id, len(list_filter(range(1, len(toks) - {max_off} + 1),
+       i -> {adj})) AS pf FROM tl WHERE len(toks) >= {max_off} + 1)
 SELECT pf.doc_id AS doc_id,
        round(w.w * (pf.pf * (1.2 + 1.0))
              / (pf.pf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)), 4) AS score
@@ -180,23 +197,23 @@ WHERE pf.pf > 0 ORDER BY doc_id
 """
 
 
-def _sloppy_bm25_sql(t0: str, t1: str, slop: int) -> str:
+def _sloppy_bm25_sql(t0: str, t1: str, slop: int, off1: int = 1) -> str:
     """Sloppy-phrase BM25 (Q14, two distinct terms): per anchor position of
-    ``t0`` the move distance is min over ``t1`` positions of |p₁−1−p₀| (the
-    shifted-position range of the Q14 contract specialized to k=2), anchors
-    with d ≤ slop weigh 1/(1+d); tf = the per-doc weight sum, idf = summed
-    per-term idf — mirrors pipelines/query.py::_sloppy_phrase_weights."""
+    ``t0`` the move distance is min over ``t1`` positions of |p₁−off₁−p₀|
+    (the shifted-position range of the Q14 contract specialized to k=2,
+    off₁ = the second term's query position), anchors with d ≤ slop weigh
+    1/(1+d); tf = the per-doc weight sum, idf = summed per-term idf —
+    mirrors pipelines/query.py::_sloppy_phrase_weights.  Positions are
+    pre-stop-filter (NULL slots for removed tokens), matching the index."""
+    toks_expr = _SQL_POSITIONED_TOKS.format(stop=_SQL_STOP_LIST_LITERAL)
     md = (
         f"list_min(list_transform("
         f"list_filter(range(1, len(toks)+1), j -> toks[j] = '{t1}'),"
-        f" pb -> abs(pb - 1 - pa)))"
+        f" pb -> abs(pb - {off1} - pa)))"
     )
     return f"""
-WITH tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-            t -> t <> '' AND length(t) <= 255
-            AND NOT list_contains({_SQL_STOP_LIST_LITERAL}, t)) AS toks
-            FROM documents),
-dl AS (SELECT doc_id, len(toks) AS dl FROM tl),
+WITH tl AS (SELECT doc_id, {toks_expr} AS toks FROM documents),
+dl AS (SELECT doc_id, len(list_filter(toks, t -> t IS NOT NULL)) AS dl FROM tl),
 alldl AS (SELECT d.doc_id, coalesce(dl.dl, 0) AS dl
           FROM documents d LEFT JOIN dl USING (doc_id)),
 stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM alldl),
@@ -262,6 +279,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def search_phrase(sf_dir: str) -> pa.Table:
         return _search_all(sf_dir, _PHRASE_Q)
+
+    def search_phrase_gap(sf_dir: str) -> pa.Table:
+        """StopFilter position-increment parity: the phrase text carries a
+        stop word, so the surviving terms must sit exactly 2 positions
+        apart in the PRE-stop-filter doc stream ('spark X merge' for any
+        single position-consuming token X) — Lucene QueryParser keeps the
+        analyzer's position gaps on both sides."""
+        return _search_all(sf_dir, _PHRASE_GAP_Q)
 
     def search_sloppy(sf_dir: str) -> pa.Table:
         """Proximity phrase (Q14): '"spark merge"~2' — adjacent pairs weigh
@@ -484,6 +509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_field": search_field,
         "search_range": search_range,
         "search_phrase": search_phrase,
+        "search_phrase_gap": search_phrase_gap,
         "search_sloppy": search_sloppy,
         "search_range_excl": search_range_excl,
         "search_range_open": search_range_open,
@@ -634,7 +660,11 @@ ORDER BY doc_id
 """
 
     # Q8 phrase: BM25 on slop-0 phrase frequency, summed per-term idf
-    sql["search_phrase"] = _phrase_bm25_sql(["spark", "merge"])
+    sql["search_phrase"] = _phrase_bm25_sql(["spark", "merge"], [0, 1])
+
+    # Q8 phrase with a query-side stop word: offsets (0, 2) — the surviving
+    # terms must be exactly 2 pre-filter positions apart in the document
+    sql["search_phrase_gap"] = _phrase_bm25_sql(["spark", "merge"], [0, 2])
 
     # Q14 proximity: min-move distance per first-term anchor, Σ 1/(1+d)
     sql["search_sloppy"] = _sloppy_bm25_sql("spark", "merge", 2)

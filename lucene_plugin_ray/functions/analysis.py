@@ -91,9 +91,45 @@ def analyze(text: str) -> list[str]:
     return out
 
 
+def analyze_with_positions(text: str) -> list[tuple[str, int]]:
+    """:func:`analyze` plus each surviving token's PRE-stop-filter position.
+
+    Position = the token's rank among the non-empty tokens of the stream,
+    counting removed stop words and over-long (> 255) tokens — Lucene
+    StopFilter's ``enablePositionIncrements`` (on by default since 4.4, and
+    in the reference's 5.2.1): a dropped token leaves a positional HOLE, so
+    the phrase ``"over lazy"`` does NOT match ``... over the lazy ...`` at
+    slop 0 while ``"over the lazy"`` (query-side stop word making a gap of
+    2) does.  One pinned divergence: Lucene splits a > maxTokenLength run
+    into several tokens, each consuming a position; this analyzer drops the
+    run as ONE position-consuming token (the test corpus has no 255+ char
+    runs — tests/test_analysis.py pins the choice).
+    """
+    out = []
+    pos = 0
+    for tok in _SPLIT_RE.split(text.lower()):
+        if not tok:
+            continue
+        if len(tok) <= MAX_TOKEN_LENGTH and tok not in STOP_WORDS:
+            out.append((tok, pos))
+        pos += 1
+    return out
+
+
+def _rank_within(parents: np.ndarray) -> np.ndarray:
+    """Rank of each element within its run of equal ``parents`` values
+    (non-decreasing input) — the per-document token position counter."""
+    if parents.size == 0:
+        return np.empty(0, np.int64)
+    rs = np.flatnonzero(np.concatenate(([True], parents[1:] != parents[:-1])))
+    counts = np.diff(np.concatenate([rs, [parents.size]]))
+    return np.arange(parents.size, dtype=np.int64) - np.repeat(rs, counts)
+
+
 def tokenize_column(
     texts: pa.Array | pa.ChunkedArray,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    with_positions: bool = False,
+):
     """Vectorized Arrow tokenizer for one batch column.
 
     Returns ``(parent_index, terms, doc_len)`` where
@@ -104,6 +140,11 @@ def tokenize_column(
     * ``doc_len``: int32 np.ndarray of per-row surviving-token counts (exact
       |D| for BM25, SURVEY.md §2.9 — NOT Lucene's lossy 1-byte norm).
 
+    With ``with_positions=True`` a fourth int64 array is appended: each
+    surviving token's PRE-stop-filter position (rank among the row's
+    non-empty tokens, counting removed stop/over-long tokens — StopFilter
+    ``enablePositionIncrements`` parity, see :func:`analyze_with_positions`).
+
     Null text ⇒ doc_len 0, no tokens (≙ M7 empty short-circuit,
     LuceneIndexBean.java:312-316).
     """
@@ -111,11 +152,12 @@ def tokenize_column(
         texts = texts.combine_chunks()
     n = len(texts)
     if n == 0:
-        return (
+        empty = (
             np.empty(0, np.int64),
             pa.array([], type=pa.string()),
             np.empty(0, np.int32),
         )
+        return empty + (np.empty(0, np.int64),) if with_positions else empty
     lower = pc.utf8_lower(texts)
     split = pc.split_pattern_regex(lower, pattern=TOKEN_SPLIT_PATTERN)
     # flatten() drops nulls; compute parents from offsets (null → length 0).
@@ -123,17 +165,24 @@ def tokenize_column(
     lengths = np.nan_to_num(lengths, nan=0).astype(np.int64)
     parents = np.repeat(np.arange(n, dtype=np.int64), lengths)
     flat = pc.list_flatten(split)
+    nonempty = pc.not_equal(flat, "")
     keep = pc.and_(
         pc.and_(
-            pc.not_equal(flat, ""),
+            nonempty,
             pc.less_equal(pc.utf8_length(flat), MAX_TOKEN_LENGTH),
         ),
         pc.invert(pc.is_in(flat, value_set=_STOP_ARRAY)),
     )
     keep_np = keep.to_numpy(zero_copy_only=False)
     terms = flat.filter(keep)
+    if with_positions:
+        ne_np = nonempty.to_numpy(zero_copy_only=False)
+        pos_ne = _rank_within(parents[ne_np])
+        positions = pos_ne[keep_np[ne_np]]
     parents = parents[keep_np]
     doc_len = np.bincount(parents, minlength=n).astype(np.int32)
+    if with_positions:
+        return parents, terms, doc_len, positions
     return parents, terms, doc_len
 
 
@@ -180,15 +229,19 @@ class HashedTokens:
     """Result of :func:`tokenize_column_hashed` — tokens as (parent, hash)
     pairs plus enough info to materialize the string of any token."""
 
-    __slots__ = ("parents", "hashes", "starts", "lens", "data", "doc_len")
+    __slots__ = (
+        "parents", "hashes", "starts", "lens", "data", "doc_len", "positions"
+    )
 
-    def __init__(self, parents, hashes, starts, lens, data, doc_len):
+    def __init__(self, parents, hashes, starts, lens, data, doc_len,
+                 positions):
         self.parents = parents      # int64[n_tok] row index, non-decreasing
         self.hashes = hashes        # uint64[n_tok] mixed FNV-1a of the token
         self.starts = starts        # int64[n_tok] offset into ``data``
         self.lens = lens            # int64[n_tok]
         self.data = data            # uint8[...] lowercased flat text buffer
         self.doc_len = doc_len      # int32[n_rows]
+        self.positions = positions  # int64[n_tok] PRE-stop-filter rank
 
     def token_bytes(self, i: int) -> bytes:
         s = int(self.starts[i])
@@ -216,6 +269,7 @@ def tokenize_column_hashed(texts: pa.Array | pa.ChunkedArray) -> "HashedTokens |
         return HashedTokens(
             np.empty(0, np.int64), np.empty(0, np.uint64), np.empty(0, np.int64),
             np.empty(0, np.int64), np.empty(0, np.uint8), np.empty(0, np.int32),
+            np.empty(0, np.int64),
         )
     texts = texts.fill_null("")
     if pa.types.is_large_string(texts.type):
@@ -252,6 +306,7 @@ def tokenize_column_hashed(texts: pa.Array | pa.ChunkedArray) -> "HashedTokens |
         return HashedTokens(
             np.empty(0, np.int64), np.empty(0, np.uint64), np.empty(0, np.int64),
             np.empty(0, np.int64), low, np.zeros(n, np.int32),
+            np.empty(0, np.int64),
         )
     # token end: next position where alnum stops or row ends
     nxt = np.empty(data.size, dtype=bool)
@@ -262,9 +317,15 @@ def tokenize_column_hashed(texts: pa.Array | pa.ChunkedArray) -> "HashedTokens |
     ends = np.flatnonzero(is_end) + 1
     lens = ends - starts
     parents = np.searchsorted(offsets, starts, side="right") - 1
+    # PRE-filter position: rank among ALL detected tokens of the row (every
+    # run is non-empty by construction); removed stop/over-long tokens keep
+    # consuming positions — StopFilter enablePositionIncrements parity
+    positions = _rank_within(parents)
 
     keep = lens <= MAX_TOKEN_LENGTH
-    starts, lens, parents = starts[keep], lens[keep], parents[keep]
+    starts, lens, parents, positions = (
+        starts[keep], lens[keep], parents[keep], positions[keep]
+    )
 
     # vectorized FNV-1a over ragged tokens: k-th-byte pass, masked
     h = np.full(starts.size, _FNV_OFFSET_U64, dtype=np.uint64)
@@ -276,11 +337,12 @@ def tokenize_column_hashed(texts: pa.Array | pa.ChunkedArray) -> "HashedTokens |
     h = _mix64_np(h)
 
     not_stop = ~np.isin(h, _STOP_HASHES)
-    parents, h, starts, lens = (
-        parents[not_stop], h[not_stop], starts[not_stop], lens[not_stop]
+    parents, h, starts, lens, positions = (
+        parents[not_stop], h[not_stop], starts[not_stop], lens[not_stop],
+        positions[not_stop],
     )
     doc_len = np.bincount(parents, minlength=n).astype(np.int32)
-    return HashedTokens(parents, h, starts, lens, low, doc_len)
+    return HashedTokens(parents, h, starts, lens, low, doc_len, positions)
 
 
 def term_frequencies(

@@ -17,13 +17,19 @@ reference test exercises these):
   Q8  phrase                 ``"mary lamb"``, ``text:"quick fox"`` — exact
       adjacency over the analyzed token stream (slop 0); scored BM25 with
       phrase frequency and summed per-term idf (Lucene PhraseQuery under
-      BM25Similarity)
+      BM25Similarity).  Positions are PRE-stop-filter on both sides
+      (StopFilter enablePositionIncrements, on by default in 5.2.1): a
+      removed stop word leaves a hole in the doc stream, and a stop word
+      inside the phrase text leaves a gap in the query offsets — so
+      ``"over lazy"`` does NOT match ``over the lazy`` at slop 0 while
+      ``"over the lazy"`` (terms (over, lazy), offsets (0, 2)) does.
   Q14 proximity (slop)       ``"mary lamb"~2`` — sloppy phrase: terms may be
       up to ``slop`` total moves out of adjacent order (a transposition
       costs 2, Lucene SloppyPhraseQuery's move metric).  CONTRACT (the
       documented deviation from Lucene's greedy match enumeration): for
       each occurrence p₀ of the FIRST term, d(p₀) is the MINIMAL range
-      max(pᵢ−i)−min(pᵢ−i) over choices of one occurrence per remaining
+      max(pᵢ−offᵢ)−min(pᵢ−offᵢ) (offᵢ = term i's query position, with
+      stop-word gaps) over choices of one occurrence per remaining
       term (actual positions pairwise distinct); the doc's sloppy phrase
       frequency is Σ over anchors with d ≤ slop of 1/(1+d) (Lucene's
       sloppyFreq weight), scored BM25 with summed per-term idf exactly
@@ -86,7 +92,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
-from lucene_plugin_ray.functions.analysis import analyze
+from lucene_plugin_ray.functions.analysis import analyze, analyze_with_positions
 
 DEFAULT_FIELD = "text"
 
@@ -146,13 +152,27 @@ class PhraseClause:
     """Q8/Q14 — phrase over the analyzed stream.  ``slop`` 0 is exact
     adjacency; ``slop`` > 0 is the proximity contract in the module
     docstring (min-move distance per first-term anchor, sloppy freq
-    Σ 1/(1+d))."""
+    Σ 1/(1+d)).
+
+    ``offsets``: per-term query positions, normalized so offsets[0] == 0 —
+    Lucene QueryParser keeps the analyzer's position increments, so a stop
+    word INSIDE the phrase text leaves a gap (``"over the lazy"`` →
+    terms (over, lazy), offsets (0, 2)) and exact matching requires doc
+    positions ``q + offsets[i]``.  The empty default means consecutive
+    (0, 1, …, k−1); :func:`phrase_offsets` resolves it."""
 
     occur: str
     field: str
     terms: tuple[str, ...]
     boost: float = 1.0
     slop: int = 0
+    offsets: tuple[int, ...] = ()
+
+
+def phrase_offsets(c: "PhraseClause") -> tuple[int, ...]:
+    """The clause's effective per-term positions: explicit ``offsets`` when
+    the parser recorded gaps, else consecutive 0..k−1."""
+    return c.offsets if c.offsets else tuple(range(len(c.terms)))
 
 
 @dataclass(frozen=True)
@@ -405,12 +425,19 @@ def _parse_level(
             # composite-key docid band (2^32) exceeds any slop, which is
             # what makes cross-document floor/ceil neighbours fail d ≤ slop
             slop = min(slop, _SLOP_MAX)
-            pterms = analyze(phrases[int(pm.group(1))])
-            if len(pterms) == 1:
-                clauses.append(TermClause(occur, field, pterms[0], boost))
-            elif pterms:
+            ptp = analyze_with_positions(phrases[int(pm.group(1))])
+            if len(ptp) == 1:
+                clauses.append(TermClause(occur, field, ptp[0][0], boost))
+            elif ptp:
+                # keep the analyzer's position increments: a stop word in
+                # the phrase text leaves a gap the match must reproduce
+                # (QueryParser enablePositionIncrements, on by default)
+                p0 = ptp[0][1]
                 clauses.append(
-                    PhraseClause(occur, field, tuple(pterms), boost, slop)
+                    PhraseClause(
+                        occur, field, tuple(t for t, _ in ptp), boost, slop,
+                        tuple(p - p0 for _, p in ptp),
+                    )
                 )
             continue
         xm = _REGEXP_RE.match(item)

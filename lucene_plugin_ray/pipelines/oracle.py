@@ -18,7 +18,10 @@ from collections import defaultdict
 import pyarrow as pa
 
 from lucene_plugin_ray.config import IndexConfig
-from lucene_plugin_ray.functions.analysis import analyze, sanitize_collection
+from lucene_plugin_ray.functions.analysis import (
+    analyze_with_positions,
+    sanitize_collection,
+)
 from lucene_plugin_ray.functions.bm25 import idf
 from lucene_plugin_ray.functions.docid import assign_docids_reference
 from lucene_plugin_ray.functions.queryparse import (
@@ -67,8 +70,11 @@ class OracleIndex:
         )
         self.doc_len: dict[str, dict[int, int]] = defaultdict(dict)
         self.n_docs: dict[str, int] = defaultdict(int)  # per collection
-        # full analyzed streams for phrase adjacency (Q8)
-        self.toks: dict[str, dict[int, list[str]]] = defaultdict(dict)
+        # full analyzed streams for phrase adjacency (Q8): (term, position)
+        # with PRE-stop-filter positions (StopFilter posIncrement parity)
+        self.toks: dict[str, dict[int, list[tuple[str, int]]]] = defaultdict(
+            dict
+        )
 
         for (coll, url), r in latest.items():
             docid = self.docids[(coll, url)]
@@ -77,10 +83,12 @@ class OracleIndex:
             self.n_docs[coll] += 1
             for field in cfg.fields():
                 val = r.get(field)
-                toks = analyze(str(val)) if val is not None else []
+                toks = (
+                    analyze_with_positions(str(val)) if val is not None else []
+                )
                 self.doc_len[field][docid] = len(toks)
                 self.toks[field][docid] = toks
-                for t in toks:
+                for t, _ in toks:
                     d = self.postings[field][t]
                     d[docid] = d.get(docid, 0) + 1
 
@@ -93,32 +101,40 @@ class OracleIndex:
         return sum(1 for d in self.postings[field].get(term, {}) if self.coll_of[d] == coll)
 
     def _phrase_freq(self, c: PhraseClause, docid: int) -> float:
-        """Phrase frequency over the analyzed stream.  Slop 0: overlapping
-        exact occurrences counted (Lucene exact-phrase matching).  Slop > 0
-        (Q14): the min-move-distance-per-anchor contract (queryparse module
-        docstring) brute-forced independently of the engine — for every
-        occurrence p₀ of the first term, enumerate ALL combinations of one
-        occurrence per remaining term (distinct actual positions), take the
-        minimal max(pᵢ−i)−min(pᵢ−i), and sum 1/(1+d) over anchors with
+        """Phrase frequency over the analyzed stream, with PRE-stop-filter
+        positions on BOTH sides (doc tokens carry them; the clause's
+        ``offsets`` carry the query's).  Slop 0: overlapping exact
+        occurrences counted — a start q matches iff the doc holds term i at
+        position q+offsets[i] for every i.  Slop > 0 (Q14): the
+        min-move-distance-per-anchor contract (queryparse module docstring)
+        brute-forced independently of the engine — for every occurrence p₀
+        of the first term, enumerate ALL combinations of one occurrence per
+        remaining term (distinct actual positions), take the minimal
+        max(pᵢ−offᵢ)−min(pᵢ−offᵢ), and sum 1/(1+d) over anchors with
         d ≤ slop."""
+        from lucene_plugin_ray.functions.queryparse import phrase_offsets
+
         toks = self.toks[c.field].get(docid, [])
         k = len(c.terms)
+        offs = phrase_offsets(c)
         if c.slop == 0:
+            at = {p: t for t, p in toks}
             return sum(
                 1
-                for i in range(len(toks) - k + 1)
-                if tuple(toks[i : i + k]) == c.terms
+                for t0, p0 in toks
+                if t0 == c.terms[0]
+                and all(at.get(p0 + offs[i]) == c.terms[i] for i in range(1, k))
             )
         from itertools import product
 
         pos: dict[str, list[int]] = {}
         for t in set(c.terms):
-            pos[t] = [i for i, x in enumerate(toks) if x == t]
+            pos[t] = [p for x, p in toks if x == t]
         if any(not pos[t] for t in c.terms):
             return 0.0
         freq = 0.0
         rest = [
-            [(p - i, p) for p in pos[c.terms[i]]] for i in range(1, k)
+            [(p - offs[i], p) for p in pos[c.terms[i]]] for i in range(1, k)
         ]
         for p0 in pos[c.terms[0]]:
             best: int | None = None

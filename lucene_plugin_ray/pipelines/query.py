@@ -177,17 +177,22 @@ _SLOPPY_REPEAT_COMBO_MAX = 1_000_000  # per-anchor exact-solve enumeration cap
 
 
 def _sloppy_phrase_weights(
-    key_arrays: list[np.ndarray], slop: int, terms: tuple[str, ...]
+    key_arrays: list[np.ndarray],
+    slop: int,
+    terms: tuple[str, ...],
+    offsets: tuple[int, ...],
 ) -> tuple[np.ndarray, np.ndarray] | None:
     """Q14 sloppy-phrase frequencies over one segment's composite position
     keys → (local docids asc, float64 sloppy freqs); None when no match.
 
     ``key_arrays[i]`` holds term i's sorted composite keys
-    ``docid << 32 | position``.  Contract (queryparse module docstring):
-    per occurrence p₀ of term 0 (the ANCHOR), d = minimal
-    ``max(pᵢ−i) − min(pᵢ−i)`` over one occurrence per remaining term with
-    pairwise-distinct actual positions; anchors with d ≤ slop contribute
-    ``1/(1+d)`` (Lucene's sloppyFreq weight) to their doc's frequency.
+    ``docid << 32 | position``; ``offsets[i]`` is term i's query position
+    (offsets[0] == 0; gaps where the phrase text carried stop words).
+    Contract (queryparse module docstring): per occurrence p₀ of term 0
+    (the ANCHOR), d = minimal ``max(pᵢ−offᵢ) − min(pᵢ−offᵢ)`` over one
+    occurrence per remaining term with pairwise-distinct actual positions;
+    anchors with d ≤ slop contribute ``1/(1+d)`` (Lucene's sloppyFreq
+    weight) to their doc's frequency.
 
     Vectorized exactly for distinct-term phrases: with the range forced to
     contain the anchor, each list's optimum is its floor-or-ceil neighbour
@@ -208,7 +213,7 @@ def _sloppy_phrase_weights(
     survivors."""
     a = key_arrays[0]
     k = len(key_arrays)
-    shifted = [key_arrays[i] - i for i in range(k)]
+    shifted = [key_arrays[i] - offsets[i] for i in range(k)]
     floors: list[np.ndarray] = []
     ceils: list[np.ndarray] = []
     for i in range(1, k):
@@ -273,7 +278,7 @@ def _sloppy_phrase_weights(
                 ai = shifted[i]
                 lo_i = int(np.searchsorted(ai, aj - slop, side="left"))
                 hi_i = int(np.searchsorted(ai, aj + slop, side="right"))
-                wins.append([(int(v), i) for v in ai[lo_i:hi_i]])
+                wins.append([(int(v), offsets[i]) for v in ai[lo_i:hi_i]])
                 n_combos *= max(hi_i - lo_i, 1)
             if n_combos > _SLOPPY_REPEAT_COMBO_MAX:
                 # repeated-term phrases need the pairwise-distinct exact
@@ -1332,17 +1337,21 @@ class SearchEngine:
 
         Slop 0 (Q8), fully vectorized: each term's occurrences become
         sorted composite keys ``docid << 32 | position``; a phrase start
-        survives iff ``key + i`` exists in term i's key set for every i —
-        K-1 sorted membership passes (searchsorted), then a run-length
-        count per doc gives the phrase frequency (Lucene sloppyFreq at
-        slop 0, where every match weighs 1).
+        survives iff ``key + offsets[i]`` exists in term i's key set for
+        every i (offsets carry the query-side stop-word gaps — StopFilter
+        position-increment parity) — K-1 sorted membership passes
+        (searchsorted), then a run-length count per doc gives the phrase
+        frequency (Lucene sloppyFreq at slop 0, where every match weighs 1).
 
         Slop > 0 (Q14) delegates to :func:`_sloppy_phrase_weights` — the
         min-move-distance-per-anchor contract (queryparse module
         docstring); freqs are then float64 sums of 1/(1+d).
         """
+        from lucene_plugin_ray.functions.queryparse import phrase_offsets
+
+        offs = phrase_offsets(c)
         r = seg.reader
-        ck = (r.path, c.field, c.terms, c.slop)
+        ck = (r.path, c.field, c.terms, c.slop, offs)
         sentinel = object()
         hit = self._postings_cache.get(ck, sentinel)
         if hit is not sentinel:
@@ -1362,7 +1371,7 @@ class SearchEngine:
             )
         else:
             if c.slop > 0:
-                got = _sloppy_phrase_weights(key_arrays, c.slop, c.terms)
+                got = _sloppy_phrase_weights(key_arrays, c.slop, c.terms, offs)
                 if got is not None:
                     u_docs, pf = got
                     if not seg.all_alive:
@@ -1376,7 +1385,7 @@ class SearchEngine:
                 return result
             surv = key_arrays[0]
             for i in range(1, len(key_arrays)):
-                surv = surv[_in_sorted(surv + i, key_arrays[i])]
+                surv = surv[_in_sorted(surv + offs[i], key_arrays[i])]
                 if surv.size == 0:
                     break
             if surv.size:

@@ -463,15 +463,6 @@ def _build_postings_numeric(
     fid_parts, h_parts, did_parts, pos_parts, materializers = [], [], [], [], []
     field_names: list[str] = []
 
-    def _token_positions(parents: np.ndarray) -> np.ndarray:
-        """Position of each token within its doc's ANALYZED stream (parents
-        are non-decreasing, tokens in document order post-filter)."""
-        rs = np.flatnonzero(
-            np.concatenate(([True], parents[1:] != parents[:-1]))
-        )
-        counts = np.diff(np.concatenate([rs, [parents.size]]))
-        return np.arange(parents.size, dtype=np.int64) - np.repeat(rs, counts)
-
     for field in cfg.fields():
         if field not in seg.column_names:
             dl_arrays[field] = np.zeros(n_docs, np.int32)
@@ -483,7 +474,7 @@ def _build_postings_numeric(
             dl_arrays[field] = ht.doc_len
             if len(ht.parents) == 0:
                 continue
-            parents, hashes = ht.parents, ht.hashes
+            parents, hashes, positions = ht.parents, ht.hashes, ht.positions
 
             def _mat(idxs, _ht=ht):
                 return np.array(
@@ -492,7 +483,9 @@ def _build_postings_numeric(
 
         else:
             # exact Unicode path (same spec, same hash formula)
-            parents, terms, doc_len = tokenize_column(col)
+            parents, terms, doc_len, positions = tokenize_column(
+                col, with_positions=True
+            )
             dl_arrays[field] = doc_len
             if len(parents) == 0:
                 continue
@@ -506,7 +499,9 @@ def _build_postings_numeric(
         fid_parts.append(np.full(len(parents), fid, dtype=np.int16))
         h_parts.append(hashes)
         did_parts.append(doc_base + parents)
-        pos_parts.append(_token_positions(parents))
+        # PRE-stop-filter positions (StopFilter enablePositionIncrements
+        # parity) — phrase gaps over removed stop words match Lucene 5.2.1
+        pos_parts.append(positions)
         materializers.append(_mat)
     if not fid_parts:
         return None, dl_arrays

@@ -123,3 +123,54 @@ def test_hashed_fast_path_property_ascii(texts):
     assert ht.parents.tolist() == parents.tolist()
     assert ht.doc_len.tolist() == doc_len.tolist()
     assert ht.hashes.tolist() == [hash_token_bytes(t.encode()) for t in terms.to_pylist()]
+
+
+def test_positions_are_pre_stop_filter():
+    """StopFilter enablePositionIncrements parity: positions count removed
+    stop words and over-long tokens (one position each), across all three
+    analyzer paths — scalar, Arrow, and the ASCII hashed fast path."""
+    from lucene_plugin_ray.functions.analysis import (
+        analyze_with_positions,
+        tokenize_column_hashed,
+    )
+
+    text = "The quick   fox, and " + "y" * 300 + " lazy dog"
+    # non-empty tokens: the(0) quick(1) fox(2) and(3) yyy...(4) lazy(5) dog(6)
+    exp = [("quick", 1), ("fox", 2), ("lazy", 5), ("dog", 6)]
+    assert analyze_with_positions(text) == exp
+
+    arr = pa.array([text, None, "", "of to in", "alpha the beta"])
+    p, t, dl, pos = tokenize_column(arr, with_positions=True)
+    assert t.to_pylist() == ["quick", "fox", "lazy", "dog", "alpha", "beta"]
+    assert pos.tolist() == [1, 2, 5, 6, 0, 2]
+    assert p.tolist() == [0, 0, 0, 0, 4, 4]
+    assert dl.tolist() == [4, 0, 0, 0, 2]
+
+    ht = tokenize_column_hashed(arr)
+    assert ht is not None
+    assert ht.positions.tolist() == pos.tolist()
+    assert ht.parents.tolist() == p.tolist()
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.text(alphabet=st.characters(min_codepoint=1, max_codepoint=127), max_size=40), max_size=8))
+def test_positions_property_three_paths(texts):
+    """Arrow, hashed, and scalar analyzers agree on (term, position) for
+    every surviving token."""
+    from lucene_plugin_ray.functions.analysis import (
+        analyze_with_positions,
+        tokenize_column_hashed,
+    )
+
+    arr = pa.array(texts, type=pa.string())
+    p, t, _, pos = tokenize_column(arr, with_positions=True)
+    ht = tokenize_column_hashed(arr)
+    assert ht is not None
+    assert ht.positions.tolist() == pos.tolist()
+    # scalar path per row
+    exp_pairs = []
+    for i, txt in enumerate(texts):
+        for tok, q in analyze_with_positions(txt or ""):
+            exp_pairs.append((i, tok, q))
+    got_pairs = list(zip(p.tolist(), t.to_pylist(), pos.tolist()))
+    assert got_pairs == exp_pairs

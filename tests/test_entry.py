@@ -26,6 +26,7 @@ CHECKED = [
     "order_line_rollup", "distinct_users", "charlm_logprob", "length_rank",
     "revenue_by_part_type", "revenue_by_region", "deterministic_shuffle",
     "events_hopping", "user_funnel", "search_sloppy", "search_regexp",
+    "search_phrase", "search_phrase_gap",
     "search_range_excl", "search_range_open", "pii_redact",
     "search_snippets",
 ]

@@ -396,9 +396,10 @@ def test_sloppy_polynomial_path_equals_sweep(monkeypatch):
             key_arrays.append(np.unique((docs << 32) | pos))
         terms = tuple(f"t{i}" for i in range(k))  # distinct
         slop = int(rng.integers(0, 12))
-        ref = qmod._sloppy_phrase_weights(key_arrays, slop, terms)
+        offs = tuple(range(k))
+        ref = qmod._sloppy_phrase_weights(key_arrays, slop, terms, offs)
         monkeypatch.setattr(qmod, "_SLOPPY_MASK_MAX", 0)
-        got = qmod._sloppy_phrase_weights(key_arrays, slop, terms)
+        got = qmod._sloppy_phrase_weights(key_arrays, slop, terms, offs)
         monkeypatch.setattr(qmod, "_SLOPPY_MASK_MAX", 12)
         if ref is None:
             assert got is None
@@ -457,3 +458,74 @@ def test_sloppy_repeated_combo_cap(ray_session, tmp_path):
         eng.search(q, limit=10)
     # the same phrase over a sparse doc stays fine
     assert eng.search('"alpha alpha"~1000000000', limit=10).num_rows == 1
+
+
+def test_stop_filter_position_increments(ray_session, tmp_path):
+    """Lucene StopFilter enablePositionIncrements parity, both sides.
+
+    Doc side: a removed stop word leaves a positional HOLE, so the phrase
+    '"over lazy"' (offsets 0,1) must NOT match '... over the lazy ...' at
+    slop 0.  Query side: QueryParser keeps the analyzer's increments, so
+    '"over the lazy"' analyzes to (over@0, lazy@2) and matches exactly the
+    docs whose surviving terms sit 2 pre-filter positions apart — including
+    a non-stop filler ('over brown lazy'), which Lucene treats identically
+    (positions don't care WHAT consumed the slot)."""
+    import ray.data
+
+    from lucene_plugin_ray.pipelines.build import build_index
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+
+    rows = [
+        {"url": "stopgap", "warc_ts": 1, "collection": "default",
+         "text": "jumped over the lazy dog"},     # over@1 lazy@3 (gap 2)
+        {"url": "adjacent", "warc_ts": 1, "collection": "default",
+         "text": "jumped over lazy dog"},         # over@1 lazy@2 (adjacent)
+        {"url": "filler", "warc_ts": 1, "collection": "default",
+         "text": "jumped over brown lazy dog"},   # over@1 lazy@3 (gap 2)
+        {"url": "wide", "warc_ts": 1, "collection": "default",
+         "text": "over of the at lazy"},          # over@0 lazy@4 (gap 4)
+    ]
+    root = str(tmp_path / "idx")
+    cfg = IndexConfig(index_root=root, num_partitions=2)
+    build_index(ray.data.from_items(rows), cfg)
+    eng = SearchEngine(root, cfg=cfg)
+
+    # slop-0 adjacency is PRE-filter adjacency now
+    assert eng.search('"over lazy"')["url"].to_pylist() == ["adjacent"]
+    # query-side stop word → offsets (0, 2): both gap-2 docs, nothing else
+    got = set(eng.search('"over the lazy"')["url"].to_pylist())
+    assert got == {"stopgap", "filler"}
+    # any single stop word in the slot is equivalent ('of' == 'the')
+    assert set(eng.search('"over of lazy"')["url"].to_pylist()) == got
+    # sloppy: d = |gap - offset| moves; '"over lazy"~1' reaches the gap-2
+    # docs at weight 1/2, '"over lazy"~3' also reaches 'wide' (d=3)
+    s1 = set(eng.search('"over lazy"~1')["url"].to_pylist())
+    assert s1 == {"adjacent", "stopgap", "filler"}
+    s3 = set(eng.search('"over lazy"~3')["url"].to_pylist())
+    assert s3 == {"adjacent", "stopgap", "filler", "wide"}
+    # explain pins the sloppy weights through the gap
+    ex = eng.explain('"over lazy"~1', "stopgap")
+    (cl,) = ex["clauses"]
+    assert cl["tf"] == pytest.approx(0.5)  # d=1 → 1/(1+1)
+
+    # doc_len (BM25 |D|) still counts only SURVIVING tokens: 'wide' has 2
+    ex_w = eng.explain("over", "wide")
+    assert ex_w["doc_len"] == 2 if "doc_len" in ex_w else True
+
+
+def test_phrase_offsets_parsed(ray_session):
+    """Parser records pre-filter offsets, normalized to offsets[0] == 0;
+    leading/trailing stop words shift nothing observable."""
+    from lucene_plugin_ray.functions.queryparse import parse_query
+
+    (c,) = parse_query('"over the lazy dog"')
+    assert c.terms == ("over", "lazy", "dog")
+    assert c.offsets == (0, 2, 3)
+    # leading stop word: normalization keeps offsets anchored at 0
+    (c,) = parse_query('"the quick fox"')
+    assert c.terms == ("quick", "fox")
+    assert c.offsets == (0, 1)
+    # all-stop phrase still drops; single survivor still degenerates
+    assert list(parse_query('"the of and"')) == []
+    (c,) = parse_query('"the spark"')
+    assert type(c).__name__ == "TermClause"

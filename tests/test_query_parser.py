@@ -155,13 +155,14 @@ def test_must_not_clauses():
 def test_phrase_clause():
     # Q8: analyzed like the index side, field-scoped or default
     assert parse_query('"Mary Lamb"') == [
-        PhraseClause(SHOULD, "text", ("mary", "lamb"))
+        PhraseClause(SHOULD, "text", ("mary", "lamb"), offsets=(0, 1))
     ]
     assert parse_query('body:"quick brown Fox"') == [
-        PhraseClause(SHOULD, "body", ("quick", "brown", "fox"))
+        PhraseClause(SHOULD, "body", ("quick", "brown", "fox"),
+                     offsets=(0, 1, 2))
     ]
     assert parse_query('+"mary lamb" +wool') == [
-        PhraseClause(MUST, "text", ("mary", "lamb")),
+        PhraseClause(MUST, "text", ("mary", "lamb"), offsets=(0, 1)),
         TermClause(MUST, "text", "wool"),
     ]
     # single surviving token degenerates to a TermQuery (Lucene parity)
