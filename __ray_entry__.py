@@ -502,6 +502,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def doc_stats(sf_dir: str) -> pa.Table:
         return training.token_count(sf_dir)
 
+    def hybrid_search_q(sf_dir: str) -> pa.Table:
+        """Hybrid retrieval: BM25('spark window merge') leg + cosine leg vs
+        the embedding of vec_id 0, RRF-fused (k_leg=20 per leg, rrf_k=60,
+        final top-10 by rrf desc / doc_id asc)."""
+        from lucene_plugin_ray.pipelines.hybrid import hybrid_search
+
+        engine, cfg = _engine_for(sf_dir)
+        return hybrid_search(engine, sf_dir, _OR_Q, qvec_id=0, k=10, k_leg=20)
+
     return {
         "search_term": search_term,
         "search_or": search_or,
@@ -528,6 +537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spell_suggest": spell_suggest,
         "date_histogram": date_histogram,
         "more_like_this": more_like_this_q,
+        "hybrid_search": hybrid_search_q,
         "batch_search": batch_search,
         "term_stats": term_stats_q,
         "token_count": doc_stats,
@@ -639,6 +649,28 @@ WHERE tf.term = 'de'
 """)
         + " ORDER BY qid, doc_id"
     )
+
+    # hybrid RRF: BM25 leg (ranks on the round-4 score, the _bm25_sql
+    # contract) + cosine leg vs vec_id 0 (ranks on the round-5 cos, the
+    # ann_topk contract); rrf = Σ 1/(60 + rank), absent legs rank 0
+    sql["hybrid_search"] = f"""
+WITH lex AS (SELECT doc_id, score FROM ({_bm25_sql(or_terms)})),
+lexr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+         FROM lex QUALIFY r <= 20),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+sem AS (SELECT e.vec_id AS doc_id,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.v), 5) AS cos
+        FROM embeddings e CROSS JOIN qv),
+semr AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS r
+         FROM sem QUALIFY r <= 20),
+cand AS (SELECT doc_id FROM lexr UNION SELECT doc_id FROM semr)
+SELECT c.doc_id,
+       round(coalesce(1.0/(60 + l.r), 0) + coalesce(1.0/(60 + s.r), 0), 6) AS rrf,
+       CAST(coalesce(l.r, 0) AS BIGINT) AS lex_rank,
+       CAST(coalesce(s.r, 0) AS BIGINT) AS sem_rank
+FROM cand c LEFT JOIN lexr l USING (doc_id) LEFT JOIN semr s USING (doc_id)
+ORDER BY rrf DESC, doc_id ASC LIMIT 10
+"""
 
     # field-scoped BM25 over the single-token lang column
     sql["search_field"] = f"""
