@@ -363,6 +363,23 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     training.decontaminate_bloom(sf_dir)
     queries["decontaminate_bloom"] = round(time.monotonic() - t1, 3)
 
+    # hybrid retrieval: distributed semantic leg + RRF fuse; the lexical
+    # leg's documents-table index is built OUTSIDE the timed region (its
+    # build cost is the index_build row's story, not fusion's)
+    from lucene_plugin_ray.pipelines import hybrid
+    from lucene_plugin_ray.sources.pages import documents_as_pages
+
+    hroot = "/tmp/lpr_bench_hybrid_idx"
+    shutil.rmtree(hroot, ignore_errors=True)
+    hcfg = IndexConfig(
+        index_root=hroot, num_partitions=8, field_columns=("lang", "source")
+    )
+    build_index(documents_as_pages(sf_dir), hcfg)
+    heng = SearchEngine(hroot, cfg=hcfg)
+    t1 = time.monotonic()
+    hybrid.hybrid_search(heng, sf_dir, "spark window merge", k=10, k_leg=20)
+    queries["hybrid_search"] = round(time.monotonic() - t1, 3)
+
     out["metric"] = "index_build_sec_plus_query_latency"
     out["value"] = round(build_s, 3)
     out["unit"] = "sec"
