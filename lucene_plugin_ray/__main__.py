@@ -10,6 +10,7 @@
     python -m lucene_plugin_ray count   --index /tmp/idx --query "mary lamb"
     python -m lucene_plugin_ray facets  --index /tmp/idx --query "mary" --field lang
     python -m lucene_plugin_ray suggest --index /tmp/idx --term mray [--k 5]
+    python -m lucene_plugin_ray hybrid  --index /tmp/idx --query "mary lamb" --embeddings dir/ [--qvec-id 0] [--k 10] [--k-leg 20]
 
 On a cluster: `ray job submit -- python -m lucene_plugin_ray build ...`
 (the script only calls ray.init when no session exists).
@@ -83,6 +84,16 @@ def main(argv: list[str] | None = None) -> int:
             s.add_argument("--query", required=True)
         if name == "facets":
             s.add_argument("--field", required=True)
+    s = sub.add_parser("hybrid")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--embeddings", required=True,
+                   help="dir containing embeddings.parquet (vec_id = doc_id)")
+    s.add_argument("--qvec-id", type=int, default=0)
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--k-leg", type=int, default=20)
+    s.add_argument("--partitions", type=int, default=32)
+    s.add_argument("--fields", default="")
     s = sub.add_parser("serve")
     s.add_argument("--index", required=True)
     s.add_argument("--partitions", type=int, default=32)
@@ -153,6 +164,16 @@ def main(argv: list[str] | None = None) -> int:
 
         eng = SearchEngine(args.index, cfg=cfg)
         t = eng.suggest(args.term, collection=args.collection, k=args.k)
+        for row in t.to_pylist():
+            print(json.dumps(row))
+    elif args.cmd == "hybrid":
+        _ensure_ray()
+        from lucene_plugin_ray.pipelines.hybrid import hybrid_search
+        from lucene_plugin_ray.pipelines.query import SearchEngine
+
+        eng = SearchEngine(args.index, cfg=cfg)
+        t = hybrid_search(eng, args.embeddings, args.query,
+                          qvec_id=args.qvec_id, k=args.k, k_leg=args.k_leg)
         for row in t.to_pylist():
             print(json.dumps(row))
     elif args.cmd == "serve":

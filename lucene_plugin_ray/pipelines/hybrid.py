@@ -103,14 +103,17 @@ def semantic_topk(sf_dir: str, qvec: np.ndarray, k: int) -> pa.Table:
     )
 
 
-def lexical_topk(engine, query_text: str, k: int) -> pa.Table:
+def lexical_topk(engine, query_text: str, k: int, url_to_id=None) -> pa.Table:
     """BM25 leg → (doc_id, lex_score, lex_rank): engine hits re-ranked on the
     ROUNDED-to-4 score (the oracle contract) with doc_id-asc ties, truncated
-    to k."""
-    from lucene_plugin_ray.sources.pages import url_to_doc_id
+    to k.  ``url_to_id`` maps the engine's url column to the embeddings
+    table's integer id space (default: the ``doc://`` scheme inverse used by
+    the synthetic corpora — pass your own for a real corpus)."""
+    if url_to_id is None:
+        from lucene_plugin_ray.sources.pages import url_to_doc_id as url_to_id
 
     res = engine.search(query_text, limit=1_000_000_000)
-    ids = url_to_doc_id(res["url"].combine_chunks()).to_numpy(zero_copy_only=False)
+    ids = url_to_id(res["url"].combine_chunks()).to_numpy(zero_copy_only=False)
     score = np.round(
         res["score"].combine_chunks().to_numpy(zero_copy_only=False), 4
     )
@@ -166,11 +169,12 @@ def hybrid_search(
     k: int = 10,
     k_leg: int = 20,
     rrf_k: int = DEFAULT_RRF_K,
+    url_to_id=None,
 ) -> pa.Table:
     """BM25(query_text) ⊕ cosine(embedding of qvec_id), RRF-fused top-k.
     Result ordered (rrf desc, doc_id asc)."""
     if k <= 0 or k_leg <= 0:
         raise ValueError("k and k_leg must be positive")
-    lex = lexical_topk(engine, query_text, k_leg)
+    lex = lexical_topk(engine, query_text, k_leg, url_to_id=url_to_id)
     sem = semantic_topk(sf_dir, query_vector(sf_dir, qvec_id), k_leg)
     return rrf_fuse(lex, sem, k, rrf_k)
