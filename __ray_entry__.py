@@ -584,6 +584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": training.semantic_dedup,
         "paragraph_dedup": training.paragraph_dedup,
         "length_quantiles": training.length_quantiles,
+        "value_quantiles_sketch": training.value_quantiles_sketch,
         "events_rolling": training.events_rolling,
         "ann_pq": training.ann_pq,
         "revenue_by_nation": relational.revenue_by_nation,
@@ -1651,6 +1652,34 @@ SELECT t.source, t.n_docs, t.sum_tokens,
        CAST(q.p10 AS BIGINT) AS p10, CAST(q.p50 AS BIGINT) AS p50,
        CAST(q.p90 AS BIGINT) AS p90, CAST(q.p99 AS BIGINT) AS p99
 FROM tot t JOIN q USING (source) ORDER BY t.source
+"""
+
+    # integer-exact DDSketch-style quantile sketch: cents < 32 exact, else
+    # 32 sub-buckets per octave (key = 32·(bitlen−6) + cents>>(bitlen−6));
+    # quantile = lower bound of the smallest bucket with cum·100 ≥ n·p —
+    # every step integer, so the sketch itself is hash-checked
+    sql["value_quantiles_sketch"] = """
+WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+k AS (SELECT event_type,
+             CASE WHEN cents < 32 THEN cents
+                  ELSE 32 * (length(format('{:b}', cents)) - 6)
+                       + (cents >> (length(format('{:b}', cents)) - 6)) END AS key
+      FROM c),
+h AS (SELECT event_type, key, count(*) AS cnt FROM k GROUP BY event_type, key),
+cum AS (SELECT event_type, key,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY key) AS cm,
+               sum(cnt) OVER (PARTITION BY event_type) AS n
+        FROM h),
+q AS (SELECT event_type, any_value(n) AS n,
+             min(CASE WHEN cm * 100 >= n * 50 THEN key END) AS k50,
+             min(CASE WHEN cm * 100 >= n * 90 THEN key END) AS k90,
+             min(CASE WHEN cm * 100 >= n * 99 THEN key END) AS k99
+      FROM cum GROUP BY event_type)
+SELECT event_type, CAST(n AS BIGINT) AS n_events,
+       CAST(CASE WHEN k50 < 32 THEN k50 ELSE ((k50 % 32) + 32) << (k50 // 32 - 1) END AS BIGINT) AS p50_cents,
+       CAST(CASE WHEN k90 < 32 THEN k90 ELSE ((k90 % 32) + 32) << (k90 // 32 - 1) END AS BIGINT) AS p90_cents,
+       CAST(CASE WHEN k99 < 32 THEN k99 ELSE ((k99 % 32) + 32) << (k99 // 32 - 1) END AS BIGINT) AS p99_cents
+FROM q ORDER BY event_type
 """
 
     # trailing 1-hour RANGE frame (peers at the anchor ts included)

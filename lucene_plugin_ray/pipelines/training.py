@@ -4140,6 +4140,129 @@ def length_quantiles(
     )
 
 
+_VQS_PERCENTS = (50, 90, 99)
+
+
+def value_quantiles_sketch(
+    sf_dir: str, percents: tuple[int, ...] = _VQS_PERCENTS
+) -> pa.Table:
+    """Per-event-type quantile SKETCH over the continuous ``events.value``
+    column — the mergeable-sketch twin of :func:`length_quantiles`, for
+    values whose distinct count is NOT bounded (doubles): the exact
+    histogram fold would be corpus-sized, so a DDSketch-style log-bucketed
+    histogram bounds the exchange at |types| × ~1300 buckets instead.
+
+    Unlike classical DDSketch (γ-log buckets computed with ``ln`` — float
+    boundaries an oracle can't reproduce bit-exactly), bucketing here is
+    INTEGER-exact: value → cents (int64), cents < 32 stay exact, larger
+    cents map to ``key = 32·(bit_length−6) + (cents >> (bit_length−6))``
+    — 32 sub-buckets per octave, i.e. a base-2 DDSketch with relative
+    error < 1/32 ≈ 3.125 % (keys < 32 are exact).  Every step is integer
+    arithmetic, so the DuckDB oracle reproduces the sketch bit-for-bit and
+    this sketch op is HASH-checked, like the exact ops.
+
+    Distributed shape: per-batch (event_type, key, count) combiner → tiny
+    ``groupby(event_type, key)`` fold → driver quantile read-off (the
+    length_quantiles shape; sketch merge IS the count sum, so the result
+    is batching/partitioning independent by construction).
+
+    Output: (event_type, n_events, p50_cents, p90_cents, p99_cents) —
+    quantile estimates are bucket LOWER bounds in integer cents
+    (estimate ≤ true < estimate·33/32); pN = smallest bucket holding the
+    ⌈N %⌉ order statistic (cum·100 ≥ n·p, the repo-wide convention)."""
+    from ray.data.aggregate import Sum
+
+    if not percents or any(not (0 < p <= 100) for p in percents):
+        raise ValueError("percents must be in (0, 100]")
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        cents = (
+            pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        if cents.size and cents.min() < 0:
+            raise ValueError("value_quantiles_sketch requires non-negative values")
+        # bit_length via frexp: exact for int64 < 2^53 (cents ≤ ~2^47 for
+        # any realistic monetary value; a larger corpus would switch to a
+        # clz kernel, same contract)
+        _, e = np.frexp(np.maximum(cents, 1).astype(np.float64))
+        s = np.maximum(e - 6, 0)
+        key = np.where(cents < 32, cents, 32 * (e - 6) + (cents >> s))
+        t = pa.table(
+            {
+                "event_type": batch["event_type"].combine_chunks(),
+                "key": pa.array(key, type=pa.int64()),
+            }
+        )
+        agg = t.group_by(["event_type", "key"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "event_type": agg["event_type"].combine_chunks(),
+                "key": agg["key"].combine_chunks(),
+                "c": pc.cast(agg["count_all"], pa.int64()),
+            }
+        )
+
+    hist_ds = (
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "key"])
+        .aggregate(Sum("c", alias_name="n"))
+    )
+    tables = [b for b in hist_ds.iter_batches(batch_format="pyarrow")]
+    empty_cols = {
+        "event_type": pa.array([], pa.string()),
+        "n_events": pa.array([], pa.int64()),
+        **{f"p{p}_cents": pa.array([], pa.int64()) for p in percents},
+    }
+    if not tables:
+        return pa.table(empty_cols)
+    hist = pa.concat_tables(tables).sort_by(
+        [("event_type", "ascending"), ("key", "ascending")]
+    )
+    typ = hist["event_type"].to_numpy(zero_copy_only=False)
+    keys = hist["key"].to_numpy(zero_copy_only=False)
+    cnt = pc.cast(hist["n"], pa.int64()).to_numpy(zero_copy_only=False)
+    starts = _run_starts(typ)
+    bounds = np.concatenate([starts, [typ.size]])
+    rows: dict[str, list] = {k: [] for k in empty_cols}
+    for i in range(starts.size):
+        lo, hi = bounds[i], bounds[i + 1]
+        c = cnt[lo:hi]
+        k = keys[lo:hi]  # ascending within the type group
+        cum = np.cumsum(c)
+        total = int(cum[-1])
+        rows["event_type"].append(str(typ[lo]))
+        rows["n_events"].append(total)
+        for p in percents:
+            j = int(np.searchsorted(cum * 100, total * p, side="left"))
+            qk = int(k[min(j, k.size - 1)])
+            rows[f"p{p}_cents"].append(int(_vqs_lower_bound(qk)))
+    return pa.table(
+        {
+            "event_type": pa.array(rows["event_type"], pa.string()),
+            "n_events": pa.array(rows["n_events"], pa.int64()),
+            **{
+                f"p{p}_cents": pa.array(rows[f"p{p}_cents"], pa.int64())
+                for p in percents
+            },
+        }
+    )
+
+
+def _vqs_lower_bound(key: int) -> int:
+    """Bucket key → its lower bound in cents (the quantile estimate):
+    exact below 32, else mantissa ``(key % 32) + 32`` shifted by the
+    octave ``key // 32 − 1``."""
+    if key < 32:
+        return key
+    return ((key % 32) + 32) << (key // 32 - 1)
+
+
 # ---------------------------------------------------------------------------
 # rolling (RANGE) window aggregate over the events stream
 # ---------------------------------------------------------------------------

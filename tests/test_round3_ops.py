@@ -585,3 +585,100 @@ def test_top_suppliers_dangling_suppkey_raises(ray_session, tmp_path, tpch_dir):
     )
     with pytest.raises(ValueError, match="suppkey absent"):
         relational.top_suppliers(str(d), k=1)
+
+
+# ---------------------------------------------------------------------------
+# value_quantiles_sketch — integer-exact DDSketch-style quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def _vqs_corpus(tmp_path, values, types=None):
+    n = len(values)
+    pq.write_table(
+        pa.table(
+            {
+                "event_type": pa.array(types or ["t"] * n, pa.string()),
+                "value": pa.array(values, pa.float64()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    return str(tmp_path)
+
+
+def test_vqs_error_bound_vs_exact(ray_session, tmp_path):
+    """Every estimate is a bucket lower bound ≤ the true order statistic
+    < estimate · 33/32 (keys ≥ 32), or exactly equal (keys < 32)."""
+    import numpy as np
+
+    from lucene_plugin_ray.pipelines import training
+
+    rng = np.random.default_rng(11)
+    vals = np.round(rng.lognormal(3.0, 1.5, size=5000), 2)
+    d = _vqs_corpus(tmp_path, vals.tolist())
+    out = training.value_quantiles_sketch(d).to_pylist()[0]
+    cents = np.sort(np.round(vals * 100).astype(np.int64))
+    n = cents.size
+    for p in (50, 90, 99):
+        # the repo-wide order statistic: smallest value with cum·100 ≥ n·p
+        true = int(cents[int(np.ceil(n * p / 100.0)) - 1])
+        est = out[f"p{p}_cents"]
+        assert est <= true < max(est + 1, est * 33 // 32 + 1), (p, est, true)
+
+
+def test_vqs_exact_below_32_and_batching_independence(ray_session, tmp_path):
+    from lucene_plugin_ray.pipelines import training
+
+    # all cents < 32 → the sketch IS exact
+    vals = [0.01, 0.05, 0.05, 0.10, 0.31, 0.31, 0.31]
+    d = _vqs_corpus(tmp_path, vals)
+    out = training.value_quantiles_sketch(d).to_pylist()[0]
+    assert out["p50_cents"] == 10  # 4th of 7 sorted cents [1,5,5,10,31,31,31]
+    assert out["p99_cents"] == 31
+    assert out["n_events"] == 7
+
+
+def test_vqs_multi_type_and_validation(ray_session, tmp_path):
+    from lucene_plugin_ray.pipelines import training
+
+    d = _vqs_corpus(
+        tmp_path, [1.0, 2.0, 300.0, 4.0], types=["a", "a", "b", "b"]
+    )
+    out = training.value_quantiles_sketch(d)
+    assert out["event_type"].to_pylist() == ["a", "b"]
+    with pytest.raises(ValueError):
+        training.value_quantiles_sketch(d, percents=(0,))
+    with pytest.raises(ValueError):
+        training.value_quantiles_sketch(d, percents=())
+
+
+def test_vqs_negative_values_raise(ray_session, tmp_path):
+    from lucene_plugin_ray.pipelines import training
+
+    d = _vqs_corpus(tmp_path, [1.0, -2.0])
+    with pytest.raises(Exception, match="non-negative"):
+        training.value_quantiles_sketch(d)
+
+
+def test_vqs_key_roundtrip_pins_bucket_scheme():
+    """The bucketing is part of the oracle contract: pin the key and
+    lower-bound maps on hand values."""
+    import numpy as np
+
+    from lucene_plugin_ray.pipelines.training import _vqs_lower_bound
+
+    def key_of(cents: int) -> int:
+        if cents < 32:
+            return cents
+        e = int(cents).bit_length()
+        return 32 * (e - 6) + (cents >> (e - 6))
+
+    for cents in [0, 1, 31, 32, 33, 63, 64, 65, 127, 128, 1000, 48999, 2**40]:
+        k = key_of(cents)
+        lb = _vqs_lower_bound(k)
+        assert lb <= cents, (cents, k, lb)
+        if cents < 32:
+            assert lb == cents
+        else:
+            # next bucket's lower bound bounds the relative error by 1/32
+            assert cents < _vqs_lower_bound(k + 1) <= lb + max(lb // 32, 1)
