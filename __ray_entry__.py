@@ -138,6 +138,9 @@ _MIX_WEIGHTS = {"src0": 8.0, "src1": 4.0, "src2": 2.0, "src3": 1.0}
 _MIX_TOTAL = 80
 # extended grammar (Q8-Q10): adjacent in the seeded corpus / typo of 'spark'
 _PHRASE_Q = '"spark merge"'
+# dismax probe: 'spark' fires only in text, 'de' only in lang — plus any
+# text occurrences of 'de' the synthetic vocab produces
+_DISMAX_Q = "spark de"
 # stop word INSIDE the phrase → surviving terms (spark, merge) at query
 # positions (0, 2): matches docs with exactly one position-consuming token
 # between them (StopFilter enablePositionIncrements parity)
@@ -502,6 +505,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def doc_stats(sf_dir: str) -> pa.Table:
         return training.token_count(sf_dir)
 
+    def search_dismax(sf_dir: str) -> pa.Table:
+        """Multi-field DisjunctionMaxQuery (Solr dismax): 'spark de' over
+        fields text (w=1.0) and lang (w=2.0), tie_breaker 0.3 — per term
+        and doc, max(weighted field legs) + 0.3·(sum − max)."""
+        from lucene_plugin_ray.sources.pages import url_to_doc_id
+
+        engine, cfg = _engine_for(sf_dir)
+        res = engine.search(
+            _DISMAX_Q,
+            fields={"text": 1.0, "lang": 2.0},
+            tie_breaker=0.3,
+            limit=1_000_000_000,
+        )
+        return pa.table(
+            {
+                "doc_id": url_to_doc_id(res["url"].combine_chunks()),
+                "score": pc.round(res["score"].combine_chunks(), ndigits=4),
+            }
+        ).sort_by("doc_id")
+
     def hybrid_search_q(sf_dir: str) -> pa.Table:
         """Hybrid retrieval: BM25('spark window merge') leg + cosine leg vs
         the embedding of vec_id 0, RRF-fused (k_leg=20 per leg, rrf_k=60,
@@ -531,6 +554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_group": search_group,
         "search_boost": search_boost,
         "search_synonyms": search_synonyms,
+        "search_dismax": search_dismax,
         "search_facets": search_facets,
         "search_count": search_count,
         "search_sorted": search_sorted,
@@ -650,6 +674,55 @@ WHERE tf.term = 'de'
 """)
         + " ORDER BY qid, doc_id"
     )
+
+    # dismax (DisjunctionMaxQuery): per term and doc, the max of the
+    # weighted per-field BM25 legs + tie·(sum − max); legs use each field's
+    # own tf/dl/avgdl/df exactly like the single-field oracles
+    dismax_terms = analyze(_DISMAX_Q)
+    dm_values = ", ".join(f"('{t}')" for t in dismax_terms)
+    sql["search_dismax"] = f"""
+{_toks_cte()},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+docs AS (SELECT d.doc_id, coalesce(dl.dl, 0) AS dl
+         FROM documents d LEFT JOIN dl USING (doc_id)),
+stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM docs),
+qt(term) AS (SELECT * FROM (VALUES {dm_values})),
+tdf AS (SELECT term, count(*) AS df FROM tf
+        WHERE term IN (SELECT term FROM qt) GROUP BY term),
+tleg AS (SELECT tf.doc_id, tf.term,
+                1.0 * ln(1.0 + (s.n - tdf.df + 0.5) / (tdf.df + 0.5))
+                * (tf.tf * (1.2 + 1.0))
+                / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * docs.dl / s.avgdl)) AS sc
+         FROM tf JOIN tdf USING (term)
+         JOIN docs ON docs.doc_id = tf.doc_id CROSS JOIN stats s),
+lraw AS (SELECT doc_id, unnest(string_split_regex(lower(lang), '[^a-z0-9]+')) AS term FROM documents),
+ltoks AS (SELECT doc_id, term FROM lraw WHERE term <> '' AND length(term) <= 255
+          AND term NOT IN {SQL_STOPWORD_LIST}),
+ltf AS (SELECT doc_id, term, count(*) AS tf FROM ltoks GROUP BY doc_id, term),
+ldl AS (SELECT doc_id, count(*) AS dl FROM ltoks GROUP BY doc_id),
+ldocs AS (SELECT d.doc_id, coalesce(ldl.dl, 0) AS dl
+          FROM documents d LEFT JOIN ldl USING (doc_id)),
+lstats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM ldocs),
+ldf AS (SELECT term, count(*) AS df FROM ltf
+        WHERE term IN (SELECT term FROM qt) GROUP BY term),
+lleg AS (SELECT ltf.doc_id, ltf.term,
+                2.0 * ln(1.0 + (s.n - ldf.df + 0.5) / (ldf.df + 0.5))
+                * (ltf.tf * (1.2 + 1.0))
+                / (ltf.tf + 1.2 * (1.0 - 0.75 + 0.75 * ldocs.dl / s.avgdl)) AS sc
+         FROM ltf JOIN ldf USING (term)
+         JOIN ldocs ON ldocs.doc_id = ltf.doc_id CROSS JOIN lstats s),
+cand AS (SELECT DISTINCT doc_id, term FROM
+         (SELECT doc_id, term FROM tleg UNION ALL SELECT doc_id, term FROM lleg)),
+dm AS (SELECT c.doc_id,
+              greatest(coalesce(t.sc, 0), coalesce(l.sc, 0))
+              + 0.3 * (coalesce(t.sc, 0) + coalesce(l.sc, 0)
+                       - greatest(coalesce(t.sc, 0), coalesce(l.sc, 0))) AS sc
+       FROM cand c LEFT JOIN tleg t USING (doc_id, term)
+       LEFT JOIN lleg l USING (doc_id, term))
+SELECT doc_id, round(sum(sc), 4) AS score FROM dm GROUP BY doc_id
+ORDER BY doc_id
+"""
 
     # hybrid RRF: BM25 leg (ranks on the round-4 score, the _bm25_sql
     # contract) + cosine leg vs vec_id 0 (ranks on the round-5 cos, the

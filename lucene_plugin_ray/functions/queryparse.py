@@ -207,6 +207,22 @@ class SynonymClause:
 
 
 @dataclass(frozen=True)
+class DisMaxClause:
+    """Lucene DisjunctionMaxQuery: the clause matches when ANY leg matches,
+    and scores ``max(leg scores) + tie · (Σ others)`` × boost — the
+    multi-field retrieval primitive behind Solr's (e)dismax handler.  Legs
+    are leaf clauses (their ``occur`` is ignored; the DisMax's own ``occur``
+    drives the boolean level).  Built programmatically from a field→weight
+    map (Lucene builds it in code too, not query text): see
+    SearchEngine.search(fields=..., tie_breaker=...)."""
+
+    occur: str
+    clauses: tuple
+    tie: float = 0.0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class GroupClause:
     """Parenthesized boolean group — a nested BooleanQuery (classic
     QueryParser grouping): ``(a b) AND c``, ``-(x y)``, ``(a b)^2``,
@@ -222,7 +238,7 @@ class GroupClause:
 
 Clause = (
     TermClause | RangeClause | PhraseClause | MultiTermClause
-    | SynonymClause | GroupClause
+    | SynonymClause | GroupClause | DisMaxClause
 )
 
 
@@ -238,7 +254,7 @@ def scored_term_keys(clauses) -> list[tuple[str, str]]:
             keys.append((c.field, c.term))
         elif isinstance(c, (PhraseClause, SynonymClause)):
             keys.extend((c.field, t) for t in c.terms)
-        elif isinstance(c, GroupClause):
+        elif isinstance(c, (GroupClause, DisMaxClause)):
             keys.extend(scored_term_keys(c.clauses))
     return keys
 
@@ -608,4 +624,59 @@ def _apply_synonyms_level(clauses: tuple, by_term: dict[str, list[str]]) -> tupl
                 out.append(GroupClause(c.occur, inner, c.boost))
                 continue
         out.append(c)
+    return tuple(out)
+
+
+def validate_dismax_fields(
+    fields: dict[str, float], tie: float, known: set[str]
+) -> None:
+    """dismax argument validation shared by the local engine and the
+    sharded path: known fields, positive weights, tie ∈ [0, 1] (Lucene
+    DisjunctionMaxQuery's documented range)."""
+    if not fields:
+        raise ValueError("fields must be a non-empty {field: weight} map")
+    for f, w in fields.items():
+        if f not in known:
+            raise ValueError(
+                f"unknown dismax field {f!r} (indexed: {sorted(known)})"
+            )
+        if not (w > 0):
+            raise ValueError(f"dismax weight for {f!r} must be > 0")
+    if not (0.0 <= tie <= 1.0):
+        raise ValueError("tie_breaker must be in [0, 1]")
+
+
+def apply_fields(
+    clauses: tuple,
+    fields: dict[str, float],
+    tie: float,
+    default_field: str,
+) -> tuple:
+    """Multi-field (dismax) rewrite — Solr's dismax handler over the classic
+    parse: every TERM clause on the DEFAULT field becomes a
+    :class:`DisMaxClause` whose legs are per-field copies with the field
+    weight as leg boost (the clause's own boost stays on the DisMax).
+    Explicitly field-scoped clauses (``lang:de``) and non-term clauses
+    (phrase/range/prefix/…) are untouched — term-only expansion, the dismax
+    handler's core.  GroupClauses rewrite recursively.  A single-entry
+    ``fields`` map still wraps (uniform scoring shape; with weight 1.0 the
+    scores equal the plain query's)."""
+    out = []
+    for c in clauses:
+        if isinstance(c, TermClause) and c.field == default_field:
+            legs = tuple(
+                TermClause(SHOULD, f, c.term, boost=w)
+                for f, w in sorted(fields.items())
+            )
+            out.append(DisMaxClause(c.occur, legs, tie=tie, boost=c.boost))
+        elif isinstance(c, GroupClause):
+            out.append(
+                GroupClause(
+                    c.occur,
+                    apply_fields(c.clauses, fields, tie, default_field),
+                    c.boost,
+                )
+            )
+        else:
+            out.append(c)
     return tuple(out)

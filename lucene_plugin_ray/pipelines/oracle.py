@@ -25,6 +25,7 @@ from lucene_plugin_ray.functions.analysis import (
 from lucene_plugin_ray.functions.bm25 import idf
 from lucene_plugin_ray.functions.docid import assign_docids_reference
 from lucene_plugin_ray.functions.queryparse import (
+    DisMaxClause,
     GroupClause,
     SynonymClause,
     MUST,
@@ -184,9 +185,14 @@ class OracleIndex:
     # -- search -----------------------------------------------------------
     def search(self, query: str, collection: str = "default",
                limit: int | None = None,
-               synonyms: dict[str, list[str]] | None = None):
+               synonyms: dict[str, list[str]] | None = None,
+               fields: dict[str, float] | None = None,
+               tie_breaker: float = 0.0):
         """Return [(url, score), ...] — top-k, (score desc, docid asc)."""
-        from lucene_plugin_ray.functions.queryparse import apply_synonyms
+        from lucene_plugin_ray.functions.queryparse import (
+            apply_fields,
+            apply_synonyms,
+        )
 
         cfg = self.cfg
         limit = limit if limit is not None else cfg.result_limit
@@ -194,6 +200,10 @@ class OracleIndex:
         clauses = parse_query(query, default_field=cfg.text_column)
         if synonyms:
             clauses = list(apply_synonyms(tuple(clauses), synonyms))
+        if fields:
+            clauses = list(
+                apply_fields(tuple(clauses), fields, tie_breaker, cfg.text_column)
+            )
         if not clauses:
             return []
         n = self.n_docs.get(coll, 0)
@@ -240,6 +250,11 @@ class OracleIndex:
                 return {d for d in cand if self._phrase_freq(c, d) > 0}
             if isinstance(c, GroupClause):
                 return self._eval_clauses(c.clauses, coll, n)[1]
+            if isinstance(c, DisMaxClause):
+                out: set[int] = set()
+                for leg in c.clauses:
+                    out |= clause_docs(leg)
+                return out
             if isinstance(c, SynonymClause):
                 out: set[int] = set()
                 for t in c.terms:
@@ -341,6 +356,14 @@ class OracleIndex:
                 for d in candidates:
                     if d in g_match:
                         scores[d] += g_scores.get(d, 0.0) * c.boost
+            elif isinstance(c, DisMaxClause):
+                # DisjunctionMaxQuery: max matching leg + tie · (Σ others)
+                legs = [self._eval_clauses((leg,), coll, n) for leg in c.clauses]
+                for d in candidates:
+                    vals = [ls.get(d, 0.0) for ls, lm in legs if d in lm]
+                    if vals:
+                        m = max(vals)
+                        scores[d] += (m + c.tie * (sum(vals) - m)) * c.boost
             else:
                 hits = clause_docs(c)
                 for d in candidates:

@@ -43,13 +43,16 @@ from lucene_plugin_ray.functions.queryparse import (
     Clause,
     MultiTermClause,
     PhraseClause,
+    DisMaxClause,
     GroupClause,
     RangeClause,
     SynonymClause,
     TermClause,
+    apply_fields,
     apply_synonyms,
     parse_query,
     scored_term_keys,
+    validate_dismax_fields,
 )
 from lucene_plugin_ray.state.manifest import load_manifest_chain, load_tombstones
 from lucene_plugin_ray.state.segment import SegmentReader
@@ -442,6 +445,8 @@ class SearchEngine:
         limit: int | None = None,
         method: str = "taat",
         synonyms: dict[str, list[str]] | None = None,
+        fields: dict[str, float] | None = None,
+        tie_breaker: float = 0.0,
     ) -> pa.Table:
         """Top-k search → Arrow table (url, score, docid), ordered
         (score desc, url asc).  ``limit`` defaults to the reference's
@@ -451,15 +456,25 @@ class SearchEngine:
         'bmax' (vectorized block-max best-first).  ``synonyms``
         ({term: [synonym, ...]}) rewrites matching TERM clauses into
         Lucene-SynonymQuery groups — tf summed over members, idf from the
-        max member df (scored on the TAAT path)."""
+        max member df (scored on the TAAT path).  ``fields``
+        ({field: weight}) turns each default-field TERM clause into a
+        DisjunctionMaxQuery over the given fields (Solr dismax):
+        per-doc score = max(weighted leg scores) + ``tie_breaker`` ·
+        (sum of the other legs); synonyms apply first, so a synonym group
+        stays single-field."""
         limit = limit if limit is not None else self.cfg.result_limit
         coll = sanitize_collection(collection)
+        if fields is not None:
+            self._check_fields(fields, tie_breaker)
         syn_key = (
             tuple(sorted((k, tuple(v)) for k, v in synonyms.items()))
             if synonyms
             else None
         )
-        cache_key = (coll, query, limit, method, syn_key)
+        f_key = (
+            (tuple(sorted(fields.items())), tie_breaker) if fields else None
+        )
+        cache_key = (coll, query, limit, method, syn_key, f_key)
         hit = self._results_cache.get(cache_key)
         if hit is not None:
             self._results_cache.move_to_end(cache_key)
@@ -468,12 +483,23 @@ class SearchEngine:
         clauses = parse_query(query, default_field=self.cfg.text_column)
         if synonyms:
             clauses = list(apply_synonyms(tuple(clauses), synonyms))
+        if fields:
+            clauses = list(
+                apply_fields(
+                    tuple(clauses), fields, tie_breaker, self.cfg.text_column
+                )
+            )
         table = self._execute(clauses, coll, limit, method)
 
         self._results_cache[cache_key] = table
         if len(self._results_cache) > self.cfg.results_cache_size:
             self._results_cache.popitem(last=False)
         return table
+
+    def _check_fields(self, fields: dict[str, float], tie: float) -> None:
+        validate_dismax_fields(
+            fields, tie, {self.cfg.text_column, *self.cfg.field_columns}
+        )
 
     def facets(
         self, query: str, facet_field: str, collection: str = "default"
@@ -528,16 +554,24 @@ class SearchEngine:
         query: str,
         collection: str = "default",
         synonyms: dict[str, list[str]] | None = None,
+        fields: dict[str, float] | None = None,
     ) -> int:
         """Total number of live documents matching the query — Lucene
         IndexSearcher.count(Query): boolean matching only, no scores, no
         top-k heap.  Uses the score-free :meth:`_match_segment` per segment
         and sums (segments are doc-disjoint), so the cost is posting decode
-        with zero per-doc scoring work."""
+        with zero per-doc scoring work.  ``fields`` applies the dismax
+        multi-field rewrite (tie is score-only, irrelevant to matching)."""
         coll = sanitize_collection(collection)
+        if fields is not None:
+            self._check_fields(fields, 0.0)
         clauses = parse_query(query, default_field=self.cfg.text_column)
         if synonyms:
             clauses = list(apply_synonyms(tuple(clauses), synonyms))
+        if fields:
+            clauses = list(
+                apply_fields(tuple(clauses), fields, 0.0, self.cfg.text_column)
+            )
         segs = self._segments.get(coll, [])
         return sum(
             int(self._match_segment(si, seg, clauses, {}, {}).size)
@@ -1047,6 +1081,12 @@ class SearchEngine:
         if isinstance(c, GroupClause):
             # a group matches per its inner boolean semantics (recursion)
             return self._match_segment(si, seg, list(c.clauses), cache, rows)
+        if isinstance(c, DisMaxClause):
+            # DisMax matches when ANY leg matches (union)
+            m = np.zeros(r.n_docs, dtype=bool)
+            for leg in c.clauses:
+                m[self._clause_match_local(si, seg, leg, cache, rows)] = True
+            return np.flatnonzero(m)
         if isinstance(c, RangeClause):
             range_rows = r.term_range(c.field, c.lo, c.hi, c.lo_inc, c.hi_inc)
         else:
@@ -1554,6 +1594,30 @@ class SearchEngine:
                 scores += np.where(g_match, g_scores, 0.0)
                 if must_cnt is not None and c.occur == MUST:
                     must_cnt[g_match] += 1
+                continue
+            if isinstance(c, DisMaxClause):
+                # DisjunctionMaxQuery: per-doc max over the legs plus
+                # tie · (sum of the other matching legs); matches when any
+                # leg matches.  Legs evaluate one at a time through this
+                # same kernel (SHOULD semantics inside).
+                best = np.zeros(n, dtype=np.float64)
+                total = np.zeros(n, dtype=np.float64)
+                anym = np.zeros(n, dtype=bool)
+                for leg in c.clauses:
+                    l_scores, l_match = self._eval_boolean(
+                        si, seg, [leg], cache, rows, global_df,
+                        n_docs, avgdl,
+                    )
+                    l_scores = np.where(l_match, l_scores, 0.0)
+                    total += l_scores
+                    np.maximum(best, l_scores, out=best)
+                    anym |= l_match
+                d_scores = best + c.tie * (total - best)
+                if c.boost != 1.0:
+                    d_scores = d_scores * c.boost
+                scores += np.where(anym, d_scores, 0.0)
+                if must_cnt is not None and c.occur == MUST:
+                    must_cnt[anym] += 1
                 continue
             if isinstance(c, TermClause):
                 got = self._term_postings(si, seg, c, cache, rows)

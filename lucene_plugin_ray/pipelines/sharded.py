@@ -45,7 +45,12 @@ import ray.data
 
 from lucene_plugin_ray.config import IndexConfig
 from lucene_plugin_ray.functions.analysis import sanitize_collection
-from lucene_plugin_ray.functions.queryparse import parse_query, scored_term_keys
+from lucene_plugin_ray.functions.queryparse import (
+    apply_fields,
+    parse_query,
+    scored_term_keys,
+    validate_dismax_fields,
+)
 from lucene_plugin_ray.pipelines.query import SearchEngine
 from lucene_plugin_ray.state.manifest import load_manifest_chain
 
@@ -246,6 +251,8 @@ def sharded_search(
     num_shards: int | None = None,
     method: str = "taat",
     concurrency: int | None = None,
+    fields: dict[str, float] | None = None,
+    tie_breaker: float = 0.0,
     _fault_path: str | None = None,
 ) -> pa.Table:
     """Distributed batch search: ``queries`` (qid, query[, collection][, k])
@@ -254,8 +261,18 @@ def sharded_search(
     Results are identical to a whole-index ``SearchEngine.search`` for every
     query (tested across shard counts, deltas and tombstones).  At 100 TB,
     keep per-query ``k`` bounded (the driver merge holds ≤ S·Q·k rows — with
-    unbounded k it degrades to collecting every hit)."""
+    unbounded k it degrades to collecting every hit).
+
+    ``fields``/``tie_breaker`` apply the dismax multi-field rewrite to every
+    query in the batch (fleet-level config, like ``method``); the rewritten
+    clause tuples travel structured to the shards (the MoreLikeThis
+    pattern), and the phase-1 df gather covers every per-field leg — scores
+    stay corpus-global-exact."""
     cfg = cfg or IndexConfig(index_root=index_root)
+    if fields is not None:
+        validate_dismax_fields(
+            fields, tie_breaker, {cfg.text_column, *cfg.field_columns}
+        )
     chain = load_manifest_chain(index_root, generation)
     gen = chain[-1].generation
     P = chain[-1].num_partitions
@@ -271,16 +288,22 @@ def sharded_search(
     for q in queries.to_pylist():
         coll = q.get("collection") or "default"
         limit = q.get("k")
+        clauses = parse_query(q["query"], default_field=cfg.text_column)
+        if fields:
+            clauses = list(
+                apply_fields(tuple(clauses), fields, tie_breaker, cfg.text_column)
+            )
         qlist.append(
             {
                 "qid": int(q["qid"]),
                 "collection": coll,
-                "query": q["query"],
+                # dismax rewrites travel structured (search_partial accepts
+                # clause tuples) so shards never re-derive the field map
+                "query": tuple(clauses) if fields else q["query"],
                 "limit": int(limit) if limit is not None else cfg.result_limit,
             }
         )
         sc = sanitize_collection(coll)
-        clauses = parse_query(q["query"], default_field=cfg.text_column)
         terms_by_coll.setdefault(sc, set()).update(scored_term_keys(clauses))
     terms_sorted = {c: sorted(v) for c, v in terms_by_coll.items()}
 

@@ -481,3 +481,121 @@ def test_group_rank_identity(fields_built):
         for s, (_, es) in zip(got["score"].to_pylist(), exp):
             assert abs(s - es) < 1e-6, q
         assert engine.count(q) == len(oracle.search(q, limit=10**9)), q
+
+
+def test_dismax_rank_identity(fields_built):
+    """DisjunctionMaxQuery (Solr dismax): every default-field TERM clause
+    expands across the field→weight map; per doc the max weighted leg plus
+    tie·(sum − max).  Engine vs brute-force oracle across occur kinds,
+    weights and ties; explicitly field-scoped clauses stay untouched."""
+    corpus, cfg, engine, oracle = fields_built
+    cases = [
+        ("lamb", {"text": 1.0, "foo": 1.0}, 0.0),
+        ("lamb", {"text": 1.0, "foo": 2.0}, 0.5),
+        ("w00000 lamb", {"text": 1.0, "foo": 3.0}, 0.1),
+        ("+w00000 +lamb", {"text": 1.0, "foo": 1.0}, 1.0),
+        ("pagehit -lamb", {"text": 1.0, "foo": 1.0}, 0.0),   # prohibited dismax
+        ("(w00000 lamb) w00005", {"text": 1.0, "foo": 2.0}, 0.3),  # in groups
+        ("foo:lamb w00000", {"text": 1.0, "foo": 2.0}, 0.3),  # scoped stays
+        ("w00000^2 lamb", {"text": 1.0, "foo": 2.0}, 0.3),    # boost on dismax
+    ]
+    for q, f, tie in cases:
+        got = engine.search(q, limit=255, fields=f, tie_breaker=tie)
+        exp = oracle.search(q, limit=255, fields=f, tie_breaker=tie)
+        assert got["url"].to_pylist() == [u for u, _ in exp], (q, f, tie)
+        for s, (_, es) in zip(got["score"].to_pylist(), exp):
+            assert abs(s - es) < 1e-6, (q, f, tie)
+        assert engine.count(q, fields=f) == len(
+            oracle.search(q, limit=10**9, fields=f)
+        ), (q, f)
+    # single-field weight-1 dismax == the plain query (max of one leg)
+    a = engine.search("w00000 w00005", limit=255)
+    b = engine.search(
+        "w00000 w00005", limit=255, fields={"text": 1.0}, tie_breaker=0.7
+    )
+    assert a.equals(b)
+    # cache keys must not collide across fields variants (no same-term
+    # field overlap in this corpus, so tie distinctness is asserted in
+    # test_dismax_tie_math_with_overlapping_fields instead)
+    c = engine.search("lamb", limit=10, fields={"text": 1.0, "foo": 2.0})
+    d = engine.search("lamb", limit=10)
+    assert not c.equals(d)
+
+
+def test_dismax_tie_math_with_overlapping_fields(ray_session, tmp_path):
+    """A term living in BOTH fields exercises the max + tie·rest arithmetic:
+    verified against legs computed via separate single-field searches."""
+    import datetime as dt
+
+    from lucene_plugin_ray.pipelines.build import build_index
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+
+    ts = dt.datetime(2026, 1, 1)
+    pages = pa.table(
+        {
+            "url": [f"doc://{i}" for i in range(4)],
+            "warc_ts": pa.array([ts] * 4, pa.timestamp("us")),
+            "text": [
+                "alpha beta gamma",
+                "beta beta alpha",
+                "gamma delta",
+                "alpha alpha alpha",
+            ],
+            "lang": ["alpha", "en", "alpha", "en"],
+            "source": ["s0", "s1", "s0", "s1"],
+        }
+    )
+    root = str(tmp_path / "dmx")
+    cfg = IndexConfig(
+        index_root=root, num_partitions=2, field_columns=("lang", "source")
+    )
+    build_index(pages, cfg)
+    eng = SearchEngine(root, cfg=cfg)
+    t_leg = {
+        r["url"]: r["score"] for r in eng.search("alpha", limit=100).to_pylist()
+    }
+    l_leg = {
+        r["url"]: r["score"]
+        for r in eng.search("lang:alpha", limit=100).to_pylist()
+    }
+    assert set(t_leg) & set(l_leg)  # overlap exists: doc://0
+    for tie in (0.0, 0.5, 1.0):
+        got = {
+            r["url"]: r["score"]
+            for r in eng.search(
+                "alpha",
+                fields={"text": 1.0, "lang": 2.0},
+                tie_breaker=tie,
+                limit=100,
+            ).to_pylist()
+        }
+        exp = {}
+        for u in set(t_leg) | set(l_leg):
+            a, b = t_leg.get(u, 0.0), 2.0 * l_leg.get(u, 0.0)
+            exp[u] = max(a, b) + tie * (a + b - max(a, b))
+        assert set(got) == set(exp)
+        for u in exp:
+            assert abs(got[u] - exp[u]) < 1e-12, (tie, u)
+    # tie distinctness (cache keys must not collide): doc://0 carries both
+    # legs, so different ties give different scores
+    s0 = eng.search(
+        "alpha", fields={"text": 1.0, "lang": 2.0}, tie_breaker=0.0, limit=100
+    )
+    s1 = eng.search(
+        "alpha", fields={"text": 1.0, "lang": 2.0}, tie_breaker=1.0, limit=100
+    )
+    assert not s0.equals(s1)
+
+
+def test_dismax_validation(fields_built):
+    corpus, cfg, engine, oracle = fields_built
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown dismax field"):
+        engine.search("lamb", fields={"nope": 1.0})
+    with _pytest.raises(ValueError, match="must be > 0"):
+        engine.search("lamb", fields={"text": 0.0})
+    with _pytest.raises(ValueError, match="tie_breaker"):
+        engine.search("lamb", fields={"text": 1.0}, tie_breaker=1.5)
+    with _pytest.raises(ValueError, match="non-empty"):
+        engine.search("lamb", fields={})

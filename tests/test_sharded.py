@@ -283,3 +283,47 @@ def test_sharded_snippets_match_local(built):
             svc.snippets("pagehit", texts, window=0)
     finally:
         svc.shutdown()
+
+
+def test_sharded_dismax_matches_full_engine(ray_session, tmp_path):
+    """fields/tie_breaker on the sharded path: the dismax rewrite travels
+    structured to the shards, the phase-1 df gather covers every per-field
+    leg, and results equal the whole-index engine's dismax exactly."""
+    from lucene_plugin_ray.pipelines.build import build_index
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+    from lucene_plugin_ray.pipelines.sharded import sharded_search
+
+    corpus = make_pages(200, seed=77, with_fields=True)
+    root = str(tmp_path / "dmx_shard")
+    cfg = IndexConfig(
+        index_root=root, num_partitions=6, field_columns=("foo", "age")
+    )
+    build_index(corpus, cfg)
+    engine = SearchEngine(root, cfg=cfg)
+    fields = {"text": 1.0, "foo": 2.0}
+    cases = [(0, "lamb", 20), (1, "w00000 lamb", 15), (2, "+w00000 +lamb", 25)]
+    q = pa.table(
+        {
+            "qid": pa.array([c[0] for c in cases], type=pa.int64()),
+            "collection": ["default"] * len(cases),
+            "query": [c[1] for c in cases],
+            "k": pa.array([c[2] for c in cases], type=pa.int32()),
+        }
+    )
+    out = sharded_search(
+        root, q, cfg=cfg, num_shards=3, concurrency=2,
+        fields=fields, tie_breaker=0.4,
+    )
+    by_qid: dict[int, list] = {}
+    for r in out.to_pylist():
+        by_qid.setdefault(r["qid"], []).append((r["rank"], r["url"], r["score"]))
+    for qid, query, k in cases:
+        exp = engine.search(query, limit=k, fields=fields, tie_breaker=0.4)
+        got = sorted(by_qid.get(qid, []))
+        assert [u for _, u, _ in got] == exp["url"].to_pylist(), query
+        np.testing.assert_allclose(
+            [s for _, _, s in got], exp["score"].to_numpy(), atol=1e-9
+        )
+    # invalid fields rejected before any cluster work
+    with pytest.raises(ValueError, match="unknown dismax field"):
+        sharded_search(root, q, cfg=cfg, fields={"nope": 1.0})
