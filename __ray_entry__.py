@@ -45,14 +45,24 @@ def _toks_cte(col: str = "text") -> str:
     )
 
 
-def _bm25_sql(terms: list[str], col: str = "text", conjunctive: bool = False) -> str:
+def _bm25_sql(
+    terms: list[str],
+    col: str = "text",
+    conjunctive: bool = False,
+    min_match: int | None = None,
+) -> str:
     """Full-corpus BM25 (k1=1.2, b=0.75, ln(1+(N-df+.5)/(df+.5))) over the
     documents table for the analyzed query ``terms`` — all matching docs
-    (no top-k boundary → no tie-ordering sensitivity), scores rounded to 4."""
+    (no top-k boundary → no tie-ordering sensitivity), scores rounded to 4.
+    ``min_match``: minimum distinct matching terms (the SQL mirror of
+    BooleanQuery.setMinimumNumberShouldMatch on a pure-SHOULD term query)."""
     values = ", ".join(f"('{t}')" for t in terms)
-    must = (
-        f"HAVING count(DISTINCT tf.term) = {len(set(terms))}" if conjunctive else ""
-    )
+    if conjunctive:
+        must = f"HAVING count(DISTINCT tf.term) = {len(set(terms))}"
+    elif min_match is not None:
+        must = f"HAVING count(DISTINCT tf.term) >= {min_match}"
+    else:
+        must = """"""
     return f"""
 {_toks_cte(col)},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
@@ -505,6 +515,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def doc_stats(sf_dir: str) -> pa.Table:
         return training.token_count(sf_dir)
 
+    def search_mm(sf_dir: str) -> pa.Table:
+        """minimum_should_match (BooleanQuery.setMinimumNumberShouldMatch):
+        'spark window merge' requiring ≥ 2 of the 3 SHOULD terms — scores
+        stay the plain BM25 sums over matching terms."""
+        from lucene_plugin_ray.sources.pages import url_to_doc_id
+
+        engine, cfg = _engine_for(sf_dir)
+        res = engine.search(_OR_Q, min_should_match=2, limit=1_000_000_000)
+        return pa.table(
+            {
+                "doc_id": url_to_doc_id(res["url"].combine_chunks()),
+                "score": pc.round(res["score"].combine_chunks(), ndigits=4),
+            }
+        ).sort_by("doc_id")
+
     def search_dismax(sf_dir: str) -> pa.Table:
         """Multi-field DisjunctionMaxQuery (Solr dismax): 'spark de' over
         fields text (w=1.0) and lang (w=2.0), tie_breaker 0.3 — per term
@@ -555,6 +580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_boost": search_boost,
         "search_synonyms": search_synonyms,
         "search_dismax": search_dismax,
+        "search_mm": search_mm,
         "search_facets": search_facets,
         "search_count": search_count,
         "search_sorted": search_sorted,
@@ -647,6 +673,7 @@ def oracle_sql() -> dict[str, str]:
     sql["search_term"] = _bm25_sql(term_terms)
     sql["search_or"] = _bm25_sql(or_terms)
     sql["search_and"] = _bm25_sql(and_terms, conjunctive=True)
+    sql["search_mm"] = _bm25_sql(or_terms, min_match=2)
 
     def _with_qid(qid: int, inner: str) -> str:
         return f"SELECT CAST({qid} AS BIGINT) AS qid, doc_id, score FROM ({inner})"

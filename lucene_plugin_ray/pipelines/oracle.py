@@ -187,7 +187,8 @@ class OracleIndex:
                limit: int | None = None,
                synonyms: dict[str, list[str]] | None = None,
                fields: dict[str, float] | None = None,
-               tie_breaker: float = 0.0):
+               tie_breaker: float = 0.0,
+               min_should_match: int = 0):
         """Return [(url, score), ...] — top-k, (score desc, docid asc)."""
         from lucene_plugin_ray.functions.queryparse import (
             apply_fields,
@@ -209,7 +210,9 @@ class OracleIndex:
         n = self.n_docs.get(coll, 0)
         if n == 0:
             return []
-        scores, matched = self._eval_clauses(tuple(clauses), coll, n)
+        scores, matched = self._eval_clauses(
+            tuple(clauses), coll, n, min_should=min_should_match
+        )
         ranked = sorted(
             ((d, scores.get(d, 0.0)) for d in matched),
             key=lambda x: (-x[1], self.url_of[x[0]]),
@@ -217,7 +220,7 @@ class OracleIndex:
         return [(self.url_of[d], s) for d, s in ranked[:limit]]
 
     def _eval_clauses(
-        self, clauses: tuple, coll: str, n: int
+        self, clauses: tuple, coll: str, n: int, min_should: int = 0
     ) -> tuple[dict, set]:
         """(scores by doc, matched doc set) for one boolean level — the
         recursive twin of the engine's _eval_boolean (GroupClause nests)."""
@@ -297,6 +300,14 @@ class OracleIndex:
             candidates = set()
             for c in shoulds:
                 candidates |= clause_docs(c)
+        if min_should > 0:
+            from collections import Counter
+
+            sc = Counter()
+            for c in shoulds:
+                for d in clause_docs(c):
+                    sc[d] += 1
+            candidates = {d for d in candidates if sc.get(d, 0) >= min_should}
         for c in nots:
             candidates -= clause_docs(c)
         if not candidates:

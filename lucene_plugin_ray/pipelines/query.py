@@ -447,6 +447,7 @@ class SearchEngine:
         synonyms: dict[str, list[str]] | None = None,
         fields: dict[str, float] | None = None,
         tie_breaker: float = 0.0,
+        min_should_match: int = 0,
     ) -> pa.Table:
         """Top-k search → Arrow table (url, score, docid), ordered
         (score desc, url asc).  ``limit`` defaults to the reference's
@@ -461,11 +462,16 @@ class SearchEngine:
         DisjunctionMaxQuery over the given fields (Solr dismax):
         per-doc score = max(weighted leg scores) + ``tie_breaker`` ·
         (sum of the other legs); synonyms apply first, so a synonym group
-        stays single-field."""
+        stays single-field.  ``min_should_match`` is
+        BooleanQuery.setMinimumNumberShouldMatch: docs must match at least
+        that many SHOULD clauses on top of every MUST (more required
+        matches than SHOULD clauses ⇒ zero hits, Lucene parity)."""
         limit = limit if limit is not None else self.cfg.result_limit
         coll = sanitize_collection(collection)
         if fields is not None:
             self._check_fields(fields, tie_breaker)
+        if min_should_match < 0:
+            raise ValueError("min_should_match must be >= 0")
         syn_key = (
             tuple(sorted((k, tuple(v)) for k, v in synonyms.items()))
             if synonyms
@@ -474,7 +480,7 @@ class SearchEngine:
         f_key = (
             (tuple(sorted(fields.items())), tie_breaker) if fields else None
         )
-        cache_key = (coll, query, limit, method, syn_key, f_key)
+        cache_key = (coll, query, limit, method, syn_key, f_key, min_should_match)
         hit = self._results_cache.get(cache_key)
         if hit is not None:
             self._results_cache.move_to_end(cache_key)
@@ -489,7 +495,9 @@ class SearchEngine:
                     tuple(clauses), fields, tie_breaker, self.cfg.text_column
                 )
             )
-        table = self._execute(clauses, coll, limit, method)
+        table = self._execute(
+            clauses, coll, limit, method, min_should=min_should_match
+        )
 
         self._results_cache[cache_key] = table
         if len(self._results_cache) > self.cfg.results_cache_size:
@@ -555,6 +563,7 @@ class SearchEngine:
         collection: str = "default",
         synonyms: dict[str, list[str]] | None = None,
         fields: dict[str, float] | None = None,
+        min_should_match: int = 0,
     ) -> int:
         """Total number of live documents matching the query — Lucene
         IndexSearcher.count(Query): boolean matching only, no scores, no
@@ -565,6 +574,8 @@ class SearchEngine:
         coll = sanitize_collection(collection)
         if fields is not None:
             self._check_fields(fields, 0.0)
+        if min_should_match < 0:
+            raise ValueError("min_should_match must be >= 0")
         clauses = parse_query(query, default_field=self.cfg.text_column)
         if synonyms:
             clauses = list(apply_synonyms(tuple(clauses), synonyms))
@@ -574,7 +585,11 @@ class SearchEngine:
             )
         segs = self._segments.get(coll, [])
         return sum(
-            int(self._match_segment(si, seg, clauses, {}, {}).size)
+            int(
+                self._match_segment(
+                    si, seg, clauses, {}, {}, min_should=min_should_match
+                ).size
+            )
             for si, seg in enumerate(segs)
         )
 
@@ -1103,15 +1118,17 @@ class SearchEngine:
 
     def _match_segment(
         self, si: int, seg: _LiveSegment, clauses: list[Clause],
-        cache: dict, rows: dict,
+        cache: dict, rows: dict, min_should: int = 0,
     ) -> np.ndarray:
         """Sorted local docids matching the boolean semantics of the scoring
         path (all MUST clauses; else at least one SHOULD; never a MUST_NOT
         match) — the score-free twin of :meth:`_score_segment_taat`, used by
-        faceting/count where EVERY matching doc is needed, not a top-k."""
+        faceting/count where EVERY matching doc is needed, not a top-k.
+        ``min_should`` mirrors BooleanQuery.setMinimumNumberShouldMatch."""
         n = seg.reader.n_docs
         musts = [c for c in clauses if c.occur == MUST]
         must_cnt = np.zeros(n, dtype=np.int16) if musts else None
+        should_cnt = np.zeros(n, dtype=np.int16) if min_should > 0 else None
         any_hit = np.zeros(n, dtype=bool)
         prohibited: np.ndarray | None = None
         for c in clauses:
@@ -1125,10 +1142,15 @@ class SearchEngine:
             any_hit[local] = True
             if must_cnt is not None and c.occur == MUST:
                 must_cnt[local] += 1
+            if should_cnt is not None and c.occur == SHOULD:
+                should_cnt[local] += 1
         if must_cnt is not None:
-            cand = np.flatnonzero(must_cnt == len(musts))
+            cand_mask = must_cnt == len(musts)
         else:
-            cand = np.flatnonzero(any_hit)
+            cand_mask = any_hit
+        if should_cnt is not None:
+            cand_mask = cand_mask & (should_cnt >= min_should)
+        cand = np.flatnonzero(cand_mask)
         if prohibited is not None and cand.size:
             cand = cand[~prohibited[cand]]
         return cand
@@ -1180,6 +1202,7 @@ class SearchEngine:
         method: str = "taat",
         global_stats: dict[str, dict] | None = None,
         global_df: dict[tuple[str, str], int] | None = None,
+        min_should_match: int = 0,
     ) -> pa.Table:
         """Shard-local top-k with INJECTED global statistics: scores are
         exact corpus-global BM25 even though only this shard's partitions are
@@ -1210,6 +1233,7 @@ class SearchEngine:
         return self._execute(
             clauses, coll, limit, method,
             stats_override=stats_override, df_override=global_df,
+            min_should=min_should_match,
         )
 
     # ------------------------------------------------------------------
@@ -1221,6 +1245,7 @@ class SearchEngine:
         method: str,
         stats_override: tuple[int, dict[str, float]] | None = None,
         df_override: dict[tuple[str, str], int] | None = None,
+        min_should: int = 0,
     ) -> pa.Table:
         """``stats_override``/``df_override``: inject GLOBAL (n_docs, avgdl)
         and per-(field, term) df computed across ALL partitions — used by the
@@ -1278,7 +1303,10 @@ class SearchEngine:
         # block-max strategies handle pure-SHOULD term queries only;
         # anything with MUST or MUST_NOT falls back to TAAT (which owns the
         # boolean bookkeeping)
-        unboosted = all(getattr(c, "boost", 1.0) == 1.0 for c in clauses)
+        unboosted = (
+            all(getattr(c, "boost", 1.0) == 1.0 for c in clauses)
+            and min_should == 0
+        )
         use_bmw = (
             method == "bmw"
             and unboosted
@@ -1313,7 +1341,8 @@ class SearchEngine:
                 )
             else:
                 t = self._score_segment_taat(
-                    si, seg, clauses, cache, rows, global_df, n_docs, avgdl, limit
+                    si, seg, clauses, cache, rows, global_df, n_docs, avgdl,
+                    limit, min_should=min_should,
                 )
             if t.num_rows:
                 parts.append(t)
@@ -1522,10 +1551,12 @@ class SearchEngine:
         n_docs: int,
         avgdl: dict[str, float],
         limit: int,
+        min_should: int = 0,
     ) -> pa.Table:
         r = seg.reader
         scores, matched = self._eval_boolean(
-            si, seg, clauses, cache, rows, global_df, n_docs, avgdl
+            si, seg, clauses, cache, rows, global_df, n_docs, avgdl,
+            min_should=min_should,
         )
         cand = np.flatnonzero(matched)
         if cand.size == 0:
@@ -1561,17 +1592,27 @@ class SearchEngine:
         global_df: dict,
         n_docs: int,
         avgdl: dict[str, float],
+        min_should: int = 0,
     ) -> tuple[np.ndarray, np.ndarray]:
         """One boolean level → (dense scores float64[n], matched bool[n])
         under Lucene BooleanQuery semantics — the recursive heart of the
         TAAT path; :class:`GroupClause` nests by calling back in (a matching
         group contributes its inner sum × boost, a non-matching group
-        contributes nothing)."""
+        contributes nothing).  ``min_should`` is
+        BooleanQuery.setMinimumNumberShouldMatch: a doc must additionally
+        match at least that many SHOULD clauses (fewer SHOULD clauses than
+        ``min_should`` ⇒ the level matches nothing, Lucene parity)."""
         r = seg.reader
         n = r.n_docs
         scores = np.zeros(n, dtype=np.float64)
         musts = [c for c in clauses if c.occur == MUST]
         must_cnt = np.zeros(n, dtype=np.int16) if musts else None
+        should_cnt = np.zeros(n, dtype=np.int16) if min_should > 0 else None
+
+        def _note_should(mask_or_idx, c):
+            # count a matching SHOULD clause (boolean array or index array)
+            if should_cnt is not None and c.occur == SHOULD:
+                should_cnt[mask_or_idx] += 1
         prohibited: np.ndarray | None = None
 
         for c in clauses:
@@ -1594,6 +1635,7 @@ class SearchEngine:
                 scores += np.where(g_match, g_scores, 0.0)
                 if must_cnt is not None and c.occur == MUST:
                     must_cnt[g_match] += 1
+                _note_should(g_match, c)
                 continue
             if isinstance(c, DisMaxClause):
                 # DisjunctionMaxQuery: per-doc max over the legs plus
@@ -1618,6 +1660,7 @@ class SearchEngine:
                 scores += np.where(anym, d_scores, 0.0)
                 if must_cnt is not None and c.occur == MUST:
                     must_cnt[anym] += 1
+                _note_should(anym, c)
                 continue
             if isinstance(c, TermClause):
                 got = self._term_postings(si, seg, c, cache, rows)
@@ -1639,6 +1682,7 @@ class SearchEngine:
                 scores[local] += s
                 if must_cnt is not None and c.occur == MUST:
                     must_cnt[local] += 1
+                _note_should(local, c)
             elif isinstance(c, SynonymClause):
                 # Lucene SynonymQuery: the group scores as ONE pseudo-term —
                 # per-doc tf = Σ member tfs, idf from the MAX member df
@@ -1674,6 +1718,7 @@ class SearchEngine:
                 scores[docs] += s
                 if must_cnt is not None and c.occur == MUST:
                     must_cnt[docs] += 1
+                _note_should(docs, c)
             elif isinstance(c, PhraseClause):
                 # Q8: BM25 over the phrase frequency, idf = sum of the
                 # constituent terms' idfs (Lucene PhraseQuery under
@@ -1703,6 +1748,7 @@ class SearchEngine:
                 scores[u_docs] += s
                 if must_cnt is not None and c.occur == MUST:
                     must_cnt[u_docs] += 1
+                _note_should(u_docs, c)
             else:
                 # constant-score expansion clauses: Q3 range over the sorted
                 # dictionary, Q9/Q10 prefix/wildcard/fuzzy expansion
@@ -1725,11 +1771,14 @@ class SearchEngine:
                 scores[matched] += c.boost
                 if must_cnt is not None and c.occur == MUST:
                     must_cnt[matched] += 1
+                _note_should(matched, c)
 
         if must_cnt is not None:
             matched = must_cnt == len(musts)
         else:
             matched = scores > 0.0
+        if should_cnt is not None:
+            matched = matched & (should_cnt >= min_should)
         if prohibited is not None:
             matched &= ~prohibited
         return scores, matched

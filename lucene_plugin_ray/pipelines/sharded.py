@@ -192,6 +192,7 @@ def _shard_score_batch(
                 q["query"], collection=coll, limit=q["limit"],
                 method=method, global_stats=global_stats,
                 global_df=global_df_by_coll.get(sanitize_collection(coll), {}),
+                min_should_match=q.get("min_should_match", 0),
             )
             n = res.num_rows
             if not n:
@@ -253,6 +254,7 @@ def sharded_search(
     concurrency: int | None = None,
     fields: dict[str, float] | None = None,
     tie_breaker: float = 0.0,
+    min_should_match: int = 0,
     _fault_path: str | None = None,
 ) -> pa.Table:
     """Distributed batch search: ``queries`` (qid, query[, collection][, k])
@@ -267,8 +269,11 @@ def sharded_search(
     query in the batch (fleet-level config, like ``method``); the rewritten
     clause tuples travel structured to the shards (the MoreLikeThis
     pattern), and the phase-1 df gather covers every per-field leg — scores
-    stay corpus-global-exact."""
+    stay corpus-global-exact.  ``min_should_match`` applies
+    BooleanQuery.setMinimumNumberShouldMatch to every query in the batch."""
     cfg = cfg or IndexConfig(index_root=index_root)
+    if min_should_match < 0:
+        raise ValueError("min_should_match must be >= 0")
     if fields is not None:
         validate_dismax_fields(
             fields, tie_breaker, {cfg.text_column, *cfg.field_columns}
@@ -301,6 +306,7 @@ def sharded_search(
                 # clause tuples) so shards never re-derive the field map
                 "query": tuple(clauses) if fields else q["query"],
                 "limit": int(limit) if limit is not None else cfg.result_limit,
+                "min_should_match": min_should_match,
             }
         )
         sc = sanitize_collection(coll)

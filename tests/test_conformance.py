@@ -599,3 +599,48 @@ def test_dismax_validation(fields_built):
         engine.search("lamb", fields={"text": 1.0}, tie_breaker=1.5)
     with _pytest.raises(ValueError, match="non-empty"):
         engine.search("lamb", fields={})
+
+
+def test_min_should_match_rank_identity(fields_built):
+    """BooleanQuery.setMinimumNumberShouldMatch: a doc must match ≥ mm
+    SHOULD clauses on top of every MUST; scores stay the full matching-sum.
+    Engine vs brute-force oracle, incl. mm > |SHOULD| (zero hits, Lucene
+    parity), mm with MUSTs, mm over groups/phrases, and count parity."""
+    corpus, cfg, engine, oracle = fields_built
+    cases = [
+        ("w00000 w00001 w00002", 2),
+        ("w00000 w00001 w00002", 3),
+        ("pagehit w00000 w00001 w00002", 1),   # mm=1 ≡ plain OR
+        ("+pagehit w00000 w00001", 1),         # MUST + mm over shoulds
+        ("w00000 w00001 -w00002", 2),          # mm with a prohibited clause
+        ('w00000 "w00001 w00002" foo:lamb', 2),  # mixed clause kinds
+        ("w00000 w00001", 3),                  # mm > |SHOULD| → zero hits
+    ]
+    for q, mm in cases:
+        got = engine.search(q, limit=255, min_should_match=mm)
+        exp = oracle.search(q, limit=255, min_should_match=mm)
+        assert got["url"].to_pylist() == [u for u, _ in exp], (q, mm)
+        for s, (_, es) in zip(got["score"].to_pylist(), exp):
+            assert abs(s - es) < 1e-6, (q, mm)
+        assert engine.count(q, min_should_match=mm) == len(
+            oracle.search(q, limit=10**9, min_should_match=mm)
+        ), (q, mm)
+    # mm=1 on a pure-OR equals the plain query; mm tightens monotonically
+    a = engine.search("w00000 w00001 w00002", limit=255)
+    b = engine.search("w00000 w00001 w00002", limit=255, min_should_match=1)
+    assert a.equals(b)
+    n1 = engine.count("w00000 w00001 w00002", min_should_match=1)
+    n2 = engine.count("w00000 w00001 w00002", min_should_match=2)
+    n3 = engine.count("w00000 w00001 w00002", min_should_match=3)
+    assert n1 >= n2 >= n3
+    # scores of surviving docs are unchanged by the filter
+    surv = set(engine.search("w00000 w00001 w00002", limit=255,
+                             min_should_match=2)["url"].to_pylist())
+    full = {r["url"]: r["score"]
+            for r in engine.search("w00000 w00001 w00002", limit=10**9).to_pylist()}
+    for r in engine.search("w00000 w00001 w00002", limit=255,
+                           min_should_match=2).to_pylist():
+        assert abs(full[r["url"]] - r["score"]) < 1e-12
+    assert surv <= set(full)
+    with pytest.raises(ValueError):
+        engine.search("w00000", min_should_match=-1)

@@ -327,3 +327,32 @@ def test_sharded_dismax_matches_full_engine(ray_session, tmp_path):
     # invalid fields rejected before any cluster work
     with pytest.raises(ValueError, match="unknown dismax field"):
         sharded_search(root, q, cfg=cfg, fields={"nope": 1.0})
+
+
+def test_sharded_min_should_match_matches_full_engine(built):
+    from lucene_plugin_ray.pipelines.sharded import sharded_search
+
+    root, cfg, engine = built
+    q = pa.table(
+        {
+            "qid": pa.array([0, 1], type=pa.int64()),
+            "collection": ["default", "default"],
+            "query": ["pagehit w00001 w00002", "w00000 w00001 w00002"],
+            "k": pa.array([50, 50], type=pa.int32()),
+        }
+    )
+    out = sharded_search(
+        root, q, cfg=cfg, num_shards=3, concurrency=2, min_should_match=2
+    )
+    by_qid: dict[int, list] = {}
+    for r in out.to_pylist():
+        by_qid.setdefault(r["qid"], []).append((r["rank"], r["url"], r["score"]))
+    for qid, query in [(0, "pagehit w00001 w00002"), (1, "w00000 w00001 w00002")]:
+        exp = engine.search(query, limit=50, min_should_match=2)
+        got = sorted(by_qid.get(qid, []))
+        assert [u for _, u, _ in got] == exp["url"].to_pylist(), query
+        np.testing.assert_allclose(
+            [s for _, _, s in got], exp["score"].to_numpy(), atol=1e-9
+        )
+    with pytest.raises(ValueError):
+        sharded_search(root, q, cfg=cfg, min_should_match=-2)
