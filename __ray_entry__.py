@@ -515,6 +515,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def doc_stats(sf_dir: str) -> pa.Table:
         return training.token_count(sf_dir)
 
+    def autocomplete(sf_dir: str) -> pa.Table:
+        """Prefix autocompletion over the live text vocabulary: terms
+        starting with 's', ranked (df desc, term asc), top 10."""
+        engine, cfg = _engine_for(sf_dir)
+        return engine.complete("s", k=10)
+
     def search_mm(sf_dir: str) -> pa.Table:
         """minimum_should_match (BooleanQuery.setMinimumNumberShouldMatch):
         'spark window merge' requiring ≥ 2 of the 3 SHOULD terms — scores
@@ -581,6 +587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_synonyms": search_synonyms,
         "search_dismax": search_dismax,
         "search_mm": search_mm,
+        "autocomplete": autocomplete,
         "search_facets": search_facets,
         "search_count": search_count,
         "search_sorted": search_sorted,
@@ -674,6 +681,15 @@ def oracle_sql() -> dict[str, str]:
     sql["search_or"] = _bm25_sql(or_terms)
     sql["search_and"] = _bm25_sql(and_terms, conjunctive=True)
     sql["search_mm"] = _bm25_sql(or_terms, min_match=2)
+    # prefix autocompletion: live-vocab terms LIKE 's%', df = distinct docs,
+    # rank (df desc, term asc) top 10
+    sql["autocomplete"] = f"""
+{_toks_cte()},
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term LIKE 's%' GROUP BY term)
+SELECT term, CAST(df AS BIGINT) AS df FROM df
+ORDER BY df DESC, term ASC LIMIT 10
+"""
 
     def _with_qid(qid: int, inner: str) -> str:
         return f"SELECT CAST({qid} AS BIGINT) AS qid, doc_id, score FROM ({inner})"

@@ -10,6 +10,7 @@
     python -m lucene_plugin_ray count   --index /tmp/idx --query "mary lamb"
     python -m lucene_plugin_ray facets  --index /tmp/idx --query "mary" --field lang
     python -m lucene_plugin_ray suggest --index /tmp/idx --term mray [--k 5]
+    python -m lucene_plugin_ray complete --index /tmp/idx --prefix ma [--k 5]
     python -m lucene_plugin_ray hybrid  --index /tmp/idx --query "mary lamb" --embeddings dir/ [--qvec-id 0] [--k 10] [--k-leg 20]
 
 On a cluster: `ray job submit -- python -m lucene_plugin_ray build ...`
@@ -71,7 +72,7 @@ def main(argv: list[str] | None = None) -> int:
         if name == "delete":
             s.add_argument("--collection", default="default")
             s.add_argument("--urls", required=True, help="comma-separated urls")
-    for name in ("count", "facets", "suggest"):
+    for name in ("count", "facets", "suggest", "complete"):
         s = sub.add_parser(name)
         s.add_argument("--index", required=True)
         s.add_argument("--collection", default="default")
@@ -79,6 +80,9 @@ def main(argv: list[str] | None = None) -> int:
         s.add_argument("--fields", default="")
         if name == "suggest":
             s.add_argument("--term", required=True)
+            s.add_argument("--k", type=int, default=5)
+        elif name == "complete":
+            s.add_argument("--prefix", required=True)
             s.add_argument("--k", type=int, default=5)
         else:
             s.add_argument("--query", required=True)
@@ -164,6 +168,13 @@ def main(argv: list[str] | None = None) -> int:
 
         eng = SearchEngine(args.index, cfg=cfg)
         t = eng.suggest(args.term, collection=args.collection, k=args.k)
+        for row in t.to_pylist():
+            print(json.dumps(row))
+    elif args.cmd == "complete":
+        from lucene_plugin_ray.pipelines.query import SearchEngine
+
+        eng = SearchEngine(args.index, cfg=cfg)
+        t = eng.complete(args.prefix, collection=args.collection, k=args.k)
         for row in t.to_pylist():
             print(json.dumps(row))
     elif args.cmd == "hybrid":

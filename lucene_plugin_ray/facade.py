@@ -340,6 +340,22 @@ class LuceneFacade:
             raise LuceneException(str(e)) from e
         return t.to_pylist()
 
+    def complete(self, collection: str, prefix: str, k: int = 5) -> list[dict]:
+        """Prefix autocompletion (Lucene suggest-module analogue) →
+        [{term, df}], ranked (df desc, term asc); see
+        SearchEngine.complete.  An empty prefix is a client error (it would
+        rank the entire vocabulary)."""
+        _require(_valid_str(collection), "collection must be a non-empty string")
+        _require(_valid_str(prefix), "prefix must be a non-empty string")
+        eng = self._lease_engine()
+        if eng is None:
+            return []
+        try:
+            t = eng.complete(prefix, collection=collection, k=k)
+        except ValueError as e:
+            raise LuceneException(str(e)) from e
+        return t.to_pylist()
+
     def explain(self, collection: str, query: str, ext_id: str) -> dict:
         """Per-clause score breakdown for one (query, doc) —
         IndexSearcher.explain analogue; see SearchEngine.explain."""
@@ -573,6 +589,13 @@ class AsyncLuceneFacade:
         return await asyncio.to_thread(
             self._sync.suggest, collection, term, k, max_edits
         )
+
+    async def complete(
+        self, collection: str, prefix: str, k: int = 5
+    ) -> list[dict]:
+        import asyncio
+
+        return await asyncio.to_thread(self._sync.complete, collection, prefix, k)
 
     async def delete(self, collection: str, ext_id: str) -> bool:
         import asyncio

@@ -793,6 +793,51 @@ class SearchEngine:
             }
         )
 
+    def complete(
+        self,
+        prefix: str,
+        collection: str = "default",
+        field: str | None = None,
+        k: int = 5,
+    ) -> pa.Table:
+        """Prefix autocompletion — the Lucene suggest-module analogue
+        (AnalyzingSuggester with df as weight): live-vocabulary terms
+        starting with ``prefix`` (lowercased, analyzer parity), ranked
+        (df desc, term asc), top ``k``.  df is alive-masked and summed
+        across segments exactly like the search path, so completions track
+        deletes/upserts.  Expansion reuses the prefix-query dictionary scan
+        (sorted-vocab range, per-segment vocabulary-bound).  Returns
+        (term, df)."""
+        if k <= 0:
+            raise ValueError("k must be positive")
+        probe = prefix.lower().strip()
+        if not probe:
+            # an empty prefix would rank the ENTIRE vocabulary — reject
+            # loudly rather than return a junk full-vocab scan
+            raise ValueError("prefix must be non-empty")
+        coll = sanitize_collection(collection)
+        field = field or self.cfg.text_column
+        segs = self._segments.get(coll, [])
+        dfs: dict[str, int] = {}
+        for si, seg in enumerate(segs):
+            r = seg.reader
+            c = MultiTermClause(SHOULD, field, "prefix", probe)
+            for row in self._expand_rows(seg, c):
+                t = str(r._terms[int(row)])
+                if seg.all_alive:
+                    df = r.df(int(row))
+                else:
+                    df = len(self._decoded(si, seg, field, t, int(row))[0])
+                if df:
+                    dfs[t] = dfs.get(t, 0) + df
+        items = sorted(dfs.items(), key=lambda x: (-x[1], x[0]))[:k]
+        return pa.table(
+            {
+                "term": pa.array([t for t, _ in items], pa.string()),
+                "df": pa.array([f for _, f in items], pa.int64()),
+            }
+        )
+
     def date_histogram(
         self,
         query: str,

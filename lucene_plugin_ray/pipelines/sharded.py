@@ -447,6 +447,17 @@ class _ShardActor:
         return list(zip(t["term"].to_pylist(), t["distance"].to_pylist(),
                         t["df"].to_pylist()))
 
+    def complete_partial(
+        self, prefix: str, collection: str, field: str | None
+    ) -> list[tuple[str, int]]:
+        """This shard's (term, df-partial) completion rows — same no-
+        truncation contract as suggest_partial (the driver owns the global
+        df rank); candidate sets are prefix-range-bounded, so tiny."""
+        t = self.engine.complete(
+            prefix, collection=collection, field=field, k=2**31 - 1
+        )
+        return list(zip(t["term"].to_pylist(), t["df"].to_pylist()))
+
     def score(self, qlist: list[dict], method: str, global_stats: dict,
               global_df_by_coll: dict) -> list[dict]:
         rows = []
@@ -582,6 +593,33 @@ class ShardedSearcherService:
                 "term": pa.array([t for t, _, _ in items], pa.string()),
                 "distance": pa.array([d for _, d, _ in items], pa.int64()),
                 "df": pa.array([f for _, _, f in items], pa.int64()),
+            }
+        )
+
+    def complete(
+        self,
+        prefix: str,
+        collection: str = "default",
+        field: str | None = None,
+        k: int = 5,
+    ) -> pa.Table:
+        """Cluster-wide prefix autocompletion: per-shard (term, df-partial)
+        rows, driver sums df per term (doc-disjoint shards) then applies
+        the global (df desc, term asc) rank — identical to
+        SearchEngine.complete on the whole index."""
+        parts = ray.get(
+            [a.complete_partial.remote(prefix, collection, field)
+             for a in self.actors]
+        )
+        dfs: dict[str, int] = {}
+        for p in parts:
+            for t, df in p:
+                dfs[t] = dfs.get(t, 0) + df
+        items = sorted(dfs.items(), key=lambda x: (-x[1], x[0]))[:k]
+        return pa.table(
+            {
+                "term": pa.array([t for t, _ in items], pa.string()),
+                "df": pa.array([f for _, f in items], pa.int64()),
             }
         )
 

@@ -284,6 +284,17 @@ class LuceneHttpService:
                 k=k, max_edits=max_edits,
             )
 
+    def _complete(self, q: dict) -> list[dict]:
+        try:
+            k = int(q.get("k") or 5)
+        except ValueError:
+            raise LuceneException("k must be an integer")
+        with self._lock:
+            self._read_your_writes()
+            return self.facade.complete(
+                q.get("collection", ""), q.get("prefix", ""), k=k
+            )
+
     _GETS = {
         "search": _search,
         "count": _count,
@@ -292,6 +303,7 @@ class LuceneHttpService:
         "more-like-this": _more_like_this,
         "explain": _explain,
         "suggest": _suggest,
+        "complete": _complete,
     }
 
     # ---- lifecycle -------------------------------------------------------
@@ -399,6 +411,11 @@ class LuceneHttpClient:
             "suggest",
             {"collection": collection, "term": term, "k": k,
              "max_edits": max_edits},
+        )
+
+    def complete(self, collection: str, prefix: str, k: int = 5) -> list[dict]:
+        return self._get(
+            "complete", {"collection": collection, "prefix": prefix, "k": k}
         )
 
     def more_like_this(

@@ -469,3 +469,60 @@ def test_snippets_hand_picked(ray_session, tmp_path):
     # no hits → schema'd empty table
     empty = eng.snippets("absentterm", texts)
     assert empty.num_rows == 0 and "snippet" in empty.column_names
+
+
+def test_complete_ranking_liveness_and_sharded(ray_session, tmp_path):
+    """Prefix autocompletion: (df desc, term asc) rank, analyzer-lowercased
+    probe, live df after deletes, k truncation, loud empty-prefix/bad-k;
+    sharded service returns the identical table."""
+    from lucene_plugin_ray.pipelines.build import build_index, delete_docs
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+    from lucene_plugin_ray.pipelines.sharded import ShardedSearcherService
+
+    texts = (
+        ["spark engine"] * 6 + ["spork utensil"] * 3 + ["spark spar"] * 2
+        + ["spain travel"] * 3 + ["unrelated filler"] * 4
+    )
+    n = len(texts)
+    pages = pa.table(
+        {
+            "url": pa.array([f"doc://{i:04d}" for i in range(n)], pa.string()),
+            "warc_ts": pa.array(
+                [1_600_000_000_000_000 + i for i in range(n)],
+                pa.timestamp("us"),
+            ),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+        }
+    )
+    cfg = IndexConfig(index_root=str(tmp_path / "idx"), num_partitions=3)
+    build_index(pages, cfg)
+    eng = SearchEngine(cfg.index_root, cfg=cfg)
+    got = eng.complete("sp", k=10)
+    rows = list(zip(got["term"].to_pylist(), got["df"].to_pylist()))
+    # df: spark 8 (6+2), spain 3, spork 3, spar 2 — ties on df → term asc
+    assert rows == [("spark", 8), ("spain", 3), ("spork", 3), ("spar", 2)]
+    # k truncation + case-folded probe
+    assert eng.complete("SP", k=2).to_pylist() == [
+        {"term": "spark", "df": 8}, {"term": "spain", "df": 3}
+    ]
+    # no match → empty table with the right schema
+    empty = eng.complete("zz")
+    assert empty.num_rows == 0 and empty.schema.names == ["term", "df"]
+    # sharded identity
+    svc = ShardedSearcherService(cfg.index_root, cfg=cfg, num_shards=2)
+    assert svc.complete("sp", k=10).equals(got)
+    # liveness: deletes drop df
+    delete_docs(cfg, pa.table({
+        "collection": pa.array(["default"] * 6, pa.string()),
+        "url": pa.array([f"doc://{i:04d}" for i in range(6)], pa.string()),
+    }))
+    eng2 = SearchEngine(cfg.index_root, cfg=cfg)
+    got2 = eng2.complete("spark", k=5)
+    assert got2.to_pylist() == [{"term": "spark", "df": 2}]
+    with pytest.raises(ValueError):
+        eng.complete("")
+    with pytest.raises(ValueError):
+        eng.complete("  ")
+    with pytest.raises(ValueError):
+        eng.complete("sp", k=0)

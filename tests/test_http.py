@@ -211,6 +211,12 @@ def test_http_explain_and_suggest(ray_session, tmp_path):
         with pytest.raises(urllib.error.HTTPError) as e:
             c.suggest("", "quantun")
         assert e.value.code == 400
+        # autocomplete round-trip: (df desc, term asc), empty prefix a 400
+        comp = c.complete("col", "qua")
+        assert comp[0]["term"] == "quantum" and comp[0]["df"] == 1
+        with pytest.raises(urllib.error.HTTPError) as e:
+            c.complete("col", "")
+        assert e.value.code == 400
     finally:
         service.shutdown()
 
