@@ -515,6 +515,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def doc_stats(sf_dir: str) -> pa.Table:
         return training.token_count(sf_dir)
 
+    def search_grouped(sf_dir: str) -> pa.Table:
+        """Grouped top-k (Lucene grouping module): 'spark window merge'
+        grouped by source — top 3 docs per group, groups ranked by their
+        head doc.  Ranks recomputed from ROUND-4 scores with doc_id-asc
+        ties on BOTH sides (the hybrid-entry determinism contract), so a
+        sub-round-off numpy/DuckDB divergence cannot flip a rank."""
+        import numpy as np
+
+        from lucene_plugin_ray.sources.pages import url_to_doc_id
+
+        engine, cfg = _engine_for(sf_dir)
+        res = engine.search_grouped(
+            _OR_Q, "source", group_limit=1_000_000_000,
+            docs_per_group=1_000_000_000,
+        )
+        ids = url_to_doc_id(res["url"].combine_chunks()).to_numpy(
+            zero_copy_only=False
+        )
+        grp = np.asarray(res["group"].to_pylist(), dtype=object)
+        sc = np.round(
+            res["score"].combine_chunks().to_numpy(zero_copy_only=False), 4
+        )
+        out = {"group": [], "group_rank": [], "doc_rank": [],
+               "doc_id": [], "score": []}
+        heads = []
+        per_group = {}
+        for g in sorted(set(grp.tolist())):
+            m = grp == g
+            gids, gsc = ids[m], sc[m]
+            order = np.lexsort((gids, -gsc))[:3]
+            per_group[g] = (gids[order], gsc[order])
+            heads.append((g, gsc[order][0], gids[order][0]))
+        heads.sort(key=lambda h: (-h[1], h[2]))
+        for gi, (g, _, _) in enumerate(heads, start=1):
+            gids, gsc = per_group[g]
+            for di in range(len(gids)):
+                out["group"].append(g)
+                out["group_rank"].append(gi)
+                out["doc_rank"].append(di + 1)
+                out["doc_id"].append(int(gids[di]))
+                out["score"].append(float(gsc[di]))
+        return pa.table(
+            {
+                "group": pa.array(out["group"], pa.string()),
+                "group_rank": pa.array(out["group_rank"], pa.int64()),
+                "doc_rank": pa.array(out["doc_rank"], pa.int64()),
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "score": pa.array(out["score"], pa.float64()),
+            }
+        )
+
     def autocomplete(sf_dir: str) -> pa.Table:
         """Prefix autocompletion over the live text vocabulary: terms
         starting with 's', ranked (df desc, term asc), top 10."""
@@ -588,6 +639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_dismax": search_dismax,
         "search_mm": search_mm,
         "autocomplete": autocomplete,
+        "search_grouped": search_grouped,
         "search_facets": search_facets,
         "search_count": search_count,
         "search_sorted": search_sorted,
@@ -717,6 +769,24 @@ WHERE tf.term = 'de'
 """)
         + " ORDER BY qid, doc_id"
     )
+
+    # grouped top-k: ranks from ROUND-4 scores (the hybrid contract) —
+    # within group (score desc, doc_id asc) <= 3, groups by head doc
+    sql["search_grouped"] = f"""
+WITH scored AS (SELECT doc_id, score FROM ({_bm25_sql(or_terms)})),
+g AS (SELECT s.doc_id, s.score, d.source AS grp
+      FROM scored s JOIN documents d USING (doc_id)),
+dr AS (SELECT grp, doc_id, score,
+              row_number() OVER (PARTITION BY grp ORDER BY score DESC, doc_id ASC) AS doc_rank
+       FROM g QUALIFY doc_rank <= 3),
+heads AS (SELECT grp, score AS head_score, doc_id AS head_id FROM dr WHERE doc_rank = 1),
+gr AS (SELECT grp, row_number() OVER (ORDER BY head_score DESC, head_id ASC) AS group_rank
+       FROM heads)
+SELECT dr.grp AS "group", CAST(gr.group_rank AS BIGINT) AS group_rank,
+       CAST(dr.doc_rank AS BIGINT) AS doc_rank, dr.doc_id, dr.score
+FROM dr JOIN gr USING (grp)
+ORDER BY group_rank, doc_rank
+"""
 
     # dismax (DisjunctionMaxQuery): per term and doc, the max of the
     # weighted per-field BM25 legs + tie·(sum − max); legs use each field's

@@ -793,6 +793,119 @@ class SearchEngine:
             }
         )
 
+    def search_grouped(
+        self,
+        query: str,
+        group_field: str,
+        collection: str = "default",
+        group_limit: int = 10,
+        docs_per_group: int = 3,
+        synonyms: dict[str, list[str]] | None = None,
+        global_stats: dict[str, dict] | None = None,
+        global_df: dict[tuple[str, str], int] | None = None,
+    ) -> pa.Table:
+        """Grouped top-k — the Lucene grouping-module analogue
+        (TopGroups over a single-token metadata field): the top
+        ``group_limit`` groups ranked by their best document
+        (score desc, url asc — the group head), each carrying its own top
+        ``docs_per_group`` documents under the same total order.
+
+        Scoring is the TAAT path's exact BM25 (one `_eval_boolean` per
+        segment); group membership comes from the group field's posting
+        lists (a sorted-membership pass per (segment, group value), the
+        facets shape — work bounded by |group vocab|, which is
+        low-cardinality metadata by contract).  Returns
+        (group, group_rank, url, score, docid), ordered
+        (group_rank asc, score desc, url asc)."""
+        if group_limit <= 0 or docs_per_group <= 0:
+            raise ValueError("group_limit and docs_per_group must be positive")
+        if group_field not in self.cfg.field_columns:
+            raise ValueError(
+                f"group_field {group_field!r} is not an indexed metadata "
+                f"field (have: {sorted(self.cfg.field_columns)})"
+            )
+        coll = sanitize_collection(collection)
+        clauses = parse_query(query, default_field=self.cfg.text_column)
+        if synonyms:
+            clauses = list(apply_synonyms(tuple(clauses), synonyms))
+        segs = self._segments.get(coll, [])
+        empty = pa.table(
+            {"group": pa.array([], pa.string()),
+             "group_rank": pa.array([], pa.int64()),
+             "url": pa.array([], pa.string()),
+             "score": pa.array([], pa.float64()),
+             "docid": pa.array([], pa.int64())}
+        )
+        if not clauses or not segs:
+            return empty
+        if global_stats is not None:
+            # sharded path: corpus-global stats injected (search_partial's
+            # contract) — this engine holds only a partition subset
+            st = global_stats.get(coll, {"n_docs": 0, "sum_dl": {}})
+            n_docs = int(st["n_docs"])
+            avgdl = (
+                {f: v / n_docs for f, v in st["sum_dl"].items()}
+                if n_docs else {}
+            )
+        else:
+            n_docs, avgdl = self._stats(coll)
+        if n_docs == 0:
+            return empty
+        cache, rows, df_map = self._phase1_df(clauses, segs, global_df)
+        # per group value: (urls, scores, docids) accumulated across segments
+        groups: dict[str, list[tuple[str, float, int]]] = {}
+        for si, seg in enumerate(segs):
+            scores, matched = self._eval_boolean(
+                si, seg, clauses, cache, rows, df_map, n_docs, avgdl
+            )
+            cand = np.flatnonzero(matched)
+            if cand.size == 0:
+                continue
+            r = seg.reader
+            start, vocab = r.field_vocab(group_field)
+            for j in range(len(vocab)):
+                term = str(vocab[j])
+                local, _ = self._decoded(
+                    si, seg, group_field, term, int(start + j)
+                )
+                members = cand[_in_sorted(cand, local)]
+                if members.size == 0:
+                    continue
+                groups.setdefault(term, []).extend(
+                    zip(
+                        r.urls[members],
+                        scores[members],
+                        (r.doc_base + members).tolist(),
+                    )
+                )
+        if not groups:
+            return empty
+        # within-group (score desc, url asc) truncation, then group rank by
+        # the head doc under the same total order (Lucene TopGroups)
+        ranked_groups = []
+        for term, docs in groups.items():
+            docs.sort(key=lambda x: (-x[1], x[0]))
+            ranked_groups.append((term, docs[:docs_per_group]))
+        ranked_groups.sort(key=lambda g: (-g[1][0][1], g[1][0][0]))
+        ranked_groups = ranked_groups[:group_limit]
+        out = {"group": [], "group_rank": [], "url": [], "score": [], "docid": []}
+        for gi, (term, docs) in enumerate(ranked_groups, start=1):
+            for u, s, d in docs:
+                out["group"].append(term)
+                out["group_rank"].append(gi)
+                out["url"].append(str(u))
+                out["score"].append(float(s))
+                out["docid"].append(int(d))
+        return pa.table(
+            {
+                "group": pa.array(out["group"], pa.string()),
+                "group_rank": pa.array(out["group_rank"], pa.int64()),
+                "url": pa.array(out["url"], pa.string()),
+                "score": pa.array(out["score"], pa.float64()),
+                "docid": pa.array(out["docid"], pa.int64()),
+            }
+        )
+
     def complete(
         self,
         prefix: str,
@@ -1281,6 +1394,47 @@ class SearchEngine:
             min_should=min_should_match,
         )
 
+    def _phase1_df(
+        self,
+        clauses: list[Clause],
+        segs: list,
+        df_override: dict[tuple[str, str], int] | None = None,
+    ) -> tuple[dict, dict, dict]:
+        """Phase 1 of every scored execution: (decode cache, per-segment
+        dictionary rows, global df per scored (field, term)) — shared by
+        search and search_grouped."""
+        cache: dict[tuple[int, str, str], tuple[np.ndarray, np.ndarray]] = {}
+        rows: dict[tuple[int, str, str], int] = {}
+        global_df: dict[tuple[str, str], int] = {}
+        for field, term in scored_term_keys(clauses):
+            key = (field, term)
+            if key in global_df:
+                continue
+            if df_override is not None:
+                # df supplied globally; still record per-segment dictionary
+                # rows for the scoring strategies' lazy decodes
+                for si, seg in enumerate(segs):
+                    rows[(si, field, term)] = seg.reader.lookup(field, term)
+                global_df[key] = df_override.get(key, 0)
+                continue
+            df = 0
+            for si, seg in enumerate(segs):
+                row = seg.reader.lookup(field, term)
+                rows[(si, field, term)] = row
+                if row < 0:
+                    continue
+                if seg.all_alive:
+                    # df straight from the term dictionary — no decode;
+                    # scoring strategies decode lazily (block-max decodes
+                    # only surviving blocks)
+                    df += seg.reader.df(row)
+                    continue
+                local, tfs = self._decoded(si, seg, field, term, row)
+                cache[(si, field, term)] = (local, tfs)
+                df += len(local)
+            global_df[key] = df
+        return cache, rows, global_df
+
     # ------------------------------------------------------------------
     def _execute(
         self,
@@ -1313,36 +1467,7 @@ class SearchEngine:
         # phrase's constituent terms — PhraseQuery idf sums per-term idfs);
         # postings decoded lazily by the scoring strategy.
         term_clauses = [c for c in clauses if isinstance(c, TermClause)]
-        cache: dict[tuple[int, str, str], tuple[np.ndarray, np.ndarray]] = {}
-        rows: dict[tuple[int, str, str], int] = {}
-        global_df: dict[tuple[str, str], int] = {}
-        for field, term in scored_term_keys(clauses):
-            key = (field, term)
-            if key in global_df:
-                continue
-            if df_override is not None:
-                # df supplied globally; still record per-segment dictionary
-                # rows for the scoring strategies' lazy decodes
-                for si, seg in enumerate(segs):
-                    rows[(si, field, term)] = seg.reader.lookup(field, term)
-                global_df[key] = df_override.get(key, 0)
-                continue
-            df = 0
-            for si, seg in enumerate(segs):
-                row = seg.reader.lookup(field, term)
-                rows[(si, field, term)] = row
-                if row < 0:
-                    continue
-                if seg.all_alive:
-                    # df straight from the term dictionary — no decode;
-                    # scoring strategies decode lazily (block-max decodes
-                    # only surviving blocks)
-                    df += seg.reader.df(row)
-                    continue
-                local, tfs = self._decoded(si, seg, field, term, row)
-                cache[(si, field, term)] = (local, tfs)
-                df += len(local)
-            global_df[key] = df
+        cache, rows, global_df = self._phase1_df(clauses, segs, df_override)
 
         # ---- phase 2: per-segment scoring + top-k, then merge (K1)
         # block-max strategies handle pure-SHOULD term queries only;

@@ -447,6 +447,24 @@ class _ShardActor:
         return list(zip(t["term"].to_pylist(), t["distance"].to_pylist(),
                         t["df"].to_pylist()))
 
+    def grouped_partial(
+        self, query: str, group_field: str, collection: str,
+        docs_per_group: int, global_stats: dict, global_df: dict,
+    ) -> list[tuple[str, str, float, int]]:
+        """This shard's per-group top ``docs_per_group`` docs with INJECTED
+        corpus-global stats → (group, url, score, docid) rows.  Groups are
+        NOT truncated (a group's global head can live on any shard); doc
+        truncation per group IS safe — the global per-group top-n is a
+        subset of the union of per-shard top-ns under the (score desc,
+        url asc) total order."""
+        t = self.engine.search_grouped(
+            query, group_field, collection=collection,
+            group_limit=2**31 - 1, docs_per_group=docs_per_group,
+            global_stats=global_stats, global_df=global_df,
+        )
+        return list(zip(t["group"].to_pylist(), t["url"].to_pylist(),
+                        t["score"].to_pylist(), t["docid"].to_pylist()))
+
     def complete_partial(
         self, prefix: str, collection: str, field: str | None
     ) -> list[tuple[str, int]]:
@@ -593,6 +611,63 @@ class ShardedSearcherService:
                 "term": pa.array([t for t, _, _ in items], pa.string()),
                 "distance": pa.array([d for _, d, _ in items], pa.int64()),
                 "df": pa.array([f for _, _, f in items], pa.int64()),
+            }
+        )
+
+    def search_grouped(
+        self,
+        query: str,
+        group_field: str,
+        collection: str = "default",
+        group_limit: int = 10,
+        docs_per_group: int = 3,
+    ) -> pa.Table:
+        """Cluster-wide grouped top-k: phase-1 global df gather (the search
+        protocol), per-shard untruncated-group partials, then the exact
+        driver merge — per group, the global top docs_per_group from the
+        union of per-shard tops; groups ranked by their merged head.
+        Identical to SearchEngine.search_grouped on the whole index."""
+        sc = sanitize_collection(collection)
+        clauses = parse_query(query, default_field=self.cfg.text_column)
+        terms = {sc: sorted(set(scored_term_keys(clauses)))}
+        global_stats, global_df = self._gather_global(terms)
+        parts = ray.get(
+            [a.grouped_partial.remote(
+                query, group_field, collection, docs_per_group,
+                global_stats, global_df.get(sc, {}))
+             for a in self.actors]
+        )
+        groups: dict[str, list[tuple[str, float, int]]] = {}
+        for p in parts:
+            for g, u, s_, d in p:
+                groups.setdefault(g, []).append((u, s_, d))
+        if not groups:
+            return pa.table(
+                {"group": pa.array([], pa.string()),
+                 "group_rank": pa.array([], pa.int64()),
+                 "url": pa.array([], pa.string()),
+                 "score": pa.array([], pa.float64()),
+                 "docid": pa.array([], pa.int64())}
+            )
+        ranked = []
+        for g, docs in groups.items():
+            docs.sort(key=lambda x: (-x[1], x[0]))
+            ranked.append((g, docs[:docs_per_group]))
+        ranked.sort(key=lambda gr: (-gr[1][0][1], gr[1][0][0]))
+        ranked = ranked[:group_limit]
+        out = {"group": [], "group_rank": [], "url": [], "score": [], "docid": []}
+        for gi, (g, docs) in enumerate(ranked, start=1):
+            for u, s_, d in docs:
+                out["group"].append(g); out["group_rank"].append(gi)
+                out["url"].append(u); out["score"].append(s_)
+                out["docid"].append(d)
+        return pa.table(
+            {
+                "group": pa.array(out["group"], pa.string()),
+                "group_rank": pa.array(out["group_rank"], pa.int64()),
+                "url": pa.array(out["url"], pa.string()),
+                "score": pa.array(out["score"], pa.float64()),
+                "docid": pa.array(out["docid"], pa.int64()),
             }
         )
 

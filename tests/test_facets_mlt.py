@@ -526,3 +526,86 @@ def test_complete_ranking_liveness_and_sharded(ray_session, tmp_path):
         eng.complete("  ")
     with pytest.raises(ValueError):
         eng.complete("sp", k=0)
+
+
+def test_search_grouped_semantics_and_sharded(ray_session, tmp_path):
+    """Lucene TopGroups analogue: groups ranked by their head doc under the
+    (score desc, url asc) total order, per-group doc truncation, exact
+    python-oracle comparison, sharded-service identity, validation."""
+    import datetime as dt
+
+    from lucene_plugin_ray.pipelines.build import build_index
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+    from lucene_plugin_ray.pipelines.sharded import ShardedSearcherService
+
+    ts = dt.datetime(2026, 1, 1)
+    texts = [
+        "alpha alpha alpha",      # en: strongest
+        "alpha beta",             # en
+        "alpha",                  # de
+        "beta beta",              # de (no alpha)
+        "alpha alpha",            # fr
+        "gamma",                  # fr (no alpha)
+        "alpha beta beta",        # en
+    ]
+    langs = ["en", "en", "de", "de", "fr", "fr", "en"]
+    n = len(texts)
+    pages = pa.table(
+        {
+            "url": pa.array([f"doc://{i}" for i in range(n)], pa.string()),
+            "warc_ts": pa.array([ts] * n, pa.timestamp("us")),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+    root = str(tmp_path / "grp")
+    cfg = IndexConfig(index_root=root, num_partitions=3, field_columns=("lang",))
+    build_index(pages, cfg)
+    eng = SearchEngine(root, cfg=cfg)
+
+    got = eng.search_grouped("alpha", "lang", group_limit=10, docs_per_group=2)
+    # python oracle from the flat search results + doc langs
+    flat = {r["url"]: r["score"]
+            for r in eng.search("alpha", limit=10**9).to_pylist()}
+    by_lang: dict[str, list] = {}
+    for i, u in enumerate(f"doc://{i}" for i in range(n)):
+        if u in flat:
+            by_lang.setdefault(langs[i], []).append((u, flat[u]))
+    exp_groups = []
+    for g, docs in by_lang.items():
+        docs.sort(key=lambda x: (-x[1], x[0]))
+        exp_groups.append((g, docs[:2]))
+    exp_groups.sort(key=lambda gr: (-gr[1][0][1], gr[1][0][0]))
+    exp_rows = [
+        (g, gi + 1, u, s)
+        for gi, (g, docs) in enumerate(exp_groups)
+        for u, s in docs
+    ]
+    got_rows = [
+        (r["group"], r["group_rank"], r["url"], r["score"])
+        for r in got.to_pylist()
+    ]
+    assert [(g, gr, u) for g, gr, u, _ in got_rows] == [
+        (g, gr, u) for g, gr, u, _ in exp_rows
+    ]
+    for (_, _, _, a), (_, _, _, b) in zip(got_rows, exp_rows):
+        assert abs(a - b) < 1e-12
+    # group_limit truncation keeps the best-headed groups
+    top1 = eng.search_grouped("alpha", "lang", group_limit=1, docs_per_group=2)
+    assert set(top1["group"].to_pylist()) == {exp_groups[0][0]}
+    # sharded identity
+    svc = ShardedSearcherService(root, cfg=cfg, num_shards=2)
+    sh = svc.search_grouped("alpha", "lang", group_limit=10, docs_per_group=2)
+    assert sh.equals(got)
+    # validation
+    with pytest.raises(ValueError, match="not an indexed metadata"):
+        eng.search_grouped("alpha", "nope")
+    with pytest.raises(ValueError):
+        eng.search_grouped("alpha", "lang", group_limit=0)
+    with pytest.raises(ValueError):
+        eng.search_grouped("alpha", "lang", docs_per_group=0)
+    # no matches → empty with schema
+    empty = eng.search_grouped("zzznope", "lang")
+    assert empty.num_rows == 0 and empty.schema.names == [
+        "group", "group_rank", "url", "score", "docid"
+    ]
