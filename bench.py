@@ -223,6 +223,13 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
         lambda: eng.more_like_this(mlt_probe, max_query_terms=8, limit=10),
         lambda: eng.suggest("spakr", k=5),
         lambda: eng.date_histogram("spark", interval_us=3_600_000_000),
+        lambda: eng.search(
+            "spark merge", limit=10,
+            fields={"text": 1.0, "lang": 2.0}, tie_breaker=0.3,
+        ),
+        lambda: eng.search("spark merge window", limit=10, min_should_match=2),
+        lambda: eng.search_grouped("spark merge", "source", docs_per_group=3),
+        lambda: eng.complete("sp", k=10),
     ]
     for op in aux_ops:  # warm the postings/dictionary caches
         op()
