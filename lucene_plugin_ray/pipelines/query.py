@@ -871,6 +871,17 @@ class SearchEngine:
                 members = cand[_in_sorted(cand, local)]
                 if members.size == 0:
                     continue
+                # per-(segment, group) truncation BEFORE leaving numpy:
+                # the global per-group top-n is a subset of the union of
+                # per-segment per-group top-ns under the (score desc,
+                # url asc) total order — the cross-segment merge below
+                # stays exact while Python tuples stay O(vocab · n), not
+                # O(match set)
+                if members.size > docs_per_group:
+                    order = np.lexsort(
+                        (r.urls[members], -scores[members])
+                    )[:docs_per_group]
+                    members = members[order]
                 groups.setdefault(term, []).extend(
                     zip(
                         r.urls[members],
