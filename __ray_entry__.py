@@ -515,6 +515,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def doc_stats(sf_dir: str) -> pa.Table:
         return training.token_count(sf_dir)
 
+    def facets_stats(sf_dir: str) -> pa.Table:
+        """Numeric facet aggregation: doc_len (exact analyzed |D|) stats
+        per lang over the 'spark' match set — count/min/max/sum, all
+        integer-exact."""
+        engine, cfg = _engine_for(sf_dir)
+        return engine.facets_stats(_TERM_Q, "lang", value_source="doc_len")
+
     def search_grouped(sf_dir: str) -> pa.Table:
         """Grouped top-k (Lucene grouping module): 'spark window merge'
         grouped by source — top 3 docs per group, groups ranked by their
@@ -640,6 +647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_mm": search_mm,
         "autocomplete": autocomplete,
         "search_grouped": search_grouped,
+        "facets_stats": facets_stats,
         "search_facets": search_facets,
         "search_count": search_count,
         "search_sorted": search_sorted,
@@ -769,6 +777,19 @@ WHERE tf.term = 'de'
 """)
         + " ORDER BY qid, doc_id"
     )
+
+    # numeric facet aggregation: doc_len (analyzed token count) stats per
+    # lang over the 'spark' boolean match set — integer-exact on both sides
+    sql["facets_stats"] = f"""
+{_toks_cte()},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = '{term_terms[0]}'),
+j AS (SELECT d.lang AS value, coalesce(dl.dl, 0) AS v
+      FROM m JOIN documents d USING (doc_id) LEFT JOIN dl USING (doc_id))
+SELECT value, CAST(count(*) AS BIGINT) AS count, CAST(min(v) AS BIGINT) AS vmin,
+       CAST(max(v) AS BIGINT) AS vmax, CAST(sum(v) AS BIGINT) AS vsum
+FROM j GROUP BY value ORDER BY value
+"""
 
     # grouped top-k: ranks from ROUND-4 scores (the hybrid contract) —
     # within group (score desc, doc_id asc) <= 3, groups by head doc

@@ -793,6 +793,76 @@ class SearchEngine:
             }
         )
 
+    def facets_stats(
+        self,
+        query: str,
+        facet_field: str,
+        value_source: str = "doc_len",
+        collection: str = "default",
+    ) -> pa.Table:
+        """Numeric facet aggregation — the Lucene facets-module value-source
+        analogue (TaxonomyFacetSumValueSource over NumericDocValues): for
+        every value of ``facet_field``, the count / min / max / sum of a
+        stored per-doc numeric over ALL matching documents.
+
+        ``value_source``: 'doc_len' (analyzed token count of the text
+        field — the engine's exact |D|) or 'warc_ts' (stored epoch-µs).
+        Matching and membership are exactly the facets path (boolean
+        `_match_segment` + per-(segment, facet value) sorted membership,
+        work bounded by |facet vocab|); per-bucket fold is integer-exact,
+        so sharded partials merge without float drift.  Returns
+        (value, count, vmin, vmax, vsum), ordered value asc."""
+        if value_source not in ("doc_len", "warc_ts"):
+            raise ValueError(
+                "value_source must be 'doc_len' or 'warc_ts', got "
+                f"{value_source!r}"
+            )
+        coll = sanitize_collection(collection)
+        clauses = parse_query(query, default_field=self.cfg.text_column)
+        segs = self._segments.get(coll, [])
+        acc: dict[str, list[int]] = {}  # value -> [count, min, max, sum]
+        for si, seg in enumerate(segs):
+            matched = self._match_segment(si, seg, clauses, {}, {})
+            if matched.size == 0:
+                continue
+            r = seg.reader
+            src = (
+                r.warc_ts.astype(np.int64, copy=False)
+                if value_source == "warc_ts"
+                else r.doc_len[self.cfg.text_column].astype(np.int64, copy=False)
+            )
+            start, vocab = r.field_vocab(facet_field)
+            for j in range(len(vocab)):
+                term = str(vocab[j])
+                local, _ = self._decoded(
+                    si, seg, facet_field, term, int(start + j)
+                )
+                members = matched[_in_sorted(matched, local)]
+                if members.size == 0:
+                    continue
+                vals = src[members]
+                a = acc.get(term)
+                if a is None:
+                    acc[term] = [
+                        int(members.size), int(vals.min()),
+                        int(vals.max()), int(vals.sum()),
+                    ]
+                else:
+                    a[0] += int(members.size)
+                    a[1] = min(a[1], int(vals.min()))
+                    a[2] = max(a[2], int(vals.max()))
+                    a[3] += int(vals.sum())
+        items = sorted(acc.items())
+        return pa.table(
+            {
+                "value": pa.array([k for k, _ in items], pa.string()),
+                "count": pa.array([v[0] for _, v in items], pa.int64()),
+                "vmin": pa.array([v[1] for _, v in items], pa.int64()),
+                "vmax": pa.array([v[2] for _, v in items], pa.int64()),
+                "vsum": pa.array([v[3] for _, v in items], pa.int64()),
+            }
+        )
+
     def search_grouped(
         self,
         query: str,

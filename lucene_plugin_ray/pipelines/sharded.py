@@ -419,6 +419,20 @@ class _ShardActor:
     def count_partial(self, query: str, collection: str) -> int:
         return self.engine.count(query, collection=collection)
 
+    def facet_stats_partial(
+        self, query: str, facet_field: str, value_source: str, collection: str
+    ) -> list[tuple[str, int, int, int, int]]:
+        """This shard's (value, count, vmin, vmax, vsum) rows — integer
+        partials that fold exactly on the driver (docs are
+        partition-disjoint)."""
+        t = self.engine.facets_stats(
+            query, facet_field, value_source=value_source,
+            collection=collection,
+        )
+        return list(zip(t["value"].to_pylist(), t["count"].to_pylist(),
+                        t["vmin"].to_pylist(), t["vmax"].to_pylist(),
+                        t["vsum"].to_pylist()))
+
     def sorted_partial(
         self, query: str, collection: str, limit: int, descending: bool
     ) -> list[tuple[str, int, int]]:
@@ -611,6 +625,44 @@ class ShardedSearcherService:
                 "term": pa.array([t for t, _, _ in items], pa.string()),
                 "distance": pa.array([d for _, d, _ in items], pa.int64()),
                 "df": pa.array([f for _, _, f in items], pa.int64()),
+            }
+        )
+
+    def facets_stats(
+        self,
+        query: str,
+        facet_field: str,
+        value_source: str = "doc_len",
+        collection: str = "default",
+    ) -> pa.Table:
+        """Cluster-wide numeric facet aggregation: per-shard integer
+        partials folded exactly on the driver (count/sum add, min/max
+        fold) — identical to SearchEngine.facets_stats on the whole
+        index."""
+        parts = ray.get(
+            [a.facet_stats_partial.remote(
+                query, facet_field, value_source, collection)
+             for a in self.actors]
+        )
+        acc: dict[str, list[int]] = {}
+        for p in parts:
+            for v, c, lo, hi, sm in p:
+                a = acc.get(v)
+                if a is None:
+                    acc[v] = [c, lo, hi, sm]
+                else:
+                    a[0] += c
+                    a[1] = min(a[1], lo)
+                    a[2] = max(a[2], hi)
+                    a[3] += sm
+        items = sorted(acc.items())
+        return pa.table(
+            {
+                "value": pa.array([k for k, _ in items], pa.string()),
+                "count": pa.array([v[0] for _, v in items], pa.int64()),
+                "vmin": pa.array([v[1] for _, v in items], pa.int64()),
+                "vmax": pa.array([v[2] for _, v in items], pa.int64()),
+                "vsum": pa.array([v[3] for _, v in items], pa.int64()),
             }
         )
 

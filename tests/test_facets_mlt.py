@@ -609,3 +609,54 @@ def test_search_grouped_semantics_and_sharded(ray_session, tmp_path):
     assert empty.num_rows == 0 and empty.schema.names == [
         "group", "group_rank", "url", "score", "docid"
     ]
+
+
+def test_facets_stats_semantics_and_sharded(ray_session, tmp_path):
+    """Numeric facet aggregation: per-bucket count/min/max/sum of doc_len or
+    warc_ts over the match set, integer-exact; sharded partials fold to the
+    identical table; unknown value_source rejected."""
+    import datetime as dt
+
+    from lucene_plugin_ray.pipelines.build import build_index
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+    from lucene_plugin_ray.pipelines.sharded import ShardedSearcherService
+
+    texts = ["alpha beta", "alpha", "alpha beta gamma delta", "beta", "alpha x y"]
+    langs = ["en", "en", "de", "de", "fr"]
+    n = len(texts)
+    base = dt.datetime(2026, 1, 1)
+    pages = pa.table(
+        {
+            "url": pa.array([f"doc://{i}" for i in range(n)], pa.string()),
+            "warc_ts": pa.array(
+                [base + dt.timedelta(seconds=i) for i in range(n)],
+                pa.timestamp("us"),
+            ),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+    root = str(tmp_path / "fstats")
+    cfg = IndexConfig(index_root=root, num_partitions=2, field_columns=("lang",))
+    build_index(pages, cfg)
+    eng = SearchEngine(root, cfg=cfg)
+    got = eng.facets_stats("alpha", "lang", value_source="doc_len")
+    # matches: docs 0,1 (en: dl 2,1), 2 (de: dl 4), 4 (fr: dl 3)
+    assert got.to_pylist() == [
+        {"value": "de", "count": 1, "vmin": 4, "vmax": 4, "vsum": 4},
+        {"value": "en", "count": 2, "vmin": 1, "vmax": 2, "vsum": 3},
+        {"value": "fr", "count": 1, "vmin": 3, "vmax": 3, "vsum": 3},
+    ]
+    # warc_ts source: integer epoch-µs
+    ts = eng.facets_stats("alpha", "lang", value_source="warc_ts")
+    epoch = int(base.timestamp()) * 1_000_000
+    en = [r for r in ts.to_pylist() if r["value"] == "en"][0]
+    assert en["vmin"] == epoch and en["vmax"] == epoch + 1_000_000
+    assert en["vsum"] == en["vmin"] + en["vmax"]
+    # sharded identity
+    svc = ShardedSearcherService(root, cfg=cfg, num_shards=2)
+    assert svc.facets_stats("alpha", "lang").equals(got)
+    with pytest.raises(ValueError, match="value_source"):
+        eng.facets_stats("alpha", "lang", value_source="nope")
+    # no matches → empty
+    assert eng.facets_stats("zzznope", "lang").num_rows == 0
