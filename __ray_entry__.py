@@ -62,7 +62,7 @@ def _bm25_sql(
     elif min_match is not None:
         must = f"HAVING count(DISTINCT tf.term) >= {min_match}"
     else:
-        must = """"""
+        must = ''
     return f"""
 {_toks_cte(col)},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),

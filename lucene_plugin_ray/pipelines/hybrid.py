@@ -113,6 +113,15 @@ def lexical_topk(engine, query_text: str, k: int, url_to_id=None) -> pa.Table:
         from lucene_plugin_ray.sources.pages import url_to_doc_id as url_to_id
 
     res = engine.search(query_text, limit=1_000_000_000)
+    # the full-match-set table exists only for the rounded-rank contract —
+    # evict it from the engine's count-bounded results LRU so a handful of
+    # hybrid queries can't pin corpus-sized tables no search will ever hit
+    try:
+        cache = engine._results_cache
+        for key in [k for k in cache if k[2] == 1_000_000_000]:
+            cache.pop(key, None)
+    except AttributeError:
+        pass
     ids = url_to_id(res["url"].combine_chunks()).to_numpy(zero_copy_only=False)
     score = np.round(
         res["score"].combine_chunks().to_numpy(zero_copy_only=False), 4
@@ -137,6 +146,8 @@ def rrf_fuse(
     legs the doc appears in, rounded to 6; absent legs carry rank 0.  Final
     order (rrf desc, doc_id asc), top k.  Pure driver math over ≤ |lex|+|sem|
     rows."""
+    if rrf_k < 1:
+        raise ValueError("rrf_k must be >= 1 (1/(rrf_k + rank) must stay finite)")
     lex_ids = lex["doc_id"].to_numpy(zero_copy_only=False)
     sem_ids = sem["doc_id"].to_numpy(zero_copy_only=False)
     cand = np.unique(np.concatenate([lex_ids, sem_ids]))
@@ -175,6 +186,8 @@ def hybrid_search(
     Result ordered (rrf desc, doc_id asc)."""
     if k <= 0 or k_leg <= 0:
         raise ValueError("k and k_leg must be positive")
+    if rrf_k < 1:
+        raise ValueError("rrf_k must be >= 1 (1/(rrf_k + rank) must stay finite)")
     lex = lexical_topk(engine, query_text, k_leg, url_to_id=url_to_id)
     sem = semantic_topk(sf_dir, query_vector(sf_dir, qvec_id), k_leg)
     return rrf_fuse(lex, sem, k, rrf_k)

@@ -72,6 +72,78 @@ def _in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
     return sorted_arr[idx] == values
 
 
+_EMPTY_GROUPED = {
+    "group": pa.string(), "group_rank": pa.int64(), "url": pa.string(),
+    "score": pa.float64(), "docid": pa.int64(),
+}
+
+
+def rank_grouped_table(
+    groups: dict[str, list[tuple[str, float, int]]],
+    group_limit: int,
+    docs_per_group: int,
+) -> pa.Table:
+    """THE grouped-top-k rank + emission shared by the single engine and
+    the sharded merge (one definition so the sharded-identity contract
+    cannot drift): within-group (score desc, url asc) truncation, groups
+    ranked by their head doc under the same total order (Lucene
+    TopGroups), → (group, group_rank, url, score, docid)."""
+    if not groups:
+        return pa.table(
+            {k: pa.array([], t) for k, t in _EMPTY_GROUPED.items()}
+        )
+    ranked = []
+    for term, docs in groups.items():
+        docs.sort(key=lambda x: (-x[1], x[0]))
+        ranked.append((term, docs[:docs_per_group]))
+    ranked.sort(key=lambda g: (-g[1][0][1], g[1][0][0]))
+    ranked = ranked[:group_limit]
+    out = {"group": [], "group_rank": [], "url": [], "score": [], "docid": []}
+    for gi, (term, docs) in enumerate(ranked, start=1):
+        for u, sc, d in docs:
+            out["group"].append(str(term))
+            out["group_rank"].append(gi)
+            out["url"].append(str(u))
+            out["score"].append(float(sc))
+            out["docid"].append(int(d))
+    return pa.table(
+        {
+            "group": pa.array(out["group"], pa.string()),
+            "group_rank": pa.array(out["group_rank"], pa.int64()),
+            "url": pa.array(out["url"], pa.string()),
+            "score": pa.array(out["score"], pa.float64()),
+            "docid": pa.array(out["docid"], pa.int64()),
+        }
+    )
+
+
+def rank_completions_table(dfs: dict[str, int], k: int) -> pa.Table:
+    """(df desc, term asc) top-k completion emission — shared by the
+    single engine and the sharded merge."""
+    items = sorted(dfs.items(), key=lambda x: (-x[1], x[0]))[:k]
+    return pa.table(
+        {
+            "term": pa.array([t for t, _ in items], pa.string()),
+            "df": pa.array([f for _, f in items], pa.int64()),
+        }
+    )
+
+
+def facet_stats_table(acc: dict[str, list[int]]) -> pa.Table:
+    """(value, count, vmin, vmax, vsum) emission, value asc — shared by
+    the single engine and the sharded fold."""
+    items = sorted(acc.items())
+    return pa.table(
+        {
+            "value": pa.array([k for k, _ in items], pa.string()),
+            "count": pa.array([v[0] for _, v in items], pa.int64()),
+            "vmin": pa.array([v[1] for _, v in items], pa.int64()),
+            "vmax": pa.array([v[2] for _, v in items], pa.int64()),
+            "vsum": pa.array([v[3] for _, v in items], pa.int64()),
+        }
+    )
+
+
 def _regexp_literal_prefix(pattern: str) -> str:
     """Longest prefix every fullmatch of ``pattern`` is guaranteed to start
     with — the Q15 dictionary-range narrowing key.  Must be SOUND (never
@@ -470,6 +542,8 @@ class SearchEngine:
         coll = sanitize_collection(collection)
         if fields is not None:
             self._check_fields(fields, tie_breaker)
+        elif tie_breaker != 0.0:
+            raise ValueError("tie_breaker requires fields= (dismax)")
         if min_should_match < 0:
             raise ValueError("min_should_match must be >= 0")
         syn_key = (
@@ -852,16 +926,7 @@ class SearchEngine:
                     a[1] = min(a[1], int(vals.min()))
                     a[2] = max(a[2], int(vals.max()))
                     a[3] += int(vals.sum())
-        items = sorted(acc.items())
-        return pa.table(
-            {
-                "value": pa.array([k for k, _ in items], pa.string()),
-                "count": pa.array([v[0] for _, v in items], pa.int64()),
-                "vmin": pa.array([v[1] for _, v in items], pa.int64()),
-                "vmax": pa.array([v[2] for _, v in items], pa.int64()),
-                "vsum": pa.array([v[3] for _, v in items], pa.int64()),
-            }
-        )
+        return facet_stats_table(acc)
 
     def search_grouped(
         self,
@@ -959,33 +1024,7 @@ class SearchEngine:
                         (r.doc_base + members).tolist(),
                     )
                 )
-        if not groups:
-            return empty
-        # within-group (score desc, url asc) truncation, then group rank by
-        # the head doc under the same total order (Lucene TopGroups)
-        ranked_groups = []
-        for term, docs in groups.items():
-            docs.sort(key=lambda x: (-x[1], x[0]))
-            ranked_groups.append((term, docs[:docs_per_group]))
-        ranked_groups.sort(key=lambda g: (-g[1][0][1], g[1][0][0]))
-        ranked_groups = ranked_groups[:group_limit]
-        out = {"group": [], "group_rank": [], "url": [], "score": [], "docid": []}
-        for gi, (term, docs) in enumerate(ranked_groups, start=1):
-            for u, s, d in docs:
-                out["group"].append(term)
-                out["group_rank"].append(gi)
-                out["url"].append(str(u))
-                out["score"].append(float(s))
-                out["docid"].append(int(d))
-        return pa.table(
-            {
-                "group": pa.array(out["group"], pa.string()),
-                "group_rank": pa.array(out["group_rank"], pa.int64()),
-                "url": pa.array(out["url"], pa.string()),
-                "score": pa.array(out["score"], pa.float64()),
-                "docid": pa.array(out["docid"], pa.int64()),
-            }
-        )
+        return rank_grouped_table(groups, group_limit, docs_per_group)
 
     def complete(
         self,
@@ -1011,6 +1050,12 @@ class SearchEngine:
             raise ValueError("prefix must be non-empty")
         coll = sanitize_collection(collection)
         field = field or self.cfg.text_column
+        known = {self.cfg.text_column, *self.cfg.field_columns}
+        if field not in known:
+            # a typo'd field would silently return 0 completions
+            raise ValueError(
+                f"unknown field {field!r} (indexed: {sorted(known)})"
+            )
         segs = self._segments.get(coll, [])
         dfs: dict[str, int] = {}
         for si, seg in enumerate(segs):
@@ -1024,13 +1069,7 @@ class SearchEngine:
                     df = len(self._decoded(si, seg, field, t, int(row))[0])
                 if df:
                     dfs[t] = dfs.get(t, 0) + df
-        items = sorted(dfs.items(), key=lambda x: (-x[1], x[0]))[:k]
-        return pa.table(
-            {
-                "term": pa.array([t for t, _ in items], pa.string()),
-                "df": pa.array([f for _, f in items], pa.int64()),
-            }
-        )
+        return rank_completions_table(dfs, k)
 
     def date_histogram(
         self,
@@ -1891,12 +1930,33 @@ class SearchEngine:
             if isinstance(c, DisMaxClause):
                 # DisjunctionMaxQuery: per-doc max over the legs plus
                 # tie · (sum of the other matching legs); matches when any
-                # leg matches.  Legs evaluate one at a time through this
-                # same kernel (SHOULD semantics inside).
+                # leg matches.  TERM legs (the dismax rewrite's only
+                # output) fold SPARSELY over their postings — no dense
+                # per-leg allocations; other leg kinds recurse through
+                # this same kernel (SHOULD semantics inside).
                 best = np.zeros(n, dtype=np.float64)
                 total = np.zeros(n, dtype=np.float64)
                 anym = np.zeros(n, dtype=bool)
                 for leg in c.clauses:
+                    if isinstance(leg, TermClause):
+                        got = self._term_postings(si, seg, leg, cache, rows)
+                        dl = r.doc_len.get(leg.field)
+                        df = global_df.get((leg.field, leg.term), 0)
+                        if got is None or dl is None or df == 0:
+                            continue
+                        local, tfs = got
+                        s_leg = bm25_term_scores(
+                            tfs, dl[local], df, n_docs,
+                            avgdl.get(leg.field, 1.0),
+                            k1=self.cfg.k1, b=self.cfg.b,
+                        )
+                        if leg.boost != 1.0:
+                            s_leg = s_leg * leg.boost
+                        total[local] += s_leg
+                        # posting-list docids are unique → plain indexed max
+                        best[local] = np.maximum(best[local], s_leg)
+                        anym[local] = True
+                        continue
                     l_scores, l_match = self._eval_boolean(
                         si, seg, [leg], cache, rows, global_df,
                         n_docs, avgdl,

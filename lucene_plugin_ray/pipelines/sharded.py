@@ -51,7 +51,12 @@ from lucene_plugin_ray.functions.queryparse import (
     scored_term_keys,
     validate_dismax_fields,
 )
-from lucene_plugin_ray.pipelines.query import SearchEngine
+from lucene_plugin_ray.pipelines.query import (
+    SearchEngine,
+    facet_stats_table,
+    rank_completions_table,
+    rank_grouped_table,
+)
 from lucene_plugin_ray.state.manifest import load_manifest_chain
 
 _STATS_SCHEMA = pa.schema(
@@ -639,6 +644,13 @@ class ShardedSearcherService:
         partials folded exactly on the driver (count/sum add, min/max
         fold) — identical to SearchEngine.facets_stats on the whole
         index."""
+        if value_source not in ("doc_len", "warc_ts"):
+            # validate BEFORE the cluster fan-out: a typo should be a
+            # ValueError on the driver, not a RayTaskError from every shard
+            raise ValueError(
+                "value_source must be 'doc_len' or 'warc_ts', got "
+                f"{value_source!r}"
+            )
         parts = ray.get(
             [a.facet_stats_partial.remote(
                 query, facet_field, value_source, collection)
@@ -655,16 +667,7 @@ class ShardedSearcherService:
                     a[1] = min(a[1], lo)
                     a[2] = max(a[2], hi)
                     a[3] += sm
-        items = sorted(acc.items())
-        return pa.table(
-            {
-                "value": pa.array([k for k, _ in items], pa.string()),
-                "count": pa.array([v[0] for _, v in items], pa.int64()),
-                "vmin": pa.array([v[1] for _, v in items], pa.int64()),
-                "vmax": pa.array([v[2] for _, v in items], pa.int64()),
-                "vsum": pa.array([v[3] for _, v in items], pa.int64()),
-            }
-        )
+        return facet_stats_table(acc)
 
     def search_grouped(
         self,
@@ -679,6 +682,13 @@ class ShardedSearcherService:
         driver merge — per group, the global top docs_per_group from the
         union of per-shard tops; groups ranked by their merged head.
         Identical to SearchEngine.search_grouped on the whole index."""
+        if group_limit <= 0 or docs_per_group <= 0:
+            raise ValueError("group_limit and docs_per_group must be positive")
+        if group_field not in self.cfg.field_columns:
+            raise ValueError(
+                f"group_field {group_field!r} is not an indexed metadata "
+                f"field (have: {sorted(self.cfg.field_columns)})"
+            )
         sc = sanitize_collection(collection)
         clauses = parse_query(query, default_field=self.cfg.text_column)
         terms = {sc: sorted(set(scored_term_keys(clauses)))}
@@ -693,35 +703,7 @@ class ShardedSearcherService:
         for p in parts:
             for g, u, s_, d in p:
                 groups.setdefault(g, []).append((u, s_, d))
-        if not groups:
-            return pa.table(
-                {"group": pa.array([], pa.string()),
-                 "group_rank": pa.array([], pa.int64()),
-                 "url": pa.array([], pa.string()),
-                 "score": pa.array([], pa.float64()),
-                 "docid": pa.array([], pa.int64())}
-            )
-        ranked = []
-        for g, docs in groups.items():
-            docs.sort(key=lambda x: (-x[1], x[0]))
-            ranked.append((g, docs[:docs_per_group]))
-        ranked.sort(key=lambda gr: (-gr[1][0][1], gr[1][0][0]))
-        ranked = ranked[:group_limit]
-        out = {"group": [], "group_rank": [], "url": [], "score": [], "docid": []}
-        for gi, (g, docs) in enumerate(ranked, start=1):
-            for u, s_, d in docs:
-                out["group"].append(g); out["group_rank"].append(gi)
-                out["url"].append(u); out["score"].append(s_)
-                out["docid"].append(d)
-        return pa.table(
-            {
-                "group": pa.array(out["group"], pa.string()),
-                "group_rank": pa.array(out["group_rank"], pa.int64()),
-                "url": pa.array(out["url"], pa.string()),
-                "score": pa.array(out["score"], pa.float64()),
-                "docid": pa.array(out["docid"], pa.int64()),
-            }
-        )
+        return rank_grouped_table(groups, group_limit, docs_per_group)
 
     def complete(
         self,
@@ -734,6 +716,15 @@ class ShardedSearcherService:
         rows, driver sums df per term (doc-disjoint shards) then applies
         the global (df desc, term asc) rank — identical to
         SearchEngine.complete on the whole index."""
+        if k <= 0:
+            raise ValueError("k must be positive")
+        if not prefix.strip():
+            raise ValueError("prefix must be non-empty")
+        known = {self.cfg.text_column, *self.cfg.field_columns}
+        if field is not None and field not in known:
+            raise ValueError(
+                f"unknown field {field!r} (indexed: {sorted(known)})"
+            )
         parts = ray.get(
             [a.complete_partial.remote(prefix, collection, field)
              for a in self.actors]
@@ -742,13 +733,7 @@ class ShardedSearcherService:
         for p in parts:
             for t, df in p:
                 dfs[t] = dfs.get(t, 0) + df
-        items = sorted(dfs.items(), key=lambda x: (-x[1], x[0]))[:k]
-        return pa.table(
-            {
-                "term": pa.array([t for t, _ in items], pa.string()),
-                "df": pa.array([f for _, f in items], pa.int64()),
-            }
-        )
+        return rank_completions_table(dfs, k)
 
     def _gather_global(
         self, terms_by_coll: dict[str, list[tuple[str, str]]]
