@@ -623,7 +623,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         engine, cfg = _engine_for(sf_dir)
         return hybrid_search(engine, sf_dir, _OR_Q, qvec_id=0, k=10, k_leg=20)
 
+    def search_after(sf_dir: str) -> pa.Table:
+        """Deep pagination (IndexSearcher.searchAfter analogue): every hit
+        STRICTLY after a threshold anchor under the (score desc, url asc)
+        total order.  The anchor score is the k-th largest ROUND-4 score
+        (k = max(1, n//3) — the value at rank k is deterministic even when
+        round-4 ties straddle the rank) plus half a rounding step
+        (0.00005), so the engine's full-precision predicate
+        ``score < anchor`` and the oracle's round-4 predicate
+        ``round4(score) <= round4@k`` select the same doc set; no top-k
+        boundary (limit=ALL), so no tie-ordering sensitivity.  Exact
+        page-by-page fidelity (pages concatenate to search(limit=Σ))
+        is pinned by tests/test_search_after.py with the engine's own
+        full-precision anchors."""
+        import numpy as np
+
+        from lucene_plugin_ray.sources.pages import url_to_doc_id
+
+        engine, cfg = _engine_for(sf_dir)
+        full = engine.search(_OR_Q, limit=1_000_000_000)
+        sc4 = np.round(full["score"].to_numpy(), 4)
+        k = max(1, full.num_rows // 3)
+        anchor = float(sc4[k - 1]) + 0.00005
+        res = engine.search_after(_OR_Q, anchor, "", limit=1_000_000_000)
+        return pa.table(
+            {
+                "doc_id": url_to_doc_id(res["url"].combine_chunks()),
+                "score": pc.round(res["score"].combine_chunks(), ndigits=4),
+            }
+        ).sort_by("doc_id")
+
     return {
+        "search_after": search_after,
         "search_term": search_term,
         "search_or": search_or,
         "search_and": search_and,
@@ -741,6 +772,19 @@ def oracle_sql() -> dict[str, str]:
     sql["search_or"] = _bm25_sql(or_terms)
     sql["search_and"] = _bm25_sql(and_terms, conjunctive=True)
     sql["search_mm"] = _bm25_sql(or_terms, min_match=2)
+    # deep pagination: hits with round-4 score <= the k-th largest round-4
+    # score, k = max(1, n//3) — the SQL mirror of the engine's strictly-
+    # after-anchor predicate at anchor = round4@k + 0.00005 (see the entry
+    # docstring for why the two predicates select the same set)
+    sql["search_after"] = f"""
+WITH b AS (SELECT doc_id, score FROM ({_bm25_sql(or_terms)})),
+a AS (SELECT score FROM (
+        SELECT score, row_number() OVER (ORDER BY score DESC) AS rn,
+               count(*) OVER () AS n FROM b)
+      WHERE rn = greatest(n // 3, 1))
+SELECT b.doc_id AS doc_id, b.score AS score FROM b, a
+WHERE b.score <= a.score ORDER BY doc_id
+"""
     # prefix autocompletion: live-vocab terms LIKE 's%', df = distinct docs,
     # rank (df desc, term asc) top 10
     sql["autocomplete"] = f"""

@@ -60,6 +60,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--collection", default="default")
     s.add_argument("--limit", type=int, default=None)
     s.add_argument("--method", default="taat", choices=["taat", "bmw"])
+    s.add_argument("--after-score", type=float, default=None,
+                   help="deep pagination: previous page's last score")
+    s.add_argument("--after-url", default=None,
+                   help="deep pagination: previous page's last url")
     s.add_argument("--partitions", type=int, default=32)
     s.add_argument("--fields", default="")
     for name in ("compact", "clear", "delete"):
@@ -125,8 +129,16 @@ def main(argv: list[str] | None = None) -> int:
         from lucene_plugin_ray.pipelines.query import SearchEngine
 
         eng = SearchEngine(args.index, cfg=cfg)
-        t = eng.search(args.query, collection=args.collection,
-                       limit=args.limit, method=args.method)
+        if (args.after_score is None) != (args.after_url is None):
+            p.error("--after-score and --after-url must be given together")
+        if args.after_score is not None:
+            t = eng.search_after(
+                args.query, args.after_score, args.after_url,
+                collection=args.collection, limit=args.limit,
+            )
+        else:
+            t = eng.search(args.query, collection=args.collection,
+                           limit=args.limit, method=args.method)
         for url, score in zip(t["url"].to_pylist(), t["score"].to_pylist()):
             print(json.dumps({"url": url, "score": round(score, 6)}))
     elif args.cmd == "compact":

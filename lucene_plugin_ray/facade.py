@@ -265,6 +265,35 @@ class LuceneFacade:
             )
         ]
 
+    def search_after(
+        self,
+        collection: str,
+        query: str,
+        after_score: float,
+        after_url: str,
+        limit: int | None = None,
+    ) -> list[LuceneEntry]:
+        """Deep pagination — IndexSearcher.searchAfter(ScoreDoc) analogue:
+        the next ``limit`` hits strictly after the anchor under the
+        (score desc, external_id asc) total order.  Pass the previous
+        page's last entry's (score, external_id) verbatim; concatenated
+        pages reproduce :meth:`search` with the summed limit exactly."""
+        _require(_valid_str(collection), "collection must be a non-empty string")
+        _require(_valid_str(query), "query must be a non-empty string")
+        _require(isinstance(after_url, str), "after_url must be a string")
+        eng = self._lease_engine()
+        if eng is None:
+            return []
+        t = eng.search_after(
+            query, after_score, after_url, collection=collection, limit=limit
+        )
+        return [
+            LuceneEntry(id=int(d), score=float(s), external_id=u)
+            for d, s, u in zip(
+                t["docid"].to_pylist(), t["score"].to_pylist(), t["url"].to_pylist()
+            )
+        ]
+
     def count(self, collection: str, query: str) -> int:
         """Total matching live docs (IndexSearcher.count analogue) — the
         boolean-match twin of :meth:`search` with no scoring work."""
@@ -524,6 +553,21 @@ class AsyncLuceneFacade:
         import asyncio
 
         return await asyncio.to_thread(self._sync.search, collection, query, limit)
+
+    async def search_after(
+        self,
+        collection: str,
+        query: str,
+        after_score: float,
+        after_url: str,
+        limit: int | None = None,
+    ) -> list[LuceneEntry]:
+        import asyncio
+
+        return await asyncio.to_thread(
+            self._sync.search_after,
+            collection, query, after_score, after_url, limit,
+        )
 
     async def count(self, collection: str, query: str) -> int:
         import asyncio

@@ -578,6 +578,116 @@ class SearchEngine:
             self._results_cache.popitem(last=False)
         return table
 
+    def search_after(
+        self,
+        query: str,
+        after_score: float,
+        after_url: str,
+        collection: str = "default",
+        limit: int | None = None,
+        synonyms: dict[str, list[str]] | None = None,
+        fields: dict[str, float] | None = None,
+        tie_breaker: float = 0.0,
+        min_should_match: int = 0,
+        global_stats: dict[str, dict] | None = None,
+        global_df: dict[tuple[str, str], int] | None = None,
+    ) -> pa.Table:
+        """Deep pagination — Lucene IndexSearcher.searchAfter(ScoreDoc,
+        Query, n): the next ``limit`` hits STRICTLY after the anchor
+        ``(after_score, after_url)`` under the engine's (score desc,
+        url asc) total order.  Pass the previous page's last row verbatim
+        (its full-precision float score and url): the anchor comparison
+        uses exact float equality against scores produced by the same
+        arithmetic, so concatenated pages reproduce
+        ``search(limit=Σ page sizes)`` bit-for-bit — unlike offset paging
+        there is no re-fetch of earlier pages, and each segment ships at
+        most ``limit`` post-anchor rows into the merge.
+
+        Scoring still evaluates the full match set per segment — exact
+        BM25 paging cannot skip scoring (Lucene's paging collector scores
+        every candidate too), so this path is TAAT; block-max early
+        termination is a top-k-from-the-start optimization and does not
+        apply after an anchor.
+
+        ``global_stats``/``global_df`` inject corpus-global statistics on
+        the sharded path (the :meth:`search_partial` contract)."""
+        import math
+
+        if not isinstance(after_url, str):
+            raise ValueError("after_url must be a str (previous page's url)")
+        after_score = float(after_score)
+        if not math.isfinite(after_score):
+            raise ValueError("after_score must be finite")
+        limit = limit if limit is not None else self.cfg.result_limit
+        if limit <= 0:
+            raise ValueError("limit must be positive")
+        coll = sanitize_collection(collection)
+        if fields is not None:
+            self._check_fields(fields, tie_breaker)
+        elif tie_breaker != 0.0:
+            raise ValueError("tie_breaker requires fields= (dismax)")
+        if min_should_match < 0:
+            raise ValueError("min_should_match must be >= 0")
+        clauses = parse_query(query, default_field=self.cfg.text_column)
+        if synonyms:
+            clauses = list(apply_synonyms(tuple(clauses), synonyms))
+        if fields:
+            clauses = list(
+                apply_fields(
+                    tuple(clauses), fields, tie_breaker, self.cfg.text_column
+                )
+            )
+        segs = self._segments.get(coll, [])
+        empty = pa.table(
+            {"url": pa.array([], pa.string()),
+             "score": pa.array([], pa.float64()),
+             "docid": pa.array([], pa.int64())}
+        )
+        if not clauses or not segs:
+            return empty
+        if global_stats is not None:
+            st = global_stats.get(coll, {"n_docs": 0, "sum_dl": {}})
+            n_docs = int(st["n_docs"])
+            avgdl = (
+                {f: s / n_docs for f, s in st["sum_dl"].items()}
+                if n_docs
+                else {}
+            )
+        else:
+            n_docs, avgdl = self._stats(coll)
+        if n_docs == 0:
+            return empty
+        cache, rows, df_map = self._phase1_df(clauses, segs, global_df)
+        parts = []
+        for si, seg in enumerate(segs):
+            t = self._score_segment_taat(
+                si, seg, clauses, cache, rows, df_map, n_docs, avgdl,
+                limit=seg.reader.n_docs, min_should=min_should_match,
+            )
+            if not t.num_rows:
+                continue
+            sc = t["score"].to_numpy()
+            urls = t["url"].to_numpy(zero_copy_only=False)
+            keep = (sc < after_score) | (
+                (sc == after_score) & (urls > after_url)
+            )
+            idx = np.flatnonzero(keep)[:limit]
+            # the scorer's per-segment order IS the total order (docids are
+            # url ranks within a segment), and the boolean filter is
+            # stable, so the first ``limit`` survivors are the segment page
+            if idx.size:
+                parts.append(t.take(pa.array(idx)))
+        if not parts:
+            return empty
+        merged = pa.concat_tables(parts)
+        order = np.lexsort(
+            (
+                merged["url"].to_numpy(zero_copy_only=False),
+                -merged["score"].to_numpy(),
+            )
+        )[:limit]
+        return merged.take(pa.array(order))
+
     def _check_fields(self, fields: dict[str, float], tie: float) -> None:
         validate_dismax_fields(
             fields, tie, {self.cfg.text_column, *self.cfg.field_columns}

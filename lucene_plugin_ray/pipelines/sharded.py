@@ -495,6 +495,23 @@ class _ShardActor:
         )
         return list(zip(t["term"].to_pylist(), t["df"].to_pylist()))
 
+    def search_after_partial(
+        self, query: str, after_score: float, after_url: str,
+        collection: str, limit: int, global_stats: dict, global_df: dict,
+    ) -> list[tuple[str, float, int]]:
+        """This shard's next ``limit`` hits strictly after the anchor,
+        scored with INJECTED corpus-global stats → (url, score, docid).
+        Per-shard truncation merges exactly on the driver: the anchor
+        predicate plus (score desc, url asc) is a total order, so every
+        doc in the global post-anchor top-``limit`` is within its shard's
+        post-anchor top-``limit``."""
+        t = self.engine.search_after(
+            query, after_score, after_url, collection=collection,
+            limit=limit, global_stats=global_stats, global_df=global_df,
+        )
+        return list(zip(t["url"].to_pylist(), t["score"].to_pylist(),
+                        t["docid"].to_pylist()))
+
     def score(self, qlist: list[dict], method: str, global_stats: dict,
               global_df_by_coll: dict) -> list[dict]:
         rows = []
@@ -704,6 +721,60 @@ class ShardedSearcherService:
             for g, u, s_, d in p:
                 groups.setdefault(g, []).append((u, s_, d))
         return rank_grouped_table(groups, group_limit, docs_per_group)
+
+    def search_after(
+        self,
+        query: str,
+        after_score: float,
+        after_url: str,
+        collection: str = "default",
+        limit: int | None = None,
+    ) -> pa.Table:
+        """Cluster-wide deep pagination — searchAfter over the fleet:
+        phase-1 global df gather (the search protocol), per-shard
+        post-anchor top-``limit`` partials scored with injected global
+        stats, exact driver merge under (score desc, url asc).  Identical
+        to SearchEngine.search_after on the whole index: the anchor
+        predicate composed with the total order is itself a total order,
+        so per-shard truncation is lossless."""
+        import math
+
+        if not isinstance(after_url, str):
+            raise ValueError("after_url must be a str (previous page's url)")
+        after_score = float(after_score)
+        if not math.isfinite(after_score):
+            raise ValueError("after_score must be finite")
+        limit = limit if limit is not None else self.cfg.result_limit
+        if limit <= 0:
+            raise ValueError("limit must be positive")
+        sc = sanitize_collection(collection)
+        clauses = parse_query(query, default_field=self.cfg.text_column)
+        terms = {sc: sorted(set(scored_term_keys(clauses)))}
+        global_stats, global_df = self._gather_global(terms)
+        parts = ray.get(
+            [a.search_after_partial.remote(
+                query, after_score, after_url, collection, limit,
+                global_stats, global_df.get(sc, {}))
+             for a in self.actors]
+        )
+        rows = [r for p in parts for r in p]
+        if not rows:
+            return pa.table(
+                {"url": pa.array([], pa.string()),
+                 "score": pa.array([], pa.float64()),
+                 "docid": pa.array([], pa.int64())}
+            )
+        url = np.array([r[0] for r in rows], dtype=object)
+        score = np.array([r[1] for r in rows], dtype=np.float64)
+        docid = np.array([r[2] for r in rows], dtype=np.int64)
+        order = np.lexsort((url, -score))[:limit]
+        return pa.table(
+            {
+                "url": pa.array(url[order], type=pa.string()),
+                "score": pa.array(score[order], type=pa.float64()),
+                "docid": pa.array(docid[order], type=pa.int64()),
+            }
+        )
 
     def complete(
         self,

@@ -173,6 +173,31 @@ class LuceneHttpService:
             for e in entries
         ]
 
+    def _search_after(self, q: dict) -> list[dict]:
+        limit = self._limit_of(q)
+        import math
+
+        try:
+            after_score = float(q.get("after_score", ""))
+        except ValueError:
+            raise LuceneException(
+                f"after_score must be a float: {q.get('after_score')!r}"
+            )
+        if not math.isfinite(after_score):
+            raise LuceneException("after_score must be finite")
+        if "after_url" not in q:
+            raise LuceneException("after_url is required")
+        with self._lock:
+            self._read_your_writes()
+            entries = self.facade.search_after(
+                q.get("collection", ""), q.get("query", ""),
+                after_score, q["after_url"], limit=limit,
+            )
+        return [
+            {"_id": e.id, "_score": e.score, "_externalId": e.external_id}
+            for e in entries
+        ]
+
     def _limit_of(self, q: dict) -> int | None:
         try:
             return int(q["limit"]) if q.get("limit") else None
@@ -297,6 +322,7 @@ class LuceneHttpService:
 
     _GETS = {
         "search": _search,
+        "search-after": _search_after,
         "count": _count,
         "facets": _facets,
         "search-sorted": _search_sorted,
@@ -379,6 +405,17 @@ class LuceneHttpClient:
         qs = urllib.parse.urlencode(params)
         with urllib.request.urlopen(f"{self.url}/{op}?{qs}") as resp:
             return json.loads(resp.read().decode())
+
+    def search_after(
+        self, collection: str, query: str, after_score: float,
+        after_url: str, limit: int = 255,
+    ) -> list[dict]:
+        return self._get(
+            "search-after",
+            {"collection": collection, "query": query,
+             "after_score": after_score, "after_url": after_url,
+             "limit": limit},
+        )
 
     def count(self, collection: str, query: str) -> int:
         return self._get("count", {"collection": collection, "query": query})[

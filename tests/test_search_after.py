@@ -1,0 +1,166 @@
+"""Deep pagination — Lucene IndexSearcher.searchAfter(ScoreDoc) analogue
+(SearchEngine.search_after, ShardedSearcherService.search_after, facade,
+HTTP).  The contract: pages anchored on the previous page's last
+(full-precision score, url) concatenate to EXACTLY search(limit=Σ pages)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_plugin_ray.config import IndexConfig
+from lucene_plugin_ray.pipelines.fixtures import make_pages
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    from lucene_plugin_ray.pipelines.build import build_index
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+
+    root = str(tmp_path_factory.mktemp("idx_after"))
+    cfg = IndexConfig(
+        index_root=root, num_partitions=6, field_columns=("foo",)
+    )
+    build_index(make_pages(600, seed=91, with_fields=True), cfg)
+    return root, cfg, SearchEngine(root, cfg=cfg)
+
+
+def _paginate(fn_first, fn_after, page: int, max_rows: int) -> pa.Table:
+    pages = []
+    pg = fn_first(page)
+    while pg.num_rows:
+        pages.append(pg)
+        if sum(p.num_rows for p in pages) >= max_rows:
+            break
+        last = pg.num_rows - 1
+        pg = fn_after(pg["score"][last].as_py(), pg["url"][last].as_py(), page)
+    return pa.concat_tables(pages) if pages else pg
+
+
+@pytest.mark.parametrize(
+    "query,kwargs",
+    [
+        ("w00001", {}),
+        ("w00001 w00002 w00010", {}),
+        ("w00001 AND w00002", {}),
+        ("w00001 -w00005", {}),
+        ("w0000*", {}),
+        ('"w00001 w00002"~4', {}),
+        ("w00001 w00002", {"min_should_match": 1}),
+        ("w00001 w00002", {"synonyms": {"w00001": ["w00003"]}}),
+        ("w00001 w00002", {"fields": {"text": 2.0, "foo": 1.0},
+                           "tie_breaker": 0.3}),
+    ],
+)
+def test_pages_concatenate_to_full_search(built, query, kwargs):
+    _root, _cfg, eng = built
+    full = eng.search(query, limit=1_000_000, **kwargs)
+    assert full.num_rows > 3, "fixture query must match enough docs"
+    for page in (1, 3, 7):
+        cat = _paginate(
+            lambda p: eng.search(query, limit=p, **kwargs),
+            lambda s, u, p: eng.search_after(query, s, u, limit=p, **kwargs),
+            page, full.num_rows,
+        ).slice(0, full.num_rows)
+        assert cat.equals(full), (query, page)
+
+
+def test_past_the_end_is_empty(built):
+    _root, _cfg, eng = built
+    full = eng.search("w00001", limit=1_000_000)
+    n = full.num_rows - 1
+    t = eng.search_after(
+        "w00001", full["score"][n].as_py(), full["url"][n].as_py(), limit=9
+    )
+    assert t.num_rows == 0
+    assert t.schema.names == ["url", "score", "docid"]
+
+
+def test_anchor_mid_tie_respects_url_order(built):
+    """An anchor INSIDE a run of equal scores must resume at url order —
+    the predicate (score == anchor) & (url > anchor_url)."""
+    _root, _cfg, eng = built
+    full = eng.search("w00001", limit=1_000_000)
+    sc = full["score"].to_numpy()
+    # find any adjacent equal-score pair; constant-score queries guarantee one
+    const = eng.search("w0000*", limit=1_000_000)
+    csc = const["score"].to_numpy()
+    ties = np.flatnonzero(csc[1:] == csc[:-1])
+    assert ties.size, "wildcard constant-score query must produce ties"
+    i = int(ties[0])
+    t = eng.search_after(
+        "w0000*", const["score"][i].as_py(), const["url"][i].as_py(), limit=3
+    )
+    assert t["url"][0].as_py() == const["url"][i + 1].as_py()
+    assert sc is not None
+
+
+def test_validation(built):
+    _root, _cfg, eng = built
+    with pytest.raises(ValueError):
+        eng.search_after("w00001", float("nan"), "u")
+    with pytest.raises(ValueError):
+        eng.search_after("w00001", float("inf"), "u")
+    with pytest.raises(ValueError):
+        eng.search_after("w00001", 1.0, 5)  # type: ignore[arg-type]
+    with pytest.raises(ValueError):
+        eng.search_after("w00001", 1.0, "u", limit=0)
+    with pytest.raises(ValueError):
+        eng.search_after("w00001", 1.0, "u", tie_breaker=0.5)
+
+
+def test_sharded_identity(built):
+    """Fleet pagination == single-engine pagination, page by page."""
+    from lucene_plugin_ray.pipelines.sharded import ShardedSearcherService
+
+    root, cfg, eng = built
+    svc = ShardedSearcherService(root, cfg=cfg, num_shards=3)
+    try:
+        q = "w00001 w00002"
+        full = eng.search(q, limit=1_000_000)
+        assert full.num_rows > 6
+        anchor = (full["score"][4].as_py(), full["url"][4].as_py())
+        single = eng.search_after(q, anchor[0], anchor[1], limit=5)
+        fleet = svc.search_after(q, anchor[0], anchor[1], limit=5)
+        assert fleet.equals(single)
+        with pytest.raises(ValueError):
+            svc.search_after(q, float("nan"), "u")
+        with pytest.raises(ValueError):
+            svc.search_after(q, 1.0, "u", limit=0)
+    finally:
+        svc.shutdown()
+
+
+def test_facade_and_http_round_trip(ray_session, tmp_path):
+    from lucene_plugin_ray.server import LuceneHttpClient, LuceneHttpService
+
+    cfg = IndexConfig(index_root=str(tmp_path / "idx"), num_partitions=2)
+    service = LuceneHttpService(cfg, host="127.0.0.1", port=0).start()
+    facade = service.facade
+    for i in range(30):
+        facade.index_text("default", f"doc{i:02d}", f"alpha beta w{i % 3}")
+    facade.commit()
+    page1 = facade.search("default", "alpha", limit=4)
+    assert len(page1) == 4
+    page2 = facade.search_after(
+        "default", "alpha", page1[-1].score, page1[-1].external_id, limit=4
+    )
+    assert [e.external_id for e in page2] == [
+        e.external_id for e in facade.search("default", "alpha", limit=8)[4:]
+    ]
+    with pytest.raises(Exception):
+        facade.search_after("default", "alpha", 1.0, None)  # type: ignore
+
+    try:
+        client = LuceneHttpClient(service.url)
+        h2 = client.search_after(
+            "default", "alpha", page1[-1].score, page1[-1].external_id, limit=4
+        )
+        assert [r["_externalId"] for r in h2] == [
+            e.external_id for e in page2
+        ]
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError):
+            client.search_after("default", "alpha", float("nan"), "u")
+    finally:
+        service.shutdown()
