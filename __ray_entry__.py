@@ -50,12 +50,16 @@ def _bm25_sql(
     col: str = "text",
     conjunctive: bool = False,
     min_match: int | None = None,
+    round_to: int | None = 4,
 ) -> str:
     """Full-corpus BM25 (k1=1.2, b=0.75, ln(1+(N-df+.5)/(df+.5))) over the
     documents table for the analyzed query ``terms`` — all matching docs
     (no top-k boundary → no tie-ordering sensitivity), scores rounded to 4.
     ``min_match``: minimum distinct matching terms (the SQL mirror of
-    BooleanQuery.setMinimumNumberShouldMatch on a pure-SHOULD term query)."""
+    BooleanQuery.setMinimumNumberShouldMatch on a pure-SHOULD term query).
+    ``round_to=None`` emits the raw sum — for callers that post-multiply
+    (function score) and must round ONLY the final value, matching the
+    engine's round-after-weighting order."""
     values = ", ".join(f"('{t}')" for t in terms)
     if conjunctive:
         must = f"HAVING count(DISTINCT tf.term) = {len(set(terms))}"
@@ -63,6 +67,12 @@ def _bm25_sql(
         must = f"HAVING count(DISTINCT tf.term) >= {min_match}"
     else:
         must = ''
+    raw = """sum(
+         ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+         * (tf.tf * (1.2 + 1.0))
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * docs.dl / s.avgdl))
+       )"""
+    score_expr = raw if round_to is None else f"round({raw}, {round_to})"
     return f"""
 {_toks_cte(col)},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
@@ -74,11 +84,7 @@ qterms AS (SELECT * FROM (VALUES {values}) q(term)),
 df AS (SELECT term, count(*) AS df FROM tf
        WHERE term IN (SELECT term FROM qterms) GROUP BY term)
 SELECT tf.doc_id AS doc_id,
-       round(sum(
-         ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
-         * (tf.tf * (1.2 + 1.0))
-         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * docs.dl / s.avgdl))
-       ), 4) AS score
+       {score_expr} AS score
 FROM tf
 JOIN df USING (term)
 JOIN docs ON docs.doc_id = tf.doc_id
@@ -138,6 +144,13 @@ def _search_all(sf_dir: str, query: str) -> pa.Table:
 # deterministic query picks (exist in the seeded vocabulary of documents.text)
 _TERM_Q = "spark"
 _OR_Q = "spark window merge"
+
+# function-score recency constants: warc_ts = doc_id + EPOCH (pages adapter),
+# an explicit 'now' 1e9 µs past the epoch (> any testdata doc_id, so every
+# age is positive), half-score decay at 1e8 µs of age
+_PAGES_EPOCH_US = 1_600_000_000_000_000
+_FN_NOW_US = _PAGES_EPOCH_US + 1_000_000_000
+_FN_SCALE_US = 100_000_000
 _AND_Q = "+spark +merge"
 _FIELD_Q = "lang:de"
 _RANGE_LO, _RANGE_HI = "src1", "src3"
@@ -653,8 +666,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ).sort_by("doc_id")
 
+    def facet_ranges(sf_dir: str) -> pa.Table:
+        """Numeric range faceting (LongRangeFacetCounts): per-range counts
+        of docs matching 'spark' bucketed by analyzed doc_len — open,
+        half-open and overlapping (whole-line 'all') ranges; integer
+        counts, no float sensitivity."""
+        engine, cfg = _engine_for(sf_dir)
+        return engine.facet_ranges(
+            _TERM_Q,
+            [("short", None, 120), ("mid", 120, 300),
+             ("long", 300, None, True, False), ("all", None, None, True, True)],
+            value_source="doc_len",
+        )
+
+    def search_function(sf_dir: str) -> pa.Table:
+        """Function-scored search (FunctionScoreQuery recency decay):
+        final = bm25 · scale/(scale + age_us), age = now − warc_ts with
+        warc_ts = doc_id + EPOCH (the pages adapter contract) and an
+        explicit now = EPOCH + 1e9 µs.  The weight is the same float64
+        expression on both sides, so only the BM25 sum order differs —
+        round-4 on the FINAL value, like every search entry.  limit=ALL:
+        no top-k boundary."""
+        from lucene_plugin_ray.sources.pages import url_to_doc_id
+
+        engine, cfg = _engine_for(sf_dir)
+        res = engine.search_function(
+            _OR_Q, _FN_NOW_US, _FN_SCALE_US, limit=1_000_000_000
+        )
+        return pa.table(
+            {
+                "doc_id": url_to_doc_id(res["url"].combine_chunks()),
+                "score": pc.round(res["score"].combine_chunks(), ndigits=4),
+            }
+        ).sort_by("doc_id")
+
     return {
         "search_after": search_after,
+        "facet_ranges": facet_ranges,
+        "search_function": search_function,
         "search_term": search_term,
         "search_or": search_or,
         "search_and": search_and,
@@ -784,6 +833,34 @@ a AS (SELECT score FROM (
       WHERE rn = greatest(n // 3, 1))
 SELECT b.doc_id AS doc_id, b.score AS score FROM b, a
 WHERE b.score <= a.score ORDER BY doc_id
+"""
+    # numeric range faceting: analyzed-doc_len buckets over the 'spark'
+    # match set (ranges overlap — each counted independently)
+    sql["facet_ranges"] = f"""
+{_toks_cte()},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+v AS (SELECT dl.dl FROM (SELECT DISTINCT doc_id FROM toks
+                         WHERE term = '{_TERM_Q}') m JOIN dl USING (doc_id))
+SELECT * FROM (
+  SELECT 'short' AS label, (SELECT count(*) FROM v WHERE dl < 120) AS count
+  UNION ALL
+  SELECT 'mid', (SELECT count(*) FROM v WHERE dl >= 120 AND dl < 300)
+  UNION ALL
+  SELECT 'long', (SELECT count(*) FROM v WHERE dl >= 300)
+  UNION ALL
+  SELECT 'all', (SELECT count(*) FROM v)
+)
+"""
+    # function-scored search: UNROUNDED BM25 × the identical float64 recency
+    # weight, rounded once on the final value (the engine's rounding order)
+    sql["search_function"] = f"""
+WITH b AS (SELECT doc_id, score FROM ({_bm25_sql(or_terms, round_to=None)}))
+SELECT doc_id,
+       round(score * ({float(_FN_SCALE_US)} /
+             ({float(_FN_SCALE_US)} +
+              greatest({_FN_NOW_US} - (doc_id + {_PAGES_EPOCH_US}), 0))),
+             4) AS score
+FROM b ORDER BY doc_id
 """
     # prefix autocompletion: live-vocab terms LIKE 's%', df = distinct docs,
     # rank (df desc, term asc) top 10

@@ -129,6 +129,40 @@ def rank_completions_table(dfs: dict[str, int], k: int) -> pa.Table:
     )
 
 
+def _normalize_ranges(ranges) -> list[tuple]:
+    """Validate + normalize LongRange-style facet ranges to 5-tuples
+    (label, lo, hi, lo_inc, hi_inc) — shared by the single engine and the
+    sharded partial so both reject the same inputs."""
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    norm: list[tuple] = []
+    seen: set[str] = set()
+    for rg in ranges:
+        if len(rg) == 3:
+            label, lo, hi = rg
+            lo_inc, hi_inc = True, False
+        elif len(rg) == 5:
+            label, lo, hi, lo_inc, hi_inc = rg
+        else:
+            raise ValueError(
+                f"range must be (label, lo, hi[, lo_inc, hi_inc]): {rg!r}"
+            )
+        if not isinstance(label, str) or not label:
+            raise ValueError(f"range label must be a non-empty str: {label!r}")
+        if label in seen:
+            raise ValueError(f"duplicate range label {label!r}")
+        seen.add(label)
+        lo = int(lo) if lo is not None else None
+        hi = int(hi) if hi is not None else None
+        if lo is not None and hi is not None:
+            eff_lo = lo if lo_inc else lo + 1
+            eff_hi = hi if hi_inc else hi - 1
+            if eff_lo > eff_hi:
+                raise ValueError(f"empty range {label!r}: {rg!r}")
+        norm.append((label, lo, hi, bool(lo_inc), bool(hi_inc)))
+    return norm
+
+
 def facet_stats_table(acc: dict[str, list[int]]) -> pa.Table:
     """(value, count, vmin, vmax, vsum) emission, value asc — shared by
     the single engine and the sharded fold."""
@@ -688,6 +722,102 @@ class SearchEngine:
         )[:limit]
         return merged.take(pa.array(order))
 
+    def search_function(
+        self,
+        query: str,
+        now_us: int,
+        scale_us: int,
+        collection: str = "default",
+        limit: int | None = None,
+        global_stats: dict[str, dict] | None = None,
+        global_df: dict[tuple[str, str], int] | None = None,
+    ) -> pa.Table:
+        """Function-scored search — Lucene FunctionScoreQuery /
+        expressions-module analogue with a reciprocal recency value
+        source: ``final = bm25 · scale_us / (scale_us + age_us)`` where
+        ``age_us = max(0, now_us − warc_ts)`` — the classic
+        freshness-decay reranker (half score at age == scale_us, → 0 as
+        docs age, future timestamps clamp to weight 1).  ``now_us`` is an
+        explicit argument, never the wall clock, so results are a pure
+        function of the index (reproducible across shards/retries).
+
+        Scoring evaluates the full match set per segment (the weight is
+        doc-dependent, so BM25 top-k early termination is unsound — a
+        low-BM25 recent doc can outrank the BM25 leader), then truncates
+        per segment under the (final desc, url asc) total order; the
+        merge is exact for the same reason search's is.  Returns
+        (url, score, docid) with score = the weighted final.
+
+        ``global_stats``/``global_df`` follow the :meth:`search_partial`
+        injection contract for the sharded path."""
+        now_us = int(now_us)
+        scale_us = int(scale_us)
+        if scale_us <= 0:
+            raise ValueError("scale_us must be positive")
+        limit = limit if limit is not None else self.cfg.result_limit
+        if limit <= 0:
+            raise ValueError("limit must be positive")
+        coll = sanitize_collection(collection)
+        clauses = parse_query(query, default_field=self.cfg.text_column)
+        segs = self._segments.get(coll, [])
+        empty = pa.table(
+            {"url": pa.array([], pa.string()),
+             "score": pa.array([], pa.float64()),
+             "docid": pa.array([], pa.int64())}
+        )
+        if not clauses or not segs:
+            return empty
+        if global_stats is not None:
+            st = global_stats.get(coll, {"n_docs": 0, "sum_dl": {}})
+            n_docs = int(st["n_docs"])
+            avgdl = (
+                {f: s / n_docs for f, s in st["sum_dl"].items()}
+                if n_docs
+                else {}
+            )
+        else:
+            n_docs, avgdl = self._stats(coll)
+        if n_docs == 0:
+            return empty
+        cache, rows, df_map = self._phase1_df(clauses, segs, global_df)
+        scale = float(scale_us)
+        parts = []
+        for si, seg in enumerate(segs):
+            t = self._score_segment_taat(
+                si, seg, clauses, cache, rows, df_map, n_docs, avgdl,
+                limit=seg.reader.n_docs,
+            )
+            if not t.num_rows:
+                continue
+            r = seg.reader
+            local = t["docid"].to_numpy() - r.doc_base
+            ts = r.warc_ts.astype(np.int64, copy=False)[local]
+            age = np.maximum(now_us - ts, 0).astype(np.float64)
+            final = t["score"].to_numpy() * (scale / (scale + age))
+            urls = t["url"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((urls, -final))[:limit]
+            parts.append(
+                pa.table(
+                    {
+                        "url": pa.array(urls[order], type=pa.string()),
+                        "score": pa.array(final[order], type=pa.float64()),
+                        "docid": pa.array(
+                            t["docid"].to_numpy()[order], type=pa.int64()
+                        ),
+                    }
+                )
+            )
+        if not parts:
+            return empty
+        merged = pa.concat_tables(parts)
+        order = np.lexsort(
+            (
+                merged["url"].to_numpy(zero_copy_only=False),
+                -merged["score"].to_numpy(),
+            )
+        )[:limit]
+        return merged.take(pa.array(order))
+
     def _check_fields(self, fields: dict[str, float], tie: float) -> None:
         validate_dismax_fields(
             fields, tie, {self.cfg.text_column, *self.cfg.field_columns}
@@ -1037,6 +1167,59 @@ class SearchEngine:
                     a[2] = max(a[2], int(vals.max()))
                     a[3] += int(vals.sum())
         return facet_stats_table(acc)
+
+    def facet_ranges(
+        self,
+        query: str,
+        ranges: list[tuple],
+        value_source: str = "doc_len",
+        collection: str = "default",
+    ) -> pa.Table:
+        """Numeric range faceting — Lucene LongRangeFacetCounts analogue:
+        for each caller-supplied range, the number of matching documents
+        whose stored numeric value falls inside it.  ``ranges`` is a list
+        of ``(label, lo, hi, lo_inc, hi_inc)`` tuples (``lo``/``hi`` None
+        = open end; 2-tuples ``(label, lo, hi)`` default to [lo, hi) —
+        LongRange's minInclusive/maxExclusive convention).  Ranges MAY
+        overlap — each is counted independently, Lucene parity — and the
+        output preserves the caller's range order.  ``value_source`` is
+        the facets_stats contract ('doc_len' | 'warc_ts').  Returns
+        (label, count).  Sharded partials are per-range integer counts
+        over doc-disjoint partitions, so the driver merge is a plain sum."""
+        if value_source not in ("doc_len", "warc_ts"):
+            raise ValueError(
+                "value_source must be 'doc_len' or 'warc_ts', got "
+                f"{value_source!r}"
+            )
+        norm = _normalize_ranges(ranges)
+        coll = sanitize_collection(collection)
+        clauses = parse_query(query, default_field=self.cfg.text_column)
+        segs = self._segments.get(coll, [])
+        counts = np.zeros(len(norm), dtype=np.int64)
+        for si, seg in enumerate(segs):
+            matched = self._match_segment(si, seg, clauses, {}, {})
+            if matched.size == 0:
+                continue
+            r = seg.reader
+            src = (
+                r.warc_ts.astype(np.int64, copy=False)
+                if value_source == "warc_ts"
+                else r.doc_len[self.cfg.text_column].astype(np.int64, copy=False)
+            )
+            vals = src[matched]
+            for i, (_label, lo, hi, lo_inc, hi_inc) in enumerate(norm):
+                m = np.ones(vals.size, dtype=bool)
+                if lo is not None:
+                    m &= (vals >= lo) if lo_inc else (vals > lo)
+                if hi is not None:
+                    m &= (vals <= hi) if hi_inc else (vals < hi)
+                counts[i] += int(m.sum())
+        return pa.table(
+            {
+                "label": pa.array([r_[0] for r_ in norm], pa.string()),
+                "count": pa.array(counts, pa.int64()),
+            }
+        )
 
     def search_grouped(
         self,

@@ -495,6 +495,31 @@ class _ShardActor:
         )
         return list(zip(t["term"].to_pylist(), t["df"].to_pylist()))
 
+    def facet_ranges_partial(
+        self, query: str, ranges: list[tuple], value_source: str,
+        collection: str,
+    ) -> list[int]:
+        """This shard's per-range match counts, aligned to ``ranges`` —
+        integer partials over doc-disjoint partitions; the driver sums."""
+        t = self.engine.facet_ranges(
+            query, ranges, value_source=value_source, collection=collection
+        )
+        return t["count"].to_pylist()
+
+    def search_function_partial(
+        self, query: str, now_us: int, scale_us: int, collection: str,
+        limit: int, global_stats: dict, global_df: dict,
+    ) -> list[tuple[str, float, int]]:
+        """This shard's function-scored top-``limit`` with INJECTED global
+        stats → (url, score, docid); per-shard truncation under the
+        (final desc, url asc) total order merges exactly."""
+        t = self.engine.search_function(
+            query, now_us, scale_us, collection=collection, limit=limit,
+            global_stats=global_stats, global_df=global_df,
+        )
+        return list(zip(t["url"].to_pylist(), t["score"].to_pylist(),
+                        t["docid"].to_pylist()))
+
     def search_after_partial(
         self, query: str, after_score: float, after_url: str,
         collection: str, limit: int, global_stats: dict, global_df: dict,
@@ -721,6 +746,87 @@ class ShardedSearcherService:
             for g, u, s_, d in p:
                 groups.setdefault(g, []).append((u, s_, d))
         return rank_grouped_table(groups, group_limit, docs_per_group)
+
+    def facet_ranges(
+        self,
+        query: str,
+        ranges: list[tuple],
+        value_source: str = "doc_len",
+        collection: str = "default",
+    ) -> pa.Table:
+        """Cluster-wide numeric range faceting: per-shard integer count
+        partials over doc-disjoint partitions, driver sum — identical to
+        SearchEngine.facet_ranges on the whole index.  Validation runs on
+        the driver BEFORE the fan-out."""
+        from lucene_plugin_ray.pipelines.query import _normalize_ranges
+
+        if value_source not in ("doc_len", "warc_ts"):
+            raise ValueError(
+                "value_source must be 'doc_len' or 'warc_ts', got "
+                f"{value_source!r}"
+            )
+        norm = _normalize_ranges(ranges)
+        parts = ray.get(
+            [a.facet_ranges_partial.remote(
+                query, norm, value_source, collection)
+             for a in self.actors]
+        )
+        counts = np.zeros(len(norm), dtype=np.int64)
+        for p in parts:
+            counts += np.asarray(p, dtype=np.int64)
+        return pa.table(
+            {
+                "label": pa.array([r_[0] for r_ in norm], pa.string()),
+                "count": pa.array(counts, pa.int64()),
+            }
+        )
+
+    def search_function(
+        self,
+        query: str,
+        now_us: int,
+        scale_us: int,
+        collection: str = "default",
+        limit: int | None = None,
+    ) -> pa.Table:
+        """Cluster-wide function-scored search (recency decay): phase-1
+        global df gather, per-shard post-weight top-``limit`` partials
+        with injected global stats, exact driver merge under the
+        (final desc, url asc) total order — identical to
+        SearchEngine.search_function on the whole index."""
+        if int(scale_us) <= 0:
+            raise ValueError("scale_us must be positive")
+        limit = limit if limit is not None else self.cfg.result_limit
+        if limit <= 0:
+            raise ValueError("limit must be positive")
+        sc = sanitize_collection(collection)
+        clauses = parse_query(query, default_field=self.cfg.text_column)
+        terms = {sc: sorted(set(scored_term_keys(clauses)))}
+        global_stats, global_df = self._gather_global(terms)
+        parts = ray.get(
+            [a.search_function_partial.remote(
+                query, int(now_us), int(scale_us), collection, limit,
+                global_stats, global_df.get(sc, {}))
+             for a in self.actors]
+        )
+        rows = [r for p in parts for r in p]
+        if not rows:
+            return pa.table(
+                {"url": pa.array([], pa.string()),
+                 "score": pa.array([], pa.float64()),
+                 "docid": pa.array([], pa.int64())}
+            )
+        url = np.array([r[0] for r in rows], dtype=object)
+        score = np.array([r[1] for r in rows], dtype=np.float64)
+        docid = np.array([r[2] for r in rows], dtype=np.int64)
+        order = np.lexsort((url, -score))[:limit]
+        return pa.table(
+            {
+                "url": pa.array(url[order], type=pa.string()),
+                "score": pa.array(score[order], type=pa.float64()),
+                "docid": pa.array(docid[order], type=pa.int64()),
+            }
+        )
 
     def search_after(
         self,

@@ -28,7 +28,7 @@ CHECKED = [
     "events_hopping", "user_funnel", "search_sloppy", "search_regexp",
     "search_phrase", "search_phrase_gap",
     "search_range_excl", "search_range_open", "pii_redact",
-    "search_snippets", "search_after",
+    "search_snippets", "search_after", "facet_ranges", "search_function",
 ]
 
 
