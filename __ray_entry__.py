@@ -700,10 +700,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ).sort_by("doc_id")
 
+    def top_terms(sf_dir: str) -> pa.Table:
+        """Highest-df vocabulary terms (Lucene misc HighFreqTerms,
+        DOCFREQ_ORDER): top 25 under the exact integer (df desc,
+        term asc) rank — the tie order is deterministic on both sides."""
+        engine, cfg = _engine_for(sf_dir)
+        return engine.top_terms(k=25)
+
     return {
         "search_after": search_after,
         "facet_ranges": facet_ranges,
         "search_function": search_function,
+        "top_terms": top_terms,
         "search_term": search_term,
         "search_or": search_or,
         "search_and": search_and,
@@ -833,6 +841,13 @@ a AS (SELECT score FROM (
       WHERE rn = greatest(n // 3, 1))
 SELECT b.doc_id AS doc_id, b.score AS score FROM b, a
 WHERE b.score <= a.score ORDER BY doc_id
+"""
+    # highest-df terms: distinct-doc term counts, (df desc, term asc) top-25
+    sql["top_terms"] = f"""
+{_toks_cte()},
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+SELECT term, CAST(df AS BIGINT) AS df FROM df
+ORDER BY df DESC, term ASC LIMIT 25
 """
     # numeric range faceting: analyzed-doc_len buckets over the 'spark'
     # match set (ranges overlap — each counted independently)

@@ -1364,6 +1364,109 @@ class SearchEngine:
                     dfs[t] = dfs.get(t, 0) + df
         return rank_completions_table(dfs, k)
 
+    def top_terms(
+        self,
+        field: str | None = None,
+        k: int = 10,
+        collection: str = "default",
+    ) -> pa.Table:
+        """Highest-document-frequency terms of a field — the Lucene
+        misc-module HighFreqTerms analogue (DOCFREQ_ORDER): top ``k``
+        live-vocabulary terms ranked (df desc, term asc), df alive-masked
+        and summed across segments like every df on the search path.
+
+        Cost: one zero-copy numpy slice of the term dictionary's stored
+        df per all-alive segment (the common case).  Segments with
+        deletes need per-term posting decodes, so those are pruned with
+        the dictionary df as an UPPER bound: candidates are visited in
+        (upper-bound desc, term asc) order and decoding stops as soon as
+        the next bound cannot displace the provisional k-th exact df —
+        only a handful of terms beyond k ever decode.  Returns
+        (term, df)."""
+        if k <= 0:
+            raise ValueError("k must be positive")
+        coll = sanitize_collection(collection)
+        field = field or self.cfg.text_column
+        known = {self.cfg.text_column, *self.cfg.field_columns}
+        if field not in known:
+            raise ValueError(
+                f"unknown field {field!r} (indexed: {sorted(known)})"
+            )
+        segs = self._segments.get(coll, [])
+        vocabs, ubs = [], []
+        lazy: list[tuple[int, object, int]] = []  # (si, seg, start) w/ deletes
+        for si, seg in enumerate(segs):
+            r = seg.reader
+            start, vocab = r.field_vocab(field)
+            if len(vocab) == 0:
+                continue
+            vocabs.append(np.asarray(vocab, dtype=object))
+            ubs.append(
+                r._df[start : start + len(vocab)].astype(np.int64, copy=False)
+            )
+            if not seg.all_alive:
+                lazy.append((si, seg, start))
+        if not vocabs:
+            return pa.table(
+                {"term": pa.array([], pa.string()),
+                 "df": pa.array([], pa.int64())}
+            )
+        uniq, inv = np.unique(np.concatenate(vocabs), return_inverse=True)
+        ub = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(ub, inv, np.concatenate(ubs))
+        if not lazy:
+            # every segment fully alive: the dictionary df IS the df
+            order = np.lexsort((uniq, -ub))[: min(k, uniq.size)]
+            return pa.table(
+                {
+                    "term": pa.array(uniq[order], type=pa.string()),
+                    "df": pa.array(ub[order], type=pa.int64()),
+                }
+            )
+        # deletes present: exact df = all-alive dictionary dfs + per-term
+        # alive-masked decodes of the deleted segments; visit in upper-
+        # bound order so decoding can stop as soon as the next bound
+        # cannot displace the provisional k-th exact df
+        import heapq
+
+        pos = {str(t): i for i, t in enumerate(uniq)}
+        alive_base = np.zeros(uniq.size, dtype=np.int64)
+        for si, seg in enumerate(segs):
+            if not seg.all_alive:
+                continue
+            r = seg.reader
+            start, vocab = r.field_vocab(field)
+            if len(vocab) == 0:
+                continue
+            idx = np.array([pos[str(t)] for t in vocab], dtype=np.int64)
+            alive_base[idx] += r._df[start : start + len(vocab)].astype(
+                np.int64, copy=False
+            )
+        lazy_rows: list[tuple[int, object, dict]] = []
+        for si, seg, start in lazy:
+            _s, vocab = seg.reader.field_vocab(field)
+            lazy_rows.append(
+                (si, seg, {str(t): int(start + j) for j, t in enumerate(vocab)})
+            )
+        heap: list[int] = []  # min-heap of the k best exact dfs seen so far
+        exact_of: dict[str, int] = {}
+        for vi in np.lexsort((uniq, -ub)):
+            if len(heap) >= k and int(ub[vi]) < heap[0]:
+                break
+            term = str(uniq[vi])
+            df = int(alive_base[vi])
+            for si, seg, rows_map in lazy_rows:
+                row = rows_map.get(term)
+                if row is not None:
+                    df += len(self._decoded(si, seg, field, term, row)[0])
+            if df > 0:
+                exact_of[term] = df
+                if len(heap) < k:
+                    heapq.heappush(heap, df)
+                elif df > heap[0]:
+                    heapq.heapreplace(heap, df)
+        return rank_completions_table(exact_of, k)
+
     def date_histogram(
         self,
         query: str,

@@ -495,6 +495,24 @@ class _ShardActor:
         )
         return list(zip(t["term"].to_pylist(), t["df"].to_pylist()))
 
+    def top_terms_partial(
+        self, field: str, collection: str, k: int
+    ) -> list[tuple[str, int]]:
+        """This shard's top-``k`` (term, alive-df) rows under the
+        (df desc, term asc) rank — one TPUT round-1 partial."""
+        t = self.engine.top_terms(field=field, k=k, collection=collection)
+        return list(zip(t["term"].to_pylist(), t["df"].to_pylist()))
+
+    def dfs_for(
+        self, field: str, terms: list[str], collection: str
+    ) -> dict[str, int]:
+        """Exact alive-masked shard-local dfs for the given terms — the
+        TPUT round-2 lookup."""
+        dfs = self.engine.local_term_dfs(
+            sanitize_collection(collection), [(field, t) for t in terms]
+        )
+        return {t: df for (_f, t), df in dfs.items()}
+
     def facet_ranges_partial(
         self, query: str, ranges: list[tuple], value_source: str,
         collection: str,
@@ -746,6 +764,74 @@ class ShardedSearcherService:
             for g, u, s_, d in p:
                 groups.setdefault(g, []).append((u, s_, d))
         return rank_grouped_table(groups, group_limit, docs_per_group)
+
+    def top_terms(
+        self,
+        field: str | None = None,
+        k: int = 10,
+        collection: str = "default",
+    ) -> pa.Table:
+        """Cluster-wide highest-df terms — distributed exact top-k via the
+        TPUT protocol (Cao & Wang, PODC'04), NOT vocabulary-sized
+        partials: round 1 gathers each shard's local top-k' with its
+        threshold τ_s (the shard's k'-th df; 0 when the shard enumerated
+        its whole vocabulary), escalating k' until Σ τ_s < L (the k-th
+        largest partial-sum lower bound) so no UNSEEN term can reach the
+        top-k; round 2 fetches exact dfs only for the candidates whose
+        upper bound (known partials + τ_s of the shards that did not
+        report them) can still reach L.  Driver traffic is O(S·k' +
+        S·|candidates|) rows — never the vocabulary.  Identical to
+        SearchEngine.top_terms on the whole index (shards are
+        doc-disjoint, dfs add)."""
+        if k <= 0:
+            raise ValueError("k must be positive")
+        field = field or self.cfg.text_column
+        known_fields = {self.cfg.text_column, *self.cfg.field_columns}
+        if field not in known_fields:
+            raise ValueError(
+                f"unknown field {field!r} (indexed: {sorted(known_fields)})"
+            )
+        kp = max(k, 16)
+        while True:
+            parts = ray.get(
+                [a.top_terms_partial.remote(field, collection, kp)
+                 for a in self.actors]
+            )
+            taus = [
+                (p[-1][1] if len(p) >= kp else 0) for p in parts
+            ]
+            known: dict[str, int] = {}
+            for p in parts:
+                for t, df in p:
+                    known[t] = known.get(t, 0) + df
+            lower = sorted(known.values(), reverse=True)
+            L = lower[k - 1] if len(lower) >= k else 0
+            # strict <: an unseen term's df can EQUAL Σ τ_s and would tie
+            # into the (df desc, term asc) rank
+            if sum(taus) < L or all(t == 0 for t in taus):
+                break
+            if kp >= 2**31 - 1:
+                break  # full vocabularies fetched — nothing is unseen
+            kp = min(kp * 4, 2**31 - 1)
+        seen_by_shard = [set(t for t, _ in p) for p in parts]
+        cand = [
+            t for t, lo in known.items()
+            if lo + sum(
+                tau for s_seen, tau in zip(seen_by_shard, taus)
+                if t not in s_seen
+            ) >= L
+        ]
+        exact: dict[str, int] = {t: 0 for t in cand}
+        if cand:
+            lookups = ray.get(
+                [a.dfs_for.remote(field, cand, collection)
+                 for a in self.actors]
+            )
+            for lk in lookups:
+                for t, df in lk.items():
+                    exact[t] += df
+        exact = {t: df for t, df in exact.items() if df > 0}
+        return rank_completions_table(exact, k)
 
     def facet_ranges(
         self,
