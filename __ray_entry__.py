@@ -161,6 +161,8 @@ _MIX_WEIGHTS = {"src0": 8.0, "src1": 4.0, "src2": 2.0, "src3": 1.0}
 _MIX_TOTAL = 80
 # extended grammar (Q8-Q10): adjacent in the seeded corpus / typo of 'spark'
 _PHRASE_Q = '"spark merge"'
+# rescore second-pass query: overlaps the OR query on 'merge', adds 'stream'
+_RESCORE_Q = "merge stream"
 # dismax probe: 'spark' fires only in text, 'de' only in lang — plus any
 # text occurrences of 'de' the synthetic vocab produces
 _DISMAX_Q = "spark de"
@@ -666,6 +668,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ).sort_by("doc_id")
 
+    def search_rescore(sf_dir: str) -> pa.Table:
+        """Two-pass rescoring (Lucene QueryRescorer): top-window hits of
+        the OR query re-ranked by first + 0.5 · second where second is the
+        rescore query's BM25 over the window only.  The window here is the
+        FULL match set (limit=ALL) so the hash comparison has no top-k
+        boundary; windowed semantics are pinned by tests/test_rescore.py.
+        0.5 is exactly representable, so engine (numpy) and oracle
+        (DuckDB) compute bit-identical float64 combines."""
+        from lucene_plugin_ray.sources.pages import url_to_doc_id
+
+        engine, cfg = _engine_for(sf_dir)
+        res = engine.rescore(
+            _OR_Q, _RESCORE_Q, window_size=1_000_000_000, weight=0.5,
+            limit=1_000_000_000,
+        )
+        return pa.table(
+            {
+                "doc_id": url_to_doc_id(res["url"].combine_chunks()),
+                "score": pc.round(res["score"].combine_chunks(), ndigits=4),
+            }
+        ).sort_by("doc_id")
+
     def facet_ranges(sf_dir: str) -> pa.Table:
         """Numeric range faceting (LongRangeFacetCounts): per-range counts
         of docs matching 'spark' bucketed by analyzed doc_len — open,
@@ -709,6 +733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         "search_after": search_after,
+        "search_rescore": search_rescore,
         "facet_ranges": facet_ranges,
         "search_function": search_function,
         "top_terms": top_terms,
@@ -841,6 +866,17 @@ a AS (SELECT score FROM (
       WHERE rn = greatest(n // 3, 1))
 SELECT b.doc_id AS doc_id, b.score AS score FROM b, a
 WHERE b.score <= a.score ORDER BY doc_id
+"""
+    # two-pass rescore: first-pass BM25 (full match set, unrounded) plus
+    # 0.5 × the rescore query's BM25 where it matches — round-4 only on
+    # the combined value, mirroring the engine's combine-then-emit order
+    rescore_terms = analyze(_RESCORE_Q)
+    sql["search_rescore"] = f"""
+WITH s1 AS (SELECT doc_id, score FROM ({_bm25_sql(or_terms, round_to=None)})),
+s2 AS (SELECT doc_id, score FROM ({_bm25_sql(rescore_terms, round_to=None)}))
+SELECT s1.doc_id AS doc_id,
+       round(s1.score + 0.5 * coalesce(s2.score, 0.0), 4) AS score
+FROM s1 LEFT JOIN s2 USING (doc_id) ORDER BY doc_id
 """
     # highest-df terms: distinct-doc term counts, (df desc, term asc) top-25
     sql["top_terms"] = f"""

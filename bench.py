@@ -230,6 +230,14 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
         lambda: eng.search("spark merge window", limit=10, min_should_match=2),
         lambda: eng.search_grouped("spark merge", "source", docs_per_group=3),
         lambda: eng.complete("sp", k=10),
+        lambda: eng.rescore("spark merge", "window stream", window_size=100,
+                            weight=0.5, limit=10),
+        lambda: eng.search_after("spark merge", after_score=2.0,
+                                 after_url="", limit=10),
+        lambda: eng.top_terms(k=25),
+        lambda: eng.facet_ranges(
+            "spark", [("short", None, 40), ("long", 40, None)],
+        ),
     ]
     for op in aux_ops:  # warm the postings/dictionary caches
         op()

@@ -92,6 +92,16 @@ def main(argv: list[str] | None = None) -> int:
             s.add_argument("--query", required=True)
         if name == "facets":
             s.add_argument("--field", required=True)
+    s = sub.add_parser("rescore")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--rescore-query", required=True)
+    s.add_argument("--collection", default="default")
+    s.add_argument("--window", type=int, default=None)
+    s.add_argument("--weight", type=float, default=1.0)
+    s.add_argument("--limit", type=int, default=None)
+    s.add_argument("--partitions", type=int, default=32)
+    s.add_argument("--fields", default="")
     s = sub.add_parser("hybrid")
     s.add_argument("--index", required=True)
     s.add_argument("--query", required=True)
@@ -189,6 +199,16 @@ def main(argv: list[str] | None = None) -> int:
         t = eng.complete(args.prefix, collection=args.collection, k=args.k)
         for row in t.to_pylist():
             print(json.dumps(row))
+    elif args.cmd == "rescore":
+        from lucene_plugin_ray.pipelines.query import SearchEngine
+
+        eng = SearchEngine(args.index, cfg=cfg)
+        t = eng.rescore(
+            args.query, args.rescore_query, collection=args.collection,
+            window_size=args.window, weight=args.weight, limit=args.limit,
+        )
+        for url, score in zip(t["url"].to_pylist(), t["score"].to_pylist()):
+            print(json.dumps({"url": url, "score": round(score, 6)}))
     elif args.cmd == "hybrid":
         _ensure_ray()
         from lucene_plugin_ray.pipelines.hybrid import hybrid_search

@@ -294,6 +294,37 @@ class LuceneFacade:
             )
         ]
 
+    def rescore(
+        self,
+        collection: str,
+        query: str,
+        rescore_query: str,
+        window_size: int | None = None,
+        weight: float = 1.0,
+        limit: int | None = None,
+    ) -> list[LuceneEntry]:
+        """Two-pass rescoring — QueryRescorer analogue: the top
+        ``window_size`` hits of ``query`` re-ranked by
+        ``first + weight · second`` where second is ``rescore_query``'s
+        score over the window only (0 outside its match set)."""
+        _require(_valid_str(collection), "collection must be a non-empty string")
+        _require(_valid_str(query), "query must be a non-empty string")
+        _require(_valid_str(rescore_query),
+                 "rescore_query must be a non-empty string")
+        eng = self._lease_engine()
+        if eng is None:
+            return []
+        t = eng.rescore(
+            query, rescore_query, collection=collection,
+            window_size=window_size, weight=weight, limit=limit,
+        )
+        return [
+            LuceneEntry(id=int(d), score=float(s), external_id=u)
+            for d, s, u in zip(
+                t["docid"].to_pylist(), t["score"].to_pylist(), t["url"].to_pylist()
+            )
+        ]
+
     def count(self, collection: str, query: str) -> int:
         """Total matching live docs (IndexSearcher.count analogue) — the
         boolean-match twin of :meth:`search` with no scoring work."""
@@ -567,6 +598,22 @@ class AsyncLuceneFacade:
         return await asyncio.to_thread(
             self._sync.search_after,
             collection, query, after_score, after_url, limit,
+        )
+
+    async def rescore(
+        self,
+        collection: str,
+        query: str,
+        rescore_query: str,
+        window_size: int | None = None,
+        weight: float = 1.0,
+        limit: int | None = None,
+    ) -> list[LuceneEntry]:
+        import asyncio
+
+        return await asyncio.to_thread(
+            self._sync.rescore,
+            collection, query, rescore_query, window_size, weight, limit,
         )
 
     async def count(self, collection: str, query: str) -> int:

@@ -27,6 +27,7 @@ Both are tested rank-identical to each other and to the brute-force oracle.
 from __future__ import annotations
 
 import heapq
+import math
 from collections import OrderedDict
 
 import numpy as np
@@ -817,6 +818,137 @@ class SearchEngine:
             )
         )[:limit]
         return merged.take(pa.array(order))
+
+    def rescore(
+        self,
+        query: str,
+        rescore_query: str,
+        collection: str = "default",
+        window_size: int | None = None,
+        weight: float = 1.0,
+        limit: int | None = None,
+        include_first: bool = False,
+        global_stats: dict[str, dict] | None = None,
+        global_df: dict[tuple[str, str], int] | None = None,
+    ) -> pa.Table:
+        """Two-pass query rescoring — Lucene QueryRescorer
+        (org.apache.lucene.search.QueryRescorer, in the 5.2.1 line the
+        reference ships; cf. LuceneIndexBean.java:390-418 for the
+        single-pass search this refines).  Pass 1 takes the top
+        ``window_size`` hits of ``query`` under the engine's
+        (score desc, url asc) total order; pass 2 evaluates
+        ``rescore_query`` ONLY against that window and combines
+        ``final = first + weight · second`` (second = 0.0 when the window
+        doc is outside the rescore query's match set — Lucene's
+        combine(first, secondMatches, second) default).  Returns the top
+        ``limit`` (default: the window) window rows under
+        (final desc, url asc); docs outside the window never appear, so
+        an expensive rescore query (phrase, dismax, function…) is paid on
+        ≤ window_size candidates, not the corpus.
+
+        Pass 2 cost: only segments holding ≥ 1 window doc are scored, each
+        with one vectorized full-match TAAT pass (per-doc gather after —
+        the window docids are not known to the scorer's top-k).
+
+        ``global_stats``/``global_df`` follow the :meth:`search_partial`
+        injection contract for the sharded path; ``global_df`` must cover
+        the scored terms of BOTH queries (one merged map — phase 1 of each
+        query looks up only its own keys).  ``include_first`` adds a
+        ``first_score`` column (the sharded merge re-derives the global
+        window from it)."""
+        window_size = (
+            window_size if window_size is not None else self.cfg.result_limit
+        )
+        if window_size <= 0:
+            raise ValueError("window_size must be positive")
+        limit = limit if limit is not None else window_size
+        if limit <= 0:
+            raise ValueError("limit must be positive")
+        weight = float(weight)
+        if not math.isfinite(weight):
+            raise ValueError("weight must be finite")
+        coll = sanitize_collection(collection)
+        clauses1 = parse_query(query, default_field=self.cfg.text_column)
+        clauses2 = parse_query(
+            rescore_query, default_field=self.cfg.text_column
+        )
+        segs = self._segments.get(coll, [])
+        cols: dict = {
+            "url": pa.array([], pa.string()),
+            "score": pa.array([], pa.float64()),
+            "docid": pa.array([], pa.int64()),
+        }
+        if include_first:
+            cols["first_score"] = pa.array([], pa.float64())
+        empty = pa.table(cols)
+        if not clauses1 or not segs:
+            return empty
+        if global_stats is not None:
+            st = global_stats.get(coll, {"n_docs": 0, "sum_dl": {}})
+            n_docs = int(st["n_docs"])
+            avgdl = (
+                {f: s / n_docs for f, s in st["sum_dl"].items()}
+                if n_docs
+                else {}
+            )
+        else:
+            n_docs, avgdl = self._stats(coll)
+        if n_docs == 0:
+            return empty
+
+        # ---- pass 1: plain top-window search (exact, full precision)
+        first = self._execute(
+            clauses1, coll, window_size, "taat",
+            stats_override=(n_docs, avgdl), df_override=global_df,
+        )
+        if not first.num_rows:
+            return empty
+        w_urls = first["url"].to_numpy(zero_copy_only=False)
+        w_scores = first["score"].to_numpy()
+        w_docids = first["docid"].to_numpy()
+
+        # ---- pass 2: rescore-query scores gathered for window docs only.
+        # The join key is URL, not docid: docid ranges of different
+        # GENERATIONS overlap (doc_base = p · DOCID_STRIDE per partition,
+        # stages/segment_write.py:215), while each live url is emitted by
+        # exactly one segment's alive set — so url-equality gather across
+        # segments assigns at most one second score per window row.
+        second = np.zeros(len(w_docids), dtype=np.float64)
+        if clauses2:
+            cache2, rows2, df2 = self._phase1_df(clauses2, segs, global_df)
+            w_order = np.argsort(w_urls, kind="stable")
+            sorted_w = w_urls[w_order]
+            for si, seg in enumerate(segs):
+                r = seg.reader
+                # cheap membership probe: skip segments holding no window url
+                i = np.searchsorted(r.urls, sorted_w)
+                i_cl = np.minimum(i, r.n_docs - 1)
+                present = (i < r.n_docs) & (r.urls[i_cl] == sorted_w)
+                if not present.any():
+                    continue
+                t2 = self._score_segment_taat(
+                    si, seg, clauses2, cache2, rows2, df2, n_docs, avgdl,
+                    limit=r.n_docs,
+                )
+                if not t2.num_rows:
+                    continue
+                u2 = t2["url"].to_numpy(zero_copy_only=False)
+                s2 = t2["score"].to_numpy()
+                pos = np.searchsorted(sorted_w, u2)
+                pos_cl = np.minimum(pos, sorted_w.size - 1)
+                ok = sorted_w[pos_cl] == u2
+                second[w_order[pos_cl[ok]]] = s2[ok]
+
+        final = w_scores + weight * second
+        order = np.lexsort((w_urls, -final))[:limit]
+        out = {
+            "url": pa.array(w_urls[order], type=pa.string()),
+            "score": pa.array(final[order], type=pa.float64()),
+            "docid": pa.array(w_docids[order], type=pa.int64()),
+        }
+        if include_first:
+            out["first_score"] = pa.array(w_scores[order], type=pa.float64())
+        return pa.table(out)
 
     def _check_fields(self, fields: dict[str, float], tie: float) -> None:
         validate_dismax_fields(

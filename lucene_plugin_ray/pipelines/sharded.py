@@ -555,6 +555,28 @@ class _ShardActor:
         return list(zip(t["url"].to_pylist(), t["score"].to_pylist(),
                         t["docid"].to_pylist()))
 
+    def rescore_partial(
+        self, query: str, rescore_query: str, collection: str,
+        window_size: int, weight: float, global_stats: dict,
+        global_df: dict,
+    ) -> list[tuple[str, float, int, float]]:
+        """This shard's top-``window_size`` first-pass candidates with
+        their combined rescored values, scored with INJECTED global stats
+        → (url, combined, docid, first_score).  The GLOBAL first-pass
+        window is a subset of the union of per-shard windows under the
+        (first desc, url asc) total order, so the driver can re-derive it
+        from the ``first_score`` column losslessly; combined values for
+        docs outside the global window are simply discarded."""
+        t = self.engine.rescore(
+            query, rescore_query, collection=collection,
+            window_size=window_size, weight=weight, limit=window_size,
+            include_first=True, global_stats=global_stats,
+            global_df=global_df,
+        )
+        return list(zip(t["url"].to_pylist(), t["score"].to_pylist(),
+                        t["docid"].to_pylist(),
+                        t["first_score"].to_pylist()))
+
     def score(self, qlist: list[dict], method: str, global_stats: dict,
               global_df_by_coll: dict) -> list[dict]:
         rows = []
@@ -911,6 +933,75 @@ class ShardedSearcherService:
                 "url": pa.array(url[order], type=pa.string()),
                 "score": pa.array(score[order], type=pa.float64()),
                 "docid": pa.array(docid[order], type=pa.int64()),
+            }
+        )
+
+    def rescore(
+        self,
+        query: str,
+        rescore_query: str,
+        collection: str = "default",
+        window_size: int | None = None,
+        weight: float = 1.0,
+        limit: int | None = None,
+    ) -> pa.Table:
+        """Cluster-wide two-pass rescoring — QueryRescorer over the fleet,
+        identical to SearchEngine.rescore on the whole index: phase-1
+        global df gather covering BOTH queries' scored terms, per-shard
+        top-``window_size`` first-pass candidates rescored shard-side with
+        injected global stats, then the driver re-derives the GLOBAL
+        first-pass window under (first desc, url asc) — exact, since that
+        window ⊆ the union of per-shard windows under the total order —
+        and ranks it by (combined desc, url asc).  Driver traffic is
+        O(S · window_size) rows; the rescore query is never evaluated
+        outside each shard's own candidate set."""
+        import math as _math
+
+        window_size = (
+            window_size if window_size is not None else self.cfg.result_limit
+        )
+        if window_size <= 0:
+            raise ValueError("window_size must be positive")
+        limit = limit if limit is not None else window_size
+        if limit <= 0:
+            raise ValueError("limit must be positive")
+        weight = float(weight)
+        if not _math.isfinite(weight):
+            raise ValueError("weight must be finite")
+        sc = sanitize_collection(collection)
+        clauses1 = parse_query(query, default_field=self.cfg.text_column)
+        clauses2 = parse_query(
+            rescore_query, default_field=self.cfg.text_column
+        )
+        terms = {sc: sorted(
+            set(scored_term_keys(clauses1)) | set(scored_term_keys(clauses2))
+        )}
+        global_stats, global_df = self._gather_global(terms)
+        parts = ray.get(
+            [a.rescore_partial.remote(
+                query, rescore_query, collection, window_size, weight,
+                global_stats, global_df.get(sc, {}))
+             for a in self.actors]
+        )
+        rows = [r for p in parts for r in p]
+        if not rows:
+            return pa.table(
+                {"url": pa.array([], pa.string()),
+                 "score": pa.array([], pa.float64()),
+                 "docid": pa.array([], pa.int64())}
+            )
+        url = np.array([r[0] for r in rows], dtype=object)
+        combined = np.array([r[1] for r in rows], dtype=np.float64)
+        docid = np.array([r[2] for r in rows], dtype=np.int64)
+        first = np.array([r[3] for r in rows], dtype=np.float64)
+        window = np.lexsort((url, -first))[:window_size]
+        order = np.lexsort((url[window], -combined[window]))[:limit]
+        sel = window[order]
+        return pa.table(
+            {
+                "url": pa.array(url[sel], type=pa.string()),
+                "score": pa.array(combined[sel], type=pa.float64()),
+                "docid": pa.array(docid[sel], type=pa.int64()),
             }
         )
 

@@ -198,6 +198,28 @@ class LuceneHttpService:
             for e in entries
         ]
 
+    def _rescore(self, q: dict) -> list[dict]:
+        limit = self._limit_of(q)
+        try:
+            window = int(q["window"]) if q.get("window") else None
+        except ValueError:
+            raise LuceneException(f"window must be an integer: {q['window']!r}")
+        try:
+            weight = float(q.get("weight", "1.0"))
+        except ValueError:
+            raise LuceneException(f"weight must be a float: {q.get('weight')!r}")
+        with self._lock:
+            self._read_your_writes()
+            entries = self.facade.rescore(
+                q.get("collection", ""), q.get("query", ""),
+                q.get("rescore_query", ""), window_size=window,
+                weight=weight, limit=limit,
+            )
+        return [
+            {"_id": e.id, "_score": e.score, "_externalId": e.external_id}
+            for e in entries
+        ]
+
     def _limit_of(self, q: dict) -> int | None:
         try:
             return int(q["limit"]) if q.get("limit") else None
@@ -323,6 +345,7 @@ class LuceneHttpService:
     _GETS = {
         "search": _search,
         "search-after": _search_after,
+        "rescore": _rescore,
         "count": _count,
         "facets": _facets,
         "search-sorted": _search_sorted,
@@ -415,6 +438,17 @@ class LuceneHttpClient:
             {"collection": collection, "query": query,
              "after_score": after_score, "after_url": after_url,
              "limit": limit},
+        )
+
+    def rescore(
+        self, collection: str, query: str, rescore_query: str,
+        window: int = 255, weight: float = 1.0, limit: int = 255,
+    ) -> list[dict]:
+        return self._get(
+            "rescore",
+            {"collection": collection, "query": query,
+             "rescore_query": rescore_query, "window": window,
+             "weight": weight, "limit": limit},
         )
 
     def count(self, collection: str, query: str) -> int:
