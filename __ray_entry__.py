@@ -799,6 +799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_text": training.chunk_text,
         "text_clean": training.text_clean,
         "pii_redact": lambda sf: training.pii_redact(sf, inject=True),
+        "gopher_quality": lambda sf: training.gopher_quality(sf, inject=True),
         # iterative/stateful (tokenizer training) — no SQL oracle; referee
         # is the brute-force reference in tests/test_curation_ops.py
         "bpe_fit": lambda sf: training.bpe_fit(sf, n_merges=50),
@@ -1796,6 +1797,61 @@ FROM documents ORDER BY doc_id
     _pii_after_phone = (
         f"regexp_replace({_pii_after_email}, '{_pp}', '<PHONE>', 'g')"
     )
+    # Gopher-rules quality filter: identical deterministic injection in
+    # SQL (bullets %5 / ellipsis lines %7 / hash symbols %11 / numeric
+    # words %13 — pipelines/training.py::gopher_quality), ratios in
+    # integer micro units via floor(x*1e6 + 0.5) so numpy and DuckDB
+    # round identically, verdict = integer threshold compares
+    sql["gopher_quality"] = r"""
+WITH t AS (SELECT doc_id, text
+  || CASE WHEN doc_id % 5 = 0 THEN repeat(chr(10) || '- gopher bullet line', 12) ELSE '' END
+  || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'to be continued...' || chr(10) || 'more to come...' ELSE '' END
+  || CASE WHEN doc_id % 11 = 0 THEN ' # # # # # # # # #' ELSE '' END
+  || CASE WHEN doc_id % 13 = 0 THEN ' 00 11 22 33 44 55 66 77 88 99' ELSE '' END AS txt
+  FROM documents),
+w AS (SELECT doc_id, txt,
+        list_filter(string_split_regex(txt, '\s+'), x -> x <> '') AS words,
+        string_split(txt, chr(10)) AS lines
+      FROM t),
+m AS (SELECT doc_id,
+        len(words) AS n_words,
+        len(lines) AS n_lines,
+        coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS sum_len,
+        len(list_filter(words, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+        len(list_filter(lines, x -> x LIKE '- %')) AS n_bullet,
+        len(list_filter(lines, x -> x LIKE '%...')) AS n_ell_lines,
+        length(txt) - length(replace(txt, '#', '')) AS n_hash,
+        len(regexp_extract_all(txt, '\.\.\.')) AS n_esym,
+        (CASE WHEN list_contains(words, 'and') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(words, 'be') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(words, 'have') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(words, 'of') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(words, 'that') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(words, 'to') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(words, 'with') THEN 1 ELSE 0 END) AS req_stop_hits
+      FROM w) ,
+r AS (SELECT doc_id,
+        CAST(n_words AS BIGINT) AS n_words,
+        CAST(n_lines AS BIGINT) AS n_lines,
+        CAST(floor(sum_len * 1.0 / greatest(n_words, 1) * 1e6 + 0.5) AS BIGINT) AS mean_word_len_micro,
+        CAST(floor((n_hash + n_esym) * 1.0 / greatest(n_words, 1) * 1e6 + 0.5) AS BIGINT) AS symbol_ratio_micro,
+        CAST(floor(n_bullet * 1.0 / greatest(n_lines, 1) * 1e6 + 0.5) AS BIGINT) AS bullet_frac_micro,
+        CAST(floor(n_ell_lines * 1.0 / greatest(n_lines, 1) * 1e6 + 0.5) AS BIGINT) AS ellipsis_frac_micro,
+        CAST(floor(n_alpha * 1.0 / greatest(n_words, 1) * 1e6 + 0.5) AS BIGINT) AS alpha_frac_micro,
+        CAST(req_stop_hits AS BIGINT) AS req_stop_hits
+      FROM m)
+SELECT *,
+  CAST((n_words BETWEEN 50 AND 100000)
+   AND (mean_word_len_micro BETWEEN 3000000 AND 10000000)
+   AND (symbol_ratio_micro <= 100000)
+   AND (bullet_frac_micro <= 900000)
+   AND (ellipsis_frac_micro <= 300000)
+   AND (alpha_frac_micro >= 800000)
+   AND (req_stop_hits >= 2) AS BIGINT) AS passes
+FROM r ORDER BY doc_id
+"""
+
     sql["pii_redact"] = f"""
 SELECT doc_id,
        regexp_replace({_pii_after_phone}, '{_pi}', '<IP>', 'g') AS text_redacted,

@@ -5696,3 +5696,147 @@ def collocations(
              ("pmi_micro", pa.int64())]
         ),
     )
+
+
+# required-stop-word rule of the Gopher quality filter (Rae et al. 2021,
+# "Scaling Language Models: ... Gopher", §A1.1): a document must contain at
+# least 2 of these 8 words to pass
+_GOPHER_REQUIRED_STOPS = ("and", "be", "have", "of", "that", "the", "to", "with")
+_GOPHER_BULLET_SUFFIX = "\n- gopher bullet line" * 12
+_GOPHER_ELLIPSIS_SUFFIX = "\nto be continued...\nmore to come..."
+_GOPHER_HASH_SUFFIX = " # # # # # # # # #"
+_GOPHER_NUMERIC_SUFFIX = " 00 11 22 33 44 55 66 77 88 99"
+
+
+def gopher_quality(
+    sf_dir: str, output_path: str | None = None, inject: bool = False
+) -> pa.Table | None:
+    """Gopher-rules quality filter (Rae et al. 2021 §A1.1 — the public rule
+    set used by Gopher/MassiveText and its descendants): per document the
+    rule inputs and the pass/fail verdict —
+
+      1. word count in [50, 100_000]          (words = ``\\s+`` split, non-empty)
+      2. mean word length in [3, 10]
+      3. symbol-to-word ratio ≤ 0.1           (symbols = '#' chars + '...' runs)
+      4. ≤ 90% of lines start with a bullet   ('- ' prefix)
+      5. ≤ 30% of lines end with an ellipsis  ('...' suffix)
+      6. ≥ 80% of words contain ≥ 1 [a-z] character
+      7. ≥ 2 distinct required stop words present
+         (:data:`_GOPHER_REQUIRED_STOPS`)
+
+    Fully map-side (one pass over the text, vectorized word/line splits, no
+    shuffle); at 100 TB the verdict table streams to ``output_path``
+    partitioned Parquet and feeds the curation keep-set.
+
+    ``inject=True`` first appends deterministic ``doc_id``-derived suffixes
+    (bullet lines at %5, ellipsis lines at %7, hash symbols at %11, numeric
+    words at %13) — the shipped corpus is single-line lowercase word soup,
+    so rules 3-6 would be vacuous without them; the DuckDB oracle performs
+    the identical append in SQL, keeping the hash comparison meaningful.
+
+    All ratios are emitted in integer MICRO units (floor(x·1e6 + 0.5) —
+    half-away rounding, which DuckDB reproduces bit-for-bit, unlike
+    np.round's banker's rule) and the threshold comparisons run on those
+    integers on both the engine and the oracle side.  Output: (doc_id,
+    n_words, n_lines, mean_word_len_micro, symbol_ratio_micro,
+    bullet_frac_micro, ellipsis_frac_micro, alpha_frac_micro,
+    req_stop_hits, passes) by doc_id."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _rules(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch["text"].combine_chunks(), pa.string())
+        n = len(text)
+        doc_id = (
+            batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        if inject:
+            text = pc.binary_join_element_wise(
+                text,
+                pa.array(np.where(doc_id % 5 == 0, _GOPHER_BULLET_SUFFIX, "")),
+                pa.array(np.where(doc_id % 7 == 0, _GOPHER_ELLIPSIS_SUFFIX, "")),
+                pa.array(np.where(doc_id % 11 == 0, _GOPHER_HASH_SUFFIX, "")),
+                pa.array(np.where(doc_id % 13 == 0, _GOPHER_NUMERIC_SUFFIX, "")),
+                "",
+            )
+        # ---- words: \s+ split, empties dropped (mirrors the SQL filter)
+        words = pc.split_pattern_regex(text, pattern=r"\s+")
+        wlens = np.nan_to_num(
+            pc.list_value_length(words).to_numpy(zero_copy_only=False), nan=0
+        ).astype(np.int64)
+        wpar = np.repeat(np.arange(n, dtype=np.int64), wlens)
+        wflat = pc.list_flatten(words)
+        nonempty = pc.not_equal(wflat, "").to_numpy(zero_copy_only=False)
+        wchars = pc.utf8_length(wflat).to_numpy(zero_copy_only=False)
+        has_alpha = pc.match_substring_regex(wflat, "[a-z]").to_numpy(
+            zero_copy_only=False
+        )
+        n_words = np.bincount(wpar[nonempty], minlength=n).astype(np.int64)
+        sum_len = np.bincount(
+            wpar[nonempty], weights=wchars[nonempty], minlength=n
+        )
+        n_alpha = np.bincount(wpar[nonempty & has_alpha], minlength=n)
+        req = np.zeros(n, dtype=np.int64)
+        for w in _GOPHER_REQUIRED_STOPS:  # 8 fixed kernels, distinct presence
+            eq = pc.equal(wflat, w).to_numpy(zero_copy_only=False)
+            req += (np.bincount(wpar[eq], minlength=n) > 0).astype(np.int64)
+        # ---- lines: raw \n split (empty lines count, mirroring the SQL)
+        lines = pc.split_pattern(text, pattern="\n")
+        llens = np.nan_to_num(
+            pc.list_value_length(lines).to_numpy(zero_copy_only=False), nan=0
+        ).astype(np.int64)
+        lpar = np.repeat(np.arange(n, dtype=np.int64), llens)
+        lflat = pc.list_flatten(lines)
+        bullet = pc.starts_with(lflat, pattern="- ").to_numpy(zero_copy_only=False)
+        ell_end = pc.ends_with(lflat, pattern="...").to_numpy(zero_copy_only=False)
+        n_lines = np.bincount(lpar, minlength=n).astype(np.int64)
+        n_bullet = np.bincount(lpar[bullet], minlength=n)
+        n_ell_lines = np.bincount(lpar[ell_end], minlength=n)
+        # ---- symbols over the raw text (hash chars + non-overlapping '...')
+        n_hash = pc.count_substring(text, pattern="#").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        n_esym = pc.count_substring(text, pattern="...").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        denw = np.maximum(n_words, 1).astype(np.float64)
+        denl = np.maximum(n_lines, 1).astype(np.float64)
+        # ratios in integer MICRO units via floor(x*1e6 + 0.5): half-away
+        # rounding a DuckDB CAST(floor(...) AS BIGINT) reproduces bit-for-bit
+        # (np.round's banker's rule diverges at exact 1e-6 halves — measured
+        # on the shipped corpus, doc 465), and the threshold comparisons
+        # below become exact integer compares on both sides
+        def _micro(x: np.ndarray) -> np.ndarray:
+            return np.floor(x * 1e6 + 0.5).astype(np.int64)
+
+        mwl = _micro(sum_len / denw)
+        sym = _micro((n_hash + n_esym) / denw)
+        bfr = _micro(n_bullet / denl)
+        efr = _micro(n_ell_lines / denl)
+        afr = _micro(n_alpha / denw)
+        passes = (
+            (n_words >= 50) & (n_words <= 100_000)
+            & (mwl >= 3_000_000) & (mwl <= 10_000_000)
+            & (sym <= 100_000)
+            & (bfr <= 900_000)
+            & (efr <= 300_000)
+            & (afr >= 800_000)
+            & (req >= 2)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_id, type=pa.int64()),
+                "n_words": pa.array(n_words, type=pa.int64()),
+                "n_lines": pa.array(n_lines, type=pa.int64()),
+                "mean_word_len_micro": pa.array(mwl, type=pa.int64()),
+                "symbol_ratio_micro": pa.array(sym, type=pa.int64()),
+                "bullet_frac_micro": pa.array(bfr, type=pa.int64()),
+                "ellipsis_frac_micro": pa.array(efr, type=pa.int64()),
+                "alpha_frac_micro": pa.array(afr, type=pa.int64()),
+                "req_stop_hits": pa.array(req, type=pa.int64()),
+                "passes": pa.array(passes.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(_rules, batch_format="pyarrow", zero_copy_batch=True)
+    return _sink_or_table(out, output_path, "doc_id")

@@ -921,3 +921,97 @@ def test_collocations_pmi_ordering(ray_session, tmp_path):
     assert got.loc["new york", "pmi_micro"] > got.loc["and the", "pmi_micro"]
     with pytest.raises(ValueError):
         training.collocations(str(d), min_count=0)
+
+
+# ---------------------------------------------------------------- gopher ----
+
+_GQ_PASS_TEXT = ("the cat and dog that ran with joy over every green hill " * 6).strip()
+# 72 words, all alphabetic, mean len in [3,10], >=2 required stops, no
+# symbols/bullets/ellipses -> passes every rule
+
+
+def _gq_corpus(tmp_path_factory, docs):
+    d = tmp_path_factory.mktemp("gopher")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    return str(d)
+
+
+def test_gopher_quality_rules(ray_session, tmp_path_factory):
+    """Each Gopher rule flips the verdict in isolation, pinned by hand."""
+    docs = [
+        (1, _GQ_PASS_TEXT),                           # passes everything
+        (2, "the cat and dog sat"),                   # rule 1: < 50 words
+        (3, " ".join(["of an we is"] * 20)),          # rule 2: mean len 2.0 < 3
+        (4, _GQ_PASS_TEXT + " " + " ".join(["#"] * 9)),   # rule 3: 9/81 > 0.1
+        (5, _GQ_PASS_TEXT + "\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j\n- k"),
+                                                      # rule 4: 10/11 > 0.9
+        (6, _GQ_PASS_TEXT + "\nend one...\nend two..."),  # rule 5: 2/3 > 0.3
+        (7, " ".join([_GQ_PASS_TEXT] + ["123"] * 20)),    # rule 6: 72/92 < 0.8
+        (8, ("zebra quill mosaic vortex " * 15).strip()),  # rule 7: 0 req stops
+        (9, ""),                                      # empty: fails rule 1
+    ]
+    t = training.gopher_quality(_gq_corpus(tmp_path_factory, docs))
+    by = {r["doc_id"]: r for r in t.to_pylist()}
+    assert by[1]["passes"] == 1
+    for d in (2, 3, 4, 5, 6, 7, 8, 9):
+        assert by[d]["passes"] == 0, d
+    # rule inputs pinned
+    assert by[1]["n_words"] == 72 and by[1]["req_stop_hits"] >= 2
+    assert by[3]["mean_word_len_micro"] == 2_000_000
+    assert by[4]["symbol_ratio_micro"] == 111_111  # floor(9/81*1e6+0.5)
+    assert by[5]["n_lines"] == 11 and by[5]["bullet_frac_micro"] > 900_000
+    assert by[6]["ellipsis_frac_micro"] == 666_667  # floor(2/3*1e6+0.5)
+    assert by[7]["alpha_frac_micro"] < 800_000
+    assert by[8]["req_stop_hits"] == 0
+    assert by[9]["n_words"] == 0 and by[9]["n_lines"] == 1
+
+
+def test_gopher_quality_symbol_and_ellipsis_counting(ray_session, tmp_path_factory):
+    """'....' counts as ONE non-overlapping ellipsis on both sides; '#'
+    counts per character; ellipsis-ended lines also count as symbols."""
+    docs = [(1, "a b\nword....\nc # tag ##")]
+    t = training.gopher_quality(_gq_corpus(tmp_path_factory, docs))
+    r = t.to_pylist()[0]
+    # words: a b word.... c # tag ## -> 7 words; symbols: 3 hashes + 1 '...'
+    assert r["n_words"] == 7
+    assert r["symbol_ratio_micro"] == int(round(4 / 7 * 1e6))
+    assert r["ellipsis_frac_micro"] == int(round(1 / 3 * 1e6))
+
+
+def test_gopher_quality_injection_deterministic(ray_session, tmp_path_factory):
+    """inject=True appends the documented suffixes at the doc_id residues —
+    verified against a literal Python recompute of doc 35 (bullets AND
+    ellipsis lines stack in order)."""
+    base = _GQ_PASS_TEXT
+    docs = [(35, base), (36, base)]
+    d = _gq_corpus(tmp_path_factory, docs)
+    t = training.gopher_quality(d, inject=True)
+    by = {r["doc_id"]: r for r in t.to_pylist()}
+    injected = (
+        base
+        + "\n- gopher bullet line" * 12
+        + "\nto be continued...\nmore to come..."
+    )
+    lines = injected.split("\n")
+    words = [w for w in injected.split() if w]
+    assert by[35]["n_lines"] == len(lines) == 15
+    assert by[35]["n_words"] == len(words)
+    assert by[35]["bullet_frac_micro"] == int(12 / 15 * 1e6 + 0.5)
+    assert by[36]["n_lines"] == 1  # residue misses every injection
+    assert by[36]["passes"] == 1
+
+
+def test_gopher_quality_sink(ray_session, tmp_path_factory, tmp_path):
+    d = _gq_corpus(tmp_path_factory, [(1, _GQ_PASS_TEXT)])
+    out = tmp_path / "gq_out"
+    assert training.gopher_quality(d, output_path=str(out)) is None
+    got = pq.read_table(str(out))
+    assert got.num_rows == 1 and got.to_pylist()[0]["passes"] == 1
