@@ -668,6 +668,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ).sort_by("doc_id")
 
+    def search_sorted_after(sf_dir: str) -> pa.Table:
+        """Sorted deep pagination (searchAfter(FieldDoc) analogue): the OR
+        query's recency-ordered hits STRICTLY after the row at global rank
+        max(1, n//3) under (warc_ts desc, url asc).  warc_ts is unique in
+        the driver corpus (epoch + doc_id µs), so the engine's (ts, url)
+        anchor and the oracle's ts-threshold select the same page and the
+        rank column is tie-free; tie semantics are pinned by
+        tests/test_search_after.py fixtures instead."""
+        from lucene_plugin_ray.sources.pages import url_to_doc_id
+
+        engine, cfg = _engine_for(sf_dir)
+        full = engine.search_sorted(_OR_Q, limit=1_000_000_000)
+        pos = max(1, full.num_rows // 3) - 1
+        res = engine.search_sorted(
+            _OR_Q, limit=1_000_000_000,
+            after_ts=full["warc_ts"][pos].as_py(),
+            after_url=full["url"][pos].as_py(),
+        )
+        return pa.table(
+            {
+                "doc_id": url_to_doc_id(res["url"].combine_chunks()),
+                "ts_us": res["warc_ts"].combine_chunks(),
+                "rank": pa.array(range(1, res.num_rows + 1), pa.int64()),
+            }
+        ).sort_by("doc_id")
+
     def search_rescore(sf_dir: str) -> pa.Table:
         """Two-pass rescoring (Lucene QueryRescorer): top-window hits of
         the OR query re-ranked by first + 0.5 · second where second is the
@@ -733,6 +759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         "search_after": search_after,
+        "search_sorted_after": search_sorted_after,
         "search_rescore": search_rescore,
         "facet_ranges": facet_ranges,
         "search_function": search_function,
@@ -1319,6 +1346,23 @@ s AS (SELECT doc_id, CAST(1600000000000000 + doc_id AS BIGINT) AS ts_us FROM m)
 SELECT doc_id, ts_us,
        CAST(row_number() OVER (ORDER BY ts_us DESC, doc_id ASC) AS BIGINT) AS rank
 FROM s ORDER BY doc_id
+"""
+
+    # sorted deep pagination: anchor = ts at global recency rank n//3,
+    # page = strictly-older rows (ts unique in this corpus), rank within
+    # the page
+    sql["search_sorted_after"] = f"""
+{_toks_cte()},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({or_inlist})),
+s AS (SELECT doc_id, CAST(1600000000000000 + doc_id AS BIGINT) AS ts_us FROM m),
+cnt AS (SELECT count(*) AS c FROM s),
+a AS (SELECT ts_us FROM (
+        SELECT ts_us, row_number() OVER (ORDER BY ts_us DESC, doc_id ASC) AS rn
+        FROM s)
+      WHERE rn = greatest((SELECT c FROM cnt) // 3, 1))
+SELECT s.doc_id AS doc_id, s.ts_us AS ts_us,
+       CAST(row_number() OVER (ORDER BY s.ts_us DESC, s.doc_id ASC) AS BIGINT) AS rank
+FROM s, a WHERE s.ts_us < a.ts_us ORDER BY doc_id
 """
 
     # spell suggestion: vocab terms within DL<=2 of the probe, df-ranked

@@ -490,16 +490,21 @@ class LuceneFacade:
         query: str,
         limit: int | None = None,
         descending: bool = True,
+        after_ts: int | None = None,
+        after_url: str = "",
     ) -> list[dict]:
         """Sort-by-field search (warc_ts recency order) → [{id,
-        external_id, ts_us}]; see SearchEngine.search_sorted."""
+        external_id, ts_us}]; see SearchEngine.search_sorted.  The optional
+        (after_ts, after_url) anchor pages strictly past the previous
+        page's last row — searchAfter(FieldDoc)."""
         _require(_valid_str(collection), "collection must be a non-empty string")
         _require(_valid_str(query), "query must be a non-empty string")
         eng = self._lease_engine()
         if eng is None:
             return []
         t = eng.search_sorted(
-            query, collection=collection, limit=limit, descending=descending
+            query, collection=collection, limit=limit, descending=descending,
+            after_ts=after_ts, after_url=after_url,
         )
         return [
             {"id": int(d), "external_id": u, "ts_us": int(ts)}
@@ -651,11 +656,14 @@ class AsyncLuceneFacade:
         query: str,
         limit: int | None = None,
         descending: bool = True,
+        after_ts: int | None = None,
+        after_url: str = "",
     ) -> list[dict]:
         import asyncio
 
         return await asyncio.to_thread(
-            self._sync.search_sorted, collection, query, limit, descending
+            self._sync.search_sorted, collection, query, limit, descending,
+            after_ts, after_url,
         )
 
     async def snippets(

@@ -1046,6 +1046,8 @@ class SearchEngine:
         sort_field: str = "warc_ts",
         limit: int | None = None,
         descending: bool = True,
+        after_ts: int | None = None,
+        after_url: str = "",
     ) -> pa.Table:
         """Sort-by-field search — Lucene IndexSearcher.search(q, n,
         Sort(SortField("warc_ts", LONG, reverse))): matching is boolean
@@ -1055,13 +1057,25 @@ class SearchEngine:
         same argument as the BM25 path).  ``warc_ts`` is the engine's one
         stored sortable doc value (the recency sort a web index actually
         serves); other fields raise loudly.  Returns (url, warc_ts, docid),
-        warc_ts as int64 epoch-µs."""
+        warc_ts as int64 epoch-µs.
+
+        ``after_ts``/``after_url`` add sorted deep pagination — the
+        searchAfter(FieldDoc) analogue: only hits STRICTLY after the
+        anchor under the (warc_ts desc|asc, url asc) total order are
+        returned, so pages concatenate to ``search_sorted(limit=Σ)``
+        exactly (integer sort keys — no float-precision caveat).  The
+        anchor predicate composes with the same total order the truncation
+        uses, so per-segment post-anchor truncation stays lossless."""
         if sort_field != "warc_ts":
             raise ValueError(
                 f"unsupported sort field {sort_field!r}: 'warc_ts' is the "
                 "only stored sortable doc value"
             )
         limit = limit if limit is not None else self.cfg.result_limit
+        if after_ts is not None:
+            after_ts = int(after_ts)
+            if not isinstance(after_url, str):
+                raise ValueError("after_url must be a string")
         coll = sanitize_collection(collection)
         clauses = parse_query(query, default_field=self.cfg.text_column)
         segs = self._segments.get(coll, [])
@@ -1078,6 +1092,12 @@ class SearchEngine:
             r = seg.reader
             ts = r.warc_ts[matched].astype(np.int64, copy=False)
             urls = r.urls[matched]
+            if after_ts is not None:
+                strict = ts < after_ts if descending else ts > after_ts
+                keep = strict | ((ts == after_ts) & (urls > after_url))
+                matched, ts, urls = matched[keep], ts[keep], urls[keep]
+                if matched.size == 0:
+                    continue
             order = np.lexsort((urls, -ts if descending else ts))
             order = order[: min(limit, order.size)]
             parts.append(

@@ -439,13 +439,17 @@ class _ShardActor:
                         t["vsum"].to_pylist()))
 
     def sorted_partial(
-        self, query: str, collection: str, limit: int, descending: bool
+        self, query: str, collection: str, limit: int, descending: bool,
+        after_ts: int | None = None, after_url: str = "",
     ) -> list[tuple[str, int, int]]:
         """This shard's (url, warc_ts, docid) top-``limit`` under the
         recency total order — per-shard truncation merges exactly on the
-        driver (same argument as the BM25 top-k merge)."""
+        driver (same argument as the BM25 top-k merge; with an anchor the
+        predicate composes with the total order, so post-anchor truncation
+        stays lossless, the search_after argument)."""
         t = self.engine.search_sorted(
-            query, collection=collection, limit=limit, descending=descending
+            query, collection=collection, limit=limit, descending=descending,
+            after_ts=after_ts, after_url=after_url,
         )
         return list(zip(t["url"].to_pylist(), t["warc_ts"].to_pylist(),
                         t["docid"].to_pylist()))
@@ -661,13 +665,21 @@ class ShardedSearcherService:
         collection: str = "default",
         limit: int | None = None,
         descending: bool = True,
+        after_ts: int | None = None,
+        after_url: str = "",
     ) -> pa.Table:
         """Cluster-wide recency-sorted search: per-shard top-``limit``
         under the (warc_ts, url) total order, exact driver merge — same
-        contract as SearchEngine.search_sorted."""
+        contract as SearchEngine.search_sorted incl. the
+        searchAfter(FieldDoc) anchor for sorted deep pagination."""
         limit = limit if limit is not None else self.cfg.result_limit
+        if after_ts is not None:
+            after_ts = int(after_ts)
+            if not isinstance(after_url, str):
+                raise ValueError("after_url must be a string")
         parts = ray.get(
-            [a.sorted_partial.remote(query, collection, limit, descending)
+            [a.sorted_partial.remote(query, collection, limit, descending,
+                                     after_ts, after_url)
              for a in self.actors]
         )
         rows = [r for p in parts for r in p]

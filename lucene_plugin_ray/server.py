@@ -249,6 +249,14 @@ class LuceneHttpService:
         if order not in ("asc", "desc"):
             # a typo must not silently invert the requested sort
             raise LuceneException(f"order must be 'asc' or 'desc': {order!r}")
+        after_ts = None
+        if q.get("after_ts"):
+            try:
+                after_ts = int(q["after_ts"])
+            except ValueError:
+                raise LuceneException(
+                    f"after_ts must be an integer: {q['after_ts']!r}"
+                )
         with self._lock:
             self._read_your_writes()
             return self.facade.search_sorted(
@@ -256,6 +264,8 @@ class LuceneHttpService:
                 q.get("query", ""),
                 limit=limit,
                 descending=order != "asc",
+                after_ts=after_ts,
+                after_url=q.get("after_url", ""),
             )
 
     def _more_like_this(self, q: dict) -> list[dict]:
@@ -462,13 +472,15 @@ class LuceneHttpClient:
         )
 
     def search_sorted(
-        self, collection: str, query: str, limit: int = 255, order: str = "desc"
+        self, collection: str, query: str, limit: int = 255,
+        order: str = "desc", after_ts: int | None = None, after_url: str = "",
     ) -> list[dict]:
-        return self._get(
-            "search-sorted",
-            {"collection": collection, "query": query, "limit": limit,
-             "order": order},
-        )
+        params = {"collection": collection, "query": query, "limit": limit,
+                  "order": order}
+        if after_ts is not None:
+            params["after_ts"] = after_ts
+            params["after_url"] = after_url
+        return self._get("search-sorted", params)
 
     def explain(self, collection: str, query: str, ext_id: str) -> dict:
         return self._get(

@@ -164,3 +164,121 @@ def test_facade_and_http_round_trip(ray_session, tmp_path):
             client.search_after("default", "alpha", float("nan"), "u")
     finally:
         service.shutdown()
+
+
+# ------------------------- sorted pagination (searchAfter(FieldDoc)) --------
+
+
+def _sorted_paginate(eng, query, page, max_rows, descending=True):
+    pages = []
+    pg = eng.search_sorted(query, limit=page, descending=descending)
+    while pg.num_rows:
+        pages.append(pg)
+        if sum(p.num_rows for p in pages) >= max_rows:
+            break
+        last = pg.num_rows - 1
+        pg = eng.search_sorted(
+            query, limit=page, descending=descending,
+            after_ts=pg["warc_ts"][last].as_py(),
+            after_url=pg["url"][last].as_py(),
+        )
+    return pa.concat_tables(pages) if pages else pg
+
+
+@pytest.mark.parametrize("descending", [True, False])
+def test_sorted_pages_concatenate(built, descending):
+    """Sorted pages anchored on (warc_ts, url) concatenate to
+    search_sorted(limit=ALL) exactly — integer keys, bit-for-bit."""
+    _root, _cfg, eng = built
+    full = eng.search_sorted("w00001", limit=1_000_000, descending=descending)
+    assert full.num_rows > 5
+    for page in (1, 4, 9):
+        cat = _sorted_paginate(eng, "w00001", page, full.num_rows, descending)
+        assert cat.equals(full), (page, descending)
+
+
+def test_sorted_after_tie_resumes_by_url(ray_session, tmp_path):
+    """Docs sharing a warc_ts are ordered url-asc; an anchor INSIDE the tie
+    run resumes at the next url, not the next timestamp."""
+    from lucene_plugin_ray.pipelines.build import build_index
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+
+    base = make_pages(8, seed=17)
+    # collapse every warc_ts to one value -> the whole match set is one tie
+    ts = pa.array([1_600_000_000_000_000] * base.num_rows,
+                  type=base["warc_ts"].type)
+    tied = base.set_column(base.schema.get_field_index("warc_ts"), "warc_ts", ts)
+    cfg = IndexConfig(index_root=str(tmp_path / "idx"), num_partitions=2)
+    build_index(tied, cfg)
+    eng = SearchEngine(cfg.index_root, cfg=cfg)
+    full = eng.search_sorted("w00001 w00002 w00003", limit=1_000_000)
+    assert full.num_rows >= 3
+    urls = full["url"].to_pylist()
+    assert urls == sorted(urls), "tie run must be url-asc"
+    mid = full.num_rows // 2
+    nxt = eng.search_sorted(
+        "w00001 w00002 w00003", limit=1_000_000,
+        after_ts=full["warc_ts"][mid].as_py(),
+        after_url=full["url"][mid].as_py(),
+    )
+    assert nxt["url"].to_pylist() == urls[mid + 1:]
+
+
+def test_sorted_after_sharded_identity(built):
+    from lucene_plugin_ray.pipelines.sharded import ShardedSearcherService
+
+    root, cfg, eng = built
+    svc = ShardedSearcherService(root, cfg=cfg, num_shards=3)
+    try:
+        full = eng.search_sorted("w00001 w00002", limit=1_000_000)
+        pos = full.num_rows // 3
+        a_ts = full["warc_ts"][pos].as_py()
+        a_url = full["url"][pos].as_py()
+        for limit in (5, 50, 1_000_000):
+            single = eng.search_sorted(
+                "w00001 w00002", limit=limit, after_ts=a_ts, after_url=a_url
+            )
+            fleet = svc.search_sorted(
+                "w00001 w00002", limit=limit, after_ts=a_ts, after_url=a_url
+            )
+            assert fleet.equals(single), limit
+        with pytest.raises(ValueError):
+            svc.search_sorted("a", after_ts=1, after_url=7)  # type: ignore[arg-type]
+    finally:
+        svc.shutdown()
+
+
+def test_sorted_after_validation_and_http(ray_session, tmp_path):
+    from lucene_plugin_ray.server import LuceneHttpClient, LuceneHttpService
+
+    cfg = IndexConfig(index_root=str(tmp_path / "idx"), num_partitions=2)
+    service = LuceneHttpService(cfg, host="127.0.0.1", port=0).start()
+    facade = service.facade
+    for i in range(20):
+        facade.index_text("default", f"doc{i:02d}", f"alpha gam{i % 3}")
+    facade.commit()
+    rows = facade.search_sorted("default", "alpha", limit=1_000_000)
+    assert len(rows) == 20
+    mid = rows[9]
+    rest = facade.search_sorted(
+        "default", "alpha", after_ts=mid["ts_us"], after_url=mid["external_id"]
+    )
+    assert [r["external_id"] for r in rest] == [
+        r["external_id"] for r in rows[10:]
+    ]
+    with pytest.raises(ValueError):
+        facade.search_sorted("default", "alpha", after_ts=5, after_url=3)  # type: ignore[arg-type]
+    try:
+        client = LuceneHttpClient(service.url)
+        h = client.search_sorted("default", "alpha", after_ts=mid["ts_us"],
+                                 after_url=mid["external_id"])
+        assert [r["external_id"] for r in h] == [
+            r["external_id"] for r in rest
+        ]
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError):
+            client._get("search-sorted", {"collection": "default",
+                                          "query": "alpha", "after_ts": "zz"})
+    finally:
+        service.shutdown()
