@@ -668,6 +668,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ).sort_by("doc_id")
 
+    def check_index_q(sf_dir: str) -> pa.Table:
+        """CheckIndex sweep (rows-only — validates the engine's own build
+        artifacts, not a SQL-expressible relation): every segment of the
+        driver index passes the full invariant suite; output is the
+        deterministic per-segment (collection, partition, n_docs, n_terms,
+        n_postings, ok) census."""
+        from lucene_plugin_ray.pipelines.check import check_index
+
+        _engine, cfg = _engine_for(sf_dir)
+        t = check_index(cfg.index_root)
+        return t.select(
+            ["collection", "partition", "generation", "n_docs", "n_terms",
+             "n_postings", "ok"]
+        ).sort_by([("generation", "ascending"), ("partition", "ascending")])
+
     def search_sorted_after(sf_dir: str) -> pa.Table:
         """Sorted deep pagination (searchAfter(FieldDoc) analogue): the OR
         query's recency-ordered hits STRICTLY after the row at global rank
@@ -760,6 +775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "search_after": search_after,
         "search_sorted_after": search_sorted_after,
+        "check_index": check_index_q,
         "search_rescore": search_rescore,
         "facet_ranges": facet_ranges,
         "search_function": search_function,

@@ -118,6 +118,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--fields", default="")
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=8080)
+    s = sub.add_parser("check")
+    s.add_argument("--index", required=True)
+    s.add_argument("--generation", type=int, default=None)
+    s.add_argument("--partitions", type=int, default=32)
+    s.add_argument("--fields", default="")
     args = p.parse_args(argv)
 
     cfg = _cfg(args)
@@ -219,6 +224,16 @@ def main(argv: list[str] | None = None) -> int:
                           qvec_id=args.qvec_id, k=args.k, k_leg=args.k_leg)
         for row in t.to_pylist():
             print(json.dumps(row))
+    elif args.cmd == "check":
+        _ensure_ray()
+        from lucene_plugin_ray.pipelines.check import check_index
+
+        t = check_index(cfg.index_root, generation=args.generation)
+        bad = 0
+        for row in t.to_pylist():
+            print(json.dumps(row))
+            bad += 0 if row["ok"] else 1
+        return 0 if bad == 0 else 1
     elif args.cmd == "serve":
         _ensure_ray()
         from lucene_plugin_ray.server import LuceneHttpService
