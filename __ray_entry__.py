@@ -846,6 +846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iterative/stateful (tokenizer training) — no SQL oracle; referee
         # is the brute-force reference in tests/test_curation_ops.py
         "bpe_fit": lambda sf: training.bpe_fit(sf, n_merges=50),
+        "bpe_encode": lambda sf: training.bpe_encode(sf, n_merges=50),
         "dataset_split": training.dataset_split,
         "decontaminate": training.decontaminate,
         "events_props_extract": training.events_props_extract,

@@ -5840,3 +5840,119 @@ def gopher_quality(
 
     out = ds.map_batches(_rules, batch_format="pyarrow", zero_copy_batch=True)
     return _sink_or_table(out, output_path, "doc_id")
+
+
+class _BpeEncoder:
+    """Actor-pool BPE encoder: the merge table (rank-ordered) and a
+    word→token-count cache live once per actor (__init__), batches reuse
+    them (__call__) — the stateful-stage shape.  Encoding uses the
+    TRAINER'S own semantics (the sequential rank sweep of
+    :func:`bpe_fit`'s merge loop: each merge applied once, all occurrences
+    simultaneously, ranks ascending), so for every word in the training
+    histogram ``encode(word)`` reproduces the trainer's final symbol
+    sequence exactly — pinned against the brute-force reference in
+    tests/test_curation_ops.py.  The Zipfian word distribution makes the
+    cache hit rate ≈ 1 after the first few batches."""
+
+    _CACHE_MAX = 262_144
+
+    def __init__(self, merges: list[tuple[str, str]]):
+        self.merges = list(merges)
+        # symbol-presence prefilter: a merge can only apply if its LEFT
+        # symbol is currently present, so index merges by left symbol
+        self.cache: dict[str, int] = {}
+
+    def _encode_len(self, word: str) -> int:
+        sym = list(word) + ["</w>"]
+        for a, b in self.merges:
+            if len(sym) < 2:
+                break
+            # cheap containment probe before the O(len) rewrite pass
+            if a not in sym:
+                continue
+            out = []
+            i, m = 0, len(sym)
+            while i < m:
+                if i + 1 < m and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return len(sym)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch["text"].combine_chunks(), pa.string())
+        n = len(text)
+        parents, flat = _surface_words(text)
+        n_tok = np.zeros(n, dtype=np.int64)
+        n_words = np.bincount(parents, minlength=n).astype(np.int64)
+        if len(flat):
+            words = flat.to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(words, return_inverse=True)
+            lens = np.empty(uniq.size, dtype=np.int64)
+            cache = self.cache
+            for i, w in enumerate(uniq):
+                v = cache.get(w)
+                if v is None:
+                    v = self._encode_len(w)
+                    if len(cache) < self._CACHE_MAX:
+                        cache[w] = v
+                lens[i] = v
+            n_tok = np.bincount(
+                parents, weights=lens[inv], minlength=n
+            ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].combine_chunks(),
+                "n_words": pa.array(n_words, type=pa.int64()),
+                "n_bpe_tokens": pa.array(n_tok, type=pa.int64()),
+            }
+        )
+
+
+def bpe_encode(
+    sf_dir: str,
+    merges: "pa.Table | list[tuple[str, str]] | None" = None,
+    n_merges: int = 50,
+    top_words: int = 65536,
+    output_path: str | None = None,
+) -> pa.Table | None:
+    """Apply a fitted BPE merge table to the corpus — the tokenize step
+    that follows :func:`bpe_fit` in an LLM data pipeline (the GPT-2 /
+    sentencepiece encode pass): per document the surface word count and
+    the encoded BPE token count (``</w>`` terminals included), the numbers
+    a token-budget planner and `pack_sequences` consume.
+
+    ``merges`` — a (left, right) list or bpe_fit's output table (rank
+    order).  When None, :func:`bpe_fit` runs first on the same corpus
+    (fit + encode, the end-to-end tokenizer path).
+
+    Shape: the merge table is tiny (n_merges rows) and ships inside the
+    actor-pool constructor args — loaded ONCE per actor, never per batch;
+    each batch encodes only its DISTINCT words (np.unique + per-actor
+    word cache) and folds counts back with one bincount.  No shuffle.
+
+    Iterative semantics (rows-only for the driver); the referee is the
+    trainer-state equivalence test: for every histogram word,
+    encode(word) == the trainer's final symbol sequence."""
+    if merges is None:
+        fitted = bpe_fit(sf_dir, n_merges=n_merges, top_words=top_words)
+        merges = fitted
+    if isinstance(merges, pa.Table):
+        pairs = list(zip(merges["left"].to_pylist(),
+                         merges["right"].to_pylist()))
+    else:
+        pairs = [(str(a), str(b)) for a, b in merges]
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = ds.map_batches(
+        _BpeEncoder,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+        fn_constructor_args=(pairs,),
+    )
+    return _sink_or_table(out, output_path, "doc_id")

@@ -1015,3 +1015,80 @@ def test_gopher_quality_sink(ray_session, tmp_path_factory, tmp_path):
     assert training.gopher_quality(d, output_path=str(out)) is None
     got = pq.read_table(str(out))
     assert got.num_rows == 1 and got.to_pylist()[0]["passes"] == 1
+
+
+# ------------------------------------------------------------- bpe_encode ---
+
+
+def _bpe_encode_reference(word, merges):
+    """Trainer-semantics reference encode: sequential rank sweep, each
+    merge applied once to all occurrences."""
+    sym = list(word) + ["</w>"]
+    for a, b in merges:
+        new, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                new.append(a + b)
+                i += 2
+            else:
+                new.append(sym[i])
+                i += 1
+        sym = new
+    return sym
+
+
+def test_bpe_encode_matches_trainer_state(ray_session, tmp_path):
+    """encode(word) token count == the TRAINER's final symbol count for
+    every histogram word (the fit/encode consistency contract), and the
+    per-doc fold is the sum over its surface words."""
+    rng = np.random.default_rng(23)
+    vocab = ["spark", "sparse", "merge", "merges", "banana", "bandana",
+             "anna", "naan", "aaa", "aa"]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(2, 10))))
+        for _ in range(50)
+    ] + ["", "  "]
+    d = tmp_path / "bpe_enc"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    ref_merges = [(a, b) for _r, a, b, _m, _c in _bpe_reference(texts, 12)]
+    t = training.bpe_encode(str(d), n_merges=12)
+    by = {r["doc_id"]: r for r in t.to_pylist()}
+    for i, txt in enumerate(texts):
+        words = [w for w in txt.split(" ") if w]
+        want = sum(len(_bpe_encode_reference(w, ref_merges)) for w in words)
+        assert by[i]["n_bpe_tokens"] == want, (i, txt)
+        assert by[i]["n_words"] == len(words)
+
+
+def test_bpe_encode_explicit_merges_and_novel_words(ray_session, tmp_path):
+    """A caller-supplied merge list encodes NOVEL words (absent from any
+    histogram) with the same sequential-sweep semantics; no merges ⇒
+    chars + </w>."""
+    d = tmp_path / "bpe_enc2"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["abab cd", "zzz"], pa.string()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    # merges: (a,b)->ab then (ab,ab)->abab: 'abab' -> ['abab','</w>'] = 2
+    t = training.bpe_encode(str(d), merges=[("a", "b"), ("ab", "ab")])
+    by = {r["doc_id"]: r for r in t.to_pylist()}
+    assert by[0]["n_bpe_tokens"] == 2 + 3  # 'abab'=2, 'cd'=c,d,</w>=3
+    assert by[1]["n_bpe_tokens"] == 4      # z,z,z,</w>
+    t2 = training.bpe_encode(str(d), merges=[])
+    by2 = {r["doc_id"]: r for r in t2.to_pylist()}
+    assert by2[0]["n_bpe_tokens"] == (4 + 1) + (2 + 1)
