@@ -731,6 +731,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ).sort_by("doc_id")
 
+    def search_filtered(sf_dir: str) -> pa.Table:
+        """Filtered search (IndexSearcher.search(Query, Filter, n) /
+        FILTER occur): BM25 of the OR query restricted to docs matching
+        the filter query — scores from the query alone, the filter only
+        constrains the match set.  Full match set (no top-k boundary)."""
+        from lucene_plugin_ray.sources.pages import url_to_doc_id
+
+        engine, cfg = _engine_for(sf_dir)
+        res = engine.search_filtered(_OR_Q, _RESCORE_Q, limit=1_000_000_000)
+        return pa.table(
+            {
+                "doc_id": url_to_doc_id(res["url"].combine_chunks()),
+                "score": pc.round(res["score"].combine_chunks(), ndigits=4),
+            }
+        ).sort_by("doc_id")
+
     def facet_ranges(sf_dir: str) -> pa.Table:
         """Numeric range faceting (LongRangeFacetCounts): per-range counts
         of docs matching 'spark' bucketed by analyzed doc_len — open,
@@ -777,6 +793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_sorted_after": search_sorted_after,
         "check_index": check_index_q,
         "search_rescore": search_rescore,
+        "search_filtered": search_filtered,
         "facet_ranges": facet_ranges,
         "search_function": search_function,
         "top_terms": top_terms,
@@ -916,12 +933,22 @@ WHERE b.score <= a.score ORDER BY doc_id
     # 0.5 × the rescore query's BM25 where it matches — round-4 only on
     # the combined value, mirroring the engine's combine-then-emit order
     rescore_terms = analyze(_RESCORE_Q)
+    rescore_inlist = ', '.join(f"'{t}'" for t in rescore_terms)
     sql["search_rescore"] = f"""
 WITH s1 AS (SELECT doc_id, score FROM ({_bm25_sql(or_terms, round_to=None)})),
 s2 AS (SELECT doc_id, score FROM ({_bm25_sql(rescore_terms, round_to=None)}))
 SELECT s1.doc_id AS doc_id,
        round(s1.score + 0.5 * coalesce(s2.score, 0.0), 4) AS score
 FROM s1 LEFT JOIN s2 USING (doc_id) ORDER BY doc_id
+"""
+    # filtered search: BM25 of the OR query, match set intersected with
+    # the filter query's boolean matches (scores untouched by the filter)
+    sql["search_filtered"] = f"""
+WITH s1 AS (SELECT doc_id, score FROM ({_bm25_sql(or_terms, round_to=None)})),
+f AS (SELECT DISTINCT doc_id FROM ({_toks_cte()} SELECT * FROM toks)
+      WHERE term IN ({rescore_inlist}))
+SELECT s1.doc_id AS doc_id, round(s1.score, 4) AS score
+FROM s1 JOIN f USING (doc_id) ORDER BY doc_id
 """
     # highest-df terms: distinct-doc term counts, (df desc, term asc) top-25
     sql["top_terms"] = f"""

@@ -819,6 +819,100 @@ class SearchEngine:
         )[:limit]
         return merged.take(pa.array(order))
 
+    def search_filtered(
+        self,
+        query: str,
+        filter_query: str,
+        collection: str = "default",
+        limit: int | None = None,
+        global_stats: dict[str, dict] | None = None,
+        global_df: dict[tuple[str, str], int] | None = None,
+    ) -> pa.Table:
+        """Filtered search — Lucene 5.x IndexSearcher.search(Query, Filter,
+        n) / BooleanClause.Occur.FILTER: the match set is ``query``'s
+        matches INTERSECTED with ``filter_query``'s boolean matches, but
+        scores come from ``query`` alone — the filter constrains without
+        contributing idf/tf (Lucene's non-scoring FILTER occur; the 5.2.1
+        line the reference ships still spells it QueryWrapperFilter).
+
+        Per segment: the score-free :meth:`_match_segment` evaluates the
+        filter (posting decode, zero scoring work), the TAAT kernel scores
+        the query's FULL match set, and a sorted-membership gather keeps
+        only filtered docs BEFORE the top-``limit`` truncation under the
+        (score desc, url asc) total order — so truncation commutes with
+        the driver merge exactly as in :meth:`search`.  Segments whose
+        filter match is empty skip query scoring entirely.
+
+        ``global_stats``/``global_df`` follow the sharded injection
+        contract (df over the QUERY's scored terms only — the filter never
+        touches statistics)."""
+        limit = limit if limit is not None else self.cfg.result_limit
+        if limit <= 0:
+            raise ValueError("limit must be positive")
+        coll = sanitize_collection(collection)
+        clauses = parse_query(query, default_field=self.cfg.text_column)
+        fclauses = parse_query(
+            filter_query, default_field=self.cfg.text_column
+        )
+        if not fclauses:
+            raise ValueError("filter_query must contain at least one clause")
+        segs = self._segments.get(coll, [])
+        empty = pa.table(
+            {"url": pa.array([], pa.string()),
+             "score": pa.array([], pa.float64()),
+             "docid": pa.array([], pa.int64())}
+        )
+        if not clauses or not segs:
+            return empty
+        if global_stats is not None:
+            st = global_stats.get(coll, {"n_docs": 0, "sum_dl": {}})
+            n_docs = int(st["n_docs"])
+            avgdl = (
+                {f: s / n_docs for f, s in st["sum_dl"].items()}
+                if n_docs
+                else {}
+            )
+        else:
+            n_docs, avgdl = self._stats(coll)
+        if n_docs == 0:
+            return empty
+        cache, rows, df = self._phase1_df(clauses, segs, global_df)
+        parts = []
+        for si, seg in enumerate(segs):
+            fmatch = self._match_segment(si, seg, fclauses, {}, {})
+            if fmatch.size == 0:
+                continue
+            t = self._score_segment_taat(
+                si, seg, clauses, cache, rows, df, n_docs, avgdl,
+                limit=seg.reader.n_docs,
+            )
+            if not t.num_rows:
+                continue
+            local = t["docid"].to_numpy() - seg.reader.doc_base
+            pos = np.searchsorted(fmatch, local)
+            pos_cl = np.minimum(pos, fmatch.size - 1)
+            keep = fmatch[pos_cl] == local
+            if not keep.any():
+                continue
+            t = t.filter(pa.array(keep))
+            order = np.lexsort(
+                (
+                    t["url"].to_numpy(zero_copy_only=False),
+                    -t["score"].to_numpy(),
+                )
+            )[:limit]
+            parts.append(t.take(pa.array(order)))
+        if not parts:
+            return empty
+        merged = pa.concat_tables(parts)
+        order = np.lexsort(
+            (
+                merged["url"].to_numpy(zero_copy_only=False),
+                -merged["score"].to_numpy(),
+            )
+        )[:limit]
+        return merged.take(pa.array(order))
+
     def rescore(
         self,
         query: str,

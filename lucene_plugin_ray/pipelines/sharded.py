@@ -559,6 +559,21 @@ class _ShardActor:
         return list(zip(t["url"].to_pylist(), t["score"].to_pylist(),
                         t["docid"].to_pylist()))
 
+    def filtered_partial(
+        self, query: str, filter_query: str, collection: str, limit: int,
+        global_stats: dict, global_df: dict,
+    ) -> list[tuple[str, float, int]]:
+        """This shard's top-``limit`` filtered hits scored with INJECTED
+        global stats — per-shard truncation under the (score desc, url asc)
+        total order merges exactly (shards are doc-disjoint; the filter is
+        a per-doc predicate, so it commutes with sharding)."""
+        t = self.engine.search_filtered(
+            query, filter_query, collection=collection, limit=limit,
+            global_stats=global_stats, global_df=global_df,
+        )
+        return list(zip(t["url"].to_pylist(), t["score"].to_pylist(),
+                        t["docid"].to_pylist()))
+
     def rescore_partial(
         self, query: str, rescore_query: str, collection: str,
         window_size: int, weight: float, global_stats: dict,
@@ -945,6 +960,47 @@ class ShardedSearcherService:
                 "url": pa.array(url[order], type=pa.string()),
                 "score": pa.array(score[order], type=pa.float64()),
                 "docid": pa.array(docid[order], type=pa.int64()),
+            }
+        )
+
+    def search_filtered(
+        self,
+        query: str,
+        filter_query: str,
+        collection: str = "default",
+        limit: int | None = None,
+    ) -> pa.Table:
+        """Cluster-wide filtered search — identical to
+        SearchEngine.search_filtered on the whole index: phase-1 global df
+        gather over the QUERY's scored terms only (the filter never touches
+        statistics), per-shard filtered top-``limit`` with injected stats,
+        exact driver merge under the (score desc, url asc) total order."""
+        limit = limit if limit is not None else self.cfg.result_limit
+        if limit <= 0:
+            raise ValueError("limit must be positive")
+        sc = sanitize_collection(collection)
+        clauses = parse_query(query, default_field=self.cfg.text_column)
+        fclauses = parse_query(
+            filter_query, default_field=self.cfg.text_column
+        )
+        if not fclauses:
+            raise ValueError("filter_query must contain at least one clause")
+        terms = {sc: sorted(set(scored_term_keys(clauses)))}
+        global_stats, global_df = self._gather_global(terms)
+        parts = ray.get(
+            [a.filtered_partial.remote(
+                query, filter_query, collection, limit, global_stats,
+                global_df.get(sc, {}))
+             for a in self.actors]
+        )
+        rows = [r for p in parts for r in p]
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        rows = rows[:limit]
+        return pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "score": pa.array([r[1] for r in rows], pa.float64()),
+                "docid": pa.array([r[2] for r in rows], pa.int64()),
             }
         )
 
