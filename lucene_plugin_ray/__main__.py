@@ -92,6 +92,14 @@ def main(argv: list[str] | None = None) -> int:
             s.add_argument("--query", required=True)
         if name == "facets":
             s.add_argument("--field", required=True)
+    s = sub.add_parser("search-filtered")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--filter", required=True)
+    s.add_argument("--collection", default="default")
+    s.add_argument("--limit", type=int, default=None)
+    s.add_argument("--partitions", type=int, default=32)
+    s.add_argument("--fields", default="")
     s = sub.add_parser("rescore")
     s.add_argument("--index", required=True)
     s.add_argument("--query", required=True)
@@ -204,6 +212,16 @@ def main(argv: list[str] | None = None) -> int:
         t = eng.complete(args.prefix, collection=args.collection, k=args.k)
         for row in t.to_pylist():
             print(json.dumps(row))
+    elif args.cmd == "search-filtered":
+        from lucene_plugin_ray.pipelines.query import SearchEngine
+
+        eng = SearchEngine(args.index, cfg=cfg)
+        t = eng.search_filtered(
+            args.query, args.filter, collection=args.collection,
+            limit=args.limit,
+        )
+        for url, score in zip(t["url"].to_pylist(), t["score"].to_pylist()):
+            print(json.dumps({"url": url, "score": round(score, 6)}))
     elif args.cmd == "rescore":
         from lucene_plugin_ray.pipelines.query import SearchEngine
 

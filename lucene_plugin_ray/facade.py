@@ -325,6 +325,32 @@ class LuceneFacade:
             )
         ]
 
+    def search_filtered(
+        self,
+        collection: str,
+        query: str,
+        filter_query: str,
+        limit: int | None = None,
+    ) -> list[LuceneEntry]:
+        """Filtered search — search(Query, Filter, n) / FILTER occur: the
+        match set is query ∩ filter, scores from the query alone."""
+        _require(_valid_str(collection), "collection must be a non-empty string")
+        _require(_valid_str(query), "query must be a non-empty string")
+        _require(_valid_str(filter_query),
+                 "filter_query must be a non-empty string")
+        eng = self._lease_engine()
+        if eng is None:
+            return []
+        t = eng.search_filtered(
+            query, filter_query, collection=collection, limit=limit
+        )
+        return [
+            LuceneEntry(id=int(d), score=float(s), external_id=u)
+            for d, s, u in zip(
+                t["docid"].to_pylist(), t["score"].to_pylist(), t["url"].to_pylist()
+            )
+        ]
+
     def count(self, collection: str, query: str) -> int:
         """Total matching live docs (IndexSearcher.count analogue) — the
         boolean-match twin of :meth:`search` with no scoring work."""
@@ -619,6 +645,19 @@ class AsyncLuceneFacade:
         return await asyncio.to_thread(
             self._sync.rescore,
             collection, query, rescore_query, window_size, weight, limit,
+        )
+
+    async def search_filtered(
+        self,
+        collection: str,
+        query: str,
+        filter_query: str,
+        limit: int | None = None,
+    ) -> list[LuceneEntry]:
+        import asyncio
+
+        return await asyncio.to_thread(
+            self._sync.search_filtered, collection, query, filter_query, limit
         )
 
     async def count(self, collection: str, query: str) -> int:

@@ -198,6 +198,19 @@ class LuceneHttpService:
             for e in entries
         ]
 
+    def _search_filtered(self, q: dict) -> list[dict]:
+        limit = self._limit_of(q)
+        with self._lock:
+            self._read_your_writes()
+            entries = self.facade.search_filtered(
+                q.get("collection", ""), q.get("query", ""),
+                q.get("filter_query", ""), limit=limit,
+            )
+        return [
+            {"_id": e.id, "_score": e.score, "_externalId": e.external_id}
+            for e in entries
+        ]
+
     def _rescore(self, q: dict) -> list[dict]:
         limit = self._limit_of(q)
         try:
@@ -356,6 +369,7 @@ class LuceneHttpService:
         "search": _search,
         "search-after": _search_after,
         "rescore": _rescore,
+        "search-filtered": _search_filtered,
         "count": _count,
         "facets": _facets,
         "search-sorted": _search_sorted,
@@ -448,6 +462,16 @@ class LuceneHttpClient:
             {"collection": collection, "query": query,
              "after_score": after_score, "after_url": after_url,
              "limit": limit},
+        )
+
+    def search_filtered(
+        self, collection: str, query: str, filter_query: str,
+        limit: int = 255,
+    ) -> list[dict]:
+        return self._get(
+            "search-filtered",
+            {"collection": collection, "query": query,
+             "filter_query": filter_query, "limit": limit},
         )
 
     def rescore(

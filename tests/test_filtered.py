@@ -94,3 +94,28 @@ def test_sharded_identity(built):
             svc.search_filtered("a", "b", limit=0)
     finally:
         svc.shutdown()
+
+
+def test_facade_and_http_round_trip(ray_session, tmp_path):
+    from lucene_plugin_ray.server import LuceneHttpClient, LuceneHttpService
+
+    cfg = IndexConfig(index_root=str(tmp_path / "idx"), num_partitions=2)
+    service = LuceneHttpService(cfg, host="127.0.0.1", port=0).start()
+    facade = service.facade
+    for i in range(24):
+        facade.index_text("default", f"doc{i:02d}", f"alpha beta gam{i % 3}")
+    facade.commit()
+    res = facade.search_filtered("default", "alpha", "gam1")
+    want = {e.external_id for e in facade.search("default", "gam1", limit=100)}
+    assert res and {e.external_id for e in res} == want
+    base = {e.external_id: e.score
+            for e in facade.search("default", "alpha", limit=100)}
+    assert all(e.score == base[e.external_id] for e in res)
+    with pytest.raises(Exception):
+        facade.search_filtered("default", "alpha", "")
+    try:
+        client = LuceneHttpClient(service.url)
+        h = client.search_filtered("default", "alpha", "gam1")
+        assert [r["_externalId"] for r in h] == [e.external_id for e in res]
+    finally:
+        service.shutdown()
