@@ -879,6 +879,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_sketch": training.value_quantiles_sketch,
         "events_rolling": training.events_rolling,
         "ann_pq": training.ann_pq,
+        "knn_graph": lambda sf: training.knn_graph(sf, k=5, strategy="exact"),
+        "knn_graph_lsh": lambda sf: training.knn_graph(sf, k=5, strategy="bucketed"),
         "revenue_by_nation": relational.revenue_by_nation,
         "pricing_summary": relational.pricing_summary,
         "top_suppliers": relational.top_suppliers,
@@ -1641,6 +1643,20 @@ JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
   ON p.user_id = s.user_id
  AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
 ORDER BY signup_event_id, purchase_event_id
+"""
+
+        # all-pairs exact k-NN graph: rank on full-precision cosine, round-5
+    # output (the ann family convention); self excluded
+    sql["knn_graph"] = """
+WITH sims AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+       list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[])) AS cos
+  FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id <> b.vec_id),
+ranked AS (SELECT vec_id, nbr_id, cos,
+       row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id ASC) AS rn
+  FROM sims)
+SELECT vec_id, nbr_id, CAST(rn - 1 AS BIGINT) AS rank, round(cos, 5) AS cos
+FROM ranked WHERE rn <= 5 ORDER BY vec_id, rank
 """
 
     sql["ann_topk"] = """

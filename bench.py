@@ -378,6 +378,23 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     training.decontaminate_bloom(sf_dir)
     queries["decontaminate_bloom"] = round(time.monotonic() - t1, 3)
 
+    t1 = time.monotonic()
+    training.gopher_quality(sf_dir, inject=True)
+    queries["gopher_quality"] = round(time.monotonic() - t1, 3)
+
+    t1 = time.monotonic()
+    training.bpe_encode(sf_dir, n_merges=50)
+    queries["bpe_encode"] = round(time.monotonic() - t1, 3)
+
+    # CheckIndex sweep over the bench index just built (decode-everything
+    # throughput: the same I/O shape as a compaction pass)
+    from lucene_plugin_ray.pipelines.check import check_index
+
+    t1 = time.monotonic()
+    chk = check_index(root)
+    queries["check_index"] = round(time.monotonic() - t1, 3)
+    assert all(chk["ok"].to_pylist()), "bench index failed CheckIndex"
+
     # hybrid retrieval: distributed semantic leg + RRF fuse; the lexical
     # leg's documents-table index is built OUTSIDE the timed region (its
     # build cost is the index_build row's story, not fusion's)

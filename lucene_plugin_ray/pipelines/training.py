@@ -5956,3 +5956,220 @@ def bpe_encode(
         fn_constructor_args=(pairs,),
     )
     return _sink_or_table(out, output_path, "doc_id")
+
+
+def knn_graph(
+    sf_dir: str,
+    k: int = 5,
+    strategy: str = "bucketed",
+    output_path: str | None = None,
+) -> pa.Table | None:
+    """All-pairs k-nearest-neighbor graph over the embedding column — the
+    backbone of semantic-dedup clustering, curriculum neighborhoods and
+    graph-based sampling (SemDeDup / k-NN density pipelines).  For every
+    vector: its top-``k`` neighbors by cosine (self excluded), ranked
+    (cos desc, nbr_id asc).
+
+    ``strategy='exact'`` — the O(n²) baseline: the normalized matrix is
+    broadcast ONCE (ray.put), each batch does one (batch × n) matmul and
+    emits its rows' final top-k directly (no cross-batch merge needed —
+    every batch sees all columns).  The small-scale oracle; quadratic, so
+    a guard refuses corpora above a documented bound.
+
+    ``strategy='bucketed'`` (default) — the scale path: seeded
+    random-hyperplane signatures (the ann_lsh planes), _LSH_BANDS band
+    codes per vector; vectors sharing a band bucket are candidate pairs.
+    One groupby on (band, code) moves each vector BANDS times (the
+    standard LSH-join exchange, same shape as simhash_pairs); in-bucket
+    exact cosine gives per-bucket top-k partials, and an output-sized
+    (vec, nbr) dedupe + per-vec re-rank folds the bands.  Oversized
+    buckets are capped AND counted (no silent truncation).  Approximate:
+    recall vs 'exact' is pinned in tests.
+
+    Output: (vec_id, nbr_id, rank, cos) — cos rounded to 1e-5 (the ann
+    family convention), rank on FULL precision."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def _emit(vids: np.ndarray, nbrs: np.ndarray, cos: np.ndarray,
+              ranks: np.ndarray) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": pa.array(vids, type=pa.int64()),
+                "nbr_id": pa.array(nbrs, type=pa.int64()),
+                "rank": pa.array(ranks, type=pa.int64()),
+                "cos": pa.array(np.round(cos, 5), type=pa.float64()),
+            }
+        )
+
+    empty_schema = pa.schema(
+        [("vec_id", pa.int64()), ("nbr_id", pa.int64()),
+         ("rank", pa.int64()), ("cos", pa.float64())]
+    )
+
+    if strategy == "exact":
+        _KNN_EXACT_MAX = 200_000  # (n·d)·8 B broadcast + n² flops bound
+        full = pa.concat_tables(
+            list(ds.iter_batches(batch_format="pyarrow"))
+            or [empty_schema.empty_table()]
+        )
+        if full.num_rows > _KNN_EXACT_MAX:
+            raise ValueError(
+                f"knn_graph strategy='exact' is O(n²); {full.num_rows} rows "
+                f"exceed the {_KNN_EXACT_MAX} bound — use strategy='bucketed'"
+            )
+        if full.num_rows == 0:
+            return empty_schema.empty_table()
+        all_ids = full["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _embedding_matrix(full["embedding"])
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        base = mat / nrm
+        ids_ref = ray.put(all_ids)
+        base_ref = ray.put(base)
+
+        def _score(batch: pa.Table) -> pa.Table:
+            bids = ray.get(ids_ref)
+            bm = ray.get(base_ref)
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = _embedding_matrix(batch["embedding"])
+            n1 = np.linalg.norm(m, axis=1, keepdims=True)
+            n1[n1 == 0] = 1.0
+            sims = (m / n1) @ bm.T                          # (b, n)
+            # exclude self by id (duplicate ids impossible: vec_id is a key)
+            self_mask = ids[:, None] == bids[None, :]
+            sims[self_mask] = -np.inf
+            kk = min(k, bids.size - 1)
+            if kk <= 0:
+                return empty_schema.empty_table()
+            # per-row top-k under (cos desc, nbr asc): argsort a composite
+            order = np.lexsort(
+                (np.broadcast_to(bids, sims.shape), -sims), axis=1
+            )[:, :kk]
+            rowi = np.repeat(np.arange(sims.shape[0]), kk)
+            cols = order.ravel()
+            return _emit(
+                np.repeat(ids, kk), bids[cols], sims[rowi, cols],
+                np.tile(np.arange(kk, dtype=np.int64), sims.shape[0]),
+            )
+
+        out = ds.map_batches(_score, batch_format="pyarrow", zero_copy_batch=True)
+        return _sink_or_table(
+            out, output_path,
+            [("vec_id", "ascending"), ("rank", "ascending")],
+            empty_schema=empty_schema,
+        )
+
+    if strategy != "bucketed":
+        raise ValueError(f"unknown knn_graph strategy: {strategy!r}")
+
+    planes_holder: dict[str, np.ndarray] = {}  # per-worker plane cache
+
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _embedding_matrix(batch["embedding"])
+        if m.size == 0:
+            return pa.table(
+                {"bucket": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "embedding": batch["embedding"].combine_chunks().slice(0, 0)}
+            )
+        d = m.shape[1]
+        pl = planes_holder.get("p")
+        if pl is None or pl.shape[0] != d:
+            pl = np.random.default_rng(20260817).standard_normal((d, _LSH_BITS))
+            planes_holder["p"] = pl
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        bits = ((m / nrm) @ pl) > 0.0
+        codes = (
+            bits.reshape(-1, _LSH_BANDS, _LSH_ROWS)
+            * (1 << np.arange(_LSH_ROWS))
+        ).sum(axis=2).astype(np.int64)                      # (n, BANDS)
+        # bucket key packs (band, code): band · 2^ROWS + code
+        keys = (np.arange(_LSH_BANDS, dtype=np.int64) << _LSH_ROWS) + codes
+        n = ids.size
+        emb = batch["embedding"].combine_chunks()
+        take = np.repeat(np.arange(n, dtype=np.int64), _LSH_BANDS)
+        return pa.table(
+            {
+                "bucket": pa.array(keys.ravel(), type=pa.int64()),
+                "vec_id": pa.array(np.repeat(ids, _LSH_BANDS), type=pa.int64()),
+                "embedding": emb.take(pa.array(take, type=pa.int64())),
+            }
+        )
+
+    _KNN_BUCKET_CAP = 4096
+    dropped_buckets: list[int] = []
+
+    def _bucket_topk(group: pa.Table) -> pa.Table:
+        ids = group["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if ids.size < 2:
+            return empty_schema.empty_table()
+        if ids.size > _KNN_BUCKET_CAP:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "knn_graph: bucket of %d vectors capped at %d "
+                "(deterministic vec_id order)", ids.size, _KNN_BUCKET_CAP
+            )
+            order = np.argsort(ids, kind="stable")[:_KNN_BUCKET_CAP]
+            group = group.take(pa.array(order))
+            ids = ids[order]
+        m = _embedding_matrix(group["embedding"])
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        mn = m / nrm
+        sims = mn @ mn.T
+        np.fill_diagonal(sims, -np.inf)
+        kk = min(k, ids.size - 1)
+        order = np.lexsort(
+            (np.broadcast_to(ids, sims.shape), -sims), axis=1
+        )[:, :kk]
+        rowi = np.repeat(np.arange(ids.size), kk)
+        cols = order.ravel()
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, kk), type=pa.int64()),
+                "nbr_id": pa.array(ids[cols], type=pa.int64()),
+                "cos": pa.array(sims[rowi, cols], type=pa.float64()),
+            }
+        )
+
+    parts_ds = (
+        ds.map_batches(_bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(_bucket_topk, batch_format="pyarrow")
+    )
+    parts = pa.concat_tables(
+        list(parts_ds.iter_batches(batch_format="pyarrow"))
+        or [pa.table({"vec_id": pa.array([], pa.int64()),
+                      "nbr_id": pa.array([], pa.int64()),
+                      "cos": pa.array([], pa.float64())})]
+    )
+    if parts.num_rows == 0:
+        return empty_schema.empty_table()
+    # fold the bands: (vec, nbr) pairs repeat across buckets with identical
+    # cos — dedupe (output-sized), then per-vec top-k under (cos desc, nbr)
+    vid = parts["vec_id"].to_numpy(zero_copy_only=False)
+    nid = parts["nbr_id"].to_numpy(zero_copy_only=False)
+    cos = parts["cos"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((nid, -cos, vid))
+    vid, nid, cos = vid[order], nid[order], cos[order]
+    pair_new = np.r_[True, (vid[1:] != vid[:-1]) | (nid[1:] != nid[:-1])]
+    vid, nid, cos = vid[pair_new], nid[pair_new], cos[pair_new]
+    # re-sort (vid, cos desc, nbr asc) — dedupe kept pair order stable
+    order = np.lexsort((nid, -cos, vid))
+    vid, nid, cos = vid[order], nid[order], cos[order]
+    ranks = _run_ranks(vid)
+    keep = ranks < k
+    t = _emit(vid[keep], nid[keep], cos[keep], ranks[keep])
+    if output_path is not None:
+        import ray.data as rd
+
+        rd.from_arrow(t).write_parquet(output_path)
+        return None
+    return t.sort_by([("vec_id", "ascending"), ("rank", "ascending")])
