@@ -881,6 +881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq": training.ann_pq,
         "knn_graph": lambda sf: training.knn_graph(sf, k=5, strategy="exact"),
         "knn_graph_lsh": lambda sf: training.knn_graph(sf, k=5, strategy="bucketed"),
+        "quality_classifier": training.quality_classifier,
         "revenue_by_nation": relational.revenue_by_nation,
         "pricing_summary": relational.pricing_summary,
         "top_suppliers": relational.top_suppliers,

@@ -1092,3 +1092,69 @@ def test_bpe_encode_explicit_merges_and_novel_words(ray_session, tmp_path):
     t2 = training.bpe_encode(str(d), merges=[])
     by2 = {r["doc_id"]: r for r in t2.to_pylist()}
     assert by2[0]["n_bpe_tokens"] == (4 + 1) + (2 + 1)
+
+
+# ---------------------------------------------------- quality_classifier ----
+
+
+def _qc_corpus(tmp_path, docs):
+    d = tmp_path / "qc"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t, _ in docs], pa.string()),
+                "lang": pa.array([l for _, _, l in docs], pa.string()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    return str(d)
+
+
+def test_quality_classifier_learns_separable_corpus(ray_session, tmp_path):
+    """On a linearly separable corpus (disjoint vocabularies per class) the
+    sample-fit + broadcast-score pipeline reaches perfect accuracy."""
+    rng = np.random.default_rng(9)
+    pos_vocab = ["quality", "signal", "clean", "curated", "verified"]
+    neg_vocab = ["spam", "noise", "junk", "boiler", "garbled"]
+    docs = []
+    for i in range(120):
+        pos = i % 2 == 0
+        vocab = pos_vocab if pos else neg_vocab
+        words = rng.choice(vocab, size=int(rng.integers(4, 12)))
+        docs.append((i, " ".join(words), "en" if pos else "fr"))
+    d = _qc_corpus(tmp_path, docs)
+    t = training.quality_classifier(d, positive_lang="en")
+    rows = t.to_pylist()
+    assert all(r["pred"] == r["label"] for r in rows)
+    # probabilities are calibrated-ish: positives above, negatives below
+    assert all(
+        (r["prob_micro"] > 500_000) == (r["label"] == 1) for r in rows
+    )
+
+
+def test_quality_classifier_deterministic_and_bounded(ray_session):
+    sf = "/root/testdata/sf0.001"
+    a = training.quality_classifier(sf)
+    b = training.quality_classifier(sf)
+    assert a.equals(b)
+    # label-bounded corpus: must at least beat the majority-class baseline
+    pred = np.array(a["pred"].to_pylist())
+    lab = np.array(a["label"].to_pylist())
+    majority = max(lab.mean(), 1 - lab.mean())
+    assert (pred == lab).mean() > majority
+
+
+def test_quality_classifier_validation_and_sink(ray_session, tmp_path):
+    with pytest.raises(ValueError):
+        training.quality_classifier("/root/testdata/sf0.001", n_iter=0)
+    docs = [(0, "alpha beta", "en"), (1, "gamma delta", "fr")]
+    d = _qc_corpus(tmp_path, docs)
+    out = tmp_path / "qc_out"
+    assert training.quality_classifier(d, output_path=str(out)) is None
+    got = pq.read_table(str(out))
+    assert got.num_rows == 2 and set(got.column_names) == {
+        "doc_id", "prob_micro", "pred", "label"
+    }
