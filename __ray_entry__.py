@@ -747,6 +747,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ).sort_by("doc_id")
 
+    def search_join(sf_dir: str) -> pa.Table:
+        """Query-time join (JoinUtil.createJoinQuery, ScoreMode.Max):
+        from-side = the AND query over text, joined through lang — each
+        lang carried by a matching doc is scored by its BEST matching
+        doc's BM25 (max is order-free, so engine and oracle agree
+        bit-for-bit pre-round); to-side = every doc of a joined lang,
+        carrying that lang's score.  Full result set (no top-k)."""
+        from lucene_plugin_ray.sources.pages import url_to_doc_id
+
+        engine, cfg = _engine_for(sf_dir)
+        res = engine.search_join(
+            _AND_Q, "lang", "lang", score_mode="max", limit=1_000_000_000
+        )
+        return pa.table(
+            {
+                "doc_id": url_to_doc_id(res["url"].combine_chunks()),
+                "score": pc.round(res["score"].combine_chunks(), ndigits=4),
+            }
+        ).sort_by("doc_id")
+
     def facet_ranges(sf_dir: str) -> pa.Table:
         """Numeric range faceting (LongRangeFacetCounts): per-range counts
         of docs matching 'spark' bucketed by analyzed doc_len — open,
@@ -794,6 +814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "check_index": check_index_q,
         "search_rescore": search_rescore,
         "search_filtered": search_filtered,
+        "search_join": search_join,
         "facet_ranges": facet_ranges,
         "search_function": search_function,
         "top_terms": top_terms,
@@ -952,6 +973,18 @@ f AS (SELECT DISTINCT doc_id FROM ({_toks_cte()} SELECT * FROM toks)
       WHERE term IN ({rescore_inlist}))
 SELECT s1.doc_id AS doc_id, round(s1.score, 4) AS score
 FROM s1 JOIN f USING (doc_id) ORDER BY doc_id
+"""
+    # query-time join (ScoreMode.Max): per joined lang the max unrounded
+    # BM25 of the AND query's matching docs, propagated to every doc of
+    # that lang — max is order-free, so round-4 lands identically
+    sql["search_join"] = f"""
+WITH s1 AS (SELECT doc_id, score
+            FROM ({_bm25_sql(and_terms, conjunctive=True, round_to=None)})),
+v AS (SELECT lower(d.lang) AS val, max(s1.score) AS vscore
+      FROM s1 JOIN documents d USING (doc_id) GROUP BY 1)
+SELECT d.doc_id AS doc_id, round(v.vscore, 4) AS score
+FROM documents d JOIN v ON lower(d.lang) = v.val
+ORDER BY doc_id
 """
     # highest-df terms: distinct-doc term counts, (df desc, term asc) top-25
     sql["top_terms"] = f"""

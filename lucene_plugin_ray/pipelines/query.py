@@ -62,6 +62,9 @@ RESULT_SCHEMA = pa.schema(
     [("url", pa.string()), ("score", pa.float64()), ("docid", pa.int64())]
 )
 
+# Lucene join-module ScoreMode values (JoinUtil.createJoinQuery)
+_JOIN_MODES = ("none", "max", "min", "total", "avg")
+
 
 def _in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
     """bool mask: values ∈ sorted_arr (both int64; sorted_arr ascending)."""
@@ -1564,6 +1567,239 @@ class SearchEngine:
                     )
                 )
         return rank_grouped_table(groups, group_limit, docs_per_group)
+
+    # ---- query-time join (Lucene join module, JoinUtil.createJoinQuery) --
+    def join_from_aggregates(
+        self,
+        from_query: str,
+        from_field: str,
+        collection: str = "default",
+        synonyms: dict[str, list[str]] | None = None,
+        global_stats: dict[str, dict] | None = None,
+        global_df: dict[tuple[str, str], int] | None = None,
+    ) -> dict[str, list]:
+        """From-side of the join: per ``from_field`` value carried by a
+        doc matching ``from_query``, the (count, sum, max, min) of the
+        matching docs' exact BM25 scores.  One TAAT full-match pass per
+        segment plus the facets-shaped per-(segment, value) sorted-
+        membership pass — work bounded by |from_field vocab|, which is
+        low-cardinality metadata by the same contract as facets/grouping.
+        These integer/float partials fold exactly across shards (count
+        adds, sum adds, max/min fold), so the sharded driver merge is
+        loss-free for count/max/min and order-sensitive only in the float
+        sums (documented on :meth:`search_join`)."""
+        if from_field not in self.cfg.field_columns:
+            raise ValueError(
+                f"from_field {from_field!r} is not an indexed metadata "
+                f"field (have: {sorted(self.cfg.field_columns)})"
+            )
+        coll = sanitize_collection(collection)
+        clauses = parse_query(from_query, default_field=self.cfg.text_column)
+        if synonyms:
+            clauses = list(apply_synonyms(tuple(clauses), synonyms))
+        segs = self._segments.get(coll, [])
+        if not clauses or not segs:
+            return {}
+        if global_stats is not None:
+            st = global_stats.get(coll, {"n_docs": 0, "sum_dl": {}})
+            n_docs = int(st["n_docs"])
+            avgdl = (
+                {f: v / n_docs for f, v in st["sum_dl"].items()}
+                if n_docs else {}
+            )
+        else:
+            n_docs, avgdl = self._stats(coll)
+        if n_docs == 0:
+            return {}
+        cache, rows, df_map = self._phase1_df(clauses, segs, global_df)
+        agg: dict[str, list] = {}  # value -> [count, sum, max, min]
+        for si, seg in enumerate(segs):
+            scores, matched = self._eval_boolean(
+                si, seg, clauses, cache, rows, df_map, n_docs, avgdl
+            )
+            cand = np.flatnonzero(matched)
+            if cand.size == 0:
+                continue
+            r = seg.reader
+            start, vocab = r.field_vocab(from_field)
+            for j in range(len(vocab)):
+                term = str(vocab[j])
+                local, _ = self._decoded(
+                    si, seg, from_field, term, int(start + j)
+                )
+                members = cand[_in_sorted(cand, local)]
+                if members.size == 0:
+                    continue
+                vals = scores[members]
+                a = agg.get(term)
+                if a is None:
+                    agg[term] = [
+                        int(members.size), float(vals.sum()),
+                        float(vals.max()), float(vals.min()),
+                    ]
+                else:
+                    a[0] += int(members.size)
+                    a[1] += float(vals.sum())
+                    a[2] = max(a[2], float(vals.max()))
+                    a[3] = min(a[3], float(vals.min()))
+        return agg
+
+    @staticmethod
+    def join_value_scores(
+        agg: dict[str, list], score_mode: str
+    ) -> dict[str, float]:
+        """Collapse from-side (count, sum, max, min) aggregates into the
+        per-value join score under a Lucene ``ScoreMode``: 'none' → 1.0,
+        'max'/'min' → the extreme from-side score, 'total' → the sum,
+        'avg' → sum/count."""
+        if score_mode not in _JOIN_MODES:
+            raise ValueError(
+                f"score_mode must be one of {_JOIN_MODES}, got {score_mode!r}"
+            )
+        if score_mode == "none":
+            return {v: 1.0 for v in agg}
+        idx = {"total": 1, "max": 2, "min": 3}.get(score_mode)
+        if idx is not None:
+            return {v: a[idx] for v, a in agg.items()}
+        return {v: a[1] / a[0] for v, a in agg.items()}  # avg
+
+    def join_to_hits(
+        self,
+        to_field: str,
+        value_scores: dict[str, float],
+        score_mode: str,
+        collection: str = "default",
+        limit: int | None = None,
+    ) -> pa.Table:
+        """To-side of the join: every alive doc carrying >= 1 joined
+        ``to_field`` value, scored by folding the matched values' join
+        scores under ``score_mode`` (max/none → max, min → min, total →
+        sum, avg → mean of matched value scores; for single-token
+        metadata fields every doc carries exactly one value, so the fold
+        is degenerate and all modes coincide doc-side).  Returns
+        (url, score, docid) truncated to ``limit`` under the engine's
+        (score desc, url asc) total order — per-segment emission is
+        untruncated here because the caller may be a shard whose merge
+        needs the full partition hit set; truncation is the final step."""
+        if to_field not in self.cfg.field_columns:
+            raise ValueError(
+                f"to_field {to_field!r} is not an indexed metadata "
+                f"field (have: {sorted(self.cfg.field_columns)})"
+            )
+        if score_mode not in _JOIN_MODES:
+            raise ValueError(
+                f"score_mode must be one of {_JOIN_MODES}, got {score_mode!r}"
+            )
+        limit = limit if limit is not None else self.cfg.result_limit
+        coll = sanitize_collection(collection)
+        segs = self._segments.get(coll, [])
+        empty = pa.table(
+            {"url": pa.array([], pa.string()),
+             "score": pa.array([], pa.float64()),
+             "docid": pa.array([], pa.int64())}
+        )
+        if not value_scores or not segs:
+            return empty
+        url_parts, score_parts, docid_parts = [], [], []
+        for si, seg in enumerate(segs):
+            r = seg.reader
+            docs_parts, sc_parts = [], []
+            for v in sorted(value_scores):
+                row = r.lookup(to_field, v)
+                if row < 0:
+                    continue
+                local, _ = self._decoded(si, seg, to_field, v, int(row))
+                if local.size == 0:
+                    continue
+                docs_parts.append(local)
+                sc_parts.append(
+                    np.full(local.size, value_scores[v], dtype=np.float64)
+                )
+            if not docs_parts:
+                continue
+            docs = np.concatenate(docs_parts)
+            sc = np.concatenate(sc_parts)
+            uniq, inv = np.unique(docs, return_inverse=True)
+            if score_mode in ("max", "none"):
+                fold = np.full(uniq.size, -np.inf)
+                np.maximum.at(fold, inv, sc)
+            elif score_mode == "min":
+                fold = np.full(uniq.size, np.inf)
+                np.minimum.at(fold, inv, sc)
+            else:  # total / avg: sum (and mean) over the matched values
+                fold = np.zeros(uniq.size)
+                np.add.at(fold, inv, sc)
+                if score_mode == "avg":
+                    cnt = np.zeros(uniq.size)
+                    np.add.at(cnt, inv, 1.0)
+                    fold = fold / cnt
+            url_parts.append(r.urls[uniq])
+            score_parts.append(fold)
+            docid_parts.append(r.doc_base + uniq.astype(np.int64))
+        if not url_parts:
+            return empty
+        urls = np.concatenate(url_parts)
+        scores = np.concatenate(score_parts)
+        docids = np.concatenate(docid_parts)
+        order = np.lexsort((urls, -scores))[:limit]
+        return pa.table(
+            {
+                "url": pa.array(urls[order], pa.string()),
+                "score": pa.array(scores[order], pa.float64()),
+                "docid": pa.array(docids[order], pa.int64()),
+            }
+        )
+
+    def search_join(
+        self,
+        from_query: str,
+        from_field: str,
+        to_field: str,
+        score_mode: str = "max",
+        collection: str = "default",
+        limit: int | None = None,
+        synonyms: dict[str, list[str]] | None = None,
+        global_stats: dict[str, dict] | None = None,
+        global_df: dict[tuple[str, str], int] | None = None,
+    ) -> pa.Table:
+        """Query-time join — the Lucene join-module analogue
+        (JoinUtil.createJoinQuery(fromField, fromQuery, toField, searcher,
+        ScoreMode), join/src/java/org/apache/lucene/search/join/JoinUtil.java):
+        run ``from_query``, collect the ``from_field`` values of its
+        matching docs with their BM25 scores aggregated per value under
+        ``score_mode`` ('none' | 'max' | 'min' | 'total' | 'avg'), then
+        return every doc whose ``to_field`` carries a joined value, scored
+        by the value's aggregate (docs matching several values fold them
+        under the same mode — single-valued metadata fields make this
+        degenerate).  Classic use: relevance propagation through a shared
+        key ("rank whole languages/sources by how well the query scores
+        inside them").
+
+        Exactness: count/max/min aggregates are order-free, so the sharded
+        twin (ShardedSearcherService.search_join) is bit-identical to this
+        single-engine path for score_mode none/max/min; 'total'/'avg' sum
+        float64 partials in shard order, a different summation grouping
+        than the single-engine segment order — last-bit drift possible on
+        pathological ties (same caveat as any distributed float sum).
+        Returns (url, score, docid) ordered (score desc, url asc),
+        truncated to ``limit``."""
+        if score_mode not in _JOIN_MODES:
+            raise ValueError(
+                f"score_mode must be one of {_JOIN_MODES}, got {score_mode!r}"
+            )
+        if to_field not in self.cfg.field_columns:
+            raise ValueError(
+                f"to_field {to_field!r} is not an indexed metadata "
+                f"field (have: {sorted(self.cfg.field_columns)})"
+            )
+        agg = self.join_from_aggregates(
+            from_query, from_field, collection=collection, synonyms=synonyms,
+            global_stats=global_stats, global_df=global_df,
+        )
+        vs = self.join_value_scores(agg, score_mode)
+        return self.join_to_hits(
+            to_field, vs, score_mode, collection=collection, limit=limit
+        )
 
     def complete(
         self,

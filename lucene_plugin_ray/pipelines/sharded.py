@@ -52,6 +52,7 @@ from lucene_plugin_ray.functions.queryparse import (
     validate_dismax_fields,
 )
 from lucene_plugin_ray.pipelines.query import (
+    _JOIN_MODES,
     SearchEngine,
     facet_stats_table,
     rank_completions_table,
@@ -574,6 +575,35 @@ class _ShardActor:
         return list(zip(t["url"].to_pylist(), t["score"].to_pylist(),
                         t["docid"].to_pylist()))
 
+    def join_from_partial(
+        self, from_query: str, from_field: str, collection: str,
+        global_stats: dict, global_df: dict,
+    ) -> list[tuple[str, int, float, float, float]]:
+        """This shard's from-side join aggregates with INJECTED global
+        stats → (value, count, sum, max, min) rows; shards are
+        doc-disjoint so the driver fold (count/sum add, max/min fold) is
+        exact for every ScoreMode except the float-sum grouping caveat on
+        total/avg (SearchEngine.search_join docstring)."""
+        agg = self.engine.join_from_aggregates(
+            from_query, from_field, collection=collection,
+            global_stats=global_stats, global_df=global_df,
+        )
+        return [(v, a[0], a[1], a[2], a[3]) for v, a in agg.items()]
+
+    def join_to_partial(
+        self, to_field: str, value_scores: dict, score_mode: str,
+        collection: str, limit: int,
+    ) -> list[tuple[str, float, int]]:
+        """This shard's top-``limit`` to-side join hits for the broadcast
+        value→score map — per-shard truncation under the (score desc,
+        url asc) total order merges exactly (doc-disjoint shards)."""
+        t = self.engine.join_to_hits(
+            to_field, value_scores, score_mode, collection=collection,
+            limit=limit,
+        )
+        return list(zip(t["url"].to_pylist(), t["score"].to_pylist(),
+                        t["docid"].to_pylist()))
+
     def rescore_partial(
         self, query: str, rescore_query: str, collection: str,
         window_size: int, weight: float, global_stats: dict,
@@ -994,6 +1024,75 @@ class ShardedSearcherService:
              for a in self.actors]
         )
         rows = [r for p in parts for r in p]
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        rows = rows[:limit]
+        return pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "score": pa.array([r[1] for r in rows], pa.float64()),
+                "docid": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+
+    def search_join(
+        self,
+        from_query: str,
+        from_field: str,
+        to_field: str,
+        score_mode: str = "max",
+        collection: str = "default",
+        limit: int | None = None,
+    ) -> pa.Table:
+        """Cluster-wide query-time join (JoinUtil analogue) — identical to
+        SearchEngine.search_join on the whole index for score_mode
+        none/max/min (order-free folds); total/avg sum float64 partials in
+        shard order (the usual distributed-float-sum grouping caveat).
+        Two fan-outs: from-side (value, count, sum, max, min) partials
+        with injected global stats, driver fold → value→score map
+        broadcast to the to-side top-``limit`` partials, exact driver
+        merge under the (score desc, url asc) total order.  Driver traffic
+        is O(S·|from vocab| + S·limit) rows — never corpus-sized."""
+        limit = limit if limit is not None else self.cfg.result_limit
+        if limit <= 0:
+            raise ValueError("limit must be positive")
+        if score_mode not in _JOIN_MODES:
+            raise ValueError(
+                f"score_mode must be one of {_JOIN_MODES}, got {score_mode!r}"
+            )
+        for name, f in (("from_field", from_field), ("to_field", to_field)):
+            if f not in self.cfg.field_columns:
+                raise ValueError(
+                    f"{name} {f!r} is not an indexed metadata field "
+                    f"(have: {sorted(self.cfg.field_columns)})"
+                )
+        sc = sanitize_collection(collection)
+        clauses = parse_query(from_query, default_field=self.cfg.text_column)
+        terms = {sc: sorted(set(scored_term_keys(clauses)))}
+        global_stats, global_df = self._gather_global(terms)
+        parts = ray.get(
+            [a.join_from_partial.remote(
+                from_query, from_field, collection, global_stats,
+                global_df.get(sc, {}))
+             for a in self.actors]
+        )
+        agg: dict[str, list] = {}
+        for p in parts:  # actor order — deterministic fold
+            for v, c, s_, mx, mn in p:
+                a = agg.get(v)
+                if a is None:
+                    agg[v] = [c, s_, mx, mn]
+                else:
+                    a[0] += c
+                    a[1] += s_
+                    a[2] = max(a[2], mx)
+                    a[3] = min(a[3], mn)
+        value_scores = SearchEngine.join_value_scores(agg, score_mode)
+        hit_parts = ray.get(
+            [a.join_to_partial.remote(
+                to_field, value_scores, score_mode, collection, limit)
+             for a in self.actors]
+        )
+        rows = [r for p in hit_parts for r in p]
         rows.sort(key=lambda r: (-r[1], r[0]))
         rows = rows[:limit]
         return pa.table(
