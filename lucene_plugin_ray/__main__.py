@@ -100,6 +100,17 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--limit", type=int, default=None)
     s.add_argument("--partitions", type=int, default=32)
     s.add_argument("--fields", default="")
+    s = sub.add_parser("search-join")
+    s.add_argument("--index", required=True)
+    s.add_argument("--from-query", required=True)
+    s.add_argument("--from-field", required=True)
+    s.add_argument("--to-field", required=True)
+    s.add_argument("--score-mode", default="max",
+                   choices=["none", "max", "min", "total", "avg"])
+    s.add_argument("--collection", default="default")
+    s.add_argument("--limit", type=int, default=None)
+    s.add_argument("--partitions", type=int, default=32)
+    s.add_argument("--fields", default="")
     s = sub.add_parser("rescore")
     s.add_argument("--index", required=True)
     s.add_argument("--query", required=True)
@@ -218,6 +229,17 @@ def main(argv: list[str] | None = None) -> int:
         eng = SearchEngine(args.index, cfg=cfg)
         t = eng.search_filtered(
             args.query, args.filter, collection=args.collection,
+            limit=args.limit,
+        )
+        for url, score in zip(t["url"].to_pylist(), t["score"].to_pylist()):
+            print(json.dumps({"url": url, "score": round(score, 6)}))
+    elif args.cmd == "search-join":
+        from lucene_plugin_ray.pipelines.query import SearchEngine
+
+        eng = SearchEngine(args.index, cfg=cfg)
+        t = eng.search_join(
+            args.from_query, args.from_field, args.to_field,
+            score_mode=args.score_mode, collection=args.collection,
             limit=args.limit,
         )
         for url, score in zip(t["url"].to_pylist(), t["score"].to_pylist()):

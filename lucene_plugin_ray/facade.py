@@ -351,6 +351,37 @@ class LuceneFacade:
             )
         ]
 
+    def search_join(
+        self,
+        collection: str,
+        from_query: str,
+        from_field: str,
+        to_field: str,
+        score_mode: str = "max",
+        limit: int | None = None,
+    ) -> list[LuceneEntry]:
+        """Query-time join — JoinUtil.createJoinQuery analogue: docs
+        carrying a ``to_field`` value joined from ``from_query``'s matches
+        through ``from_field``, scored per ScoreMode
+        (none/max/min/total/avg)."""
+        _require(_valid_str(collection), "collection must be a non-empty string")
+        _require(_valid_str(from_query), "from_query must be a non-empty string")
+        _require(_valid_str(from_field), "from_field must be a non-empty string")
+        _require(_valid_str(to_field), "to_field must be a non-empty string")
+        eng = self._lease_engine()
+        if eng is None:
+            return []
+        t = eng.search_join(
+            from_query, from_field, to_field, score_mode=score_mode,
+            collection=collection, limit=limit,
+        )
+        return [
+            LuceneEntry(id=int(d), score=float(s), external_id=u)
+            for d, s, u in zip(
+                t["docid"].to_pylist(), t["score"].to_pylist(), t["url"].to_pylist()
+            )
+        ]
+
     def count(self, collection: str, query: str) -> int:
         """Total matching live docs (IndexSearcher.count analogue) — the
         boolean-match twin of :meth:`search` with no scoring work."""
@@ -658,6 +689,22 @@ class AsyncLuceneFacade:
 
         return await asyncio.to_thread(
             self._sync.search_filtered, collection, query, filter_query, limit
+        )
+
+    async def search_join(
+        self,
+        collection: str,
+        from_query: str,
+        from_field: str,
+        to_field: str,
+        score_mode: str = "max",
+        limit: int | None = None,
+    ) -> list[LuceneEntry]:
+        import asyncio
+
+        return await asyncio.to_thread(
+            self._sync.search_join,
+            collection, from_query, from_field, to_field, score_mode, limit,
         )
 
     async def count(self, collection: str, query: str) -> int:

@@ -211,6 +211,23 @@ class LuceneHttpService:
             for e in entries
         ]
 
+    def _search_join(self, q: dict) -> list[dict]:
+        limit = self._limit_of(q)
+        with self._lock:
+            self._read_your_writes()
+            try:
+                entries = self.facade.search_join(
+                    q.get("collection", ""), q.get("from_query", ""),
+                    q.get("from_field", ""), q.get("to_field", ""),
+                    score_mode=q.get("score_mode", "max"), limit=limit,
+                )
+            except ValueError as e:  # bad score_mode / non-metadata field
+                raise LuceneException(str(e))
+        return [
+            {"_id": e.id, "_score": e.score, "_externalId": e.external_id}
+            for e in entries
+        ]
+
     def _rescore(self, q: dict) -> list[dict]:
         limit = self._limit_of(q)
         try:
@@ -370,6 +387,7 @@ class LuceneHttpService:
         "search-after": _search_after,
         "rescore": _rescore,
         "search-filtered": _search_filtered,
+        "search-join": _search_join,
         "count": _count,
         "facets": _facets,
         "search-sorted": _search_sorted,
@@ -472,6 +490,17 @@ class LuceneHttpClient:
             "search-filtered",
             {"collection": collection, "query": query,
              "filter_query": filter_query, "limit": limit},
+        )
+
+    def search_join(
+        self, collection: str, from_query: str, from_field: str,
+        to_field: str, score_mode: str = "max", limit: int = 255,
+    ) -> list[dict]:
+        return self._get(
+            "search-join",
+            {"collection": collection, "from_query": from_query,
+             "from_field": from_field, "to_field": to_field,
+             "score_mode": score_mode, "limit": limit},
         )
 
     def rescore(

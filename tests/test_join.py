@@ -180,3 +180,48 @@ def test_sharded_identity(built):
             svc.search_join(Q, "foo", "foo", score_mode="sum")
     finally:
         svc.shutdown()
+
+
+def test_facade_and_http_round_trip(ray_session, tmp_path):
+    from lucene_plugin_ray.server import LuceneHttpClient, LuceneHttpService
+
+    cfg = IndexConfig(
+        index_root=str(tmp_path / "idx"), num_partitions=2,
+        field_columns=("tag",),
+    )
+    service = LuceneHttpService(cfg, host="127.0.0.1", port=0).start()
+    facade = service.facade
+    try:
+        c = LuceneHttpClient(service.url)
+        c.index_map("col", "a", {"text": "alpha alpha beta", "tag": "red"})
+        c.index_map("col", "b", {"text": "alpha gamma", "tag": "red"})
+        c.index_map("col", "d", {"text": "delta epsilon", "tag": "blue"})
+        c.index_map("col", "e", {"text": "alpha", "tag": "blue"})
+
+        # 'alpha' matches a/b/e; joined tags red+blue cover everything.
+        # ScoreMode.max: each doc carries its tag's best alpha score.
+        rows = c.search_join("col", "alpha", "tag", "tag", score_mode="max")
+        assert {r["_externalId"] for r in rows} == {"a", "b", "d", "e"}
+        # facade twin is identical
+        ent = facade.search_join("col", "alpha", "tag", "tag", score_mode="max")
+        assert [(e.external_id, e.score) for e in ent] == [
+            (r["_externalId"], r["_score"]) for r in rows
+        ]
+        # 'delta' matches only d (tag blue) -> joined docs = blue docs
+        rows = c.search_join("col", "delta", "tag", "tag")
+        assert {r["_externalId"] for r in rows} == {"d", "e"}
+
+        # engine-side validation surfaces as 400, not 500
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            c.search_join("col", "alpha", "tag", "tag", score_mode="sum")
+        assert ei.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            c.search_join("col", "alpha", "nope", "tag")
+        assert ei.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            c.search_join("col", "", "tag", "tag")
+        assert ei.value.code == 400
+    finally:
+        service.shutdown()
