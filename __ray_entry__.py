@@ -767,6 +767,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ).sort_by("doc_id")
 
+    def drill_sideways(sf_dir: str) -> pa.Table:
+        """DrillSideways (Lucene facets module): 'spark' drilled down to
+        lang=de AND source∈{src3,src5}; per dim the SIDEWAYS facet counts
+        — that dim's own filter removed, every other dim kept — flattened
+        to (dim, value, count).  Pure integer counts, no float
+        sensitivity."""
+        engine, cfg = _engine_for(sf_dir)
+        _hits, counts = engine.drill_sideways(
+            _TERM_Q, {"lang": "de", "source": ["src3", "src5"]}
+        )
+        dims, vals, cnts = [], [], []
+        for f in sorted(counts):
+            t = counts[f]
+            for v, c in zip(t["value"].to_pylist(), t["count"].to_pylist()):
+                dims.append(f)
+                vals.append(v)
+                cnts.append(c)
+        return pa.table(
+            {
+                "dim": pa.array(dims, pa.string()),
+                "value": pa.array(vals, pa.string()),
+                "count": pa.array(cnts, pa.int64()),
+            }
+        ).sort_by([("dim", "ascending"), ("value", "ascending")])
+
     def facet_ranges(sf_dir: str) -> pa.Table:
         """Numeric range faceting (LongRangeFacetCounts): per-range counts
         of docs matching 'spark' bucketed by analyzed doc_len — open,
@@ -815,6 +840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_rescore": search_rescore,
         "search_filtered": search_filtered,
         "search_join": search_join,
+        "drill_sideways": drill_sideways,
         "facet_ranges": facet_ranges,
         "search_function": search_function,
         "top_terms": top_terms,
@@ -985,6 +1011,23 @@ v AS (SELECT lower(d.lang) AS val, max(s1.score) AS vscore
 SELECT d.doc_id AS doc_id, round(v.vscore, 4) AS score
 FROM documents d JOIN v ON lower(d.lang) = v.val
 ORDER BY doc_id
+"""
+    # DrillSideways: per dim the facet counts over (match set ∧ every
+    # OTHER dim's filter) — this dim's own filter removed
+    sql["drill_sideways"] = f"""
+{_toks_cte()},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = '{_TERM_Q}'),
+lv AS (SELECT doc_id, lower(lang) AS lang_v, lower(source) AS src_v
+       FROM documents),
+side AS (
+  SELECT 'lang' AS dim, lv.lang_v AS value, count(*) AS c
+  FROM m JOIN lv USING (doc_id)
+  WHERE lv.src_v IN ('src3', 'src5') GROUP BY 2
+  UNION ALL
+  SELECT 'source' AS dim, lv.src_v AS value, count(*) AS c
+  FROM m JOIN lv USING (doc_id)
+  WHERE lv.lang_v = 'de' GROUP BY 2)
+SELECT dim, value, CAST(c AS BIGINT) AS count FROM side ORDER BY dim, value
 """
     # highest-df terms: distinct-doc term counts, (df desc, term asc) top-25
     sql["top_terms"] = f"""

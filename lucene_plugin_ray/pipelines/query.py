@@ -66,6 +66,50 @@ RESULT_SCHEMA = pa.schema(
 _JOIN_MODES = ("none", "max", "min", "total", "avg")
 
 
+def build_dim_clauses(
+    dims: dict, field_columns: tuple[str, ...]
+) -> dict[str, list["TermClause"]]:
+    """Validate + analyze a drill-down dimension map
+    ({field: value | [values]}) into per-dim SHOULD TermClause lists
+    (multiple values per dim = match ANY, DrillDownQuery.add parity).
+    Shared by the single-engine and sharded DrillSideways paths so the
+    driver can reject bad input before any fan-out."""
+    from lucene_plugin_ray.functions.analysis import analyze
+
+    if not dims:
+        raise ValueError("dims must name at least one drill-down field")
+    out: dict[str, list[TermClause]] = {}
+    for field, vals in dims.items():
+        if field not in field_columns:
+            raise ValueError(
+                f"drill-down field {field!r} is not an indexed metadata "
+                f"field (have: {sorted(field_columns)})"
+            )
+        vlist = [vals] if isinstance(vals, str) else list(vals)
+        if not vlist:
+            raise ValueError(f"dim {field!r} needs at least one value")
+        clauses = []
+        for v in vlist:
+            toks = analyze(v)
+            if len(toks) != 1:
+                raise ValueError(
+                    f"dim value {v!r} must analyze to exactly one term "
+                    f"(got {toks}) — metadata fields are single-token"
+                )
+            clauses.append(TermClause(SHOULD, field, toks[0]))
+        out[field] = clauses
+    return out
+
+
+def drill_filter_query(dim_clauses: dict[str, list["TermClause"]]) -> str:
+    """The drill-down FILTER as a query string: every dim a MUST group,
+    values within a dim OR'd (DrillDownQuery's per-dim disjunction)."""
+    return " AND ".join(
+        "(" + " OR ".join(f"{c.field}:{c.term}" for c in cl) + ")"
+        for cl in dim_clauses.values()
+    )
+
+
 def _in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
     """bool mask: values ∈ sorted_arr (both int64; sorted_arr ascending)."""
     if sorted_arr.size == 0:
@@ -1800,6 +1844,98 @@ class SearchEngine:
         return self.join_to_hits(
             to_field, vs, score_mode, collection=collection, limit=limit
         )
+
+    # ---- drill-down + sideways faceting (Lucene facets module) ----------
+    def _dim_clauses(self, dims: dict) -> dict[str, list[TermClause]]:
+        return build_dim_clauses(dims, self.cfg.field_columns)
+
+    def drill_sideways(
+        self,
+        query: str,
+        dims: dict,
+        collection: str = "default",
+        limit: int | None = None,
+    ) -> tuple[pa.Table, dict[str, pa.Table]]:
+        """Drill-down + sideways faceting — the Lucene facets-module
+        DrillSideways analogue (facet/src/java/org/apache/lucene/facet/
+        DrillSideways.java): ``dims`` maps each drill-down dimension
+        (an indexed metadata field) to one value or a list of values
+        (several values per dim match ANY — DrillDownQuery.add parity).
+
+        Returns ``(hits, counts)``:
+        * ``hits`` — the drill-down result: ``query`` restricted to docs
+          matching EVERY dim (scores from the query alone, the dims are
+          non-scoring FILTER clauses) — exactly
+          :meth:`search_filtered` semantics, (score desc, url asc),
+          top-``limit``.
+        * ``counts`` — per dim, the facet counts of that dim's field over
+          the SIDEWAYS set: docs matching ``query`` and every OTHER dim,
+          with this dim's own filter removed — the counts a UI shows so a
+          user can see what the other choices for one facet would yield
+          without clearing it.  Each table is (value, count) ordered
+          (count desc, value asc), the facets() contract.
+
+        Cost: one boolean base-match + one boolean match per dim per
+        segment, set intersections in numpy, and the facets-shaped
+        per-(segment, value) membership pass per dim — bounded by
+        Σ|dim vocab|, never the corpus.  Sideways counts are per-doc
+        integer sums over doc-disjoint partitions, so the sharded twin
+        merges by plain addition."""
+        dim_clauses = self._dim_clauses(dims)
+        counts = self.drill_sideways_counts(query, dims, collection=collection)
+        # drill-down hits: query FILTERed by every dim (scores untouched)
+        fq = drill_filter_query(dim_clauses)
+        hits = self.search_filtered(query, fq, collection=collection, limit=limit)
+        tables = {}
+        for f, acc in counts.items():
+            items = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+            tables[f] = pa.table(
+                {
+                    "value": pa.array([k for k, _ in items], pa.string()),
+                    "count": pa.array([v for _, v in items], pa.int64()),
+                }
+            )
+        return hits, tables
+
+    def drill_sideways_counts(
+        self, query: str, dims: dict, collection: str = "default"
+    ) -> dict[str, dict[str, int]]:
+        """The sideways-counts pass alone (no hit scoring) — per dim, the
+        raw {value: count} dict over this engine's partitions; the sharded
+        partial (integer counts over doc-disjoint partitions sum exactly
+        on the driver)."""
+        dim_clauses = self._dim_clauses(dims)
+        coll = sanitize_collection(collection)
+        base_clauses = parse_query(query, default_field=self.cfg.text_column)
+        segs = self._segments.get(coll, [])
+        counts: dict[str, dict[str, int]] = {f: {} for f in dim_clauses}
+        for si, seg in enumerate(segs):
+            base = self._match_segment(si, seg, base_clauses, {}, {})
+            if base.size == 0:
+                continue
+            fsets = {
+                f: self._match_segment(si, seg, cl, {}, {})
+                for f, cl in dim_clauses.items()
+            }
+            r = seg.reader
+            for f in dim_clauses:
+                side = base
+                for other, fs in fsets.items():
+                    if other != f:
+                        side = np.intersect1d(side, fs, assume_unique=True)
+                    if side.size == 0:
+                        break
+                if side.size == 0:
+                    continue
+                start, vocab = r.field_vocab(f)
+                acc = counts[f]
+                for j in range(len(vocab)):
+                    term = str(vocab[j])
+                    local, _ = self._decoded(si, seg, f, term, int(start + j))
+                    c = int(_in_sorted(side, local).sum())
+                    if c:
+                        acc[term] = acc.get(term, 0) + c
+        return counts
 
     def complete(
         self,

@@ -54,6 +54,8 @@ from lucene_plugin_ray.functions.queryparse import (
 from lucene_plugin_ray.pipelines.query import (
     _JOIN_MODES,
     SearchEngine,
+    build_dim_clauses,
+    drill_filter_query,
     facet_stats_table,
     rank_completions_table,
     rank_grouped_table,
@@ -590,6 +592,16 @@ class _ShardActor:
         )
         return [(v, a[0], a[1], a[2], a[3]) for v, a in agg.items()]
 
+    def drill_sideways_partial(
+        self, query: str, dims: dict, collection: str
+    ) -> dict[str, list[tuple[str, int]]]:
+        """This shard's sideways facet counts per dim — integer counts over
+        doc-disjoint partitions, so the driver merge is a plain sum."""
+        counts = self.engine.drill_sideways_counts(
+            query, dims, collection=collection
+        )
+        return {f: list(acc.items()) for f, acc in counts.items()}
+
     def join_to_partial(
         self, to_field: str, value_scores: dict, score_mode: str,
         collection: str, limit: int,
@@ -1102,6 +1114,45 @@ class ShardedSearcherService:
                 "docid": pa.array([r[2] for r in rows], pa.int64()),
             }
         )
+
+    def drill_sideways(
+        self,
+        query: str,
+        dims: dict,
+        collection: str = "default",
+        limit: int | None = None,
+    ) -> tuple[pa.Table, dict[str, pa.Table]]:
+        """Cluster-wide DrillSideways — identical to
+        SearchEngine.drill_sideways on the whole index: per-shard sideways
+        count partials summed on the driver (integer counts over
+        doc-disjoint partitions), drill-down hits via the exact sharded
+        search_filtered protocol.  Driver traffic is O(S·Σ|dim vocab| +
+        S·limit) rows."""
+        dim_clauses = build_dim_clauses(dims, self.cfg.field_columns)
+        parts = ray.get(
+            [a.drill_sideways_partial.remote(query, dims, collection)
+             for a in self.actors]
+        )
+        counts: dict[str, dict[str, int]] = {f: {} for f in dim_clauses}
+        for p in parts:
+            for f, items in p.items():
+                acc = counts[f]
+                for v, c in items:
+                    acc[v] = acc.get(v, 0) + c
+        hits = self.search_filtered(
+            query, drill_filter_query(dim_clauses),
+            collection=collection, limit=limit,
+        )
+        tables = {}
+        for f, acc in counts.items():
+            items = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+            tables[f] = pa.table(
+                {
+                    "value": pa.array([k for k, _ in items], pa.string()),
+                    "count": pa.array([v for _, v in items], pa.int64()),
+                }
+            )
+        return hits, tables
 
     def rescore(
         self,
