@@ -111,6 +111,15 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--limit", type=int, default=None)
     s.add_argument("--partitions", type=int, default=32)
     s.add_argument("--fields", default="")
+    s = sub.add_parser("drill-sideways")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--dims", required=True,
+                   help='JSON object, e.g. \'{"lang": "de", "source": ["a", "b"]}\'')
+    s.add_argument("--collection", default="default")
+    s.add_argument("--limit", type=int, default=None)
+    s.add_argument("--partitions", type=int, default=32)
+    s.add_argument("--fields", default="")
     s = sub.add_parser("rescore")
     s.add_argument("--index", required=True)
     s.add_argument("--query", required=True)
@@ -244,6 +253,20 @@ def main(argv: list[str] | None = None) -> int:
         )
         for url, score in zip(t["url"].to_pylist(), t["score"].to_pylist()):
             print(json.dumps({"url": url, "score": round(score, 6)}))
+    elif args.cmd == "drill-sideways":
+        from lucene_plugin_ray.pipelines.query import SearchEngine
+
+        eng = SearchEngine(args.index, cfg=cfg)
+        hits, counts = eng.drill_sideways(
+            args.query, json.loads(args.dims), collection=args.collection,
+            limit=args.limit,
+        )
+        for url, score in zip(hits["url"].to_pylist(), hits["score"].to_pylist()):
+            print(json.dumps({"url": url, "score": round(score, 6)}))
+        for f in sorted(counts):
+            t = counts[f]
+            for v, c in zip(t["value"].to_pylist(), t["count"].to_pylist()):
+                print(json.dumps({"dim": f, "value": v, "count": c}))
     elif args.cmd == "rescore":
         from lucene_plugin_ray.pipelines.query import SearchEngine
 

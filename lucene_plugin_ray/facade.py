@@ -382,6 +382,40 @@ class LuceneFacade:
             )
         ]
 
+    def drill_sideways(
+        self,
+        collection: str,
+        query: str,
+        dims: dict,
+        limit: int | None = None,
+    ) -> tuple[list[LuceneEntry], dict[str, list[tuple[str, int]]]]:
+        """DrillSideways — drill-down hits (query FILTERed by every dim)
+        plus per-dim sideways facet counts (that dim's own filter
+        removed).  ``dims`` maps indexed metadata fields to one value or
+        a list of values."""
+        _require(_valid_str(collection), "collection must be a non-empty string")
+        _require(_valid_str(query), "query must be a non-empty string")
+        _require(isinstance(dims, dict) and dims,
+                 "dims must be a non-empty {field: value | [values]} dict")
+        eng = self._lease_engine()
+        if eng is None:
+            return [], {f: [] for f in dims}
+        hits, counts = eng.drill_sideways(
+            query, dims, collection=collection, limit=limit
+        )
+        entries = [
+            LuceneEntry(id=int(d), score=float(s), external_id=u)
+            for d, s, u in zip(
+                hits["docid"].to_pylist(), hits["score"].to_pylist(),
+                hits["url"].to_pylist(),
+            )
+        ]
+        flat = {
+            f: list(zip(t["value"].to_pylist(), t["count"].to_pylist()))
+            for f, t in counts.items()
+        }
+        return entries, flat
+
     def count(self, collection: str, query: str) -> int:
         """Total matching live docs (IndexSearcher.count analogue) — the
         boolean-match twin of :meth:`search` with no scoring work."""
@@ -705,6 +739,19 @@ class AsyncLuceneFacade:
         return await asyncio.to_thread(
             self._sync.search_join,
             collection, from_query, from_field, to_field, score_mode, limit,
+        )
+
+    async def drill_sideways(
+        self,
+        collection: str,
+        query: str,
+        dims: dict,
+        limit: int | None = None,
+    ) -> tuple[list[LuceneEntry], dict[str, list[tuple[str, int]]]]:
+        import asyncio
+
+        return await asyncio.to_thread(
+            self._sync.drill_sideways, collection, query, dims, limit
         )
 
     async def count(self, collection: str, query: str) -> int:

@@ -228,6 +228,35 @@ class LuceneHttpService:
             for e in entries
         ]
 
+    def _drill_sideways(self, q: dict) -> dict:
+        import json as _json
+
+        limit = self._limit_of(q)
+        try:
+            dims = _json.loads(q.get("dims", ""))
+        except ValueError as e:
+            raise LuceneException(f"dims must be a JSON object: {e}")
+        if not isinstance(dims, dict):
+            raise LuceneException("dims must be a JSON object")
+        with self._lock:
+            self._read_your_writes()
+            try:
+                entries, counts = self.facade.drill_sideways(
+                    q.get("collection", ""), q.get("query", ""), dims,
+                    limit=limit,
+                )
+            except ValueError as e:  # unknown field / bad dim value
+                raise LuceneException(str(e))
+        return {
+            "hits": [
+                {"_id": e.id, "_score": e.score, "_externalId": e.external_id}
+                for e in entries
+            ],
+            "counts": {
+                f: [[v, c] for v, c in items] for f, items in counts.items()
+            },
+        }
+
     def _rescore(self, q: dict) -> list[dict]:
         limit = self._limit_of(q)
         try:
@@ -388,6 +417,7 @@ class LuceneHttpService:
         "rescore": _rescore,
         "search-filtered": _search_filtered,
         "search-join": _search_join,
+        "drill-sideways": _drill_sideways,
         "count": _count,
         "facets": _facets,
         "search-sorted": _search_sorted,
@@ -501,6 +531,17 @@ class LuceneHttpClient:
             {"collection": collection, "from_query": from_query,
              "from_field": from_field, "to_field": to_field,
              "score_mode": score_mode, "limit": limit},
+        )
+
+    def drill_sideways(
+        self, collection: str, query: str, dims: dict, limit: int = 255,
+    ) -> dict:
+        import json as _json
+
+        return self._get(
+            "drill-sideways",
+            {"collection": collection, "query": query,
+             "dims": _json.dumps(dims), "limit": limit},
         )
 
     def rescore(

@@ -107,6 +107,45 @@ def test_validation(built):
         eng.drill_sideways(Q, {"foo": "two words"})
 
 
+def test_facade_and_http_round_trip(ray_session, tmp_path):
+    from lucene_plugin_ray.server import LuceneHttpClient, LuceneHttpService
+
+    cfg = IndexConfig(
+        index_root=str(tmp_path / "idx"), num_partitions=2,
+        field_columns=("tag",),
+    )
+    service = LuceneHttpService(cfg, host="127.0.0.1", port=0).start()
+    facade = service.facade
+    try:
+        c = LuceneHttpClient(service.url)
+        c.index_map("col", "a", {"text": "alpha beta", "tag": "red"})
+        c.index_map("col", "b", {"text": "alpha gamma", "tag": "red"})
+        c.index_map("col", "d", {"text": "alpha delta", "tag": "blue"})
+        c.index_map("col", "e", {"text": "unrelated", "tag": "blue"})
+
+        res = c.drill_sideways("col", "alpha", {"tag": "red"})
+        assert {h["_externalId"] for h in res["hits"]} == {"a", "b"}
+        # sideways: the tag filter removed -> counts over ALL alpha docs
+        assert dict(map(tuple, res["counts"]["tag"])) == {"red": 2, "blue": 1}
+        ent, counts = facade.drill_sideways("col", "alpha", {"tag": "red"})
+        assert [(e.external_id, e.score) for e in ent] == [
+            (h["_externalId"], h["_score"]) for h in res["hits"]
+        ]
+        assert [list(t) for t in counts["tag"]] == res["counts"]["tag"]
+
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            c.drill_sideways("col", "alpha", {"nope": "x"})
+        assert ei.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            c._get("drill-sideways",
+                   {"collection": "col", "query": "alpha", "dims": "notjson"})
+        assert ei.value.code == 400
+    finally:
+        service.shutdown()
+
+
 def test_sharded_identity(built):
     from lucene_plugin_ray.pipelines.sharded import ShardedSearcherService
 
