@@ -238,6 +238,9 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
         lambda: eng.facet_ranges(
             "spark", [("short", None, 40), ("long", 40, None)],
         ),
+        lambda: eng.search_join("spark merge", "lang", "lang",
+                                score_mode="max", limit=10),
+        lambda: eng.drill_sideways("spark merge", {"lang": "de"}, limit=10),
     ]
     for op in aux_ops:  # warm the postings/dictionary caches
         op()
