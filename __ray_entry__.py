@@ -907,6 +907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_clean": training.text_clean,
         "pii_redact": lambda sf: training.pii_redact(sf, inject=True),
         "gopher_quality": lambda sf: training.gopher_quality(sf, inject=True),
+        "c4_filter": lambda sf: training.c4_filter(sf, inject=True),
         # iterative/stateful (tokenizer training) — no SQL oracle; referee
         # is the brute-force reference in tests/test_curation_ops.py
         "bpe_fit": lambda sf: training.bpe_fit(sf, n_merges=50),
@@ -2031,6 +2032,36 @@ SELECT *,
    AND (alpha_frac_micro >= 800000)
    AND (req_stop_hits >= 2) AS BIGINT) AS passes
 FROM r ORDER BY doc_id
+"""
+
+    # C4 cleaning (Raffel et al. 2020 §2.2): line keep-conditions inside a
+    # list_filter lambda (order-preserving, mirroring the engine's masked
+    # join), page rules as plain predicates — all integer/boolean output
+    sql["c4_filter"] = r"""
+WITH t AS (SELECT doc_id, text
+  || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'this is a clean retained sentence number one.' || chr(10) || 'this is a clean retained sentence number two.' || chr(10) || 'this is a clean retained sentence number three.' ELSE '' END
+  || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'short line.' ELSE '' END
+  || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'please enable javascript to view the content here.' ELSE '' END
+  || CASE WHEN doc_id % 11 = 0 THEN ' lorem ipsum' ELSE '' END
+  || CASE WHEN doc_id % 13 = 0 THEN ' { }' ELSE '' END AS txt
+  FROM documents),
+w AS (SELECT doc_id, txt,
+        string_split(txt, chr(10)) AS lines,
+        list_filter(string_split(txt, chr(10)), x ->
+          regexp_matches(trim(x, ' '), '[.!?"]$')
+          AND len(list_filter(string_split_regex(x, '\s+'), y -> y <> '')) >= 5
+          AND NOT contains(lower(x), 'javascript')) AS kept
+      FROM t)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS kept_lines,
+       CAST(contains(lower(txt), 'lorem ipsum') AS BIGINT) AS has_lorem,
+       CAST(contains(txt, '{') AS BIGINT) AS has_brace,
+       coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+       CAST(NOT contains(lower(txt), 'lorem ipsum')
+        AND NOT contains(txt, '{')
+        AND len(kept) >= 3 AS BIGINT) AS passes
+FROM w ORDER BY doc_id
 """
 
     sql["pii_redact"] = f"""

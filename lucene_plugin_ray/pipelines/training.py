@@ -5842,6 +5842,136 @@ def gopher_quality(
     return _sink_or_table(out, output_path, "doc_id")
 
 
+# ---------------------------------------------------------------------------
+# C4 cleaning (Raffel et al. 2020 §2.2 — the public C4 line/page rule set)
+# ---------------------------------------------------------------------------
+
+_C4_GOOD_SUFFIX = (
+    "\nthis is a clean retained sentence number one."
+    "\nthis is a clean retained sentence number two."
+    "\nthis is a clean retained sentence number three."
+)
+_C4_SHORT_SUFFIX = "\nshort line."
+_C4_JS_SUFFIX = "\nplease enable javascript to view the content here."
+_C4_LOREM_SUFFIX = " lorem ipsum"
+_C4_BRACE_SUFFIX = " { }"
+
+
+def c4_filter(
+    sf_dir: str, output_path: str | None = None, inject: bool = False
+) -> pa.Table | None:
+    """C4-style cleaning (Raffel et al. 2020 §2.2, "Exploring the Limits of
+    Transfer Learning…" — the public rule set behind the C4 corpus), as one
+    map-side pass:
+
+    Line rules (a line survives iff ALL hold; lines are raw ``\\n`` splits):
+      1. ends in terminal punctuation — one of ``. ! ? "`` after trimming
+         trailing/leading spaces (the paper's "terminal punctuation mark");
+      2. contains ≥ 5 whitespace-separated words;
+      3. does not contain the (case-insensitive) word "javascript".
+    Page rules:
+      4. page contains no "lorem ipsum" (case-insensitive);
+      5. page contains no ``{`` (the paper's code-page heuristic);
+      6. ≥ 3 surviving lines (proxy for the paper's ≥ 3 sentences — the
+         per-LINE granularity this pass operates at; documented deviation).
+    The paper's bad-words-list rule needs an external word list this
+    container does not ship, and its three-sentence-span dedup is the
+    separate global pass :func:`dedup_ngram_spans` — both out of scope
+    here by design.
+
+    Fully vectorized, zero shuffle: one ``\\n`` split + one per-line word
+    split per batch, RE2/substring kernels, bincount folds over the list
+    offsets; ``clean_text`` is rebuilt with one ``binary_join`` over the
+    kept-line list array.  At 100 TB the output streams to ``output_path``
+    partitioned Parquet (the keep-set feeding the next stage).
+
+    ``inject=True`` appends deterministic doc_id-derived suffixes (three
+    clean sentences at %3, a <5-word line at %5, a javascript line at %7,
+    "lorem ipsum" at %11, a brace at %13) — the shipped corpus is
+    single-line unpunctuated word soup, so every rule would be vacuous
+    without them; the DuckDB oracle reproduces the append in SQL
+    (the gopher_quality pattern).
+
+    Output: (doc_id, n_lines, kept_lines, has_lorem, has_brace,
+    clean_text, passes), sorted by doc_id — all integer/boolean columns,
+    no float sensitivity."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _rules(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch["text"].combine_chunks(), pa.string())
+        n = len(text)
+        doc_id = (
+            batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        if inject:
+            text = pc.binary_join_element_wise(
+                text,
+                pa.array(np.where(doc_id % 3 == 0, _C4_GOOD_SUFFIX, "")),
+                pa.array(np.where(doc_id % 5 == 0, _C4_SHORT_SUFFIX, "")),
+                pa.array(np.where(doc_id % 7 == 0, _C4_JS_SUFFIX, "")),
+                pa.array(np.where(doc_id % 11 == 0, _C4_LOREM_SUFFIX, "")),
+                pa.array(np.where(doc_id % 13 == 0, _C4_BRACE_SUFFIX, "")),
+                "",
+            )
+        lines = pc.split_pattern(text, pattern="\n")
+        llens = np.nan_to_num(
+            pc.list_value_length(lines).to_numpy(zero_copy_only=False), nan=0
+        ).astype(np.int64)
+        lpar = np.repeat(np.arange(n, dtype=np.int64), llens)
+        lflat = pc.list_flatten(lines)
+        n_l = len(lflat)
+        # rule 1: terminal punctuation on the space-trimmed line
+        term = pc.match_substring_regex(
+            pc.utf8_trim(lflat, " "), r'[.!?"]$'
+        ).to_numpy(zero_copy_only=False)
+        # rule 2: >= 5 non-empty whitespace-separated words
+        wsplit = pc.split_pattern_regex(lflat, pattern=r"\s+")
+        wlens = np.nan_to_num(
+            pc.list_value_length(wsplit).to_numpy(zero_copy_only=False), nan=0
+        ).astype(np.int64)
+        wpar = np.repeat(np.arange(n_l, dtype=np.int64), wlens)
+        wflat = pc.list_flatten(wsplit)
+        nonempty = pc.not_equal(wflat, "").to_numpy(zero_copy_only=False)
+        line_words = np.bincount(wpar[nonempty], minlength=n_l)
+        # rule 3: no (case-insensitive) 'javascript'
+        js = pc.match_substring(
+            lflat, "javascript", ignore_case=True
+        ).to_numpy(zero_copy_only=False)
+        keep = term & (line_words >= 5) & ~js
+        # page rules over the raw text
+        lorem = pc.match_substring(
+            text, "lorem ipsum", ignore_case=True
+        ).to_numpy(zero_copy_only=False)
+        brace = pc.match_substring(text, "{").to_numpy(zero_copy_only=False)
+        kept = np.bincount(lpar[keep], minlength=n).astype(np.int64)
+        passes = (~lorem) & (~brace) & (kept >= 3)
+        # clean_text: kept lines re-joined per doc (order preserved)
+        flat_kept = lflat.filter(pa.array(keep))
+        offsets = np.concatenate([[0], np.cumsum(kept)]).astype(np.int64)
+        kept_list = pa.LargeListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()), flat_kept
+        )
+        clean = pc.binary_join(kept_list, "\n")
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_id, type=pa.int64()),
+                "n_lines": pa.array(
+                    np.bincount(lpar, minlength=n).astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "kept_lines": pa.array(kept, type=pa.int64()),
+                "has_lorem": pa.array(lorem.astype(np.int64), type=pa.int64()),
+                "has_brace": pa.array(brace.astype(np.int64), type=pa.int64()),
+                "clean_text": pc.cast(clean, pa.string()),
+                "passes": pa.array(passes.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(_rules, batch_format="pyarrow", zero_copy_batch=True)
+    return _sink_or_table(out, output_path, "doc_id")
+
+
 class _BpeEncoder:
     """Actor-pool BPE encoder: the merge table (rank-ordered) and a
     word→token-count cache live once per actor (__init__), batches reuse

@@ -1158,3 +1158,71 @@ def test_quality_classifier_validation_and_sink(ray_session, tmp_path):
     assert got.num_rows == 2 and set(got.column_names) == {
         "doc_id", "prob_micro", "pred", "label"
     }
+
+
+# ------------------------------------------------------------------- c4 -----
+
+_C4_GOOD = (
+    "this line has five good words.\n"
+    'does it have enough words here?\n'
+    "yes it certainly does have enough!"
+)
+# three lines, each >= 5 words with terminal punctuation -> page passes
+
+
+def test_c4_filter_rules(ray_session, tmp_path_factory):
+    """Each C4 rule flips line-keep / page-pass in isolation."""
+    docs = [
+        (1, _C4_GOOD),                                      # passes
+        (2, _C4_GOOD.replace(".", "")),                     # line 1 loses punct
+        (3, "one two three four.\n" + _C4_GOOD),            # 4-word line dropped
+        (4, "please enable javascript right now ok.\n" + _C4_GOOD),  # js line
+        (5, _C4_GOOD + "\nlorem ipsum dolor sit amet."),    # page: lorem
+        (6, _C4_GOOD + "\nvar x = { a: 1 };"),              # page: brace
+        (7, "good line with five words.\nanother good five word line."),
+                                                            # only 2 kept < 3
+        (8, ""),                                            # empty page
+        (9, '  he said "stop right there now!"  '),         # quote terminal ok
+    ]
+    t = training.c4_filter(_gq_corpus(tmp_path_factory, docs))
+    by = {r["doc_id"]: r for r in t.to_pylist()}
+    assert by[1]["passes"] == 1 and by[1]["kept_lines"] == 3
+    assert by[1]["clean_text"] == _C4_GOOD
+    assert by[2]["kept_lines"] == 2 and by[2]["passes"] == 0
+    # the 4-word line is dropped but the rest of the page still passes
+    assert by[3]["kept_lines"] == 3 and by[3]["passes"] == 1
+    assert by[3]["clean_text"] == _C4_GOOD
+    assert by[4]["kept_lines"] == 3 and by[4]["passes"] == 1
+    assert "javascript" not in by[4]["clean_text"]
+    assert by[5]["has_lorem"] == 1 and by[5]["passes"] == 0
+    assert by[5]["kept_lines"] == 4  # the lorem line itself survives line rules
+    assert by[6]["has_brace"] == 1 and by[6]["passes"] == 0
+    assert by[7]["kept_lines"] == 2 and by[7]["passes"] == 0
+    assert by[8]["kept_lines"] == 0 and by[8]["passes"] == 0
+    assert by[8]["clean_text"] == ""
+    assert by[9]["kept_lines"] == 1  # trailing spaces trimmed, '"' terminal
+
+
+def test_c4_filter_injection_deterministic(ray_session, tmp_path_factory):
+    """inject=True appends the documented suffixes at doc_id residues —
+    doc 0 hits every residue (good+short+js+lorem+brace), doc 1 none."""
+    docs = [(0, "word soup with no punctuation at all"), (1, "more soup")]
+    d = _gq_corpus(tmp_path_factory, docs)
+    t = training.c4_filter(d, inject=True)
+    by = {r["doc_id"]: r for r in t.to_pylist()}
+    # doc 0: 3 good lines kept; short/js lines dropped; lorem+brace kill it
+    assert by[0]["kept_lines"] == 3
+    assert by[0]["has_lorem"] == 1 and by[0]["has_brace"] == 1
+    assert by[0]["passes"] == 0
+    assert by[0]["n_lines"] == 6  # soup + 3 good + short + js(+page suffixes)
+    # doc 1: no injection -> single unpunctuated line, nothing kept
+    assert by[1]["n_lines"] == 1 and by[1]["kept_lines"] == 0
+    assert by[1]["passes"] == 0
+
+
+def test_c4_filter_sink(ray_session, tmp_path_factory, tmp_path):
+    d = _gq_corpus(tmp_path_factory, [(1, _C4_GOOD)])
+    out = tmp_path / "c4_out"
+    assert training.c4_filter(d, output_path=str(out)) is None
+    got = pq.read_table(str(out))
+    assert got.num_rows == 1 and got.column("passes").to_pylist() == [1]
