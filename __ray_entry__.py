@@ -163,6 +163,10 @@ _MIX_TOTAL = 80
 _PHRASE_Q = '"spark merge"'
 # rescore second-pass query: overlaps the OR query on 'merge', adds 'stream'
 _RESCORE_Q = "merge stream"
+# classification probes (classify_nb): analyzed against the text field;
+# the second repeats 'merge' so per-OCCURRENCE likelihood weighting is
+# exercised on both sides
+_CLS_PROBES = ["spark window merge", "merge merge stream", "window table"]
 # dismax probe: 'spark' fires only in text, 'de' only in lang — plus any
 # text occurrences of 'de' the synthetic vocab produces
 _DISMAX_Q = "spark de"
@@ -792,6 +796,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ).sort_by([("dim", "ascending"), ("value", "ascending")])
 
+    def classify_nb(sf_dir: str) -> pa.Table:
+        """Naive-Bayes classification off pure index statistics (Lucene
+        SimpleNaiveBayesClassifier analogue): three probe texts scored
+        against every lang class — priors from class doc counts,
+        likelihoods from (text token ∧ class) posting intersections with
+        add-one smoothing over the distinct text vocabulary."""
+        engine, cfg = _engine_for(sf_dir)
+        parts = []
+        for i, p in enumerate(_CLS_PROBES):
+            t = engine.classify(p, "lang")
+            parts.append(
+                pa.table(
+                    {
+                        "probe_id": pa.array([i] * t.num_rows, pa.int64()),
+                        "class": t["class"],
+                        "score": pc.round(t["score"].combine_chunks(), ndigits=4),
+                    }
+                )
+            )
+        return pa.concat_tables(parts).sort_by(
+            [("probe_id", "ascending"), ("class", "ascending")]
+        )
+
     def facet_ranges(sf_dir: str) -> pa.Table:
         """Numeric range faceting (LongRangeFacetCounts): per-range counts
         of docs matching 'spark' bucketed by analyzed doc_len — open,
@@ -841,6 +868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_filtered": search_filtered,
         "search_join": search_join,
         "drill_sideways": drill_sideways,
+        "classify_nb": classify_nb,
         "facet_ranges": facet_ranges,
         "search_function": search_function,
         "top_terms": top_terms,
@@ -1013,6 +1041,38 @@ SELECT d.doc_id AS doc_id, round(v.vscore, 4) AS score
 FROM documents d JOIN v ON lower(d.lang) = v.val
 ORDER BY doc_id
 """
+    # naive-Bayes classification: ln prior + per-occurrence smoothed
+    # likelihoods, all counts integer-exact on both sides, round-4 on the
+    # final score only (the BM25-entry convention for ln sums)
+    probe_vals = ", ".join(
+        f"({i}, '{w}')"
+        for i, p in enumerate(_CLS_PROBES)
+        for w in analyze(p)
+    )
+    sql["classify_nb"] = f"""
+{_toks_cte()},
+probe(pid, term) AS (SELECT * FROM (VALUES {probe_vals})),
+cls AS (SELECT doc_id, lower(lang) AS c FROM documents),
+nc AS (SELECT c, count(*) AS n FROM cls GROUP BY c),
+ntot AS (SELECT sum(n) AS n FROM nc),
+v AS (SELECT count(DISTINCT term) AS v FROM toks),
+dterm AS (SELECT DISTINCT pid, term FROM probe),
+dfx AS (SELECT p.pid, p.term, cl.c, count(DISTINCT t.doc_id) AS df
+        FROM dterm p JOIN toks t ON t.term = p.term
+        JOIN cls cl ON cl.doc_id = t.doc_id
+        GROUP BY 1, 2, 3),
+occ AS (SELECT pr.pid, pr.term, nc.c, nc.n, coalesce(dfx.df, 0) AS df
+        FROM probe pr CROSS JOIN nc
+        LEFT JOIN dfx ON dfx.pid = pr.pid AND dfx.term = pr.term
+                     AND dfx.c = nc.c),
+s AS (SELECT o.pid, o.c, o.n,
+             sum(ln((o.df + 1.0) / (o.n + v.v))) AS like_sum
+      FROM occ o CROSS JOIN v GROUP BY 1, 2, 3)
+SELECT s.pid AS probe_id, s.c AS class,
+       round(ln(s.n * 1.0 / ntot.n) + s.like_sum, 4) AS score
+FROM s CROSS JOIN ntot ORDER BY probe_id, class
+"""
+
     # DrillSideways: per dim the facet counts over (match set ∧ every
     # OTHER dim's filter) — this dim's own filter removed
     sql["drill_sideways"] = f"""

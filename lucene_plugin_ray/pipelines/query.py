@@ -101,6 +101,40 @@ def build_dim_clauses(
     return out
 
 
+def naive_bayes_table(
+    toks: list[str],
+    n_c: dict[str, int],
+    df: dict[tuple[str, str], int],
+    vocab: int,
+) -> pa.Table:
+    """The classification-module scoring fold shared by the single-engine
+    and sharded paths: score(c) = ln(n_c/N) + Σ_tok ln((df+1)/(n_c+V)),
+    summed over token OCCURRENCES in a fixed order — pure driver math over
+    exact integers, so both paths produce bit-identical floats."""
+    if not n_c:
+        return pa.table(
+            {"class": pa.array([], pa.string()),
+             "score": pa.array([], pa.float64())}
+        )
+    import math
+
+    n_total = sum(n_c.values())
+    rows = []
+    for cval in sorted(n_c):
+        nc = n_c[cval]
+        s = math.log(nc / n_total)
+        for w in toks:  # occurrences weigh — Lucene parity
+            s += math.log((df.get((w, cval), 0) + 1) / (nc + vocab))
+        rows.append((cval, s))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return pa.table(
+        {
+            "class": pa.array([r[0] for r in rows], pa.string()),
+            "score": pa.array([r[1] for r in rows], pa.float64()),
+        }
+    )
+
+
 def drill_filter_query(dim_clauses: dict[str, list["TermClause"]]) -> str:
     """The drill-down FILTER as a query string: every dim a MUST group,
     values within a dim OR'd (DrillDownQuery's per-dim disjunction)."""
@@ -531,6 +565,9 @@ class SearchEngine:
         # skip the varint decode on repeat queries.
         self._postings_cache: OrderedDict = OrderedDict()
         self._postings_cache_size = 4096
+        # distinct text-field vocabulary size per collection (classify's
+        # Laplace denominator) — generation-pinned like every other cache
+        self._vocab_size_cache: dict[str, int] = {}
 
         # ---- resolve live segments per collection under the chain ----
         # Three masking mechanisms (D1/D2/D3), all evaluated per
@@ -1936,6 +1973,142 @@ class SearchEngine:
                     if c:
                         acc[term] = acc.get(term, 0) + c
         return counts
+
+    # ---- naive-Bayes text classification (Lucene classification module) -
+    def text_vocab_size(self, collection: str = "default") -> int:
+        """Distinct alive-segment text-field dictionary size — classify's
+        Laplace smoothing denominator.  Exact cross-segment distinct count
+        (np.unique over the concatenated per-segment dictionaries),
+        cached per collection (the engine is generation-pinned).  Terms
+        whose postings are fully tombstoned still count — the dictionary,
+        not the live posting set, defines the smoothing vocabulary
+        (documented deviation from a live-docs recount; identical on
+        delete-free indexes)."""
+        coll = sanitize_collection(collection)
+        hit = self._vocab_size_cache.get(coll)
+        if hit is not None:
+            return hit
+        segs = self._segments.get(coll, [])
+        parts = [
+            seg.reader.field_vocab(self.cfg.text_column)[1] for seg in segs
+        ]
+        parts = [p for p in parts if p.size]
+        v = int(np.unique(np.concatenate(parts)).size) if parts else 0
+        self._vocab_size_cache[coll] = v
+        return v
+
+    def classify_partials(
+        self, text: str, class_field: str, collection: str = "default"
+    ) -> tuple[dict[str, int], dict[tuple[str, str], int]]:
+        """This engine's integer classification statistics for the analyzed
+        ``text``: ({class: alive doc count}, {(token, class): number of
+        alive docs containing BOTH the text token and the class value}) —
+        the sharded partial (doc-disjoint shards sum exactly).  Work per
+        segment: |class vocab| alive-postings decodes + one text-postings
+        decode per distinct token + sorted intersections."""
+        if class_field not in self.cfg.field_columns:
+            raise ValueError(
+                f"class_field {class_field!r} is not an indexed metadata "
+                f"field (have: {sorted(self.cfg.field_columns)})"
+            )
+        from lucene_plugin_ray.functions.analysis import analyze
+
+        toks = sorted(set(analyze(text)))
+        coll = sanitize_collection(collection)
+        segs = self._segments.get(coll, [])
+        n_c: dict[str, int] = {}
+        df: dict[tuple[str, str], int] = {}
+        for si, seg in enumerate(segs):
+            r = seg.reader
+            start, vocab = r.field_vocab(class_field)
+            tok_postings = {}
+            for w in toks:
+                row = r.lookup(self.cfg.text_column, w)
+                if row >= 0:
+                    local, _ = self._decoded(
+                        si, seg, self.cfg.text_column, w, int(row)
+                    )
+                    if local.size:
+                        tok_postings[w] = local
+            for j in range(len(vocab)):
+                cval = str(vocab[j])
+                clocal, _ = self._decoded(
+                    si, seg, class_field, cval, int(start + j)
+                )
+                if clocal.size == 0:
+                    continue
+                n_c[cval] = n_c.get(cval, 0) + int(clocal.size)
+                for w, wlocal in tok_postings.items():
+                    hits = int(_in_sorted(wlocal, clocal).sum())
+                    if hits:
+                        key = (w, cval)
+                        df[key] = df.get(key, 0) + hits
+        return n_c, df
+
+    def classify(
+        self,
+        text: str,
+        class_field: str,
+        collection: str = "default",
+        class_stats: tuple[dict, dict, int] | None = None,
+    ) -> pa.Table:
+        """Naive-Bayes text classification off pure index statistics — the
+        Lucene classification-module analogue (SimpleNaiveBayesClassifier,
+        classification/src/java/org/apache/lucene/classification/
+        SimpleNaiveBayesClassifier.java): classes are the values of an
+        indexed metadata field, and every probability comes from posting
+        intersections, no training pass:
+
+            score(c) = ln(n_c / N)
+                     + Σ_tok  ln( (df(tok ∧ c) + 1) / (n_c + V) )
+
+        with n_c = alive docs carrying class c, N = Σ n_c, df(tok ∧ c) =
+        alive docs containing both the analyzed token and the class (the
+        add-one-smoothed per-class word likelihood), V = distinct text
+        vocabulary size (:meth:`text_vocab_size`), and the sum running
+        over TOKEN OCCURRENCES (repeats weigh, Lucene parity).  All inputs
+        are exact integers, so the sharded twin
+        (ShardedSearcherService.classify — per-shard (n_c, df) partials
+        summed on the driver, V via a 64-bit term-hash union so the
+        exchange is 8 bytes/term instead of the strings) reproduces this
+        bit-for-bit up to hash collisions in V.
+
+        ``class_stats``: injected (n_c, df, V) — the sharded driver path.
+        Returns (class, score) over every alive class, ordered
+        (score desc, class asc); ties broken by class name."""
+        from lucene_plugin_ray.functions.analysis import analyze
+
+        toks = analyze(text)
+        if not toks:
+            raise ValueError("text analyzed to zero tokens")
+        if class_stats is not None:
+            n_c, df, vocab = class_stats
+        else:
+            n_c, df = self.classify_partials(
+                text, class_field, collection=collection
+            )
+            vocab = self.text_vocab_size(collection)
+        return naive_bayes_table(toks, n_c, df, vocab)
+
+    def text_vocab_hashes(self, collection: str = "default") -> np.ndarray:
+        """Per-engine distinct text-dictionary term hashes (mixed 64-bit
+        fnv1a, sorted unique) — the sharded V-union exchange format:
+        8 bytes/term instead of the term strings."""
+        from lucene_plugin_ray.functions.hashing import (
+            fnv1a_bytes_column, mix64_np,
+        )
+
+        coll = sanitize_collection(collection)
+        segs = self._segments.get(coll, [])
+        parts = [
+            seg.reader.field_vocab(self.cfg.text_column)[1] for seg in segs
+        ]
+        parts = [p for p in parts if p.size]
+        if not parts:
+            return np.empty(0, np.uint64)
+        vocab = np.unique(np.concatenate(parts))
+        h = fnv1a_bytes_column(pa.array(vocab.tolist(), type=pa.string()))
+        return np.unique(mix64_np(h))
 
     def complete(
         self,

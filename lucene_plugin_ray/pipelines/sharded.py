@@ -602,6 +602,21 @@ class _ShardActor:
         )
         return {f: list(acc.items()) for f, acc in counts.items()}
 
+    def classify_partial(
+        self, text: str, class_field: str, collection: str
+    ) -> tuple[dict, list]:
+        """This shard's integer classification statistics — ({class: n_c},
+        [(token, class, df)]) — doc-disjoint shards sum exactly."""
+        n_c, df = self.engine.classify_partials(
+            text, class_field, collection=collection
+        )
+        return n_c, [(w, c, v) for (w, c), v in df.items()]
+
+    def text_vocab_hashes(self, collection: str):
+        """This shard's distinct text-dictionary term hashes (uint64) —
+        the 8-bytes/term V-union exchange."""
+        return self.engine.text_vocab_hashes(collection)
+
     def join_to_partial(
         self, to_field: str, value_scores: dict, score_mode: str,
         collection: str, limit: int,
@@ -1114,6 +1129,50 @@ class ShardedSearcherService:
                 "docid": pa.array([r[2] for r in rows], pa.int64()),
             }
         )
+
+    def classify(
+        self,
+        text: str,
+        class_field: str,
+        collection: str = "default",
+    ) -> pa.Table:
+        """Cluster-wide naive-Bayes classification (classification-module
+        analogue) — bit-identical to SearchEngine.classify on the whole
+        index up to 64-bit hash collisions in the vocabulary union: the
+        (n_c, df) partials are exact integer sums over doc-disjoint
+        shards, V is the union of per-shard term-hash sets (8 bytes/term
+        driver traffic instead of the strings), and the scoring fold is
+        the shared driver-side naive_bayes_table."""
+        from lucene_plugin_ray.functions.analysis import analyze
+        from lucene_plugin_ray.pipelines.query import naive_bayes_table
+
+        toks = analyze(text)
+        if not toks:
+            raise ValueError("text analyzed to zero tokens")
+        if class_field not in self.cfg.field_columns:
+            raise ValueError(
+                f"class_field {class_field!r} is not an indexed metadata "
+                f"field (have: {sorted(self.cfg.field_columns)})"
+            )
+        parts = ray.get(
+            [a.classify_partial.remote(text, class_field, collection)
+             for a in self.actors]
+        )
+        hashes = ray.get(
+            [a.text_vocab_hashes.remote(collection) for a in self.actors]
+        )
+        n_c: dict[str, int] = {}
+        df: dict[tuple[str, str], int] = {}
+        for nc_p, df_p in parts:
+            for c, v in nc_p.items():
+                n_c[c] = n_c.get(c, 0) + v
+            for w, c, v in df_p:
+                df[(w, c)] = df.get((w, c), 0) + v
+        nonempty = [h for h in hashes if h.size]
+        vocab = (
+            int(np.unique(np.concatenate(nonempty)).size) if nonempty else 0
+        )
+        return naive_bayes_table(toks, n_c, df, vocab)
 
     def drill_sideways(
         self,

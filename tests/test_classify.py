@@ -1,0 +1,145 @@
+"""Naive-Bayes classification — Lucene classification-module analogue
+(SimpleNaiveBayesClassifier; SearchEngine.classify,
+ShardedSearcherService.classify).
+
+Contract: score(c) = ln(n_c/N) + Σ_occurrences ln((df(tok∧c)+1)/(n_c+V)),
+every input an exact integer from posting intersections."""
+
+import math
+
+import numpy as np
+import pytest
+
+from lucene_plugin_ray.config import IndexConfig
+from lucene_plugin_ray.functions.analysis import analyze
+from lucene_plugin_ray.pipelines.fixtures import make_pages
+
+PROBE = "w00010 w00010 w00020"  # repeated token: occurrences must weigh
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    from lucene_plugin_ray.pipelines.build import build_index
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+
+    root = str(tmp_path_factory.mktemp("idx_cls"))
+    cfg = IndexConfig(
+        index_root=root, num_partitions=4, field_columns=("foo", "age")
+    )
+    corpus = make_pages(400, seed=83, with_fields=True)
+    build_index(corpus, cfg)
+    return root, cfg, SearchEngine(root, cfg=cfg), corpus
+
+
+def _latest(corpus):
+    best = {}
+    for url, ts, text, age in zip(
+        corpus["url"].to_pylist(), corpus["warc_ts"].to_pylist(),
+        corpus["text"].to_pylist(), corpus["age"].to_pylist(),
+    ):
+        cur = best.get(url)
+        if cur is None or ts > cur[0]:
+            best[url] = (ts, text, age)
+    return best
+
+
+def _expected(corpus, probe):
+    docs = _latest(corpus)
+    n_c: dict[str, int] = {}
+    df: dict[tuple[str, str], int] = {}
+    vocab = set()
+    for _, (_ts, text, age) in docs.items():
+        toks = set(analyze(text))
+        vocab |= toks
+        for c in set(analyze(age)):
+            n_c[c] = n_c.get(c, 0) + 1
+            for w in toks:
+                df[(w, c)] = df.get((w, c), 0) + 1
+    ptoks = analyze(probe)
+    n_total = sum(n_c.values())
+    rows = []
+    for c in sorted(n_c):
+        s = math.log(n_c[c] / n_total)
+        for w in ptoks:
+            s += math.log((df.get((w, c), 0) + 1) / (n_c[c] + len(vocab)))
+        rows.append((c, s))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return rows
+
+
+def test_classify_matches_bruteforce_bitexact(built):
+    _root, _cfg, eng, corpus = built
+    want = _expected(corpus, PROBE)
+    got = eng.classify(PROBE, "age")
+    assert got.num_rows == len(want) == 10  # ten age classes in the fixture
+    assert got["class"].to_pylist() == [c for c, _ in want]
+    np.testing.assert_array_equal(
+        got["score"].to_numpy(), np.array([s for _, s in want])
+    )
+
+
+def test_repeated_tokens_weigh(built):
+    """'w w x' scores differently from 'w x' — per-occurrence likelihoods."""
+    _root, _cfg, eng, _corpus = built
+    once = dict(zip(*(eng.classify("w00010 w00020", "age").columns[i].to_pylist() for i in (0, 1))))
+    twice = dict(zip(*(eng.classify(PROBE, "age").columns[i].to_pylist() for i in (0, 1))))
+    assert set(once) == set(twice)
+    assert all(twice[c] < once[c] for c in once)  # one more ln(<1) term
+
+
+def test_unknown_token_smoothing(built):
+    """A vocabulary-free probe still classifies (add-one smoothing); the
+    ranking then follows the class priors exactly."""
+    _root, _cfg, eng, _corpus = built
+    t = eng.classify("zzznotinvocab", "age")
+    assert t.num_rows == 10
+    n_c, _df = eng.classify_partials("zzznotinvocab", "age")
+    vocab = eng.text_vocab_size()
+    n_total = sum(n_c.values())
+    want = sorted(
+        ((c, math.log(n / n_total) + math.log(1.0 / (n + vocab)))
+         for c, n in n_c.items()),
+        key=lambda r: (-r[1], r[0]),
+    )
+    assert t["class"].to_pylist() == [c for c, _ in want]
+    np.testing.assert_allclose(
+        t["score"].to_numpy(), [s for _, s in want], rtol=0, atol=1e-12
+    )
+
+
+def test_validation(built):
+    _root, _cfg, eng, _corpus = built
+    with pytest.raises(ValueError):
+        eng.classify("the and of", "age")  # all stop words → zero tokens
+    with pytest.raises(ValueError):
+        eng.classify("w00010", "nope")
+
+
+def test_vocab_size_matches_live_distinct(built):
+    """On a delete-free index the dictionary-union V equals the live
+    distinct analyzed vocabulary."""
+    _root, _cfg, eng, corpus = built
+    docs = _latest(corpus)
+    vocab = set()
+    for _, (_ts, text, _age) in docs.items():
+        vocab |= set(analyze(text))
+    assert eng.text_vocab_size() == len(vocab)
+    assert eng.text_vocab_hashes().size == len(vocab)  # no 64-bit collisions
+
+
+def test_sharded_identity(built):
+    from lucene_plugin_ray.pipelines.sharded import ShardedSearcherService
+
+    root, cfg, eng, _corpus = built
+    svc = ShardedSearcherService(root, cfg=cfg, num_shards=3)
+    try:
+        for probe in (PROBE, "w00001", "zzznotinvocab"):
+            single = eng.classify(probe, "age")
+            fleet = svc.classify(probe, "age")
+            assert fleet.equals(single), probe  # bit-identical driver fold
+        with pytest.raises(ValueError):
+            svc.classify("the", "age")
+        with pytest.raises(ValueError):
+            svc.classify("w00001", "nope")
+    finally:
+        svc.shutdown()
