@@ -480,6 +480,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ).sort_by("doc_id")
 
+    def classify_knn_q(sf_dir: str) -> pa.Table:
+        """KNN classification (KNearestNeighborClassifier): doc 7's text →
+        MLT query (top-10 tf·idf terms, source excluded) → every hit votes
+        its lang, weighted by integer 1e-4 units of its round-4 BM25 score
+        (k unbounded — no top-k boundary, so the oracle is exact)."""
+        import pyarrow.parquet as pq
+
+        engine, cfg = _engine_for(sf_dir)
+        t = pq.read_table(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text"],
+            filters=[("doc_id", "==", _MLT_DOC)],
+        )
+        res = engine.classify_knn(
+            t["text"][0].as_py(), "lang",
+            k=1_000_000_000, max_query_terms=10,
+            exclude_url=f"doc://{_MLT_DOC:010d}",
+        )
+        return res.sort_by("class")
+
     def search_count(sf_dir: str) -> pa.Table:
         """Count-only query (Lucene IndexSearcher.count): boolean match
         total, no scoring, no top-k."""
@@ -869,6 +889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_join": search_join,
         "drill_sideways": drill_sideways,
         "classify_nb": classify_nb,
+        "classify_knn": classify_knn_q,
         "facet_ranges": facet_ranges,
         "search_function": search_function,
         "top_terms": top_terms,
@@ -1602,6 +1623,42 @@ CROSS JOIN stats s
 WHERE tf.doc_id <> {_MLT_DOC}
 GROUP BY tf.doc_id
 ORDER BY doc_id
+"""
+
+    # KNN classification: the MLT match set's round-4 scores in integer
+    # 1e-4 vote units, summed per lang — pure integer output
+    sql["classify_knn"] = f"""
+{_toks_cte()},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+docs AS (SELECT d.doc_id, coalesce(dl.dl, 0) AS dl
+         FROM documents d LEFT JOIN dl USING (doc_id)),
+stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM docs),
+src AS (SELECT term, tf FROM tf WHERE doc_id = {_MLT_DOC}),
+dfw AS (SELECT term, count(*) AS df FROM tf
+        WHERE term IN (SELECT term FROM src) GROUP BY term),
+w AS (SELECT s.term, s.tf * ln(1.0 + (st.n - dfw.df + 0.5) / (dfw.df + 0.5)) AS w
+      FROM src s JOIN dfw USING (term) CROSS JOIN stats st),
+qterms AS (SELECT term FROM w ORDER BY w DESC, term ASC LIMIT 10),
+df AS (SELECT term, count(*) AS df FROM tf
+       WHERE term IN (SELECT term FROM qterms) GROUP BY term),
+hits AS (SELECT tf.doc_id AS doc_id,
+       CAST(floor(round(sum(
+         ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+         * (tf.tf * (1.2 + 1.0))
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * docs.dl / s.avgdl))
+       ), 4) * 10000 + 0.5) AS BIGINT) AS vote
+FROM tf
+JOIN df USING (term)
+JOIN docs ON docs.doc_id = tf.doc_id
+CROSS JOIN stats s
+WHERE tf.doc_id <> {_MLT_DOC}
+GROUP BY tf.doc_id)
+SELECT lower(d.lang) AS class,
+       CAST(sum(h.vote) AS BIGINT) AS vote_units,
+       CAST(count(*) AS BIGINT) AS hits
+FROM hits h JOIN documents d USING (doc_id)
+GROUP BY 1 ORDER BY class
 """
 
     # lexicographic term range on the source field — constant score 1.0

@@ -135,6 +135,20 @@ def naive_bayes_table(
     )
 
 
+def knn_vote_table(acc: dict[str, list[int]]) -> pa.Table:
+    """(class, vote_units, hits) from the integer vote fold, ordered
+    (vote desc, class asc) — shared by the single-engine and sharded
+    classify_knn paths (all inputs integers, merge = plain sums)."""
+    items = sorted(acc.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    return pa.table(
+        {
+            "class": pa.array([c for c, _ in items], pa.string()),
+            "vote_units": pa.array([a[0] for _, a in items], pa.int64()),
+            "hits": pa.array([a[1] for _, a in items], pa.int64()),
+        }
+    )
+
+
 def drill_filter_query(dim_clauses: dict[str, list["TermClause"]]) -> str:
     """The drill-down FILTER as a query string: every dim a MUST group,
     values within a dim OR'd (DrillDownQuery's per-dim disjunction)."""
@@ -2089,6 +2103,101 @@ class SearchEngine:
             )
             vocab = self.text_vocab_size(collection)
         return naive_bayes_table(toks, n_c, df, vocab)
+
+    def class_votes_for_urls(
+        self,
+        urls: np.ndarray,
+        votes: np.ndarray,
+        class_field: str,
+        collection: str = "default",
+    ) -> dict[str, list[int]]:
+        """Fold integer ``votes`` (aligned with sorted-unique hit ``urls``)
+        into per-class (vote sum, hit count) using this engine's segments:
+        each alive hit doc contributes its vote to every class value it
+        carries.  Membership is a searchsorted probe on each segment's url
+        index + the facets-shaped per-(segment, class value) pass — work
+        bounded by |hits| · segments + |class vocab|.  Shadowed/deleted
+        copies of a url never vote (alive mask), so across doc-disjoint
+        shards the integer fold is exact — the sharded partial."""
+        if class_field not in self.cfg.field_columns:
+            raise ValueError(
+                f"class_field {class_field!r} is not an indexed metadata "
+                f"field (have: {sorted(self.cfg.field_columns)})"
+            )
+        coll = sanitize_collection(collection)
+        acc: dict[str, list[int]] = {}
+        for si, seg in enumerate(self._segments.get(coll, [])):
+            r = seg.reader
+            sel = np.searchsorted(r.urls, urls)
+            ok = sel < r.urls.size
+            ok[ok] &= r.urls[sel[ok]] == urls[ok]
+            if not seg.all_alive:
+                ok[ok] &= seg.alive[sel[ok]]
+            if not ok.any():
+                continue
+            local = sel[ok]          # ascending (urls sorted, r.urls sorted)
+            v = votes[ok]
+            start, vocab = r.field_vocab(class_field)
+            for j in range(len(vocab)):
+                cval = str(vocab[j])
+                clocal, _ = self._decoded(
+                    si, seg, class_field, cval, int(start + j)
+                )
+                m = _in_sorted(local, clocal)
+                if not m.any():
+                    continue
+                a = acc.setdefault(cval, [0, 0])
+                a[0] += int(v[m].sum())
+                a[1] += int(m.sum())
+        return acc
+
+    def classify_knn(
+        self,
+        text: str,
+        class_field: str,
+        collection: str = "default",
+        k: int = 10,
+        max_query_terms: int = 25,
+        exclude_url: str | None = None,
+    ) -> pa.Table:
+        """k-nearest-neighbor classification — the classification module's
+        KNearestNeighborClassifier analogue: run the MoreLikeThis query
+        built from ``text`` (:meth:`more_like_this`, exact BM25 top-``k``
+        under the engine's total order), then each hit votes its
+        ``class_field`` value(s) weighted by its score.  Votes are INTEGER
+        1e-4 units of the round-4 score (floor(round(s,4)·1e4 + 0.5)) so
+        the per-class fold is order-free — the sharded twin
+        (ShardedSearcherService.classify_knn: cluster-exact sharded MLT
+        hits, then per-shard integer vote partials over doc-disjoint
+        alive docs) is bit-identical, and a DuckDB oracle reproduces the
+        arithmetic exactly.  Returns (class, vote_units, hits) over
+        classes with ≥ 1 voting hit, ordered (vote desc, class asc)."""
+        if class_field not in self.cfg.field_columns:
+            raise ValueError(
+                f"class_field {class_field!r} is not an indexed metadata "
+                f"field (have: {sorted(self.cfg.field_columns)})"
+            )
+        hits = self.more_like_this(
+            text, collection=collection,
+            max_query_terms=max_query_terms, limit=k,
+            exclude_url=exclude_url,
+        )
+        empty = pa.table(
+            {"class": pa.array([], pa.string()),
+             "vote_units": pa.array([], pa.int64()),
+             "hits": pa.array([], pa.int64())}
+        )
+        if hits.num_rows == 0:
+            return empty
+        urls = hits["url"].to_numpy(zero_copy_only=False)
+        votes = np.floor(
+            np.round(hits["score"].to_numpy(), 4) * 1e4 + 0.5
+        ).astype(np.int64)
+        order = np.argsort(urls)     # the membership probe wants sorted urls
+        acc = self.class_votes_for_urls(
+            urls[order], votes[order], class_field, collection=collection
+        )
+        return knn_vote_table(acc)
 
     def text_vocab_hashes(self, collection: str = "default") -> np.ndarray:
         """Per-engine distinct text-dictionary term hashes (mixed 64-bit

@@ -617,6 +617,19 @@ class _ShardActor:
         the 8-bytes/term V-union exchange."""
         return self.engine.text_vocab_hashes(collection)
 
+    def knn_vote_partial(
+        self, urls: list, votes: list, class_field: str, collection: str
+    ) -> list[tuple[str, int, int]]:
+        """This shard's integer class-vote fold for the broadcast hit list
+        — (class, vote sum, hit count) rows; alive docs are shard-disjoint
+        so the driver merge is a plain sum."""
+        u = np.asarray(urls, dtype=object)
+        v = np.asarray(votes, dtype=np.int64)
+        acc = self.engine.class_votes_for_urls(
+            u, v, class_field, collection=collection
+        )
+        return [(c, a[0], a[1]) for c, a in acc.items()]
+
     def join_to_partial(
         self, to_field: str, value_scores: dict, score_mode: str,
         collection: str, limit: int,
@@ -1173,6 +1186,53 @@ class ShardedSearcherService:
             int(np.unique(np.concatenate(nonempty)).size) if nonempty else 0
         )
         return naive_bayes_table(toks, n_c, df, vocab)
+
+    def classify_knn(
+        self,
+        text: str,
+        class_field: str,
+        collection: str = "default",
+        k: int = 10,
+        max_query_terms: int = 25,
+        exclude_url: str | None = None,
+    ) -> pa.Table:
+        """Cluster-wide KNN classification — bit-identical to
+        SearchEngine.classify_knn on the whole index: the hit list comes
+        from the exact sharded MoreLikeThis, votes are integer 1e-4 score
+        units, and per-shard vote partials (doc-disjoint alive docs) sum
+        on the driver."""
+        from lucene_plugin_ray.pipelines.query import knn_vote_table
+
+        if class_field not in self.cfg.field_columns:
+            raise ValueError(
+                f"class_field {class_field!r} is not an indexed metadata "
+                f"field (have: {sorted(self.cfg.field_columns)})"
+            )
+        hits = self.more_like_this(
+            text, collection=collection,
+            max_query_terms=max_query_terms, limit=k,
+            exclude_url=exclude_url,
+        )
+        if hits.num_rows == 0:
+            return knn_vote_table({})
+        urls = hits["url"].to_numpy(zero_copy_only=False)
+        votes = np.floor(
+            np.round(hits["score"].to_numpy(), 4) * 1e4 + 0.5
+        ).astype(np.int64)
+        order = np.argsort(urls)
+        u = urls[order].tolist()
+        v = votes[order].tolist()
+        parts = ray.get(
+            [a.knn_vote_partial.remote(u, v, class_field, collection)
+             for a in self.actors]
+        )
+        acc: dict[str, list[int]] = {}
+        for p in parts:
+            for c, s_, n in p:
+                a = acc.setdefault(c, [0, 0])
+                a[0] += s_
+                a[1] += n
+        return knn_vote_table(acc)
 
     def drill_sideways(
         self,

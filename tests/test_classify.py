@@ -143,3 +143,61 @@ def test_sharded_identity(built):
             svc.classify("w00001", "nope")
     finally:
         svc.shutdown()
+
+
+# ------------------------------------------------- KNN classifier -----------
+
+
+def test_classify_knn_matches_vote_recompute(built):
+    """Votes recomputed from the engine's own MLT hits + the corpus class
+    values — integer-exact identity."""
+    _root, _cfg, eng, corpus = built
+    probe = "w00010 w00011 w00012 w00013 w00014"
+    hits = eng.more_like_this(probe, max_query_terms=5, limit=10**9)
+    docs = _latest(corpus)
+    import numpy as np
+    votes: dict[str, list[int]] = {}
+    for u, s in zip(hits["url"].to_pylist(), hits["score"].to_pylist()):
+        v = int(np.floor(round(s, 4) * 1e4 + 0.5))
+        for c in set(analyze(docs[u][2])):  # age tokens
+            a = votes.setdefault(c, [0, 0])
+            a[0] += v
+            a[1] += 1
+    got = eng.classify_knn(probe, "age", k=10**9, max_query_terms=5)
+    want = sorted(votes.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    assert got["class"].to_pylist() == [c for c, _ in want]
+    assert got["vote_units"].to_pylist() == [a[0] for _, a in want]
+    assert got["hits"].to_pylist() == [a[1] for _, a in want]
+
+
+def test_classify_knn_finite_k_uses_topk_only(built):
+    _root, _cfg, eng, _corpus = built
+    probe = "w00010 w00011 w00012"
+    small = eng.classify_knn(probe, "age", k=5, max_query_terms=3)
+    big = eng.classify_knn(probe, "age", k=10**9, max_query_terms=3)
+    assert sum(small["hits"].to_pylist()) == 5
+    assert sum(big["hits"].to_pylist()) > 5
+
+
+def test_classify_knn_sharded_identity(built):
+    from lucene_plugin_ray.pipelines.sharded import ShardedSearcherService
+
+    root, cfg, eng, _corpus = built
+    svc = ShardedSearcherService(root, cfg=cfg, num_shards=3)
+    try:
+        for k in (7, 10**9):
+            single = eng.classify_knn("w00010 w00020", "age", k=k,
+                                      max_query_terms=4)
+            fleet = svc.classify_knn("w00010 w00020", "age", k=k,
+                                     max_query_terms=4)
+            assert fleet.equals(single), k
+        with pytest.raises(ValueError):
+            svc.classify_knn("w00010", "nope")
+    finally:
+        svc.shutdown()
+
+
+def test_classify_knn_no_hits_empty(built):
+    _root, _cfg, eng, _corpus = built
+    with pytest.raises(ValueError):
+        eng.classify_knn("w00010", "nope")
