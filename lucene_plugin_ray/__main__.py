@@ -111,6 +111,15 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--limit", type=int, default=None)
     s.add_argument("--partitions", type=int, default=32)
     s.add_argument("--fields", default="")
+    s = sub.add_parser("classify")
+    s.add_argument("--index", required=True)
+    s.add_argument("--text", required=True)
+    s.add_argument("--class-field", required=True)
+    s.add_argument("--knn", type=int, default=0,
+                   help="0 = naive Bayes; N > 0 = KNN vote over top-N MLT hits")
+    s.add_argument("--collection", default="default")
+    s.add_argument("--partitions", type=int, default=32)
+    s.add_argument("--fields", default="")
     s = sub.add_parser("drill-sideways")
     s.add_argument("--index", required=True)
     s.add_argument("--query", required=True)
@@ -253,6 +262,21 @@ def main(argv: list[str] | None = None) -> int:
         )
         for url, score in zip(t["url"].to_pylist(), t["score"].to_pylist()):
             print(json.dumps({"url": url, "score": round(score, 6)}))
+    elif args.cmd == "classify":
+        from lucene_plugin_ray.pipelines.query import SearchEngine
+
+        eng = SearchEngine(args.index, cfg=cfg)
+        if args.knn > 0:
+            t = eng.classify_knn(
+                args.text, args.class_field, collection=args.collection,
+                k=args.knn,
+            )
+        else:
+            t = eng.classify(
+                args.text, args.class_field, collection=args.collection
+            )
+        for row in t.to_pylist():
+            print(json.dumps(row))
     elif args.cmd == "drill-sideways":
         from lucene_plugin_ray.pipelines.query import SearchEngine
 

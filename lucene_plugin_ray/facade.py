@@ -416,6 +416,36 @@ class LuceneFacade:
         }
         return entries, flat
 
+    def classify(
+        self, collection: str, text: str, class_field: str
+    ) -> list[tuple[str, float]]:
+        """Naive-Bayes classification (SimpleNaiveBayesClassifier analogue)
+        → [(class, log-score)] ranked best-first."""
+        _require(_valid_str(collection), "collection must be a non-empty string")
+        _require(_valid_str(text), "text must be a non-empty string")
+        _require(_valid_str(class_field), "class_field must be a non-empty string")
+        eng = self._lease_engine()
+        if eng is None:
+            return []
+        t = eng.classify(text, class_field, collection=collection)
+        return list(zip(t["class"].to_pylist(), t["score"].to_pylist()))
+
+    def classify_knn(
+        self, collection: str, text: str, class_field: str, k: int = 10
+    ) -> list[tuple[str, int, int]]:
+        """KNN classification (KNearestNeighborClassifier analogue) →
+        [(class, vote_units, hits)] ranked best-first."""
+        _require(_valid_str(collection), "collection must be a non-empty string")
+        _require(_valid_str(text), "text must be a non-empty string")
+        _require(_valid_str(class_field), "class_field must be a non-empty string")
+        _require(isinstance(k, int) and k > 0, "k must be a positive integer")
+        eng = self._lease_engine()
+        if eng is None:
+            return []
+        t = eng.classify_knn(text, class_field, collection=collection, k=k)
+        return list(zip(t["class"].to_pylist(), t["vote_units"].to_pylist(),
+                        t["hits"].to_pylist()))
+
     def count(self, collection: str, query: str) -> int:
         """Total matching live docs (IndexSearcher.count analogue) — the
         boolean-match twin of :meth:`search` with no scoring work."""
@@ -752,6 +782,24 @@ class AsyncLuceneFacade:
 
         return await asyncio.to_thread(
             self._sync.drill_sideways, collection, query, dims, limit
+        )
+
+    async def classify(
+        self, collection: str, text: str, class_field: str
+    ) -> list[tuple[str, float]]:
+        import asyncio
+
+        return await asyncio.to_thread(
+            self._sync.classify, collection, text, class_field
+        )
+
+    async def classify_knn(
+        self, collection: str, text: str, class_field: str, k: int = 10
+    ) -> list[tuple[str, int, int]]:
+        import asyncio
+
+        return await asyncio.to_thread(
+            self._sync.classify_knn, collection, text, class_field, k
         )
 
     async def count(self, collection: str, query: str) -> int:

@@ -257,6 +257,36 @@ class LuceneHttpService:
             },
         }
 
+    def _classify(self, q: dict) -> list[dict]:
+        with self._lock:
+            self._read_your_writes()
+            try:
+                rows = self.facade.classify(
+                    q.get("collection", ""), q.get("text", ""),
+                    q.get("class_field", ""),
+                )
+            except ValueError as e:  # zero tokens / unknown field
+                raise LuceneException(str(e))
+        return [{"class": c, "score": s} for c, s in rows]
+
+    def _classify_knn(self, q: dict) -> list[dict]:
+        try:
+            k = int(q.get("k", "10"))
+        except ValueError:
+            raise LuceneException(f"k must be an integer: {q.get('k')!r}")
+        with self._lock:
+            self._read_your_writes()
+            try:
+                rows = self.facade.classify_knn(
+                    q.get("collection", ""), q.get("text", ""),
+                    q.get("class_field", ""), k=k,
+                )
+            except ValueError as e:
+                raise LuceneException(str(e))
+        return [
+            {"class": c, "vote_units": v, "hits": h} for c, v, h in rows
+        ]
+
     def _rescore(self, q: dict) -> list[dict]:
         limit = self._limit_of(q)
         try:
@@ -418,6 +448,8 @@ class LuceneHttpService:
         "search-filtered": _search_filtered,
         "search-join": _search_join,
         "drill-sideways": _drill_sideways,
+        "classify": _classify,
+        "classify-knn": _classify_knn,
         "count": _count,
         "facets": _facets,
         "search-sorted": _search_sorted,
@@ -542,6 +574,24 @@ class LuceneHttpClient:
             "drill-sideways",
             {"collection": collection, "query": query,
              "dims": _json.dumps(dims), "limit": limit},
+        )
+
+    def classify(
+        self, collection: str, text: str, class_field: str
+    ) -> list[dict]:
+        return self._get(
+            "classify",
+            {"collection": collection, "text": text,
+             "class_field": class_field},
+        )
+
+    def classify_knn(
+        self, collection: str, text: str, class_field: str, k: int = 10
+    ) -> list[dict]:
+        return self._get(
+            "classify-knn",
+            {"collection": collection, "text": text,
+             "class_field": class_field, "k": k},
         )
 
     def rescore(

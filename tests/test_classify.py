@@ -201,3 +201,41 @@ def test_classify_knn_no_hits_empty(built):
     _root, _cfg, eng, _corpus = built
     with pytest.raises(ValueError):
         eng.classify_knn("w00010", "nope")
+
+
+def test_facade_and_http_round_trip(ray_session, tmp_path):
+    from lucene_plugin_ray.server import LuceneHttpClient, LuceneHttpService
+
+    cfg = IndexConfig(
+        index_root=str(tmp_path / "idx"), num_partitions=2,
+        field_columns=("tag",),
+    )
+    service = LuceneHttpService(cfg, host="127.0.0.1", port=0).start()
+    facade = service.facade
+    try:
+        c = LuceneHttpClient(service.url)
+        c.index_map("col", "a", {"text": "alpha beta alpha", "tag": "red"})
+        c.index_map("col", "b", {"text": "alpha gamma", "tag": "red"})
+        c.index_map("col", "d", {"text": "delta epsilon zeta", "tag": "blue"})
+        c.index_map("col", "e", {"text": "delta beta", "tag": "blue"})
+
+        rows = c.classify("col", "alpha beta", "tag")
+        assert [r["class"] for r in rows] == ["red", "blue"]
+        ent = facade.classify("col", "alpha beta", "tag")
+        assert [(r["class"], r["score"]) for r in rows] == [
+            (cl, s) for cl, s in ent
+        ]
+        knn = c.classify_knn("col", "alpha beta", "tag", k=3)
+        assert knn and knn[0]["class"] == "red"
+        assert sum(r["hits"] for r in knn) == 3
+
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            c.classify("col", "the and", "tag")  # zero tokens → 400
+        assert ei.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            c.classify_knn("col", "alpha", "nope")
+        assert ei.value.code == 400
+    finally:
+        service.shutdown()
