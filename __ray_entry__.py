@@ -525,6 +525,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ).sort_by("doc_id")
 
+    def search_sorted_multi(sf_dir: str) -> pa.Table:
+        """Multi-key field sort (Sort(SortField, SortField)): OR-query hits
+        ordered (doc_len desc, warc_ts asc); rank is the global composite
+        position (warc_ts unique ⇒ total order without the url tiebreak,
+        so the SQL row_number reproduces it exactly)."""
+        from lucene_plugin_ray.sources.pages import url_to_doc_id
+
+        engine, cfg = _engine_for(sf_dir)
+        res = engine.search_sorted_by(
+            _OR_Q, [("doc_len", "desc"), ("warc_ts", "asc")],
+            limit=1_000_000_000,
+        )
+        return pa.table(
+            {
+                "doc_id": url_to_doc_id(res["url"].combine_chunks()),
+                "dl": res["doc_len"].combine_chunks(),
+                "ts_us": res["warc_ts"].combine_chunks(),
+                "rank": pa.array(range(1, res.num_rows + 1), pa.int64()),
+            }
+        ).sort_by("doc_id")
+
     def spell_suggest(sf_dir: str) -> pa.Table:
         """DirectSpellChecker analogue: live-vocab candidates within
         DL<=2 of the typo 'spakr', ranked (distance, df desc, term)."""
@@ -920,6 +941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_facets": search_facets,
         "search_count": search_count,
         "search_sorted": search_sorted,
+        "search_sorted_multi": search_sorted_multi,
         "spell_suggest": spell_suggest,
         "date_histogram": date_histogram,
         "more_like_this": more_like_this_q,
@@ -1550,6 +1572,20 @@ m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({or_inlist})),
 s AS (SELECT doc_id, CAST(1600000000000000 + doc_id AS BIGINT) AS ts_us FROM m)
 SELECT doc_id, ts_us,
        CAST(row_number() OVER (ORDER BY ts_us DESC, doc_id ASC) AS BIGINT) AS rank
+FROM s ORDER BY doc_id
+"""
+
+    # multi-key field sort: (analyzed doc_len desc, ts asc) — ts unique in
+    # this corpus, so the composite key is already a total order
+    sql["search_sorted_multi"] = f"""
+{_toks_cte()},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({or_inlist})),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+s AS (SELECT m.doc_id, coalesce(dl.dl, 0) AS dl,
+             CAST(1600000000000000 + m.doc_id AS BIGINT) AS ts_us
+      FROM m LEFT JOIN dl USING (doc_id))
+SELECT doc_id, CAST(dl AS BIGINT) AS dl, ts_us,
+       CAST(row_number() OVER (ORDER BY dl DESC, ts_us ASC) AS BIGINT) AS rank
 FROM s ORDER BY doc_id
 """
 

@@ -241,6 +241,9 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
         lambda: eng.search_join("spark merge", "lang", "lang",
                                 score_mode="max", limit=10),
         lambda: eng.drill_sideways("spark merge", {"lang": "de"}, limit=10),
+        lambda: eng.classify("spark merge window", "lang"),
+        lambda: eng.classify_knn("spark merge window", "lang", k=10,
+                                 max_query_terms=5),
     ]
     for op in aux_ops:  # warm the postings/dictionary caches
         op()

@@ -1315,6 +1315,102 @@ class SearchEngine:
         )[:limit]
         return merged.take(pa.array(order))
 
+    def search_sorted_by(
+        self,
+        query: str,
+        sort: list[tuple[str, str]],
+        collection: str = "default",
+        limit: int | None = None,
+    ) -> pa.Table:
+        """Multi-key sort-by-field search — IndexSearcher.search(q, n,
+        Sort(SortField, SortField, …)) with more than one key: matching is
+        boolean (field sort reports no scores, the :meth:`search_sorted`
+        contract), results ordered by the stored per-doc numerics in
+        ``sort`` = [(field, 'asc'|'desc'), …] evaluated left-to-right with
+        the url-asc tiebreak last.  Sortable fields: 'warc_ts' (epoch-µs)
+        and 'doc_len' (the analyzed |D| of the text field) — the two
+        stored doc values.  The composite key + url is a total order, so
+        per-segment truncation at ``limit`` merges exactly (the BM25-path
+        argument).  Returns (url, <one int64 column per sort field>,
+        docid)."""
+        if not sort:
+            raise ValueError("sort must name at least one (field, dir) pair")
+        fields = []
+        for pair in sort:
+            if not (isinstance(pair, (tuple, list)) and len(pair) == 2):
+                raise ValueError(f"sort entries are (field, dir) pairs: {pair!r}")
+            f, d = pair
+            if f not in ("warc_ts", "doc_len"):
+                raise ValueError(
+                    f"unsupported sort field {f!r}: stored sortable doc "
+                    "values are 'warc_ts' and 'doc_len'"
+                )
+            if d not in ("asc", "desc"):
+                raise ValueError(f"sort direction must be asc|desc, got {d!r}")
+            if f in [x[0] for x in fields]:
+                raise ValueError(f"duplicate sort field {f!r}")
+            fields.append((f, d))
+        limit = limit if limit is not None else self.cfg.result_limit
+        if limit <= 0:
+            raise ValueError("limit must be positive")
+        coll = sanitize_collection(collection)
+        clauses = parse_query(query, default_field=self.cfg.text_column)
+        segs = self._segments.get(coll, [])
+        empty = pa.table(
+            {"url": pa.array([], pa.string()),
+             **{f: pa.array([], pa.int64()) for f, _ in fields},
+             "docid": pa.array([], pa.int64())}
+        )
+
+        def _keys(r, matched):
+            out = []
+            for f, _ in fields:
+                src = (
+                    r.warc_ts if f == "warc_ts"
+                    else r.doc_len[self.cfg.text_column]
+                )
+                out.append(src[matched].astype(np.int64, copy=False))
+            return out
+
+        def _order(urls, keys):
+            # np.lexsort sorts by the LAST key first → feed (url, kN..k1)
+            cols = [urls] + [
+                (-k if d == "desc" else k)
+                for (f, d), k in zip(reversed(fields), reversed(keys))
+            ]
+            return np.lexsort(tuple(cols))
+
+        parts = []
+        for si, seg in enumerate(segs):
+            matched = self._match_segment(si, seg, clauses, {}, {})
+            if matched.size == 0:
+                continue
+            r = seg.reader
+            keys = _keys(r, matched)
+            order = _order(r.urls[matched], keys)[:limit]
+            parts.append(
+                pa.table(
+                    {
+                        "url": pa.array(r.urls[matched][order], pa.string()),
+                        **{
+                            f: pa.array(k[order], pa.int64())
+                            for (f, _), k in zip(fields, keys)
+                        },
+                        "docid": pa.array(
+                            r.doc_base + matched[order], pa.int64()
+                        ),
+                    }
+                )
+            )
+        if not parts:
+            return empty
+        merged = pa.concat_tables(parts)
+        keys = [merged[f].to_numpy() for f, _ in fields]
+        order = _order(
+            merged["url"].to_numpy(zero_copy_only=False), keys
+        )[:limit]
+        return merged.take(pa.array(order))
+
     def more_like_this(
         self,
         text: str,

@@ -617,6 +617,18 @@ class _ShardActor:
         the 8-bytes/term V-union exchange."""
         return self.engine.text_vocab_hashes(collection)
 
+    def sorted_by_partial(
+        self, query: str, sort: list, collection: str, limit: int
+    ) -> list[tuple]:
+        """This shard's top-``limit`` multi-key-sorted hits — per-shard
+        truncation under the composite (keys…, url) total order merges
+        exactly (doc-disjoint shards)."""
+        t = self.engine.search_sorted_by(
+            query, [tuple(p) for p in sort], collection=collection,
+            limit=limit,
+        )
+        return [tuple(r.values()) for r in t.to_pylist()]
+
     def knn_vote_partial(
         self, urls: list, votes: list, class_field: str, collection: str
     ) -> list[tuple[str, int, int]]:
@@ -1186,6 +1198,60 @@ class ShardedSearcherService:
             int(np.unique(np.concatenate(nonempty)).size) if nonempty else 0
         )
         return naive_bayes_table(toks, n_c, df, vocab)
+
+    def search_sorted_by(
+        self,
+        query: str,
+        sort: list,
+        collection: str = "default",
+        limit: int | None = None,
+    ) -> pa.Table:
+        """Cluster-wide multi-key sorted search — identical to
+        SearchEngine.search_sorted_by on the whole index: per-shard
+        top-``limit`` partials under the composite total order, exact
+        driver merge (integer sort keys, no float caveat)."""
+        limit = limit if limit is not None else self.cfg.result_limit
+        if limit <= 0:
+            raise ValueError("limit must be positive")
+        if not sort:
+            raise ValueError("sort must name at least one (field, dir) pair")
+        fields = [tuple(p) for p in sort]
+        seen = set()
+        for f, d in fields:  # driver-side validation before any fan-out
+            if f not in ("warc_ts", "doc_len"):
+                raise ValueError(f"unsupported sort field {f!r}")
+            if d not in ("asc", "desc"):
+                raise ValueError(f"sort direction must be asc|desc, got {d!r}")
+            if f in seen:
+                raise ValueError(f"duplicate sort field {f!r}")
+            seen.add(f)
+        parts = ray.get(
+            [a.sorted_by_partial.remote(query, fields, collection, limit)
+             for a in self.actors]
+        )
+        rows = [r for p in parts for r in p]
+        # row shape: (url, key1, ..., keyN, docid); sort left-to-right with
+        # per-key direction, url-asc tiebreak last
+        def _k(row):
+            key = []
+            for i, (_f, d) in enumerate(fields):
+                v = row[1 + i]
+                key.append(-v if d == "desc" else v)
+            key.append(row[0])
+            return tuple(key)
+
+        rows.sort(key=_k)
+        rows = rows[:limit]
+        return pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                **{
+                    f: pa.array([r[1 + i] for r in rows], pa.int64())
+                    for i, (f, _d) in enumerate(fields)
+                },
+                "docid": pa.array([r[-1] for r in rows], pa.int64()),
+            }
+        )
 
     def classify_knn(
         self,

@@ -282,3 +282,78 @@ def test_sorted_after_validation_and_http(ray_session, tmp_path):
                                           "query": "alpha", "after_ts": "zz"})
     finally:
         service.shutdown()
+
+
+# -------------------------------------------- multi-key field sort ----------
+
+
+def test_sorted_by_matches_bruteforce(built):
+    """(doc_len desc, warc_ts asc, url asc) recomputed from the single-key
+    sorted surface — permutation identity on the full match set."""
+    _root, _cfg, eng = built
+    full = eng.search_sorted_by(
+        "w00001 w00002", [("doc_len", "desc"), ("warc_ts", "asc")],
+        limit=10**9,
+    )
+    assert full.num_rows > 10
+    rows = list(zip(full["url"].to_pylist(), full["doc_len"].to_pylist(),
+                    full["warc_ts"].to_pylist()))
+    want = sorted(rows, key=lambda r: (-r[1], r[2], r[0]))
+    assert rows == want
+    # same match set as the boolean count
+    assert full.num_rows == eng.count("w00001 w00002")
+
+
+def test_sorted_by_truncation_is_global_topk(built):
+    _root, _cfg, eng = built
+    full = eng.search_sorted_by(
+        "w00001", [("doc_len", "asc"), ("warc_ts", "desc")], limit=10**9
+    )
+    top5 = eng.search_sorted_by(
+        "w00001", [("doc_len", "asc"), ("warc_ts", "desc")], limit=5
+    )
+    assert top5.equals(full.slice(0, 5))
+
+
+def test_sorted_by_single_key_equals_search_sorted(built):
+    """[(warc_ts, desc)] must reproduce the dedicated recency surface."""
+    _root, _cfg, eng = built
+    multi = eng.search_sorted_by("w00001", [("warc_ts", "desc")], limit=50)
+    single = eng.search_sorted("w00001", limit=50)
+    assert multi["url"].equals(single["url"])
+    assert multi["warc_ts"].equals(single["warc_ts"])
+    assert multi["docid"].equals(single["docid"])
+
+
+def test_sorted_by_validation(built):
+    _root, _cfg, eng = built
+    with pytest.raises(ValueError):
+        eng.search_sorted_by("w00001", [])
+    with pytest.raises(ValueError):
+        eng.search_sorted_by("w00001", [("score", "desc")])
+    with pytest.raises(ValueError):
+        eng.search_sorted_by("w00001", [("warc_ts", "down")])
+    with pytest.raises(ValueError):
+        eng.search_sorted_by(
+            "w00001", [("warc_ts", "desc"), ("warc_ts", "asc")]
+        )
+    with pytest.raises(ValueError):
+        eng.search_sorted_by("w00001", [("warc_ts", "desc")], limit=0)
+
+
+def test_sorted_by_sharded_identity(built):
+    from lucene_plugin_ray.pipelines.sharded import ShardedSearcherService
+
+    root, cfg, eng = built
+    svc = ShardedSearcherService(root, cfg=cfg, num_shards=3)
+    try:
+        for sort in ([("doc_len", "desc"), ("warc_ts", "asc")],
+                     [("warc_ts", "asc")]):
+            for limit in (5, 1_000_000):
+                single = eng.search_sorted_by("w00001 w00002", sort, limit=limit)
+                fleet = svc.search_sorted_by("w00001 w00002", sort, limit=limit)
+                assert fleet.equals(single), (sort, limit)
+        with pytest.raises(ValueError):
+            svc.search_sorted_by("w00001", [("nope", "asc")])
+    finally:
+        svc.shutdown()
