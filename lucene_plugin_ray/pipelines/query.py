@@ -2574,7 +2574,9 @@ class SearchEngine:
         )
 
     def explain(
-        self, query: str, url: str, collection: str = "default"
+        self, query: str, url: str, collection: str = "default",
+        global_stats: dict[str, dict] | None = None,
+        global_df: dict[tuple[str, str], int] | None = None,
     ) -> dict:
         """Score breakdown for one (query, document) pair — Lucene
         IndexSearcher.explain(Query, doc): per-clause df / tf / idf /
@@ -2582,7 +2584,10 @@ class SearchEngine:
         ``sum(clause weights) == search() score`` bit-for-bit when the doc
         matches.  ``matched`` is False when the doc fails a MUST clause (or
         hits nothing); the per-clause rows still show what each clause saw.
-        Raises KeyError for a url not live in the collection."""
+        Raises KeyError for a url not live in the collection.
+        ``global_stats``/``global_df``: injected corpus-global statistics
+        — the sharded path (search_partial's contract), so a shard-local
+        explain reports the same numbers the fleet-wide search used."""
         coll = sanitize_collection(collection)
         clauses = parse_query(query, default_field=self.cfg.text_column)
         segs = self._segments.get(coll, [])
@@ -2599,13 +2604,22 @@ class SearchEngine:
             raise KeyError(f"url {url!r} not live in collection {collection!r}")
         si, seg, local_doc = hit
         r = seg.reader
-        n_docs, avgdl = self._stats(coll)
+        if global_stats is not None:
+            st = global_stats.get(coll, {"n_docs": 0, "sum_dl": {}})
+            n_docs = int(st["n_docs"])
+            avgdl = (
+                {f: v / n_docs for f, v in st["sum_dl"].items()}
+                if n_docs else {}
+            )
+        else:
+            n_docs, avgdl = self._stats(coll)
         k1, b = self.cfg.k1, self.cfg.b
 
-        # global df: the alive-masked cross-segment walk local_term_dfs
-        # already implements (one definition — explain cannot drift from
-        # search scores)
-        global_df = self.local_term_dfs(coll, scored_term_keys(clauses))
+        if global_df is None:
+            # global df: the alive-masked cross-segment walk local_term_dfs
+            # already implements (one definition — explain cannot drift
+            # from search scores)
+            global_df = self.local_term_dfs(coll, scored_term_keys(clauses))
 
         def _tf_of(local: np.ndarray, tfs: np.ndarray) -> float:
             # float: sloppy-phrase freqs (Q14) are Σ 1/(1+d) weights

@@ -617,6 +617,17 @@ class _ShardActor:
         the 8-bytes/term V-union exchange."""
         return self.engine.text_vocab_hashes(collection)
 
+    def explain_for(
+        self, query: str, url: str, collection: str,
+        global_stats: dict, global_df: dict,
+    ) -> dict:
+        """Shard-local explain with INJECTED corpus-global stats — reports
+        exactly the numbers the fleet-wide search scored with."""
+        return self.engine.explain(
+            query, url, collection=collection,
+            global_stats=global_stats, global_df=global_df,
+        )
+
     def sorted_by_partial(
         self, query: str, sort: list, collection: str, limit: int
     ) -> list[tuple]:
@@ -717,11 +728,14 @@ class ShardedSearcherService:
         self.generation = chain[-1].generation
         P = chain[-1].num_partitions
         num_shards = max(1, min(num_shards or min(P, 8), P))
+        specs = shard_assignment(P, num_shards)
+        self.num_partitions = P
+        self.shard_partitions = [spec["partitions"] for spec in specs]
         self.actors = [
             _ShardActor.remote(
                 index_root, self.generation, self.cfg, spec["partitions"]
             )
-            for spec in shard_assignment(P, num_shards)
+            for spec in specs
         ]
 
     def facets(
@@ -1198,6 +1212,38 @@ class ShardedSearcherService:
             int(np.unique(np.concatenate(nonempty)).size) if nonempty else 0
         )
         return naive_bayes_table(toks, n_c, df, vocab)
+
+    def explain(
+        self, query: str, url: str, collection: str = "default"
+    ) -> dict:
+        """Cluster-wide explain — identical numbers to the sharded search:
+        phase-1 global stats/df gather, then ONE remote explain on the
+        shard owning the url's partition (partition assignment is a pure
+        hash of (collection, url), stable across generations — no
+        broadcast probe).  Raises KeyError when the url is not live."""
+        sc = sanitize_collection(collection)
+        clauses = parse_query(query, default_field=self.cfg.text_column)
+        terms = {sc: sorted(set(scored_term_keys(clauses)))}
+        global_stats, global_df = self._gather_global(terms)
+        from lucene_plugin_ray.functions.hashing import partition_of_key
+
+        p = partition_of_key(sc, url, self.num_partitions)
+        owner = next(
+            i for i, parts in enumerate(self.shard_partitions) if p in parts
+        )
+        try:
+            return ray.get(
+                self.actors[owner].explain_for.remote(
+                    query, url, collection, global_stats,
+                    global_df.get(sc, {}),
+                )
+            )
+        except ray.exceptions.RayTaskError as e:
+            if isinstance(e.cause, KeyError):
+                raise KeyError(
+                    f"url {url!r} not live in collection {collection!r}"
+                ) from None
+            raise
 
     def search_sorted_by(
         self,

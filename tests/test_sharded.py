@@ -356,3 +356,30 @@ def test_sharded_min_should_match_matches_full_engine(built):
         )
     with pytest.raises(ValueError):
         sharded_search(root, q, cfg=cfg, min_should_match=-2)
+
+
+def test_sharded_explain_matches_single_engine(built):
+    """ShardedSearcherService.explain routes to the url's owner shard with
+    injected global stats — identical dict to the whole-index explain, and
+    the clause weights still sum to the sharded search score."""
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+    from lucene_plugin_ray.pipelines.sharded import ShardedSearcherService
+
+    root, cfg, full = built
+    svc = ShardedSearcherService(root, cfg=cfg, num_shards=3)
+    try:
+        hits = full.search("w00001 w00002", limit=3)
+        assert hits.num_rows > 0
+        for url in hits["url"].to_pylist():
+            single = full.explain("w00001 w00002", url)
+            fleet = svc.explain("w00001 w00002", url)
+            assert fleet == single, url
+        # weights sum to the sharded search score bit-for-bit
+        url0 = hits["url"][0].as_py()
+        ex = svc.explain("w00001 w00002", url0)
+        assert ex["matched"] is True
+        assert ex["score"] == hits["score"][0].as_py()
+        with pytest.raises(KeyError):
+            svc.explain("w00001", "https://nope.example/x")
+    finally:
+        svc.shutdown()
