@@ -111,6 +111,15 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--limit", type=int, default=None)
     s.add_argument("--partitions", type=int, default=32)
     s.add_argument("--fields", default="")
+    s = sub.add_parser("search-sorted-by")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--sort", required=True,
+                   help='JSON list, e.g. \'[["doc_len", "desc"], ["warc_ts", "asc"]]\'')
+    s.add_argument("--collection", default="default")
+    s.add_argument("--limit", type=int, default=None)
+    s.add_argument("--partitions", type=int, default=32)
+    s.add_argument("--fields", default="")
     s = sub.add_parser("classify")
     s.add_argument("--index", required=True)
     s.add_argument("--text", required=True)
@@ -262,6 +271,16 @@ def main(argv: list[str] | None = None) -> int:
         )
         for url, score in zip(t["url"].to_pylist(), t["score"].to_pylist()):
             print(json.dumps({"url": url, "score": round(score, 6)}))
+    elif args.cmd == "search-sorted-by":
+        from lucene_plugin_ray.pipelines.query import SearchEngine
+
+        eng = SearchEngine(args.index, cfg=cfg)
+        t = eng.search_sorted_by(
+            args.query, [tuple(p) for p in json.loads(args.sort)],
+            collection=args.collection, limit=args.limit,
+        )
+        for row in t.to_pylist():
+            print(json.dumps(row))
     elif args.cmd == "classify":
         from lucene_plugin_ray.pipelines.query import SearchEngine
 

@@ -416,6 +416,33 @@ class LuceneFacade:
         }
         return entries, flat
 
+    def search_sorted_by(
+        self,
+        collection: str,
+        query: str,
+        sort: list,
+        limit: int | None = None,
+    ) -> list[dict]:
+        """Multi-key field sort (Sort(SortField, …) analogue) → one dict
+        per hit: {externalId, <sort field values>}, ranked by the
+        composite key."""
+        _require(_valid_str(collection), "collection must be a non-empty string")
+        _require(_valid_str(query), "query must be a non-empty string")
+        _require(isinstance(sort, list) and sort,
+                 "sort must be a non-empty [(field, 'asc'|'desc')] list")
+        eng = self._lease_engine()
+        if eng is None:
+            return []
+        t = eng.search_sorted_by(
+            query, [tuple(p) for p in sort], collection=collection,
+            limit=limit,
+        )
+        names = [n for n in t.column_names if n not in ("url", "docid")]
+        return [
+            {"externalId": r["url"], **{n: r[n] for n in names}}
+            for r in t.to_pylist()
+        ]
+
     def classify(
         self, collection: str, text: str, class_field: str
     ) -> list[tuple[str, float]]:
@@ -782,6 +809,19 @@ class AsyncLuceneFacade:
 
         return await asyncio.to_thread(
             self._sync.drill_sideways, collection, query, dims, limit
+        )
+
+    async def search_sorted_by(
+        self,
+        collection: str,
+        query: str,
+        sort: list,
+        limit: int | None = None,
+    ) -> list[dict]:
+        import asyncio
+
+        return await asyncio.to_thread(
+            self._sync.search_sorted_by, collection, query, sort, limit
         )
 
     async def classify(

@@ -257,6 +257,26 @@ class LuceneHttpService:
             },
         }
 
+    def _search_sorted_by(self, q: dict) -> list[dict]:
+        import json as _json
+
+        limit = self._limit_of(q)
+        try:
+            sort = _json.loads(q.get("sort", ""))
+        except ValueError as e:
+            raise LuceneException(f"sort must be a JSON list: {e}")
+        if not isinstance(sort, list):
+            raise LuceneException("sort must be a JSON list of [field, dir]")
+        with self._lock:
+            self._read_your_writes()
+            try:
+                return self.facade.search_sorted_by(
+                    q.get("collection", ""), q.get("query", ""), sort,
+                    limit=limit,
+                )
+            except ValueError as e:  # bad field/dir/dup
+                raise LuceneException(str(e))
+
     def _classify(self, q: dict) -> list[dict]:
         with self._lock:
             self._read_your_writes()
@@ -453,6 +473,7 @@ class LuceneHttpService:
         "count": _count,
         "facets": _facets,
         "search-sorted": _search_sorted,
+        "search-sorted-by": _search_sorted_by,
         "more-like-this": _more_like_this,
         "explain": _explain,
         "suggest": _suggest,
@@ -574,6 +595,17 @@ class LuceneHttpClient:
             "drill-sideways",
             {"collection": collection, "query": query,
              "dims": _json.dumps(dims), "limit": limit},
+        )
+
+    def search_sorted_by(
+        self, collection: str, query: str, sort: list, limit: int = 255,
+    ) -> list[dict]:
+        import json as _json
+
+        return self._get(
+            "search-sorted-by",
+            {"collection": collection, "query": query,
+             "sort": _json.dumps(sort), "limit": limit},
         )
 
     def classify(

@@ -357,3 +357,38 @@ def test_sorted_by_sharded_identity(built):
             svc.search_sorted_by("w00001", [("nope", "asc")])
     finally:
         svc.shutdown()
+
+
+def test_sorted_by_facade_and_http_round_trip(ray_session, tmp_path):
+    from lucene_plugin_ray.server import LuceneHttpClient, LuceneHttpService
+
+    cfg = IndexConfig(index_root=str(tmp_path / "idx"), num_partitions=2)
+    service = LuceneHttpService(cfg, host="127.0.0.1", port=0).start()
+    facade = service.facade
+    try:
+        c = LuceneHttpClient(service.url)
+        c.index_text("col", "a", "alpha beta gamma delta")      # dl 4
+        c.index_text("col", "b", "alpha beta")                  # dl 2
+        c.index_text("col", "d", "alpha beta gamma")            # dl 3
+
+        rows = c.search_sorted_by(
+            "col", "alpha", [["doc_len", "desc"], ["warc_ts", "asc"]]
+        )
+        assert [r["externalId"] for r in rows] == ["a", "d", "b"]
+        assert [r["doc_len"] for r in rows] == [4, 3, 2]
+        ent = facade.search_sorted_by(
+            "col", "alpha", [("doc_len", "desc"), ("warc_ts", "asc")]
+        )
+        assert ent == rows
+
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            c.search_sorted_by("col", "alpha", [["score", "desc"]])
+        assert ei.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            c._get("search-sorted-by",
+                   {"collection": "col", "query": "alpha", "sort": "nope"})
+        assert ei.value.code == 400
+    finally:
+        service.shutdown()
