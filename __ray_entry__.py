@@ -167,6 +167,9 @@ _RESCORE_Q = "merge stream"
 # the second repeats 'merge' so per-OCCURRENCE likelihood weighting is
 # exercised on both sides
 _CLS_PROBES = ["spark window merge", "merge merge stream", "window table"]
+# percolator registry (percolate): one of each boolean shape — bare OR,
+# pure AND, OR + MUST_NOT, two-term OR
+_PERC_QUERIES = ["spark", "+spark +merge", "spark window -merge", "merge stream"]
 # dismax probe: 'spark' fires only in text, 'de' only in lang — plus any
 # text occurrences of 'de' the synthetic vocab produces
 _DISMAX_Q = "spark de"
@@ -979,6 +982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": lambda sf: training.pii_redact(sf, inject=True),
         "gopher_quality": lambda sf: training.gopher_quality(sf, inject=True),
         "c4_filter": lambda sf: training.c4_filter(sf, inject=True),
+        "percolate": lambda sf: training.percolate(sf, queries=_PERC_QUERIES),
         # iterative/stateful (tokenizer training) — no SQL oracle; referee
         # is the brute-force reference in tests/test_curation_ops.py
         "bpe_fit": lambda sf: training.bpe_fit(sf, n_merges=50),
@@ -2185,6 +2189,26 @@ SELECT *,
    AND (alpha_frac_micro >= 800000)
    AND (req_stop_hits >= 2) AS BIGINT) AS passes
 FROM r ORDER BY doc_id
+"""
+
+    # percolator: per registered query its boolean match set, tagged with
+    # the query id — pure integer output
+    sql["percolate"] = f"""
+{_toks_cte()},
+d AS (SELECT DISTINCT doc_id, term FROM toks),
+q0 AS (SELECT DISTINCT doc_id, 0 AS query_id FROM d WHERE term = 'spark'),
+q1 AS (SELECT doc_id, 1 AS query_id FROM d WHERE term IN ('spark', 'merge')
+       GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+q2 AS (SELECT doc_id, 2 AS query_id FROM d
+       WHERE term IN ('spark', 'window')
+         AND doc_id NOT IN (SELECT doc_id FROM d WHERE term = 'merge')
+       GROUP BY doc_id),
+q3 AS (SELECT doc_id, 3 AS query_id FROM d WHERE term IN ('merge', 'stream')
+       GROUP BY doc_id)
+SELECT doc_id, CAST(query_id AS BIGINT) AS query_id FROM
+(SELECT * FROM q0 UNION ALL SELECT * FROM q1
+ UNION ALL SELECT * FROM q2 UNION ALL SELECT * FROM q3)
+ORDER BY doc_id, query_id
 """
 
     # C4 cleaning (Raffel et al. 2020 §2.2): line keep-conditions inside a

@@ -5972,6 +5972,117 @@ def c4_filter(
     return _sink_or_table(out, output_path, "doc_id")
 
 
+def percolate(
+    sf_dir: str,
+    queries: list[str],
+    output_path: str | None = None,
+) -> pa.Table | None:
+    """Stored-query streaming match — the Lucene Monitor / MemoryIndex
+    percolator analogue (monitor/src/java/org/apache/lucene/monitor/
+    Monitor.java; ES "percolate"): N registered queries, one streaming
+    pass over the corpus, emit every (doc, query) match pair — the
+    alerting / routing / dataset-tagging primitive a 100 TB pipeline uses
+    to fan documents into per-topic shards without N corpus scans.
+
+    Accepted queries: pure text term booleans (TERM clauses with
+    MUST / SHOULD / MUST_NOT — the reference grammar's Q1/Q2/Q11 shapes);
+    anything needing positions, expansion or scoring is rejected loudly.
+    Matching is the engine's boolean contract (every MUST, else ≥ 1
+    SHOULD, never a MUST_NOT) evaluated as set algebra over the per-doc
+    distinct-token membership matrix: per batch ONE analyzer pass, one
+    ``is_in`` against the union query vocabulary (tiny, shipped in the
+    closure), one boolean matrix [batch × vocab], then |queries| column
+    reductions — zero shuffle, work independent of |queries|·|corpus|
+    token products.  Streams to ``output_path`` at scale.
+
+    Output: (doc_id, query_id), sorted (doc_id, query_id)."""
+    from lucene_plugin_ray.functions.queryparse import (
+        MUST, MUST_NOT, SHOULD, TermClause, parse_query,
+    )
+
+    if not queries:
+        raise ValueError("queries must be a non-empty list")
+    vocab: dict[str, int] = {}
+    parsed: list[tuple[list[int], list[int], list[int]]] = []
+    for qi, q in enumerate(queries):
+        clauses = parse_query(q, default_field="text")
+        musts: list[int] = []
+        shoulds: list[int] = []
+        nots: list[int] = []
+        for c in clauses:
+            if not isinstance(c, TermClause) or c.field != "text":
+                raise ValueError(
+                    f"percolate supports pure text term booleans; query "
+                    f"{qi} ({q!r}) has a {type(c).__name__}"
+                    + (f" on field {c.field!r}" if isinstance(c, TermClause) else "")
+                )
+            col = vocab.setdefault(c.term, len(vocab))
+            dest = (
+                musts if c.occur == MUST
+                else nots if c.occur == MUST_NOT else shoulds
+            )
+            dest.append(col)
+        if not musts and not shoulds:
+            raise ValueError(f"query {qi} ({q!r}) has no positive clause")
+        parsed.append((musts, shoulds, nots))
+    vocab_list = list(vocab)  # insertion order == col ids
+    n_cols = len(vocab_list)
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _match(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch["text"].combine_chunks(), pa.string())
+        n = len(text)
+        doc_id = (
+            batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        vocab_arr = pa.array(vocab_list, pa.string())
+        parent, terms, _dl = tokenize_column(text)
+        m = np.zeros((n, n_cols), dtype=bool)
+        if len(terms):
+            hit = pc.is_in(terms, value_set=vocab_arr)
+            hitn = hit.to_numpy(zero_copy_only=False)
+            if hitn.any():
+                cols = pc.index_in(
+                    terms.filter(hit), value_set=vocab_arr
+                ).to_numpy(zero_copy_only=False).astype(np.int64)
+                m[parent[hitn], cols] = True
+        out_doc: list[np.ndarray] = []
+        out_q: list[np.ndarray] = []
+        for qi, (musts, shoulds, nots) in enumerate(parsed):
+            ok = (
+                m[:, musts].all(axis=1) if musts
+                else m[:, shoulds].any(axis=1)
+            )
+            if nots:
+                ok &= ~m[:, nots].any(axis=1)
+            idx = np.flatnonzero(ok)
+            if idx.size:
+                out_doc.append(doc_id[idx])
+                out_q.append(np.full(idx.size, qi, np.int64))
+        if not out_doc:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "query_id": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(_match, batch_format="pyarrow", zero_copy_batch=True)
+    return _sink_or_table(
+        out, output_path,
+        [("doc_id", "ascending"), ("query_id", "ascending")],
+        empty_schema=pa.schema(
+            [("doc_id", pa.int64()), ("query_id", pa.int64())]
+        ),
+    )
+
+
 class _BpeEncoder:
     """Actor-pool BPE encoder: the merge table (rank-ordered) and a
     word→token-count cache live once per actor (__init__), batches reuse

@@ -1226,3 +1226,59 @@ def test_c4_filter_sink(ray_session, tmp_path_factory, tmp_path):
     assert training.c4_filter(d, output_path=str(out)) is None
     got = pq.read_table(str(out))
     assert got.num_rows == 1 and got.column("passes").to_pylist() == [1]
+
+
+# ------------------------------------------------------------ percolate -----
+
+
+def test_percolate_boolean_shapes(ray_session, tmp_path_factory):
+    """MUST / SHOULD / MUST_NOT semantics hand-pinned per doc."""
+    docs = [
+        (1, "alpha beta gamma"),
+        (2, "alpha delta"),
+        (3, "beta delta"),
+        (4, "gamma gamma gamma"),
+        (5, "the and of"),        # all stop words -> matches nothing
+    ]
+    d = _gq_corpus(tmp_path_factory, docs)
+    t = training.percolate(
+        d,
+        queries=[
+            "alpha",                 # q0: bare term
+            "+alpha +beta",          # q1: AND
+            "alpha beta -delta",     # q2: OR with NOT
+            "gamma delta",           # q3: OR
+        ],
+    )
+    pairs = set(zip(t["doc_id"].to_pylist(), t["query_id"].to_pylist()))
+    assert pairs == {
+        (1, 0), (2, 0),              # alpha
+        (1, 1),                      # alpha AND beta
+        (1, 2),                      # (alpha|beta) and no delta
+        (1, 3), (2, 3), (3, 3), (4, 3),  # gamma|delta
+    }
+    # output is (doc_id, query_id)-sorted
+    rows = list(zip(t["doc_id"].to_pylist(), t["query_id"].to_pylist()))
+    assert rows == sorted(rows)
+
+
+def test_percolate_validation(ray_session, tmp_path_factory):
+    d = _gq_corpus(tmp_path_factory, [(1, "alpha")])
+    with pytest.raises(ValueError):
+        training.percolate(d, queries=[])
+    with pytest.raises(ValueError):
+        training.percolate(d, queries=['"alpha beta"'])   # phrase
+    with pytest.raises(ValueError):
+        training.percolate(d, queries=["lang:en"])        # field-scoped
+    with pytest.raises(ValueError):
+        training.percolate(d, queries=["-alpha"])         # no positive
+    with pytest.raises(ValueError):
+        training.percolate(d, queries=["alp*"])           # multi-term
+
+
+def test_percolate_sink(ray_session, tmp_path_factory, tmp_path):
+    d = _gq_corpus(tmp_path_factory, [(1, "alpha beta")])
+    out = tmp_path / "perc_out"
+    assert training.percolate(d, queries=["alpha"], output_path=str(out)) is None
+    got = pq.read_table(str(out))
+    assert got.to_pylist() == [{"doc_id": 1, "query_id": 0}]

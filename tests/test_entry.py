@@ -30,7 +30,7 @@ CHECKED = [
     "search_range_excl", "search_range_open", "pii_redact",
     "search_snippets", "search_after", "facet_ranges", "search_function",
     "top_terms", "search_join", "drill_sideways", "c4_filter",
-    "classify_nb", "classify_knn", "search_sorted_multi",
+    "classify_nb", "classify_knn", "search_sorted_multi", "percolate",
 ]
 
 
