@@ -392,6 +392,18 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     training.bpe_encode(sf_dir, n_merges=50)
     queries["bpe_encode"] = round(time.monotonic() - t1, 3)
 
+    t1 = time.monotonic()
+    training.c4_filter(sf_dir, inject=True)
+    queries["c4_filter"] = round(time.monotonic() - t1, 3)
+
+    t1 = time.monotonic()
+    training.percolate(
+        sf_dir,
+        queries=["spark", "+spark +merge", "spark window -merge",
+                 "merge stream"],
+    )
+    queries["percolate"] = round(time.monotonic() - t1, 3)
+
     # CheckIndex sweep over the bench index just built (decode-everything
     # throughput: the same I/O shape as a compaction pass)
     from lucene_plugin_ray.pipelines.check import check_index
