@@ -88,10 +88,21 @@ def _validate_cfg_against(cfg: IndexConfig, prev: Manifest) -> None:
             f"{prev.block_size}; segments are encoded with the build-time "
             "block size"
         )
-    if list(cfg.fields()) != list(prev.fields):
+    # APPEND-ONLY field evolution (reference parity: indexMap can introduce
+    # new field names over an index's life, LuceneIndexBean.java:338-341):
+    # a delta may EXTEND the analyzed-field list, never reorder, rename or
+    # drop stored fields.  Safe because every query path resolves fields
+    # per SEGMENT (old segments answer empty for a new field), the merge
+    # path unions (field, term) vocabularies and zero-fills missing
+    # doc_len columns, and BM25 avgdl for a new field divides its (new-
+    # generation-only) dl sum by the GLOBAL doc count — old docs genuinely
+    # have field length 0.
+    new_f, old_f = list(cfg.fields()), list(prev.fields)
+    if new_f[: len(old_f)] != old_f:
         raise ValueError(
-            f"cfg fields {list(cfg.fields())} != index fields "
-            f"{list(prev.fields)}"
+            f"cfg fields {new_f} do not extend index fields {old_f}: "
+            "fields may only be APPENDED across generations (never "
+            "reordered, renamed or dropped)"
         )
 
 
