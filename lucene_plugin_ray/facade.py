@@ -430,6 +430,13 @@ class LuceneFacade:
         _require(_valid_str(query), "query must be a non-empty string")
         _require(isinstance(sort, list) and sort,
                  "sort must be a non-empty [(field, 'asc'|'desc')] list")
+        for p in sort:
+            _require(
+                isinstance(p, (list, tuple)) and len(p) == 2
+                and all(isinstance(x, str) for x in p),
+                f"sort entries must be (field, 'asc'|'desc') string pairs, "
+                f"got {p!r}",
+            )
         eng = self._lease_engine()
         if eng is None:
             return []

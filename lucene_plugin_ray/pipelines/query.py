@@ -85,11 +85,24 @@ def build_dim_clauses(
                 f"drill-down field {field!r} is not an indexed metadata "
                 f"field (have: {sorted(field_columns)})"
             )
-        vlist = [vals] if isinstance(vals, str) else list(vals)
+        if isinstance(vals, str):
+            vlist = [vals]
+        elif isinstance(vals, (list, tuple)):
+            vlist = list(vals)
+        else:
+            raise ValueError(
+                f"dim {field!r} value must be a string or list of strings, "
+                f"got {type(vals).__name__}"
+            )
         if not vlist:
             raise ValueError(f"dim {field!r} needs at least one value")
         clauses = []
         for v in vlist:
+            if not isinstance(v, str):
+                raise ValueError(
+                    f"dim {field!r} values must be strings, got "
+                    f"{type(v).__name__}"
+                )
             toks = analyze(v)
             if len(toks) != 1:
                 raise ValueError(
@@ -131,6 +144,27 @@ def naive_bayes_table(
         {
             "class": pa.array([r[0] for r in rows], pa.string()),
             "score": pa.array([r[1] for r in rows], pa.float64()),
+        }
+    )
+
+
+def score_to_vote_units(scores: np.ndarray) -> np.ndarray:
+    """THE classify_knn vote quantization — integer 1e-4 units of the
+    round-4 score (floor(round(s,4)·1e4 + 0.5)).  One definition shared by
+    the single-engine and sharded paths so the documented bit-for-bit
+    identity cannot drift."""
+    return np.floor(np.round(scores, 4) * 1e4 + 0.5).astype(np.int64)
+
+
+def facet_count_table(acc: dict[str, int]) -> pa.Table:
+    """(value, count) ordered (count desc, value asc) — the facets()
+    output contract, shared by the single-engine and sharded DrillSideways
+    emitters."""
+    items = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+    return pa.table(
+        {
+            "value": pa.array([k for k, _ in items], pa.string()),
+            "count": pa.array([v for _, v in items], pa.int64()),
         }
     )
 
@@ -2030,19 +2064,15 @@ class SearchEngine:
         merges by plain addition."""
         dim_clauses = self._dim_clauses(dims)
         counts = self.drill_sideways_counts(query, dims, collection=collection)
-        # drill-down hits: query FILTERed by every dim (scores untouched)
+        # drill-down hits: query FILTERed by every dim (scores untouched).
+        # This pays its own search_filtered pass (the hits need SCORES the
+        # boolean counts pass never computes; the per-dim boolean matches
+        # it re-derives are metadata postings — cheap, and repeat calls hit
+        # the results cache), so the per-call cost is the counts pass PLUS
+        # one filtered search.
         fq = drill_filter_query(dim_clauses)
         hits = self.search_filtered(query, fq, collection=collection, limit=limit)
-        tables = {}
-        for f, acc in counts.items():
-            items = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
-            tables[f] = pa.table(
-                {
-                    "value": pa.array([k for k, _ in items], pa.string()),
-                    "count": pa.array([v for _, v in items], pa.int64()),
-                }
-            )
-        return hits, tables
+        return hits, {f: facet_count_table(acc) for f, acc in counts.items()}
 
     def drill_sideways_counts(
         self, query: str, dims: dict, collection: str = "default"
@@ -2160,7 +2190,6 @@ class SearchEngine:
         text: str,
         class_field: str,
         collection: str = "default",
-        class_stats: tuple[dict, dict, int] | None = None,
     ) -> pa.Table:
         """Naive-Bayes text classification off pure index statistics — the
         Lucene classification-module analogue (SimpleNaiveBayesClassifier,
@@ -2183,7 +2212,6 @@ class SearchEngine:
         exchange is 8 bytes/term instead of the strings) reproduces this
         bit-for-bit up to hash collisions in V.
 
-        ``class_stats``: injected (n_c, df, V) — the sharded driver path.
         Returns (class, score) over every alive class, ordered
         (score desc, class asc); ties broken by class name."""
         from lucene_plugin_ray.functions.analysis import analyze
@@ -2191,13 +2219,10 @@ class SearchEngine:
         toks = analyze(text)
         if not toks:
             raise ValueError("text analyzed to zero tokens")
-        if class_stats is not None:
-            n_c, df, vocab = class_stats
-        else:
-            n_c, df = self.classify_partials(
-                text, class_field, collection=collection
-            )
-            vocab = self.text_vocab_size(collection)
+        n_c, df = self.classify_partials(
+            text, class_field, collection=collection
+        )
+        vocab = self.text_vocab_size(collection)
         return naive_bayes_table(toks, n_c, df, vocab)
 
     def class_votes_for_urls(
@@ -2286,9 +2311,7 @@ class SearchEngine:
         if hits.num_rows == 0:
             return empty
         urls = hits["url"].to_numpy(zero_copy_only=False)
-        votes = np.floor(
-            np.round(hits["score"].to_numpy(), 4) * 1e4 + 0.5
-        ).astype(np.int64)
+        votes = score_to_vote_units(hits["score"].to_numpy())
         order = np.argsort(urls)     # the membership probe wants sorted urls
         acc = self.class_votes_for_urls(
             urls[order], votes[order], class_field, collection=collection

@@ -56,9 +56,12 @@ from lucene_plugin_ray.pipelines.query import (
     SearchEngine,
     build_dim_clauses,
     drill_filter_query,
+    facet_count_table,
     facet_stats_table,
+    knn_vote_table,
     rank_completions_table,
     rank_grouped_table,
+    score_to_vote_units,
 )
 from lucene_plugin_ray.state.manifest import load_manifest_chain
 
@@ -731,6 +734,9 @@ class ShardedSearcherService:
         specs = shard_assignment(P, num_shards)
         self.num_partitions = P
         self.shard_partitions = [spec["partitions"] for spec in specs]
+        # classify's V (distinct text vocab) per collection — a property of
+        # the generation-pinned fleet, gathered once per service lifetime
+        self._vocab_union_cache: dict[str, int] = {}
         self.actors = [
             _ShardActor.remote(
                 index_root, self.generation, self.cfg, spec["partitions"]
@@ -1193,13 +1199,26 @@ class ShardedSearcherService:
                 f"class_field {class_field!r} is not an indexed metadata "
                 f"field (have: {sorted(self.cfg.field_columns)})"
             )
-        parts = ray.get(
-            [a.classify_partial.remote(text, class_field, collection)
-             for a in self.actors]
-        )
-        hashes = ray.get(
-            [a.text_vocab_hashes.remote(collection) for a in self.actors]
-        )
+        # launch the per-probe partials and (on the first call only) the
+        # vocab-hash gather as ONE parallel fleet round; V is a property of
+        # the generation-pinned fleet, cached per collection thereafter —
+        # the big per-shard hash arrays ship once per service lifetime
+        part_refs = [
+            a.classify_partial.remote(text, class_field, collection)
+            for a in self.actors
+        ]
+        vocab = self._vocab_union_cache.get(collection)
+        if vocab is None:
+            hashes = ray.get(
+                [a.text_vocab_hashes.remote(collection) for a in self.actors]
+            )
+            nonempty = [h for h in hashes if h.size]
+            vocab = (
+                int(np.unique(np.concatenate(nonempty)).size)
+                if nonempty else 0
+            )
+            self._vocab_union_cache[collection] = vocab
+        parts = ray.get(part_refs)
         n_c: dict[str, int] = {}
         df: dict[tuple[str, str], int] = {}
         for nc_p, df_p in parts:
@@ -1207,10 +1226,6 @@ class ShardedSearcherService:
                 n_c[c] = n_c.get(c, 0) + v
             for w, c, v in df_p:
                 df[(w, c)] = df.get((w, c), 0) + v
-        nonempty = [h for h in hashes if h.size]
-        vocab = (
-            int(np.unique(np.concatenate(nonempty)).size) if nonempty else 0
-        )
         return naive_bayes_table(toks, n_c, df, vocab)
 
     def explain(
@@ -1313,8 +1328,6 @@ class ShardedSearcherService:
         from the exact sharded MoreLikeThis, votes are integer 1e-4 score
         units, and per-shard vote partials (doc-disjoint alive docs) sum
         on the driver."""
-        from lucene_plugin_ray.pipelines.query import knn_vote_table
-
         if class_field not in self.cfg.field_columns:
             raise ValueError(
                 f"class_field {class_field!r} is not an indexed metadata "
@@ -1328,9 +1341,7 @@ class ShardedSearcherService:
         if hits.num_rows == 0:
             return knn_vote_table({})
         urls = hits["url"].to_numpy(zero_copy_only=False)
-        votes = np.floor(
-            np.round(hits["score"].to_numpy(), 4) * 1e4 + 0.5
-        ).astype(np.int64)
+        votes = score_to_vote_units(hits["score"].to_numpy())
         order = np.argsort(urls)
         u = urls[order].tolist()
         v = votes[order].tolist()
@@ -1374,16 +1385,7 @@ class ShardedSearcherService:
             query, drill_filter_query(dim_clauses),
             collection=collection, limit=limit,
         )
-        tables = {}
-        for f, acc in counts.items():
-            items = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
-            tables[f] = pa.table(
-                {
-                    "value": pa.array([k for k, _ in items], pa.string()),
-                    "count": pa.array([v for _, v in items], pa.int64()),
-                }
-            )
-        return hits, tables
+        return hits, {f: facet_count_table(acc) for f, acc in counts.items()}
 
     def rescore(
         self,

@@ -142,6 +142,13 @@ def test_facade_and_http_round_trip(ray_session, tmp_path):
             c._get("drill-sideways",
                    {"collection": "col", "query": "alpha", "dims": "notjson"})
         assert ei.value.code == 400
+        # non-string dim values are a 400, not a 500 (review regression)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            c.drill_sideways("col", "alpha", {"tag": 5})
+        assert ei.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            c.drill_sideways("col", "alpha", {"tag": ["red", 7]})
+        assert ei.value.code == 400
     finally:
         service.shutdown()
 

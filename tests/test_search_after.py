@@ -390,5 +390,10 @@ def test_sorted_by_facade_and_http_round_trip(ray_session, tmp_path):
             c._get("search-sorted-by",
                    {"collection": "col", "query": "alpha", "sort": "nope"})
         assert ei.value.code == 400
+        # malformed sort ENTRIES are 400s too, not 500s (review regression)
+        for bad in ([5], [["warc_ts", "asc"], None], ["warc_ts"]):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                c.search_sorted_by("col", "alpha", bad)
+            assert ei.value.code == 400, bad
     finally:
         service.shutdown()
