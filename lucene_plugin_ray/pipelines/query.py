@@ -1802,6 +1802,7 @@ class SearchEngine:
         synonyms: dict[str, list[str]] | None = None,
         global_stats: dict[str, dict] | None = None,
         global_df: dict[tuple[str, str], int] | None = None,
+        need_scores: bool = True,
     ) -> dict[str, list]:
         """From-side of the join: per ``from_field`` value carried by a
         doc matching ``from_query``, the (count, sum, max, min) of the
@@ -1812,7 +1813,12 @@ class SearchEngine:
         These integer/float partials fold exactly across shards (count
         adds, sum adds, max/min fold), so the sharded driver merge is
         loss-free for count/max/min and order-sensitive only in the float
-        sums (documented on :meth:`search_join`)."""
+        sums (documented on :meth:`search_join`).
+
+        ``need_scores=False`` (ScoreMode.None) skips BM25 entirely — the
+        score-free boolean matcher replaces the TAAT pass and only counts
+        are folded (sum/max/min emitted as 0.0); on full-corpus match sets
+        this removes the dominant cost."""
         if from_field not in self.cfg.field_columns:
             raise ValueError(
                 f"from_field {from_field!r} is not an indexed metadata "
@@ -1825,24 +1831,33 @@ class SearchEngine:
         segs = self._segments.get(coll, [])
         if not clauses or not segs:
             return {}
-        if global_stats is not None:
-            st = global_stats.get(coll, {"n_docs": 0, "sum_dl": {}})
-            n_docs = int(st["n_docs"])
-            avgdl = (
-                {f: v / n_docs for f, v in st["sum_dl"].items()}
-                if n_docs else {}
-            )
+        if not need_scores:
+            # ScoreMode.None: boolean matching only — no stats, no df
+            n_docs, avgdl = 1, {}
+            cache, rows, df_map = {}, {}, {}
         else:
-            n_docs, avgdl = self._stats(coll)
-        if n_docs == 0:
-            return {}
-        cache, rows, df_map = self._phase1_df(clauses, segs, global_df)
+            if global_stats is not None:
+                st = global_stats.get(coll, {"n_docs": 0, "sum_dl": {}})
+                n_docs = int(st["n_docs"])
+                avgdl = (
+                    {f: v / n_docs for f, v in st["sum_dl"].items()}
+                    if n_docs else {}
+                )
+            else:
+                n_docs, avgdl = self._stats(coll)
+            if n_docs == 0:
+                return {}
+            cache, rows, df_map = self._phase1_df(clauses, segs, global_df)
         agg: dict[str, list] = {}  # value -> [count, sum, max, min]
         for si, seg in enumerate(segs):
-            scores, matched = self._eval_boolean(
-                si, seg, clauses, cache, rows, df_map, n_docs, avgdl
-            )
-            cand = np.flatnonzero(matched)
+            if need_scores:
+                scores, matched = self._eval_boolean(
+                    si, seg, clauses, cache, rows, df_map, n_docs, avgdl
+                )
+                cand = np.flatnonzero(matched)
+            else:
+                scores = None
+                cand = self._match_segment(si, seg, clauses, {}, {})
             if cand.size == 0:
                 continue
             r = seg.reader
@@ -1855,8 +1870,14 @@ class SearchEngine:
                 members = cand[_in_sorted(cand, local)]
                 if members.size == 0:
                     continue
-                vals = scores[members]
                 a = agg.get(term)
+                if scores is None:  # ScoreMode.None: counts only
+                    if a is None:
+                        agg[term] = [int(members.size), 0.0, 0.0, 0.0]
+                    else:
+                        a[0] += int(members.size)
+                    continue
+                vals = scores[members]
                 if a is None:
                     agg[term] = [
                         int(members.size), float(vals.sum()),
@@ -2020,6 +2041,7 @@ class SearchEngine:
         agg = self.join_from_aggregates(
             from_query, from_field, collection=collection, synonyms=synonyms,
             global_stats=global_stats, global_df=global_df,
+            need_scores=score_mode != "none",
         )
         vs = self.join_value_scores(agg, score_mode)
         return self.join_to_hits(

@@ -582,16 +582,19 @@ class _ShardActor:
 
     def join_from_partial(
         self, from_query: str, from_field: str, collection: str,
-        global_stats: dict, global_df: dict,
+        global_stats: dict, global_df: dict, need_scores: bool = True,
     ) -> list[tuple[str, int, float, float, float]]:
         """This shard's from-side join aggregates with INJECTED global
         stats → (value, count, sum, max, min) rows; shards are
         doc-disjoint so the driver fold (count/sum add, max/min fold) is
         exact for every ScoreMode except the float-sum grouping caveat on
-        total/avg (SearchEngine.search_join docstring)."""
+        total/avg (SearchEngine.search_join docstring).
+        ``need_scores=False`` = ScoreMode.None (boolean matcher, counts
+        only)."""
         agg = self.engine.join_from_aggregates(
             from_query, from_field, collection=collection,
             global_stats=global_stats, global_df=global_df,
+            need_scores=need_scores,
         )
         return [(v, a[0], a[1], a[2], a[3]) for v, a in agg.items()]
 
@@ -1138,13 +1141,19 @@ class ShardedSearcherService:
                     f"(have: {sorted(self.cfg.field_columns)})"
                 )
         sc = sanitize_collection(collection)
-        clauses = parse_query(from_query, default_field=self.cfg.text_column)
-        terms = {sc: sorted(set(scored_term_keys(clauses)))}
-        global_stats, global_df = self._gather_global(terms)
+        need_scores = score_mode != "none"
+        if need_scores:
+            clauses = parse_query(
+                from_query, default_field=self.cfg.text_column
+            )
+            terms = {sc: sorted(set(scored_term_keys(clauses)))}
+            global_stats, global_df = self._gather_global(terms)
+        else:  # ScoreMode.None: boolean matching, no stats round needed
+            global_stats, global_df = {}, {}
         parts = ray.get(
             [a.join_from_partial.remote(
                 from_query, from_field, collection, global_stats,
-                global_df.get(sc, {}))
+                global_df.get(sc, {}), need_scores)
              for a in self.actors]
         )
         agg: dict[str, list] = {}
