@@ -549,6 +549,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ).sort_by("doc_id")
 
+    def index_stats(sf_dir: str) -> pa.Table:
+        """Per-field index statistics (IndexReader numDocs / Terms.size /
+        getSumDocFreq introspection): live docs, distinct terms and
+        postings per analyzed field — all integer-exact against the token
+        stream (the driver index carries no deletes, so stored == live)."""
+        engine, cfg = _engine_for(sf_dir)
+        t = engine.index_stats()
+        return pa.table(
+            {
+                "field": t["field"],
+                "docs": t["docs_alive"],
+                "vocab": t["vocab"],
+                "postings": t["postings"],
+            }
+        ).sort_by("field")
+
     def spell_suggest(sf_dir: str) -> pa.Table:
         """DirectSpellChecker analogue: live-vocab candidates within
         DL<=2 of the typo 'spakr', ranked (distance, df desc, term)."""
@@ -945,6 +961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_count": search_count,
         "search_sorted": search_sorted,
         "search_sorted_multi": search_sorted_multi,
+        "index_stats": index_stats,
         "spell_suggest": spell_suggest,
         "date_histogram": date_histogram,
         "more_like_this": more_like_this_q,
@@ -1577,6 +1594,33 @@ s AS (SELECT doc_id, CAST(1600000000000000 + doc_id AS BIGINT) AS ts_us FROM m)
 SELECT doc_id, ts_us,
        CAST(row_number() OVER (ORDER BY ts_us DESC, doc_id ASC) AS BIGINT) AS rank
 FROM s ORDER BY doc_id
+"""
+
+    # per-field index statistics: docs / distinct terms / distinct
+    # (doc, term) postings per analyzed field, integer-exact
+    sql["index_stats"] = f"""
+{_toks_cte()},
+lraw AS (SELECT doc_id, unnest(string_split_regex(lower(lang), '[^a-z0-9]+')) AS term FROM documents),
+ltoks AS (SELECT doc_id, term FROM lraw WHERE term <> '' AND length(term) <= 255 AND term NOT IN {SQL_STOPWORD_LIST}),
+sraw AS (SELECT doc_id, unnest(string_split_regex(lower(source), '[^a-z0-9]+')) AS term FROM documents),
+stoks AS (SELECT doc_id, term FROM sraw WHERE term <> '' AND length(term) <= 255 AND term NOT IN {SQL_STOPWORD_LIST}),
+n AS (SELECT count(*) AS docs FROM documents)
+SELECT * FROM (
+  SELECT 'text' AS field, n.docs AS docs,
+         (SELECT count(DISTINCT term) FROM toks) AS vocab,
+         (SELECT count(*) FROM (SELECT DISTINCT doc_id, term FROM toks)) AS postings
+  FROM n
+  UNION ALL
+  SELECT 'lang', n.docs,
+         (SELECT count(DISTINCT term) FROM ltoks),
+         (SELECT count(*) FROM (SELECT DISTINCT doc_id, term FROM ltoks))
+  FROM n
+  UNION ALL
+  SELECT 'source', n.docs,
+         (SELECT count(DISTINCT term) FROM stoks),
+         (SELECT count(*) FROM (SELECT DISTINCT doc_id, term FROM stoks))
+  FROM n
+) ORDER BY field
 """
 
     # multi-key field sort: (analyzed doc_len desc, ts asc) — ts unique in

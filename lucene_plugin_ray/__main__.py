@@ -164,6 +164,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--fields", default="")
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=8080)
+    s = sub.add_parser("stats")
+    s.add_argument("--index", required=True)
+    s.add_argument("--collection", default="default")
+    s.add_argument("--partitions", type=int, default=32)
+    s.add_argument("--fields", default="")
     s = sub.add_parser("check")
     s.add_argument("--index", required=True)
     s.add_argument("--generation", type=int, default=None)
@@ -260,6 +265,12 @@ def main(argv: list[str] | None = None) -> int:
         )
         for url, score in zip(t["url"].to_pylist(), t["score"].to_pylist()):
             print(json.dumps({"url": url, "score": round(score, 6)}))
+    elif args.cmd == "stats":
+        from lucene_plugin_ray.pipelines.query import SearchEngine
+
+        eng = SearchEngine(args.index, cfg=cfg)
+        for row in eng.index_stats(collection=args.collection).to_pylist():
+            print(json.dumps(row))
     elif args.cmd == "search-join":
         from lucene_plugin_ray.pipelines.query import SearchEngine
 

@@ -2340,6 +2340,50 @@ class SearchEngine:
         )
         return knn_vote_table(acc)
 
+    def index_stats(self, collection: str = "default") -> pa.Table:
+        """Per-field index statistics — the IndexReader / SegmentInfos
+        introspection surface (numDocs vs maxDoc, Terms.size/getSumDocFreq):
+        one row per analyzed field with
+
+        * ``n_segments``   — live segments under the pinned generation,
+        * ``docs_alive``   — live docs (tombstones + upsert shadowing out),
+        * ``docs_stored``  — stored docs incl. deleted/shadowed (maxDoc),
+        * ``vocab``        — DISTINCT terms across segment dictionaries,
+        * ``postings``     — Σ dictionary df: STORED postings, not
+          re-counted under deletes (Lucene parity: segment-level stats
+          never re-walk deletions; CheckIndex does).
+
+        Pure dictionary/metadata reads — no posting decodes — so it is
+        cheap enough to serve as a monitoring endpoint."""
+        coll = sanitize_collection(collection)
+        segs = self._segments.get(coll, [])
+        n_docs, _ = self._stats(coll)
+        docs_stored = sum(seg.reader.n_docs for seg in segs)
+        rows = []
+        for field in self.cfg.fields():
+            vparts, postings = [], 0
+            for seg in segs:
+                start, vocab = seg.reader.field_vocab(field)
+                if vocab.size:
+                    vparts.append(vocab)
+                    postings += int(
+                        seg.reader._df[start:start + vocab.size].sum()
+                    )
+            v = int(np.unique(np.concatenate(vparts)).size) if vparts else 0
+            rows.append((field, v, postings))
+        return pa.table(
+            {
+                "field": pa.array([r[0] for r in rows], pa.string()),
+                "n_segments": pa.array([len(segs)] * len(rows), pa.int64()),
+                "docs_alive": pa.array([n_docs] * len(rows), pa.int64()),
+                "docs_stored": pa.array(
+                    [docs_stored] * len(rows), pa.int64()
+                ),
+                "vocab": pa.array([r[1] for r in rows], pa.int64()),
+                "postings": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+
     def text_vocab_hashes(self, collection: str = "default") -> np.ndarray:
         """Per-engine distinct text-dictionary term hashes (mixed 64-bit
         fnv1a, sorted unique) — the sharded V-union exchange format:

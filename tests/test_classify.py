@@ -239,3 +239,51 @@ def test_facade_and_http_round_trip(ray_session, tmp_path):
         assert ei.value.code == 400
     finally:
         service.shutdown()
+
+
+# ------------------------------------------------------ index_stats ---------
+
+
+def test_index_stats_semantics(built, tmp_path):
+    """vocab = cross-segment distinct terms, postings = Σ dictionary df,
+    docs_alive vs docs_stored diverge after a delete (numDocs vs maxDoc)."""
+    from lucene_plugin_ray.pipelines.build import build_index, delete_docs
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+    import pyarrow as pa
+
+    _root, _cfg, eng, corpus = built
+    t = eng.index_stats()
+    by = {r["field"]: r for r in t.to_pylist()}
+    assert set(by) == {"text", "foo", "age"}
+    # vocab for text equals the cached exact distinct count
+    assert by["text"]["vocab"] == eng.text_vocab_size()
+    # single-valued metadata: every live doc carries exactly one age token
+    docs = by["age"]["docs_alive"]
+    assert by["age"]["postings"] == docs  # no deletes in this fixture yet
+    assert by["age"]["docs_stored"] >= docs  # dup-url older versions stored
+
+    # deletes: docs_alive drops, stored postings stay (Lucene maxDoc parity)
+    root2 = str(tmp_path / "stats_del")
+    cfg2 = IndexConfig(index_root=root2, num_partitions=2)
+    build_index(
+        pa.table(
+            {
+                "url": pa.array(["doc://a", "doc://b"], pa.string()),
+                "warc_ts": pa.array([1, 2], pa.timestamp("us")),
+                "text": pa.array(["alpha beta", "alpha gamma"], pa.string()),
+            }
+        ),
+        cfg2,
+    )
+    delete_docs(
+        cfg2,
+        pa.table(
+            {"collection": pa.array(["default"], pa.string()),
+             "url": pa.array(["doc://b"], pa.string())}
+        ),
+    )
+    e2 = SearchEngine(root2, cfg=cfg2)
+    s2 = {r["field"]: r for r in e2.index_stats().to_pylist()}
+    assert s2["text"]["docs_alive"] == 1
+    assert s2["text"]["docs_stored"] == 2
+    assert s2["text"]["postings"] == 4  # stored (pre-delete) dictionary dfs

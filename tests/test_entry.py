@@ -31,6 +31,7 @@ CHECKED = [
     "search_snippets", "search_after", "facet_ranges", "search_function",
     "top_terms", "search_join", "drill_sideways", "c4_filter",
     "classify_nb", "classify_knn", "search_sorted_multi", "percolate",
+    "index_stats",
 ]
 
 
