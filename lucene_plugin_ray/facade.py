@@ -28,12 +28,15 @@ synthetic ``warc_ts``, so "last message wins" (``updateDocument``,
 ``LuceneIndexBean.java:256,343``) becomes last-write-wins by timestamp —
 deterministic and order-independent once flushed (SURVEY.md §2.10).
 
-One honest divergence, documented: the reference is schema-less (any
-``indexMap`` key becomes a field, ``LuceneIndexBean.java:338-341``); a batch
-index has a fixed analyzed-field set per index (``IndexConfig.fields()``,
-validated across generations).  ``index_map`` therefore rejects keys outside
-the configured fields with ``LuceneException`` instead of silently widening
-the schema.
+Schema: by default a batch index has a fixed analyzed-field set per index
+(``IndexConfig.fields()``) and ``index_map`` rejects keys outside it with
+``LuceneException``.  ``LuceneFacade(dynamic_fields=True)`` restores the
+reference's schema-less behavior (any ``indexMap`` key becomes a field,
+``LuceneIndexBean.java:338-341``): unseen keys are APPENDED to the field
+list in first-seen order — sound because the build layer accepts
+append-only field evolution across generations — with the one restriction
+that keys must be lowercase identifiers (``[a-z_][a-z0-9_]*``), since
+field names participate in the query grammar (``field:term``).
 """
 
 from __future__ import annotations
@@ -84,8 +87,10 @@ class LuceneFacade:
         cfg: IndexConfig,
         soft_commit_max_docs: int = SOFT_COMMIT_MAX_DOCS,
         auto_compact: bool = True,
+        dynamic_fields: bool = False,
     ):
         self.cfg = cfg
+        self.dynamic_fields = dynamic_fields
         self.soft_commit_max_docs = soft_commit_max_docs
         # ≙ TieredMergePolicy + ConcurrentMergeScheduler: commits trigger a
         # tiered compaction check (pipelines.build.maybe_compact)
@@ -115,6 +120,8 @@ class LuceneFacade:
         }
         for f in self.cfg.field_columns:
             row[f] = fields.get(f, "")
+        # rows buffered BEFORE a dynamic-field extension lack the new
+        # column; commit() backfills "" via r.get(name, "")
         self._pending.append(row)
         if len(self._pending) >= self.soft_commit_max_docs:
             self.commit()
@@ -149,11 +156,30 @@ class LuceneFacade:
             if k == self.cfg.text_column:
                 fields[k] = sv
                 continue
-            _require(
-                k in self.cfg.field_columns,
-                f"field '{k}' is not a configured field {self.cfg.fields()}; "
-                "batch indexes have a fixed analyzed-field set per index",
-            )
+            if k not in self.cfg.field_columns:
+                if not self.dynamic_fields:
+                    raise LuceneException(
+                        f"field '{k}' is not a configured field "
+                        f"{self.cfg.fields()}; batch indexes have a fixed "
+                        "analyzed-field set per index (open the facade "
+                        "with dynamic_fields=True for indexMap's "
+                        "schema-less behavior)"
+                    )
+                import re as _re
+                from dataclasses import replace as _replace
+
+                _require(
+                    bool(_re.fullmatch(r"[a-z_][a-z0-9_]*", k))
+                    and k not in (self.cfg.url_column, self.cfg.ts_column,
+                                  "collection"),
+                    f"dynamic field name {k!r} must be a lowercase "
+                    "identifier and not a reserved column",
+                )
+                # append-only schema widening (the build layer validates
+                # the same rule across generations)
+                self.cfg = _replace(
+                    self.cfg, field_columns=(*self.cfg.field_columns, k)
+                )
             fields[k] = sv
         text = fields.pop(self.cfg.text_column, "")
         return self._buffer(collection, ext_id, text, fields)
@@ -190,7 +216,9 @@ class LuceneFacade:
             "collection", self.cfg.url_column, self.cfg.ts_column,
             self.cfg.text_column, *self.cfg.field_columns,
         ):
-            cols[name] = [r[name] for r in self._pending]
+            # .get backfill: rows buffered before a dynamic-field extension
+            # lack the newer columns — "" analyzes to zero tokens
+            cols[name] = [r.get(name, "") for r in self._pending]
         gen_now = self._current_generation()
         # stamp ordinals → warc_ts from the generation read at COMMIT time
         # (strictly increasing across commits AND across concurrently open

@@ -141,3 +141,38 @@ def test_second_extension_appends_again(evolved):
     eng = SearchEngine(root, cfg=cfg2)
     assert eng.search("kind:blog")["url"].to_pylist() == ["doc://e"]
     assert eng.count("tag:red") == 2  # gen1's doc://c and gen2's doc://e
+
+
+def test_facade_dynamic_fields(ray_session, tmp_path):
+    """dynamic_fields=True restores indexMap's schema-less behavior: unseen
+    keys widen the schema append-only, even MID-BUFFER (earlier rows
+    backfill empty), and across commits (generation-level evolution)."""
+    from lucene_plugin_ray.facade import LuceneException, LuceneFacade
+
+    cfg = IndexConfig(index_root=str(tmp_path / "idx"), num_partitions=2)
+    f = LuceneFacade(cfg, soft_commit_max_docs=100, dynamic_fields=True)
+    f.index_text("col", "plain", "alpha beta")           # buffered pre-extension
+    f.index_map("col", "tagged", {"text": "alpha", "tag": "red"})
+    assert "tag" in f.cfg.field_columns
+    f.commit()
+    assert [e.external_id for e in f.search("col", "tag:red")] == ["tagged"]
+    assert len(f.search("col", "alpha")) == 2            # pre-extension doc fine
+
+    # second commit introduces ANOTHER field — append-only across gens
+    f.index_map("col", "k2", {"text": "gamma", "kind": "blog"})
+    f.commit()
+    assert [e.external_id for e in f.search("col", "kind:blog")] == ["k2"]
+    assert [e.external_id for e in f.search("col", "tag:red")] == ["tagged"]
+
+    # bad dynamic names rejected loudly
+    with pytest.raises(LuceneException):
+        f.index_map("col", "x", {"Bad-Name": "v"})
+    with pytest.raises(LuceneException):
+        f.index_map("col", "x", {"warc_ts": "v"})
+
+    # strict mode (default) still rejects unknown keys
+    g = LuceneFacade(
+        IndexConfig(index_root=str(tmp_path / "idx2"), num_partitions=2)
+    )
+    with pytest.raises(LuceneException):
+        g.index_map("col", "y", {"tag": "red"})
