@@ -1861,9 +1861,12 @@ FROM documents GROUP BY sha256(text) ORDER BY text_sha256
 
     # header = first 8 CODE UNITS hex-encoded (== first 8 bytes on the ASCII
     # synthetic corpus; engine slices the payload's bytes)
+    # substring AFTER encode: the header is the first 8 payload BYTES (the
+    # engine's magic-byte slice), not the first 8 characters — char-based
+    # slicing diverges on multibyte text (pinned by the hostile sweep)
     sql["multimodal_features"] = """
 SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-       lower(hex(encode(substring(text, 1, 8)))) AS header_hex
+       lower(substring(hex(encode(text)), 1, 16)) AS header_hex
 FROM documents ORDER BY doc_id
 """
 
@@ -1926,10 +1929,19 @@ ORDER BY signup_event_id, purchase_event_id
 
         # all-pairs exact k-NN graph: rank on full-precision cosine, round-5
     # output (the ann family convention); self excluded
+    # zero-norm guard: cosine with a zero vector is undefined — BOTH sides
+    # define it as 0.0 (the engine's normalized zero row dots to 0;
+    # DuckDB's list_cosine_similarity would return -1 there)
     sql["knn_graph"] = """
 WITH sims AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
-       list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                              CAST(b.embedding AS DOUBLE[])) AS cos
+       CASE WHEN list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(a.embedding AS DOUBLE[])) = 0
+              OR list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])) = 0
+            THEN 0.0
+            ELSE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[]))
+       END AS cos
   FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id <> b.vec_id),
 ranked AS (SELECT vec_id, nbr_id, cos,
        row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id ASC) AS rn
@@ -2367,10 +2379,14 @@ FROM p ORDER BY doc_id
     # strict-integer k (bare or quoted digits); the regex guard matters:
     # a plain CAST would ROUND a float k (7.5 -> 8) where the engine's
     # delimiter-anchored RE2 yields NULL
+    # json_valid guard: malformed / empty props yield NULL instead of a
+    # parse error — the engine's regex extraction is null-graceful there too
     sql["events_props_extract"] = """
 SELECT event_id,
-       CASE WHEN regexp_matches(coalesce(json_extract_string(props, '$.k'), ''),
-                                '^-?[0-9]+$')
+       CASE WHEN json_valid(props)
+                 AND regexp_matches(
+                       coalesce(json_extract_string(props, '$.k'), ''),
+                       '^-?[0-9]+$')
             THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k_value
 FROM events ORDER BY event_id
 """

@@ -2926,6 +2926,11 @@ def events_props_extract(
     7.5 to 8 in DuckDB, so the guard pins both sides to one spec).  Deeply
     nested/escaped JSON needs a real parser stage (actor pool + a JSON
     lib); the flat case covers the shipped schema and fixes the op's shape.
+    Malformed / empty props yield NULL gracefully on both sides (the oracle
+    guards with json_valid; the regex side finds no match).  One documented
+    asymmetry: an INVALID-JSON string that still contains a ``"k": n``
+    substring extracts here but is NULL in the oracle — flat valid JSON,
+    the shipped shape, is the contract.
 
     Output: (event_id, k_value int64 nullable), sorted by event_id."""
     ds = read_parquet_clean(
@@ -6228,7 +6233,14 @@ def knn_graph(
     recall vs 'exact' is pinned in tests.
 
     Output: (vec_id, nbr_id, rank, cos) — cos rounded to 1e-5 (the ann
-    family convention), rank on FULL precision."""
+    family convention), rank on FULL precision.
+
+    Zero-norm contract: cosine with a zero vector is undefined; BOTH sides
+    define it as 0.0 (the normalized zero row dots to 0 here; the DuckDB
+    oracle guards list_cosine_similarity — which would return -1 — with an
+    explicit zero-norm CASE).  Pinned by the hostile-corpus sweep
+    (scripts/hostile_sweep.py: zero / 1e-30 / duplicate / antipodal
+    vectors)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     ds = read_parquet_clean(
