@@ -333,6 +333,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         full-term match (Lucene RegexpQuery under CONSTANT_SCORE)."""
         return _search_all(sf_dir, _REGEXP_Q)
 
+    def search_match_all(sf_dir: str) -> pa.Table:
+        """MatchAllDocsQuery (*:*) composed with MUST_NOT: '-spark *:*' is
+        the match-everything-except idiom — every live doc NOT containing
+        the analyzed term, constant score 1.0 (classic QueryParser's
+        field-*/term-* special case)."""
+        return _search_all(sf_dir, "-spark *:*")
+
     def search_snippets(sf_dir: str) -> pa.Table:
         """Highlighting: every '"spark window merge"-OR' hit with its best
         8-token window snippet (distinct-scored-term maximizing, earliest
@@ -944,6 +951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_range_excl": search_range_excl,
         "search_range_open": search_range_open,
         "search_regexp": search_regexp,
+        "search_match_all": search_match_all,
         "search_snippets": search_snippets,
         "search_prefix": search_prefix,
         "search_wildcard": search_wildcard,
@@ -1491,6 +1499,14 @@ WHERE damerau_levenshtein(term, 'spakr') <= 1 ORDER BY doc_id
 {_toks_cte()}
 SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM toks
 WHERE regexp_full_match(term, '{_REGEXP_RE2}') ORDER BY doc_id
+"""
+    # MatchAllDocsQuery composed with MUST_NOT ('-spark *:*'): every doc
+    # whose analyzed token stream does NOT contain the term, score 1.0
+    sql["search_match_all"] = f"""
+{_toks_cte()}
+SELECT d.doc_id, CAST(1.0 AS DOUBLE) AS score FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM toks WHERE term = 'spark')
+ORDER BY d.doc_id
 """
 
     # faceting: lang-token counts over the OR query's match set.  The facet

@@ -223,6 +223,19 @@ class DisMaxClause:
 
 
 @dataclass(frozen=True)
+class MatchAllClause:
+    """``*:*`` — Lucene MatchAllDocsQuery (classic QueryParser special-cases
+    the field-``*`` term-``*`` token, QueryParserBase#getWildcardQuery):
+    matches every live document, constant score 1.0 × boost.  Composes with
+    the boolean level like any constant-score clause: ``*:* AND lang:de``
+    filters, ``-x *:*`` is the match-everything-except idiom, and a pure
+    ``-*:*`` matches nothing (no positive clause)."""
+
+    occur: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class GroupClause:
     """Parenthesized boolean group — a nested BooleanQuery (classic
     QueryParser grouping): ``(a b) AND c``, ``-(x y)``, ``(a b)^2``,
@@ -238,7 +251,7 @@ class GroupClause:
 
 Clause = (
     TermClause | RangeClause | PhraseClause | MultiTermClause
-    | SynonymClause | GroupClause | DisMaxClause
+    | SynonymClause | GroupClause | DisMaxClause | MatchAllClause
 )
 
 
@@ -418,6 +431,13 @@ def _parse_level(
                 raise QueryParseError("bare boost")
         if "^" in item:
             raise QueryParseError(f"malformed boost in {item!r}")
+        if item == "*:*" and m is None:
+            # MatchAllDocsQuery — the one token where a leading '*' is legal
+            # (classic QueryParser special case); must be checked BEFORE the
+            # leading-wildcard rejection below.  Requires the literal token
+            # (no explicit field prefix: 'text:*:*' stays a loud reject).
+            clauses.append(MatchAllClause(occur, boost))
+            continue
         gm = _GROUP_RE.match(item)
         if gm:
             # Q13 group: recurse on the inner string (field distributes as

@@ -28,6 +28,7 @@ from lucene_plugin_ray.functions.queryparse import (
     DisMaxClause,
     GroupClause,
     SynonymClause,
+    MatchAllClause,
     MUST,
     MultiTermClause,
     PhraseClause,
@@ -276,6 +277,10 @@ class OracleIndex:
                         if self.coll_of[d] == coll
                     )
                 return out
+            if isinstance(c, MatchAllClause):
+                # *:* — every doc of the collection (constant-score path
+                # below contributes the boost)
+                return {d for d, cc in self.coll_of.items() if cc == coll}
             assert isinstance(c, RangeClause)
             out = set()
             for t, posting in self.postings[c.field].items():

@@ -42,6 +42,7 @@ from lucene_plugin_ray.functions.queryparse import (
     MUST_NOT,
     SHOULD,
     Clause,
+    MatchAllClause,
     MultiTermClause,
     PhraseClause,
     DisMaxClause,
@@ -2729,7 +2730,16 @@ class SearchEngine:
         prohibited_hit = False
         score = 0.0
         for c in clauses:
-            if isinstance(c, TermClause):
+            if isinstance(c, MatchAllClause):
+                # *:* matches every live doc at constant score = boost
+                rows.append(
+                    {"kind": "match_all", "occur": c.occur, "field": None,
+                     "detail": "*:*", "df": None, "tf": 1, "idf": None,
+                     "boost": c.boost, "weight": c.boost}
+                )
+                matched = True
+                weight = c.boost
+            elif isinstance(c, TermClause):
                 df = global_df[(c.field, c.term)]
                 got = (
                     self._term_postings(si, seg, c, {}, {})
@@ -2845,6 +2855,11 @@ class SearchEngine:
         boolean kernel of :meth:`_match_segment` and the MUST_NOT handling
         in :meth:`_score_segment_taat`."""
         r = seg.reader
+        if isinstance(c, MatchAllClause):
+            # *:* — every live doc in the segment
+            if seg.all_alive:
+                return np.arange(r.n_docs, dtype=np.int64)
+            return np.flatnonzero(seg.alive).astype(np.int64, copy=False)
         if isinstance(c, TermClause):
             if r.doc_len.get(c.field) is None:
                 return np.empty(0, np.int64)
@@ -3467,6 +3482,18 @@ class SearchEngine:
                 if must_cnt is not None and c.occur == MUST:
                     must_cnt[anym] += 1
                 _note_should(anym, c)
+                continue
+            if isinstance(c, MatchAllClause):
+                # *:* — constant score boost × 1.0 on every live doc
+                alive = (
+                    np.arange(n, dtype=np.int64)
+                    if seg.all_alive
+                    else np.flatnonzero(seg.alive)
+                )
+                scores[alive] += c.boost
+                if must_cnt is not None and c.occur == MUST:
+                    must_cnt[alive] += 1
+                _note_should(alive, c)
                 continue
             if isinstance(c, TermClause):
                 got = self._term_postings(si, seg, c, cache, rows)

@@ -16,6 +16,8 @@ QUERIES = [
     (3, "+pagehit +lorem", 20),             # AND (may be empty)
     (4, "dupmarker0", 10),
     (5, "zzznope", 10),                     # miss
+    (6, "*:*", 40),                         # MatchAllDocsQuery
+    (7, "*:* AND w00000", 20),              # match-all as filter base
 ]
 
 
