@@ -463,6 +463,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         engine, cfg = _engine_for(sf_dir)
         return engine.facets(_OR_Q, "lang")
 
+    def facets_taxonomy(sf_dir: str) -> pa.Table:
+        """Hierarchical (taxonomy) facets — lang→source rollup counts over
+        the OR query's match set (pipelines/query.py::
+        SearchEngine.facets_taxonomy; Lucene TaxonomyFacetCounts with a
+        hierarchical dim).  Every matching doc rolls up into both its
+        ("lang",) and ("lang", "source") path prefixes; the sharded twin
+        is ShardedSearcherService.facets_taxonomy (identity pinned in
+        tests/test_taxonomy.py)."""
+        engine, cfg = _engine_for(sf_dir)
+        return engine.facets_taxonomy(_OR_Q, ["lang", "source"])
+
     def more_like_this_q(sf_dir: str) -> pa.Table:
         """MoreLikeThis (like-text form): doc 7's text → top-10 tf·idf
         terms → SHOULD query, source doc excluded; all hits as
@@ -966,6 +977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_grouped": search_grouped,
         "facets_stats": facets_stats,
         "search_facets": search_facets,
+        "facets_taxonomy": facets_taxonomy,
         "search_count": search_count,
         "search_sorted": search_sorted,
         "search_sorted_multi": search_sorted_multi,
@@ -1523,6 +1535,30 @@ ltoks AS (SELECT doc_id, term FROM lraw WHERE term <> '' AND length(term) <= 255
 SELECT lt.term AS value, count(DISTINCT lt.doc_id) AS "count"
 FROM ltoks lt JOIN m USING (doc_id)
 GROUP BY lt.term ORDER BY "count" DESC, value ASC
+"""
+
+    # hierarchical facets: lang→source rollup over the OR query's match
+    # set.  Both level streams mirror the index's ANALYZED fields (lowercase
+    # split + stopword drop); count(DISTINCT doc_id) mirrors postings
+    # membership (a doc counts once per distinct path); '/' sorts below
+    # every token char, so ORDER BY the joined path equals the engine's
+    # componentwise order.
+    sql["facets_taxonomy"] = f"""
+{_toks_cte()},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({or_inlist})),
+lraw AS (SELECT doc_id, unnest(string_split_regex(lower(lang), '[^a-z0-9]+')) AS term FROM documents),
+ltoks AS (SELECT DISTINCT doc_id, term FROM lraw WHERE term <> '' AND length(term) <= 255
+          AND term NOT IN {SQL_STOPWORD_LIST}),
+sraw AS (SELECT doc_id, unnest(string_split_regex(lower(source), '[^a-z0-9]+')) AS term FROM documents),
+stoks AS (SELECT DISTINCT doc_id, term FROM sraw WHERE term <> '' AND length(term) <= 255
+          AND term NOT IN {SQL_STOPWORD_LIST}),
+l1 AS (SELECT lt.term AS path, count(DISTINCT lt.doc_id) AS "count"
+       FROM ltoks lt JOIN m USING (doc_id) GROUP BY lt.term),
+l2 AS (SELECT lt.term || '/' || st.term AS path, count(DISTINCT m.doc_id) AS "count"
+       FROM m JOIN ltoks lt USING (doc_id) JOIN stoks st USING (doc_id)
+       GROUP BY lt.term, st.term)
+SELECT path, "count" FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2)
+ORDER BY path
 """
 
     # dataset mixing: quotas from exact per-source counts (LEAST caps at the

@@ -129,6 +129,16 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--collection", default="default")
     s.add_argument("--partitions", type=int, default=32)
     s.add_argument("--fields", default="")
+    s = sub.add_parser("facets-taxonomy")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--levels", required=True,
+                   help="comma-separated level fields, root first "
+                        "(e.g. lang,source)")
+    s.add_argument("--top-n", type=int, default=None)
+    s.add_argument("--collection", default="default")
+    s.add_argument("--partitions", type=int, default=32)
+    s.add_argument("--fields", default="")
     s = sub.add_parser("drill-sideways")
     s.add_argument("--index", required=True)
     s.add_argument("--query", required=True)
@@ -305,6 +315,18 @@ def main(argv: list[str] | None = None) -> int:
             t = eng.classify(
                 args.text, args.class_field, collection=args.collection
             )
+        for row in t.to_pylist():
+            print(json.dumps(row))
+    elif args.cmd == "facets-taxonomy":
+        from lucene_plugin_ray.pipelines.query import SearchEngine
+
+        eng = SearchEngine(args.index, cfg=cfg)
+        t = eng.facets_taxonomy(
+            args.query,
+            [f for f in args.levels.split(",") if f],
+            collection=args.collection,
+            top_n=args.top_n,
+        )
         for row in t.to_pylist():
             print(json.dumps(row))
     elif args.cmd == "drill-sideways":

@@ -533,6 +533,31 @@ class LuceneFacade:
             for v, c in zip(t["value"].to_pylist(), t["count"].to_pylist())
         ]
 
+    def facets_taxonomy(
+        self,
+        collection: str,
+        query: str,
+        dim_fields: list,
+        top_n: int | None = None,
+    ) -> list[dict]:
+        """Hierarchical facet counts (taxonomy rollup over an ordered
+        field list, root level first) → [{path, count}], path ascending.
+        See SearchEngine.facets_taxonomy."""
+        _require(_valid_str(collection), "collection must be a non-empty string")
+        _require(_valid_str(query), "query must be a non-empty string")
+        _require(isinstance(dim_fields, (list, tuple)) and dim_fields,
+                 "dim_fields must be a non-empty list of field names")
+        eng = self._lease_engine()
+        if eng is None:
+            return []
+        t = eng.facets_taxonomy(
+            query, list(dim_fields), collection=collection, top_n=top_n
+        )
+        return [
+            {"path": p, "count": int(c)}
+            for p, c in zip(t["path"].to_pylist(), t["count"].to_pylist())
+        ]
+
     def more_like_this(
         self,
         collection: str,
@@ -889,6 +914,19 @@ class AsyncLuceneFacade:
 
         return await asyncio.to_thread(
             self._sync.facets, collection, query, facet_field
+        )
+
+    async def facets_taxonomy(
+        self,
+        collection: str,
+        query: str,
+        dim_fields: list,
+        top_n: int | None = None,
+    ) -> list[dict]:
+        import asyncio
+
+        return await asyncio.to_thread(
+            self._sync.facets_taxonomy, collection, query, dim_fields, top_n
         )
 
     async def more_like_this(

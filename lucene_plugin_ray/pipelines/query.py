@@ -170,6 +170,70 @@ def facet_count_table(acc: dict[str, int]) -> pa.Table:
     )
 
 
+def validate_taxonomy_fields(
+    dim_fields, field_columns: tuple[str, ...]
+) -> list[str]:
+    """Validate a taxonomy level list (ordered indexed metadata fields,
+    root level first) — shared by the single-engine and sharded paths so
+    the sharded driver rejects bad input before any fan-out."""
+    if not isinstance(dim_fields, (list, tuple)) or not dim_fields:
+        raise ValueError(
+            "dim_fields must be a non-empty ordered list of field names"
+        )
+    out: list[str] = []
+    for f in dim_fields:
+        if not isinstance(f, str) or f not in field_columns:
+            raise ValueError(
+                f"taxonomy level {f!r} is not an indexed metadata field "
+                f"(have: {sorted(field_columns)})"
+            )
+        if f in out:
+            raise ValueError(f"duplicate taxonomy level {f!r}")
+        out.append(f)
+    return out
+
+
+def taxonomy_table(
+    counts: dict[tuple[str, ...], int], top_n: int | None = None
+) -> pa.Table:
+    """(path, count) table from a taxonomy-counts dict — THE formatter
+    shared by the single-engine and sharded paths (pruning after the exact
+    count merge, so the twins cannot drift).
+
+    ``top_n`` keeps only the top-``top_n`` children PER PARENT under the
+    facets (count desc, value asc) rank — Lucene's getTopChildren(n)
+    applied at every node; a pruned node's whole subtree is pruned with it.
+    Rows are ordered by path ascending.  Path components are analyzed
+    single tokens ([a-z0-9]+), so '/' never collides and the joined-string
+    order equals the componentwise tuple order ('/' < every token char)."""
+    if top_n is not None:
+        top_n = int(top_n)
+        if top_n < 1:
+            raise ValueError("top_n must be >= 1")
+        by_parent: dict[tuple[str, ...], list] = {}
+        for path, c in counts.items():
+            by_parent.setdefault(path[:-1], []).append((path, c))
+        kept: dict[tuple[str, ...], int] = {}
+        for parent in sorted(by_parent, key=len):
+            if parent and parent not in kept:
+                continue  # parent itself was pruned → drop the subtree
+            kids = sorted(
+                by_parent[parent], key=lambda kv: (-kv[1], kv[0])
+            )
+            for path, c in kids[:top_n]:
+                kept[path] = c
+        counts = kept
+    items = sorted(
+        (("/".join(p), c) for p, c in counts.items()), key=lambda kv: kv[0]
+    )
+    return pa.table(
+        {
+            "path": pa.array([p for p, _ in items], pa.string()),
+            "count": pa.array([c for _, c in items], pa.int64()),
+        }
+    )
+
+
 def knn_vote_table(acc: dict[str, list[int]]) -> pa.Table:
     """(class, vote_units, hits) from the integer vote fold, ordered
     (vote desc, class asc) — shared by the single-engine and sharded
@@ -1228,6 +1292,91 @@ class SearchEngine:
                 "value": pa.array([k for k, _ in items], pa.string()),
                 "count": pa.array([v for _, v in items], pa.int64()),
             }
+        )
+
+    def facets_taxonomy_counts(
+        self,
+        query: str,
+        dim_fields,
+        collection: str = "default",
+    ) -> dict[tuple[str, ...], int]:
+        """The raw hierarchical facet counts — {path tuple: count} over
+        this engine's partitions; the sharded partial (integer counts over
+        doc-disjoint partitions sum exactly on the driver).
+
+        ``dim_fields`` is an ordered list of indexed metadata fields
+        defining the hierarchy, root level first (e.g. ["lang", "source"]
+        ⇒ paths ("en",), ("en", "src3"), …).  A path's count is the number
+        of matching docs carrying EVERY component in its level's field —
+        the taxonomy invariant count(parent) ≥ count(child) holds because
+        a child's members are a subset of its parent's.  Docs with several
+        tokens in a level's field count once per distinct path (Lucene's
+        once-per-node semantics for multi-valued dims).
+
+        Per segment: one boolean match, then one dictionary walk per level
+        with sorted-membership intersections down the tree of NONEMPTY
+        paths only — work bounded by Σ_level |level vocab| decodes plus
+        |nonempty paths| intersections, never the corpus (taxonomy dims
+        are low-cardinality metadata, the facets() assumption)."""
+        fields = validate_taxonomy_fields(dim_fields, self.cfg.field_columns)
+        coll = sanitize_collection(collection)
+        clauses = parse_query(query, default_field=self.cfg.text_column)
+        segs = self._segments.get(coll, [])
+        counts: dict[tuple[str, ...], int] = {}
+        for si, seg in enumerate(segs):
+            matched = self._match_segment(si, seg, clauses, {}, {})
+            if matched.size == 0:
+                continue
+            r = seg.reader
+            frontier: list[tuple[tuple[str, ...], np.ndarray]] = [
+                ((), matched)
+            ]
+            for f in fields:
+                start, vocab = r.field_vocab(f)
+                nxt: list[tuple[tuple[str, ...], np.ndarray]] = []
+                for j in range(len(vocab)):
+                    term = str(vocab[j])
+                    local, _ = self._decoded(
+                        si, seg, f, term, int(start + j)
+                    )
+                    if local.size == 0:
+                        continue
+                    for path, mem in frontier:
+                        sub = mem[_in_sorted(mem, local)]
+                        if sub.size:
+                            key = (*path, term)
+                            counts[key] = counts.get(key, 0) + sub.size
+                            nxt.append((key, sub))
+                frontier = nxt
+                if not frontier:
+                    break
+        return counts
+
+    def facets_taxonomy(
+        self,
+        query: str,
+        dim_fields,
+        collection: str = "default",
+        top_n: int | None = None,
+    ) -> pa.Table:
+        """Hierarchical (taxonomy) facets — the Lucene facets-module
+        TaxonomyFacetCounts analogue for hierarchical dims
+        (FacetsConfig.setHierarchical; facet/src/java/org/apache/lucene/
+        facet/taxonomy/FastTaxonomyFacetCounts.java), expressed over the
+        engine's flat metadata fields: the hierarchy is an ORDERED list of
+        indexed fields (root level first) and each matching doc rolls up
+        into every path prefix it carries — GROUP BY ROLLUP off the term
+        dictionary, no taxonomy sidecar index.
+
+        Returns (path, count) rows, path = '/'-joined components, ordered
+        path asc; ``top_n`` keeps the top-``top_n`` children per parent
+        under the facets (count desc, value asc) rank (getTopChildren(n)
+        at every node — a pruned node's subtree goes with it).  Pruning
+        happens AFTER the exact count merge, so the sharded twin is
+        identical by construction."""
+        return taxonomy_table(
+            self.facets_taxonomy_counts(query, dim_fields, collection),
+            top_n,
         )
 
     def count(

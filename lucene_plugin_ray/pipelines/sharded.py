@@ -62,6 +62,8 @@ from lucene_plugin_ray.pipelines.query import (
     rank_completions_table,
     rank_grouped_table,
     score_to_vote_units,
+    taxonomy_table,
+    validate_taxonomy_fields,
 )
 from lucene_plugin_ray.state.manifest import load_manifest_chain
 
@@ -430,6 +432,18 @@ class _ShardActor:
     def count_partial(self, query: str, collection: str) -> int:
         return self.engine.count(query, collection=collection)
 
+    def facets_taxonomy_partial(
+        self, query: str, dim_fields: list[str], collection: str
+    ) -> list[tuple[list[str], int]]:
+        """This shard's hierarchical facet counts as (path list, count)
+        rows — boolean matching is partition-local and docs are
+        partition-disjoint, so the driver merge is a plain per-path sum
+        (pruning waits for the merged exact counts)."""
+        counts = self.engine.facets_taxonomy_counts(
+            query, dim_fields, collection=collection
+        )
+        return [(list(p), c) for p, c in counts.items()]
+
     def facet_stats_partial(
         self, query: str, facet_field: str, value_source: str, collection: str
     ) -> list[tuple[str, int, int, int, int]]:
@@ -770,6 +784,32 @@ class ShardedSearcherService:
                 "count": pa.array([v for _, v in items], pa.int64()),
             }
         )
+
+    def facets_taxonomy(
+        self,
+        query: str,
+        dim_fields,
+        collection: str = "default",
+        top_n: int | None = None,
+    ) -> pa.Table:
+        """Cluster-wide hierarchical facets: per-shard (path, count)
+        partials summed exactly on the driver (doc-disjoint shards), then
+        the SAME taxonomy_table formatter the single engine uses — top_n
+        pruning runs on the merged exact counts, so the result is
+        identical to SearchEngine.facets_taxonomy by construction."""
+        fields = validate_taxonomy_fields(
+            dim_fields, self.cfg.field_columns
+        )  # reject bad input before any fan-out
+        parts = ray.get(
+            [a.facets_taxonomy_partial.remote(query, fields, collection)
+             for a in self.actors]
+        )
+        counts: dict[tuple[str, ...], int] = {}
+        for rows in parts:
+            for p, c in rows:
+                key = tuple(p)
+                counts[key] = counts.get(key, 0) + c
+        return taxonomy_table(counts, top_n)
 
     def count(self, query: str, collection: str = "default") -> int:
         """Cluster-wide match count: per-shard boolean counts summed on the

@@ -352,6 +352,33 @@ class LuceneHttpService:
                 q.get("collection", ""), q.get("query", ""), q.get("field", "")
             )
 
+    def _facets_taxonomy(self, q: dict) -> list[dict]:
+        import json as _json
+
+        try:
+            fields = _json.loads(q.get("fields", ""))
+        except ValueError as e:
+            raise LuceneException(f"fields must be a JSON list: {e}")
+        if not isinstance(fields, list):
+            raise LuceneException("fields must be a JSON list of field names")
+        top_n = None
+        if q.get("top_n"):
+            try:
+                top_n = int(q["top_n"])
+            except ValueError:
+                raise LuceneException(
+                    f"top_n must be an integer: {q['top_n']!r}"
+                )
+        with self._lock:
+            self._read_your_writes()
+            try:
+                return self.facade.facets_taxonomy(
+                    q.get("collection", ""), q.get("query", ""), fields,
+                    top_n=top_n,
+                )
+            except ValueError as e:  # unknown/dup field, bad top_n
+                raise LuceneException(str(e))
+
     def _search_sorted(self, q: dict) -> list[dict]:
         limit = self._limit_of(q)
         order = q.get("order", "desc")
@@ -472,6 +499,7 @@ class LuceneHttpService:
         "classify-knn": _classify_knn,
         "count": _count,
         "facets": _facets,
+        "facets-taxonomy": _facets_taxonomy,
         "search-sorted": _search_sorted,
         "search-sorted-by": _search_sorted_by,
         "more-like-this": _more_like_this,
@@ -646,6 +674,18 @@ class LuceneHttpClient:
         return self._get(
             "facets", {"collection": collection, "query": query, "field": field}
         )
+
+    def facets_taxonomy(
+        self, collection: str, query: str, fields: list,
+        top_n: int | None = None,
+    ) -> list[dict]:
+        import json as _json
+
+        params = {"collection": collection, "query": query,
+                  "fields": _json.dumps(fields)}
+        if top_n is not None:
+            params["top_n"] = top_n
+        return self._get("facets-taxonomy", params)
 
     def search_sorted(
         self, collection: str, query: str, limit: int = 255,
