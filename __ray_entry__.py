@@ -474,6 +474,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         engine, cfg = _engine_for(sf_dir)
         return engine.facets_taxonomy(_OR_Q, ["lang", "source"])
 
+    def term_vector_q(sf_dir: str) -> pa.Table:
+        """Per-document term vector (IndexReader.getTermVector analogue,
+        reconstructed from the inverted index — pipelines/query.py::
+        SearchEngine.term_vector): doc 7's (term, tf, positions) rows,
+        term asc; positions = comma-joined ascending PRE-stop-filter token
+        ranks (StopFilter enablePositionIncrements parity).  The sharded
+        twin routes to the one shard owning the url's partition
+        (ShardedSearcherService.term_vector; identity pinned in
+        tests/test_term_vector.py)."""
+        engine, cfg = _engine_for(sf_dir)
+        return engine.term_vector(f"doc://{_MLT_DOC:010d}")
+
     def more_like_this_q(sf_dir: str) -> pa.Table:
         """MoreLikeThis (like-text form): doc 7's text → top-10 tf·idf
         terms → SHOULD query, source doc excluded; all hits as
@@ -985,6 +997,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spell_suggest": spell_suggest,
         "date_histogram": date_histogram,
         "more_like_this": more_like_this_q,
+        "term_vector": term_vector_q,
         "hybrid_search": hybrid_search_q,
         "batch_search": batch_search,
         "term_stats": term_stats_q,
@@ -1725,6 +1738,27 @@ b AS (SELECT CAST((1600000000000000 + doc_id) // 100 * 100 AS BIGINT)
       AS bucket_start_us FROM m)
 SELECT bucket_start_us, count(*) AS "count"
 FROM b GROUP BY bucket_start_us ORDER BY bucket_start_us
+"""
+
+    # term vector: doc _MLT_DOC's (term, tf, positions).  Detected tokens =
+    # the NON-EMPTY [a-z0-9]+ runs of the lowercased text, position = 0-based
+    # rank among them BEFORE the stop/length filter (a dropped token leaves a
+    # positional hole — StopFilter enablePositionIncrements parity); a term's
+    # positions are comma-joined ascending, mirroring the engine's column.
+    sql["term_vector"] = f"""
+WITH det AS (
+  SELECT term, row_number() OVER (ORDER BY i) - 1 AS pos
+  FROM (
+    SELECT unnest(toks) AS term, unnest(range(1, len(toks) + 1)) AS i
+    FROM (SELECT string_split_regex(lower(text), '[^a-z0-9]+') AS toks
+          FROM documents WHERE doc_id = {_MLT_DOC})
+  ) WHERE term <> ''
+)
+SELECT term, count(*) AS tf,
+       string_agg(pos::VARCHAR, ',' ORDER BY pos) AS positions
+FROM det
+WHERE length(term) <= 255 AND term NOT IN {SQL_STOPWORD_LIST}
+GROUP BY term ORDER BY term
 """
 
     # MoreLikeThis: doc _MLT_DOC's terms weighted tf·idf (the engine's BM25

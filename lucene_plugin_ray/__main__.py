@@ -129,6 +129,13 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--collection", default="default")
     s.add_argument("--partitions", type=int, default=32)
     s.add_argument("--fields", default="")
+    s = sub.add_parser("term-vector")
+    s.add_argument("--index", required=True)
+    s.add_argument("--url", required=True)
+    s.add_argument("--field", default=None)
+    s.add_argument("--collection", default="default")
+    s.add_argument("--partitions", type=int, default=32)
+    s.add_argument("--fields", default="")
     s = sub.add_parser("facets-taxonomy")
     s.add_argument("--index", required=True)
     s.add_argument("--query", required=True)
@@ -315,6 +322,15 @@ def main(argv: list[str] | None = None) -> int:
             t = eng.classify(
                 args.text, args.class_field, collection=args.collection
             )
+        for row in t.to_pylist():
+            print(json.dumps(row))
+    elif args.cmd == "term-vector":
+        from lucene_plugin_ray.pipelines.query import SearchEngine
+
+        eng = SearchEngine(args.index, cfg=cfg)
+        t = eng.term_vector(
+            args.url, field=args.field, collection=args.collection
+        )
         for row in t.to_pylist():
             print(json.dumps(row))
     elif args.cmd == "facets-taxonomy":

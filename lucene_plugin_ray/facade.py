@@ -558,6 +558,28 @@ class LuceneFacade:
             for p, c in zip(t["path"].to_pylist(), t["count"].to_pylist())
         ]
 
+    def term_vector(
+        self,
+        collection: str,
+        ext_id: str,
+        field: str | None = None,
+    ) -> list[dict]:
+        """Per-document term vector → [{term, tf, positions}], term asc
+        (IndexReader.getTermVector analogue reconstructed from the inverted
+        index).  A not-live id raises LuceneException (the explain()
+        convention — client error, HTTP 400).  See
+        SearchEngine.term_vector."""
+        _require(_valid_str(collection), "collection must be a non-empty string")
+        _require(_valid_str(ext_id), "id must be a non-empty string")
+        eng = self._lease_engine()
+        if eng is None:
+            raise LuceneException(f"no index yet: nothing matches {ext_id!r}")
+        try:
+            t = eng.term_vector(ext_id, field=field, collection=collection)
+        except KeyError as e:
+            raise LuceneException(str(e)) from e
+        return t.to_pylist()
+
     def more_like_this(
         self,
         collection: str,
@@ -927,6 +949,18 @@ class AsyncLuceneFacade:
 
         return await asyncio.to_thread(
             self._sync.facets_taxonomy, collection, query, dim_fields, top_n
+        )
+
+    async def term_vector(
+        self,
+        collection: str,
+        ext_id: str,
+        field: str | None = None,
+    ) -> list[dict]:
+        import asyncio
+
+        return await asyncio.to_thread(
+            self._sync.term_vector, collection, ext_id, field
         )
 
     async def more_like_this(

@@ -1379,6 +1379,79 @@ class SearchEngine:
             top_n,
         )
 
+    def term_vector(
+        self,
+        url: str,
+        field: str | None = None,
+        collection: str = "default",
+        with_positions: bool = True,
+    ) -> pa.Table:
+        """Per-document term vector — Lucene IndexReader.getTermVector(doc,
+        field) (core/src/java/org/apache/lucene/index/TermVectors.java; the
+        reference never sets FieldType.setStoreTermVectors, so Lucene itself
+        would answer null — this engine reconstructs the vector from the
+        INVERTED index instead of a stored forward sidecar).
+
+        Locates the url's live doc (same probe as :meth:`explain` — raises
+        KeyError when not live), then gathers its rows with ONE contiguous
+        bulk varint decode over the field's dictionary sub-region of the
+        doc's OWN segment (SegmentReader.field_postings) and a vectorized
+        docid mask — cost bounded by that segment's field postings (1/P of
+        one generation), never the corpus, with zero per-term Python in the
+        gather.
+
+        Returns (term, tf, positions) rows ordered term asc (the dictionary
+        order, already sorted).  ``positions`` is the comma-joined ascending
+        PRE-stop-filter token ranks (StopFilter enablePositionIncrements
+        parity — functions/analysis.py::analyze_with_positions), decoded
+        per matched term only.  ``with_positions=False`` (or an index built
+        with index_positions=False) omits the column."""
+        coll = sanitize_collection(collection)
+        field = field if field is not None else self.cfg.text_column
+        valid = (self.cfg.text_column, *self.cfg.field_columns)
+        if field not in valid:
+            raise ValueError(
+                f"field {field!r} is not analyzed (have: {sorted(valid)})"
+            )
+        segs = self._segments.get(coll, [])
+        hit = None
+        for si, seg in enumerate(segs):
+            r = seg.reader
+            i = int(np.searchsorted(r.urls, url))
+            if i < r.n_docs and r.urls[i] == url and (
+                seg.all_alive or seg.alive[i]
+            ):
+                hit = (seg, i)
+                break
+        if hit is None:
+            raise KeyError(f"url {url!r} not live in collection {collection!r}")
+        seg, local_doc = hit
+        r = seg.reader
+        want_pos = bool(with_positions) and r.has_positions
+        s, df, docids, tfs = r.field_postings(field)
+        target = r.doc_base + local_doc
+        idx = np.flatnonzero(docids == target)
+        starts = np.concatenate([[0], np.cumsum(df)])
+        rows_rel = np.searchsorted(starts, idx, side="right") - 1
+        terms = [str(t) for t in r._terms[s + rows_rel]]
+        tf_out = tfs[idx]
+        cols: dict[str, pa.Array] = {
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(tf_out, pa.int64()),
+        }
+        if want_pos:
+            pos_strs: list[str] = []
+            for k in range(idx.size):
+                jr = int(rows_rel[k])
+                row_tfs = tfs[starts[jr] : starts[jr + 1]]
+                flat = r.positions(int(s + jr), row_tfs)
+                pi = int(idx[k] - starts[jr])
+                off = int(row_tfs[:pi].sum())
+                sub = flat[off : off + int(row_tfs[pi])]
+                pos_strs.append(",".join(str(int(p)) for p in sub))
+            cols["positions"] = pa.array(pos_strs, pa.string())
+        return pa.table(cols)
+
     def count(
         self,
         query: str,

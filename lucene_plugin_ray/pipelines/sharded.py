@@ -648,6 +648,17 @@ class _ShardActor:
             global_stats=global_stats, global_df=global_df,
         )
 
+    def term_vector_for(
+        self, url: str, field: str | None, collection: str,
+        with_positions: bool,
+    ) -> pa.Table:
+        """Shard-local term vector — the doc lives on exactly one shard
+        (partition hash routing), so this IS the cluster answer."""
+        return self.engine.term_vector(
+            url, field=field, collection=collection,
+            with_positions=with_positions,
+        )
+
     def sorted_by_partial(
         self, query: str, sort: list, collection: str, limit: int
     ) -> list[tuple]:
@@ -1276,6 +1287,46 @@ class ShardedSearcherService:
             for w, c, v in df_p:
                 df[(w, c)] = df.get((w, c), 0) + v
         return naive_bayes_table(toks, n_c, df, vocab)
+
+    def term_vector(
+        self,
+        url: str,
+        field: str | None = None,
+        collection: str = "default",
+        with_positions: bool = True,
+    ) -> pa.Table:
+        """Cluster-wide term vector: driver-side field validation, then ONE
+        remote gather on the shard owning the url's partition (the explain
+        routing — partition assignment is a pure hash of (collection, url),
+        no broadcast probe).  The doc lives on exactly one shard, so the
+        shard answer IS the cluster answer — identical to
+        SearchEngine.term_vector by construction.  Raises KeyError when the
+        url is not live."""
+        sc = sanitize_collection(collection)
+        f = field if field is not None else self.cfg.text_column
+        if f not in (self.cfg.text_column, *self.cfg.field_columns):
+            raise ValueError(
+                f"field {f!r} is not analyzed (have: "
+                f"{sorted((self.cfg.text_column, *self.cfg.field_columns))})"
+            )
+        from lucene_plugin_ray.functions.hashing import partition_of_key
+
+        p = partition_of_key(sc, url, self.num_partitions)
+        owner = next(
+            i for i, parts in enumerate(self.shard_partitions) if p in parts
+        )
+        try:
+            return ray.get(
+                self.actors[owner].term_vector_for.remote(
+                    url, field, collection, with_positions
+                )
+            )
+        except ray.exceptions.RayTaskError as e:
+            if isinstance(e.cause, KeyError):
+                raise KeyError(
+                    f"url {url!r} not live in collection {collection!r}"
+                ) from None
+            raise
 
     def explain(
         self, query: str, url: str, collection: str = "default"

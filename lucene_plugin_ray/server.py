@@ -455,6 +455,17 @@ class LuceneHttpService:
         "clear": _clear,
         "snippets": _snippets,
     }
+    def _term_vector(self, q: dict) -> list[dict]:
+        with self._lock:
+            self._read_your_writes()
+            try:
+                return self.facade.term_vector(
+                    q.get("collection", ""), q.get("id", ""),
+                    field=q.get("field") or None,
+                )
+            except ValueError as e:  # non-analyzed field
+                raise LuceneException(str(e))
+
     def _explain(self, q: dict) -> dict:
         with self._lock:
             self._read_your_writes()
@@ -500,6 +511,7 @@ class LuceneHttpService:
         "count": _count,
         "facets": _facets,
         "facets-taxonomy": _facets_taxonomy,
+        "term-vector": _term_vector,
         "search-sorted": _search_sorted,
         "search-sorted-by": _search_sorted_by,
         "more-like-this": _more_like_this,
@@ -697,6 +709,14 @@ class LuceneHttpClient:
             params["after_ts"] = after_ts
             params["after_url"] = after_url
         return self._get("search-sorted", params)
+
+    def term_vector(
+        self, collection: str, ext_id: str, field: str | None = None,
+    ) -> list[dict]:
+        params = {"collection": collection, "id": ext_id}
+        if field is not None:
+            params["field"] = field
+        return self._get("term-vector", params)
 
     def explain(self, collection: str, query: str, ext_id: str) -> dict:
         return self._get(

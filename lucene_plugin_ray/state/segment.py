@@ -220,6 +220,69 @@ class SegmentReader:
             self.pbuf, int(self._poff[row]), int(self._poff_end[row]), tfs
         )
 
+    def field_postings(
+        self, field: str
+    ) -> tuple[int, np.ndarray, np.ndarray, np.ndarray]:
+        """Decode ONE field's entire postings — (start_row, df, docids, tfs)
+        with docids ABSOLUTE and postings grouped by dictionary row (term
+        asc, docid asc inside each run of ``df[j]``).  Fast path: the write
+        layout (encode_many_postings) stores all docid varints then all tf
+        varints contiguously, so a field's dictionary row range decodes in
+        ONE varint pass per region (the merge path's bulk trick); per-row
+        decode_region is the defensive fallback.  The term-vector gather
+        (pipelines/query.py::term_vector) is the consumer — cost bounded by
+        this segment's field postings, never the corpus."""
+        rng = self._field_ranges.get(field)
+        empty = np.empty(0, np.int64)
+        if rng is None:
+            return 0, empty, empty, empty
+        s, e = rng
+        df = self._df[s:e].astype(np.int64)
+        total = int(df.sum())
+        if total == 0:
+            return s, df, empty, empty
+        contiguous = (
+            (self._doff[s + 1 : e] == self._doff_end[s : e - 1]).all()
+            and (self._toff[s + 1 : e] == self._toff_end[s : e - 1]).all()
+            and (df >= 1).all()
+        )
+        if contiguous:
+            from lucene_plugin_ray.functions.codec import varint_decode
+
+            deltas = varint_decode(
+                np.ascontiguousarray(
+                    self.buf[int(self._doff[s]) : int(self._doff_end[e - 1])]
+                ),
+                count=total,
+            )
+            tfs = varint_decode(
+                np.ascontiguousarray(
+                    self.buf[int(self._toff[s]) : int(self._toff_end[e - 1])]
+                ),
+                count=total,
+            )
+            # per-row cumsum reset: docid = cumsum(deltas) − cum@row_start − 1
+            cum = np.cumsum(deltas.astype(np.int64))
+            starts = np.concatenate([[0], np.cumsum(df)])
+            row_base = (
+                np.concatenate(([0], cum[starts[1:-1] - 1]))
+                if (e - s) > 1
+                else np.zeros(1, np.int64)
+            )
+            docids = cum - np.repeat(row_base, df) - 1
+            return s, df, docids, tfs.astype(np.int64)
+        did_parts, tf_parts = [], []
+        for row in range(s, e):
+            d, t = self.postings(row)
+            did_parts.append(d)
+            tf_parts.append(t.astype(np.int64))
+        return (
+            s,
+            df,
+            np.concatenate(did_parts),
+            np.concatenate(tf_parts),
+        )
+
     def block_meta(self, row: int) -> dict[str, np.ndarray]:
         """Per-block arrays for block-max WAND (J2)."""
         return {
