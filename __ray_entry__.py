@@ -777,6 +777,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
              "n_postings", "ok"]
         ).sort_by([("generation", "ascending"), ("partition", "ascending")])
 
+    def index_replicate_q(sf_dir: str) -> pa.Table:
+        """Replicator sweep (rows-only — validates the engine's own commit
+        artifacts, not a SQL-expressible relation): the driver index is
+        replicated segment-by-segment to a fresh root, the replica must
+        answer a term query IDENTICALLY (hits, scores, order — asserted
+        in-process), and the output is the deterministic per-artifact
+        (kind, collection, partition, generation, files, skipped) census."""
+        import shutil
+        import tempfile
+
+        from lucene_plugin_ray.pipelines.query import SearchEngine
+        from lucene_plugin_ray.pipelines.replicate import replicate_index
+
+        engine, cfg = _engine_for(sf_dir)
+        dst = tempfile.mkdtemp(prefix="lpr_replica_")
+        try:
+            t = replicate_index(cfg.index_root, dst)
+            cfg2 = IndexConfig(
+                index_root=dst,
+                num_partitions=cfg.num_partitions,
+                field_columns=cfg.field_columns,
+            )
+            a = engine.search(_TERM_Q, limit=1_000_000_000)
+            b = SearchEngine(dst, cfg=cfg2).search(_TERM_Q, limit=1_000_000_000)
+            if not a.equals(b):
+                raise AssertionError(
+                    "replica answered the probe query differently from the "
+                    "source index"
+                )
+        finally:
+            shutil.rmtree(dst, ignore_errors=True)
+        return t.select(
+            ["kind", "collection", "partition", "generation", "files",
+             "skipped"]
+        )
+
     def search_sorted_after(sf_dir: str) -> pa.Table:
         """Sorted deep pagination (searchAfter(FieldDoc) analogue): the OR
         query's recency-ordered hits STRICTLY after the row at global rank
@@ -954,6 +990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_after": search_after,
         "search_sorted_after": search_sorted_after,
         "check_index": check_index_q,
+        "index_replicate": index_replicate_q,
         "search_rescore": search_rescore,
         "search_filtered": search_filtered,
         "search_join": search_join,

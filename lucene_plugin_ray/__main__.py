@@ -191,6 +191,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--generation", type=int, default=None)
     s.add_argument("--partitions", type=int, default=32)
     s.add_argument("--fields", default="")
+    s = sub.add_parser("replicate")
+    s.add_argument("--index", required=True, help="source index root")
+    s.add_argument("--dest", required=True, help="destination root (path or URL)")
+    s.add_argument("--generation", type=int, default=None)
+    s.add_argument("--partitions", type=int, default=32)
+    s.add_argument("--fields", default="")
     args = p.parse_args(argv)
 
     cfg = _cfg(args)
@@ -389,6 +395,22 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(row))
             bad += 0 if row["ok"] else 1
         return 0 if bad == 0 else 1
+    elif args.cmd == "replicate":
+        _ensure_ray()
+        import pyarrow.compute as pc
+
+        from lucene_plugin_ray.pipelines.replicate import replicate_index
+
+        t = replicate_index(
+            cfg.index_root, args.dest, generation=args.generation
+        )
+        print(json.dumps({
+            "artifacts": t.num_rows,
+            "copied": t.num_rows - pc.sum(pc.cast(t["skipped"], "int64")).as_py(),
+            "skipped": pc.sum(pc.cast(t["skipped"], "int64")).as_py(),
+            "bytes_copied": pc.sum(t["bytes_copied"]).as_py(),
+            "dest": args.dest,
+        }))
     elif args.cmd == "serve":
         _ensure_ray()
         from lucene_plugin_ray.server import LuceneHttpService
