@@ -127,6 +127,64 @@ def _engine_for(sf_dir: str):
     return eng
 
 
+_BLOCK_ENGINES: dict[str, Any] = {}
+
+
+def _block_engine_for(sf_dir: str):
+    """Block-structured index for the block-join entry: every document is a
+    CHILD of a synthetic per-``source`` PARENT doc (shared ``blk`` field =
+    the block key, ``kind`` = parent|child) — the flat-model encoding of a
+    Lucene addDocuments block.  Parent text is the constant 'parentdoc'
+    (disjoint from the probe vocabulary: the child query must never match
+    a parent)."""
+    eng = _BLOCK_ENGINES.get(sf_dir)
+    if eng is not None:
+        return eng
+    import hashlib
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from lucene_plugin_ray.pipelines.build import build_index
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    ids = t["doc_id"].to_pylist()
+    sources = t["source"].to_pylist()
+    distinct = sorted(set(sources))
+    base = 1_700_000_000_000_000
+    pages = pa.table(
+        {
+            "collection": ["default"] * (len(ids) + len(distinct)),
+            "url": [f"doc://{i}" for i in ids]
+            + [f"parent://{s}" for s in distinct],
+            "warc_ts": pa.array(
+                [base + int(i) for i in ids]
+                + [base + 10**9 + k for k in range(len(distinct))],
+                pa.timestamp("us"),
+            ),
+            "text": t["text"].to_pylist() + ["parentdoc"] * len(distinct),
+            "blk": sources + distinct,
+            "kind": ["child"] * len(ids) + ["parent"] * len(distinct),
+        }
+    )
+    root = os.path.join(
+        "/tmp/lucene_plugin_ray_entry_blocks",
+        hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    cfg = IndexConfig(
+        index_root=root, num_partitions=8, field_columns=("blk", "kind")
+    )
+    build_index(pages, cfg)
+    eng = (SearchEngine(root, cfg=cfg), cfg)
+    _BLOCK_ENGINES[sf_dir] = eng
+    return eng
+
+
 def _search_all(sf_dir: str, query: str) -> pa.Table:
     """Engine search returning ALL hits as (doc_id, score-rounded-4)."""
     from lucene_plugin_ray.sources.pages import url_to_doc_id
@@ -777,6 +835,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
              "n_postings", "ok"]
         ).sort_by([("generation", "ascending"), ("partition", "ascending")])
 
+    def block_join_q(sf_dir: str) -> pa.Table:
+        """ToParentBlockJoinQuery (ScoreMode.None — constant-score parent
+        hits, the SQL-exact mode; the four scored modes are pinned against
+        a brute-force BM25 oracle in tests/test_block_join.py): blocks are
+        derived from the documents table — every document is a child of a
+        synthetic per-``source`` parent doc, so the result is the parents
+        of sources with >= 1 document matching the probe term."""
+        eng, _cfg = _block_engine_for(sf_dir)
+        t = eng.block_join_parents(
+            _TERM_Q, "kind:parent", "blk", score_mode="none",
+            limit=1_000_000_000,
+        )
+        return t.select(["url", "score"]).sort_by("url")
+
     def index_replicate_q(sf_dir: str) -> pa.Table:
         """Replicator sweep (rows-only — validates the engine's own commit
         artifacts, not a SQL-expressible relation): the driver index is
@@ -991,6 +1063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_sorted_after": search_sorted_after,
         "check_index": check_index_q,
         "index_replicate": index_replicate_q,
+        "block_join": block_join_q,
         "search_rescore": search_rescore,
         "search_filtered": search_filtered,
         "search_join": search_join,
@@ -1126,6 +1199,16 @@ def oracle_sql() -> dict[str, str]:
 
     sql: dict[str, str] = {}
     sql["search_term"] = _bm25_sql(term_terms)
+    # block join, ScoreMode.None: parents (one synthetic doc per source)
+    # of blocks with >= 1 child document matching the probe term — constant
+    # score 1.0 (the parent filter never contributes to the score)
+    sql["block_join"] = (
+        _toks_cte()
+        + " SELECT DISTINCT 'parent://' || d.source AS url, "
+        "CAST(1.0 AS DOUBLE) AS score "
+        "FROM toks t JOIN documents d ON t.doc_id = d.doc_id "
+        f"WHERE t.term = '{term_terms[0]}' ORDER BY url"
+    )
     sql["search_or"] = _bm25_sql(or_terms)
     sql["search_and"] = _bm25_sql(and_terms, conjunctive=True)
     sql["search_mm"] = _bm25_sql(or_terms, min_match=2)

@@ -111,6 +111,22 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--limit", type=int, default=None)
     s.add_argument("--partitions", type=int, default=32)
     s.add_argument("--fields", default="")
+    s = sub.add_parser("block-join")
+    s.add_argument("--index", required=True)
+    s.add_argument("--direction", default="parents",
+                   choices=["parents", "children"])
+    s.add_argument("--query", required=True,
+                   help="child query (parents) / parent query (children)")
+    s.add_argument("--parent-filter", required=True)
+    s.add_argument("--block-field", required=True)
+    s.add_argument("--score-mode", default="max",
+                   choices=["none", "max", "min", "total", "avg"])
+    s.add_argument("--no-score", action="store_true",
+                   help="children direction: doScores=false (constant 1.0)")
+    s.add_argument("--collection", default="default")
+    s.add_argument("--limit", type=int, default=None)
+    s.add_argument("--partitions", type=int, default=32)
+    s.add_argument("--fields", default="")
     s = sub.add_parser("search-sorted-by")
     s.add_argument("--index", required=True)
     s.add_argument("--query", required=True)
@@ -303,6 +319,24 @@ def main(argv: list[str] | None = None) -> int:
             score_mode=args.score_mode, collection=args.collection,
             limit=args.limit,
         )
+        for url, score in zip(t["url"].to_pylist(), t["score"].to_pylist()):
+            print(json.dumps({"url": url, "score": round(score, 6)}))
+    elif args.cmd == "block-join":
+        from lucene_plugin_ray.pipelines.query import SearchEngine
+
+        eng = SearchEngine(args.index, cfg=cfg)
+        if args.direction == "parents":
+            t = eng.block_join_parents(
+                args.query, args.parent_filter, args.block_field,
+                score_mode=args.score_mode, collection=args.collection,
+                limit=args.limit,
+            )
+        else:
+            t = eng.block_join_children(
+                args.query, args.parent_filter, args.block_field,
+                score=not args.no_score, collection=args.collection,
+                limit=args.limit,
+            )
         for url, score in zip(t["url"].to_pylist(), t["score"].to_pylist()):
             print(json.dumps({"url": url, "score": round(score, 6)}))
     elif args.cmd == "search-sorted-by":

@@ -410,6 +410,67 @@ class LuceneFacade:
             )
         ]
 
+    def block_join_parents(
+        self,
+        collection: str,
+        child_query: str,
+        parent_filter: str,
+        block_field: str,
+        score_mode: str = "max",
+        limit: int | None = None,
+    ) -> list[LuceneEntry]:
+        """Block join, child→parent — ToParentBlockJoinQuery analogue:
+        parent docs (``parent_filter`` matches) of blocks (shared
+        ``block_field`` value) with ≥1 child matching ``child_query``,
+        scored by the block's child-score aggregate under ScoreMode."""
+        _require(_valid_str(collection), "collection must be a non-empty string")
+        _require(_valid_str(child_query), "child_query must be a non-empty string")
+        _require(_valid_str(parent_filter), "parent_filter must be a non-empty string")
+        _require(_valid_str(block_field), "block_field must be a non-empty string")
+        eng = self._lease_engine()
+        if eng is None:
+            return []
+        t = eng.block_join_parents(
+            child_query, parent_filter, block_field, score_mode=score_mode,
+            collection=collection, limit=limit,
+        )
+        return [
+            LuceneEntry(id=int(d), score=float(s), external_id=u)
+            for d, s, u in zip(
+                t["docid"].to_pylist(), t["score"].to_pylist(), t["url"].to_pylist()
+            )
+        ]
+
+    def block_join_children(
+        self,
+        collection: str,
+        parent_query: str,
+        parent_filter: str,
+        block_field: str,
+        score: bool = True,
+        limit: int | None = None,
+    ) -> list[LuceneEntry]:
+        """Block join, parent→child — ToChildBlockJoinQuery analogue:
+        child docs inheriting their parent's ``parent_query`` score
+        (``score=False`` ≙ doScores=false → constant 1.0)."""
+        _require(_valid_str(collection), "collection must be a non-empty string")
+        _require(_valid_str(parent_query), "parent_query must be a non-empty string")
+        _require(_valid_str(parent_filter), "parent_filter must be a non-empty string")
+        _require(_valid_str(block_field), "block_field must be a non-empty string")
+        eng = self._lease_engine()
+        if eng is None:
+            return []
+        t = eng.block_join_children(
+            parent_query, parent_filter, block_field, score=score,
+            collection=collection, limit=limit,
+        )
+        return [
+            LuceneEntry(id=int(d), score=float(s), external_id=u)
+            for d, s, u in zip(
+                t["docid"].to_pylist(), t["score"].to_pylist(), t["url"].to_pylist()
+            )
+        ]
+
     def drill_sideways(
         self,
         collection: str,
@@ -878,6 +939,40 @@ class AsyncLuceneFacade:
         return await asyncio.to_thread(
             self._sync.search_join,
             collection, from_query, from_field, to_field, score_mode, limit,
+        )
+
+    async def block_join_parents(
+        self,
+        collection: str,
+        child_query: str,
+        parent_filter: str,
+        block_field: str,
+        score_mode: str = "max",
+        limit: int | None = None,
+    ) -> list[LuceneEntry]:
+        import asyncio
+
+        return await asyncio.to_thread(
+            self._sync.block_join_parents,
+            collection, child_query, parent_filter, block_field,
+            score_mode, limit,
+        )
+
+    async def block_join_children(
+        self,
+        collection: str,
+        parent_query: str,
+        parent_filter: str,
+        block_field: str,
+        score: bool = True,
+        limit: int | None = None,
+    ) -> list[LuceneEntry]:
+        import asyncio
+
+        return await asyncio.to_thread(
+            self._sync.block_join_children,
+            collection, parent_query, parent_filter, block_field,
+            score, limit,
         )
 
     async def drill_sideways(

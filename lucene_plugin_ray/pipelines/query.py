@@ -2026,10 +2026,15 @@ class SearchEngine:
         global_stats: dict[str, dict] | None = None,
         global_df: dict[tuple[str, str], int] | None = None,
         need_scores: bool = True,
+        restrict_query: str | None = None,
     ) -> dict[str, list]:
         """From-side of the join: per ``from_field`` value carried by a
         doc matching ``from_query``, the (count, sum, max, min) of the
-        matching docs' exact BM25 scores.  One TAAT full-match pass per
+        matching docs' exact BM25 scores.  ``restrict_query`` (optional)
+        intersects the match set with its score-free boolean matches
+        BEFORE aggregation — the non-scoring FILTER restriction the
+        block-join parent pass needs (scores stay ``from_query``'s alone,
+        search_filtered semantics).  One TAAT full-match pass per
         segment plus the facets-shaped per-(segment, value) sorted-
         membership pass — work bounded by |from_field vocab|, which is
         low-cardinality metadata by the same contract as facets/grouping.
@@ -2051,6 +2056,15 @@ class SearchEngine:
         clauses = parse_query(from_query, default_field=self.cfg.text_column)
         if synonyms:
             clauses = list(apply_synonyms(tuple(clauses), synonyms))
+        rclauses = None
+        if restrict_query is not None:
+            rclauses = parse_query(
+                restrict_query, default_field=self.cfg.text_column
+            )
+            if not rclauses:
+                raise ValueError(
+                    "restrict_query must contain at least one clause"
+                )
         segs = self._segments.get(coll, [])
         if not clauses or not segs:
             return {}
@@ -2083,6 +2097,11 @@ class SearchEngine:
                 cand = self._match_segment(si, seg, clauses, {}, {})
             if cand.size == 0:
                 continue
+            if rclauses is not None:
+                rmatch = self._match_segment(si, seg, rclauses, {}, {})
+                cand = cand[_in_sorted(cand, rmatch)]
+                if cand.size == 0:
+                    continue
             r = seg.reader
             start, vocab = r.field_vocab(from_field)
             for j in range(len(vocab)):
@@ -2139,10 +2158,16 @@ class SearchEngine:
         score_mode: str,
         collection: str = "default",
         limit: int | None = None,
+        restrict_query: str | None = None,
+        exclude_query: str | None = None,
     ) -> pa.Table:
         """To-side of the join: every alive doc carrying >= 1 joined
         ``to_field`` value, scored by folding the matched values' join
-        scores under ``score_mode`` (max/none → max, min → min, total →
+        scores under ``score_mode``.  ``restrict_query`` keeps only docs
+        in its score-free boolean match set (the block-join parent
+        filter); ``exclude_query`` drops its matches (the block-join
+        child direction excludes parents) — both non-scoring FILTER
+        restrictions, join scores untouched. (max/none → max, min → min, total →
         sum, avg → mean of matched value scores; for single-token
         metadata fields every doc carries exactly one value, so the fold
         is degenerate and all modes coincide doc-side).  Returns
@@ -2161,6 +2186,23 @@ class SearchEngine:
             )
         limit = limit if limit is not None else self.cfg.result_limit
         coll = sanitize_collection(collection)
+        rclauses = xclauses = None
+        if restrict_query is not None:
+            rclauses = parse_query(
+                restrict_query, default_field=self.cfg.text_column
+            )
+            if not rclauses:
+                raise ValueError(
+                    "restrict_query must contain at least one clause"
+                )
+        if exclude_query is not None:
+            xclauses = parse_query(
+                exclude_query, default_field=self.cfg.text_column
+            )
+            if not xclauses:
+                raise ValueError(
+                    "exclude_query must contain at least one clause"
+                )
         segs = self._segments.get(coll, [])
         empty = pa.table(
             {"url": pa.array([], pa.string()),
@@ -2172,12 +2214,23 @@ class SearchEngine:
         url_parts, score_parts, docid_parts = [], [], []
         for si, seg in enumerate(segs):
             r = seg.reader
+            rmatch = xmatch = None
+            if rclauses is not None:
+                rmatch = self._match_segment(si, seg, rclauses, {}, {})
+                if rmatch.size == 0:
+                    continue
+            if xclauses is not None:
+                xmatch = self._match_segment(si, seg, xclauses, {}, {})
             docs_parts, sc_parts = [], []
             for v in sorted(value_scores):
                 row = r.lookup(to_field, v)
                 if row < 0:
                     continue
                 local, _ = self._decoded(si, seg, to_field, v, int(row))
+                if rmatch is not None and local.size:
+                    local = local[_in_sorted(local, rmatch)]
+                if xmatch is not None and xmatch.size and local.size:
+                    local = local[~_in_sorted(local, xmatch)]
                 if local.size == 0:
                     continue
                 docs_parts.append(local)
@@ -2269,6 +2322,141 @@ class SearchEngine:
         vs = self.join_value_scores(agg, score_mode)
         return self.join_to_hits(
             to_field, vs, score_mode, collection=collection, limit=limit
+        )
+
+    # ---- block join (Lucene join module, index-time variant) -------------
+    def boolean_overlap_count(
+        self, query_a: str, query_b: str, collection: str = "default"
+    ) -> int:
+        """Number of alive docs matched by BOTH queries (score-free boolean
+        matches per segment, sorted-set intersection) — the
+        ToParentBlockJoinQuery contract probe: a child query must never
+        match a parent doc."""
+        coll = sanitize_collection(collection)
+        ca = parse_query(query_a, default_field=self.cfg.text_column)
+        cb = parse_query(query_b, default_field=self.cfg.text_column)
+        if not ca or not cb:
+            return 0
+        n = 0
+        for si, seg in enumerate(self._segments.get(coll, [])):
+            ma = self._match_segment(si, seg, ca, {}, {})
+            if ma.size == 0:
+                continue
+            mb = self._match_segment(si, seg, cb, {}, {})
+            if mb.size == 0:
+                continue
+            n += int(np.count_nonzero(_in_sorted(ma, mb)))
+        return n
+
+    def block_join_parents(
+        self,
+        child_query: str,
+        parent_filter: str,
+        block_field: str,
+        score_mode: str = "max",
+        collection: str = "default",
+        limit: int | None = None,
+        synonyms: dict[str, list[str]] | None = None,
+        global_stats: dict[str, dict] | None = None,
+        global_df: dict[tuple[str, str], int] | None = None,
+        check_contract: bool = True,
+    ) -> pa.Table:
+        """Child→parent block join — the Lucene join-module
+        ToParentBlockJoinQuery analogue (join/src/java/org/apache/lucene/
+        search/join/ToParentBlockJoinQuery.java): score ``child_query``
+        over the child docs, aggregate the child scores per block under
+        ``score_mode`` ('none' | 'max' | 'min' | 'total' | 'avg' — the
+        block-join ScoreMode set), and return the PARENT docs
+        (``parent_filter``'s boolean matches) of blocks with >= 1 matching
+        child, scored by their block's aggregate ('none' → constant 1.0,
+        BitSetProducer parity: the parent filter never contributes to the
+        score).
+
+        Data model: Lucene encodes blocks by index adjacency (children
+        first, parent last — an IndexWriter.addDocuments block); this
+        engine's flat web-page model encodes the SAME relation explicitly:
+        parent and children share a ``block_field`` metadata value
+        (low-cardinality by the facets/grouping contract).  Because
+        membership is by shared key, blocks need NO co-location — the
+        from-side (count, sum, max, min) partials fold exactly across
+        doc-disjoint segments/shards, the same exactness argument as
+        :meth:`search_join`.  A block with several parents folds their
+        hits under the engine's (score desc, url asc) order (Lucene's
+        one-parent-per-block invariant is the caller's data contract).
+
+        ``check_contract=True`` enforces Lucene's runtime check
+        (IllegalStateException "child query must only match non-parent
+        docs"): any doc matched by BOTH ``child_query`` and
+        ``parent_filter`` raises ValueError.  One extra score-free boolean
+        pass; sharded callers run it per shard and pass False here."""
+        if score_mode not in _JOIN_MODES:
+            raise ValueError(
+                f"score_mode must be one of {_JOIN_MODES}, got {score_mode!r}"
+            )
+        if block_field not in self.cfg.field_columns:
+            raise ValueError(
+                f"block_field {block_field!r} is not an indexed metadata "
+                f"field (have: {sorted(self.cfg.field_columns)})"
+            )
+        if not parse_query(parent_filter, default_field=self.cfg.text_column):
+            raise ValueError("parent_filter must contain at least one clause")
+        if check_contract:
+            n = self.boolean_overlap_count(
+                child_query, parent_filter, collection=collection
+            )
+            if n:
+                raise ValueError(
+                    f"child_query matches {n} parent doc(s) — "
+                    "ToParentBlockJoinQuery requires the child query to "
+                    "match only non-parent docs"
+                )
+        agg = self.join_from_aggregates(
+            child_query, block_field, collection=collection,
+            synonyms=synonyms, global_stats=global_stats,
+            global_df=global_df, need_scores=score_mode != "none",
+        )
+        vs = self.join_value_scores(agg, score_mode)
+        return self.join_to_hits(
+            block_field, vs, score_mode, collection=collection, limit=limit,
+            restrict_query=parent_filter,
+        )
+
+    def block_join_children(
+        self,
+        parent_query: str,
+        parent_filter: str,
+        block_field: str,
+        collection: str = "default",
+        limit: int | None = None,
+        score: bool = True,
+        synonyms: dict[str, list[str]] | None = None,
+        global_stats: dict[str, dict] | None = None,
+        global_df: dict[tuple[str, str], int] | None = None,
+    ) -> pa.Table:
+        """Parent→child block join — the Lucene join-module
+        ToChildBlockJoinQuery analogue (ToChildBlockJoinQuery.java): score
+        ``parent_query`` restricted to the parent docs (``parent_filter``'s
+        non-scoring boolean matches — scores come from ``parent_query``
+        alone, search_filtered semantics), then return every CHILD doc
+        (same ``block_field`` value, parents excluded) carrying the
+        parent's score (``score=False`` ≙ doScores=false: constant 1.0).
+        Several parents sharing a block value fold under max (Lucene's
+        one-parent-per-block invariant is the caller's data contract)."""
+        if block_field not in self.cfg.field_columns:
+            raise ValueError(
+                f"block_field {block_field!r} is not an indexed metadata "
+                f"field (have: {sorted(self.cfg.field_columns)})"
+            )
+        agg = self.join_from_aggregates(
+            parent_query, block_field, collection=collection,
+            synonyms=synonyms, global_stats=global_stats,
+            global_df=global_df, need_scores=score,
+            restrict_query=parent_filter,
+        )
+        vs = self.join_value_scores(agg, "max" if score else "none")
+        return self.join_to_hits(
+            block_field, vs, "max", collection=collection, limit=limit,
+            exclude_query=parent_filter,
         )
 
     # ---- drill-down + sideways faceting (Lucene facets module) ----------

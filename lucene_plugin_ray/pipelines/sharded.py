@@ -597,6 +597,7 @@ class _ShardActor:
     def join_from_partial(
         self, from_query: str, from_field: str, collection: str,
         global_stats: dict, global_df: dict, need_scores: bool = True,
+        restrict_query: str | None = None,
     ) -> list[tuple[str, int, float, float, float]]:
         """This shard's from-side join aggregates with INJECTED global
         stats → (value, count, sum, max, min) rows; shards are
@@ -608,9 +609,18 @@ class _ShardActor:
         agg = self.engine.join_from_aggregates(
             from_query, from_field, collection=collection,
             global_stats=global_stats, global_df=global_df,
-            need_scores=need_scores,
+            need_scores=need_scores, restrict_query=restrict_query,
         )
         return [(v, a[0], a[1], a[2], a[3]) for v, a in agg.items()]
+
+    def boolean_overlap_partial(
+        self, query_a: str, query_b: str, collection: str
+    ) -> int:
+        """This shard's count of docs matching BOTH queries (block-join
+        contract probe) — doc-disjoint shards sum exactly."""
+        return self.engine.boolean_overlap_count(
+            query_a, query_b, collection=collection
+        )
 
     def drill_sideways_partial(
         self, query: str, dims: dict, collection: str
@@ -687,13 +697,18 @@ class _ShardActor:
     def join_to_partial(
         self, to_field: str, value_scores: dict, score_mode: str,
         collection: str, limit: int,
+        restrict_query: str | None = None,
+        exclude_query: str | None = None,
     ) -> list[tuple[str, float, int]]:
         """This shard's top-``limit`` to-side join hits for the broadcast
         value→score map — per-shard truncation under the (score desc,
-        url asc) total order merges exactly (doc-disjoint shards)."""
+        url asc) total order merges exactly (doc-disjoint shards).
+        ``restrict_query``/``exclude_query`` carry the block-join parent
+        filter (non-scoring, SearchEngine.join_to_hits contract)."""
         t = self.engine.join_to_hits(
             to_field, value_scores, score_mode, collection=collection,
-            limit=limit,
+            limit=limit, restrict_query=restrict_query,
+            exclude_query=exclude_query,
         )
         return list(zip(t["url"].to_pylist(), t["score"].to_pylist(),
                         t["docid"].to_pylist()))
@@ -1234,6 +1249,147 @@ class ShardedSearcherService:
                 "docid": pa.array([r[2] for r in rows], pa.int64()),
             }
         )
+
+    def _block_join_common(
+        self,
+        query: str,
+        block_field: str,
+        collection: str,
+        limit: int | None,
+        need_scores: bool,
+        restrict_query: str | None,
+    ) -> tuple[str, int, dict[str, list], dict, dict]:
+        """Shared block-join plumbing: validation, global-stats gather for
+        the scored query, and the exact from-side partial fold (actor
+        order — deterministic)."""
+        limit = limit if limit is not None else self.cfg.result_limit
+        if limit <= 0:
+            raise ValueError("limit must be positive")
+        if block_field not in self.cfg.field_columns:
+            raise ValueError(
+                f"block_field {block_field!r} is not an indexed metadata "
+                f"field (have: {sorted(self.cfg.field_columns)})"
+            )
+        sc = sanitize_collection(collection)
+        if need_scores:
+            clauses = parse_query(query, default_field=self.cfg.text_column)
+            terms = {sc: sorted(set(scored_term_keys(clauses)))}
+            global_stats, global_df = self._gather_global(terms)
+        else:
+            global_stats, global_df = {}, {}
+        parts = ray.get(
+            [a.join_from_partial.remote(
+                query, block_field, collection, global_stats,
+                global_df.get(sc, {}), need_scores, restrict_query)
+             for a in self.actors]
+        )
+        agg: dict[str, list] = {}
+        for p in parts:
+            for v, c, s_, mx, mn in p:
+                a = agg.get(v)
+                if a is None:
+                    agg[v] = [c, s_, mx, mn]
+                else:
+                    a[0] += c
+                    a[1] += s_
+                    a[2] = max(a[2], mx)
+                    a[3] = min(a[3], mn)
+        return sc, limit, agg, global_stats, global_df
+
+    @staticmethod
+    def _merge_hit_partials(hit_parts: list, limit: int) -> pa.Table:
+        rows = [r for p in hit_parts for r in p]
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        rows = rows[:limit]
+        return pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "score": pa.array([r[1] for r in rows], pa.float64()),
+                "docid": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+
+    def block_join_parents(
+        self,
+        child_query: str,
+        parent_filter: str,
+        block_field: str,
+        score_mode: str = "max",
+        collection: str = "default",
+        limit: int | None = None,
+    ) -> pa.Table:
+        """Cluster-wide ToParentBlockJoinQuery (SearchEngine
+        .block_join_parents semantics on the whole index).  Blocks are
+        keyed by shared ``block_field`` value, NOT by co-location, so the
+        from-side (count, sum, max, min) partials fold exactly across
+        doc-disjoint shards even when a block's parent and children live
+        on different shards; identical to the single engine for
+        none/max/min, total/avg carry the distributed float-sum grouping
+        caveat (search_join docstring).  Contract probe (child query must
+        not match a parent) runs per shard and sums — one extra score-free
+        fan-out; the to-side partials apply the parent filter as a
+        non-scoring restriction before their exact per-shard truncation."""
+        if score_mode not in _JOIN_MODES:
+            raise ValueError(
+                f"score_mode must be one of {_JOIN_MODES}, got {score_mode!r}"
+            )
+        if not parse_query(parent_filter, default_field=self.cfg.text_column):
+            raise ValueError("parent_filter must contain at least one clause")
+        overlaps = ray.get(
+            [a.boolean_overlap_partial.remote(
+                child_query, parent_filter, collection)
+             for a in self.actors]
+        )
+        n_bad = sum(overlaps)
+        if n_bad:
+            raise ValueError(
+                f"child_query matches {n_bad} parent doc(s) — "
+                "ToParentBlockJoinQuery requires the child query to match "
+                "only non-parent docs"
+            )
+        _sc, limit, agg, _gs, _gd = self._block_join_common(
+            child_query, block_field, collection, limit,
+            need_scores=score_mode != "none", restrict_query=None,
+        )
+        value_scores = SearchEngine.join_value_scores(agg, score_mode)
+        hit_parts = ray.get(
+            [a.join_to_partial.remote(
+                block_field, value_scores, score_mode, collection, limit,
+                parent_filter, None)
+             for a in self.actors]
+        )
+        return self._merge_hit_partials(hit_parts, limit)
+
+    def block_join_children(
+        self,
+        parent_query: str,
+        parent_filter: str,
+        block_field: str,
+        collection: str = "default",
+        limit: int | None = None,
+        score: bool = True,
+    ) -> pa.Table:
+        """Cluster-wide ToChildBlockJoinQuery (SearchEngine
+        .block_join_children semantics): parent scores fold under max
+        across shards (order-free — bit-identical to the single engine),
+        children gathered with the parent filter as a non-scoring
+        exclusion before exact per-shard truncation."""
+        if not parse_query(parent_filter, default_field=self.cfg.text_column):
+            raise ValueError("parent_filter must contain at least one clause")
+        _sc, limit, agg, _gs, _gd = self._block_join_common(
+            parent_query, block_field, collection, limit,
+            need_scores=score, restrict_query=parent_filter,
+        )
+        value_scores = SearchEngine.join_value_scores(
+            agg, "max" if score else "none"
+        )
+        hit_parts = ray.get(
+            [a.join_to_partial.remote(
+                block_field, value_scores, "max", collection, limit,
+                None, parent_filter)
+             for a in self.actors]
+        )
+        return self._merge_hit_partials(hit_parts, limit)
 
     def classify(
         self,

@@ -228,6 +228,41 @@ class LuceneHttpService:
             for e in entries
         ]
 
+    def _block_join_parents(self, q: dict) -> list[dict]:
+        limit = self._limit_of(q)
+        with self._lock:
+            self._read_your_writes()
+            try:
+                entries = self.facade.block_join_parents(
+                    q.get("collection", ""), q.get("child_query", ""),
+                    q.get("parent_filter", ""), q.get("block_field", ""),
+                    score_mode=q.get("score_mode", "max"), limit=limit,
+                )
+            except ValueError as e:  # bad mode / field / contract violation
+                raise LuceneException(str(e))
+        return [
+            {"_id": e.id, "_score": e.score, "_externalId": e.external_id}
+            for e in entries
+        ]
+
+    def _block_join_children(self, q: dict) -> list[dict]:
+        limit = self._limit_of(q)
+        score = q.get("score", "true").lower() != "false"
+        with self._lock:
+            self._read_your_writes()
+            try:
+                entries = self.facade.block_join_children(
+                    q.get("collection", ""), q.get("parent_query", ""),
+                    q.get("parent_filter", ""), q.get("block_field", ""),
+                    score=score, limit=limit,
+                )
+            except ValueError as e:
+                raise LuceneException(str(e))
+        return [
+            {"_id": e.id, "_score": e.score, "_externalId": e.external_id}
+            for e in entries
+        ]
+
     def _drill_sideways(self, q: dict) -> dict:
         import json as _json
 
@@ -505,6 +540,8 @@ class LuceneHttpService:
         "rescore": _rescore,
         "search-filtered": _search_filtered,
         "search-join": _search_join,
+        "block-join-parents": _block_join_parents,
+        "block-join-children": _block_join_children,
         "drill-sideways": _drill_sideways,
         "classify": _classify,
         "classify-knn": _classify_knn,
@@ -624,6 +661,28 @@ class LuceneHttpClient:
             {"collection": collection, "from_query": from_query,
              "from_field": from_field, "to_field": to_field,
              "score_mode": score_mode, "limit": limit},
+        )
+
+    def block_join_parents(
+        self, collection: str, child_query: str, parent_filter: str,
+        block_field: str, score_mode: str = "max", limit: int = 255,
+    ) -> list[dict]:
+        return self._get(
+            "block-join-parents",
+            {"collection": collection, "child_query": child_query,
+             "parent_filter": parent_filter, "block_field": block_field,
+             "score_mode": score_mode, "limit": limit},
+        )
+
+    def block_join_children(
+        self, collection: str, parent_query: str, parent_filter: str,
+        block_field: str, score: bool = True, limit: int = 255,
+    ) -> list[dict]:
+        return self._get(
+            "block-join-children",
+            {"collection": collection, "parent_query": parent_query,
+             "parent_filter": parent_filter, "block_field": block_field,
+             "score": "true" if score else "false", "limit": limit},
         )
 
     def drill_sideways(
