@@ -154,6 +154,18 @@ def _block_engine_for(sf_dir: str):
     )
     ids = t["doc_id"].to_pylist()
     sources = t["source"].to_pylist()
+    # the SQL oracle joins on RAW source equality while the engine keys
+    # blocks by the analyzed tokens of the blk field — equivalent only for
+    # non-null single-token sources, so enforce that loudly here rather
+    # than let the two sides silently diverge on an exotic corpus
+    import re as _re
+
+    bad = [s for s in sources if s is None or not _re.fullmatch(r"[a-z0-9]+", s)]
+    if bad:
+        raise ValueError(
+            f"block_join entry requires non-null single-token sources; got "
+            f"e.g. {bad[0]!r}"
+        )
     distinct = sorted(set(sources))
     base = 1_700_000_000_000_000
     pages = pa.table(

@@ -244,6 +244,12 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
         lambda: eng.classify("spark merge window", "lang"),
         lambda: eng.classify_knn("spark merge window", "lang", k=10,
                                  max_query_terms=5),
+        # block join over the bench corpus: blocks = source values,
+        # "parents" = the de docs (multi-parent blocks fold, documented)
+        lambda: eng.block_join_parents("spark -lang:de", "lang:de", "source",
+                                       score_mode="total", limit=10),
+        lambda: eng.block_join_children("spark merge", "lang:de", "source",
+                                        limit=10),
     ]
     for op in aux_ops:  # warm the postings/dictionary caches
         op()
@@ -412,6 +418,17 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     chk = check_index(root)
     queries["check_index"] = round(time.monotonic() - t1, 3)
     assert all(chk["ok"].to_pylist()), "bench index failed CheckIndex"
+
+    # replicator throughput: full segment-level copy of the bench index to
+    # a fresh root (one Ray task per artifact — the byte-transfer shape)
+    from lucene_plugin_ray.pipelines.replicate import replicate_index
+
+    rroot = "/tmp/lpr_bench_replica"
+    shutil.rmtree(rroot, ignore_errors=True)
+    t1 = time.monotonic()
+    replicate_index(root, rroot)
+    queries["index_replicate"] = round(time.monotonic() - t1, 3)
+    shutil.rmtree(rroot, ignore_errors=True)
 
     # hybrid retrieval: distributed semantic leg + RRF fuse; the lexical
     # leg's documents-table index is built OUTSIDE the timed region (its

@@ -2185,6 +2185,8 @@ class SearchEngine:
                 f"score_mode must be one of {_JOIN_MODES}, got {score_mode!r}"
             )
         limit = limit if limit is not None else self.cfg.result_limit
+        if limit <= 0:
+            raise ValueError("limit must be positive")
         coll = sanitize_collection(collection)
         rclauses = xclauses = None
         if restrict_query is not None:
@@ -2400,6 +2402,9 @@ class SearchEngine:
             )
         if not parse_query(parent_filter, default_field=self.cfg.text_column):
             raise ValueError("parent_filter must contain at least one clause")
+        limit = limit if limit is not None else self.cfg.result_limit
+        if limit <= 0:
+            raise ValueError("limit must be positive")
         if check_contract:
             n = self.boolean_overlap_count(
                 child_query, parent_filter, collection=collection
@@ -2447,6 +2452,11 @@ class SearchEngine:
                 f"block_field {block_field!r} is not an indexed metadata "
                 f"field (have: {sorted(self.cfg.field_columns)})"
             )
+        if not parse_query(parent_filter, default_field=self.cfg.text_column):
+            raise ValueError("parent_filter must contain at least one clause")
+        limit = limit if limit is not None else self.cfg.result_limit
+        if limit <= 0:
+            raise ValueError("limit must be positive")
         agg = self.join_from_aggregates(
             parent_query, block_field, collection=collection,
             synonyms=synonyms, global_stats=global_stats,

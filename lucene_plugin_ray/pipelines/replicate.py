@@ -128,7 +128,15 @@ def _copy_segment(item: dict) -> dict:
 def _copy_tombstone(item: dict) -> dict:
     dst = item["dst_path"]
     if storage.exists(dst):
-        # tombstone files are immutable per generation — present means done
+        # tombstone files are immutable per generation — present means done,
+        # but only if the BYTES agree (a same-corpus index that diverged by
+        # deletes must be a loud refusal, same rule as the segment digests)
+        if storage.read_bytes(dst) != storage.read_bytes(item["src_path"]):
+            raise ValueError(
+                f"replica tombstone {dst} differs from the source's — "
+                "destination root already contains a different index; "
+                "refusing to overwrite"
+            )
         return {**_report_base(item), "files": 0, "bytes_copied": 0,
                 "skipped": True}
     parent = dst.rsplit("/", 1)[0]
@@ -183,6 +191,13 @@ def replicate_index(
     if dst_root.rstrip("/") == src_root.rstrip("/"):
         raise ValueError("source and destination roots are the same")
     chain = load_manifest_chain(src_root, generation)
+    if not chain:
+        # a generation below every surviving manifest (e.g. pre-compaction)
+        # must not masquerade as a successful empty backup
+        raise ValueError(
+            f"no manifest at or below generation {generation} under "
+            f"{src_root}"
+        )
 
     items: list[dict] = []
     for m in chain:
@@ -230,7 +245,27 @@ def replicate_index(
     manifest_rows: list[dict] = []
     for m in chain:
         dst_path = storage.join(dst_root, f"manifest-{m.generation}.json")
+        d = m.to_json()
+        d["partitions"] = [
+            {**row, "path": _rewrite_path(row["path"], src_root, dst_root)}
+            for row in d["partitions"]
+        ]
+        if d.get("tombstone_path"):
+            d["tombstone_path"] = _rewrite_path(
+                d["tombstone_path"], src_root, dst_root
+            )
         if storage.exists(dst_path):
+            # skip only on CONTENT equality (after path rewrite) — a dst
+            # manifest with the same generation number but different
+            # segments/tombstones/clears is a diverged index, not a resume.
+            # Segment digests alone cannot catch this: delete/clear
+            # generations carry no partitions (build.py delete manifests).
+            if storage.read_json(dst_path) != d:
+                raise ValueError(
+                    f"replica manifest {dst_path} differs from the "
+                    "source's — destination root already contains a "
+                    "different index; refusing to overwrite"
+                )
             manifest_rows.append(
                 {
                     "kind": "manifest", "collection": "*", "partition": -1,
@@ -243,15 +278,6 @@ def replicate_index(
                 }
             )
             continue
-        d = m.to_json()
-        d["partitions"] = [
-            {**row, "path": _rewrite_path(row["path"], src_root, dst_root)}
-            for row in d["partitions"]
-        ]
-        if d.get("tombstone_path"):
-            d["tombstone_path"] = _rewrite_path(
-                d["tombstone_path"], src_root, dst_root
-            )
         write_manifest(dst_root, Manifest.from_json(d))
         manifest_rows.append(
             {

@@ -1164,16 +1164,7 @@ class ShardedSearcherService:
                 global_df.get(sc, {}))
              for a in self.actors]
         )
-        rows = [r for p in parts for r in p]
-        rows.sort(key=lambda r: (-r[1], r[0]))
-        rows = rows[:limit]
-        return pa.table(
-            {
-                "url": pa.array([r[0] for r in rows], pa.string()),
-                "score": pa.array([r[1] for r in rows], pa.float64()),
-                "docid": pa.array([r[2] for r in rows], pa.int64()),
-            }
-        )
+        return self._merge_hit_partials(parts, limit)
 
     def search_join(
         self,
@@ -1222,8 +1213,23 @@ class ShardedSearcherService:
                 global_df.get(sc, {}), need_scores)
              for a in self.actors]
         )
+        value_scores = SearchEngine.join_value_scores(
+            self._fold_join_partials(parts), score_mode
+        )
+        hit_parts = ray.get(
+            [a.join_to_partial.remote(
+                to_field, value_scores, score_mode, collection, limit)
+             for a in self.actors]
+        )
+        return self._merge_hit_partials(hit_parts, limit)
+
+    @staticmethod
+    def _fold_join_partials(parts: list) -> dict[str, list]:
+        """Exact driver fold of per-shard (value, count, sum, max, min)
+        join partials (actor order — deterministic; count/max/min are
+        order-free, float sums carry the documented grouping caveat)."""
         agg: dict[str, list] = {}
-        for p in parts:  # actor order — deterministic fold
+        for p in parts:
             for v, c, s_, mx, mn in p:
                 a = agg.get(v)
                 if a is None:
@@ -1233,35 +1239,13 @@ class ShardedSearcherService:
                     a[1] += s_
                     a[2] = max(a[2], mx)
                     a[3] = min(a[3], mn)
-        value_scores = SearchEngine.join_value_scores(agg, score_mode)
-        hit_parts = ray.get(
-            [a.join_to_partial.remote(
-                to_field, value_scores, score_mode, collection, limit)
-             for a in self.actors]
-        )
-        rows = [r for p in hit_parts for r in p]
-        rows.sort(key=lambda r: (-r[1], r[0]))
-        rows = rows[:limit]
-        return pa.table(
-            {
-                "url": pa.array([r[0] for r in rows], pa.string()),
-                "score": pa.array([r[1] for r in rows], pa.float64()),
-                "docid": pa.array([r[2] for r in rows], pa.int64()),
-            }
-        )
+        return agg
 
-    def _block_join_common(
-        self,
-        query: str,
-        block_field: str,
-        collection: str,
-        limit: int | None,
-        need_scores: bool,
-        restrict_query: str | None,
-    ) -> tuple[str, int, dict[str, list], dict, dict]:
-        """Shared block-join plumbing: validation, global-stats gather for
-        the scored query, and the exact from-side partial fold (actor
-        order — deterministic)."""
+    def _validate_block_join(
+        self, parent_filter: str, block_field: str, limit: int | None
+    ) -> int:
+        """Block-join input validation — BEFORE any cluster fan-out, so bad
+        input costs zero remote work and errors match the single engine."""
         limit = limit if limit is not None else self.cfg.result_limit
         if limit <= 0:
             raise ValueError("limit must be positive")
@@ -1270,6 +1254,20 @@ class ShardedSearcherService:
                 f"block_field {block_field!r} is not an indexed metadata "
                 f"field (have: {sorted(self.cfg.field_columns)})"
             )
+        if not parse_query(parent_filter, default_field=self.cfg.text_column):
+            raise ValueError("parent_filter must contain at least one clause")
+        return limit
+
+    def _block_join_common(
+        self,
+        query: str,
+        block_field: str,
+        collection: str,
+        need_scores: bool,
+        restrict_query: str | None,
+    ) -> dict[str, list]:
+        """Shared block-join plumbing: global-stats gather for the scored
+        query and the exact from-side partial fold."""
         sc = sanitize_collection(collection)
         if need_scores:
             clauses = parse_query(query, default_field=self.cfg.text_column)
@@ -1283,18 +1281,7 @@ class ShardedSearcherService:
                 global_df.get(sc, {}), need_scores, restrict_query)
              for a in self.actors]
         )
-        agg: dict[str, list] = {}
-        for p in parts:
-            for v, c, s_, mx, mn in p:
-                a = agg.get(v)
-                if a is None:
-                    agg[v] = [c, s_, mx, mn]
-                else:
-                    a[0] += c
-                    a[1] += s_
-                    a[2] = max(a[2], mx)
-                    a[3] = min(a[3], mn)
-        return sc, limit, agg, global_stats, global_df
+        return self._fold_join_partials(parts)
 
     @staticmethod
     def _merge_hit_partials(hit_parts: list, limit: int) -> pa.Table:
@@ -1333,8 +1320,7 @@ class ShardedSearcherService:
             raise ValueError(
                 f"score_mode must be one of {_JOIN_MODES}, got {score_mode!r}"
             )
-        if not parse_query(parent_filter, default_field=self.cfg.text_column):
-            raise ValueError("parent_filter must contain at least one clause")
+        limit = self._validate_block_join(parent_filter, block_field, limit)
         overlaps = ray.get(
             [a.boolean_overlap_partial.remote(
                 child_query, parent_filter, collection)
@@ -1347,8 +1333,8 @@ class ShardedSearcherService:
                 "ToParentBlockJoinQuery requires the child query to match "
                 "only non-parent docs"
             )
-        _sc, limit, agg, _gs, _gd = self._block_join_common(
-            child_query, block_field, collection, limit,
+        agg = self._block_join_common(
+            child_query, block_field, collection,
             need_scores=score_mode != "none", restrict_query=None,
         )
         value_scores = SearchEngine.join_value_scores(agg, score_mode)
@@ -1374,10 +1360,9 @@ class ShardedSearcherService:
         across shards (order-free — bit-identical to the single engine),
         children gathered with the parent filter as a non-scoring
         exclusion before exact per-shard truncation."""
-        if not parse_query(parent_filter, default_field=self.cfg.text_column):
-            raise ValueError("parent_filter must contain at least one clause")
-        _sc, limit, agg, _gs, _gd = self._block_join_common(
-            parent_query, block_field, collection, limit,
+        limit = self._validate_block_join(parent_filter, block_field, limit)
+        agg = self._block_join_common(
+            parent_query, block_field, collection,
             need_scores=score, restrict_query=parent_filter,
         )
         value_scores = SearchEngine.join_value_scores(

@@ -247,7 +247,12 @@ class LuceneHttpService:
 
     def _block_join_children(self, q: dict) -> list[dict]:
         limit = self._limit_of(q)
-        score = q.get("score", "true").lower() != "false"
+        raw = q.get("score", "true").lower()
+        if raw not in ("true", "false"):
+            raise LuceneException(
+                f"score must be 'true' or 'false', got {raw!r}"
+            )
+        score = raw == "true"
         with self._lock:
             self._read_your_writes()
             try:

@@ -180,6 +180,25 @@ def test_validation(built):
         engine.block_join_children("headline", "kind:parent", "nope")
     with pytest.raises(ValueError):
         engine.block_join_parents("alpha", "", "block")
+    # a stopword-only parent filter parses to zero clauses — the error names
+    # the caller's parameter, not the internal restrict_query plumbing
+    with pytest.raises(ValueError, match="parent_filter"):
+        engine.block_join_parents("alpha", "the", "block")
+    with pytest.raises(ValueError, match="parent_filter"):
+        engine.block_join_children("headline", "the", "block")
+    # non-positive limits are loud on every join surface, never a silent
+    # numpy mis-truncation
+    for bad_limit in (0, -1):
+        with pytest.raises(ValueError, match="limit"):
+            engine.block_join_parents(
+                "alpha", "kind:parent", "block", limit=bad_limit
+            )
+        with pytest.raises(ValueError, match="limit"):
+            engine.block_join_children(
+                "headline", "kind:parent", "block", limit=bad_limit
+            )
+        with pytest.raises(ValueError, match="limit"):
+            engine.search_join("alpha", "block", "block", limit=bad_limit)
 
 
 def test_facade_and_http_round_trip(ray_session, tmp_path):
@@ -234,6 +253,14 @@ def test_facade_and_http_round_trip(ray_session, tmp_path):
             lambda: c.block_join_parents("col", "headline", "kind:parent",
                                          "blk"),
             lambda: c.block_join_children("col", "", "kind:parent", "blk"),
+            # malformed boolean for the score flag is a 400, not a silent
+            # fall-through to scored results
+            lambda: c._get(
+                "block-join-children",
+                {"collection": "col", "parent_query": "headline",
+                 "parent_filter": "kind:parent", "block_field": "blk",
+                 "score": "0", "limit": 10},
+            ),
         ):
             with pytest.raises(urllib.error.HTTPError) as ei:
                 bad()

@@ -129,6 +129,63 @@ def test_replicates_to_url_root(built, tmp_path):
     assert a.equals(b)
 
 
+def test_refuses_diverged_tombstones(ray_session, tmp_path):
+    """Same corpus, DIFFERENT delete sets: segment digests agree at every
+    generation, so only the tombstone byte comparison can catch the
+    divergence — it must refuse, never silently accept dst as up to date."""
+    from lucene_plugin_ray.pipelines.build import build_index, delete_docs
+
+    pages = make_pages(60, seed=31)
+    urls = pages["url"].to_pylist()
+    roots = []
+    for k, victim in enumerate((urls[0], urls[1])):
+        root = str(tmp_path / f"src{k}")
+        cfg = IndexConfig(index_root=root, num_partitions=2)
+        build_index(pages, cfg)
+        delete_docs(
+            cfg, pa.table({"collection": ["default"], "url": [victim]})
+        )
+        roots.append(root)
+    dst = str(tmp_path / "dst")
+    replicate_index(roots[0], dst)
+    with pytest.raises(Exception, match="different index"):
+        replicate_index(roots[1], dst)
+
+
+def test_refuses_diverged_manifest(ray_session, tmp_path):
+    """dst's gen-1 is a delete (no partitions to digest-conflict), the new
+    source's gen-1 is a delta build: the manifest content comparison must
+    refuse instead of leaving the replica's manifest silently stale."""
+    from lucene_plugin_ray.pipelines.build import (
+        build_delta,
+        build_index,
+        delete_docs,
+    )
+
+    pages = make_pages(60, seed=32)
+    src_a = str(tmp_path / "srcA")
+    cfg_a = IndexConfig(index_root=src_a, num_partitions=2)
+    build_index(pages, cfg_a)
+    delete_docs(
+        cfg_a,
+        pa.table({"collection": ["default"], "url": [pages["url"][0].as_py()]}),
+    )
+    src_b = str(tmp_path / "srcB")
+    cfg_b = IndexConfig(index_root=src_b, num_partitions=2)
+    build_index(pages, cfg_b)
+    build_delta(make_pages(10, seed=33), cfg_b)
+    dst = str(tmp_path / "dst")
+    replicate_index(src_a, dst)
+    with pytest.raises(Exception, match="different index"):
+        replicate_index(src_b, dst)
+
+
+def test_generation_below_chain_is_loud(built):
+    cfg, _pages = built
+    with pytest.raises(ValueError, match="no manifest at or below"):
+        replicate_index(cfg.index_root, cfg.index_root + "_x", generation=-1)
+
+
 def test_rewrite_path_guard():
     assert (
         _rewrite_path("/a/b/coll/gen-0/part-1", "/a/b", "s3://x/y")
