@@ -127,6 +127,57 @@ def _engine_for(sf_dir: str):
     return eng
 
 
+_MULTI_SERVICES: dict[str, Any] = {}
+
+
+def _multi_service_for(sf_dir: str):
+    """MultiReader federation for the multireader_search entry: the
+    documents corpus split by doc_id parity into two independently built
+    roots (different partition counts on purpose), federated by
+    MultiIndexSearcherService — scores must equal the ONE-index BM25 the
+    search_term oracle computes over the full table."""
+    svc = _MULTI_SERVICES.get(sf_dir)
+    if svc is not None:
+        return svc
+    import hashlib
+    import shutil
+
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as pq
+
+    from lucene_plugin_ray.pipelines.build import build_index
+    from lucene_plugin_ray.pipelines.sharded import MultiIndexSearcherService
+    from lucene_plugin_ray.sources.pages import documents_as_pages
+
+    base = os.path.join(
+        "/tmp/lucene_plugin_ray_entry_multi",
+        hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    roots = []
+    for k in range(2):
+        part_ids = _pc.equal(_pc.bit_wise_and(t["doc_id"], 1), k)
+        part = t.filter(part_ids)
+        part_dir = os.path.join(base, f"split{k}")
+        os.makedirs(part_dir, exist_ok=True)
+        pq.write_table(part, os.path.join(part_dir, "documents.parquet"))
+        root = os.path.join(base, f"sub{k}")
+        cfg = IndexConfig(
+            index_root=root, num_partitions=4 + k,
+            field_columns=("lang", "source"),
+        )
+        build_index(documents_as_pages(part_dir), cfg)
+        roots.append(root)
+    qcfg = IndexConfig(
+        index_root=roots[0], num_partitions=4,
+        field_columns=("lang", "source"),
+    )
+    svc = MultiIndexSearcherService(roots, cfg=qcfg)
+    _MULTI_SERVICES[sf_dir] = svc
+    return svc
+
+
 _BLOCK_ENGINES: dict[str, Any] = {}
 
 
@@ -847,6 +898,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
              "n_postings", "ok"]
         ).sort_by([("generation", "ascending"), ("partition", "ascending")])
 
+    def multireader_search_q(sf_dir: str) -> pa.Table:
+        """MultiReader federation exactness: the documents corpus split by
+        doc_id parity into TWO independently built roots (different
+        partition counts), searched through MultiIndexSearcherService —
+        the federation-global BM25 must hash-match the single-corpus SQL
+        oracle (the search_term oracle verbatim)."""
+        from lucene_plugin_ray.sources.pages import url_to_doc_id
+
+        svc = _multi_service_for(sf_dir)
+        q = pa.table(
+            {"qid": [0], "query": [_TERM_Q], "k": [1_000_000_000]}
+        )
+        res = svc.search_batch(q)
+        return pa.table(
+            {
+                "doc_id": url_to_doc_id(res["url"].combine_chunks()),
+                "score": pc.round(res["score"].combine_chunks(), ndigits=4),
+            }
+        ).sort_by("doc_id")
+
     def block_join_q(sf_dir: str) -> pa.Table:
         """ToParentBlockJoinQuery (ScoreMode.None — constant-score parent
         hits, the SQL-exact mode; the four scored modes are pinned against
@@ -1076,6 +1147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "check_index": check_index_q,
         "index_replicate": index_replicate_q,
         "block_join": block_join_q,
+        "multireader_search": multireader_search_q,
         "search_rescore": search_rescore,
         "search_filtered": search_filtered,
         "search_join": search_join,
@@ -1211,6 +1283,9 @@ def oracle_sql() -> dict[str, str]:
 
     sql: dict[str, str] = {}
     sql["search_term"] = _bm25_sql(term_terms)
+    # MultiReader federation: two independently built sub-indexes must
+    # score exactly like one union index — the search_term oracle verbatim
+    sql["multireader_search"] = _bm25_sql(term_terms)
     # block join, ScoreMode.None: parents (one synthetic doc per source)
     # of blocks with >= 1 child document matching the probe term — constant
     # score 1.0 (the parent filter never contributes to the score)

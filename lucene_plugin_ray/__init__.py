@@ -37,10 +37,11 @@ def __getattr__(name):  # lazy so `import lucene_plugin_ray` stays light
         from lucene_plugin_ray.pipelines.query import SearchEngine
 
         return SearchEngine
-    if name == "sharded_search":
-        from lucene_plugin_ray.pipelines.sharded import sharded_search
+    if name in ("sharded_search", "ShardedSearcherService",
+                "MultiIndexSearcherService"):
+        from lucene_plugin_ray.pipelines import sharded
 
-        return sharded_search
+        return getattr(sharded, name)
     if name == "AutoExtract":
         from lucene_plugin_ray.stages.extract import AutoExtract
 

@@ -2016,3 +2016,116 @@ class ShardedSearcherService:
         for a in self.actors:
             ray.kill(a)
         self.actors = []
+
+
+class MultiIndexSearcherService(ShardedSearcherService):
+    """Lucene ``MultiReader`` analogue (core,
+    org.apache.lucene.index.MultiReader / IndexSearcher over several
+    Directories): ONE searcher over SEVERAL independently built index
+    roots — separately owned corpora, possibly at different generations —
+    with corpus-global EXACT BM25 across the whole federation.
+
+    The entire read surface of :class:`ShardedSearcherService` is
+    inherited UNCHANGED with one actor per root instead of one per
+    partition subset: every exactness argument in that class only requires
+    that actors hold doc-DISJOINT subsets and score with injected
+    federation-global stats — both hold here by the MultiReader contract
+    (each doc lives in one sub-index; the phase-1 gather sums n_docs /
+    sum_dl / df over roots exactly as it sums them over shards).  So a
+    query against the federation is bit-identical to the same query
+    against ONE index built over the union corpus — pinned by
+    tests/test_multireader.py — for search/count/facets/taxonomy/joins/
+    block joins/filtered/sorted/top_terms/classify/suggest/MLT/….
+
+    Two deliberate contracts:
+
+    * **urls should be disjoint across roots.**  A url present in several
+      roots appears once per root in results — exactly MultiReader's
+      concatenation of sub-readers (Lucene does not dedup either).
+    * **``docid`` columns are SUB-INDEX-LOCAL** (Lucene's leaf docids,
+      WITHOUT the MultiReader docBase rebase): the engine's docids are
+      stable (partition, slot) route keys within one index, so rebasing
+      would break every downstream lookup against the owning root.  The
+      federation-wide key is the url, as everywhere else in this engine.
+
+    The two partition-hash-ROUTED point lookups (term_vector, explain)
+    cannot route by hash across roots — a url's partition number only
+    identifies a partition WITHIN its root — so they probe the roots in
+    order and return the first live answer (MultiReader's first-sub-reader
+    rule), KeyError when no root holds the doc."""
+
+    def __init__(self, index_roots: list[str], cfg: IndexConfig | None = None,
+                 generations: list[int | None] | None = None):
+        if not index_roots or len(set(
+            r.rstrip("/") for r in index_roots
+        )) != len(index_roots):
+            raise ValueError("index_roots must be non-empty and distinct")
+        if generations is not None and len(generations) != len(index_roots):
+            raise ValueError("generations must align with index_roots")
+        self.cfg = cfg or IndexConfig(index_root=index_roots[0])
+        self.index_roots = list(index_roots)
+        self.generations: list[int] = []
+        self.root_partitions: list[int] = []
+        self.actors = []
+        self._vocab_union_cache = {}
+        for i, root in enumerate(index_roots):
+            chain = load_manifest_chain(
+                root, generations[i] if generations else None
+            )
+            g = chain[-1].generation
+            P = chain[-1].num_partitions
+            self.generations.append(g)
+            self.root_partitions.append(P)
+            self.actors.append(
+                _ShardActor.remote(root, g, self.cfg, list(range(P)))
+            )
+        # inherited APIs never consult these beyond the two overridden
+        # routed lookups, but keep them coherent for introspection
+        self.generation = self.generations[-1]
+        self.num_partitions = sum(self.root_partitions)
+        self.shard_partitions = [
+            list(range(P)) for P in self.root_partitions
+        ]
+
+    def _probe_roots(self, call_name: str, key_desc: str, *args):
+        """First-sub-reader rule: ask each root in order, skip not-live."""
+        for a in self.actors:
+            try:
+                return ray.get(getattr(a, call_name).remote(*args))
+            except ray.exceptions.RayTaskError as e:
+                if isinstance(e.cause, KeyError):
+                    continue
+                raise
+        raise KeyError(key_desc)
+
+    def term_vector(
+        self,
+        url: str,
+        field: str | None = None,
+        collection: str = "default",
+        with_positions: bool = True,
+    ) -> pa.Table:
+        f = field if field is not None else self.cfg.text_column
+        if f not in (self.cfg.text_column, *self.cfg.field_columns):
+            raise ValueError(
+                f"field {f!r} is not analyzed (have: "
+                f"{sorted((self.cfg.text_column, *self.cfg.field_columns))})"
+            )
+        return self._probe_roots(
+            "term_vector_for",
+            f"url {url!r} not live in collection {collection!r}",
+            url, field, collection, with_positions,
+        )
+
+    def explain(
+        self, query: str, url: str, collection: str = "default"
+    ) -> dict:
+        sc = sanitize_collection(collection)
+        clauses = parse_query(query, default_field=self.cfg.text_column)
+        terms = {sc: sorted(set(scored_term_keys(clauses)))}
+        global_stats, global_df = self._gather_global(terms)
+        return self._probe_roots(
+            "explain_for",
+            f"url {url!r} not live in collection {collection!r}",
+            query, url, collection, global_stats, global_df.get(sc, {}),
+        )
