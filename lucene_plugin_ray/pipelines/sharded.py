@@ -2088,15 +2088,23 @@ class MultiIndexSearcherService(ShardedSearcherService):
         ]
 
     def _probe_roots(self, call_name: str, key_desc: str, *args):
-        """First-sub-reader rule: ask each root in order, skip not-live."""
-        for a in self.actors:
+        """First-sub-reader rule: fire the probe at every root in PARALLEL
+        (one wave, not N round trips), then take the first live answer in
+        root order — with disjoint urls exactly one root answers; with a
+        duplicated url this picks the first root, Lucene's rule."""
+        refs = [getattr(a, call_name).remote(*args) for a in self.actors]
+        out = None
+        for ref in refs:
             try:
-                return ray.get(getattr(a, call_name).remote(*args))
+                hit = ray.get(ref)
+                if out is None:
+                    out = hit
             except ray.exceptions.RayTaskError as e:
-                if isinstance(e.cause, KeyError):
-                    continue
-                raise
-        raise KeyError(key_desc)
+                if not isinstance(e.cause, KeyError):
+                    raise
+        if out is None:
+            raise KeyError(key_desc)
+        return out
 
     def term_vector(
         self,
