@@ -21,7 +21,8 @@ from lucene_plugin_ray.config import IndexConfig
 
 __all__ = [
     "IndexConfig", "build_index", "build_delta", "SearchEngine",
-    "sharded_search", "AutoExtract",
+    "sharded_search", "ShardedSearcherService", "MultiIndexSearcherService",
+    "AutoExtract",
     "LuceneFacade", "AsyncLuceneFacade", "LuceneEntry", "LuceneException",
     "LuceneHttpService", "LuceneHttpClient",
 ]

@@ -1429,6 +1429,16 @@ class ShardedSearcherService:
                 df[(w, c)] = df.get((w, c), 0) + v
         return naive_bayes_table(toks, n_c, df, vocab)
 
+    def _validate_tv_field(self, field: str | None) -> None:
+        """Driver-side term-vector field validation — one definition so the
+        sharded and federated error shapes cannot drift."""
+        f = field if field is not None else self.cfg.text_column
+        if f not in (self.cfg.text_column, *self.cfg.field_columns):
+            raise ValueError(
+                f"field {f!r} is not analyzed (have: "
+                f"{sorted((self.cfg.text_column, *self.cfg.field_columns))})"
+            )
+
     def term_vector(
         self,
         url: str,
@@ -1444,12 +1454,7 @@ class ShardedSearcherService:
         SearchEngine.term_vector by construction.  Raises KeyError when the
         url is not live."""
         sc = sanitize_collection(collection)
-        f = field if field is not None else self.cfg.text_column
-        if f not in (self.cfg.text_column, *self.cfg.field_columns):
-            raise ValueError(
-                f"field {f!r} is not analyzed (have: "
-                f"{sorted((self.cfg.text_column, *self.cfg.field_columns))})"
-            )
+        self._validate_tv_field(field)
         from lucene_plugin_ray.functions.hashing import partition_of_key
 
         p = partition_of_key(sc, url, self.num_partitions)
@@ -2037,7 +2042,7 @@ class MultiIndexSearcherService(ShardedSearcherService):
     tests/test_multireader.py — for search/count/facets/taxonomy/joins/
     block joins/filtered/sorted/top_terms/classify/suggest/MLT/….
 
-    Two deliberate contracts:
+    Three deliberate contracts:
 
     * **urls should be disjoint across roots.**  A url present in several
       roots appears once per root in results — exactly MultiReader's
@@ -2047,6 +2052,14 @@ class MultiIndexSearcherService(ShardedSearcherService):
       stable (partition, slot) route keys within one index, so rebasing
       would break every downstream lookup against the owning root.  The
       federation-wide key is the url, as everywhere else in this engine.
+    * **one query schema (``cfg``) for all roots.**  ``cfg.text_column``
+      must be indexed by EVERY root (checked loudly at construction — a
+      root that analyzed a different text column would silently answer
+      empty for every query).  A METADATA field missing from some root is
+      fine and exact: that root's docs simply don't match the field —
+      identical to the union index, where those docs carry "" (zero
+      tokens), and to this engine's append-only field-evolution semantics
+      (old segments answer empty for newer fields).
 
     The two partition-hash-ROUTED point lookups (term_vector, explain)
     cannot route by hash across roots — a url's partition number only
@@ -2074,6 +2087,13 @@ class MultiIndexSearcherService(ShardedSearcherService):
             )
             g = chain[-1].generation
             P = chain[-1].num_partitions
+            if self.cfg.text_column not in chain[-1].fields:
+                raise ValueError(
+                    f"root {root} never indexed text column "
+                    f"{self.cfg.text_column!r} (its fields: "
+                    f"{chain[-1].fields}) — every query would silently "
+                    "answer empty for this root"
+                )
             self.generations.append(g)
             self.root_partitions.append(P)
             self.actors.append(
@@ -2091,20 +2111,26 @@ class MultiIndexSearcherService(ShardedSearcherService):
         """First-sub-reader rule: fire the probe at every root in PARALLEL
         (one wave, not N round trips), then take the first live answer in
         root order — with disjoint urls exactly one root answers; with a
-        duplicated url this picks the first root, Lucene's rule."""
+        duplicated url this picks the first root, Lucene's rule.  ALL refs
+        are drained: a live answer wins even when another root errors (a
+        broken sub-index must not fail lookups it never owned), but with
+        NO live answer a real failure is re-raised in preference to the
+        misleading not-live KeyError."""
         refs = [getattr(a, call_name).remote(*args) for a in self.actors]
-        out = None
+        out, hard_err = None, None
         for ref in refs:
             try:
                 hit = ray.get(ref)
                 if out is None:
                     out = hit
             except ray.exceptions.RayTaskError as e:
-                if not isinstance(e.cause, KeyError):
-                    raise
-        if out is None:
-            raise KeyError(key_desc)
-        return out
+                if not isinstance(e.cause, KeyError) and hard_err is None:
+                    hard_err = e
+        if out is not None:
+            return out
+        if hard_err is not None:
+            raise hard_err
+        raise KeyError(key_desc)
 
     def term_vector(
         self,
@@ -2113,12 +2139,7 @@ class MultiIndexSearcherService(ShardedSearcherService):
         collection: str = "default",
         with_positions: bool = True,
     ) -> pa.Table:
-        f = field if field is not None else self.cfg.text_column
-        if f not in (self.cfg.text_column, *self.cfg.field_columns):
-            raise ValueError(
-                f"field {f!r} is not analyzed (have: "
-                f"{sorted((self.cfg.text_column, *self.cfg.field_columns))})"
-            )
+        self._validate_tv_field(field)
         return self._probe_roots(
             "term_vector_for",
             f"url {url!r} not live in collection {collection!r}",

@@ -14,10 +14,17 @@ from lucene_plugin_ray.pipelines.fixtures import make_pages
 
 def _split_by_url(pages: pa.Table, n_ways: int) -> list[pa.Table]:
     """Doc-disjoint split: every version of a url stays in one part (the
-    MultiReader contract; splitting versions would change LWW locally)."""
+    MultiReader contract; splitting versions would change LWW locally).
+    Seed-stable hashing (md5, not the salted builtin) so the split — and
+    therefore which probe paths each test run exercises — is identical
+    across pytest runs."""
+    import hashlib
+
     urls = np.asarray(pages["url"].to_pylist(), dtype=object)
     buckets = np.array(
-        [hash(u) % n_ways for u in urls], dtype=np.int64
+        [int.from_bytes(hashlib.md5(u.encode()).digest()[:4], "big") % n_ways
+         for u in urls],
+        dtype=np.int64,
     )
     return [
         pages.filter(pa.array(buckets == k)) for k in range(n_ways)
@@ -116,9 +123,10 @@ def test_routed_lookups_probe_roots(built):
     pages, _union_root, ucfg, roots, engine = built
     svc = MultiIndexSearcherService(roots, cfg=ucfg)
     try:
-        # one live url per sub-root: term vector + explain must find both
-        urls = pages["url"].to_pylist()
-        for url in (urls[0], urls[-1]):
+        # one live url from EACH sub-root (deterministic split) — both
+        # probe branches of the first-sub-reader rule run every time
+        probe_urls = [p["url"][0].as_py() for p in _split_by_url(pages, 2)]
+        for url in probe_urls:
             tv = svc.term_vector(url)
             assert tv.equals(engine.term_vector(url))
             ex = svc.explain("pagehit w00001", url)
@@ -131,12 +139,12 @@ def test_routed_lookups_probe_roots(built):
         with pytest.raises(KeyError, match="not live"):
             svc.term_vector("doc://nowhere")
         with pytest.raises(ValueError, match="not analyzed"):
-            svc.term_vector(urls[0], field="nope")
+            svc.term_vector(probe_urls[0], field="nope")
     finally:
         svc.shutdown()
 
 
-def test_three_roots_and_per_root_generations(built, tmp_path):
+def test_three_roots_and_per_root_generations(ray_session, tmp_path):
     from lucene_plugin_ray.pipelines.build import build_delta, build_index
     from lucene_plugin_ray.pipelines.query import SearchEngine
     from lucene_plugin_ray.pipelines.sharded import MultiIndexSearcherService
@@ -184,3 +192,22 @@ def test_validation(built):
         MultiIndexSearcherService([], cfg=ucfg)
     with pytest.raises(ValueError, match="align"):
         MultiIndexSearcherService(roots, cfg=ucfg, generations=[0])
+
+
+def test_text_column_mismatch_is_loud(built, tmp_path):
+    """A root that analyzed a DIFFERENT text column would silently answer
+    empty for every query — construction must refuse it."""
+    from lucene_plugin_ray.pipelines.build import build_index
+    from lucene_plugin_ray.pipelines.sharded import MultiIndexSearcherService
+
+    _pages, _union_root, ucfg, roots, _engine = built
+    pages = make_pages(30, seed=5)
+    body_root = str(tmp_path / "body")
+    body_cfg = IndexConfig(
+        index_root=body_root, num_partitions=2, text_column="body"
+    )
+    build_index(pages.rename_columns(
+        ["body" if c == "text" else c for c in pages.column_names]
+    ), body_cfg)
+    with pytest.raises(ValueError, match="never indexed text column"):
+        MultiIndexSearcherService([roots[0], body_root], cfg=ucfg)
