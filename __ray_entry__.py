@@ -898,6 +898,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
              "n_postings", "ok"]
         ).sort_by([("generation", "ascending"), ("partition", "ascending")])
 
+    def repartition_search_q(sf_dir: str) -> pa.Table:
+        """Repartitioning exactness: the driver index (8 partitions)
+        re-sharded to 5 from its inverted data alone (no corpus re-read),
+        then searched — the result must hash-match the single-corpus BM25
+        oracle (the search_term oracle verbatim: the live doc set, hence
+        every statistic, is unchanged by the re-shard)."""
+        import shutil
+        import tempfile
+
+        from lucene_plugin_ray.pipelines.query import SearchEngine
+        from lucene_plugin_ray.pipelines.repartition import repartition_index
+        from lucene_plugin_ray.sources.pages import url_to_doc_id
+
+        _eng, cfg = _engine_for(sf_dir)
+        dst = tempfile.mkdtemp(prefix="lpr_repart_")
+        try:
+            shutil.rmtree(dst, ignore_errors=True)
+            repartition_index(cfg.index_root, dst, 5)
+            dcfg = IndexConfig(
+                index_root=dst, num_partitions=5,
+                field_columns=cfg.field_columns,
+            )
+            res = SearchEngine(dst, cfg=dcfg).search(
+                _TERM_Q, limit=1_000_000_000
+            )
+            return pa.table(
+                {
+                    "doc_id": url_to_doc_id(res["url"].combine_chunks()),
+                    "score": pc.round(
+                        res["score"].combine_chunks(), ndigits=4
+                    ),
+                }
+            ).sort_by("doc_id")
+        finally:
+            shutil.rmtree(dst, ignore_errors=True)
+
     def multireader_search_q(sf_dir: str) -> pa.Table:
         """MultiReader federation exactness: the documents corpus split by
         doc_id parity into TWO independently built roots (different
@@ -1148,6 +1184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_replicate": index_replicate_q,
         "block_join": block_join_q,
         "multireader_search": multireader_search_q,
+        "repartition_search": repartition_search_q,
         "search_rescore": search_rescore,
         "search_filtered": search_filtered,
         "search_join": search_join,
@@ -1286,6 +1323,9 @@ def oracle_sql() -> dict[str, str]:
     # MultiReader federation: two independently built sub-indexes must
     # score exactly like one union index — the search_term oracle verbatim
     sql["multireader_search"] = _bm25_sql(term_terms)
+    # repartitioned index: the live doc set (hence every statistic) is
+    # unchanged by the re-shard — the search_term oracle verbatim again
+    sql["repartition_search"] = _bm25_sql(term_terms)
     # block join, ScoreMode.None: parents (one synthetic doc per source)
     # of blocks with >= 1 child document matching the probe term — constant
     # score 1.0 (the parent filter never contributes to the score)

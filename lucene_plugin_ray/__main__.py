@@ -213,6 +213,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--generation", type=int, default=None)
     s.add_argument("--partitions", type=int, default=32)
     s.add_argument("--fields", default="")
+    s = sub.add_parser("repartition")
+    s.add_argument("--index", required=True, help="source index root")
+    s.add_argument("--dest", required=True, help="destination root")
+    s.add_argument("--new-partitions", type=int, required=True)
+    s.add_argument("--partitions", type=int, default=32)
+    s.add_argument("--fields", default="")
     args = p.parse_args(argv)
 
     cfg = _cfg(args)
@@ -429,6 +435,17 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(row))
             bad += 0 if row["ok"] else 1
         return 0 if bad == 0 else 1
+    elif args.cmd == "repartition":
+        _ensure_ray()
+        from lucene_plugin_ray.pipelines.repartition import repartition_index
+
+        m = repartition_index(cfg.index_root, args.dest, args.new_partitions)
+        print(json.dumps({
+            "dest": args.dest,
+            "new_partitions": m.num_partitions,
+            "docs": sum(r["n_docs"] for r in m.partitions),
+            "segments": len(m.partitions),
+        }))
     elif args.cmd == "replicate":
         _ensure_ray()
         import pyarrow.compute as pc

@@ -1,0 +1,372 @@
+"""Index repartitioning — change the document-partition count of an
+existing index WITHOUT the original corpus (the Lucene misc-module index
+surgery: IndexSplitter / MultiPassIndexSplitter split an index by docs,
+IndexWriter.addIndexes re-combines — re-sharding from the inverted data
+with no re-extraction and no re-analysis).
+
+Why it matters at 100 TB: the index is a small fraction of the corpus it
+was built from, and growing a cluster (P partitions → P') otherwise means
+re-reading and re-analyzing the raw corpus.  This pass touches only index
+bytes.
+
+Shape — a single-pass two-stage shuffle, NOT Lucene's multi-pass design
+(MultiPassIndexSplitter re-reads the whole index once PER target slice;
+here every old segment is decoded exactly ONCE):
+
+  stage 1 (map, one task per (collection, OLD partition)):
+      decode that partition's live chain with the same bulk-varint path the
+      merge/compaction uses, mask to the LIVE view (tombstones + LWW
+      already folded into the engine's alive masks), hash every live url to
+      its NEW partition, and emit one coarse BLOCK per target partition —
+      doc arrays + the segment vocab + (vid, row-ref, tf[, position
+      sub-streams]) posting arrays, serialized as one binary payload.  The
+      exchange is keyed by (collection, new partition) and is INDEX-sized
+      (≪ corpus-sized) — the same cost class as a compaction plus one
+      shuffle of what compaction already rewrites.
+  stage 2 (reduce, ``groupby(collection, p_new).map_groups``):
+      k-way union of the blocks exactly like a generation merge — global
+      url sort ⇒ new docids, per-block row-ref remap, vocab union + one
+      lexsort via the SHARED ``prepare_postings_from_parts`` (the K3 merge
+      path's kernel), then ``encode_and_write_segment`` into a fresh gen-0
+      segment of the destination root.
+
+The destination is a NEW root (never in place), written with the build's
+own commit protocol and marked ``repartitioned_from`` in the manifest.
+Scores are bit-identical to the source by construction: the live doc set —
+hence n_docs, sum_dl and every df — is unchanged; only docids move
+(pinned by tests/test_repartition.py across query shapes incl. phrase).
+"""
+
+from __future__ import annotations
+
+import io
+import time
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from lucene_plugin_ray.config import IndexConfig
+from lucene_plugin_ray.functions.docid import DOCID_STRIDE
+from lucene_plugin_ray.functions.hashing import partition_column
+from lucene_plugin_ray.stages.merge import (
+    _bulk_decode_positions,
+    _bulk_decode_postings,
+    _gather_pos_substreams,
+    prepare_postings_from_parts,
+)
+from lucene_plugin_ray.state import storage
+from lucene_plugin_ray.state.segment import SegmentReader
+
+
+def _split_segment_blocks(
+    path: str, alive: np.ndarray, coll: str, new_partitions: int,
+    fields: list[str],
+) -> list[dict]:
+    """Decode ONE segment once and split its live docs + postings into one
+    block per target partition.  Returns [{p_new, block(bytes)}, ...]."""
+    r = SegmentReader(path)
+    idx = np.flatnonzero(alive)
+    if idx.size == 0:
+        return []
+    urls_alive = r.urls[idx]
+    pnew = partition_column(
+        pa.array([coll] * idx.size, type=pa.string()),
+        pa.array(urls_alive, type=pa.string()),
+        new_partitions,
+    ).astype(np.int64)
+    # alive-array rank of every local docid (-1 = dead)
+    alive_rank = np.full(r.n_docs, -1, dtype=np.int64)
+    alive_rank[idx] = np.arange(idx.size, dtype=np.int64)
+
+    nt = len(r._terms)
+    have_post = nt > 0
+    if have_post:
+        df = r._df.astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(df)])
+        total = int(starts[-1])
+        deltas, tfs_all = _bulk_decode_postings(r, df, total)
+        cum = np.cumsum(deltas.astype(np.int64))
+        term_base = (
+            np.concatenate(([0], cum[starts[1:-1] - 1]))
+            if nt > 1 else np.zeros(1, np.int64)
+        )
+        lid = cum - np.repeat(term_base, df) - 1 - r.doc_base
+        post_rank = alive_rank[lid]
+        post_target = np.where(post_rank >= 0, pnew[np.maximum(post_rank, 0)], -1)
+        vid_all = np.repeat(np.arange(nt, dtype=np.int64), df)
+        pd_all = None
+        if r.has_positions:
+            pd_all = _bulk_decode_positions(r, int(tfs_all.sum()))
+
+    shas_alive = r.text_sha256[idx]
+    tss_alive = r.warc_ts[idx]
+    dl_alive = {
+        f: r.doc_len.get(f, np.zeros(r.n_docs, np.int32))[idx] for f in fields
+    }
+
+    out = []
+    for k in np.unique(pnew):
+        docsel = np.flatnonzero(pnew == k)
+        rank_k = np.full(idx.size, -1, dtype=np.int64)
+        rank_k[docsel] = np.arange(docsel.size, dtype=np.int64)
+        payload: dict[str, np.ndarray] = {
+            "urls": urls_alive[docsel],
+            "shas": shas_alive[docsel],
+            "tss": tss_alive[docsel].astype(np.int64),
+        }
+        for f in fields:
+            payload[f"dl_{f}"] = dl_alive[f][docsel]
+        if have_post:
+            pk = post_target == k
+            payload["vocab_f"] = r._fields
+            payload["vocab_t"] = r._terms
+            payload["vid"] = vid_all[pk]
+            payload["rowref"] = rank_k[post_rank[pk]]
+            payload["tf"] = tfs_all[pk].astype(np.int64)
+            if pd_all is not None:
+                payload["pos"] = _gather_pos_substreams(
+                    pd_all, tfs_all.astype(np.int64), keep=pk
+                )
+        buf = io.BytesIO()
+        np.savez(buf, **payload)
+        out.append({"p_new": int(k), "block": buf.getvalue()})
+    return out
+
+
+def _split_batch(
+    batch: pa.Table, new_partitions: int, fields: list[str]
+) -> pa.Table:
+    """Stage-1 task: one (collection, old partition) row per batch —
+    decodes the partition's live chain ONCE, emits target-keyed blocks.
+    A plain task-pool function (no actor state → no constructor-args
+    restart hazard, and a killed task simply retries)."""
+    from lucene_plugin_ray.stages.segment_write import limit_intra_task_threads
+
+    limit_intra_task_threads()
+    rows = []
+    for task in batch.to_pylist():
+        for gi, (path, mask) in enumerate(zip(task["paths"], task["masks"])):
+            for b in _split_segment_blocks(
+                path, np.array(mask, dtype=bool), task["collection"],
+                new_partitions, fields,
+            ):
+                rows.append(
+                    {
+                        "collection": task["collection"],
+                        "p_new": b["p_new"],
+                        # deterministic reduce order: (old partition,
+                        # position in its ascending-generation chain)
+                        "src_p": int(task["partition"]),
+                        "src_i": gi,
+                        "block": b["block"],
+                    }
+                )
+    return pa.Table.from_pylist(rows, schema=_BLOCK_SCHEMA)
+
+
+_BLOCK_SCHEMA = pa.schema(
+    [
+        ("collection", pa.string()),
+        ("p_new", pa.int64()),
+        ("src_p", pa.int64()),
+        ("src_i", pa.int64()),
+        ("block", pa.large_binary()),
+    ]
+)
+
+
+def _build_partition(group: pa.Table, cfg: IndexConfig, fields: list[str]) -> pa.Table:
+    """Stage-2 reducer: all blocks of ONE (collection, p_new) → one gen-0
+    segment, via the same union/remap/lexsort kernel as a generation merge."""
+    from lucene_plugin_ray.stages.merge import prepare_postings_from_parts
+    from lucene_plugin_ray.stages.segment_write import (
+        MANIFEST_ROW_SCHEMA,
+        encode_and_write_segment,
+        limit_intra_task_threads,
+    )
+
+    limit_intra_task_threads()
+    t0 = time.monotonic()
+    group = group.sort_by([("src_p", "ascending"), ("src_i", "ascending")])
+    coll = group["collection"][0].as_py()
+    p = int(group["p_new"][0].as_py())
+    blocks = [
+        np.load(io.BytesIO(b.as_py()), allow_pickle=True)
+        for b in group["block"]
+    ]
+
+    urls_parts = [b["urls"] for b in blocks]
+    urls = np.concatenate(urls_parts)
+    order = np.argsort(urls, kind="stable")  # urls unique across the live view
+    n_docs = urls.size
+    if n_docs > DOCID_STRIDE:
+        raise ValueError(
+            f"partition {p} of collection {coll!r} would hold {n_docs} docs "
+            f"> DOCID_STRIDE ({DOCID_STRIDE}) — choose a larger "
+            "new_partitions"
+        )
+    urls = urls[order]
+    shas = np.concatenate([b["shas"] for b in blocks])[order]
+    tss = np.concatenate([b["tss"] for b in blocks])[order]
+    dl_arrays = {
+        f: np.concatenate([b[f"dl_{f}"] for b in blocks])[order].astype(
+            np.int32
+        )
+        for f in fields
+    }
+    # block-local row-ref → global new rank
+    sizes = np.array([u.size for u in urls_parts], dtype=np.int64)
+    block_of = np.repeat(np.arange(len(blocks), dtype=np.int64), sizes)[order]
+    loc_of = np.concatenate(
+        [np.arange(s, dtype=np.int64) for s in sizes]
+    )[order]
+    new_rank = np.arange(n_docs, dtype=np.int64)
+    remap = []
+    for bi, s in enumerate(sizes):
+        m = np.full(int(s), -1, dtype=np.int64)
+        sel = block_of == bi
+        m[loc_of[sel]] = new_rank[sel]
+        remap.append(m)
+
+    doc_base = p * DOCID_STRIDE
+    vocab_f_parts, vocab_t_parts = [], []
+    vid_parts, did_parts, tf_parts, pd_parts = [], [], [], []
+    have_pos = all("pos" in b for b in blocks)
+    vocab_offset = 0
+    for bi, b in enumerate(blocks):
+        if "vid" not in b or b["vid"].size == 0:
+            continue
+        vocab_f_parts.append(b["vocab_f"])
+        vocab_t_parts.append(b["vocab_t"])
+        vid_parts.append(b["vid"] + vocab_offset)
+        did_parts.append(doc_base + remap[bi][b["rowref"]])
+        tf_parts.append(b["tf"])
+        if have_pos:
+            pd_parts.append(b["pos"])
+        vocab_offset += b["vocab_t"].size
+    prepared = prepare_postings_from_parts(
+        vocab_f_parts, vocab_t_parts, vid_parts, did_parts, tf_parts,
+        pd_parts, have_pos,
+    )
+    row = encode_and_write_segment(
+        coll, p, doc_base, cfg, 0,
+        pa.array(urls, type=pa.string()),
+        pa.array(shas, type=pa.string()),
+        pa.array(tss, type=pa.int64()),
+        dl_arrays, None, t0, prepared=prepared,
+    )
+    return pa.Table.from_pylist([row], schema=MANIFEST_ROW_SCHEMA)
+
+
+def repartition_index(
+    src_root: str,
+    dst_root: str,
+    new_partitions: int,
+    cfg: IndexConfig | None = None,
+    concurrency: int | None = None,
+):
+    """Re-shard the live query view of ``src_root`` into ``dst_root`` with
+    ``new_partitions`` document partitions — one single pass over the index,
+    no original corpus needed.  Returns the destination's gen-0 Manifest.
+
+    The destination serves every query with BIT-IDENTICAL results (urls,
+    scores, facet counts, term vectors): the live doc set and therefore all
+    corpus statistics are unchanged; only the (partition, docid) layout
+    moves.  ``cfg`` (optional) supplies analyzer-independent knobs; the
+    field list and block size are inherited from the SOURCE manifest so the
+    destination decodes exactly like the source."""
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+    from lucene_plugin_ray.state.manifest import (
+        Manifest,
+        aggregate_collections,
+        load_manifest_chain,
+        write_manifest,
+    )
+
+    if new_partitions < 1:
+        raise ValueError("new_partitions must be >= 1")
+    if dst_root.rstrip("/") == src_root.rstrip("/"):
+        raise ValueError("source and destination roots are the same")
+    from lucene_plugin_ray.state.manifest import list_generations
+
+    if storage.isdir(dst_root) and list_generations(dst_root):
+        raise FileExistsError(f"{dst_root} already holds an index")
+    chain = load_manifest_chain(src_root)
+    src_fields = list(chain[-1].fields)
+    base_cfg = cfg or IndexConfig(index_root=src_root)
+    text_col = base_cfg.text_column
+    if text_col not in src_fields:
+        raise ValueError(
+            f"source index never analyzed text column {text_col!r} "
+            f"(its fields: {src_fields})"
+        )
+    src_cfg = IndexConfig(
+        index_root=src_root,
+        num_partitions=chain[-1].num_partitions,
+        text_column=text_col,
+        field_columns=tuple(f for f in src_fields if f != text_col),
+        block_size=chain[-1].block_size or base_cfg.block_size,
+    )
+    dst_cfg = IndexConfig(
+        index_root=dst_root,
+        num_partitions=new_partitions,
+        text_column=text_col,
+        field_columns=src_cfg.field_columns,
+        block_size=src_cfg.block_size,
+    )
+
+    eng = SearchEngine(src_root, cfg=src_cfg)
+    tasks = []
+    for coll, segs in eng._segments.items():
+        by_p: dict[int, list] = {}
+        for ls in segs:
+            by_p.setdefault(ls.reader.partition, []).append(ls)
+        for p_old, group in by_p.items():
+            group.sort(key=lambda ls: ls.reader.generation)
+            tasks.append(
+                {
+                    "collection": coll,
+                    "partition": p_old,
+                    "paths": [ls.reader.path for ls in group],
+                    "masks": [ls.alive.tolist() for ls in group],
+                }
+            )
+
+    rows: list[dict] = []
+    if tasks:
+        fields = list(src_cfg.fields())
+        kwargs = {"concurrency": concurrency} if concurrency else {}
+        blocks = ray.data.from_items(tasks).map_batches(
+            _split_batch,
+            fn_kwargs={"new_partitions": new_partitions, "fields": fields},
+            batch_size=1,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            **kwargs,
+        )
+        built = blocks.groupby(["collection", "p_new"]).map_groups(
+            lambda g: _build_partition(g, dst_cfg, fields),
+            batch_format="pyarrow",
+        )
+        rows = [r for t in built.iter_batches(batch_format="pyarrow")
+                for r in t.to_pylist()]
+
+    manifest = Manifest(
+        generation=0,
+        num_partitions=new_partitions,
+        block_size=dst_cfg.block_size,
+        fields=src_fields,
+        partitions=rows,
+        collections=aggregate_collections(rows),
+        extra={
+            "compacted": True,
+            "repartitioned_from": src_root,
+            "old_partitions": chain[-1].num_partitions,
+            "source_generation": chain[-1].generation,
+        },
+    )
+    write_manifest(dst_root, manifest)
+    return manifest

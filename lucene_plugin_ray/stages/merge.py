@@ -130,51 +130,11 @@ def merge_segments_for_partition(
         vocab_t_parts.append(r._terms)
         vocab_offset += nt
 
-    prepared = None
-    if post_vid_parts:
-        import pyarrow.compute as pc
-
-        from lucene_plugin_ray.stages.segment_write import PreparedPostings
-
-        # global vocab: unique (field, term) across inputs, key-lex order —
-        # a VOCAB-sized string operation, never per posting
-        vf = np.concatenate(vocab_f_parts)
-        vt = np.concatenate(vocab_t_parts)
-        keys = pc.binary_join_element_wise(
-            pa.array(vf, type=pa.string()), pa.array(vt, type=pa.string()), "\x00"
-        ).to_numpy(zero_copy_only=False)
-        _, uidx, inv = np.unique(keys, return_index=True, return_inverse=True)
-        g_terms = vt[uidx]
-        g_field_str = vf[uidx]
-        field_names = sorted(set(g_field_str.tolist()))
-        fmap = {f: i for i, f in enumerate(field_names)}
-        g_field_id = np.array([fmap[f] for f in g_field_str], dtype=np.int16)
-
-        gvid = inv[np.concatenate(post_vid_parts)]
-        did = np.concatenate(post_did_parts)
-        tf = np.concatenate(post_tf_parts).astype(np.int64)
-        if did.size:  # (all-tombstoned → prepared stays None)
-            order2 = np.lexsort((did, gvid))
-            pos_deltas = None
-            if have_pos:
-                # reorder each posting's position sub-stream with order2
-                pd_flat = np.concatenate(pd_parts)
-                pos_deltas = _gather_pos_substreams(pd_flat, tf, order=order2)
-            gvid, did, tf = gvid[order2], did[order2], tf[order2]
-            run_start = np.flatnonzero(
-                np.concatenate(([True], gvid[1:] != gvid[:-1]))
-            )
-            new_starts = np.concatenate([run_start, [gvid.size]]).astype(np.int64)
-            live_v = gvid[run_start]  # vocab ids with live postings
-            prepared = PreparedPostings(
-                field_names=field_names,
-                term_fields=g_field_id[live_v],
-                terms=g_terms[live_v],
-                starts=new_starts,
-                docids=did,
-                tfs=tf,
-                pos_deltas=pos_deltas,
-            )
+    prepared = prepare_postings_from_parts(
+        vocab_f_parts, vocab_t_parts,
+        post_vid_parts, post_did_parts, post_tf_parts,
+        pd_parts, have_pos,
+    )
     return encode_and_write_segment(
         coll,
         p,
@@ -188,6 +148,74 @@ def merge_segments_for_partition(
         None,
         t0,
         prepared=prepared,
+    )
+
+
+def prepare_postings_from_parts(
+    vocab_f_parts: list[np.ndarray],
+    vocab_t_parts: list[np.ndarray],
+    post_vid_parts: list[np.ndarray],
+    post_did_parts: list[np.ndarray],
+    post_tf_parts: list[np.ndarray],
+    pd_parts: list[np.ndarray],
+    have_pos: bool,
+) -> "PreparedPostings | None":
+    """k input part-lists → one lex-ordered :class:`PreparedPostings`.
+
+    Inputs: per-input vocab (field, term) string arrays and posting arrays
+    where each ``vid`` indexes into the CONCATENATION of the vocab parts
+    (callers add the cumulative vocab offset), ``did`` carries FINAL
+    docids, and ``pd_parts`` (when ``have_pos``) carries per-posting
+    position-delta sub-streams in the same posting order.  Shared by the
+    generation merge (K3) and the repartitioner — the vocab union is a
+    VOCAB-sized string operation, the posting reorder one lexsort; no
+    per-term Python.  Returns None when no live posting survives."""
+    import pyarrow.compute as pc
+
+    from lucene_plugin_ray.stages.segment_write import PreparedPostings
+
+    if not post_vid_parts:
+        return None
+    # global vocab: unique (field, term) across inputs, key-lex order
+    vf = np.concatenate(vocab_f_parts)
+    vt = np.concatenate(vocab_t_parts)
+    keys = pc.binary_join_element_wise(
+        pa.array(vf, type=pa.string()), pa.array(vt, type=pa.string()), "\x00"
+    ).to_numpy(zero_copy_only=False)
+    _, uidx, inv = np.unique(keys, return_index=True, return_inverse=True)
+    g_terms = vt[uidx]
+    g_field_str = vf[uidx]
+    field_names = sorted(set(g_field_str.tolist()))
+    fmap = {f: i for i, f in enumerate(field_names)}
+    g_field_id = np.array([fmap[f] for f in g_field_str], dtype=np.int16)
+
+    gvid = inv[np.concatenate(post_vid_parts)]
+    did = np.concatenate(post_did_parts)
+    tf = np.concatenate(post_tf_parts).astype(np.int64)
+    if not did.size:  # (all-tombstoned → no postings survive)
+        return None
+    order2 = np.lexsort((did, gvid))
+    pos_deltas = None
+    if have_pos:
+        # reorder each posting's position sub-stream with order2
+        pd_flat = (
+            np.concatenate(pd_parts) if pd_parts else np.empty(0, np.uint64)
+        )
+        pos_deltas = _gather_pos_substreams(pd_flat, tf, order=order2)
+    gvid, did, tf = gvid[order2], did[order2], tf[order2]
+    run_start = np.flatnonzero(
+        np.concatenate(([True], gvid[1:] != gvid[:-1]))
+    )
+    new_starts = np.concatenate([run_start, [gvid.size]]).astype(np.int64)
+    live_v = gvid[run_start]  # vocab ids with live postings
+    return PreparedPostings(
+        field_names=field_names,
+        term_fields=g_field_id[live_v],
+        terms=g_terms[live_v],
+        starts=new_starts,
+        docids=did,
+        tfs=tf,
+        pos_deltas=pos_deltas,
     )
 
 

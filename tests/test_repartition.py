@@ -1,0 +1,129 @@
+"""Index repartitioning (pipelines/repartition.py): re-sharding the live
+view to any partition count preserves EVERY query answer bit-for-bit
+(scores, facets, term vectors, phrase positions), passes CheckIndex, and
+conserves the live doc census; guards are loud."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from lucene_plugin_ray.config import IndexConfig
+from lucene_plugin_ray.pipelines.fixtures import make_pages
+from lucene_plugin_ray.pipelines.repartition import repartition_index
+
+_QUERIES = (
+    "pagehit",
+    "w00001 w00003",
+    "+w00001 -w00002",
+    '"w00001 w00002"~3',
+    "foo:v1",
+    "w0001*",
+    "text:[w00001 TO w00004]",
+)
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    from lucene_plugin_ray.pipelines.build import (
+        build_delta,
+        build_index,
+        delete_docs,
+    )
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+
+    src = str(tmp_path_factory.mktemp("rp") / "src")
+    cfg = IndexConfig(
+        index_root=src, num_partitions=3, field_columns=("foo", "age")
+    )
+    pages = make_pages(250, seed=9, with_fields=True)
+    build_index(pages, cfg)
+    build_delta(make_pages(40, seed=10, with_fields=True), cfg)
+    delete_docs(
+        cfg,
+        pa.table({"collection": ["default"], "url": [pages["url"][0].as_py()]}),
+    )
+    return src, cfg, SearchEngine(src, cfg=cfg), pages
+
+
+def _dst_engine(dst: str, P: int):
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+
+    return SearchEngine(
+        dst,
+        cfg=IndexConfig(
+            index_root=dst, num_partitions=P, field_columns=("foo", "age")
+        ),
+    )
+
+
+@pytest.mark.parametrize("P", [1, 5, 8])
+def test_every_answer_is_bit_identical(built, tmp_path, P):
+    from lucene_plugin_ray.pipelines.check import check_index
+
+    src, _cfg, eng, pages = built
+    dst = str(tmp_path / f"dst{P}")
+    m = repartition_index(src, dst, P)
+    deng = _dst_engine(dst, P)
+    for q in _QUERIES:
+        a, b = eng.search(q, limit=10**9), deng.search(q, limit=10**9)
+        assert a["url"].to_pylist() == b["url"].to_pylist(), (P, q)
+        assert a["score"].to_pylist() == b["score"].to_pylist(), (P, q)
+    assert eng.count("pagehit") == deng.count("pagehit")
+    assert eng.facets("pagehit", "foo").equals(deng.facets("pagehit", "foo"))
+    url = pages["url"][7].as_py()
+    assert eng.term_vector(url).equals(deng.term_vector(url))
+    chk = check_index(dst)
+    assert chk.filter(pc.invert(chk["ok"])).num_rows == 0
+    # live doc census conserved; the manifest records its lineage
+    assert sum(r["n_docs"] for r in m.partitions) == eng.count("*:*")
+    assert m.extra["repartitioned_from"] == src
+    assert m.extra["old_partitions"] == 3
+    assert m.num_partitions == P
+
+
+def test_round_trip_back_to_original_count(built, tmp_path):
+    src, _cfg, eng, _pages = built
+    mid = str(tmp_path / "mid")
+    back = str(tmp_path / "back")
+    repartition_index(src, mid, 5)
+    repartition_index(mid, back, 3)
+    beng = _dst_engine(back, 3)
+    for q in ("pagehit", '"w00001 w00002"~3'):
+        a, b = eng.search(q, limit=10**9), beng.search(q, limit=10**9)
+        assert a["url"].to_pylist() == b["url"].to_pylist()
+        assert a["score"].to_pylist() == b["score"].to_pylist()
+
+
+def test_sharded_service_over_destination(built, tmp_path):
+    from lucene_plugin_ray.pipelines.sharded import ShardedSearcherService
+
+    src, _cfg, eng, _pages = built
+    dst = str(tmp_path / "dst_svc")
+    repartition_index(src, dst, 6)
+    svc = ShardedSearcherService(
+        dst,
+        cfg=IndexConfig(
+            index_root=dst, num_partitions=6, field_columns=("foo", "age")
+        ),
+        num_shards=3,
+    )
+    try:
+        q = pa.table({"qid": [0], "query": ["pagehit"], "k": [20]})
+        got = svc.search_batch(q)
+        exp = eng.search("pagehit", limit=20)
+        assert got["url"].to_pylist() == exp["url"].to_pylist()
+        assert got["score"].to_pylist() == exp["score"].to_pylist()
+    finally:
+        svc.shutdown()
+
+
+def test_guards(built, tmp_path):
+    src, _cfg, _eng, _pages = built
+    with pytest.raises(ValueError, match="new_partitions"):
+        repartition_index(src, str(tmp_path / "x"), 0)
+    with pytest.raises(ValueError, match="same"):
+        repartition_index(src, src + "/", 4)
+    dst = str(tmp_path / "occupied")
+    repartition_index(src, dst, 2)
+    with pytest.raises(FileExistsError, match="already holds"):
+        repartition_index(src, dst, 2)
