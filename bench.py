@@ -430,6 +430,18 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     queries["index_replicate"] = round(time.monotonic() - t1, 3)
     shutil.rmtree(rroot, ignore_errors=True)
 
+    # repartitioner throughput: re-shard the bench index 32→24 from its
+    # inverted data alone (decode + shuffle + re-encode — the compaction
+    # cost class plus one index-sized exchange)
+    from lucene_plugin_ray.pipelines.repartition import repartition_index
+
+    rproot = "/tmp/lpr_bench_repart"
+    shutil.rmtree(rproot, ignore_errors=True)
+    t1 = time.monotonic()
+    repartition_index(root, rproot, 24)
+    queries["index_repartition"] = round(time.monotonic() - t1, 3)
+    shutil.rmtree(rproot, ignore_errors=True)
+
     # hybrid retrieval: distributed semantic leg + RRF fuse; the lexical
     # leg's documents-table index is built OUTSIDE the timed region (its
     # build cost is the index_build row's story, not fusion's)
