@@ -213,12 +213,16 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--generation", type=int, default=None)
     s.add_argument("--partitions", type=int, default=32)
     s.add_argument("--fields", default="")
-    s = sub.add_parser("repartition")
+    s = sub.add_parser(
+        "repartition",
+        description="Re-shard an index to a new partition count from its "
+        "inverted data alone; the field list and old partition count come "
+        "from the SOURCE manifest (no --fields/--partitions knobs).",
+    )
     s.add_argument("--index", required=True, help="source index root")
     s.add_argument("--dest", required=True, help="destination root")
     s.add_argument("--new-partitions", type=int, required=True)
-    s.add_argument("--partitions", type=int, default=32)
-    s.add_argument("--fields", default="")
+    s.set_defaults(partitions=32, fields="")  # for the shared _cfg(args)
     args = p.parse_args(argv)
 
     cfg = _cfg(args)

@@ -289,6 +289,30 @@ def delete_docs(cfg: IndexConfig, deletes: pa.Table) -> Manifest:
     return manifest
 
 
+def live_merge_tasks(eng) -> list[dict]:
+    """Enumerate the live query view of an open :class:`SearchEngine` as
+    merge tasks — one per (collection, partition), its segment chain in
+    ascending-generation order with per-segment alive masks (tombstones +
+    LWW already folded).  The ONE definition of "what a merge reads",
+    shared by compaction and the repartitioner so the two cannot drift."""
+    tasks = []
+    for coll, segs in eng._segments.items():
+        by_p: dict[int, list] = {}
+        for ls in segs:
+            by_p.setdefault(ls.reader.partition, []).append(ls)
+        for p, group in by_p.items():
+            group.sort(key=lambda ls: ls.reader.generation)
+            tasks.append(
+                {
+                    "collection": coll,
+                    "partition": p,
+                    "paths": [ls.reader.path for ls in group],
+                    "masks": [ls.alive.tolist() for ls in group],
+                }
+            )
+    return tasks
+
+
 def compact_index(cfg: IndexConfig) -> Manifest:
     """K3 generation compaction: merge every (collection, partition)'s
     segments across the live chain into one segment of a new generation and
@@ -310,21 +334,7 @@ def compact_index(cfg: IndexConfig) -> Manifest:
     eng = SearchEngine(cfg.index_root, cfg=cfg)
     gen = chain[-1].generation + 1
 
-    tasks = []
-    for coll, segs in eng._segments.items():
-        by_p: dict[int, list] = {}
-        for ls in segs:
-            by_p.setdefault(ls.reader.partition, []).append(ls)
-        for p, group in by_p.items():
-            group.sort(key=lambda ls: ls.reader.generation)
-            tasks.append(
-                {
-                    "collection": coll,
-                    "partition": p,
-                    "paths": [ls.reader.path for ls in group],
-                    "masks": [ls.alive.tolist() for ls in group],
-                }
-            )
+    tasks = live_merge_tasks(eng)
 
     class MergeWorker:
         """Actor-pool merge stage (holds cfg; one merge task per batch row)."""

@@ -107,11 +107,21 @@ def _split_segment_blocks(
         f: r.doc_len.get(f, np.zeros(r.n_docs, np.int32))[idx] for f in fields
     }
 
+    # within-target rank for EVERY alive doc in one pass (not one
+    # idx.size-array fill per target): stable sort by target groups docs,
+    # rank = position - group start
+    targets, counts = np.unique(pnew, return_counts=True)
+    grp_order = np.argsort(pnew, kind="stable")
+    starts_g = np.concatenate([[0], np.cumsum(counts)])
+    rank_in_target = np.empty(idx.size, dtype=np.int64)
+    rank_in_target[grp_order] = np.arange(idx.size, dtype=np.int64) - np.repeat(
+        starts_g[:-1], counts
+    )
+
     out = []
-    for k in np.unique(pnew):
-        docsel = np.flatnonzero(pnew == k)
-        rank_k = np.full(idx.size, -1, dtype=np.int64)
-        rank_k[docsel] = np.arange(docsel.size, dtype=np.int64)
+    for gi, k in enumerate(targets):
+        # stable sort ⇒ ascending original (url-ascending) order in-group
+        docsel = grp_order[starts_g[gi] : starts_g[gi + 1]]
         payload: dict[str, np.ndarray] = {
             "urls": urls_alive[docsel],
             "shas": shas_alive[docsel],
@@ -121,10 +131,13 @@ def _split_segment_blocks(
             payload[f"dl_{f}"] = dl_alive[f][docsel]
         if have_post:
             pk = post_target == k
-            payload["vocab_f"] = r._fields
-            payload["vocab_t"] = r._terms
-            payload["vid"] = vid_all[pk]
-            payload["rowref"] = rank_k[post_rank[pk]]
+            # ship only the vocab rows this target actually references —
+            # never the whole dictionary once per target
+            u, inv = np.unique(vid_all[pk], return_inverse=True)
+            payload["vocab_f"] = r._fields[u]
+            payload["vocab_t"] = r._terms[u]
+            payload["vid"] = inv
+            payload["rowref"] = rank_in_target[post_rank[pk]]
             payload["tf"] = tfs_all[pk].astype(np.int64)
             if pd_all is not None:
                 payload["pos"] = _gather_pos_substreams(
@@ -181,7 +194,6 @@ _BLOCK_SCHEMA = pa.schema(
 def _build_partition(group: pa.Table, cfg: IndexConfig, fields: list[str]) -> pa.Table:
     """Stage-2 reducer: all blocks of ONE (collection, p_new) → one gen-0
     segment, via the same union/remap/lexsort kernel as a generation merge."""
-    from lucene_plugin_ray.stages.merge import prepare_postings_from_parts
     from lucene_plugin_ray.stages.segment_write import (
         MANIFEST_ROW_SCHEMA,
         encode_and_write_segment,
@@ -234,7 +246,14 @@ def _build_partition(group: pa.Table, cfg: IndexConfig, fields: list[str]) -> pa
     doc_base = p * DOCID_STRIDE
     vocab_f_parts, vocab_t_parts = [], []
     vid_parts, did_parts, tf_parts, pd_parts = [], [], [], []
-    have_pos = all("pos" in b for b in blocks)
+    # positions survive iff every block that CONTRIBUTES postings carries
+    # them — a zero-term block (live docs, no tokens) is vacuously
+    # positions-capable, exactly like SegmentReader.has_positions on an
+    # empty dictionary (else a stopword-only delta would silently strip
+    # positions from every destination partition its urls hash to)
+    have_pos = all(
+        "pos" in b for b in blocks if "vid" in b and b["vid"].size
+    )
     vocab_offset = 0
     for bi, b in enumerate(blocks):
         if "vid" not in b or b["vid"].size == 0:
@@ -318,22 +337,10 @@ def repartition_index(
         block_size=src_cfg.block_size,
     )
 
+    from lucene_plugin_ray.pipelines.build import live_merge_tasks
+
     eng = SearchEngine(src_root, cfg=src_cfg)
-    tasks = []
-    for coll, segs in eng._segments.items():
-        by_p: dict[int, list] = {}
-        for ls in segs:
-            by_p.setdefault(ls.reader.partition, []).append(ls)
-        for p_old, group in by_p.items():
-            group.sort(key=lambda ls: ls.reader.generation)
-            tasks.append(
-                {
-                    "collection": coll,
-                    "partition": p_old,
-                    "paths": [ls.reader.path for ls in group],
-                    "masks": [ls.alive.tolist() for ls in group],
-                }
-            )
+    tasks = live_merge_tasks(eng)
 
     rows: list[dict] = []
     if tasks:

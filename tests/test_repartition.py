@@ -117,6 +117,39 @@ def test_sharded_service_over_destination(built, tmp_path):
         svc.shutdown()
 
 
+def test_zero_term_segment_keeps_positions(ray_session, tmp_path):
+    """A delta whose docs ALL analyze to zero tokens (stopword-only text)
+    produces live-doc segments with an EMPTY dictionary — vacuously
+    positions-capable (SegmentReader.has_positions parity).  Its blocks
+    must not strip positions from the destination partitions they land in:
+    phrase answers stay bit-identical and non-empty."""
+    from lucene_plugin_ray.pipelines.build import build_delta, build_index
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+
+    src = str(tmp_path / "zsrc")
+    cfg = IndexConfig(index_root=src, num_partitions=2, field_columns=())
+    build_index(make_pages(60, seed=12), cfg)
+    d = make_pages(8, seed=13)
+    d = d.set_column(
+        d.schema.get_field_index("text"),
+        "text",
+        pa.array(["the and of to"] * d.num_rows),
+    )
+    build_delta(d, cfg)
+    eng = SearchEngine(src, cfg=cfg)
+
+    dst = str(tmp_path / "zdst")
+    repartition_index(src, dst, 3)
+    deng = SearchEngine(
+        dst, cfg=IndexConfig(index_root=dst, num_partitions=3)
+    )
+    for q in ('"w00001 w00002"~3', "pagehit"):
+        a, b = eng.search(q, limit=10**9), deng.search(q, limit=10**9)
+        assert a["url"].to_pylist() == b["url"].to_pylist(), q
+        assert a["score"].to_pylist() == b["score"].to_pylist(), q
+    assert eng.search('"w00001 w00002"~3', limit=10**9).num_rows > 0
+
+
 def test_guards(built, tmp_path):
     src, _cfg, _eng, _pages = built
     with pytest.raises(ValueError, match="new_partitions"):
