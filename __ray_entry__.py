@@ -128,6 +128,10 @@ def _engine_for(sf_dir: str):
 
 
 _MULTI_SERVICES: dict[str, Any] = {}
+# non-default-similarity engines over the _engine_for root, keyed
+# (sf_dir, similarity) — IndexSearcher.setSimilarity is a searcher
+# property, so these share the built index with the BM25 engine
+_SIM_ENGINES: dict[tuple[str, str], Any] = {}
 
 
 def _multi_service_for(sf_dir: str):
@@ -824,6 +828,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ).sort_by("doc_id")
 
+    def _search_all_sim(sf_dir: str, similarity: str) -> pa.Table:
+        """The _search_all shape through a non-default similarity engine
+        (IndexSearcher.setSimilarity): SAME index, different scorer —
+        the engine is constructed over the root _engine_for already built,
+        cached per (sf_dir, similarity)."""
+        from lucene_plugin_ray.pipelines.query import SearchEngine
+        from lucene_plugin_ray.sources.pages import url_to_doc_id
+
+        _, cfg = _engine_for(sf_dir)
+        key = (sf_dir, similarity)
+        eng = _SIM_ENGINES.get(key)
+        if eng is None:
+            eng = SearchEngine(
+                cfg.index_root, cfg=cfg, similarity=similarity
+            )
+            _SIM_ENGINES[key] = eng
+        res = eng.search(_OR_Q, limit=1_000_000_000)
+        return pa.table(
+            {
+                "doc_id": url_to_doc_id(res["url"].combine_chunks()),
+                "score": pc.round(res["score"].combine_chunks(), ndigits=4),
+            }
+        ).sort_by("doc_id")
+
+    def search_classic(sf_dir: str) -> pa.Table:
+        """ClassicSimilarity (Lucene TF-IDF): sqrt(tf) · (ln((N+1)/(df+1))
+        + 1)² / sqrt(dl) per matching term, over the SAME index the BM25
+        entries search — similarity is a searcher property."""
+        return _search_all_sim(sf_dir, "classic")
+
+    def search_lmdirichlet(sf_dir: str) -> pa.Table:
+        """LMDirichletSimilarity(mu=2000): ln(1 + tf/(mu·ttf/sum_dl)) +
+        ln(mu/(dl+mu)), clamped at 0 per term — docs whose every term
+        clamps still match at score 0.0 (Lucene parity)."""
+        return _search_all_sim(sf_dir, "lmdirichlet")
+
+    def search_boolean_sim(sf_dir: str) -> pa.Table:
+        """BooleanSimilarity: every matching term contributes exactly 1.0
+        — the scored OR degenerates to a coordination count."""
+        return _search_all_sim(sf_dir, "boolean")
+
     def search_dismax(sf_dir: str) -> pa.Table:
         """Multi-field DisjunctionMaxQuery (Solr dismax): 'spark de' over
         fields text (w=1.0) and lang (w=2.0), tie_breaker 0.3 — per term
@@ -1216,6 +1261,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_synonyms": search_synonyms,
         "search_dismax": search_dismax,
         "search_mm": search_mm,
+        "search_classic": search_classic,
+        "search_lmdirichlet": search_lmdirichlet,
+        "search_boolean_sim": search_boolean_sim,
         "autocomplete": autocomplete,
         "search_grouped": search_grouped,
         "facets_stats": facets_stats,
@@ -1339,6 +1387,52 @@ def oracle_sql() -> dict[str, str]:
     sql["search_or"] = _bm25_sql(or_terms)
     sql["search_and"] = _bm25_sql(and_terms, conjunctive=True)
     sql["search_mm"] = _bm25_sql(or_terms, min_match=2)
+    # pluggable similarities (IndexSearcher.setSimilarity) over the same
+    # analyzed token stream: classic TF-IDF, LMDirichlet(mu=2000, per-term
+    # clamp at 0 — docs whose every term clamps keep a 0.0 row), boolean
+    # (coordination count).  One scaffold, three score expressions.
+    _sim_values = ", ".join(f"('{t}')" for t in or_terms)
+
+    def _sim_sql(score_expr: str, extra_ctes: str = "") -> str:
+        return f"""
+{_toks_cte()},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+docs AS (SELECT d.doc_id, coalesce(dl.dl, 0) AS dl
+         FROM documents d LEFT JOIN dl USING (doc_id)),
+stats AS (SELECT count(*) AS n FROM docs),
+qterms AS (SELECT * FROM (VALUES {_sim_values}) q(term)),
+df AS (SELECT term, count(*) AS df FROM tf
+       WHERE term IN (SELECT term FROM qterms) GROUP BY term){extra_ctes}
+SELECT tf.doc_id AS doc_id, round({score_expr}, 4) AS score
+FROM tf
+JOIN df USING (term)
+JOIN docs ON docs.doc_id = tf.doc_id
+CROSS JOIN stats s
+GROUP BY tf.doc_id
+ORDER BY doc_id
+"""
+
+    sql["search_classic"] = _sim_sql(
+        "sum(sqrt(tf.tf) * pow(ln((s.n + 1.0) / (df.df + 1.0)) + 1.0, 2)"
+        " / sqrt(docs.dl))"
+    )
+    # CAST: DuckDB sums of the 1.0 literal are DECIMAL, the engine emits
+    # float64
+    sql["search_boolean_sim"] = _sim_sql("CAST(count(*) AS DOUBLE)")
+    sql["search_lmdirichlet"] = _sim_sql(
+        "sum(greatest(0.0,"
+        " ln(1.0 + tf.tf / (2000.0 * (ttf.ttf * 1.0 / tot.sumdl)))"
+        " + ln(2000.0 / (docs.dl + 2000.0))))",
+        extra_ctes=(
+            ",\nttf AS (SELECT term, count(*) AS ttf FROM toks GROUP BY term)"
+            ",\ntot AS (SELECT count(*) AS sumdl FROM toks)"
+        ),
+    ).replace(
+        "FROM tf\nJOIN df USING (term)",
+        "FROM tf\nJOIN df USING (term)\nJOIN ttf ON ttf.term = tf.term\n"
+        "CROSS JOIN tot",
+    )
     # deep pagination: hits with round-4 score <= the k-th largest round-4
     # score, k = max(1, n//3) — the SQL mirror of the engine's strictly-
     # after-anchor predicate at anchor = round4@k + 0.00005 (see the entry

@@ -37,6 +37,10 @@ from lucene_plugin_ray.config import IndexConfig
 from lucene_plugin_ray.functions.analysis import sanitize_collection
 from lucene_plugin_ray.functions.bm25 import bm25_term_scores, idf
 from lucene_plugin_ray.functions.codec import decode_block_abs
+from lucene_plugin_ray.functions.similarity import (
+    Similarity,
+    resolve_similarity,
+)
 from lucene_plugin_ray.functions.queryparse import (
     MUST,
     MUST_NOT,
@@ -651,6 +655,7 @@ class SearchEngine:
         generation: int | None = None,
         cfg: IndexConfig | None = None,
         partitions: "frozenset[int] | set[int] | None" = None,
+        similarity: "str | Similarity | None" = None,
     ):
         """``partitions``: restrict the engine to a subset of the index's
         document partitions (T2 at cluster scale — each query actor pins its
@@ -658,7 +663,16 @@ class SearchEngine:
         pipelines/sharded.py).  Safe because all masking (upsert/delete/clear)
         is per (collection, partition).  A partition-restricted engine's
         LOCAL stats are partial — sharded callers must inject global stats
-        via ``search_partial`` for exact BM25 scores."""
+        via ``search_partial`` for exact BM25 scores.
+
+        ``similarity``: per-field scoring function — Lucene
+        IndexSearcher.setSimilarity.  'bm25' (default, cfg.k1/cfg.b),
+        'classic' (TF-IDF), 'boolean', 'lmdirichlet', or a
+        functions.similarity.Similarity instance; a searcher property, so
+        the SAME index answers under any of them (exact integer doc
+        lengths/tfs are similarity-agnostic).  Non-BM25 engines route
+        scored queries through the exact TAAT/galloping paths — the
+        block-max strategies' stored upper bounds are BM25-specific."""
         self.cfg = cfg or IndexConfig(index_root=index_root)
         self.index_root = index_root
         self.partitions = frozenset(partitions) if partitions is not None else None
@@ -672,6 +686,7 @@ class SearchEngine:
             from dataclasses import replace
 
             self.cfg = replace(self.cfg, block_size=stored_bs)
+        self.sim = resolve_similarity(similarity, self.cfg.k1, self.cfg.b)
         self._results_cache: OrderedDict = OrderedDict()
         # decoded-postings LRU across queries (≙ the role of Lucene's block
         # cache / OS page cache on the reference's mmap'd index): hot terms
@@ -823,6 +838,7 @@ class SearchEngine:
         min_should_match: int = 0,
         global_stats: dict[str, dict] | None = None,
         global_df: dict[tuple[str, str], int] | None = None,
+        global_ttf: dict[tuple[str, str], int] | None = None,
     ) -> pa.Table:
         """Deep pagination — Lucene IndexSearcher.searchAfter(ScoreDoc,
         Query, n): the next ``limit`` hits STRICTLY after the anchor
@@ -889,12 +905,15 @@ class SearchEngine:
             n_docs, avgdl = self._stats(coll)
         if n_docs == 0:
             return empty
-        cache, rows, df_map = self._phase1_df(clauses, segs, global_df)
+        cache, rows, df_map, ttf_map = self._phase1_df(
+            clauses, segs, global_df, global_ttf
+        )
         parts = []
         for si, seg in enumerate(segs):
             t = self._score_segment_taat(
                 si, seg, clauses, cache, rows, df_map, n_docs, avgdl,
                 limit=seg.reader.n_docs, min_should=min_should_match,
+                global_ttf=ttf_map,
             )
             if not t.num_rows:
                 continue
@@ -929,6 +948,7 @@ class SearchEngine:
         limit: int | None = None,
         global_stats: dict[str, dict] | None = None,
         global_df: dict[tuple[str, str], int] | None = None,
+        global_ttf: dict[tuple[str, str], int] | None = None,
     ) -> pa.Table:
         """Function-scored search — Lucene FunctionScoreQuery /
         expressions-module analogue with a reciprocal recency value
@@ -977,13 +997,15 @@ class SearchEngine:
             n_docs, avgdl = self._stats(coll)
         if n_docs == 0:
             return empty
-        cache, rows, df_map = self._phase1_df(clauses, segs, global_df)
+        cache, rows, df_map, ttf_map = self._phase1_df(
+            clauses, segs, global_df, global_ttf
+        )
         scale = float(scale_us)
         parts = []
         for si, seg in enumerate(segs):
             t = self._score_segment_taat(
                 si, seg, clauses, cache, rows, df_map, n_docs, avgdl,
-                limit=seg.reader.n_docs,
+                limit=seg.reader.n_docs, global_ttf=ttf_map,
             )
             if not t.num_rows:
                 continue
@@ -1024,6 +1046,7 @@ class SearchEngine:
         limit: int | None = None,
         global_stats: dict[str, dict] | None = None,
         global_df: dict[tuple[str, str], int] | None = None,
+        global_ttf: dict[tuple[str, str], int] | None = None,
     ) -> pa.Table:
         """Filtered search — Lucene 5.x IndexSearcher.search(Query, Filter,
         n) / BooleanClause.Occur.FILTER: the match set is ``query``'s
@@ -1073,7 +1096,9 @@ class SearchEngine:
             n_docs, avgdl = self._stats(coll)
         if n_docs == 0:
             return empty
-        cache, rows, df = self._phase1_df(clauses, segs, global_df)
+        cache, rows, df, ttf_map = self._phase1_df(
+            clauses, segs, global_df, global_ttf
+        )
         parts = []
         for si, seg in enumerate(segs):
             fmatch = self._match_segment(si, seg, fclauses, {}, {})
@@ -1081,7 +1106,7 @@ class SearchEngine:
                 continue
             t = self._score_segment_taat(
                 si, seg, clauses, cache, rows, df, n_docs, avgdl,
-                limit=seg.reader.n_docs,
+                limit=seg.reader.n_docs, global_ttf=ttf_map,
             )
             if not t.num_rows:
                 continue
@@ -1121,6 +1146,7 @@ class SearchEngine:
         include_first: bool = False,
         global_stats: dict[str, dict] | None = None,
         global_df: dict[tuple[str, str], int] | None = None,
+        global_ttf: dict[tuple[str, str], int] | None = None,
     ) -> pa.Table:
         """Two-pass query rescoring — Lucene QueryRescorer
         (org.apache.lucene.search.QueryRescorer, in the 5.2.1 line the
@@ -1191,6 +1217,7 @@ class SearchEngine:
         first = self._execute(
             clauses1, coll, window_size, "taat",
             stats_override=(n_docs, avgdl), df_override=global_df,
+            ttf_override=global_ttf,
         )
         if not first.num_rows:
             return empty
@@ -1206,7 +1233,9 @@ class SearchEngine:
         # segments assigns at most one second score per window row.
         second = np.zeros(len(w_docids), dtype=np.float64)
         if clauses2:
-            cache2, rows2, df2 = self._phase1_df(clauses2, segs, global_df)
+            cache2, rows2, df2, ttf2 = self._phase1_df(
+                clauses2, segs, global_df, global_ttf
+            )
             w_order = np.argsort(w_urls, kind="stable")
             sorted_w = w_urls[w_order]
             for si, seg in enumerate(segs):
@@ -1219,7 +1248,7 @@ class SearchEngine:
                     continue
                 t2 = self._score_segment_taat(
                     si, seg, clauses2, cache2, rows2, df2, n_docs, avgdl,
-                    limit=r.n_docs,
+                    limit=r.n_docs, global_ttf=ttf2,
                 )
                 if not t2.num_rows:
                     continue
@@ -1928,6 +1957,7 @@ class SearchEngine:
         synonyms: dict[str, list[str]] | None = None,
         global_stats: dict[str, dict] | None = None,
         global_df: dict[tuple[str, str], int] | None = None,
+        global_ttf: dict[tuple[str, str], int] | None = None,
     ) -> pa.Table:
         """Grouped top-k — the Lucene grouping-module analogue
         (TopGroups over a single-token metadata field): the top
@@ -1976,12 +2006,15 @@ class SearchEngine:
             n_docs, avgdl = self._stats(coll)
         if n_docs == 0:
             return empty
-        cache, rows, df_map = self._phase1_df(clauses, segs, global_df)
+        cache, rows, df_map, ttf_map = self._phase1_df(
+            clauses, segs, global_df, global_ttf
+        )
         # per group value: (urls, scores, docids) accumulated across segments
         groups: dict[str, list[tuple[str, float, int]]] = {}
         for si, seg in enumerate(segs):
             scores, matched = self._eval_boolean(
-                si, seg, clauses, cache, rows, df_map, n_docs, avgdl
+                si, seg, clauses, cache, rows, df_map, n_docs, avgdl,
+                global_ttf=ttf_map,
             )
             cand = np.flatnonzero(matched)
             if cand.size == 0:
@@ -2025,6 +2058,7 @@ class SearchEngine:
         synonyms: dict[str, list[str]] | None = None,
         global_stats: dict[str, dict] | None = None,
         global_df: dict[tuple[str, str], int] | None = None,
+        global_ttf: dict[tuple[str, str], int] | None = None,
         need_scores: bool = True,
         restrict_query: str | None = None,
     ) -> dict[str, list]:
@@ -2084,12 +2118,15 @@ class SearchEngine:
                 n_docs, avgdl = self._stats(coll)
             if n_docs == 0:
                 return {}
-            cache, rows, df_map = self._phase1_df(clauses, segs, global_df)
+            cache, rows, df_map, ttf_map = self._phase1_df(
+                clauses, segs, global_df, global_ttf
+            )
         agg: dict[str, list] = {}  # value -> [count, sum, max, min]
         for si, seg in enumerate(segs):
             if need_scores:
                 scores, matched = self._eval_boolean(
-                    si, seg, clauses, cache, rows, df_map, n_docs, avgdl
+                    si, seg, clauses, cache, rows, df_map, n_docs, avgdl,
+                    global_ttf=ttf_map,
                 )
                 cand = np.flatnonzero(matched)
             else:
@@ -2285,6 +2322,7 @@ class SearchEngine:
         synonyms: dict[str, list[str]] | None = None,
         global_stats: dict[str, dict] | None = None,
         global_df: dict[tuple[str, str], int] | None = None,
+        global_ttf: dict[tuple[str, str], int] | None = None,
     ) -> pa.Table:
         """Query-time join — the Lucene join-module analogue
         (JoinUtil.createJoinQuery(fromField, fromQuery, toField, searcher,
@@ -2319,7 +2357,7 @@ class SearchEngine:
         agg = self.join_from_aggregates(
             from_query, from_field, collection=collection, synonyms=synonyms,
             global_stats=global_stats, global_df=global_df,
-            need_scores=score_mode != "none",
+            global_ttf=global_ttf, need_scores=score_mode != "none",
         )
         vs = self.join_value_scores(agg, score_mode)
         return self.join_to_hits(
@@ -2361,6 +2399,7 @@ class SearchEngine:
         synonyms: dict[str, list[str]] | None = None,
         global_stats: dict[str, dict] | None = None,
         global_df: dict[tuple[str, str], int] | None = None,
+        global_ttf: dict[tuple[str, str], int] | None = None,
         check_contract: bool = True,
     ) -> pa.Table:
         """Child→parent block join — the Lucene join-module
@@ -2418,7 +2457,8 @@ class SearchEngine:
         agg = self.join_from_aggregates(
             child_query, block_field, collection=collection,
             synonyms=synonyms, global_stats=global_stats,
-            global_df=global_df, need_scores=score_mode != "none",
+            global_df=global_df, global_ttf=global_ttf,
+            need_scores=score_mode != "none",
         )
         vs = self.join_value_scores(agg, score_mode)
         return self.join_to_hits(
@@ -2437,6 +2477,7 @@ class SearchEngine:
         synonyms: dict[str, list[str]] | None = None,
         global_stats: dict[str, dict] | None = None,
         global_df: dict[tuple[str, str], int] | None = None,
+        global_ttf: dict[tuple[str, str], int] | None = None,
     ) -> pa.Table:
         """Parent→child block join — the Lucene join-module
         ToChildBlockJoinQuery analogue (ToChildBlockJoinQuery.java): score
@@ -2460,7 +2501,7 @@ class SearchEngine:
         agg = self.join_from_aggregates(
             parent_query, block_field, collection=collection,
             synonyms=synonyms, global_stats=global_stats,
-            global_df=global_df, need_scores=score,
+            global_df=global_df, global_ttf=global_ttf, need_scores=score,
             restrict_query=parent_filter,
         )
         vs = self.join_value_scores(agg, "max" if score else "none")
@@ -3087,6 +3128,7 @@ class SearchEngine:
         self, query: str, url: str, collection: str = "default",
         global_stats: dict[str, dict] | None = None,
         global_df: dict[tuple[str, str], int] | None = None,
+        global_ttf: dict[tuple[str, str], int] | None = None,
     ) -> dict:
         """Score breakdown for one (query, document) pair — Lucene
         IndexSearcher.explain(Query, doc): per-clause df / tf / idf /
@@ -3123,31 +3165,50 @@ class SearchEngine:
             )
         else:
             n_docs, avgdl = self._stats(coll)
-        k1, b = self.cfg.k1, self.cfg.b
 
         if global_df is None:
             # global df: the alive-masked cross-segment walk local_term_dfs
             # already implements (one definition — explain cannot drift
             # from search scores)
             global_df = self.local_term_dfs(coll, scored_term_keys(clauses))
+        if self.sim.needs_ttf and global_ttf is None:
+            global_ttf = self.local_term_ttfs(coll, scored_term_keys(clauses))
+        gttf = global_ttf or {}
 
         def _tf_of(local: np.ndarray, tfs: np.ndarray) -> float:
             # float: sloppy-phrase freqs (Q14) are Σ 1/(1+d) weights
             j = int(np.searchsorted(local, local_doc))
             return float(tfs[j]) if j < local.size and local[j] == local_doc else 0.0
 
-        def _bm25(w: float, tf: float, field: str) -> float:
-            if tf == 0 or w == 0.0:
+        def _term_weight(field: str, term: str, df: int, tf: float) -> float:
+            # one posting scored through the engine's similarity — the
+            # scoring path's arithmetic exactly (sum(weights) == search())
+            if tf == 0 or df == 0:
                 return 0.0
-            dl = float(r.doc_len[field][local_doc])
+            dl = r.doc_len[field][local_doc : local_doc + 1]
             return float(
-                w * (tf * (k1 + 1.0))
-                / (tf + k1 * (1.0 - b + b * dl / avgdl.get(field, 1.0)))
+                self.sim.scorer(
+                    df, gttf.get((field, term), 0),
+                    n_docs, avgdl.get(field, 1.0),
+                )(np.asarray([tf]), dl)[0]
+            )
+
+        def _phrase_weight(c: PhraseClause, pf: float) -> float:
+            if pf == 0:
+                return 0.0
+            dl = r.doc_len[c.field][local_doc : local_doc + 1]
+            return float(
+                self.sim.phrase_scorer(
+                    [global_df.get((c.field, t), 0) for t in c.terms],
+                    sum(gttf.get((c.field, t), 0) for t in c.terms),
+                    n_docs, avgdl.get(c.field, 1.0),
+                )(np.asarray([pf]), dl)[0]
             )
 
         rows: list[dict] = []
         must_ok = True
         prohibited_hit = False
+        any_should_matched = False
         score = 0.0
         for c in clauses:
             if isinstance(c, MatchAllClause):
@@ -3168,7 +3229,7 @@ class SearchEngine:
                 )
                 tf = int(_tf_of(*got)) if got is not None else 0
                 w = idf(df, n_docs) if df else 0.0
-                weight = _bm25(w, tf, c.field)
+                weight = _term_weight(c.field, c.term, df, tf)
                 if c.boost != 1.0:
                     weight = weight * c.boost
                 rows.append(
@@ -3189,7 +3250,7 @@ class SearchEngine:
                     for t in c.terms
                     if global_df.get((c.field, t), 0) > 0
                 )
-                weight = _bm25(w, pf, c.field)
+                weight = _phrase_weight(c, pf)
                 if c.boost != 1.0:
                     weight = weight * c.boost
                 detail = " ".join(c.terms) + (f"~{c.slop}" if c.slop else "")
@@ -3203,7 +3264,7 @@ class SearchEngine:
             elif isinstance(c, GroupClause):
                 g_scores, g_match = self._eval_boolean(
                     si, seg, list(c.clauses), {}, {}, global_df,
-                    n_docs, avgdl,
+                    n_docs, avgdl, global_ttf=gttf,
                 )
                 matched = bool(g_match[local_doc])
                 weight = (
@@ -3254,8 +3315,18 @@ class SearchEngine:
             score += weight
             if c.occur == MUST and not matched:
                 must_ok = False
+            if c.occur == SHOULD and matched:
+                any_should_matched = True
         has_must = any(c.occur == MUST for c in clauses)
-        positive = must_ok if has_must else score > 0.0
+        if has_must:
+            positive = must_ok
+        elif not self.sim.positive:
+            # the scoring path's explicit match set: a clamped-to-0 doc
+            # (lmdirichlet) still matches — score > 0 would disagree with
+            # search()'s result rows
+            positive = any_should_matched
+        else:
+            positive = score > 0.0
         overall = positive and not prohibited_hit
         return {
             "url": url,
@@ -3402,6 +3473,29 @@ class SearchEngine:
             out[key] = df
         return out
 
+    def local_term_ttfs(
+        self, coll: str, terms: list[tuple[str, str]]
+    ) -> dict[tuple[str, str], int]:
+        """Alive-masked TOTAL term frequency of each (field, term) within
+        this engine's loaded partitions — one shard's contribution to the
+        global ttf sum (the df twin of :meth:`local_term_dfs`, gathered by
+        sharded fleets running a ttf-hungry similarity)."""
+        segs = self._segments.get(coll, [])
+        out: dict[tuple[str, str], int] = {}
+        for field, term in terms:
+            key = (field, term)
+            if key in out:
+                continue
+            ttf = 0
+            for si, seg in enumerate(segs):
+                row = seg.reader.lookup(field, term)
+                if row < 0:
+                    continue
+                _, tfs = self._decoded(si, seg, field, term, row)
+                ttf += int(tfs.sum())
+            out[key] = ttf
+        return out
+
     def search_partial(
         self,
         query: "str | tuple",
@@ -3410,6 +3504,7 @@ class SearchEngine:
         method: str = "taat",
         global_stats: dict[str, dict] | None = None,
         global_df: dict[tuple[str, str], int] | None = None,
+        global_ttf: dict[tuple[str, str], int] | None = None,
         min_should_match: int = 0,
     ) -> pa.Table:
         """Shard-local top-k with INJECTED global statistics: scores are
@@ -3441,7 +3536,7 @@ class SearchEngine:
         return self._execute(
             clauses, coll, limit, method,
             stats_override=stats_override, df_override=global_df,
-            min_should=min_should_match,
+            min_should=min_should_match, ttf_override=global_ttf,
         )
 
     def _phase1_df(
@@ -3449,13 +3544,28 @@ class SearchEngine:
         clauses: list[Clause],
         segs: list,
         df_override: dict[tuple[str, str], int] | None = None,
-    ) -> tuple[dict, dict, dict]:
+        ttf_override: dict[tuple[str, str], int] | None = None,
+    ) -> tuple[dict, dict, dict, dict]:
         """Phase 1 of every scored execution: (decode cache, per-segment
-        dictionary rows, global df per scored (field, term)) — shared by
-        search and search_grouped."""
+        dictionary rows, global df per scored (field, term), global TOTAL
+        term frequency — gathered only when the engine's similarity needs
+        it, else empty) — shared by search and search_grouped.
+        ``ttf_override`` follows the ``df_override`` injection contract
+        (sharded callers sum ttfs over shards)."""
         cache: dict[tuple[int, str, str], tuple[np.ndarray, np.ndarray]] = {}
         rows: dict[tuple[int, str, str], int] = {}
         global_df: dict[tuple[str, str], int] = {}
+        global_ttf: dict[tuple[str, str], int] = {}
+        need_ttf = self.sim.needs_ttf
+        if need_ttf and df_override is not None and ttf_override is None:
+            # injected df without injected ttf would silently score every
+            # lmdirichlet term 0 — the partial engine cannot gather global
+            # ttf itself (it only sees its own partitions)
+            raise ValueError(
+                f"similarity {self.sim.name!r} needs corpus-global ttf: "
+                "callers injecting global_df must inject global_ttf too "
+                "(gather with local_term_ttfs per shard and sum)"
+            )
         for field, term in scored_term_keys(clauses):
             key = (field, term)
             if key in global_df:
@@ -3466,24 +3576,34 @@ class SearchEngine:
                 for si, seg in enumerate(segs):
                     rows[(si, field, term)] = seg.reader.lookup(field, term)
                 global_df[key] = df_override.get(key, 0)
+                if need_ttf:
+                    global_ttf[key] = int((ttf_override or {}).get(key, 0))
                 continue
             df = 0
+            ttf = 0
             for si, seg in enumerate(segs):
                 row = seg.reader.lookup(field, term)
                 rows[(si, field, term)] = row
                 if row < 0:
                     continue
-                if seg.all_alive:
+                if seg.all_alive and not need_ttf:
                     # df straight from the term dictionary — no decode;
                     # scoring strategies decode lazily (block-max decodes
                     # only surviving blocks)
                     df += seg.reader.df(row)
                     continue
+                # ttf needs the tf stream (the dictionary stores df only) —
+                # the decode lands in the query-shared cache, so the
+                # scoring pass never decodes twice
                 local, tfs = self._decoded(si, seg, field, term, row)
                 cache[(si, field, term)] = (local, tfs)
                 df += len(local)
+                if need_ttf:
+                    ttf += int(tfs.sum())
             global_df[key] = df
-        return cache, rows, global_df
+            if need_ttf:
+                global_ttf[key] = ttf
+        return cache, rows, global_df, global_ttf
 
     # ------------------------------------------------------------------
     def _execute(
@@ -3495,11 +3615,14 @@ class SearchEngine:
         stats_override: tuple[int, dict[str, float]] | None = None,
         df_override: dict[tuple[str, str], int] | None = None,
         min_should: int = 0,
+        ttf_override: dict[tuple[str, str], int] | None = None,
     ) -> pa.Table:
-        """``stats_override``/``df_override``: inject GLOBAL (n_docs, avgdl)
-        and per-(field, term) df computed across ALL partitions — used by the
-        sharded path (pipelines/sharded.py) where this engine holds only a
-        partition subset but must score with corpus-global BM25 statistics."""
+        """``stats_override``/``df_override``/``ttf_override``: inject
+        GLOBAL (n_docs, avgdl), per-(field, term) df — and, for ttf-hungry
+        similarities, total term frequency — computed across ALL partitions:
+        used by the sharded path (pipelines/sharded.py) where this engine
+        holds only a partition subset but must score with corpus-global
+        statistics."""
         segs = self._segments.get(coll, [])
         empty = pa.table(
             {"url": pa.array([], pa.string()), "score": pa.array([], pa.float64()),
@@ -3517,19 +3640,24 @@ class SearchEngine:
         # phrase's constituent terms — PhraseQuery idf sums per-term idfs);
         # postings decoded lazily by the scoring strategy.
         term_clauses = [c for c in clauses if isinstance(c, TermClause)]
-        cache, rows, global_df = self._phase1_df(clauses, segs, df_override)
+        cache, rows, global_df, global_ttf = self._phase1_df(
+            clauses, segs, df_override, ttf_override
+        )
 
         # ---- phase 2: per-segment scoring + top-k, then merge (K1)
         # block-max strategies handle pure-SHOULD term queries only;
         # anything with MUST or MUST_NOT falls back to TAAT (which owns the
-        # boolean bookkeeping)
+        # boolean bookkeeping).  They also store BM25-specific score upper
+        # bounds, so a non-BM25 similarity always takes the exact paths.
         unboosted = (
             all(getattr(c, "boost", 1.0) == 1.0 for c in clauses)
             and min_should == 0
         )
+        is_bm25 = self.sim.name == "bm25"
         use_bmw = (
             method == "bmw"
             and unboosted
+            and is_bm25
             and all(isinstance(c, TermClause) and c.occur == SHOULD for c in clauses)
             and len(term_clauses) > 0
         )
@@ -3542,6 +3670,7 @@ class SearchEngine:
         use_bmax = (
             method == "bmax"
             and unboosted
+            and is_bm25
             and all(isinstance(c, TermClause) and c.occur == SHOULD for c in clauses)
             and len(term_clauses) > 0
         )
@@ -3557,12 +3686,13 @@ class SearchEngine:
                 )
             elif pure_and:
                 t = self._score_segment_and(
-                    si, seg, term_clauses, cache, rows, global_df, n_docs, avgdl, limit
+                    si, seg, term_clauses, cache, rows, global_df, n_docs,
+                    avgdl, limit, global_ttf=global_ttf,
                 )
             else:
                 t = self._score_segment_taat(
                     si, seg, clauses, cache, rows, global_df, n_docs, avgdl,
-                    limit, min_should=min_should,
+                    limit, min_should=min_should, global_ttf=global_ttf,
                 )
             if t.num_rows:
                 parts.append(t)
@@ -3772,11 +3902,12 @@ class SearchEngine:
         avgdl: dict[str, float],
         limit: int,
         min_should: int = 0,
+        global_ttf: dict | None = None,
     ) -> pa.Table:
         r = seg.reader
         scores, matched = self._eval_boolean(
             si, seg, clauses, cache, rows, global_df, n_docs, avgdl,
-            min_should=min_should,
+            min_should=min_should, global_ttf=global_ttf,
         )
         cand = np.flatnonzero(matched)
         if cand.size == 0:
@@ -3813,6 +3944,7 @@ class SearchEngine:
         n_docs: int,
         avgdl: dict[str, float],
         min_should: int = 0,
+        global_ttf: dict | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """One boolean level → (dense scores float64[n], matched bool[n])
         under Lucene BooleanQuery semantics — the recursive heart of the
@@ -3821,13 +3953,22 @@ class SearchEngine:
         contributes nothing).  ``min_should`` is
         BooleanQuery.setMinimumNumberShouldMatch: a doc must additionally
         match at least that many SHOULD clauses (fewer SHOULD clauses than
-        ``min_should`` ⇒ the level matches nothing, Lucene parity)."""
+        ``min_should`` ⇒ the level matches nothing, Lucene parity).
+        ``global_ttf``: corpus-global total term frequency per scored
+        (field, term) — required by ttf-hungry similarities (lmdirichlet),
+        empty otherwise."""
         r = seg.reader
         n = r.n_docs
+        sim = self.sim
+        gttf = global_ttf or {}
         scores = np.zeros(n, dtype=np.float64)
         musts = [c for c in clauses if c.occur == MUST]
         must_cnt = np.zeros(n, dtype=np.int16) if musts else None
-        should_cnt = np.zeros(n, dtype=np.int16) if min_should > 0 else None
+        # a non-positive similarity (lmdirichlet clamps at 0) can leave a
+        # MATCHING doc at score 0.0, so the pure-SHOULD match set must be
+        # tracked explicitly instead of inferred from score > 0
+        track_should = min_should > 0 or (not sim.positive and not musts)
+        should_cnt = np.zeros(n, dtype=np.int16) if track_should else None
 
         def _note_should(mask_or_idx, c):
             # count a matching SHOULD clause (boolean array or index array)
@@ -3848,7 +3989,7 @@ class SearchEngine:
             if isinstance(c, GroupClause):
                 g_scores, g_match = self._eval_boolean(
                     si, seg, list(c.clauses), cache, rows, global_df,
-                    n_docs, avgdl,
+                    n_docs, avgdl, global_ttf=global_ttf,
                 )
                 if c.boost != 1.0:
                     g_scores = g_scores * c.boost
@@ -3875,11 +4016,10 @@ class SearchEngine:
                         if got is None or dl is None or df == 0:
                             continue
                         local, tfs = got
-                        s_leg = bm25_term_scores(
-                            tfs, dl[local], df, n_docs,
-                            avgdl.get(leg.field, 1.0),
-                            k1=self.cfg.k1, b=self.cfg.b,
-                        )
+                        s_leg = sim.scorer(
+                            df, gttf.get((leg.field, leg.term), 0),
+                            n_docs, avgdl.get(leg.field, 1.0),
+                        )(tfs, dl[local])
                         if leg.boost != 1.0:
                             s_leg = s_leg * leg.boost
                         total[local] += s_leg
@@ -3889,7 +4029,7 @@ class SearchEngine:
                         continue
                     l_scores, l_match = self._eval_boolean(
                         si, seg, [leg], cache, rows, global_df,
-                        n_docs, avgdl,
+                        n_docs, avgdl, global_ttf=global_ttf,
                     )
                     l_scores = np.where(l_match, l_scores, 0.0)
                     total += l_scores
@@ -3926,10 +4066,10 @@ class SearchEngine:
                 dl = r.doc_len.get(c.field)
                 if dl is None:
                     continue
-                s = bm25_term_scores(
-                    tfs, dl[local], df, n_docs, avgdl.get(c.field, 1.0),
-                    k1=self.cfg.k1, b=self.cfg.b,
-                )
+                s = sim.scorer(
+                    df, gttf.get((c.field, c.term), 0),
+                    n_docs, avgdl.get(c.field, 1.0),
+                )(tfs, dl[local])
                 if c.boost != 1.0:
                     s = s * c.boost
                 scores[local] += s
@@ -3962,10 +4102,13 @@ class SearchEngine:
                 docs = np.flatnonzero(seen)
                 if docs.size == 0:
                     continue
-                s = bm25_term_scores(
-                    agg[docs], dl[docs], max_df, n_docs,
-                    avgdl.get(c.field, 1.0), k1=self.cfg.k1, b=self.cfg.b,
-                )
+                # pseudo-term statistics: df = max member df (idf blend),
+                # ttf = Σ member ttfs (lmdirichlet's collection probability
+                # over the whole synonym set)
+                syn_ttf = sum(gttf.get((c.field, t), 0) for t in c.terms)
+                s = sim.scorer(
+                    max_df, syn_ttf, n_docs, avgdl.get(c.field, 1.0)
+                )(agg[docs], dl[docs])
                 if c.boost != 1.0:
                     s = s * c.boost
                 scores[docs] += s
@@ -3973,29 +4116,23 @@ class SearchEngine:
                     must_cnt[docs] += 1
                 _note_should(docs, c)
             elif isinstance(c, PhraseClause):
-                # Q8: BM25 over the phrase frequency, idf = sum of the
-                # constituent terms' idfs (Lucene PhraseQuery under
-                # BM25Similarity), GLOBAL dfs so sharded scores are exact
+                # Q8: the similarity over the phrase frequency as a
+                # pseudo-term — constituent-term weights aggregate per the
+                # similarity's phrase contract (BM25/classic sum idfs,
+                # Lucene PhraseWeight parity; lmdirichlet sums ttfs),
+                # GLOBAL dfs so sharded scores are exact
                 got = self._phrase_postings(seg, c)
                 if got is None:
                     continue
                 dl = r.doc_len.get(c.field)
                 if dl is None:
                     continue
-                w = 0.0
-                for t in c.terms:
-                    dfv = global_df.get((c.field, t), 0)
-                    if dfv > 0:
-                        w += idf(dfv, n_docs)
                 u_docs, pf = got
-                k1, b = self.cfg.k1, self.cfg.b
-                tf = pf.astype(np.float64)
-                dlv = dl[u_docs].astype(np.float64)
-                s = (
-                    w
-                    * (tf * (k1 + 1.0))
-                    / (tf + k1 * (1.0 - b + b * dlv / avgdl.get(c.field, 1.0)))
-                )
+                s = sim.phrase_scorer(
+                    [global_df.get((c.field, t), 0) for t in c.terms],
+                    sum(gttf.get((c.field, t), 0) for t in c.terms),
+                    n_docs, avgdl.get(c.field, 1.0),
+                )(pf, dl[u_docs])
                 if c.boost != 1.0:
                     s = s * c.boost
                 scores[u_docs] += s
@@ -4028,10 +4165,16 @@ class SearchEngine:
 
         if must_cnt is not None:
             matched = must_cnt == len(musts)
+            if should_cnt is not None and min_should > 0:
+                matched = matched & (should_cnt >= min_should)
+        elif not sim.positive:
+            # explicit match set (scores may clamp to 0 — Lucene returns
+            # those docs at 0.0, exactly like its LMDirichlet TopDocs)
+            matched = should_cnt >= max(min_should, 1)
         else:
             matched = scores > 0.0
-        if should_cnt is not None:
-            matched = matched & (should_cnt >= min_should)
+            if should_cnt is not None:
+                matched = matched & (should_cnt >= min_should)
         if prohibited is not None:
             matched &= ~prohibited
         return scores, matched
@@ -4048,11 +4191,13 @@ class SearchEngine:
         n_docs: int,
         avgdl: dict[str, float],
         limit: int,
+        global_ttf: dict | None = None,
     ) -> pa.Table:
         """Pure-AND path: sorted posting-list intersection (J2), rarest term
         first, galloping via searchsorted — no dense accumulator.  Equivalent
         to TAAT with all-MUST (tested), faster when the intersection is
-        selective."""
+        selective.  Similarity-generic: scores come from the engine's
+        ``sim`` like the TAAT path."""
         r = seg.reader
         empty = pa.table(
             {"url": pa.array([], pa.string()), "score": pa.array([], pa.float64()),
@@ -4073,14 +4218,15 @@ class SearchEngine:
             if cand.size == 0:
                 return empty
         scores = np.zeros(cand.size, dtype=np.float64)
+        gttf = global_ttf or {}
         for c, local, tfs in lists:
             pos = np.searchsorted(local, cand)
             df = global_df[(c.field, c.term)]
             dl = r.doc_len[c.field]
-            scores += bm25_term_scores(
-                tfs[pos], dl[cand], df, n_docs, avgdl.get(c.field, 1.0),
-                k1=self.cfg.k1, b=self.cfg.b,
-            )
+            scores += self.sim.scorer(
+                df, gttf.get((c.field, c.term), 0),
+                n_docs, avgdl.get(c.field, 1.0),
+            )(tfs[pos], dl[cand])
         if cand.size > limit:
             kth = np.partition(scores, cand.size - limit)[cand.size - limit]
             keep = scores >= kth
