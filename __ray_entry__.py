@@ -395,6 +395,103 @@ WHERE pf.pf > 0 ORDER BY doc_id
 """
 
 
+def _span_bm25_sql(pf_body: str, stat_terms: list[str]) -> str:
+    """Span-query BM25 scaffold (queries.spans family): ``pf_body`` is a
+    DuckDB expression over the positioned token list ``toks`` (1-based
+    list indices = engine position + 1) computing the per-doc span
+    frequency; idf sums over ``stat_terms`` ONLY (a span_not's exclude
+    terms mask matches but never contribute statistics — SpanWeight
+    parity).  Mirrors pipelines/query.py::_span_postings + the
+    SpanClause pseudo-term scoring contract."""
+    toks_expr = _SQL_POSITIONED_TOKS.format(stop=_SQL_STOP_LIST_LITERAL)
+    inlist = ", ".join(f"'{t}'" for t in stat_terms)
+    return f"""
+WITH tl AS (SELECT doc_id, {toks_expr} AS toks FROM documents),
+dl AS (SELECT doc_id, len(list_filter(toks, t -> t IS NOT NULL)) AS dl FROM tl),
+alldl AS (SELECT d.doc_id, coalesce(dl.dl, 0) AS dl
+          FROM documents d LEFT JOIN dl USING (doc_id)),
+stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM alldl),
+toks AS (SELECT doc_id, unnest(toks) AS term FROM tl),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term IN ({inlist}) GROUP BY term),
+w AS (SELECT sum(ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))) AS w
+      FROM df CROSS JOIN stats s),
+pf AS (SELECT doc_id, {pf_body} AS pf FROM tl)
+SELECT pf.doc_id AS doc_id,
+       round(w.w * (pf.pf * (1.2 + 1.0))
+             / (pf.pf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)), 4) AS score
+FROM pf JOIN dl USING (doc_id) CROSS JOIN stats s CROSS JOIN w
+WHERE pf.pf > 0 ORDER BY doc_id
+"""
+
+
+# span-query driver picks: the phrase pair (adjacency is non-trivial in the
+# seeded corpus) plus window parameters small enough that every rule flips
+# verdicts at sf0.001
+_SPAN_SLOP = 2
+_SPAN_FIRST_END = 8
+_SPAN_NOT_PRE, _SPAN_NOT_POST = 1, 2
+
+
+def _span_near_ordered_sql(t0: str, t1: str, slop: int) -> str:
+    """Ordered SpanNearQuery, k=2: per anchor pa of t0 the greedy
+    completion is the NEAREST t1 strictly after pa (nd = min pb − pa);
+    width = nd − 1 ≤ slop weighs 1/(1+width) = 1/nd."""
+    nd = (
+        f"list_min(list_transform("
+        f"list_filter(range(1, len(toks)+1), j -> toks[j] = '{t1}' AND j > pa),"
+        f" pb -> pb - pa))"
+    )
+    pf = (
+        f"coalesce(list_sum(list_transform("
+        f"list_filter(range(1, len(toks)+1), i -> toks[i] = '{t0}'),"
+        f" pa -> CASE WHEN {nd} <= {slop} + 1"
+        f" THEN 1.0 / {nd} ELSE 0.0 END)), 0.0)"
+    )
+    return _span_bm25_sql(pf, [t0, t1])
+
+
+def _span_near_unordered_sql(t0: str, t1: str, slop: int) -> str:
+    """Unordered SpanNearQuery, k=2: per anchor pa of t0 the minimal
+    window is the nearest t1 in EITHER direction (ad = min |pb − pa|);
+    width = ad − 1 ≤ slop weighs 1/ad."""
+    ad = (
+        f"list_min(list_transform("
+        f"list_filter(range(1, len(toks)+1), j -> toks[j] = '{t1}'),"
+        f" pb -> abs(pb - pa)))"
+    )
+    pf = (
+        f"coalesce(list_sum(list_transform("
+        f"list_filter(range(1, len(toks)+1), i -> toks[i] = '{t0}'),"
+        f" pa -> CASE WHEN {ad} <= {slop} + 1"
+        f" THEN 1.0 / {ad} ELSE 0.0 END)), 0.0)"
+    )
+    return _span_bm25_sql(pf, [t0, t1])
+
+
+def _span_first_sql(t: str, end: int) -> str:
+    """SpanFirstQuery: engine position + 1 = 1-based list index, so the
+    span-end condition pos + 1 ≤ end is exactly j ≤ end."""
+    pf = (
+        f"len(list_filter(range(1, len(toks)+1),"
+        f" j -> toks[j] = '{t}' AND j <= {end})) * 1.0"
+    )
+    return _span_bm25_sql(pf, [t])
+
+
+def _span_not_sql(t: str, ex: str, pre: int, post: int) -> str:
+    """SpanNotQuery: anchors of ``t`` with no ``ex`` occurrence within
+    [pa − pre, pa + post] (both sides in 1-based indices — the shift
+    cancels); ``ex`` contributes no statistics."""
+    pf = (
+        f"len(list_filter(range(1, len(toks)+1),"
+        f" pa -> toks[pa] = '{t}' AND len(list_filter("
+        f"range(1, len(toks)+1), pb -> toks[pb] = '{ex}'"
+        f" AND pb >= pa - {pre} AND pb <= pa + {post})) = 0)) * 1.0"
+    )
+    return _span_bm25_sql(pf, [t])
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: build the inverted index over the
     documents table and run a BM25 search; returns the hit table."""
@@ -452,6 +549,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Proximity phrase (Q14): '"spark merge"~2' — adjacent pairs weigh
         1, near pairs 1/(1+d) up to 2 moves; BM25 on the weight sum."""
         return _search_all(sf_dir, _SLOPPY_Q)
+
+    def _span_table(res: pa.Table) -> pa.Table:
+        from lucene_plugin_ray.sources.pages import url_to_doc_id
+
+        return pa.table(
+            {
+                "doc_id": url_to_doc_id(res["url"].combine_chunks()),
+                "score": pc.round(res["score"].combine_chunks(), ndigits=4),
+            }
+        ).sort_by("doc_id")
+
+    def span_near(sf_dir: str) -> pa.Table:
+        """Ordered SpanNearQuery ('spark' then 'merge' within slop 2):
+        greedy nearest-completion anchors, 1/(1+width) weights, scored as
+        a pseudo-term with summed constituent idfs."""
+        engine, cfg = _engine_for(sf_dir)
+        return _span_table(
+            engine.span_near(
+                ["spark", "merge"], slop=_SPAN_SLOP, limit=1_000_000_000
+            )
+        )
+
+    def span_near_unordered(sf_dir: str) -> pa.Table:
+        """Unordered SpanNearQuery ('merge' and 'spark' within slop 2,
+        either order): minimal-window-per-anchor contract."""
+        engine, cfg = _engine_for(sf_dir)
+        return _span_table(
+            engine.span_near(
+                ["merge", "spark"], slop=_SPAN_SLOP, in_order=False,
+                limit=1_000_000_000,
+            )
+        )
+
+    def span_first(sf_dir: str) -> pa.Table:
+        """SpanFirstQuery: 'spark' within the first 8 positions of the
+        text field (pre-stop-filter ranks)."""
+        engine, cfg = _engine_for(sf_dir)
+        return _span_table(
+            engine.span_first(
+                "spark", _SPAN_FIRST_END, limit=1_000_000_000
+            )
+        )
+
+    def span_not(sf_dir: str) -> pa.Table:
+        """SpanNotQuery: 'spark' with no 'merge' within [p−1, p+2];
+        'merge' masks matches but contributes no statistics."""
+        engine, cfg = _engine_for(sf_dir)
+        return _span_table(
+            engine.span_not(
+                "spark", "merge", pre=_SPAN_NOT_PRE, post=_SPAN_NOT_POST,
+                limit=1_000_000_000,
+            )
+        )
 
     def search_regexp(sf_dir: str) -> pa.Table:
         """Regexp query (Q15): dictionary-expanded constant-score, anchored
@@ -1247,6 +1397,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_phrase": search_phrase,
         "search_phrase_gap": search_phrase_gap,
         "search_sloppy": search_sloppy,
+        "span_near": span_near,
+        "span_near_unordered": span_near_unordered,
+        "span_first": span_first,
+        "span_not": span_not,
         "search_range_excl": search_range_excl,
         "search_range_open": search_range_open,
         "search_regexp": search_regexp,
@@ -1723,6 +1877,15 @@ ORDER BY doc_id
 
     # Q8 phrase: BM25 on slop-0 phrase frequency, summed per-term idf
     sql["search_phrase"] = _phrase_bm25_sql(["spark", "merge"], [0, 1])
+    # span family: positioned-token oracles under the SpanClause contract
+    sql["span_near"] = _span_near_ordered_sql("spark", "merge", _SPAN_SLOP)
+    sql["span_near_unordered"] = _span_near_unordered_sql(
+        "merge", "spark", _SPAN_SLOP
+    )
+    sql["span_first"] = _span_first_sql("spark", _SPAN_FIRST_END)
+    sql["span_not"] = _span_not_sql(
+        "spark", "merge", _SPAN_NOT_PRE, _SPAN_NOT_POST
+    )
 
     # Q8 phrase with a query-side stop word: offsets (0, 2) — the surviving
     # terms must be exactly 2 pre-filter positions apart in the document

@@ -100,6 +100,26 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--limit", type=int, default=None)
     s.add_argument("--partitions", type=int, default=32)
     s.add_argument("--fields", default="")
+    s = sub.add_parser(
+        "span",
+        help="span queries (Lucene queries.spans): --kind near|first|not",
+    )
+    s.add_argument("--index", required=True)
+    s.add_argument("--kind", required=True, choices=["near", "first", "not"])
+    s.add_argument("--terms", required=True,
+                   help="space-separated span terms (near: >=2; "
+                        "first/not: the single include term)")
+    s.add_argument("--slop", type=int, default=0)
+    s.add_argument("--unordered", action="store_true")
+    s.add_argument("--end", type=int, default=0)
+    s.add_argument("--exclude", default="",
+                   help="space-separated exclude terms (kind=not)")
+    s.add_argument("--pre", type=int, default=0)
+    s.add_argument("--post", type=int, default=0)
+    s.add_argument("--collection", default="default")
+    s.add_argument("--limit", type=int, default=None)
+    s.add_argument("--partitions", type=int, default=32)
+    s.add_argument("--fields", default="")
     s = sub.add_parser("search-join")
     s.add_argument("--index", required=True)
     s.add_argument("--from-query", required=True)
@@ -320,6 +340,32 @@ def main(argv: list[str] | None = None) -> int:
         eng = SearchEngine(args.index, cfg=cfg)
         for row in eng.index_stats(collection=args.collection).to_pylist():
             print(json.dumps(row))
+    elif args.cmd == "span":
+        from lucene_plugin_ray.pipelines.query import SearchEngine
+
+        eng = SearchEngine(args.index, cfg=cfg)
+        terms = args.terms.split()
+        if args.kind == "near":
+            t = eng.span_near(
+                terms, slop=args.slop, in_order=not args.unordered,
+                collection=args.collection, limit=args.limit,
+            )
+        elif args.kind == "first":
+            if len(terms) != 1:
+                raise SystemExit("span first takes exactly one --terms token")
+            t = eng.span_first(
+                terms[0], args.end, collection=args.collection,
+                limit=args.limit,
+            )
+        else:
+            if len(terms) != 1:
+                raise SystemExit("span not takes exactly one --terms token")
+            t = eng.span_not(
+                terms[0], args.exclude.split(), pre=args.pre, post=args.post,
+                collection=args.collection, limit=args.limit,
+            )
+        for url, score in zip(t["url"].to_pylist(), t["score"].to_pylist()):
+            print(json.dumps({"url": url, "score": round(score, 6)}))
     elif args.cmd == "search-join":
         from lucene_plugin_ray.pipelines.query import SearchEngine
 

@@ -379,6 +379,86 @@ class LuceneFacade:
             )
         ]
 
+    def span_near(
+        self,
+        collection: str,
+        terms,
+        slop: int = 0,
+        in_order: bool = True,
+        limit: int | None = None,
+    ) -> list[LuceneEntry]:
+        """SpanNearQuery (queries.spans module): ``terms`` within ``slop``
+        positions, ordered or not — SearchEngine.span_near over the leased
+        generation."""
+        _require(_valid_str(collection), "collection must be a non-empty string")
+        _require(bool(terms) and all(_valid_str(t) for t in terms),
+                 "terms must be a non-empty list of non-empty strings")
+        eng = self._lease_engine()
+        if eng is None:
+            return []
+        t = eng.span_near(
+            list(terms), slop=slop, in_order=in_order, collection=collection,
+            limit=limit,
+        )
+        return [
+            LuceneEntry(id=int(d), score=float(s), external_id=u)
+            for d, s, u in zip(
+                t["docid"].to_pylist(), t["score"].to_pylist(), t["url"].to_pylist()
+            )
+        ]
+
+    def span_first(
+        self,
+        collection: str,
+        term: str,
+        end: int,
+        limit: int | None = None,
+    ) -> list[LuceneEntry]:
+        """SpanFirstQuery: ``term`` within the first ``end`` positions."""
+        _require(_valid_str(collection), "collection must be a non-empty string")
+        _require(_valid_str(term), "term must be a non-empty string")
+        eng = self._lease_engine()
+        if eng is None:
+            return []
+        t = eng.span_first(term, end, collection=collection, limit=limit)
+        return [
+            LuceneEntry(id=int(d), score=float(s), external_id=u)
+            for d, s, u in zip(
+                t["docid"].to_pylist(), t["score"].to_pylist(), t["url"].to_pylist()
+            )
+        ]
+
+    def span_not(
+        self,
+        collection: str,
+        term: str,
+        exclude,
+        pre: int = 0,
+        post: int = 0,
+        limit: int | None = None,
+    ) -> list[LuceneEntry]:
+        """SpanNotQuery: ``term`` with no ``exclude`` occurrence within
+        [p − pre, p + post]."""
+        _require(_valid_str(collection), "collection must be a non-empty string")
+        _require(_valid_str(term), "term must be a non-empty string")
+        if isinstance(exclude, str):
+            exclude = (exclude,)
+        _require(bool(exclude) and all(_valid_str(t) for t in exclude),
+                 "exclude must be a non-empty list of non-empty strings")
+        eng = self._lease_engine()
+        if eng is None:
+            return []
+        t = eng.span_not(
+            term, tuple(exclude), pre=pre, post=post, collection=collection,
+            limit=limit,
+        )
+        return [
+            LuceneEntry(id=int(d), score=float(s), external_id=u)
+            for d, s, u in zip(
+                t["docid"].to_pylist(), t["score"].to_pylist(), t["url"].to_pylist()
+            )
+        ]
+
     def search_join(
         self,
         collection: str,
@@ -923,6 +1003,48 @@ class AsyncLuceneFacade:
 
         return await asyncio.to_thread(
             self._sync.search_filtered, collection, query, filter_query, limit
+        )
+
+    async def span_near(
+        self,
+        collection: str,
+        terms,
+        slop: int = 0,
+        in_order: bool = True,
+        limit: int | None = None,
+    ) -> list[LuceneEntry]:
+        import asyncio
+
+        return await asyncio.to_thread(
+            self._sync.span_near, collection, terms, slop, in_order, limit
+        )
+
+    async def span_first(
+        self,
+        collection: str,
+        term: str,
+        end: int,
+        limit: int | None = None,
+    ) -> list[LuceneEntry]:
+        import asyncio
+
+        return await asyncio.to_thread(
+            self._sync.span_first, collection, term, end, limit
+        )
+
+    async def span_not(
+        self,
+        collection: str,
+        term: str,
+        exclude,
+        pre: int = 0,
+        post: int = 0,
+        limit: int | None = None,
+    ) -> list[LuceneEntry]:
+        import asyncio
+
+        return await asyncio.to_thread(
+            self._sync.span_not, collection, term, exclude, pre, post, limit
         )
 
     async def search_join(

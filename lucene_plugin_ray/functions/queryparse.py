@@ -249,9 +249,61 @@ class GroupClause:
     boost: float = 1.0
 
 
+@dataclass(frozen=True)
+class SpanClause:
+    """Lucene span-query family (org.apache.lucene.queries.spans) over
+    unit-length term subspans — programmatic-only, exactly like Lucene's:
+    the classic QueryParser cannot express spans, so these clauses are
+    built by :meth:`SearchEngine.span_near` / ``span_first`` / ``span_not``
+    rather than parsed from a query string.  Positions are the index's
+    PRE-stop-filter token ranks (StopFilter enablePositionIncrements
+    parity, :func:`analysis.analyze_with_positions`).
+
+    ``kind``:
+
+    * ``near`` (SpanNearQuery): ``terms`` (≥ 2) within ``slop`` total
+      positions of each other.  ``in_order=True`` (NearSpansOrdered over
+      term spans) anchors on each occurrence p₀ of ``terms[0]`` and
+      greedily takes the SMALLEST strictly-increasing completion
+      p₀ < p₁ < … < p_{k−1} (each pᵢ the next occurrence of term i after
+      p_{i−1}); the anchor matches iff width = p_{k−1} − p₀ − (k−1) ≤
+      ``slop``.  ``in_order=False`` (NearSpansUnordered, DISTINCT terms
+      only): per anchor the minimal window containing one occurrence of
+      every term, width = max(p) − min(p) − (k−1) ≤ ``slop``.  Each
+      matching anchor weighs ``1/(1+width)`` (SpanScorer's slop factor —
+      the sloppy-phrase weight); the doc frequency is the weight sum.
+    * ``first`` (SpanFirstQuery): occurrences of ``terms[0]`` whose span
+      end (position + 1) is ≤ ``end`` — i.e. within the first ``end``
+      positions of the field.  Each match weighs 1.
+    * ``not`` (SpanNotQuery): occurrences p of ``terms[0]`` with NO
+      occurrence of any ``exclude`` term in ``[p − pre, p + post]``
+      (Lucene's pre/post-expanded overlap test specialized to unit
+      spans).  Each surviving match weighs 1.
+
+    Scoring: the span is a pseudo-term exactly like PhraseClause —
+    frequency = the per-doc weight sum, statistics aggregate over the
+    constituent ``terms`` per the similarity's phrase contract (BM25 and
+    classic sum per-term idfs — SpanWeight.buildSimWeight collects all
+    term statistics; lmdirichlet sums ttfs).  ``exclude`` terms never
+    contribute statistics (SpanNotQuery scores the include side only)."""
+
+    occur: str
+    field: str
+    kind: str                      # 'near' | 'first' | 'not'
+    terms: tuple[str, ...]
+    slop: int = 0
+    in_order: bool = True
+    end: int = 0
+    exclude: tuple[str, ...] = ()
+    pre: int = 0
+    post: int = 0
+    boost: float = 1.0
+
+
 Clause = (
     TermClause | RangeClause | PhraseClause | MultiTermClause
     | SynonymClause | GroupClause | DisMaxClause | MatchAllClause
+    | SpanClause
 )
 
 
@@ -265,7 +317,9 @@ def scored_term_keys(clauses) -> list[tuple[str, str]]:
     for c in clauses:
         if isinstance(c, TermClause):
             keys.append((c.field, c.term))
-        elif isinstance(c, (PhraseClause, SynonymClause)):
+        elif isinstance(c, (PhraseClause, SynonymClause, SpanClause)):
+            # SpanClause: include terms only — SpanNotQuery's exclude side
+            # is a mask, never a statistics contributor
             keys.extend((c.field, t) for t in c.terms)
         elif isinstance(c, (GroupClause, DisMaxClause)):
             keys.extend(scored_term_keys(c.clauses))

@@ -52,6 +52,7 @@ from lucene_plugin_ray.functions.queryparse import (
     DisMaxClause,
     GroupClause,
     RangeClause,
+    SpanClause,
     SynonymClause,
     TermClause,
     apply_fields,
@@ -489,6 +490,7 @@ def _sloppy_phrase_weights(
     slop: int,
     terms: tuple[str, ...],
     offsets: tuple[int, ...],
+    width_shift: int = 0,
 ) -> tuple[np.ndarray, np.ndarray] | None:
     """Q14 sloppy-phrase frequencies over one segment's composite position
     keys → (local docids asc, float64 sloppy freqs); None when no match.
@@ -518,9 +520,17 @@ def _sloppy_phrase_weights(
     bound, so anchors passing the screen are re-solved exactly over the
     ±slop windows (tiny: ≤ 2·slop+1 candidates per list) with the
     distinctness check; per-anchor Python, bounded by the screen's
-    survivors."""
+    survivors.
+
+    ``width_shift`` (unordered SpanNearQuery, query.py::_span_postings):
+    the match condition becomes ``d − width_shift ≤ slop`` and the weight
+    ``1/(1 + d − width_shift)`` — span width excludes the subspans' own
+    lengths (max(p) − min(p) − (k−1) for k unit spans), while the phrase
+    contract's d is the raw shifted-position range.  0 (the default) is
+    the exact Q14 behaviour."""
     a = key_arrays[0]
     k = len(key_arrays)
+    eff_slop = slop + width_shift
     shifted = [key_arrays[i] - offsets[i] for i in range(k)]
     floors: list[np.ndarray] = []
     ceils: list[np.ndarray] = []
@@ -557,13 +567,13 @@ def _sloppy_phrase_weights(
             np.maximum(lb, np.minimum(ceils[i] - a, a - floors[i]), out=lb)
         best = np.full(a.size, _SLOPPY_BIG, dtype=np.int64)
         big = int(_SLOPPY_BIG)
-        for j in np.flatnonzero(lb <= slop):
+        for j in np.flatnonzero(lb <= eff_slop):
             aj = int(a[j])
             fj = [int(floors[i][j]) for i in range(k - 1)]
             cj = [int(ceils[i][j]) for i in range(k - 1)]
             bd = big
             for L in {aj, *fj}:
-                if L > aj or L < aj - slop:
+                if L > aj or L < aj - eff_slop:
                     continue  # width would exceed slop; can't improve ≤-slop set
                 hi_v = aj
                 for f, c in zip(fj, cj):
@@ -576,7 +586,7 @@ def _sloppy_phrase_weights(
         # distinct-actual-positions constraint
         from itertools import product
 
-        cand = np.flatnonzero(best <= slop)
+        cand = np.flatnonzero(best <= eff_slop)
         best = np.full(a.size, _SLOPPY_BIG, dtype=np.int64)
         for j in cand:
             aj = int(a[j])
@@ -584,8 +594,8 @@ def _sloppy_phrase_weights(
             n_combos = 1
             for i in range(1, k):
                 ai = shifted[i]
-                lo_i = int(np.searchsorted(ai, aj - slop, side="left"))
-                hi_i = int(np.searchsorted(ai, aj + slop, side="right"))
+                lo_i = int(np.searchsorted(ai, aj - eff_slop, side="left"))
+                hi_i = int(np.searchsorted(ai, aj + eff_slop, side="right"))
                 wins.append([(int(v), offsets[i]) for v in ai[lo_i:hi_i]])
                 n_combos *= max(hi_i - lo_i, 1)
             if n_combos > _SLOPPY_REPEAT_COMBO_MAX:
@@ -615,16 +625,81 @@ def _sloppy_phrase_weights(
                 if d < bd:
                     bd = d
             best[j] = bd
-    okm = best <= slop
+    okm = best <= eff_slop
     if not okm.any():
         return None
     keys_ok = a[okm]
     docs = keys_ok >> 32
-    w = 1.0 / (1.0 + best[okm].astype(np.float64))
+    w = 1.0 / (1.0 + (best[okm] - width_shift).astype(np.float64))
     starts = np.flatnonzero(np.concatenate(([True], docs[1:] != docs[:-1])))
     u_docs = docs[starts]
     pf = np.add.reduceat(w, starts)
     return u_docs, pf
+
+
+def make_span_clause(
+    kind: str,
+    terms,
+    field: str,
+    slop: int = 0,
+    in_order: bool = True,
+    end: int = 0,
+    exclude=(),
+    pre: int = 0,
+    post: int = 0,
+) -> SpanClause:
+    """Validate + analyze a span query's raw terms into a SpanClause.
+    Every raw term must analyze to exactly ONE index token (a stop word or
+    empty/multi-token input is a loud error — Lucene's SpanTermQuery takes
+    an already-analyzed Term, so silent rewriting would invent semantics).
+    Window parameters share Q14's ``_SLOP_MAX`` bound (the 2³² docid band
+    argument).  Shared by SearchEngine's span methods and the sharded
+    service's driver-side validation (pipelines/sharded.py)."""
+    from lucene_plugin_ray.functions.analysis import analyze
+    from lucene_plugin_ray.functions.queryparse import _SLOP_MAX
+
+    def _one_token(raw: str, what: str) -> str:
+        toks = analyze(str(raw))
+        if len(toks) != 1:
+            raise ValueError(
+                f"span {what} {raw!r} must analyze to exactly one "
+                f"index token, got {toks!r} (stop words and "
+                "multi-token input are not valid span terms)"
+            )
+        return toks[0]
+
+    if not terms:
+        raise ValueError("span query needs at least one term")
+    a_terms = tuple(_one_token(t, "term") for t in terms)
+    a_exclude = tuple(_one_token(t, "exclude term") for t in exclude)
+    for name, v in (("slop", slop), ("pre", pre), ("post", post)):
+        if not (0 <= v <= _SLOP_MAX):
+            raise ValueError(f"{name} must be in [0, {_SLOP_MAX}], got {v}")
+    if kind == "near":
+        if len(a_terms) < 2:
+            raise ValueError("span_near needs at least two terms")
+        if not in_order and len(set(a_terms)) != len(a_terms):
+            raise ValueError(
+                "unordered span_near with repeated terms is not "
+                "supported (the non-overlap semantics of repeated "
+                "unit subspans are ambiguous) — use in_order=True"
+            )
+    elif kind == "first":
+        if len(a_terms) != 1:
+            raise ValueError("span_first takes exactly one term")
+        if end < 1:
+            raise ValueError(f"end must be >= 1, got {end}")
+    elif kind == "not":
+        if len(a_terms) != 1:
+            raise ValueError("span_not takes exactly one include term")
+        if not a_exclude:
+            raise ValueError("span_not needs at least one exclude term")
+    else:
+        raise ValueError(f"unknown span kind {kind!r}")
+    return SpanClause(
+        occur=SHOULD, field=field, kind=kind, terms=a_terms, slop=slop,
+        in_order=in_order, end=end, exclude=a_exclude, pre=pre, post=post,
+    )
 
 
 class _LiveSegment:
@@ -1134,6 +1209,100 @@ class SearchEngine:
             )
         )[:limit]
         return merged.take(pa.array(order))
+
+    # ---- span-query family (Lucene queries.spans module) -------------
+    def _span_clause(
+        self,
+        kind: str,
+        terms,
+        field: str | None,
+        slop: int = 0,
+        in_order: bool = True,
+        end: int = 0,
+        exclude=(),
+        pre: int = 0,
+        post: int = 0,
+    ) -> SpanClause:
+        return make_span_clause(
+            kind, terms, field or self.cfg.text_column, slop=slop,
+            in_order=in_order, end=end, exclude=exclude, pre=pre, post=post,
+        )
+
+    def span_near(
+        self,
+        terms,
+        slop: int = 0,
+        in_order: bool = True,
+        collection: str = "default",
+        field: str | None = None,
+        limit: int | None = None,
+    ) -> pa.Table:
+        """SpanNearQuery over unit term spans → (url, score, docid),
+        (score desc, url asc), top ``limit``.  ``terms`` are raw (each must
+        analyze to one token); semantics and the 1/(1+width) per-match
+        weight are the SpanClause contract (queryparse.py).  Scored as a
+        pseudo-term with constituent-term statistics — identical shape to
+        phrase scoring, so sharded execution is exact under injected
+        global stats."""
+        clause = self._span_clause(
+            "near", terms, field, slop=slop, in_order=in_order
+        )
+        limit = limit if limit is not None else self.cfg.result_limit
+        if limit <= 0:
+            raise ValueError("limit must be positive")
+        return self._execute(
+            [clause], sanitize_collection(collection), limit, "taat"
+        )
+
+    def span_first(
+        self,
+        term: str,
+        end: int,
+        collection: str = "default",
+        field: str | None = None,
+        limit: int | None = None,
+    ) -> pa.Table:
+        """SpanFirstQuery: occurrences of ``term`` within the first ``end``
+        positions of the field (span end = position + 1 ≤ ``end``) →
+        (url, score, docid).  Frequency = the count of such occurrences,
+        scored as a pseudo-term (at ``end`` ≥ the longest document this is
+        bit-identical to a plain term search — pinned in tests)."""
+        clause = self._span_clause("first", (term,), field, end=end)
+        limit = limit if limit is not None else self.cfg.result_limit
+        if limit <= 0:
+            raise ValueError("limit must be positive")
+        return self._execute(
+            [clause], sanitize_collection(collection), limit, "taat"
+        )
+
+    def span_not(
+        self,
+        term: str,
+        exclude,
+        pre: int = 0,
+        post: int = 0,
+        collection: str = "default",
+        field: str | None = None,
+        limit: int | None = None,
+    ) -> pa.Table:
+        """SpanNotQuery: occurrences of ``term`` with NO occurrence of any
+        ``exclude`` term within ``[p − pre, p + post]`` → (url, score,
+        docid).  Exclude terms mask matches but never contribute
+        statistics (SpanWeight parity); with ``pre = post = 0`` an exclude
+        can only collide at the include's own position, which distinct
+        terms never do — so the useful guards are ``pre``/``post`` > 0
+        windows (e.g. 'spark' not preceded by 'no' within 2 tokens)."""
+        if isinstance(exclude, str):
+            exclude = (exclude,)
+        clause = self._span_clause(
+            "not", (term,), field, exclude=tuple(exclude), pre=pre, post=post
+        )
+        limit = limit if limit is not None else self.cfg.result_limit
+        if limit <= 0:
+            raise ValueError("limit must be positive")
+        return self._execute(
+            [clause], sanitize_collection(collection), limit, "taat"
+        )
 
     def rescore(
         self,
@@ -3361,6 +3530,11 @@ class SearchEngine:
                 return np.empty(0, np.int64)
             got = self._phrase_postings(seg, c)
             return got[0] if got is not None else np.empty(0, np.int64)
+        if isinstance(c, SpanClause):
+            if r.doc_len.get(c.field) is None:
+                return np.empty(0, np.int64)
+            got = self._span_postings(seg, c)
+            return got[0] if got is not None else np.empty(0, np.int64)
         if isinstance(c, SynonymClause):
             if r.doc_len.get(c.field) is None:
                 return np.empty(0, np.int64)
@@ -3826,6 +4000,128 @@ class SearchEngine:
             self._postings_cache.popitem(last=False)
         return result
 
+    def _span_postings(
+        self, seg: _LiveSegment, c: SpanClause
+    ) -> tuple[np.ndarray, np.ndarray] | None:
+        """Span match over one segment → (local docids asc, float64 span
+        freqs), alive-filtered; None when no doc matches.  The SpanClause
+        contract (queryparse.py) over the same composite position keys
+        ``docid << 32 | position`` the phrase path uses; results land in
+        the postings LRU like every positional decode.
+
+        * ``near`` ordered: K−1 ``searchsorted(side='right')`` passes chase
+          the greedy strictly-increasing completion of every anchor at
+          once; a cross-doc or missing completion lands ≥ 2³² away and
+          fails ``width ≤ slop`` automatically (slop is ≤ 2³¹−1 by
+          validation).  ``near`` unordered delegates to
+          :func:`_sloppy_phrase_weights` with zero offsets and
+          ``width_shift = K−1`` (span width excludes the unit subspans).
+        * ``first``: position mask ``pos + 1 ≤ end``.
+        * ``not``: one merged sorted exclude-key array, two searchsorted
+          passes bound the window ``[p − pre, p + post]`` per include
+          occurrence (clamped at the doc's own key base so a small
+          position never reaches into the previous doc's key space).
+
+        Everything is per-segment-postings-bound and fully vectorized —
+        no per-anchor Python on any path a query can reach."""
+        r = seg.reader
+        ck = (
+            r.path, "span", c.field, c.kind, c.terms, c.slop, c.in_order,
+            c.end, c.exclude, c.pre, c.post,
+        )
+        sentinel = object()
+        hit = self._postings_cache.get(ck, sentinel)
+        if hit is not sentinel:
+            self._postings_cache.move_to_end(ck)
+            return hit
+
+        def _keys_for(term: str) -> np.ndarray | None:
+            row = r.lookup(c.field, term)
+            if row < 0:
+                return None
+            docids, tfs = r.postings(row)
+            local = r.local_ids(docids)
+            pos = r.positions(row, tfs)
+            return (np.repeat(local, tfs.astype(np.int64)) << 32) | pos
+
+        result: tuple[np.ndarray, np.ndarray] | None = None
+        key_arrays: list[np.ndarray] = []
+        for t in c.terms:
+            ka = _keys_for(t)
+            if ka is None:
+                break
+            key_arrays.append(ka)
+        else:
+            k = len(key_arrays)
+            if c.kind == "near" and not c.in_order:
+                got = _sloppy_phrase_weights(
+                    key_arrays, c.slop, c.terms, (0,) * k, width_shift=k - 1
+                )
+                if got is not None:
+                    u_docs, pf = got
+                    if not seg.all_alive:
+                        ok = seg.alive[u_docs]
+                        u_docs, pf = u_docs[ok], pf[ok]
+                    if u_docs.size:
+                        result = (u_docs, pf)
+                self._postings_cache[ck] = result
+                if len(self._postings_cache) > self._postings_cache_size:
+                    self._postings_cache.popitem(last=False)
+                return result
+            anchors = key_arrays[0]
+            if c.kind == "near":
+                cur = anchors
+                for i in range(1, k):
+                    ai = key_arrays[i]
+                    idx = np.searchsorted(ai, cur, side="right")
+                    cur = np.where(
+                        idx < ai.size,
+                        ai[np.minimum(idx, ai.size - 1)],
+                        _SLOPPY_BIG,
+                    )
+                width = cur - anchors - (k - 1)
+                okm = width <= c.slop
+                weights = 1.0 / (1.0 + width[okm].astype(np.float64))
+            elif c.kind == "first":
+                pos = anchors & np.int64(0xFFFFFFFF)
+                okm = pos + 1 <= c.end
+                weights = np.ones(int(okm.sum()), dtype=np.float64)
+            else:  # 'not'
+                ex_parts = [
+                    ka for t in c.exclude
+                    if (ka := _keys_for(t)) is not None
+                ]
+                if ex_parts:
+                    ex = np.sort(np.concatenate(ex_parts))
+                    doc_base = (anchors >> 32) << 32
+                    lo = np.maximum(anchors - c.pre, doc_base)
+                    hi = anchors + c.post
+                    bad = (
+                        np.searchsorted(ex, hi, side="right")
+                        > np.searchsorted(ex, lo, side="left")
+                    )
+                    okm = ~bad
+                else:
+                    okm = np.ones(anchors.size, dtype=bool)
+                weights = np.ones(int(okm.sum()), dtype=np.float64)
+            keys_ok = anchors[okm]
+            if keys_ok.size:
+                docs = keys_ok >> 32
+                starts = np.flatnonzero(
+                    np.concatenate(([True], docs[1:] != docs[:-1]))
+                )
+                u_docs = docs[starts]
+                pf = np.add.reduceat(weights, starts)
+                if not seg.all_alive:
+                    ok = seg.alive[u_docs]
+                    u_docs, pf = u_docs[ok], pf[ok]
+                if u_docs.size:
+                    result = (u_docs, pf)
+        self._postings_cache[ck] = result
+        if len(self._postings_cache) > self._postings_cache_size:
+            self._postings_cache.popitem(last=False)
+        return result
+
     def _expand_rows(self, seg: _LiveSegment, c: MultiTermClause) -> np.ndarray:
         """Dictionary rows matched by a prefix/wildcard/fuzzy clause within
         one segment (Q9/Q10 term expansion over the sorted vocabulary;
@@ -4122,6 +4418,29 @@ class SearchEngine:
                 # Lucene PhraseWeight parity; lmdirichlet sums ttfs),
                 # GLOBAL dfs so sharded scores are exact
                 got = self._phrase_postings(seg, c)
+                if got is None:
+                    continue
+                dl = r.doc_len.get(c.field)
+                if dl is None:
+                    continue
+                u_docs, pf = got
+                s = sim.phrase_scorer(
+                    [global_df.get((c.field, t), 0) for t in c.terms],
+                    sum(gttf.get((c.field, t), 0) for t in c.terms),
+                    n_docs, avgdl.get(c.field, 1.0),
+                )(pf, dl[u_docs])
+                if c.boost != 1.0:
+                    s = s * c.boost
+                scores[u_docs] += s
+                if must_cnt is not None and c.occur == MUST:
+                    must_cnt[u_docs] += 1
+                _note_should(u_docs, c)
+            elif isinstance(c, SpanClause):
+                # span family: pseudo-term over the span frequency, the
+                # PhraseClause scoring contract verbatim (constituent-term
+                # statistics aggregate per the similarity; exclude terms of
+                # a span_not never contribute — SpanWeight parity)
+                got = self._span_postings(seg, c)
                 if got is None:
                     continue
                 dl = r.doc_len.get(c.field)

@@ -55,6 +55,7 @@ from lucene_plugin_ray.pipelines.query import (
     _JOIN_MODES,
     SearchEngine,
     build_dim_clauses,
+    make_span_clause,
     drill_filter_query,
     facet_count_table,
     facet_stats_table,
@@ -1165,6 +1166,79 @@ class ShardedSearcherService:
              for a in self.actors]
         )
         return self._merge_hit_partials(parts, limit)
+
+    # ---- span-query family --------------------------------------------
+    def _span_search(self, clause, collection: str, limit: int | None) -> "pa.Table":
+        """Shared sharded span execution: the driver-validated SpanClause
+        travels structured to every shard (search_partial accepts clause
+        tuples), phase-1 gathers global df over the INCLUDE terms only
+        (exclude terms mask, never score — SpanWeight parity), and the
+        per-shard top-``limit`` partials merge exactly under the
+        (score desc, url asc) total order because span scores are a pure
+        function of (freq, dl, injected global stats) — doc-disjoint
+        shards cannot disagree."""
+        limit = limit if limit is not None else self.cfg.result_limit
+        if limit <= 0:
+            raise ValueError("limit must be positive")
+        sc = sanitize_collection(collection)
+        terms = {sc: sorted({(clause.field, t) for t in clause.terms})}
+        global_stats, global_df = self._gather_global(terms)
+        return self._phase2_merge(
+            [{"qid": 0, "collection": collection, "query": (clause,),
+              "limit": limit}],
+            "taat", global_stats, global_df,
+        ).select(["url", "score", "docid"])
+
+    def span_near(
+        self,
+        terms,
+        slop: int = 0,
+        in_order: bool = True,
+        collection: str = "default",
+        field: str | None = None,
+        limit: int | None = None,
+    ) -> "pa.Table":
+        """Cluster-wide SpanNearQuery — identical to SearchEngine.span_near
+        on the whole index (driver validation, injected global stats,
+        exact merge)."""
+        clause = make_span_clause(
+            "near", terms, field or self.cfg.text_column, slop=slop,
+            in_order=in_order,
+        )
+        return self._span_search(clause, collection, limit)
+
+    def span_first(
+        self,
+        term: str,
+        end: int,
+        collection: str = "default",
+        field: str | None = None,
+        limit: int | None = None,
+    ) -> "pa.Table":
+        """Cluster-wide SpanFirstQuery — SearchEngine.span_first parity."""
+        clause = make_span_clause(
+            "first", (term,), field or self.cfg.text_column, end=end
+        )
+        return self._span_search(clause, collection, limit)
+
+    def span_not(
+        self,
+        term: str,
+        exclude,
+        pre: int = 0,
+        post: int = 0,
+        collection: str = "default",
+        field: str | None = None,
+        limit: int | None = None,
+    ) -> "pa.Table":
+        """Cluster-wide SpanNotQuery — SearchEngine.span_not parity."""
+        if isinstance(exclude, str):
+            exclude = (exclude,)
+        clause = make_span_clause(
+            "not", (term,), field or self.cfg.text_column,
+            exclude=tuple(exclude), pre=pre, post=post,
+        )
+        return self._span_search(clause, collection, limit)
 
     def search_join(
         self,

@@ -211,6 +211,84 @@ class LuceneHttpService:
             for e in entries
         ]
 
+    def _span_near(self, q: dict) -> list[dict]:
+        limit = self._limit_of(q)
+        try:
+            terms = json.loads(q.get("terms", ""))
+        except json.JSONDecodeError as e:
+            raise LuceneException(f"terms must be a JSON list: {e}")
+        if not isinstance(terms, list):
+            raise LuceneException("terms must be a JSON list of strings")
+        try:
+            slop = int(q.get("slop") or 0)
+        except ValueError:
+            raise LuceneException(f"slop must be an integer: {q['slop']!r}")
+        in_order_s = q.get("in_order", "true").lower()
+        if in_order_s not in ("true", "false"):
+            raise LuceneException(
+                f"in_order must be 'true' or 'false': {q['in_order']!r}"
+            )
+        with self._lock:
+            self._read_your_writes()
+            try:
+                entries = self.facade.span_near(
+                    q.get("collection", ""), terms, slop=slop,
+                    in_order=in_order_s == "true", limit=limit,
+                )
+            except ValueError as e:  # stopword/multi-token term, bad slop
+                raise LuceneException(str(e))
+        return [
+            {"_id": e.id, "_score": e.score, "_externalId": e.external_id}
+            for e in entries
+        ]
+
+    def _span_first(self, q: dict) -> list[dict]:
+        limit = self._limit_of(q)
+        try:
+            end = int(q.get("end") or 0)
+        except ValueError:
+            raise LuceneException(f"end must be an integer: {q['end']!r}")
+        with self._lock:
+            self._read_your_writes()
+            try:
+                entries = self.facade.span_first(
+                    q.get("collection", ""), q.get("term", ""), end,
+                    limit=limit,
+                )
+            except ValueError as e:
+                raise LuceneException(str(e))
+        return [
+            {"_id": e.id, "_score": e.score, "_externalId": e.external_id}
+            for e in entries
+        ]
+
+    def _span_not(self, q: dict) -> list[dict]:
+        limit = self._limit_of(q)
+        try:
+            exclude = json.loads(q.get("exclude", ""))
+        except json.JSONDecodeError as e:
+            raise LuceneException(f"exclude must be a JSON list: {e}")
+        if not isinstance(exclude, list):
+            raise LuceneException("exclude must be a JSON list of strings")
+        try:
+            pre = int(q.get("pre") or 0)
+            post = int(q.get("post") or 0)
+        except ValueError:
+            raise LuceneException("pre / post must be integers")
+        with self._lock:
+            self._read_your_writes()
+            try:
+                entries = self.facade.span_not(
+                    q.get("collection", ""), q.get("term", ""), exclude,
+                    pre=pre, post=post, limit=limit,
+                )
+            except ValueError as e:
+                raise LuceneException(str(e))
+        return [
+            {"_id": e.id, "_score": e.score, "_externalId": e.external_id}
+            for e in entries
+        ]
+
     def _search_join(self, q: dict) -> list[dict]:
         limit = self._limit_of(q)
         with self._lock:
@@ -544,6 +622,9 @@ class LuceneHttpService:
         "search-after": _search_after,
         "rescore": _rescore,
         "search-filtered": _search_filtered,
+        "span-near": _span_near,
+        "span-first": _span_first,
+        "span-not": _span_not,
         "search-join": _search_join,
         "block-join-parents": _block_join_parents,
         "block-join-children": _block_join_children,
@@ -655,6 +736,41 @@ class LuceneHttpClient:
             "search-filtered",
             {"collection": collection, "query": query,
              "filter_query": filter_query, "limit": limit},
+        )
+
+    def span_near(
+        self, collection: str, terms: list, slop: int = 0,
+        in_order: bool = True, limit: int = 255,
+    ) -> list[dict]:
+        import json as _json
+
+        return self._get(
+            "span-near",
+            {"collection": collection, "terms": _json.dumps(list(terms)),
+             "slop": slop, "in_order": "true" if in_order else "false",
+             "limit": limit},
+        )
+
+    def span_first(
+        self, collection: str, term: str, end: int, limit: int = 255,
+    ) -> list[dict]:
+        return self._get(
+            "span-first",
+            {"collection": collection, "term": term, "end": end,
+             "limit": limit},
+        )
+
+    def span_not(
+        self, collection: str, term: str, exclude: list, pre: int = 0,
+        post: int = 0, limit: int = 255,
+    ) -> list[dict]:
+        import json as _json
+
+        return self._get(
+            "span-not",
+            {"collection": collection, "term": term,
+             "exclude": _json.dumps(list(exclude)), "pre": pre,
+             "post": post, "limit": limit},
         )
 
     def search_join(
