@@ -854,6 +854,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ).sort_by("doc_id")
 
+    def search_sorted_str(sf_dir: str) -> pa.Table:
+        """STRING field sort (SortField.Type.STRING over SortedDocValues
+        ordinals reconstructed from the inverted index): OR-query hits
+        ordered (source asc, warc_ts desc) — 'src10' < 'src2' pins the
+        LEXICOGRAPHIC (not numeric) term order; warc_ts unique ⇒ the SQL
+        row_number reproduces the rank exactly."""
+        from lucene_plugin_ray.sources.pages import url_to_doc_id
+
+        engine, cfg = _engine_for(sf_dir)
+        res = engine.search_sorted_by(
+            _OR_Q, [("source", "asc"), ("warc_ts", "desc")],
+            limit=1_000_000_000,
+        )
+        return pa.table(
+            {
+                "doc_id": url_to_doc_id(res["url"].combine_chunks()),
+                "source": res["source"].combine_chunks(),
+                "ts_us": res["warc_ts"].combine_chunks(),
+                "rank": pa.array(range(1, res.num_rows + 1), pa.int64()),
+            }
+        ).sort_by("doc_id")
+
     def index_stats(sf_dir: str) -> pa.Table:
         """Per-field index statistics (IndexReader numDocs / Terms.size /
         getSumDocFreq introspection): live docs, distinct terms and
@@ -1426,6 +1448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_count": search_count,
         "search_sorted": search_sorted,
         "search_sorted_multi": search_sorted_multi,
+        "search_sorted_str": search_sorted_str,
         "index_stats": index_stats,
         "spell_suggest": spell_suggest,
         "date_histogram": date_histogram,
@@ -2203,6 +2226,19 @@ s AS (SELECT m.doc_id, coalesce(dl.dl, 0) AS dl,
       FROM m LEFT JOIN dl USING (doc_id))
 SELECT doc_id, CAST(dl AS BIGINT) AS dl, ts_us,
        CAST(row_number() OVER (ORDER BY dl DESC, ts_us ASC) AS BIGINT) AS rank
+FROM s ORDER BY doc_id
+"""
+
+    # STRING field sort: analyzed min term of the source field == the raw
+    # source value (single lowercase tokens); lexicographic term order
+    sql["search_sorted_str"] = f"""
+{_toks_cte()},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({or_inlist})),
+s AS (SELECT m.doc_id, d.source,
+             CAST(1600000000000000 + m.doc_id AS BIGINT) AS ts_us
+      FROM m JOIN documents d USING (doc_id))
+SELECT doc_id, source, ts_us,
+       CAST(row_number() OVER (ORDER BY source ASC, ts_us DESC) AS BIGINT) AS rank
 FROM s ORDER BY doc_id
 """
 

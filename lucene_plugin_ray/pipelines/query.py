@@ -637,6 +637,33 @@ def _sloppy_phrase_weights(
     return u_docs, pf
 
 
+_NUMERIC_SORT_FIELDS = ("warc_ts", "doc_len")
+
+
+def sort_order_mixed(urls, keys, fields) -> np.ndarray:
+    """Order indices for a multi-key sort over mixed int64 / string-object
+    key columns with the url-asc tiebreak last.  String keys are reduced
+    to dense int ranks (np.unique) with missing (None) mapped to +max so
+    missing sorts LAST regardless of direction (STRING_LAST); every key
+    then feeds one np.lexsort.  Ranks are order-isomorphic to the strings,
+    so per-segment truncation under this order merges exactly when the
+    merge pass re-ranks over the union (shared by SearchEngine and the
+    sharded driver merge)."""
+    cols = [urls]
+    for (f, d), k in zip(reversed(list(fields)), list(reversed(keys))):
+        if f in _NUMERIC_SORT_FIELDS:
+            cols.append(-k if d == "desc" else k)
+            continue
+        k = np.asarray(k, dtype=object)
+        mask = np.array([v is not None for v in k], dtype=bool)
+        ranks = np.full(k.size, np.iinfo(np.int64).max, dtype=np.int64)
+        if mask.any():
+            _, inv = np.unique(k[mask].astype("U"), return_inverse=True)
+            ranks[mask] = -inv if d == "desc" else inv
+        cols.append(ranks)
+    return np.lexsort(tuple(cols))
+
+
 def make_span_clause(
     kind: str,
     terms,
@@ -1780,60 +1807,55 @@ class SearchEngine:
         """Multi-key sort-by-field search — IndexSearcher.search(q, n,
         Sort(SortField, SortField, …)) with more than one key: matching is
         boolean (field sort reports no scores, the :meth:`search_sorted`
-        contract), results ordered by the stored per-doc numerics in
-        ``sort`` = [(field, 'asc'|'desc'), …] evaluated left-to-right with
-        the url-asc tiebreak last.  Sortable fields: 'warc_ts' (epoch-µs)
-        and 'doc_len' (the analyzed |D| of the text field) — the two
-        stored doc values.  The composite key + url is a total order, so
-        per-segment truncation at ``limit`` merges exactly (the BM25-path
-        argument).  Returns (url, <one int64 column per sort field>,
-        docid)."""
-        if not sort:
-            raise ValueError("sort must name at least one (field, dir) pair")
-        fields = []
-        for pair in sort:
-            if not (isinstance(pair, (tuple, list)) and len(pair) == 2):
-                raise ValueError(f"sort entries are (field, dir) pairs: {pair!r}")
-            f, d = pair
-            if f not in ("warc_ts", "doc_len"):
-                raise ValueError(
-                    f"unsupported sort field {f!r}: stored sortable doc "
-                    "values are 'warc_ts' and 'doc_len'"
-                )
-            if d not in ("asc", "desc"):
-                raise ValueError(f"sort direction must be asc|desc, got {d!r}")
-            if f in [x[0] for x in fields]:
-                raise ValueError(f"duplicate sort field {f!r}")
-            fields.append((f, d))
+        contract), results ordered by ``sort`` = [(field, 'asc'|'desc'),
+        …] evaluated left-to-right with the url-asc tiebreak last.
+
+        Sortable fields: the numeric doc values 'warc_ts' (epoch-µs) and
+        'doc_len' (analyzed |D| of the text field), plus any indexed
+        METADATA field — SortField.Type.STRING over the doc's minimum
+        analyzed term (:meth:`_doc_field_values`: SortedDocValues
+        ordinals reconstructed from the inverted index; multi-valued docs
+        take SortedSetSortField's 'min' selector).  Docs missing a string
+        field sort LAST regardless of direction (STRING_LAST
+        missingValue); the tokenized text column is rejected exactly like
+        Lucene rejects sorting a tokenized field without doc values.
+
+        The composite key + url is a total order, so per-segment
+        truncation at ``limit`` merges exactly (the BM25-path argument) —
+        string keys compare as the actual terms on both passes, so
+        segment-local rank reduction cannot reorder the merge.  Returns
+        (url, <one int64/string column per sort field>, docid)."""
+        coll = sanitize_collection(collection)
+        fields = self._validate_sort_spec(sort, coll)
         limit = limit if limit is not None else self.cfg.result_limit
         if limit <= 0:
             raise ValueError("limit must be positive")
-        coll = sanitize_collection(collection)
         clauses = parse_query(query, default_field=self.cfg.text_column)
         segs = self._segments.get(coll, [])
+        str_fields = {f for f, _ in fields if f not in _NUMERIC_SORT_FIELDS}
         empty = pa.table(
             {"url": pa.array([], pa.string()),
-             **{f: pa.array([], pa.int64()) for f, _ in fields},
+             **{f: pa.array(
+                    [], pa.string() if f in str_fields else pa.int64()
+                ) for f, _ in fields},
              "docid": pa.array([], pa.int64())}
         )
 
-        def _keys(r, matched):
+        def _keys(si, seg, matched):
+            r = seg.reader
             out = []
             for f, _ in fields:
-                src = (
-                    r.warc_ts if f == "warc_ts"
-                    else r.doc_len[self.cfg.text_column]
-                )
-                out.append(src[matched].astype(np.int64, copy=False))
+                if f == "warc_ts":
+                    out.append(r.warc_ts[matched].astype(np.int64, copy=False))
+                elif f == "doc_len":
+                    out.append(
+                        r.doc_len[self.cfg.text_column][matched].astype(
+                            np.int64, copy=False
+                        )
+                    )
+                else:
+                    out.append(self._doc_field_values(si, seg, f)[matched])
             return out
-
-        def _order(urls, keys):
-            # np.lexsort sorts by the LAST key first → feed (url, kN..k1)
-            cols = [urls] + [
-                (-k if d == "desc" else k)
-                for (f, d), k in zip(reversed(fields), reversed(keys))
-            ]
-            return np.lexsort(tuple(cols))
 
         parts = []
         for si, seg in enumerate(segs):
@@ -1841,14 +1863,17 @@ class SearchEngine:
             if matched.size == 0:
                 continue
             r = seg.reader
-            keys = _keys(r, matched)
-            order = _order(r.urls[matched], keys)[:limit]
+            keys = _keys(si, seg, matched)
+            order = sort_order_mixed(r.urls[matched], keys, fields)[:limit]
             parts.append(
                 pa.table(
                     {
                         "url": pa.array(r.urls[matched][order], pa.string()),
                         **{
-                            f: pa.array(k[order], pa.int64())
+                            f: pa.array(
+                                k[order],
+                                pa.string() if f in str_fields else pa.int64(),
+                            )
                             for (f, _), k in zip(fields, keys)
                         },
                         "docid": pa.array(
@@ -1860,11 +1885,88 @@ class SearchEngine:
         if not parts:
             return empty
         merged = pa.concat_tables(parts)
-        keys = [merged[f].to_numpy() for f, _ in fields]
-        order = _order(
-            merged["url"].to_numpy(zero_copy_only=False), keys
+        keys = [
+            merged[f].to_numpy(zero_copy_only=False) for f, _ in fields
+        ]
+        order = sort_order_mixed(
+            merged["url"].to_numpy(zero_copy_only=False), keys, fields
         )[:limit]
         return merged.take(pa.array(order))
+
+    def _validate_sort_spec(
+        self, sort: "list[tuple[str, str]]", coll: str
+    ) -> "list[tuple[str, str]]":
+        """Shared sort-spec validation for :meth:`search_sorted_by`:
+        numeric doc values ('warc_ts', 'doc_len') or any indexed metadata
+        field (STRING sort — see :meth:`_doc_field_values`); the text
+        column is rejected exactly like Lucene rejects sorting on a
+        tokenized field without doc values."""
+        if not sort:
+            raise ValueError("sort must name at least one (field, dir) pair")
+        known: set[str] = set()
+        for seg in self._segments.get(coll, []):
+            known.update(seg.reader.doc_len.keys())
+        fields: list[tuple[str, str]] = []
+        for pair in sort:
+            if not (isinstance(pair, (tuple, list)) and len(pair) == 2):
+                raise ValueError(f"sort entries are (field, dir) pairs: {pair!r}")
+            f, d = pair
+            if f not in _NUMERIC_SORT_FIELDS:
+                if f == self.cfg.text_column:
+                    raise ValueError(
+                        f"cannot sort on the tokenized text field {f!r} "
+                        "(Lucene parity: no doc values on a tokenized "
+                        "field); sortable: 'warc_ts', 'doc_len' or an "
+                        "indexed metadata field"
+                    )
+                if known and f not in known:
+                    raise ValueError(
+                        f"unsupported sort field {f!r}: not an indexed "
+                        f"field of this index (have {sorted(known)})"
+                    )
+            if d not in ("asc", "desc"):
+                raise ValueError(f"sort direction must be asc|desc, got {d!r}")
+            if f in [x[0] for x in fields]:
+                raise ValueError(f"duplicate sort field {f!r}")
+            fields.append((f, d))
+        return fields
+
+    def _doc_field_values(
+        self, si: int, seg: _LiveSegment, field: str
+    ) -> np.ndarray:
+        """Per-doc MINIMUM analyzed term of ``field`` — the SortedDocValues
+        ordinal analogue reconstructed lazily from the inverted index
+        (SortedSetSortField's 'min' selector for multi-valued docs; a
+        single-valued metadata field is plain SortField.Type.STRING).
+        Returns an object array of str with None for docs that carry no
+        term in the field (field evolution / empty values) — missing docs
+        sort LAST regardless of direction (Lucene STRING_LAST
+        missingValue, pinned in tests).  One bulk field decode + one
+        stable first-occurrence pass, cached per (segment, field) in the
+        postings LRU — cost bounded by the segment's field postings,
+        never the corpus."""
+        r = seg.reader
+        ck = (r.path, "sortvals", field)
+        sentinel = object()
+        hit = self._postings_cache.get(ck, sentinel)
+        if hit is not sentinel:
+            self._postings_cache.move_to_end(ck)
+            return hit
+        vals = np.full(r.n_docs, None, dtype=object)
+        if field in r.doc_len:
+            start, df, docids, _tfs = r.field_postings(field)
+            if docids.size:
+                local = r.local_ids(docids)
+                rep = np.repeat(np.arange(df.size, dtype=np.int64), df)
+                # postings are grouped by dictionary row (term asc), docid
+                # asc inside each row → the FIRST occurrence of a doc in
+                # row-major order is its minimum term (stable np.unique)
+                uniq, first_idx = np.unique(local, return_index=True)
+                vals[uniq] = r._terms[start + rep[first_idx]]
+        self._postings_cache[ck] = vals
+        if len(self._postings_cache) > self._postings_cache_size:
+            self._postings_cache.popitem(last=False)
+        return vals
 
     def more_like_this(
         self,

@@ -777,6 +777,7 @@ class ShardedSearcherService:
         num_shards = max(1, min(num_shards or min(P, 8), P))
         specs = shard_assignment(P, num_shards)
         self.num_partitions = P
+        self._fields = list(chain[-1].fields)
         self.shard_partitions = [spec["partitions"] for spec in specs]
         # classify's V (distinct text vocab) per collection — a property of
         # the generation-pinned fleet, gathered once per service lifetime
@@ -1590,7 +1591,13 @@ class ShardedSearcherService:
         """Cluster-wide multi-key sorted search — identical to
         SearchEngine.search_sorted_by on the whole index: per-shard
         top-``limit`` partials under the composite total order, exact
-        driver merge (integer sort keys, no float caveat)."""
+        driver merge (integer and STRING keys — strings merge on the
+        actual terms via the shared mixed-key kernel, no float caveat)."""
+        from lucene_plugin_ray.pipelines.query import (
+            _NUMERIC_SORT_FIELDS,
+            sort_order_mixed,
+        )
+
         limit = limit if limit is not None else self.cfg.result_limit
         if limit <= 0:
             raise ValueError("limit must be positive")
@@ -1599,8 +1606,16 @@ class ShardedSearcherService:
         fields = [tuple(p) for p in sort]
         seen = set()
         for f, d in fields:  # driver-side validation before any fan-out
-            if f not in ("warc_ts", "doc_len"):
-                raise ValueError(f"unsupported sort field {f!r}")
+            if f not in _NUMERIC_SORT_FIELDS:
+                # STRING sort over an indexed metadata field (the manifest
+                # carries the authoritative field list); the text column
+                # is rejected like Lucene's tokenized-field sort
+                if f == self.cfg.text_column or f not in self._fields:
+                    raise ValueError(
+                        f"unsupported sort field {f!r}: sortable are "
+                        f"'warc_ts', 'doc_len' or an indexed metadata "
+                        f"field of this index"
+                    )
             if d not in ("asc", "desc"):
                 raise ValueError(f"sort direction must be asc|desc, got {d!r}")
             if f in seen:
@@ -1611,23 +1626,28 @@ class ShardedSearcherService:
              for a in self.actors]
         )
         rows = [r for p in parts for r in p]
-        # row shape: (url, key1, ..., keyN, docid); sort left-to-right with
-        # per-key direction, url-asc tiebreak last
-        def _k(row):
-            key = []
-            for i, (_f, d) in enumerate(fields):
-                v = row[1 + i]
-                key.append(-v if d == "desc" else v)
-            key.append(row[0])
-            return tuple(key)
-
-        rows.sort(key=_k)
-        rows = rows[:limit]
+        # row shape: (url, key1, ..., keyN, docid) — the exact engine
+        # order via the shared mixed-key kernel (string keys re-ranked
+        # over the union, so shard-local truncation merges exactly)
+        str_fields = {f for f, _ in fields if f not in _NUMERIC_SORT_FIELDS}
+        if rows:
+            urls = np.array([r[0] for r in rows], dtype=object)
+            keys = [
+                np.array([r[1 + i] for r in rows], dtype=object)
+                if f in str_fields
+                else np.array([r[1 + i] for r in rows], dtype=np.int64)
+                for i, (f, _d) in enumerate(fields)
+            ]
+            order = sort_order_mixed(urls, keys, fields)[:limit]
+            rows = [rows[int(j)] for j in order]
         return pa.table(
             {
                 "url": pa.array([r[0] for r in rows], pa.string()),
                 **{
-                    f: pa.array([r[1 + i] for r in rows], pa.int64())
+                    f: pa.array(
+                        [r[1 + i] for r in rows],
+                        pa.string() if f in str_fields else pa.int64(),
+                    )
                     for i, (f, _d) in enumerate(fields)
                 },
                 "docid": pa.array([r[-1] for r in rows], pa.int64()),

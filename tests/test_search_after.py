@@ -397,3 +397,169 @@ def test_sorted_by_facade_and_http_round_trip(ray_session, tmp_path):
             assert ei.value.code == 400, bad
     finally:
         service.shutdown()
+
+
+# -------------------------------------------- STRING field sort -------------
+
+
+def _str_key(rows, descending):
+    """Missing-last composite key check helper: rows = (val|None, ts, url)."""
+    out = sorted(rows, key=lambda r: (r[2],))
+    out = sorted(out, key=lambda r: -r[1])
+    if descending:
+        out = sorted(
+            out, key=lambda r: (r[0] is not None, r[0] or ""), reverse=True
+        )
+    else:
+        out = sorted(out, key=lambda r: (r[0] is None, r[0] or ""))
+    return out
+
+
+def test_sorted_by_string_matches_bruteforce(built):
+    """STRING sort (SortField.Type.STRING over reconstructed ordinals):
+    (foo asc, warc_ts desc, url asc) full permutation identity, both
+    directions."""
+    _root, _cfg, eng = built
+    for d in ("asc", "desc"):
+        full = eng.search_sorted_by(
+            "w00001 w00002", [("foo", d), ("warc_ts", "desc")], limit=10**9
+        )
+        assert full.num_rows > 10
+        assert str(full.schema.field("foo").type) == "string"
+        rows = list(zip(full["foo"].to_pylist(), full["warc_ts"].to_pylist(),
+                        full["url"].to_pylist()))
+        assert rows == _str_key(rows, d == "desc"), d
+        assert full.num_rows == eng.count("w00001 w00002")
+
+
+def test_sorted_by_string_truncation_is_global_topk(built):
+    _root, _cfg, eng = built
+    full = eng.search_sorted_by(
+        "w00001", [("foo", "asc"), ("doc_len", "asc")], limit=10**9
+    )
+    top7 = eng.search_sorted_by(
+        "w00001", [("foo", "asc"), ("doc_len", "asc")], limit=7
+    )
+    assert top7.equals(full.slice(0, 7))
+
+
+def test_sorted_by_string_rejects_text_column(built):
+    _root, _cfg, eng = built
+    with pytest.raises(ValueError, match="tokenized text field"):
+        eng.search_sorted_by("w00001", [("text", "asc")])
+    with pytest.raises(ValueError, match="not an indexed field"):
+        eng.search_sorted_by("w00001", [("nope", "asc")])
+
+
+@pytest.fixture(scope="module")
+def str_sort_built(ray_session, tmp_path_factory):
+    """Tiny corpus pinning the corner semantics: multi-valued foo (min
+    selector), empty foo (missing), a delta-only field (evolution
+    missing on old segments)."""
+    from lucene_plugin_ray.pipelines.build import build_delta, build_index
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+
+    rows = [
+        ("u1", "common words here", "mid"),
+        ("u2", "common words here", "zeta alpha"),   # multi-valued → 'alpha'
+        ("u3", "common words here", ""),             # empty → missing
+        ("u4", "common words here", "aaa"),
+        ("u5", "common words here", "MID"),          # analyzes to 'mid' too
+    ]
+    root = str(tmp_path_factory.mktemp("idx_strsort"))
+    cfg = IndexConfig(index_root=root, num_partitions=2,
+                      field_columns=("foo",))
+    base = pa.table(
+        {
+            "url": [r[0] for r in rows],
+            "warc_ts": [1_600_000_000_000_000 + i for i in range(len(rows))],
+            "html": [b""] * len(rows),
+            "text": [r[1] for r in rows],
+            "lang": ["en"] * len(rows),
+            "foo": [r[2] for r in rows],
+        }
+    )
+    build_index(base, cfg)
+    return root, cfg, SearchEngine(root, cfg=cfg)
+
+
+def test_sorted_by_string_min_selector_and_missing(str_sort_built):
+    """Multi-valued docs sort by their MINIMUM analyzed term
+    (SortedSetSortField 'min'); empty values are missing and sort LAST in
+    BOTH directions (STRING_LAST missingValue)."""
+    _root, _cfg, eng = str_sort_built
+    asc = eng.search_sorted_by("common", [("foo", "asc")], limit=10)
+    assert asc["url"].to_pylist() == ["u4", "u2", "u1", "u5", "u3"]
+    assert asc["foo"].to_pylist() == ["aaa", "alpha", "mid", "mid", None]
+    desc = eng.search_sorted_by("common", [("foo", "desc")], limit=10)
+    assert desc["url"].to_pylist() == ["u1", "u5", "u2", "u4", "u3"]
+    assert desc["foo"].to_pylist() == ["mid", "mid", "alpha", "aaa", None]
+
+
+def test_sorted_by_string_field_evolution_missing(str_sort_built, tmp_path):
+    """A field added by a later generation: old-segment docs carry no
+    term and sort last — the append-only evolution contract."""
+    import shutil
+
+    from lucene_plugin_ray.pipelines.build import build_delta
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+
+    root0, cfg0, _ = str_sort_built
+    root = str(tmp_path / "evo")
+    shutil.copytree(root0, root)
+    cfg2 = IndexConfig(index_root=root, num_partitions=2,
+                       field_columns=("foo", "bar"))
+    delta = pa.table(
+        {
+            "url": ["u6"],
+            "warc_ts": [1_600_000_000_900_000],
+            "html": [b""],
+            "text": ["common words here"],
+            "lang": ["en"],
+            "foo": ["bbb"],
+            "bar": ["first"],
+        }
+    )
+    build_delta(delta, cfg2)
+    eng = SearchEngine(root, cfg=cfg2)
+    t = eng.search_sorted_by("common", [("bar", "asc")], limit=10)
+    assert t["url"].to_pylist()[0] == "u6"          # the only doc WITH bar
+    assert t["bar"].to_pylist()[0] == "first"
+    assert set(t["bar"].to_pylist()[1:]) == {None}  # evolution missing, last
+    assert t.num_rows == 6
+
+
+def test_sorted_by_string_sharded_identity(str_sort_built):
+    from lucene_plugin_ray.pipelines.sharded import ShardedSearcherService
+
+    root, cfg, eng = str_sort_built
+    svc = ShardedSearcherService(root, cfg=cfg, num_shards=2)
+    try:
+        for sort in ([("foo", "asc")], [("foo", "desc"), ("warc_ts", "asc")]):
+            for limit in (2, 100):
+                single = eng.search_sorted_by("common", sort, limit=limit)
+                fleet = svc.search_sorted_by("common", sort, limit=limit)
+                assert fleet.equals(single), (sort, limit)
+        with pytest.raises(ValueError):
+            svc.search_sorted_by("common", [("text", "asc")])
+        with pytest.raises(ValueError):
+            svc.search_sorted_by("common", [("nope", "asc")])
+    finally:
+        svc.shutdown()
+
+
+def test_sorted_by_string_http_round_trip(ray_session, tmp_path):
+    from lucene_plugin_ray.server import LuceneHttpClient, LuceneHttpService
+
+    cfg = IndexConfig(index_root=str(tmp_path / "idx"), num_partitions=2,
+                      field_columns=("foo",))
+    service = LuceneHttpService(cfg, host="127.0.0.1", port=0).start()
+    try:
+        c = LuceneHttpClient(service.url)
+        c.index_map("col", "a", {"text": "alpha beta", "foo": "zz"})
+        c.index_map("col", "b", {"text": "alpha", "foo": "aa"})
+        rows = c.search_sorted_by("col", "alpha", [["foo", "asc"]])
+        assert [r["externalId"] for r in rows] == ["b", "a"]
+        assert [r["foo"] for r in rows] == ["aa", "zz"]
+    finally:
+        service.shutdown()
