@@ -1036,6 +1036,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         clamps still match at score 0.0 (Lucene parity)."""
         return _search_all_sim(sf_dir, "lmdirichlet")
 
+    def search_jelinekmercer(sf_dir: str) -> pa.Table:
+        """LMJelinekMercerSimilarity(λ=0.1): ln(1 + (0.9·tf/dl)/
+        (0.1·ttf/sum_dl)) per matching term — strictly positive, no clamp
+        row like lmdirichlet's."""
+        return _search_all_sim(sf_dir, "lmjelinekmercer")
+
+    def search_dfr(sf_dir: str) -> pa.Table:
+        """DFR I(n)L2 (BasicModelIn · AfterEffectL · NormalizationH2(c=1)):
+        tfn = tf·log2(1+avgdl/dl); score = tfn/(1+tfn) ·
+        log2((N+1)/(df+0.5)) per matching term."""
+        return _search_all_sim(sf_dir, "dfr_inl2")
+
     def search_boolean_sim(sf_dir: str) -> pa.Table:
         """BooleanSimilarity: every matching term contributes exactly 1.0
         — the scored OR degenerates to a coordination count."""
@@ -1439,6 +1451,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_mm": search_mm,
         "search_classic": search_classic,
         "search_lmdirichlet": search_lmdirichlet,
+        "search_jelinekmercer": search_jelinekmercer,
+        "search_dfr": search_dfr,
         "search_boolean_sim": search_boolean_sim,
         "autocomplete": autocomplete,
         "search_grouped": search_grouped,
@@ -1610,6 +1624,28 @@ ORDER BY doc_id
         "FROM tf\nJOIN df USING (term)\nJOIN ttf ON ttf.term = tf.term\n"
         "CROSS JOIN tot",
     )
+    sql["search_jelinekmercer"] = _sim_sql(
+        "sum(ln(1.0 + (0.9 * tf.tf / docs.dl)"
+        " / (0.1 * (ttf.ttf * 1.0 / tot.sumdl))))",
+        extra_ctes=(
+            ",\nttf AS (SELECT term, count(*) AS ttf FROM toks GROUP BY term)"
+            ",\ntot AS (SELECT count(*) AS sumdl FROM toks)"
+        ),
+    ).replace(
+        "FROM tf\nJOIN df USING (term)",
+        "FROM tf\nJOIN df USING (term)\nJOIN ttf ON ttf.term = tf.term\n"
+        "CROSS JOIN tot",
+    )
+    # DFR I(n)L2: tfn/(1+tfn) · log2((N+1)/(df+0.5)), tfn = tf·log2(1+avgdl/dl)
+    sql["search_dfr"] = _sim_sql(
+        "sum((tf.tf * ln(1.0 + av.avgdl / docs.dl) / ln(2.0))"
+        " / (1.0 + tf.tf * ln(1.0 + av.avgdl / docs.dl) / ln(2.0))"
+        " * (ln((s.n + 1.0) / (df.df + 0.5)) / ln(2.0)))",
+        extra_ctes=(
+            ",\nav AS (SELECT sum(dl) * 1.0 / count(*) AS avgdl FROM docs)"
+        ),
+    ).replace("CROSS JOIN stats s", "CROSS JOIN stats s\nCROSS JOIN av")
+
     # deep pagination: hits with round-4 score <= the k-th largest round-4
     # score, k = max(1, n//3) — the SQL mirror of the engine's strictly-
     # after-anchor predicate at anchor = round4@k + 0.00005 (see the entry

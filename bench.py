@@ -250,6 +250,13 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
                                        score_mode="total", limit=10),
         lambda: eng.block_join_children("spark merge", "lang:de", "source",
                                         limit=10),
+        lambda: eng.span_near(["spark", "merge"], slop=2, limit=10),
+        lambda: eng.span_near(["merge", "spark"], slop=2, in_order=False,
+                              limit=10),
+        lambda: eng.span_not("spark", "merge", pre=1, post=2, limit=10),
+        lambda: eng.search_sorted_by(
+            "spark merge", [("source", "asc"), ("warc_ts", "desc")], limit=10
+        ),
     ]
     for op in aux_ops:  # warm the postings/dictionary caches
         op()

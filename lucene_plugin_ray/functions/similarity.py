@@ -34,6 +34,13 @@ term frequency, ``sum_dl`` = corpus-global token count of the field):
   match with total score 0.0 and the engine's matched set must be tracked
   explicitly, not inferred from score > 0 (``positive`` False below).
 
+* ``lmjelinekmercer`` — LMJelinekMercerSimilarity(λ=0.1):
+  score = ln(1 + ((1−λ)·tf/dl)/(λ·ttf/sum_dl)) — strictly positive for a
+  matching posting, so the LM clamp never binds.
+
+* ``dfr_inl2`` — DFRSimilarity(I(n), L, H2(c=1)): tfn = tf·log2(1 +
+  avgdl/dl); score = tfn/(1+tfn) · log2((N+1)/(df+0.5)).
+
 Phrase clauses score as a pseudo-term (tf = phrase frequency): w is the SUM
 of the constituent terms' weights for bm25/classic (Lucene PhraseWeight
 aggregates idfs the same way); for lmdirichlet p(t|C) sums the constituent
@@ -196,6 +203,97 @@ class LMDirichletSimilarity(Similarity):
         return self._bound(ttf_sum, n_docs, avgdl)
 
 
+class LMJelinekMercerSimilarity(Similarity):
+    """LMJelinekMercerSimilarity(λ): per term
+    ``ln(1 + ((1−λ)·tf/dl) / (λ·p(t|C)))`` with the house collection
+    probability ``p = ttf/sum_dl`` (the lmdirichlet convention above).
+    The argument of log1p is strictly positive for any matching posting
+    (tf ≥ 1 ⇒ dl ≥ 1), so the LMSimilarity clamp never binds and
+    ``positive`` stays True.  λ defaults to 0.1 (Lucene's short-query
+    recommendation; constructor-tunable like mu)."""
+
+    name = "lmjelinekmercer"
+    needs_ttf = True
+
+    def __init__(self, lam: float = 0.1):
+        if not (0.0 < lam < 1.0):
+            raise ValueError("lambda must be in (0, 1)")
+        self.lam = float(lam)
+
+    def _bound(self, ttf: int, n_docs: int, avgdl: float) -> ScoreFn:
+        lam = self.lam
+        sum_dl = round(avgdl * n_docs)  # exact — see LMDirichlet._bound
+        if ttf <= 0 or sum_dl <= 0:
+            return lambda tfs, dls: np.zeros(len(tfs), dtype=np.float64)
+        lam_p = lam * (float(ttf) / float(sum_dl))
+
+        def f(tfs, dls):
+            return np.log1p(
+                (1.0 - lam)
+                * tfs.astype(np.float64)
+                / dls.astype(np.float64)
+                / lam_p
+            )
+
+        return f
+
+    def scorer(self, df, ttf, n_docs, avgdl):
+        return self._bound(ttf, n_docs, avgdl)
+
+    def phrase_scorer(self, dfs, ttf_sum, n_docs, avgdl):
+        return self._bound(ttf_sum, n_docs, avgdl)
+
+
+_LOG2 = math.log(2.0)
+
+
+class DFRInL2Similarity(Similarity):
+    """DFRSimilarity(BasicModelIn, AfterEffectL, NormalizationH2(c=1)) —
+    the classic I(n)L2 divergence-from-randomness combination:
+
+    * H2 length normalization: ``tfn = tf · log2(1 + c·avgdl/dl)``;
+    * I(n) information content: ``tfn · log2((N+1)/(df+0.5))``;
+    * L after-effect: ``1/(1+tfn)``;
+    * score = product of the last two (boost multiplies outside, like
+      every similarity here).
+
+    Phrase pseudo-terms sum the constituent I(n) weights
+    ``log2((N+1)/(df+0.5))`` (the bm25/classic summed-idf pattern) and
+    normalize the PHRASE frequency."""
+
+    name = "dfr_inl2"
+
+    def __init__(self, c: float = 1.0):
+        if c <= 0:
+            raise ValueError("c must be positive")
+        self.c = float(c)
+
+    def _bound(self, w: float, avgdl: float) -> ScoreFn:
+        c = self.c
+
+        def f(tfs, dls):
+            tfn = tfs.astype(np.float64) * (
+                np.log1p(c * avgdl / dls.astype(np.float64)) / _LOG2
+            )
+            return w * tfn / (1.0 + tfn)
+
+        return f
+
+    def scorer(self, df, ttf, n_docs, avgdl):
+        w = (
+            math.log((n_docs + 1.0) / (df + 0.5)) / _LOG2 if df > 0 else 0.0
+        )
+        return self._bound(w, avgdl)
+
+    def phrase_scorer(self, dfs, ttf_sum, n_docs, avgdl):
+        w = sum(
+            math.log((n_docs + 1.0) / (d + 0.5)) / _LOG2
+            for d in dfs
+            if d > 0
+        )
+        return self._bound(w, avgdl)
+
+
 def resolve_similarity(
     spec: "str | Similarity | None", k1: float, b: float
 ) -> Similarity:
@@ -214,8 +312,12 @@ def resolve_similarity(
         return BooleanSimilarity()
     if spec == "lmdirichlet":
         return LMDirichletSimilarity()
+    if spec == "lmjelinekmercer":
+        return LMJelinekMercerSimilarity()
+    if spec == "dfr_inl2":
+        return DFRInL2Similarity()
     raise ValueError(
         f"unknown similarity {spec!r} "
-        "(expected bm25 | classic | boolean | lmdirichlet, "
-        "or a Similarity instance)"
+        "(expected bm25 | classic | boolean | lmdirichlet | "
+        "lmjelinekmercer | dfr_inl2, or a Similarity instance)"
     )

@@ -20,7 +20,7 @@ from lucene_plugin_ray.pipelines.fixtures import make_pages
 from lucene_plugin_ray.pipelines.oracle import OracleIndex
 
 N_DOCS = 300
-SIMS = ["bm25", "classic", "boolean", "lmdirichlet"]
+SIMS = ["bm25", "classic", "boolean", "lmdirichlet", "lmjelinekmercer", "dfr_inl2"]
 QUERIES = [
     "w00000",
     "w00001 w00005 w00020",
@@ -69,12 +69,20 @@ def _brute(oracle: OracleIndex, sim: str, terms, musts=(), field="text"):
                 s = math.sqrt(tf) * w * w / math.sqrt(dl)
             elif sim == "boolean":
                 s = 1.0
-            else:  # lmdirichlet
+            elif sim == "lmdirichlet":
                 mu = 2000.0
                 v = math.log(1 + tf / (mu * ttf / sum_dl)) + math.log(
                     mu / (dl + mu)
                 )
                 s = max(v, 0.0)
+            elif sim == "lmjelinekmercer":
+                lam = 0.1
+                s = math.log(
+                    1 + (1 - lam) * tf / dl / (lam * ttf / sum_dl)
+                )
+            else:  # dfr_inl2
+                tfn = tf * math.log2(1 + avgdl / dl)
+                s = tfn / (1 + tfn) * math.log2((n + 1) / (df + 0.5))
             scores[d] = scores.get(d, 0.0) + s
             matched.setdefault(d, set()).add(t)
     out = {}
@@ -99,7 +107,7 @@ def test_matches_brute_force(built, sim, query):
         assert abs(s - exp[u]) < 1e-9, f"{sim} {query} {u}: {s} vs {exp[u]}"
 
 
-@pytest.mark.parametrize("sim", ["classic", "lmdirichlet"])
+@pytest.mark.parametrize("sim", ["classic", "lmdirichlet", "lmjelinekmercer", "dfr_inl2"])
 def test_pure_and_equals_taat(built, sim):
     # the galloping intersection is gated off for method='bmw' (falls back
     # to TAAT) — the two paths must agree under every similarity
@@ -229,7 +237,7 @@ def test_lmdirichlet_search_after_pages_with_zero_scores(
     assert got.equals(full)
 
 
-@pytest.mark.parametrize("sim", ["classic", "lmdirichlet", "boolean"])
+@pytest.mark.parametrize("sim", ["classic", "lmdirichlet", "boolean", "lmjelinekmercer", "dfr_inl2"])
 def test_explain_sum_equals_search(built, sim):
     cfg, engines, oracle = built
     eng = engines[sim]
