@@ -1378,6 +1378,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             value_source="doc_len",
         )
 
+    def search_expr(sf_dir: str) -> pa.Table:
+        """Expression-scored search (Lucene expressions module /
+        JavascriptCompiler): '_score * k / (k + doc_len) + sqrt(doc_len)
+        * 0.001' with the binding k=50 — sqrt is correctly rounded by
+        IEEE and every other op is plain float64 arithmetic in the SAME
+        tree shape on both sides, so only the BM25 sum order differs;
+        round-4 on the final value.  limit=ALL: no top-k boundary."""
+        from lucene_plugin_ray.sources.pages import url_to_doc_id
+
+        engine, cfg = _engine_for(sf_dir)
+        res = engine.search_expression(
+            _OR_Q, "_score * k / (k + doc_len) + sqrt(doc_len) * 0.001",
+            bindings={"k": 50.0}, limit=1_000_000_000,
+        )
+        return pa.table(
+            {
+                "doc_id": url_to_doc_id(res["url"].combine_chunks()),
+                "score": pc.round(res["score"].combine_chunks(), ndigits=4),
+            }
+        ).sort_by("doc_id")
+
     def search_function(sf_dir: str) -> pa.Table:
         """Function-scored search (FunctionScoreQuery recency decay):
         final = bm25 · scale/(scale + age_us), age = now − warc_ts with
@@ -1422,6 +1443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classify_knn": classify_knn_q,
         "facet_ranges": facet_ranges,
         "search_function": search_function,
+        "search_expr": search_expr,
         "top_terms": top_terms,
         "search_term": search_term,
         "search_or": search_or,
@@ -1775,6 +1797,17 @@ SELECT doc_id,
               greatest({_FN_NOW_US} - (doc_id + {_PAGES_EPOCH_US}), 0))),
              4) AS score
 FROM b ORDER BY doc_id
+"""
+    # expressions module: the same float64 tree over dl (analyzed |D|)
+    sql["search_expr"] = f"""
+WITH b AS (SELECT doc_id, score FROM ({_bm25_sql(or_terms, round_to=None)})),
+raw2 AS ({_TOKS.format(col="text")}),
+t2 AS (SELECT doc_id, term FROM raw2 WHERE term <> ''
+       AND length(term) <= 255 AND term NOT IN {SQL_STOPWORD_LIST}),
+dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY doc_id)
+SELECT b.doc_id AS doc_id,
+       round(b.score * 50.0 / (50.0 + dl.dl) + sqrt(dl.dl) * 0.001, 4) AS score
+FROM b JOIN dl USING (doc_id) ORDER BY doc_id
 """
     # prefix autocompletion: live-vocab terms LIKE 's%', df = distinct docs,
     # rank (df desc, term asc) top 10

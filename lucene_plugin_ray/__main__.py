@@ -100,6 +100,16 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--limit", type=int, default=None)
     s.add_argument("--partitions", type=int, default=32)
     s.add_argument("--fields", default="")
+    s = sub.add_parser("search-expression")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--expression", required=True)
+    s.add_argument("--bindings", default="{}",
+                   help="JSON object of scalar variable bindings")
+    s.add_argument("--collection", default="default")
+    s.add_argument("--limit", type=int, default=None)
+    s.add_argument("--partitions", type=int, default=32)
+    s.add_argument("--fields", default="")
     s = sub.add_parser(
         "span",
         help="span queries (Lucene queries.spans): --kind near|first|not",
@@ -340,6 +350,16 @@ def main(argv: list[str] | None = None) -> int:
         eng = SearchEngine(args.index, cfg=cfg)
         for row in eng.index_stats(collection=args.collection).to_pylist():
             print(json.dumps(row))
+    elif args.cmd == "search-expression":
+        from lucene_plugin_ray.pipelines.query import SearchEngine
+
+        eng = SearchEngine(args.index, cfg=cfg)
+        t = eng.search_expression(
+            args.query, args.expression, bindings=json.loads(args.bindings),
+            collection=args.collection, limit=args.limit,
+        )
+        for url, score in zip(t["url"].to_pylist(), t["score"].to_pylist()):
+            print(json.dumps({"url": url, "score": round(score, 6)}))
     elif args.cmd == "span":
         from lucene_plugin_ray.pipelines.query import SearchEngine
 

@@ -379,6 +379,35 @@ class LuceneFacade:
             )
         ]
 
+    def search_expression(
+        self,
+        collection: str,
+        query: str,
+        expression: str,
+        bindings: dict | None = None,
+        limit: int | None = None,
+    ) -> list[LuceneEntry]:
+        """Expression-scored search (expressions module /
+        FunctionScoreQuery): final score = the compiled arithmetic
+        ``expression`` over _score / doc_len / warc_ts / ``bindings``."""
+        _require(_valid_str(collection), "collection must be a non-empty string")
+        _require(_valid_str(query), "query must be a non-empty string")
+        _require(_valid_str(expression),
+                 "expression must be a non-empty string")
+        eng = self._lease_engine()
+        if eng is None:
+            return []
+        t = eng.search_expression(
+            query, expression, bindings=bindings, collection=collection,
+            limit=limit,
+        )
+        return [
+            LuceneEntry(id=int(d), score=float(s), external_id=u)
+            for d, s, u in zip(
+                t["docid"].to_pylist(), t["score"].to_pylist(), t["url"].to_pylist()
+            )
+        ]
+
     def span_near(
         self,
         collection: str,
@@ -1003,6 +1032,21 @@ class AsyncLuceneFacade:
 
         return await asyncio.to_thread(
             self._sync.search_filtered, collection, query, filter_query, limit
+        )
+
+    async def search_expression(
+        self,
+        collection: str,
+        query: str,
+        expression: str,
+        bindings: dict | None = None,
+        limit: int | None = None,
+    ) -> list[LuceneEntry]:
+        import asyncio
+
+        return await asyncio.to_thread(
+            self._sync.search_expression, collection, query, expression,
+            bindings, limit,
         )
 
     async def span_near(

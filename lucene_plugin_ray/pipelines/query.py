@@ -1140,6 +1140,135 @@ class SearchEngine:
         )[:limit]
         return merged.take(pa.array(order))
 
+    def search_expression(
+        self,
+        query: str,
+        expression: str,
+        bindings: dict[str, float] | None = None,
+        collection: str = "default",
+        limit: int | None = None,
+        global_stats: dict[str, dict] | None = None,
+        global_df: dict[tuple[str, str], int] | None = None,
+        global_ttf: dict[tuple[str, str], int] | None = None,
+    ) -> pa.Table:
+        """Expression-scored search — the Lucene expressions module
+        (JavascriptCompiler + FunctionScoreQuery): ``expression`` is a
+        safe arithmetic source compiled against the variables ``_score``
+        (the base query's similarity score), ``doc_len`` (analyzed |D| of
+        the text field), ``warc_ts`` (epoch-µs) and any caller-supplied
+        scalar ``bindings`` (e.g. an explicit ``now`` — never the wall
+        clock; functions/expressions.py documents the whitelist grammar).
+
+        The final score is the expression value; matching is the base
+        query's.  Like :meth:`search_function`, the weight is
+        doc-dependent so the full match set is scored per segment, then
+        truncated under the (final desc, url asc) total order — the merge
+        stays exact.  An expression yielding NaN for any scored doc is a
+        loud error (NaN breaks the total order); ±inf is allowed and
+        sorts like IEEE doubles.  ``search_function(now, scale)`` is the
+        special case ``_score * scale / (scale + max(0, now - warc_ts))``
+        — pinned bit-identical in tests.  Injection params follow the
+        :meth:`search_partial` sharded contract."""
+        from lucene_plugin_ray.functions.expressions import compile_expression
+
+        bindings = dict(bindings or {})
+        reserved = {"_score", "doc_len", "warc_ts"}
+        for k, v in bindings.items():
+            if k in reserved:
+                raise ValueError(f"binding {k!r} shadows a built-in variable")
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                raise ValueError(
+                    f"binding {k!r} must be a number, got {type(v).__name__}"
+                )
+            bindings[k] = float(v)
+        expr_fn, _used = compile_expression(
+            expression, reserved | set(bindings)
+        )
+        limit = limit if limit is not None else self.cfg.result_limit
+        if limit <= 0:
+            raise ValueError("limit must be positive")
+        coll = sanitize_collection(collection)
+        clauses = parse_query(query, default_field=self.cfg.text_column)
+        segs = self._segments.get(coll, [])
+        empty = pa.table(
+            {"url": pa.array([], pa.string()),
+             "score": pa.array([], pa.float64()),
+             "docid": pa.array([], pa.int64())}
+        )
+        if not clauses or not segs:
+            return empty
+        if global_stats is not None:
+            st = global_stats.get(coll, {"n_docs": 0, "sum_dl": {}})
+            n_docs = int(st["n_docs"])
+            avgdl = (
+                {f: s / n_docs for f, s in st["sum_dl"].items()}
+                if n_docs
+                else {}
+            )
+        else:
+            n_docs, avgdl = self._stats(coll)
+        if n_docs == 0:
+            return empty
+        cache, rows, df_map, ttf_map = self._phase1_df(
+            clauses, segs, global_df, global_ttf
+        )
+        parts = []
+        for si, seg in enumerate(segs):
+            t = self._score_segment_taat(
+                si, seg, clauses, cache, rows, df_map, n_docs, avgdl,
+                limit=seg.reader.n_docs, global_ttf=ttf_map,
+            )
+            if not t.num_rows:
+                continue
+            r = seg.reader
+            local = t["docid"].to_numpy() - r.doc_base
+            env = {
+                "_score": t["score"].to_numpy(),
+                "doc_len": r.doc_len[self.cfg.text_column][local].astype(
+                    np.float64
+                ),
+                "warc_ts": r.warc_ts[local].astype(np.float64),
+                **bindings,
+            }
+            # IEEE semantics without warning spam: /0 and invalid ops
+            # produce inf/NaN silently here, then NaN is rejected below
+            with np.errstate(invalid="ignore", divide="ignore"):
+                final = np.asarray(expr_fn(env), dtype=np.float64)
+            if final.shape != (t.num_rows,):
+                # a constant expression broadcasts to the match set
+                final = np.broadcast_to(final, (t.num_rows,)).astype(
+                    np.float64
+                )
+            if np.isnan(final).any():
+                raise ValueError(
+                    f"expression {expression!r} produced NaN for "
+                    f"{int(np.isnan(final).sum())} scored doc(s) — NaN "
+                    "breaks the (score desc, url asc) total order"
+                )
+            urls = t["url"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((urls, -final))[:limit]
+            parts.append(
+                pa.table(
+                    {
+                        "url": pa.array(urls[order], type=pa.string()),
+                        "score": pa.array(final[order], type=pa.float64()),
+                        "docid": pa.array(
+                            t["docid"].to_numpy()[order], type=pa.int64()
+                        ),
+                    }
+                )
+            )
+        if not parts:
+            return empty
+        merged = pa.concat_tables(parts)
+        order = np.lexsort(
+            (
+                merged["url"].to_numpy(zero_copy_only=False),
+                -merged["score"].to_numpy(),
+            )
+        )[:limit]
+        return merged.take(pa.array(order))
+
     def search_filtered(
         self,
         query: str,

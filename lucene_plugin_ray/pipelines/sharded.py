@@ -563,6 +563,20 @@ class _ShardActor:
         return list(zip(t["url"].to_pylist(), t["score"].to_pylist(),
                         t["docid"].to_pylist()))
 
+    def search_expression_partial(
+        self, query: str, expression: str, bindings: dict, collection: str,
+        limit: int, global_stats: dict, global_df: dict,
+    ) -> list[tuple[str, float, int]]:
+        """This shard's expression-scored top-``limit`` with INJECTED
+        global stats — the search_function_partial shape for the
+        expressions module."""
+        t = self.engine.search_expression(
+            query, expression, bindings=bindings, collection=collection,
+            limit=limit, global_stats=global_stats, global_df=global_df,
+        )
+        return list(zip(t["url"].to_pylist(), t["score"].to_pylist(),
+                        t["docid"].to_pylist()))
+
     def search_after_partial(
         self, query: str, after_score: float, after_url: str,
         collection: str, limit: int, global_stats: dict, global_df: dict,
@@ -1114,6 +1128,65 @@ class ShardedSearcherService:
         parts = ray.get(
             [a.search_function_partial.remote(
                 query, int(now_us), int(scale_us), collection, limit,
+                global_stats, global_df.get(sc, {}))
+             for a in self.actors]
+        )
+        rows = [r for p in parts for r in p]
+        if not rows:
+            return pa.table(
+                {"url": pa.array([], pa.string()),
+                 "score": pa.array([], pa.float64()),
+                 "docid": pa.array([], pa.int64())}
+            )
+        url = np.array([r[0] for r in rows], dtype=object)
+        score = np.array([r[1] for r in rows], dtype=np.float64)
+        docid = np.array([r[2] for r in rows], dtype=np.int64)
+        order = np.lexsort((url, -score))[:limit]
+        return pa.table(
+            {
+                "url": pa.array(url[order], type=pa.string()),
+                "score": pa.array(score[order], type=pa.float64()),
+                "docid": pa.array(docid[order], type=pa.int64()),
+            }
+        )
+
+    def search_expression(
+        self,
+        query: str,
+        expression: str,
+        bindings: dict | None = None,
+        collection: str = "default",
+        limit: int | None = None,
+    ) -> pa.Table:
+        """Cluster-wide expression-scored search (expressions module):
+        driver-side compile/validation BEFORE fan-out (bad source or an
+        unknown variable costs zero remote work), phase-1 global df
+        gather, per-shard post-expression top-``limit`` partials with
+        injected stats, exact driver merge — identical to
+        SearchEngine.search_expression on the whole index."""
+        from lucene_plugin_ray.functions.expressions import compile_expression
+
+        bindings = dict(bindings or {})
+        reserved = {"_score", "doc_len", "warc_ts"}
+        for k, v in bindings.items():
+            if k in reserved:
+                raise ValueError(f"binding {k!r} shadows a built-in variable")
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                raise ValueError(
+                    f"binding {k!r} must be a number, got {type(v).__name__}"
+                )
+            bindings[k] = float(v)
+        compile_expression(expression, reserved | set(bindings))
+        limit = limit if limit is not None else self.cfg.result_limit
+        if limit <= 0:
+            raise ValueError("limit must be positive")
+        sc = sanitize_collection(collection)
+        clauses = parse_query(query, default_field=self.cfg.text_column)
+        terms = {sc: sorted(set(scored_term_keys(clauses)))}
+        global_stats, global_df = self._gather_global(terms)
+        parts = ray.get(
+            [a.search_expression_partial.remote(
+                query, expression, bindings, collection, limit,
                 global_stats, global_df.get(sc, {}))
              for a in self.actors]
         )

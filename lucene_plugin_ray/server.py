@@ -211,6 +211,30 @@ class LuceneHttpService:
             for e in entries
         ]
 
+    def _search_expression(self, q: dict) -> list[dict]:
+        limit = self._limit_of(q)
+        bindings = {}
+        if q.get("bindings"):
+            try:
+                bindings = json.loads(q["bindings"])
+            except json.JSONDecodeError as e:
+                raise LuceneException(f"bindings must be a JSON object: {e}")
+            if not isinstance(bindings, dict):
+                raise LuceneException("bindings must be a JSON object")
+        with self._lock:
+            self._read_your_writes()
+            try:
+                entries = self.facade.search_expression(
+                    q.get("collection", ""), q.get("query", ""),
+                    q.get("expression", ""), bindings=bindings, limit=limit,
+                )
+            except ValueError as e:  # ExpressionError subclasses ValueError
+                raise LuceneException(str(e))
+        return [
+            {"_id": e.id, "_score": e.score, "_externalId": e.external_id}
+            for e in entries
+        ]
+
     def _span_near(self, q: dict) -> list[dict]:
         limit = self._limit_of(q)
         try:
@@ -622,6 +646,7 @@ class LuceneHttpService:
         "search-after": _search_after,
         "rescore": _rescore,
         "search-filtered": _search_filtered,
+        "search-expression": _search_expression,
         "span-near": _span_near,
         "span-first": _span_first,
         "span-not": _span_not,
@@ -736,6 +761,19 @@ class LuceneHttpClient:
             "search-filtered",
             {"collection": collection, "query": query,
              "filter_query": filter_query, "limit": limit},
+        )
+
+    def search_expression(
+        self, collection: str, query: str, expression: str,
+        bindings: dict | None = None, limit: int = 255,
+    ) -> list[dict]:
+        import json as _json
+
+        return self._get(
+            "search-expression",
+            {"collection": collection, "query": query,
+             "expression": expression,
+             "bindings": _json.dumps(bindings or {}), "limit": limit},
         )
 
     def span_near(
