@@ -985,6 +985,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         engine, cfg = _engine_for(sf_dir)
         return engine.complete("s", k=10)
 
+    def autocomplete_infix(sf_dir: str) -> pa.Table:
+        """Infix autocompletion (AnalyzingInfixSuggester analogue): live
+        text-vocabulary terms CONTAINING 'ar' anywhere, ranked
+        (df desc, term asc), top 10 — a fragment no prefix scan can
+        serve."""
+        engine, cfg = _engine_for(sf_dir)
+        return engine.complete_infix("ar", k=10)
+
     def search_mm(sf_dir: str) -> pa.Table:
         """minimum_should_match (BooleanQuery.setMinimumNumberShouldMatch):
         'spark window merge' requiring ≥ 2 of the 3 SHOULD terms — scores
@@ -1477,6 +1485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_dfr": search_dfr,
         "search_boolean_sim": search_boolean_sim,
         "autocomplete": autocomplete,
+        "autocomplete_infix": autocomplete_infix,
         "search_grouped": search_grouped,
         "facets_stats": facets_stats,
         "search_facets": search_facets,
@@ -1811,6 +1820,13 @@ FROM b JOIN dl USING (doc_id) ORDER BY doc_id
 """
     # prefix autocompletion: live-vocab terms LIKE 's%', df = distinct docs,
     # rank (df desc, term asc) top 10
+    sql["autocomplete_infix"] = f"""
+{_toks_cte()},
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term LIKE '%ar%' GROUP BY term)
+SELECT term, CAST(df AS BIGINT) AS df FROM df
+ORDER BY df DESC, term ASC LIMIT 10
+"""
     sql["autocomplete"] = f"""
 {_toks_cte()},
 df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks

@@ -76,7 +76,7 @@ def main(argv: list[str] | None = None) -> int:
         if name == "delete":
             s.add_argument("--collection", default="default")
             s.add_argument("--urls", required=True, help="comma-separated urls")
-    for name in ("count", "facets", "suggest", "complete"):
+    for name in ("count", "facets", "suggest", "complete", "complete-infix"):
         s = sub.add_parser(name)
         s.add_argument("--index", required=True)
         s.add_argument("--collection", default="default")
@@ -87,6 +87,9 @@ def main(argv: list[str] | None = None) -> int:
             s.add_argument("--k", type=int, default=5)
         elif name == "complete":
             s.add_argument("--prefix", required=True)
+            s.add_argument("--k", type=int, default=5)
+        elif name == "complete-infix":
+            s.add_argument("--fragment", required=True)
             s.add_argument("--k", type=int, default=5)
         else:
             s.add_argument("--query", required=True)
@@ -332,6 +335,15 @@ def main(argv: list[str] | None = None) -> int:
 
         eng = SearchEngine(args.index, cfg=cfg)
         t = eng.complete(args.prefix, collection=args.collection, k=args.k)
+        for row in t.to_pylist():
+            print(json.dumps(row))
+    elif args.cmd == "complete-infix":
+        from lucene_plugin_ray.pipelines.query import SearchEngine
+
+        eng = SearchEngine(args.index, cfg=cfg)
+        t = eng.complete_infix(
+            args.fragment, collection=args.collection, k=args.k
+        )
         for row in t.to_pylist():
             print(json.dumps(row))
     elif args.cmd == "search-filtered":

@@ -816,6 +816,22 @@ class LuceneFacade:
             raise LuceneException(str(e)) from e
         return t.to_pylist()
 
+    def complete_infix(
+        self, collection: str, fragment: str, k: int = 5
+    ) -> list[dict]:
+        """Infix autocompletion (AnalyzingInfixSuggester analogue) →
+        [{term, df}]; see SearchEngine.complete_infix."""
+        _require(_valid_str(collection), "collection must be a non-empty string")
+        _require(_valid_str(fragment), "fragment must be a non-empty string")
+        eng = self._lease_engine()
+        if eng is None:
+            return []
+        try:
+            t = eng.complete_infix(fragment, collection=collection, k=k)
+        except ValueError as e:
+            raise LuceneException(str(e)) from e
+        return t.to_pylist()
+
     def explain(self, collection: str, query: str, ext_id: str) -> dict:
         """Per-clause score breakdown for one (query, doc) —
         IndexSearcher.explain analogue; see SearchEngine.explain."""
@@ -1284,6 +1300,15 @@ class AsyncLuceneFacade:
         import asyncio
 
         return await asyncio.to_thread(self._sync.complete, collection, prefix, k)
+
+    async def complete_infix(
+        self, collection: str, fragment: str, k: int = 5
+    ) -> list[dict]:
+        import asyncio
+
+        return await asyncio.to_thread(
+            self._sync.complete_infix, collection, fragment, k
+        )
 
     async def delete(self, collection: str, ext_id: str) -> bool:
         import asyncio

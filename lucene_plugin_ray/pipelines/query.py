@@ -3311,6 +3311,57 @@ class SearchEngine:
                     dfs[t] = dfs.get(t, 0) + df
         return rank_completions_table(dfs, k)
 
+    def complete_infix(
+        self,
+        fragment: str,
+        collection: str = "default",
+        field: str | None = None,
+        k: int = 5,
+    ) -> pa.Table:
+        """Infix autocompletion — the AnalyzingInfixSuggester analogue
+        (suggest module): live-vocabulary terms CONTAINING ``fragment``
+        anywhere (lowercased, analyzer parity), ranked (df desc, term
+        asc), top ``k`` — completing the suggest trio with
+        :meth:`complete` (prefix) and :meth:`suggest` (fuzzy spell).
+        An infix match cannot narrow the sorted dictionary, so the scan
+        is one vectorized substring pass over each segment's vocabulary
+        (np.char.find — per-segment vocabulary-bound like fuzzy
+        expansion, never corpus-bound); df is alive-masked and summed
+        across segments exactly like the search path.  Returns
+        (term, df)."""
+        if k <= 0:
+            raise ValueError("k must be positive")
+        probe = fragment.lower().strip()
+        if not probe:
+            raise ValueError("fragment must be non-empty")
+        coll = sanitize_collection(collection)
+        field = field or self.cfg.text_column
+        known = {self.cfg.text_column, *self.cfg.field_columns}
+        if field not in known:
+            raise ValueError(
+                f"unknown field {field!r} (indexed: {sorted(known)})"
+            )
+        segs = self._segments.get(coll, [])
+        dfs: dict[str, int] = {}
+        for si, seg in enumerate(segs):
+            r = seg.reader
+            start, vocab = r.field_vocab(field)
+            if len(vocab) == 0:
+                continue
+            hits = np.flatnonzero(
+                np.char.find(vocab.astype("U"), probe) >= 0
+            )
+            for j in hits:
+                row = int(start + j)
+                t = str(vocab[j])
+                if seg.all_alive:
+                    df = r.df(row)
+                else:
+                    df = len(self._decoded(si, seg, field, t, row)[0])
+                if df:
+                    dfs[t] = dfs.get(t, 0) + df
+        return rank_completions_table(dfs, k)
+
     def top_terms(
         self,
         field: str | None = None,

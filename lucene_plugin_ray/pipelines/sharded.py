@@ -520,6 +520,16 @@ class _ShardActor:
         )
         return list(zip(t["term"].to_pylist(), t["df"].to_pylist()))
 
+    def complete_infix_partial(
+        self, fragment: str, collection: str, field: str | None
+    ) -> list[tuple[str, int]]:
+        """This shard's (term, df-partial) infix rows — the
+        complete_partial contract over the substring scan."""
+        t = self.engine.complete_infix(
+            fragment, collection=collection, field=field, k=2**31 - 1
+        )
+        return list(zip(t["term"].to_pylist(), t["df"].to_pylist()))
+
     def top_terms_partial(
         self, field: str, collection: str, k: int
     ) -> list[tuple[str, int]]:
@@ -1945,6 +1955,35 @@ class ShardedSearcherService:
             )
         parts = ray.get(
             [a.complete_partial.remote(prefix, collection, field)
+             for a in self.actors]
+        )
+        dfs: dict[str, int] = {}
+        for p in parts:
+            for t, df in p:
+                dfs[t] = dfs.get(t, 0) + df
+        return rank_completions_table(dfs, k)
+
+    def complete_infix(
+        self,
+        fragment: str,
+        collection: str = "default",
+        field: str | None = None,
+        k: int = 5,
+    ) -> pa.Table:
+        """Cluster-wide infix autocompletion (AnalyzingInfixSuggester):
+        the complete() merge shape over per-shard substring scans —
+        identical to SearchEngine.complete_infix on the whole index."""
+        if k <= 0:
+            raise ValueError("k must be positive")
+        if not fragment.strip():
+            raise ValueError("fragment must be non-empty")
+        known = {self.cfg.text_column, *self.cfg.field_columns}
+        if field is not None and field not in known:
+            raise ValueError(
+                f"unknown field {field!r} (indexed: {sorted(known)})"
+            )
+        parts = ray.get(
+            [a.complete_infix_partial.remote(fragment, collection, field)
              for a in self.actors]
         )
         dfs: dict[str, int] = {}

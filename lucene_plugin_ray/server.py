@@ -641,6 +641,17 @@ class LuceneHttpService:
                 q.get("collection", ""), q.get("prefix", ""), k=k
             )
 
+    def _complete_infix(self, q: dict) -> list[dict]:
+        try:
+            k = int(q.get("k") or 5)
+        except ValueError:
+            raise LuceneException("k must be an integer")
+        with self._lock:
+            self._read_your_writes()
+            return self.facade.complete_infix(
+                q.get("collection", ""), q.get("fragment", ""), k=k
+            )
+
     _GETS = {
         "search": _search,
         "search-after": _search_after,
@@ -666,6 +677,7 @@ class LuceneHttpService:
         "explain": _explain,
         "suggest": _suggest,
         "complete": _complete,
+        "complete-infix": _complete_infix,
     }
 
     # ---- lifecycle -------------------------------------------------------
@@ -953,6 +965,14 @@ class LuceneHttpClient:
     def complete(self, collection: str, prefix: str, k: int = 5) -> list[dict]:
         return self._get(
             "complete", {"collection": collection, "prefix": prefix, "k": k}
+        )
+
+    def complete_infix(
+        self, collection: str, fragment: str, k: int = 5
+    ) -> list[dict]:
+        return self._get(
+            "complete-infix",
+            {"collection": collection, "fragment": fragment, "k": k},
         )
 
     def more_like_this(

@@ -660,3 +660,71 @@ def test_facets_stats_semantics_and_sharded(ray_session, tmp_path):
         eng.facets_stats("alpha", "lang", value_source="nope")
     # no matches → empty
     assert eng.facets_stats("zzznope", "lang").num_rows == 0
+
+
+def test_complete_infix_ranking_liveness_and_sharded(ray_session, tmp_path):
+    """Infix autocompletion (AnalyzingInfixSuggester analogue): substring
+    match anywhere in the term, (df desc, term asc) rank, live df after
+    deletes, k truncation, loud empty-fragment/bad-k/bad-field; sharded
+    identity; superset-of-prefix relation pinned."""
+    from lucene_plugin_ray.pipelines.build import build_index, delete_docs
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+    from lucene_plugin_ray.pipelines.sharded import ShardedSearcherService
+
+    texts = (
+        ["spark engine"] * 6 + ["parking meter"] * 3 + ["carpark level"] * 2
+        + ["spain travel"] * 3 + ["unrelated filler"] * 4
+    )
+    n = len(texts)
+    pages = pa.table(
+        {
+            "url": pa.array([f"doc://{i:04d}" for i in range(n)], pa.string()),
+            "warc_ts": pa.array(
+                [1_600_000_000_000_000 + i for i in range(n)],
+                pa.timestamp("us"),
+            ),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+        }
+    )
+    cfg = IndexConfig(index_root=str(tmp_path / "idx_inf"), num_partitions=3)
+    build_index(pages, cfg)
+    eng = SearchEngine(cfg.index_root, cfg=cfg)
+    got = eng.complete_infix("park", k=10)
+    rows = list(zip(got["term"].to_pylist(), got["df"].to_pylist()))
+    # 'park' matches spark(6), parking(3), carpark(2) — NOT spain
+    assert rows == [("spark", 6), ("parking", 3), ("carpark", 2)]
+    # case-folded probe + k truncation
+    assert eng.complete_infix("PARK", k=1).to_pylist() == [
+        {"term": "spark", "df": 6}
+    ]
+    # infix ⊇ prefix for the same probe
+    pre = {r["term"] for r in eng.complete("park", k=100).to_pylist()}
+    inf = {r["term"] for r in eng.complete_infix("park", k=100).to_pylist()}
+    assert pre <= inf and "spark" in inf - pre
+    # no match → empty, right schema
+    empty = eng.complete_infix("zzqq")
+    assert empty.num_rows == 0 and empty.schema.names == ["term", "df"]
+    # sharded identity
+    svc = ShardedSearcherService(cfg.index_root, cfg=cfg, num_shards=2)
+    assert svc.complete_infix("park", k=10).equals(got)
+    with pytest.raises(ValueError):
+        svc.complete_infix("")
+    with pytest.raises(ValueError):
+        svc.complete_infix("park", field="nope")
+    # liveness: delete all six spark docs → df drops out
+    delete_docs(cfg, pa.table({
+        "collection": pa.array(["default"] * 6, pa.string()),
+        "url": pa.array([f"doc://{i:04d}" for i in range(6)], pa.string()),
+    }))
+    eng2 = SearchEngine(cfg.index_root, cfg=cfg)
+    got2 = eng2.complete_infix("park", k=10)
+    assert got2.to_pylist() == [
+        {"term": "parking", "df": 3}, {"term": "carpark", "df": 2}
+    ]
+    with pytest.raises(ValueError):
+        eng.complete_infix("")
+    with pytest.raises(ValueError):
+        eng.complete_infix("park", k=0)
+    with pytest.raises(ValueError):
+        eng.complete_infix("park", field="nope")
