@@ -375,23 +375,42 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "span":
         from lucene_plugin_ray.pipelines.query import SearchEngine
 
+        # kind-inapplicable flags are LOUD errors, never silently dropped
+        # (the repartition-CLI lesson): each kind owns its parameter set
+        def _forbid(kind: str, **flags):
+            bad = [f"--{n.replace('_', '-')}" for n, v in flags.items() if v]
+            if bad:
+                raise SystemExit(
+                    f"span --kind {kind} does not take {' / '.join(bad)}"
+                )
+
         eng = SearchEngine(args.index, cfg=cfg)
         terms = args.terms.split()
         if args.kind == "near":
+            _forbid("near", end=args.end, exclude=args.exclude,
+                    pre=args.pre, post=args.post)
             t = eng.span_near(
                 terms, slop=args.slop, in_order=not args.unordered,
                 collection=args.collection, limit=args.limit,
             )
         elif args.kind == "first":
+            _forbid("first", slop=args.slop, unordered=args.unordered,
+                    exclude=args.exclude, pre=args.pre, post=args.post)
             if len(terms) != 1:
                 raise SystemExit("span first takes exactly one --terms token")
+            if args.end < 1:
+                raise SystemExit("span first requires --end >= 1")
             t = eng.span_first(
                 terms[0], args.end, collection=args.collection,
                 limit=args.limit,
             )
         else:
+            _forbid("not", slop=args.slop, unordered=args.unordered,
+                    end=args.end)
             if len(terms) != 1:
                 raise SystemExit("span not takes exactly one --terms token")
+            if not args.exclude.strip():
+                raise SystemExit("span not requires --exclude")
             t = eng.span_not(
                 terms[0], args.exclude.split(), pre=args.pre, post=args.post,
                 collection=args.collection, limit=args.limit,

@@ -38,6 +38,28 @@ class ExpressionError(ValueError):
     ≙ JavascriptCompiler's ParseException."""
 
 
+_MAX_SOURCE_CHARS = 10_000
+_MAX_NODES = 1_000
+_RESERVED_VARIABLES = frozenset({"_score", "doc_len", "warc_ts"})
+
+
+def validate_bindings(bindings: "dict | None") -> dict[str, float]:
+    """Shared binding validation for SearchEngine.search_expression and
+    the sharded driver (one copy, so the built-in variable set cannot
+    drift): reserved names may not be shadowed, every value must be a
+    real number (bool rejected), values coerce to float."""
+    out = dict(bindings or {})
+    for k, v in out.items():
+        if k in _RESERVED_VARIABLES:
+            raise ValueError(f"binding {k!r} shadows a built-in variable")
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise ValueError(
+                f"binding {k!r} must be a number, got {type(v).__name__}"
+            )
+        out[k] = float(v)
+    return out
+
+
 _BINOPS = {
     ast.Add: np.add,
     ast.Sub: np.subtract,
@@ -78,10 +100,29 @@ def compile_expression(
     universe check (pure syntax validation / variable discovery)."""
     if not isinstance(src, str) or not src.strip():
         raise ExpressionError("expression must be a non-empty string")
+    if len(src) > _MAX_SOURCE_CHARS:
+        raise ExpressionError(
+            f"expression too long ({len(src)} chars, cap {_MAX_SOURCE_CHARS})"
+        )
     try:
         tree = ast.parse(src, mode="eval")
     except SyntaxError as e:
         raise ExpressionError(f"expression syntax error: {e.msg}") from None
+    except RecursionError:
+        raise ExpressionError(
+            "expression too deeply nested to parse"
+        ) from None
+    # the recursive build() below (and ast.parse above on some inputs)
+    # is depth-bounded by the tree shape — a pathological '1+1+…' chain
+    # would blow the interpreter recursion limit and escape as a 500
+    # through the HTTP layer, so cap the node count FIRST (a legitimate
+    # scoring formula is a few dozen nodes)
+    n_nodes = sum(1 for _ in ast.walk(tree))
+    if n_nodes > _MAX_NODES:
+        raise ExpressionError(
+            f"expression too complex ({n_nodes} syntax nodes, cap "
+            f"{_MAX_NODES})"
+        )
     used: set[str] = set()
 
     def build(node: ast.AST) -> ExprFn:

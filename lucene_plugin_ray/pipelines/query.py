@@ -1169,20 +1169,15 @@ class SearchEngine:
         special case ``_score * scale / (scale + max(0, now - warc_ts))``
         — pinned bit-identical in tests.  Injection params follow the
         :meth:`search_partial` sharded contract."""
-        from lucene_plugin_ray.functions.expressions import compile_expression
+        from lucene_plugin_ray.functions.expressions import (
+            _RESERVED_VARIABLES,
+            compile_expression,
+            validate_bindings,
+        )
 
-        bindings = dict(bindings or {})
-        reserved = {"_score", "doc_len", "warc_ts"}
-        for k, v in bindings.items():
-            if k in reserved:
-                raise ValueError(f"binding {k!r} shadows a built-in variable")
-            if isinstance(v, bool) or not isinstance(v, (int, float)):
-                raise ValueError(
-                    f"binding {k!r} must be a number, got {type(v).__name__}"
-                )
-            bindings[k] = float(v)
-        expr_fn, _used = compile_expression(
-            expression, reserved | set(bindings)
+        bindings = validate_bindings(bindings)
+        expr_fn, used = compile_expression(
+            expression, set(_RESERVED_VARIABLES) | set(bindings)
         )
         limit = limit if limit is not None else self.cfg.result_limit
         if limit <= 0:
@@ -1222,14 +1217,16 @@ class SearchEngine:
                 continue
             r = seg.reader
             local = t["docid"].to_numpy() - r.doc_base
-            env = {
-                "_score": t["score"].to_numpy(),
-                "doc_len": r.doc_len[self.cfg.text_column][local].astype(
-                    np.float64
-                ),
-                "warc_ts": r.warc_ts[local].astype(np.float64),
-                **bindings,
-            }
+            # bind only the per-doc sources the compiled expression READS
+            # — an expression like '_score * 2' skips both O(matches)
+            # gathers (compile_expression reports the used-name set)
+            env: dict = {"_score": t["score"].to_numpy(), **bindings}
+            if "doc_len" in used:
+                env["doc_len"] = r.doc_len[self.cfg.text_column][
+                    local
+                ].astype(np.float64)
+            if "warc_ts" in used:
+                env["warc_ts"] = r.warc_ts[local].astype(np.float64)
             # IEEE semantics without warning spam: /0 and invalid ops
             # produce inf/NaN silently here, then NaN is rejected below
             with np.errstate(invalid="ignore", divide="ignore"):
@@ -2032,7 +2029,11 @@ class SearchEngine:
         tokenized field without doc values."""
         if not sort:
             raise ValueError("sort must name at least one (field, dir) pair")
-        known: set[str] = set()
+        # validate against the union of the configured field list and the
+        # segments' actual fields — an empty collection (typo'd name, no
+        # docs yet) must still reject an unknown field LOUDLY rather than
+        # degrade into an empty-result scan
+        known: set[str] = {self.cfg.text_column, *self.cfg.field_columns}
         for seg in self._segments.get(coll, []):
             known.update(seg.reader.doc_len.keys())
         fields: list[tuple[str, str]] = []
@@ -2048,7 +2049,7 @@ class SearchEngine:
                         "field); sortable: 'warc_ts', 'doc_len' or an "
                         "indexed metadata field"
                     )
-                if known and f not in known:
+                if f not in known:
                     raise ValueError(
                         f"unsupported sort field {f!r}: not an indexed "
                         f"field of this index (have {sorted(known)})"

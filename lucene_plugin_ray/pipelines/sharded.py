@@ -1174,19 +1174,16 @@ class ShardedSearcherService:
         gather, per-shard post-expression top-``limit`` partials with
         injected stats, exact driver merge — identical to
         SearchEngine.search_expression on the whole index."""
-        from lucene_plugin_ray.functions.expressions import compile_expression
+        from lucene_plugin_ray.functions.expressions import (
+            _RESERVED_VARIABLES,
+            compile_expression,
+            validate_bindings,
+        )
 
-        bindings = dict(bindings or {})
-        reserved = {"_score", "doc_len", "warc_ts"}
-        for k, v in bindings.items():
-            if k in reserved:
-                raise ValueError(f"binding {k!r} shadows a built-in variable")
-            if isinstance(v, bool) or not isinstance(v, (int, float)):
-                raise ValueError(
-                    f"binding {k!r} must be a number, got {type(v).__name__}"
-                )
-            bindings[k] = float(v)
-        compile_expression(expression, reserved | set(bindings))
+        bindings = validate_bindings(bindings)
+        compile_expression(
+            expression, set(_RESERVED_VARIABLES) | set(bindings)
+        )
         limit = limit if limit is not None else self.cfg.result_limit
         if limit <= 0:
             raise ValueError("limit must be positive")
@@ -1200,24 +1197,7 @@ class ShardedSearcherService:
                 global_stats, global_df.get(sc, {}))
              for a in self.actors]
         )
-        rows = [r for p in parts for r in p]
-        if not rows:
-            return pa.table(
-                {"url": pa.array([], pa.string()),
-                 "score": pa.array([], pa.float64()),
-                 "docid": pa.array([], pa.int64())}
-            )
-        url = np.array([r[0] for r in rows], dtype=object)
-        score = np.array([r[1] for r in rows], dtype=np.float64)
-        docid = np.array([r[2] for r in rows], dtype=np.int64)
-        order = np.lexsort((url, -score))[:limit]
-        return pa.table(
-            {
-                "url": pa.array(url[order], type=pa.string()),
-                "score": pa.array(score[order], type=pa.float64()),
-                "docid": pa.array(docid[order], type=pa.int64()),
-            }
-        )
+        return self._merge_hit_partials(parts, limit)
 
     def search_filtered(
         self,

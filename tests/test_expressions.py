@@ -70,6 +70,30 @@ def test_compile_rejects_everything_outside_whitelist(src, msg):
         compile_expression(src, {"_score", "doc_len"})
 
 
+def test_compile_pathological_size_is_expression_error_not_recursion():
+    """A '1+1+…' chain long enough to blow the interpreter recursion limit
+    must surface as ExpressionError (→ HTTP 400), never RecursionError
+    (→ 500) — the node cap fires before build() recurses."""
+    with pytest.raises(ExpressionError, match="too complex"):
+        compile_expression("1+" * 600 + "1", {"_score"})
+    with pytest.raises(ExpressionError, match="too long"):
+        compile_expression("1+" * 20000 + "1", {"_score"})
+    # deep parenthesis nesting can blow ast.parse itself — also rewrapped
+    with pytest.raises(ExpressionError):
+        compile_expression("(" * 40000 + "1" + ")" * 40000, {"_score"})
+
+
+def test_unreferenced_sources_are_not_bound():
+    """compile_expression reports the used-name set; '_score * 2' must not
+    read doc_len/warc_ts (the engine skips those gathers)."""
+    fn, used = compile_expression("_score * 2", {"_score", "doc_len",
+                                                 "warc_ts"})
+    assert used == {"_score"}
+    # evaluating WITHOUT the unreferenced keys works
+    out = fn({"_score": np.array([1.0, 3.0])})
+    assert list(out) == [2.0, 6.0]
+
+
 # ---------------------------------------------------------------------------
 # engine semantics
 # ---------------------------------------------------------------------------
@@ -238,5 +262,8 @@ def test_expression_facade_http_round_trip(ray_session, tmp_path):
                         "expression": "_score", "bindings": "notjson"}) == 400
         assert _status({"collection": "col", "query": "alpha",
                         "expression": "__import__('os')"}) == 400
+        # pathological nesting is a 400 (ExpressionError), never a 500
+        assert _status({"collection": "col", "query": "alpha",
+                        "expression": "1+" * 600 + "1"}) == 400
     finally:
         svc.shutdown()

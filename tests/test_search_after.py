@@ -563,3 +563,17 @@ def test_sorted_by_string_http_round_trip(ray_session, tmp_path):
         assert [r["foo"] for r in rows] == ["aa", "zz"]
     finally:
         service.shutdown()
+
+
+def test_sorted_by_unknown_field_loud_even_on_empty_collection(built):
+    """A typo'd field (or collection) must stay a loud ValueError even when
+    the collection holds no segments — review-fix regression pin."""
+    _root, _cfg, eng = built
+    with pytest.raises(ValueError, match="unsupported sort field"):
+        eng.search_sorted_by(
+            "w00001", [("nope", "asc")], collection="no-such-collection"
+        )
+    with pytest.raises(ValueError, match="tokenized text field"):
+        eng.search_sorted_by(
+            "w00001", [("text", "asc")], collection="no-such-collection"
+        )
