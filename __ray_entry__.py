@@ -1386,6 +1386,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             value_source="doc_len",
         )
 
+    def search_common(sf_dir: str) -> pa.Table:
+        """CommonTermsQuery at max_term_frequency=0.78: the OR terms split
+        by global df (both groups non-empty at sf0.001 AND sf0.01 — the
+        cutoff sits between the Zipf-head dfs); docs must match >= 1
+        low-df term, high-df terms add score only."""
+        from lucene_plugin_ray.sources.pages import url_to_doc_id
+
+        engine, cfg = _engine_for(sf_dir)
+        res = engine.search_common(
+            _OR_Q, max_term_frequency=0.78, limit=1_000_000_000
+        )
+        return pa.table(
+            {
+                "doc_id": url_to_doc_id(res["url"].combine_chunks()),
+                "score": pc.round(res["score"].combine_chunks(), ndigits=4),
+            }
+        ).sort_by("doc_id")
+
+    def search_boosting(sf_dir: str) -> pa.Table:
+        """BoostingQuery: 'spark merge' hits, scores multiplied by 0.25
+        (exactly representable) where 'window' also matches — the demoted
+        docs stay in the result set (context demotion, not exclusion)."""
+        from lucene_plugin_ray.sources.pages import url_to_doc_id
+
+        engine, cfg = _engine_for(sf_dir)
+        res = engine.search_boosting(
+            "spark merge", "window", demote=0.25, limit=1_000_000_000
+        )
+        return pa.table(
+            {
+                "doc_id": url_to_doc_id(res["url"].combine_chunks()),
+                "score": pc.round(res["score"].combine_chunks(), ndigits=4),
+            }
+        ).sort_by("doc_id")
+
     def search_expr(sf_dir: str) -> pa.Table:
         """Expression-scored search (Lucene expressions module /
         JavascriptCompiler): '_score * k / (k + doc_len) + sqrt(doc_len)
@@ -1452,6 +1487,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_ranges": facet_ranges,
         "search_function": search_function,
         "search_expr": search_expr,
+        "search_common": search_common,
+        "search_boosting": search_boosting,
         "top_terms": top_terms,
         "search_term": search_term,
         "search_or": search_or,
@@ -1586,6 +1623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     term_terms = analyze(_TERM_Q)
     or_terms = analyze(_OR_Q)
+    or_inlist = ", ".join(f"'{t}'" for t in or_terms)
     and_terms = analyze(_AND_Q.replace("+", " "))
 
     sql: dict[str, str] = {}
@@ -1806,6 +1844,36 @@ SELECT doc_id,
               greatest({_FN_NOW_US} - (doc_id + {_PAGES_EPOCH_US}), 0))),
              4) AS score
 FROM b ORDER BY doc_id
+"""
+    # CommonTermsQuery: full-OR BM25 restricted to docs matching >= 1
+    # low-df term; classification df <= 0.78 * n is the same float64
+    # compare on both sides
+    sql["search_common"] = f"""
+WITH b AS (SELECT doc_id, score FROM ({_bm25_sql(or_terms)})),
+raw2 AS ({_TOKS.format(col="text")}),
+t2 AS (SELECT doc_id, term FROM raw2 WHERE term <> ''
+       AND length(term) <= 255 AND term NOT IN {SQL_STOPWORD_LIST}),
+n AS (SELECT count(*) AS n FROM documents),
+df2 AS (SELECT term, count(DISTINCT doc_id) AS df FROM t2
+        WHERE term IN ({or_inlist}) GROUP BY term),
+lows AS (SELECT term FROM df2 CROSS JOIN n WHERE df <= 0.78 * n.n),
+low_docs AS (SELECT DISTINCT doc_id FROM t2
+             WHERE term IN (SELECT term FROM lows))
+SELECT b.doc_id AS doc_id, b.score AS score
+FROM b JOIN low_docs USING (doc_id) ORDER BY doc_id
+"""
+    # BoostingQuery: positive BM25, 0.25x where the negative matches
+    sql["search_boosting"] = f"""
+WITH b AS (SELECT doc_id, score
+           FROM ({_bm25_sql(["spark", "merge"], round_to=None)})),
+raw2 AS ({_TOKS.format(col="text")}),
+t2 AS (SELECT doc_id, term FROM raw2 WHERE term <> ''
+       AND length(term) <= 255 AND term NOT IN {SQL_STOPWORD_LIST}),
+neg AS (SELECT DISTINCT doc_id FROM t2 WHERE term = 'window')
+SELECT b.doc_id AS doc_id,
+       round(CASE WHEN neg.doc_id IS NOT NULL THEN b.score * 0.25
+             ELSE b.score END, 4) AS score
+FROM b LEFT JOIN neg USING (doc_id) ORDER BY doc_id
 """
     # expressions module: the same float64 tree over dl (analyzed |D|)
     sql["search_expr"] = f"""
@@ -2150,7 +2218,6 @@ ORDER BY d.doc_id
     # value stream mirrors the index's ANALYZED lang field (lowercase split
     # + stopword drop), and count(DISTINCT doc_id) mirrors postings
     # membership (a doc counts once per distinct facet value).
-    or_inlist = ", ".join(f"'{t}'" for t in or_terms)
     sql["search_facets"] = f"""
 {_toks_cte()},
 m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({or_inlist})),

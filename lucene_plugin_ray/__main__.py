@@ -103,6 +103,23 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--limit", type=int, default=None)
     s.add_argument("--partitions", type=int, default=32)
     s.add_argument("--fields", default="")
+    s = sub.add_parser("search-common")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--max-term-frequency", type=float, default=0.01)
+    s.add_argument("--collection", default="default")
+    s.add_argument("--limit", type=int, default=None)
+    s.add_argument("--partitions", type=int, default=32)
+    s.add_argument("--fields", default="")
+    s = sub.add_parser("search-boosting")
+    s.add_argument("--index", required=True)
+    s.add_argument("--positive", required=True)
+    s.add_argument("--negative", required=True)
+    s.add_argument("--demote", type=float, default=0.2)
+    s.add_argument("--collection", default="default")
+    s.add_argument("--limit", type=int, default=None)
+    s.add_argument("--partitions", type=int, default=32)
+    s.add_argument("--fields", default="")
     s = sub.add_parser("search-expression")
     s.add_argument("--index", required=True)
     s.add_argument("--query", required=True)
@@ -362,6 +379,26 @@ def main(argv: list[str] | None = None) -> int:
         eng = SearchEngine(args.index, cfg=cfg)
         for row in eng.index_stats(collection=args.collection).to_pylist():
             print(json.dumps(row))
+    elif args.cmd == "search-common":
+        from lucene_plugin_ray.pipelines.query import SearchEngine
+
+        eng = SearchEngine(args.index, cfg=cfg)
+        t = eng.search_common(
+            args.query, max_term_frequency=args.max_term_frequency,
+            collection=args.collection, limit=args.limit,
+        )
+        for url, score in zip(t["url"].to_pylist(), t["score"].to_pylist()):
+            print(json.dumps({"url": url, "score": round(score, 6)}))
+    elif args.cmd == "search-boosting":
+        from lucene_plugin_ray.pipelines.query import SearchEngine
+
+        eng = SearchEngine(args.index, cfg=cfg)
+        t = eng.search_boosting(
+            args.positive, args.negative, demote=args.demote,
+            collection=args.collection, limit=args.limit,
+        )
+        for url, score in zip(t["url"].to_pylist(), t["score"].to_pylist()):
+            print(json.dumps({"url": url, "score": round(score, 6)}))
     elif args.cmd == "search-expression":
         from lucene_plugin_ray.pipelines.query import SearchEngine
 

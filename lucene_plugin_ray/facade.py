@@ -379,6 +379,60 @@ class LuceneFacade:
             )
         ]
 
+    def search_common(
+        self,
+        collection: str,
+        query: str,
+        max_term_frequency: float = 0.01,
+        limit: int | None = None,
+    ) -> list[LuceneEntry]:
+        """CommonTermsQuery: low-df terms required, high-df (stop-word
+        grade) terms score-only — the dynamic-stop-word query."""
+        _require(_valid_str(collection), "collection must be a non-empty string")
+        _require(_valid_str(query), "query must be a non-empty string")
+        eng = self._lease_engine()
+        if eng is None:
+            return []
+        t = eng.search_common(
+            query, max_term_frequency=max_term_frequency,
+            collection=collection, limit=limit,
+        )
+        return [
+            LuceneEntry(id=int(d), score=float(s), external_id=u)
+            for d, s, u in zip(
+                t["docid"].to_pylist(), t["score"].to_pylist(), t["url"].to_pylist()
+            )
+        ]
+
+    def search_boosting(
+        self,
+        collection: str,
+        positive_query: str,
+        negative_query: str,
+        demote: float = 0.2,
+        limit: int | None = None,
+    ) -> list[LuceneEntry]:
+        """BoostingQuery: positive hits, scores demoted by ``demote``
+        where the negative query also matches."""
+        _require(_valid_str(collection), "collection must be a non-empty string")
+        _require(_valid_str(positive_query),
+                 "positive_query must be a non-empty string")
+        _require(_valid_str(negative_query),
+                 "negative_query must be a non-empty string")
+        eng = self._lease_engine()
+        if eng is None:
+            return []
+        t = eng.search_boosting(
+            positive_query, negative_query, demote=demote,
+            collection=collection, limit=limit,
+        )
+        return [
+            LuceneEntry(id=int(d), score=float(s), external_id=u)
+            for d, s, u in zip(
+                t["docid"].to_pylist(), t["score"].to_pylist(), t["url"].to_pylist()
+            )
+        ]
+
     def search_expression(
         self,
         collection: str,
@@ -1048,6 +1102,35 @@ class AsyncLuceneFacade:
 
         return await asyncio.to_thread(
             self._sync.search_filtered, collection, query, filter_query, limit
+        )
+
+    async def search_common(
+        self,
+        collection: str,
+        query: str,
+        max_term_frequency: float = 0.01,
+        limit: int | None = None,
+    ) -> list[LuceneEntry]:
+        import asyncio
+
+        return await asyncio.to_thread(
+            self._sync.search_common, collection, query,
+            max_term_frequency, limit,
+        )
+
+    async def search_boosting(
+        self,
+        collection: str,
+        positive_query: str,
+        negative_query: str,
+        demote: float = 0.2,
+        limit: int | None = None,
+    ) -> list[LuceneEntry]:
+        import asyncio
+
+        return await asyncio.to_thread(
+            self._sync.search_boosting, collection, positive_query,
+            negative_query, demote, limit,
         )
 
     async def search_expression(

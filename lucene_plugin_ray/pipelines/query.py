@@ -637,6 +637,65 @@ def _sloppy_phrase_weights(
     return u_docs, pf
 
 
+def common_terms_parse(
+    query: str, max_term_frequency: float, text_column: str
+) -> list:
+    """CommonTermsQuery input validation (shared by the engine and the
+    sharded driver): plain unboosted default-field SHOULD terms only —
+    operators, phrases, fields, boosts are loud errors (Lucene's
+    CommonTermsQuery takes bare Terms)."""
+    if max_term_frequency <= 0:
+        raise ValueError("max_term_frequency must be positive")
+    clauses = parse_query(query, default_field=text_column)
+    if not all(
+        isinstance(c, TermClause)
+        and c.occur == SHOULD
+        and c.boost == 1.0
+        and c.field == text_column
+        for c in clauses
+    ):
+        raise ValueError(
+            "common-terms query takes plain unboosted default-field "
+            f"terms only, got {query!r}"
+        )
+    return clauses
+
+
+def common_terms_rewrite(
+    term_clauses: list,
+    max_term_frequency: float,
+    dfs: dict,
+    n_docs: int,
+) -> list:
+    """CommonTermsQuery.rewrite (queries module): split terms by
+    corpus-global df against the cutoff (``max_term_frequency`` ≥ 1 is an
+    absolute df, < 1 a fraction of the doc count — Lucene's dual
+    convention; unseen terms are low).  With both groups non-empty the
+    low-frequency group is REQUIRED (any low term, SHOULD inside) and the
+    high-frequency group optional SHOULD — high-df terms score docs the
+    low group already matched but never match on their own; a one-sided
+    split degenerates to the plain SHOULD group."""
+    if not term_clauses:
+        return []
+    cutoff = (
+        float(max_term_frequency)
+        if max_term_frequency >= 1.0
+        else max_term_frequency * n_docs
+    )
+    lows = [
+        c for c in term_clauses if dfs.get((c.field, c.term), 0) <= cutoff
+    ]
+    highs = [
+        c for c in term_clauses if dfs.get((c.field, c.term), 0) > cutoff
+    ]
+    if lows and highs:
+        return [
+            GroupClause(MUST, tuple(lows)),
+            GroupClause(SHOULD, tuple(highs)),
+        ]
+    return list(lows or highs)
+
+
 _NUMERIC_SORT_FIELDS = ("warc_ts", "doc_len")
 
 
@@ -1116,6 +1175,147 @@ class SearchEngine:
             ts = r.warc_ts.astype(np.int64, copy=False)[local]
             age = np.maximum(now_us - ts, 0).astype(np.float64)
             final = t["score"].to_numpy() * (scale / (scale + age))
+            urls = t["url"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((urls, -final))[:limit]
+            parts.append(
+                pa.table(
+                    {
+                        "url": pa.array(urls[order], type=pa.string()),
+                        "score": pa.array(final[order], type=pa.float64()),
+                        "docid": pa.array(
+                            t["docid"].to_numpy()[order], type=pa.int64()
+                        ),
+                    }
+                )
+            )
+        if not parts:
+            return empty
+        merged = pa.concat_tables(parts)
+        order = np.lexsort(
+            (
+                merged["url"].to_numpy(zero_copy_only=False),
+                -merged["score"].to_numpy(),
+            )
+        )[:limit]
+        return merged.take(pa.array(order))
+
+    def search_common(
+        self,
+        query: str,
+        max_term_frequency: float = 0.01,
+        collection: str = "default",
+        limit: int | None = None,
+    ) -> pa.Table:
+        """CommonTermsQuery (org.apache.lucene.queries.CommonTermsQuery —
+        Elasticsearch's 'common terms' query): terms are split by
+        corpus-global df at ``max_term_frequency``; low-frequency terms
+        form a required SHOULD group, high-frequency (stop-word-like)
+        terms add score ONLY to docs the low group matched — the classic
+        dynamic-stop-word scheme that keeps 'the'-grade terms from
+        flooding the match set while still letting them rank.  All-high
+        (or all-low) queries degenerate to the plain OR.  Scores are the
+        ordinary similarity sums, so the SQL oracle is exact."""
+        limit = limit if limit is not None else self.cfg.result_limit
+        if limit <= 0:
+            raise ValueError("limit must be positive")
+        coll = sanitize_collection(collection)
+        term_clauses = common_terms_parse(
+            query, max_term_frequency, self.cfg.text_column
+        )
+        n_docs, _ = self._stats(coll)
+        _, _, dfs, _ = self._phase1_df(
+            term_clauses, self._segments.get(coll, [])
+        )
+        clauses = common_terms_rewrite(
+            term_clauses, max_term_frequency, dfs, n_docs
+        )
+        if not clauses:
+            return pa.table(
+                {"url": pa.array([], pa.string()),
+                 "score": pa.array([], pa.float64()),
+                 "docid": pa.array([], pa.int64())}
+            )
+        return self._execute(
+            clauses, sanitize_collection(collection), limit, "taat"
+        )
+
+    def search_boosting(
+        self,
+        positive_query: str,
+        negative_query: str,
+        demote: float = 0.2,
+        collection: str = "default",
+        limit: int | None = None,
+        global_stats: dict[str, dict] | None = None,
+        global_df: dict[tuple[str, str], int] | None = None,
+        global_ttf: dict[tuple[str, str], int] | None = None,
+    ) -> pa.Table:
+        """BoostingQuery (queries module): hits and scores come from
+        ``positive_query`` alone; docs ALSO matching ``negative_query``
+        keep matching but their score is multiplied by ``demote``
+        (Lucene's context/boosting pair — demote 0 < d < 1 pushes
+        undesirable context down without excluding it; the negative query
+        contributes no statistics, exactly like a filter).  The weight is
+        doc-dependent, so the full match set is scored per segment
+        (search_function argument), truncated under the (final desc,
+        url asc) total order, merged exactly.  Injection params follow
+        the :meth:`search_partial` sharded contract."""
+        if not (0.0 < demote < 1.0):
+            raise ValueError("demote must be in (0, 1)")
+        limit = limit if limit is not None else self.cfg.result_limit
+        if limit <= 0:
+            raise ValueError("limit must be positive")
+        coll = sanitize_collection(collection)
+        clauses = parse_query(
+            positive_query, default_field=self.cfg.text_column
+        )
+        nclauses = parse_query(
+            negative_query, default_field=self.cfg.text_column
+        )
+        if not nclauses:
+            raise ValueError(
+                "negative_query must contain at least one clause"
+            )
+        segs = self._segments.get(coll, [])
+        empty = pa.table(
+            {"url": pa.array([], pa.string()),
+             "score": pa.array([], pa.float64()),
+             "docid": pa.array([], pa.int64())}
+        )
+        if not clauses or not segs:
+            return empty
+        if global_stats is not None:
+            st = global_stats.get(coll, {"n_docs": 0, "sum_dl": {}})
+            n_docs = int(st["n_docs"])
+            avgdl = (
+                {f: s / n_docs for f, s in st["sum_dl"].items()}
+                if n_docs
+                else {}
+            )
+        else:
+            n_docs, avgdl = self._stats(coll)
+        if n_docs == 0:
+            return empty
+        cache, rows, df_map, ttf_map = self._phase1_df(
+            clauses, segs, global_df, global_ttf
+        )
+        parts = []
+        for si, seg in enumerate(segs):
+            t = self._score_segment_taat(
+                si, seg, clauses, cache, rows, df_map, n_docs, avgdl,
+                limit=seg.reader.n_docs, global_ttf=ttf_map,
+            )
+            if not t.num_rows:
+                continue
+            r = seg.reader
+            local = t["docid"].to_numpy() - r.doc_base
+            neg = self._match_segment(si, seg, nclauses, {}, {})
+            final = t["score"].to_numpy().copy()
+            if neg.size:
+                pos_idx = np.searchsorted(neg, local)
+                pos_cl = np.minimum(pos_idx, neg.size - 1)
+                demoted = neg[pos_cl] == local
+                final[demoted] *= demote
             urls = t["url"].to_numpy(zero_copy_only=False)
             order = np.lexsort((urls, -final))[:limit]
             parts.append(

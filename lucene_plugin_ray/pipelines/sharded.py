@@ -573,6 +573,20 @@ class _ShardActor:
         return list(zip(t["url"].to_pylist(), t["score"].to_pylist(),
                         t["docid"].to_pylist()))
 
+    def search_boosting_partial(
+        self, positive_query: str, negative_query: str, demote: float,
+        collection: str, limit: int, global_stats: dict, global_df: dict,
+    ) -> list[tuple[str, float, int]]:
+        """This shard's boosting-scored top-``limit`` with INJECTED global
+        stats — the search_function_partial shape for BoostingQuery."""
+        t = self.engine.search_boosting(
+            positive_query, negative_query, demote=demote,
+            collection=collection, limit=limit,
+            global_stats=global_stats, global_df=global_df,
+        )
+        return list(zip(t["url"].to_pylist(), t["score"].to_pylist(),
+                        t["docid"].to_pylist()))
+
     def search_expression_partial(
         self, query: str, expression: str, bindings: dict, collection: str,
         limit: int, global_stats: dict, global_df: dict,
@@ -1159,6 +1173,85 @@ class ShardedSearcherService:
                 "docid": pa.array(docid[order], type=pa.int64()),
             }
         )
+
+    def search_common(
+        self,
+        query: str,
+        max_term_frequency: float = 0.01,
+        collection: str = "default",
+        limit: int | None = None,
+    ) -> "pa.Table":
+        """Cluster-wide CommonTermsQuery: the driver validates, gathers
+        corpus-global dfs for ALL terms (one fleet round — the same dfs
+        the scoring pass needs), classifies low/high with the SHARED
+        rewrite and ships the rewritten clause tuple structured through
+        the generic score() path — identical to SearchEngine.search_common
+        on the whole index because the cutoff sees the same global dfs."""
+        from lucene_plugin_ray.pipelines.query import (
+            common_terms_parse,
+            common_terms_rewrite,
+        )
+
+        limit = limit if limit is not None else self.cfg.result_limit
+        if limit <= 0:
+            raise ValueError("limit must be positive")
+        sc = sanitize_collection(collection)
+        term_clauses = common_terms_parse(
+            query, max_term_frequency, self.cfg.text_column
+        )
+        terms = {sc: sorted(set(scored_term_keys(term_clauses)))}
+        global_stats, global_df = self._gather_global(terms)
+        n_docs = int(global_stats.get(sc, {}).get("n_docs", 0))
+        clauses = common_terms_rewrite(
+            term_clauses, max_term_frequency, global_df.get(sc, {}), n_docs
+        )
+        if not clauses:
+            return pa.table(
+                {"url": pa.array([], pa.string()),
+                 "score": pa.array([], pa.float64()),
+                 "docid": pa.array([], pa.int64())}
+            )
+        return self._phase2_merge(
+            [{"qid": 0, "collection": collection, "query": tuple(clauses),
+              "limit": limit}],
+            "taat", global_stats, global_df,
+        ).select(["url", "score", "docid"])
+
+    def search_boosting(
+        self,
+        positive_query: str,
+        negative_query: str,
+        demote: float = 0.2,
+        collection: str = "default",
+        limit: int | None = None,
+    ) -> "pa.Table":
+        """Cluster-wide BoostingQuery: driver validation, phase-1 global
+        df gather over the POSITIVE query's scored terms only (the
+        negative side is a mask, never a statistics contributor), exact
+        per-shard post-demotion top-``limit`` merge — identical to
+        SearchEngine.search_boosting on the whole index."""
+        if not (0.0 < demote < 1.0):
+            raise ValueError("demote must be in (0, 1)")
+        limit = limit if limit is not None else self.cfg.result_limit
+        if limit <= 0:
+            raise ValueError("limit must be positive")
+        sc = sanitize_collection(collection)
+        clauses = parse_query(
+            positive_query, default_field=self.cfg.text_column
+        )
+        if not parse_query(negative_query, default_field=self.cfg.text_column):
+            raise ValueError(
+                "negative_query must contain at least one clause"
+            )
+        terms = {sc: sorted(set(scored_term_keys(clauses)))}
+        global_stats, global_df = self._gather_global(terms)
+        parts = ray.get(
+            [a.search_boosting_partial.remote(
+                positive_query, negative_query, demote, collection, limit,
+                global_stats, global_df.get(sc, {}))
+             for a in self.actors]
+        )
+        return self._merge_hit_partials(parts, limit)
 
     def search_expression(
         self,

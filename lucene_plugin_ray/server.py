@@ -211,6 +211,49 @@ class LuceneHttpService:
             for e in entries
         ]
 
+    def _search_common(self, q: dict) -> list[dict]:
+        limit = self._limit_of(q)
+        try:
+            mtf = float(q.get("max_term_frequency") or 0.01)
+        except ValueError:
+            raise LuceneException(
+                f"max_term_frequency must be a number: "
+                f"{q['max_term_frequency']!r}"
+            )
+        with self._lock:
+            self._read_your_writes()
+            try:
+                entries = self.facade.search_common(
+                    q.get("collection", ""), q.get("query", ""),
+                    max_term_frequency=mtf, limit=limit,
+                )
+            except ValueError as e:
+                raise LuceneException(str(e))
+        return [
+            {"_id": e.id, "_score": e.score, "_externalId": e.external_id}
+            for e in entries
+        ]
+
+    def _search_boosting(self, q: dict) -> list[dict]:
+        limit = self._limit_of(q)
+        try:
+            demote = float(q.get("demote") or 0.2)
+        except ValueError:
+            raise LuceneException(f"demote must be a number: {q['demote']!r}")
+        with self._lock:
+            self._read_your_writes()
+            try:
+                entries = self.facade.search_boosting(
+                    q.get("collection", ""), q.get("positive_query", ""),
+                    q.get("negative_query", ""), demote=demote, limit=limit,
+                )
+            except ValueError as e:
+                raise LuceneException(str(e))
+        return [
+            {"_id": e.id, "_score": e.score, "_externalId": e.external_id}
+            for e in entries
+        ]
+
     def _search_expression(self, q: dict) -> list[dict]:
         limit = self._limit_of(q)
         bindings = {}
@@ -658,6 +701,8 @@ class LuceneHttpService:
         "rescore": _rescore,
         "search-filtered": _search_filtered,
         "search-expression": _search_expression,
+        "search-common": _search_common,
+        "search-boosting": _search_boosting,
         "span-near": _span_near,
         "span-first": _span_first,
         "span-not": _span_not,
@@ -773,6 +818,27 @@ class LuceneHttpClient:
             "search-filtered",
             {"collection": collection, "query": query,
              "filter_query": filter_query, "limit": limit},
+        )
+
+    def search_common(
+        self, collection: str, query: str,
+        max_term_frequency: float = 0.01, limit: int = 255,
+    ) -> list[dict]:
+        return self._get(
+            "search-common",
+            {"collection": collection, "query": query,
+             "max_term_frequency": max_term_frequency, "limit": limit},
+        )
+
+    def search_boosting(
+        self, collection: str, positive_query: str, negative_query: str,
+        demote: float = 0.2, limit: int = 255,
+    ) -> list[dict]:
+        return self._get(
+            "search-boosting",
+            {"collection": collection, "positive_query": positive_query,
+             "negative_query": negative_query, "demote": demote,
+             "limit": limit},
         )
 
     def search_expression(
