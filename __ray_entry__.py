@@ -1421,6 +1421,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ).sort_by("doc_id")
 
+    def search_diversified(sf_dir: str) -> pa.Table:
+        """Diversified top-k (misc DiversifiedTopDocsCollector): at most 3
+        hits per source over the OR query — greedy selection under the
+        (score desc, url asc) total order equals the rank-within-key <= 3
+        filter (url = doc://{doc_id:010d}, so the SQL doc_id tiebreak
+        matches the engine's url tiebreak exactly)."""
+        from lucene_plugin_ray.sources.pages import url_to_doc_id
+
+        engine, cfg = _engine_for(sf_dir)
+        res = engine.search_diversified(
+            _OR_Q, "source", max_per_key=3, limit=1_000_000_000
+        )
+        return pa.table(
+            {
+                "doc_id": url_to_doc_id(res["url"].combine_chunks()),
+                "score": pc.round(res["score"].combine_chunks(), ndigits=4),
+                "key": res["key"].combine_chunks(),
+            }
+        ).sort_by("doc_id")
+
     def search_expr(sf_dir: str) -> pa.Table:
         """Expression-scored search (Lucene expressions module /
         JavascriptCompiler): '_score * k / (k + doc_len) + sqrt(doc_len)
@@ -1488,6 +1508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_function": search_function,
         "search_expr": search_expr,
         "search_common": search_common,
+        "search_diversified": search_diversified,
         "search_boosting": search_boosting,
         "top_terms": top_terms,
         "search_term": search_term,
@@ -1844,6 +1865,18 @@ SELECT doc_id,
               greatest({_FN_NOW_US} - (doc_id + {_PAGES_EPOCH_US}), 0))),
              4) AS score
 FROM b ORDER BY doc_id
+"""
+    # diversified top-k: rank-within-key <= 3 under (score desc, doc_id)
+    sql["search_diversified"] = f"""
+WITH b AS (SELECT doc_id, score FROM ({_bm25_sql(or_terms, round_to=None)})),
+j AS (SELECT b.doc_id, b.score, d.source AS key
+      FROM b JOIN documents d USING (doc_id)),
+r AS (SELECT doc_id, score, key,
+             row_number() OVER (PARTITION BY key
+                                ORDER BY score DESC, doc_id ASC) AS kr
+      FROM j)
+SELECT doc_id, round(score, 4) AS score, key
+FROM r WHERE kr <= 3 ORDER BY doc_id
 """
     # CommonTermsQuery: full-OR BM25 restricted to docs matching >= 1
     # low-df term; classification df <= 0.78 * n is the same float64

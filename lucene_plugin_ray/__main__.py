@@ -103,6 +103,15 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--limit", type=int, default=None)
     s.add_argument("--partitions", type=int, default=32)
     s.add_argument("--fields", default="")
+    s = sub.add_parser("search-diversified")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--key-field", required=True)
+    s.add_argument("--max-per-key", type=int, default=1)
+    s.add_argument("--collection", default="default")
+    s.add_argument("--limit", type=int, default=None)
+    s.add_argument("--partitions", type=int, default=32)
+    s.add_argument("--fields", default="")
     s = sub.add_parser("search-common")
     s.add_argument("--index", required=True)
     s.add_argument("--query", required=True)
@@ -379,6 +388,19 @@ def main(argv: list[str] | None = None) -> int:
         eng = SearchEngine(args.index, cfg=cfg)
         for row in eng.index_stats(collection=args.collection).to_pylist():
             print(json.dumps(row))
+    elif args.cmd == "search-diversified":
+        from lucene_plugin_ray.pipelines.query import SearchEngine
+
+        eng = SearchEngine(args.index, cfg=cfg)
+        t = eng.search_diversified(
+            args.query, args.key_field, max_per_key=args.max_per_key,
+            collection=args.collection, limit=args.limit,
+        )
+        for url, score, key in zip(
+            t["url"].to_pylist(), t["score"].to_pylist(), t["key"].to_pylist()
+        ):
+            print(json.dumps({"url": url, "score": round(score, 6),
+                              "key": key}))
     elif args.cmd == "search-common":
         from lucene_plugin_ray.pipelines.query import SearchEngine
 

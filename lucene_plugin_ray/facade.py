@@ -379,6 +379,35 @@ class LuceneFacade:
             )
         ]
 
+    def search_diversified(
+        self,
+        collection: str,
+        query: str,
+        key_field: str,
+        max_per_key: int = 1,
+        limit: int | None = None,
+    ) -> list[dict]:
+        """Diversified top-k (DiversifiedTopDocsCollector): at most
+        ``max_per_key`` hits per key-field value → [{externalId, score,
+        key}] in rank order."""
+        _require(_valid_str(collection), "collection must be a non-empty string")
+        _require(_valid_str(query), "query must be a non-empty string")
+        _require(_valid_str(key_field), "key_field must be a non-empty string")
+        eng = self._lease_engine()
+        if eng is None:
+            return []
+        t = eng.search_diversified(
+            query, key_field, max_per_key=max_per_key,
+            collection=collection, limit=limit,
+        )
+        return [
+            {"externalId": u, "score": float(s), "key": k}
+            for u, s, k in zip(
+                t["url"].to_pylist(), t["score"].to_pylist(),
+                t["key"].to_pylist(),
+            )
+        ]
+
     def search_common(
         self,
         collection: str,
@@ -1102,6 +1131,21 @@ class AsyncLuceneFacade:
 
         return await asyncio.to_thread(
             self._sync.search_filtered, collection, query, filter_query, limit
+        )
+
+    async def search_diversified(
+        self,
+        collection: str,
+        query: str,
+        key_field: str,
+        max_per_key: int = 1,
+        limit: int | None = None,
+    ) -> list[dict]:
+        import asyncio
+
+        return await asyncio.to_thread(
+            self._sync.search_diversified, collection, query, key_field,
+            max_per_key, limit,
         )
 
     async def search_common(

@@ -696,6 +696,47 @@ def common_terms_rewrite(
     return list(lows or highs)
 
 
+def _diversify_hits(t: pa.Table, max_per_key: int, limit: int) -> pa.Table:
+    """Greedy diversified selection over a (url, score, key, docid) hit
+    table: order by the (score desc, url asc) total order, keep each row
+    while its key has produced < ``max_per_key`` kept rows (null keys are
+    unconstrained), truncate at ``limit``.  Equal to the rank-within-key
+    ≤ cap filter because the scan order is total — shared by the
+    per-segment pass, the engine merge and the sharded driver merge (the
+    idempotence of cap-then-recap under a total order is what makes the
+    distributed merge exact)."""
+    if t.num_rows == 0:
+        return t
+    urls = t["url"].to_numpy(zero_copy_only=False)
+    scores = t["score"].to_numpy()
+    order = np.lexsort((urls, -scores))
+    keys = t["key"].to_numpy(zero_copy_only=False)[order]
+    present = np.array([k is not None for k in keys], dtype=bool)
+    # rank of each row within its key along the scan order: stable
+    # argsort by key groups equal keys preserving scan order, then
+    # run-ranks inside each group
+    keep = np.ones(keys.size, dtype=bool)
+    if present.any():
+        idx = np.flatnonzero(present)
+        ksub = keys[idx].astype("U")
+        grp = np.argsort(ksub, kind="stable")
+        sorted_keys = ksub[grp]
+        starts = np.flatnonzero(
+            np.concatenate(([True], sorted_keys[1:] != sorted_keys[:-1]))
+        )
+        run_id = np.cumsum(
+            np.concatenate(
+                ([0], (sorted_keys[1:] != sorted_keys[:-1]).astype(np.int64))
+            )
+        )
+        rank = np.arange(sorted_keys.size, dtype=np.int64) - starts[run_id]
+        keep_sub = np.empty(ksub.size, dtype=bool)
+        keep_sub[grp] = rank < max_per_key
+        keep[idx] = keep_sub
+    sel = order[keep][:limit]
+    return t.take(pa.array(sel))
+
+
 _NUMERIC_SORT_FIELDS = ("warc_ts", "doc_len")
 
 
@@ -1339,6 +1380,98 @@ class SearchEngine:
             )
         )[:limit]
         return merged.take(pa.array(order))
+
+    def search_diversified(
+        self,
+        query: str,
+        key_field: str,
+        max_per_key: int = 1,
+        collection: str = "default",
+        limit: int | None = None,
+        global_stats: dict[str, dict] | None = None,
+        global_df: dict[tuple[str, str], int] | None = None,
+        global_ttf: dict[tuple[str, str], int] | None = None,
+    ) -> pa.Table:
+        """Diversified top-k — Lucene misc DiversifiedTopDocsCollector:
+        scan the hits in the (score desc, url asc) total order and keep a
+        doc only while its ``key_field`` value has produced fewer than
+        ``max_per_key`` kept hits (the host/domain SERP-diversification
+        collector).  Keys are the per-doc minimum analyzed term of an
+        indexed metadata field (:meth:`_doc_field_values` — the
+        SortedDocValues key the Lucene collector reads); docs MISSING the
+        field are unconstrained (each its own key — documented choice;
+        Lucene's collector requires a key and would refuse).  Greedy
+        selection in a total order equals the rank-within-key ≤ cap
+        filter, so the SQL oracle is two window functions and per-shard
+        diversified top-``limit`` partials merge exactly (a doc excluded
+        in its shard is excluded globally: the same-key docs that beat it
+        locally beat it globally too).  Returns (url, score, key, docid);
+        ``key`` is null for missing-field docs."""
+        if max_per_key <= 0:
+            raise ValueError("max_per_key must be positive")
+        limit = limit if limit is not None else self.cfg.result_limit
+        if limit <= 0:
+            raise ValueError("limit must be positive")
+        coll = sanitize_collection(collection)
+        if key_field == self.cfg.text_column:
+            raise ValueError(
+                f"cannot diversify on the tokenized text field "
+                f"{key_field!r}; use an indexed metadata field"
+            )
+        known = {self.cfg.text_column, *self.cfg.field_columns}
+        for seg in self._segments.get(coll, []):
+            known.update(seg.reader.doc_len.keys())
+        if key_field not in known:
+            raise ValueError(
+                f"unsupported key field {key_field!r}: not an indexed "
+                f"field of this index (have {sorted(known)})"
+            )
+        clauses = parse_query(query, default_field=self.cfg.text_column)
+        segs = self._segments.get(coll, [])
+        empty = pa.table(
+            {"url": pa.array([], pa.string()),
+             "score": pa.array([], pa.float64()),
+             "key": pa.array([], pa.string()),
+             "docid": pa.array([], pa.int64())}
+        )
+        if not clauses or not segs:
+            return empty
+        if global_stats is not None:
+            st = global_stats.get(coll, {"n_docs": 0, "sum_dl": {}})
+            n_docs = int(st["n_docs"])
+            avgdl = (
+                {f: s / n_docs for f, s in st["sum_dl"].items()}
+                if n_docs
+                else {}
+            )
+        else:
+            n_docs, avgdl = self._stats(coll)
+        if n_docs == 0:
+            return empty
+        cache, rows, df_map, ttf_map = self._phase1_df(
+            clauses, segs, global_df, global_ttf
+        )
+        parts = []
+        for si, seg in enumerate(segs):
+            t = self._score_segment_taat(
+                si, seg, clauses, cache, rows, df_map, n_docs, avgdl,
+                limit=seg.reader.n_docs, global_ttf=ttf_map,
+            )
+            if not t.num_rows:
+                continue
+            r = seg.reader
+            local = t["docid"].to_numpy() - r.doc_base
+            keys = self._doc_field_values(si, seg, key_field)[local]
+            t = t.append_column("key", pa.array(keys, pa.string()))
+            parts.append(
+                _diversify_hits(t, max_per_key, limit)
+            )
+        if not parts:
+            return empty
+        merged = pa.concat_tables(parts)
+        return _diversify_hits(merged, max_per_key, limit).select(
+            ["url", "score", "key", "docid"]
+        )
 
     def search_expression(
         self,

@@ -587,6 +587,22 @@ class _ShardActor:
         return list(zip(t["url"].to_pylist(), t["score"].to_pylist(),
                         t["docid"].to_pylist()))
 
+    def search_diversified_partial(
+        self, query: str, key_field: str, max_per_key: int,
+        collection: str, limit: int, global_stats: dict, global_df: dict,
+    ) -> list[tuple[str, float, "str | None", int]]:
+        """This shard's diversified top-``limit`` with INJECTED global
+        stats → (url, score, key, docid); shard-local cap-then-truncate
+        merges exactly (a doc capped out locally is capped out globally —
+        the same-key docs beating it locally beat it globally too)."""
+        t = self.engine.search_diversified(
+            query, key_field, max_per_key=max_per_key,
+            collection=collection, limit=limit,
+            global_stats=global_stats, global_df=global_df,
+        )
+        return list(zip(t["url"].to_pylist(), t["score"].to_pylist(),
+                        t["key"].to_pylist(), t["docid"].to_pylist()))
+
     def search_expression_partial(
         self, query: str, expression: str, bindings: dict, collection: str,
         limit: int, global_stats: dict, global_df: dict,
@@ -1252,6 +1268,54 @@ class ShardedSearcherService:
              for a in self.actors]
         )
         return self._merge_hit_partials(parts, limit)
+
+    def search_diversified(
+        self,
+        query: str,
+        key_field: str,
+        max_per_key: int = 1,
+        collection: str = "default",
+        limit: int | None = None,
+    ) -> "pa.Table":
+        """Cluster-wide diversified top-k (DiversifiedTopDocsCollector):
+        driver validation, phase-1 global df gather, per-shard diversified
+        top-``limit`` partials, then ONE more cap-then-truncate pass on
+        the driver — exact because greedy selection under the total order
+        is idempotent under recapping (see _diversify_hits)."""
+        import pyarrow as _pa
+
+        from lucene_plugin_ray.pipelines.query import _diversify_hits
+
+        if max_per_key <= 0:
+            raise ValueError("max_per_key must be positive")
+        limit = limit if limit is not None else self.cfg.result_limit
+        if limit <= 0:
+            raise ValueError("limit must be positive")
+        if key_field == self.cfg.text_column or key_field not in self._fields:
+            raise ValueError(
+                f"unsupported key field {key_field!r}: use an indexed "
+                "metadata field of this index"
+            )
+        sc = sanitize_collection(collection)
+        clauses = parse_query(query, default_field=self.cfg.text_column)
+        terms = {sc: sorted(set(scored_term_keys(clauses)))}
+        global_stats, global_df = self._gather_global(terms)
+        parts = ray.get(
+            [a.search_diversified_partial.remote(
+                query, key_field, max_per_key, collection, limit,
+                global_stats, global_df.get(sc, {}))
+             for a in self.actors]
+        )
+        rows = [r for p in parts for r in p]
+        merged = _pa.table(
+            {
+                "url": _pa.array([r[0] for r in rows], _pa.string()),
+                "score": _pa.array([r[1] for r in rows], _pa.float64()),
+                "key": _pa.array([r[2] for r in rows], _pa.string()),
+                "docid": _pa.array([r[3] for r in rows], _pa.int64()),
+            }
+        )
+        return _diversify_hits(merged, max_per_key, limit)
 
     def search_expression(
         self,

@@ -211,6 +211,24 @@ class LuceneHttpService:
             for e in entries
         ]
 
+    def _search_diversified(self, q: dict) -> list[dict]:
+        limit = self._limit_of(q)
+        try:
+            mpk = int(q.get("max_per_key") or 1)
+        except ValueError:
+            raise LuceneException(
+                f"max_per_key must be an integer: {q['max_per_key']!r}"
+            )
+        with self._lock:
+            self._read_your_writes()
+            try:
+                return self.facade.search_diversified(
+                    q.get("collection", ""), q.get("query", ""),
+                    q.get("key_field", ""), max_per_key=mpk, limit=limit,
+                )
+            except ValueError as e:
+                raise LuceneException(str(e))
+
     def _search_common(self, q: dict) -> list[dict]:
         limit = self._limit_of(q)
         try:
@@ -702,6 +720,7 @@ class LuceneHttpService:
         "search-filtered": _search_filtered,
         "search-expression": _search_expression,
         "search-common": _search_common,
+        "search-diversified": _search_diversified,
         "search-boosting": _search_boosting,
         "span-near": _span_near,
         "span-first": _span_first,
@@ -818,6 +837,17 @@ class LuceneHttpClient:
             "search-filtered",
             {"collection": collection, "query": query,
              "filter_query": filter_query, "limit": limit},
+        )
+
+    def search_diversified(
+        self, collection: str, query: str, key_field: str,
+        max_per_key: int = 1, limit: int = 255,
+    ) -> list[dict]:
+        return self._get(
+            "search-diversified",
+            {"collection": collection, "query": query,
+             "key_field": key_field, "max_per_key": max_per_key,
+             "limit": limit},
         )
 
     def search_common(

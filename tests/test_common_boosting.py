@@ -220,3 +220,150 @@ def test_common_boosting_http_round_trip(ray_session, tmp_path):
                         "negative_query": "beta", "demote": "x"}) == 400
     finally:
         svc.shutdown()
+
+
+# -------------------------------------------- diversified top-k -------------
+
+
+@pytest.fixture(scope="module")
+def div_built(ray_session, tmp_path_factory):
+    from lucene_plugin_ray.pipelines.build import build_index
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+
+    root = str(tmp_path_factory.mktemp("idx_div"))
+    cfg = IndexConfig(index_root=root, num_partitions=3,
+                      field_columns=("foo",))
+    corpus = make_pages(300, seed=7, with_fields=True)
+    # blank out foo on a slice so missing-key docs exist
+    import pyarrow.compute as pc_
+
+    foo = corpus["foo"].to_pylist()
+    for i in range(0, len(foo), 9):
+        foo[i] = ""
+    corpus = corpus.set_column(
+        corpus.schema.get_field_index("foo"), "foo",
+        pa.array(foo, pa.string()),
+    )
+    build_index(corpus, cfg)
+    return root, cfg, SearchEngine(root, cfg=cfg)
+
+
+def test_diversified_matches_greedy_bruteforce(div_built):
+    """Greedy per-key cap over the (score desc, url asc) order; missing
+    keys unconstrained."""
+    _root, _cfg, eng = div_built
+    q = "w00001 w00002"
+    full = eng.search(q, limit=10**9)
+    kt = eng.search_sorted_by(q, [("foo", "asc")], limit=10**9)
+    key_of = dict(zip(kt["url"].to_pylist(), kt["foo"].to_pylist()))
+    for cap in (1, 2, 5):
+        got = eng.search_diversified(q, "foo", max_per_key=cap, limit=10**9)
+        seen: dict = {}
+        exp = []
+        for u, s in sorted(
+            zip(full["url"].to_pylist(), full["score"].to_pylist()),
+            key=lambda x: (-x[1], x[0]),
+        ):
+            k = key_of[u]
+            if k is None or seen.get(k, 0) < cap:
+                exp.append((u, s, k))
+                if k is not None:
+                    seen[k] = seen.get(k, 0) + 1
+        assert list(zip(got["url"].to_pylist(), got["score"].to_pylist(),
+                        got["key"].to_pylist())) == exp, cap
+        # per-key counts respect the cap; null keys escape it
+        counts: dict = {}
+        for k in got["key"].to_pylist():
+            if k is not None:
+                counts[k] = counts.get(k, 0) + 1
+        assert all(v <= cap for v in counts.values())
+    assert None in set(
+        eng.search_diversified(q, "foo", max_per_key=1, limit=10**9)[
+            "key"
+        ].to_pylist()
+    ), "missing-key docs must appear (unconstrained)"
+
+
+def test_diversified_huge_cap_is_plain_search(div_built):
+    _root, _cfg, eng = div_built
+    a = eng.search_diversified("w00001", "foo", max_per_key=10**6, limit=255)
+    b = eng.search("w00001", limit=255)
+    assert a["url"].to_pylist() == b["url"].to_pylist()
+    assert a["score"].to_pylist() == b["score"].to_pylist()
+
+
+def test_diversified_truncation_and_validation(div_built):
+    _root, _cfg, eng = div_built
+    full = eng.search_diversified("w00001", "foo", max_per_key=2, limit=10**9)
+    top5 = eng.search_diversified("w00001", "foo", max_per_key=2, limit=5)
+    assert top5.equals(full.slice(0, 5))
+    with pytest.raises(ValueError, match="tokenized text"):
+        eng.search_diversified("w00001", "text")
+    with pytest.raises(ValueError, match="not an indexed"):
+        eng.search_diversified("w00001", "nope")
+    with pytest.raises(ValueError, match="max_per_key"):
+        eng.search_diversified("w00001", "foo", max_per_key=0)
+    with pytest.raises(ValueError, match="limit"):
+        eng.search_diversified("w00001", "foo", limit=0)
+
+
+def test_diversified_sharded_identity(div_built):
+    from lucene_plugin_ray.pipelines.sharded import ShardedSearcherService
+
+    root, cfg, eng = div_built
+    for shards in (1, 3):
+        svc = ShardedSearcherService(root, cfg=cfg, num_shards=shards)
+        try:
+            for cap, limit in ((1, 5), (2, 1_000_000), (3, 7)):
+                a = eng.search_diversified(
+                    "w00001 w00002", "foo", max_per_key=cap, limit=limit
+                )
+                b = svc.search_diversified(
+                    "w00001 w00002", "foo", max_per_key=cap, limit=limit
+                )
+                assert a["url"].to_pylist() == b["url"].to_pylist(), (cap, limit)
+                assert a["score"].to_pylist() == b["score"].to_pylist()
+                assert a["key"].to_pylist() == b["key"].to_pylist()
+            with pytest.raises(ValueError):
+                svc.search_diversified("w00001", "nope")
+        finally:
+            svc.shutdown()
+
+
+def test_diversified_http_round_trip(ray_session, tmp_path):
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    from lucene_plugin_ray.server import LuceneHttpClient, LuceneHttpService
+
+    svc = LuceneHttpService(
+        IndexConfig(index_root=str(tmp_path / "idx"), num_partitions=2,
+                    field_columns=("host",)),
+        host="127.0.0.1", port=0,
+    ).start()
+    try:
+        c = LuceneHttpClient(svc.url)
+        c.index_map("col", "a1", {"text": "alpha alpha", "host": "h1"})
+        c.index_map("col", "a2", {"text": "alpha", "host": "h1"})
+        c.index_map("col", "b1", {"text": "alpha beta", "host": "h2"})
+        rows = c.search_diversified("col", "alpha", "host", max_per_key=1)
+        assert len(rows) == 2
+        assert {r["key"] for r in rows} == {"h1", "h2"}
+
+        def _status(params):
+            try:
+                urllib.request.urlopen(
+                    f"{svc.url}/search-diversified?"
+                    + urllib.parse.urlencode(params)
+                )
+                return 200
+            except urllib.error.HTTPError as e:
+                return e.code
+
+        assert _status({"collection": "col", "query": "alpha",
+                        "key_field": "text"}) == 400
+        assert _status({"collection": "col", "query": "alpha",
+                        "key_field": "host", "max_per_key": "x"}) == 400
+    finally:
+        svc.shutdown()
