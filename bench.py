@@ -257,6 +257,18 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
         lambda: eng.search_sorted_by(
             "spark merge", [("source", "asc"), ("warc_ts", "desc")], limit=10
         ),
+        lambda: eng.search_expression(
+            "spark merge", "_score * k / (k + doc_len)",
+            bindings={"k": 50.0}, limit=10,
+        ),
+        lambda: eng.search_common(
+            "spark merge window", max_term_frequency=0.78, limit=10
+        ),
+        lambda: eng.search_boosting("spark merge", "window", demote=0.25,
+                                    limit=10),
+        lambda: eng.search_diversified("spark merge", "source",
+                                       max_per_key=2, limit=10),
+        lambda: eng.complete_infix("ar", k=10),
     ]
     for op in aux_ops:  # warm the postings/dictionary caches
         op()
