@@ -644,7 +644,9 @@ def common_terms_parse(
     sharded driver): plain unboosted default-field SHOULD terms only —
     operators, phrases, fields, boosts are loud errors (Lucene's
     CommonTermsQuery takes bare Terms)."""
-    if max_term_frequency <= 0:
+    if not (max_term_frequency > 0):
+        # `not (x > 0)` also catches NaN, which would otherwise classify
+        # every term into NEITHER group and silently return empty
         raise ValueError("max_term_frequency must be positive")
     clauses = parse_query(query, default_field=text_column)
     if not all(
@@ -707,11 +709,15 @@ def _diversify_hits(t: pa.Table, max_per_key: int, limit: int) -> pa.Table:
     distributed merge exact)."""
     if t.num_rows == 0:
         return t
+    import pyarrow.compute as pc
+
     urls = t["url"].to_numpy(zero_copy_only=False)
     scores = t["score"].to_numpy()
     order = np.lexsort((urls, -scores))
     keys = t["key"].to_numpy(zero_copy_only=False)[order]
-    present = np.array([k is not None for k in keys], dtype=bool)
+    present = np.logical_not(
+        pc.is_null(t["key"].combine_chunks()).to_numpy(zero_copy_only=False)
+    )[order]
     # rank of each row within its key along the scan order: stable
     # argsort by key groups equal keys preserving scan order, then
     # run-ranks inside each group
@@ -1264,7 +1270,10 @@ class SearchEngine:
             query, max_term_frequency, self.cfg.text_column
         )
         n_docs, _ = self._stats(coll)
-        _, _, dfs, _ = self._phase1_df(
+        # ONE phase-1 gather serves both classification and scoring: the
+        # rewrite only regroups the same terms, so the dfs (and, for
+        # ttf-hungry similarities, ttfs) inject straight into _execute
+        _, _, dfs, ttfs = self._phase1_df(
             term_clauses, self._segments.get(coll, [])
         )
         clauses = common_terms_rewrite(
@@ -1277,7 +1286,8 @@ class SearchEngine:
                  "docid": pa.array([], pa.int64())}
             )
         return self._execute(
-            clauses, sanitize_collection(collection), limit, "taat"
+            clauses, coll, limit, "taat",
+            df_override=dfs, ttf_override=ttfs,
         )
 
     def search_boosting(

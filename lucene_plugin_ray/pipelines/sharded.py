@@ -1282,8 +1282,6 @@ class ShardedSearcherService:
         top-``limit`` partials, then ONE more cap-then-truncate pass on
         the driver — exact because greedy selection under the total order
         is idempotent under recapping (see _diversify_hits)."""
-        import pyarrow as _pa
-
         from lucene_plugin_ray.pipelines.query import _diversify_hits
 
         if max_per_key <= 0:
@@ -1307,12 +1305,12 @@ class ShardedSearcherService:
              for a in self.actors]
         )
         rows = [r for p in parts for r in p]
-        merged = _pa.table(
+        merged = pa.table(
             {
-                "url": _pa.array([r[0] for r in rows], _pa.string()),
-                "score": _pa.array([r[1] for r in rows], _pa.float64()),
-                "key": _pa.array([r[2] for r in rows], _pa.string()),
-                "docid": _pa.array([r[3] for r in rows], _pa.int64()),
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "score": pa.array([r[1] for r in rows], pa.float64()),
+                "key": pa.array([r[2] for r in rows], pa.string()),
+                "docid": pa.array([r[3] for r in rows], pa.int64()),
             }
         )
         return _diversify_hits(merged, max_per_key, limit)

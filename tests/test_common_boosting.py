@@ -367,3 +367,25 @@ def test_diversified_http_round_trip(ray_session, tmp_path):
                         "key_field": "host", "max_per_key": "x"}) == 400
     finally:
         svc.shutdown()
+
+
+def test_common_terms_under_ttf_similarity(built):
+    """The single classification gather feeds scoring directly
+    (df_override + ttf_override) — under a ttf-hungry similarity the
+    injection guard must NOT fire and the degenerate all-low rewrite must
+    equal the plain lmdirichlet search."""
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+
+    root, cfg, _ = built
+    eng = SearchEngine(root, cfg=cfg, similarity="lmdirichlet")
+    a = eng.search_common("w00000 w00001", max_term_frequency=10**6,
+                          limit=255)
+    b = eng.search("w00000 w00001", limit=255)
+    assert a["url"].to_pylist() == b["url"].to_pylist()
+    assert a["score"].to_pylist() == b["score"].to_pylist()
+
+
+def test_common_terms_nan_cutoff_is_loud(built):
+    _root, _cfg, eng = built
+    with pytest.raises(ValueError, match="must be positive"):
+        eng.search_common("w00000", max_term_frequency=float("nan"))
