@@ -395,7 +395,9 @@ WHERE pf.pf > 0 ORDER BY doc_id
 """
 
 
-def _span_bm25_sql(pf_body: str, stat_terms: list[str]) -> str:
+def _span_bm25_sql(
+    pf_body: str, stat_terms: list[str], round_to: "int | None" = 4
+) -> str:
     """Span-query BM25 scaffold (queries.spans family): ``pf_body`` is a
     DuckDB expression over the positioned token list ``toks`` (1-based
     list indices = engine position + 1) computing the per-doc span
@@ -418,8 +420,9 @@ w AS (SELECT sum(ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))) AS w
       FROM df CROSS JOIN stats s),
 pf AS (SELECT doc_id, {pf_body} AS pf FROM tl)
 SELECT pf.doc_id AS doc_id,
-       round(w.w * (pf.pf * (1.2 + 1.0))
-             / (pf.pf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)), 4) AS score
+       {("round(" if round_to is not None else "(")}w.w * (pf.pf * (1.2 + 1.0))
+             / (pf.pf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))
+       {f", {round_to})" if round_to is not None else ")"} AS score
 FROM pf JOIN dl USING (doc_id) CROSS JOIN stats s CROSS JOIN w
 WHERE pf.pf > 0 ORDER BY doc_id
 """
@@ -433,7 +436,7 @@ _SPAN_FIRST_END = 8
 _SPAN_NOT_PRE, _SPAN_NOT_POST = 1, 2
 
 
-def _span_near_ordered_sql(t0: str, t1: str, slop: int) -> str:
+def _span_near_ordered_sql(t0: str, t1: str, slop: int, round_to: "int | None" = 4) -> str:
     """Ordered SpanNearQuery, k=2: per anchor pa of t0 the greedy
     completion is the NEAREST t1 strictly after pa (nd = min pb − pa);
     width = nd − 1 ≤ slop weighs 1/(1+width) = 1/nd."""
@@ -448,10 +451,10 @@ def _span_near_ordered_sql(t0: str, t1: str, slop: int) -> str:
         f" pa -> CASE WHEN {nd} <= {slop} + 1"
         f" THEN 1.0 / {nd} ELSE 0.0 END)), 0.0)"
     )
-    return _span_bm25_sql(pf, [t0, t1])
+    return _span_bm25_sql(pf, [t0, t1], round_to=round_to)
 
 
-def _span_near_unordered_sql(t0: str, t1: str, slop: int) -> str:
+def _span_near_unordered_sql(t0: str, t1: str, slop: int, round_to: "int | None" = 4) -> str:
     """Unordered SpanNearQuery, k=2: per anchor pa of t0 the minimal
     window is the nearest t1 in EITHER direction (ad = min |pb − pa|);
     width = ad − 1 ≤ slop weighs 1/ad."""
@@ -466,7 +469,7 @@ def _span_near_unordered_sql(t0: str, t1: str, slop: int) -> str:
         f" pa -> CASE WHEN {ad} <= {slop} + 1"
         f" THEN 1.0 / {ad} ELSE 0.0 END)), 0.0)"
     )
-    return _span_bm25_sql(pf, [t0, t1])
+    return _span_bm25_sql(pf, [t0, t1], round_to=round_to)
 
 
 def _span_first_sql(t: str, end: int) -> str:
@@ -1421,6 +1424,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ).sort_by("doc_id")
 
+    def search_surround(sf_dir: str) -> pa.Table:
+        """Surround-language query (queryparser-surround module):
+        'spark 3w merge OR window 2n stream' — an OR of an ordered and an
+        unordered proximity (distance n = slop n-1); per-doc score = sum
+        of the matching span pseudo-term scores."""
+        from lucene_plugin_ray.sources.pages import url_to_doc_id
+
+        engine, cfg = _engine_for(sf_dir)
+        res = engine.search_surround(
+            "spark 3w merge OR window 2n stream", limit=1_000_000_000
+        )
+        return pa.table(
+            {
+                "doc_id": url_to_doc_id(res["url"].combine_chunks()),
+                "score": pc.round(res["score"].combine_chunks(), ndigits=4),
+            }
+        ).sort_by("doc_id")
+
     def search_diversified(sf_dir: str) -> pa.Table:
         """Diversified top-k (misc DiversifiedTopDocsCollector): at most 3
         hits per source over the OR query — greedy selection under the
@@ -1509,6 +1530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_expr": search_expr,
         "search_common": search_common,
         "search_diversified": search_diversified,
+        "search_surround": search_surround,
         "search_boosting": search_boosting,
         "top_terms": top_terms,
         "search_term": search_term,
@@ -1865,6 +1887,18 @@ SELECT doc_id,
               greatest({_FN_NOW_US} - (doc_id + {_PAGES_EPOCH_US}), 0))),
              4) AS score
 FROM b ORDER BY doc_id
+"""
+    # surround language: OR of ordered (3w -> slop 2) and unordered
+    # (2n -> slop 1) span pseudo-terms — raw span scores summed, round-4
+    # on the final value only
+    sql["search_surround"] = f"""
+WITH s1 AS (SELECT doc_id, score FROM (
+  {_span_near_ordered_sql("spark", "merge", 2, round_to=None)})),
+s2 AS (SELECT doc_id, score FROM (
+  {_span_near_unordered_sql("window", "stream", 1, round_to=None)}))
+SELECT coalesce(s1.doc_id, s2.doc_id) AS doc_id,
+       round(coalesce(s1.score, 0.0) + coalesce(s2.score, 0.0), 4) AS score
+FROM s1 FULL OUTER JOIN s2 ON s1.doc_id = s2.doc_id ORDER BY doc_id
 """
     # diversified top-k: rank-within-key <= 3 under (score desc, doc_id)
     sql["search_diversified"] = f"""

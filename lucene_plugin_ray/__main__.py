@@ -103,6 +103,14 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--limit", type=int, default=None)
     s.add_argument("--partitions", type=int, default=32)
     s.add_argument("--fields", default="")
+    s = sub.add_parser("search-surround")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True,
+                   help="surround language: 'a 3W b', '2N(a, b)', AND/OR/NOT")
+    s.add_argument("--collection", default="default")
+    s.add_argument("--limit", type=int, default=None)
+    s.add_argument("--partitions", type=int, default=32)
+    s.add_argument("--fields", default="")
     s = sub.add_parser("search-diversified")
     s.add_argument("--index", required=True)
     s.add_argument("--query", required=True)
@@ -388,6 +396,15 @@ def main(argv: list[str] | None = None) -> int:
         eng = SearchEngine(args.index, cfg=cfg)
         for row in eng.index_stats(collection=args.collection).to_pylist():
             print(json.dumps(row))
+    elif args.cmd == "search-surround":
+        from lucene_plugin_ray.pipelines.query import SearchEngine
+
+        eng = SearchEngine(args.index, cfg=cfg)
+        t = eng.search_surround(
+            args.query, collection=args.collection, limit=args.limit
+        )
+        for url, score in zip(t["url"].to_pylist(), t["score"].to_pylist()):
+            print(json.dumps({"url": url, "score": round(score, 6)}))
     elif args.cmd == "search-diversified":
         from lucene_plugin_ray.pipelines.query import SearchEngine
 

@@ -379,6 +379,27 @@ class LuceneFacade:
             )
         ]
 
+    def search_surround(
+        self,
+        collection: str,
+        query: str,
+        limit: int | None = None,
+    ) -> list[LuceneEntry]:
+        """Surround-language search (queryparser-surround module):
+        W/N proximity + AND/OR/NOT; see SearchEngine.search_surround."""
+        _require(_valid_str(collection), "collection must be a non-empty string")
+        _require(_valid_str(query), "query must be a non-empty string")
+        eng = self._lease_engine()
+        if eng is None:
+            return []
+        t = eng.search_surround(query, collection=collection, limit=limit)
+        return [
+            LuceneEntry(id=int(d), score=float(s), external_id=u)
+            for d, s, u in zip(
+                t["docid"].to_pylist(), t["score"].to_pylist(), t["url"].to_pylist()
+            )
+        ]
+
     def search_diversified(
         self,
         collection: str,
@@ -1131,6 +1152,18 @@ class AsyncLuceneFacade:
 
         return await asyncio.to_thread(
             self._sync.search_filtered, collection, query, filter_query, limit
+        )
+
+    async def search_surround(
+        self,
+        collection: str,
+        query: str,
+        limit: int | None = None,
+    ) -> list[LuceneEntry]:
+        import asyncio
+
+        return await asyncio.to_thread(
+            self._sync.search_surround, collection, query, limit
         )
 
     async def search_diversified(

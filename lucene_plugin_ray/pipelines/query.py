@@ -1391,6 +1391,30 @@ class SearchEngine:
         )[:limit]
         return merged.take(pa.array(order))
 
+    def search_surround(
+        self,
+        query: str,
+        collection: str = "default",
+        limit: int | None = None,
+    ) -> pa.Table:
+        """Surround-language search — the queryparser-surround module:
+        ``a W b`` / ``3W(a, b, c)`` ordered and ``a N b`` / ``4N(a, b)``
+        unordered proximity (distance n = span slop n − 1) composed with
+        AND/OR/NOT and parentheses; W/N compile to the span engine's
+        SpanNearQuery, boolean structure to nested groups, everything
+        scored by the ordinary similarity (functions/surround.py documents
+        the grammar subset and its loud rejections).  Returns (url, score,
+        docid) under the (score desc, url asc) total order."""
+        from lucene_plugin_ray.functions.surround import parse_surround
+
+        limit = limit if limit is not None else self.cfg.result_limit
+        if limit <= 0:
+            raise ValueError("limit must be positive")
+        clauses = parse_surround(query, self.cfg.text_column)
+        return self._execute(
+            clauses, sanitize_collection(collection), limit, "taat"
+        )
+
     def search_diversified(
         self,
         query: str,

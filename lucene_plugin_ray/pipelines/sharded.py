@@ -1190,6 +1190,31 @@ class ShardedSearcherService:
             }
         )
 
+    def search_surround(
+        self,
+        query: str,
+        collection: str = "default",
+        limit: int | None = None,
+    ) -> "pa.Table":
+        """Cluster-wide surround-language search: driver-side parse (bad
+        syntax costs zero remote work), W/N clauses travel STRUCTURED
+        through the generic score() path with injected global stats —
+        identical to SearchEngine.search_surround on the whole index."""
+        from lucene_plugin_ray.functions.surround import parse_surround
+
+        limit = limit if limit is not None else self.cfg.result_limit
+        if limit <= 0:
+            raise ValueError("limit must be positive")
+        sc = sanitize_collection(collection)
+        clauses = parse_surround(query, self.cfg.text_column)
+        terms = {sc: sorted(set(scored_term_keys(clauses)))}
+        global_stats, global_df = self._gather_global(terms)
+        return self._phase2_merge(
+            [{"qid": 0, "collection": collection, "query": tuple(clauses),
+              "limit": limit}],
+            "taat", global_stats, global_df,
+        ).select(["url", "score", "docid"])
+
     def search_common(
         self,
         query: str,

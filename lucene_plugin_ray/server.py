@@ -211,6 +211,21 @@ class LuceneHttpService:
             for e in entries
         ]
 
+    def _search_surround(self, q: dict) -> list[dict]:
+        limit = self._limit_of(q)
+        with self._lock:
+            self._read_your_writes()
+            try:
+                entries = self.facade.search_surround(
+                    q.get("collection", ""), q.get("query", ""), limit=limit
+                )
+            except ValueError as e:  # SurroundParseError subclasses it
+                raise LuceneException(str(e))
+        return [
+            {"_id": e.id, "_score": e.score, "_externalId": e.external_id}
+            for e in entries
+        ]
+
     def _search_diversified(self, q: dict) -> list[dict]:
         limit = self._limit_of(q)
         try:
@@ -721,6 +736,7 @@ class LuceneHttpService:
         "search-expression": _search_expression,
         "search-common": _search_common,
         "search-diversified": _search_diversified,
+        "search-surround": _search_surround,
         "search-boosting": _search_boosting,
         "span-near": _span_near,
         "span-first": _span_first,
@@ -837,6 +853,14 @@ class LuceneHttpClient:
             "search-filtered",
             {"collection": collection, "query": query,
              "filter_query": filter_query, "limit": limit},
+        )
+
+    def search_surround(
+        self, collection: str, query: str, limit: int = 255,
+    ) -> list[dict]:
+        return self._get(
+            "search-surround",
+            {"collection": collection, "query": query, "limit": limit},
         )
 
     def search_diversified(
