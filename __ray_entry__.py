@@ -294,7 +294,11 @@ _RESCORE_Q = "merge stream"
 _CLS_PROBES = ["spark window merge", "merge merge stream", "window table"]
 # percolator registry (percolate): one of each boolean shape — bare OR,
 # pure AND, OR + MUST_NOT, two-term OR
-_PERC_QUERIES = ["spark", "+spark +merge", "spark window -merge", "merge stream"]
+_PERC_QUERIES = [
+    "spark", "+spark +merge", "spark window -merge", "merge stream",
+    '"spark merge"',            # q4: exact-adjacency phrase percolation
+    '+window +"spark merge"~2',  # q5: sloppy phrase AND term
+]
 # dismax probe: 'spark' fires only in text, 'de' only in lang — plus any
 # text occurrences of 'de' the synthetic vocab produces
 _DISMAX_Q = "spark de"
@@ -3105,10 +3109,26 @@ q2 AS (SELECT doc_id, 2 AS query_id FROM d
          AND doc_id NOT IN (SELECT doc_id FROM d WHERE term = 'merge')
        GROUP BY doc_id),
 q3 AS (SELECT doc_id, 3 AS query_id FROM d WHERE term IN ('merge', 'stream')
-       GROUP BY doc_id)
+       GROUP BY doc_id),
+tl AS (SELECT doc_id,
+       {_SQL_POSITIONED_TOKS.format(stop=_SQL_STOP_LIST_LITERAL)} AS toks
+       FROM documents),
+q4 AS (SELECT doc_id, 4 AS query_id FROM tl
+       WHERE len(list_filter(range(1, len(toks)),
+             i -> toks[i] = 'spark' AND toks[i + 1] = 'merge')) > 0),
+q5 AS (SELECT tl.doc_id, 5 AS query_id FROM tl
+       JOIN (SELECT DISTINCT doc_id FROM d WHERE term = 'window') w
+         ON w.doc_id = tl.doc_id
+       WHERE len(list_filter(
+             list_filter(range(1, len(toks)+1), i -> toks[i] = 'spark'),
+             pa -> coalesce(list_min(list_transform(
+                   list_filter(range(1, len(toks)+1),
+                               j -> toks[j] = 'merge'),
+                   pb -> abs(pb - 1 - pa))), 99) <= 2)) > 0)
 SELECT doc_id, CAST(query_id AS BIGINT) AS query_id FROM
 (SELECT * FROM q0 UNION ALL SELECT * FROM q1
- UNION ALL SELECT * FROM q2 UNION ALL SELECT * FROM q3)
+ UNION ALL SELECT * FROM q2 UNION ALL SELECT * FROM q3
+ UNION ALL SELECT * FROM q4 UNION ALL SELECT * FROM q5)
 ORDER BY doc_id, query_id
 """
 

@@ -5989,25 +5989,37 @@ def percolate(
     alerting / routing / dataset-tagging primitive a 100 TB pipeline uses
     to fan documents into per-topic shards without N corpus scans.
 
-    Accepted queries: pure text term booleans (TERM clauses with
-    MUST / SHOULD / MUST_NOT — the reference grammar's Q1/Q2/Q11 shapes);
-    anything needing positions, expansion or scoring is rejected loudly.
-    Matching is the engine's boolean contract (every MUST, else ≥ 1
-    SHOULD, never a MUST_NOT) evaluated as set algebra over the per-doc
-    distinct-token membership matrix: per batch ONE analyzer pass, one
-    ``is_in`` against the union query vocabulary (tiny, shipped in the
-    closure), one boolean matrix [batch × vocab], then |queries| column
-    reductions — zero shuffle, work independent of |queries|·|corpus|
-    token products.  Streams to ``output_path`` at scale.
+    Accepted queries: text term booleans (TERM clauses with
+    MUST / SHOULD / MUST_NOT — the reference grammar's Q1/Q2/Q11 shapes)
+    plus PHRASES (Q8/Q14 — exact adjacency or ``~slop`` proximity over
+    the same PRE-stop-filter positions the index stores, so a percolated
+    phrase matches exactly the docs the engine's phrase query would);
+    expansion (prefix/wildcard/fuzzy/range) and field scoping are
+    rejected loudly.  Matching is the engine's boolean contract (every
+    MUST, else ≥ 1 SHOULD, never a MUST_NOT) evaluated as set algebra
+    over the per-doc membership matrix: per batch ONE positioned
+    analyzer pass, one ``is_in`` against the union query vocabulary
+    (tiny, shipped in the closure), one boolean matrix
+    [batch × (terms + phrases)], phrase columns filled by the engine's
+    own positional kernels (composite batch-row<<32|position keys:
+    searchsorted adjacency chain at slop 0, ``_sloppy_phrase_weights``
+    above), then |queries| column reductions — zero shuffle, work
+    independent of |queries|·|corpus| token products.  Streams to
+    ``output_path`` at scale.
 
     Output: (doc_id, query_id), sorted (doc_id, query_id)."""
     from lucene_plugin_ray.functions.queryparse import (
-        MUST, MUST_NOT, SHOULD, TermClause, parse_query,
+        MUST, MUST_NOT, SHOULD, PhraseClause, TermClause, parse_query,
+        phrase_offsets,
     )
 
     if not queries:
         raise ValueError("queries must be a non-empty list")
     vocab: dict[str, int] = {}
+    # phrase columns live AFTER the term columns in the membership
+    # matrix: (terms tuple, offsets, slop) → column id
+    phrase_cols: dict[tuple, int] = {}
+    phrase_specs: list[tuple[int, tuple, tuple, int]] = []
     parsed: list[tuple[list[int], list[int], list[int]]] = []
     for qi, q in enumerate(queries):
         clauses = parse_query(q, default_field="text")
@@ -6015,13 +6027,29 @@ def percolate(
         shoulds: list[int] = []
         nots: list[int] = []
         for c in clauses:
-            if not isinstance(c, TermClause) or c.field != "text":
+            if isinstance(c, TermClause) and c.field == "text":
+                col = vocab.setdefault(c.term, len(vocab))
+            elif isinstance(c, PhraseClause) and c.field == "text":
+                offs = phrase_offsets(c)
+                pk = (c.terms, offs, c.slop)
+                if pk not in phrase_cols:
+                    phrase_cols[pk] = len(phrase_cols)
+                    phrase_specs.append(
+                        (phrase_cols[pk], c.terms, offs, c.slop)
+                    )
+                # negative marker encodes the phrase id; resolved to a
+                # real column (past the term block) once n_cols is known
+                col = -(phrase_cols[pk] + 1)
+            else:
                 raise ValueError(
-                    f"percolate supports pure text term booleans; query "
-                    f"{qi} ({q!r}) has a {type(c).__name__}"
-                    + (f" on field {c.field!r}" if isinstance(c, TermClause) else "")
+                    f"percolate supports text term booleans and phrases; "
+                    f"query {qi} ({q!r}) has a {type(c).__name__}"
+                    + (
+                        f" on field {c.field!r}"
+                        if isinstance(c, (TermClause, PhraseClause))
+                        else ""
+                    )
                 )
-            col = vocab.setdefault(c.term, len(vocab))
             dest = (
                 musts if c.occur == MUST
                 else nots if c.occur == MUST_NOT else shoulds
@@ -6032,6 +6060,15 @@ def percolate(
         parsed.append((musts, shoulds, nots))
     vocab_list = list(vocab)  # insertion order == col ids
     n_cols = len(vocab_list)
+    # resolve phrase markers to real columns past the term block
+    parsed = [
+        tuple(
+            [c if c >= 0 else n_cols + (-c - 1) for c in group]
+            for group in triple
+        )
+        for triple in parsed
+    ]
+    n_all = n_cols + len(phrase_specs)
 
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
@@ -6043,9 +6080,9 @@ def percolate(
             .astype(np.int64)
         )
         vocab_arr = pa.array(vocab_list, pa.string())
-        parent, terms, _dl = tokenize_column(text)
-        m = np.zeros((n, n_cols), dtype=bool)
-        if len(terms):
+        parent, terms, _dl, pos = tokenize_column(text, with_positions=True)
+        m = np.zeros((n, n_all), dtype=bool)
+        if len(terms) and n_cols:
             hit = pc.is_in(terms, value_set=vocab_arr)
             hitn = hit.to_numpy(zero_copy_only=False)
             if hitn.any():
@@ -6053,6 +6090,42 @@ def percolate(
                     terms.filter(hit), value_set=vocab_arr
                 ).to_numpy(zero_copy_only=False).astype(np.int64)
                 m[parent[hitn], cols] = True
+        if len(terms) and phrase_specs:
+            # the engine's positional kernels over batch-local composite
+            # keys (row << 32 | pre-stop position) — phrase semantics
+            # identical to a phrase QUERY on the built index
+            from lucene_plugin_ray.pipelines.query import (
+                _in_sorted,
+                _sloppy_phrase_weights,
+            )
+
+            for pid, p_terms, offs, slop in phrase_specs:
+                col = n_cols + pid  # phrase block sits AFTER the terms
+                key_arrays = []
+                for t in p_terms:
+                    tm = pc.equal(terms, t).to_numpy(zero_copy_only=False)
+                    if not tm.any():
+                        key_arrays = None
+                        break
+                    key_arrays.append(
+                        (parent[tm].astype(np.int64) << 32) | pos[tm]
+                    )
+                if key_arrays is None:
+                    continue
+                if slop > 0:
+                    got = _sloppy_phrase_weights(
+                        key_arrays, slop, p_terms, offs
+                    )
+                    if got is not None:
+                        m[got[0], col] = True
+                    continue
+                surv = key_arrays[0]
+                for i in range(1, len(key_arrays)):
+                    surv = surv[_in_sorted(surv + offs[i], key_arrays[i])]
+                    if surv.size == 0:
+                        break
+                if surv.size:
+                    m[np.unique(surv >> 32), col] = True
         out_doc: list[np.ndarray] = []
         out_q: list[np.ndarray] = []
         for qi, (musts, shoulds, nots) in enumerate(parsed):

@@ -1267,13 +1267,63 @@ def test_percolate_validation(ray_session, tmp_path_factory):
     with pytest.raises(ValueError):
         training.percolate(d, queries=[])
     with pytest.raises(ValueError):
-        training.percolate(d, queries=['"alpha beta"'])   # phrase
-    with pytest.raises(ValueError):
         training.percolate(d, queries=["lang:en"])        # field-scoped
     with pytest.raises(ValueError):
         training.percolate(d, queries=["-alpha"])         # no positive
     with pytest.raises(ValueError):
         training.percolate(d, queries=["alp*"])           # multi-term
+
+
+def test_percolate_phrases(ray_session, tmp_path_factory):
+    """Phrase percolation: exact adjacency and ~slop proximity over the
+    index's PRE-stop-filter positions (engine phrase parity), composed
+    with MUST/SHOULD/MUST_NOT — hand-pinned per doc."""
+    docs = [
+        (1, "alpha beta gamma"),
+        (2, "alpha the beta"),    # stop hole: gap 2, no slop-0 adjacency
+        (3, "beta alpha"),        # transposition: distance 1
+        (4, "alpha zz beta"),     # one real token between: distance 1
+        (5, "gamma alpha beta gamma"),
+    ]
+    d = _gq_corpus(tmp_path_factory, docs)
+    t = training.percolate(
+        d,
+        queries=[
+            '"alpha beta"',            # q0: adjacency → 1, 5
+            '"alpha beta"~2',          # q1: ≤ 2 moves → all five
+            '+gamma +"alpha beta"',    # q2: AND → 1, 5
+            'delta "alpha beta"',      # q3: OR (delta absent) → 1, 5
+            'alpha -"alpha beta"',     # q4: NOT phrase → 2, 3, 4
+        ],
+    )
+    pairs = sorted(zip(t["doc_id"].to_pylist(), t["query_id"].to_pylist()))
+    by_q = {q: sorted(dd for dd, qq in pairs if qq == q) for q in range(5)}
+    assert by_q == {
+        0: [1, 5], 1: [1, 2, 3, 4, 5], 2: [1, 5], 3: [1, 5], 4: [2, 3, 4],
+    }
+    # engine parity: percolated phrase == phrase QUERY on a built index
+    import tempfile
+
+    from lucene_plugin_ray.config import IndexConfig
+    from lucene_plugin_ray.pipelines.build import build_index
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+
+    rows = pa.table({
+        "url": [f"u{i}" for i, _ in docs],
+        "warc_ts": [1_600_000_000_000_000 + i for i, _ in docs],
+        "html": [b""] * len(docs),
+        "text": [t_ for _, t_ in docs],
+        "lang": ["en"] * len(docs),
+    })
+    root = tempfile.mkdtemp()
+    cfg = IndexConfig(index_root=root, num_partitions=2)
+    build_index(rows, cfg)
+    eng = SearchEngine(root, cfg=cfg)
+    for q, qid in (('"alpha beta"', 0), ('"alpha beta"~2', 1)):
+        eng_docs = {
+            int(u[1:]) for u in eng.search(q, limit=255)["url"].to_pylist()
+        }
+        assert eng_docs == set(by_q[qid]), q
 
 
 def test_percolate_sink(ray_session, tmp_path_factory, tmp_path):
