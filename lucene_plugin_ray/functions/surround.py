@@ -258,7 +258,7 @@ def parse_surround(query: str, field: str) -> list:
     structure lives in nested groups)."""
     if not isinstance(query, str) or not query.strip():
         raise SurroundParseError("empty surround query")
-    toks = _tokenize(query)
+    toks = _tokenize(query.strip())
     p = _Parser(toks, field)
     ast = p.parse_or()
     if p.i != len(p.toks):

@@ -6080,7 +6080,14 @@ def percolate(
             .astype(np.int64)
         )
         vocab_arr = pa.array(vocab_list, pa.string())
-        parent, terms, _dl, pos = tokenize_column(text, with_positions=True)
+        # pay the positioned-analyzer pass only when a phrase needs it —
+        # the pure-term registry keeps the original single-pass cost
+        if phrase_specs:
+            parent, terms, _dl, pos = tokenize_column(
+                text, with_positions=True
+            )
+        else:
+            parent, terms, _dl = tokenize_column(text)
         m = np.zeros((n, n_all), dtype=bool)
         if len(terms) and n_cols:
             hit = pc.is_in(terms, value_set=vocab_arr)

@@ -189,3 +189,12 @@ def test_surround_facade_http_round_trip(ray_session, tmp_path):
         assert _status({"collection": "col", "query": "the w beta"}) == 400
     finally:
         svc.shutdown()
+
+
+def test_surround_trailing_whitespace_accepted(built):
+    """Trailing whitespace must not turn a valid query into a parse
+    error — review-fix regression pin."""
+    _, _, eng = built
+    a = eng.search_surround("spark w merge \n")
+    b = eng.search_surround("spark w merge")
+    _eq(a, b)
