@@ -2447,6 +2447,12 @@ class MultiIndexSearcherService(ShardedSearcherService):
         self.root_partitions: list[int] = []
         self.actors = []
         self._vocab_union_cache = {}
+        # union of the roots' manifest field lists: a field indexed by
+        # only SOME roots behaves exactly like append-only field
+        # evolution (the other roots answer missing — string sorts last,
+        # diversified keys unconstrained), so the union is the correct
+        # validation universe for the inherited read surface
+        self._fields: list[str] = []
         for i, root in enumerate(index_roots):
             chain = load_manifest_chain(
                 root, generations[i] if generations else None
@@ -2462,6 +2468,9 @@ class MultiIndexSearcherService(ShardedSearcherService):
                 )
             self.generations.append(g)
             self.root_partitions.append(P)
+            for f in chain[-1].fields:
+                if f not in self._fields:
+                    self._fields.append(f)
             self.actors.append(
                 _ShardActor.remote(root, g, self.cfg, list(range(P)))
             )

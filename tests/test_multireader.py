@@ -211,3 +211,75 @@ def test_text_column_mismatch_is_loud(built, tmp_path):
     ), body_cfg)
     with pytest.raises(ValueError, match="never indexed text column"):
         MultiIndexSearcherService([roots[0], body_root], cfg=ucfg)
+
+
+def test_federation_session9_surfaces_equal_union(built):
+    """The session-9 read APIs inherited by the federation are
+    bit-identical to the union index: spans, surround, expression,
+    common-terms, boosting, diversified, STRING sort, infix complete."""
+    from lucene_plugin_ray.pipelines.sharded import MultiIndexSearcherService
+
+    pages, _union_root, ucfg, roots, engine = built
+    svc = MultiIndexSearcherService(roots, cfg=ucfg)
+    try:
+        assert _pairs(svc.span_near(["w00001", "w00002"], slop=2)) == _pairs(
+            engine.span_near(["w00001", "w00002"], slop=2)
+        )
+        assert _pairs(
+            svc.span_near(["w00002", "w00001"], slop=1, in_order=False)
+        ) == _pairs(
+            engine.span_near(["w00002", "w00001"], slop=1, in_order=False)
+        )
+        assert _pairs(svc.span_first("w00001", 4)) == _pairs(
+            engine.span_first("w00001", 4)
+        )
+        assert _pairs(
+            svc.span_not("w00001", "w00002", pre=1, post=1)
+        ) == _pairs(engine.span_not("w00001", "w00002", pre=1, post=1))
+        assert _pairs(
+            svc.search_surround("w00001 3w w00002 OR pagehit")
+        ) == _pairs(engine.search_surround("w00001 3w w00002 OR pagehit"))
+        assert _pairs(
+            svc.search_expression(
+                "pagehit", "_score * k / (k + doc_len)", bindings={"k": 9.0}
+            )
+        ) == _pairs(
+            engine.search_expression(
+                "pagehit", "_score * k / (k + doc_len)", bindings={"k": 9.0}
+            )
+        )
+        df0 = float(engine.count("w00001"))
+        assert _pairs(
+            svc.search_common("w00001 w00002 pagehit",
+                              max_term_frequency=df0)
+        ) == _pairs(
+            engine.search_common("w00001 w00002 pagehit",
+                                 max_term_frequency=df0)
+        )
+        assert _pairs(
+            svc.search_boosting("w00001 w00002", "pagehit", demote=0.25)
+        ) == _pairs(
+            engine.search_boosting("w00001 w00002", "pagehit", demote=0.25)
+        )
+        a = svc.search_diversified("w00001 w00002", "foo", max_per_key=2)
+        b = engine.search_diversified("w00001 w00002", "foo", max_per_key=2)
+        assert _pairs(a) == _pairs(b)
+        assert a["key"].to_pylist() == b["key"].to_pylist()
+        a = svc.search_sorted_by(
+            "pagehit", [("foo", "asc"), ("warc_ts", "desc")], limit=50
+        )
+        b = engine.search_sorted_by(
+            "pagehit", [("foo", "asc"), ("warc_ts", "desc")], limit=50
+        )
+        # docids are SUB-INDEX-LOCAL by the federation contract
+        assert a.drop_columns(["docid"]).equals(b.drop_columns(["docid"]))
+        assert svc.complete_infix("agehi", k=5).equals(
+            engine.complete_infix("agehi", k=5)
+        )
+        # the union field list validates (foo indexed by every root here)
+        with pytest.raises(ValueError):
+            svc.search_diversified("pagehit", "nope")
+        with pytest.raises(ValueError):
+            svc.search_sorted_by("pagehit", [("nope", "asc")])
+    finally:
+        svc.shutdown()
