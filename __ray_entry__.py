@@ -1178,6 +1178,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
         finally:
             shutil.rmtree(dst, ignore_errors=True)
 
+    def merge_search_q(sf_dir: str) -> pa.Table:
+        """addIndexes exactness: the documents corpus split by doc_id
+        parity into TWO independently built roots (different partition
+        counts), physically merged into one new index (merge_indexes),
+        then searched — hash-matches the single-corpus BM25 oracle (the
+        search_term oracle verbatim: the merged live doc set IS the
+        union corpus)."""
+        import shutil
+        import tempfile
+
+        from lucene_plugin_ray.pipelines.build import build_index
+        from lucene_plugin_ray.pipelines.query import SearchEngine
+        from lucene_plugin_ray.pipelines.repartition import merge_indexes
+        from lucene_plugin_ray.sources.pages import (
+            documents_as_pages,
+            url_to_doc_id,
+        )
+
+        base = tempfile.mkdtemp(prefix="lpr_merge_")
+        try:
+            ds = documents_as_pages(sf_dir)
+            import os as _os
+
+            import pyarrow.compute as _pc
+
+            from lucene_plugin_ray.sources.pages import url_to_doc_id as _u2d
+
+            tbl = pa.concat_tables(
+                list(ds.iter_batches(batch_format="pyarrow"))
+            )
+            ids = _u2d(tbl["url"].combine_chunks())
+            even = _pc.equal(_pc.bit_wise_and(ids, 1), 0)
+            roots = []
+            for k, part in enumerate(
+                (tbl.filter(even), tbl.filter(_pc.invert(even)))
+            ):
+                root = _os.path.join(base, f"src{k}")
+                c = IndexConfig(
+                    index_root=root, num_partitions=3 + k,
+                    field_columns=("lang", "source"),
+                )
+                build_index(part, c)
+                roots.append(root)
+            dst = _os.path.join(base, "merged")
+            merge_indexes(roots, dst, num_partitions=6)
+            dcfg = IndexConfig(
+                index_root=dst, num_partitions=6,
+                field_columns=("lang", "source"),
+            )
+            res = SearchEngine(dst, cfg=dcfg).search(
+                _TERM_Q, limit=1_000_000_000
+            )
+            return pa.table(
+                {
+                    "doc_id": url_to_doc_id(res["url"].combine_chunks()),
+                    "score": pc.round(
+                        res["score"].combine_chunks(), ndigits=4
+                    ),
+                }
+            ).sort_by("doc_id")
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
     def multireader_search_q(sf_dir: str) -> pa.Table:
         """MultiReader federation exactness: the documents corpus split by
         doc_id parity into TWO independently built roots (different
@@ -1523,6 +1586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "block_join": block_join_q,
         "multireader_search": multireader_search_q,
         "repartition_search": repartition_search_q,
+        "merge_search": merge_search_q,
         "search_rescore": search_rescore,
         "search_filtered": search_filtered,
         "search_join": search_join,
@@ -1681,6 +1745,8 @@ def oracle_sql() -> dict[str, str]:
     # repartitioned index: the live doc set (hence every statistic) is
     # unchanged by the re-shard — the search_term oracle verbatim again
     sql["repartition_search"] = _bm25_sql(term_terms)
+    # addIndexes: the merged index IS the union corpus — same oracle
+    sql["merge_search"] = _bm25_sql(term_terms)
     # block join, ScoreMode.None: parents (one synthetic doc per source)
     # of blocks with >= 1 child document matching the probe term — constant
     # score 1.0 (the parent filter never contributes to the score)

@@ -281,6 +281,18 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--partitions", type=int, default=32)
     s.add_argument("--fields", default="")
     s = sub.add_parser(
+        "merge-indexes",
+        description="Physically merge several independently built indexes "
+        "into one new root (IndexWriter.addIndexes analogue) — no corpus "
+        "re-read; duplicate live urls across sources are a loud error.",
+    )
+    s.add_argument("--indexes", required=True, nargs="+",
+                   help="two or more source index roots")
+    s.add_argument("--dest", required=True, help="destination root")
+    s.add_argument("--num-partitions", type=int, default=None,
+                   help="destination partition count (default: max source)")
+    s.set_defaults(index=None, partitions=32, fields="")
+    s = sub.add_parser(
         "repartition",
         description="Re-shard an index to a new partition count from its "
         "inverted data alone; the field list and old partition count come "
@@ -612,6 +624,19 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(row))
             bad += 0 if row["ok"] else 1
         return 0 if bad == 0 else 1
+    elif args.cmd == "merge-indexes":
+        _ensure_ray()
+        from lucene_plugin_ray.pipelines.repartition import merge_indexes
+
+        m = merge_indexes(args.indexes, args.dest,
+                          num_partitions=args.num_partitions)
+        print(json.dumps({
+            "dest": args.dest,
+            "num_partitions": m.num_partitions,
+            "fields": m.fields,
+            "docs": sum(r["n_docs"] for r in m.partitions),
+            "segments": len(m.partitions),
+        }))
     elif args.cmd == "repartition":
         _ensure_ray()
         from lucene_plugin_ray.pipelines.repartition import repartition_index

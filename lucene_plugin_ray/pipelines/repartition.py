@@ -212,15 +212,26 @@ def _build_partition(group: pa.Table, cfg: IndexConfig, fields: list[str]) -> pa
 
     urls_parts = [b["urls"] for b in blocks]
     urls = np.concatenate(urls_parts)
-    order = np.argsort(urls, kind="stable")  # urls unique across the live view
+    order = np.argsort(urls, kind="stable")
     n_docs = urls.size
+    sorted_urls = urls[order]
+    if n_docs > 1:
+        dup = sorted_urls[1:] == sorted_urls[:-1]
+        if dup.any():
+            ex = sorted_urls[1:][dup][:3].tolist()
+            raise ValueError(
+                f"duplicate live url(s) in collection {coll!r} (e.g. "
+                f"{ex}): the single-live-doc-per-url invariant would "
+                "break — for overlapping corpora replicate one index and "
+                "apply the other as a delta (upsert) instead of merging"
+            )
     if n_docs > DOCID_STRIDE:
         raise ValueError(
             f"partition {p} of collection {coll!r} would hold {n_docs} docs "
             f"> DOCID_STRIDE ({DOCID_STRIDE}) — choose a larger "
             "new_partitions"
         )
-    urls = urls[order]
+    urls = sorted_urls
     shas = np.concatenate([b["shas"] for b in blocks])[order]
     tss = np.concatenate([b["tss"] for b in blocks])[order]
     dl_arrays = {
@@ -373,6 +384,141 @@ def repartition_index(
             "repartitioned_from": src_root,
             "old_partitions": chain[-1].num_partitions,
             "source_generation": chain[-1].generation,
+        },
+    )
+    write_manifest(dst_root, manifest)
+    return manifest
+
+
+def merge_indexes(
+    src_roots: "list[str]",
+    dst_root: str,
+    num_partitions: int | None = None,
+    cfg: IndexConfig | None = None,
+    concurrency: int | None = None,
+):
+    """Physically merge several independently built indexes into ONE new
+    root — Lucene ``IndexWriter.addIndexes(Directory…)``: the live query
+    views of every source are decoded once and re-shuffled into a fresh
+    gen-0 index, no original corpus needed.  Returns the destination's
+    Manifest.
+
+    Exactly the repartitioner's two-stage shape with the task list drawn
+    from EVERY source: stage 1 decodes each (root, collection, partition)
+    live chain once and emits target-keyed blocks; stage 2 is the shared
+    union/remap kernel.  The destination answers every query identically
+    to an index built over the UNION corpus (urls, scores, facets — the
+    live doc set and therefore every corpus statistic is the union's by
+    construction; pinned in tests).
+
+    Field lists may differ per source: the destination's field list is
+    the ORDER-PRESERVING UNION (first root's order, unseen fields
+    appended) — a source lacking a field contributes doc_len 0 and no
+    postings for it, exactly the append-only field-evolution semantics.
+    Duplicate live urls across sources are a LOUD error (Lucene's
+    addIndexes concatenates blindly; this engine's url-keyed upsert
+    invariant cannot — replicate one index and apply the other corpus as
+    a delta instead).  ``num_partitions`` defaults to the max source
+    partition count."""
+    from lucene_plugin_ray.pipelines.build import live_merge_tasks
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+    from lucene_plugin_ray.state.manifest import (
+        Manifest,
+        aggregate_collections,
+        list_generations,
+        load_manifest_chain,
+        write_manifest,
+    )
+
+    if not src_roots or len(src_roots) < 2:
+        raise ValueError(
+            "merge_indexes needs at least two source roots (one source "
+            "is repartition_index)"
+        )
+    norm = [r.rstrip("/") for r in src_roots]
+    if len(set(norm)) != len(norm):
+        raise ValueError("duplicate source roots")
+    if dst_root.rstrip("/") in norm:
+        raise ValueError("destination must differ from every source root")
+    if storage.isdir(dst_root) and list_generations(dst_root):
+        raise FileExistsError(f"{dst_root} already holds an index")
+
+    base_cfg = cfg or IndexConfig(index_root=src_roots[0])
+    text_col = base_cfg.text_column
+    chains = [load_manifest_chain(r) for r in src_roots]
+    union_fields: list[str] = []
+    for ch in chains:
+        for f in ch[-1].fields:
+            if f not in union_fields:
+                union_fields.append(f)
+    for r, ch in zip(src_roots, chains):
+        if text_col not in ch[-1].fields:
+            raise ValueError(
+                f"source {r} never analyzed text column {text_col!r} "
+                f"(its fields: {list(ch[-1].fields)})"
+            )
+    P = num_partitions or max(ch[-1].num_partitions for ch in chains)
+    if P < 1:
+        raise ValueError("num_partitions must be >= 1")
+    block_size = chains[0][-1].block_size or base_cfg.block_size
+    dst_cfg = IndexConfig(
+        index_root=dst_root,
+        num_partitions=P,
+        text_column=text_col,
+        field_columns=tuple(f for f in union_fields if f != text_col),
+        block_size=block_size,
+    )
+
+    tasks: list[dict] = []
+    for ri, (root, ch) in enumerate(zip(src_roots, chains)):
+        src_cfg = IndexConfig(
+            index_root=root,
+            num_partitions=ch[-1].num_partitions,
+            text_column=text_col,
+            field_columns=tuple(
+                f for f in ch[-1].fields if f != text_col
+            ),
+            block_size=ch[-1].block_size or block_size,
+        )
+        eng = SearchEngine(root, cfg=src_cfg)
+        for t in live_merge_tasks(eng):
+            # globalize the deterministic reduce key across roots
+            t = dict(t)
+            t["partition"] = ri * 1_000_000 + int(t["partition"])
+            tasks.append(t)
+
+    rows: list[dict] = []
+    if tasks:
+        fields = [text_col, *dst_cfg.field_columns]
+        kwargs = {"concurrency": concurrency} if concurrency else {}
+        blocks = ray.data.from_items(tasks).map_batches(
+            _split_batch,
+            fn_kwargs={"new_partitions": P, "fields": fields},
+            batch_size=1,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            **kwargs,
+        )
+        built = blocks.groupby(["collection", "p_new"]).map_groups(
+            lambda g: _build_partition(g, dst_cfg, fields),
+            batch_format="pyarrow",
+        )
+        rows = [r for t in built.iter_batches(batch_format="pyarrow")
+                for r in t.to_pylist()]
+
+    manifest = Manifest(
+        generation=0,
+        num_partitions=P,
+        block_size=block_size,
+        fields=union_fields,
+        partitions=rows,
+        collections=aggregate_collections(rows),
+        extra={
+            "compacted": True,
+            "merged_from": [str(r) for r in src_roots],
+            "source_generations": [
+                int(ch[-1].generation) for ch in chains
+            ],
         },
     )
     write_manifest(dst_root, manifest)

@@ -160,3 +160,142 @@ def test_guards(built, tmp_path):
     repartition_index(src, dst, 2)
     with pytest.raises(FileExistsError, match="already holds"):
         repartition_index(src, dst, 2)
+
+
+# ------------------------------------------------------------ addIndexes ----
+
+
+@pytest.fixture(scope="module")
+def merge_built(ray_session, tmp_path_factory):
+    """Two disjoint corpora in independently built roots (different
+    partition counts) plus the union index they must equal after a
+    physical merge."""
+    import hashlib
+
+    import numpy as np
+
+    from lucene_plugin_ray.pipelines.build import build_index
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+
+    base = tmp_path_factory.mktemp("mi")
+    pages = make_pages(260, seed=29, with_fields=True)
+    urls = pages["url"].to_pylist()
+    mask = pa.array(
+        [int(hashlib.md5(u.encode()).hexdigest(), 16) % 2 == 0 for u in urls]
+    )
+    a_tab, b_tab = pages.filter(mask), pages.filter(pc.invert(mask))
+    cfg_a = IndexConfig(index_root=str(base / "a"), num_partitions=2,
+                        field_columns=("foo", "age"))
+    cfg_b = IndexConfig(index_root=str(base / "b"), num_partitions=3,
+                        field_columns=("foo", "age"))
+    build_index(a_tab, cfg_a)
+    build_index(b_tab, cfg_b)
+    ucfg = IndexConfig(index_root=str(base / "u"), num_partitions=4,
+                       field_columns=("foo", "age"))
+    build_index(pages, ucfg)
+    return base, cfg_a, cfg_b, ucfg, SearchEngine(ucfg.index_root, cfg=ucfg)
+
+
+def test_merge_equals_union_index(merge_built, tmp_path):
+    """addIndexes: the merged root answers every query shape identically
+    to the index built over the union corpus, passes CheckIndex, and the
+    manifest records lineage."""
+    from lucene_plugin_ray.pipelines.check import check_index
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+    from lucene_plugin_ray.pipelines.repartition import merge_indexes
+
+    base, cfg_a, cfg_b, ucfg, ueng = merge_built
+    dst = str(tmp_path / "merged")
+    m = merge_indexes([cfg_a.index_root, cfg_b.index_root], dst,
+                      num_partitions=4)
+    assert m.extra["merged_from"] == [cfg_a.index_root, cfg_b.index_root]
+    dcfg = IndexConfig(index_root=dst, num_partitions=4,
+                       field_columns=("foo", "age"))
+    meng = SearchEngine(dst, cfg=dcfg)
+    for q in _QUERIES:
+        a = meng.search(q, limit=10**9)
+        b = ueng.search(q, limit=10**9)
+        assert a["url"].to_pylist() == b["url"].to_pylist(), q
+        assert a["score"].to_pylist() == b["score"].to_pylist(), q
+    assert meng.count("pagehit") == ueng.count("pagehit")
+    assert meng.facets("pagehit", "foo").equals(ueng.facets("pagehit", "foo"))
+    assert meng.top_terms(k=12).equals(ueng.top_terms(k=12))
+    # a positional read off the merged index
+    url = ueng.search("pagehit", limit=1)["url"][0].as_py()
+    assert meng.term_vector(url).equals(ueng.term_vector(url))
+    rep = check_index(dst)
+    assert set(rep["ok"].to_pylist()) == {True}
+
+
+def test_merge_default_partitions_is_max_source(merge_built, tmp_path):
+    from lucene_plugin_ray.pipelines.repartition import merge_indexes
+
+    base, cfg_a, cfg_b, _ucfg, _ueng = merge_built
+    m = merge_indexes([cfg_a.index_root, cfg_b.index_root],
+                      str(tmp_path / "dflt"))
+    assert m.num_partitions == 3  # max(2, 3)
+
+
+def test_merge_field_union_is_evolution_semantics(ray_session, tmp_path):
+    """Sources with DIFFERENT field lists: the merged index carries the
+    union; docs from the field-less root answer missing (string sort
+    last, facet absent) — the append-only evolution contract."""
+    from lucene_plugin_ray.pipelines.build import build_index
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+    from lucene_plugin_ray.pipelines.repartition import merge_indexes
+
+    rows_a = pa.table({
+        "url": ["a1", "a2"],
+        "warc_ts": [1_600_000_000_000_000, 1_600_000_000_000_001],
+        "html": [b"", b""],
+        "text": ["common alpha", "common beta"],
+        "lang": ["en", "en"],
+        "foo": ["zz", "aa"],
+    })
+    rows_b = pa.table({
+        "url": ["b1"],
+        "warc_ts": [1_600_000_000_000_002],
+        "html": [b""],
+        "text": ["common gamma"],
+        "lang": ["en"],
+    })
+    cfg_a = IndexConfig(index_root=str(tmp_path / "fa"), num_partitions=2,
+                        field_columns=("foo",))
+    cfg_b = IndexConfig(index_root=str(tmp_path / "fb"), num_partitions=1)
+    build_index(rows_a, cfg_a)
+    build_index(rows_b, cfg_b)
+    from lucene_plugin_ray.pipelines.repartition import merge_indexes
+
+    dst = str(tmp_path / "fm")
+    m = merge_indexes([cfg_a.index_root, cfg_b.index_root], dst)
+    assert m.fields == ["text", "foo"]
+    dcfg = IndexConfig(index_root=dst, num_partitions=m.num_partitions,
+                       field_columns=("foo",))
+    eng = SearchEngine(dst, cfg=dcfg)
+    t = eng.search_sorted_by("common", [("foo", "asc")], limit=10)
+    assert t["url"].to_pylist() == ["a2", "a1", "b1"]  # missing LAST
+    assert t["foo"].to_pylist() == ["aa", "zz", None]
+    assert eng.count("foo:zz") == 1
+
+
+def test_merge_guards(merge_built, tmp_path):
+    from lucene_plugin_ray.pipelines.repartition import merge_indexes
+
+    base, cfg_a, cfg_b, ucfg, _ueng = merge_built
+    with pytest.raises(ValueError, match="at least two"):
+        merge_indexes([cfg_a.index_root], str(tmp_path / "x1"))
+    with pytest.raises(ValueError, match="duplicate source roots"):
+        merge_indexes([cfg_a.index_root, cfg_a.index_root + "/"],
+                      str(tmp_path / "x2"))
+    with pytest.raises(ValueError, match="destination must differ"):
+        merge_indexes([cfg_a.index_root, cfg_b.index_root],
+                      cfg_b.index_root)
+    # overlapping urls (root a ⊂ union) → the single-live-doc invariant
+    with pytest.raises(ValueError, match="duplicate live url"):
+        merge_indexes([cfg_a.index_root, ucfg.index_root],
+                      str(tmp_path / "x3"))
+    # occupied destination
+    dst = str(tmp_path / "x4")
+    merge_indexes([cfg_a.index_root, cfg_b.index_root], dst)
+    with pytest.raises(FileExistsError):
+        merge_indexes([cfg_a.index_root, cfg_b.index_root], dst)
