@@ -795,6 +795,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ).sort_by("doc_id")
 
+    def mlt_by_doc_q(sf_dir: str) -> pa.Table:
+        """MoreLikeThis like(docId): term frequencies from the INDEXED
+        doc 7's reconstructed term vector instead of re-analyzed text —
+        identical selection contract, so the like-text oracle applies
+        verbatim (analyze(text) tf == indexed tf for a live doc)."""
+        from lucene_plugin_ray.sources.pages import url_to_doc_id
+
+        engine, cfg = _engine_for(sf_dir)
+        res = engine.more_like_this_url(
+            f"doc://{_MLT_DOC:010d}", max_query_terms=10,
+            limit=1_000_000_000,
+        )
+        return pa.table(
+            {
+                "doc_id": url_to_doc_id(res["url"].combine_chunks()),
+                "score": pc.round(res["score"].combine_chunks(), ndigits=4),
+            }
+        ).sort_by("doc_id")
+
     def classify_knn_q(sf_dir: str) -> pa.Table:
         """KNN classification (KNearestNeighborClassifier): doc 7's text →
         MLT query (top-10 tf·idf terms, source excluded) → every hit votes
@@ -1646,6 +1665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spell_suggest": spell_suggest,
         "date_histogram": date_histogram,
         "more_like_this": more_like_this_q,
+        "mlt_by_doc": mlt_by_doc_q,
         "term_vector": term_vector_q,
         "hybrid_search": hybrid_search_q,
         "batch_search": batch_search,
@@ -2623,6 +2643,10 @@ WHERE tf.doc_id <> {_MLT_DOC}
 GROUP BY tf.doc_id
 ORDER BY doc_id
 """
+
+    # like(docId) form: indexed tfs == analyzed tfs for a live doc, so
+    # the like-text oracle applies verbatim
+    sql["mlt_by_doc"] = sql["more_like_this"]
 
     # KNN classification: the MLT match set's round-4 scores in integer
     # 1e-4 vote units, summed per lang — pure integer output

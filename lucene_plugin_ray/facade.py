@@ -854,6 +854,36 @@ class LuceneFacade:
             raise LuceneException(str(e)) from e
         return t.to_pylist()
 
+    def more_like_this_id(
+        self,
+        collection: str,
+        ext_id: str,
+        max_query_terms: int = 25,
+        limit: int | None = None,
+    ) -> list[LuceneEntry]:
+        """MoreLikeThis like(docId): similar documents to an INDEXED doc
+        by its externalId (term frequencies from the index, source doc
+        excluded); a non-live id is a client error."""
+        _require(_valid_str(collection), "collection must be a non-empty string")
+        _require(_valid_str(ext_id), "id must be a non-empty string")
+        _require(int(max_query_terms) >= 1, "max_query_terms must be >= 1")
+        eng = self._lease_engine()
+        if eng is None:
+            raise LuceneException(f"no index yet: nothing matches {ext_id!r}")
+        try:
+            t = eng.more_like_this_url(
+                ext_id, collection=collection,
+                max_query_terms=max_query_terms, limit=limit,
+            )
+        except KeyError as e:
+            raise LuceneException(str(e)) from e
+        return [
+            LuceneEntry(id=int(d), score=float(s), external_id=u)
+            for d, s, u in zip(
+                t["docid"].to_pylist(), t["score"].to_pylist(), t["url"].to_pylist()
+            )
+        ]
+
     def more_like_this(
         self,
         collection: str,
@@ -1398,6 +1428,20 @@ class AsyncLuceneFacade:
 
         return await asyncio.to_thread(
             self._sync.term_vector, collection, ext_id, field
+        )
+
+    async def more_like_this_id(
+        self,
+        collection: str,
+        ext_id: str,
+        max_query_terms: int = 25,
+        limit: int | None = None,
+    ) -> list[LuceneEntry]:
+        import asyncio
+
+        return await asyncio.to_thread(
+            self._sync.more_like_this_id, collection, ext_id,
+            max_query_terms, limit,
         )
 
     async def more_like_this(

@@ -2532,6 +2532,66 @@ class SearchEngine:
             ).slice(0, limit)
         return res
 
+    def more_like_this_url(
+        self,
+        url: str,
+        collection: str = "default",
+        max_query_terms: int = 25,
+        limit: int | None = None,
+        method: str = "taat",
+        include_self: bool = False,
+    ) -> pa.Table:
+        """MoreLikeThis's like(docId) form: term frequencies come from the
+        INDEXED document's term vector (reconstructed by
+        :meth:`term_vector` — exact index tfs, not a re-analysis), then
+        the selection/scoring contract of :meth:`more_like_this` verbatim
+        (tf·idf weights, (weight desc, term asc) top ``max_query_terms``,
+        one SHOULD query).  The source document is excluded unless
+        ``include_self`` (Lucene's usual like-document setup).  A url that
+        is not live raises KeyError — the :meth:`explain`/term_vector
+        convention."""
+        tv = self.term_vector(
+            url, collection=collection, with_positions=False
+        )
+        coll = sanitize_collection(collection)
+        empty = pa.table(
+            {"url": pa.array([], pa.string()),
+             "score": pa.array([], pa.float64()),
+             "docid": pa.array([], pa.int64())}
+        )
+        if max_query_terms <= 0:
+            raise ValueError(
+                f"max_query_terms must be >= 1, got {max_query_terms}"
+            )
+        limit = limit if limit is not None else self.cfg.result_limit
+        n_docs, _avgdl = self._stats(coll)
+        if n_docs == 0 or tv.num_rows == 0:
+            return empty
+        field = self.cfg.text_column
+        tf = dict(zip(tv["term"].to_pylist(), tv["tf"].to_pylist()))
+        dfs = self.local_term_dfs(coll, [(field, t) for t in tf])
+        weighted = [
+            (tf[t] * idf(df, n_docs), t)
+            for (_f, t), df in dfs.items()
+            if df > 0
+        ]
+        weighted.sort(key=lambda wt: (-wt[0], wt[1]))
+        top = weighted[:max_query_terms]
+        if not top:
+            return empty
+        clauses: list[Clause] = [
+            TermClause(occur="SHOULD", field=field, term=t) for _, t in top
+        ]
+        fetch = limit if include_self else limit + 1
+        res = self._execute(clauses, coll, fetch, method)
+        if not include_self and res.num_rows:
+            import pyarrow.compute as pc
+
+            res = res.filter(
+                pc.not_equal(res["url"], pa.scalar(url))
+            ).slice(0, limit)
+        return res
+
     def suggest(
         self,
         term: str,

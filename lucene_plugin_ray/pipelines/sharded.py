@@ -2249,6 +2249,72 @@ class ShardedSearcherService:
             ).slice(0, limit)
         return res
 
+    def more_like_this_url(
+        self,
+        url: str,
+        collection: str = "default",
+        max_query_terms: int = 25,
+        limit: int | None = None,
+        method: str = "taat",
+        include_self: bool = False,
+    ) -> pa.Table:
+        """Cluster-wide MoreLikeThis like(docId): the term vector comes
+        from the OWNING shard (the explain partition-hash routing), term
+        selection uses fleet-global df/n_docs, and the derived SHOULD
+        clauses run the exact phase-2 merge — identical to
+        SearchEngine.more_like_this_url on the whole index."""
+        from lucene_plugin_ray.functions.bm25 import idf
+        from lucene_plugin_ray.functions.queryparse import TermClause
+
+        if max_query_terms <= 0:
+            raise ValueError(
+                f"max_query_terms must be >= 1, got {max_query_terms}"
+            )
+        limit = limit if limit is not None else self.cfg.result_limit
+        tv = self.term_vector(url, collection=collection,
+                              with_positions=False)
+        empty = pa.table(
+            {"url": pa.array([], pa.string()),
+             "score": pa.array([], pa.float64()),
+             "docid": pa.array([], pa.int64())}
+        )
+        coll = sanitize_collection(collection)
+        field = self.cfg.text_column
+        tf = dict(zip(tv["term"].to_pylist(), tv["tf"].to_pylist()))
+        if not tf:
+            return empty
+        stats, dfs = self._gather_global(
+            {coll: sorted((field, t) for t in tf)}
+        )
+        n_docs = stats.get(coll, {}).get("n_docs", 0)
+        if n_docs == 0:
+            return empty
+        weighted = [
+            (tf[t] * idf(df, n_docs), t)
+            for (_f, t), df in dfs.get(coll, {}).items()
+            if df > 0
+        ]
+        weighted.sort(key=lambda wt: (-wt[0], wt[1]))
+        top = weighted[:max_query_terms]
+        if not top:
+            return empty
+        clauses = tuple(
+            TermClause(occur="SHOULD", field=field, term=t) for _, t in top
+        )
+        fetch = limit if include_self else limit + 1
+        res = self._phase2_merge(
+            [{"qid": 0, "collection": collection, "query": clauses,
+              "limit": fetch}],
+            method, stats, dfs,
+        ).select(["url", "score", "docid"])
+        if not include_self and res.num_rows:
+            import pyarrow.compute as pc
+
+            res = res.filter(
+                pc.not_equal(res["url"], pa.scalar(url))
+            ).slice(0, limit)
+        return res
+
     def search_batch(self, queries: pa.Table, method: str = "taat") -> pa.Table:
         """(qid, query[, collection][, k]) → (qid, rank, url, score)."""
         qlist = []

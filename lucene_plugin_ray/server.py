@@ -644,6 +644,25 @@ class LuceneHttpService:
             for e in entries
         ]
 
+    def _more_like_this_id(self, q: dict) -> list[dict]:
+        limit = self._limit_of(q)
+        try:
+            m = int(q.get("max_query_terms") or 25)
+        except ValueError:
+            raise LuceneException(
+                f"max_query_terms must be an integer: {q['max_query_terms']!r}"
+            )
+        with self._lock:
+            self._read_your_writes()
+            entries = self.facade.more_like_this_id(
+                q.get("collection", ""), q.get("id", ""),
+                max_query_terms=m, limit=limit,
+            )
+        return [
+            {"_id": e.id, "_score": e.score, "_externalId": e.external_id}
+            for e in entries
+        ]
+
     def _snippets(self, form: dict) -> list[dict]:
         # POST (not GET): the hit bodies travel in the request.  ``texts``
         # is a JSON object {external_id: raw_text, ...}.
@@ -754,6 +773,7 @@ class LuceneHttpService:
         "search-sorted": _search_sorted,
         "search-sorted-by": _search_sorted_by,
         "more-like-this": _more_like_this,
+        "more-like-this-id": _more_like_this_id,
         "explain": _explain,
         "suggest": _suggest,
         "complete": _complete,
@@ -1093,6 +1113,16 @@ class LuceneHttpClient:
         return self._get(
             "complete-infix",
             {"collection": collection, "fragment": fragment, "k": k},
+        )
+
+    def more_like_this_id(
+        self, collection: str, ext_id: str, max_query_terms: int = 25,
+        limit: int = 255,
+    ) -> list[dict]:
+        return self._get(
+            "more-like-this-id",
+            {"collection": collection, "id": ext_id,
+             "max_query_terms": max_query_terms, "limit": limit},
         )
 
     def more_like_this(

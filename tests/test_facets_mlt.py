@@ -728,3 +728,71 @@ def test_complete_infix_ranking_liveness_and_sharded(ray_session, tmp_path):
         eng.complete_infix("park", k=0)
     with pytest.raises(ValueError):
         eng.complete_infix("park", field="nope")
+
+
+def test_more_like_this_url_like_doc_form(ray_session, tmp_path):
+    """like(docId): indexed tfs == analyzed tfs for a live doc, so the
+    like-text and like-doc forms are bit-identical; not-live raises;
+    include_self keeps the source; sharded twin identical."""
+    from lucene_plugin_ray.pipelines.build import build_index
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+    from lucene_plugin_ray.pipelines.sharded import ShardedSearcherService
+
+    pages = make_pages(250, seed=13)
+    cfg = IndexConfig(index_root=str(tmp_path / "idx"), num_partitions=3)
+    build_index(pages, cfg)
+    eng = SearchEngine(cfg.index_root, cfg=cfg)
+    url = pages["url"][7].as_py()
+    text = pages["text"][7].as_py()
+    a = eng.more_like_this_url(url, max_query_terms=10, limit=50)
+    b = eng.more_like_this(text, max_query_terms=10, limit=50,
+                           exclude_url=url)
+    assert a["url"].to_pylist() == b["url"].to_pylist()
+    assert a["score"].to_pylist() == b["score"].to_pylist()
+    assert url not in a["url"].to_pylist()
+    # include_self puts the source back (it scores highest on its own terms)
+    c = eng.more_like_this_url(url, max_query_terms=10, limit=50,
+                               include_self=True)
+    assert url in c["url"].to_pylist()
+    with pytest.raises(KeyError):
+        eng.more_like_this_url("doc://not-there")
+    with pytest.raises(ValueError):
+        eng.more_like_this_url(url, max_query_terms=0)
+    svc = ShardedSearcherService(cfg.index_root, cfg=cfg, num_shards=3)
+    try:
+        d = svc.more_like_this_url(url, max_query_terms=10, limit=50)
+        assert d["url"].to_pylist() == a["url"].to_pylist()
+        assert d["score"].to_pylist() == a["score"].to_pylist()
+    finally:
+        svc.shutdown()
+
+
+def test_more_like_this_id_http_round_trip(ray_session, tmp_path):
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    from lucene_plugin_ray.server import LuceneHttpClient, LuceneHttpService
+
+    svc = LuceneHttpService(
+        IndexConfig(index_root=str(tmp_path / "idx2"), num_partitions=2),
+        host="127.0.0.1", port=0,
+    ).start()
+    try:
+        c = LuceneHttpClient(svc.url)
+        c.index_text("col", "a", "alpha beta gamma delta")
+        c.index_text("col", "b", "alpha beta gamma other")
+        c.index_text("col", "c", "unrelated words here")
+        rows = c.more_like_this_id("col", "a", max_query_terms=5)
+        assert [r["_externalId"] for r in rows][0] == "b"
+        assert "a" not in {r["_externalId"] for r in rows}
+        try:
+            urllib.request.urlopen(
+                f"{svc.url}/more-like-this-id?"
+                + urllib.parse.urlencode({"collection": "col", "id": "zz"})
+            )
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        svc.shutdown()
