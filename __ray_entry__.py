@@ -902,6 +902,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ).sort_by("doc_id")
 
+    def search_sorted_str_after(sf_dir: str) -> pa.Table:
+        """searchAfter(FieldDoc) on the STRING sort: anchor = the global
+        (source asc, warc_ts desc) rank-n//3 row; only rows STRICTLY
+        after it return — warc_ts unique, so the SQL rank reproduces the
+        page exactly."""
+        from lucene_plugin_ray.sources.pages import url_to_doc_id
+
+        engine, cfg = _engine_for(sf_dir)
+        sort = [("source", "asc"), ("warc_ts", "desc")]
+        full = engine.search_sorted_by(_OR_Q, sort, limit=1_000_000_000)
+        k = max(full.num_rows // 3, 1)
+        ak = [full["source"][k - 1].as_py(), full["warc_ts"][k - 1].as_py()]
+        au = full["url"][k - 1].as_py()
+        res = engine.search_sorted_by(
+            _OR_Q, sort, limit=1_000_000_000,
+            after_keys=ak, after_url=au,
+        )
+        return pa.table(
+            {
+                "doc_id": url_to_doc_id(res["url"].combine_chunks()),
+                "source": res["source"].combine_chunks(),
+                "ts_us": res["warc_ts"].combine_chunks(),
+                "rank": pa.array(range(1, res.num_rows + 1), pa.int64()),
+            }
+        ).sort_by("doc_id")
+
     def index_stats(sf_dir: str) -> pa.Table:
         """Per-field index statistics (IndexReader numDocs / Terms.size /
         getSumDocFreq introspection): live docs, distinct terms and
@@ -1661,6 +1687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_sorted": search_sorted,
         "search_sorted_multi": search_sorted_multi,
         "search_sorted_str": search_sorted_str,
+        "search_sorted_str_after": search_sorted_str_after,
         "index_stats": index_stats,
         "spell_suggest": spell_suggest,
         "date_histogram": date_histogram,
@@ -2549,6 +2576,23 @@ s AS (SELECT m.doc_id, d.source,
 SELECT doc_id, source, ts_us,
        CAST(row_number() OVER (ORDER BY source ASC, ts_us DESC) AS BIGINT) AS rank
 FROM s ORDER BY doc_id
+"""
+
+    # STRING-sort deep pagination: rows strictly after the global
+    # (source asc, ts desc) rank-n//3 anchor, re-ranked within the page
+    sql["search_sorted_str_after"] = f"""
+{_toks_cte()},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({or_inlist})),
+s AS (SELECT m.doc_id, d.source,
+             CAST(1600000000000000 + m.doc_id AS BIGINT) AS ts_us
+      FROM m JOIN documents d USING (doc_id)),
+r AS (SELECT *, row_number() OVER (ORDER BY source ASC, ts_us DESC) AS rn
+      FROM s),
+cnt AS (SELECT count(*) AS c FROM r),
+k AS (SELECT greatest((SELECT c FROM cnt) // 3, 1) AS k)
+SELECT doc_id, source, ts_us,
+       CAST(rn - (SELECT k FROM k) AS BIGINT) AS rank
+FROM r WHERE rn > (SELECT k FROM k) ORDER BY doc_id
 """
 
     # sorted deep pagination: anchor = ts at global recency rank n//3,

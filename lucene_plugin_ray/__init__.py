@@ -25,6 +25,8 @@ __all__ = [
     "AutoExtract",
     "LuceneFacade", "AsyncLuceneFacade", "LuceneEntry", "LuceneException",
     "LuceneHttpService", "LuceneHttpClient",
+    "replicate_index", "repartition_index", "merge_indexes", "check_index",
+    "compile_expression", "parse_surround", "make_span_clause",
 ]
 __version__ = "0.3.0"
 
@@ -55,4 +57,28 @@ def __getattr__(name):  # lazy so `import lucene_plugin_ray` stays light
         from lucene_plugin_ray import server
 
         return getattr(server, name)
+    if name in ("repartition_index", "merge_indexes"):
+        from lucene_plugin_ray.pipelines import repartition
+
+        return getattr(repartition, name)
+    if name == "replicate_index":
+        from lucene_plugin_ray.pipelines.replicate import replicate_index
+
+        return replicate_index
+    if name == "check_index":
+        from lucene_plugin_ray.pipelines.check import check_index
+
+        return check_index
+    if name == "compile_expression":
+        from lucene_plugin_ray.functions.expressions import compile_expression
+
+        return compile_expression
+    if name == "parse_surround":
+        from lucene_plugin_ray.functions.surround import parse_surround
+
+        return parse_surround
+    if name == "make_span_clause":
+        from lucene_plugin_ray.pipelines.query import make_span_clause
+
+        return make_span_clause
     raise AttributeError(name)

@@ -724,6 +724,8 @@ class LuceneFacade:
         query: str,
         sort: list,
         limit: int | None = None,
+        after_keys: "list | None" = None,
+        after_url: str = "",
     ) -> list[dict]:
         """Multi-key field sort (Sort(SortField, …) analogue) → one dict
         per hit: {externalId, <sort field values>}, ranked by the
@@ -744,7 +746,7 @@ class LuceneFacade:
             return []
         t = eng.search_sorted_by(
             query, [tuple(p) for p in sort], collection=collection,
-            limit=limit,
+            limit=limit, after_keys=after_keys, after_url=after_url,
         )
         names = [n for n in t.column_names if n not in ("url", "docid")]
         return [
@@ -1366,11 +1368,14 @@ class AsyncLuceneFacade:
         query: str,
         sort: list,
         limit: int | None = None,
+        after_keys: "list | None" = None,
+        after_url: str = "",
     ) -> list[dict]:
         import asyncio
 
         return await asyncio.to_thread(
-            self._sync.search_sorted_by, collection, query, sort, limit
+            self._sync.search_sorted_by, collection, query, sort, limit,
+            after_keys, after_url,
         )
 
     async def classify(

@@ -770,6 +770,63 @@ def sort_order_mixed(urls, keys, fields) -> np.ndarray:
     return np.lexsort(tuple(cols))
 
 
+def sorted_after_mask(keys, urls, fields, after_keys, after_url) -> np.ndarray:
+    """Boolean mask of rows STRICTLY AFTER the anchor under the composite
+    (keys per direction, missing-last, url asc) total order — the
+    searchAfter(FieldDoc) predicate for an arbitrary Sort, shared by the
+    engine and the sharded partials.  ``after_keys`` aligns with
+    ``fields``; a None anchor value for a string key means the anchor sat
+    in the missing-last block.  Vectorized lexicographic compare: one
+    pass per key maintaining (strictly-after, still-equal) state."""
+    n = len(urls)
+    after = np.zeros(n, dtype=bool)
+    eq = np.ones(n, dtype=bool)
+    for (f, d), k, av in zip(fields, keys, after_keys):
+        if f in _NUMERIC_SORT_FIELDS:
+            if av is None or isinstance(av, bool) or not isinstance(
+                av, (int, float)
+            ):
+                raise ValueError(
+                    f"after value for numeric sort field {f!r} must be a "
+                    f"number, got {av!r}"
+                )
+            if isinstance(av, float) and not av.is_integer():
+                raise ValueError(
+                    f"after value for integer sort field {f!r} must be "
+                    f"integral, got {av!r}"
+                )
+            kv = np.asarray(k, dtype=np.int64)
+            a_int = int(av)
+            gt = kv > a_int if d == "asc" else kv < a_int
+            eq_here = kv == a_int
+        else:
+            k = np.asarray(k, dtype=object)
+            isnull = np.array([v is None for v in k], dtype=bool)
+            if av is None:
+                # anchor in the missing-last block: only missing rows tie,
+                # nothing sorts after missing
+                gt = np.zeros(n, dtype=bool)
+                eq_here = isnull
+            else:
+                if not isinstance(av, str):
+                    raise ValueError(
+                        f"after value for string sort field {f!r} must be "
+                        f"a string or None, got {av!r}"
+                    )
+                vals = np.where(isnull, "", k).astype("U")
+                if d == "asc":
+                    gt = (vals > av) & ~isnull
+                else:
+                    gt = (vals < av) & ~isnull
+                gt = gt | isnull  # missing sorts LAST in both directions
+                eq_here = (vals == av) & ~isnull
+        after |= eq & gt
+        eq &= eq_here
+    u = np.asarray(urls, dtype=object).astype("U")
+    after |= eq & (u > after_url)
+    return after
+
+
 def make_span_clause(
     kind: str,
     terms,
@@ -2296,6 +2353,8 @@ class SearchEngine:
         sort: list[tuple[str, str]],
         collection: str = "default",
         limit: int | None = None,
+        after_keys: "list | None" = None,
+        after_url: str = "",
     ) -> pa.Table:
         """Multi-key sort-by-field search — IndexSearcher.search(q, n,
         Sort(SortField, SortField, …)) with more than one key: matching is
@@ -2317,9 +2376,22 @@ class SearchEngine:
         truncation at ``limit`` merges exactly (the BM25-path argument) —
         string keys compare as the actual terms on both passes, so
         segment-local rank reduction cannot reorder the merge.  Returns
-        (url, <one int64/string column per sort field>, docid)."""
+        (url, <one int64/string column per sort field>, docid).
+
+        ``after_keys`` + ``after_url`` are the searchAfter(FieldDoc)
+        anchor for THIS sort: one value per sort field (ints for the
+        numerics, str-or-None for string keys — None anchors inside the
+        missing-last block) plus the previous page's last url; only rows
+        STRICTLY after the anchor under the composite total order return,
+        applied per segment BEFORE truncation so pages concatenate to the
+        unanchored result exactly (the search_after argument)."""
         coll = sanitize_collection(collection)
         fields = self._validate_sort_spec(sort, coll)
+        if after_keys is not None and len(after_keys) != len(fields):
+            raise ValueError(
+                f"after_keys must carry one value per sort field "
+                f"({len(fields)}), got {len(after_keys)}"
+            )
         limit = limit if limit is not None else self.cfg.result_limit
         if limit <= 0:
             raise ValueError("limit must be positive")
@@ -2357,6 +2429,14 @@ class SearchEngine:
                 continue
             r = seg.reader
             keys = _keys(si, seg, matched)
+            if after_keys is not None:
+                keep = sorted_after_mask(
+                    keys, r.urls[matched], fields, after_keys, after_url
+                )
+                if not keep.any():
+                    continue
+                matched = matched[keep]
+                keys = [k[keep] for k in keys]
             order = sort_order_mixed(r.urls[matched], keys, fields)[:limit]
             parts.append(
                 pa.table(

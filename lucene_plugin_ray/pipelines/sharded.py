@@ -725,14 +725,18 @@ class _ShardActor:
         )
 
     def sorted_by_partial(
-        self, query: str, sort: list, collection: str, limit: int
+        self, query: str, sort: list, collection: str, limit: int,
+        after_keys: "list | None" = None, after_url: str = "",
     ) -> list[tuple]:
         """This shard's top-``limit`` multi-key-sorted hits — per-shard
         truncation under the composite (keys…, url) total order merges
-        exactly (doc-disjoint shards)."""
+        exactly (doc-disjoint shards).  ``after_keys``/``after_url``:
+        the searchAfter(FieldDoc) anchor, applied shard-side before
+        truncation (the anchor predicate composes with the total order,
+        so post-anchor per-shard top-limit stays lossless)."""
         t = self.engine.search_sorted_by(
             query, [tuple(p) for p in sort], collection=collection,
-            limit=limit,
+            limit=limit, after_keys=after_keys, after_url=after_url,
         )
         return [tuple(r.values()) for r in t.to_pylist()]
 
@@ -1830,6 +1834,8 @@ class ShardedSearcherService:
         sort: list,
         collection: str = "default",
         limit: int | None = None,
+        after_keys: "list | None" = None,
+        after_url: str = "",
     ) -> pa.Table:
         """Cluster-wide multi-key sorted search — identical to
         SearchEngine.search_sorted_by on the whole index: per-shard
@@ -1864,8 +1870,14 @@ class ShardedSearcherService:
             if f in seen:
                 raise ValueError(f"duplicate sort field {f!r}")
             seen.add(f)
+        if after_keys is not None and len(after_keys) != len(fields):
+            raise ValueError(
+                f"after_keys must carry one value per sort field "
+                f"({len(fields)}), got {len(after_keys)}"
+            )
         parts = ray.get(
-            [a.sorted_by_partial.remote(query, fields, collection, limit)
+            [a.sorted_by_partial.remote(query, fields, collection, limit,
+                                        after_keys, after_url)
              for a in self.actors]
         )
         rows = [r for p in parts for r in p]

@@ -485,14 +485,23 @@ class LuceneHttpService:
             raise LuceneException(f"sort must be a JSON list: {e}")
         if not isinstance(sort, list):
             raise LuceneException("sort must be a JSON list of [field, dir]")
+        after_keys = None
+        if q.get("after_keys"):
+            try:
+                after_keys = _json.loads(q["after_keys"])
+            except ValueError as e:
+                raise LuceneException(f"after_keys must be a JSON list: {e}")
+            if not isinstance(after_keys, list):
+                raise LuceneException("after_keys must be a JSON list")
         with self._lock:
             self._read_your_writes()
             try:
                 return self.facade.search_sorted_by(
                     q.get("collection", ""), q.get("query", ""), sort,
-                    limit=limit,
+                    limit=limit, after_keys=after_keys,
+                    after_url=q.get("after_url", ""),
                 )
-            except ValueError as e:  # bad field/dir/dup
+            except ValueError as e:  # bad field/dir/dup/anchor
                 raise LuceneException(str(e))
 
     def _classify(self, q: dict) -> list[dict]:
@@ -1009,14 +1018,16 @@ class LuceneHttpClient:
 
     def search_sorted_by(
         self, collection: str, query: str, sort: list, limit: int = 255,
+        after_keys: "list | None" = None, after_url: str = "",
     ) -> list[dict]:
         import json as _json
 
-        return self._get(
-            "search-sorted-by",
-            {"collection": collection, "query": query,
-             "sort": _json.dumps(sort), "limit": limit},
-        )
+        params = {"collection": collection, "query": query,
+                  "sort": _json.dumps(sort), "limit": limit}
+        if after_keys is not None:
+            params["after_keys"] = _json.dumps(after_keys)
+            params["after_url"] = after_url
+        return self._get("search-sorted-by", params)
 
     def classify(
         self, collection: str, text: str, class_field: str

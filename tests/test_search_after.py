@@ -577,3 +577,125 @@ def test_sorted_by_unknown_field_loud_even_on_empty_collection(built):
         eng.search_sorted_by(
             "w00001", [("text", "asc")], collection="no-such-collection"
         )
+
+
+# --------------------------- searchAfter(FieldDoc) on arbitrary Sort --------
+
+
+def test_sorted_by_after_pages_concatenate(built):
+    """Multi-key searchAfter: pages anchored on (key values…, url)
+    concatenate to the unanchored result exactly — numeric and STRING
+    keys, including paging THROUGH ties and the missing-last block."""
+    _root, _cfg, eng = built
+    for sort in ([("foo", "asc"), ("warc_ts", "desc")],
+                 [("doc_len", "desc"), ("foo", "desc")]):
+        full = eng.search_sorted_by("w00001 w00002", sort, limit=10**9)
+        assert full.num_rows > 10
+        for page in (3, 7):
+            pages = []
+            ak, au = None, ""
+            while True:
+                pg = eng.search_sorted_by(
+                    "w00001 w00002", sort, limit=page,
+                    after_keys=ak, after_url=au,
+                )
+                if pg.num_rows == 0:
+                    break
+                pages.append(pg)
+                last = pg.num_rows - 1
+                ak = [pg[f][last].as_py() for f, _ in sort]
+                au = pg["url"][last].as_py()
+            assert pa.concat_tables(pages).equals(full), (sort, page)
+
+
+def test_sorted_by_after_strictly_after_semantics(built):
+    """The anchor row itself never reappears; the next page starts at the
+    immediately following row of the total order."""
+    _root, _cfg, eng = built
+    sort = [("foo", "asc"), ("warc_ts", "asc")]
+    full = eng.search_sorted_by("w00001", sort, limit=10**9)
+    k = min(6, full.num_rows - 1)
+    ak = [full[f][k - 1].as_py() for f, _ in sort]
+    au = full["url"][k - 1].as_py()
+    nxt = eng.search_sorted_by("w00001", sort, limit=10**9,
+                               after_keys=ak, after_url=au)
+    assert nxt.equals(full.slice(k))
+
+
+def test_sorted_by_after_validation(built):
+    _root, _cfg, eng = built
+    sort = [("foo", "asc"), ("warc_ts", "desc")]
+    with pytest.raises(ValueError, match="one value per sort field"):
+        eng.search_sorted_by("w00001", sort, after_keys=[1])
+    with pytest.raises(ValueError, match="must be a string or None"):
+        eng.search_sorted_by("w00001", sort, after_keys=[5, 1])
+    with pytest.raises(ValueError, match="must be a number"):
+        eng.search_sorted_by("w00001", sort, after_keys=["x", "y"])
+    with pytest.raises(ValueError, match="integral"):
+        eng.search_sorted_by("w00001", sort, after_keys=["x", 1.5])
+
+
+def test_sorted_by_after_sharded_and_http(ray_session, tmp_path):
+    from lucene_plugin_ray.pipelines.build import build_index
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+    from lucene_plugin_ray.pipelines.sharded import ShardedSearcherService
+    from lucene_plugin_ray.server import LuceneHttpClient, LuceneHttpService
+
+    cfg = IndexConfig(index_root=str(tmp_path / "idx"), num_partitions=3,
+                      field_columns=("foo",))
+    build_index(make_pages(200, seed=41, with_fields=True), cfg)
+    eng = SearchEngine(cfg.index_root, cfg=cfg)
+    sort = [("foo", "asc"), ("warc_ts", "desc")]
+    full = eng.search_sorted_by("w00001", sort, limit=10**9)
+    k = 4
+    ak = [full[f][k - 1].as_py() for f, _ in sort]
+    au = full["url"][k - 1].as_py()
+    exp = eng.search_sorted_by("w00001", sort, limit=6,
+                               after_keys=ak, after_url=au)
+    svc = ShardedSearcherService(cfg.index_root, cfg=cfg, num_shards=2)
+    try:
+        got = svc.search_sorted_by("w00001", sort, limit=6,
+                                   after_keys=ak, after_url=au)
+        assert got.equals(exp)
+        with pytest.raises(ValueError):
+            svc.search_sorted_by("w00001", sort, after_keys=[1])
+    finally:
+        svc.shutdown()
+
+    http = LuceneHttpService(
+        IndexConfig(index_root=str(tmp_path / "h"), num_partitions=2),
+        host="127.0.0.1", port=0,
+    ).start()
+    try:
+        c = LuceneHttpClient(http.url)
+        c.index_text("col", "a", "alpha beta gamma delta")   # dl 4
+        c.index_text("col", "b", "alpha beta")               # dl 2
+        c.index_text("col", "d", "alpha beta gamma")         # dl 3
+        rows = c.search_sorted_by("col", "alpha",
+                                  [["doc_len", "desc"]])
+        anchor = rows[0]
+        rest = c.search_sorted_by(
+            "col", "alpha", [["doc_len", "desc"]],
+            after_keys=[anchor["doc_len"]],
+            after_url=anchor["externalId"],
+        )
+        assert [r["externalId"] for r in rest] == [
+            r["externalId"] for r in rows[1:]
+        ]
+        import urllib.error
+        import urllib.parse
+        import urllib.request
+
+        try:
+            urllib.request.urlopen(
+                f"{http.url}/search-sorted-by?" + urllib.parse.urlencode(
+                    {"collection": "col", "query": "alpha",
+                     "sort": '[["doc_len", "desc"]]',
+                     "after_keys": "notjson"}
+                )
+            )
+            assert False
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        http.shutdown()
