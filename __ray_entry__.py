@@ -1241,32 +1241,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             url_to_doc_id,
         )
 
+        import os
+
         base = tempfile.mkdtemp(prefix="lpr_merge_")
         try:
             ds = documents_as_pages(sf_dir)
-            import os as _os
-
-            import pyarrow.compute as _pc
-
-            from lucene_plugin_ray.sources.pages import url_to_doc_id as _u2d
-
             tbl = pa.concat_tables(
                 list(ds.iter_batches(batch_format="pyarrow"))
             )
-            ids = _u2d(tbl["url"].combine_chunks())
-            even = _pc.equal(_pc.bit_wise_and(ids, 1), 0)
+            ids = url_to_doc_id(tbl["url"].combine_chunks())
+            even = pc.equal(pc.bit_wise_and(ids, 1), 0)
             roots = []
             for k, part in enumerate(
-                (tbl.filter(even), tbl.filter(_pc.invert(even)))
+                (tbl.filter(even), tbl.filter(pc.invert(even)))
             ):
-                root = _os.path.join(base, f"src{k}")
+                root = os.path.join(base, f"src{k}")
                 c = IndexConfig(
                     index_root=root, num_partitions=3 + k,
                     field_columns=("lang", "source"),
                 )
                 build_index(part, c)
                 roots.append(root)
-            dst = _os.path.join(base, "merged")
+            dst = os.path.join(base, "merged")
             merge_indexes(roots, dst, num_partitions=6)
             dcfg = IndexConfig(
                 index_root=dst, num_partitions=6,

@@ -770,6 +770,39 @@ def sort_order_mixed(urls, keys, fields) -> np.ndarray:
     return np.lexsort(tuple(cols))
 
 
+def mlt_select_clauses(
+    tf: dict, dfs: dict, n_docs: int, max_query_terms: int, field: str
+) -> list:
+    """Shared MoreLikeThis term selection — like-text AND like-docId, on
+    the engine AND the sharded driver (ONE copy so the contract the
+    bit-identity tests pin cannot drift): tf·idf weights over df>0 terms,
+    (weight desc, term asc) — deterministic: equal weights only arise
+    from identical (tf, df) pairs — top ``max_query_terms`` as SHOULD
+    TermClauses.  ``dfs``: {(field, term): df}."""
+    weighted = [
+        (tf[t] * idf(df, n_docs), t)
+        for (_f, t), df in dfs.items()
+        if df > 0
+    ]
+    weighted.sort(key=lambda wt: (-wt[0], wt[1]))
+    return [
+        TermClause(occur="SHOULD", field=field, term=t)
+        for _, t in weighted[:max_query_terms]
+    ]
+
+
+def exclude_source_url(res: pa.Table, url: str, limit: int) -> pa.Table:
+    """Drop the MLT source document from a fetched limit+1 result and
+    re-truncate — the like-document exclusion, shared everywhere."""
+    import pyarrow.compute as pc
+
+    if res.num_rows:
+        res = res.filter(
+            pc.not_equal(res["url"], pa.scalar(url))
+        ).slice(0, limit)
+    return res
+
+
 def sorted_after_mask(keys, urls, fields, after_keys, after_url) -> np.ndarray:
     """Boolean mask of rows STRICTLY AFTER the anchor under the composite
     (keys per direction, missing-last, url asc) total order — the
@@ -822,6 +855,10 @@ def sorted_after_mask(keys, urls, fields, after_keys, after_url) -> np.ndarray:
                 eq_here = (vals == av) & ~isnull
         after |= eq & gt
         eq &= eq_here
+    if not isinstance(after_url, str):
+        raise ValueError(
+            f"after_url must be a string, got {type(after_url).__name__}"
+        )
     u = np.asarray(urls, dtype=object).astype("U")
     after |= eq & (u > after_url)
     return after
@@ -2590,26 +2627,13 @@ class SearchEngine:
             tf[t] = tf.get(t, 0) + 1
         field = self.cfg.text_column
         dfs = self.local_term_dfs(coll, [(field, t) for t in tf])
-        weighted = [
-            (tf[t] * idf(df, n_docs), t)
-            for (_f, t), df in dfs.items()
-            if df > 0
-        ]
-        weighted.sort(key=lambda wt: (-wt[0], wt[1]))
-        top = weighted[:max_query_terms]
-        if not top:
+        clauses = mlt_select_clauses(tf, dfs, n_docs, max_query_terms, field)
+        if not clauses:
             return empty
-        clauses: list[Clause] = [
-            TermClause(occur="SHOULD", field=field, term=t) for _, t in top
-        ]
         fetch = limit + 1 if exclude_url is not None else limit
         res = self._execute(clauses, coll, fetch, method)
-        if exclude_url is not None and res.num_rows:
-            import pyarrow.compute as pc
-
-            res = res.filter(
-                pc.not_equal(res["url"], pa.scalar(exclude_url))
-            ).slice(0, limit)
+        if exclude_url is not None:
+            res = exclude_source_url(res, exclude_url, limit)
         return res
 
     def more_like_this_url(
@@ -2630,6 +2654,13 @@ class SearchEngine:
         ``include_self`` (Lucene's usual like-document setup).  A url that
         is not live raises KeyError — the :meth:`explain`/term_vector
         convention."""
+        if max_query_terms <= 0:
+            # validate BEFORE the term-vector reconstruction so a bad
+            # parameter is a ValueError regardless of url liveness (the
+            # sharded twin's order)
+            raise ValueError(
+                f"max_query_terms must be >= 1, got {max_query_terms}"
+            )
         tv = self.term_vector(
             url, collection=collection, with_positions=False
         )
@@ -2639,10 +2670,6 @@ class SearchEngine:
              "score": pa.array([], pa.float64()),
              "docid": pa.array([], pa.int64())}
         )
-        if max_query_terms <= 0:
-            raise ValueError(
-                f"max_query_terms must be >= 1, got {max_query_terms}"
-            )
         limit = limit if limit is not None else self.cfg.result_limit
         n_docs, _avgdl = self._stats(coll)
         if n_docs == 0 or tv.num_rows == 0:
@@ -2650,26 +2677,13 @@ class SearchEngine:
         field = self.cfg.text_column
         tf = dict(zip(tv["term"].to_pylist(), tv["tf"].to_pylist()))
         dfs = self.local_term_dfs(coll, [(field, t) for t in tf])
-        weighted = [
-            (tf[t] * idf(df, n_docs), t)
-            for (_f, t), df in dfs.items()
-            if df > 0
-        ]
-        weighted.sort(key=lambda wt: (-wt[0], wt[1]))
-        top = weighted[:max_query_terms]
-        if not top:
+        clauses = mlt_select_clauses(tf, dfs, n_docs, max_query_terms, field)
+        if not clauses:
             return empty
-        clauses: list[Clause] = [
-            TermClause(occur="SHOULD", field=field, term=t) for _, t in top
-        ]
         fetch = limit if include_self else limit + 1
         res = self._execute(clauses, coll, fetch, method)
-        if not include_self and res.num_rows:
-            import pyarrow.compute as pc
-
-            res = res.filter(
-                pc.not_equal(res["url"], pa.scalar(url))
-            ).slice(0, limit)
+        if not include_self:
+            res = exclude_source_url(res, url, limit)
         return res
 
     def suggest(

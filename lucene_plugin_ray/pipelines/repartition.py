@@ -457,8 +457,13 @@ def merge_indexes(
                 f"source {r} never analyzed text column {text_col!r} "
                 f"(its fields: {list(ch[-1].fields)})"
             )
-    P = num_partitions or max(ch[-1].num_partitions for ch in chains)
+    P = (
+        max(ch[-1].num_partitions for ch in chains)
+        if num_partitions is None
+        else int(num_partitions)
+    )
     if P < 1:
+        # explicit 0 must be loud, not a silent fallback to the default
         raise ValueError("num_partitions must be >= 1")
     block_size = chains[0][-1].block_size or base_cfg.block_size
     dst_cfg = IndexConfig(
@@ -470,6 +475,14 @@ def merge_indexes(
     )
 
     tasks: list[dict] = []
+    # IndexOptions compatibility (Lucene addIndexes refuses mismatched
+    # postings formats): a positions-less source block silently flips the
+    # destination's have_pos off for every partition its urls hash to —
+    # partition-hash-dependent data loss — so mixed positions capability
+    # across sources is a LOUD error.  Vacuous segments (empty
+    # dictionaries) are compatible with either side, exactly like the
+    # reducer's own contributing-blocks rule.
+    root_pos: list[bool | None] = []
     for ri, (root, ch) in enumerate(zip(src_roots, chains)):
         src_cfg = IndexConfig(
             index_root=root,
@@ -481,11 +494,31 @@ def merge_indexes(
             block_size=ch[-1].block_size or block_size,
         )
         eng = SearchEngine(root, cfg=src_cfg)
+        pos_votes: set[bool] = set()
         for t in live_merge_tasks(eng):
+            for path in t["paths"]:
+                r = SegmentReader(path)
+                if len(r._terms):  # non-vacuous segments vote
+                    pos_votes.add(bool(r.has_positions))
             # globalize the deterministic reduce key across roots
             t = dict(t)
             t["partition"] = ri * 1_000_000 + int(t["partition"])
             tasks.append(t)
+        if len(pos_votes) > 1:
+            raise ValueError(
+                f"source {root} mixes positions-bearing and positions-less "
+                "segments — rebuild it before merging"
+            )
+        root_pos.append(pos_votes.pop() if pos_votes else None)
+    decided = {v for v in root_pos if v is not None}
+    if len(decided) > 1:
+        with_pos = [r for r, v in zip(src_roots, root_pos) if v]
+        without = [r for r, v in zip(src_roots, root_pos) if v is False]
+        raise ValueError(
+            "sources disagree on positions capability (IndexOptions "
+            f"mismatch — Lucene addIndexes refuses too): with positions "
+            f"{with_pos}, without {without}; rebuild one side"
+        )
 
     rows: list[dict] = []
     if tasks:

@@ -55,7 +55,9 @@ from lucene_plugin_ray.pipelines.query import (
     _JOIN_MODES,
     SearchEngine,
     build_dim_clauses,
+    exclude_source_url,
     make_span_clause,
+    mlt_select_clauses,
     drill_filter_query,
     facet_count_table,
     facet_stats_table,
@@ -2235,30 +2237,19 @@ class ShardedSearcherService:
         n_docs = stats.get(coll, {}).get("n_docs", 0)
         if n_docs == 0:
             return empty
-        weighted = [
-            (tf[t] * idf(df, n_docs), t)
-            for (_f, t), df in dfs.get(coll, {}).items()
-            if df > 0
-        ]
-        weighted.sort(key=lambda wt: (-wt[0], wt[1]))
-        top = weighted[:max_query_terms]
-        if not top:
+        clauses = tuple(mlt_select_clauses(
+            tf, dfs.get(coll, {}), n_docs, max_query_terms, field
+        ))
+        if not clauses:
             return empty
         fetch = limit + 1 if exclude_url is not None else limit
-        clauses = tuple(
-            TermClause(occur="SHOULD", field=field, term=t) for _, t in top
-        )
         res = self._phase2_merge(
             [{"qid": 0, "collection": collection, "query": clauses,
               "limit": fetch}],
             method, stats, dfs,
         ).select(["url", "score", "docid"])
-        if exclude_url is not None and res.num_rows:
-            import pyarrow.compute as pc
-
-            res = res.filter(
-                pc.not_equal(res["url"], pa.scalar(exclude_url))
-            ).slice(0, limit)
+        if exclude_url is not None:
+            res = exclude_source_url(res, exclude_url, limit)
         return res
 
     def more_like_this_url(
@@ -2301,30 +2292,19 @@ class ShardedSearcherService:
         n_docs = stats.get(coll, {}).get("n_docs", 0)
         if n_docs == 0:
             return empty
-        weighted = [
-            (tf[t] * idf(df, n_docs), t)
-            for (_f, t), df in dfs.get(coll, {}).items()
-            if df > 0
-        ]
-        weighted.sort(key=lambda wt: (-wt[0], wt[1]))
-        top = weighted[:max_query_terms]
-        if not top:
+        clauses = tuple(mlt_select_clauses(
+            tf, dfs.get(coll, {}), n_docs, max_query_terms, field
+        ))
+        if not clauses:
             return empty
-        clauses = tuple(
-            TermClause(occur="SHOULD", field=field, term=t) for _, t in top
-        )
         fetch = limit if include_self else limit + 1
         res = self._phase2_merge(
             [{"qid": 0, "collection": collection, "query": clauses,
               "limit": fetch}],
             method, stats, dfs,
         ).select(["url", "score", "docid"])
-        if not include_self and res.num_rows:
-            import pyarrow.compute as pc
-
-            res = res.filter(
-                pc.not_equal(res["url"], pa.scalar(url))
-            ).slice(0, limit)
+        if not include_self:
+            res = exclude_source_url(res, url, limit)
         return res
 
     def search_batch(self, queries: pa.Table, method: str = "taat") -> pa.Table:

@@ -299,3 +299,31 @@ def test_merge_guards(merge_built, tmp_path):
     merge_indexes([cfg_a.index_root, cfg_b.index_root], dst)
     with pytest.raises(FileExistsError):
         merge_indexes([cfg_a.index_root, cfg_b.index_root], dst)
+
+
+def test_merge_rejects_mixed_positions_capability(ray_session, tmp_path):
+    """IndexOptions mismatch: one source with positions, one without —
+    merging would strip positions partition-hash-dependently, so it is a
+    loud refusal (Lucene addIndexes refuses mismatched postings formats
+    the same way) — review-fix regression pin."""
+    from lucene_plugin_ray.pipelines.build import build_index
+    from lucene_plugin_ray.pipelines.repartition import merge_indexes
+
+    rows = lambda pfx: pa.table({
+        "url": [f"{pfx}{i}" for i in range(4)],
+        "warc_ts": [1_600_000_000_000_000 + i for i in range(4)],
+        "html": [b""] * 4,
+        "text": ["alpha beta gamma delta"] * 4,
+        "lang": ["en"] * 4,
+    })
+    cfg_p = IndexConfig(index_root=str(tmp_path / "wp"), num_partitions=2)
+    cfg_n = IndexConfig(index_root=str(tmp_path / "np"), num_partitions=2,
+                        index_positions=False)
+    build_index(rows("p"), cfg_p)
+    build_index(rows("n"), cfg_n)
+    with pytest.raises(ValueError, match="positions capability"):
+        merge_indexes([cfg_p.index_root, cfg_n.index_root],
+                      str(tmp_path / "mx"))
+    with pytest.raises(ValueError, match="num_partitions must be >= 1"):
+        merge_indexes([cfg_p.index_root, cfg_n.index_root],
+                      str(tmp_path / "mz"), num_partitions=0)

@@ -699,3 +699,13 @@ def test_sorted_by_after_sharded_and_http(ray_session, tmp_path):
             assert e.code == 400
     finally:
         http.shutdown()
+
+
+def test_sorted_by_after_url_type_is_loud(built):
+    """after_url=None (a plausible 'no anchor' mistake) must be a clean
+    ValueError, not a numpy TypeError — review-fix regression pin."""
+    _root, _cfg, eng = built
+    with pytest.raises(ValueError, match="after_url must be a string"):
+        eng.search_sorted_by(
+            "w00001", [("foo", "asc")], after_keys=["v1"], after_url=None
+        )
