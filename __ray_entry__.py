@@ -1497,6 +1497,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             value_source="doc_len",
         )
 
+    def search_expr_range(sf_dir: str) -> pa.Table:
+        """FunctionRangeQuery: the search_expr expression restricted to
+        value in [0.25, 0.6] — a non-trivial slice of the value
+        distribution at both scales; open-end semantics tested in pytest."""
+        from lucene_plugin_ray.sources.pages import url_to_doc_id
+
+        engine, cfg = _engine_for(sf_dir)
+        res = engine.search_expression_range(
+            _OR_Q, "_score * k / (k + doc_len) + sqrt(doc_len) * 0.001",
+            lo=0.25, hi=0.6, bindings={"k": 50.0}, limit=1_000_000_000,
+        )
+        return pa.table(
+            {
+                "doc_id": url_to_doc_id(res["url"].combine_chunks()),
+                "score": pc.round(res["score"].combine_chunks(), ndigits=4),
+            }
+        ).sort_by("doc_id")
+
     def search_common(sf_dir: str) -> pa.Table:
         """CommonTermsQuery at max_term_frequency=0.78: the OR terms split
         by global df (both groups non-empty at sf0.001 AND sf0.01 — the
@@ -1637,6 +1655,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_ranges": facet_ranges,
         "search_function": search_function,
         "search_expr": search_expr,
+        "search_expr_range": search_expr_range,
         "search_common": search_common,
         "search_diversified": search_diversified,
         "search_surround": search_surround,
@@ -2024,6 +2043,20 @@ r AS (SELECT doc_id, score, key,
       FROM j)
 SELECT doc_id, round(score, 4) AS score, key
 FROM r WHERE kr <= 3 ORDER BY doc_id
+"""
+    # FunctionRangeQuery: the expr oracle's RAW value filtered to the
+    # range (the engine filters on full precision, rounds after)
+    sql["search_expr_range"] = f"""
+WITH e AS (SELECT b.doc_id AS doc_id,
+       b.score * 50.0 / (50.0 + dl.dl) + sqrt(dl.dl) * 0.001 AS v
+FROM (SELECT doc_id, score FROM ({_bm25_sql(or_terms, round_to=None)})) b
+JOIN (SELECT doc_id, count(*) AS dl FROM (
+        SELECT doc_id, term FROM ({_TOKS.format(col="text")}) raw2
+        WHERE term <> '' AND length(term) <= 255
+          AND term NOT IN {SQL_STOPWORD_LIST}) t2
+      GROUP BY doc_id) dl USING (doc_id))
+SELECT doc_id, round(v, 4) AS score FROM e
+WHERE v >= 0.25 AND v <= 0.6 ORDER BY doc_id
 """
     # CommonTermsQuery: full-OR BM25 restricted to docs matching >= 1
     # low-df term; classification df <= 0.78 * n is the same float64

@@ -429,6 +429,36 @@ class LuceneFacade:
             )
         ]
 
+    def search_expression_range(
+        self,
+        collection: str,
+        query: str,
+        expression: str,
+        lo: float | None = None,
+        hi: float | None = None,
+        bindings: dict | None = None,
+        limit: int | None = None,
+    ) -> list[LuceneEntry]:
+        """FunctionRangeQuery: expression-scored hits restricted to
+        [lo, hi] (inclusive; open ends allowed)."""
+        _require(_valid_str(collection), "collection must be a non-empty string")
+        _require(_valid_str(query), "query must be a non-empty string")
+        _require(_valid_str(expression),
+                 "expression must be a non-empty string")
+        eng = self._lease_engine()
+        if eng is None:
+            return []
+        t = eng.search_expression_range(
+            query, expression, lo=lo, hi=hi, bindings=bindings,
+            collection=collection, limit=limit,
+        )
+        return [
+            LuceneEntry(id=int(d), score=float(s), external_id=u)
+            for d, s, u in zip(
+                t["docid"].to_pylist(), t["score"].to_pylist(), t["url"].to_pylist()
+            )
+        ]
+
     def search_common(
         self,
         collection: str,
@@ -1211,6 +1241,23 @@ class AsyncLuceneFacade:
         return await asyncio.to_thread(
             self._sync.search_diversified, collection, query, key_field,
             max_per_key, limit,
+        )
+
+    async def search_expression_range(
+        self,
+        collection: str,
+        query: str,
+        expression: str,
+        lo: float | None = None,
+        hi: float | None = None,
+        bindings: dict | None = None,
+        limit: int | None = None,
+    ) -> list[LuceneEntry]:
+        import asyncio
+
+        return await asyncio.to_thread(
+            self._sync.search_expression_range, collection, query,
+            expression, lo, hi, bindings, limit,
         )
 
     async def search_common(

@@ -1611,6 +1611,7 @@ class SearchEngine:
         global_stats: dict[str, dict] | None = None,
         global_df: dict[tuple[str, str], int] | None = None,
         global_ttf: dict[tuple[str, str], int] | None = None,
+        _range: "tuple | None" = None,
     ) -> pa.Table:
         """Expression-scored search — the Lucene expressions module
         (JavascriptCompiler + FunctionScoreQuery): ``expression`` is a
@@ -1703,6 +1704,19 @@ class SearchEngine:
                     f"{int(np.isnan(final).sum())} scored doc(s) — NaN "
                     "breaks the (score desc, url asc) total order"
                 )
+            if _range is not None:
+                # FunctionRangeQuery: row predicate BEFORE truncation —
+                # composes with the total order, so the merge stays exact
+                lo_r, hi_r = _range
+                keep_r = np.ones(final.size, dtype=bool)
+                if lo_r is not None:
+                    keep_r &= final >= lo_r
+                if hi_r is not None:
+                    keep_r &= final <= hi_r
+                if not keep_r.any():
+                    continue
+                t = t.filter(pa.array(keep_r))
+                final = final[keep_r]
             urls = t["url"].to_numpy(zero_copy_only=False)
             order = np.lexsort((urls, -final))[:limit]
             parts.append(
@@ -1726,6 +1740,39 @@ class SearchEngine:
             )
         )[:limit]
         return merged.take(pa.array(order))
+
+    def search_expression_range(
+        self,
+        query: str,
+        expression: str,
+        lo: float | None = None,
+        hi: float | None = None,
+        bindings: dict[str, float] | None = None,
+        collection: str = "default",
+        limit: int | None = None,
+        global_stats: dict[str, dict] | None = None,
+        global_df: dict[tuple[str, str], int] | None = None,
+        global_ttf: dict[tuple[str, str], int] | None = None,
+    ) -> pa.Table:
+        """FunctionRangeQuery (queries.function module): keep only the
+        base query's matches whose compiled-expression value lies in
+        [``lo``, ``hi``] (either bound open when None, both inclusive —
+        ValueSourceRange's default), ranked by the expression value
+        (final desc, url asc) exactly like :meth:`search_expression`.
+        The range filter composes with per-segment truncation because it
+        is a row predicate applied BEFORE the top-``limit`` cut under the
+        same total order.  Everything else — whitelist grammar, bindings,
+        NaN loudness, sharded injection — is search_expression's
+        contract."""
+        if lo is None and hi is None:
+            raise ValueError("at least one of lo/hi must be given")
+        if lo is not None and hi is not None and lo > hi:
+            raise ValueError(f"empty range: lo {lo} > hi {hi}")
+        return self.search_expression(
+            query, expression, bindings=bindings, collection=collection,
+            limit=limit, global_stats=global_stats, global_df=global_df,
+            global_ttf=global_ttf, _range=(lo, hi),
+        )
 
     def search_filtered(
         self,

@@ -608,13 +608,16 @@ class _ShardActor:
     def search_expression_partial(
         self, query: str, expression: str, bindings: dict, collection: str,
         limit: int, global_stats: dict, global_df: dict,
+        rng: "tuple | None" = None,
     ) -> list[tuple[str, float, int]]:
         """This shard's expression-scored top-``limit`` with INJECTED
         global stats — the search_function_partial shape for the
-        expressions module."""
+        expressions module.  ``rng``: the FunctionRangeQuery [lo, hi]
+        predicate, applied shard-side before truncation."""
         t = self.engine.search_expression(
             query, expression, bindings=bindings, collection=collection,
             limit=limit, global_stats=global_stats, global_df=global_df,
+            _range=tuple(rng) if rng is not None else None,
         )
         return list(zip(t["url"].to_pylist(), t["score"].to_pylist(),
                         t["docid"].to_pylist()))
@@ -1381,6 +1384,49 @@ class ShardedSearcherService:
             [a.search_expression_partial.remote(
                 query, expression, bindings, collection, limit,
                 global_stats, global_df.get(sc, {}))
+             for a in self.actors]
+        )
+        return self._merge_hit_partials(parts, limit)
+
+    def search_expression_range(
+        self,
+        query: str,
+        expression: str,
+        lo: float | None = None,
+        hi: float | None = None,
+        bindings: dict | None = None,
+        collection: str = "default",
+        limit: int | None = None,
+    ) -> "pa.Table":
+        """Cluster-wide FunctionRangeQuery: the search_expression protocol
+        with the [lo, hi] predicate applied shard-side before truncation
+        (a row predicate composes with the total order, so the merge is
+        exact) — identical to SearchEngine.search_expression_range."""
+        from lucene_plugin_ray.functions.expressions import (
+            _RESERVED_VARIABLES,
+            compile_expression,
+            validate_bindings,
+        )
+
+        if lo is None and hi is None:
+            raise ValueError("at least one of lo/hi must be given")
+        if lo is not None and hi is not None and lo > hi:
+            raise ValueError(f"empty range: lo {lo} > hi {hi}")
+        bindings = validate_bindings(bindings)
+        compile_expression(
+            expression, set(_RESERVED_VARIABLES) | set(bindings)
+        )
+        limit = limit if limit is not None else self.cfg.result_limit
+        if limit <= 0:
+            raise ValueError("limit must be positive")
+        sc = sanitize_collection(collection)
+        clauses = parse_query(query, default_field=self.cfg.text_column)
+        terms = {sc: sorted(set(scored_term_keys(clauses)))}
+        global_stats, global_df = self._gather_global(terms)
+        parts = ray.get(
+            [a.search_expression_partial.remote(
+                query, expression, bindings, collection, limit,
+                global_stats, global_df.get(sc, {}), (lo, hi))
              for a in self.actors]
         )
         return self._merge_hit_partials(parts, limit)

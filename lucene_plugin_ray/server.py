@@ -244,6 +244,42 @@ class LuceneHttpService:
             except ValueError as e:
                 raise LuceneException(str(e))
 
+    def _search_expression_range(self, q: dict) -> list[dict]:
+        limit = self._limit_of(q)
+        bindings = {}
+        if q.get("bindings"):
+            try:
+                bindings = json.loads(q["bindings"])
+            except json.JSONDecodeError as e:
+                raise LuceneException(f"bindings must be a JSON object: {e}")
+            if not isinstance(bindings, dict):
+                raise LuceneException("bindings must be a JSON object")
+
+        def _num(name):
+            v = q.get(name)
+            if v in (None, ""):
+                return None
+            try:
+                return float(v)
+            except ValueError:
+                raise LuceneException(f"{name} must be a number: {v!r}")
+
+        lo, hi = _num("lo"), _num("hi")
+        with self._lock:
+            self._read_your_writes()
+            try:
+                entries = self.facade.search_expression_range(
+                    q.get("collection", ""), q.get("query", ""),
+                    q.get("expression", ""), lo=lo, hi=hi,
+                    bindings=bindings, limit=limit,
+                )
+            except ValueError as e:
+                raise LuceneException(str(e))
+        return [
+            {"_id": e.id, "_score": e.score, "_externalId": e.external_id}
+            for e in entries
+        ]
+
     def _search_common(self, q: dict) -> list[dict]:
         limit = self._limit_of(q)
         try:
@@ -762,6 +798,7 @@ class LuceneHttpService:
         "rescore": _rescore,
         "search-filtered": _search_filtered,
         "search-expression": _search_expression,
+        "search-expression-range": _search_expression_range,
         "search-common": _search_common,
         "search-diversified": _search_diversified,
         "search-surround": _search_surround,
@@ -902,6 +939,22 @@ class LuceneHttpClient:
              "key_field": key_field, "max_per_key": max_per_key,
              "limit": limit},
         )
+
+    def search_expression_range(
+        self, collection: str, query: str, expression: str,
+        lo: "float | None" = None, hi: "float | None" = None,
+        bindings: dict | None = None, limit: int = 255,
+    ) -> list[dict]:
+        import json as _json
+
+        params = {"collection": collection, "query": query,
+                  "expression": expression,
+                  "bindings": _json.dumps(bindings or {}), "limit": limit}
+        if lo is not None:
+            params["lo"] = lo
+        if hi is not None:
+            params["hi"] = hi
+        return self._get("search-expression-range", params)
 
     def search_common(
         self, collection: str, query: str,

@@ -267,3 +267,86 @@ def test_expression_facade_http_round_trip(ray_session, tmp_path):
                         "expression": "1+" * 600 + "1"}) == 400
     finally:
         svc.shutdown()
+
+
+def test_expression_range_semantics(built):
+    """FunctionRangeQuery: inclusive [lo, hi] slice of the expression
+    values, open ends, empty-range/no-bound rejects, sharded identity."""
+    from lucene_plugin_ray.pipelines.sharded import ShardedSearcherService
+
+    root, cfg, eng = built
+    expr = "_score * k / (k + doc_len)"
+    full = eng.search_expression("w00001 w00002", expr, bindings={"k": 50.0},
+                                 limit=10**9)
+    vals = full["score"].to_pylist()
+    lo, hi = sorted(vals)[len(vals) // 4], sorted(vals)[3 * len(vals) // 4]
+    got = eng.search_expression_range(
+        "w00001 w00002", expr, lo=lo, hi=hi, bindings={"k": 50.0},
+        limit=10**9,
+    )
+    exp = [(u, s) for u, s in zip(full["url"].to_pylist(), vals)
+           if lo <= s <= hi]
+    exp.sort(key=lambda x: (-x[1], x[0]))
+    assert list(zip(got["url"].to_pylist(), got["score"].to_pylist())) == exp
+    assert 0 < got.num_rows < full.num_rows
+    # open ends compose to the full result
+    a = eng.search_expression_range("w00001 w00002", expr, lo=min(vals),
+                                    bindings={"k": 50.0}, limit=10**9)
+    assert a["url"].to_pylist() == full["url"].to_pylist()
+    b = eng.search_expression_range("w00001 w00002", expr, hi=max(vals),
+                                    bindings={"k": 50.0}, limit=10**9)
+    assert b["url"].to_pylist() == full["url"].to_pylist()
+    with pytest.raises(ValueError, match="at least one"):
+        eng.search_expression_range("w00001", expr, bindings={"k": 50.0})
+    with pytest.raises(ValueError, match="empty range"):
+        eng.search_expression_range("w00001", expr, lo=2.0, hi=1.0,
+                                    bindings={"k": 50.0})
+    svc = ShardedSearcherService(root, cfg=cfg, num_shards=3)
+    try:
+        s = svc.search_expression_range(
+            "w00001 w00002", expr, lo=lo, hi=hi, bindings={"k": 50.0},
+            limit=10**9,
+        )
+        assert s["url"].to_pylist() == got["url"].to_pylist()
+        assert s["score"].to_pylist() == got["score"].to_pylist()
+        with pytest.raises(ValueError):
+            svc.search_expression_range("w00001", expr, lo=2.0, hi=1.0)
+    finally:
+        svc.shutdown()
+
+
+def test_expression_range_http(ray_session, tmp_path):
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    from lucene_plugin_ray.server import LuceneHttpClient, LuceneHttpService
+
+    svc = LuceneHttpService(
+        IndexConfig(index_root=str(tmp_path / "er"), num_partitions=2),
+        host="127.0.0.1", port=0,
+    ).start()
+    try:
+        c = LuceneHttpClient(svc.url)
+        c.index_text("col", "a", "alpha beta gamma delta")  # dl 4
+        c.index_text("col", "b", "alpha")                   # dl 1
+        rows = c.search_expression_range("col", "alpha", "doc_len",
+                                         lo=2.0)
+        assert [r["_externalId"] for r in rows] == ["a"]
+
+        def _status(params):
+            try:
+                urllib.request.urlopen(
+                    f"{svc.url}/search-expression-range?"
+                    + urllib.parse.urlencode(params)
+                )
+                return 200
+            except urllib.error.HTTPError as e:
+                return e.code
+
+        assert _status({"collection": "col", "query": "alpha",
+                        "expression": "doc_len", "lo": "x"}) == 400
+        assert _status({"collection": "col", "query": "alpha",
+                        "expression": "doc_len"}) == 400  # no bound
+    finally:
+        svc.shutdown()
