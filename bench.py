@@ -215,6 +215,7 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     # ---- auxiliary read surface: facets / count / recency sort / MLT /
     # suggest / date histogram (full-match-set ops — no top-k truncation) --
     mlt_probe = "spark merge window group stream batch query table row data"
+    mlt_url = eng.search("spark", limit=1)["url"][0].as_py()
     aux_ops = [
         lambda: eng.search("spark", limit=10, synonyms={"spark": ["stream"]}),
         lambda: eng.facets("spark merge", "lang"),
@@ -269,6 +270,12 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
         lambda: eng.search_diversified("spark merge", "source",
                                        max_per_key=2, limit=10),
         lambda: eng.complete_infix("ar", k=10),
+        lambda: eng.search_surround("spark 3w merge OR window", limit=10),
+        lambda: eng.search_expression_range(
+            "spark merge", "_score * k / (k + doc_len)", lo=0.01,
+            bindings={"k": 50.0}, limit=10,
+        ),
+        lambda: eng.more_like_this_url(mlt_url, max_query_terms=8, limit=10),
     ]
     for op in aux_ops:  # warm the postings/dictionary caches
         op()
