@@ -1568,6 +1568,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ).sort_by("doc_id")
 
+    def count_surround(sf_dir: str) -> pa.Table:
+        """Score-free span counting (IndexSearcher.count over a surround
+        query): docs with 'spark' within 3 positions before 'merge',
+        minus those also containing 'window' — one integer row."""
+        engine, cfg = _engine_for(sf_dir)
+        n = engine.count("spark 3w merge NOT window", syntax="surround")
+        return pa.table({"n": pa.array([n], pa.int64())})
+
     def search_diversified(sf_dir: str) -> pa.Table:
         """Diversified top-k (misc DiversifiedTopDocsCollector): at most 3
         hits per source over the OR query — greedy selection under the
@@ -1659,6 +1667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_common": search_common,
         "search_diversified": search_diversified,
         "search_surround": search_surround,
+        "count_surround": count_surround,
         "search_boosting": search_boosting,
         "top_terms": top_terms,
         "search_term": search_term,
@@ -2031,6 +2040,23 @@ s2 AS (SELECT doc_id, score FROM (
 SELECT coalesce(s1.doc_id, s2.doc_id) AS doc_id,
        round(coalesce(s1.score, 0.0) + coalesce(s2.score, 0.0), 4) AS score
 FROM s1 FULL OUTER JOIN s2 ON s1.doc_id = s2.doc_id ORDER BY doc_id
+"""
+    # score-free surround count: ordered-near existence minus 'window'
+    sql["count_surround"] = f"""
+WITH tl AS (SELECT doc_id,
+       {_SQL_POSITIONED_TOKS.format(stop=_SQL_STOP_LIST_LITERAL)} AS toks
+       FROM documents),
+m AS (SELECT doc_id FROM tl
+      WHERE len(list_filter(
+            list_filter(range(1, len(toks)+1), i -> toks[i] = 'spark'),
+            pa -> coalesce(list_min(list_transform(
+                  list_filter(range(1, len(toks)+1),
+                              j -> toks[j] = 'merge' AND j > pa),
+                  pb -> pb - pa)), 99) <= 3)) > 0),
+w AS (SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, unnest(toks) AS term FROM tl) WHERE term = 'window')
+SELECT CAST(count(*) AS BIGINT) AS n
+FROM m WHERE doc_id NOT IN (SELECT doc_id FROM w)
 """
     # diversified top-k: rank-within-key <= 3 under (score desc, doc_id)
     sql["search_diversified"] = f"""

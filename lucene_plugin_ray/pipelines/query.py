@@ -2318,18 +2318,39 @@ class SearchEngine:
         synonyms: dict[str, list[str]] | None = None,
         fields: dict[str, float] | None = None,
         min_should_match: int = 0,
+        syntax: str = "classic",
     ) -> int:
         """Total number of live documents matching the query — Lucene
         IndexSearcher.count(Query): boolean matching only, no scores, no
         top-k heap.  Uses the score-free :meth:`_match_segment` per segment
         and sums (segments are doc-disjoint), so the cost is posting decode
         with zero per-doc scoring work.  ``fields`` applies the dismax
-        multi-field rewrite (tie is score-only, irrelevant to matching)."""
+        multi-field rewrite (tie is score-only, irrelevant to matching).
+        ``syntax='surround'`` parses through the surround language instead
+        (W/N proximity + AND/OR/NOT — score-free span counting;
+        synonyms/fields/min_should_match are classic-only)."""
         coll = sanitize_collection(collection)
         if fields is not None:
             self._check_fields(fields, 0.0)
         if min_should_match < 0:
             raise ValueError("min_should_match must be >= 0")
+        if syntax == "surround":
+            if synonyms or fields or min_should_match:
+                raise ValueError(
+                    "syntax='surround' composes with none of "
+                    "synonyms/fields/min_should_match"
+                )
+            from lucene_plugin_ray.functions.surround import parse_surround
+
+            sclauses = parse_surround(query, self.cfg.text_column)
+            return sum(
+                int(self._match_segment(si, seg, sclauses, {}, {}).size)
+                for si, seg in enumerate(self._segments.get(coll, []))
+            )
+        if syntax != "classic":
+            raise ValueError(
+                f"syntax must be 'classic' or 'surround', got {syntax!r}"
+            )
         clauses = parse_query(query, default_field=self.cfg.text_column)
         if synonyms:
             clauses = list(apply_synonyms(tuple(clauses), synonyms))

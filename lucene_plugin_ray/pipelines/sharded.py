@@ -432,8 +432,10 @@ class _ShardActor:
         t = self.engine.facets(query, facet_field, collection=collection)
         return list(zip(t["value"].to_pylist(), t["count"].to_pylist()))
 
-    def count_partial(self, query: str, collection: str) -> int:
-        return self.engine.count(query, collection=collection)
+    def count_partial(
+        self, query: str, collection: str, syntax: str = "classic"
+    ) -> int:
+        return self.engine.count(query, collection=collection, syntax=syntax)
 
     def facets_taxonomy_partial(
         self, query: str, dim_fields: list[str], collection: str
@@ -902,11 +904,22 @@ class ShardedSearcherService:
                 counts[key] = counts.get(key, 0) + c
         return taxonomy_table(counts, top_n)
 
-    def count(self, query: str, collection: str = "default") -> int:
+    def count(self, query: str, collection: str = "default",
+              syntax: str = "classic") -> int:
         """Cluster-wide match count: per-shard boolean counts summed on the
-        driver (shards are doc-disjoint)."""
+        driver (shards are doc-disjoint).  ``syntax='surround'`` counts
+        span matches (validated on the driver first — bad syntax costs
+        zero remote work)."""
+        if syntax == "surround":
+            from lucene_plugin_ray.functions.surround import parse_surround
+
+            parse_surround(query, self.cfg.text_column)
+        elif syntax != "classic":
+            raise ValueError(
+                f"syntax must be 'classic' or 'surround', got {syntax!r}"
+            )
         return sum(
-            ray.get([a.count_partial.remote(query, collection)
+            ray.get([a.count_partial.remote(query, collection, syntax)
                      for a in self.actors])
         )
 

@@ -198,3 +198,30 @@ def test_surround_trailing_whitespace_accepted(built):
     a = eng.search_surround("spark w merge \n")
     b = eng.search_surround("spark w merge")
     _eq(a, b)
+
+
+def test_count_surround(built):
+    """Score-free surround counting: equals the scored match-set size,
+    composes with NOT, validates syntax, sharded twin sums exactly."""
+    from lucene_plugin_ray.pipelines.sharded import ShardedSearcherService
+
+    root, cfg, eng = built
+    for q in ("spark 3w merge", "spark 3w merge NOT window",
+              "(spark w merge) AND window", "table OR stream"):
+        n = eng.count(q, syntax="surround")
+        assert n == eng.search_surround(q, limit=10**9).num_rows, q
+    assert eng.count("window", syntax="surround") == eng.count("window")
+    with pytest.raises(SurroundParseError):
+        eng.count("spark w", syntax="surround")
+    with pytest.raises(ValueError, match="syntax must be"):
+        eng.count("spark", syntax="weird")
+    with pytest.raises(ValueError, match="composes with none"):
+        eng.count("spark", syntax="surround", min_should_match=1)
+    svc = ShardedSearcherService(root, cfg=cfg, num_shards=2)
+    try:
+        assert svc.count("spark 3w merge NOT window", syntax="surround") == \
+            eng.count("spark 3w merge NOT window", syntax="surround")
+        with pytest.raises(SurroundParseError):
+            svc.count("spark w", syntax="surround")
+    finally:
+        svc.shutdown()
