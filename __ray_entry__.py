@@ -1568,6 +1568,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ).sort_by("doc_id")
 
+    def facets_surround(sf_dir: str) -> pa.Table:
+        """Proximity-conditioned facet counts: per-source doc counts over
+        the 'spark 3w merge' ordered-near match set — (value, count),
+        (count desc, value asc)."""
+        engine, cfg = _engine_for(sf_dir)
+        return engine.facets("spark 3w merge", "source", syntax="surround")
+
     def count_surround(sf_dir: str) -> pa.Table:
         """Score-free span counting (IndexSearcher.count over a surround
         query): docs with 'spark' within 3 positions before 'merge',
@@ -1668,6 +1675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_diversified": search_diversified,
         "search_surround": search_surround,
         "count_surround": count_surround,
+        "facets_surround": facets_surround,
         "search_boosting": search_boosting,
         "top_terms": top_terms,
         "search_term": search_term,
@@ -2040,6 +2048,22 @@ s2 AS (SELECT doc_id, score FROM (
 SELECT coalesce(s1.doc_id, s2.doc_id) AS doc_id,
        round(coalesce(s1.score, 0.0) + coalesce(s2.score, 0.0), 4) AS score
 FROM s1 FULL OUTER JOIN s2 ON s1.doc_id = s2.doc_id ORDER BY doc_id
+"""
+    # proximity-conditioned facets: source counts over the near matches
+    sql["facets_surround"] = f"""
+WITH tl AS (SELECT doc_id,
+       {_SQL_POSITIONED_TOKS.format(stop=_SQL_STOP_LIST_LITERAL)} AS toks
+       FROM documents),
+m AS (SELECT doc_id FROM tl
+      WHERE len(list_filter(
+            list_filter(range(1, len(toks)+1), i -> toks[i] = 'spark'),
+            pa -> coalesce(list_min(list_transform(
+                  list_filter(range(1, len(toks)+1),
+                              j -> toks[j] = 'merge' AND j > pa),
+                  pb -> pb - pa)), 99) <= 3)) > 0)
+SELECT d.source AS value, CAST(count(*) AS BIGINT) AS count
+FROM m JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY count DESC, value ASC
 """
     # score-free surround count: ordered-near existence minus 'window'
     sql["count_surround"] = f"""

@@ -2106,7 +2106,8 @@ class SearchEngine:
         )
 
     def facets(
-        self, query: str, facet_field: str, collection: str = "default"
+        self, query: str, facet_field: str, collection: str = "default",
+        syntax: str = "classic",
     ) -> pa.Table:
         """Facet counts over ALL matching documents — field faceting in the
         style of Lucene's SortedSetDocValues facets, driven straight off the
@@ -2121,9 +2122,20 @@ class SearchEngine:
         metadata (lang, source), never corpus text.  Returns
         (value, count), ordered (count desc, value asc).  On the sharded
         path each shard returns its partial and the driver sums — counts
-        are per-doc-disjoint across partitions."""
+        are per-doc-disjoint across partitions.  ``syntax='surround'``
+        drives the match set through the surround language (proximity-
+        conditioned facet counts — 'top sources where A is near B')."""
         coll = sanitize_collection(collection)
-        clauses = parse_query(query, default_field=self.cfg.text_column)
+        if syntax == "surround":
+            from lucene_plugin_ray.functions.surround import parse_surround
+
+            clauses = parse_surround(query, self.cfg.text_column)
+        elif syntax == "classic":
+            clauses = parse_query(query, default_field=self.cfg.text_column)
+        else:
+            raise ValueError(
+                f"syntax must be 'classic' or 'surround', got {syntax!r}"
+            )
         segs = self._segments.get(coll, [])
         counts: dict[str, int] = {}
         for si, seg in enumerate(segs):

@@ -424,12 +424,14 @@ class _ShardActor:
         return stats, dfs
 
     def facet_partial(
-        self, query: str, facet_field: str, collection: str
+        self, query: str, facet_field: str, collection: str,
+        syntax: str = "classic",
     ) -> list[tuple[str, int]]:
         """This shard's facet counts — boolean matching is partition-local
         (no global stats needed) and docs are partition-disjoint, so the
         driver-side merge is a plain per-value sum."""
-        t = self.engine.facets(query, facet_field, collection=collection)
+        t = self.engine.facets(query, facet_field, collection=collection,
+                               syntax=syntax)
         return list(zip(t["value"].to_pylist(), t["count"].to_pylist()))
 
     def count_partial(
@@ -855,15 +857,24 @@ class ShardedSearcherService:
         ]
 
     def facets(
-        self, query: str, facet_field: str, collection: str = "default"
+        self, query: str, facet_field: str, collection: str = "default",
+        syntax: str = "classic",
     ) -> pa.Table:
         """Cluster-wide facet counts: one parallel round to the fleet, each
         shard counting over its pinned partitions, then an exact per-value
         sum on the driver (docs never overlap across shards).  Same output
         contract as SearchEngine.facets: (value, count), (count desc,
-        value asc)."""
+        value asc).  ``syntax='surround'`` is driver-validated first."""
+        if syntax == "surround":
+            from lucene_plugin_ray.functions.surround import parse_surround
+
+            parse_surround(query, self.cfg.text_column)
+        elif syntax != "classic":
+            raise ValueError(
+                f"syntax must be 'classic' or 'surround', got {syntax!r}"
+            )
         parts = ray.get(
-            [a.facet_partial.remote(query, facet_field, collection)
+            [a.facet_partial.remote(query, facet_field, collection, syntax)
              for a in self.actors]
         )
         counts: dict[str, int] = {}

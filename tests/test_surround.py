@@ -225,3 +225,51 @@ def test_count_surround(built):
             svc.count("spark w", syntax="surround")
     finally:
         svc.shutdown()
+
+
+def test_facets_surround(ray_session, tmp_path):
+    """Proximity-conditioned facet counts: the surround match set drives
+    the facet pass; totals reconcile with count(syntax='surround');
+    sharded identity; syntax validation."""
+    import pyarrow.compute as pc_
+
+    from lucene_plugin_ray.pipelines.build import build_index
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+    from lucene_plugin_ray.pipelines.sharded import ShardedSearcherService
+
+    rows = pa.table({
+        "url": [f"f{i}" for i in range(5)],
+        "warc_ts": [1_600_000_000_000_000 + i for i in range(5)],
+        "html": [b""] * 5,
+        "text": ["spark merge stream", "spark zz merge", "merge spark",
+                 "spark only here", "spark aa bb merge"],
+        "lang": ["en", "de", "en", "en", "de"],
+    })
+    cfg = IndexConfig(index_root=str(tmp_path / "sf"), num_partitions=2,
+                      field_columns=("lang",))
+    build_index(rows, cfg)
+    eng = SearchEngine(cfg.index_root, cfg=cfg)
+    t = eng.facets("spark 3w merge", "lang", syntax="surround")
+    # docs 0 (adjacent), 1 (distance 2), 4 (distance 3) match → en 1, de 2
+    assert dict(zip(t["value"].to_pylist(), t["count"].to_pylist())) == {
+        "en": 1, "de": 2,
+    }
+    assert int(pc_.sum(t["count"]).as_py() or 0) == eng.count(
+        "spark 3w merge", syntax="surround"
+    )
+    # classic default unchanged
+    assert eng.facets("spark", "lang").equals(
+        eng.facets("spark", "lang", syntax="classic")
+    )
+    with pytest.raises(ValueError, match="syntax must be"):
+        eng.facets("spark", "lang", syntax="weird")
+    with pytest.raises(SurroundParseError):
+        eng.facets("spark w", "lang", syntax="surround")
+    svc = ShardedSearcherService(cfg.index_root, cfg=cfg, num_shards=2)
+    try:
+        assert svc.facets("spark 3w merge", "lang",
+                          syntax="surround").equals(t)
+        with pytest.raises(SurroundParseError):
+            svc.facets("spark w", "lang", syntax="surround")
+    finally:
+        svc.shutdown()
