@@ -53,6 +53,18 @@ class IndexConfig:
     # non-phrase queries (separate region, never decoded).
     index_positions: bool = True
 
+    # Forward term-vector sidecar (tv.parquet per segment): docid →
+    # (dictionary rows, tfs, positions).  Lucene's
+    # FieldType.setStoreTermVectors analogue (the reference never enables
+    # it — LuceneContentHandler.java:21-26 stores postings only), so OFF by
+    # default; when on, term_vector / more_like_this_url / classify_knn
+    # read the doc-major sidecar instead of bulk-decoding the doc's whole
+    # segment field region (the 100-TB aux-read hazard: a segment's text
+    # postings are GBs, the sidecar row is one doc).  The reconstruction
+    # path stays the oracle — outputs are pinned identical by
+    # tests/test_term_vector.py.
+    store_term_vectors: bool = False
+
     # Columns of the input table (input_hint shape).  ``text_column`` is the
     # default search field ("text", mirroring the reference's default field,
     # LuceneContentHandler.java:13).  ``field_columns`` are extra analyzed

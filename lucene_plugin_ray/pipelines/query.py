@@ -2299,6 +2299,34 @@ class SearchEngine:
         seg, local_doc = hit
         r = seg.reader
         want_pos = bool(with_positions) and r.has_positions
+        if r.has_tv:
+            # forward sidecar fast path (IndexConfig.store_term_vectors):
+            # one binary search + one doc-row slice, no segment-wide
+            # postings decode.  Identical output to the reconstruction
+            # below (pinned by tests/test_term_vector.py sidecar parity).
+            rows_d, tfs_d, pos_d = r.doc_term_vector(r.doc_base + local_doc)
+            if not want_pos or pos_d is not None:
+                rng = r._field_ranges.get(field)
+                a = int(np.searchsorted(rows_d, rng[0])) if rng else 0
+                b = int(np.searchsorted(rows_d, rng[1])) if rng else 0
+                cols_tv: dict[str, pa.Array] = {
+                    "term": pa.array(
+                        [str(t) for t in r._terms[rows_d[a:b]]], pa.string()
+                    ),
+                    "tf": pa.array(tfs_d[a:b], pa.int64()),
+                }
+                if want_pos:
+                    tok = np.concatenate([[0], np.cumsum(tfs_d)]).astype(np.int64)
+                    cols_tv["positions"] = pa.array(
+                        [
+                            ",".join(
+                                str(int(p)) for p in pos_d[tok[k] : tok[k + 1]]
+                            )
+                            for k in range(a, b)
+                        ],
+                        pa.string(),
+                    )
+                return pa.table(cols_tv)
         s, df, docids, tfs = r.field_postings(field)
         target = r.doc_base + local_doc
         idx = np.flatnonzero(docids == target)

@@ -309,6 +309,7 @@ def encode_and_write_segment(
     n_postings = 0
     buf = np.empty(0, np.uint8)
     pos_buf: np.ndarray | None = None
+    tv_table: pa.Table | None = None
     if prepared is not None and len(prepared.starts) > 1:
         starts = prepared.starts
         n_postings = int(starts[-1])
@@ -347,6 +348,10 @@ def encode_and_write_segment(
             terms_cols["poff"] = pa.array(poff, type=pa.int64())
             terms_cols["poff_end"] = pa.array(poff_end, type=pa.int64())
         terms_table = pa.table(terms_cols)
+        if cfg.store_term_vectors:
+            tv_table = build_tv_table(
+                starts, prepared.docids, prepared.tfs, prepared.pos_deltas
+            )
     elif post_table is not None and post_table.num_rows:
         post = post_table.sort_by(
             [("field", "ascending"), ("term", "ascending"), ("docid", "ascending")]
@@ -391,6 +396,8 @@ def encode_and_write_segment(
                 "blk_maxtf": _nest(tmeta["blk_maxtf"], pa.int32()),
             }
         )
+        if cfg.store_term_vectors:
+            tv_table = build_tv_table(starts, docids, tfs, None)
     else:
         terms_table = _empty_terms_table()
 
@@ -398,6 +405,8 @@ def encode_and_write_segment(
     if pos_buf is not None:
         storage.write_bytes(storage.join(tmp_dir, "positions.bin"), pos_buf.tobytes())
     storage.write_parquet(terms_table, storage.join(tmp_dir, "terms.parquet"))
+    if tv_table is not None:
+        storage.write_parquet(tv_table, storage.join(tmp_dir, "tv.parquet"))
 
     docs_cols = {
         "docid": pa.array(doc_base + np.arange(n_docs, dtype=np.int64), type=pa.int64()),
@@ -437,6 +446,71 @@ def encode_and_write_segment(
     if tmp_dir != seg_dir:
         os.rename(tmp_dir, seg_dir)
     return row
+
+
+def build_tv_table(
+    starts: np.ndarray,
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    pos_deltas: np.ndarray | None,
+) -> pa.Table:
+    """Invert term-major posting runs into the doc-major forward sidecar
+    (tv.parquet): one row per doc that carries ≥1 posting, with
+
+        docid  int64            absolute docid
+        rows   list<int64>      dictionary row indices, ascending (= field
+                                then term order — a field slice is a
+                                contiguous sub-range)
+        tfs    list<int32>      aligned term frequencies
+        pos    list<int32>      flat absolute token positions, concatenated
+                                per entry (split by cumsum(tfs)); omitted
+                                when the index has no positions region
+
+    Pure numpy: one lexsort over the postings plus run-length grouping —
+    the same per-posting cost the postings encode already pays."""
+    n_terms = starts.size - 1
+    df = np.diff(starts).astype(np.int64)
+    row_of = np.repeat(np.arange(n_terms, dtype=np.int64), df)
+    order = np.lexsort((row_of, docids))
+    d_s = docids[order]
+    r_s = row_of[order]
+    tf_s = tfs[order].astype(np.int64)
+    grp = np.flatnonzero(np.concatenate(([True], d_s[1:] != d_s[:-1])))
+    offsets = np.concatenate([grp, [d_s.size]]).astype(np.int32)
+    cols: dict[str, pa.Array] = {
+        "docid": pa.array(d_s[grp], type=pa.int64()),
+        "rows": pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), pa.array(r_s, type=pa.int64())
+        ),
+        "tfs": pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            pa.array(tf_s, type=pa.int32()),
+        ),
+    }
+    if pos_deltas is not None:
+        # delta stream → absolute positions (the decode_positions_region
+        # formula), still in term-major posting order
+        deltas = pos_deltas.astype(np.int64)
+        tok_prefix = np.concatenate([[0], np.cumsum(tfs)]).astype(np.int64)
+        cum = np.cumsum(deltas)
+        first = tok_prefix[:-1]
+        base = cum[first] - deltas[first]
+        abspos = cum - np.repeat(base, tfs) - 1
+        # gather each posting's token sub-stream into doc-major order
+        p_starts = tok_prefix[:-1][order]
+        tot = int(tf_s.sum())
+        prefix = np.concatenate([[0], np.cumsum(tf_s)])
+        gather = (
+            np.repeat(p_starts - prefix[:-1], tf_s)
+            + np.arange(tot, dtype=np.int64)
+        )
+        pos_s = abspos[gather]
+        tok_offsets = prefix[offsets].astype(np.int32)
+        cols["pos"] = pa.ListArray.from_arrays(
+            pa.array(tok_offsets, type=pa.int32()),
+            pa.array(pos_s, type=pa.int32()),
+        )
+    return pa.table(cols)
 
 
 def _build_postings_numeric(

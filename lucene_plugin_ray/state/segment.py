@@ -78,6 +78,11 @@ class SegmentReader:
             if name.startswith("dl_"):
                 self.doc_len[name[3:]] = d[name].to_numpy(zero_copy_only=False)
 
+        # forward term-vector sidecar (IndexConfig.store_term_vectors):
+        # presence probed lazily, table loaded on first doc_term_vector call
+        self._tv_present: bool | None = None
+        self._tv_loaded = False
+
         self.buf = self._map_region(path, "postings.bin", required=True)
         self.pbuf = (
             self._map_region(path, "positions.bin", required=False)
@@ -282,6 +287,62 @@ class SegmentReader:
             np.concatenate(did_parts),
             np.concatenate(tf_parts),
         )
+
+    # ---- forward term-vector sidecar (tv.parquet) ------------------------
+    @property
+    def has_tv(self) -> bool:
+        """True iff this segment was written with
+        ``IndexConfig.store_term_vectors`` (tv.parquet present).  Segments
+        resumed from a pre-flag build lack the sidecar — consumers fall
+        back to inverted-index reconstruction (pipelines/query.py
+        term_vector), so the flag is a pure accelerator, never a
+        correctness switch."""
+        if self._tv_present is None:
+            from lucene_plugin_ray.state import storage
+
+            self._tv_present = storage.exists(storage.join(self.path, "tv.parquet"))
+        return self._tv_present
+
+    def _load_tv(self) -> None:
+        from lucene_plugin_ray.state import storage
+
+        t = storage.read_parquet(storage.join(self.path, "tv.parquet"))
+        self._tv_docids = t["docid"].to_numpy(zero_copy_only=False)
+        rows = t["rows"].combine_chunks()
+        tfs = t["tfs"].combine_chunks()
+        self._tv_offsets = rows.offsets.to_numpy(zero_copy_only=False)
+        self._tv_rows = rows.values.to_numpy(zero_copy_only=False)
+        self._tv_tfs = tfs.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        if "pos" in t.column_names:
+            posl = t["pos"].combine_chunks()
+            self._tv_pos_offsets = posl.offsets.to_numpy(zero_copy_only=False)
+            self._tv_pos = posl.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            self._tv_pos_offsets = None
+            self._tv_pos = None
+        self._tv_loaded = True
+
+    def doc_term_vector(
+        self, docid: int
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+        """One doc's forward term vector from the sidecar — (dictionary
+        rows asc, tfs, flat positions aligned per cumsum(tfs) or None).
+        Cost: one binary search + one row slice (the whole point of the
+        sidecar: no segment-wide postings decode).  Docs with zero
+        postings return empty arrays."""
+        if not self._tv_loaded:
+            self._load_tv()
+        i = int(np.searchsorted(self._tv_docids, docid))
+        if i >= self._tv_docids.size or self._tv_docids[i] != docid:
+            e = np.empty(0, np.int64)
+            return e, e, (e if self._tv_pos is not None else None)
+        a, b = int(self._tv_offsets[i]), int(self._tv_offsets[i + 1])
+        rows = self._tv_rows[a:b]
+        tfs = self._tv_tfs[a:b]
+        if self._tv_pos is None:
+            return rows, tfs, None
+        pa_, pb = int(self._tv_pos_offsets[i]), int(self._tv_pos_offsets[i + 1])
+        return rows, tfs, self._tv_pos[pa_:pb]
 
     def block_meta(self, row: int) -> dict[str, np.ndarray]:
         """Per-block arrays for block-max WAND (J2)."""

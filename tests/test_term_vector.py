@@ -142,6 +142,101 @@ def test_sharded_identity(built):
             svc.shutdown()
 
 
+@pytest.fixture(scope="module")
+def built_tv(ray_session, tmp_path_factory, built):
+    """Same corpus indexed WITH the forward term-vector sidecar
+    (IndexConfig.store_term_vectors=True) — the fast path whose outputs
+    must be identical to the reconstruction oracle in ``built``."""
+    from lucene_plugin_ray.pipelines.build import build_index
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+
+    _root, _cfg, _eng, corpus = built
+    root = str(tmp_path_factory.mktemp("idx_tv_sidecar"))
+    cfg = IndexConfig(
+        index_root=root, num_partitions=4, field_columns=("foo", "age"),
+        store_term_vectors=True,
+    )
+    build_index(corpus, cfg)
+    return root, cfg, SearchEngine(root, cfg=cfg)
+
+
+def test_sidecar_written_and_used(built_tv):
+    import glob
+    import os
+
+    root, _cfg, eng = built_tv
+    seg_dirs = glob.glob(os.path.join(root, "default", "gen-*", "part-*"))
+    assert seg_dirs
+    for d in seg_dirs:
+        assert os.path.exists(os.path.join(d, "tv.parquet")), d
+    for seg in eng._segments["default"]:
+        assert seg.reader.has_tv
+
+
+def test_sidecar_equals_reconstruction(built, built_tv):
+    """The sidecar fast path must return byte-identical tables to the
+    inverted-index reconstruction, for every live url, both fields, with
+    and without positions — the flag is a pure accelerator."""
+    _r, _c, oracle, corpus = built
+    _r2, _c2, fast = built_tv
+    for url in sorted(_latest_rows(corpus)):
+        for kw in (
+            {},
+            {"with_positions": False},
+            {"field": "foo"},
+            {"field": "age", "with_positions": False},
+        ):
+            assert fast.term_vector(url, **kw).equals(
+                oracle.term_vector(url, **kw)
+            ), (url, kw)
+
+
+def test_sidecar_mlt_and_validation_parity(built, built_tv):
+    _r, _c, oracle, corpus = built
+    _r2, _c2, fast = built_tv
+    urls = sorted(_latest_rows(corpus))[::41]
+    for url in urls:
+        assert fast.more_like_this_url(url).equals(
+            oracle.more_like_this_url(url)
+        ), url
+    with pytest.raises(ValueError):
+        fast.term_vector(urls[0], field="nope")
+    with pytest.raises(KeyError):
+        fast.term_vector("https://never.example/x")
+
+
+def test_sidecar_survives_merge(ray_session, built, tmp_path_factory):
+    """A delta build + compaction of a store_term_vectors index writes the
+    sidecar for the MERGED segment too (encode_and_write_segment is shared),
+    and vectors still match the reconstruction oracle."""
+    from lucene_plugin_ray.pipelines.build import (
+        build_delta,
+        build_index,
+        compact_index,
+    )
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+
+    _r, _c, _e, corpus = built
+    half = corpus.num_rows // 2
+    root = str(tmp_path_factory.mktemp("idx_tv_merge"))
+    cfg = IndexConfig(
+        index_root=root, num_partitions=3, field_columns=("foo", "age"),
+        store_term_vectors=True,
+    )
+    build_index(corpus.slice(0, half), cfg)
+    build_delta(corpus.slice(half), cfg)
+    compact_index(cfg)
+    eng = SearchEngine(root, cfg=cfg)
+    segs = eng._segments["default"]
+    assert all(s.reader.has_tv for s in segs)
+    oracle = _latest_rows(corpus)
+    texts = corpus["text"].to_pylist()
+    for url in sorted(oracle)[::53]:
+        t = eng.term_vector(url)
+        got = {r["term"]: (r["tf"], r["positions"]) for r in t.to_pylist()}
+        assert got == _expected(texts[oracle[url]]), url
+
+
 def test_facade_and_http_round_trip(ray_session, tmp_path):
     from lucene_plugin_ray.server import LuceneHttpClient, LuceneHttpService
 
