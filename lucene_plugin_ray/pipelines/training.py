@@ -223,46 +223,58 @@ _LANG_MARKERS: dict[str, frozenset[str]] = {
 }
 
 
-class LangId:
-    """Actor-pool language-ID stage: marker sets prepared once per actor
-    (SURVEY.md §7.2 'stateful stages are actor pools')."""
+# Per-WORKER-PROCESS stage state (markers/stop arrays, minhash constants,
+# BPE merge tables).  Task-pool functions + module-level caches replace the
+# former callable-class actor pools: Ray reuses idle worker processes across
+# tasks, so setup still amortizes exactly like actor __init__, while a task
+# killed mid-batch is simply retried on another worker — no 'constructor
+# arguments in the object store + max_restarts' actor-restart hazard
+# (core_worker.cc:2246; the sharded.py:120 task-pool pattern, applied here
+# per VERDICT r03 'What's wrong' #2).
+_LANGID_MARKERS: "list[tuple[str, pa.Array]] | None" = None
 
-    def __init__(self):
-        self.markers = [
+
+def _langid_markers() -> "list[tuple[str, pa.Array]]":
+    global _LANGID_MARKERS
+    if _LANGID_MARKERS is None:
+        _LANGID_MARKERS = [
             (lang, pa.array(sorted(words), type=pa.string()))
             for lang, words in sorted(_LANG_MARKERS.items())
         ]
+    return _LANGID_MARKERS
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        text = pc.cast(batch["text"].combine_chunks(), pa.string())
-        n = len(text)
-        split = pc.split_pattern_regex(pc.utf8_lower(text), pattern="[^a-z0-9]+")
-        lengths = np.nan_to_num(
-            pc.list_value_length(split).to_numpy(zero_copy_only=False), nan=0
-        ).astype(np.int64)
-        parents = np.repeat(np.arange(n, dtype=np.int64), lengths)
-        flat = pc.list_flatten(split)
-        scores = np.zeros((n, len(self.markers)), dtype=np.int64)
-        for j, (_, arr) in enumerate(self.markers):
-            hit = pc.is_in(flat, value_set=arr).to_numpy(zero_copy_only=False)
-            scores[:, j] = np.bincount(parents[hit], minlength=n)
-        best = np.argmax(scores, axis=1)  # ties → first (sorted lang order)
-        langs = np.array([l for l, _ in self.markers], dtype=object)
-        pred = langs[best]
-        pred[scores.max(axis=1) == 0] = "und"
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"].combine_chunks(),
-                "pred_lang": pa.array(pred, type=pa.string()),
-            }
-        )
+
+def _langid_batch(batch: pa.Table) -> pa.Table:
+    """Task-pool language-ID stage (marker arrays cached per worker
+    process — see _langid_markers)."""
+    markers = _langid_markers()
+    text = pc.cast(batch["text"].combine_chunks(), pa.string())
+    n = len(text)
+    split = pc.split_pattern_regex(pc.utf8_lower(text), pattern="[^a-z0-9]+")
+    lengths = np.nan_to_num(
+        pc.list_value_length(split).to_numpy(zero_copy_only=False), nan=0
+    ).astype(np.int64)
+    parents = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    flat = pc.list_flatten(split)
+    scores = np.zeros((n, len(markers)), dtype=np.int64)
+    for j, (_, arr) in enumerate(markers):
+        hit = pc.is_in(flat, value_set=arr).to_numpy(zero_copy_only=False)
+        scores[:, j] = np.bincount(parents[hit], minlength=n)
+    best = np.argmax(scores, axis=1)  # ties → first (sorted lang order)
+    langs = np.array([l for l, _ in markers], dtype=object)
+    pred = langs[best]
+    pred[scores.max(axis=1) == 0] = "und"
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"].combine_chunks(),
+            "pred_lang": pa.array(pred, type=pa.string()),
+        }
+    )
 
 
 def lang_id(sf_dir: str, output_path: str | None = None) -> pa.Table | None:
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(
-        LangId, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
-    )
+    out = ds.map_batches(_langid_batch, batch_format="pyarrow", zero_copy_batch=True)
     return _sink_or_table(out, output_path, "doc_id")
 
 
@@ -374,46 +386,54 @@ def _shingle_hashes(parents: np.ndarray, terms: pa.Array, n_rows: int, k: int = 
     return d_s[first], h_s[first]
 
 
-class MinHashSignatures:
-    """Actor-pool stage: permutation constants prepared once per actor."""
+_MINHASH_AB: "tuple[np.ndarray, np.ndarray] | None" = None
 
-    def __init__(self):
-        self.a, self.b = _minhash_params()
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        parents, terms, _ = tokenize_column(
-            pc.cast(batch["text"].combine_chunks(), pa.string())
-        )
-        n = batch.num_rows
-        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        docs, hs = _shingle_hashes(parents, terms, n)
-        sigs = np.full((n, _MH_PERMS), np.iinfo(np.uint64).max, dtype=np.uint64)
-        if hs.size:
-            # (a*h + b) mod p, segment-min per doc — vectorized per permutation
-            for j in range(_MH_PERMS):
-                ph = (self.a[j] * hs + self.b[j]) % _MH_PRIME
-                np.minimum.at(sigs[:, j], docs, ph)
-        # band rows: (band, band_hash, doc_id)
-        band_ids, band_hashes, band_docs = [], [], []
-        has_sig = np.zeros(n, dtype=bool)
-        has_sig[np.unique(docs)] = True
-        for bnd in range(_MH_BANDS):
-            seg = sigs[:, bnd * _MH_ROWS : (bnd + 1) * _MH_ROWS]
-            h = np.zeros(n, dtype=np.uint64)
-            for c in range(_MH_ROWS):
-                h = mix64_np(h ^ seg[:, c])
-            band_ids.append(np.full(n, bnd, np.int32)[has_sig])
-            band_hashes.append(h[has_sig])
-            band_docs.append(doc_ids[has_sig])
-        return pa.table(
-            {
-                "band": pa.array(np.concatenate(band_ids), type=pa.int32()),
-                "band_hash": pa.array(
-                    np.concatenate(band_hashes).astype(np.int64), type=pa.int64()
-                ),
-                "doc_id": pa.array(np.concatenate(band_docs), type=pa.int64()),
-            }
-        )
+def _minhash_ab() -> "tuple[np.ndarray, np.ndarray]":
+    """Permutation constants cached per worker process (task-pool state —
+    see the _langid_markers comment block)."""
+    global _MINHASH_AB
+    if _MINHASH_AB is None:
+        _MINHASH_AB = _minhash_params()
+    return _MINHASH_AB
+
+
+def _minhash_band_batch(batch: pa.Table) -> pa.Table:
+    """Task-pool minhash-signature stage → (band, band_hash, doc_id) rows."""
+    a, b = _minhash_ab()
+    parents, terms, _ = tokenize_column(
+        pc.cast(batch["text"].combine_chunks(), pa.string())
+    )
+    n = batch.num_rows
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    docs, hs = _shingle_hashes(parents, terms, n)
+    sigs = np.full((n, _MH_PERMS), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if hs.size:
+        # (a*h + b) mod p, segment-min per doc — vectorized per permutation
+        for j in range(_MH_PERMS):
+            ph = (a[j] * hs + b[j]) % _MH_PRIME
+            np.minimum.at(sigs[:, j], docs, ph)
+    # band rows: (band, band_hash, doc_id)
+    band_ids, band_hashes, band_docs = [], [], []
+    has_sig = np.zeros(n, dtype=bool)
+    has_sig[np.unique(docs)] = True
+    for bnd in range(_MH_BANDS):
+        seg = sigs[:, bnd * _MH_ROWS : (bnd + 1) * _MH_ROWS]
+        h = np.zeros(n, dtype=np.uint64)
+        for c in range(_MH_ROWS):
+            h = mix64_np(h ^ seg[:, c])
+        band_ids.append(np.full(n, bnd, np.int32)[has_sig])
+        band_hashes.append(h[has_sig])
+        band_docs.append(doc_ids[has_sig])
+    return pa.table(
+        {
+            "band": pa.array(np.concatenate(band_ids), type=pa.int32()),
+            "band_hash": pa.array(
+                np.concatenate(band_hashes).astype(np.int64), type=pa.int64()
+            ),
+            "doc_id": pa.array(np.concatenate(band_docs), type=pa.int64()),
+        }
+    )
 
 
 _MAX_BUCKET = 64  # LSH bucket cap; larger buckets are dropped (logged)
@@ -428,10 +448,7 @@ def dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.5) -> pa.Table:
     """
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     bands = ds.map_batches(
-        MinHashSignatures,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=2,
+        _minhash_band_batch, batch_format="pyarrow", zero_copy_batch=True
     )
 
     def _pairs(group: pa.Table) -> pa.Table:
@@ -1698,92 +1715,116 @@ _CURATE_MIN_TOKENS = 15
 _CURATE_MAX_STOP_RATIO = 0.15
 
 
-class CurationStage:
+_CURATION_STATE: "tuple[pa.Array, list[tuple[str, pa.Array]]] | None" = None
+
+
+def _curation_state() -> "tuple[pa.Array, list[tuple[str, pa.Array]]]":
+    """(stop array, marker arrays) cached per worker process (task-pool
+    state — see the _langid_markers comment block)."""
+    global _CURATION_STATE
+    if _CURATION_STATE is None:
+        _CURATION_STATE = (
+            pa.array(sorted(STOP_WORDS), type=pa.string()),
+            _langid_markers(),
+        )
+    return _CURATION_STATE
+
+
+def _curation_batch(batch: pa.Table, *, _fault_path: str | None = None) -> pa.Table:
     """Fused per-batch curation: ONE pass over the text computes raw token
     stats, stop ratio, marker-vote language-ID and the normalized-stream
     fingerprint — four analysis passes fused into one map stage so the text
-    column is read (and the split computed) once.  Actor pool: marker/stop
-    arrays built once per actor."""
+    column is read (and the split computed) once.  Task-pool function with
+    per-process state (the former CurationStage actor pool — a worker
+    killed mid-batch is retried, not a poisoned actor restart).
 
-    def __init__(self):
-        self.stop_arr = pa.array(sorted(STOP_WORDS), type=pa.string())
-        self.markers = [
-            (lang, pa.array(sorted(words), type=pa.string()))
-            for lang, words in sorted(_LANG_MARKERS.items())
-        ]
+    ``_fault_path``: test-only fault injection (the test_sharded.py
+    sentinel pattern): the first task to claim the file kills its worker
+    process mid-pass, proving the retry path."""
+    if _fault_path is not None:
+        import os as _os
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        text = pc.cast(batch["text"].combine_chunks(), pa.string())
-        n = len(text)
-        split = pc.split_pattern_regex(pc.utf8_lower(text), pattern="[^a-z0-9]+")
-        lengths = np.nan_to_num(
-            pc.list_value_length(split).to_numpy(zero_copy_only=False), nan=0
-        ).astype(np.int64)
-        parents = np.repeat(np.arange(n, dtype=np.int64), lengths)
-        flat = pc.list_flatten(split)
-        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        is_stop = pc.is_in(flat, value_set=self.stop_arr).to_numpy(
-            zero_copy_only=False
-        )
-        n_all = np.bincount(parents[nonempty], minlength=n)
-        n_stop = np.bincount(parents[nonempty & is_stop], minlength=n)
-        # marker-vote language id (same rule as LangId: argmax, ties → first
-        # in sorted lang order, zero hits → 'und')
-        scores = np.zeros((n, len(self.markers)), dtype=np.int64)
-        for j, (_, arr) in enumerate(self.markers):
-            hit = pc.is_in(flat, value_set=arr).to_numpy(zero_copy_only=False)
-            scores[:, j] = np.bincount(parents[hit], minlength=n)
-        langs = np.array([l for l, _ in self.markers], dtype=object)
-        pred = langs[np.argmax(scores, axis=1)]
-        pred[scores.max(axis=1) == 0] = "und"
-        # normalized-stream fingerprint (analyzed tokens: drop stop + >255)
-        ok = (
-            nonempty
-            & ~is_stop
-            & (pc.utf8_length(flat).to_numpy(zero_copy_only=False) <= 255)
-        )
-        keep_idx = np.flatnonzero(ok)
-        kept_terms = flat.take(pa.array(keep_idx, type=pa.int64()))
-        kept_lens = np.bincount(parents[keep_idx], minlength=n).astype(np.int32)
-        offsets = np.concatenate([[0], np.cumsum(kept_lens)]).astype(np.int32)
-        lst = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), kept_terms)
-        fp = sha256_column(pc.binary_join(lst, " "))
-        denom = np.maximum(n_all, 1)
-        # Pack each metadata value under a doc_id-dominant key so the dedup
-        # reduce can be a builtin vectorized Min aggregate: min(packed) picks
-        # the min-doc_id row's value — no per-group Python call, no join-back
-        # of keeper metadata.  Bounds (asserted): doc_id < 2^42 (the 10^12-doc
-        # design scale), n_tokens < 2^21, stop_ratio quantized to 1e-6 < 2^20.
-        doc_id = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
-        if doc_id.size and int(doc_id.max()) >= (1 << 42):
-            raise ValueError("doc_id exceeds the 2^42 packing bound")
-        if int(n_all.max(initial=0)) >= (1 << 21):
-            raise ValueError("n_tokens_all exceeds the 2^21 packing bound")
-        lang_order = {l: i for i, l in enumerate(langs)}
-        lang_idx = np.array([lang_order.get(p, 7) for p in pred], dtype=np.int64)
-        ratio_q = np.rint(np.round(n_stop / denom, 6) * 1e6).astype(np.int64)
-        t = pa.table(
-            {
-                "doc_id": pa.array(doc_id, type=pa.int64()),
-                "packed_lang": pa.array(doc_id * 8 + lang_idx, type=pa.int64()),
-                "packed_ntok": pa.array(
-                    (doc_id << 21) + n_all.astype(np.int64), type=pa.int64()
-                ),
-                "packed_stop": pa.array((doc_id << 20) + ratio_q, type=pa.int64()),
-                "fp_sha256": fp,
-            }
-        )
-        # curation filter applied map-side: only survivors enter the dedup
-        # shuffle (prune-before-shuffle)
-        keep = (
-            (n_all >= _CURATE_MIN_TOKENS)
-            & (n_stop / denom <= _CURATE_MAX_STOP_RATIO)
-            & (pred != "und")
-        )
-        return t.filter(pa.array(keep))
+        try:
+            _os.remove(_fault_path)  # atomic claim: exactly one task dies
+            _os._exit(1)
+        except FileNotFoundError:
+            pass
+    stop_arr, markers = _curation_state()
+    text = pc.cast(batch["text"].combine_chunks(), pa.string())
+    n = len(text)
+    split = pc.split_pattern_regex(pc.utf8_lower(text), pattern="[^a-z0-9]+")
+    lengths = np.nan_to_num(
+        pc.list_value_length(split).to_numpy(zero_copy_only=False), nan=0
+    ).astype(np.int64)
+    parents = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    flat = pc.list_flatten(split)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    is_stop = pc.is_in(flat, value_set=stop_arr).to_numpy(
+        zero_copy_only=False
+    )
+    n_all = np.bincount(parents[nonempty], minlength=n)
+    n_stop = np.bincount(parents[nonempty & is_stop], minlength=n)
+    # marker-vote language id (same rule as LangId: argmax, ties → first
+    # in sorted lang order, zero hits → 'und')
+    scores = np.zeros((n, len(markers)), dtype=np.int64)
+    for j, (_, arr) in enumerate(markers):
+        hit = pc.is_in(flat, value_set=arr).to_numpy(zero_copy_only=False)
+        scores[:, j] = np.bincount(parents[hit], minlength=n)
+    langs = np.array([l for l, _ in markers], dtype=object)
+    pred = langs[np.argmax(scores, axis=1)]
+    pred[scores.max(axis=1) == 0] = "und"
+    # normalized-stream fingerprint (analyzed tokens: drop stop + >255)
+    ok = (
+        nonempty
+        & ~is_stop
+        & (pc.utf8_length(flat).to_numpy(zero_copy_only=False) <= 255)
+    )
+    keep_idx = np.flatnonzero(ok)
+    kept_terms = flat.take(pa.array(keep_idx, type=pa.int64()))
+    kept_lens = np.bincount(parents[keep_idx], minlength=n).astype(np.int32)
+    offsets = np.concatenate([[0], np.cumsum(kept_lens)]).astype(np.int32)
+    lst = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), kept_terms)
+    fp = sha256_column(pc.binary_join(lst, " "))
+    denom = np.maximum(n_all, 1)
+    # Pack each metadata value under a doc_id-dominant key so the dedup
+    # reduce can be a builtin vectorized Min aggregate: min(packed) picks
+    # the min-doc_id row's value — no per-group Python call, no join-back
+    # of keeper metadata.  Bounds (asserted): doc_id < 2^42 (the 10^12-doc
+    # design scale), n_tokens < 2^21, stop_ratio quantized to 1e-6 < 2^20.
+    doc_id = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    if doc_id.size and int(doc_id.max()) >= (1 << 42):
+        raise ValueError("doc_id exceeds the 2^42 packing bound")
+    if int(n_all.max(initial=0)) >= (1 << 21):
+        raise ValueError("n_tokens_all exceeds the 2^21 packing bound")
+    lang_order = {l: i for i, l in enumerate(langs)}
+    lang_idx = np.array([lang_order.get(p, 7) for p in pred], dtype=np.int64)
+    ratio_q = np.rint(np.round(n_stop / denom, 6) * 1e6).astype(np.int64)
+    t = pa.table(
+        {
+            "doc_id": pa.array(doc_id, type=pa.int64()),
+            "packed_lang": pa.array(doc_id * 8 + lang_idx, type=pa.int64()),
+            "packed_ntok": pa.array(
+                (doc_id << 21) + n_all.astype(np.int64), type=pa.int64()
+            ),
+            "packed_stop": pa.array((doc_id << 20) + ratio_q, type=pa.int64()),
+            "fp_sha256": fp,
+        }
+    )
+    # curation filter applied map-side: only survivors enter the dedup
+    # shuffle (prune-before-shuffle)
+    keep = (
+        (n_all >= _CURATE_MIN_TOKENS)
+        & (n_stop / denom <= _CURATE_MAX_STOP_RATIO)
+        & (pred != "und")
+    )
+    return t.filter(pa.array(keep))
 
 
-def corpus_curation(sf_dir: str, output_path: str | None = None) -> pa.Table | None:
+def corpus_curation(
+    sf_dir: str,
+    output_path: str | None = None,
+    _fault_path: str | None = None,
+) -> pa.Table | None:
     """The composed training-data curation pipeline (the headline chain a
     100-TB corpus run would use): quality filter + language filter + exact
     near-normalized dedup in one streaming DAG —
@@ -1832,7 +1873,8 @@ def corpus_curation(sf_dir: str, output_path: str | None = None) -> pa.Table | N
 
     out = (
         ds.map_batches(
-            CurationStage, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+            _curation_batch, batch_format="pyarrow", zero_copy_batch=True,
+            **({"fn_kwargs": {"_fault_path": _fault_path}} if _fault_path else {}),
         )
         .groupby("fp_sha256")
         .aggregate(
@@ -6168,74 +6210,84 @@ def percolate(
     )
 
 
-class _BpeEncoder:
-    """Actor-pool BPE encoder: the merge table (rank-ordered) and a
-    word→token-count cache live once per actor (__init__), batches reuse
-    them (__call__) — the stateful-stage shape.  Encoding uses the
-    TRAINER'S own semantics (the sequential rank sweep of
-    :func:`bpe_fit`'s merge loop: each merge applied once, all occurrences
-    simultaneously, ranks ascending), so for every word in the training
-    histogram ``encode(word)`` reproduces the trainer's final symbol
-    sequence exactly — pinned against the brute-force reference in
-    tests/test_curation_ops.py.  The Zipfian word distribution makes the
-    cache hit rate ≈ 1 after the first few batches."""
+_BPE_CACHE_MAX = 262_144
+# per-process (merge-table-key → word→token-count cache); keyed so a warm
+# worker never serves counts computed under a DIFFERENT merge table
+_BPE_PROC_CACHE: "dict[str, dict[str, int]]" = {}
 
-    _CACHE_MAX = 262_144
 
-    def __init__(self, merges: list[tuple[str, str]]):
-        self.merges = list(merges)
-        # symbol-presence prefilter: a merge can only apply if its LEFT
-        # symbol is currently present, so index merges by left symbol
-        self.cache: dict[str, int] = {}
+def _bpe_word_cache(merges_key: str) -> "dict[str, int]":
+    cache = _BPE_PROC_CACHE.get(merges_key)
+    if cache is None:
+        if len(_BPE_PROC_CACHE) >= 4:
+            _BPE_PROC_CACHE.clear()
+        cache = {}
+        _BPE_PROC_CACHE[merges_key] = cache
+    return cache
 
-    def _encode_len(self, word: str) -> int:
-        sym = list(word) + ["</w>"]
-        for a, b in self.merges:
-            if len(sym) < 2:
-                break
-            # cheap containment probe before the O(len) rewrite pass
-            if a not in sym:
-                continue
-            out = []
-            i, m = 0, len(sym)
-            while i < m:
-                if i + 1 < m and sym[i] == a and sym[i + 1] == b:
-                    out.append(a + b)
-                    i += 2
-                else:
-                    out.append(sym[i])
-                    i += 1
-            sym = out
-        return len(sym)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        text = pc.cast(batch["text"].combine_chunks(), pa.string())
-        n = len(text)
-        parents, flat = _surface_words(text)
-        n_tok = np.zeros(n, dtype=np.int64)
-        n_words = np.bincount(parents, minlength=n).astype(np.int64)
-        if len(flat):
-            words = flat.to_numpy(zero_copy_only=False)
-            uniq, inv = np.unique(words, return_inverse=True)
-            lens = np.empty(uniq.size, dtype=np.int64)
-            cache = self.cache
-            for i, w in enumerate(uniq):
-                v = cache.get(w)
-                if v is None:
-                    v = self._encode_len(w)
-                    if len(cache) < self._CACHE_MAX:
-                        cache[w] = v
-                lens[i] = v
-            n_tok = np.bincount(
-                parents, weights=lens[inv], minlength=n
-            ).astype(np.int64)
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"].combine_chunks(),
-                "n_words": pa.array(n_words, type=pa.int64()),
-                "n_bpe_tokens": pa.array(n_tok, type=pa.int64()),
-            }
-        )
+def _bpe_encode_len(word: str, merges: "list[tuple[str, str]]") -> int:
+    """Token count of one word under the TRAINER'S own semantics (the
+    sequential rank sweep of :func:`bpe_fit`'s merge loop: each merge
+    applied once, all occurrences simultaneously, ranks ascending), so for
+    every word in the training histogram the encoder reproduces the
+    trainer's final symbol sequence exactly — pinned against the
+    brute-force reference in tests/test_curation_ops.py."""
+    sym = list(word) + ["</w>"]
+    for a, b in merges:
+        if len(sym) < 2:
+            break
+        # cheap containment probe before the O(len) rewrite pass
+        if a not in sym:
+            continue
+        out = []
+        i, m = 0, len(sym)
+        while i < m:
+            if i + 1 < m and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return len(sym)
+
+
+def _bpe_encode_batch(
+    batch: pa.Table, *, merges: "list[tuple[str, str]]", merges_key: str
+) -> pa.Table:
+    """Task-pool BPE encoder (the former _BpeEncoder actor pool): the
+    word→token-count cache lives per worker process keyed by the merge
+    table (see the _langid_markers comment block).  The Zipfian word
+    distribution makes the cache hit rate ≈ 1 after the first few
+    batches."""
+    text = pc.cast(batch["text"].combine_chunks(), pa.string())
+    n = len(text)
+    parents, flat = _surface_words(text)
+    n_tok = np.zeros(n, dtype=np.int64)
+    n_words = np.bincount(parents, minlength=n).astype(np.int64)
+    if len(flat):
+        words = flat.to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(words, return_inverse=True)
+        lens = np.empty(uniq.size, dtype=np.int64)
+        cache = _bpe_word_cache(merges_key)
+        for i, w in enumerate(uniq):
+            v = cache.get(w)
+            if v is None:
+                v = _bpe_encode_len(w, merges)
+                if len(cache) < _BPE_CACHE_MAX:
+                    cache[w] = v
+            lens[i] = v
+        n_tok = np.bincount(
+            parents, weights=lens[inv], minlength=n
+        ).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"].combine_chunks(),
+            "n_words": pa.array(n_words, type=pa.int64()),
+            "n_bpe_tokens": pa.array(n_tok, type=pa.int64()),
+        }
+    )
 
 
 def bpe_encode(
@@ -6274,12 +6326,14 @@ def bpe_encode(
     ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
+    import hashlib
+
+    merges_key = hashlib.sha256(repr(pairs).encode()).hexdigest()
     out = ds.map_batches(
-        _BpeEncoder,
+        _bpe_encode_batch,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
-        fn_constructor_args=(pairs,),
+        fn_kwargs={"merges": pairs, "merges_key": merges_key},
     )
     return _sink_or_table(out, output_path, "doc_id")
 
