@@ -212,6 +212,29 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     queries["query_ext_p50_warm"] = round(_pct(lat_ext, 0.5), 4)
     queries["query_ext_p99_warm"] = round(_pct(lat_ext, 0.99), 4)
 
+    # head-term OR disjunctions: TAAT vs explicit block-max — the
+    # measurement behind bmax_auto_df_threshold's effectively-off default
+    # (flat synthetic corpus ⇒ dl→0 bounds never prune ⇒ bmax pays
+    # interval bookkeeping for taat's work; see IndexConfig)
+    or_qs = [
+        "spark merge", "window customer vector", "stream batch data row",
+        "spark stream window merge group",
+    ]
+    lat_or: dict[str, list[float]] = {"taat": [], "bmax": []}
+    for m in lat_or:
+        for q in or_qs:
+            eng._results_cache.clear()
+            eng.search(q, limit=10, method=m)  # warm
+    for _ in range(5):
+        for m in lat_or:
+            for q in or_qs:
+                eng._results_cache.clear()
+                t1 = time.monotonic()
+                eng.search(q, limit=10, method=m)
+                lat_or[m].append(time.monotonic() - t1)
+    queries["query_or_head_taat_p50"] = round(_pct(lat_or["taat"], 0.5), 4)
+    queries["query_or_head_bmax_p50"] = round(_pct(lat_or["bmax"], 0.5), 4)
+
     # ---- auxiliary read surface: facets / count / recency sort / MLT /
     # suggest / date histogram (full-match-set ops — no top-k truncation) --
     # Aux ops run against a store_term_vectors=True build (the forward

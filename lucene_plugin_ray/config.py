@@ -89,6 +89,20 @@ class IndexConfig:
     query_concurrency: int = 4             # QueryExecutor pool default
     tokenize_batch_size: int = 2048
 
+    # search(method='auto') routes unboosted pure-SHOULD BM25 term
+    # disjunctions whose max global df is at least this to the vectorized
+    # block-max path ('bmax').  Result-identical either way (bmax == taat
+    # is test-pinned); the knob only moves the speed crossover.  DEFAULT IS
+    # EFFECTIVELY OFF: measured on the flat synthetic corpus (uniform doc
+    # lengths/tfs) the dl→0 block bounds never beat the k-th score, so
+    # nothing prunes and bmax pays per-interval bookkeeping for taat's
+    # work — head-term OR p50 9.8 ms (taat) vs 378 ms (bmax) at 200k docs,
+    # 0.1 s vs 1.5 s at 1.2M (BENCH_r04 query_or_head_* rows;
+    # _score_segment_bmax docstring).  Lower this only for heavy-tailed
+    # serving corpora where k ≪ matches and score mass is skewed — the
+    # regime where block-max WAND actually prunes.
+    bmax_auto_df_threshold: int = 1 << 62
+
     # Query-side caches (≙ reference T3/T4 LRUs, LuceneIndexBean.java:104,792)
     query_cache_size: int = 1024
     results_cache_size: int = 512

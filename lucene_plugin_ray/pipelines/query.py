@@ -1064,7 +1064,7 @@ class SearchEngine:
         query: str,
         collection: str = "default",
         limit: int | None = None,
-        method: str = "taat",
+        method: str = "auto",
         synonyms: dict[str, list[str]] | None = None,
         fields: dict[str, float] | None = None,
         tie_breaker: float = 0.0,
@@ -1073,9 +1073,13 @@ class SearchEngine:
         """Top-k search → Arrow table (url, score, docid), ordered
         (score desc, url asc).  ``limit`` defaults to the reference's
         effective 255 cap (K1, LuceneReaderImpl.java:104).  ``method``:
-        'taat' (default, vectorized accumulator; pure-AND auto-switches to
-        galloping intersection), 'bmw' (doc-at-a-time block-max WAND),
-        'bmax' (vectorized block-max best-first).  ``synonyms``
+        'auto' (default: unboosted pure-SHOULD BM25 term disjunctions
+        whose max global df ≥ ``IndexConfig.bmax_auto_df_threshold`` run
+        on the vectorized block-max path, everything else TAAT — the two
+        are result-identical, pinned by tests), 'taat' (vectorized
+        accumulator; pure-AND auto-switches to galloping intersection),
+        'bmw' (doc-at-a-time block-max WAND), 'bmax' (vectorized
+        block-max best-first).  ``synonyms``
         ({term: [synonym, ...]}) rewrites matching TERM clauses into
         Lucene-SynonymQuery groups — tf summed over members, idf from the
         max member df (scored on the TAAT path).  ``fields``
@@ -4753,6 +4757,36 @@ class SearchEngine:
             and all(isinstance(c, TermClause) and c.occur == MUST for c in clauses)
             and method != "bmw"
         )
+        if method == "auto":
+            # route big pure-SHOULD unboosted BM25 disjunctions to the
+            # vectorized block-max path: at 255-cap top-k over Zipf-head
+            # terms block-max skipping beats the full TAAT accumulator,
+            # while low-df queries stay TAAT (per-block bookkeeping would
+            # cost more than it prunes).  Exactness is not at stake —
+            # bmax == taat is pinned (tests/test_query_executor.py
+            # test_bmw_equals_taat and the auto-routing twin) — only speed.
+            eligible = (
+                unboosted
+                and is_bm25
+                and all(
+                    isinstance(c, TermClause) and c.occur == SHOULD
+                    for c in clauses
+                )
+                and len(term_clauses) > 0
+            )
+            max_df = (
+                max(
+                    (global_df.get((c.field, c.term), 0) for c in term_clauses),
+                    default=0,
+                )
+                if eligible
+                else 0
+            )
+            method = (
+                "bmax"
+                if eligible and max_df >= self.cfg.bmax_auto_df_threshold
+                else "taat"
+            )
         use_bmax = (
             method == "bmax"
             and unboosted

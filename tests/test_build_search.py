@@ -168,3 +168,44 @@ def test_bmax_with_deletes(ray_session, tmp_path_factory):
     for q in ["w00000", "pagehit", "w00010 w00100", "w00001 w00005 w00020"]:
         _assert_rank_identical(engine, oracle, q, limit=25, method="bmax")
         _assert_rank_identical(engine, oracle, q, limit=25, method="bmw")
+
+
+def test_auto_routes_head_disjunctions_to_bmax(built, monkeypatch):
+    """method='auto' (the search() default, VERDICT r03 item 4): unboosted
+    pure-SHOULD term disjunctions whose max global df clears
+    IndexConfig.bmax_auto_df_threshold run on the block-max path;
+    MUST/boost/low-df queries stay TAAT.  Results identical either way."""
+    cfg, manifest, engine, oracle = built
+    calls = {"bmax": 0}
+    orig = engine._score_segment_bmax
+
+    def spy(*a, **kw):
+        calls["bmax"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(engine, "_score_segment_bmax", spy)
+    monkeypatch.setattr(engine.cfg, "bmax_auto_df_threshold", 1)
+
+    engine._results_cache.clear()
+    _assert_rank_identical(engine, oracle, "pagehit w00001", limit=10,
+                           method="auto")
+    assert calls["bmax"] > 0  # head disjunction routed to block-max
+
+    # MUST conjunction: never block-max under auto
+    before = calls["bmax"]
+    engine._results_cache.clear()
+    _assert_rank_identical(engine, oracle, "+pagehit +w00001", limit=10,
+                           method="auto")
+    assert calls["bmax"] == before
+
+    # boosted clause: stays TAAT (block-max bounds assume unboosted BM25)
+    engine._results_cache.clear()
+    engine.search("pagehit^2 w00001", limit=10, method="auto")
+    assert calls["bmax"] == before
+
+    # low-df query under the default threshold: stays TAAT
+    monkeypatch.setattr(engine.cfg, "bmax_auto_df_threshold", 10**9)
+    engine._results_cache.clear()
+    _assert_rank_identical(engine, oracle, "pagehit w00001", limit=10,
+                           method="auto")
+    assert calls["bmax"] == before
