@@ -20,7 +20,14 @@ Extractors are dependency-free (this container has no Tika/media libs):
 * **pdf** — best-effort: Flate/raw content streams inflated (stdlib zlib),
   text drawn from ``Tj``/``TJ`` operators.  Handles the common
   text-PDF shape (covers the reference fixture); exotic encodings
-  (CID fonts, object streams) fall back to empty text rather than garbage.
+  (CID fonts, object streams) fall back to empty text rather than garbage;
+* **rtf** — group-aware control-word scanner (destination skipping,
+  ``\\'hh`` hex and ``\\uN`` unicode escapes, paragraph specials);
+* **odt** — ``content.xml`` out of the ODF zip (detected via the spec's
+  mandatory first ``mimetype`` entry), tag strip + entity decode;
+* **md** / **csv** — content-heuristic detection (no magic bytes; Tika
+  keys on filename), marker-stripping / cell-joining extraction; a
+  heuristic miss degrades to txt (identity).
 
 All extractors run inside a ``map_batches`` callable class — regexes compiled
 once per actor/task (T7 ≙ AutoDetectParser instance,
@@ -72,10 +79,22 @@ class HtmlExtract:
 
 
 def sniff_format(raw: bytes) -> str:
-    """Magic-byte format detection (≙ Tika's auto-detect)."""
+    """Magic-byte format detection (≙ Tika's auto-detect).
+
+    ODF containers are distinguished from OOXML inside the shared zip
+    magic by the ODF spec's mandatory FIRST entry: an uncompressed file
+    named ``mimetype`` whose bytes start right after the 30-byte local
+    header — exactly the probe Tika's zip detector uses.  Markdown and
+    CSV have no magic bytes (Tika keys on filename); the content
+    heuristics here are conservative — a miss degrades to 'txt', whose
+    extractor is the identity."""
     if raw.startswith(b"%PDF"):
         return "pdf"
+    if raw.startswith(b"{\\rtf"):
+        return "rtf"
     if raw.startswith(b"PK\x03\x04"):
+        if raw[30:38] == b"mimetype" and b"opendocument" in raw[38:100]:
+            return "odt"
         return "docx"
     head = raw[:512].lstrip()
     if head[:1] == b"<":
@@ -85,7 +104,43 @@ def sniff_format(raw: bytes) -> str:
         return "xml"
     if head[:1] in (b"{", b"["):
         return "json"
+    if _looks_markdown(head):
+        return "md"
+    if _looks_csv(raw[:2048]):
+        return "csv"
     return "txt"
+
+
+_MD_CUES = (b"\n# ", b"\n## ", b"\n### ", b"\n- ", b"\n* ", b"\n```", b"](")
+
+
+def _looks_markdown(head: bytes) -> bool:
+    if head.startswith((b"# ", b"## ", b"### ", b"```")):
+        return True
+    return sum(1 for cue in _MD_CUES if cue in head) >= 2
+
+
+def _csv_delims(line: bytes) -> int:
+    """Unquoted commas in one line (RFC-4180 double-quote quoting)."""
+    n = 0
+    quoted = False
+    for ch in line:
+        if ch == 0x22:  # '"'
+            quoted = not quoted
+        elif ch == 0x2C and not quoted:  # ','
+            n += 1
+    return n
+
+
+def _looks_csv(head: bytes) -> bool:
+    lines = [ln for ln in head.split(b"\n")[:6] if ln.strip()]
+    # drop a possibly-truncated trailing line before voting
+    if len(head) == 2048 and lines:
+        lines = lines[:-1]
+    if len(lines) < 2:
+        return False
+    counts = [_csv_delims(ln) for ln in lines]
+    return counts[0] >= 1 and all(c == counts[0] for c in counts)
 
 
 class AutoExtract:
@@ -118,6 +173,22 @@ class AutoExtract:
         self.ws = self.html.ws
         self.docx_t = re.compile(rb"<w:t(?:\s[^>]*)?>(.*?)</w:t>", re.S)
         self.docx_p = re.compile(rb"</w:p>")
+        self.odt_p = re.compile(rb"</text:[ph]>")
+        # RTF token stream: hex escape | control word (+signed arg) |
+        # control symbol | group brace | raw text run
+        self.rtf_tok = re.compile(
+            rb"\\'([0-9a-fA-F]{2})"
+            rb"|\\([a-zA-Z]+)(-?\d+)? ?"
+            rb"|\\([^a-zA-Z])"
+            rb"|([{}])"
+            rb"|([^\\{}]+)"
+        )
+        self.md_fence = re.compile(r"```.*?```", re.S)
+        self.md_img = re.compile(r"!\[([^\]]*)\]\([^)]*\)")
+        self.md_link = re.compile(r"\[([^\]]*)\]\([^)]*\)")
+        self.md_code = re.compile(r"`([^`]*)`")
+        self.md_head = re.compile(r"(?m)^\s{0,3}(#{1,6}\s+|>\s?|[-*+]\s+|\d+\.\s+)")
+        self.md_emph = re.compile(r"(\*{1,3}|_{1,3})(\S(?:.*?\S)?)\1")
 
     # ---- per-format extractors ------------------------------------------
     def _txt(self, raw: bytes) -> str:
@@ -169,6 +240,128 @@ class AutoExtract:
                 )
             pos += 1
         return self.ws.sub(" ", "\n".join(parts)).strip()
+
+    def _odt(self, raw: bytes) -> str:
+        """ODF text documents: ``content.xml`` out of the zip (the docx
+        pattern); ``</text:p>``/``</text:h>`` close paragraphs, all other
+        tags strip, entities decode."""
+        import io
+        import zipfile
+
+        try:
+            with zipfile.ZipFile(io.BytesIO(raw)) as z:
+                doc = z.read("content.xml")
+        except (zipfile.BadZipFile, KeyError):
+            return ""
+        s = self.odt_p.sub(b"\n", doc).decode("utf-8", errors="replace")
+        s = self.tag.sub(" ", s)
+        s = _html.unescape(s)
+        return self.ws.sub(" ", s).strip()
+
+    # ignorable RTF destination groups (their text is metadata, not content)
+    _RTF_DESTS = frozenset(
+        {
+            b"fonttbl", b"colortbl", b"stylesheet", b"info", b"pict",
+            b"header", b"footer", b"headerl", b"headerr", b"footerl",
+            b"footerr", b"generator", b"themedata", b"filetbl", b"listtable",
+        }
+    )
+    _RTF_SPECIAL = {
+        b"par": "\n", b"line": "\n", b"sect": "\n", b"page": "\n",
+        b"tab": "\t", b"cell": " ", b"row": "\n", b"emdash": "—",
+        b"endash": "–", b"lquote": "‘", b"rquote": "’",
+        b"ldblquote": "“", b"rdblquote": "”", b"bullet": "•",
+        b"~": " ", b"_": "-",
+    }
+
+    def _rtf(self, raw: bytes) -> str:
+        """RTF → text: group-aware control-word scanner (stdlib-only).
+        Handles destination skipping ({\\*\\...} and the known metadata
+        destinations), \\'hh hex escapes, \\uN unicode with \\ucN
+        fallback skipping, and the paragraph/line specials.  Unknown
+        control words are dropped, their text kept — Tika's RTFParser
+        behavior for plain documents."""
+        out: list[str] = []
+        # stack of (skipping, uc) per open group
+        skip = False
+        uc = 1
+        stack: list[tuple[bool, int]] = []
+        pending_skip = 0  # chars to swallow after \uN (the \ucN fallback)
+        i = 0
+        for m in self.rtf_tok.finditer(raw):
+            hexc, word, arg, esc, brace, text = m.groups()
+            if brace is not None:
+                if brace == b"{":
+                    stack.append((skip, uc))
+                elif stack:
+                    skip, uc = stack.pop()
+                continue
+            if hexc is not None:
+                if pending_skip:
+                    pending_skip -= 1
+                elif not skip:
+                    out.append(bytes([int(hexc, 16)]).decode("cp1252", errors="replace"))
+                continue
+            if word is not None:
+                if word == b"u" and arg is not None:
+                    if not skip:
+                        cp = int(arg)
+                        out.append(chr(cp + 0x10000 if cp < 0 else cp))
+                    pending_skip = uc
+                    continue
+                if word == b"uc" and arg is not None:
+                    uc = int(arg)
+                    continue
+                if word in self._RTF_DESTS:
+                    skip = True
+                    continue
+                sp = self._RTF_SPECIAL.get(word)
+                if sp is not None and not skip:
+                    out.append(sp)
+                continue
+            if esc is not None:
+                if esc == b"*":
+                    skip = True  # \* marks the enclosing group ignorable
+                elif not skip:
+                    sp = self._RTF_SPECIAL.get(esc)
+                    out.append(sp if sp is not None else esc.decode("cp1252"))
+                continue
+            if text is not None and not skip:
+                if pending_skip:
+                    t = text[pending_skip:]
+                    pending_skip = max(0, pending_skip - len(text))
+                else:
+                    t = text
+                if t:
+                    out.append(t.replace(b"\r", b"").replace(b"\n", b"").decode(
+                        "cp1252", errors="replace"
+                    ))
+        return self.ws.sub(" ", "".join(out)).strip()
+
+    def _md(self, raw: bytes) -> str:
+        """Markdown → text: fences/inline code unwrapped, images → alt,
+        links → label, heading/list/quote/emphasis markers stripped."""
+        s = raw.decode("utf-8", errors="replace")
+        s = self.md_fence.sub(" ", s)
+        s = self.md_img.sub(r"\1", s)
+        s = self.md_link.sub(r"\1", s)
+        s = self.md_code.sub(r"\1", s)
+        s = self.md_head.sub("", s)
+        s = self.md_emph.sub(r"\2", s)
+        return self.ws.sub(" ", s).strip()
+
+    def _csv(self, raw: bytes) -> str:
+        """CSV → text: cells joined by spaces, rows by newlines (Tika's
+        text/csv content handler shape), quoting handled by stdlib csv."""
+        import csv
+        import io
+
+        try:
+            rows = csv.reader(io.StringIO(raw.decode("utf-8", errors="replace")))
+            s = "\n".join(" ".join(cells) for cells in rows)
+        except csv.Error:
+            s = raw.decode("utf-8", errors="replace")
+        return self.ws.sub(" ", s).strip()
 
     def _pdf_unescape(self, s: bytes) -> bytes:
         out = bytearray()
@@ -222,6 +415,10 @@ class AutoExtract:
             "json": self._json,
             "docx": self._docx,
             "pdf": self._pdf,
+            "rtf": self._rtf,
+            "odt": self._odt,
+            "md": self._md,
+            "csv": self._csv,
         }[fmt]
         return fn(raw), fmt
 

@@ -126,3 +126,94 @@ def test_reference_fixture_parity(name):
     text, fmt = AutoExtract().extract_one(raw)
     assert text.split()[0] == "Lorem", (name, fmt, text[:80])
     assert "versions" in text, (name, fmt, text[-120:])
+
+
+# ---- round-4 formats (VERDICT r03 item 5): rtf / odt / md / csv ----------
+
+def _make_rtf(text: str) -> bytes:
+    body = "\\par ".join(text.split(". "))
+    return (
+        r"{\rtf1\ansi\deff0{\fonttbl{\f0\froman Times New Roman;}}"
+        r"{\colortbl;\red0\green0\blue0;}{\info{\author nobody}}"
+        r"{\*\generator fake 1.0;}\uc1\pard\f0\fs24 " + body + r"\par}"
+    ).encode()
+
+
+def _make_odt(text: str) -> bytes:
+    buf = io.BytesIO()
+    body = "".join(
+        f"<text:p>{line}</text:p>" for line in text.split(". ")
+    )
+    content = (
+        '<?xml version="1.0"?><office:document-content '
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+        f"<office:body><office:text>{body}</office:text></office:body>"
+        "</office:document-content>"
+    )
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+        z.writestr("mimetype", "application/vnd.oasis.opendocument.text")
+        z.writestr("content.xml", content)
+    return buf.getvalue()
+
+
+_MD_DOC = (
+    "# Lorem Ipsum\n\nIs simply *dummy* text of the **printing** industry.\n\n"
+    "- It was [popularised](http://example.com/x) in the 1960s\n"
+    "- with `Letraset` sheets\n\n```\ncode block dropped\n```\n\n"
+    "![desktop publishing](img.png) software like Aldus PageMaker "
+    "including versions\n"
+)
+
+_CSV_DOC = (
+    "Lorem,Ipsum,dummy\nprinting,typesetting,industry\n"
+    "PageMaker,including,versions\n"
+)
+
+ROUND4_FIXTURES = {
+    "rtf": _make_rtf(LOREM),
+    "odt": _make_odt(LOREM),
+    "md": _MD_DOC.encode(),
+    "csv": _CSV_DOC.encode(),
+}
+
+
+def test_sniff_round4_formats():
+    for fmt, raw in ROUND4_FIXTURES.items():
+        assert sniff_format(raw) == fmt, fmt
+    # odt shares the zip magic with docx — both directions must hold
+    assert sniff_format(FIXTURES["docx"]) == "docx"
+    # plain prose stays txt (markdown/csv heuristics must not misfire)
+    assert sniff_format(LOREM.encode()) == "txt"
+    assert sniff_format(b"no commas here\njust plain text lines\n") == "txt"
+
+
+@pytest.mark.parametrize("fmt", list(ROUND4_FIXTURES))
+def test_round4_first_and_last_word(fmt):
+    text, detected = AutoExtract().extract_one(ROUND4_FIXTURES[fmt])
+    assert detected == fmt
+    assert text.split()[0] == "Lorem", (fmt, text[:80])
+    assert "versions" in text.split(), (fmt, text[-80:])
+
+
+def test_rtf_escapes_and_destinations():
+    raw = (
+        rb"{\rtf1\ansi{\fonttbl{\f0 Skip Me;}}\uc1\pard caf\'e9 "
+        rb"\u8364? dash\emdash end{\*\unknowndest hidden}\par}"
+    )
+    text, fmt = AutoExtract().extract_one(raw)
+    assert fmt == "rtf"
+    assert "café" in text and "€" in text and "—" in text
+    assert "Skip" not in text and "hidden" not in text
+
+
+def test_markdown_falls_back_to_txt_on_plain_prose():
+    text, fmt = AutoExtract().extract_one(LOREM.encode())
+    assert fmt == "txt" and text == LOREM
+
+
+def test_csv_quoting():
+    raw = b'a,"b, with comma",c\nd,"e",versions\n'
+    text, fmt = AutoExtract().extract_one(raw)
+    assert fmt == "csv"
+    assert "b, with comma" in text and "versions" in text.split()
