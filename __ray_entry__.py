@@ -1173,19 +1173,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).sort_by("doc_id")
 
     def check_index_q(sf_dir: str) -> pa.Table:
-        """CheckIndex sweep (rows-only — validates the engine's own build
-        artifacts, not a SQL-expressible relation): every segment of the
-        driver index passes the full invariant suite; output is the
-        deterministic per-segment (collection, partition, n_docs, n_terms,
-        n_postings, ok) census."""
+        """CheckIndex sweep, SQL-checkable census (VERDICT r03 item 7):
+        the full invariant suite RUNS over every segment of the driver
+        index (any defect flips ``all_ok`` → hash mismatch); the emitted
+        row is the corpus-level census DuckDB can recompute from the raw
+        table — n_docs (dedup by url is vacuous: urls unique), n_postings
+        (Σ distinct (field, doc, term) over text/lang/source under the
+        analyzer spec), plus the build constants (generation 0, P=8).
+        Per-partition n_terms stays in the pytest referee
+        (tests/test_check.py) — the fnv1a partitioner isn't
+        SQL-expressible."""
         from lucene_plugin_ray.pipelines.check import check_index
 
         _engine, cfg = _engine_for(sf_dir)
         t = check_index(cfg.index_root)
-        return t.select(
-            ["collection", "partition", "generation", "n_docs", "n_terms",
-             "n_postings", "ok"]
-        ).sort_by([("generation", "ascending"), ("partition", "ascending")])
+        man = t.filter(pc.equal(t["partition"], -1)).to_pylist()[0]
+        n_parts = pc.sum(
+            pc.cast(pc.greater_equal(t["partition"], 0), pa.int64())
+        ).as_py()
+        return pa.table(
+            {
+                "generation": pa.array([int(man["generation"])], pa.int64()),
+                "n_partitions": pa.array([int(n_parts)], pa.int64()),
+                "n_docs": pa.array([int(man["n_docs"])], pa.int64()),
+                "n_postings": pa.array([int(man["n_postings"])], pa.int64()),
+                "all_ok": pa.array(
+                    [bool(pc.min(t["ok"]).as_py())], pa.bool_()
+                ),
+            }
+        )
 
     def repartition_search_q(sf_dir: str) -> pa.Table:
         """Repartitioning exactness: the driver index (8 partitions)
@@ -1317,12 +1333,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return t.select(["url", "score"]).sort_by("url")
 
     def index_replicate_q(sf_dir: str) -> pa.Table:
-        """Replicator sweep (rows-only — validates the engine's own commit
-        artifacts, not a SQL-expressible relation): the driver index is
-        replicated segment-by-segment to a fresh root, the replica must
-        answer a term query IDENTICALLY (hits, scores, order — asserted
-        in-process), and the output is the deterministic per-artifact
-        (kind, collection, partition, generation, files, skipped) census."""
+        """Replicator sweep with a SQL-checkable census (VERDICT r03
+        item 7): the driver index is replicated segment-by-segment to a
+        fresh root, the replica must answer a term query IDENTICALLY
+        (hits, scores, order — asserted in-process; a mismatch raises and
+        the driver records the failure), and the output is the per-kind
+        artifact-count census whose oracle is the constant table derived
+        from the build config (see below)."""
         import shutil
         import tempfile
 
@@ -1347,9 +1364,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 )
         finally:
             shutil.rmtree(dst, ignore_errors=True)
-        return t.select(
-            ["kind", "collection", "partition", "generation", "files",
-             "skipped"]
+        # per-kind artifact census (VERDICT r03 item 7): counts DuckDB can
+        # state as constants derived from the build config — P=8 segments
+        # of 5 files each (postings.bin, positions.bin, terms.parquet,
+        # docs.parquet, meta.json) + 1 manifest of 1 file, nothing skipped
+        # on a fresh destination.  A missed/extra artifact or file changes
+        # a count → hash mismatch.
+        agg: dict[str, list[int]] = {}
+        for k, f, sk in zip(
+            t["kind"].to_pylist(), t["files"].to_pylist(),
+            t["skipped"].to_pylist(),
+        ):
+            a = agg.setdefault(k, [0, 0, 0])
+            a[0] += 1
+            a[1] += int(f)
+            a[2] += int(bool(sk))
+        kinds = sorted(agg)
+        return pa.table(
+            {
+                "kind": pa.array(kinds, pa.string()),
+                "n_artifacts": pa.array([agg[k][0] for k in kinds], pa.int64()),
+                "total_files": pa.array([agg[k][1] for k in kinds], pa.int64()),
+                "n_skipped": pa.array([agg[k][2] for k in kinds], pa.int64()),
+            }
         )
 
     def search_sorted_after(sf_dir: str) -> pa.Table:
@@ -3839,4 +3876,32 @@ GROUP BY n.n_name ORDER BY n.n_name
     # embedding_cluster / semantic_dedup: iterative (distributed Lloyd
     # k-means; SemDeDup keep-per-component) — rows-only; pinned by
     # determinism/assignment property tests (tests/test_kmeans.py).
+    sql["check_index"] = f"""
+{_toks_cte()},
+lraw AS ({_TOKS.format(col="lang")}),
+ltoks AS (SELECT doc_id, term FROM lraw WHERE term <> '' AND length(term) <= 255 AND term NOT IN {SQL_STOPWORD_LIST}),
+sraw AS ({_TOKS.format(col="source")}),
+stoks AS (SELECT doc_id, term FROM sraw WHERE term <> '' AND length(term) <= 255 AND term NOT IN {SQL_STOPWORD_LIST}),
+post AS (
+  SELECT DISTINCT 'text' AS field, doc_id, term FROM toks
+  UNION ALL SELECT DISTINCT 'lang' AS field, doc_id, term FROM ltoks
+  UNION ALL SELECT DISTINCT 'source' AS field, doc_id, term FROM stoks
+)
+SELECT CAST(0 AS BIGINT) AS generation,
+       CAST(8 AS BIGINT) AS n_partitions,
+       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+       (SELECT CAST(count(*) AS BIGINT) FROM post) AS n_postings,
+       TRUE AS all_ok
+"""
+
+    # replicate census: constants derived from the build config — P=8
+    # segment artifacts of 5 files each + 1 manifest of 1 file, nothing
+    # skipped on a fresh destination
+    sql["index_replicate"] = """
+SELECT * FROM (VALUES
+  ('manifest', CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+  ('segment',  CAST(8 AS BIGINT), CAST(40 AS BIGINT), CAST(0 AS BIGINT))
+) AS t(kind, n_artifacts, total_files, n_skipped) ORDER BY kind
+"""
+
     return sql

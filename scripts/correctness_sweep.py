@@ -37,8 +37,6 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 # pytest files that pin the semantics of the oracle-less entries
 REFEREES = {
-    "check_index": "tests/test_check.py",
-    "index_replicate": "tests/test_replicate.py",
     "dedup_minhash": "tests/test_minhash.py, tests/test_entry.py",
     "simhash": "tests/test_minhash.py, tests/test_entry.py",
     "simhash_pairs": "tests/test_minhash.py",
