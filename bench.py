@@ -535,6 +535,82 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     hybrid.hybrid_search(heng, sf_dir, "spark window merge", k=10, k_leg=20)
     queries["hybrid_search"] = round(time.monotonic() - t1, 3)
 
+    # ---- 10× scale point (VERDICT r03 item 6): same pipeline at ~2M docs
+    # — evidence the sf0.1 curves hold an order of magnitude up.  Skipped
+    # in --scaling children (SECONDARY=0) and opt-out via GRAFT_BENCH_10X=0.
+    if os.environ.get("GRAFT_BENCH_10X", "1") == "1":
+        replicas10 = replicas * 10
+        _saved = replicas
+        replicas = replicas10
+        root10 = f"/tmp/lpr_bench_idx10_{num_cpus}"
+        shutil.rmtree(root10, ignore_errors=True)
+        cfg10 = IndexConfig(
+            index_root=root10, num_partitions=32,
+            field_columns=("lang", "source"),
+        )
+        t1 = time.monotonic()
+        man10 = build_index(_load_corpus(), cfg10)
+        b10 = time.monotonic() - t1
+        queries["index_build_10x"] = round(b10, 3)
+        n10 = sum(r["n_docs"] for r in man10.partitions)
+        out["docs_10x"] = n10
+        out["build_docs_per_sec_10x"] = round(n10 / b10, 1)
+        walls10 = [r["wall_s"] for r in man10.partitions]
+        out["partition_wall_s_10x"] = {
+            "min": round(min(walls10), 3),
+            "p50": round(statistics.median(walls10), 3),
+            "max": round(max(walls10), 3),
+        }
+        # sidecar build at 10× (aux ops read it; delta vs index_build_10x
+        # is the tv write cost at this scale)
+        tvroot10 = f"/tmp/lpr_bench_idx10tv_{num_cpus}"
+        shutil.rmtree(tvroot10, ignore_errors=True)
+        tvcfg10 = IndexConfig(
+            index_root=tvroot10, num_partitions=32,
+            field_columns=("lang", "source"), store_term_vectors=True,
+        )
+        t1 = time.monotonic()
+        build_index(_load_corpus(), tvcfg10)
+        queries["index_build_tv_10x"] = round(time.monotonic() - t1, 3)
+        replicas = _saved
+        eng10 = SearchEngine(tvroot10, cfg=tvcfg10)
+        for q in qset:
+            eng10.search(q, limit=10)  # warm
+        lat10: list[float] = []
+        for _ in range(3):
+            for q in qset:
+                eng10._results_cache.clear()
+                t1 = time.monotonic()
+                eng10.search(q, limit=10)
+                lat10.append(time.monotonic() - t1)
+        queries["query_p50_warm_10x"] = round(_pct(lat10, 0.5), 4)
+        queries["query_p99_warm_10x"] = round(_pct(lat10, 0.99), 4)
+        mlt10 = eng10.search("spark", limit=1)
+        aux10_ops = [
+            lambda: eng10.facets("spark merge", "lang"),
+            lambda: eng10.count("spark merge window"),
+            lambda: eng10.search_sorted("spark merge", limit=10),
+            lambda: eng10.more_like_this(mlt_probe, max_query_terms=8,
+                                         limit=10),
+            lambda: eng10.suggest("spakr", k=5),
+            *([lambda: eng10.more_like_this_url(
+                mlt10["url"][0].as_py(), max_query_terms=8, limit=10)]
+              if mlt10.num_rows else []),
+        ]
+        for op in aux10_ops:
+            op()  # warm
+        lat_aux10: list[float] = []
+        for _ in range(3):
+            for op in aux10_ops:
+                eng10._results_cache.clear()
+                t1 = time.monotonic()
+                op()
+                lat_aux10.append(time.monotonic() - t1)
+        queries["query_aux_p50_warm_10x"] = round(_pct(lat_aux10, 0.5), 4)
+        queries["query_aux_p99_warm_10x"] = round(_pct(lat_aux10, 0.99), 4)
+        shutil.rmtree(root10, ignore_errors=True)
+        shutil.rmtree(tvroot10, ignore_errors=True)
+
     out["metric"] = "index_build_sec_plus_query_latency"
     out["value"] = round(build_s, 3)
     out["unit"] = "sec"
