@@ -698,7 +698,9 @@ def common_terms_rewrite(
     return list(lows or highs)
 
 
-def _diversify_hits(t: pa.Table, max_per_key: int, limit: int) -> pa.Table:
+def _diversify_hits(
+    t: pa.Table, max_per_key: int, limit: int, segment_local: bool = False
+) -> pa.Table:
     """Greedy diversified selection over a (url, score, key, docid) hit
     table: order by the (score desc, url asc) total order, keep each row
     while its key has produced < ``max_per_key`` kept rows (null keys are
@@ -706,14 +708,17 @@ def _diversify_hits(t: pa.Table, max_per_key: int, limit: int) -> pa.Table:
     ≤ cap filter because the scan order is total — shared by the
     per-segment pass, the engine merge and the sharded driver merge (the
     idempotence of cap-then-recap under a total order is what makes the
-    distributed merge exact)."""
+    distributed merge exact).  ``segment_local``: the rows all come from
+    ONE segment, where docid asc == url asc — the numeric docid lexsort
+    replaces the object-url sort over the full match set."""
     if t.num_rows == 0:
         return t
     import pyarrow.compute as pc
 
     urls = t["url"].to_numpy(zero_copy_only=False)
     scores = t["score"].to_numpy()
-    order = np.lexsort((urls, -scores))
+    tiebreak = t["docid"].to_numpy() if segment_local else urls
+    order = np.lexsort((tiebreak, -scores))
     keys = t["key"].to_numpy(zero_copy_only=False)[order]
     present = np.logical_not(
         pc.is_null(t["key"].combine_chunks()).to_numpy(zero_copy_only=False)
@@ -724,9 +729,14 @@ def _diversify_hits(t: pa.Table, max_per_key: int, limit: int) -> pa.Table:
     keep = np.ones(keys.size, dtype=bool)
     if present.any():
         idx = np.flatnonzero(present)
-        ksub = keys[idx].astype("U")
-        grp = np.argsort(ksub, kind="stable")
-        sorted_keys = ksub[grp]
+        # hash-based factorize → dense int codes: the group-by-key rank
+        # pass runs on int argsort instead of object-string compares
+        # (the former astype("U") + string argsort dominated the op)
+        import pandas as pd
+
+        codes = pd.factorize(keys[idx])[0]
+        grp = np.argsort(codes, kind="stable")
+        sorted_keys = codes[grp]
         starts = np.flatnonzero(
             np.concatenate(([True], sorted_keys[1:] != sorted_keys[:-1]))
         )
@@ -736,7 +746,7 @@ def _diversify_hits(t: pa.Table, max_per_key: int, limit: int) -> pa.Table:
             )
         )
         rank = np.arange(sorted_keys.size, dtype=np.int64) - starts[run_id]
-        keep_sub = np.empty(ksub.size, dtype=bool)
+        keep_sub = np.empty(codes.size, dtype=bool)
         keep_sub[grp] = rank < max_per_key
         keep[idx] = keep_sub
     sel = order[keep][:limit]
@@ -1320,8 +1330,11 @@ class SearchEngine:
             ts = r.warc_ts.astype(np.int64, copy=False)[local]
             age = np.maximum(now_us - ts, 0).astype(np.float64)
             final = t["score"].to_numpy() * (scale / (scale + age))
+            # segment-local tiebreak: docid asc == url asc within a
+            # segment (docids are url-ranks), so the numeric lexsort
+            # replaces the object-array url sort over the full match set
+            order = np.lexsort((t["docid"].to_numpy(), -final))[:limit]
             urls = t["url"].to_numpy(zero_copy_only=False)
-            order = np.lexsort((urls, -final))[:limit]
             parts.append(
                 pa.table(
                     {
@@ -1465,8 +1478,11 @@ class SearchEngine:
                 pos_cl = np.minimum(pos_idx, neg.size - 1)
                 demoted = neg[pos_cl] == local
                 final[demoted] *= demote
+            # segment-local tiebreak: docid asc == url asc within a
+            # segment (docids are url-ranks), so the numeric lexsort
+            # replaces the object-array url sort over the full match set
+            order = np.lexsort((t["docid"].to_numpy(), -final))[:limit]
             urls = t["url"].to_numpy(zero_copy_only=False)
-            order = np.lexsort((urls, -final))[:limit]
             parts.append(
                 pa.table(
                     {
@@ -1596,7 +1612,7 @@ class SearchEngine:
             keys = self._doc_field_values(si, seg, key_field)[local]
             t = t.append_column("key", pa.array(keys, pa.string()))
             parts.append(
-                _diversify_hits(t, max_per_key, limit)
+                _diversify_hits(t, max_per_key, limit, segment_local=True)
             )
         if not parts:
             return empty
@@ -1721,8 +1737,11 @@ class SearchEngine:
                     continue
                 t = t.filter(pa.array(keep_r))
                 final = final[keep_r]
+            # segment-local tiebreak: docid asc == url asc within a
+            # segment (docids are url-ranks), so the numeric lexsort
+            # replaces the object-array url sort over the full match set
+            order = np.lexsort((t["docid"].to_numpy(), -final))[:limit]
             urls = t["url"].to_numpy(zero_copy_only=False)
-            order = np.lexsort((urls, -final))[:limit]
             parts.append(
                 pa.table(
                     {
@@ -2086,12 +2105,23 @@ class SearchEngine:
                 )
                 if not t2.num_rows:
                     continue
-                u2 = t2["url"].to_numpy(zero_copy_only=False)
+                # numeric gather: within this segment the window rows'
+                # LOCAL docids (i[present], from the url probe above) are
+                # matched against t2's local docids — int searchsorted
+                # instead of an object-url searchsorted over the rescore
+                # query's full match set (measured 43 ms/call at 200k
+                # docs); url semantics preserved exactly (a url alive in
+                # this segment resolves to one local id, a shadowed probe
+                # hit is absent from t2 either way)
                 s2 = t2["score"].to_numpy()
-                pos = np.searchsorted(sorted_w, u2)
-                pos_cl = np.minimum(pos, sorted_w.size - 1)
-                ok = sorted_w[pos_cl] == u2
-                second[w_order[pos_cl[ok]]] = s2[ok]
+                t2_loc = t2["docid"].to_numpy() - r.doc_base
+                o2 = np.argsort(t2_loc)
+                t2_sorted = t2_loc[o2]
+                win_loc = i[present]
+                p2 = np.searchsorted(t2_sorted, win_loc)
+                p2_cl = np.minimum(p2, t2_sorted.size - 1)
+                hit = t2_sorted[p2_cl] == win_loc
+                second[w_order[np.flatnonzero(present)[hit]]] = s2[o2[p2_cl[hit]]]
 
         final = w_scores + weight * second
         order = np.lexsort((w_urls, -final))[:limit]
@@ -2471,7 +2501,8 @@ class SearchEngine:
                 matched, ts, urls = matched[keep], ts[keep], urls[keep]
                 if matched.size == 0:
                     continue
-            order = np.lexsort((urls, -ts if descending else ts))
+            # docid tiebreak == url tiebreak within a segment (numeric)
+            order = np.lexsort((matched, -ts if descending else ts))
             order = order[: min(limit, order.size)]
             parts.append(
                 pa.table(
@@ -3328,9 +3359,15 @@ class SearchEngine:
                     cnt = np.zeros(uniq.size)
                     np.add.at(cnt, inv, 1.0)
                     fold = fold / cnt
-            url_parts.append(r.urls[uniq])
-            score_parts.append(fold)
-            docid_parts.append(r.doc_base + uniq.astype(np.int64))
+            # exact per-segment truncation under the global (score desc,
+            # url asc) order: within a segment docid asc == url asc, and a
+            # row outside the segment's own top-``limit`` is dominated by
+            # >= limit same-segment rows globally — the numeric sort
+            # replaces an object-url sort over the full fold
+            sel = np.lexsort((uniq, -fold))[:limit]
+            url_parts.append(r.urls[uniq[sel]])
+            score_parts.append(fold[sel])
+            docid_parts.append(r.doc_base + uniq[sel].astype(np.int64))
         if not url_parts:
             return empty
         urls = np.concatenate(url_parts)

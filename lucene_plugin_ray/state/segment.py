@@ -18,6 +18,77 @@ import numpy as np
 from lucene_plugin_ray.functions.codec import decode_region
 
 
+class _LazyRegion:
+    """Chunked random-access byte view over a REMOTE region file — the
+    page-granular fetch path for cold URL-rooted indexes (segment.py's
+    former whole-file ``read_bytes`` pulled multi-GB postings.bin per
+    segment open; a selective term query touches a few KB of it).
+
+    Quacks like the uint8 ndarray the decode paths slice: ``region[a:b]``
+    returns a contiguous uint8 array, ``.size`` is the file length.
+    Slices are served from an LRU of fixed-size chunks fetched with
+    ranged GETs (``storage.read_bytes_range``); a slice spanning chunks
+    concatenates views — one ranged GET per cold 1-MiB chunk, zero
+    re-fetch for query-locality (posting regions of one term are
+    contiguous by construction).  ``fetches``/``bytes_fetched`` are
+    exposed for tests and ops visibility."""
+
+    CHUNK = 1 << 20
+    __slots__ = ("path", "size", "fetches", "bytes_fetched", "_cache",
+                 "_max_chunks")
+
+    def __init__(self, path: str, size: int, max_chunks: int = 256):
+        from collections import OrderedDict
+
+        self.path = path
+        self.size = int(size)
+        self.fetches = 0
+        self.bytes_fetched = 0
+        self._cache: "OrderedDict[int, np.ndarray]" = OrderedDict()
+        self._max_chunks = max_chunks
+
+    def _chunk(self, c: int) -> np.ndarray:
+        got = self._cache.get(c)
+        if got is not None:
+            self._cache.move_to_end(c)
+            return got
+        from lucene_plugin_ray.state import storage
+
+        lo = c * self.CHUNK
+        hi = min(self.size, lo + self.CHUNK)
+        raw = storage.read_bytes_range(self.path, lo, hi)
+        arr = np.frombuffer(raw, dtype=np.uint8)
+        self.fetches += 1
+        self.bytes_fetched += arr.size
+        self._cache[c] = arr
+        if len(self._cache) > self._max_chunks:
+            self._cache.popitem(last=False)
+        return arr
+
+    def __getitem__(self, sl: slice) -> np.ndarray:
+        start = 0 if sl.start is None else int(sl.start)
+        stop = self.size if sl.stop is None else int(sl.stop)
+        start, stop = max(0, start), min(self.size, stop)
+        if stop <= start:
+            return np.empty(0, np.uint8)
+        c0, c1 = start // self.CHUNK, (stop - 1) // self.CHUNK
+        if c0 == c1:
+            ch = self._chunk(c0)
+            return ch[start - c0 * self.CHUNK : stop - c0 * self.CHUNK]
+        parts = []
+        for c in range(c0, c1 + 1):
+            ch = self._chunk(c)
+            a = start - c * self.CHUNK if c == c0 else 0
+            b = stop - c * self.CHUNK if c == c1 else self.CHUNK
+            parts.append(ch[a:b])
+        return np.concatenate(parts)
+
+
+# remote region files at or below this are fetched whole (one GET beats
+# chunk bookkeeping); above it, _LazyRegion pages on demand
+_LAZY_FETCH_THRESHOLD = 4 << 20
+
+
 class SegmentReader:
     """Read-only view of one segment directory (immutable once renamed)."""
 
@@ -95,14 +166,21 @@ class SegmentReader:
         from lucene_plugin_ray.state import storage
 
         if storage.is_url(path):
-            # remote root: fetch bytes once (≙ BfsDirectory reads); a
-            # page-granular lazy fetch is the next step for cold remote
-            # indexes — postings dominate segment size
+            # remote root (≙ BfsDirectory reads): small regions fetched
+            # whole; large ones page on demand through _LazyRegion — a
+            # segment open costs metadata only, and a selective query
+            # fetches the few chunks its terms' posting runs live in
+            # instead of the multi-GB region file
             url = storage.join(path, name)
             if not required and not storage.exists(url):
                 return np.empty(0, np.uint8)
-            raw = storage.read_bytes(url)
-            return np.frombuffer(raw, dtype=np.uint8) if raw else np.empty(0, np.uint8)
+            size = storage.file_size(url)
+            if size == 0:
+                return np.empty(0, np.uint8)
+            if size <= _LAZY_FETCH_THRESHOLD:
+                raw = storage.read_bytes(url)
+                return np.frombuffer(raw, dtype=np.uint8)
+            return _LazyRegion(url, size)
         pfile = os.path.join(path, name)
         if not required and not os.path.exists(pfile):
             return np.empty(0, np.uint8)

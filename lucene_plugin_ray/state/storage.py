@@ -100,6 +100,26 @@ def read_bytes(path: str) -> bytes:
         return f.read()
 
 
+def file_size(path: str) -> int:
+    if is_url(path):
+        fs, p = _fs(path)
+        return int(fs.info(p)["size"])
+    return os.path.getsize(path)
+
+
+def read_bytes_range(path: str, start: int, end: int) -> bytes:
+    """Bytes ``[start, end)`` of one file — a ranged GET on object stores
+    (fsspec ``cat_file(start=, end=)``), a seek+read locally.  The remote
+    segment reader's page-granular fetch path (state/segment.py
+    _LazyRegion) is the only consumer."""
+    if is_url(path):
+        fs, p = _fs(path)
+        return fs.cat_file(p, start=start, end=end)
+    with open(path, "rb") as f:
+        f.seek(start)
+        return f.read(end - start)
+
+
 def write_bytes(path: str, data: bytes) -> None:
     if is_url(path):
         fs, p = _fs(path)

@@ -93,3 +93,51 @@ def test_e2e_build_search_over_file_url(ray_session, tmp_path):
         b = eng_l.search(q, limit=50)
         assert a["url"].to_pylist() == b["url"].to_pylist(), q
         np.testing.assert_allclose(a["score"].to_numpy(), b["score"].to_numpy())
+
+
+def test_lazy_region_remote_postings(ray_session, tmp_path, monkeypatch):
+    """Page-granular remote fetch (round 4): with the laziness threshold
+    forced to 0 and tiny chunks, a URL-rooted engine must answer every
+    query/phrase/term-vector probe bit-identically to a local-root build
+    while fetching only the chunks the probes touch — never the whole
+    postings region per segment open."""
+    from lucene_plugin_ray.pipelines.build import build_index
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+    from lucene_plugin_ray.state import segment as seg_mod
+
+    corpus = make_pages(300, seed=77)
+    url_root = "file://" + str(tmp_path / "lazyidx")
+    cfg_u = IndexConfig(index_root=url_root, num_partitions=2)
+    build_index(corpus, cfg_u)
+    local_root = str(tmp_path / "lazyloc")
+    cfg_l = IndexConfig(index_root=local_root, num_partitions=2)
+    build_index(corpus, cfg_l)
+
+    monkeypatch.setattr(seg_mod, "_LAZY_FETCH_THRESHOLD", 0)
+    monkeypatch.setattr(seg_mod._LazyRegion, "CHUNK", 512)
+    eng_u = SearchEngine(url_root, cfg=cfg_u)
+    eng_l = SearchEngine(local_root, cfg=cfg_l)
+    lazies = [
+        s.reader.buf for s in eng_u._segments["default"]
+    ] + [s.reader.pbuf for s in eng_u._segments["default"]]
+    assert all(isinstance(b, seg_mod._LazyRegion) for b in lazies)
+
+    url = eng_l.search("pagehit", limit=1)["url"][0].as_py()
+    for probe in (
+        lambda e: e.search("pagehit", limit=25),
+        lambda e: e.search("+pagehit +w00010", limit=25),
+        lambda e: e.search('"pagehit w00010"', limit=25),
+        lambda e: e.search("w000*", limit=25),
+        lambda e: e.term_vector(url),
+        lambda e: e.more_like_this_url(url, limit=10),
+    ):
+        assert probe(eng_u).equals(probe(eng_l))
+
+    total_size = sum(b.size for b in lazies)
+    fetched = sum(b.bytes_fetched for b in lazies)
+    assert 0 < fetched < total_size, (fetched, total_size)
+    # a repeat of the same query costs zero new fetches (chunk LRU hot)
+    eng_u._results_cache.clear()
+    before = sum(b.fetches for b in lazies)
+    eng_u.search("pagehit", limit=25)
+    assert sum(b.fetches for b in lazies) == before
