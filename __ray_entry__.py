@@ -1203,6 +1203,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def check_index_partitions_q(sf_dir: str) -> pa.Table:
+        """Per-partition CheckIndex census whose oracle RECOMPUTES THE
+        PARTITIONER IN SQL (round 4): DuckDB derives every doc's
+        partition bit-exactly — FNV-1a-64 over 'default\\x00' || url via
+        a recursive CTE, then the mix64 finalizer with 32-bit-split
+        modular multiplications (HUGEINT would overflow on the 64-bit
+        constants) — and aggregates docs / distinct (field, term) /
+        distinct (field, doc, term) per partition.  Hash-equality means
+        the engine's hash partitioning, per-partition doc routing AND
+        per-partition vocabulary/posting counts are all externally
+        verified; ``ok`` carries the real invariant sweep's per-segment
+        verdict (functions/hashing.py:partition_of_key is the function
+        under test)."""
+        from lucene_plugin_ray.pipelines.check import check_index
+
+        _engine, cfg = _engine_for(sf_dir)
+        t = check_index(cfg.index_root)
+        seg = t.filter(pc.greater_equal(t["partition"], 0))
+        return pa.table(
+            {
+                "partition": pc.cast(seg["partition"].combine_chunks(), pa.int64()),
+                "n_docs": seg["n_docs"].combine_chunks(),
+                "n_terms": seg["n_terms"].combine_chunks(),
+                "n_postings": seg["n_postings"].combine_chunks(),
+                "ok": seg["ok"].combine_chunks(),
+            }
+        ).sort_by("partition")
+
     def repartition_search_q(sf_dir: str) -> pa.Table:
         """Repartitioning exactness: the driver index (8 partitions)
         re-sharded to 5 from its inverted data alone (no corpus re-read),
@@ -1693,6 +1721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_after": search_after,
         "search_sorted_after": search_sorted_after,
         "check_index": check_index_q,
+        "check_index_partitions": check_index_partitions_q,
         "index_replicate": index_replicate_q,
         "block_join": block_join_q,
         "multireader_search": multireader_search_q,
@@ -3892,6 +3921,57 @@ SELECT CAST(0 AS BIGINT) AS generation,
        (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
        (SELECT CAST(count(*) AS BIGINT) FROM post) AS n_postings,
        TRUE AS all_ok
+"""
+
+    # per-partition census: the partitioner itself recomputed in SQL —
+    # FNV-1a-64 (recursive CTE over the key bytes) + the mix64 finalizer
+    # (32-bit-split modular multiplies) % P, bit-exact vs
+    # functions/hashing.py partition_of_key
+    sql["check_index_partitions"] = f"""
+WITH RECURSIVE {_toks_cte()[5:]},
+lraw AS ({_TOKS.format(col="lang")}),
+ltoks AS (SELECT doc_id, term FROM lraw WHERE term <> '' AND length(term) <= 255 AND term NOT IN {SQL_STOPWORD_LIST}),
+sraw AS ({_TOKS.format(col="source")}),
+stoks AS (SELECT doc_id, term FROM sraw WHERE term <> '' AND length(term) <= 255 AND term NOT IN {SQL_STOPWORD_LIST}),
+post AS (
+  SELECT DISTINCT 'text' AS field, doc_id, term FROM toks
+  UNION ALL SELECT DISTINCT 'lang' AS field, doc_id, term FROM ltoks
+  UNION ALL SELECT DISTINCT 'source' AS field, doc_id, term FROM stoks
+),
+keys AS (
+  SELECT doc_id,
+         'default' || chr(0) || 'doc://' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS key
+  FROM documents
+),
+fnv AS (
+  SELECT doc_id, key, 1 AS i, CAST(14695981039346656037 AS UBIGINT) AS h FROM keys
+  UNION ALL
+  SELECT doc_id, key, i + 1,
+    CAST((CAST(xor(h, CAST(ord(substr(key, i, 1)) AS UBIGINT)) AS HUGEINT) * 1099511628211)
+         % CAST(18446744073709551616 AS HUGEINT) AS UBIGINT)
+  FROM fnv WHERE i <= length(key)
+),
+m1 AS (
+  SELECT doc_id, CAST((CAST(h AS HUGEINT) + 11400714819323198485)
+                      % CAST(18446744073709551616 AS HUGEINT) AS UBIGINT) AS z
+  FROM fnv WHERE i = length(key) + 1
+),
+m2 AS (SELECT doc_id, CAST((((CAST(xor(z, z >> 30) >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296 + (CAST(xor(z, z >> 30) & 4294967295 AS HUGEINT) * 13787848793156543929)) % 18446744073709551616 AS UBIGINT) AS z FROM m1),
+m3 AS (SELECT doc_id, CAST((((CAST(xor(z, z >> 27) >> 32 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296 + (CAST(xor(z, z >> 27) & 4294967295 AS HUGEINT) * 10723151780598845931)) % 18446744073709551616 AS UBIGINT) AS z FROM m2),
+part AS (SELECT doc_id, CAST(xor(z, z >> 31) % 8 AS BIGINT) AS partition FROM m3),
+docs_per AS (SELECT partition, CAST(count(*) AS BIGINT) AS n_docs FROM part GROUP BY partition),
+terms_per AS (
+  SELECT p.partition,
+         CAST(count(DISTINCT po.field || chr(1) || po.term) AS BIGINT) AS n_terms,
+         CAST(count(*) AS BIGINT) AS n_postings
+  FROM post po JOIN part p USING (doc_id) GROUP BY p.partition
+)
+SELECT d.partition, d.n_docs,
+       COALESCE(t.n_terms, 0) AS n_terms,
+       COALESCE(t.n_postings, 0) AS n_postings,
+       TRUE AS ok
+FROM docs_per d LEFT JOIN terms_per t USING (partition)
+ORDER BY d.partition
 """
 
     # replicate census: constants derived from the build config — P=8
