@@ -68,6 +68,7 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     from lucene_plugin_ray.sources.reader import read_parquet_clean
 
     out: dict = {"sf": sf_dir, "num_cpus": num_cpus, "replicas": replicas}
+    replica_offset = 0  # delta-ingest section shifts this to mint NEW urls
     queries: dict[str, float] = {}
 
     # ---- corpus: replicated documents table in pages shape (distinct doc_id
@@ -85,11 +86,11 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
         ds = read_parquet_clean(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
         )
-        if replicas > 1:
+        if replicas > 1 or replica_offset:
 
             def _replicate(batch: pa.Table) -> pa.Table:
                 parts = []
-                for r in range(replicas):
+                for r in range(replica_offset, replica_offset + replicas):
                     t = batch.set_column(
                         batch.schema.get_field_index("doc_id"),
                         "doc_id",
@@ -517,6 +518,35 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     repartition_index(root, rproot, 24)
     queries["index_repartition"] = round(time.monotonic() - t1, 3)
     shutil.rmtree(rproot, ignore_errors=True)
+
+    # streaming ingest: delta generation (cross-generation upsert of 1/4 of
+    # the corpus) + compaction over a replica of the bench index — the
+    # reference's soft-commit / TieredMergePolicy cost class
+    from lucene_plugin_ray.pipelines.build import build_delta, compact_index
+
+    droot = "/tmp/lpr_bench_delta"
+    shutil.rmtree(droot, ignore_errors=True)
+    replicate_index(root, droot)
+    dcfg = IndexConfig(
+        index_root=droot, num_partitions=32, field_columns=("lang", "source")
+    )
+    _saved_r = replicas
+    replicas = max(1, _saved_r // 4)
+    replica_offset = _saved_r  # fresh doc_id range → genuinely new urls
+    t1 = time.monotonic()
+    dman = build_delta(_load_corpus(), dcfg)
+    delta_s = time.monotonic() - t1
+    queries["delta_build"] = round(delta_s, 3)
+    out["delta_docs_per_sec"] = round(
+        sum(r["n_docs"] for r in dman.partitions) / delta_s, 1
+    )
+    replicas = _saved_r
+    replica_offset = 0
+    t1 = time.monotonic()
+    compact_index(dcfg)
+    queries["compact"] = round(time.monotonic() - t1, 3)
+    assert SearchEngine(droot, cfg=dcfg).search("spark", limit=5).num_rows > 0
+    shutil.rmtree(droot, ignore_errors=True)
 
     # hybrid retrieval: distributed semantic leg + RRF fuse; the lexical
     # leg's documents-table index is built OUTSIDE the timed region (its
