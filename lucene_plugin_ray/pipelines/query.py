@@ -753,6 +753,38 @@ def _diversify_hits(
     return t.take(pa.array(sel))
 
 
+def _diversify_codes(
+    scores: np.ndarray,
+    docids: np.ndarray,
+    codes: np.ndarray,
+    max_per_key: int,
+    limit: int,
+) -> np.ndarray:
+    """Index twin of :func:`_diversify_hits` for ONE segment's hits with
+    integer key codes (docid asc == url asc within a segment): returns the
+    selected row indices in scan order.  Code -1 = missing key =
+    unconstrained.  All-int — no object strings touch the full match
+    set."""
+    order = np.lexsort((docids, -scores))
+    csort = codes[order]
+    keep = np.ones(csort.size, dtype=bool)
+    present = csort >= 0
+    if present.any():
+        idx = np.flatnonzero(present)
+        sub = csort[idx]
+        grp = np.argsort(sub, kind="stable")
+        sk = sub[grp]
+        starts = np.flatnonzero(np.concatenate(([True], sk[1:] != sk[:-1])))
+        run_id = np.cumsum(
+            np.concatenate(([0], (sk[1:] != sk[:-1]).astype(np.int64)))
+        )
+        rank = np.arange(sk.size, dtype=np.int64) - starts[run_id]
+        keep_sub = np.empty(sub.size, dtype=bool)
+        keep_sub[grp] = rank < max_per_key
+        keep[idx] = keep_sub
+    return order[keep][:limit]
+
+
 _NUMERIC_SORT_FIELDS = ("warc_ts", "doc_len")
 
 
@@ -1609,10 +1641,21 @@ class SearchEngine:
                 continue
             r = seg.reader
             local = t["docid"].to_numpy() - r.doc_base
-            keys = self._doc_field_values(si, seg, key_field)[local]
-            t = t.append_column("key", pa.array(keys, pa.string()))
+            # int key codes (dictionary rows) — the cap only needs key
+            # IDENTITY; strings materialize for the <= limit survivors
+            codes, terms = self._doc_field_codes(si, seg, key_field)
+            csub = codes[local]
+            sel = _diversify_codes(
+                t["score"].to_numpy(), t["docid"].to_numpy(), csub,
+                max_per_key, limit,
+            )
+            t = t.take(pa.array(sel))
+            ksel = csub[sel]
+            keys = np.full(ksel.size, None, dtype=object)
+            got = ksel >= 0
+            keys[got] = terms[ksel[got]]
             parts.append(
-                _diversify_hits(t, max_per_key, limit, segment_local=True)
+                t.append_column("key", pa.array(keys, pa.string()))
             )
         if not parts:
             return empty
@@ -2724,6 +2767,37 @@ class SearchEngine:
         if len(self._postings_cache) > self._postings_cache_size:
             self._postings_cache.popitem(last=False)
         return vals
+
+    def _doc_field_codes(
+        self, si: int, seg: _LiveSegment, field: str
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(codes, terms) — per-doc key codes for ``field``: the dictionary
+        ROW of the doc's minimum analyzed term (a per-segment dense int
+        code, -1 for docs missing the field) plus the segment's term
+        array to materialize strings for selected rows only.  The int
+        twin of :meth:`_doc_field_values` for consumers that need key
+        IDENTITY, not strings (diversified top-k caps) — saves the
+        object-array gather + arrow conversion over full match sets.
+        Cached in the postings LRU like the string variant."""
+        r = seg.reader
+        ck = (r.path, "sortcodes", field)
+        sentinel = object()
+        hit = self._postings_cache.get(ck, sentinel)
+        if hit is not sentinel:
+            self._postings_cache.move_to_end(ck)
+            return hit, r._terms
+        codes = np.full(r.n_docs, -1, dtype=np.int64)
+        if field in r.doc_len:
+            start, df, docids, _tfs = r.field_postings(field)
+            if docids.size:
+                local = r.local_ids(docids)
+                rep = np.repeat(np.arange(df.size, dtype=np.int64), df)
+                uniq, first_idx = np.unique(local, return_index=True)
+                codes[uniq] = start + rep[first_idx]
+        self._postings_cache[ck] = codes
+        if len(self._postings_cache) > self._postings_cache_size:
+            self._postings_cache.popitem(last=False)
+        return codes, r._terms
 
     def more_like_this(
         self,
