@@ -389,3 +389,22 @@ def test_common_terms_nan_cutoff_is_loud(built):
     _root, _cfg, eng = built
     with pytest.raises(ValueError, match="must be positive"):
         eng.search_common("w00000", max_term_frequency=float("nan"))
+
+
+def test_doc_field_codes_equals_values(div_built):
+    """The int key-code cache (_doc_field_codes, round 4) must materialize
+    EXACTLY the string keys _doc_field_values holds, per segment, missing
+    docs included — the diversified cap's correctness rests on this
+    isomorphism."""
+    import numpy as np
+
+    _root, _cfg, eng = div_built
+    for si, seg in enumerate(eng._segments["default"]):
+        vals = eng._doc_field_values(si, seg, "foo")
+        codes, terms = eng._doc_field_codes(si, seg, "foo")
+        assert codes.size == vals.size
+        for i in range(vals.size):
+            if vals[i] is None:
+                assert codes[i] == -1, i
+            else:
+                assert codes[i] >= 0 and terms[codes[i]] == vals[i], i
