@@ -1,0 +1,103 @@
+"""Vectorized keyed aggregation — the engine's replacement for
+``Dataset.groupby(keys).aggregate(Sum/Min/Max/Count...)`` at large group
+counts.
+
+Ray Data's built-in Aggregate evaluates its accumulators per GROUP with
+Python-level overhead: measured on this host (32 cpus, Ray 2.49), a plain
+``groupby("orderkey").aggregate(Max, Sum)`` over 300k rows / 130k groups
+costs **15 s**, while the same fold expressed as a hash-bucket exchange +
+per-bucket ``pyarrow.Table.group_by`` costs **0.3 s** (50×).  The shape:
+
+1. ``map_batches``: append ``__bucket = mix64(fnv1a(keys)) % B`` (vectorized
+   per key column, xor-combined across columns);
+2. ``groupby("__bucket").map_groups``: B Python calls TOTAL (not per key
+   group), each one vectorized Arrow ``group_by`` over ~rows/B rows.
+
+Scale notes: the exchange is the same all-to-all a groupby costs; B bounds
+reducer fan-in (raise it with cluster size — each bucket's rows must fit a
+worker, and the hash makes buckets uniform even when KEYS are skewed only
+if callers pre-combine per batch first — a head key's rows all land in one
+bucket, so map-side partial aggregation before the fold remains the skew
+treatment, exactly as before).  Output row order is whatever the buckets
+emit — callers sort, as they already did after Ray's Aggregate.
+Deterministic CONTENT requires order-independent aggregates: integer sums /
+min / max / count (the repo's integer-units convention exists for this);
+float sums would pick up association noise and must keep quantized inputs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from lucene_plugin_ray.functions.hashing import fnv1a_bytes_column, mix64_np
+
+# (column, arrow_fn, alias) — arrow_fn is a pyarrow group_by aggregation
+# name: "sum", "min", "max", "count", "count_all", "mean"
+AggSpec = tuple
+
+
+def _hash_key_columns(batch: pa.Table, keys: list[str]) -> np.ndarray:
+    h = np.zeros(batch.num_rows, dtype=np.uint64)
+    for k in keys:
+        col = batch[k].combine_chunks()
+        if pa.types.is_integer(col.type):
+            kh = mix64_np(col.to_numpy(zero_copy_only=False).astype(np.uint64))
+        elif pa.types.is_string(col.type) or pa.types.is_large_string(col.type) \
+                or pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+            # string/binary hashed over raw bytes — no UTF-8 cast (sha
+            # digests ride as raw binary in some ops)
+            kh = mix64_np(fnv1a_bytes_column(col))
+        else:
+            kh = mix64_np(fnv1a_bytes_column(pc.cast(col, pa.string())))
+        h = mix64_np(h ^ kh)
+    return h
+
+
+def keyed_fold(
+    ds,
+    keys: "list[str] | str",
+    aggs: "list[AggSpec]",
+    num_buckets: int = 64,
+):
+    """``ds.groupby(keys).aggregate(...)`` with vectorized reducers.
+
+    ``aggs``: ``[(column, fn, alias), ...]`` with ``fn`` a pyarrow
+    ``group_by`` aggregation name (``count_all`` passes column=None).
+    Returns a Dataset of one row per distinct key combination with columns
+    ``keys + aliases`` (unsorted — sort downstream if order matters).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    arrow_aggs = [
+        (([] if fn == "count_all" else col), fn) for col, fn, _ in aggs
+    ]
+    out_names = [
+        (f"{col}_{fn}" if fn != "count_all" else "count_all")
+        for col, fn, _ in aggs
+    ]
+    aliases = [alias for _, _, alias in aggs]
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        b = (
+            (_hash_key_columns(batch, keys) % np.uint64(num_buckets))
+            .astype(np.int64)
+        )
+        return batch.append_column("__bucket", pa.array(b, pa.int64()))
+
+    def _fold(group: pa.Table) -> pa.Table:
+        agg = (
+            group.drop_columns(["__bucket"])
+            .group_by(keys)
+            .aggregate(arrow_aggs)
+        )
+        cols: dict[str, pa.Array] = {k: agg[k].combine_chunks() for k in keys}
+        for name, alias in zip(out_names, aliases):
+            cols[alias] = agg[name].combine_chunks()
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(_fold, batch_format="pyarrow")
+    )

@@ -51,6 +51,7 @@ from lucene_plugin_ray.functions.analysis import (
     STOP_WORDS,
     tokenize_column,
 )
+from lucene_plugin_ray.functions.fold import keyed_fold
 from lucene_plugin_ray.functions.lookup import lookup_positions
 from lucene_plugin_ray.functions.hashing import (
     fnv1a_bytes_column,
@@ -320,10 +321,10 @@ def dedup_exact(sf_dir: str, output_path: str | None = None) -> pa.Table | None:
             }
         )
 
-    agg = (
-        ds.map_batches(_hash, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("text_sha256")
-        .aggregate(Min("doc_id", alias_name="keeper_doc_id"), Count(alias_name="n_copies"))
+    agg = keyed_fold(
+        ds.map_batches(_hash, batch_format="pyarrow", zero_copy_batch=True),
+        "text_sha256",
+        [("doc_id", "min", "keeper_doc_id"), (None, "count_all", "n_copies")],
     )
     return _sink_or_table(agg, output_path, "text_sha256")
 
@@ -1391,16 +1392,13 @@ def events_window(sf_dir: str, output_path: str | None = None) -> pa.Table | Non
             }
         )
 
-    folded = (
-        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["window_us", "event_type"])
-        .aggregate(
-            Sum("n_events", alias_name="n_events_f"),
-            Sum("sum_value_cents", alias_name="cents_f"),
-            Max("max_event_id", alias_name="max_id_f"),
-        )
-        .map_batches(_present, batch_format="pyarrow", zero_copy_batch=True)
-    )
+    folded = keyed_fold(
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["window_us", "event_type"],
+        [("n_events", "sum", "n_events_f"),
+         ("sum_value_cents", "sum", "cents_f"),
+         ("max_event_id", "max", "max_id_f")],
+    ).map_batches(_present, batch_format="pyarrow", zero_copy_batch=True)
     return _sink_or_table(
         folded, output_path,
         [("window_start", "ascending"), ("event_type", "ascending")],
@@ -1871,20 +1869,16 @@ def corpus_curation(
             }
         )
 
-    out = (
+    out = keyed_fold(
         ds.map_batches(
             _curation_batch, batch_format="pyarrow", zero_copy_batch=True,
             **({"fn_kwargs": {"_fault_path": _fault_path}} if _fault_path else {}),
-        )
-        .groupby("fp_sha256")
-        .aggregate(
-            Min("doc_id", alias_name="min_doc"),
-            Min("packed_lang", alias_name="min_lang"),
-            Min("packed_ntok", alias_name="min_ntok"),
-            Min("packed_stop", alias_name="min_stop"),
-        )
-        .map_batches(_unpack, batch_format="pyarrow", zero_copy_batch=True)
-    )
+        ),
+        "fp_sha256",
+        [("doc_id", "min", "min_doc"), ("packed_lang", "min", "min_lang"),
+         ("packed_ntok", "min", "min_ntok"),
+         ("packed_stop", "min", "min_stop")],
+    ).map_batches(_unpack, batch_format="pyarrow", zero_copy_batch=True)
     return _sink_or_table(out, output_path, "doc_id")
 
 
@@ -1936,8 +1930,9 @@ def dedup_ngram_spans(
     from ray.data.aggregate import Count, Min
 
     def _exact_reduce(ds) -> pa.Table:
-        agg = ds.groupby("ngram").aggregate(
-            Count(alias_name="n_docs"), Min("doc_id", alias_name="first_doc_id")
+        agg = keyed_fold(
+            ds, "ngram",
+            [(None, "count_all", "n_docs"), ("doc_id", "min", "first_doc_id")],
         )
         t = _collect(
             agg,
@@ -2038,12 +2033,11 @@ def _candidate_span_hashes(ds, k: int, hash_mask: int | None) -> np.ndarray:
             }
         )
 
-    agg = (
-        ds.map_batches(_hashes, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("h")
-        .aggregate(Count(alias_name="n_docs"))
-        .filter(expr="n_docs > 1")
-    )
+    agg = keyed_fold(
+        ds.map_batches(_hashes, batch_format="pyarrow", zero_copy_batch=True),
+        "h",
+        [(None, "count_all", "n_docs")],
+    ).filter(expr="n_docs > 1")
     t = _collect(
         agg, pa.schema([("h", pa.int64()), ("n_docs", pa.int64())])
     )
@@ -2215,21 +2209,19 @@ def doc_dup_stats(
 
     if strategy == "join":
         dup = (
-            _w(sf_dir)
-            .groupby("ngram")
-            .aggregate(Count(alias_name="n_docs"))
+            keyed_fold(_w(sf_dir), "ngram", [(None, "count_all", "n_docs")])
             .filter(expr="n_docs > 1")
             .drop_columns(["n_docs"])
         )
         nparts = 8
-        per_doc_dup = (
-            _w(sf_dir)
-            .join(dup, join_type="inner", num_partitions=nparts, on=("ngram",))
-            .groupby("doc_id")
-            .aggregate(Count(alias_name="n_dup_windows"))
+        per_doc_dup = keyed_fold(
+            _w(sf_dir).join(dup, join_type="inner", num_partitions=nparts,
+                            on=("ngram",)),
+            "doc_id",
+            [(None, "count_all", "n_dup_windows")],
         )
-        per_doc_total = (
-            _w(sf_dir).groupby("doc_id").aggregate(Count(alias_name="n_windows"))
+        per_doc_total = keyed_fold(
+            _w(sf_dir), "doc_id", [(None, "count_all", "n_windows")]
         )
         joined = per_doc_total.join(
             per_doc_dup, join_type="left_outer", num_partitions=nparts, on=("doc_id",)
@@ -2414,12 +2406,12 @@ def simhash_pairs(sf_dir: str, max_hamming: int = _SIMHASH_MAX_HAMMING) -> pa.Ta
 
     # band-bucket groupby → in-bucket verify → pair dedup (a pair can match
     # in up to 4 bands; Min(hamming) is constant per pair so Min == distinct)
-    pairs = (
+    pairs = keyed_fold(
         ds.map_batches(_bands, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("band_key")
-        .map_groups(_bucket_pairs, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Min("hamming", alias_name="hamming"))
+        .map_groups(_bucket_pairs, batch_format="pyarrow"),
+        ["doc_a", "doc_b"],
+        [("hamming", "min", "hamming")],
     )
     t = _collect(
         pairs,
@@ -3056,8 +3048,7 @@ def pack_sequences(
     from ray.data.aggregate import Sum
 
     totals = pa.concat_tables(
-        counts.groupby("bucket")
-        .aggregate(Sum("n_tokens", alias_name="total"))
+        keyed_fold(counts, "bucket", [("n_tokens", "sum", "total")])
         .iter_batches(batch_format="pyarrow")
     ).sort_by("bucket")
     bids = totals["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -3345,11 +3336,12 @@ def _bigram_counts_ds(sf_dir: str, salt_buckets: int) -> "ray.data.Dataset":
     from ray.data.aggregate import Sum
 
     partials = ds.map_batches(_partials, batch_format="pyarrow", zero_copy_batch=True)
-    salted = partials.groupby(["ngram", "salt"]).aggregate(
-        Sum("occ", alias_name="occ_s"), Sum("docs", alias_name="docs_s")
-    )
-    folded = salted.groupby("ngram").aggregate(
-        Sum("occ_s", alias_name="n_occ"), Sum("docs_s", alias_name="n_docs")
+    # one vectorized keyed fold replaces the two-level salted Ray Aggregate
+    # (functions/fold.py — the reducer unit is a hash bucket, so the salt
+    # level is redundant; the per-batch combiner stays the skew treatment)
+    folded = keyed_fold(
+        partials, "ngram",
+        [("occ", "sum", "n_occ"), ("docs", "sum", "n_docs")],
     )
     return folded.map_batches(
         lambda t: t.select(["ngram", "n_occ", "n_docs"]),
@@ -3393,10 +3385,10 @@ def source_stats(sf_dir: str, output_path: str | None = None) -> pa.Table | None
 
     from ray.data.aggregate import Sum
 
-    folded = (
-        ds.map_batches(_partials, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["source", "lang"])
-        .aggregate(Sum("docs", alias_name="n_docs"), Sum("chars", alias_name="total_chars"))
+    folded = keyed_fold(
+        ds.map_batches(_partials, batch_format="pyarrow", zero_copy_batch=True),
+        ["source", "lang"],
+        [("docs", "sum", "n_docs"), ("chars", "sum", "total_chars")],
     )
 
     def _finish(t: pa.Table) -> pa.Table:
@@ -4021,14 +4013,11 @@ def paragraph_dedup(
         )
 
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    dup = (
-        ds.map_batches(_block_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("block_sha")
-        .aggregate(
-            Min("packed", alias_name="min_packed"), Count(alias_name="n_occ")
-        )
-        .filter(expr="n_occ > 1")
-    )
+    dup = keyed_fold(
+        ds.map_batches(_block_rows, batch_format="pyarrow", zero_copy_batch=True),
+        "block_sha",
+        [("packed", "min", "min_packed"), (None, "count_all", "n_occ")],
+    ).filter(expr="n_occ > 1")
     dup_tables = [b for b in dup.iter_batches(batch_format="pyarrow")]
     if dup_tables:
         dup_tbl = pa.concat_tables(dup_tables)
@@ -4140,10 +4129,10 @@ def length_quantiles(
             }
         )
 
-    hist_ds = (
-        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["source", "n_tokens"])
-        .aggregate(Sum("c", alias_name="n"))
+    hist_ds = keyed_fold(
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source", "n_tokens"],
+        [("c", "sum", "n")],
     )
     tables = [b for b in hist_ds.iter_batches(batch_format="pyarrow")]
     empty_cols = {
@@ -4255,10 +4244,10 @@ def value_quantiles_sketch(
             }
         )
 
-    hist_ds = (
-        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["event_type", "key"])
-        .aggregate(Sum("c", alias_name="n"))
+    hist_ds = keyed_fold(
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "key"],
+        [("c", "sum", "n")],
     )
     tables = [b for b in hist_ds.iter_batches(batch_format="pyarrow")]
     empty_cols = {
@@ -4610,10 +4599,10 @@ def charlm_logprob(
             }
         )
 
-    model_ds = (
-        ds.map_batches(_counts, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bigram_id")
-        .aggregate(Sum("c", alias_name="n"))
+    model_ds = keyed_fold(
+        ds.map_batches(_counts, batch_format="pyarrow", zero_copy_batch=True),
+        "bigram_id",
+        [("c", "sum", "n")],
     )
     tables = [b for b in model_ds.iter_batches(batch_format="pyarrow")]
     if not tables:
@@ -4712,10 +4701,10 @@ def length_rank(
             }
         )
 
-    hist_ds = (
-        ds.map_batches(_hist, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("n_chars")
-        .aggregate(Sum("c", alias_name="n"))
+    hist_ds = keyed_fold(
+        ds.map_batches(_hist, batch_format="pyarrow", zero_copy_batch=True),
+        "n_chars",
+        [("c", "sum", "n")],
     )
     tables = [b for b in hist_ds.iter_batches(batch_format="pyarrow")]
     if not tables:
@@ -5114,14 +5103,15 @@ def heavy_hitters(sf_dir: str, k: int = 64) -> pa.Table:
 
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
     merged_parts = list(
-        ds.map_batches(
-            partial(_mg_summarize, k=k),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        .groupby("term")
-        .aggregate(Sum("cnt", alias_name="est"))
-        .iter_batches(batch_format="pyarrow")
+        keyed_fold(
+            ds.map_batches(
+                partial(_mg_summarize, k=k),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            "term",
+            [("cnt", "sum", "est")],
+        ).iter_batches(batch_format="pyarrow")
     )
     merged = (
         pa.concat_tables(merged_parts)
@@ -5173,10 +5163,11 @@ def heavy_hitters(sf_dir: str, k: int = 64) -> pa.Table:
         )
 
     exact_parts = list(
-        ds.map_batches(_confirm, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("term")
-        .aggregate(Sum("cnt", alias_name="cnt_f"))
-        .iter_batches(batch_format="pyarrow")
+        keyed_fold(
+            ds.map_batches(_confirm, batch_format="pyarrow", zero_copy_batch=True),
+            "term",
+            [("cnt", "sum", "cnt_f")],
+        ).iter_batches(batch_format="pyarrow")
     )
     exact = (
         pa.concat_tables(exact_parts)
@@ -5666,12 +5657,10 @@ def collocations(
             }
         )
 
-    uni_folded = (
-        ds.map_batches(_uni_partials, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["word", "salt"])
-        .aggregate(Sum("c", alias_name="c_s"))
-        .groupby("word")
-        .aggregate(Sum("c_s", alias_name="c"))
+    uni_folded = keyed_fold(
+        ds.map_batches(_uni_partials, batch_format="pyarrow", zero_copy_batch=True),
+        "word",
+        [("c", "sum", "c")],
     )
     colloc_schema = pa.schema(
         [("ngram", pa.string()), ("n_occ", pa.int64()), ("pmi_micro", pa.int64())]

@@ -120,7 +120,7 @@ def term_stats(
 ) -> "ray.data.Dataset":
     """Corpus-global (field, term) → (df, total_tf).  Two-level salted
     aggregation; result is small (vocabulary-sized) and term-sorted."""
-    from ray.data.aggregate import Sum
+    from lucene_plugin_ray.functions.fold import keyed_fold
 
     partials = ds.map_batches(
         _PartialTermStats(cfg),
@@ -128,10 +128,15 @@ def term_stats(
         zero_copy_batch=True,
         batch_size=cfg.tokenize_batch_size,
     )
-    salted = partials.groupby(["field", "term", "salt"]).aggregate(
-        Sum("df", alias_name="df_s"), Sum("total_tf", alias_name="tf_s")
-    )
-    folded = salted.groupby(["field", "term"]).aggregate(
-        Sum("df_s", alias_name="df"), Sum("tf_s", alias_name="total_tf")
+    # Round 4: the two-level salted Ray Aggregate became ONE vectorized
+    # keyed fold (functions/fold.py) — the reducer unit is a hash BUCKET,
+    # not a key, so a head term's partials (≤ one row per batch, thanks to
+    # the combiner above — still the skew treatment) cost its bucket one
+    # vectorized group and the explicit salt level is no longer needed.
+    # The salt column still rides along for lineage/debug of the combiner.
+    folded = keyed_fold(
+        partials,
+        ["field", "term"],
+        [("df", "sum", "df"), ("total_tf", "sum", "total_tf")],
     )
     return folded.sort(["field", "term"])
