@@ -55,6 +55,39 @@ def _hash_key_columns(batch: pa.Table, keys: list[str]) -> np.ndarray:
     return h
 
 
+def bucketed_groups(
+    ds,
+    keys: "list[str] | str",
+    fn,
+    num_buckets: int = 64,
+):
+    """Hash-bucketed group processing: co-locate all rows of each key
+    combination in one of ``num_buckets`` buckets and call ``fn`` once per
+    BUCKET (a pyarrow Table holding many whole key groups), not once per
+    key group — the companion to :func:`keyed_fold` for ops whose
+    per-group logic doesn't fit a builtin aggregate (sessionization,
+    rolling windows, per-key pair generation).  ``fn`` must handle multiple
+    keys per call (sort by key first; a key's rows never split across
+    buckets).  Same scale notes as keyed_fold."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        b = (
+            (_hash_key_columns(batch, keys) % np.uint64(num_buckets))
+            .astype(np.int64)
+        )
+        return batch.append_column("__bucket", pa.array(b, pa.int64()))
+
+    def _call(group: pa.Table) -> pa.Table:
+        return fn(group.drop_columns(["__bucket"]))
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(_call, batch_format="pyarrow")
+    )
+
+
 def keyed_fold(
     ds,
     keys: "list[str] | str",

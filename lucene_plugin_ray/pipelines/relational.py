@@ -250,12 +250,10 @@ def top_suppliers(sf_dir: str, k: int = 10) -> pa.Table:
             }
         )
 
-    folded = (
-        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("s_suppkey")
-        .aggregate(
-            Sum("rev", alias_name="rev_f"), Sum("n_items", alias_name="items_f")
-        )
+    folded = keyed_fold(
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True),
+        "s_suppkey",
+        [("rev", "sum", "rev_f"), ("n_items", "sum", "items_f")],
     )
     tables = [b for b in folded.iter_batches(batch_format="pyarrow")]
     empty = pa.table(
@@ -356,17 +354,16 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
             }
         )
 
-    # materialized legs: see order_line_rollup — Ray's streaming union
-    # starves the downstream sort; both legs are key-granularity partials
+    # streaming legs (see order_line_rollup: the materialize pins died with
+    # the keyed_fold migration)
     tagged = (
         orders.map_batches(
             _fact_partial, batch_format="pyarrow", zero_copy_batch=True
         )
-        .materialize()
         .union(
             customer.map_batches(
                 _dim_rows, batch_format="pyarrow", zero_copy_batch=True
-            ).materialize()
+            )
         )
     )
     per_cust = keyed_fold(
@@ -510,21 +507,20 @@ def order_line_rollup(sf_dir: str) -> pa.Table:
             }
         )
 
-    # Materialize each leg before the union: Ray's streaming UnionOperator
-    # feeds the downstream sort-based Aggregate poorly (measured 26-30 s for
-    # this op at sf0.1/32cpu vs 9-11 s with materialized legs; the no-union
-    # aggregate floor is ~7 s).  Both legs are already pre-aggregated to
-    # orderkey granularity, so pinning them holds exactly the bytes the
-    # shuffle would buffer anyway — bounded, spillable, and 3× faster.
+    # Round 4: the legs STREAM again.  The round-3 materialize pins existed
+    # because Ray's sort-based Aggregate starved behind a streaming union
+    # (26-30 s vs 9-11 s then); the vectorized keyed_fold replaced that
+    # Aggregate and the streaming union now measures the same as pinned
+    # legs (2.4 vs 2.6 s at sf0.1/32cpu) — so the 100-TB-correct shape
+    # (no object-store pinning of corpus-sized legs) is also the fast one.
     tagged = (
         lineitem.map_batches(
             _line_partial, batch_format="pyarrow", zero_copy_batch=True
         )
-        .materialize()
         .union(
             orders.map_batches(
                 _order_rows, batch_format="pyarrow", zero_copy_batch=True
-            ).materialize()
+            )
         )
     )
     # vectorized keyed fold (functions/fold.py): Ray's Aggregate costs
@@ -854,45 +850,77 @@ def user_funnel(sf_dir: str) -> pa.Table:
     )
 
     def _funnel(group: pa.Table) -> pa.Table:
-        types = group["event_type"]
-        is_s = pc.equal(types, "signup").to_numpy(zero_copy_only=False)
-        n_s = int(is_s.sum())
-        # null-user groups are skipped — SQL join semantics (NULL != NULL)
-        # drop them from the funnel, matching the oracle
-        null_user = group.num_rows > 0 and not group["user_id"][0].is_valid
-        if n_s == 0 or null_user:  # funnel starts at signup
-            return pa.table(
-                {
-                    "user_id": pa.array([], pa.int64()),
-                    "n_signups": pa.array([], pa.int64()),
-                    "n_purchases": pa.array([], pa.int64()),
-                    "first_signup_ts": pa.array([], pa.timestamp("us")),
-                    "conversion_us": pa.array([], pa.int64()),
-                }
-            )
+        # one call per HASH BUCKET of users (functions/fold.py
+        # bucketed_groups), vectorized across the bucket: sort by (user,
+        # ts), per-user firsts/counts via reduceat over user segments.
+        # Null-user rows are dropped up front — SQL join semantics
+        # (NULL != NULL) exclude them, matching the oracle.
+        valid = group["user_id"].is_valid().to_numpy(zero_copy_only=False)
+        if not valid.all():
+            group = group.filter(pa.array(valid))
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_signups": pa.array([], pa.int64()),
+                "n_purchases": pa.array([], pa.int64()),
+                "first_signup_ts": pa.array([], pa.timestamp("us")),
+                "conversion_us": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         ts = pc.cast(group["ts"].combine_chunks(), pa.int64()).to_numpy(
             zero_copy_only=False
         )
+        types = group["event_type"]
+        is_s = pc.equal(types, "signup").to_numpy(zero_copy_only=False)
         is_p = pc.equal(types, "purchase").to_numpy(zero_copy_only=False)
-        first_signup = int(ts[is_s].min())
-        conv_mask = is_p & (ts >= first_signup)
-        conv = (
-            int(ts[conv_mask].min()) - first_signup if conv_mask.any() else None
+        order = np.lexsort((ts, uid))
+        uid, ts, is_s, is_p = uid[order], ts[order], is_s[order], is_p[order]
+        n = uid.size
+        seg = np.flatnonzero(
+            np.concatenate(([True], uid[1:] != uid[:-1], [True]))
         )
-        uid = int(group["user_id"][0].as_py())
+        starts, ends = seg[:-1], seg[1:]
+        n_s = np.add.reduceat(is_s.astype(np.int64), starts)
+        # reduceat quirk: an empty [start, end) run copies the element —
+        # impossible here (every segment is non-empty by construction)
+        n_p = np.add.reduceat(is_p.astype(np.int64), starts)
+        keep = n_s > 0  # funnel starts at signup
+        if not keep.any():
+            return empty
+        big = np.iinfo(np.int64).max
+        first_signup = np.minimum.reduceat(np.where(is_s, ts, big), starts)
+        # first purchase AT or after the user's first signup: rows are
+        # ts-sorted within a segment, so mask then min
+        conv_ts = np.minimum.reduceat(
+            np.where(
+                is_p & (ts >= np.repeat(first_signup, ends - starts)),
+                ts,
+                big,
+            ),
+            starts,
+        )
+        conv = pa.array(
+            conv_ts - first_signup, type=pa.int64(), mask=(conv_ts == big)
+        )
+        sel = np.flatnonzero(keep)
         return pa.table(
             {
-                "user_id": pa.array([uid], pa.int64()),
-                "n_signups": pa.array([n_s], pa.int64()),
-                "n_purchases": pa.array([int(is_p.sum())], pa.int64()),
+                "user_id": pa.array(uid[starts][sel], pa.int64()),
+                "n_signups": pa.array(n_s[sel], pa.int64()),
+                "n_purchases": pa.array(n_p[sel], pa.int64()),
                 "first_signup_ts": pc.cast(
-                    pa.array([first_signup], pa.int64()), pa.timestamp("us")
+                    pa.array(first_signup[sel], pa.int64()), pa.timestamp("us")
                 ),
-                "conversion_us": pa.array([conv], pa.int64()),
+                "conversion_us": conv.take(pa.array(sel)),
             }
         )
 
-    out = ds.groupby("user_id").map_groups(_funnel, batch_format="pyarrow")
+    from lucene_plugin_ray.functions.fold import bucketed_groups
+
+    out = bucketed_groups(ds, "user_id", _funnel)
     return _collect_sorted(
         out,
         {

@@ -453,27 +453,72 @@ def dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.5) -> pa.Table:
     )
 
     def _pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
-        if ids.size < 2 or ids.size > _MAX_BUCKET:
-            # oversized buckets (degenerate near-identical shingle sets) are
-            # dropped but COUNTED — no silent coverage caps
-            dropped = ids.size if ids.size > _MAX_BUCKET else 0
-            return pa.table(
-                {"doc_a": pa.array([-1], pa.int64()) if dropped else pa.array([], pa.int64()),
-                 "doc_b": pa.array([dropped], pa.int64()) if dropped else pa.array([], pa.int64())}
-            )
-        ai, bi = np.triu_indices(ids.size, k=1)
-        return pa.table(
-            {
-                "doc_a": pa.array(ids[ai], type=pa.int64()),
-                "doc_b": pa.array(ids[bi], type=pa.int64()),
-            }
+        # one call per HASH BUCKET of (band, band_hash) keys
+        # (functions/fold.py bucketed_groups), pair expansion vectorized
+        # across every LSH bucket in the call: sort by (band, hash, doc),
+        # then decode each bucket's triangular pair index arithmetically
+        # (exact in float64 for sizes ≤ _MAX_BUCKET).  Oversized buckets
+        # (degenerate near-identical shingle sets) are dropped but COUNTED
+        # via (-1, size) sentinel rows — no silent coverage caps.
+        band = group["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bh = group["band_hash"].to_numpy(zero_copy_only=False)
+        doc = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, bh, band))
+        band, bh, doc = band[order], bh[order], doc[order]
+        n = doc.size
+        empty = pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
         )
+        if n == 0:
+            return empty
+        seg = np.flatnonzero(
+            np.concatenate(
+                ([True], (band[1:] != band[:-1]) | (bh[1:] != bh[:-1]), [True])
+            )
+        )
+        starts, sizes = seg[:-1], np.diff(seg)
+        over = sizes > _MAX_BUCKET
+        ok = (sizes >= 2) & ~over
+        parts = []
+        if ok.any():
+            m = sizes[ok].astype(np.int64)
+            base = starts[ok]
+            per = m * (m - 1) // 2
+            total = int(per.sum())
+            segp = np.repeat(np.arange(m.size), per)
+            k = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(per) - per, per
+            )
+            mm = m[segp].astype(np.float64)
+            i = np.floor(
+                (2 * mm - 1 - np.sqrt((2 * mm - 1) ** 2 - 8 * k)) / 2
+            ).astype(np.int64)
+            j = k - i * (2 * m[segp] - i - 1) // 2 + i + 1
+            b0 = base[segp]
+            parts.append(
+                pa.table(
+                    {
+                        "doc_a": pa.array(doc[b0 + i], type=pa.int64()),
+                        "doc_b": pa.array(doc[b0 + j], type=pa.int64()),
+                    }
+                )
+            )
+        if over.any():
+            parts.append(
+                pa.table(
+                    {
+                        "doc_a": pa.array(
+                            np.full(int(over.sum()), -1), type=pa.int64()
+                        ),
+                        "doc_b": pa.array(sizes[over], type=pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts) if parts else empty
 
-    cand = (
-        bands.groupby(["band", "band_hash"])
-        .map_groups(_pairs, batch_format="pyarrow")
-    )
+    from lucene_plugin_ray.functions.fold import bucketed_groups
+
+    cand = bucketed_groups(bands, ["band", "band_hash"], _pairs)
     cand_tbl = _collect(
         cand,
         pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
@@ -1312,8 +1357,35 @@ def events_latest(sf_dir: str, output_path: str | None = None) -> pa.Table | Non
         return t.filter(pa.array(mask))
 
     def _fold(group: pa.Table) -> pa.Table:
-        t = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
-        last = t.slice(t.num_rows - 1, 1)
+        # one call per HASH BUCKET of keys (functions/fold.py
+        # bucketed_groups): sort the bucket by (user, type, ts, event_id)
+        # and keep each key run's LAST row — the dedup_latest mask trick,
+        # vectorized over every key in the bucket at once
+        t = group.sort_by(
+            [("user_id", "ascending"), ("event_type", "ascending"),
+             ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                    "last_ts": pa.array([], pa.timestamp("us")),
+                    "last_event_id": pa.array([], pa.int64()),
+                    "last_value": pa.array([], pa.float64()),
+                }
+            )
+        keys = pc.binary_join_element_wise(
+            pc.cast(t["user_id"], pa.string()),
+            t["event_type"].combine_chunks(), "\x00"
+        )
+        mask = np.ones(n, dtype=bool)
+        if n > 1:
+            mask[:-1] = pc.not_equal(
+                keys.slice(0, n - 1), keys.slice(1, n)
+            ).to_numpy(zero_copy_only=False)
+        last = t.filter(pa.array(mask))
         return pa.table(
             {
                 "user_id": last["user_id"],
@@ -1324,10 +1396,12 @@ def events_latest(sf_dir: str, output_path: str | None = None) -> pa.Table | Non
             }
         )
 
-    out = (
-        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "event_type"])
-        .map_groups(_fold, batch_format="pyarrow")
+    from lucene_plugin_ray.functions.fold import bucketed_groups
+
+    out = bucketed_groups(
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id", "event_type"],
+        _fold,
     )
     return _sink_or_table(
         out, output_path, [("user_id", "ascending"), ("event_type", "ascending")]
@@ -1429,13 +1503,19 @@ def events_asof(sf_dir: str, output_path: str | None = None) -> pa.Table | None:
         return batch.filter(keep)
 
     def _asof(group: pa.Table) -> pa.Table:
+        # one call per HASH BUCKET of users (functions/fold.py
+        # bucketed_groups), fully vectorized across every user in the
+        # bucket: sort rows by (user, ts, kind, event_id) with signups
+        # BEFORE purchases at equal ts (at-or-before is inclusive), then
+        # the as-of signup of each purchase is the running MAX signup row
+        # index (np.maximum.accumulate) — a cummax crossing a user
+        # boundary is detected by uid mismatch and means "no prior
+        # signup".  Equal-(ts) signups resolve to max event_id because the
+        # sort puts the largest eid last and cummax picks the last.
         et = group["event_type"].to_numpy(zero_copy_only=False)
         ts = pc.cast(group["ts"].combine_chunks(), pa.int64()).to_numpy()
         eid = group["event_id"].to_numpy(zero_copy_only=False)
         uid = group["user_id"].to_numpy(zero_copy_only=False)
-        is_p = et == "purchase"
-        is_s = et == "signup"
-        p_idx = np.flatnonzero(is_p)
         empty = pa.table(
             {
                 "event_id": pa.array([], pa.int64()),
@@ -1445,40 +1525,40 @@ def events_asof(sf_dir: str, output_path: str | None = None) -> pa.Table | None:
                 "signup_ts": pa.array([], pa.timestamp("us")),
             }
         )
-        if p_idx.size == 0:
+        is_p = et == "purchase"
+        if not is_p.any():
             return empty
-        s_idx = np.flatnonzero(is_s)
-        # sort signups by (ts, event_id): searchsorted 'right' − 1 lands on
-        # the max-ts-then-max-event_id match — the as-of pick
-        s_order = np.lexsort((eid[s_idx], ts[s_idx]))
-        s_ts = ts[s_idx][s_order]
-        s_eid = eid[s_idx][s_order]
-        pos = np.searchsorted(s_ts, ts[p_idx], side="right") - 1
-        ok = pos >= 0
-        sid = np.where(ok, s_eid[np.maximum(pos, 0)], -1)
-        sts = np.where(ok, s_ts[np.maximum(pos, 0)], 0)
+        kind = is_p.astype(np.int8)  # signup 0 < purchase 1 at equal ts
+        order = np.lexsort((eid, kind, ts, uid))
+        uid_s, ts_s, eid_s = uid[order], ts[order], eid[order]
+        kind_s = kind[order]
+        n = order.size
+        sign_idx = np.where(kind_s == 0, np.arange(n, dtype=np.int64), -1)
+        last_sign = np.maximum.accumulate(sign_idx)
+        p_pos = np.flatnonzero(kind_s == 1)
+        ls = last_sign[p_pos]
+        ok = (ls >= 0) & (uid_s[np.maximum(ls, 0)] == uid_s[p_pos])
+        ls_c = np.maximum(ls, 0)
+        sid = pa.array(eid_s[ls_c], type=pa.int64(), mask=~ok)
+        sts = pa.array(ts_s[ls_c], type=pa.int64(), mask=~ok)
         return pa.table(
             {
-                "event_id": pa.array(eid[p_idx], type=pa.int64()),
-                "user_id": pa.array(uid[p_idx], type=pa.int64()),
-                "ts": pc.cast(pa.array(ts[p_idx], type=pa.int64()), pa.timestamp("us")),
-                "signup_event_id": pa.array(
-                    [int(x) if o else None for x, o in zip(sid, ok)], type=pa.int64()
+                "event_id": pa.array(eid_s[p_pos], type=pa.int64()),
+                "user_id": pa.array(uid_s[p_pos], type=pa.int64()),
+                "ts": pc.cast(
+                    pa.array(ts_s[p_pos], type=pa.int64()), pa.timestamp("us")
                 ),
-                "signup_ts": pc.cast(
-                    pa.array(
-                        [int(x) if o else None for x, o in zip(sts, ok)],
-                        type=pa.int64(),
-                    ),
-                    pa.timestamp("us"),
-                ),
+                "signup_event_id": sid,
+                "signup_ts": pc.cast(sts, pa.timestamp("us")),
             }
         )
 
-    out = (
-        ds.map_batches(_prefilter, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
-        .map_groups(_asof, batch_format="pyarrow")
+    from lucene_plugin_ray.functions.fold import bucketed_groups
+
+    out = bucketed_groups(
+        ds.map_batches(_prefilter, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id",
+        _asof,
     )
     return _sink_or_table(out, output_path, "event_id")
 
@@ -1505,12 +1585,21 @@ def events_band_join(sf_dir: str, output_path: str | None = None) -> pa.Table | 
         return batch.filter(keep)
 
     def _band(group: pa.Table) -> pa.Table:
+        # one call per HASH BUCKET of users (functions/fold.py
+        # bucketed_groups), vectorized across every user at once via a
+        # composite ordering key: purchases sorted by (user, ts, eid)
+        # become one ascending int64 key ``rank(user)·span + (ts − base)``
+        # with ``span > ts-range + band``, so a signup's banded window is
+        # two GLOBAL searchsorted calls — the key ranges of different
+        # users cannot overlap.  Overflow guard: ranks·span must fit
+        # int64 (a bucket holds ~users/B ranks; loud error far before the
+        # bound is approachable).
         et = group["event_type"].to_numpy(zero_copy_only=False)
         ts = pc.cast(group["ts"].combine_chunks(), pa.int64()).to_numpy()
         eid = group["event_id"].to_numpy(zero_copy_only=False)
         uid = group["user_id"].to_numpy(zero_copy_only=False)
-        s_idx = np.flatnonzero(et == "signup")
-        p_idx = np.flatnonzero(et == "purchase")
+        s_mask = et == "signup"
+        p_mask = et == "purchase"
         empty = pa.table(
             {
                 "user_id": pa.array([], pa.int64()),
@@ -1519,39 +1608,53 @@ def events_band_join(sf_dir: str, output_path: str | None = None) -> pa.Table | 
                 "lag_s": pa.array([], pa.int64()),
             }
         )
-        if s_idx.size == 0 or p_idx.size == 0:
+        if not s_mask.any() or not p_mask.any():
             return empty
-        p_order = np.lexsort((eid[p_idx], ts[p_idx]))
-        p_ts = ts[p_idx][p_order]
-        p_eid = eid[p_idx][p_order]
-        s_ts = ts[s_idx]
-        s_eid = eid[s_idx]
-        lo = np.searchsorted(p_ts, s_ts, side="right")          # ts > signup
-        hi = np.searchsorted(p_ts, s_ts + _BAND_US, side="right")  # ≤ +1h
+        base = int(ts.min())
+        span = int(ts.max()) - base + _BAND_US + 2
+        _uniq, rank = np.unique(uid, return_inverse=True)
+        if (_uniq.size) > (2**62) // span:
+            raise ValueError(
+                "band-join composite key would overflow int64 — "
+                "raise num_buckets"
+            )
+        key = rank.astype(np.int64) * span + (ts - base)
+        p_idx = np.flatnonzero(p_mask)
+        p_order = np.lexsort((eid[p_idx], key[p_idx]))
+        p_sorted = p_idx[p_order]
+        p_key = key[p_sorted]
+        s_idx = np.flatnonzero(s_mask)
+        s_key = key[s_idx]
+        lo = np.searchsorted(p_key, s_key, side="right")          # ts > signup
+        hi = np.searchsorted(p_key, s_key + _BAND_US, side="right")  # ≤ +1h
         counts = hi - lo
         total = int(counts.sum())
         if total == 0:
             return empty
         within = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
-        p_sel = np.repeat(lo, counts) + within
+        p_sel = p_sorted[np.repeat(lo, counts) + within]
         return pa.table(
             {
                 "user_id": pa.array(
-                    np.full(total, uid[0], dtype=np.int64), type=pa.int64()
+                    np.repeat(uid[s_idx], counts), type=pa.int64()
                 ),
-                "signup_event_id": pa.array(np.repeat(s_eid, counts), type=pa.int64()),
-                "purchase_event_id": pa.array(p_eid[p_sel], type=pa.int64()),
+                "signup_event_id": pa.array(
+                    np.repeat(eid[s_idx], counts), type=pa.int64()
+                ),
+                "purchase_event_id": pa.array(eid[p_sel], type=pa.int64()),
                 "lag_s": pa.array(
-                    (p_ts[p_sel] - np.repeat(s_ts, counts)) // 1_000_000,
+                    (ts[p_sel] - np.repeat(ts[s_idx], counts)) // 1_000_000,
                     type=pa.int64(),
                 ),
             }
         )
 
-    out = (
-        ds.map_batches(_prefilter, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
-        .map_groups(_band, batch_format="pyarrow")
+    from lucene_plugin_ray.functions.fold import bucketed_groups
+
+    out = bucketed_groups(
+        ds.map_batches(_prefilter, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id",
+        _band,
     )
     return _sink_or_table(
         out, output_path,
@@ -1578,25 +1681,29 @@ def events_sessionize(sf_dir: str, output_path: str | None = None) -> pa.Table |
     )
 
     def _sessionize(group: pa.Table) -> pa.Table:
+        # one call per HASH BUCKET of users (functions/fold.py shape — a
+        # per-user map_groups costs one Python call per user), vectorized
+        # over the whole bucket: sort by (user, ts, event_id), a session
+        # boundary is a user change OR a >30 min gap, then reduceat
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
         ts = pc.cast(group["ts"].combine_chunks(), pa.int64()).to_numpy()
         eid = group["event_id"].to_numpy(zero_copy_only=False)
         cents = (
             pc.cast(pc.round(pc.multiply(group["value"], 100.0)), pa.int64())
             .to_numpy(zero_copy_only=False)
         )
-        order = np.lexsort((eid, ts))
-        ts, eid, cents = ts[order], eid[order], cents[order]
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, cents = uid[order], ts[order], eid[order], cents[order]
         n = ts.size
         new = np.ones(n, dtype=bool)
-        new[1:] = (ts[1:] - ts[:-1]) > _SESSION_GAP_US
+        new[1:] = (uid[1:] != uid[:-1]) | (
+            (ts[1:] - ts[:-1]) > _SESSION_GAP_US
+        )
         starts = np.flatnonzero(new)                      # session boundaries
         n_events = np.diff(np.append(starts, n))
         return pa.table(
             {
-                "user_id": pa.array(
-                    np.full(starts.size, group["user_id"][0].as_py(), np.int64),
-                    type=pa.int64(),
-                ),
+                "user_id": pa.array(uid[starts], type=pa.int64()),
                 "first_event_id": pa.array(
                     np.minimum.reduceat(eid, starts), type=pa.int64()
                 ),
@@ -1614,7 +1721,9 @@ def events_sessionize(sf_dir: str, output_path: str | None = None) -> pa.Table |
             }
         )
 
-    out = ds.groupby("user_id").map_groups(_sessionize, batch_format="pyarrow")
+    from lucene_plugin_ray.functions.fold import bucketed_groups
+
+    out = bucketed_groups(ds, "user_id", _sessionize)
     return _sink_or_table(
         out, output_path, [("user_id", "ascending"), ("session_start", "ascending")]
     )
@@ -4327,6 +4436,11 @@ def events_rolling(sf_dir: str, output_path: str | None = None) -> pa.Table | No
     )
 
     def _roll(group: pa.Table) -> pa.Table:
+        # one call per HASH BUCKET of users (functions/fold.py
+        # bucketed_groups): sort the bucket by (user, ts) once; window
+        # bounds come from per-user-SEGMENT searchsorted (a numpy-slice
+        # loop over the bucket's users — no per-user Arrow tables or Ray
+        # group calls), sums from one global prefix scan
         ts = pc.cast(group["ts"].combine_chunks(), pa.int64()).to_numpy()
         eid = group["event_id"].to_numpy(zero_copy_only=False)
         uid = group["user_id"].to_numpy(zero_copy_only=False)
@@ -4334,15 +4448,23 @@ def events_rolling(sf_dir: str, output_path: str | None = None) -> pa.Table | No
             pc.cast(pc.round(pc.multiply(group["value"], 100.0)), pa.int64())
             .to_numpy(zero_copy_only=False)
         )
-        order = np.argsort(ts, kind="stable")
-        ts_s, cents_s = ts[order], cents[order]
-        lo = np.searchsorted(ts_s, ts_s - _ROLLING_US, side="left")
-        hi = np.searchsorted(ts_s, ts_s, side="right")  # peers included
+        order = np.lexsort((ts, uid))
+        uid_s, ts_s, cents_s = uid[order], ts[order], cents[order]
+        n = ts_s.size
+        seg = np.flatnonzero(
+            np.concatenate(([True], uid_s[1:] != uid_s[:-1], [True]))
+        )
+        lo = np.empty(n, np.int64)
+        hi = np.empty(n, np.int64)
+        for a, b in zip(seg[:-1], seg[1:]):
+            sub = ts_s[a:b]
+            lo[a:b] = a + np.searchsorted(sub, sub - _ROLLING_US, side="left")
+            hi[a:b] = a + np.searchsorted(sub, sub, side="right")  # peers
         csum = np.concatenate([[0], np.cumsum(cents_s)])
         return pa.table(
             {
                 "event_id": pa.array(eid[order], type=pa.int64()),
-                "user_id": pa.array(uid[order], type=pa.int64()),
+                "user_id": pa.array(uid_s, type=pa.int64()),
                 "ts": pc.cast(
                     pa.array(ts_s, type=pa.int64()), pa.timestamp("us")
                 ),
@@ -4353,7 +4475,9 @@ def events_rolling(sf_dir: str, output_path: str | None = None) -> pa.Table | No
             }
         )
 
-    out = ds.groupby("user_id").map_groups(_roll, batch_format="pyarrow")
+    from lucene_plugin_ray.functions.fold import bucketed_groups
+
+    out = bucketed_groups(ds, "user_id", _roll)
     return _sink_or_table(out, output_path, "event_id")
 
 
@@ -4909,13 +5033,11 @@ def events_hopping(sf_dir: str) -> pa.Table:
             }
         )
 
-    folded = (
-        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["window_start", "event_type"])
-        .aggregate(
-            Sum("n_events", alias_name="events_f"),
-            Sum("sum_value_cents", alias_name="cents_f"),
-        )
+    folded = keyed_fold(
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["window_start", "event_type"],
+        [("n_events", "sum", "events_f"),
+         ("sum_value_cents", "sum", "cents_f")],
     )
     tables = [b for b in folded.iter_batches(batch_format="pyarrow")]
     if not tables:
