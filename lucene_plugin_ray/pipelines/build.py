@@ -336,32 +336,28 @@ def compact_index(cfg: IndexConfig) -> Manifest:
 
     tasks = live_merge_tasks(eng)
 
-    class MergeWorker:
-        """Actor-pool merge stage (holds cfg; one merge task per batch row)."""
-
-        def __init__(self, cfg: IndexConfig, gen: int):
-            self.cfg, self.gen = cfg, gen
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            out = []
-            for row in batch.to_pylist():
-                masks = [np.array(m, dtype=bool) for m in row["masks"]]
-                out.append(
-                    merge_segments_for_partition(
-                        row["paths"], masks, row["collection"],
-                        int(row["partition"]), self.cfg, self.gen,
-                    )
+    def _merge_batch(batch: pa.Table, *, cfg=cfg, gen=gen) -> pa.Table:
+        # task-pool merge stage (one merge per batch row): a worker killed
+        # mid-merge is a plain task retry against the idempotent segment
+        # writer — no constructor-ref actor restart hazard
+        # (core_worker.cc:2246; the round-4 task-pool rule)
+        out = []
+        for row in batch.to_pylist():
+            masks = [np.array(m, dtype=bool) for m in row["masks"]]
+            out.append(
+                merge_segments_for_partition(
+                    row["paths"], masks, row["collection"],
+                    int(row["partition"]), cfg, gen,
                 )
-            return pa.Table.from_pylist(out, schema=MANIFEST_ROW_SCHEMA)
+            )
+        return pa.Table.from_pylist(out, schema=MANIFEST_ROW_SCHEMA)
 
     rows = (
         ray.data.from_items(tasks)
         .map_batches(
-            MergeWorker,
-            fn_constructor_args=(cfg, gen),
+            _merge_batch,
             batch_size=1,
             batch_format="pyarrow",
-            concurrency=min(len(tasks), cfg.merge_fanin),
         )
         .take_all()
     )
