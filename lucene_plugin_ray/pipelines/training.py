@@ -440,6 +440,43 @@ def _minhash_band_batch(batch: pa.Table) -> pa.Table:
 _MAX_BUCKET = 64  # LSH bucket cap; larger buckets are dropped (logged)
 
 
+
+def _bucket_pair_jaccard(group: pa.Table) -> "tuple[np.ndarray, ...]":
+    """Vectorized exact Jaccard for EVERY pair in one hash bucket of
+    distinct (pair, doc_id, h) shingle rows: sort by (pair, h, doc) — an
+    intersection element is an adjacent equal-(pair, h) run — and by
+    (pair, doc) for per-pair doc stats.  Returns (pair_ids, doc_min,
+    doc_max, n_distinct_docs, jaccard) aligned per distinct pair; no
+    per-pair Python."""
+    pair = group["pair"].to_numpy(zero_copy_only=False)
+    doc = group["doc_id"].to_numpy(zero_copy_only=False)
+    hs = group["h"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((doc, hs, pair))
+    p, h = pair[order], hs[order]
+    same_ph = (p[1:] == p[:-1]) & (h[1:] == h[:-1])
+    upair, pidx = np.unique(p, return_inverse=True)
+    tot = np.bincount(pidx, minlength=upair.size)
+    inter = np.bincount(pidx[1:][same_ph], minlength=upair.size)
+    # per-pair doc stats via a (pair, doc) ordering
+    order2 = np.lexsort((doc, pair))
+    p2, d2 = pair[order2], doc[order2]
+    new_pd = np.concatenate(
+        ([True], (p2[1:] != p2[:-1]) | (d2[1:] != d2[:-1]))
+    )
+    pd_pair = p2[new_pd]
+    pd_doc = d2[new_pd]
+    pidx2 = np.searchsorted(upair, pd_pair)
+    ndocs = np.bincount(pidx2, minlength=upair.size)
+    big = np.iinfo(np.int64).max
+    doc_min = np.full(upair.size, big, np.int64)
+    doc_max = np.full(upair.size, -1, np.int64)
+    np.minimum.at(doc_min, pidx2, pd_doc)
+    np.maximum.at(doc_max, pidx2, pd_doc)
+    denom = np.maximum(tot - inter, 1)
+    jac = inter / denom
+    return upair, doc_min, doc_max, ndocs, jac
+
+
 def dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.5) -> pa.Table:
     """MinHash+LSH near-duplicate pairs, exact-verified.
 
@@ -590,35 +627,33 @@ def dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.5) -> pa.Table:
         )
 
     def _verify(group: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-             "jaccard": pa.array([], pa.float64())}
-        )
-        d = group["doc_id"].to_numpy(zero_copy_only=False)
-        hs = group["h"].to_numpy(zero_copy_only=False)
-        uniq = np.unique(d)
-        if uniq.size != 2:  # a side with zero shingles → pair skipped
-            return empty
-        a_h = hs[d == uniq[0]]
-        b_h = hs[d == uniq[1]]
-        inter = np.intersect1d(a_h, b_h).size
-        j = inter / (a_h.size + b_h.size - inter)
-        if j < jaccard_threshold:
-            return empty
+        # one call per HASH BUCKET of pairs (_bucket_pair_jaccard): pairs
+        # with a zero-shingle side (n_distinct_docs != 2) are skipped,
+        # survivors thresholded — all vectorized
+        if group.num_rows == 0:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()),
+                 "doc_b": pa.array([], pa.int64()),
+                 "jaccard": pa.array([], pa.float64())}
+            )
+        _up, dmin, dmax, ndocs, jac = _bucket_pair_jaccard(group)
+        keep = (ndocs == 2) & (jac >= jaccard_threshold)
         return pa.table(
             {
-                "doc_a": pa.array([int(uniq[0])], type=pa.int64()),
-                "doc_b": pa.array([int(uniq[1])], type=pa.int64()),
-                "jaccard": pa.array([round(j, 6)], type=pa.float64()),
+                "doc_a": pa.array(dmin[keep], type=pa.int64()),
+                "doc_b": pa.array(dmax[keep], type=pa.int64()),
+                "jaccard": pa.array(
+                    np.round(jac[keep], 6), type=pa.float64()
+                ),
             }
         )
 
-    out = (
+    out = bucketed_groups(
         docs.map_batches(
             _emit_candidate_shingles, batch_format="pyarrow", zero_copy_batch=True
-        )
-        .groupby("pair")
-        .map_groups(_verify, batch_format="pyarrow")
+        ),
+        "pair",
+        _verify,
     )
     verified = pa.concat_tables(
         [b for b in out.iter_batches(batch_format="pyarrow")]
@@ -687,31 +722,33 @@ def jaccard_adjacent(
         )
 
     def _jaccard(group: pa.Table) -> pa.Table:
-        pair = int(group["pair"][0].as_py())
-        docs = group["doc_id"].to_numpy(zero_copy_only=False)
-        hs = group["h"].to_numpy(zero_copy_only=False)
-        uniq = np.unique(docs)
-        if uniq.size != 2 or not (uniq == [pair, pair + 1]).all():
+        # one call per HASH BUCKET of pairs (_bucket_pair_jaccard); a pair
+        # is valid iff its doc set is exactly {pair, pair+1} (either side
+        # tokenless → inner-join drop, matching the SQL oracle)
+        if group.num_rows == 0:
             return pa.table(
-                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                {"doc_a": pa.array([], pa.int64()),
+                 "doc_b": pa.array([], pa.int64()),
                  "jaccard": pa.array([], pa.float64())}
             )
-        a = hs[docs == pair]
-        b = hs[docs == pair + 1]
-        inter = np.intersect1d(a, b).size
-        jac = inter / (a.size + b.size - inter)
+        upair, dmin, dmax, ndocs, jac = _bucket_pair_jaccard(group)
+        keep = (ndocs == 2) & (dmin == upair) & (dmax == upair + 1)
         return pa.table(
             {
-                "doc_a": pa.array([pair], type=pa.int64()),
-                "doc_b": pa.array([pair + 1], type=pa.int64()),
-                "jaccard": pa.array([round(jac, 6)], type=pa.float64()),
+                "doc_a": pa.array(upair[keep], type=pa.int64()),
+                "doc_b": pa.array(upair[keep] + 1, type=pa.int64()),
+                "jaccard": pa.array(
+                    np.round(jac[keep], 6), type=pa.float64()
+                ),
             }
         )
 
-    out = (
-        ds.map_batches(_emit, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("pair")
-        .map_groups(_jaccard, batch_format="pyarrow")
+    from lucene_plugin_ray.functions.fold import bucketed_groups
+
+    out = bucketed_groups(
+        ds.map_batches(_emit, batch_format="pyarrow", zero_copy_batch=True),
+        "pair",
+        _jaccard,
     )
     if min_jaccard is not None:
         thr = float(min_jaccard)
