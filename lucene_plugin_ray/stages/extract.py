@@ -93,8 +93,11 @@ def sniff_format(raw: bytes) -> str:
     if raw.startswith(b"{\\rtf"):
         return "rtf"
     if raw.startswith(b"PK\x03\x04"):
-        if raw[30:38] == b"mimetype" and b"opendocument" in raw[38:100]:
-            return "odt"
+        if raw[30:38] == b"mimetype":
+            if b"opendocument" in raw[38:100]:
+                return "odt"
+            if b"epub" in raw[38:100]:
+                return "epub"
         return "docx"
     head = raw[:512].lstrip()
     if head[:1] == b"<":
@@ -258,6 +261,24 @@ class AutoExtract:
         s = _html.unescape(s)
         return self.ws.sub(" ", s).strip()
 
+    def _epub(self, raw: bytes) -> str:
+        """EPUB: every XHTML content document in the container, in zip
+        order, through the html stripper (Tika's EpubParser shape);
+        container metadata files are skipped."""
+        import io
+        import zipfile
+
+        try:
+            with zipfile.ZipFile(io.BytesIO(raw)) as z:
+                parts = []
+                for name in z.namelist():
+                    low = name.lower()
+                    if low.endswith((".xhtml", ".html", ".htm")):
+                        parts.append(self.html._extract_one(z.read(name)) or "")
+        except (zipfile.BadZipFile, KeyError):
+            return ""
+        return self.ws.sub(" ", "\n".join(parts)).strip()
+
     # ignorable RTF destination groups (their text is metadata, not content)
     _RTF_DESTS = frozenset(
         {
@@ -417,6 +438,7 @@ class AutoExtract:
             "pdf": self._pdf,
             "rtf": self._rtf,
             "odt": self._odt,
+            "epub": self._epub,
             "md": self._md,
             "csv": self._csv,
         }[fmt]

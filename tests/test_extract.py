@@ -217,3 +217,27 @@ def test_csv_quoting():
     text, fmt = AutoExtract().extract_one(raw)
     assert fmt == "csv"
     assert "b, with comma" in text and "versions" in text.split()
+
+
+def _make_epub(text: str) -> bytes:
+    buf = io.BytesIO()
+    body = "".join(f"<p>{line}</p>" for line in text.split(". "))
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+        z.writestr("mimetype", "application/epub+zip")
+        z.writestr("META-INF/container.xml", "<container/>")
+        z.writestr(
+            "OEBPS/chapter1.xhtml",
+            f"<html><head><title>skip</title></head><body>{body}</body></html>",
+        )
+    return buf.getvalue()
+
+
+def test_epub_round_trip():
+    raw = _make_epub(LOREM)
+    assert sniff_format(raw) == "epub"
+    text, fmt = AutoExtract().extract_one(raw)
+    assert fmt == "epub"
+    assert text.split()[0] == "Lorem" and "versions" in text.split()
+    # zip magic disambiguation holds all three ways
+    assert sniff_format(FIXTURES["docx"]) == "docx"
+    assert sniff_format(ROUND4_FIXTURES["odt"]) == "odt"
