@@ -186,6 +186,7 @@ class AutoExtract:
             rb"|([{}])"
             rb"|([^\\{}]+)"
         )
+        self.epub_head = re.compile(rb"(?is)<head[^>]*>.*?</head>")
         self.md_fence = re.compile(r"```.*?```", re.S)
         self.md_img = re.compile(r"!\[([^\]]*)\]\([^)]*\)")
         self.md_link = re.compile(r"\[([^\]]*)\]\([^)]*\)")
@@ -274,7 +275,10 @@ class AutoExtract:
                 for name in z.namelist():
                     low = name.lower()
                     if low.endswith((".xhtml", ".html", ".htm")):
-                        parts.append(self.html._extract_one(z.read(name)) or "")
+                        # <head> is container metadata (title/meta/links),
+                        # not content — drop it before the stripper
+                        doc = self.epub_head.sub(b" ", z.read(name))
+                        parts.append(self.html._extract_one(doc) or "")
         except (zipfile.BadZipFile, KeyError):
             return ""
         return self.ws.sub(" ", "\n".join(parts)).strip()
