@@ -25,6 +25,8 @@ Extractors are dependency-free (this container has no Tika/media libs):
   ``\\'hh`` hex and ``\\uN`` unicode escapes, paragraph specials);
 * **odt** — ``content.xml`` out of the ODF zip (detected via the spec's
   mandatory first ``mimetype`` entry), tag strip + entity decode;
+* **epub** — same zip-mimetype probe ('application/epub+zip'); every
+  XHTML content document through the html stripper, <head> dropped;
 * **md** / **csv** — content-heuristic detection (no magic bytes; Tika
   keys on filename), marker-stripping / cell-joining extraction; a
   heuristic miss degrades to txt (identity).

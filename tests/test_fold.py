@@ -1,0 +1,124 @@
+"""functions/fold.py — the vectorized keyed aggregate / bucketed group
+machinery that replaced Ray's per-group Aggregate across the engine
+(round 4).  These pin the machinery itself; every migrated op is
+additionally pinned by its own DuckDB oracle."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_plugin_ray.functions.fold import (
+    _hash_key_columns,
+    bucketed_groups,
+    keyed_fold,
+)
+
+
+def _ds(table):
+    import ray.data
+
+    return ray.data.from_arrow(table)
+
+
+def _collect(ds):
+    batches = [b for b in ds.iter_batches(batch_format="pyarrow")]
+    return pa.concat_tables(batches) if batches else None
+
+
+def test_keyed_fold_matches_arrow_groupby(ray_session):
+    rng = np.random.default_rng(3)
+    n = 50_000
+    t = pa.table(
+        {
+            "k1": rng.integers(0, 5_000, n),
+            "k2": rng.choice(np.array(["a", "b", "c"], dtype=object), n),
+            "v": rng.integers(-100, 100, n),
+            "w": rng.integers(0, 10, n),
+        }
+    )
+    got = _collect(
+        keyed_fold(
+            _ds(t),
+            ["k1", "k2"],
+            [("v", "sum", "sv"), ("w", "max", "mw"),
+             (None, "count_all", "n"), ("v", "min", "minv")],
+        )
+    ).to_pandas().sort_values(["k1", "k2"]).reset_index(drop=True)
+    exp = (
+        t.group_by(["k1", "k2"])
+        .aggregate([("v", "sum"), ("w", "max"), ([], "count_all"), ("v", "min")])
+        .rename_columns(["k1", "k2", "sv", "mw", "n", "minv"])
+        .to_pandas().sort_values(["k1", "k2"]).reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got[exp.columns.tolist()], exp, check_dtype=False
+    )
+
+
+def test_keyed_fold_null_aggregation_semantics(ray_session):
+    """Nulls: sum/max ignore them; an all-null group folds to null — the
+    Ray Aggregate semantics the tagged-union joins rely on."""
+    t = pa.table(
+        {
+            "k": [1, 1, 2, 2],
+            "v": pa.array([None, 5, None, None], pa.int64()),
+        }
+    )
+    got = _collect(
+        keyed_fold(_ds(t), "k", [("v", "sum", "s"), ("v", "max", "m")])
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert got["s"].tolist() == [5, None] or str(got["s"][1]) in ("nan", "<NA>")
+    assert got["m"][0] == 5
+
+
+def test_bucketed_groups_key_never_splits(ray_session):
+    """Every key combination lands whole in exactly one fn call."""
+    rng = np.random.default_rng(5)
+    t = pa.table({"k": rng.integers(0, 300, 10_000), "v": np.arange(10_000)})
+    seen: dict[int, int] = {}
+
+    def fn(g: pa.Table) -> pa.Table:
+        ks = np.unique(g["k"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "k": pa.array(ks, pa.int64()),
+                "rows": pa.array(
+                    [int((g["k"].to_numpy(zero_copy_only=False) == k).sum()) for k in ks],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    out = _collect(bucketed_groups(_ds(t), "k", fn)).to_pandas()
+    # each key appears exactly ONCE across all calls, with its full count
+    assert out["k"].is_unique
+    import collections
+
+    exp = collections.Counter(t["k"].to_numpy(zero_copy_only=False).tolist())
+    got = dict(zip(out["k"], out["rows"]))
+    assert got == dict(exp)
+
+
+def test_hash_key_columns_types_and_stability():
+    t = pa.table(
+        {
+            "i": pa.array([1, 2, 1], pa.int64()),
+            "s": pa.array(["x", "y", "x"], pa.string()),
+            "b": pa.array([b"\xff\x00", b"ok", b"\xff\x00"], pa.binary()),
+        }
+    )
+    h1 = _hash_key_columns(t, ["i", "s", "b"])
+    h2 = _hash_key_columns(t, ["i", "s", "b"])
+    assert (h1 == h2).all()          # deterministic
+    assert h1[0] == h1[2]            # equal keys → equal hash
+    assert h1[0] != h1[1]
+    # binary keys with invalid UTF-8 must not raise (the sha-bytes case)
+    _ = _hash_key_columns(t, ["b"])
+
+
+def test_keyed_fold_empty_input(ray_session):
+    t = pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    out = _collect(keyed_fold(_ds(t), "k", [("v", "sum", "s")]))
+    assert out is None or out.num_rows == 0
