@@ -216,7 +216,6 @@ def top_suppliers(sf_dir: str, k: int = 10) -> pa.Table:
 
     Output: (s_suppkey, s_name, n_name, n_items, revenue_units) — revenue
     in cents×10² (the disc_units scale of :func:`pricing_summary`)."""
-    from ray.data.aggregate import Sum
 
     if k <= 0:
         raise ValueError("k must be positive")
@@ -956,7 +955,6 @@ def distinct_users_hll(sf_dir: str) -> pa.Table:
     :func:`distinct_users_by_type`).
 
     Output: (event_type, n_users_est), sorted by event_type."""
-    from ray.data.aggregate import Max
 
     from lucene_plugin_ray.functions.hashing import mix64_np
 

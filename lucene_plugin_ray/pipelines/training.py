@@ -307,7 +307,6 @@ def dedup_exact(sf_dir: str, output_path: str | None = None) -> pa.Table | None:
     """Exact dedup by content hash: hash per batch (map_batches), then a
     hash-keyed groupby keeping min doc_id (first) + copy count.  The groupby
     key is the uniform sha256 — no skew."""
-    from ray.data.aggregate import Count, Min
 
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
@@ -1459,7 +1458,6 @@ def events_window(sf_dir: str, output_path: str | None = None) -> pa.Table | Non
     |events|.  Money-valued doubles are summed as integer cents, making the
     fold exact and order-independent (same principle as the index's integer
     doc_len sums)."""
-    from ray.data.aggregate import Max, Sum
 
     ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type", "value"]
@@ -1996,7 +1994,6 @@ def corpus_curation(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
-    from ray.data.aggregate import Min
 
     _CUR_LANGS = np.array(sorted(_LANG_MARKERS), dtype=object)
 
@@ -2073,7 +2070,6 @@ def dedup_ngram_spans(
 
     Output for both strategies: (ngram, n_docs, first_doc_id), n_docs >= 2,
     sorted by ngram."""
-    from ray.data.aggregate import Count, Min
 
     def _exact_reduce(ds) -> pa.Table:
         agg = keyed_fold(
@@ -2155,7 +2151,6 @@ def _candidate_span_hashes(ds, k: int, hash_mask: int | None) -> np.ndarray:
     The hash column ships as int64 (uint64 bit-pattern view — Arrow groupby
     keys); the candidate array returned is uint64 again.  Driver holds only
     the candidate set — sized by the DUPLICATED spans, not the corpus."""
-    from ray.data.aggregate import Count
 
     def _hashes(batch: pa.Table) -> pa.Table:
         w = span_windows_batch(batch, k)
@@ -2343,7 +2338,6 @@ def doc_dup_stats(
 
     Documents with fewer than k tokens have no windows and are absent from
     the output (matches the SQL oracle)."""
-    from ray.data.aggregate import Count
 
     def _w(sf: str):
         ds = read_parquet_clean(f"{sf}/documents.parquet", columns=["doc_id", "text"])
@@ -3191,7 +3185,6 @@ def pack_sequences(
         _counts, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
     # pass 1: per-bucket totals (tiny — |buckets| rows on the driver)
-    from ray.data.aggregate import Sum
 
     totals = pa.concat_tables(
         keyed_fold(counts, "bucket", [("n_tokens", "sum", "total")])
@@ -3479,7 +3472,6 @@ def _bigram_counts_ds(sf_dir: str, salt_buckets: int) -> "ray.data.Dataset":
             }
         )
 
-    from ray.data.aggregate import Sum
 
     partials = ds.map_batches(_partials, batch_format="pyarrow", zero_copy_batch=True)
     # one vectorized keyed fold replaces the two-level salted Ray Aggregate
@@ -3529,7 +3521,6 @@ def source_stats(sf_dir: str, output_path: str | None = None) -> pa.Table | None
             }
         )
 
-    from ray.data.aggregate import Sum
 
     folded = keyed_fold(
         ds.map_batches(_partials, batch_format="pyarrow", zero_copy_batch=True),
@@ -4136,7 +4127,6 @@ def paragraph_dedup(
 
     Output: (doc_id, n_blocks, n_dup_blocks, clean_text), sorted by doc_id.
     """
-    from ray.data.aggregate import Count, Min
 
     if block_words <= 0:
         raise ValueError("block_words must be positive")
@@ -4247,7 +4237,6 @@ def length_quantiles(
     ⌈p%⌉ of documents at or below it.
 
     Output: (source, n_docs, sum_tokens, p10, p50, p90, p99), by source."""
-    from ray.data.aggregate import Sum
 
     if not percents or any(not (0 < p <= 100) for p in percents):
         raise ValueError("percents must be in (0, 100]")
@@ -4352,7 +4341,6 @@ def value_quantiles_sketch(
     quantile estimates are bucket LOWER bounds in integer cents
     (estimate ≤ true < estimate·33/32); pN = smallest bucket holding the
     ⌈N %⌉ order statistic (cum·100 ≥ n·p, the repo-wide convention)."""
-    from ray.data.aggregate import Sum
 
     if not percents or any(not (0 < p <= 100) for p in percents):
         raise ValueError("percents must be in (0, 100]")
@@ -4735,7 +4723,6 @@ def charlm_logprob(
 
     Output: (doc_id, n_bigrams, logprob_q) — logprob_q in centibits (≤ 0),
     sorted by doc_id; docs with < 2 chars score (0, 0)."""
-    from ray.data.aggregate import Sum
 
     ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -4841,7 +4828,6 @@ def length_rank(
     ValueError otherwise — null sizes have no defined rank).
 
     Output: (doc_id, n_chars, rank, dense_rank), sorted by doc_id."""
-    from ray.data.aggregate import Sum
 
     ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
@@ -5025,7 +5011,6 @@ def events_hopping(sf_dir: str) -> pa.Table:
 
     Output: (window_start, event_type, n_events, sum_value_cents), sorted
     by (window_start, event_type)."""
-    from ray.data.aggregate import Sum
 
     k_windows = _HOP_WINDOW_US // _HOP_US
     ds = read_parquet_clean(
@@ -5258,7 +5243,6 @@ def heavy_hitters(sf_dir: str, k: int = 64) -> pa.Table:
         raise ValueError("k must be positive")
     from functools import partial
 
-    from ray.data.aggregate import Sum
 
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
     merged_parts = list(
@@ -5779,7 +5763,6 @@ def collocations(
     n_occ >= min_count, sorted by ngram."""
     if min_count <= 0:
         raise ValueError("min_count must be positive")
-    from ray.data.aggregate import Sum
 
     from lucene_plugin_ray.functions.hashing import fnv1a_str, mix64
 
