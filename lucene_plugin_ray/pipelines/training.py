@@ -2497,27 +2497,15 @@ def simhash_pairs(sf_dir: str, max_hamming: int = _SIMHASH_MAX_HAMMING) -> pa.Ta
         return pa.concat_tables(outs)
 
     def _bucket_pairs(group: pa.Table) -> pa.Table:
-        t = group.sort_by("doc_id")
-        trunc = None
-        if t.num_rows > _SIMHASH_BUCKET_CAP:
-            # deterministic truncation, COUNTED via a sentinel row the driver
-            # logs and strips (no silent coverage caps — same contract as
-            # dedup_minhash's bucket drop)
-            trunc = pa.table(
-                {
-                    "doc_a": pa.array([-1], pa.int64()),
-                    "doc_b": pa.array(
-                        [group["band_key"][0].as_py()], pa.int64()
-                    ),
-                    "hamming": pa.array(
-                        [t.num_rows - _SIMHASH_BUCKET_CAP], pa.int64()
-                    ),
-                }
-            )
-            t = t.slice(0, _SIMHASH_BUCKET_CAP)
-        doc = t["doc_id"].to_numpy(zero_copy_only=False)
-        sig = t["sig"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        m = doc.size
+        # one call per HASH BUCKET of band_keys (functions/fold.py
+        # bucketed_groups), vectorized across every band bucket in the
+        # call: sort by (band_key, doc), cap each bucket at
+        # _SIMHASH_BUCKET_CAP rows (deterministic — smallest doc_ids;
+        # overflow COUNTED via (-1, band_key, n_over) sentinel rows the
+        # driver logs and strips, the dedup_minhash contract), decode the
+        # triangular pair index arithmetically (exact in float64 under
+        # the cap) and compute Hamming distances as popcount(xor) via one
+        # unpackbits pass — no per-bucket Python, no m×m×64 bit tensor.
         empty = pa.table(
             {
                 "doc_a": pa.array([], pa.int64()),
@@ -2525,31 +2513,86 @@ def simhash_pairs(sf_dir: str, max_hamming: int = _SIMHASH_MAX_HAMMING) -> pa.Ta
                 "hamming": pa.array([], pa.int64()),
             }
         )
-        if m < 2:
-            return empty if trunc is None else trunc
-        bits = ((sig[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-            np.int8
+        if group.num_rows == 0:
+            return empty
+        bk = group["band_key"].to_numpy(zero_copy_only=False)
+        doc = group["doc_id"].to_numpy(zero_copy_only=False)
+        sig = group["sig"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((doc, bk))
+        bk, doc, sig = bk[order], doc[order], sig[order]
+        n = doc.size
+        seg = np.flatnonzero(
+            np.concatenate(([True], bk[1:] != bk[:-1], [True]))
         )
-        ham = np.abs(bits[:, None, :] - bits[None, :, :]).sum(axis=2)
-        ai, bi = np.triu_indices(m, k=1)
-        keep = ham[ai, bi] <= max_hamming
-        if not keep.any():
-            return empty if trunc is None else trunc
-        out = pa.table(
-            {
-                "doc_a": pa.array(doc[ai[keep]], type=pa.int64()),
-                "doc_b": pa.array(doc[bi[keep]], type=pa.int64()),
-                "hamming": pa.array(ham[ai, bi][keep].astype(np.int64), type=pa.int64()),
-            }
-        )
-        return out if trunc is None else pa.concat_tables([out, trunc])
+        starts, sizes = seg[:-1], np.diff(seg)
+        within = np.arange(n) - np.repeat(starts, sizes)
+        kept = within < _SIMHASH_BUCKET_CAP
+        parts = []
+        over = sizes > _SIMHASH_BUCKET_CAP
+        if over.any():
+            parts.append(
+                pa.table(
+                    {
+                        "doc_a": pa.array(
+                            np.full(int(over.sum()), -1), type=pa.int64()
+                        ),
+                        "doc_b": pa.array(bk[starts[over]], type=pa.int64()),
+                        "hamming": pa.array(
+                            sizes[over] - _SIMHASH_BUCKET_CAP, type=pa.int64()
+                        ),
+                    }
+                )
+            )
+        doc_k, sig_k = doc[kept], sig[kept]
+        m = np.minimum(sizes, _SIMHASH_BUCKET_CAP).astype(np.int64)
+        ok = m >= 2
+        if ok.any():
+            mm = m[ok]
+            base = np.concatenate([[0], np.cumsum(m)])[:-1][ok]
+            per = mm * (mm - 1) // 2
+            total = int(per.sum())
+            segp = np.repeat(np.arange(mm.size), per)
+            k = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(per) - per, per
+            )
+            mf = mm[segp].astype(np.float64)
+            i = np.floor(
+                (2 * mf - 1 - np.sqrt((2 * mf - 1) ** 2 - 8 * k)) / 2
+            ).astype(np.int64)
+            j = k - i * (2 * mm[segp] - i - 1) // 2 + i + 1
+            b0 = base[segp]
+            xa = sig_k[b0 + i] ^ sig_k[b0 + j]
+            ham = np.unpackbits(
+                xa.view(np.uint8).reshape(total, 8), axis=1
+            ).sum(axis=1).astype(np.int64)
+            keep = ham <= max_hamming
+            if keep.any():
+                parts.append(
+                    pa.table(
+                        {
+                            "doc_a": pa.array(
+                                doc_k[(b0 + i)[keep]], type=pa.int64()
+                            ),
+                            "doc_b": pa.array(
+                                doc_k[(b0 + j)[keep]], type=pa.int64()
+                            ),
+                            "hamming": pa.array(ham[keep], type=pa.int64()),
+                        }
+                    )
+                )
+        return pa.concat_tables(parts) if parts else empty
 
-    # band-bucket groupby → in-bucket verify → pair dedup (a pair can match
-    # in up to 4 bands; Min(hamming) is constant per pair so Min == distinct)
+    # band-bucket co-location → in-bucket verify → pair dedup (a pair can
+    # match in up to 4 bands; Min(hamming) is constant per pair so Min ==
+    # distinct)
+    from lucene_plugin_ray.functions.fold import bucketed_groups
+
     pairs = keyed_fold(
-        ds.map_batches(_bands, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("band_key")
-        .map_groups(_bucket_pairs, batch_format="pyarrow"),
+        bucketed_groups(
+            ds.map_batches(_bands, batch_format="pyarrow", zero_copy_batch=True),
+            "band_key",
+            _bucket_pairs,
+        ),
         ["doc_a", "doc_b"],
         [("hamming", "min", "hamming")],
     )
