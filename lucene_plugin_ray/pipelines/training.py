@@ -3447,7 +3447,7 @@ def ngram_counts(
 
     Shape at 100 TB: per-batch PARTIAL aggregation (one row per distinct
     bigram per batch — docs never straddle batches, so per-batch distinct-doc
-    counts sum exactly), then the same salted two-level fold as
+    counts sum exactly), then the same vectorized keyed fold as
     stages/term_stats.py: first groupby on (ngram, salt) spreads Zipf-head
     bigrams over ``salt_buckets`` reducers, a second tiny groupby folds the
     salt.  Only (ngram, 3×int64) rows ever enter the shuffle.
@@ -3605,7 +3605,7 @@ def tfidf_topk(
     broken by term ascending, so engine and oracle pick identical rows
     even when two terms score equally.
 
-    Two corpus passes (inherent to tf-idf): (1) the salted two-level df
+    Two corpus passes (inherent to tf-idf): (1) the keyed-fold df
     fold of :func:`lucene_plugin_ray.stages.term_stats.term_stats` — only
     (term, 2×int64) partials enter its shuffle; (2) one map pass that
     scores each document locally against the BROADCAST vocabulary
@@ -4155,7 +4155,7 @@ def paragraph_dedup(
 
     1. map: blocks per batch → (sha256(block) as 32 RAW bytes, packed
        (doc_id, idx)) — uniform keys, no skew, no hex doubling;
-    2. ``groupby(sha).aggregate(Min(packed), Count)`` → groups with
+    2. ``keyed_fold(sha → Min(packed), Count)`` → groups with
        count > 1 are the duplicate-block table (output-sized: one row per
        DISTINCT duplicated block);
     3. the dup table (sha → winner) broadcasts once via ``ray.put`` and a
@@ -5794,7 +5794,7 @@ def collocations(
     PMI at high count is boilerplate glue.
 
     Distributed shape: the bigram side streams through ngram_counts'
-    salted two-level fold (never materializes on the driver).  The unigram
+    vectorized keyed fold (never materializes on the driver).  The unigram
     side is a per-batch value_counts partial → salted fold → driver
     collect + ray.put broadcast — the unigram VOCABULARY is the broadcast
     bound (web-scale English ≈ 1e7-1e8 distinct words, single-digit GB;
