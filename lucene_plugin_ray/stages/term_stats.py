@@ -118,8 +118,9 @@ class _PartialTermStats:
 def term_stats(
     ds: "ray.data.Dataset", cfg: IndexConfig
 ) -> "ray.data.Dataset":
-    """Corpus-global (field, term) → (df, total_tf).  Two-level salted
-    aggregation; result is small (vocabulary-sized) and term-sorted."""
+    """Corpus-global (field, term) → (df, total_tf) via per-batch
+    combiner + one vectorized keyed fold; result is small
+    (vocabulary-sized) and term-sorted."""
     from lucene_plugin_ray.functions.fold import keyed_fold
 
     partials = ds.map_batches(
