@@ -9,12 +9,11 @@ aggregate.  The skew treatment is the north rule's salted repartitioning
 1. per-batch PARTIAL aggregation inside map_batches (one row per distinct
    term per batch — the combiner; head terms shrink from millions of rows to
    #batches rows before any shuffle);
-2. first groupby on the SALTED key (field, term, salt) — a head term's
-   partials spread over ``salt_buckets`` reducers instead of one;
-3. second (tiny) groupby on (field, term) to fold the salt buckets.
-
-Salt is deterministic — a stable hash of the batch's content — so the result
-is a pure function of the corpus.
+2. one vectorized keyed fold (functions/fold.py) on (field, term) — the
+   reducer unit is a HASH BUCKET of keys, so a head term costs its bucket
+   one vectorized group and the former explicit salt level is redundant
+   (the combiner remains the skew treatment; the deterministic salt column
+   still rides along for combiner lineage/debug).
 """
 
 from __future__ import annotations
