@@ -14,12 +14,12 @@ per-bucket ``pyarrow.Table.group_by`` costs **0.3 s** (50×).  The shape:
    group), each one vectorized Arrow ``group_by`` over ~rows/B rows.
 
 Scale notes: the exchange is the same all-to-all a groupby costs; B bounds
-reducer fan-in (raise it with cluster size — each bucket's rows must fit a
-worker, and the hash makes buckets uniform even when KEYS are skewed only
-if callers pre-combine per batch first — a head key's rows all land in one
-bucket, so map-side partial aggregation before the fold remains the skew
-treatment, exactly as before).  Output row order is whatever the buckets
-emit — callers sort, as they already did after Ray's Aggregate.
+reducer fan-in (raise it with cluster size; each bucket's rows must fit a
+worker).  Key skew: a head key's rows all land in ONE bucket, so map-side
+partial aggregation before the fold remains the skew treatment exactly as
+before — after a combiner, a head key contributes ≤ one row per input
+batch and its bucket stays uniform.  Output row order is whatever the
+buckets emit — callers sort, as they already did after Ray's Aggregate.
 Deterministic CONTENT requires order-independent aggregates: integer sums /
 min / max / count (the repo's integer-units convention exists for this);
 float sums would pick up association noise and must keep quantized inputs.
