@@ -43,6 +43,12 @@ def _hash_key_columns(batch: pa.Table, keys: list[str]) -> np.ndarray:
     for k in keys:
         col = batch[k].combine_chunks()
         if pa.types.is_integer(col.type):
+            if col.null_count:
+                # bucket placement only needs determinism: null rows hash
+                # like 0 here, while the per-bucket Arrow group_by still
+                # groups on the ORIGINAL column, so null keeps its own
+                # group (a null->NaN->uint64 cast would be C-undefined)
+                col = pc.fill_null(col, 0)
             kh = mix64_np(col.to_numpy(zero_copy_only=False).astype(np.uint64))
         elif pa.types.is_string(col.type) or pa.types.is_large_string(col.type) \
                 or pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
