@@ -141,3 +141,42 @@ def test_lazy_region_remote_postings(ray_session, tmp_path, monkeypatch):
     before = sum(b.fetches for b in lazies)
     eng_u.search("pagehit", limit=25)
     assert sum(b.fetches for b in lazies) == before
+
+
+def test_compact_over_file_url_with_lazy_regions(ray_session, tmp_path, monkeypatch):
+    """Generation compaction over a file:// root with lazy region reads
+    forced on: the merge path's bulk decodes must work through
+    _LazyRegion (sequential chunked fetches), and the compacted index
+    must answer identically to a compacted local-root twin."""
+    from lucene_plugin_ray.pipelines.build import (
+        build_delta,
+        build_index,
+        compact_index,
+    )
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+    from lucene_plugin_ray.state import segment as seg_mod
+
+    corpus = make_pages(200, seed=51)
+    delta = make_pages(60, seed=52)
+
+    url_root = "file://" + str(tmp_path / "lazycompact")
+    cfg_u = IndexConfig(index_root=url_root, num_partitions=3)
+    build_index(corpus, cfg_u)
+    build_delta(delta, cfg_u)
+
+    local_root = str(tmp_path / "lazycompact_loc")
+    cfg_l = IndexConfig(index_root=local_root, num_partitions=3)
+    build_index(corpus, cfg_l)
+    build_delta(delta, cfg_l)
+    compact_index(cfg_l)
+
+    monkeypatch.setattr(seg_mod, "_LAZY_FETCH_THRESHOLD", 0)
+    monkeypatch.setattr(seg_mod._LazyRegion, "CHUNK", 1024)
+    compact_index(cfg_u)
+
+    eng_u = SearchEngine(url_root, cfg=cfg_u)
+    eng_l = SearchEngine(local_root, cfg=cfg_l)
+    for q in ("pagehit", "+pagehit +w00001", '"pagehit w00010"', "w000*"):
+        a, b = eng_u.search(q, limit=50), eng_l.search(q, limit=50)
+        assert a["url"].to_pylist() == b["url"].to_pylist(), q
+        np.testing.assert_allclose(a["score"].to_numpy(), b["score"].to_numpy())
