@@ -117,26 +117,38 @@ def keyed_fold(
     ]
     aliases = [alias for _, _, alias in aggs]
 
-    def _bucket(batch: pa.Table) -> pa.Table:
-        b = (
-            (_hash_key_columns(batch, keys) % np.uint64(num_buckets))
-            .astype(np.int64)
-        )
-        return batch.append_column("__bucket", pa.array(b, pa.int64()))
-
     def _fold(group: pa.Table) -> pa.Table:
-        agg = (
-            group.drop_columns(["__bucket"])
-            .group_by(keys)
-            .aggregate(arrow_aggs)
-        )
+        agg = group.group_by(keys).aggregate(arrow_aggs)
         cols: dict[str, pa.Array] = {k: agg[k].combine_chunks() for k in keys}
         for name, alias in zip(out_names, aliases):
             cols[alias] = agg[name].combine_chunks()
         return pa.table(cols)
 
-    return (
-        ds.map_batches(_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__bucket")
-        .map_groups(_fold, batch_format="pyarrow")
+    return bucketed_groups(ds, keys, _fold, num_buckets=num_buckets)
+
+
+def triangular_pairs(
+    sizes: np.ndarray, starts: np.ndarray
+) -> "tuple[np.ndarray, np.ndarray]":
+    """All within-group index pairs (i < j) for many groups at once:
+    group g (size m_g, rows starting at starts[g]) contributes
+    m_g·(m_g−1)/2 pairs; returns the two flat row-index arrays.  The
+    triangular pair rank decodes arithmetically —
+    i = ⌊(2m−1−√((2m−1)²−8k))/2⌋ — exact in float64 for m ≤ ~2^25, far
+    above every caller's bucket cap (64).  Shared by dedup_minhash's LSH
+    pair expansion and simhash_pairs' band buckets."""
+    m = sizes.astype(np.int64)
+    per = m * (m - 1) // 2
+    total = int(per.sum())
+    if total == 0:
+        e = np.empty(0, np.int64)
+        return e, e
+    segp = np.repeat(np.arange(m.size), per)
+    k = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(per) - per, per)
+    mf = m[segp].astype(np.float64)
+    i = np.floor((2 * mf - 1 - np.sqrt((2 * mf - 1) ** 2 - 8 * k)) / 2).astype(
+        np.int64
     )
+    j = k - i * (2 * m[segp] - i - 1) // 2 + i + 1
+    b0 = starts.astype(np.int64)[segp]
+    return b0 + i, b0 + j

@@ -698,9 +698,7 @@ def common_terms_rewrite(
     return list(lows or highs)
 
 
-def _diversify_hits(
-    t: pa.Table, max_per_key: int, limit: int, segment_local: bool = False
-) -> pa.Table:
+def _diversify_hits(t: pa.Table, max_per_key: int, limit: int) -> pa.Table:
     """Greedy diversified selection over a (url, score, key, docid) hit
     table: order by the (score desc, url asc) total order, keep each row
     while its key has produced < ``max_per_key`` kept rows (null keys are
@@ -708,17 +706,16 @@ def _diversify_hits(
     ≤ cap filter because the scan order is total — shared by the
     per-segment pass, the engine merge and the sharded driver merge (the
     idempotence of cap-then-recap under a total order is what makes the
-    distributed merge exact).  ``segment_local``: the rows all come from
-    ONE segment, where docid asc == url asc — the numeric docid lexsort
-    replaces the object-url sort over the full match set."""
+    distributed merge exact).  The per-SEGMENT pass uses the all-int
+    :func:`_diversify_codes` twin instead; this function serves the
+    cross-segment and sharded-driver merges (object-url tiebreak)."""
     if t.num_rows == 0:
         return t
     import pyarrow.compute as pc
 
     urls = t["url"].to_numpy(zero_copy_only=False)
     scores = t["score"].to_numpy()
-    tiebreak = t["docid"].to_numpy() if segment_local else urls
-    order = np.lexsort((tiebreak, -scores))
+    order = np.lexsort((urls, -scores))
     keys = t["key"].to_numpy(zero_copy_only=False)[order]
     present = np.logical_not(
         pc.is_null(t["key"].combine_chunks()).to_numpy(zero_copy_only=False)

@@ -315,7 +315,7 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
     exact integer cents.
 
     Output: (n_name, n_orders, revenue_cents), sorted by n_name."""
-    from ray.data.aggregate import Max, Sum
+    from ray.data.aggregate import Sum
 
     orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
@@ -459,7 +459,7 @@ def order_line_rollup(sf_dir: str) -> pa.Table:
     Output: (o_orderstatus, n_orders, n_orders_with_lines, n_lines,
     revenue_units) — revenue in cents×10² (discounted units), orders
     without lineitems counted but contributing zero lines."""
-    from ray.data.aggregate import Max, Sum
+    from ray.data.aggregate import Sum
 
     orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]

@@ -51,7 +51,7 @@ from lucene_plugin_ray.functions.analysis import (
     STOP_WORDS,
     tokenize_column,
 )
-from lucene_plugin_ray.functions.fold import keyed_fold
+from lucene_plugin_ray.functions.fold import keyed_fold, triangular_pairs
 from lucene_plugin_ray.functions.lookup import lookup_positions
 from lucene_plugin_ray.functions.hashing import (
     fnv1a_bytes_column,
@@ -517,28 +517,16 @@ def dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.5) -> pa.Table:
         ok = (sizes >= 2) & ~over
         parts = []
         if ok.any():
-            m = sizes[ok].astype(np.int64)
-            base = starts[ok]
-            per = m * (m - 1) // 2
-            total = int(per.sum())
-            segp = np.repeat(np.arange(m.size), per)
-            k = np.arange(total, dtype=np.int64) - np.repeat(
-                np.cumsum(per) - per, per
-            )
-            mm = m[segp].astype(np.float64)
-            i = np.floor(
-                (2 * mm - 1 - np.sqrt((2 * mm - 1) ** 2 - 8 * k)) / 2
-            ).astype(np.int64)
-            j = k - i * (2 * m[segp] - i - 1) // 2 + i + 1
-            b0 = base[segp]
-            parts.append(
-                pa.table(
-                    {
-                        "doc_a": pa.array(doc[b0 + i], type=pa.int64()),
-                        "doc_b": pa.array(doc[b0 + j], type=pa.int64()),
-                    }
+            ia, ib = triangular_pairs(sizes[ok], starts[ok])
+            if ia.size:
+                parts.append(
+                    pa.table(
+                        {
+                            "doc_a": pa.array(doc[ia], type=pa.int64()),
+                            "doc_b": pa.array(doc[ib], type=pa.int64()),
+                        }
+                    )
                 )
-            )
         if over.any():
             parts.append(
                 pa.table(
@@ -1379,8 +1367,16 @@ def events_latest(sf_dir: str, output_path: str | None = None) -> pa.Table | Non
             [("user_id", "ascending"), ("event_type", "ascending"),
              ("ts", "ascending"), ("event_id", "ascending")]
         )
+        # null-SAFE key: a null user_id must form its own group (SQL
+        # PARTITION BY groups nulls together), but binary_join propagates
+        # null and a null key makes not_equal() null -> False under the
+        # boolean mask, silently merging/dropping rows (round-4 review
+        # finding, confirmed by execution) — fill with a sentinel no cast
+        # integer can produce
         keys = pc.binary_join_element_wise(
-            pc.cast(t["user_id"], pa.string()), t["event_type"].combine_chunks(), "\x00"
+            pc.fill_null(pc.cast(t["user_id"], pa.string()), "\x01null"),
+            pc.fill_null(t["event_type"].combine_chunks(), "\x01null"),
+            "\x00",
         )
         n = len(keys)
         if n == 0:
@@ -1413,8 +1409,9 @@ def events_latest(sf_dir: str, output_path: str | None = None) -> pa.Table | Non
                 }
             )
         keys = pc.binary_join_element_wise(
-            pc.cast(t["user_id"], pa.string()),
-            t["event_type"].combine_chunks(), "\x00"
+            pc.fill_null(pc.cast(t["user_id"], pa.string()), "\x01null"),
+            pc.fill_null(t["event_type"].combine_chunks(), "\x01null"),
+            "\x00",
         )
         mask = np.ones(n, dtype=bool)
         if n > 1:
@@ -2547,39 +2544,30 @@ def simhash_pairs(sf_dir: str, max_hamming: int = _SIMHASH_MAX_HAMMING) -> pa.Ta
         m = np.minimum(sizes, _SIMHASH_BUCKET_CAP).astype(np.int64)
         ok = m >= 2
         if ok.any():
-            mm = m[ok]
             base = np.concatenate([[0], np.cumsum(m)])[:-1][ok]
-            per = mm * (mm - 1) // 2
-            total = int(per.sum())
-            segp = np.repeat(np.arange(mm.size), per)
-            k = np.arange(total, dtype=np.int64) - np.repeat(
-                np.cumsum(per) - per, per
-            )
-            mf = mm[segp].astype(np.float64)
-            i = np.floor(
-                (2 * mf - 1 - np.sqrt((2 * mf - 1) ** 2 - 8 * k)) / 2
-            ).astype(np.int64)
-            j = k - i * (2 * mm[segp] - i - 1) // 2 + i + 1
-            b0 = base[segp]
-            xa = sig_k[b0 + i] ^ sig_k[b0 + j]
-            ham = np.unpackbits(
-                xa.view(np.uint8).reshape(total, 8), axis=1
-            ).sum(axis=1).astype(np.int64)
-            keep = ham <= max_hamming
-            if keep.any():
-                parts.append(
-                    pa.table(
-                        {
-                            "doc_a": pa.array(
-                                doc_k[(b0 + i)[keep]], type=pa.int64()
-                            ),
-                            "doc_b": pa.array(
-                                doc_k[(b0 + j)[keep]], type=pa.int64()
-                            ),
-                            "hamming": pa.array(ham[keep], type=pa.int64()),
-                        }
+            ia, ib = triangular_pairs(m[ok], base)
+            if ia.size:
+                xa = sig_k[ia] ^ sig_k[ib]
+                ham = np.unpackbits(
+                    xa.view(np.uint8).reshape(ia.size, 8), axis=1
+                ).sum(axis=1).astype(np.int64)
+                keep = ham <= max_hamming
+                if keep.any():
+                    parts.append(
+                        pa.table(
+                            {
+                                "doc_a": pa.array(
+                                    doc_k[ia[keep]], type=pa.int64()
+                                ),
+                                "doc_b": pa.array(
+                                    doc_k[ib[keep]], type=pa.int64()
+                                ),
+                                "hamming": pa.array(
+                                    ham[keep], type=pa.int64()
+                                ),
+                            }
+                        )
                     )
-                )
         return pa.concat_tables(parts) if parts else empty
 
     # band-bucket co-location → in-bucket verify → pair dedup (a pair can
@@ -3448,9 +3436,9 @@ def ngram_counts(
     Shape at 100 TB: per-batch PARTIAL aggregation (one row per distinct
     bigram per batch — docs never straddle batches, so per-batch distinct-doc
     counts sum exactly), then the same vectorized keyed fold as
-    stages/term_stats.py: first groupby on (ngram, salt) spreads Zipf-head
-    bigrams over ``salt_buckets`` reducers, a second tiny groupby folds the
-    salt.  Only (ngram, 3×int64) rows ever enter the shuffle.
+    stages/term_stats.py — the reducer unit is a hash bucket of ngrams, so
+    a Zipf-head bigram (≤ one partial row per batch) costs its bucket one
+    vectorized group.  Only (ngram, 2×int64) rows ever enter the shuffle.
 
     Output: (ngram, n_occ, n_docs) sorted by ngram."""
     out = _bigram_counts_ds(sf_dir, salt_buckets)
@@ -5795,8 +5783,8 @@ def collocations(
 
     Distributed shape: the bigram side streams through ngram_counts'
     vectorized keyed fold (never materializes on the driver).  The unigram
-    side is a per-batch value_counts partial → salted fold → driver
-    collect + ray.put broadcast — the unigram VOCABULARY is the broadcast
+    side is a per-batch value_counts partial → vectorized keyed fold →
+    driver collect + ray.put broadcast — the unigram VOCABULARY is the broadcast
     bound (web-scale English ≈ 1e7-1e8 distinct words, single-digit GB;
     past that the documented fallback is a word-keyed tagged-union join,
     the revenue_by_nation shape, at the price of two extra shuffles).  The

@@ -145,7 +145,11 @@ def _looks_csv(head: bytes) -> bool:
     if len(lines) < 2:
         return False
     counts = [_csv_delims(ln) for ln in lines]
-    return counts[0] >= 1 and all(c == counts[0] for c in counts)
+    if counts[0] < 1 or any(c != counts[0] for c in counts):
+        return False
+    # two short prose lines with one comma each ("Hello, world") must stay
+    # txt — demand either 3+ consistent lines or 2+ delimiters per line
+    return len(lines) >= 3 or counts[0] >= 2
 
 
 class AutoExtract:

@@ -6,10 +6,13 @@
 generation, dropping tombstoned/cleared docs, and the new manifest is marked
 ``compacted`` so query engines ignore all older generations.
 
-Execution is an actor-pool stage over a small dataset of merge tasks (one row
+Execution is a task-pool stage over a small dataset of merge tasks (one row
 per (collection, partition)):
 
-    ray.data.from_items(tasks).map_batches(MergeWorker, concurrency=N)
+    ray.data.from_items(tasks).map_batches(_merge_batch, batch_size=1)
+
+(a task function, not an actor class — a worker killed mid-merge is a plain
+retry against the idempotent segment writer; see build.py).
 
 Each merge is partition-local: inputs are docid-disjoint, url-sorted doc
 tables (upsert tombstones guarantee url-uniqueness across generations), so

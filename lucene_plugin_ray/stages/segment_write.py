@@ -470,6 +470,17 @@ def build_tv_table(
     the same per-posting cost the postings encode already pays."""
     n_terms = starts.size - 1
     df = np.diff(starts).astype(np.int64)
+    n_post = int(starts[-1])
+    tok_total = int(tfs.sum()) if pos_deltas is not None else 0
+    if n_post >= (1 << 31) or tok_total >= (1 << 31):
+        # ListArray int32 offsets would wrap SILENTLY — refuse loudly (the
+        # curation 2^42 / band-join overflow guard convention): a segment
+        # this large needs a higher num_partitions, not a corrupt sidecar
+        raise ValueError(
+            f"term-vector sidecar exceeds int32 list offsets "
+            f"({n_post} postings / {tok_total} positions in one segment) — "
+            "raise IndexConfig.num_partitions"
+        )
     row_of = np.repeat(np.arange(n_terms, dtype=np.int64), df)
     order = np.lexsort((row_of, docids))
     d_s = docids[order]

@@ -12,8 +12,7 @@ aggregate.  The skew treatment is the north rule's salted repartitioning
 2. one vectorized keyed fold (functions/fold.py) on (field, term) — the
    reducer unit is a HASH BUCKET of keys, so a head term costs its bucket
    one vectorized group and the former explicit salt level is redundant
-   (the combiner remains the skew treatment; the deterministic salt column
-   still rides along for combiner lineage/debug).
+   (the combiner remains the skew treatment).
 """
 
 from __future__ import annotations
@@ -30,7 +29,6 @@ from lucene_plugin_ray.functions.analysis import (
     tokenize_column,
     tokenize_column_hashed,
 )
-from lucene_plugin_ray.functions.hashing import fnv1a_str, mix64
 
 
 def _vocab_stats_hashed(ht) -> tuple[list[str], np.ndarray, np.ndarray]:
@@ -54,7 +52,7 @@ def _vocab_stats_hashed(ht) -> tuple[list[str], np.ndarray, np.ndarray]:
 
 
 class _PartialTermStats:
-    """map_batches combiner: batch → (field, term, salt, df, total_tf)."""
+    """map_batches combiner: batch → (field, term, df, total_tf)."""
 
     def __init__(self, cfg: IndexConfig):
         self.cfg = cfg
@@ -86,16 +84,12 @@ class _PartialTermStats:
                 term_arr = agg["term"].combine_chunks()
                 df_arr = pc.cast(agg["count_all"], pa.int64())
                 tf_arr = pc.cast(agg["tf_sum"], pa.int64())
-            # deterministic salt: stable hash of the batch's first url + size
-            anchor = batch[cfg.url_column][0].as_py() if batch.num_rows else ""
-            salt = mix64(fnv1a_str(f"{anchor}\x00{batch.num_rows}")) % cfg.salt_buckets
             n = len(term_arr)
             parts.append(
                 pa.table(
                     {
                         "field": pa.array([field] * n, type=pa.string()),
                         "term": term_arr,
-                        "salt": pa.array(np.full(n, salt, np.int32), type=pa.int32()),
                         "df": df_arr,
                         "total_tf": tf_arr,
                     }
@@ -106,7 +100,6 @@ class _PartialTermStats:
                 {
                     "field": pa.array([], type=pa.string()),
                     "term": pa.array([], type=pa.string()),
-                    "salt": pa.array([], type=pa.int32()),
                     "df": pa.array([], type=pa.int64()),
                     "total_tf": pa.array([], type=pa.int64()),
                 }

@@ -241,3 +241,11 @@ def test_epub_round_trip():
     # zip magic disambiguation holds all three ways
     assert sniff_format(FIXTURES["docx"]) == "docx"
     assert sniff_format(ROUND4_FIXTURES["odt"]) == "odt"
+
+
+def test_csv_heuristic_spares_short_prose():
+    """Round-4 review finding: two prose lines with one comma each must
+    stay txt (identity), not be comma-stripped by the csv extractor."""
+    raw = b"Hello, world\nGoodbye, moon"
+    text, fmt = AutoExtract().extract_one(raw)
+    assert fmt == "txt" and text == raw.decode()

@@ -682,3 +682,43 @@ def test_vqs_key_roundtrip_pins_bucket_scheme():
         else:
             # next bucket's lower bound bounds the relative error by 1/32
             assert cents < _vqs_lower_bound(k + 1) <= lb + max(lb // 32, 1)
+
+
+def test_events_latest_null_user_rows(ray_session, tmp_path):
+    """Round-4 review finding (confirmed): null user_id rows must form
+    their OWN (user, type) groups — the combiner/fold key is null-FILLED,
+    not null-propagating (a null key made the last-per-key mask silently
+    merge the null rows across types and swallow the adjacent valid
+    key's row)."""
+    import pyarrow.parquet as pq
+
+    from lucene_plugin_ray.pipelines import training
+
+    sf = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "ts": pa.array([10, 20, 30, 40], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "user_id": pa.array([None, None, 1, 1], pa.int64()),
+                "event_type": pa.array(
+                    ["purchase", "signup", "signup", "signup"], pa.string()
+                ),
+                "value": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+            }
+        ),
+        f"{sf}/events.parquet",
+    )
+    t = training.events_latest(sf)
+    rows = {
+        (r["user_id"], r["event_type"]): r["last_event_id"]
+        for r in t.to_pylist()
+    }
+    # three groups: (null, purchase), (null, signup), (1, signup=latest id 4)
+    assert rows == {
+        (None, "purchase"): 1,
+        (None, "signup"): 2,
+        (1, "signup"): 4,
+    }
