@@ -122,3 +122,26 @@ def test_keyed_fold_empty_input(ray_session):
     t = pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
     out = _collect(keyed_fold(_ds(t), "k", [("v", "sum", "s")]))
     assert out is None or out.num_rows == 0
+
+
+def test_triangular_pairs_exact_vs_bruteforce():
+    from itertools import combinations
+
+    from lucene_plugin_ray.functions.fold import triangular_pairs
+
+    rng = np.random.default_rng(11)
+    sizes = np.array([0, 1, 2, 3, 5, 17, 64, 64, 2], dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(sizes)])[:-1]
+    ia, ib = triangular_pairs(sizes, starts)
+    exp = []
+    for s, m in zip(starts, sizes):
+        exp.extend((s + i, s + j) for i, j in combinations(range(m), 2))
+    assert list(zip(ia.tolist(), ib.tolist())) == exp
+    assert (ia < ib).all()
+    # float-exactness far above the callers' 64 cap
+    big = np.array([4096], dtype=np.int64)
+    ia2, ib2 = triangular_pairs(big, np.array([0]))
+    assert ia2.size == 4096 * 4095 // 2
+    assert (ia2 < ib2).all() and ib2.max() == 4095
+    # pair set is exactly the expected triangular set (no dup/miss)
+    assert len({(a, b) for a, b in zip(ia2.tolist(), ib2.tolist())}) == ia2.size
