@@ -27,11 +27,22 @@ float sums would pick up association noise and must keep quantized inputs.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from lucene_plugin_ray.functions.hashing import fnv1a_bytes_column, mix64_np
+
+# Reducer fan-out for the bucket exchange.  SIZE IT TO THE DATA, not the
+# cluster: each bucket's post-combiner rows must fit one worker's heap, so
+# B ≳ fold_input_rows / target_rows_per_bucket — 64 suits the sandbox
+# corpora; a 10^12-doc deployment folding doc-keyed rows needs B in the
+# tens of thousands (same arithmetic as IndexConfig.num_partitions).  Set
+# once per deployment via LPR_FOLD_BUCKETS (README cluster section) or per
+# call via num_buckets=.
+_DEFAULT_BUCKETS = int(os.environ.get("LPR_FOLD_BUCKETS", "64"))
 
 # (column, arrow_fn, alias) — arrow_fn is a pyarrow group_by aggregation
 # name: "sum", "min", "max", "count", "count_all", "mean"
@@ -65,7 +76,7 @@ def bucketed_groups(
     ds,
     keys: "list[str] | str",
     fn,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """Hash-bucketed group processing: co-locate all rows of each key
     combination in one of ``num_buckets`` buckets and call ``fn`` once per
@@ -76,6 +87,8 @@ def bucketed_groups(
     keys per call (sort by key first; a key's rows never split across
     buckets).  Same scale notes as keyed_fold."""
     keys = [keys] if isinstance(keys, str) else list(keys)
+    if num_buckets is None:
+        num_buckets = _DEFAULT_BUCKETS
 
     def _bucket(batch: pa.Table) -> pa.Table:
         b = (
@@ -98,7 +111,7 @@ def keyed_fold(
     ds,
     keys: "list[str] | str",
     aggs: "list[AggSpec]",
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """``ds.groupby(keys).aggregate(...)`` with vectorized reducers.
 
