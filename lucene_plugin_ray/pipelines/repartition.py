@@ -340,18 +340,27 @@ def repartition_index(
         field_columns=tuple(f for f in src_fields if f != text_col),
         block_size=chain[-1].block_size or base_cfg.block_size,
     )
+    from lucene_plugin_ray.pipelines.build import live_merge_tasks
+
+    eng = SearchEngine(src_root, cfg=src_cfg)
+    tasks = live_merge_tasks(eng)
+    # the forward term-vector sidecar survives a re-shard: inherit it when
+    # the caller asks OR any live source segment carries tv.parquet
+    # (silently dropping it would degrade aux reads to the reconstruction
+    # path after every repartition)
+    src_has_tv = any(
+        seg.reader.has_tv
+        for segs in eng._segments.values()
+        for seg in segs
+    )
     dst_cfg = IndexConfig(
         index_root=dst_root,
         num_partitions=new_partitions,
         text_column=text_col,
         field_columns=src_cfg.field_columns,
         block_size=src_cfg.block_size,
+        store_term_vectors=base_cfg.store_term_vectors or src_has_tv,
     )
-
-    from lucene_plugin_ray.pipelines.build import live_merge_tasks
-
-    eng = SearchEngine(src_root, cfg=src_cfg)
-    tasks = live_merge_tasks(eng)
 
     rows: list[dict] = []
     if tasks:
@@ -472,9 +481,12 @@ def merge_indexes(
         text_column=text_col,
         field_columns=tuple(f for f in union_fields if f != text_col),
         block_size=block_size,
+        # sidecar inheritance resolved below once the sources' live
+        # segments are known (any source with tv.parquet -> dst writes it)
     )
 
     tasks: list[dict] = []
+    any_src_tv = False
     # IndexOptions compatibility (Lucene addIndexes refuses mismatched
     # postings formats): a positions-less source block silently flips the
     # destination's have_pos off for every partition its urls hash to —
@@ -494,6 +506,12 @@ def merge_indexes(
             block_size=ch[-1].block_size or block_size,
         )
         eng = SearchEngine(root, cfg=src_cfg)
+        if any(
+            seg.reader.has_tv
+            for segs in eng._segments.values()
+            for seg in segs
+        ):
+            any_src_tv = True
         pos_votes: set[bool] = set()
         for t in live_merge_tasks(eng):
             for path in t["paths"]:
@@ -519,6 +537,11 @@ def merge_indexes(
             f"mismatch — Lucene addIndexes refuses too): with positions "
             f"{with_pos}, without {without}; rebuild one side"
         )
+
+    if base_cfg.store_term_vectors or any_src_tv:
+        import dataclasses
+
+        dst_cfg = dataclasses.replace(dst_cfg, store_term_vectors=True)
 
     rows: list[dict] = []
     if tasks:

@@ -123,3 +123,38 @@ def test_compaction_with_collections_and_fields(ray_session, tmp_path):
     assert len(eng.chain) == 1
     assert snap(eng) == pre
     assert eng.search("w00000", collection=victim, limit=10).num_rows == 0
+
+
+def test_merge_indexes_inherits_term_vector_sidecar(ray_session, tmp_path):
+    """addIndexes over sources where ANY side carries tv.parquet writes
+    the sidecar in the destination (round-4 inheritance rule)."""
+    import glob
+    import os
+
+    from lucene_plugin_ray.config import IndexConfig
+    from lucene_plugin_ray.pipelines.build import build_index
+    from lucene_plugin_ray.pipelines.fixtures import make_pages
+    from lucene_plugin_ray.pipelines.repartition import merge_indexes
+
+    import hashlib
+
+    import pyarrow.compute as pc_
+
+    pages = make_pages(160, seed=23)
+    urls = pages["url"].to_pylist()
+    mask = pa.array(
+        [int(hashlib.md5(u.encode()).hexdigest(), 16) % 2 == 0 for u in urls]
+    )
+    a = str(tmp_path / "ma")
+    b = str(tmp_path / "mb")
+    build_index(pages.filter(mask),
+                IndexConfig(index_root=a, num_partitions=2,
+                            store_term_vectors=True))
+    build_index(pages.filter(pc_.invert(mask)),
+                IndexConfig(index_root=b, num_partitions=2))
+    dst = str(tmp_path / "mdst")
+    merge_indexes([a, b], dst)
+    segs = glob.glob(os.path.join(dst, "default", "gen-*", "part-*"))
+    assert segs and all(
+        os.path.exists(os.path.join(d, "tv.parquet")) for d in segs
+    )

@@ -327,3 +327,35 @@ def test_merge_rejects_mixed_positions_capability(ray_session, tmp_path):
     with pytest.raises(ValueError, match="num_partitions must be >= 1"):
         merge_indexes([cfg_p.index_root, cfg_n.index_root],
                       str(tmp_path / "mz"), num_partitions=0)
+
+
+def test_repartition_inherits_term_vector_sidecar(ray_session, tmp_path):
+    """A re-shard of a store_term_vectors index keeps the sidecar (round-4
+    inheritance rule: caller flag OR any live source segment has
+    tv.parquet) and term vectors stay identical."""
+    import glob
+    import os
+
+    from lucene_plugin_ray.config import IndexConfig
+    from lucene_plugin_ray.pipelines.build import build_index
+    from lucene_plugin_ray.pipelines.fixtures import make_pages
+    from lucene_plugin_ray.pipelines.query import SearchEngine
+    from lucene_plugin_ray.pipelines.repartition import repartition_index
+
+    src = str(tmp_path / "tvsrc")
+    cfg = IndexConfig(index_root=src, num_partitions=4, store_term_vectors=True)
+    corpus = make_pages(200, seed=17)
+    build_index(corpus, cfg)
+    dst = str(tmp_path / "tvdst")
+    repartition_index(src, dst, 3)
+    segs = glob.glob(os.path.join(dst, "default", "gen-*", "part-*"))
+    assert segs and all(
+        os.path.exists(os.path.join(d, "tv.parquet")) for d in segs
+    )
+    es = SearchEngine(src, cfg=cfg)
+    ed = SearchEngine(
+        dst, cfg=IndexConfig(index_root=dst, num_partitions=3,
+                             store_term_vectors=True)
+    )
+    url = es.search("pagehit", limit=1)["url"][0].as_py()
+    assert ed.term_vector(url).equals(es.term_vector(url))
