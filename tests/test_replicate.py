@@ -199,3 +199,28 @@ def test_same_root_rejected(built):
     cfg, _pages = built
     with pytest.raises(ValueError, match="same"):
         replicate_index(cfg.index_root, cfg.index_root + "/")
+
+
+def test_replicate_copies_term_vector_sidecar(ray_session, tmp_path):
+    """replicate_index enumerates segment files by listing (not a fixed
+    name set), so tv.parquet rides along — pinned here."""
+    import glob
+    import os
+
+    from lucene_plugin_ray.config import IndexConfig
+    from lucene_plugin_ray.pipelines.build import build_index
+    from lucene_plugin_ray.pipelines.fixtures import make_pages
+    from lucene_plugin_ray.pipelines.replicate import replicate_index
+
+    src = str(tmp_path / "tvsrc")
+    build_index(
+        make_pages(120, seed=9),
+        IndexConfig(index_root=src, num_partitions=2,
+                    store_term_vectors=True),
+    )
+    dst = str(tmp_path / "tvdst")
+    replicate_index(src, dst)
+    segs = glob.glob(os.path.join(dst, "default", "gen-*", "part-*"))
+    assert segs and all(
+        os.path.exists(os.path.join(d, "tv.parquet")) for d in segs
+    )
