@@ -145,3 +145,30 @@ def test_triangular_pairs_exact_vs_bruteforce():
     assert (ia2 < ib2).all() and ib2.max() == 4095
     # pair set is exactly the expected triangular set (no dup/miss)
     assert len({(a, b) for a, b in zip(ia2.tolist(), ib2.tolist())}) == ia2.size
+
+
+def test_bucket_count_is_result_invariant(ray_session, monkeypatch):
+    """Changing the reducer fan-out (the LPR_FOLD_BUCKETS deploy knob)
+    must not change any fold result — only its parallel shape."""
+    from lucene_plugin_ray.functions import fold as fold_mod
+
+    rng = np.random.default_rng(9)
+    t = pa.table(
+        {
+            "k": rng.integers(0, 1000, 20_000),
+            "v": rng.integers(0, 50, 20_000),
+        }
+    )
+    outs = []
+    for b in (3, 64, 257):
+        monkeypatch.setattr(fold_mod, "_DEFAULT_BUCKETS", b)
+        out = (
+            _collect(keyed_fold(_ds(t), "k", [("v", "sum", "s"),
+                                              (None, "count_all", "n")]))
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        outs.append(out)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])
