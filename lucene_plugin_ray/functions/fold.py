@@ -27,6 +27,8 @@ float sums would pick up association noise and must keep quantized inputs.
 
 from __future__ import annotations
 
+import logging
+import math
 import os
 
 import numpy as np
@@ -35,14 +37,84 @@ import pyarrow.compute as pc
 
 from lucene_plugin_ray.functions.hashing import fnv1a_bytes_column, mix64_np
 
+logger = logging.getLogger(__name__)
+
 # Reducer fan-out for the bucket exchange.  SIZE IT TO THE DATA, not the
 # cluster: each bucket's post-combiner rows must fit one worker's heap, so
-# B ≳ fold_input_rows / target_rows_per_bucket — 64 suits the sandbox
-# corpora; a 10^12-doc deployment folding doc-keyed rows needs B in the
-# tens of thousands (same arithmetic as IndexConfig.num_partitions).  Set
-# once per deployment via LPR_FOLD_BUCKETS (README cluster section) or per
-# call via num_buckets=.
-_DEFAULT_BUCKETS = int(os.environ.get("LPR_FOLD_BUCKETS", "64"))
+# B ≳ fold_input_rows / target_rows_per_bucket.  The floor of 64 suits the
+# sandbox corpora; beyond ~64 M fold-input rows the count is derived from
+# the caller's ``est_rows`` hint (or the Dataset's metadata row count when
+# one survives the upstream transforms) so a 10^12-row deployment gets B in
+# the hundreds of thousands automatically.  ``LPR_FOLD_BUCKETS`` remains an
+# absolute per-deployment override; ``num_buckets=`` a per-call one.
+_MIN_BUCKETS = 64
+# Post-combiner rows a single reducer bucket may hold: one bucket's Arrow
+# group_by must fit a worker heap.  1 M rows × ~100 B/row keys ≈ 100 MB per
+# bucket — comfortable against a multi-GB worker heap even with the
+# group_by's own working set.
+_TARGET_ROWS_PER_BUCKET = int(os.environ.get("LPR_FOLD_TARGET_ROWS", "1000000"))
+# Backstop against absurd hints; at 2^20 buckets the exchange metadata
+# itself (not the data) starts to dominate and the deployment should raise
+# LPR_FOLD_TARGET_ROWS instead.
+_MAX_BUCKETS = 1 << 20
+
+
+def _estimate_rows(ds) -> "int | None":
+    """Row-count estimate from plan metadata only — never triggers
+    execution.  ``_meta_count`` survives only trivial plans, so as a
+    fallback this walks the logical DAG to the leaf ops (Read /
+    InputData), whose ``infer_metadata().num_rows`` Ray keeps from the
+    parquet footers — a SOURCE-row estimate that per-row transforms
+    (filters, per-doc maps) keep order-of-magnitude right.  Row-EXPANDING
+    folds (ngram explosion) should pass ``est_rows`` with their own
+    multiplier; underestimation only costs reducer fan-out, never
+    correctness."""
+    try:
+        n = ds._meta_count()
+        if n is not None:
+            return n
+    except Exception:
+        pass
+    try:
+        total = 0
+        seen_any = False
+        stack = [ds._plan._logical_plan.dag]
+        while stack:
+            op = stack.pop()
+            deps = list(op.input_dependencies)
+            if deps:
+                stack.extend(deps)
+                continue
+            meta = op.infer_metadata()
+            if meta.num_rows is None:
+                return None  # one unknown leaf poisons the estimate
+            total += meta.num_rows
+            seen_any = True
+        return total if seen_any else None
+    except Exception:
+        return None
+
+
+def auto_buckets(est_rows: "int | None") -> int:
+    """Reducer fan-out for a fold over ``est_rows`` input rows.
+
+    Precedence: the ``LPR_FOLD_BUCKETS`` env var (deployment override)
+    wins; otherwise ``ceil(est_rows / LPR_FOLD_TARGET_ROWS)`` clamped to
+    [64, 2^20]; with no estimate at all, the floor (64).  Estimates only
+    need order-of-magnitude accuracy — B is a heap bound, not a semantic
+    knob (bucket-count invariance is pinned by test)."""
+    env = os.environ.get("LPR_FOLD_BUCKETS")
+    if env:
+        return int(env)
+    if not est_rows or est_rows <= 0:
+        return _MIN_BUCKETS
+    b = math.ceil(est_rows / _TARGET_ROWS_PER_BUCKET)
+    b = max(_MIN_BUCKETS, min(_MAX_BUCKETS, b))
+    if b != _MIN_BUCKETS:
+        logger.info(
+            "fold: auto-sized %d reducer buckets for ~%d input rows", b, est_rows
+        )
+    return b
 
 # (column, arrow_fn, alias) — arrow_fn is a pyarrow group_by aggregation
 # name: "sum", "min", "max", "count", "count_all", "mean"
@@ -77,6 +149,7 @@ def bucketed_groups(
     keys: "list[str] | str",
     fn,
     num_buckets: int | None = None,
+    est_rows: int | None = None,
 ):
     """Hash-bucketed group processing: co-locate all rows of each key
     combination in one of ``num_buckets`` buckets and call ``fn`` once per
@@ -85,10 +158,15 @@ def bucketed_groups(
     per-group logic doesn't fit a builtin aggregate (sessionization,
     rolling windows, per-key pair generation).  ``fn`` must handle multiple
     keys per call (sort by key first; a key's rows never split across
-    buckets).  Same scale notes as keyed_fold."""
+    buckets).  ``est_rows`` is the caller's fold-input row estimate used to
+    auto-size the reducer fan-out (see :func:`auto_buckets`); when omitted,
+    plan metadata is consulted, then the floor applies.  Same scale notes
+    as keyed_fold."""
     keys = [keys] if isinstance(keys, str) else list(keys)
     if num_buckets is None:
-        num_buckets = _DEFAULT_BUCKETS
+        num_buckets = auto_buckets(
+            est_rows if est_rows is not None else _estimate_rows(ds)
+        )
 
     def _bucket(batch: pa.Table) -> pa.Table:
         b = (
@@ -112,6 +190,7 @@ def keyed_fold(
     keys: "list[str] | str",
     aggs: "list[AggSpec]",
     num_buckets: int | None = None,
+    est_rows: int | None = None,
 ):
     """``ds.groupby(keys).aggregate(...)`` with vectorized reducers.
 
@@ -119,6 +198,7 @@ def keyed_fold(
     ``group_by`` aggregation name (``count_all`` passes column=None).
     Returns a Dataset of one row per distinct key combination with columns
     ``keys + aliases`` (unsorted — sort downstream if order matters).
+    ``est_rows``: fold-input row estimate for reducer fan-out auto-sizing.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     arrow_aggs = [
@@ -137,7 +217,9 @@ def keyed_fold(
             cols[alias] = agg[name].combine_chunks()
         return pa.table(cols)
 
-    return bucketed_groups(ds, keys, _fold, num_buckets=num_buckets)
+    return bucketed_groups(
+        ds, keys, _fold, num_buckets=num_buckets, est_rows=est_rows
+    )
 
 
 def triangular_pairs(

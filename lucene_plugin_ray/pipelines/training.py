@@ -2345,8 +2345,15 @@ def doc_dup_stats(
         )
 
     if strategy == "join":
+        # window explosion: fold input is ~tokens-per-doc rows per source
+        # row — seed auto_buckets with docs × 256 (order of magnitude)
+        from lucene_plugin_ray.functions.fold import _estimate_rows
+
+        _docs = _estimate_rows(_w(sf_dir))
+        _win_est = _docs * 256 if _docs else None
         dup = (
-            keyed_fold(_w(sf_dir), "ngram", [(None, "count_all", "n_docs")])
+            keyed_fold(_w(sf_dir), "ngram", [(None, "count_all", "n_docs")],
+                       est_rows=_win_est)
             .filter(expr="n_docs > 1")
             .drop_columns(["n_docs"])
         )
@@ -2356,9 +2363,11 @@ def doc_dup_stats(
                             on=("ngram",)),
             "doc_id",
             [(None, "count_all", "n_dup_windows")],
+            est_rows=_win_est,
         )
         per_doc_total = keyed_fold(
-            _w(sf_dir), "doc_id", [(None, "count_all", "n_windows")]
+            _w(sf_dir), "doc_id", [(None, "count_all", "n_windows")],
+            est_rows=_win_est,
         )
         joined = per_doc_total.join(
             per_doc_dup, join_type="left_outer", num_partitions=nparts, on=("doc_id",)

@@ -113,8 +113,9 @@ def term_stats(
     """Corpus-global (field, term) → (df, total_tf) via per-batch
     combiner + one vectorized keyed fold; result is small
     (vocabulary-sized) and term-sorted."""
-    from lucene_plugin_ray.functions.fold import keyed_fold
+    from lucene_plugin_ray.functions.fold import _estimate_rows, keyed_fold
 
+    src_rows = _estimate_rows(ds)
     partials = ds.map_batches(
         _PartialTermStats(cfg),
         batch_format="pyarrow",
@@ -127,9 +128,13 @@ def term_stats(
     # the combiner above — still the skew treatment) cost its bucket one
     # vectorized group and the explicit salt level is no longer needed.
     # The salt column still rides along for lineage/debug of the combiner.
+    # Fold input is ROW-EXPANDED vs the doc source: each doc contributes
+    # ~one partial row per distinct (field, term) it holds — estimate 64
+    # per doc (order-of-magnitude is all auto_buckets needs).
     folded = keyed_fold(
         partials,
         ["field", "term"],
         [("df", "sum", "df"), ("total_tf", "sum", "total_tf")],
+        est_rows=(src_rows * 64 if src_rows else None),
     )
     return folded.sort(["field", "term"])
