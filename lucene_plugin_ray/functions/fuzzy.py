@@ -115,6 +115,29 @@ def fuzzy_match_mask(base: str, terms: np.ndarray, max_edits: int) -> np.ndarray
     idx = np.flatnonzero(cand)
     if idx.size == 0:
         return mask
+    # Bag-distance prefilter before the O(m·maxlen) DP: every edit op
+    # (sub/ins/del) changes each side's character bag by ≤ 1 and a
+    # transposition by 0, so BD = max(|base|,|t|) − Σ_c min(cnt) is a true
+    # lower bound on DL — rejecting BD > e is exact.  One padded-matrix
+    # pass per DISTINCT base char (≪ the DP's m×maxlen passes) typically
+    # prunes most length-filtered candidates, shrinking the DP input.
+    if idx.size > 64 and base:
+        u = terms[idx].astype(str)
+        mat_w = u.dtype.itemsize // 4
+        common = np.zeros(idx.size, np.int64)
+        if mat_w:
+            bag_mat = u.view(np.uint32).reshape(idx.size, mat_w)
+            counts: dict[str, int] = {}
+            for ch in base:
+                counts[ch] = counts.get(ch, 0) + 1
+            for ch, kc in counts.items():
+                common += np.minimum(
+                    np.count_nonzero(bag_mat == ord(ch), axis=1), kc
+                )
+        bd = np.maximum(lens[idx], len(base)) - common
+        idx = idx[bd <= max_edits]
+        if idx.size == 0:
+            return mask
     osa = osa_distances(base, terms[idx], max_edits + 1)
     mask[idx[osa <= max_edits]] = True
     if max_edits == 2:
