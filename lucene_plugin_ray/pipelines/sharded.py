@@ -413,6 +413,12 @@ class _ShardActor:
             partitions=set(partitions),
         )
 
+    def node_id(self) -> str:
+        """Which cluster node hosts this shard — deployment introspection
+        (scripts/two_node_smoke.py asserts the fleet SPREADs across
+        nodes; ops dashboards map shards to hosts with it)."""
+        return ray.get_runtime_context().get_node_id()
+
     def stats_and_dfs(
         self, terms_by_coll: dict[str, list[tuple[str, str]]]
     ) -> tuple[dict, dict]:
@@ -849,8 +855,12 @@ class ShardedSearcherService:
         # classify's V (distinct text vocab) per collection — a property of
         # the generation-pinned fleet, gathered once per service lifetime
         self._vocab_union_cache: dict[str, int] = {}
+        # SPREAD: a serving fleet wants one shard's heap/postings per node
+        # slot, not all shards packed onto the head node — balances memory
+        # and fans query CPU across the cluster (verified on a real 2-node
+        # cluster by scripts/two_node_smoke.py; no-op under address="local")
         self.actors = [
-            _ShardActor.remote(
+            _ShardActor.options(scheduling_strategy="SPREAD").remote(
                 index_root, self.generation, self.cfg, spec["partitions"]
             )
             for spec in specs
