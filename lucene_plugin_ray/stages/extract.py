@@ -23,8 +23,17 @@ Extractors are dependency-free (this container has no Tika/media libs):
   (CID fonts, object streams) fall back to empty text rather than garbage;
 * **rtf** — group-aware control-word scanner (destination skipping,
   ``\\'hh`` hex and ``\\uN`` unicode escapes, paragraph specials);
+* **xlsx** — shared-string table resolved per cell, inline strings and
+  numeric values verbatim, rows → lines (OOXML detected by part-path
+  probe ``xl/workbook.xml`` inside the zip);
+* **pptx** — ``<a:t>`` runs per ``ppt/slides/slideN.xml`` in slide
+  order (part-path probe ``ppt/presentation.xml``);
 * **odt** — ``content.xml`` out of the ODF zip (detected via the spec's
   mandatory first ``mimetype`` entry), tag strip + entity decode;
+* **ods** / **odp** — same mimetype probe
+  ('…opendocument.spreadsheet' / '…presentation'); ods adds row/cell
+  separators before the tag strip, odp rides the odt path (slide text
+  lives in ``<text:p>``);
 * **epub** — same zip-mimetype probe ('application/epub+zip'); every
   XHTML content document through the html stripper, <head> dropped;
 * **md** / **csv** — content-heuristic detection (no magic bytes; Tika
@@ -96,10 +105,23 @@ def sniff_format(raw: bytes) -> str:
         return "rtf"
     if raw.startswith(b"PK\x03\x04"):
         if raw[30:38] == b"mimetype":
-            if b"opendocument" in raw[38:100]:
+            mt = raw[38:120]
+            if b"opendocument" in mt:
+                if b"spreadsheet" in mt:
+                    return "ods"
+                if b"presentation" in mt:
+                    return "odp"
                 return "odt"
-            if b"epub" in raw[38:100]:
+            if b"epub" in mt:
                 return "epub"
+        # OOXML: no mimetype entry; the payload type is named by the part
+        # paths (zip entry names appear verbatim in the local headers and
+        # the central directory — three memchr-speed scans, exactly the
+        # name probe Tika's zip detector runs)
+        if b"xl/workbook.xml" in raw:
+            return "xlsx"
+        if b"ppt/presentation.xml" in raw:
+            return "pptx"
         return "docx"
     head = raw[:512].lstrip()
     if head[:1] == b"<":
@@ -193,6 +215,16 @@ class AutoExtract:
             rb"|([^\\{}]+)"
         )
         self.epub_head = re.compile(rb"(?is)<head[^>]*>.*?</head>")
+        # OOXML spreadsheet/presentation parts (round 5: xlsx/pptx/ods/odp)
+        self.xlsx_si = re.compile(rb"<si>(.*?)</si>", re.S)
+        self.xlsx_t = re.compile(rb"<t(?:\s[^>]*)?>(.*?)</t>", re.S)
+        self.xlsx_c = re.compile(rb"<c\b([^>]*)>(.*?)</c>", re.S)
+        self.xlsx_v = re.compile(rb"<v(?:\s[^>]*)?>(.*?)</v>", re.S)
+        self.xlsx_row = re.compile(rb"</row>")
+        self.xlsx_ts = re.compile(rb"""\bt\s*=\s*["']([^"']+)["']""")
+        self.pptx_t = re.compile(rb"<a:t(?:\s[^>]*)?>(.*?)</a:t>", re.S)
+        self.ods_row = re.compile(rb"</table:table-row>")
+        self.ods_cell = re.compile(rb"</table:table-cell>")
         self.md_fence = re.compile(r"```.*?```", re.S)
         self.md_img = re.compile(r"!\[([^\]]*)\]\([^)]*\)")
         self.md_link = re.compile(r"\[([^\]]*)\]\([^)]*\)")
@@ -265,6 +297,105 @@ class AutoExtract:
             return ""
         s = self.odt_p.sub(b"\n", doc).decode("utf-8", errors="replace")
         s = self.tag.sub(" ", s)
+        s = _html.unescape(s)
+        return self.ws.sub(" ", s).strip()
+
+    def _xlsx(self, raw: bytes) -> str:
+        """OOXML spreadsheet: shared-string table resolved per cell
+        (``t="s"`` cells hold an index into ``xl/sharedStrings.xml``, NOT
+        text — emitting the raw ``<v>`` would print row numbers), inline
+        strings and numeric values verbatim; cells joined by spaces, rows
+        by newlines, sheets in zip order (Tika's XSSF text shape)."""
+        import io
+        import zipfile
+
+        try:
+            with zipfile.ZipFile(io.BytesIO(raw)) as z:
+                names = z.namelist()
+                sst: list[str] = []
+                if "xl/sharedStrings.xml" in names:
+                    for si in self.xlsx_si.finditer(z.read("xl/sharedStrings.xml")):
+                        runs = [m.group(1) for m in self.xlsx_t.finditer(si.group(1))]
+                        sst.append(
+                            _html.unescape(
+                                b"".join(runs).decode("utf-8", errors="replace")
+                            )
+                        )
+                lines: list[str] = []
+                for name in names:
+                    if not (name.startswith("xl/worksheets/")
+                            and name.endswith(".xml")):
+                        continue
+                    for rowchunk in self.xlsx_row.split(z.read(name)):
+                        cells: list[str] = []
+                        for cm in self.xlsx_c.finditer(rowchunk):
+                            attrs, inner = cm.group(1), cm.group(2)
+                            tm = self.xlsx_ts.search(attrs)
+                            ctype = tm.group(1) if tm else b"n"
+                            if ctype == b"s":
+                                vm = self.xlsx_v.search(inner)
+                                if vm:
+                                    try:
+                                        cells.append(sst[int(vm.group(1))])
+                                    except (ValueError, IndexError):
+                                        pass
+                            elif ctype == b"inlineStr":
+                                runs = [m.group(1)
+                                        for m in self.xlsx_t.finditer(inner)]
+                                cells.append(_html.unescape(
+                                    b"".join(runs).decode("utf-8", errors="replace")))
+                            else:  # n / b / str / e — the <v> text verbatim
+                                vm = self.xlsx_v.search(inner)
+                                if vm:
+                                    cells.append(_html.unescape(
+                                        vm.group(1).decode("utf-8", errors="replace")))
+                        if cells:
+                            lines.append(" ".join(cells))
+        except (zipfile.BadZipFile, KeyError):
+            return ""
+        return self.ws.sub(" ", "\n".join(lines)).strip()
+
+    def _pptx(self, raw: bytes) -> str:
+        """OOXML presentation: every ``ppt/slides/slideN.xml`` in slide
+        order (numeric sort — zip order is arbitrary), ``<a:t>`` runs
+        joined, slides separated (Tika's XSLF text shape).  Notes and
+        masters are skipped — metadata, not content."""
+        import io
+        import re as _re
+        import zipfile
+
+        try:
+            with zipfile.ZipFile(io.BytesIO(raw)) as z:
+                slides = sorted(
+                    (n for n in z.namelist()
+                     if _re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
+                    key=lambda n: int(_re.search(r"\d+", n.rsplit("/", 1)[1]).group()),
+                )
+                parts: list[str] = []
+                for name in slides:
+                    runs = [m.group(1) for m in self.pptx_t.finditer(z.read(name))]
+                    if runs:
+                        parts.append(_html.unescape(
+                            b" ".join(runs).decode("utf-8", errors="replace")))
+        except (zipfile.BadZipFile, KeyError):
+            return ""
+        return self.ws.sub(" ", "\n".join(parts)).strip()
+
+    def _ods(self, raw: bytes) -> str:
+        """ODF spreadsheet: ``content.xml`` with rows → newlines and cells
+        → spaces before the generic tag strip (the odt pattern, plus the
+        table separators)."""
+        import io
+        import zipfile
+
+        try:
+            with zipfile.ZipFile(io.BytesIO(raw)) as z:
+                doc = z.read("content.xml")
+        except (zipfile.BadZipFile, KeyError):
+            return ""
+        doc = self.ods_row.sub(b"\n", doc)
+        doc = self.ods_cell.sub(b" ", doc)
+        s = self.tag.sub(" ", doc.decode("utf-8", errors="replace"))
         s = _html.unescape(s)
         return self.ws.sub(" ", s).strip()
 
@@ -445,9 +576,13 @@ class AutoExtract:
             "xml": self._xml,
             "json": self._json,
             "docx": self._docx,
+            "xlsx": self._xlsx,
+            "pptx": self._pptx,
             "pdf": self._pdf,
             "rtf": self._rtf,
             "odt": self._odt,
+            "ods": self._ods,
+            "odp": self._odt,  # draw frames hold <text:p> — the odt path
             "epub": self._epub,
             "md": self._md,
             "csv": self._csv,
