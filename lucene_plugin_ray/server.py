@@ -42,6 +42,159 @@ from lucene_plugin_ray.config import IndexConfig
 from lucene_plugin_ray.facade import LuceneException, LuceneFacade
 from lucene_plugin_ray.functions.queryparse import QueryParseError
 
+# ---- demo UI (round 5; ≙ web/src/main/resources/public/index.html +
+# lucene-client.js — same two forms / five calls, written from scratch
+# against this server's endpoints) ----------------------------------------
+
+_CLIENT_JS = """\
+// Browser client for the lucene_plugin_ray HTTP service — the same call
+// surface the reference's JS client exposes: indexText / indexMap /
+// search / deleteDoc / clear.
+function LuceneClient(base) { this.base = base; }
+
+LuceneClient.prototype._post = function (op, params, cb) {
+  fetch(this.base + "/" + op, {
+    method: "POST",
+    headers: {"Content-Type": "application/x-www-form-urlencoded"},
+    body: new URLSearchParams(params).toString(),
+  }).then(function (r) { return r.json(); })
+    .then(function (j) { if (cb) cb(j); });
+};
+
+LuceneClient.prototype.indexText = function (collection, extId, text, cb) {
+  this._post("index-text", {collection: collection, id: extId, text: text}, cb);
+};
+
+LuceneClient.prototype.indexMap = function (collection, extId, map, cb) {
+  var params = {collection: collection, id: extId};
+  for (var k in map) if (Object.hasOwn(map, k)) params[k] = map[k];
+  this._post("index-map", params, cb);
+};
+
+LuceneClient.prototype.search = function (collection, query, limit, cb) {
+  var qs = new URLSearchParams(
+    {collection: collection, query: query, limit: limit}).toString();
+  fetch(this.base + "/search?" + qs)
+    .then(function (r) {
+      return r.json().then(function (j) { return {ok: r.ok, body: j}; });
+    })
+    .then(function (res) {
+      if (!res.ok) { cb(null, res.body.error); return; }
+      cb(res.body.map(function (hit) { return hit._externalId; }), null);
+    });
+};
+
+LuceneClient.prototype.deleteDoc = function (collection, extId, cb) {
+  this._post("delete", {collection: collection, id: extId}, cb);
+};
+
+LuceneClient.prototype.clear = function (collection, cb) {
+  this._post("clear", {collection: collection}, cb);
+};
+"""
+
+_INDEX_HTML = """\
+<!DOCTYPE html>
+<html lang="en">
+<head>
+<meta charset="utf-8">
+<title>lucene_plugin_ray demo</title>
+<script src="lucene-client.js"></script>
+<style>
+  body { font-family: sans-serif; max-width: 46rem; margin: 2rem auto; }
+  fieldset { margin-bottom: 1.5rem; }
+  label { display: inline-block; min-width: 11rem; }
+  input[type=text] { width: 24rem; }
+  .row { margin: .3rem 0; }
+  .out { color: #046; font-weight: bold; min-height: 1.2em; }
+</style>
+<script>
+var client;
+window.addEventListener("DOMContentLoaded", function () {
+  client = new LuceneClient(window.location.origin + "%BASE%");
+});
+function $(id) { return document.getElementById(id); }
+
+function textIndex() {
+  client.indexText($("tColl").value, $("tId").value, $("tValue").value,
+    function () { $("tOut").textContent = "indexed " + $("tId").value; });
+  return false;
+}
+function textSearch() {
+  client.search($("tColl").value, $("tValue").value, 255,
+    function (ids, err) {
+      $("tOut").textContent =
+        err ? ("error: " + err) : (ids.length ? ids.join(", ") : "Not Found");
+    });
+  return false;
+}
+function mapIndex() {
+  var m = {};
+  for (var i = 0; i < 3; i++) {
+    var k = $("mName" + i).value, v = $("mValue" + i).value;
+    if (k) m[k] = v;
+  }
+  client.indexMap($("mColl").value, $("mId").value, m,
+    function () { $("mOut").textContent = "indexed " + $("mId").value; });
+  return false;
+}
+function mapSearch() {
+  client.search($("mColl").value, $("mQuery").value, 255,
+    function (ids, err) {
+      $("mOut").textContent =
+        err ? ("error: " + err) : (ids.length ? ids.join(", ") : "Not Found");
+    });
+  return false;
+}
+</script>
+</head>
+<body>
+<h1>lucene_plugin_ray</h1>
+
+<h2>Plain text: index &amp; search</h2>
+<form id="text" onsubmit="return false;">
+<fieldset>
+  <div class="row"><label for="tColl">Collection</label>
+    <input type="text" id="tColl" value="text-collection"></div>
+  <div class="row"><label for="tId">External id</label>
+    <input type="text" id="tId" placeholder="doc-1"></div>
+  <div class="row"><label for="tValue">Text to index / query</label>
+    <input type="text" id="tValue" placeholder="mary had a little lamb"></div>
+  <div class="row">
+    <button onclick="return textIndex()">Index</button>
+    <button onclick="return textSearch()">Search</button>
+    <span class="out" id="tOut"></span></div>
+</fieldset>
+</form>
+
+<h2>Field map: index &amp; search</h2>
+<form id="map" onsubmit="return false;">
+<fieldset>
+  <div class="row"><label for="mColl">Collection</label>
+    <input type="text" id="mColl" value="map-collection"></div>
+  <div class="row"><label for="mId">External id</label>
+    <input type="text" id="mId" placeholder="doc-1"></div>
+  <div class="row"><label for="mName0">Field 0 / value</label>
+    <input type="text" id="mName0" value="firstName" style="width:10rem">
+    <input type="text" id="mValue0" value="Harry" style="width:13rem"></div>
+  <div class="row"><label for="mName1">Field 1 / value</label>
+    <input type="text" id="mName1" value="lastName" style="width:10rem">
+    <input type="text" id="mValue1" value="Potter" style="width:13rem"></div>
+  <div class="row"><label for="mName2">Field 2 / value</label>
+    <input type="text" id="mName2" style="width:10rem">
+    <input type="text" id="mValue2" style="width:13rem"></div>
+  <div class="row"><label for="mQuery">Query</label>
+    <input type="text" id="mQuery" placeholder="firstName:harry"></div>
+  <div class="row">
+    <button onclick="return mapIndex()">Index</button>
+    <button onclick="return mapSearch()">Search</button>
+    <span class="out" id="mOut"></span></div>
+</fieldset>
+</form>
+</body>
+</html>
+"""
+
 
 class LuceneHttpService:
     """Serve a :class:`LuceneFacade` over HTTP on ``host:port``
@@ -87,8 +240,28 @@ class LuceneHttpService:
                 raw = self.rfile.read(n).decode() if n else ""
                 return dict(parse_qsl(raw, keep_blank_values=True))
 
+            def _static(self, body: str, ctype: str) -> None:
+                data = body.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
             def _route(self, verb: str) -> None:
                 url = urlsplit(self.path)
+                if verb == "GET" and url.path in ("/", "/index.html"):
+                    # demo UI (≙ the reference's public/index.html)
+                    self._static(
+                        _INDEX_HTML.replace("%BASE%", service.base_path),
+                        "text/html; charset=utf-8",
+                    )
+                    return
+                if verb == "GET" and url.path == "/lucene-client.js":
+                    self._static(
+                        _CLIENT_JS, "application/javascript; charset=utf-8"
+                    )
+                    return
                 if not url.path.startswith(service.base_path + "/"):
                     self._respond(404, {"error": f"unknown path {url.path}"})
                     return

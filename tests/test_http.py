@@ -250,3 +250,45 @@ def test_http_snippets(ray_session, tmp_path):
         assert e.value.code == 400
     finally:
         service.shutdown()
+
+
+def test_http_demo_ui_served(svc):
+    """GET / serves the demo page and /lucene-client.js the browser client
+    (≙ the reference's public/index.html + lucene-client.js); the page's
+    calls target live endpoints (probed via the same wire shapes the JS
+    issues)."""
+    import json
+    import urllib.parse
+    import urllib.request
+
+    with urllib.request.urlopen(f"{svc.url.rsplit('/', 1)[0]}/") as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/html")
+        page = r.read().decode()
+    assert "lucene-client.js" in page
+    assert 'id="text"' in page and 'id="map"' in page  # the two demo forms
+
+    base = svc.url.rsplit("/", 1)[0]
+    with urllib.request.urlopen(f"{base}/lucene-client.js") as r:
+        assert r.status == 200
+        assert "javascript" in r.headers["Content-Type"]
+        js = r.read().decode()
+    for call in ("indexText", "indexMap", "search", "deleteDoc", "clear"):
+        assert f"LuceneClient.prototype.{call}" in js
+
+    # the page's index→search round trip, exactly as the JS issues it
+    body = urllib.parse.urlencode(
+        {"collection": "ui", "id": "d1", "text": "browser demo works"}
+    ).encode()
+    req = urllib.request.Request(
+        f"{svc.url}/index-text", data=body,
+        headers={"Content-Type": "application/x-www-form-urlencoded"},
+    )
+    with urllib.request.urlopen(req) as r:
+        assert json.loads(r.read()) is True
+    qs = urllib.parse.urlencode(
+        {"collection": "ui", "query": "browser", "limit": 255}
+    )
+    with urllib.request.urlopen(f"{svc.url}/search?{qs}") as r:
+        hits = json.loads(r.read())
+    assert [h["_externalId"] for h in hits] == ["d1"]
