@@ -360,6 +360,24 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     queries["query_aux_p50_warm"] = round(_pct(lat_aux, 0.5), 4)
     queries["query_aux_p99_warm"] = round(_pct(lat_aux, 0.99), 4)
 
+    # name the tail: the p99 under the per-op-min protocol IS one op's
+    # steady-state cost — record which, so a regression is attributable
+    # without a separate profiling session
+    def _op_label(fn):
+        import inspect
+        import re as _re
+
+        try:
+            m = _re.search(r"eng1?0?\.([a-zA-Z_]+)", inspect.getsource(fn))
+            return m.group(1) if m else "?"
+        except Exception:
+            return "?"
+
+    out["aux_tail_ops"] = {
+        _op_label(aux_ops[i]): round(lat_aux[i], 4)
+        for i in sorted(range(len(lat_aux)), key=lambda i: -lat_aux[i])[:3]
+    }
+
     # ---- sharded batch-search throughput (the cluster-scale read path:
     # each actor pins a partition subset, two-phase df-then-score) ----
     from lucene_plugin_ray.pipelines.sharded import sharded_search
