@@ -1255,24 +1255,47 @@ class SearchEngine:
         )
         parts = []
         for si, seg in enumerate(segs):
-            t = self._score_segment_taat(
+            # all-numeric page scan: the (score desc, docid asc) segment
+            # order IS the total order (docids are url ranks), the anchor
+            # predicate needs url STRINGS only for rows TIED at
+            # after_score, and urls materialize only for the ≤ limit page
+            # rows (round 5 — the full-match-set table made paging
+            # match-set-bound in strings, not just in scoring)
+            r = seg.reader
+            scores, matched = self._eval_boolean(
                 si, seg, clauses, cache, rows, df_map, n_docs, avgdl,
-                limit=seg.reader.n_docs, min_should=min_should_match,
-                global_ttf=ttf_map,
+                min_should=min_should_match, global_ttf=ttf_map,
             )
-            if not t.num_rows:
+            cand = np.flatnonzero(matched)
+            if cand.size == 0:
                 continue
-            sc = t["score"].to_numpy()
-            urls = t["url"].to_numpy(zero_copy_only=False)
-            keep = (sc < after_score) | (
-                (sc == after_score) & (urls > after_url)
+            sc = scores[cand]
+            # anchor predicate FIRST (it commutes with the total order),
+            # then top-limit — no full-match-set sort
+            keep = sc < after_score
+            ties = np.flatnonzero(sc == after_score)
+            if ties.size:
+                keep[ties] = r.urls[cand[ties]] > after_url
+            cand, sc = cand[keep], sc[keep]
+            if cand.size == 0:
+                continue
+            if cand.size > limit:
+                kth = np.partition(sc, cand.size - limit)[cand.size - limit]
+                k2 = sc >= kth
+                cand, sc = cand[k2], sc[k2]
+            order = np.lexsort((cand, -sc))[:limit]
+            cand, sc = cand[order], sc[order]
+            parts.append(
+                pa.table(
+                    {
+                        "url": pa.array(r.urls[cand], type=pa.string()),
+                        "score": pa.array(sc, type=pa.float64()),
+                        "docid": pa.array(
+                            r.doc_base + cand, type=pa.int64()
+                        ),
+                    }
+                )
             )
-            idx = np.flatnonzero(keep)[:limit]
-            # the scorer's per-segment order IS the total order (docids are
-            # url ranks within a segment), and the boolean filter is
-            # stable, so the first ``limit`` survivors are the segment page
-            if idx.size:
-                parts.append(t.take(pa.array(idx)))
         if not parts:
             return empty
         merged = pa.concat_tables(parts)
@@ -1348,29 +1371,35 @@ class SearchEngine:
         scale = float(scale_us)
         parts = []
         for si, seg in enumerate(segs):
-            t = self._score_segment_taat(
-                si, seg, clauses, cache, rows, df_map, n_docs, avgdl,
-                limit=seg.reader.n_docs, global_ttf=ttf_map,
-            )
-            if not t.num_rows:
-                continue
+            # all-numeric: recency weight + truncation over arrays, urls
+            # only for the per-segment winners (round 5)
             r = seg.reader
-            local = t["docid"].to_numpy() - r.doc_base
-            ts = r.warc_ts.astype(np.int64, copy=False)[local]
+            scores, matched = self._eval_boolean(
+                si, seg, clauses, cache, rows, df_map, n_docs, avgdl,
+                global_ttf=ttf_map,
+            )
+            cand = np.flatnonzero(matched)
+            if cand.size == 0:
+                continue
+            ts = r.warc_ts.astype(np.int64, copy=False)[cand]
             age = np.maximum(now_us - ts, 0).astype(np.float64)
-            final = t["score"].to_numpy() * (scale / (scale + age))
+            final = scores[cand] * (scale / (scale + age))
+            if cand.size > limit:
+                kth = np.partition(final, cand.size - limit)[cand.size - limit]
+                keep = final >= kth
+                cand, final = cand[keep], final[keep]
             # segment-local tiebreak: docid asc == url asc within a
             # segment (docids are url-ranks), so the numeric lexsort
-            # replaces the object-array url sort over the full match set
-            order = np.lexsort((t["docid"].to_numpy(), -final))[:limit]
-            urls = t["url"].to_numpy(zero_copy_only=False)
+            # replaces the object-array url sort
+            order = np.lexsort((cand, -final))[:limit]
+            cand, final = cand[order], final[order]
             parts.append(
                 pa.table(
                     {
-                        "url": pa.array(urls[order], type=pa.string()),
-                        "score": pa.array(final[order], type=pa.float64()),
+                        "url": pa.array(r.urls[cand], type=pa.string()),
+                        "score": pa.array(final, type=pa.float64()),
                         "docid": pa.array(
-                            t["docid"].to_numpy()[order], type=pa.int64()
+                            r.doc_base + cand, type=pa.int64()
                         ),
                     }
                 )
@@ -1492,33 +1521,42 @@ class SearchEngine:
         )
         parts = []
         for si, seg in enumerate(segs):
-            t = self._score_segment_taat(
-                si, seg, clauses, cache, rows, df_map, n_docs, avgdl,
-                limit=seg.reader.n_docs, global_ttf=ttf_map,
-            )
-            if not t.num_rows:
-                continue
+            # score arrays, demote, TRUNCATE — and only then materialize
+            # urls for the per-segment winners: the full match set never
+            # becomes strings/tables (round 5 — materializing every
+            # matched url made this op 5× a plain search at 200k docs)
             r = seg.reader
-            local = t["docid"].to_numpy() - r.doc_base
+            scores, matched = self._eval_boolean(
+                si, seg, clauses, cache, rows, df_map, n_docs, avgdl,
+                global_ttf=ttf_map,
+            )
+            cand = np.flatnonzero(matched)
+            if cand.size == 0:
+                continue
+            final = scores[cand].copy()
             neg = self._match_segment(si, seg, nclauses, {}, {})
-            final = t["score"].to_numpy().copy()
             if neg.size:
-                pos_idx = np.searchsorted(neg, local)
+                pos_idx = np.searchsorted(neg, cand)
                 pos_cl = np.minimum(pos_idx, neg.size - 1)
-                demoted = neg[pos_cl] == local
-                final[demoted] *= demote
+                final[neg[pos_cl] == cand] *= demote
+            if cand.size > limit:
+                # keep every candidate at/above the k-th FINAL score so
+                # the (score desc, docid asc) tiebreak stays exact
+                kth = np.partition(final, cand.size - limit)[cand.size - limit]
+                keep = final >= kth
+                cand, final = cand[keep], final[keep]
             # segment-local tiebreak: docid asc == url asc within a
             # segment (docids are url-ranks), so the numeric lexsort
-            # replaces the object-array url sort over the full match set
-            order = np.lexsort((t["docid"].to_numpy(), -final))[:limit]
-            urls = t["url"].to_numpy(zero_copy_only=False)
+            # replaces the object-array url sort
+            order = np.lexsort((cand, -final))[:limit]
+            cand, final = cand[order], final[order]
             parts.append(
                 pa.table(
                     {
-                        "url": pa.array(urls[order], type=pa.string()),
-                        "score": pa.array(final[order], type=pa.float64()),
+                        "url": pa.array(r.urls[cand], type=pa.string()),
+                        "score": pa.array(final, type=pa.float64()),
                         "docid": pa.array(
-                            t["docid"].to_numpy()[order], type=pa.int64()
+                            r.doc_base + cand, type=pa.int64()
                         ),
                     }
                 )
@@ -1630,29 +1668,42 @@ class SearchEngine:
         )
         parts = []
         for si, seg in enumerate(segs):
-            t = self._score_segment_taat(
-                si, seg, clauses, cache, rows, df_map, n_docs, avgdl,
-                limit=seg.reader.n_docs, global_ttf=ttf_map,
-            )
-            if not t.num_rows:
-                continue
+            # all-numeric until after the diversify cap: scores + int key
+            # codes over the full match set, urls/strings only for the
+            # ≤ limit survivors (round 5 — materializing every matched
+            # url made this op ~4× a plain search at 200k docs)
             r = seg.reader
-            local = t["docid"].to_numpy() - r.doc_base
+            scores, matched = self._eval_boolean(
+                si, seg, clauses, cache, rows, df_map, n_docs, avgdl,
+                global_ttf=ttf_map,
+            )
+            cand = np.flatnonzero(matched)
+            if cand.size == 0:
+                continue
             # int key codes (dictionary rows) — the cap only needs key
             # IDENTITY; strings materialize for the <= limit survivors
             codes, terms = self._doc_field_codes(si, seg, key_field)
-            csub = codes[local]
+            csub = codes[cand]
+            docids = r.doc_base + cand
             sel = _diversify_codes(
-                t["score"].to_numpy(), t["docid"].to_numpy(), csub,
-                max_per_key, limit,
+                scores[cand], docids, csub, max_per_key, limit,
             )
-            t = t.take(pa.array(sel))
+            csel = cand[sel]
             ksel = csub[sel]
             keys = np.full(ksel.size, None, dtype=object)
             got = ksel >= 0
             keys[got] = terms[ksel[got]]
             parts.append(
-                t.append_column("key", pa.array(keys, pa.string()))
+                pa.table(
+                    {
+                        "url": pa.array(r.urls[csel], type=pa.string()),
+                        "score": pa.array(
+                            scores[cand][sel], type=pa.float64()
+                        ),
+                        "key": pa.array(keys, pa.string()),
+                        "docid": pa.array(docids[sel], type=pa.int64()),
+                    }
+                )
             )
         if not parts:
             return empty
@@ -1731,31 +1782,33 @@ class SearchEngine:
         )
         parts = []
         for si, seg in enumerate(segs):
-            t = self._score_segment_taat(
-                si, seg, clauses, cache, rows, df_map, n_docs, avgdl,
-                limit=seg.reader.n_docs, global_ttf=ttf_map,
-            )
-            if not t.num_rows:
-                continue
+            # all-numeric: expression over score/doc arrays, urls only for
+            # the per-segment winners (round 5)
             r = seg.reader
-            local = t["docid"].to_numpy() - r.doc_base
+            scores, matched = self._eval_boolean(
+                si, seg, clauses, cache, rows, df_map, n_docs, avgdl,
+                global_ttf=ttf_map,
+            )
+            cand = np.flatnonzero(matched)
+            if cand.size == 0:
+                continue
             # bind only the per-doc sources the compiled expression READS
             # — an expression like '_score * 2' skips both O(matches)
             # gathers (compile_expression reports the used-name set)
-            env: dict = {"_score": t["score"].to_numpy(), **bindings}
+            env: dict = {"_score": scores[cand], **bindings}
             if "doc_len" in used:
                 env["doc_len"] = r.doc_len[self.cfg.text_column][
-                    local
+                    cand
                 ].astype(np.float64)
             if "warc_ts" in used:
-                env["warc_ts"] = r.warc_ts[local].astype(np.float64)
+                env["warc_ts"] = r.warc_ts[cand].astype(np.float64)
             # IEEE semantics without warning spam: /0 and invalid ops
             # produce inf/NaN silently here, then NaN is rejected below
             with np.errstate(invalid="ignore", divide="ignore"):
                 final = np.asarray(expr_fn(env), dtype=np.float64)
-            if final.shape != (t.num_rows,):
+            if final.shape != (cand.size,):
                 # a constant expression broadcasts to the match set
-                final = np.broadcast_to(final, (t.num_rows,)).astype(
+                final = np.broadcast_to(final, (cand.size,)).astype(
                     np.float64
                 )
             if np.isnan(final).any():
@@ -1775,20 +1828,23 @@ class SearchEngine:
                     keep_r &= final <= hi_r
                 if not keep_r.any():
                     continue
-                t = t.filter(pa.array(keep_r))
-                final = final[keep_r]
+                cand, final = cand[keep_r], final[keep_r]
+            if cand.size > limit:
+                kth = np.partition(final, cand.size - limit)[cand.size - limit]
+                keep = final >= kth
+                cand, final = cand[keep], final[keep]
             # segment-local tiebreak: docid asc == url asc within a
             # segment (docids are url-ranks), so the numeric lexsort
-            # replaces the object-array url sort over the full match set
-            order = np.lexsort((t["docid"].to_numpy(), -final))[:limit]
-            urls = t["url"].to_numpy(zero_copy_only=False)
+            # replaces the object-array url sort
+            order = np.lexsort((cand, -final))[:limit]
+            cand, final = cand[order], final[order]
             parts.append(
                 pa.table(
                     {
-                        "url": pa.array(urls[order], type=pa.string()),
-                        "score": pa.array(final[order], type=pa.float64()),
+                        "url": pa.array(r.urls[cand], type=pa.string()),
+                        "score": pa.array(final, type=pa.float64()),
                         "docid": pa.array(
-                            t["docid"].to_numpy()[order], type=pa.int64()
+                            r.doc_base + cand, type=pa.int64()
                         ),
                     }
                 )
@@ -1903,26 +1959,42 @@ class SearchEngine:
             fmatch = self._match_segment(si, seg, fclauses, {}, {})
             if fmatch.size == 0:
                 continue
-            t = self._score_segment_taat(
+            # all-numeric: score arrays → filter intersection → top-limit,
+            # urls materialized only for the per-segment winners (round 5
+            # — the full-match-set table + url-object sort made this op
+            # ~8× a plain search at 200k docs); docid asc == url asc
+            # within a segment (docids are url-ranks)
+            r = seg.reader
+            scores, matched = self._eval_boolean(
                 si, seg, clauses, cache, rows, df, n_docs, avgdl,
-                limit=seg.reader.n_docs, global_ttf=ttf_map,
+                global_ttf=ttf_map,
             )
-            if not t.num_rows:
+            cand = np.flatnonzero(matched)
+            if cand.size == 0:
                 continue
-            local = t["docid"].to_numpy() - seg.reader.doc_base
-            pos = np.searchsorted(fmatch, local)
+            pos = np.searchsorted(fmatch, cand)
             pos_cl = np.minimum(pos, fmatch.size - 1)
-            keep = fmatch[pos_cl] == local
-            if not keep.any():
+            cand = cand[fmatch[pos_cl] == cand]
+            if cand.size == 0:
                 continue
-            t = t.filter(pa.array(keep))
-            order = np.lexsort(
-                (
-                    t["url"].to_numpy(zero_copy_only=False),
-                    -t["score"].to_numpy(),
+            sc = scores[cand]
+            if cand.size > limit:
+                kth = np.partition(sc, cand.size - limit)[cand.size - limit]
+                keep = sc >= kth
+                cand, sc = cand[keep], sc[keep]
+            order = np.lexsort((cand, -sc))[:limit]
+            cand, sc = cand[order], sc[order]
+            parts.append(
+                pa.table(
+                    {
+                        "url": pa.array(r.urls[cand], type=pa.string()),
+                        "score": pa.array(sc, type=pa.float64()),
+                        "docid": pa.array(
+                            r.doc_base + cand, type=pa.int64()
+                        ),
+                    }
                 )
-            )[:limit]
-            parts.append(t.take(pa.array(order)))
+            )
         if not parts:
             return empty
         merged = pa.concat_tables(parts)
@@ -2139,29 +2211,22 @@ class SearchEngine:
                 present = (i < r.n_docs) & (r.urls[i_cl] == sorted_w)
                 if not present.any():
                     continue
-                t2 = self._score_segment_taat(
+                # direct gather off the dense score array: _eval_boolean
+                # already indexes scores by LOCAL docid, so the window
+                # rows' local ids (i[present], from the url probe above)
+                # read their second score with no sort/searchsorted and no
+                # full-match-set table (round 5; url semantics preserved
+                # exactly — a url alive in this segment resolves to one
+                # local id, a shadowed probe hit is unmatched either way)
+                scores2, matched2 = self._eval_boolean(
                     si, seg, clauses2, cache2, rows2, df2, n_docs, avgdl,
-                    limit=r.n_docs, global_ttf=ttf2,
+                    global_ttf=ttf2,
                 )
-                if not t2.num_rows:
-                    continue
-                # numeric gather: within this segment the window rows'
-                # LOCAL docids (i[present], from the url probe above) are
-                # matched against t2's local docids — int searchsorted
-                # instead of an object-url searchsorted over the rescore
-                # query's full match set (measured 43 ms/call at 200k
-                # docs); url semantics preserved exactly (a url alive in
-                # this segment resolves to one local id, a shadowed probe
-                # hit is absent from t2 either way)
-                s2 = t2["score"].to_numpy()
-                t2_loc = t2["docid"].to_numpy() - r.doc_base
-                o2 = np.argsort(t2_loc)
-                t2_sorted = t2_loc[o2]
                 win_loc = i[present]
-                p2 = np.searchsorted(t2_sorted, win_loc)
-                p2_cl = np.minimum(p2, t2_sorted.size - 1)
-                hit = t2_sorted[p2_cl] == win_loc
-                second[w_order[np.flatnonzero(present)[hit]]] = s2[o2[p2_cl[hit]]]
+                hit = matched2[win_loc]
+                second[w_order[np.flatnonzero(present)[hit]]] = scores2[
+                    win_loc[hit]
+                ]
 
         final = w_scores + weight * second
         order = np.lexsort((w_urls, -final))[:limit]
@@ -2648,8 +2713,11 @@ class SearchEngine:
             if matched.size == 0:
                 continue
             r = seg.reader
-            keys = _keys(si, seg, matched)
             if after_keys is not None:
+                # anchored paging compares against caller VALUES — the
+                # string path (pages are limit-sized; the unanchored path
+                # below is the hot one)
+                keys = _keys(si, seg, matched)
                 keep = sorted_after_mask(
                     keys, r.urls[matched], fields, after_keys, after_url
                 )
@@ -2657,20 +2725,71 @@ class SearchEngine:
                     continue
                 matched = matched[keep]
                 keys = [k[keep] for k in keys]
-            order = sort_order_mixed(r.urls[matched], keys, fields)[:limit]
+                order = sort_order_mixed(matched, keys, fields)[:limit]
+                sel_keys = [k[order] for k in keys]
+            else:
+                # all-int per-segment sort (round 5): string fields sort
+                # by their dictionary-row CODE — the segment dictionary is
+                # term-sorted, so codes are rank-isomorphic to the terms
+                # (the _doc_field_values min-term construction reads the
+                # same rows) — missing (-1) maps to +max (STRING_LAST);
+                # docid asc is the url-asc tiebreak within a segment.
+                # Strings materialize only for the ≤ limit winners.
+                field_cols: list[tuple] = []
+                for f, _ in fields:
+                    if f == "warc_ts":
+                        field_cols.append(
+                            ("num", r.warc_ts[matched].astype(
+                                np.int64, copy=False))
+                        )
+                    elif f == "doc_len":
+                        field_cols.append(
+                            ("num", r.doc_len[self.cfg.text_column][
+                                matched].astype(np.int64, copy=False))
+                        )
+                    else:
+                        codes, terms = self._doc_field_codes(si, seg, f)
+                        field_cols.append(("str", codes[matched], terms))
+                cols: list[np.ndarray] = [matched]
+                for (f, d), fc in zip(
+                    reversed(list(fields)), reversed(field_cols)
+                ):
+                    if fc[0] == "num":
+                        cols.append(-fc[1] if d == "desc" else fc[1])
+                    else:
+                        kc = fc[1]
+                        cols.append(
+                            np.where(
+                                kc >= 0,
+                                -kc if d == "desc" else kc,
+                                np.iinfo(np.int64).max,
+                            )
+                        )
+                order = np.lexsort(tuple(cols))[:limit]
+                sel_keys = []
+                for fc in field_cols:
+                    if fc[0] == "num":
+                        sel_keys.append(fc[1][order])
+                    else:
+                        kc = fc[1][order]
+                        vals = np.full(kc.size, None, dtype=object)
+                        got = kc >= 0
+                        vals[got] = fc[2][kc[got]]
+                        sel_keys.append(vals)
+            sel = matched[order]
             parts.append(
                 pa.table(
                     {
-                        "url": pa.array(r.urls[matched][order], pa.string()),
+                        "url": pa.array(r.urls[sel], pa.string()),
                         **{
                             f: pa.array(
-                                k[order],
+                                k,
                                 pa.string() if f in str_fields else pa.int64(),
                             )
-                            for (f, _), k in zip(fields, keys)
+                            for (f, _), k in zip(fields, sel_keys)
                         },
                         "docid": pa.array(
-                            r.doc_base + matched[order], pa.int64()
+                            r.doc_base + sel, pa.int64()
                         ),
                     }
                 )
@@ -2749,9 +2868,33 @@ class SearchEngine:
         if hit is not sentinel:
             self._postings_cache.move_to_end(ck)
             return hit
+        return self._doc_field_values_build(si, seg, field, ck)
+
+    def _field_postings_cached(
+        self, seg: _LiveSegment, field: str
+    ) -> tuple[int, np.ndarray, np.ndarray, np.ndarray]:
+        """``SegmentReader.field_postings`` through the engine's postings
+        LRU — the bulk varint decode of a METADATA field's postings is
+        identical every call on a generation-pinned engine (round 5: the
+        per-call decode dominated grouped/join latency at 200k docs)."""
+        r = seg.reader
+        ck = (r.path, "fieldpostings", field)
+        sentinel = object()
+        hit = self._postings_cache.get(ck, sentinel)
+        if hit is not sentinel:
+            self._postings_cache.move_to_end(ck)
+            return hit
+        val = r.field_postings(field)
+        self._postings_cache[ck] = val
+        if len(self._postings_cache) > self._postings_cache_size:
+            self._postings_cache.popitem(last=False)
+        return val
+
+    def _doc_field_values_build(self, si, seg, field, ck):
+        r = seg.reader
         vals = np.full(r.n_docs, None, dtype=object)
         if field in r.doc_len:
-            start, df, docids, _tfs = r.field_postings(field)
+            start, df, docids, _tfs = self._field_postings_cached(seg, field)
             if docids.size:
                 local = r.local_ids(docids)
                 rep = np.repeat(np.arange(df.size, dtype=np.int64), df)
@@ -2785,7 +2928,7 @@ class SearchEngine:
             return hit, r._terms
         codes = np.full(r.n_docs, -1, dtype=np.int64)
         if field in r.doc_len:
-            start, df, docids, _tfs = r.field_postings(field)
+            start, df, docids, _tfs = self._field_postings_cached(seg, field)
             if docids.size:
                 local = r.local_ids(docids)
                 rep = np.repeat(np.arange(df.size, dtype=np.int64), df)
@@ -3171,19 +3314,34 @@ class SearchEngine:
                 si, seg, clauses, cache, rows, df_map, n_docs, avgdl,
                 global_ttf=ttf_map,
             )
-            cand = np.flatnonzero(matched)
-            if cand.size == 0:
+            if not matched.any():
                 continue
             r = seg.reader
             start, vocab = r.field_vocab(group_field)
-            for j in range(len(vocab)):
-                term = str(vocab[j])
-                local, _ = self._decoded(
-                    si, seg, group_field, term, int(start + j)
-                )
-                members = cand[_in_sorted(cand, local)]
-                if members.size == 0:
-                    continue
+            if len(vocab) == 0:
+                continue
+            # ONE pass over the field's postings instead of a per-value
+            # decode + searchsorted-over-the-match-set loop (round 5:
+            # |vocab| × O(M log M) → O(P) bool gather; multi-valued docs
+            # still join every group they carry a term for).  Tombstoned
+            # docs can't be matched, so the raw postings need no alive
+            # mask here.
+            _s, df_arr, pdocids, _tfs = self._field_postings_cached(
+                seg, group_field
+            )
+            if pdocids.size == 0:
+                continue
+            plocal = r.local_ids(pdocids)
+            prep = np.repeat(np.arange(df_arr.size, dtype=np.int64), df_arr)
+            pkeep = matched[plocal]
+            loc_k, rep_k = plocal[pkeep], prep[pkeep]
+            if loc_k.size == 0:
+                continue
+            uniq_rows, row_starts = np.unique(rep_k, return_index=True)
+            bounds = np.append(row_starts, rep_k.size)
+            for ji in range(uniq_rows.size):
+                term = str(vocab[uniq_rows[ji]])
+                members = loc_k[bounds[ji]:bounds[ji + 1]]
                 # per-(segment, group) truncation BEFORE leaving numpy:
                 # the global per-group top-n is a subset of the union of
                 # per-segment per-group top-ns under the (score desc,
@@ -3191,8 +3349,10 @@ class SearchEngine:
                 # stays exact while Python tuples stay O(vocab · n), not
                 # O(match set)
                 if members.size > docs_per_group:
+                    # docid asc == url asc within a segment — int lexsort,
+                    # no object-url gather over the group's full match set
                     order = np.lexsort(
-                        (r.urls[members], -scores[members])
+                        (members, -scores[members])
                     )[:docs_per_group]
                     members = members[order]
                 groups.setdefault(term, []).extend(
@@ -3296,32 +3456,56 @@ class SearchEngine:
                     continue
             r = seg.reader
             start, vocab = r.field_vocab(from_field)
-            for j in range(len(vocab)):
-                term = str(vocab[j])
-                local, _ = self._decoded(
-                    si, seg, from_field, term, int(start + j)
-                )
-                members = cand[_in_sorted(cand, local)]
-                if members.size == 0:
-                    continue
-                a = agg.get(term)
-                if scores is None:  # ScoreMode.None: counts only
+            if len(vocab) == 0:
+                continue
+            # ONE pass over the field's postings + reduceat per value run
+            # (round 5: |vocab| × O(M log M) searchsorted loop → O(P) bool
+            # gather).  Posting order per term is docid asc == the old
+            # members order, so the float sums fold in the SAME order —
+            # results stay bit-identical.  Tombstoned docs can't be in
+            # cand, so the raw postings need no alive mask.
+            _sv, df_arr, pdocids, _tfs = self._field_postings_cached(
+                seg, from_field
+            )
+            if pdocids.size == 0:
+                continue
+            plocal = r.local_ids(pdocids)
+            prep = np.repeat(np.arange(df_arr.size, dtype=np.int64), df_arr)
+            cmask = np.zeros(r.n_docs, dtype=bool)
+            cmask[cand] = True
+            pkeep = cmask[plocal]
+            loc_k, rep_k = plocal[pkeep], prep[pkeep]
+            if loc_k.size == 0:
+                continue
+            uniq_rows, row_starts = np.unique(rep_k, return_index=True)
+            bounds = np.append(row_starts, rep_k.size)
+            counts = np.diff(bounds)
+            if scores is None:  # ScoreMode.None: counts only
+                for ji in range(uniq_rows.size):
+                    term = str(vocab[uniq_rows[ji]])
+                    a = agg.get(term)
                     if a is None:
-                        agg[term] = [int(members.size), 0.0, 0.0, 0.0]
+                        agg[term] = [int(counts[ji]), 0.0, 0.0, 0.0]
                     else:
-                        a[0] += int(members.size)
-                    continue
-                vals = scores[members]
+                        a[0] += int(counts[ji])
+                continue
+            vals = scores[loc_k]
+            sums = np.add.reduceat(vals, bounds[:-1])
+            maxs = np.maximum.reduceat(vals, bounds[:-1])
+            mins = np.minimum.reduceat(vals, bounds[:-1])
+            for ji in range(uniq_rows.size):
+                term = str(vocab[uniq_rows[ji]])
+                a = agg.get(term)
                 if a is None:
                     agg[term] = [
-                        int(members.size), float(vals.sum()),
-                        float(vals.max()), float(vals.min()),
+                        int(counts[ji]), float(sums[ji]),
+                        float(maxs[ji]), float(mins[ji]),
                     ]
                 else:
-                    a[0] += int(members.size)
-                    a[1] += float(vals.sum())
-                    a[2] = max(a[2], float(vals.max()))
-                    a[3] = min(a[3], float(vals.min()))
+                    a[0] += int(counts[ji])
+                    a[1] += float(sums[ji])
+                    a[2] = max(a[2], float(maxs[ji]))
+                    a[3] = min(a[3], float(mins[ji]))
         return agg
 
     @staticmethod
@@ -3415,26 +3599,43 @@ class SearchEngine:
                     continue
             if xclauses is not None:
                 xmatch = self._match_segment(si, seg, xclauses, {}, {})
-            docs_parts, sc_parts = [], []
-            for v in sorted(value_scores):
-                row = r.lookup(to_field, v)
-                if row < 0:
-                    continue
-                local, _ = self._decoded(si, seg, to_field, v, int(row))
-                if rmatch is not None and local.size:
-                    local = local[_in_sorted(local, rmatch)]
-                if xmatch is not None and xmatch.size and local.size:
-                    local = local[~_in_sorted(local, xmatch)]
-                if local.size == 0:
-                    continue
-                docs_parts.append(local)
-                sc_parts.append(
-                    np.full(local.size, value_scores[v], dtype=np.float64)
-                )
-            if not docs_parts:
+            # ONE pass over the to-field's postings with a per-row score
+            # map (round 5: replaces a per-value decode + searchsorted
+            # loop).  Posting rows are term-sorted exactly like the old
+            # sorted(value_scores) iteration, so per-doc float folds
+            # accumulate in the SAME value order — results bit-identical.
+            _s0, df_arr, pdocids, _tfs = self._field_postings_cached(
+                seg, to_field
+            )
+            if pdocids.size == 0:
                 continue
-            docs = np.concatenate(docs_parts)
-            sc = np.concatenate(sc_parts)
+            plocal = r.local_ids(pdocids)
+            prep = np.repeat(np.arange(df_arr.size, dtype=np.int64), df_arr)
+            rowscore = np.full(df_arr.size, np.nan)
+            any_row = False
+            for v, sval in value_scores.items():
+                row = r.lookup(to_field, v)
+                if row >= 0:
+                    rowscore[row - _s0] = sval
+                    any_row = True
+            if not any_row:
+                continue
+            sc = rowscore[prep]
+            keep = ~np.isnan(sc)
+            if not seg.all_alive:
+                keep &= seg.alive[plocal]
+            if rmatch is not None:
+                rm = np.zeros(r.n_docs, dtype=bool)
+                rm[rmatch] = True
+                keep &= rm[plocal]
+            if xmatch is not None and xmatch.size:
+                xm = np.zeros(r.n_docs, dtype=bool)
+                xm[xmatch] = True
+                keep &= ~xm[plocal]
+            docs = plocal[keep]
+            sc = sc[keep]
+            if docs.size == 0:
+                continue
             uniq, inv = np.unique(docs, return_inverse=True)
             if score_mode in ("max", "none"):
                 fold = np.full(uniq.size, -np.inf)
