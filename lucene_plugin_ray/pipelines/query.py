@@ -4005,30 +4005,48 @@ class SearchEngine:
         n_c: dict[str, int] = {}
         df: dict[tuple[str, str], int] = {}
         for si, seg in enumerate(segs):
+            # ONE cached bulk decode of the class field + a bincount per
+            # token (round 5: replaces |class vocab| × |tokens| sorted
+            # intersections per segment); multi-valued class docs still
+            # count toward every class they carry, exactly as before
             r = seg.reader
             start, vocab = r.field_vocab(class_field)
-            tok_postings = {}
+            if len(vocab) == 0:
+                continue
+            _s0, df_arr, pdocids, _tfs = self._field_postings_cached(
+                seg, class_field
+            )
+            if pdocids.size == 0:
+                continue
+            plocal = r.local_ids(pdocids)
+            prep = np.repeat(np.arange(df_arr.size, dtype=np.int64), df_arr)
+            if not seg.all_alive:
+                ok = seg.alive[plocal]
+                plocal, prep = plocal[ok], prep[ok]
+            if plocal.size == 0:
+                continue
+            row_counts = np.bincount(prep, minlength=df_arr.size)
+            names: dict[int, str] = {}
+            for j in np.flatnonzero(row_counts):
+                cval = str(vocab[j])
+                names[int(j)] = cval
+                n_c[cval] = n_c.get(cval, 0) + int(row_counts[j])
+            wmask = np.zeros(r.n_docs, dtype=bool)
             for w in toks:
                 row = r.lookup(self.cfg.text_column, w)
-                if row >= 0:
-                    local, _ = self._decoded(
-                        si, seg, self.cfg.text_column, w, int(row)
-                    )
-                    if local.size:
-                        tok_postings[w] = local
-            for j in range(len(vocab)):
-                cval = str(vocab[j])
-                clocal, _ = self._decoded(
-                    si, seg, class_field, cval, int(start + j)
-                )
-                if clocal.size == 0:
+                if row < 0:
                     continue
-                n_c[cval] = n_c.get(cval, 0) + int(clocal.size)
-                for w, wlocal in tok_postings.items():
-                    hits = int(_in_sorted(wlocal, clocal).sum())
-                    if hits:
-                        key = (w, cval)
-                        df[key] = df.get(key, 0) + hits
+                local, _ = self._decoded(
+                    si, seg, self.cfg.text_column, w, int(row)
+                )
+                if local.size == 0:
+                    continue
+                wmask[:] = False
+                wmask[local] = True
+                hits = np.bincount(prep[wmask[plocal]], minlength=df_arr.size)
+                for j in np.flatnonzero(hits):
+                    key = (w, names[int(j)])
+                    df[key] = df.get(key, 0) + int(hits[j])
         return n_c, df
 
     def classify(
