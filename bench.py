@@ -373,8 +373,10 @@ def _bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
         except Exception:
             return "?"
 
+    # suffix the op INDEX so same-named ops (the two span_near variants)
+    # can't collide in the dict and silently drop a tail entry
     out["aux_tail_ops"] = {
-        _op_label(aux_ops[i]): round(lat_aux[i], 4)
+        f"{_op_label(aux_ops[i])}[{i}]": round(lat_aux[i], 4)
         for i in sorted(range(len(lat_aux)), key=lambda i: -lat_aux[i])[:3]
     }
 

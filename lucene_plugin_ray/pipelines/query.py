@@ -1685,9 +1685,8 @@ class SearchEngine:
             codes, terms = self._doc_field_codes(si, seg, key_field)
             csub = codes[cand]
             docids = r.doc_base + cand
-            sel = _diversify_codes(
-                scores[cand], docids, csub, max_per_key, limit,
-            )
+            sc = scores[cand]
+            sel = _diversify_codes(sc, docids, csub, max_per_key, limit)
             csel = cand[sel]
             ksel = csub[sel]
             keys = np.full(ksel.size, None, dtype=object)
@@ -1697,9 +1696,7 @@ class SearchEngine:
                 pa.table(
                     {
                         "url": pa.array(r.urls[csel], type=pa.string()),
-                        "score": pa.array(
-                            scores[cand][sel], type=pa.float64()
-                        ),
+                        "score": pa.array(sc[sel], type=pa.float64()),
                         "key": pa.array(keys, pa.string()),
                         "docid": pa.array(docids[sel], type=pa.int64()),
                     }
@@ -3460,10 +3457,14 @@ class SearchEngine:
                 continue
             # ONE pass over the field's postings + reduceat per value run
             # (round 5: |vocab| × O(M log M) searchsorted loop → O(P) bool
-            # gather).  Posting order per term is docid asc == the old
-            # members order, so the float sums fold in the SAME order —
-            # results stay bit-identical.  Tombstoned docs can't be in
-            # cand, so the raw postings need no alive mask.
+            # gather).  Per-term element order is docid asc, same as the
+            # old members order; np.add.reduceat folds sequentially where
+            # ndarray.sum folded pairwise, so float SUMS may differ in the
+            # last ulp for large groups (count/max/min exact; the 9-decimal
+            # oracle compare and the rank-identity tests pin the result —
+            # float-sum association was already documented as the sharded
+            # merge's one tolerance).  Tombstoned docs can't be in cand,
+            # so the raw postings need no alive mask.
             _sv, df_arr, pdocids, _tfs = self._field_postings_cached(
                 seg, from_field
             )

@@ -45,25 +45,6 @@ def _clean_schema(path: str, columns: list[str] | None) -> pa.Schema | None:
         return None
 
 
-def parquet_row_count(path: str) -> "int | None":
-    """Total row count of a parquet file or directory, from footers only —
-    no data pages are read.  Used to seed ``est_rows`` for the fold/bucket
-    auto-sizing (functions/fold.py::auto_buckets); returns None for paths
-    the local footer walk can't see (remote roots), in which case the fold
-    floor applies and LPR_FOLD_BUCKETS is the deployment's knob."""
-    try:
-        files = (
-            sorted(glob.glob(os.path.join(path, "*.parquet")))
-            if os.path.isdir(path)
-            else [path]
-        )
-        if not files or not os.path.isfile(files[0]):
-            return None
-        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-    except Exception:
-        return None
-
-
 def read_parquet_clean(
     path: str, columns: list[str] | None = None, **kwargs
 ) -> "ray.data.Dataset":

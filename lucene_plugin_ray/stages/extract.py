@@ -114,14 +114,26 @@ def sniff_format(raw: bytes) -> str:
                 return "odt"
             if b"epub" in mt:
                 return "epub"
-        # OOXML: no mimetype entry; the payload type is named by the part
-        # paths (zip entry names appear verbatim in the local headers and
-        # the central directory — three memchr-speed scans, exactly the
-        # name probe Tika's zip detector runs)
-        if b"xl/workbook.xml" in raw:
-            return "xlsx"
-        if b"ppt/presentation.xml" in raw:
-            return "pptx"
+        # OOXML: no mimetype entry; the payload type is named by the
+        # TOP-LEVEL part paths.  Read the actual entry list (central
+        # directory only — no data pages) rather than substring-scanning
+        # the raw bytes: an embedded stored workbook (ppt/embeddings/
+        # chart1.xlsx) carries the inner zip's headers verbatim and would
+        # fool a byte probe.  This is the name probe Tika's zip detector
+        # runs.
+        try:
+            import io as _io
+            import zipfile as _zipfile
+
+            names = _zipfile.ZipFile(_io.BytesIO(raw)).namelist()
+            if any(n.startswith("word/") for n in names):
+                return "docx"
+            if any(n.startswith("xl/") for n in names):
+                return "xlsx"
+            if any(n.startswith("ppt/") for n in names):
+                return "pptx"
+        except Exception:
+            pass
         return "docx"
     head = raw[:512].lstrip()
     if head[:1] == b"<":
@@ -218,6 +230,10 @@ class AutoExtract:
         # OOXML spreadsheet/presentation parts (round 5: xlsx/pptx/ods/odp)
         self.xlsx_si = re.compile(rb"<si>(.*?)</si>", re.S)
         self.xlsx_t = re.compile(rb"<t(?:\s[^>]*)?>(.*?)</t>", re.S)
+        # drop self-closing cells (blank styled cells, '<c r="A1" s="1"/>')
+        # BEFORE the open/close matcher — otherwise '<c .../>' swallows the
+        # next real cell and its t= attribute lands in the inner group
+        self.xlsx_c_self = re.compile(rb"<c\b[^>]*/>")
         self.xlsx_c = re.compile(rb"<c\b([^>]*)>(.*?)</c>", re.S)
         self.xlsx_v = re.compile(rb"<v(?:\s[^>]*)?>(.*?)</v>", re.S)
         self.xlsx_row = re.compile(rb"</row>")
@@ -326,7 +342,8 @@ class AutoExtract:
                     if not (name.startswith("xl/worksheets/")
                             and name.endswith(".xml")):
                         continue
-                    for rowchunk in self.xlsx_row.split(z.read(name)):
+                    sheet_xml = self.xlsx_c_self.sub(b"", z.read(name))
+                    for rowchunk in self.xlsx_row.split(sheet_xml):
                         cells: list[str] = []
                         for cm in self.xlsx_c.finditer(rowchunk):
                             attrs, inner = cm.group(1), cm.group(2)

@@ -383,3 +383,52 @@ def test_pptx_slide_order_and_notes_skipped():
     assert "SKIPNOTE" not in text          # notes are metadata
     # slide10 content (the last sentence fragment) comes AFTER slide2's
     assert text.split()[-1] == "versions"
+
+
+def test_xlsx_self_closing_cells():
+    """Round-5 review finding: blank styled cells ('<c r="A1" s="1"/>')
+    must not swallow the following cell — the t="s" attribute of the NEXT
+    cell would land in the inner group and the shared-string INDEX would
+    leak into the text."""
+    buf = io.BytesIO()
+    sheet = (
+        '<?xml version="1.0"?><worksheet><sheetData>'
+        '<row r="1"><c r="A1" s="1"/>'
+        '<c r="B1" t="s"><v>0</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("xl/workbook.xml", "<workbook/>")
+        z.writestr("xl/sharedStrings.xml", "<sst><si><t>hello</t></si></sst>")
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    text, fmt = AutoExtract().extract_one(buf.getvalue())
+    assert fmt == "xlsx"
+    assert text == "hello"  # the string, never the raw index '0'
+
+
+def test_sniff_embedded_zip_not_misclassified():
+    """Round-5 review finding: a pptx carrying an embedded stored xlsx
+    contains the inner zip's 'xl/workbook.xml' bytes verbatim — the
+    sniffer must classify by TOP-LEVEL entry names, not byte scans."""
+    inner = _make_xlsx("inner sheet words")
+    outer = io.BytesIO()
+    with zipfile.ZipFile(outer, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("ppt/presentation.xml", "<presentation/>")
+        z.writestr(
+            "ppt/slides/slide1.xml",
+            '<?xml version="1.0"?><p:sld><p:txBody>'
+            "<a:r><a:t>Lorem outer deck versions</a:t></a:r>"
+            "</p:txBody></p:sld>",
+        )
+        # store the whole inner workbook as ONE entry, uncompressed —
+        # its local headers (incl. 'xl/workbook.xml') ride verbatim
+        z.writestr(
+            zipfile.ZipInfo("ppt/embeddings/chart1.xlsx"), inner
+        )
+    raw = outer.getvalue()
+    assert b"xl/workbook.xml" in raw  # the bait is really in the bytes
+    assert sniff_format(raw) == "pptx"
+    text, fmt = AutoExtract().extract_one(raw)
+    assert fmt == "pptx" and "outer" in text
